@@ -1,0 +1,397 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core OLAP surface: the catalog selection/aggregation workload of
+  * the reference (Pserv issues projections, predicates, aggregates
+  * and joins over its Object/ForcedSource/CcdVisit tables; Qserv adds
+  * the same shapes at scale). Expressed as declarative DataFrame
+  * plans so Catalyst handles pushdown/pruning/join selection.
+  *
+  * Determinism discipline (for the DuckDB hash-oracle): every SUM of
+  * a double is computed over `CAST(ROUND(x*10^k) AS BIGINT)` — exact,
+  * order-independent integer addition — then divided back to double.
+  * IEEE double ops on identical inputs are identical across engines;
+  * only the *reduction order* of floating sums is not, so the
+  * reduction is always integral.
+  */
+object CoreOlap {
+
+  /** sum(round(c*scale)::long)/scale — order-independent double sum. */
+  private def sumScaled(c: Column, scale: Long): Column =
+    sum(round(c * scale).cast("long")) / lit(scale.toDouble)
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  // ---------------------------------------------------------------
+  def q01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= ts("1998-09-02"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sumScaled($"l_quantity", 100L).as("sum_qty"),
+        sumScaled($"l_extendedprice", 100L).as("sum_base_price"),
+        sumScaled($"l_extendedprice" * (lit(1.0) - $"l_discount"), 10000L).as("sum_disc_price"),
+        sumScaled($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"), 1000000L).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_qty,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_base_price,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)) AS BIGINT)/10000.0 AS sum_disc_price,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*1000000) AS BIGINT)) AS BIGINT)/1000000.0 AS sum_charge,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------
+  def q03(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val ord = Tables.orders(s, dir).filter($"o_orderdate" < ts("1998-01-01"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = Tables.lineitem(s, dir).filter($"l_shipdate" > ts("1998-01-01"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate_s"),
+        $"o_orderpriority")
+      .agg(sumScaled($"l_extendedprice" * (lit(1.0) - $"l_discount"), 10000L).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s, o_orderpriority,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)) AS BIGINT)/10000.0 AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------
+  def q05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val reg = Tables.region(s, dir).filter($"r_name" === "ASIA").select($"r_regionkey")
+    val nat = Tables.nation(s, dir).select($"n_nationkey", $"n_name", $"n_regionkey")
+    val cust = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+    val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= ts("1996-01-01") && $"o_orderdate" < ts("1998-01-01"))
+      .select($"o_orderkey", $"o_custkey")
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(sup),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sumScaled($"l_extendedprice" * (lit(1.0) - $"l_discount"), 10000L).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q05Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)) AS BIGINT)/10000.0 AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------
+  def qHaving(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sumScaled($"o_totalprice", 100L).as("total_spent"))
+      .filter($"n_orders" >= 14)
+      .orderBy($"o_custkey")
+  }
+
+  val qHavingSql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total_spent
+      |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 14 ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  def qWindowTopn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, dir)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .orderBy($"o_orderpriority", $"rn")
+  }
+
+  val qWindowTopnSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
+
+  // ---------------------------------------------------------------
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(s, dir)
+      .filter($"l_suppkey" <= 3)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_shipdate",
+        round($"l_quantity" * 100).cast("long").as("qty_c100"))
+      .withColumn("run_qty_c100",
+        sum($"qty_c100").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("prev_qty_c100", lag($"qty_c100", 1, 0L).over(w))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        date_format($"l_shipdate", "yyyy-MM-dd").as("ship_s"),
+        $"run_qty_c100", $"prev_qty_c100")
+      .orderBy($"l_suppkey", $"ship_s", $"l_orderkey", $"l_linenumber")
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_s,
+      |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) OVER w AS BIGINT) AS run_qty_c100,
+      |  CAST(COALESCE(LAG(CAST(ROUND(l_quantity*100) AS BIGINT), 1) OVER w, 0) AS BIGINT) AS prev_qty_c100
+      |FROM lineitem WHERE l_suppkey <= 3
+      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY l_suppkey, ship_s, l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------
+  def qDistinctCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n_orders"),
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey", $"l_partkey").as("n_supp_part"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qDistinctCountSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------
+  def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.75)"), 4).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  val qPercentilesSql: String =
+    """SELECT event_type,
+      |  ROUND(QUANTILE_CONT(value, 0.25), 4) AS p25,
+      |  ROUND(QUANTILE_CONT(value, 0.5), 4) AS p50,
+      |  ROUND(QUANTILE_CONT(value, 0.75), 4) AS p75,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 40000.0)
+      .select($"o_custkey")
+    Tables.customer(s, dir)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |              AND o_orderpriority = '1-URGENT' AND o_totalprice > 40000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val recent = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= ts("2000-01-01"))
+      .select($"l_partkey")
+    Tables.part(s, dir)
+      .join(recent, $"p_partkey" === $"l_partkey", "left_anti")
+      .select($"p_partkey", $"p_brand")
+      .orderBy($"p_partkey")
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT p_partkey, p_brand FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey
+      |                  AND l_shipdate >= TIMESTAMP '2000-01-01')
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nat = Tables.nation(s, dir).select($"n_nationkey", $"n_name")
+    Tables.customer(s, dir)
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .rollup($"n_name", $"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sumScaled($"c_acctbal", 100L).as("acctbal_sum"))
+      .select(coalesce($"n_name", lit("(all)")).as("nation"),
+        coalesce($"c_mktsegment", lit("(all)")).as("segment"),
+        $"n", $"acctbal_sum")
+      .orderBy($"nation", $"segment")
+  }
+
+  val qRollupSql: String =
+    """SELECT COALESCE(n_name, '(all)') AS nation, COALESCE(c_mktsegment, '(all)') AS segment,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT)/100.0 AS acctbal_sum
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP(n_name, c_mktsegment)
+      |ORDER BY nation, segment""".stripMargin
+
+  // ---------------------------------------------------------------
+  def qCasePivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // ts is Long nanos (nanosAsLong); integer DIV keeps full precision
+    val day = expr("ts DIV 86400000000000").as("day_idx")
+    Tables.events(s, dir)
+      .groupBy(day)
+      .agg(
+        sum(when($"event_type" === "click", 1L).otherwise(0L)).as("clicks"),
+        sum(when($"event_type" === "view", 1L).otherwise(0L)).as("views"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("purchases"),
+        sum(when($"event_type" === "purchase", round($"value" * 100).cast("long"))
+          .otherwise(0L)).as("purchase_value_c100"))
+      .orderBy($"day_idx")
+  }
+
+  val qCasePivotSql: String =
+    """SELECT CAST(FLOOR(epoch_ms(ts)/86400000) AS BIGINT) AS day_idx,
+      |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+      |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+      |  SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS purchase_value_c100
+      |FROM events GROUP BY 1 ORDER BY day_idx""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Correlated subquery (price above brand average) decorrelated to a
+    * window — the comparison is done in exact integer space
+    * (price*100*count > brand_sum*1) so both engines agree bit-for-bit. */
+  def qCorrSubquery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"p_brand")
+    Tables.part(s, dir)
+      .select($"p_partkey", $"p_brand", $"p_retailprice",
+        round($"p_retailprice" * 100).cast("long").as("price_c100"))
+      .withColumn("brand_sum", sum($"price_c100").over(w))
+      .withColumn("brand_n", count(lit(1)).over(w))
+      .filter($"price_c100" * $"brand_n" > $"brand_sum")
+      .select($"p_partkey", $"p_brand", $"p_retailprice")
+      .orderBy($"p_partkey")
+  }
+
+  val qCorrSubquerySql: String =
+    """SELECT p_partkey, p_brand, p_retailprice FROM (
+      |  SELECT p_partkey, p_brand, p_retailprice,
+      |    CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_c100,
+      |    SUM(CAST(ROUND(p_retailprice*100) AS BIGINT)) OVER (PARTITION BY p_brand) AS brand_sum,
+      |    COUNT(*) OVER (PARTITION BY p_brand) AS brand_n
+      |  FROM part) t
+      |WHERE price_c100 * brand_n > brand_sum
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** As-of join: for each purchase event, the most recent prior (or
+    * simultaneous) click by the same user. Composed Spark-first as
+    * union + one per-key window pass (single shuffle on user_id) —
+    * never a per-row subquery. Timestamps compared at microsecond
+    * granularity (Spark's native resolution). */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter($"event_type".isin("click", "purchase"))
+      .select($"event_id", $"user_id", $"event_type",
+        expr("ts DIV 1000").as("tus"))
+    val tagged = ev.withColumn("is_click", ($"event_type" === "click").cast("int"))
+    val w = Window.partitionBy($"user_id")
+      // clicks sort before purchases at equal tus so >= semantics hold
+      .orderBy($"tus", $"is_click".desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("click_id",
+        last(when($"is_click" === 1, $"event_id"), ignoreNulls = true).over(w))
+      .withColumn("click_tus",
+        last(when($"is_click" === 1, $"tus"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase" && $"click_id".isNotNull)
+      .select($"event_id", $"user_id", $"tus", $"click_id", $"click_tus")
+      .orderBy($"event_id")
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT p.event_id, p.user_id, p.tus, c.event_id AS click_id, c.tus AS click_tus
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.tus >= c.tus
+      |ORDER BY p.event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q03_topk_revenue" -> (q03 _),
+    "q05_regional_join" -> (q05 _),
+    "q_having" -> (qHaving _),
+    "q_window_topn" -> (qWindowTopn _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_distinct_count" -> (qDistinctCount _),
+    "q_percentiles" -> (qPercentiles _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_rollup" -> (qRollup _),
+    "q_case_pivot" -> (qCasePivot _),
+    "q_corr_subquery" -> (qCorrSubquery _),
+    "q_asof_join" -> (qAsofJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q03_topk_revenue" -> q03Sql,
+    "q05_regional_join" -> q05Sql,
+    "q_having" -> qHavingSql,
+    "q_window_topn" -> qWindowTopnSql,
+    "q_distinct_count" -> qDistinctCountSql,
+    "q_percentiles" -> qPercentilesSql,
+    "q_semi_join" -> qSemiJoinSql,
+    "q_anti_join" -> qAntiJoinSql,
+    "q_rollup" -> qRollupSql,
+    "q_case_pivot" -> qCasePivotSql,
+    "q_corr_subquery" -> qCorrSubquerySql,
+    "q_asof_join" -> qAsofJoinSql,
+    "q_window_running" -> qWindowRunningSql)
+}

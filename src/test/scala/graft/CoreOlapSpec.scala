@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class CoreOlapSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  // queries that may legitimately return 0 rows at tiny scale factors
+  private val zeroOk = Set("q_anti_join")
+
+  for ((name, fn) <- queries.CoreOlap.defs) {
+    test(s"$name runs and returns rows at sf0.001") {
+      val df = fn(spark, sf)
+      val n = df.count()
+      if (!zeroOk(name)) assert(n > 0, s"$name returned no rows")
+      assert(df.columns.nonEmpty)
+    }
+  }
+
+  test("q01 aggregates match a hand check") {
+    import org.apache.spark.sql.functions._
+    val df = queries.CoreOlap.q01(spark, sf)
+    val total = df.agg(sum("count_order")).head.getLong(0)
+    val expected = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")).count()
+    assert(total == expected)
+  }
+
+  test("q_window_topn returns exactly 3 rows per priority") {
+    val df = queries.CoreOlap.qWindowTopn(spark, sf)
+    val counts = df.groupBy("o_orderpriority").count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getLong(1) == 3))
+  }
+
+  test("q_asof_join click always precedes (or ties) purchase") {
+    val df = queries.CoreOlap.qAsofJoin(spark, sf)
+    assert(df.filter("click_tus > tus").count() == 0)
+  }
+
+  test("every oracle key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Dev-only parity harness: mimics the driver's DuckDB-oracle compare.
+
+Usage: after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+    python3 tools/parity.py <sfDir> <outDir>
+
+Not part of the shipped library (the Scala engine never calls this);
+it exists so oracle mismatches are caught before the driver runs.
+"""
+import sys, os, glob, json
+import duckdb, pandas as pd, numpy as np
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = 0
+    names = sorted(d for d in os.listdir(outdir) if os.path.isdir(f"{outdir}/{d}"))
+    for name in names:
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        got = pd.concat([pd.read_parquet(p) for p in files], ignore_index=True)
+        if name not in oracle:
+            print(f"[rows-only] {name}: rows={len(got)} {'OK' if len(got) > 0 else 'EMPTY!'}")
+            n_ok += 1 if len(got) > 0 else 0
+            continue
+        try:
+            want = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"[FAIL-sql ] {name}: oracle error: {e}")
+            continue
+        g, w = canon(got), canon(want)
+        if list(g.columns) != list(w.columns):
+            print(f"[FAIL-cols] {name}: spark={list(g.columns)} duck={list(w.columns)}")
+            continue
+        if len(g) != len(w):
+            print(f"[FAIL-rows] {name}: spark={len(g)} duck={len(w)}")
+            continue
+        bad = []
+        for c in g.columns:
+            a, b = g[c], w[c]
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                eq = np.isclose(a.astype(float), b.astype(float), rtol=0, atol=0, equal_nan=True)
+                exact = eq.all()
+            else:
+                exact = (a.astype(str) == b.astype(str)).all()
+            if not exact:
+                bad.append(c)
+        if bad:
+            print(f"[FAIL-vals] {name}: mismatched cols {bad}")
+            for c in bad[:2]:
+                m = ~(g[c].astype(str) == w[c].astype(str))
+                print(g[m].head(3))
+                print(w[m].head(3))
+        else:
+            print(f"[OK       ] {name}: rows={len(g)}")
+            n_ok += 1
+    print(f"== {n_ok}/{len(names)} pass")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
