@@ -1,9 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Headline queries (SURVEY.md §6) against
+  * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
+  *
+  * Methodology: each query is fully materialized through the `noop`
+  * writer (count() would let Spark skip final projection/sort work),
+  * after one untimed warm-up run of q01 to absorb JVM/codegen startup.
+  * A failing query aborts the bench loudly — a broken query must never
+  * flatter the total.
+  */
 object Bench {
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_topk_revenue", "q05_regional_join",
+    "q_zone_xmatch", "q_dedup_minhash", "q_ann_bruteforce",
+    "q_sessionize", "q_text_quality", "q_lightcurve_stats",
+    "q_asof_join")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,14 +28,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def materialize(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    val names = headline.filter(SparkEntry.queries.contains)
+    materialize(names.head) // warm-up: JVM + codegen + parquet footer cache
+
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      materialize(name) // throws on failure: a broken query fails the bench
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -62,8 +62,10 @@ object CoreOlap {
       .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
     val li = Tables.lineitem(s, dir).filter($"l_shipdate" > ts("1998-01-01"))
       .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    // customer is fact-scale at the 100 TB target — no broadcast hint;
+    // AQE picks broadcast at small SFs and shuffle-hash/sort-merge at scale.
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey",
         date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate_s"),
         $"o_orderpriority")
@@ -94,9 +96,11 @@ object CoreOlap {
       .select($"o_orderkey", $"o_custkey")
     val li = Tables.lineitem(s, dir)
       .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+    // Only true dims (nation: 25 rows, region: 5) get broadcast hints;
+    // customer/supplier are fact-scale at 100 TB — AQE decides for them.
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
-      .join(broadcast(sup),
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(sup,
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
@@ -133,14 +137,24 @@ object CoreOlap {
       |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 14 ORDER BY o_custkey""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Two-phase top-N: o_orderpriority has ~5 distinct values, so a single
+    * window over it would sort the whole table in 5 tasks no matter how
+    * large the cluster. Phase 1 takes a local top-3 per (priority, salt)
+    * — parallelism = 5×64 — then phase 2 sorts only 3×64 survivors per
+    * priority. Result identical to the single-window plan. */
   def qWindowTopn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"o_orderpriority")
-      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    val order = Seq($"o_totalprice".desc, $"o_orderkey")
+    val w1 = Window.partitionBy($"o_orderpriority", $"salt").orderBy(order: _*)
+    val w2 = Window.partitionBy($"o_orderpriority").orderBy(order: _*)
     Tables.orders(s, dir)
-      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
-      .withColumn("rn", row_number().over(w))
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        pmod($"o_orderkey", lit(64)).as("salt"))
+      .withColumn("prn", row_number().over(w1))
+      .filter($"prn" <= 3)
+      .withColumn("rn", row_number().over(w2))
       .filter($"rn" <= 3)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice", $"rn")
       .orderBy($"o_orderpriority", $"rn")
   }
 
@@ -295,10 +309,10 @@ object CoreOlap {
 
   val qCasePivotSql: String =
     """SELECT CAST(FLOOR(epoch_ms(ts)/86400000) AS BIGINT) AS day_idx,
-      |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-      |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
-      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-      |  SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS purchase_value_c100
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(ROUND(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_value_c100
       |FROM events GROUP BY 1 ORDER BY day_idx""".stripMargin
 
   // ---------------------------------------------------------------
@@ -307,12 +321,16 @@ object CoreOlap {
     * (price*100*count > brand_sum*1) so both engines agree bit-for-bit. */
   def qCorrSubquery(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"p_brand")
-    Tables.part(s, dir)
+    // Decorrelated as aggregate + broadcast join-back, NOT a window over
+    // p_brand: a window would sort the whole table in ~25 tasks (one per
+    // brand) at any cluster size. The per-brand aggregate is map-side
+    // combinable and its result (~25 rows) is a genuine broadcast dim.
+    val parts = Tables.part(s, dir)
       .select($"p_partkey", $"p_brand", $"p_retailprice",
         round($"p_retailprice" * 100).cast("long").as("price_c100"))
-      .withColumn("brand_sum", sum($"price_c100").over(w))
-      .withColumn("brand_n", count(lit(1)).over(w))
+    val brandAgg = parts.groupBy($"p_brand".as("b_brand"))
+      .agg(sum($"price_c100").as("brand_sum"), count(lit(1)).as("brand_n"))
+    parts.join(broadcast(brandAgg), $"p_brand" === $"b_brand")
       .filter($"price_c100" * $"brand_n" > $"brand_sum")
       .select($"p_partkey", $"p_brand", $"p_retailprice")
       .orderBy($"p_partkey")
@@ -342,8 +360,9 @@ object CoreOlap {
         expr("ts DIV 1000").as("tus"))
     val tagged = ev.withColumn("is_click", ($"event_type" === "click").cast("int"))
     val w = Window.partitionBy($"user_id")
-      // clicks sort before purchases at equal tus so >= semantics hold
-      .orderBy($"tus", $"is_click".desc)
+      // clicks sort before purchases at equal tus so >= semantics hold;
+      // event_id last = deterministic winner among same-microsecond clicks
+      .orderBy($"tus", $"is_click".desc, $"event_id")
       .rowsBetween(Window.unboundedPreceding, 0)
     tagged
       .withColumn("click_id",
@@ -355,12 +374,23 @@ object CoreOlap {
       .orderBy($"event_id")
   }
 
+  // Window-based oracle (not DuckDB ASOF): ASOF breaks same-timestamp
+  // ties arbitrarily; this mirrors the engine's deterministic
+  // max-event_id-among-tied-clicks choice exactly.
   val qAsofJoinSql: String =
-    """SELECT p.event_id, p.user_id, p.tus, c.event_id AS click_id, c.tus AS click_tus
-      |FROM (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'purchase') p
-      |ASOF JOIN (SELECT event_id, user_id, epoch_us(ts) AS tus FROM events WHERE event_type = 'click') c
-      |  ON p.user_id = c.user_id AND p.tus >= c.tus
-      |ORDER BY p.event_id""".stripMargin
+    """SELECT event_id, user_id, tus, click_id, click_tus FROM (
+      |  SELECT event_id, user_id, tus, is_click,
+      |    LAST_VALUE(CASE WHEN is_click = 1 THEN event_id END IGNORE NULLS)
+      |      OVER w AS click_id,
+      |    LAST_VALUE(CASE WHEN is_click = 1 THEN tus END IGNORE NULLS)
+      |      OVER w AS click_tus
+      |  FROM (SELECT event_id, user_id, epoch_us(ts) AS tus,
+      |          CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+      |        FROM events WHERE event_type IN ('click','purchase'))
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, is_click DESC, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t
+      |WHERE is_click = 0 AND click_id IS NOT NULL
+      |ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -33,6 +33,9 @@ def main(sfdir, outdir):
     names = sorted(d for d in os.listdir(outdir) if os.path.isdir(f"{outdir}/{d}"))
     for name in names:
         files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"[FAIL-read] {name}: no parquet output (query failed?)")
+            continue
         got = pd.concat([pd.read_parquet(p) for p in files], ignore_index=True)
         if name not in oracle:
             print(f"[rows-only] {name}: rows={len(got)} {'OK' if len(got) > 0 else 'EMPTY!'}")
@@ -49,6 +52,17 @@ def main(sfdir, outdir):
             continue
         if len(g) != len(w):
             print(f"[FAIL-rows] {name}: spark={len(g)} duck={len(w)}")
+            continue
+        # Mirror the driver's hash: it is dtype-sensitive (int64 78 vs
+        # float64 78.0 hash differently), so dtype mismatch = FAIL even
+        # when coerced values would be equal.
+        dbad = [
+            (c, str(g[c].dtype), str(w[c].dtype))
+            for c in g.columns
+            if g[c].dtype.kind != w[c].dtype.kind
+        ]
+        if dbad:
+            print(f"[FAIL-type] {name}: dtype mismatch {dbad}")
             continue
         bad = []
         for c in g.columns:
