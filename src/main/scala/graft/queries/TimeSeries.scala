@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Time-series / light-curve workload — the reference's core purpose:
+  * per-object time series of forced-source measurements with summary
+  * statistics (Pserv's light-curve surface: per-object photometry
+  * ordered by mjd, plus aggregate stats per object). `events` plays
+  * ForcedSource: `user_id` = objectId, `ts` = mjd, `value` = flux.
+  *
+  * Scale shape: every query shuffles ONCE on `user_id` (or the group
+  * key) and aggregates map-side-combinably; series windows sort within
+  * the natural per-object partition, whose cardinality grows with the
+  * data (millions of objects), so parallelism is never capped by a
+  * low-cardinality key.
+  *
+  * Determinism: all float reductions in exact integer space
+  * (value scaled ×100 → bigint); time arithmetic in integer
+  * nanos/micros (`ts` is read as Long nanos — see nanosAsLong note in
+  * Verify).
+  */
+object TimeSeries {
+
+  /** 30-day synthetic window → 6h session gap gives multi-event sessions. */
+  private val SessionGapUs = 6L * 3600 * 1000 * 1000
+
+  /** events projected to the light-curve columns, value in exact c100. */
+  private def series(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir).select(
+      $"user_id", $"event_id",
+      expr("ts DIV 1000").as("tus"),
+      round($"value" * 100).cast("long").as("xc"))
+  }
+
+  // ---------------------------------------------------------------
+  /** Per-object series statistics: n, mean, amplitude, and the exact
+    * variance numerator n·Σx²−(Σx)² (all in integer space; mean is a
+    * single exact-rounded IEEE division so it hash-matches DuckDB). */
+  def qLightcurveStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    series(s, dir)
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"xc").as("sum_c100"),
+        min($"xc").as("min_c100"),
+        max($"xc").as("max_c100"),
+        (max($"xc") - min($"xc")).as("amp_c100"),
+        (count(lit(1)) * sum($"xc" * $"xc") - sum($"xc") * sum($"xc"))
+          .as("var_num"))
+      .withColumn("mean_val", $"sum_c100" / ($"n" * lit(100.0)))
+      .orderBy($"user_id")
+  }
+
+  val qLightcurveStatsSql: String =
+    """SELECT user_id, COUNT(*) AS n,
+      |  CAST(SUM(xc) AS BIGINT) AS sum_c100,
+      |  CAST(MIN(xc) AS BIGINT) AS min_c100,
+      |  CAST(MAX(xc) AS BIGINT) AS max_c100,
+      |  CAST(MAX(xc) - MIN(xc) AS BIGINT) AS amp_c100,
+      |  CAST(COUNT(*)*SUM(xc*xc) - SUM(xc)*SUM(xc) AS BIGINT) AS var_num,
+      |  CAST(SUM(xc) AS BIGINT) / (COUNT(*) * 100.0) AS mean_val
+      |FROM (SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS xc FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Per-object lag deltas: max |jump| between consecutive
+    * measurements, series span, mean cadence (exact integer division).
+    * One shuffle on user_id serves both the window and the aggregate. */
+  def qLightcurveDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    series(s, dir)
+      .withColumn("dxc", abs($"xc" - lag($"xc", 1).over(w)))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n"),
+        max($"dxc").as("max_jump_c100"),
+        (max($"tus") - min($"tus")).as("span_us"))
+      .withColumn("mean_cadence_us",
+        when($"n" > 1, expr("span_us DIV (n - 1)")))
+      .orderBy($"user_id")
+  }
+
+  val qLightcurveDeltaSql: String =
+    """SELECT user_id, n, max_jump_c100, span_us,
+      |  CASE WHEN n > 1 THEN span_us // (n - 1) END AS mean_cadence_us
+      |FROM (
+      |  SELECT user_id, COUNT(*) AS n,
+      |    CAST(MAX(dxc) AS BIGINT) AS max_jump_c100,
+      |    CAST(MAX(tus) - MIN(tus) AS BIGINT) AS span_us
+      |  FROM (
+      |    SELECT user_id, tus,
+      |      ABS(xc - LAG(xc, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id)) AS dxc
+      |    FROM (SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |            CAST(ROUND(value*100) AS BIGINT) AS xc FROM events))
+      |  GROUP BY user_id)
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Gap-based sessionization: new session when >6h since the previous
+    * event of the same user; session id = running count of session
+    * starts. Classic lag + cumulative-flag composition — one shuffle. */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    series(s, dir)
+      .withColumn("prev_tus", lag($"tus", 1).over(w))
+      .withColumn("new_s",
+        when($"prev_tus".isNull || $"tus" - $"prev_tus" > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum($"new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"tus").as("start_tus"),
+        max($"tus").as("end_tus"))
+      .withColumn("dur_us", $"end_tus" - $"start_tus")
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val qSessionizeSql: String =
+    s"""SELECT user_id, session_id, COUNT(*) AS n_events,
+       |  CAST(MIN(tus) AS BIGINT) AS start_tus,
+       |  CAST(MAX(tus) AS BIGINT) AS end_tus,
+       |  CAST(MAX(tus) - MIN(tus) AS BIGINT) AS dur_us
+       |FROM (
+       |  SELECT user_id, tus,
+       |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM (
+       |    SELECT user_id, event_id, tus,
+       |      CASE WHEN prev_tus IS NULL OR tus - prev_tus > ${SessionGapUs}
+       |           THEN 1 ELSE 0 END AS new_s
+       |    FROM (SELECT user_id, event_id, epoch_us(ts) AS tus,
+       |            LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+       |              ORDER BY epoch_us(ts), event_id) AS prev_tus
+       |          FROM events)))
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Fixed-interval (hourly) time-bucket aggregation — the visit-level
+    * rollup shape (counts + flux sums + distinct objects per interval). */
+  def qTimeBucket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(
+        expr("ts DIV 3600000000000").as("hour_idx"),
+        $"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round($"value" * 100).cast("long")).as("sum_value_c100"),
+        countDistinct($"user_id").as("n_users"))
+      .orderBy($"hour_idx", $"event_type")
+  }
+
+  val qTimeBucketSql: String =
+    """SELECT epoch_ns(ts) // 3600000000000 AS hour_idx, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c100,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY hour_idx, event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** JSON property extraction + aggregate: pull `k` out of the props
+    * JSON string, bucket it, aggregate per (event_type, bucket). */
+  def qEventJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type", expr("k DIV 25").as("k_bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"k").as("sum_k"),
+        min($"k").as("min_k"),
+        max($"k").as("max_k"),
+        countDistinct($"k").as("n_distinct_k"))
+      .orderBy($"event_type", $"k_bucket")
+  }
+
+  val qEventJsonSql: String =
+    """SELECT event_type, k // 25 AS k_bucket, COUNT(*) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
+      |  CAST(MIN(k) AS BIGINT) AS min_k,
+      |  CAST(MAX(k) AS BIGINT) AS max_k,
+      |  COUNT(DISTINCT k) AS n_distinct_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY 1, 2 ORDER BY event_type, k_bucket""".stripMargin
+
+  // ---------------------------------------------------------------
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lightcurve_stats" -> (qLightcurveStats _),
+    "q_lightcurve_delta" -> (qLightcurveDelta _),
+    "q_sessionize" -> (qSessionize _),
+    "q_time_bucket" -> (qTimeBucket _),
+    "q_event_json" -> (qEventJson _))
+
+  val oracles: Map[String, String] = Map(
+    "q_lightcurve_stats" -> qLightcurveStatsSql,
+    "q_lightcurve_delta" -> qLightcurveDeltaSql,
+    "q_sessionize" -> qSessionizeSql,
+    "q_time_bucket" -> qTimeBucketSql,
+    "q_event_json" -> qEventJsonSql)
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TimeSeriesSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  for ((name, fn) <- queries.TimeSeries.defs) {
+    test(s"$name runs and returns rows at sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.count() > 0)
+      assert(df.columns.nonEmpty)
+    }
+  }
+
+  test("q_lightcurve_stats covers every user once, var_num >= 0") {
+    val df = queries.TimeSeries.qLightcurveStats(spark, sf)
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(df.count() == users)
+    assert(df.filter(col("var_num") < 0).count() == 0)
+  }
+
+  test("q_sessionize events sum to the full table") {
+    val df = queries.TimeSeries.qSessionize(spark, sf)
+    val total = df.agg(sum("n_events")).head.getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+    // session ids are dense from 1 per user
+    val bad = df.groupBy("user_id")
+      .agg(max("session_id").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n")).count()
+    assert(bad == 0)
+  }
+
+  test("q_lightcurve_delta cadence is within the series span") {
+    val df = queries.TimeSeries.qLightcurveDelta(spark, sf)
+    assert(df.filter("mean_cadence_us > span_us").count() == 0)
+  }
+
+  test("q_time_bucket counts sum to the full table") {
+    val df = queries.TimeSeries.qTimeBucket(spark, sf)
+    assert(df.agg(sum("n")).head.getLong(0) == Tables.events(spark, sf).count())
+  }
+}
