@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Spatial / astronomy workload — the Qserv-emulating side of the
+  * reference: cone and box searches on (ra, dec), a density map, and
+  * the zone-algorithm near-neighbor self cross-match (Gray et al.,
+  * "The Zones Algorithm for Finding Points-Near-a-Point or
+  * Cross-Matching Spatial Datasets", MSR-TR-2006-52) — Qserv's
+  * `qserv_areaspec_circle` / `qserv_areaspec_box` / shared-scan
+  * near-neighbor shapes.
+  *
+  * Sky coordinates derive deterministically from integer catalog keys
+  * (SURVEY.md §3): ra = (k*137 % 36000)/100, dec = (k*97 % 17000)/100
+  * − 85 — exact rationals, so the DuckDB oracle reproduces them
+  * bit-for-bit.
+  *
+  * Float parity: deg↔rad conversions are explicit multiplications by
+  * the same literal constant in both engines (built-in radians()/
+  * degrees() may associate differently); all distances come out of the
+  * identical haversine expression tree, so doubles match bit-for-bit
+  * modulo ≤1-ulp libm sin/cos drift — thresholds were chosen with
+  * ≥1e-6 margin to the nearest point (verified empirically at all SFs).
+  */
+object Spatial {
+
+  private val Rad = "0.017453292519943295" // pi/180
+  private val Deg = "57.29577951308232"    // 180/pi
+
+  /** catalog points: (k, ra, dec) from customer keys. */
+  private def points(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir).select(
+      $"c_custkey".as("k"),
+      (($"c_custkey" * 137 % 36000) / 100.0).as("ra"),
+      (($"c_custkey" * 97 % 17000) / 100.0 - 85.0).as("decl"))
+  }
+
+  private val pointsSql =
+    """SELECT c_custkey AS k, (c_custkey*137 % 36000)/100.0 AS ra,
+      |       (c_custkey*97 % 17000)/100.0 - 85.0 AS decl FROM customer"""
+      .stripMargin
+
+  /** Haversine angular distance in degrees between (ra1,dec1) and
+    * (ra2,dec2) — wrap-safe (sin²(Δra/2) is symmetric around 180°).
+    * Same textual expression tree as the SQL oracle below. */
+  private def distDeg(ra1: Column, dec1: Column, ra2: Column, dec2: Column): Column = {
+    val rad = lit(Rad.toDouble)
+    val sd = sin((dec1 - dec2) * rad / 2)
+    val sr = sin((ra1 - ra2) * rad / 2)
+    val h = sd * sd + cos(dec1 * rad) * cos(dec2 * rad) * sr * sr
+    asin(sqrt(h)) * 2 * lit(Deg.toDouble)
+  }
+
+  /** SQL twin of distDeg — identical operation order. */
+  private def distDegSql(ra1: String, dec1: String, ra2: String, dec2: String): String =
+    s"""(2*ASIN(SQRT(
+       |  SIN(($dec1 - $dec2)*$Rad/2) * SIN(($dec1 - $dec2)*$Rad/2)
+       |  + COS($dec1*$Rad) * COS($dec2*$Rad)
+       |    * SIN(($ra1 - $ra2)*$Rad/2) * SIN(($ra1 - $ra2)*$Rad/2)))*$Deg)""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Cone search: all points within 25° of (ra=180°, dec=20°).
+    * Single scan + filter; at cluster scale the density-map zone key
+    * doubles as the partition/shard key so the scan prunes to the
+    * zones overlapping the cone. */
+  def qConeSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    points(s, dir)
+      .withColumn("dist_r6",
+        round(distDeg($"ra", $"decl", lit(180.0), lit(20.0)), 6))
+      .filter($"dist_r6" < 25.0)
+      .orderBy($"k")
+  }
+
+  val qConeSearchSql: String =
+    s"""SELECT k, ra, decl, dist_r6 FROM (
+       |  SELECT k, ra, decl,
+       |    ROUND(${distDegSql("ra", "decl", "180.0", "20.0")}, 6) AS dist_r6
+       |  FROM ($pointsSql)) t
+       |WHERE dist_r6 < 25.0 ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Box search: ra ∈ [30, 90), dec ∈ [−30, 30) — pure comparisons,
+    * exact parity. */
+  def qBoxSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    points(s, dir)
+      .filter($"ra" >= 30.0 && $"ra" < 90.0 && $"decl" >= -30.0 && $"decl" < 30.0)
+      .orderBy($"k")
+  }
+
+  val qBoxSearchSql: String =
+    s"""SELECT k, ra, decl FROM ($pointsSql) t
+       |WHERE ra >= 30.0 AND ra < 90.0 AND decl >= -30.0 AND decl < 30.0
+       |ORDER BY k""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Zone-algorithm near-neighbor self cross-match, radius 1°.
+    *
+    * Scale shape: each point lands in one (zone, ra-bucket) grid cell
+    * (zone height = radius; ra buckets 12° wide — wide enough that a
+    * 1° match can only reach the adjacent bucket even at |dec| = 85°,
+    * where 1° of separation spans 1/cos(85°) ≈ 11.5° of ra). The probe
+    * side is exploded into its 3×3 neighboring cells and equi-joined
+    * on the cell key — a plain shuffle join with ~10× key
+    * amplification, never a cartesian/broadcast-nested-loop. Each
+    * candidate pair arises in exactly one cell (the build point's home
+    * cell), so no pair-level dedup pass is needed. The exact haversine
+    * predicate then keeps true neighbors; k1 < k2 canonicalizes.
+    *
+    * Oracle: brute-force all-pairs with the identical haversine tree —
+    * the grid is a lossless candidate superset, so results match. */
+  def qZoneXmatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val radius = 1.0
+    val nRb = 30 // 360/12
+    val pts = points(s, dir)
+      .withColumn("zone", floor(($"decl" + 90.0) / radius).cast("int"))
+      .withColumn("rb", floor($"ra" / 12.0).cast("int"))
+    val build = pts.select($"k".as("k2"), $"ra".as("ra2"), $"decl".as("decl2"),
+      $"zone".as("z2"), $"rb".as("rb2"))
+    val probe = pts
+      .withColumn("zp", explode(array($"zone" - 1, $"zone", $"zone" + 1)))
+      .withColumn("rp", explode(array(
+        pmod($"rb" - 1 + nRb, lit(nRb)), $"rb", pmod($"rb" + 1, lit(nRb)))))
+      .select($"k".as("k1"), $"ra".as("ra1"), $"decl".as("decl1"), $"zp", $"rp")
+    probe
+      .join(build, probe("zp") === build("z2") && probe("rp") === build("rb2"))
+      .filter($"k1" < $"k2")
+      .withColumn("dist_r6", round(distDeg($"ra1", $"decl1", $"ra2", $"decl2"), 6))
+      .filter($"dist_r6" < radius)
+      .select($"k1", $"k2", $"dist_r6")
+      .orderBy($"k1", $"k2")
+  }
+
+  val qZoneXmatchSql: String =
+    s"""SELECT k1, k2, dist_r6 FROM (
+       |  SELECT a.k AS k1, b.k AS k2,
+       |    ROUND(${distDegSql("a.ra", "a.decl", "b.ra", "b.decl")}, 6) AS dist_r6
+       |  FROM ($pointsSql) a JOIN ($pointsSql) b ON a.k < b.k) t
+       |WHERE dist_r6 < 1.0 ORDER BY k1, k2""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Density map over a 5°×5° (zone, ra-cell) grid — Qserv's
+    * shared-scan object-count map; the grid key is the natural
+    * spatial shard key at cluster scale. */
+  def qSpatialDensity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    points(s, dir)
+      .groupBy(
+        floor(($"decl" + 90.0) / 5.0).cast("long").as("zone5"),
+        floor($"ra" / 5.0).cast("long").as("ra_cell"))
+      .agg(count(lit(1)).as("n"), min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"zone5", $"ra_cell")
+  }
+
+  val qSpatialDensitySql: String =
+    s"""SELECT CAST(FLOOR((decl + 90.0)/5.0) AS BIGINT) AS zone5,
+       |  CAST(FLOOR(ra/5.0) AS BIGINT) AS ra_cell,
+       |  COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k
+       |FROM ($pointsSql) t
+       |GROUP BY 1, 2 ORDER BY zone5, ra_cell""".stripMargin
+
+  // ---------------------------------------------------------------
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cone_search" -> (qConeSearch _),
+    "q_box_search" -> (qBoxSearch _),
+    "q_zone_xmatch" -> (qZoneXmatch _),
+    "q_spatial_density" -> (qSpatialDensity _))
+
+  val oracles: Map[String, String] = Map(
+    "q_cone_search" -> qConeSearchSql,
+    "q_box_search" -> qBoxSearchSql,
+    "q_zone_xmatch" -> qZoneXmatchSql,
+    "q_spatial_density" -> qSpatialDensitySql)
+}
