@@ -1,0 +1,203 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftx.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass text-signature algorithms as native Catalyst expressions.
+  *
+  * Why expressions and not composed ops: a MinHash via explode(shingles)
+  * → groupBy(doc, hashIdx) → min would shuffle rows×shingles×k — at
+  * 100 TB that is the whole corpus amplified hundreds of times. Each
+  * signature here is computed in a single streaming pass over the
+  * document inside whole-stage codegen (doGenCode emits a static call,
+  * so the projection stays inside the generated loop); only the tiny
+  * signature (k longs) ever moves.
+  *
+  * All hashing is FNV-1a 64 + splitmix64-derived universal hashes —
+  * fixed public constants, deterministic across JVMs.
+  */
+object TextHashAlgos {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  /** FNV-1a 64 over a byte range. */
+  def fnv1a(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = FnvOffset
+    var i = from
+    while (i < until) { h = (h ^ (bytes(i) & 0xffL)) * FnvPrime; i += 1 }
+    h
+  }
+
+  /** splitmix64 — used to derive per-hash-function mixing constants. */
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Hashes of the word n-grams of `text` (words = space-separated),
+    * one streaming pass, no materialized shingle strings: the n-gram
+    * hash chains the word hashes. Returns hashes in document order. */
+  def shingleHashes(text: UTF8String, n: Int): Array[Long] = {
+    val bytes = text.getBytes
+    // word boundaries
+    var nWords = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    val wordHash = new Array[Long](nWords)
+    var w = 0
+    var start = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        wordHash(w) = fnv1a(bytes, start, i); w += 1; start = i + 1
+      }
+      i += 1
+    }
+    if (nWords < n) return Array.emptyLongArray
+    val out = new Array[Long](nWords - n + 1)
+    var g = 0
+    while (g <= nWords - n) {
+      var h = FnvOffset
+      var j = 0
+      while (j < n) { h = (h ^ wordHash(g + j)) * FnvPrime; j += 1 }
+      out(g) = h
+      g += 1
+    }
+    out
+  }
+
+  /** k-permutation MinHash signature over word n-grams, one pass.
+    * Universal hashes h_i(x) = mix(x ^ c_i) with c_i = splitmix64(i). */
+  def minhash(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val grams = shingleHashes(text, n)
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var g = 0
+    while (g < grams.length) {
+      val base = grams(g)
+      var i = 0
+      while (i < k) {
+        val h = splitmix64(base ^ splitmix64(i.toLong))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      g += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over word unigram hashes (±1 per bit, >0 → 1). */
+  def simhash(text: UTF8String): Long = {
+    val grams = shingleHashes(text, 1)
+    val acc = new Array[Int](64)
+    var g = 0
+    while (g < grams.length) {
+      val h = grams(g)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      g += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03): hash all char k-grams, slide a window of w hashes,
+    * keep the rightmost minimum of each window. Returns the distinct
+    * selected hashes, sorted. */
+  def winnow(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val gram = new Array[Long](n)
+    var i = 0
+    while (i < n) { gram(i) = fnv1a(bytes, i, i + k); i += 1 }
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    var win = 0
+    val last = n - w
+    if (last < 0) {
+      // fewer grams than the window: take the single rightmost min
+      var best = 0
+      i = 1
+      while (i < n) { if (gram(i) <= gram(best)) best = i; i += 1 }
+      selected.add(gram(best))
+    } else {
+      while (win <= last) {
+        var best = win
+        i = win + 1
+        while (i < win + w) { if (gram(i) <= gram(best)) best = i; i += 1 }
+        selected.add(gram(best))
+        win += 1
+      }
+    }
+    val out = new Array[Long](selected.size)
+    val it = selected.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** MinHash signature of the word `shingle`-grams of a string column:
+  * array of `numHashes` longs. One pass, codegen-friendly. */
+case class MinHashSig(child: Expression, shingle: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(input: Any): Any =
+    TextHashAlgos.minhash(input.asInstanceOf[UTF8String], shingle, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashAlgos.minhash($c, $shingle, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a string column. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullSafeEval(input: Any): Any =
+    TextHashAlgos.simhash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashAlgos.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Winnowing fingerprint set (sorted distinct longs) of a string. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+  override def nullSafeEval(input: Any): Any =
+    TextHashAlgos.winnow(input.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashAlgos.winnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+}
+
+/** Column-API wrappers for the custom expressions. */
+object TextFunctions {
+  def minhashSig(c: Column, shingle: Int = 3, numHashes: Int = 64): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), shingle, numHashes))
+  def simhash64(c: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
+  def winnowFingerprints(c: Column, k: Int = 8, w: Int = 4): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(c), k, w))
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Text-analysis workload over the `documents` table — the
+  * quality/statistics layer of a training-data pipeline: quality
+  * scoring, language ID, token counting, content fingerprinting.
+  *
+  * Every query is one scan + narrow per-row expressions (no shuffle at
+  * all except the final presentation sort), so they scale linearly
+  * with the corpus. All metrics are integers — exact parity with the
+  * DuckDB oracle.
+  */
+object Text {
+
+  // ---------------------------------------------------------------
+  /** Quality scoring: word counts, type-token ratio, stopword hits,
+    * and a composite keep/drop flag — the usual pre-training corpus
+    * filters (length, lexical diversity, stopword presence). */
+  def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"source",
+        length($"text").as("n_chars_actual"),
+        expr("size(split(text, ' '))").as("n_words"),
+        expr("size(array_distinct(split(text, ' ')))").as("n_distinct_words"),
+        expr("size(filter(split(text, ' '), w -> w IN ('the', 'a')))").as("stop_hits"))
+      .withColumn("ttr_pct",
+        expr("CAST((100 * n_distinct_words) DIV n_words AS INT)"))
+      .withColumn("keep",
+        when($"n_words" >= 40 && $"stop_hits" > 0, 1).otherwise(0))
+      .orderBy($"doc_id")
+  }
+
+  val qTextQualitySql: String =
+    """SELECT doc_id, lang, source,
+      |  CAST(LENGTH(text) AS INT) AS n_chars_actual,
+      |  CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_words,
+      |  CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS INT) AS n_distinct_words,
+      |  CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ('the', 'a'))) AS INT) AS stop_hits,
+      |  CAST((100 * LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))) // LEN(STRING_SPLIT(text, ' ')) AS INT) AS ttr_pct,
+      |  CAST(CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 40
+      |        AND LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ('the', 'a'))) > 0
+      |       THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Stopword-overlap language ID: count marker-word hits per
+    * language profile, predict the argmax (fixed tie-break order).
+    * Marker sets are drawn from the corpus vocabulary so the scores
+    * are non-degenerate on the synthetic data; the operator shape —
+    * per-language profile scores + deterministic argmax — is the real
+    * deliverable. */
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def hits(words: String) =
+      expr(s"size(filter(split(text, ' '), w -> w IN ($words)))")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        hits("'the', 'a'").as("s_en"),
+        hits("'query', 'table'").as("s_fr"),
+        hits("'group', 'order'").as("s_de"),
+        hits("'row', 'column'").as("s_es"),
+        hits("'scan', 'merge'").as("s_zh"))
+      .withColumn("predicted",
+        when($"s_en" >= $"s_fr" && $"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" >= $"s_zh", "en")
+          .when($"s_fr" >= $"s_de" && $"s_fr" >= $"s_es" && $"s_fr" >= $"s_zh", "fr")
+          .when($"s_de" >= $"s_es" && $"s_de" >= $"s_zh", "de")
+          .when($"s_es" >= $"s_zh", "es")
+          .otherwise("zh"))
+      .withColumn("correct", when($"predicted" === $"lang", 1).otherwise(0))
+      .orderBy($"doc_id")
+  }
+
+  val qLangIdSql: String = {
+    def hits(words: String) =
+      s"CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ($words))) AS INT)"
+    s"""SELECT doc_id, lang, s_en, s_fr, s_de, s_es, s_zh,
+       |  CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+       |       WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+       |       WHEN s_de >= s_es AND s_de >= s_zh THEN 'de'
+       |       WHEN s_es >= s_zh THEN 'es'
+       |       ELSE 'zh' END AS predicted,
+       |  CAST(CASE WHEN (CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+       |       WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+       |       WHEN s_de >= s_es AND s_de >= s_zh THEN 'de'
+       |       WHEN s_es >= s_zh THEN 'es'
+       |       ELSE 'zh' END) = lang THEN 1 ELSE 0 END AS INT) AS correct
+       |FROM (SELECT doc_id, lang,
+       |  ${hits("'the', 'a'")} AS s_en,
+       |  ${hits("'query', 'table'")} AS s_fr,
+       |  ${hits("'group', 'order'")} AS s_de,
+       |  ${hits("'row', 'column'")} AS s_es,
+       |  ${hits("'scan', 'merge'")} AS s_zh
+       |FROM documents) t ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  /** Token counting: whitespace tokens plus a BPE-ish greedy regex
+    * segmentation ([a-z]{1,4} chunks — ceil(len/4) pieces per word). */
+  def qTokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        expr("size(split(text, ' '))").as("ws_tokens"),
+        expr("regexp_count(text, '[a-z]{1,4}')").as("bpe_tokens"),
+        length(regexp_replace($"text", " ", "")).as("n_nonspace"))
+      .orderBy($"doc_id")
+  }
+
+  val qTokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS ws_tokens,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]{1,4}')) AS INT) AS bpe_tokens,
+      |  CAST(LENGTH(REPLACE(text, ' ', '')) AS INT) AS n_nonspace
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text
+    * — the exact-dedup key. */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        md5(lower(trim(regexp_replace($"text", "\\s+", " ")))).as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  val qFingerprintSql: String =
+    """SELECT doc_id,
+      |  MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Winnowing fingerprints (rows-only: custom one-pass Expression,
+    * not ANSI-SQL-expressible): one row per (doc, selected k-gram
+    * fingerprint) — the MOSS-style plagiarism/near-dup index. */
+  def qWinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(TextFunctions.winnowFingerprints($"text", k = 8, w = 4)).as("fp"))
+      .orderBy($"doc_id", $"fp")
+  }
+
+  // ---------------------------------------------------------------
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_quality" -> (qTextQuality _),
+    "q_lang_id" -> (qLangId _),
+    "q_token_count" -> (qTokenCount _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_winnow_fingerprint" -> (qWinnowFingerprint _))
+
+  val oracles: Map[String, String] = Map(
+    "q_text_quality" -> qTextQualitySql,
+    "q_lang_id" -> qLangIdSql,
+    "q_token_count" -> qTokenCountSql,
+    "q_fingerprint" -> qFingerprintSql)
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextHashAlgos
+import org.apache.spark.unsafe.types.UTF8String
+
+class TextSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  for ((name, fn) <- queries.Text.defs) {
+    test(s"$name runs and returns rows at sf0.001") {
+      assert(fn(spark, sf).count() > 0)
+    }
+  }
+
+  test("minhash signature: identical texts agree, k respected") {
+    val a = TextHashAlgos.minhash(UTF8String.fromString("a b c d e f g"), 3, 16)
+    val b = TextHashAlgos.minhash(UTF8String.fromString("a b c d e f g"), 3, 16)
+    assert(a.toLongArray().toSeq == b.toLongArray().toSeq)
+    assert(a.numElements() == 16)
+  }
+
+  test("minhash similarity tracks shingle overlap") {
+    def sig(t: String) = TextHashAlgos.minhash(UTF8String.fromString(t), 3, 128).toLongArray()
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base + " ok"
+    val far = "completely different words everywhere nothing shared at all here now yes sir"
+    def sim(x: Array[Long], y: Array[Long]) = x.zip(y).count { case (p, q) => p == q } / 128.0
+    assert(sim(sig(base), sig(near)) > 0.5)
+    assert(sim(sig(base), sig(far)) < 0.2)
+  }
+
+  test("simhash: near texts within small hamming distance, far texts not") {
+    def h(t: String) = TextHashAlgos.simhash(UTF8String.fromString(t))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = "spark table scan merge join filter group order window value key row"
+    assert(ham(h(base), h(base + " extra")) < ham(h(base), h("x y z q w e r t u i o p")))
+  }
+
+  test("winnow: substring sharing yields fingerprint overlap") {
+    def fp(t: String) = TextHashAlgos.winnow(UTF8String.fromString(t), 8, 4).toLongArray().toSet
+    val shared = "identical shared run of characters here"
+    val a = fp("prefix one " + shared + " suffix alpha")
+    val b = fp("other start " + shared + " ending beta")
+    assert((a & b).nonEmpty)
+  }
+
+  test("winnow handles short strings") {
+    assert(TextHashAlgos.winnow(UTF8String.fromString("ab"), 8, 4).numElements() == 0)
+    assert(TextHashAlgos.winnow(UTF8String.fromString("abcdefghi"), 8, 4).numElements() >= 1)
+  }
+
+  test("q_text_quality ttr is a percentage") {
+    val df = queries.Text.qTextQuality(spark, sf)
+    assert(df.filter("ttr_pct < 0 OR ttr_pct > 100").count() == 0)
+  }
+
+  test("q_fingerprint is unique per doc at sf0.001 (no exact dups planted)") {
+    val df = queries.Text.qFingerprint(spark, sf)
+    assert(df.select("fp").distinct().count() == df.count())
+  }
+
+  test("custom expressions stay inside whole-stage codegen") {
+    val df = queries.Text.qWinnowFingerprint(spark, sf)
+    df.collect() // finalize THIS plan's AQE so codegen ids are annotated
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("codegen id"), s"no codegen span in:\n$plan")
+  }
+}
