@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over the `embeddings` table.
+  *
+  * - Brute force: the (tiny) query set is broadcast against one
+  *   corpus scan — no corpus shuffle for candidate generation; top-k
+  *   extraction is a two-phase salted window (parallel partial top-k,
+  *   then a final top-k over ≤ 64·k survivors per query), so no
+  *   single task ever sorts a whole query's candidate list.
+  * - Sign-LSH: candidates pruned to the query's sign bucket before
+  *   scoring — the 100 TB path (scan prunes to matching buckets when
+  *   the corpus is bucket-partitioned).
+  *
+  * Cosines are computed from integer-scaled vectors (VectorOps), so
+  * both engines produce bit-identical doubles and the DuckDB oracle
+  * hash-matches exactly — including the rank order.
+  */
+object Ann {
+
+  private val K = 10
+  private val NQueries = 5
+
+  private def scored(s: SparkSession, dir: String, useBuckets: Boolean): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).select(
+      $"vec_id",
+      VectorOps.intVec("embedding").as("iv"),
+      VectorOps.signBucket("embedding", Dedup.BucketDims).as("bucket"))
+      .withColumn("nrm", VectorOps.normSq("iv"))
+    val q = e.filter($"vec_id" < NQueries).select(
+      $"vec_id".as("qid"), $"iv".as("qiv"), $"nrm".as("qnrm"),
+      $"bucket".as("qbucket"))
+    val joined =
+      if (useBuckets)
+        e.join(broadcast(q), $"bucket" === $"qbucket" && $"vec_id" =!= $"qid")
+      else
+        e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
+    joined
+      .withColumn("dot", VectorOps.dot("qiv", "iv"))
+      .withColumn("cosine", VectorOps.cosine($"dot", $"qnrm", $"nrm"))
+      .select($"qid", $"vec_id".as("vid"), $"dot", $"cosine")
+  }
+
+  /** Two-phase salted top-k per query (rank ties broken by vid). */
+  private def topK(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    val order = Seq($"cosine".desc, $"vid")
+    val w1 = Window.partitionBy($"qid", $"salt").orderBy(order: _*)
+    val w2 = Window.partitionBy($"qid").orderBy(order: _*)
+    df.withColumn("salt", pmod($"vid", lit(64)))
+      .withColumn("prn", row_number().over(w1)).filter($"prn" <= K)
+      .withColumn("rnk", row_number().over(w2)).filter($"rnk" <= K)
+      .select($"qid", $"vid", $"dot", $"cosine", $"rnk")
+      .orderBy($"qid", $"rnk")
+  }
+
+  def qAnnBruteforce(s: SparkSession, dir: String): DataFrame =
+    topK(scored(s, dir, useBuckets = false))
+
+  def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    topK(scored(s, dir, useBuckets = true))
+
+  // ---------------------------------------------------------------
+  private def oracleSql(bucketJoin: Boolean): String = {
+    val bucket = VectorOps.Sql.signBucket("embedding", Dedup.BucketDims)
+    val bucketCond =
+      if (bucketJoin) " AND bq.bucket = bv.bucket" else ""
+    s"""WITH e AS (
+       |  SELECT vec_id, i, CAST(ROUND(CAST(v AS DOUBLE) * ${VectorOps.ScaleLit}) AS BIGINT) AS vi
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+       |n AS (SELECT vec_id, SUM(vi * vi) AS nrm FROM e GROUP BY vec_id),
+       |b AS (SELECT vec_id, $bucket AS bucket FROM embeddings),
+       |pair AS (SELECT bq.vec_id AS qid, bv.vec_id AS vid
+       |         FROM b bq JOIN b bv ON bq.vec_id < $NQueries
+       |           AND bv.vec_id <> bq.vec_id$bucketCond),
+       |d AS (SELECT pair.qid, pair.vid, CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
+       |      FROM pair JOIN e ea ON ea.vec_id = pair.qid
+       |                JOIN e eb ON eb.vec_id = pair.vid AND eb.i = ea.i
+       |      GROUP BY 1, 2),
+       |c AS (SELECT qid, vid, dot,
+       |        CAST(dot AS DOUBLE) / (SQRT(CAST(nq.nrm AS DOUBLE)) * SQRT(CAST(nv.nrm AS DOUBLE))) AS cosine
+       |      FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid)
+       |SELECT qid, vid, dot, cosine, rnk FROM (
+       |  SELECT qid, vid, dot, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rnk
+       |  FROM c) t
+       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+  }
+
+  val qAnnBruteforceSql: String = oracleSql(bucketJoin = false)
+  val qAnnLshSql: String = oracleSql(bucketJoin = true)
+
+  // ---------------------------------------------------------------
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_bruteforce" -> (qAnnBruteforce _),
+    "q_ann_lsh" -> (qAnnLsh _))
+
+  val oracles: Map[String, String] = Map(
+    "q_ann_bruteforce" -> qAnnBruteforceSql,
+    "q_ann_lsh" -> qAnnLshSql)
+}
