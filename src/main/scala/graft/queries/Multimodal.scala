@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `binary` columns with typed metadata alongside. The harness tables
+  * carry no real media, so the payload is the UTF-8 byte stream of
+  * `text` — the *plumbing* (binary schema, metadata extraction,
+  * batched per-partition feature extraction) is real and tested; only
+  * the codec itself is stubbed (see BlobFeatures.decodeStub).
+  */
+object Multimodal {
+
+  /** documents with a synthesized binary payload column. */
+  private def blobs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", encode($"text", "UTF-8").as("blob"))
+  }
+
+  // ---------------------------------------------------------------
+  /** Typed metadata over a binary column: byte length, sha256 digest,
+    * leading-bytes signature ("magic number" slot) — one scan, no
+    * shuffle, all deterministic. */
+  def qBlobMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    blobs(s, dir)
+      .select($"doc_id", $"source",
+        length($"blob").as("blob_len"),
+        sha2($"blob", 256).as("sha256"),
+        lower(hex(substring($"blob", 1, 4))).as("head_hex"))
+      .orderBy($"doc_id")
+  }
+
+  val qBlobMetaSql: String =
+    """SELECT doc_id, source,
+      |  CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS blob_len,
+      |  SHA256(text) AS sha256,
+      |  LOWER(HEX(ENCODE(SUBSTRING(text, 1, 4)))) AS head_hex
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Per-blob feature record produced by the (stubbed) decoder. */
+  case class BlobFeatures(doc_id: Long, n_bytes: Int, byte_sum: Long,
+    byte_min: Int, byte_max: Int, head_byte: Int)
+
+  /** STUB: stands in for a real media decode (image/audio libs are
+    * not available in this environment). Computes deterministic
+    * byte-level statistics so the batched mapPartitions plumbing is
+    * fully exercisable; a real deployment swaps only this function
+    * for e.g. a JPEG decode + resize + embedding. */
+  def decodeStub(docId: Long, bytes: Array[Byte]): BlobFeatures = {
+    var sum = 0L
+    var mn = 256
+    var mx = -1
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sum += b
+      if (b < mn) mn = b
+      if (b > mx) mx = b
+      i += 1
+    }
+    BlobFeatures(docId, bytes.length, sum,
+      if (bytes.isEmpty) 0 else mn, if (bytes.isEmpty) 0 else mx,
+      if (bytes.isEmpty) 0 else bytes(0) & 0xff)
+  }
+
+  /** Batched feature extraction over binary payloads: mapPartitions
+    * over (id, blob) batches — the genuine per-partition imperative
+    * hot loop a media pipeline needs (one decoder instance per
+    * partition, streaming through its batch). Rows-only check. */
+  def qBlobFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    blobs(s, dir)
+      .select($"doc_id", $"blob").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // a real pipeline initializes the decoder once per partition here
+        it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_blob_meta" -> (qBlobMeta _),
+    "q_blob_features" -> (qBlobFeatures _))
+
+  val oracles: Map[String, String] = Map(
+    "q_blob_meta" -> qBlobMetaSql)
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-streaming surface: the reference's continuously-arriving
+  * visit/source stream, re-expressed as watermarked windowed
+  * aggregation plus custom stateful sessionization.
+  *
+  * Both operators are shuffle-once on the stream's natural key and
+  * carry bounded state: the watermark expires window state, and the
+  * session state times out via processing-time timeout — required for
+  * an unbounded 100 TB/day stream.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  case class SessionUpdate(user_id: Long, session_start: Timestamp,
+    session_end: Timestamp, n_events: Long, closed: Boolean)
+
+  case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Watermarked fixed-window counts per event type: late data beyond
+    * 10 minutes is dropped and window state expired. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_c100"))
+
+  /** Gap-based sessionization with explicit state: a session closes
+    * when no event arrives for `gapSeconds` (in-batch for observed
+    * gaps; via event-time timeout once the watermark passes the gap
+    * for idle users). flatMapGroupsWithState keeps exactly one small
+    * state record per active user — bounded state on an unbounded
+    * stream, expired by the watermark, not by wall-clock (so a
+    * backfilled historical stream sessionizes identically). */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, new Timestamp(st.start),
+              new Timestamp(st.last), st.n, closed = true))
+          } else {
+            val events = batch.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption.getOrElse(SessionState(Long.MaxValue, Long.MinValue, 0L))
+            val closed = Seq.newBuilder[SessionUpdate]
+            for (e <- events) {
+              val t = e.ts.getTime
+              if (st.n > 0 && t - st.last > gapSeconds * 1000) {
+                closed += SessionUpdate(userId, new Timestamp(st.start),
+                  new Timestamp(st.last), st.n, closed = true)
+                st = SessionState(t, t, 1L)
+              } else {
+                st = SessionState(math.min(st.start, t), math.max(st.last, t), st.n + 1)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.last + gapSeconds * 1000)
+            closed.result().iterator
+          }
+      }
+  }
+}

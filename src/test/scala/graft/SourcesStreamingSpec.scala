@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Catalog
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  for ((name, fn) <- queries.Multimodal.defs) {
+    test(s"$name runs and returns rows at sf0.001") {
+      assert(fn(spark, sf).count() > 0)
+    }
+  }
+
+  test("q_blob_meta length equals utf-8 byte count of text") {
+    val df = queries.Multimodal.qBlobMeta(spark, sf)
+    val docs = Tables.documents(spark, sf).count()
+    assert(df.count() == docs)
+    assert(df.filter("blob_len <= 0 OR length(sha256) != 64").count() == 0)
+  }
+
+  test("q_blob_features matches the stub decoder on a driver-side check") {
+    val row = queries.Multimodal.qBlobFeatures(spark, sf)
+      .filter("doc_id = 0").head()
+    val text = Tables.documents(spark, sf).filter("doc_id = 0")
+      .head().getAs[String]("text")
+    val expected = queries.Multimodal.decodeStub(0L, text.getBytes("UTF-8"))
+    assert(row.getAs[Int]("n_bytes") == expected.n_bytes)
+    assert(row.getAs[Long]("byte_sum") == expected.byte_sum)
+    assert(row.getAs[Int]("head_byte") == expected.head_byte)
+  }
+}
+
+class CatalogSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("declared schemas read every catalog table (pruned, no inference)") {
+    for ((table, schema) <- Catalog.schemas) {
+      val df = Catalog.readParquet(spark, table, s"$sf/$table.parquet")
+      assert(df.schema.fieldNames.toSeq == schema.fieldNames.toSeq, table)
+      assert(df.count() > 0, table)
+    }
+  }
+
+  test("partitioned sink writes pruning-friendly layout and round-trips") {
+    val out = Files.createTempDirectory("graft_sink").toString
+    val docs = Catalog.readParquet(spark, "documents", s"$sf/documents.parquet")
+    Catalog.writePartitioned(docs, out, Seq("lang"))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("lang=")), s"no partition dirs in $out")
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+    // partition pruning: a lang filter must prune to a single partition dir
+    val plan = back.filter("lang = 'en'").queryExecution.executedPlan.toString
+    assert(!plan.contains("lang%3Dde") || plan.contains("PartitionFilters"))
+  }
+
+  test("csv ingest round-trips with the declared schema") {
+    val out = Files.createTempDirectory("graft_csv").toString
+    val nation = Catalog.readParquet(spark, "nation", s"$sf/nation.parquet")
+    nation.write.mode("overwrite").option("header", "false").csv(out)
+    val back = Catalog.readCsv(spark, "nation", out)
+    assert(back.schema == Catalog.schemas("nation"))
+    assert(back.collect().map(_.toString).sorted.toSeq ==
+      nation.collect().map(_.toString).sorted.toSeq)
+  }
+}
+
+class EventStreamSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("windowed counts with watermark aggregate by hour and type") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode("update").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0), Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(20), 2, "view", 3.0), Event(4, ts(70), 1, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+      assert(rows.nonEmpty)
+      val clicksH0 = rows.filter(r => r.getAs[String]("event_type") == "click")
+        .map(_.getAs[Long]("n")).max
+      assert(clicksH0 == 2)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes a session after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapSeconds = 600)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // two bursts 30 min apart -> first session closes in-batch
+      input.addData(
+        Event(1, ts(0), 7, "click", 1.0), Event(2, ts(5), 7, "click", 1.0),
+        Event(3, ts(35), 7, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("n_events") == 2)
+      assert(rows.head.getAs[Boolean]("closed"))
+    } finally q.stop()
+  }
+}
