@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Native integer-vector kernels. The declarative equivalents
+  * (`aggregate(zip_with(...))`) are higher-order functions, which
+  * Catalyst evaluates outside whole-stage codegen; these expressions
+  * generate a tight static loop call instead — the dot product is the
+  * O(candidates × dims) hot path of ANN/embedding-dedup, so it must
+  * stay inside the generated loop. Semantics are identical (exact
+  * bigint sums), so oracle parity is unchanged. */
+object VectorKernels {
+  def intDot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
+  def intNormSq(a: ArrayData): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) { val x = a.getLong(i); s += x * x; i += 1 }
+    s
+  }
+}
+
+/** Σ a_i·b_i over two integer-scaled (bigint array) vectors. */
+case class IntVecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int_vec_dot"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.intDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.intDot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntVecDot =
+    copy(left = l, right = r)
+}
+
+/** Σ a_i² over an integer-scaled (bigint array) vector. */
+case class IntVecNormSq(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "int_vec_norm_sq"
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.intNormSq(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.intNormSq($a)")
+  override protected def withNewChildInternal(newChild: Expression): IntVecNormSq =
+    copy(child = newChild)
+}

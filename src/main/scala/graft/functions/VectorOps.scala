@@ -24,13 +24,20 @@ object VectorOps {
   def intVec(col: String): Column =
     expr(s"transform($col, x -> CAST(ROUND(CAST(x AS DOUBLE) * $ScaleLit) AS BIGINT))")
 
-  /** Σ x_i² over an integer-scaled vector (exact bigint). */
-  def normSq(col: String): Column =
-    expr(s"aggregate($col, 0L, (acc, x) -> acc + x * x)")
+  /** Σ x_i² over an integer-scaled vector (exact bigint) — native
+    * codegen kernel (IntVecNormSq), not a higher-order function. */
+  def normSq(col: String): Column = {
+    import org.apache.spark.sql.graftx.ColumnBridge
+    ColumnBridge.column(IntVecNormSq(ColumnBridge.expression(expr(col))))
+  }
 
-  /** Σ a_i·b_i over two integer-scaled vectors (exact bigint). */
-  def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+  /** Σ a_i·b_i over two integer-scaled vectors (exact bigint) — native
+    * codegen kernel (IntVecDot): the O(candidates × dims) hot path. */
+  def dot(a: String, b: String): Column = {
+    import org.apache.spark.sql.graftx.ColumnBridge
+    ColumnBridge.column(IntVecDot(
+      ColumnBridge.expression(expr(a)), ColumnBridge.expression(expr(b))))
+  }
 
   /** cosine from exact integer dot + squared norms — deterministic. */
   def cosine(dot: Column, normA: Column, normB: Column): Column =

@@ -212,25 +212,32 @@ object CoreOlap {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Exact interpolated percentiles computed over integer-scaled
+    * values: both engines use type-7 interpolation lo + (hi−lo)·frac
+    * with frac a multiple of 1/4, so over c100 integers every result
+    * is an exact multiple of 0.0025 and the ×100 → bigint projection
+    * is lossless — no float-boundary fragility in the hash compare. */
   def qPercentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
+      .select($"event_type", round($"value" * 100).cast("long").as("vc"))
       .groupBy($"event_type")
       .agg(
-        round(expr("percentile(value, 0.25)"), 4).as("p25"),
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.75)"), 4).as("p75"),
+        expr("CAST(percentile(vc, 0.25) * 100 AS BIGINT)").as("p25_c10000"),
+        expr("CAST(percentile(vc, 0.5) * 100 AS BIGINT)").as("p50_c10000"),
+        expr("CAST(percentile(vc, 0.75) * 100 AS BIGINT)").as("p75_c10000"),
         count(lit(1)).as("n"))
       .orderBy($"event_type")
   }
 
   val qPercentilesSql: String =
     """SELECT event_type,
-      |  ROUND(QUANTILE_CONT(value, 0.25), 4) AS p25,
-      |  ROUND(QUANTILE_CONT(value, 0.5), 4) AS p50,
-      |  ROUND(QUANTILE_CONT(value, 0.75), 4) AS p75,
+      |  CAST(QUANTILE_CONT(vc, 0.25) * 100 AS BIGINT) AS p25_c10000,
+      |  CAST(QUANTILE_CONT(vc, 0.5) * 100 AS BIGINT) AS p50_c10000,
+      |  CAST(QUANTILE_CONT(vc, 0.75) * 100 AS BIGINT) AS p75_c10000,
       |  COUNT(*) AS n
-      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+      |FROM (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS vc FROM events) t
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------
   def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
