@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.TextHashAlgos
+
+/** Statistical/equivalence checks for the custom kernels, independent
+  * of the harness corpus (fixed-seed synthetic inputs). */
+class AlgorithmPropertySpec extends AnyFunSuite {
+
+  private val rng = new scala.util.Random(42)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta", "iota", "kappa", "lam", "mu", "nu", "xi",
+    "omicron", "pi", "rho", "sigma", "tau", "upsilon")
+
+  private def doc(words: Seq[String]) = words.mkString(" ")
+
+  private def grams(words: Seq[String]): Set[String] =
+    words.sliding(3).map(_.mkString(" ")).toSet
+
+  private def exactJ(a: Seq[String], b: Seq[String]): Double = {
+    val (ga, gb) = (grams(a), grams(b))
+    (ga & gb).size.toDouble / (ga | gb).size
+  }
+
+  private def estJ(a: Seq[String], b: Seq[String], k: Int): Double = {
+    val sa = TextHashAlgos.minhash(UTF8String.fromString(doc(a)), 3, k).toLongArray()
+    val sb = TextHashAlgos.minhash(UTF8String.fromString(doc(b)), 3, k).toLongArray()
+    sa.zip(sb).count { case (x, y) => x == y }.toDouble / k
+  }
+
+  test("minhash estimates exact 3-gram Jaccard within statistical error") {
+    var totalErr = 0.0
+    val trials = 40
+    for (_ <- 1 to trials) {
+      val base = Seq.fill(60)(vocab(rng.nextInt(vocab.size)))
+      // mutate a random suffix fraction to vary true similarity
+      val cut = 10 + rng.nextInt(45)
+      val other = base.take(cut) ++ Seq.fill(60 - cut)(vocab(rng.nextInt(vocab.size)))
+      totalErr += math.abs(exactJ(base, other) - estJ(base, other, 256))
+    }
+    val meanErr = totalErr / trials
+    // k=256 => sd ~ sqrt(j(1-j)/256) <= 0.031; mean abs err well under 0.05
+    assert(meanErr < 0.05, s"mean |est-exact| = $meanErr")
+  }
+
+  test("native vector kernels equal the declarative HOF results") {
+    import SparkTestSession._
+    import org.apache.spark.sql.functions._
+    val df = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), graft.functions.VectorOps.intVec("embedding").as("iv"))
+      .withColumn("native_norm", graft.functions.VectorOps.normSq("iv"))
+      .withColumn("hof_norm", expr("aggregate(iv, 0L, (acc, x) -> acc + x * x)"))
+      .withColumn("native_dot", graft.functions.VectorOps.dot("iv", "iv"))
+      .withColumn("hof_dot",
+        expr("aggregate(zip_with(iv, iv, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"))
+    assert(df.filter("native_norm != hof_norm OR native_dot != hof_dot").count() == 0)
+    assert(df.filter("native_norm != native_dot").count() == 0) // self-dot == normSq
+  }
+
+  test("simhash hamming distance correlates with document overlap") {
+    def ham(a: Seq[String], b: Seq[String]): Int = {
+      val ha = TextHashAlgos.simhash(UTF8String.fromString(doc(a)))
+      val hb = TextHashAlgos.simhash(UTF8String.fromString(doc(b)))
+      java.lang.Long.bitCount(ha ^ hb)
+    }
+    var nearSum = 0
+    var farSum = 0
+    val trials = 20
+    for (_ <- 1 to trials) {
+      val base = Seq.fill(80)(vocab(rng.nextInt(vocab.size)))
+      val near = base.updated(rng.nextInt(80), vocab(rng.nextInt(vocab.size)))
+      val far = Seq.fill(80)(vocab(rng.nextInt(vocab.size)))
+      nearSum += ham(base, near)
+      farSum += ham(base, far)
+    }
+    assert(nearSum < farSum, s"near=$nearSum far=$farSum")
+    assert(nearSum.toDouble / trials < 4.0, s"near pairs too distant: ${nearSum / trials.toDouble}")
+  }
+
+  test("winnowing guarantees at least one fingerprint per window span") {
+    // Schleimer et al. property: any k+w-1 char run contributes >= 1
+    // selected gram; check density on synthetic text
+    val text = doc(Seq.fill(100)(vocab(rng.nextInt(vocab.size))))
+    val fps = TextHashAlgos.winnow(UTF8String.fromString(text), 8, 4).numElements()
+    val grams = text.length - 8 + 1
+    assert(fps >= grams / (2 * 4), s"too few fingerprints: $fps of $grams grams")
+    assert(fps <= grams, s"more fingerprints than grams")
+  }
+}
