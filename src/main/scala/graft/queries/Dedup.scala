@@ -46,14 +46,21 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
-  /** Word-3-gram sets per doc (distinct), as (doc_id, gram) rows. */
+  /** Word-3-gram sets per doc (distinct), as (doc_id, gram) rows.
+    * Grams are reduced to 64-bit xxhash keys immediately: distinct and
+    * the inverted-index join then run on longs instead of ~35-byte
+    * strings (array_distinct has a fast primitive path; join keys are
+    * 8 bytes). A 64-bit collision would perturb a count with
+    * probability ~(grams²/2^65) ≈ 1e-11 — far below any practical
+    * concern, and the per-doc gram cardinality `ng` stays exact the
+    * same way on both sides of the threshold inequality. */
   private def gramRows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .select($"doc_id", split($"text", " ").as("w"))
       .filter(size($"w") >= 3)
       .select($"doc_id", explode(array_distinct(expr(
-        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+        "transform(sequence(0, size(w) - 3), i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))")))
         .as("gram"))
   }
 
