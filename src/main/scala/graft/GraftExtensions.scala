@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions._
+
+/** SparkSessionExtensions hook: registers graft's native expressions
+  * in the SQL function registry, so pure-SQL users (spark.sql,
+  * thrift/connect clients) can call them directly:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   ...
+  * spark.sql("SELECT minhash_sig(text, 3, 128) FROM docs")
+  * }}}
+  *
+  * Literal integer arguments configure the signature shapes; the
+  * expressions themselves are the same codegen-friendly ones the
+  * Column API uses (TextHashes.scala, VectorExprs.scala).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => MinHashSig(c, 3, 128)
+        case Seq(c, sh, k) =>
+          MinHashSig(c, intArg(sh, "shingle"), intArg(k, "numHashes"))
+        case _ => throw new IllegalArgumentException(
+          "minhash_sig(text[, shingle, numHashes])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => WinnowFingerprints(c, 8, 4)
+        case Seq(c, k, w) =>
+          WinnowFingerprints(c, intArg(k, "k"), intArg(w, "w"))
+        case _ => throw new IllegalArgumentException(
+          "winnow_fingerprints(text[, k, w])")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("int_vec_dot"),
+      new ExpressionInfo(classOf[IntVecDot].getName, "int_vec_dot"),
+      (args: Seq[Expression]) => IntVecDot(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("int_vec_norm_sq"),
+      new ExpressionInfo(classOf[IntVecNormSq].getName, "int_vec_norm_sq"),
+      (args: Seq[Expression]) => IntVecNormSq(args.head)))
+  }
+}

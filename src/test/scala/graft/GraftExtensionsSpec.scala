@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  // a dedicated session: extensions install at session build time, so
+  // getOrCreate must not silently reuse the shared test session —
+  // clear the default first (the SparkContext itself is reused).
+  private lazy val spark: SparkSession = {
+    SparkTestSession.spark // ensure the shared context exists
+    val saved = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      // spark.sql.extensions is a static conf bound to the (shared)
+      // SparkContext; withExtensions applies to this session regardless
+      .withExtensions(new GraftExtensions()(_))
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    saved.foreach(SparkSession.setDefaultSession)
+    s
+  }
+
+  test("registered SQL functions evaluate like the Column API") {
+    val sf = SparkTestSession.sf
+    spark.read.parquet(s"$sf/documents.parquet").limit(20)
+      .createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash64(text) AS sh,
+        |  size(minhash_sig(text, 3, 32)) AS k,
+        |  size(winnow_fingerprints(text, 8, 4)) AS nfp
+        |FROM docs_ext ORDER BY doc_id""".stripMargin).collect()
+    assert(viaSql.length == 20)
+    assert(viaSql.forall(_.getAs[Int]("k") == 32))
+    assert(viaSql.forall(_.getAs[Int]("nfp") > 0))
+    // cross-check one value against the direct kernel
+    val first = viaSql.head
+    val text = spark.sql("SELECT text FROM docs_ext ORDER BY doc_id").head.getString(0)
+    assert(first.getAs[Long]("sh") ==
+      functions.TextHashAlgos.simhash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text)))
+  }
+
+  test("int_vec_dot / int_vec_norm_sq work from SQL") {
+    val row = spark.sql(
+      "SELECT int_vec_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d, " +
+        "int_vec_norm_sq(array(3L, 4L)) AS n").head
+    assert(row.getLong(0) == 32L)
+    assert(row.getLong(1) == 25L)
+  }
+}
