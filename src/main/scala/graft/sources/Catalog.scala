@@ -77,4 +77,16 @@ object Catalog {
     * idempotent drop-and-recreate semantics. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed catalog table: pre-shuffled on the join key at ingest
+    * time, so every later equi-join/aggregation on that key is
+    * co-located — zero Exchange in the plan (the SURVEY §5 strategy
+    * for the recurring fact-fact joins; at 100 TB this converts every
+    * repeated orders⋈customer-style shuffle into a local merge).
+    * Registered in the session catalog (bucket metadata lives there). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+    numBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
 }

@@ -60,6 +60,23 @@ class CatalogSpec extends AnyFunSuite {
     assert(!plan.contains("lang%3Dde") || plan.contains("PartitionFilters"))
   }
 
+  test("bucketed tables join without any shuffle exchange") {
+    val orders = Catalog.readParquet(spark, "orders", s"$sf/orders.parquet")
+    val customer = Catalog.readParquet(spark, "customer", s"$sf/customer.parquet")
+    Catalog.writeBucketed(orders, "orders_b", "o_custkey", 4)
+    Catalog.writeBucketed(customer.withColumnRenamed("c_custkey", "o_custkey"),
+      "customer_b", "o_custkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("csv ingest round-trips with the declared schema") {
     val out = Files.createTempDirectory("graft_csv").toString
     val nation = Catalog.readParquet(spark, "nation", s"$sf/nation.parquet")
