@@ -53,6 +53,13 @@ object TimeSeries {
         (count(lit(1)) * sum($"xc" * $"xc") - sum($"xc") * sum($"xc"))
           .as("var_num"))
       .withColumn("mean_val", $"sum_c100" / ($"n" * lit(100.0)))
+      // sample variance = var_num/(n(n−1)) in c100² units; /1e4 → units².
+      // This is the reduced-χ² of the constant-flux model with unit
+      // errors — Pserv's per-object variability statistic. Exact
+      // integer numerator → one division + sqrt, deterministic.
+      .withColumn("var_val",
+        when($"n" > 1, $"var_num" / ($"n" * ($"n" - 1) * lit(10000.0))))
+      .withColumn("std_val", sqrt($"var_val"))
       .orderBy($"user_id")
   }
 
@@ -63,7 +70,13 @@ object TimeSeries {
       |  CAST(MAX(xc) AS BIGINT) AS max_c100,
       |  CAST(MAX(xc) - MIN(xc) AS BIGINT) AS amp_c100,
       |  CAST(COUNT(*)*SUM(xc*xc) - SUM(xc)*SUM(xc) AS BIGINT) AS var_num,
-      |  CAST(SUM(xc) AS BIGINT) / (COUNT(*) * 100.0) AS mean_val
+      |  CAST(SUM(xc) AS BIGINT) / (COUNT(*) * 100.0) AS mean_val,
+      |  CASE WHEN COUNT(*) > 1 THEN
+      |    CAST(COUNT(*)*SUM(xc*xc) - SUM(xc)*SUM(xc) AS BIGINT)
+      |      / (COUNT(*) * (COUNT(*) - 1) * 10000.0) END AS var_val,
+      |  SQRT(CASE WHEN COUNT(*) > 1 THEN
+      |    CAST(COUNT(*)*SUM(xc*xc) - SUM(xc)*SUM(xc) AS BIGINT)
+      |      / (COUNT(*) * (COUNT(*) - 1) * 10000.0) END) AS std_val
       |FROM (SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS xc FROM events)
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
