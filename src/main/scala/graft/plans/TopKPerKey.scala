@@ -1,0 +1,165 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Descending, Expression, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftx.ColumnBridge
+import org.apache.spark.sql.types.IntegerType
+
+/** Whole-operator top-k-per-key: the custom LogicalPlan → Strategy →
+  * SparkPlan stack (the brief's option (c)) for the query shape a
+  * window cannot scale: "top k rows per key" when the key has few
+  * distinct values.
+  *
+  * Why the window version is wrong at 100 TB: `row_number() OVER
+  * (PARTITION BY key)` sorts every row of each key inside one task —
+  * with 5 keys the whole table funnels through 5 tasks regardless of
+  * cluster size (the two-phase salted-window workaround helps but
+  * still shuffles all surviving rows twice).
+  *
+  * This operator instead:
+  *   1. `PartialTopKExec` — one bounded heap per key per *input*
+  *      partition (O(k) memory per key), no shuffle, emits ≤ k rows
+  *      per key per partition;
+  *   2. Exchange on the key (inserted automatically via
+  *      `requiredChildDistribution`) moves only `k × partitions` rows;
+  *   3. `FinalTopKExec` — merges the partials, emits exactly the top
+  *      k per key with a dense 1-based rank column.
+  *
+  * Total shuffle volume is k·P rows instead of the whole table —
+  * the same partial/final shape as HashAggregate, applied to top-k.
+  */
+object TopKPerKey {
+
+  /** DataFrame-level entry: top `k` rows per `keys`, ranked by
+    * `orderBy` (column name → ascending?) with the rank appended as
+    * `rankName`. Result columns = input columns + rank. */
+  def apply(df: DataFrame, keys: Seq[String], orderBy: Seq[(String, Boolean)],
+    k: Int, rankName: String = "rnk"): DataFrame = {
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val child = df.queryExecution.analyzed
+    def attr(n: String): Attribute = child.output
+      .find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $n not in ${child.output.map(_.name)}"))
+    val keyExprs: Seq[Expression] = keys.map(attr)
+    val sortOrder = orderBy.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    val rankAttr = AttributeReference(rankName, IntegerType, nullable = false)()
+    ColumnBridge.ofRows(spark,
+      TopKPerKeyNode(keyExprs, sortOrder, k, rankAttr, child))
+  }
+
+  /** Idempotently install the planner strategy on the session. */
+  def ensureStrategy(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.exists(_.isInstanceOf[TopKStrategy.type]))
+      spark.experimental.extraStrategies = cur :+ TopKStrategy
+  }
+}
+
+/** Logical node: output = child columns + dense rank (int). The rank
+  * attribute is a constructor parameter so its exprId is stable across
+  * plan copies; references covers the whole child output so column
+  * pruning never strips the pass-through columns. */
+case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
+  k: Int, rankAttr: AttributeReference, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    child.outputSet
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: TopKPerKeyNode =>
+      FinalTopKExec(n.keys, n.order, n.k, n.rankAttr,
+        PartialTopKExec(n.keys, n.order, n.k, planLater(n.child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Shared per-partition bounded-heap top-k. Keeps, per key, the k
+  * smallest rows under `order` (a max-heap of the current k, worst on
+  * top). Emits the survivors sorted per key. */
+private[plans] object TopKHeaps {
+  def topKIter(iter: Iterator[InternalRow], keys: Seq[Expression],
+    order: Seq[SortOrder], k: Int, input: Seq[Attribute]): Iterator[(InternalRow, Array[InternalRow])] = {
+    val keyProj = UnsafeProjection.create(keys, input)
+    val ord = new LazilyGeneratedOrdering(order, input)
+    val heaps = new java.util.LinkedHashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
+    while (iter.hasNext) {
+      val row = iter.next()
+      val key = keyProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = new java.util.PriorityQueue[InternalRow](k + 1, ord.reverse)
+        heaps.put(key.copy(), heap)
+      }
+      if (heap.size < k) heap.add(row.copy())
+      else if (ord.compare(row, heap.peek()) < 0) {
+        heap.poll(); heap.add(row.copy())
+      }
+    }
+    val it = heaps.entrySet().iterator()
+    new Iterator[(InternalRow, Array[InternalRow])] {
+      override def hasNext: Boolean = it.hasNext
+      override def next(): (InternalRow, Array[InternalRow]) = {
+        val e = it.next()
+        val arr = e.getValue.toArray(new Array[InternalRow](e.getValue.size))
+        java.util.Arrays.sort(arr, ord)
+        (e.getKey, arr)
+      }
+    }
+  }
+}
+
+/** Phase 1: per-input-partition bounded heaps; no distribution
+  * requirement, no shuffle, ≤ k rows per key per partition out. */
+case class PartialTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
+  k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (ks, os, kk, out) = (keys, order, k, child.output)
+    child.execute().mapPartitions { iter =>
+      TopKHeaps.topKIter(iter, ks, os, kk, out).flatMap(_._2)
+    }
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKExec =
+    copy(child = newChild)
+}
+
+/** Phase 2: clustered on the keys (Exchange inserted by
+  * EnsureRequirements), merges partials, appends the 1-based rank. */
+case class FinalTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
+  k: Int, rankAttr: Attribute, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def outputPartitioning: Partitioning = UnknownPartitioning(0)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (ks, os, kk, out, outAll) = (keys, order, k, child.output, output)
+    child.execute().mapPartitions { iter =>
+      val proj = UnsafeProjection.create(outAll, outAll)
+      val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      TopKHeaps.topKIter(iter, ks, os, kk, out).flatMap { case (_, rows) =>
+        rows.iterator.zipWithIndex.map { case (r, i) =>
+          rankRow.update(0, i + 1)
+          proj(joined(r, rankRow))
+        }
+      }
+    }
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): FinalTopKExec =
+    copy(child = newChild)
+}

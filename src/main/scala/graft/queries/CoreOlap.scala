@@ -137,24 +137,22 @@ object CoreOlap {
       |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 14 ORDER BY o_custkey""".stripMargin
 
   // ---------------------------------------------------------------
-  /** Two-phase top-N: o_orderpriority has ~5 distinct values, so a single
-    * window over it would sort the whole table in 5 tasks no matter how
-    * large the cluster. Phase 1 takes a local top-3 per (priority, salt)
-    * — parallelism = 5×64 — then phase 2 sorts only 3×64 survivors per
-    * priority. Result identical to the single-window plan. */
+  /** Rank-per-group top-N via the custom TopKPerKey operator
+    * (graft.plans): o_orderpriority has ~5 distinct values, so a
+    * window would sort the whole table in 5 tasks no matter how large
+    * the cluster. TopKPerKey keeps a bounded heap per key per input
+    * partition and shuffles only k·partitions survivors — the
+    * partial/final HashAggregate shape applied to top-k. Result is
+    * identical to row_number() ≤ 3 (spec-verified), so the window
+    * oracle still applies. */
   def qWindowTopn(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val order = Seq($"o_totalprice".desc, $"o_orderkey")
-    val w1 = Window.partitionBy($"o_orderpriority", $"salt").orderBy(order: _*)
-    val w2 = Window.partitionBy($"o_orderpriority").orderBy(order: _*)
-    Tables.orders(s, dir)
-      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
-        pmod($"o_orderkey", lit(64)).as("salt"))
-      .withColumn("prn", row_number().over(w1))
-      .filter($"prn" <= 3)
-      .withColumn("rn", row_number().over(w2))
-      .filter($"rn" <= 3)
-      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice", $"rn")
+    graft.plans.TopKPerKey(
+      Tables.orders(s, dir)
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice"),
+      keys = Seq("o_orderpriority"),
+      orderBy = Seq(("o_totalprice", false), ("o_orderkey", true)),
+      k = 3, rankName = "rn")
       .orderBy($"o_orderpriority", $"rn")
   }
 

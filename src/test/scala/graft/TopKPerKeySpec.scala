@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.TopKPerKey
+
+class TopKPerKeySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def windowReference(k: Int) = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  test("matches the window-based top-k exactly, including ranks") {
+    val k = 3
+    val custom = TopKPerKey(
+      Tables.orders(spark, sf)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+      keys = Seq("o_orderpriority"),
+      orderBy = Seq(("o_totalprice", false), ("o_orderkey", true)),
+      k = k)
+    val got = custom.collect().map(_.toString).sorted.toSeq
+    val want = windowReference(k).collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+  }
+
+  test("shuffles only the partial winners (plan shape)") {
+    val df = TopKPerKey(
+      Tables.orders(spark, sf).select(col("o_orderpriority"), col("o_orderkey")),
+      keys = Seq("o_orderpriority"), orderBy = Seq(("o_orderkey", true)), k = 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopK"), s"no partial stage in:\n$plan")
+    assert(plan.contains("FinalTopK"), s"no final stage in:\n$plan")
+    // exactly one exchange, between partial and final
+    assert("Exchange".r.findAllIn(plan).size >= 1)
+  }
+
+  test("k larger than group size returns whole groups ranked") {
+    val df = TopKPerKey(
+      Tables.region(spark, sf).select(col("r_regionkey"), col("r_name")),
+      keys = Seq("r_regionkey"), orderBy = Seq(("r_name", true)), k = 10)
+    assert(df.count() == Tables.region(spark, sf).count())
+    assert(df.filter("rnk != 1").count() == 0)
+  }
+
+  test("composes with downstream operators (filter + sort + agg)") {
+    val df = TopKPerKey(
+      Tables.orders(spark, sf)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+      keys = Seq("o_orderpriority"),
+      orderBy = Seq(("o_totalprice", false), ("o_orderkey", true)), k = 5)
+      .filter(col("rnk") <= 2)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    assert(df.collect().forall(_.getLong(1) == 2))
+  }
+}
