@@ -61,5 +61,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("int_vec_norm_sq"),
       new ExpressionInfo(classOf[IntVecNormSq].getName, "int_vec_norm_sq"),
       (args: Seq[Expression]) => IntVecNormSq(args.head)))
+    // whole-operator extension: plan TopKPerKeyNode via its strategy
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
