@@ -33,6 +33,16 @@ object EventStream {
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("value_c100"))
 
+  /** Streaming exact dedup: drop events whose id was already seen
+    * within the watermark horizon. State is one tiny record per id and
+    * is expired by the watermark — the streaming half of the dedup
+    * suite (an at-least-once ingest feed becomes effectively-once
+    * before it ever lands in the catalog). */
+  def dedupStream(events: DataFrame, idCols: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Gap-based sessionization with explicit state: a session closes
     * when no event arrives for `gapSeconds` (in-batch for observed
     * gaps; via event-time timeout once the watermark passes the gap

@@ -112,6 +112,22 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream dedup drops replayed events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 1, "click", 1.0), Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(1, ts(0), 1, "click", 1.0)) // replay in later batch
+      q.processAllAvailable()
+      assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
