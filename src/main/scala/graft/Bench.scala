@@ -25,6 +25,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local test files are ~1-10 MB; the 128 MB default split would
+      // scan each table in one task. On a real cluster the inputs are
+      // many-file and this setting is irrelevant; here it restores the
+      // scan parallelism the cluster would naturally have.
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

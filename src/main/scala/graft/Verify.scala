@@ -14,6 +14,9 @@ object Verify {
       // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark 4
       // refuses by default; read as Long (nanos since epoch).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // restore cluster-like scan parallelism on the small local files
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
