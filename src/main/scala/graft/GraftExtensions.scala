@@ -42,7 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => SimHash64(c)
+        case _ => throw new IllegalArgumentException("simhash64(text)")
+      }))
     ext.injectFunction((
       new FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
@@ -56,11 +59,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("int_vec_dot"),
       new ExpressionInfo(classOf[IntVecDot].getName, "int_vec_dot"),
-      (args: Seq[Expression]) => IntVecDot(args(0), args(1))))
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => IntVecDot(a, b)
+        case _ => throw new IllegalArgumentException("int_vec_dot(a, b)")
+      }))
     ext.injectFunction((
       new FunctionIdentifier("int_vec_norm_sq"),
       new ExpressionInfo(classOf[IntVecNormSq].getName, "int_vec_norm_sq"),
-      (args: Seq[Expression]) => IntVecNormSq(args.head)))
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => IntVecNormSq(c)
+        case _ => throw new IllegalArgumentException("int_vec_norm_sq(vec)")
+      }))
     // whole-operator extension: plan TopKPerKeyNode via its strategy
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

@@ -41,11 +41,13 @@ object TopKPerKey {
     * `rankName`. Result columns = input columns + rank. */
   def apply(df: DataFrame, keys: Seq[String], orderBy: Seq[(String, Boolean)],
     k: Int, rankName: String = "rnk"): DataFrame = {
+    require(k >= 1, s"top-k requires k >= 1, got $k")
     val spark = df.sparkSession
     ensureStrategy(spark)
     val child = df.queryExecution.analyzed
+    val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
     def attr(n: String): Attribute = child.output
-      .find(_.name == n)
+      .find(a => if (caseSensitive) a.name == n else a.name.equalsIgnoreCase(n))
       .getOrElse(throw new IllegalArgumentException(
         s"column $n not in ${child.output.map(_.name)}"))
     val keyExprs: Seq[Expression] = keys.map(attr)
@@ -89,8 +91,18 @@ object TopKStrategy extends SparkStrategy {
 
 /** Shared per-partition bounded-heap top-k. Keeps, per key, the k
   * smallest rows under `order` (a max-heap of the current k, worst on
-  * top). Emits the survivors sorted per key. */
+  * top). Emits the survivors sorted per key.
+  *
+  * Memory model: one O(k) heap per distinct key per partition. The
+  * operator targets FEW-distinct-keys shapes (priorities, segments);
+  * past [[MaxKeysPerPartition]] distinct keys it fails loudly instead
+  * of silently risking executor OOM — a high-cardinality key should
+  * use a window (whose sort spills) instead. */
 private[plans] object TopKHeaps {
+  /** Hard guard on per-partition heap count (≈ heap entry overhead ×
+    * k rows each past this is no longer "bounded state"). */
+  val MaxKeysPerPartition: Int = 1 << 20
+
   def topKIter(iter: Iterator[InternalRow], keys: Seq[Expression],
     order: Seq[SortOrder], k: Int, input: Seq[Attribute]): Iterator[(InternalRow, Array[InternalRow])] = {
     val keyProj = UnsafeProjection.create(keys, input)
@@ -101,6 +113,10 @@ private[plans] object TopKHeaps {
       val key = keyProj(row)
       var heap = heaps.get(key)
       if (heap == null) {
+        if (heaps.size() >= MaxKeysPerPartition) throw new IllegalStateException(
+          s"TopKPerKey saw > $MaxKeysPerPartition distinct keys in one partition; " +
+            "this operator holds one O(k) heap per key and is meant for " +
+            "low-cardinality keys — use a window top-k for high-cardinality keys")
         heap = new java.util.PriorityQueue[InternalRow](k + 1, ord.reverse)
         heaps.put(key.copy(), heap)
       }

@@ -13,9 +13,13 @@ import graft.functions.VectorOps
   *   extraction is a two-phase salted window (parallel partial top-k,
   *   then a final top-k over ≤ 64·k survivors per query), so no
   *   single task ever sorts a whole query's candidate list.
-  * - Sign-LSH: candidates pruned to the query's sign bucket before
-  *   scoring — the 100 TB path (scan prunes to matching buckets when
-  *   the corpus is bucket-partitioned).
+  * - Sign-LSH: candidates pruned to the query's sign bucket — plus
+  *   its flip-1-bit neighbor buckets (multi-probe, the standard
+  *   recall lever: a query near a hyperplane boundary finds matches
+  *   that landed just across it). The probe set is exploded on the
+  *   tiny broadcast query side, so the corpus still sees ONE
+  *   equi-join on its bucket key — the 100 TB path (scan prunes to
+  *   matching buckets when the corpus is bucket-partitioned).
   *
   * Cosines are computed from integer-scaled vectors (VectorOps), so
   * both engines produce bit-identical doubles and the DuckDB oracle
@@ -26,7 +30,13 @@ object Ann {
   private val K = 10
   private val NQueries = 5
 
-  private def scored(s: SparkSession, dir: String, useBuckets: Boolean): DataFrame = {
+  /** Flip-1-bit multi-probe: the bucket itself plus one probe per
+    * plane. 0 extra probes = exact-bucket LSH. */
+  def probeBuckets(bucket: org.apache.spark.sql.Column, nPlanes: Int): org.apache.spark.sql.Column =
+    array((bucket +: (0 until nPlanes).map(j => bucket.bitwiseXOR(lit(1 << j)))): _*)
+
+  private def scored(s: SparkSession, dir: String, useBuckets: Boolean,
+    multiProbe: Boolean): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, dir).select(
       $"vec_id",
@@ -37,7 +47,13 @@ object Ann {
       $"vec_id".as("qid"), $"iv".as("qiv"), $"nrm".as("qnrm"),
       $"bucket".as("qbucket"))
     val joined =
-      if (useBuckets)
+      if (useBuckets && multiProbe) {
+        // explode the probe set on the tiny query side; corpus-side key
+        // stays the plain bucket (prunable at the scan when partitioned)
+        val probes = q.withColumn("probe",
+          explode(probeBuckets($"qbucket", Dedup.BucketDims.size)))
+        e.join(broadcast(probes), $"bucket" === $"probe" && $"vec_id" =!= $"qid")
+      } else if (useBuckets)
         e.join(broadcast(q), $"bucket" === $"qbucket" && $"vec_id" =!= $"qid")
       else
         e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
@@ -61,16 +77,23 @@ object Ann {
   }
 
   def qAnnBruteforce(s: SparkSession, dir: String): DataFrame =
-    topK(scored(s, dir, useBuckets = false))
+    topK(scored(s, dir, useBuckets = false, multiProbe = false))
+
+  /** Exact-bucket (single-probe) variant — kept for the recall spec. */
+  def annLshSingleProbe(s: SparkSession, dir: String): DataFrame =
+    topK(scored(s, dir, useBuckets = true, multiProbe = false))
 
   def qAnnLsh(s: SparkSession, dir: String): DataFrame =
-    topK(scored(s, dir, useBuckets = true))
+    topK(scored(s, dir, useBuckets = true, multiProbe = true))
 
   // ---------------------------------------------------------------
   private def oracleSql(bucketJoin: Boolean): String = {
     val bucket = VectorOps.Sql.signBucket("embedding", Dedup.BucketDims)
+    // multi-probe twin: candidate iff buckets are equal or differ in
+    // exactly one plane bit (xor is 0 or a power of two)
+    val probeMasks = Dedup.BucketDims.indices.map(1 << _).mkString(", ")
     val bucketCond =
-      if (bucketJoin) " AND bq.bucket = bv.bucket" else ""
+      if (bucketJoin) s" AND xor(bq.bucket, bv.bucket) IN (0, $probeMasks)" else ""
     s"""WITH e AS (
        |  SELECT vec_id, i, CAST(ROUND(CAST(v AS DOUBLE) * ${VectorOps.ScaleLit}) AS BIGINT) AS vi
        |  FROM (SELECT vec_id, unnest(embedding) AS v,

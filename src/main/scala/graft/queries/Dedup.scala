@@ -21,8 +21,30 @@ import graft.functions.{TextFunctions, VectorOps}
   * - SimHash: 16-bit piece blocking (pigeonhole: hamming ≤ 3 over 4
   *   pieces ⇒ ≥ 1 piece equal), then exact popcount verify.
   * - embedding: sign-LSH bucket blocking + exact integer cosine.
+  *
+  * EVERY blocking stage is size-capped (the `*Cap` constants below):
+  * candidate-pair generation inside a block is quadratic in the block
+  * size, so one degenerate key — a boilerplate 3-gram shared by every
+  * license header, a mass-duplicated page collapsing to one simhash,
+  * an embedding hub bucket — would otherwise turn a linear pipeline
+  * into a quadratic one at 100 TB. Over-cap blocks are dropped, not
+  * truncated: a dropped gram is an uninformative stopword-gram (its
+  * presence barely moves Jaccard), and a dropped hash block is a
+  * mass-duplicate cluster that exact dedup (`q_dedup_exact`) already
+  * collapses upstream. Each cap is mirrored verbatim in the DuckDB
+  * oracle where one exists, so parity is exact by construction.
   */
 object Dedup {
+
+  /** Max docs sharing one gram in the inverted index (document-
+    * frequency cap — standard common-shingle filtering). */
+  val GramDfCap = 50
+  /** Max docs per MinHash-LSH (band, bucket). */
+  val LshBucketCap = 50
+  /** Max docs per SimHash (piece, value) block. */
+  val SimhashPieceCap = 50
+  /** Max vectors per sign-LSH bucket in embedding near-dup. */
+  val EmbBucketCap = 200
 
   // ---------------------------------------------------------------
   /** Exact dedup: canonical = min doc_id per content hash. Window over
@@ -54,9 +76,9 @@ object Dedup {
     * probability ~(grams²/2^65) ≈ 1e-11 — far below any practical
     * concern, and the per-doc gram cardinality `ng` stays exact the
     * same way on both sides of the threshold inequality. */
-  private def gramRows(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
+  private[queries] def gramRowsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
       .select($"doc_id", split($"text", " ").as("w"))
       .filter(size($"w") >= 3)
       .select($"doc_id", explode(array_distinct(expr(
@@ -72,13 +94,25 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs (j ≥ 0.5) via inverted-index
     * join — the threshold test is the integer cross-multiplication
-    * 2·|∩| ≥ |∪|, and jac_pct an integer division: exact parity. */
-  def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val g = gramRows(s, dir)
+    * 2·|∩| ≥ |∪|, and jac_pct an integer division: exact parity.
+    *
+    * Skew guard: grams with document frequency > [[GramDfCap]] are
+    * dropped from the inverted index BEFORE the self-join (a gram's
+    * candidate pairs grow as df²/2, and boilerplate grams — license
+    * headers, templates — have df proportional to the corpus). The
+    * per-doc cardinality `ng` stays exact, so `inter` is a lower bound
+    * that only sheds uninformative mass-shared grams. The df window
+    * reuses the same hash-partitioning on `gram` the join needs —
+    * no extra shuffle. */
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val g = gramRowsOf(docs)
     val counts = g.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
-    val pairs = g.select($"doc_id".as("d1"), $"gram")
-      .join(g.select($"doc_id".as("d2"), $"gram"), "gram")
+    val wG = Window.partitionBy($"gram")
+    val gf = g.withColumn("df", count(lit(1)).over(wG))
+      .filter($"df" <= GramDfCap).drop("df")
+    val pairs = gf.select($"doc_id".as("d1"), $"gram")
+      .join(gf.select($"doc_id".as("d2"), $"gram"), "gram")
       .filter($"d1" < $"d2")
       .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
     pairs
@@ -91,11 +125,17 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
 
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(Tables.documents(s, dir))
+
   val qNgramJaccardSql: String =
     s"""WITH g AS ($gramRowsSql),
        |n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+       |gf AS (SELECT doc_id, gram FROM (
+       |        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM g)
+       |       WHERE df <= $GramDfCap),
        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-       |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |      FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id
        |      GROUP BY 1, 2)
        |SELECT d1, d2, inter, na.ng + nb.ng - inter AS un,
        |  (100 * inter) // (na.ng + nb.ng - inter) AS jac_pct
@@ -122,19 +162,20 @@ object Dedup {
 
   // ---------------------------------------------------------------
   /** MinHash-LSH candidate pairs + signature-estimated Jaccard verify.
-    * 128 hashes, 32 bands × 4 rows; buckets capped at 50 docs (skew
-    * guard — a degenerate bucket can never force a quadratic task).
-    * Pairs with ≥ 45/128 matching positions (ĵ ≈ 0.35) survive. */
-  def qDedupLshPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sigs = Tables.documents(s, dir)
+    * 128 hashes, 32 bands × 4 rows; buckets capped at [[LshBucketCap]]
+    * docs (skew guard — a degenerate bucket can never force a
+    * quadratic task). Pairs with ≥ 45/128 matching positions
+    * (ĵ ≈ 0.35) survive. */
+  def lshPairs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sigs = docs
       .select($"doc_id", TextFunctions.minhashSig($"text", 3, 128).as("sig"))
     val bands = sigs.select($"doc_id", posexplode(expr(
       "transform(sequence(0, 31), b -> hash(slice(sig, b * 4 + 1, 4), b))")))
       .toDF("doc_id", "band", "bkey")
     val wB = Window.partitionBy($"band", $"bkey")
     val capped = bands.withColumn("bsz", count(lit(1)).over(wB))
-      .filter($"bsz" <= 50).drop("bsz")
+      .filter($"bsz" <= LshBucketCap).drop("bsz")
     val cand = capped.select($"doc_id".as("d1"), $"band", $"bkey")
       .join(capped.select($"doc_id".as("d2"), $"band", $"bkey"),
         Seq("band", "bkey"))
@@ -151,19 +192,31 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
 
+  def qDedupLshPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairs(Tables.documents(s, dir))
+
   // ---------------------------------------------------------------
   /** SimHash near-dup pairs: 64-bit signature, 4×16-bit piece
     * blocking (hamming ≤ 3 ⇒ some piece equal, by pigeonhole), exact
-    * popcount verify. Rows-only (custom Expression). */
-  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sh = Tables.documents(s, dir)
+    * popcount verify. Rows-only (custom Expression).
+    *
+    * Skew guard: (piece, value) blocks larger than
+    * [[SimhashPieceCap]] docs are dropped before the self-join — an
+    * over-full block is a mass-duplicate cluster (identical or
+    * near-identical simhashes) that exact dedup collapses upstream;
+    * without the cap its join task is quadratic in the cluster size. */
+  def simhashPairs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sh = docs
       .select($"doc_id", TextFunctions.simhash64($"text").as("sh"))
     val pieces = sh.select($"doc_id", $"sh", posexplode(expr(
       "transform(sequence(0, 3), p -> shiftright(sh, p * 16) & 65535)")))
       .toDF("doc_id", "sh", "piece", "pval")
-    val cand = pieces.select($"doc_id".as("d1"), $"sh".as("sh1"), $"piece", $"pval")
-      .join(pieces.select($"doc_id".as("d2"), $"sh".as("sh2"), $"piece", $"pval"),
+    val wP = Window.partitionBy($"piece", $"pval")
+    val capped = pieces.withColumn("bsz", count(lit(1)).over(wP))
+      .filter($"bsz" <= SimhashPieceCap).drop("bsz")
+    val cand = capped.select($"doc_id".as("d1"), $"sh".as("sh1"), $"piece", $"pval")
+      .join(capped.select($"doc_id".as("d2"), $"sh".as("sh2"), $"piece", $"pval"),
         Seq("piece", "pval"))
       .filter($"d1" < $"d2")
       .select($"d1", $"d2", $"sh1", $"sh2").distinct()
@@ -174,31 +227,58 @@ object Dedup {
       .orderBy($"d1", $"d2")
   }
 
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(s, dir))
+
   // ---------------------------------------------------------------
-  /** Embedding-cosine near-dup pairs (cos ≥ 0.35): sign-LSH bucket
-    * blocking (5 fixed dims → 32 buckets) + exact integer-scaled
-    * cosine verify. The oracle applies the identical bucketing, so
-    * the declared semantics — near-dups among same-bucket candidates
-    * — is exactly reproducible. */
+  /** Default sign-LSH projection dims (5 bits → 32 buckets — sized for
+    * the harness corpus; see [[embeddingNearDups]] for the scale
+    * story). Kept sorted and spread across the 64 embedding dims. */
   val BucketDims: Seq[Int] = Seq(0, 13, 27, 41, 55)
 
-  def qDedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = Tables.embeddings(s, dir).select(
+  /** 16-bit sign-LSH dims for billion-vector corpora: 2^16 buckets.
+    * A superset of [[BucketDims]], so its pair set is provably a
+    * subset of the 5-bit one (agreeing on 16 dims implies agreeing on
+    * the 5) — the property the spec checks. */
+  val BucketDims16: Seq[Int] =
+    (BucketDims ++ Seq(3, 7, 17, 21, 31, 35, 45, 49, 59, 62, 10)).sorted
+
+  /** Embedding-cosine near-dup pairs (cos ≥ `minCos`): sign-LSH bucket
+    * blocking + exact integer-scaled cosine verify. The oracle applies
+    * the identical bucketing, so the declared semantics — near-dups
+    * among same-bucket candidates — is exactly reproducible.
+    *
+    * Scale: the plane count is a parameter — 5 bits (32 buckets) suits
+    * the harness corpus; a billion-vector corpus uses ≥16 planes
+    * ([[BucketDims16]]) so buckets stay small. On top of that,
+    * `cap` drops any bucket larger than [[EmbBucketCap]] vectors
+    * (hub/degenerate directions) before the quadratic same-bucket
+    * join — with both, no input distribution can produce a
+    * super-linear stage. */
+  def embeddingNearDups(emb: DataFrame, dims: Seq[Int] = BucketDims,
+    cap: Int = EmbBucketCap, minCos: Double = 0.35): DataFrame = {
+    import emb.sparkSession.implicits._
+    val e = emb.select(
       $"vec_id",
       VectorOps.intVec("embedding").as("iv"),
-      VectorOps.signBucket("embedding", BucketDims).as("bucket"))
+      VectorOps.signBucket("embedding", dims).as("bucket"))
       .withColumn("nrm", VectorOps.normSq("iv"))
-    val a = e.select($"vec_id".as("d1"), $"iv".as("iv1"), $"nrm".as("nrm1"), $"bucket")
-    val b = e.select($"vec_id".as("d2"), $"iv".as("iv2"), $"nrm".as("nrm2"), $"bucket")
+    val wB = Window.partitionBy($"bucket")
+    val capped = e.withColumn("bsz", count(lit(1)).over(wB))
+      .filter($"bsz" <= cap).drop("bsz")
+    val a = capped.select($"vec_id".as("d1"), $"iv".as("iv1"), $"nrm".as("nrm1"), $"bucket")
+    val b = capped.select($"vec_id".as("d2"), $"iv".as("iv2"), $"nrm".as("nrm2"), $"bucket")
     a.join(b, "bucket")
       .filter($"d1" < $"d2")
       .withColumn("dot", VectorOps.dot("iv1", "iv2"))
       .withColumn("cosine", VectorOps.cosine($"dot", $"nrm1", $"nrm2"))
-      .filter($"cosine" >= 0.35)
+      .filter($"cosine" >= minCos)
       .select($"d1", $"d2", $"dot", $"cosine")
       .orderBy($"d1", $"d2")
   }
+
+  def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    embeddingNearDups(Tables.embeddings(s, dir))
 
   val qDedupEmbeddingSql: String = {
     val bucket = VectorOps.Sql.signBucket("embedding", BucketDims)
@@ -207,7 +287,10 @@ object Dedup {
        |  FROM (SELECT vec_id, unnest(embedding) AS v,
        |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
        |n AS (SELECT vec_id, SUM(vi * vi) AS nrm FROM e GROUP BY vec_id),
-       |b AS (SELECT vec_id, $bucket AS bucket FROM embeddings),
+       |b0 AS (SELECT vec_id, $bucket AS bucket FROM embeddings),
+       |b AS (SELECT vec_id, bucket FROM (
+       |       SELECT vec_id, bucket, COUNT(*) OVER (PARTITION BY bucket) AS bsz FROM b0)
+       |      WHERE bsz <= $EmbBucketCap),
        |p AS (SELECT x.vec_id AS d1, y.vec_id AS d2
        |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id),
        |d AS (SELECT p.d1, p.d2, CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot

@@ -34,11 +34,14 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  // head_hex: Spark slices the first 4 BYTES of the blob; DuckDB has no
+  // blob substring, so slice the hex string instead (2 hex chars ≡ 1
+  // byte) — byte-level parity even for multibyte text.
   val qBlobMetaSql: String =
     """SELECT doc_id, source,
       |  CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS blob_len,
       |  SHA256(text) AS sha256,
-      |  LOWER(HEX(ENCODE(SUBSTRING(text, 1, 4)))) AS head_hex
+      |  LOWER(SUBSTRING(HEX(ENCODE(text)), 1, 8)) AS head_hex
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------

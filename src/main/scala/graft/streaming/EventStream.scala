@@ -78,7 +78,12 @@ object EventStream {
               }
             }
             state.update(st)
-            state.setTimeoutTimestamp(st.last + gapSeconds * 1000)
+            // Spark rejects timeout timestamps at/behind the current
+            // watermark; a group whose events lag the global max event
+            // time by more than gap + watermark delay would hit that, so
+            // clamp just past the watermark (earliest legal fire time).
+            state.setTimeoutTimestamp(
+              math.max(st.last + gapSeconds * 1000, state.getCurrentWatermarkMs() + 1))
             closed.result().iterator
           }
       }

@@ -57,6 +57,75 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(df.filter("rnk > 10").count() == 0)
   }
 
+  // ---- skew guards: a degenerate input must not produce a quadratic
+  // stage. 1000 identical docs put every gram / hash block / bucket
+  // over its cap, so candidate generation drops them all — zero pairs
+  // and zero per-key quadratic work (mass-duplicates are exact-dedup's
+  // job, which does catch them: see last assertion).
+  private def identicalDocs(n: Int) = {
+    import spark.implicits._
+    (0L until n.toLong)
+      .map(i => (i, "the same boilerplate text repeated in every document here"))
+      .toDF("doc_id", "text")
+  }
+
+  test("ngram jaccard df-cap drops corpus-frequent grams (degenerate input)") {
+    val docs = identicalDocs(1000)
+    assert(queries.Dedup.ngramJaccardPairs(docs).count() == 0)
+  }
+
+  test("simhash piece-bucket cap kills the mass-duplicate block (degenerate input)") {
+    val docs = identicalDocs(1000)
+    assert(queries.Dedup.simhashPairs(docs).count() == 0)
+  }
+
+  test("lsh bucket cap kills the mass-duplicate bucket (degenerate input)") {
+    val docs = identicalDocs(1000)
+    assert(queries.Dedup.lshPairs(docs).count() == 0)
+  }
+
+  test("embedding bucket cap kills a degenerate hub bucket") {
+    import spark.implicits._
+    val vec = Array.tabulate(64)(i => (if (i % 2 == 0) 0.1f else -0.1f))
+    val emb = (0L until 500L).map(i => (i, vec)).toDF("vec_id", "embedding")
+    assert(queries.Dedup.embeddingNearDups(emb).count() == 0)
+  }
+
+  test("exact dedup still collapses the mass-duplicate cluster the caps dropped") {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
+    val dups = identicalDocs(1000)
+      .select($"doc_id", md5($"text").as("fp"))
+      .withColumn("canonical_id", min($"doc_id").over(w))
+      .filter($"doc_id" =!= $"canonical_id")
+    assert(dups.count() == 999)
+  }
+
+  test("16-bit sign-LSH pair set is a subset of the 5-bit one") {
+    val emb = Tables.embeddings(spark, sf)
+    def pairs(dims: Seq[Int]) =
+      queries.Dedup.embeddingNearDups(emb, dims).select("d1", "d2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p16 = pairs(queries.Dedup.BucketDims16)
+    val p5 = pairs(queries.Dedup.BucketDims)
+    assert(queries.Dedup.BucketDims16.toSet.intersect(queries.Dedup.BucketDims.toSet)
+      == queries.Dedup.BucketDims.toSet) // precondition for subset property
+    assert(p16.subsetOf(p5), s"16-bit pairs not a subset: ${p16 -- p5}")
+  }
+
+  test("multi-probe LSH recall >= single-probe recall vs brute force") {
+    def topkSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topkSet(queries.Ann.qAnnBruteforce(spark, sf))
+    val single = topkSet(queries.Ann.annLshSingleProbe(spark, sf))
+    val multi = topkSet(queries.Ann.qAnnLsh(spark, sf))
+    val rSingle = (exact & single).size.toDouble / exact.size
+    val rMulti = (exact & multi).size.toDouble / exact.size
+    assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single-probe $rSingle")
+    assert(rMulti > 0.0)
+    assert(single.subsetOf(multi) || rMulti >= rSingle) // probes only widen candidates
+  }
+
   test("no cartesian product in the pair plans") {
     for (q <- Seq(queries.Dedup.qNgramJaccard(spark, sf),
       queries.Dedup.qDedupLshPairs(spark, sf),
