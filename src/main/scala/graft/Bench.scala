@@ -2,13 +2,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Headline queries (SURVEY.md §6) against
-  * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
+  * SPARK_GRAFT_SF_DIR, one JSON line on stdout AND in a file.
   *
-  * Methodology: each query is fully materialized through the `noop`
-  * writer (count() would let Spark skip final projection/sort work),
-  * after one untimed warm-up run of q01 to absorb JVM/codegen startup.
-  * A failing query aborts the bench loudly — a broken query must never
-  * flatter the total.
+  * Methodology:
+  * - each query is fully materialized through the `noop` writer
+  *   (count() would let Spark skip final projection/sort work);
+  * - one untimed warm-up run of q01 absorbs JVM/codegen startup;
+  * - each query is timed SPARK_GRAFT_BENCH_ITERS times (default 3) and
+  *   the MEDIAN is reported, so one load spike on a shared machine
+  *   cannot poison the artifact;
+  * - the JSON line is also written to SPARK_GRAFT_BENCH_OUT (default
+  *   bench_out.json in the cwd) so the artifact survives stdout noise;
+  * - a failing query aborts the bench loudly — a broken query must
+  *   never flatter the total.
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -17,9 +23,17 @@ object Bench {
     "q_sessionize", "q_text_quality", "q_lightcurve_stats",
     "q_asof_join")
 
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -43,14 +57,26 @@ object Bench {
     materialize(names.head) // warm-up: JVM + codegen + parquet footer cache
 
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      materialize(name) // throws on failure: a broken query fails the bench
-      name -> (System.nanoTime() - t0) / 1e9
+      val samples = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        materialize(name) // throws on failure: a broken query fails the bench
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> median(samples)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}"""
+    println(line)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (line + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not write $outFile: $e")
+    }
     spark.stop()
   }
 }

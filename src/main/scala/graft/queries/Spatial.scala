@@ -98,34 +98,68 @@ object Spatial {
        |ORDER BY k""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Per-zone adaptive ra-bucket count for the zone cross-match.
+    *
+    * For a build point in zone z and any neighbor within `radius`,
+    * both declinations lie inside the zone's dec range expanded by
+    * the radius; the rigorous ra-separation bound is then
+    * Δra ≤ 2·asin(sin(r/2)/cos(maxAbsDec)) (from the haversine:
+    * sin(d/2) ≥ √(cos δ₁ cos δ₂)·|sin(Δra/2)|). Buckets at least that
+    * wide make ±1-bucket probing lossless, so the bucket count —
+    * i.e. the join parallelism — is floor(360/Δra_bound) per zone:
+    * ~360 cells/zone at the equator instead of a fixed 30, shrinking
+    * toward the poles exactly as fast as geometry requires. */
+  private[graft] def zoneRaBuckets(radius: Double, zoneHeight: Double): Seq[(Int, Int)] = {
+    val nZones = math.ceil(180.0 / zoneHeight).toInt
+    (-1 to nZones).map { z =>
+      val lo = z * zoneHeight - 90.0
+      val hi = (z + 1) * zoneHeight - 90.0
+      val maxAbs = math.min(89.9,
+        math.max(math.abs(lo - radius), math.abs(hi + radius)))
+      val sinHalf = math.sin(math.toRadians(radius) / 2) /
+        math.cos(math.toRadians(maxAbs))
+      val boundDeg =
+        if (sinHalf >= 1) 360.0 else math.toDegrees(2 * math.asin(sinHalf))
+      (z, math.max(1, math.floor(360.0 / math.max(boundDeg, 1e-9)).toInt))
+    }
+  }
+
   /** Zone-algorithm near-neighbor self cross-match, radius 1°.
     *
     * Scale shape: each point lands in one (zone, ra-bucket) grid cell
-    * (zone height = radius; ra buckets 12° wide — wide enough that a
-    * 1° match can only reach the adjacent bucket even at |dec| = 85°,
-    * where 1° of separation spans 1/cos(85°) ≈ 11.5° of ra). The probe
-    * side is exploded into its 3×3 neighboring cells and equi-joined
-    * on the cell key — a plain shuffle join with ~10× key
-    * amplification, never a cartesian/broadcast-nested-loop. Each
-    * candidate pair arises in exactly one cell (the build point's home
-    * cell), so no pair-level dedup pass is needed. The exact haversine
-    * predicate then keeps true neighbors; k1 < k2 canonicalizes.
+    * (zone height = radius; per-zone adaptive bucket width from
+    * [[zoneRaBuckets]] — as tight as the Δra bound allows, so the grid
+    * has ~40k cells instead of a fixed 30/zone). The probe side is
+    * exploded into its ≤3×3 neighboring cells (array_distinct keeps
+    * modular duplicates out when a polar zone has <3 buckets) and
+    * equi-joined on the cell key — a plain shuffle join with ~10× key
+    * amplification, never a cartesian/broadcast-nested-loop. The
+    * ≤182-row zone-metadata table rides along as broadcast joins.
+    * Each candidate pair arises in exactly one cell (the build point's
+    * home cell), so no pair-level dedup pass is needed. The exact
+    * haversine predicate then keeps true neighbors; k1 < k2
+    * canonicalizes.
     *
     * Oracle: brute-force all-pairs with the identical haversine tree —
     * the grid is a lossless candidate superset, so results match. */
   def qZoneXmatch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val radius = 1.0
-    val nRb = 30 // 360/12
+    val zm = s.createDataFrame(zoneRaBuckets(radius, radius))
+      .toDF("zm_zone", "nrb")
     val pts = points(s, dir)
       .withColumn("zone", floor(($"decl" + 90.0) / radius).cast("int"))
-      .withColumn("rb", floor($"ra" / 12.0).cast("int"))
-    val build = pts.select($"k".as("k2"), $"ra".as("ra2"), $"decl".as("decl2"),
-      $"zone".as("z2"), $"rb".as("rb2"))
+    val build = pts
+      .join(broadcast(zm), $"zone" === $"zm_zone")
+      .select($"k".as("k2"), $"ra".as("ra2"), $"decl".as("decl2"),
+        $"zone".as("z2"),
+        floor($"ra" * $"nrb" / 360.0).cast("int").as("rb2"))
     val probe = pts
       .withColumn("zp", explode(array($"zone" - 1, $"zone", $"zone" + 1)))
-      .withColumn("rp", explode(array(
-        pmod($"rb" - 1 + nRb, lit(nRb)), $"rb", pmod($"rb" + 1, lit(nRb)))))
+      .join(broadcast(zm), $"zp" === $"zm_zone")
+      .withColumn("c", floor($"ra" * $"nrb" / 360.0).cast("int"))
+      .withColumn("rp", explode(array_distinct(array(
+        pmod($"c" - 1, $"nrb"), pmod($"c", $"nrb"), pmod($"c" + 1, $"nrb")))))
       .select($"k".as("k1"), $"ra".as("ra1"), $"decl".as("decl1"), $"zp", $"rp")
     probe
       .join(build, probe("zp") === build("z2") && probe("rp") === build("rb2"))
@@ -142,6 +176,40 @@ object Spatial {
        |    ROUND(${distDegSql("a.ra", "a.decl", "b.ra", "b.decl")}, 6) AS dist_r6
        |  FROM ($pointsSql) a JOIN ($pointsSql) b ON a.k < b.k) t
        |WHERE dist_r6 < 1.0 ORDER BY k1, k2""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Materialize the point catalog zone-partitioned: the dec stripe
+    * (5° zones by default) is the PHYSICAL partition key, so spatial
+    * scans prune at the source — the SURVEY §5 claim that the zone key
+    * doubles as the shard key, made concrete. */
+  def writeZonePartitioned(s: SparkSession, dir: String, outPath: String,
+    zoneHeight: Double = 5.0): Unit = {
+    import s.implicits._
+    graft.sources.Catalog.writePartitioned(
+      points(s, dir)
+        .withColumn("zone", floor(($"decl" + 90.0) / zoneHeight).cast("int")),
+      outPath, Seq("zone"))
+  }
+
+  /** Cone search against a zone-partitioned layout: the zone-range
+    * predicate is a PARTITION filter (dec ∈ [decC ± radius] ⇒ zone ∈
+    * [⌊(decC−r+90)/h⌋, ⌊(decC+r+90)/h⌋]), so the scan reads only the
+    * overlapping dec stripes; the exact haversine keeps the cone.
+    * Same result as [[qConeSearch]] over the flat table — the spec
+    * asserts both that and the pruning. */
+  def conePartitioned(s: SparkSession, path: String, raC: Double,
+    decC: Double, radius: Double, zoneHeight: Double = 5.0): DataFrame = {
+    import s.implicits._
+    val zLo = math.floor((decC - radius + 90.0) / zoneHeight).toInt
+    val zHi = math.floor((decC + radius + 90.0) / zoneHeight).toInt
+    s.read.parquet(path)
+      .filter($"zone" >= zLo && $"zone" <= zHi)
+      .withColumn("dist_r6",
+        round(distDeg($"ra", $"decl", lit(raC), lit(decC)), 6))
+      .filter($"dist_r6" < radius)
+      .select($"k", $"ra", $"decl", $"dist_r6")
+      .orderBy($"k")
+  }
 
   // ---------------------------------------------------------------
   /** Density map over a 5°×5° (zone, ra-cell) grid — Qserv's

@@ -78,6 +78,50 @@ object Catalog {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  // ---------------------------------------------------------------
+  // Idempotent table lifecycle — the reference's create/drop-table
+  // management surface: a catalog admin can re-run any ingest script
+  // without caring whether the table already exists, and appends are
+  // schema-checked so drifting input files fail loudly instead of
+  // corrupting the table.
+
+  private def fs(s: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Does a materialized table exist at `path`? */
+  def tableExists(s: SparkSession, path: String): Boolean = {
+    val (f, p) = fs(s, path)
+    f.exists(p)
+  }
+
+  /** Create the table from `df` only if absent; returns true when the
+    * write happened. Re-running an ingest script is a no-op. */
+  def createIfAbsent(s: SparkSession, df: DataFrame, path: String): Boolean =
+    if (tableExists(s, path)) false
+    else { df.write.mode("errorifexists").parquet(path); true }
+
+  /** Drop the table if present; returns true when something was
+    * removed. Dropping a missing table is a no-op, not an error. */
+  def dropIfExists(s: SparkSession, path: String): Boolean = {
+    val (f, p) = fs(s, path)
+    f.exists(p) && f.delete(p, true)
+  }
+
+  /** Append `df` to the declared catalog table at `path`, rejecting
+    * schema drift (name or type mismatch against `schemas(table)`)
+    * BEFORE any data is written — the FAILFAST half of idempotent
+    * ingest. Nullability is not part of the contract (Spark widens it
+    * freely on read). */
+  def append(s: SparkSession, table: String, df: DataFrame, path: String): Unit = {
+    val want = schemas(table).map(f => (f.name, f.dataType))
+    val got = df.schema.map(f => (f.name, f.dataType))
+    require(got == want,
+      s"schema drift appending to $table: got $got, declared $want")
+    df.write.mode("append").parquet(path)
+  }
+
   /** Bucketed catalog table: pre-shuffled on the join key at ingest
     * time, so every later equi-join/aggregation on that key is
     * co-located — zero Exchange in the plan (the SURVEY §5 strategy

@@ -77,6 +77,42 @@ class CatalogSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("lifecycle: create-if-absent is idempotent, drop-if-exists tolerates missing") {
+    val out = Files.createTempDirectory("graft_life").toString + "/nation"
+    val nation = Catalog.readParquet(spark, "nation", s"$sf/nation.parquet")
+    assert(!Catalog.tableExists(spark, out))
+    assert(Catalog.createIfAbsent(spark, nation, out), "first create must write")
+    val n1 = spark.read.parquet(out).count()
+    // second create: no-op, same contents (idempotent re-run of ingest)
+    assert(!Catalog.createIfAbsent(spark, nation.limit(1), out))
+    assert(spark.read.parquet(out).count() == n1, "second create must not write")
+    assert(Catalog.dropIfExists(spark, out), "drop must remove the table")
+    assert(!Catalog.tableExists(spark, out))
+    assert(!Catalog.dropIfExists(spark, out), "drop-missing must be a no-op")
+  }
+
+  test("lifecycle: append grows the table; schema drift is rejected before writing") {
+    val out = Files.createTempDirectory("graft_app").toString + "/nation"
+    val nation = Catalog.readParquet(spark, "nation", s"$sf/nation.parquet")
+    Catalog.createIfAbsent(spark, nation, out)
+    val n1 = spark.read.parquet(out).count()
+    Catalog.append(spark, "nation", nation, out)
+    assert(spark.read.parquet(out).count() == 2 * n1)
+    // drifted schema (missing column) must fail fast and write nothing
+    val drifted = nation.drop("n_regionkey")
+    val e = intercept[IllegalArgumentException] {
+      Catalog.append(spark, "nation", drifted, out)
+    }
+    assert(e.getMessage.contains("schema drift"))
+    assert(spark.read.parquet(out).count() == 2 * n1, "failed append must not write")
+    // drifted type (int -> string) must also fail
+    val retyped = nation.withColumn("n_nationkey",
+      org.apache.spark.sql.functions.col("n_nationkey").cast("string"))
+    intercept[IllegalArgumentException] {
+      Catalog.append(spark, "nation", retyped, out)
+    }
+  }
+
   test("csv ingest round-trips with the declared schema") {
     val out = Files.createTempDirectory("graft_csv").toString
     val nation = Catalog.readParquet(spark, "nation", s"$sf/nation.parquet")
@@ -125,6 +161,45 @@ class EventStreamSpec extends AnyFunSuite {
       input.addData(Event(1, ts(0), 1, "click", 1.0)) // replay in later batch
       q.processAllAvailable()
       assert(spark.table("dedup").count() == 2)
+    } finally q.stop()
+  }
+
+  test("streaming sessionize matches batch q_sessionize on the replayed events table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // replay the real events table (ts nanos -> ms timestamps)
+    val evs = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => Event(r.getLong(0), new Timestamp(r.getLong(1) / 1000000L),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val maxMs = evs.map(_.ts.getTime).max
+    val gapS = 6L * 3600 // same 6h gap as batch q_sessionize
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapSeconds = gapS)
+      .writeStream.format("memory").queryName("sess_parity")
+      .outputMode("append").start()
+    try {
+      input.addData(evs.toSeq)
+      q.processAllAvailable()
+      // sentinel for a dummy user far in the future: pushes the
+      // watermark past every real session's last+gap so all time out
+      input.addData(Event(-1L, new Timestamp(maxMs + 1000L * 3600 * 100),
+        999999999L, "x", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_parity")
+        .filter($"closed" && $"user_id" =!= 999999999L)
+        .select($"user_id", $"session_start", $"session_end", $"n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+          r.getTimestamp(2).getTime, r.getLong(3))).toSet
+      // batch sessions, start/end truncated micros -> ms to match
+      val batch = queries.TimeSeries.qSessionize(spark, sf)
+        .selectExpr("user_id", "start_tus DIV 1000 AS s_ms",
+          "end_tus DIV 1000 AS e_ms", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"stream-only: ${(streamed diff batch).take(3)}; batch-only: ${(batch diff streamed).take(3)}")
     } finally q.stop()
   }
 

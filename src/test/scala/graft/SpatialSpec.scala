@@ -36,4 +36,56 @@ class SpatialSpec extends AnyFunSuite {
     val total = df.agg(sum("n")).head.getLong(0)
     assert(total == Tables.customer(spark, sf).count())
   }
+
+  test("adaptive ra-bucket grid is much finer than the old fixed 12-degree cells") {
+    val nrb = queries.Spatial.zoneRaBuckets(1.0, 1.0).toMap
+    // equator zone (dec in [-1, 0)): bound ~1.0006 deg -> ~359 buckets
+    assert(nrb(89) >= 300, s"equator zone too coarse: ${nrb(89)}")
+    // |dec|=85 edge zone: bound = 2*asin(sin(.5deg)/cos(86deg)) ~ 14.3 deg
+    assert(nrb(174) >= 20 && nrb(174) <= 30, s"polar zone: ${nrb(174)}")
+    // total grid cells: old fixed grid had 30/zone; adaptive must dominate
+    val total = nrb.filterKeys(z => z >= 5 && z <= 174).values.map(_.toLong).sum
+    assert(total > 170L * 30 * 5, s"grid only $total cells")
+    // every zone's bucket width must still cover the worst-case ra drift
+    assert(nrb.values.forall(_ >= 1))
+  }
+
+  test("cone search over the zone-partitioned catalog prunes partitions and matches the flat scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft_zones").toString
+    queries.Spatial.writeZonePartitioned(spark, sf, out)
+    val zoneDirs = new java.io.File(out).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("zone="))
+    assert(zoneDirs > 20, s"expected many zone dirs, got $zoneDirs")
+
+    // AQE wraps finished stages in leaf QueryStage nodes that hide the
+    // scan from plan.collect; partition pruning is static anyway, so
+    // assert on a non-adaptive plan.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val cone = queries.Spatial.conePartitioned(spark, out, 180.0, 20.0, 25.0)
+      // identical answer to the flat-table cone search
+      val flat = queries.Spatial.qConeSearch(spark, sf)
+        .select("k").collect().map(_.getLong(0)).toSet
+      val part = cone.select("k").collect().map(_.getLong(0)).toSet
+      assert(part == flat, s"partitioned cone differs: ${(part diff flat) ++ (flat diff part)}")
+
+      // the scan must carry a partition filter on zone and read only the
+      // cone's dec stripes ([-5, 45] -> zones 17..27, 11 of ~34 dirs)
+      cone.collect() // execute so the scan metrics are final
+      val scans = cone.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty,
+        "no PartitionFilters on the zone-partitioned scan")
+      val planStr = scans.head.toString
+      assert(planStr.contains("PartitionFilters"), "PartitionFilters missing from plan")
+      val numFiles = scans.head.metrics("numFiles").value
+      val totalFiles = new java.io.File(out).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("zone="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet")).toLong).sum
+      assert(numFiles > 0 && numFiles < totalFiles,
+        s"scan read $numFiles of $totalFiles files - no pruning")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
