@@ -39,6 +39,14 @@ object VectorOps {
       ColumnBridge.expression(expr(a)), ColumnBridge.expression(expr(b))))
   }
 
+  /** Column form of [[dot]] — lets one side be a literal vector (e.g.
+    * a broadcast IVF codebook entry baked into the plan). */
+  def dotC(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftx.ColumnBridge
+    ColumnBridge.column(IntVecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** cosine from exact integer dot + squared norms — deterministic. */
   def cosine(dot: Column, normA: Column, normB: Column): Column =
     dot.cast("double") / (sqrt(normA.cast("double")) * sqrt(normB.cast("double")))

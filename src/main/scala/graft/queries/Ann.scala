@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -87,6 +87,64 @@ object Ann {
     topK(scored(s, dir, useBuckets = true, multiProbe = true))
 
   // ---------------------------------------------------------------
+  private val NCentroids = 8
+  private val NProbe = 2
+
+  /** IVF-style ANN with a deterministic codebook.
+    *
+    * The centroids are the embedding vectors with vec_id in
+    * [NQueries, NQueries+NCentroids) — a stand-in for the k-means
+    * train step, which at scale runs once offline and ships its
+    * codebook to every executor exactly as done here (the tiny
+    * driver-side collect is the model parameters, not data-plane).
+    *
+    * Phase shapes (the 100 TB path):
+    *  1. assign: per-row argmax over the LITERAL codebook (baked into
+    *     the plan as constant arrays) — one corpus scan, zero shuffle;
+    *     at rest the assigned list id is the partition key, so probing
+    *     prunes at the scan.
+    *  2. probe: each query scores the same codebook and keeps its
+    *     NProbe nearest lists (recall lever, like LSH multi-probe).
+    *  3. exact integer-cosine re-rank of candidates in the probed
+    *     lists only (~NProbe/NCentroids of the corpus), then the same
+    *     two-phase salted top-k as brute force.
+    *
+    * Tie-breaking is (cosine desc, centroid id asc) everywhere, via
+    * struct ordering on (cos, -cid) — bit-identical to the oracle's
+    * ROW_NUMBER, since cosines are exact-integer-derived doubles. */
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).select(
+      $"vec_id", VectorOps.intVec("embedding").as("iv"))
+      .withColumn("nrm", VectorOps.normSq("iv"))
+    // "train": deterministic codebook (cid = the centroid's vec_id)
+    val cents: Seq[(Long, Seq[Long], Long)] = e
+      .filter($"vec_id" >= NQueries && $"vec_id" < NQueries + NCentroids)
+      .orderBy($"vec_id").collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    def centScores(iv: Column, nrm: Column): Column =
+      array(cents.map { case (cid, civ, cn) =>
+        struct(
+          VectorOps.cosine(VectorOps.dotC(iv, typedLit(civ)), nrm, lit(cn))
+            .as("cos"),
+          lit(-cid).as("negcid"))
+      }: _*)
+    val assigned = e.withColumn("acid",
+      -array_max(centScores($"iv", $"nrm")).getField("negcid"))
+    val probes = e.filter($"vec_id" < NQueries)
+      .withColumn("scores", centScores($"iv", $"nrm"))
+      .withColumn("probe", explode(expr(
+        s"transform(slice(sort_array(scores, false), 1, $NProbe), x -> -x.negcid)")))
+      .select($"vec_id".as("qid"), $"iv".as("qiv"), $"nrm".as("qnrm"), $"probe")
+    val cand = assigned
+      .join(broadcast(probes), $"acid" === $"probe" && $"vec_id" =!= $"qid")
+      .withColumn("dot", VectorOps.dot("qiv", "iv"))
+      .withColumn("cosine", VectorOps.cosine($"dot", $"qnrm", $"nrm"))
+      .select($"qid", $"vec_id".as("vid"), $"dot", $"cosine")
+    topK(cand)
+  }
+
+  // ---------------------------------------------------------------
   private def oracleSql(bucketJoin: Boolean): String = {
     val bucket = VectorOps.Sql.signBucket("embedding", Dedup.BucketDims)
     // multi-probe twin: candidate iff buckets are equal or differ in
@@ -120,12 +178,53 @@ object Ann {
   val qAnnBruteforceSql: String = oracleSql(bucketJoin = false)
   val qAnnLshSql: String = oracleSql(bucketJoin = true)
 
+  /** Oracle twin of [[qAnnIvf]]: same codebook (vec_ids 5..12), same
+    * (cos desc, cid asc) tie-breaks via ROW_NUMBER. */
+  val qAnnIvfSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, i, CAST(ROUND(CAST(v AS DOUBLE) * ${VectorOps.ScaleLit}) AS BIGINT) AS vi
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+       |n AS (SELECT vec_id, SUM(vi * vi) AS nrm FROM e GROUP BY vec_id),
+       |cent AS (SELECT vec_id AS cid FROM embeddings
+       |         WHERE vec_id >= $NQueries AND vec_id < ${NQueries + NCentroids}),
+       |cd AS (SELECT ev.vec_id AS vid, cent.cid,
+       |         CAST(SUM(ev.vi * ec.vi) AS BIGINT) AS dot
+       |       FROM e ev CROSS JOIN cent
+       |         JOIN e ec ON ec.vec_id = cent.cid AND ec.i = ev.i
+       |       GROUP BY 1, 2),
+       |cs AS (SELECT vid, cid,
+       |         CAST(dot AS DOUBLE) / (SQRT(CAST(nv.nrm AS DOUBLE)) * SQRT(CAST(nc.nrm AS DOUBLE))) AS cos
+       |       FROM cd JOIN n nv ON nv.vec_id = vid JOIN n nc ON nc.vec_id = cid),
+       |assign AS (SELECT vid, cid FROM (
+       |    SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, cid) AS rn
+       |    FROM cs) t WHERE rn = 1),
+       |qp AS (SELECT vid AS qid, cid FROM (
+       |    SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, cid) AS rn
+       |    FROM cs WHERE vid < $NQueries) t WHERE rn <= $NProbe),
+       |cand AS (SELECT qp.qid, a.vid FROM qp
+       |         JOIN assign a ON a.cid = qp.cid AND a.vid <> qp.qid),
+       |d AS (SELECT cand.qid, cand.vid, CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
+       |      FROM cand JOIN e ea ON ea.vec_id = cand.qid
+       |                JOIN e eb ON eb.vec_id = cand.vid AND eb.i = ea.i
+       |      GROUP BY 1, 2),
+       |c AS (SELECT qid, vid, dot,
+       |        CAST(dot AS DOUBLE) / (SQRT(CAST(nq.nrm AS DOUBLE)) * SQRT(CAST(nv.nrm AS DOUBLE))) AS cosine
+       |      FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid)
+       |SELECT qid, vid, dot, cosine, rnk FROM (
+       |  SELECT qid, vid, dot, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rnk
+       |  FROM c) t
+       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+
   // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
-    "q_ann_lsh" -> (qAnnLsh _))
+    "q_ann_lsh" -> (qAnnLsh _),
+    "q_ann_ivf" -> (qAnnIvf _))
 
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce" -> qAnnBruteforceSql,
-    "q_ann_lsh" -> qAnnLshSql)
+    "q_ann_lsh" -> qAnnLshSql,
+    "q_ann_ivf" -> qAnnIvfSql)
 }

@@ -210,17 +210,71 @@ object TimeSeries {
       |GROUP BY 1, 2 ORDER BY event_type, k_bucket""".stripMargin
 
   // ---------------------------------------------------------------
+  /** ±30 min neighbor window, in exact integer micros. */
+  private val RangeWUs = 1800000000L
+  /** Per-user event cap for the range join (skew guard): a runaway
+    * key (bot, sensor stuck in a loop) is excluded instead of handed
+    * a quadratic task. Mirrored in the oracle. */
+  val RangeUserCap = 10000L
+
+  /** Range (interval) self-join: for every event, count the same
+    * user's other events within ±30 min and the nearest gap — the
+    * non-equi-join shape Spark would otherwise plan as a nested loop.
+    *
+    * Scale shape: bucketize time at the window width W; the probe side
+    * explodes to its 3 adjacent buckets and equi-joins on
+    * (user_id, bucket) — candidate amplification is exactly 3×, the
+    * |Δt| ≤ W predicate verifies, and each pair arises once (the build
+    * event's home bucket). One shuffle on a key whose cardinality
+    * grows with users × time — never a BroadcastNestedLoopJoin. The
+    * per-user cap bounds the per-(user,bucket) quadratic verify; the
+    * neighbor-count SEMANTICS is pairwise, so the cap is the declared
+    * rate-limit guard, mirrored in the oracle. */
+  def qRangeNbr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wU = Window.partitionBy($"user_id")
+    val ev = series(s, dir)
+      .select($"user_id", $"event_id", $"tus")
+      .withColumn("nu", count(lit(1)).over(wU))
+      .filter($"nu" <= RangeUserCap).drop("nu")
+      .withColumn("tb", expr(s"tus DIV $RangeWUs"))
+    val probe = ev
+      .withColumn("tbp", explode(array($"tb" - 1, $"tb", $"tb" + 1)))
+      .select($"user_id", $"event_id".as("e1"), $"tus".as("t1"), $"tbp")
+    val build = ev.select($"user_id".as("u2"), $"event_id".as("e2"), $"tus".as("t2"), $"tb")
+    probe
+      .join(build, probe("user_id") === build("u2") && probe("tbp") === build("tb"))
+      .filter($"e1" =!= $"e2" && abs($"t2" - $"t1") <= RangeWUs)
+      .groupBy($"user_id", $"e1".as("event_id"))
+      .agg(count(lit(1)).as("n_nbr"), min(abs($"t2" - $"t1")).as("min_gap_us"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val qRangeNbrSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+       |  WHERE user_id IN (SELECT user_id FROM events GROUP BY 1
+       |                    HAVING COUNT(*) <= $RangeUserCap))
+       |SELECT a.user_id, a.event_id, COUNT(*) AS n_nbr,
+       |  CAST(MIN(ABS(b.tus - a.tus)) AS BIGINT) AS min_gap_us
+       |FROM ev a JOIN ev b ON a.user_id = b.user_id
+       |  AND a.event_id <> b.event_id AND ABS(b.tus - a.tus) <= $RangeWUs
+       |GROUP BY 1, 2 ORDER BY a.user_id, a.event_id""".stripMargin
+
+  // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lightcurve_stats" -> (qLightcurveStats _),
     "q_lightcurve_delta" -> (qLightcurveDelta _),
     "q_sessionize" -> (qSessionize _),
     "q_time_bucket" -> (qTimeBucket _),
-    "q_event_json" -> (qEventJson _))
+    "q_event_json" -> (qEventJson _),
+    "q_range_nbr" -> (qRangeNbr _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
     "q_lightcurve_delta" -> qLightcurveDeltaSql,
     "q_sessionize" -> qSessionizeSql,
     "q_time_bucket" -> qTimeBucketSql,
-    "q_event_json" -> qEventJsonSql)
+    "q_event_json" -> qEventJsonSql,
+    "q_range_nbr" -> qRangeNbrSql)
 }

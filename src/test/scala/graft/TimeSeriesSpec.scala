@@ -14,6 +14,20 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_range_nbr neighbor counts are symmetric and within the window") {
+    val df = queries.TimeSeries.qRangeNbr(spark, sf).cache()
+    // every (a,b) neighbor pair contributes to both a's and b's count,
+    // so the total neighbor count is even
+    val total = df.agg(sum("n_nbr")).head.getLong(0)
+    assert(total > 0 && total % 2 == 0, s"asymmetric neighbor total $total")
+    assert(df.filter("min_gap_us < 0 OR min_gap_us > 1800000000").count() == 0)
+    // scale shape: bucketed equi-join, never a nested-loop product
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "range join planned as a product")
+    df.unpersist()
+  }
+
   test("q_lightcurve_stats covers every user once, var_num >= 0") {
     val df = queries.TimeSeries.qLightcurveStats(spark, sf)
     val users = Tables.events(spark, sf).select("user_id").distinct().count()
