@@ -122,6 +122,45 @@ object Catalog {
     df.write.mode("append").parquet(path)
   }
 
+  // ---------------------------------------------------------------
+  /** Fixed-width binary-record ingest — the FITS-bintable analog of
+    * the reference's bulk-load path (a FITS BINTABLE is a stream of
+    * fixed-width big-endian records described by its header; here the
+    * declared `StructType` plays the header).
+    *
+    * `binaryRecords` splits the file on exact record boundaries, so
+    * ingest parallelism is the usual HDFS-split parallelism, and the
+    * per-partition ByteBuffer decode is the one legitimately
+    * imperative step (same pattern as the multimodal blob decoder) —
+    * rows land in a normal DataFrame with the declared schema, so
+    * everything downstream (pruning, predicate pushdown once written
+    * to parquet) is unchanged. Supported field types: Long/Double (8
+    * bytes), Int/Float (4), Short (2) — all big-endian, as FITS
+    * mandates. */
+  def readBinaryRecords(s: SparkSession, path: String, schema: StructType): DataFrame = {
+    def width(dt: DataType): Int = dt match {
+      case LongType | DoubleType => 8
+      case IntegerType | FloatType => 4
+      case ShortType => 2
+      case other => throw new IllegalArgumentException(
+        s"unsupported binary-record field type $other")
+    }
+    val recLen = schema.fields.map(f => width(f.dataType)).sum
+    val fields = schema.fields.map(f => f.dataType)
+    val rdd = s.sparkContext.binaryRecords(path, recLen).map { bytes =>
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
+      org.apache.spark.sql.Row.fromSeq(fields.map {
+        case LongType => bb.getLong()
+        case DoubleType => bb.getDouble()
+        case IntegerType => bb.getInt()
+        case FloatType => bb.getFloat()
+        case ShortType => bb.getShort()
+        case other => throw new IllegalStateException(other.toString)
+      }.toSeq)
+    }
+    s.createDataFrame(rdd, schema)
+  }
+
   /** Bucketed catalog table: pre-shuffled on the join key at ingest
     * time, so every later equi-join/aggregation on that key is
     * co-located — zero Exchange in the plan (the SURVEY §5 strategy

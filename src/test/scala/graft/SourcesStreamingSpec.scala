@@ -113,6 +113,25 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("fixed-width binary-record ingest decodes big-endian records (FITS-bintable analog)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("flux", DoubleType),
+      StructField("band", IntegerType)))
+    val recs = (0 until 100).map(i => (i.toLong, i * 1.5, i % 6))
+    val bb = java.nio.ByteBuffer.allocate(recs.length * 20)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    recs.foreach { case (id, flux, band) =>
+      bb.putLong(id); bb.putDouble(flux); bb.putInt(band)
+    }
+    val f = Files.createTempDirectory("graft_bin").resolve("table.bin")
+    Files.write(f, bb.array())
+    val df = Catalog.readBinaryRecords(spark, f.toString, schema)
+    assert(df.schema == schema)
+    val back = df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).sortBy(_._1)
+    assert(back.toSeq == recs)
+  }
+
   test("csv ingest round-trips with the declared schema") {
     val out = Files.createTempDirectory("graft_csv").toString
     val nation = Catalog.readParquet(spark, "nation", s"$sf/nation.parquet")
