@@ -232,11 +232,17 @@ object TimeSeries {
     * rate-limit guard, mirrored in the oracle. */
   def qRangeNbr(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val wU = Window.partitionBy($"user_id")
+    // heavy-hitter exclusion as a broadcast anti-join, NOT a window:
+    // the per-user counts are a map-side-combinable aggregate (one
+    // tiny shuffle of counts), and the events table itself then
+    // shuffles exactly once — for the (user, bucket) join below. The
+    // heavy list is bounded by total/cap, so it broadcasts.
+    val heavy = series(s, dir).groupBy($"user_id")
+      .agg(count(lit(1)).as("nu")).filter($"nu" > RangeUserCap)
+      .select($"user_id")
     val ev = series(s, dir)
       .select($"user_id", $"event_id", $"tus")
-      .withColumn("nu", count(lit(1)).over(wU))
-      .filter($"nu" <= RangeUserCap).drop("nu")
+      .join(broadcast(heavy), Seq("user_id"), "left_anti")
       .withColumn("tb", expr(s"tus DIV $RangeWUs"))
     val probe = ev
       .withColumn("tbp", explode(array($"tb" - 1, $"tb", $"tb" + 1)))

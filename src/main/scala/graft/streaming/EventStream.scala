@@ -43,6 +43,27 @@ object EventStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-stream interval join: each click pairs with the same
+    * user's views from the preceding hour. Both sides are watermarked
+    * and the join condition bounds event-time distance, so Spark can
+    * expire join state — the requirement for an unbounded stream-
+    * stream join (without the interval bound, state grows forever). */
+  def clickViewJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("view_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    clicks.join(views, expr(
+      """user_id = view_user AND
+        |view_ts BETWEEN click_ts - INTERVAL 1 HOUR AND click_ts""".stripMargin))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   /** Gap-based sessionization with explicit state: a session closes
     * when no event arrives for `gapSeconds` (in-batch for observed
     * gaps; via event-time timeout once the watermark passes the gap

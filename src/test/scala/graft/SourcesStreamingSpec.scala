@@ -183,6 +183,24 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with preceding views only") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.clickViewJoin(input.toDF())
+      .writeStream.format("memory").queryName("cvj").outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "view", 1.0),   // within the hour before click
+        Event(2, ts(30), 7, "click", 1.0), // joins view 1
+        Event(3, ts(90), 7, "view", 1.0),  // AFTER the click: must not join it
+        Event(4, ts(0), 8, "view", 1.0))   // other user: must not join
+      q.processAllAvailable()
+      val rows = spark.table("cvj").collect()
+      assert(rows.length == 1, s"expected exactly one click-view pair, got ${rows.toSeq}")
+      assert(rows.head.getAs[Long]("click_id") == 2 && rows.head.getAs[Long]("view_id") == 1)
+    } finally q.stop()
+  }
+
   test("streaming sessionize matches batch q_sessionize on the replayed events table") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
