@@ -53,4 +53,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getLong(0) == 32L)
     assert(row.getLong(1) == 25L)
   }
+
+  test("wrong arity raises a clear analysis-time error, not a runtime surprise") {
+    for (bad <- Seq(
+      "SELECT simhash64()",
+      "SELECT simhash64('a', 'b')",
+      "SELECT int_vec_dot(array(1L))",
+      "SELECT int_vec_norm_sq()",
+      "SELECT minhash_sig('a', 1)")) {
+      val e = intercept[Exception](spark.sql(bad).collect())
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(_.isInstanceOf[IllegalArgumentException]),
+        s"$bad threw ${e.getClass} without an IllegalArgumentException cause: ${e.getMessage}")
+    }
+  }
+
+  test("TopKPerKey rejects k < 1 and resolves columns case-insensitively") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    val df = Seq((1, 10.0), (1, 20.0), (2, 5.0)).toDF("grp", "score")
+    intercept[IllegalArgumentException] {
+      plans.TopKPerKey(df, Seq("grp"), Seq("score" -> false), 0)
+    }
+    // case-insensitive resolution (spark.sql.caseSensitive=false default)
+    val top = plans.TopKPerKey(df, Seq("GRP"), Seq("SCORE" -> false), 1)
+    assert(top.count() == 2)
+  }
 }
