@@ -305,16 +305,60 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  /** End-to-end cleaning pipeline — the composition every training-
+    * data ingest runs before tokenization: quality gate (same rule as
+    * q_text_quality's keep flag) → exact dedup among kept docs →
+    * per-language corpus stats. One window on the content hash
+    * (high-cardinality) + one map-side-combinable aggregate; linear
+    * at any corpus size. */
+  def qPipelineClean(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"fp")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang", md5($"text").as("fp"),
+        expr("size(split(text, ' '))").as("n_words"),
+        expr("size(filter(split(text, ' '), w -> w IN ('the', 'a')))").as("stop_hits"))
+      .filter($"n_words" >= 40 && $"stop_hits" > 0)
+      .withColumn("canonical_id", min($"doc_id").over(w))
+      .filter($"doc_id" === $"canonical_id")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_words").as("total_words"),
+        min($"doc_id").as("min_doc"),
+        max($"doc_id").as("max_doc"))
+      .orderBy($"lang")
+  }
+
+  val qPipelineCleanSql: String =
+    """WITH kept AS (
+      |  SELECT doc_id, lang, MD5(text) AS fp,
+      |    CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_words
+      |  FROM documents
+      |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 40
+      |    AND LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ('the', 'a'))) > 0),
+      |canon AS (SELECT doc_id, lang, n_words FROM (
+      |    SELECT doc_id, lang, n_words,
+      |      MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM kept) t
+      |  WHERE doc_id = canonical_id)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_words) AS BIGINT) AS total_words,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM canon GROUP BY 1 ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_lsh_pairs" -> (qDedupLshPairs _),
     "q_dedup_simhash" -> (qDedupSimhash _),
-    "q_dedup_embedding" -> (qDedupEmbedding _))
+    "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_pipeline_clean" -> (qPipelineClean _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
-    "q_dedup_embedding" -> qDedupEmbeddingSql)
+    "q_dedup_embedding" -> qDedupEmbeddingSql,
+    "q_pipeline_clean" -> qPipelineCleanSql)
 }

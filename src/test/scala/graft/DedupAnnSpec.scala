@@ -126,6 +126,17 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(single.subsetOf(multi) || rMulti >= rSingle) // probes only widen candidates
   }
 
+  test("q_pipeline_clean keeps at most the quality-passing canonical docs") {
+    val stats = queries.Dedup.qPipelineClean(spark, sf)
+    val kept = stats.agg(sum("n_docs")).head.getLong(0)
+    val total = Tables.documents(spark, sf).count()
+    assert(kept > 0 && kept <= total)
+    // the kept count can never exceed the number of distinct contents
+    val distinctContents = Tables.documents(spark, sf)
+      .select(md5(col("text"))).distinct().count()
+    assert(kept <= distinctContents)
+  }
+
   test("q_ann_ivf returns ranked neighbors from the probed lists only") {
     val df = queries.Ann.qAnnIvf(spark, sf).cache()
     assert(df.count() > 0)
