@@ -297,6 +297,33 @@ object CoreOlap {
       |ORDER BY nation, segment""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Full CUBE over (returnflag, linestatus) with the grouping-id
+    * bitmask — the GROUPING SETS shape (ROLLUP's superset). The
+    * "(all)" coalescing keeps the NULL subtotal markers printable and
+    * makes the bitmask the authoritative level indicator. */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"l_quantity" * 100).cast("long")).as("qty_c100"),
+        grouping_id().cast("int").as("gid"))
+      .select(coalesce($"l_returnflag", lit("(all)")).as("returnflag"),
+        coalesce($"l_linestatus", lit("(all)")).as("linestatus"),
+        $"n", $"qty_c100", $"gid")
+      .orderBy($"gid", $"returnflag", $"linestatus")
+  }
+
+  val qCubeSql: String =
+    """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+      |  COALESCE(l_linestatus, '(all)') AS linestatus,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c100,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, returnflag, linestatus""".stripMargin
+
+  // ---------------------------------------------------------------
   def qCasePivot(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // ts is Long nanos (nanosAsLong); integer DIV keeps full precision
@@ -410,6 +437,7 @@ object CoreOlap {
     "q_semi_join" -> (qSemiJoin _),
     "q_anti_join" -> (qAntiJoin _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
     "q_case_pivot" -> (qCasePivot _),
     "q_corr_subquery" -> (qCorrSubquery _),
     "q_asof_join" -> (qAsofJoin _))
@@ -425,6 +453,7 @@ object CoreOlap {
     "q_semi_join" -> qSemiJoinSql,
     "q_anti_join" -> qAntiJoinSql,
     "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
     "q_case_pivot" -> qCasePivotSql,
     "q_corr_subquery" -> qCorrSubquerySql,
     "q_asof_join" -> qAsofJoinSql,
