@@ -70,7 +70,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c) => IntVecNormSq(c)
         case _ => throw new IllegalArgumentException("int_vec_norm_sq(vec)")
       }))
-    // whole-operator extension: plan TopKPerKeyNode via its strategy
+    // whole-operator extension: plan TopKPerKeyNode via its strategy,
+    // and rewrite the row_number()<=k window idiom onto it
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }

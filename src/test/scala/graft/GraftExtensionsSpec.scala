@@ -69,6 +69,35 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("row_number()<=k window filter is rewritten onto the bounded-heap TopK operator") {
+    import org.apache.spark.sql.functions._
+    val sf = SparkTestSession.sf
+    def topn(s: org.apache.spark.sql.SparkSession) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+      s.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+    }
+    val rewritten = topn(spark)
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopK") && plan.contains("FinalTopK"),
+      s"TopKRewrite did not fire:\n$plan")
+    // byte-identical rows vs the plain window plan in the vanilla session
+    val got = rewritten.collect().map(_.toString).sorted.toSeq
+    val want = topn(SparkTestSession.spark).collect().map(_.toString).sorted.toSeq
+    assert(got == want)
+    // a shape the rule must NOT touch: rank() instead of row_number()
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("l_quantity").desc)
+    val ranked = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("rk", rank().over(w2)).filter(col("rk") <= 3)
+    assert(!ranked.queryExecution.executedPlan.toString.contains("PartialTopK"))
+    assert(ranked.count() > 0)
+  }
+
   test("TopKPerKey rejects k < 1 and resolves columns case-insensitively") {
     val s = SparkTestSession.spark
     import s.implicits._
