@@ -78,6 +78,45 @@ class AlgorithmPropertySpec extends AnyFunSuite {
     assert(nearSum.toDouble / trials < 4.0, s"near pairs too distant: ${nearSum / trials.toDouble}")
   }
 
+  test("adaptive zone grid is lossless: any pair within radius lands in adjacent cells") {
+    // the geometric claim behind q_zone_xmatch: for every pair within
+    // the match radius, the probe's 3x3 neighborhood (in the BUILD
+    // point's zone, using that zone's bucket count) covers the build
+    // point's home cell. Random-pair stress over the full sky incl.
+    // polar caps and the ra wrap seam.
+    val radius = 1.0
+    val nrb = queries.Spatial.zoneRaBuckets(radius, radius).toMap
+    def distDeg(ra1: Double, d1: Double, ra2: Double, d2: Double): Double = {
+      val r = math.Pi / 180
+      val sd = math.sin((d1 - d2) * r / 2)
+      val sr = math.sin((ra1 - ra2) * r / 2)
+      val h = sd * sd + math.cos(d1 * r) * math.cos(d2 * r) * sr * sr
+      math.asin(math.sqrt(h)) * 2 * 180 / math.Pi
+    }
+    val prng = new scala.util.Random(7)
+    var checked = 0
+    for (_ <- 1 to 200000) {
+      val d1 = prng.nextDouble() * 170 - 85 // data's dec range
+      val ra1 = prng.nextDouble() * 360
+      // second point biased to be nearby (so many pairs are in-radius)
+      val d2 = math.max(-85, math.min(85, d1 + (prng.nextDouble() - 0.5) * 3))
+      val ra2 = (ra1 + (prng.nextDouble() - 0.5) * 30 + 360) % 360
+      if (distDeg(ra1, d1, ra2, d2) < radius) {
+        checked += 1
+        val z1 = math.floor((d1 + 90) / radius).toInt
+        val z2 = math.floor((d2 + 90) / radius).toInt
+        assert(math.abs(z1 - z2) <= 1, s"zones too far: $z1 $z2 ($d1 $d2)")
+        val n = nrb(z2) // the build zone's bucket count
+        val c1 = math.floor(ra1 * n / 360.0).toInt
+        val c2 = math.floor(ra2 * n / 360.0).toInt
+        val diff = math.min(math.floorMod(c1 - c2, n), math.floorMod(c2 - c1, n))
+        assert(diff <= 1,
+          s"ra buckets not adjacent: c1=$c1 c2=$c2 n=$n (ra $ra1/$ra2 dec $d1/$d2)")
+      }
+    }
+    assert(checked > 3000, s"too few in-radius pairs sampled: $checked")
+  }
+
   test("winnowing guarantees at least one fingerprint per window span") {
     // Schleimer et al. property: any k+w-1 char run contributes >= 1
     // selected gram; check density on synthetic text

@@ -113,6 +113,26 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint-bucketed catalog makes exact dedup shuffle-free") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Catalog.readParquet(spark, "documents", s"$sf/documents.parquet")
+      .withColumn("fp", md5($"text"))
+    Catalog.writeBucketed(docs, "docs_fp_b", "fp", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the dedup aggregate groups on the bucket column: the ingest-time
+      // layout already clusters it, so the plan needs NO exchange
+      val dedup = spark.table("docs_fp_b")
+        .groupBy($"fp").agg(min($"doc_id").as("canonical_id"))
+      assert(dedup.count() > 0)
+      val plan = dedup.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed dedup still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("fixed-width binary-record ingest decodes big-endian records (FITS-bintable analog)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
