@@ -43,6 +43,22 @@ object EventStream {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Continuous catalog ingest: append the event stream to a parquet
+    * table with checkpointed progress. The checkpoint + the file
+    * sink's transaction log give exactly-once ingest across restarts
+    * — stop the query, start it again with the same checkpoint, and
+    * already-committed batches are neither lost nor duplicated (the
+    * reference's repeated bulk-load path, streamed). Returns the
+    * started query; callers own its lifecycle. */
+  def ingestToCatalog(events: DataFrame, outPath: String,
+    checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Stream-stream interval join: each click pairs with the same
     * user's views from the preceding hour. Both sides are watermarked
     * and the join condition bounds event-time distance, so Spark can
