@@ -17,11 +17,15 @@ import org.apache.spark.sql.SparkSession
   *   never flatter the total.
   */
 object Bench {
+  /** The round-1/2 headline ten first (cross-round comparable), then
+    * the round-3 additions — totals across rounds are NOT comparable
+    * once the list grows; compare per-query values. */
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_topk_revenue", "q05_regional_join",
     "q_zone_xmatch", "q_dedup_minhash", "q_ann_bruteforce",
     "q_sessionize", "q_text_quality", "q_lightcurve_stats",
-    "q_asof_join")
+    "q_asof_join",
+    "q_ann_ivf", "q_range_nbr", "q_pipeline_clean")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -37,6 +41,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // local test files are ~1-10 MB; the 128 MB default split would

@@ -10,6 +10,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // dogfood the library's own extension point: SQL functions,
+      // TopK strategy and the row_number-rewrite rule are active for
+      // every verified query
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark 4
       // refuses by default; read as Long (nanos since epoch).
