@@ -26,6 +26,8 @@ object SaltedJoin {
   def apply(skewed: DataFrame, other: DataFrame, key: String,
     salts: Int, saltBy: Column): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    require(!skewed.columns.contains("__salt") && !other.columns.contains("__salt"),
+      "inputs already carry a __salt column; rename it before salting")
     val l = skewed.withColumn("__salt", pmod(xxhash64(saltBy), lit(salts.toLong)))
     val r = other.withColumn("__salt",
       explode(expr(s"sequence(0L, ${salts - 1}L)")))

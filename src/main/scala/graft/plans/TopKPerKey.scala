@@ -25,14 +25,19 @@ import org.apache.spark.sql.types.IntegerType
   * This operator instead:
   *   1. `PartialTopKExec` — one bounded heap per key per *input*
   *      partition (O(k) memory per key), no shuffle, emits ≤ k rows
-  *      per key per partition;
-  *   2. Exchange on the key (inserted automatically via
-  *      `requiredChildDistribution`) moves only `k × partitions` rows;
-  *   3. `FinalTopKExec` — merges the partials, emits exactly the top
-  *      k per key with a dense 1-based rank column.
+  *      per key per flush window; past a bounded buffer size it
+  *      FLUSHES and resets (hash-agg-style fallback), so any key
+  *      cardinality runs in bounded memory;
+  *   2. Exchange + Sort on the key (inserted automatically via
+  *      `requiredChildDistribution`/`requiredChildOrdering`) move only
+  *      the `≈ k × partitions`-per-key partial survivors;
+  *   3. `FinalTopKExec` — one streaming pass over the sorted groups
+  *      with a single O(k) heap, emitting exactly the top k per key
+  *      with a dense 1-based rank column.
   *
-  * Total shuffle volume is k·P rows instead of the whole table —
-  * the same partial/final shape as HashAggregate, applied to top-k.
+  * Total shuffle volume is ≈ k·P rows per key instead of the whole
+  * table — the same partial/final shape as HashAggregate, applied to
+  * top-k, and safe at any key cardinality.
   */
 object TopKPerKey {
 
@@ -46,10 +51,17 @@ object TopKPerKey {
     ensureStrategy(spark)
     val child = df.queryExecution.analyzed
     val caseSensitive = spark.sessionState.conf.caseSensitiveAnalysis
-    def attr(n: String): Attribute = child.output
-      .find(a => if (caseSensitive) a.name == n else a.name.equalsIgnoreCase(n))
-      .getOrElse(throw new IllegalArgumentException(
-        s"column $n not in ${child.output.map(_.name)}"))
+    def attr(n: String): Attribute = {
+      val matches = child.output
+        .filter(a => if (caseSensitive) a.name == n else a.name.equalsIgnoreCase(n))
+      matches match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $n not in ${child.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"column $n is ambiguous: matches ${many.map(_.name)}")
+      }
+    }
     val keyExprs: Seq[Expression] = keys.map(attr)
     val sortOrder = orderBy.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
@@ -89,57 +101,23 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
-/** Shared per-partition bounded-heap top-k. Keeps, per key, the k
-  * smallest rows under `order` (a max-heap of the current k, worst on
-  * top). Emits the survivors sorted per key.
-  *
-  * Memory model: one O(k) heap per distinct key per partition. The
-  * operator targets FEW-distinct-keys shapes (priorities, segments);
-  * past [[MaxKeysPerPartition]] distinct keys it fails loudly instead
-  * of silently risking executor OOM — a high-cardinality key should
-  * use a window (whose sort spills) instead. */
+/** Bounded-memory thresholds for the partial phase (hash-aggregate
+  * style fallback: hitting either limit FLUSHES the buffered heaps to
+  * the output and resets — always correct, since a flushed partial
+  * simply forwards more candidate rows to the final phase). */
 private[plans] object TopKHeaps {
-  /** Hard guard on per-partition heap count (≈ heap entry overhead ×
-    * k rows each past this is no longer "bounded state"). */
-  val MaxKeysPerPartition: Int = 1 << 20
-
-  def topKIter(iter: Iterator[InternalRow], keys: Seq[Expression],
-    order: Seq[SortOrder], k: Int, input: Seq[Attribute]): Iterator[(InternalRow, Array[InternalRow])] = {
-    val keyProj = UnsafeProjection.create(keys, input)
-    val ord = new LazilyGeneratedOrdering(order, input)
-    val heaps = new java.util.LinkedHashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
-    while (iter.hasNext) {
-      val row = iter.next()
-      val key = keyProj(row)
-      var heap = heaps.get(key)
-      if (heap == null) {
-        if (heaps.size() >= MaxKeysPerPartition) throw new IllegalStateException(
-          s"TopKPerKey saw > $MaxKeysPerPartition distinct keys in one partition; " +
-            "this operator holds one O(k) heap per key and is meant for " +
-            "low-cardinality keys — use a window top-k for high-cardinality keys")
-        heap = new java.util.PriorityQueue[InternalRow](k + 1, ord.reverse)
-        heaps.put(key.copy(), heap)
-      }
-      if (heap.size < k) heap.add(row.copy())
-      else if (ord.compare(row, heap.peek()) < 0) {
-        heap.poll(); heap.add(row.copy())
-      }
-    }
-    val it = heaps.entrySet().iterator()
-    new Iterator[(InternalRow, Array[InternalRow])] {
-      override def hasNext: Boolean = it.hasNext
-      override def next(): (InternalRow, Array[InternalRow]) = {
-        val e = it.next()
-        val arr = e.getValue.toArray(new Array[InternalRow](e.getValue.size))
-        java.util.Arrays.sort(arr, ord)
-        (e.getKey, arr)
-      }
-    }
-  }
+  /** Flush when this many distinct keys are buffered... */
+  val FlushKeys: Int = 1 << 17
+  /** ...or when this many rows are buffered (keys × k bound). */
+  val FlushRows: Long = 1L << 20
 }
 
-/** Phase 1: per-input-partition bounded heaps; no distribution
-  * requirement, no shuffle, ≤ k rows per key per partition out. */
+/** Phase 1: per-input-partition bounded heaps (one O(k) max-heap per
+  * key — worst row on top), no distribution requirement, no shuffle;
+  * emits ≤ k rows per key per flush window. High key cardinality is
+  * handled by flushing (never by failing): memory stays bounded by
+  * [[TopKHeaps.FlushKeys]]/[[TopKHeaps.FlushRows]] at the cost of
+  * forwarding more rows, exactly like partial hash aggregation. */
 case class PartialTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
   k: Int, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
@@ -147,32 +125,115 @@ case class PartialTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
   override protected def doExecute(): RDD[InternalRow] = {
     val (ks, os, kk, out) = (keys, order, k, child.output)
     child.execute().mapPartitions { iter =>
-      TopKHeaps.topKIter(iter, ks, os, kk, out).flatMap(_._2)
+      val keyProj = UnsafeProjection.create(ks, out)
+      val ord = new LazilyGeneratedOrdering(os, out)
+      new Iterator[InternalRow] {
+        private var heaps =
+          new java.util.LinkedHashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
+        private var bufferedRows = 0L
+        private var drain: java.util.Iterator[java.util.PriorityQueue[InternalRow]] =
+          java.util.Collections.emptyIterator()
+        private var cur: java.util.Iterator[InternalRow] =
+          java.util.Collections.emptyIterator()
+
+        private def addRow(row: InternalRow): Unit = {
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            heap = new java.util.PriorityQueue[InternalRow](kk + 1, ord.reverse)
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size < kk) { heap.add(row.copy()); bufferedRows += 1 }
+          else if (ord.compare(row, heap.peek()) < 0) {
+            heap.poll(); heap.add(row.copy())
+          }
+        }
+
+        private def advance(): Unit = {
+          while (!cur.hasNext) {
+            if (drain.hasNext) cur = drain.next().iterator()
+            else if (iter.hasNext) {
+              while (iter.hasNext && heaps.size() < TopKHeaps.FlushKeys &&
+                bufferedRows < TopKHeaps.FlushRows) addRow(iter.next())
+              drain = heaps.values().iterator()
+              heaps = new java.util.LinkedHashMap()
+              bufferedRows = 0L
+            } else return
+          }
+        }
+
+        override def hasNext: Boolean = { advance(); cur.hasNext }
+        override def next(): InternalRow = { advance(); cur.next() }
+      }
     }
   }
   override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKExec =
     copy(child = newChild)
 }
 
-/** Phase 2: clustered on the keys (Exchange inserted by
-  * EnsureRequirements), merges partials, appends the 1-based rank. */
+/** Phase 2: clustered AND sorted on the keys (Exchange + Sort inserted
+  * by EnsureRequirements — the sort input is only the partial
+  * survivors and spills if needed), then a single streaming pass: one
+  * O(k) heap for the CURRENT key group only, emitting the ranked top
+  * k at each group boundary. No per-key map, so any key cardinality
+  * runs in O(k) memory. */
 case class FinalTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
   k: Int, rankAttr: Attribute, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def outputPartitioning: Partitioning = UnknownPartitioning(0)
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(keys.map(SortOrder(_, Ascending)))
   override protected def doExecute(): RDD[InternalRow] = {
     val (ks, os, kk, out, outAll) = (keys, order, k, child.output, output)
     child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(ks, out)
+      val ord = new LazilyGeneratedOrdering(os, out)
       val proj = UnsafeProjection.create(outAll, outAll)
       val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-      TopKHeaps.topKIter(iter, ks, os, kk, out).flatMap { case (_, rows) =>
-        rows.iterator.zipWithIndex.map { case (r, i) =>
-          rankRow.update(0, i + 1)
-          proj(joined(r, rankRow))
+      new Iterator[InternalRow] {
+        private var pendingRow: InternalRow = null
+        private var pendingKey: InternalRow = null
+        private var cur: Iterator[InternalRow] = Iterator.empty
+
+        private def nextGroup(): Unit = {
+          if (pendingRow == null && iter.hasNext) {
+            val r = iter.next()
+            pendingRow = r.copy(); pendingKey = keyProj(r).copy()
+          }
+          if (pendingRow == null) return
+          val groupKey = pendingKey
+          val heap = new java.util.PriorityQueue[InternalRow](kk + 1, ord.reverse)
+          heap.add(pendingRow)
+          pendingRow = null; pendingKey = null
+          var boundary = false
+          while (!boundary && iter.hasNext) {
+            val r = iter.next()
+            val rk = keyProj(r)
+            if (rk == groupKey) {
+              if (heap.size < kk) heap.add(r.copy())
+              else if (ord.compare(r, heap.peek()) < 0) {
+                heap.poll(); heap.add(r.copy())
+              }
+            } else {
+              pendingRow = r.copy(); pendingKey = rk.copy(); boundary = true
+            }
+          }
+          val arr = heap.toArray(new Array[InternalRow](heap.size))
+          java.util.Arrays.sort(arr, ord)
+          cur = arr.iterator.zipWithIndex.map { case (r, i) =>
+            rankRow.update(0, i + 1)
+            proj(joined(r, rankRow))
+          }
         }
+
+        override def hasNext: Boolean = {
+          while (!cur.hasNext && (pendingRow != null || iter.hasNext)) nextGroup()
+          cur.hasNext
+        }
+        override def next(): InternalRow = { hasNext; cur.next() }
       }
     }
   }

@@ -36,6 +36,17 @@ import graft.functions.{TextFunctions, VectorOps}
   */
 object Dedup {
 
+  /** The shared skew-guard idiom: drop groups (blocks/buckets/posting
+    * lists) larger than `cap` rows BEFORE any self-join over them.
+    * The count window hash-partitions on the same keys the downstream
+    * join needs, so the guard reuses that shuffle. */
+  private[queries] def capBlocks(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__bsz", count(lit(1)).over(w))
+      .filter($"__bsz" <= cap).drop("__bsz")
+  }
+
   /** Max docs sharing one gram in the inverted index (document-
     * frequency cap — standard common-shingle filtering). */
   val GramDfCap = 50
@@ -108,9 +119,7 @@ object Dedup {
     import docs.sparkSession.implicits._
     val g = gramRowsOf(docs)
     val counts = g.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
-    val wG = Window.partitionBy($"gram")
-    val gf = g.withColumn("df", count(lit(1)).over(wG))
-      .filter($"df" <= GramDfCap).drop("df")
+    val gf = capBlocks(g, Seq("gram"), GramDfCap)
     val pairs = gf.select($"doc_id".as("d1"), $"gram")
       .join(gf.select($"doc_id".as("d2"), $"gram"), "gram")
       .filter($"d1" < $"d2")
@@ -173,9 +182,7 @@ object Dedup {
     val bands = sigs.select($"doc_id", posexplode(expr(
       "transform(sequence(0, 31), b -> hash(slice(sig, b * 4 + 1, 4), b))")))
       .toDF("doc_id", "band", "bkey")
-    val wB = Window.partitionBy($"band", $"bkey")
-    val capped = bands.withColumn("bsz", count(lit(1)).over(wB))
-      .filter($"bsz" <= LshBucketCap).drop("bsz")
+    val capped = capBlocks(bands, Seq("band", "bkey"), LshBucketCap)
     val cand = capped.select($"doc_id".as("d1"), $"band", $"bkey")
       .join(capped.select($"doc_id".as("d2"), $"band", $"bkey"),
         Seq("band", "bkey"))
@@ -212,9 +219,7 @@ object Dedup {
     val pieces = sh.select($"doc_id", $"sh", posexplode(expr(
       "transform(sequence(0, 3), p -> shiftright(sh, p * 16) & 65535)")))
       .toDF("doc_id", "sh", "piece", "pval")
-    val wP = Window.partitionBy($"piece", $"pval")
-    val capped = pieces.withColumn("bsz", count(lit(1)).over(wP))
-      .filter($"bsz" <= SimhashPieceCap).drop("bsz")
+    val capped = capBlocks(pieces, Seq("piece", "pval"), SimhashPieceCap)
     val cand = capped.select($"doc_id".as("d1"), $"sh".as("sh1"), $"piece", $"pval")
       .join(capped.select($"doc_id".as("d2"), $"sh".as("sh2"), $"piece", $"pval"),
         Seq("piece", "pval"))
@@ -237,9 +242,12 @@ object Dedup {
   val BucketDims: Seq[Int] = Seq(0, 13, 27, 41, 55)
 
   /** 16-bit sign-LSH dims for billion-vector corpora: 2^16 buckets.
-    * A superset of [[BucketDims]], so its pair set is provably a
-    * subset of the 5-bit one (agreeing on 16 dims implies agreeing on
-    * the 5) — the property the spec checks. */
+    * A superset of [[BucketDims]], so its UNCAPPED pair set is
+    * provably a subset of the uncapped 5-bit one (agreeing on 16 dims
+    * implies agreeing on the 5) — the property the spec checks with
+    * the cap disabled. With a finite cap the containment can break:
+    * an over-cap 5-bit bucket is dropped whole while its 16-bit
+    * sub-buckets may each survive. */
   val BucketDims16: Seq[Int] =
     (BucketDims ++ Seq(3, 7, 17, 21, 31, 35, 45, 49, 59, 62, 10)).sorted
 
@@ -263,9 +271,7 @@ object Dedup {
       VectorOps.intVec("embedding").as("iv"),
       VectorOps.signBucket("embedding", dims).as("bucket"))
       .withColumn("nrm", VectorOps.normSq("iv"))
-    val wB = Window.partitionBy($"bucket")
-    val capped = e.withColumn("bsz", count(lit(1)).over(wB))
-      .filter($"bsz" <= cap).drop("bsz")
+    val capped = capBlocks(e, Seq("bucket"), cap)
     val a = capped.select($"vec_id".as("d1"), $"iv".as("iv1"), $"nrm".as("nrm1"), $"bucket")
     val b = capped.select($"vec_id".as("d2"), $"iv".as("iv2"), $"nrm".as("nrm2"), $"bucket")
     a.join(b, "bucket")

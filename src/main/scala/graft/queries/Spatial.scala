@@ -114,12 +114,16 @@ object Spatial {
     (-1 to nZones).map { z =>
       val lo = z * zoneHeight - 90.0
       val hi = (z + 1) * zoneHeight - 90.0
-      val maxAbs = math.min(89.9,
-        math.max(math.abs(lo - radius), math.abs(hi + radius)))
-      val sinHalf = math.sin(math.toRadians(radius) / 2) /
-        math.cos(math.toRadians(maxAbs))
-      val boundDeg =
+      // a zone whose radius-expanded dec range touches a pole can pair
+      // points at ANY ra separation (all meridians meet there), so the
+      // only safe bound is the whole ring — no clamp trickery
+      val touchesPole = lo - radius <= -90.0 || hi + radius >= 90.0
+      val boundDeg = if (touchesPole) 360.0 else {
+        val maxAbs = math.max(math.abs(lo - radius), math.abs(hi + radius))
+        val sinHalf = math.sin(math.toRadians(radius) / 2) /
+          math.cos(math.toRadians(maxAbs))
         if (sinHalf >= 1) 360.0 else math.toDegrees(2 * math.asin(sinHalf))
+      }
       (z, math.max(1, math.floor(360.0 / math.max(boundDeg, 1e-9)).toInt))
     }
   }

@@ -147,6 +147,18 @@ object Catalog {
     }
     val recLen = schema.fields.map(f => width(f.dataType)).sum
     val fields = schema.fields.map(f => f.dataType)
+    // fail loudly on truncated/corrupt files: the record reader would
+    // silently drop a trailing partial record otherwise
+    val (f, p) = fs(s, path)
+    val stats =
+      if (f.isDirectory(p)) f.listStatus(p).filter(_.isFile).filterNot(
+        st => st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
+      else f.globStatus(p).filter(_.isFile)
+    stats.foreach { st =>
+      require(st.getLen % recLen == 0,
+        s"${st.getPath} length ${st.getLen} is not a multiple of record length $recLen " +
+          "(truncated or mis-declared binary table)")
+    }
     val rdd = s.sparkContext.binaryRecords(path, recLen).map { bytes =>
       val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.BIG_ENDIAN)
       org.apache.spark.sql.Row.fromSeq(fields.map {

@@ -50,6 +50,33 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(df.filter("rnk != 1").count() == 0)
   }
 
+  test("high-cardinality keys run in bounded memory via partial flushes") {
+    import spark.implicits._
+    // > FlushKeys (2^17) distinct keys forced into ONE input partition,
+    // so the partial phase must flush mid-stream; final streams sorted
+    // groups — no per-key map anywhere
+    val n = 300000L
+    val df = spark.range(2 * n).select(
+      (col("id") % n).as("k"), col("id").as("v")).repartition(1)
+    val top = TopKPerKey(df, keys = Seq("k"), orderBy = Seq(("v", true)), k = 1)
+    assert(top.count() == n)
+    // min per key is the id < n copy itself
+    val sample = top.filter(col("k") === 12345L).collect()
+    assert(sample.length == 1 && sample.head.getAs[Long]("v") == 12345L
+      && sample.head.getAs[Int]("rnk") == 1)
+    assert(top.filter("v != k").count() == 0, "flush-path results wrong")
+  }
+
+  test("duplicate rows across flush windows still rank correctly") {
+    import spark.implicits._
+    // every key's rows straddle flush boundaries (interleaved layout)
+    val df = spark.range(400000).select(
+      (col("id") % 200000).as("k"), (col("id") / 200000).as("v")).repartition(1)
+    val top = TopKPerKey(df, keys = Seq("k"), orderBy = Seq(("v", false)), k = 2)
+    assert(top.count() == 400000)
+    assert(top.filter("rnk > 2").count() == 0)
+  }
+
   test("composes with downstream operators (filter + sort + agg)") {
     val df = TopKPerKey(
       Tables.orders(spark, sf)
