@@ -62,7 +62,17 @@ object TopKPerKey {
           s"column $n is ambiguous: matches ${many.map(_.name)}")
       }
     }
-    val keyExprs: Seq[Expression] = keys.map(attr)
+    // grouping on raw float bytes would split 0.0 / -0.0 and NaN
+    // variants into distinct keys; normalize like Spark's
+    // NormalizeFloatingNumbers does for Aggregate/Window keys
+    val keyExprs: Seq[Expression] = keys.map(attr).map { a =>
+      a.dataType match {
+        case org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType =>
+          org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(a)
+        case _ => a
+      }
+    }
     val sortOrder = orderBy.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }
@@ -180,7 +190,11 @@ case class PartialTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
 case class FinalTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
   k: Int, rankAttr: Attribute, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
-  override def outputPartitioning: Partitioning = UnknownPartitioning(0)
+  // rows stay in the child's key-clustered partitions and key-sorted
+  // order: advertise both so a downstream groupBy/join on the same
+  // keys plans no further exchange or sort
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = keys.map(SortOrder(_, Ascending))
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(keys) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =

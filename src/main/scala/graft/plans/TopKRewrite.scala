@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber, SpecifiedWindowFrame, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, MapType, StructType}
 
 /** Optimizer rule: rewrite the window top-n idiom
   *
@@ -32,6 +33,19 @@ object TopKRewrite extends Rule[LogicalPlan] {
   /** Heap rows per key per partition stay bounded by this. */
   val MaxRewriteK = 1024
 
+  /** Floating-point grouping needs Spark's NormalizeFloatingNumbers
+    * (0.0 vs −0.0, NaN canonicalization), which runs later and only
+    * rewrites nodes it knows (Window/Aggregate/Join) — our custom node
+    * would byte-compare raw keys and split those groups. Skip the
+    * rewrite for any float-bearing partition key. */
+  private def containsFloat(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType => true
+    case a: ArrayType => containsFloat(a.elementType)
+    case m: MapType => containsFloat(m.keyType) || containsFloat(m.valueType)
+    case s: StructType => s.fields.exists(f => containsFloat(f.dataType))
+    case _ => false
+  }
+
   private def boundOf(cond: Expression, rn: AttributeReference): Option[Int] =
     cond match {
       case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k))
@@ -48,7 +62,8 @@ object TopKRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, w: Window)
       if w.windowExpressions.size == 1 &&
-        w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty =>
+        w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty &&
+        !w.partitionSpec.exists(e => containsFloat(e.dataType)) =>
       w.windowExpressions.head match {
         case a @ Alias(WindowExpression(RowNumber(), spec), _)
           // row_number always runs on its required row frame; any other

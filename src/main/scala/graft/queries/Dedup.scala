@@ -323,8 +323,8 @@ object Dedup {
     Tables.documents(s, dir)
       .select($"doc_id", $"lang", md5($"text").as("fp"),
         expr("size(split(text, ' '))").as("n_words"),
-        expr("size(filter(split(text, ' '), w -> w IN ('the', 'a')))").as("stop_hits"))
-      .filter($"n_words" >= 40 && $"stop_hits" > 0)
+        expr(s"size(filter(split(text, ' '), w -> w IN (${Text.StopProbeList})))").as("stop_hits"))
+      .filter($"n_words" >= Text.QualityMinWords && $"stop_hits" > 0)
       .withColumn("canonical_id", min($"doc_id").over(w))
       .filter($"doc_id" === $"canonical_id")
       .groupBy($"lang")
@@ -337,12 +337,12 @@ object Dedup {
   }
 
   val qPipelineCleanSql: String =
-    """WITH kept AS (
+    s"""WITH kept AS (
       |  SELECT doc_id, lang, MD5(text) AS fp,
       |    CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_words
       |  FROM documents
-      |  WHERE LEN(STRING_SPLIT(text, ' ')) >= 40
-      |    AND LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ('the', 'a'))) > 0),
+      |  WHERE LEN(STRING_SPLIT(text, ' ')) >= ${Text.QualityMinWords}
+      |    AND LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN (${Text.StopProbeList}))) > 0),
       |canon AS (SELECT doc_id, lang, n_words FROM (
       |    SELECT doc_id, lang, n_words,
       |      MIN(doc_id) OVER (PARTITION BY fp) AS canonical_id FROM kept) t

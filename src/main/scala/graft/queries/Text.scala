@@ -17,6 +17,13 @@ import graft.functions.TextFunctions
 object Text {
 
   // ---------------------------------------------------------------
+  /** The corpus quality gate, defined ONCE for every consumer
+    * (q_text_quality's keep flag here and Dedup.qPipelineClean's
+    * filter): minimum word count and the stopword probe list. Tuning
+    * the gate updates both queries and both oracles together. */
+  val QualityMinWords = 40
+  val StopProbeList = "'the', 'a'"
+
   /** Quality scoring: word counts, type-token ratio, stopword hits,
     * and a composite keep/drop flag — the usual pre-training corpus
     * filters (length, lexical diversity, stopword presence). */
@@ -26,26 +33,28 @@ object Text {
       .select($"doc_id", $"lang", $"source",
         length($"text").as("n_chars_actual"),
         expr("size(split(text, ' '))").as("n_words"),
-        expr("size(array_distinct(split(text, ' ')))").as("n_distinct_words"),
-        expr("size(filter(split(text, ' '), w -> w IN ('the', 'a')))").as("stop_hits"))
+        expr(s"size(filter(split(text, ' '), w -> w IN ($StopProbeList)))").as("stop_hits"),
+        expr("size(array_distinct(split(text, ' ')))").as("n_distinct_words"))
       .withColumn("ttr_pct",
         expr("CAST((100 * n_distinct_words) DIV n_words AS INT)"))
       .withColumn("keep",
-        when($"n_words" >= 40 && $"stop_hits" > 0, 1).otherwise(0))
+        when($"n_words" >= QualityMinWords && $"stop_hits" > 0, 1).otherwise(0))
+      .select($"doc_id", $"lang", $"source", $"n_chars_actual", $"n_words",
+        $"n_distinct_words", $"stop_hits", $"ttr_pct", $"keep")
       .orderBy($"doc_id")
   }
 
   val qTextQualitySql: String =
-    """SELECT doc_id, lang, source,
-      |  CAST(LENGTH(text) AS INT) AS n_chars_actual,
-      |  CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_words,
-      |  CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS INT) AS n_distinct_words,
-      |  CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ('the', 'a'))) AS INT) AS stop_hits,
-      |  CAST((100 * LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))) // LEN(STRING_SPLIT(text, ' ')) AS INT) AS ttr_pct,
-      |  CAST(CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 40
-      |        AND LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ('the', 'a'))) > 0
-      |       THEN 1 ELSE 0 END AS INT) AS keep
-      |FROM documents ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, lang, source,
+       |  CAST(LENGTH(text) AS INT) AS n_chars_actual,
+       |  CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_words,
+       |  CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS INT) AS n_distinct_words,
+       |  CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ($StopProbeList))) AS INT) AS stop_hits,
+       |  CAST((100 * LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))) // LEN(STRING_SPLIT(text, ' ')) AS INT) AS ttr_pct,
+       |  CAST(CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= $QualityMinWords
+       |        AND LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ($StopProbeList))) > 0
+       |       THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   /** Stopword-overlap language ID: count marker-word hits per

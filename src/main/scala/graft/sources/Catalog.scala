@@ -96,11 +96,26 @@ object Catalog {
     f.exists(p)
   }
 
-  /** Create the table from `df` only if absent; returns true when the
-    * write happened. Re-running an ingest script is a no-op. */
+  /** Is there a COMPLETE table at `path`? A directory without the
+    * `_SUCCESS` commit marker is a crashed partial write, not a
+    * table. */
+  def tableComplete(s: SparkSession, path: String): Boolean = {
+    val (f, p) = fs(s, path)
+    f.exists(p) && f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+  }
+
+  /** Create the table from `df` only if a COMPLETE table is absent;
+    * returns true when the write happened. Re-running an ingest
+    * script is a no-op, and a crashed partial write (directory
+    * without `_SUCCESS`) is replaced instead of being mistaken for
+    * the table — the re-runnable half of idempotent ingest. */
   def createIfAbsent(s: SparkSession, df: DataFrame, path: String): Boolean =
-    if (tableExists(s, path)) false
-    else { df.write.mode("errorifexists").parquet(path); true }
+    if (tableComplete(s, path)) false
+    else {
+      dropIfExists(s, path) // clear any partial wreckage
+      df.write.mode("errorifexists").parquet(path)
+      true
+    }
 
   /** Drop the table if present; returns true when something was
     * removed. Dropping a missing table is a no-op, not an error. */
@@ -150,10 +165,12 @@ object Catalog {
     // fail loudly on truncated/corrupt files: the record reader would
     // silently drop a trailing partial record otherwise
     val (f, p) = fs(s, path)
+    // globStatus returns null (not empty) for a missing non-glob path
     val stats =
       if (f.isDirectory(p)) f.listStatus(p).filter(_.isFile).filterNot(
         st => st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
-      else f.globStatus(p).filter(_.isFile)
+      else Option(f.globStatus(p)).map(_.filter(_.isFile)).getOrElse(Array.empty)
+    require(stats.nonEmpty, s"no binary input files at $path")
     stats.foreach { st =>
       require(st.getLen % recLen == 0,
         s"${st.getPath} length ${st.getLen} is not a multiple of record length $recLen " +

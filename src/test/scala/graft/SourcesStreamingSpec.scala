@@ -91,6 +91,20 @@ class CatalogSpec extends AnyFunSuite {
     assert(!Catalog.dropIfExists(spark, out), "drop-missing must be a no-op")
   }
 
+  test("lifecycle: a crashed partial write is replaced, not mistaken for the table") {
+    val out = Files.createTempDirectory("graft_partial").toString + "/nation"
+    // simulate a crashed create: directory with data debris, no _SUCCESS
+    Files.createDirectories(java.nio.file.Paths.get(out))
+    Files.write(java.nio.file.Paths.get(out, "part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    val nation = Catalog.readParquet(spark, "nation", s"$sf/nation.parquet")
+    assert(!Catalog.tableComplete(spark, out))
+    assert(Catalog.createIfAbsent(spark, nation, out),
+      "partial wreckage must be replaced by a real write")
+    assert(Catalog.tableComplete(spark, out))
+    assert(spark.read.parquet(out).count() == nation.count())
+  }
+
   test("lifecycle: append grows the table; schema drift is rejected before writing") {
     val out = Files.createTempDirectory("graft_app").toString + "/nation"
     val nation = Catalog.readParquet(spark, "nation", s"$sf/nation.parquet")
