@@ -324,6 +324,32 @@ object CoreOlap {
       |ORDER BY gid, returnflag, linestatus""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Skew-salted fact⋈dim join, aggregated per supplier nation — the
+    * query form of [[graft.operators.SaltedJoin]]: the fact side's
+    * key is split into 8 deterministic salt sub-keys (spreading any
+    * hot supplier over 8 tasks) and the dim side is replicated ×8.
+    * The oracle is the PLAIN join — salting must be semantically
+    * invisible, and the hash compare proves it. */
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select(
+      $"l_suppkey".as("suppkey"), $"l_orderkey",
+      round($"l_extendedprice" * 100).cast("long").as("price_c100"))
+    val sup = Tables.supplier(s, dir)
+      .select($"s_suppkey".as("suppkey"), $"s_nationkey")
+    graft.operators.SaltedJoin(li, sup, "suppkey", salts = 8, saltBy = $"l_orderkey")
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_items"), sum($"price_c100").as("rev_c100"))
+      .orderBy($"s_nationkey")
+  }
+
+  val qSkewJoinSql: String =
+    """SELECT s_nationkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_c100
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------
   def qCasePivot(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // ts is Long nanos (nanosAsLong); integer DIV keeps full precision
@@ -438,6 +464,7 @@ object CoreOlap {
     "q_anti_join" -> (qAntiJoin _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_skew_join" -> (qSkewJoin _),
     "q_case_pivot" -> (qCasePivot _),
     "q_corr_subquery" -> (qCorrSubquery _),
     "q_asof_join" -> (qAsofJoin _))
@@ -454,6 +481,7 @@ object CoreOlap {
     "q_anti_join" -> qAntiJoinSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
+    "q_skew_join" -> qSkewJoinSql,
     "q_case_pivot" -> qCasePivotSql,
     "q_corr_subquery" -> qCorrSubquerySql,
     "q_asof_join" -> qAsofJoinSql,

@@ -89,13 +89,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val got = rewritten.collect().map(_.toString).sorted.toSeq
     val want = topn(SparkTestSession.spark).collect().map(_.toString).sorted.toSeq
     assert(got == want)
-    // a shape the rule must NOT touch: rank() instead of row_number()
+    // shapes the rule must NOT touch: rank() instead of row_number(),
+    // and a float-typed partition key (0.0/-0.0 normalization happens
+    // in a later optimizer batch our node would miss)
     val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("l_returnflag")).orderBy(col("l_quantity").desc)
     val ranked = spark.read.parquet(s"$sf/lineitem.parquet")
       .withColumn("rk", rank().over(w2)).filter(col("rk") <= 3)
     assert(!ranked.queryExecution.executedPlan.toString.contains("PartialTopK"))
     assert(ranked.count() > 0)
+    val w3 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_quantity")).orderBy(col("l_orderkey"))
+    val floatKeyed = spark.read.parquet(s"$sf/lineitem.parquet")
+      .withColumn("rn", row_number().over(w3)).filter(col("rn") <= 1)
+    assert(!floatKeyed.queryExecution.executedPlan.toString.contains("PartialTopK"),
+      "rewrite must not fire on a double partition key")
   }
 
   test("TopKPerKey rejects k < 1 and resolves columns case-insensitively") {

@@ -77,6 +77,17 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(top.filter("rnk > 2").count() == 0)
   }
 
+  test("float keys group 0.0 with -0.0 (normalized like Spark aggregates)") {
+    import spark.implicits._
+    val df = Seq((0.0, 1L), (-0.0, 2L), (1.5, 3L)).toDF("k", "v")
+    val top = TopKPerKey(df, keys = Seq("k"), orderBy = Seq(("v", true)), k = 10)
+    // 0.0 and -0.0 are ONE group: ranks 1..2 in it, plus one for 1.5
+    assert(top.count() == 3)
+    val zeroGroup = top.filter(col("k") === 0.0).collect()
+    assert(zeroGroup.map(_.getAs[Int]("rnk")).sorted.toSeq == Seq(1, 2),
+      s"0.0/-0.0 split into separate groups: ${zeroGroup.toSeq}")
+  }
+
   test("composes with downstream operators (filter + sort + agg)") {
     val df = TopKPerKey(
       Tables.orders(spark, sf)
