@@ -64,12 +64,19 @@ object TopKPerKey {
     }
     // grouping on raw float bytes would split 0.0 / -0.0 and NaN
     // variants into distinct keys; normalize like Spark's
-    // NormalizeFloatingNumbers does for Aggregate/Window keys
+    // NormalizeFloatingNumbers does for Aggregate/Window keys.
+    // Nested float-bearing key types (struct/array/map) would need the
+    // full recursive normalizer — reject them with a clear error
+    // rather than group them wrongly.
     val keyExprs: Seq[Expression] = keys.map(attr).map { a =>
       a.dataType match {
         case org.apache.spark.sql.types.FloatType |
              org.apache.spark.sql.types.DoubleType =>
           org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero(a)
+        case dt if TopKRewrite.containsFloat(dt) =>
+          throw new IllegalArgumentException(
+            s"key ${a.name}: float-bearing nested type $dt is not supported " +
+              "as a top-k key (0.0/-0.0 and NaN variants would split groups)")
         case _ => a
       }
     }

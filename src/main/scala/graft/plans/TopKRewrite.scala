@@ -38,7 +38,7 @@ object TopKRewrite extends Rule[LogicalPlan] {
     * rewrites nodes it knows (Window/Aggregate/Join) — our custom node
     * would byte-compare raw keys and split those groups. Skip the
     * rewrite for any float-bearing partition key. */
-  private def containsFloat(dt: DataType): Boolean = dt match {
+  private[plans] def containsFloat(dt: DataType): Boolean = dt match {
     case FloatType | DoubleType => true
     case a: ArrayType => containsFloat(a.elementType)
     case m: MapType => containsFloat(m.keyType) || containsFloat(m.valueType)

@@ -33,14 +33,12 @@ object Text {
       .select($"doc_id", $"lang", $"source",
         length($"text").as("n_chars_actual"),
         expr("size(split(text, ' '))").as("n_words"),
-        expr(s"size(filter(split(text, ' '), w -> w IN ($StopProbeList)))").as("stop_hits"),
-        expr("size(array_distinct(split(text, ' ')))").as("n_distinct_words"))
+        expr("size(array_distinct(split(text, ' ')))").as("n_distinct_words"),
+        expr(s"size(filter(split(text, ' '), w -> w IN ($StopProbeList)))").as("stop_hits"))
       .withColumn("ttr_pct",
         expr("CAST((100 * n_distinct_words) DIV n_words AS INT)"))
       .withColumn("keep",
         when($"n_words" >= QualityMinWords && $"stop_hits" > 0, 1).otherwise(0))
-      .select($"doc_id", $"lang", $"source", $"n_chars_actual", $"n_words",
-        $"n_distinct_words", $"stop_hits", $"ttr_pct", $"keep")
       .orderBy($"doc_id")
   }
 

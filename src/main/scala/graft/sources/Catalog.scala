@@ -106,16 +106,18 @@ object Catalog {
 
   /** Create the table from `df` only if a COMPLETE table is absent;
     * returns true when the write happened. Re-running an ingest
-    * script is a no-op, and a crashed partial write (directory
-    * without `_SUCCESS`) is replaced instead of being mistaken for
-    * the table — the re-runnable half of idempotent ingest. */
+    * script is a no-op. A directory WITHOUT the `_SUCCESS` marker is
+    * ambiguous — it could be a crashed partial write of ours, but
+    * equally a valid table produced by a tool that writes no marker —
+    * so this NEVER deletes it: it fails loudly and the operator
+    * decides (dropIfExists then re-create, or just read it). */
   def createIfAbsent(s: SparkSession, df: DataFrame, path: String): Boolean =
     if (tableComplete(s, path)) false
-    else {
-      dropIfExists(s, path) // clear any partial wreckage
-      df.write.mode("errorifexists").parquet(path)
-      true
-    }
+    else if (tableExists(s, path)) throw new IllegalStateException(
+      s"$path exists but has no _SUCCESS marker: either a crashed partial " +
+        "write or an externally-produced table. Refusing to guess — call " +
+        "dropIfExists first if it should be replaced.")
+    else { df.write.mode("errorifexists").parquet(path); true }
 
   /** Drop the table if present; returns true when something was
     * removed. Dropping a missing table is a no-op, not an error. */
@@ -165,11 +167,19 @@ object Catalog {
     // fail loudly on truncated/corrupt files: the record reader would
     // silently drop a trailing partial record otherwise
     val (f, p) = fs(s, path)
-    // globStatus returns null (not empty) for a missing non-glob path
-    val stats =
-      if (f.isDirectory(p)) f.listStatus(p).filter(_.isFile).filterNot(
-        st => st.getPath.getName.startsWith("_") || st.getPath.getName.startsWith("."))
-      else Option(f.globStatus(p)).map(_.filter(_.isFile)).getOrElse(Array.empty)
+    def visible(st: org.apache.hadoop.fs.FileStatus) =
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
+    // globStatus returns null (not empty) for a missing non-glob path;
+    // directory matches expand one level, mirroring FileInputFormat's
+    // own (non-recursive) listing so validation sees what the read sees
+    val matched =
+      if (f.isDirectory(p)) Array(f.getFileStatus(p))
+      else Option(f.globStatus(p)).getOrElse(Array.empty)
+    val stats = matched.toSeq.flatMap { st =>
+      if (st.isDirectory)
+        f.listStatus(st.getPath).filter(_.isFile).filter(visible).toSeq
+      else Seq(st)
+    }
     require(stats.nonEmpty, s"no binary input files at $path")
     stats.foreach { st =>
       require(st.getLen % recLen == 0,

@@ -91,16 +91,25 @@ class CatalogSpec extends AnyFunSuite {
     assert(!Catalog.dropIfExists(spark, out), "drop-missing must be a no-op")
   }
 
-  test("lifecycle: a crashed partial write is replaced, not mistaken for the table") {
+  test("lifecycle: a directory without _SUCCESS is neither trusted nor destroyed") {
     val out = Files.createTempDirectory("graft_partial").toString + "/nation"
-    // simulate a crashed create: directory with data debris, no _SUCCESS
+    // ambiguous state: directory with data, no _SUCCESS marker — could
+    // be a crashed partial OR an externally-produced table
     Files.createDirectories(java.nio.file.Paths.get(out))
     Files.write(java.nio.file.Paths.get(out, "part-00000.parquet"),
       Array[Byte](1, 2, 3))
     val nation = Catalog.readParquet(spark, "nation", s"$sf/nation.parquet")
     assert(!Catalog.tableComplete(spark, out))
-    assert(Catalog.createIfAbsent(spark, nation, out),
-      "partial wreckage must be replaced by a real write")
+    // refuses to guess: no silent skip, and crucially NO deletion
+    val e = intercept[IllegalStateException] {
+      Catalog.createIfAbsent(spark, nation, out)
+    }
+    assert(e.getMessage.contains("_SUCCESS"))
+    assert(Files.exists(java.nio.file.Paths.get(out, "part-00000.parquet")),
+      "ambiguous data must not be deleted")
+    // the operator resolves it explicitly
+    assert(Catalog.dropIfExists(spark, out))
+    assert(Catalog.createIfAbsent(spark, nation, out))
     assert(Catalog.tableComplete(spark, out))
     assert(spark.read.parquet(out).count() == nation.count())
   }
