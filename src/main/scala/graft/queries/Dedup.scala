@@ -311,6 +311,52 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  /** Edit-distance similarity join (string-similarity search): pairs
+    * whose normalized 64-char prefixes are within Levenshtein
+    * distance [[EditDistMax]]. The O(n·m) distance is computed ONLY
+    * for candidates that share a capped, informative gram (the same
+    * inverted index as n-gram Jaccard — reusing its df-capped
+    * blocking), so the quadratic verify runs on a bounded candidate
+    * set, never all pairs. Prefix-bounded inputs cap each verify at
+    * 64×64 cells. */
+  val EditDistMax = 8
+  private val EditPrefix = 64
+
+  def editDistPairs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val gf = capBlocks(gramRowsOf(docs), Seq("gram"), GramDfCap)
+    val cand = gf.select($"doc_id".as("d1"), $"gram")
+      .join(gf.select($"doc_id".as("d2"), $"gram"), "gram")
+      .filter($"d1" < $"d2")
+      .select($"d1", $"d2").distinct()
+    val pref = docs.select($"doc_id",
+      substring($"text", 1, EditPrefix).as("pref"))
+    cand
+      .join(pref.select($"doc_id".as("d1"), $"pref".as("p1")), "d1")
+      .join(pref.select($"doc_id".as("d2"), $"pref".as("p2")), "d2")
+      .withColumn("edist", levenshtein($"p1", $"p2"))
+      .filter($"edist" <= EditDistMax)
+      .select($"d1", $"d2", $"edist")
+      .orderBy($"d1", $"d2")
+  }
+
+  def qEditDistPairs(s: SparkSession, dir: String): DataFrame =
+    editDistPairs(Tables.documents(s, dir))
+
+  val qEditDistPairsSql: String =
+    s"""WITH g AS ($gramRowsSql),
+       |gf AS (SELECT doc_id, gram FROM (
+       |        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM g)
+       |       WHERE df <= $GramDfCap),
+       |p AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |      FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       |t AS (SELECT doc_id, SUBSTRING(text, 1, $EditPrefix) AS pref FROM documents)
+       |SELECT d1, d2, CAST(levenshtein(ta.pref, tb.pref) AS INT) AS edist
+       |FROM p JOIN t ta ON ta.doc_id = d1 JOIN t tb ON tb.doc_id = d2
+       |WHERE levenshtein(ta.pref, tb.pref) <= $EditDistMax
+       |ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------
   /** End-to-end cleaning pipeline — the composition every training-
     * data ingest runs before tokenization: quality gate (same rule as
     * q_text_quality's keep flag) → exact dedup among kept docs →
@@ -360,11 +406,13 @@ object Dedup {
     "q_dedup_lsh_pairs" -> (qDedupLshPairs _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
+    "q_edit_dist_pairs" -> (qEditDistPairs _),
     "q_pipeline_clean" -> (qPipelineClean _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" -> qDedupExactSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
+    "q_edit_dist_pairs" -> qEditDistPairsSql,
     "q_pipeline_clean" -> qPipelineCleanSql)
 }

@@ -129,6 +129,32 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(rMulti > 0.0)
   }
 
+  test("q_edit_dist_pairs distances are exact and within the threshold") {
+    val df = queries.Dedup.qEditDistPairs(spark, sf).cache()
+    assert(df.count() > 0, "expected near-dup prefixes among planted pairs")
+    assert(df.filter(s"edist > ${queries.Dedup.EditDistMax} OR edist < 0 OR d1 >= d2").count() == 0)
+    // spot-check one pair against a driver-side Levenshtein
+    val r = df.head()
+    val texts = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(r.getLong(0), r.getLong(1)))
+      .collect().map(x => x.getLong(0) -> x.getString(1).take(64)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    assert(r.getInt(2) == lev(texts(r.getLong(0)), texts(r.getLong(1))))
+    df.unpersist()
+  }
+
+  test("edit-distance join never verifies without a shared informative gram (degenerate input)") {
+    assert(queries.Dedup.editDistPairs(identicalDocs(1000)).count() == 0)
+  }
+
   test("q_pipeline_clean keeps at most the quality-passing canonical docs") {
     val stats = queries.Dedup.qPipelineClean(spark, sf)
     val kept = stats.agg(sum("n_docs")).head.getLong(0)
