@@ -119,7 +119,7 @@ object Dedup {
     import docs.sparkSession.implicits._
     val g = gramRowsOf(docs)
     val counts = g.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
-    val gf = capBlocks(g, Seq("gram"), GramDfCap)
+    val gf = cappedGramIndex(g)
     val pairs = gf.select($"doc_id".as("d1"), $"gram")
       .join(gf.select($"doc_id".as("d2"), $"gram"), "gram")
       .filter($"d1" < $"d2")
@@ -311,20 +311,32 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  /** The df-capped gram inverted index both n-gram Jaccard and the
+    * edit-distance join block on — one definition so the candidate
+    * semantics cannot drift apart. */
+  private def cappedGramIndex(gramRows: DataFrame): DataFrame =
+    capBlocks(gramRows, Seq("gram"), GramDfCap)
+
   /** Edit-distance similarity join (string-similarity search): pairs
-    * whose normalized 64-char prefixes are within Levenshtein
-    * distance [[EditDistMax]]. The O(n·m) distance is computed ONLY
-    * for candidates that share a capped, informative gram (the same
-    * inverted index as n-gram Jaccard — reusing its df-capped
-    * blocking), so the quadratic verify runs on a bounded candidate
-    * set, never all pairs. Prefix-bounded inputs cap each verify at
-    * 64×64 cells. */
+    * whose raw 64-char prefixes are within Levenshtein distance
+    * [[EditDistMax]] (no case folding or whitespace normalization —
+    * the raw prefix is the declared unit; see q_fingerprint for the
+    * normalized-content fingerprint). The O(n·m) distance runs ONLY
+    * for candidates sharing a capped, informative gram (the same
+    * inverted index as n-gram Jaccard), and uses the thresholded
+    * banded DP (O(n·k) — Spark returns −1 past the bound), so the
+    * verify stage never does unbounded work.
+    *
+    * Parity note: Spark and DuckDB levenshtein/substring agree on the
+    * harness's ASCII corpus; multibyte text could count units
+    * differently across engines, so the oracle contract is pinned to
+    * single-byte content (like blob_meta's byte-slice note). */
   val EditDistMax = 8
   private val EditPrefix = 64
 
   def editDistPairs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val gf = capBlocks(gramRowsOf(docs), Seq("gram"), GramDfCap)
+    val gf = cappedGramIndex(gramRowsOf(docs))
     val cand = gf.select($"doc_id".as("d1"), $"gram")
       .join(gf.select($"doc_id".as("d2"), $"gram"), "gram")
       .filter($"d1" < $"d2")
@@ -334,8 +346,8 @@ object Dedup {
     cand
       .join(pref.select($"doc_id".as("d1"), $"pref".as("p1")), "d1")
       .join(pref.select($"doc_id".as("d2"), $"pref".as("p2")), "d2")
-      .withColumn("edist", levenshtein($"p1", $"p2"))
-      .filter($"edist" <= EditDistMax)
+      .withColumn("edist", levenshtein($"p1", $"p2", EditDistMax))
+      .filter($"edist" >= 0 && $"edist" <= EditDistMax)
       .select($"d1", $"d2", $"edist")
       .orderBy($"d1", $"d2")
   }

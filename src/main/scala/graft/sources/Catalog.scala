@@ -80,10 +80,11 @@ object Catalog {
 
   // ---------------------------------------------------------------
   // Idempotent table lifecycle — the reference's create/drop-table
-  // management surface: a catalog admin can re-run any ingest script
-  // without caring whether the table already exists, and appends are
-  // schema-checked so drifting input files fail loudly instead of
-  // corrupting the table.
+  // management surface: re-running an ingest script over a COMPLETE
+  // table is a no-op; an ambiguous directory (no _SUCCESS marker)
+  // fails loudly rather than being trusted or destroyed; and appends
+  // are schema-checked so drifting input files fail loudly instead
+  // of corrupting the table.
 
   private def fs(s: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -178,9 +179,9 @@ object Catalog {
     val stats = matched.toSeq.flatMap { st =>
       if (st.isDirectory)
         f.listStatus(st.getPath).filter(_.isFile).filter(visible).toSeq
-      else Seq(st)
+      else Seq(st).filter(visible) // hidden glob matches are skipped by the read too
     }
-    require(stats.nonEmpty, s"no binary input files at $path")
+    require(stats.nonEmpty, s"no (visible) binary input files at $path")
     stats.foreach { st =>
       require(st.getLen % recLen == 0,
         s"${st.getPath} length ${st.getLen} is not a multiple of record length $recLen " +

@@ -133,11 +133,13 @@ class DedupAnnSpec extends AnyFunSuite {
     val df = queries.Dedup.qEditDistPairs(spark, sf).cache()
     assert(df.count() > 0, "expected near-dup prefixes among planted pairs")
     assert(df.filter(s"edist > ${queries.Dedup.EditDistMax} OR edist < 0 OR d1 >= d2").count() == 0)
-    // spot-check one pair against a driver-side Levenshtein
+    // spot-check one pair against a driver-side Levenshtein; prefixes
+    // come from Spark's OWN substring so the unit (codepoints) matches
     val r = df.head()
     val texts = Tables.documents(spark, sf)
       .filter(col("doc_id").isin(r.getLong(0), r.getLong(1)))
-      .collect().map(x => x.getLong(0) -> x.getString(1).take(64)).toMap
+      .select(col("doc_id"), substring(col("text"), 1, 64).as("pref"))
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
         if (i == 0) j else if (j == 0) i else 0
@@ -186,6 +188,7 @@ class DedupAnnSpec extends AnyFunSuite {
     for (q <- Seq(queries.Dedup.qNgramJaccard(spark, sf),
       queries.Dedup.qDedupLshPairs(spark, sf),
       queries.Dedup.qDedupSimhash(spark, sf),
+      queries.Dedup.qEditDistPairs(spark, sf),
       queries.Dedup.qDedupEmbedding(spark, sf))) {
       val plan = q.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), "cartesian in pair plan")
