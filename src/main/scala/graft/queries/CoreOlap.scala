@@ -324,6 +324,32 @@ object CoreOlap {
       |ORDER BY gid, returnflag, linestatus""".stripMargin
 
   // ---------------------------------------------------------------
+  /** The plain window top-n idiom, written exactly as a user would
+    * (`row_number() OVER (...) <= 5`) — NOT via the TopKPerKey API.
+    * In the shipped configuration (GraftExtensions active, as in
+    * Verify/Bench) TopKRewrite plans this onto the bounded-heap
+    * operator, so the DuckDB hash compare verifies the optimizer
+    * rewrite end-to-end: same rows, same ranks, different plan. */
+  def qTopnIdiom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, dir)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .orderBy($"o_orderpriority", $"rn")
+  }
+
+  val qTopnIdiomSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 5 ORDER BY o_orderpriority, rn""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Skew-salted fact⋈dim join, aggregated per supplier nation — the
     * query form of [[graft.operators.SaltedJoin]]: the fact side's
     * key is split into 8 deterministic salt sub-keys (spreading any
@@ -465,6 +491,7 @@ object CoreOlap {
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_skew_join" -> (qSkewJoin _),
+    "q_topn_idiom" -> (qTopnIdiom _),
     "q_case_pivot" -> (qCasePivot _),
     "q_corr_subquery" -> (qCorrSubquery _),
     "q_asof_join" -> (qAsofJoin _))
@@ -482,6 +509,7 @@ object CoreOlap {
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
     "q_skew_join" -> qSkewJoinSql,
+    "q_topn_idiom" -> qTopnIdiomSql,
     "q_case_pivot" -> qCasePivotSql,
     "q_corr_subquery" -> qCorrSubquerySql,
     "q_asof_join" -> qAsofJoinSql,
