@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-process output through RAW (no "[info] " logger prefix):
+// the driver parses graft.Bench's one-line JSON off stdout, and the
+// sbt prefix broke that parse in rounds 2-3 ("parsed": null).
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -148,30 +148,52 @@ case class PartialTopKExec(keys: Seq[Expression], order: Seq[SortOrder],
         private var heaps =
           new java.util.LinkedHashMap[InternalRow, java.util.PriorityQueue[InternalRow]]()
         private var bufferedRows = 0L
+        // a NEW-key row seen while the key cap is full closes the
+        // current flush window and opens the next one — rows of
+        // already-buffered keys keep folding into the current window,
+        // so the key cap only triggers on a genuine key miss
+        private var stash: InternalRow = null
         private var drain: java.util.Iterator[java.util.PriorityQueue[InternalRow]] =
           java.util.Collections.emptyIterator()
         private var cur: java.util.Iterator[InternalRow] =
           java.util.Collections.emptyIterator()
 
-        private def addRow(row: InternalRow): Unit = {
-          val key = keyProj(row)
-          var heap = heaps.get(key)
-          if (heap == null) {
-            heap = new java.util.PriorityQueue[InternalRow](kk + 1, ord.reverse)
-            heaps.put(key.copy(), heap)
-          }
+        private def offer(row: InternalRow,
+          heap: java.util.PriorityQueue[InternalRow]): Unit = {
           if (heap.size < kk) { heap.add(row.copy()); bufferedRows += 1 }
           else if (ord.compare(row, heap.peek()) < 0) {
             heap.poll(); heap.add(row.copy())
           }
         }
 
+        private def newHeap(key: InternalRow): java.util.PriorityQueue[InternalRow] = {
+          val h = new java.util.PriorityQueue[InternalRow](kk + 1, ord.reverse)
+          heaps.put(key.copy(), h)
+          h
+        }
+
+        private def fill(): Unit = {
+          if (stash != null) {
+            val r = stash; stash = null
+            offer(r, newHeap(keyProj(r))) // window is fresh: always fits
+          }
+          var windowClosed = false
+          while (!windowClosed && iter.hasNext &&
+            bufferedRows < TopKHeaps.FlushRows) {
+            val row = iter.next()
+            val heap = heaps.get(keyProj(row))
+            if (heap != null) offer(row, heap)
+            else if (heaps.size() < TopKHeaps.FlushKeys)
+              offer(row, newHeap(keyProj(row)))
+            else { stash = row.copy(); windowClosed = true }
+          }
+        }
+
         private def advance(): Unit = {
           while (!cur.hasNext) {
             if (drain.hasNext) cur = drain.next().iterator()
-            else if (iter.hasNext) {
-              while (iter.hasNext && heaps.size() < TopKHeaps.FlushKeys &&
-                bufferedRows < TopKHeaps.FlushRows) addRow(iter.next())
+            else if (iter.hasNext || stash != null) {
+              fill()
               drain = heaps.values().iterator()
               heaps = new java.util.LinkedHashMap()
               bufferedRows = 0L

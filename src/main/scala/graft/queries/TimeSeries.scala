@@ -240,8 +240,13 @@ object TimeSeries {
     val heavy = series(s, dir).groupBy($"user_id")
       .agg(count(lit(1)).as("nu")).filter($"nu" > RangeUserCap)
       .select($"user_id")
+    // explicit NOT NULL + anti-join == the oracle's `user_id IS NOT
+    // NULL AND user_id IN (under-cap users)` by construction (the
+    // anti-join alone would additionally keep NULL-key rows, which the
+    // oracle's IN drops — same formulation on both sides, per review)
     val ev = series(s, dir)
       .select($"user_id", $"event_id", $"tus")
+      .filter($"user_id".isNotNull)
       .join(broadcast(heavy), Seq("user_id"), "left_anti")
       .withColumn("tb", expr(s"tus DIV $RangeWUs"))
     val probe = ev
@@ -259,7 +264,8 @@ object TimeSeries {
   val qRangeNbrSql: String =
     s"""WITH ev AS (
        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
-       |  WHERE user_id IN (SELECT user_id FROM events GROUP BY 1
+       |  WHERE user_id IS NOT NULL
+       |    AND user_id IN (SELECT user_id FROM events GROUP BY 1
        |                    HAVING COUNT(*) <= $RangeUserCap))
        |SELECT a.user_id, a.event_id, COUNT(*) AS n_nbr,
        |  CAST(MIN(ABS(b.tus - a.tus)) AS BIGINT) AS min_gap_us

@@ -127,17 +127,55 @@ object Catalog {
     f.exists(p) && f.delete(p, true)
   }
 
+  /** Are there crashed (uncommitted) appends left behind at `path`?
+    * A crashed [[append]] leaves its hidden `_tmp_append_*` staging
+    * directory in place — that leftover IS the marker that an append
+    * died before commit (the table's own files are untouched). */
+  def appendPending(s: SparkSession, path: String): Boolean = {
+    val (f, p) = fs(s, path)
+    f.exists(p) && f.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("_tmp_append_"))
+  }
+
   /** Append `df` to the declared catalog table at `path`, rejecting
     * schema drift (name or type mismatch against `schemas(table)`)
     * BEFORE any data is written — the FAILFAST half of idempotent
     * ingest. Nullability is not part of the contract (Spark widens it
-    * freely on read). */
+    * freely on read).
+    *
+    * Crash-safety: the job writes to a hidden `_tmp_append_*` staging
+    * subdirectory (underscore-prefixed, so readers never see it), then
+    * moves the data files into the table directory — a metadata-only
+    * rename loop, shrinking the vulnerable window from the whole job
+    * to the loop itself. A job that dies mid-write leaves only the
+    * staging dir behind (the table still holds exactly its pre-append
+    * files), and the next append detects the leftover via
+    * [[appendPending]] and fails loudly instead of silently stacking
+    * more data next to an unresolved crash. */
   def append(s: SparkSession, table: String, df: DataFrame, path: String): Unit = {
     val want = schemas(table).map(f => (f.name, f.dataType))
     val got = df.schema.map(f => (f.name, f.dataType))
     require(got == want,
       s"schema drift appending to $table: got $got, declared $want")
-    df.write.mode("append").parquet(path)
+    require(!appendPending(s, path),
+      s"$path has leftover _tmp_append_* staging dirs from a crashed append; " +
+        "inspect and delete them (or move their files in) before appending")
+    val (f, p) = fs(s, path)
+    val tmp = new org.apache.hadoop.fs.Path(p,
+      s"_tmp_append_${java.util.UUID.randomUUID().toString.take(8)}")
+    df.write.mode("errorifexists").parquet(tmp.toString)
+    // part-file names embed a job-unique UUID, so renames cannot
+    // collide with the table's existing files
+    val parts = f.listStatus(tmp).filter(_.isFile).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    parts.foreach { st =>
+      val dst = new org.apache.hadoop.fs.Path(p, st.getPath.getName)
+      if (!f.rename(st.getPath, dst))
+        throw new java.io.IOException(s"append commit failed moving ${st.getPath} -> $dst")
+    }
+    f.delete(tmp, true)
   }
 
   // ---------------------------------------------------------------
@@ -166,7 +204,11 @@ object Catalog {
     val recLen = schema.fields.map(f => width(f.dataType)).sum
     val fields = schema.fields.map(f => f.dataType)
     // fail loudly on truncated/corrupt files: the record reader would
-    // silently drop a trailing partial record otherwise
+    // silently drop a trailing partial record otherwise. This check is
+    // BEST-EFFORT against static input (the normal bulk-ingest case):
+    // it covers the files visible at call time, one directory level
+    // deep — a file added, replaced, or nested under a subdirectory
+    // between this listing and the read is consumed unvalidated.
     val (f, p) = fs(s, path)
     def visible(st: org.apache.hadoop.fs.FileStatus) =
       !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
