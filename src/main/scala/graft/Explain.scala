@@ -10,16 +10,26 @@ object Explain {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq else Bench.headline
+    // SPARK_GRAFT_EXPLAIN_EXECUTE=1: materialize first, then print the
+    // FINAL adaptive plan (AQE join selection, stage/exchange reuse,
+    // skew splits are only visible post-execution).
+    val execute = sys.env.get("SPARK_GRAFT_EXPLAIN_EXECUTE").contains("1")
     for (n <- names) {
       println(s"\n========== $n ==========")
-      println(SparkEntry.queries(n)(spark, sfDir)
-        .queryExecution.explainString(ExplainMode.fromString("formatted")))
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      // collect() drives df's OWN QueryExecution, so the printed plan
+      // is the finalized adaptive one (a noop write would execute a
+      // separate QueryExecution and leave this one initial). Dev tool
+      // at small SF — the collect is cheap.
+      if (execute) df.collect()
+      println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
     }
     spark.stop()
   }

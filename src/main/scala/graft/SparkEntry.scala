@@ -12,12 +12,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreOlap.defs ++ TimeSeries.defs ++ Spatial.defs ++ Text.defs ++
-      Dedup.defs ++ Ann.defs ++ Multimodal.defs ++ Sketches.defs
+      Dedup.defs ++ Ann.defs ++ Multimodal.defs ++ Sketches.defs ++
+      Behavior.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreOlap.oracles ++ TimeSeries.oracles ++ Spatial.oracles ++
       Text.oracles ++ Dedup.oracles ++ Ann.oracles ++ Multimodal.oracles ++
-      Sketches.oracles
+      Sketches.oracles ++ Behavior.oracles
 }

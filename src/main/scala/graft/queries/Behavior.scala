@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Behavioral event analytics over `events` — the funnel/cohort
+  * queries every event warehouse runs next to the time-series surface
+  * (the reference's visit tables answer the same "which objects
+  * progressed through which observation stages" shape).
+  *
+  * Scale shape: both queries shuffle ONCE on `user_id` (cardinality
+  * grows with the data) and everything after runs inside that
+  * partitioning — the stacked stage windows reuse one Exchange+Sort,
+  * and the per-user aggregate that follows is co-partitioned, so no
+  * second data-sized shuffle exists. All time arithmetic is exact
+  * integer micros.
+  */
+object Behavior {
+
+  /** Micros per day, in integer space. */
+  private val DayUs = 86400000000L
+  /** Retention horizon (days after cohort entry) reported. */
+  val RetentionDays = 7
+
+  /** events with integer-micro timestamps. */
+  private def ev(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir).select(
+      $"user_id", $"event_type", expr("ts DIV 1000").as("tus"))
+  }
+
+  // ---------------------------------------------------------------
+  /** Ordered conversion funnel view → click → purchase: a user is at
+    * stage n when stage n's event happened strictly AFTER their stage
+    * n−1 time (first-touch semantics: t1 = first view, t2 = first
+    * click after t1, t3 = first purchase after t2).
+    *
+    * Single-shuffle plan: the three stage times are stacked window
+    * minima over the SAME user partition — each window may reference
+    * the previous stage's column, and Catalyst plans all three Window
+    * operators over one Exchange+Sort. The per-user rollup that
+    * follows is co-partitioned (no second shuffle); the final
+    * one-row aggregate is map-side combined. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    val staged = ev(s, dir)
+      .withColumn("t1",
+        min(when($"event_type" === "view", $"tus")).over(w))
+      .withColumn("t2",
+        min(when($"event_type" === "click" && $"tus" > $"t1", $"tus")).over(w))
+      .withColumn("t3",
+        min(when($"event_type" === "purchase" && $"tus" > $"t2", $"tus")).over(w))
+    staged
+      .groupBy($"user_id")
+      .agg(min($"t1").as("t1"), min($"t2").as("t2"), min($"t3").as("t3"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count($"t1").as("n_view"),
+        count($"t2").as("n_view_click"),
+        count($"t3").as("n_full_funnel"),
+        sum($"t2" - $"t1").as("sum_view_to_click_us"),
+        sum($"t3" - $"t2").as("sum_click_to_buy_us"))
+  }
+
+  val qFunnelSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN tus END)
+      |         OVER (PARTITION BY user_id) AS t1 FROM ev),
+      |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND tus > t1 THEN tus END)
+      |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+      |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND tus > t2 THEN tus END)
+      |         OVER (PARTITION BY user_id) AS t3 FROM w2),
+      |u AS (SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+      |      FROM w3 GROUP BY 1)
+      |SELECT COUNT(*) AS n_users,
+      |  COUNT(t1) AS n_view, COUNT(t2) AS n_view_click, COUNT(t3) AS n_full_funnel,
+      |  CAST(SUM(t2 - t1) AS BIGINT) AS sum_view_to_click_us,
+      |  CAST(SUM(t3 - t2) AS BIGINT) AS sum_click_to_buy_us
+      |FROM u""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Cohort retention: users are grouped by their first active day
+    * (the cohort); for each day offset 0..[[RetentionDays]] the query
+    * counts how many of the cohort's users were active again. The
+    * (user, day) pairs are deduplicated first, so `COUNT(*)` per
+    * (cohort, offset) IS the distinct-user count — no expensive
+    * count-distinct at the end.
+    *
+    * Shuffles: one for the (user, day) dedup, one to bring each
+    * user's days together for the cohort window (both keys scale with
+    * the data), and the tiny (cohort, offset) rollup. */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    ev(s, dir)
+      .select($"user_id", expr(s"tus DIV $DayUs").as("day"))
+      .distinct()
+      .withColumn("cohort_day", min($"day").over(w))
+      .withColumn("day_offset", $"day" - $"cohort_day")
+      .filter($"day_offset" <= RetentionDays)
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val qRetentionSql: String =
+    s"""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+       |c AS (SELECT *, MIN(day) OVER (PARTITION BY user_id) AS cohort_day FROM ud)
+       |SELECT cohort_day, day - cohort_day AS day_offset, COUNT(*) AS n_users
+       |FROM c WHERE day - cohort_day <= $RetentionDays
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> (qFunnel _),
+    "q_retention" -> (qRetention _))
+
+  val oracles: Map[String, String] = Map(
+    "q_funnel" -> qFunnelSql,
+    "q_retention" -> qRetentionSql)
+}

@@ -369,6 +369,101 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Connected components of an undirected pair graph by iterative
+    * min-label propagation: every node ends up labeled with the
+    * smallest node id reachable from it. The loop is the one place the
+    * driver legitimately iterates — the classic Pregel/GraphX shape —
+    * and each iteration is fully distributed: one equi-join of edges
+    * against current labels (shuffle on node id) + one min-aggregate.
+    * `localCheckpoint(eager)` truncates lineage per iteration so plans
+    * don't grow with the iteration count.
+    *
+    * Convergence: min-label propagation stabilizes within the graph
+    * diameter. Near-dup graphs are dense clusters (diameter 2-3), so
+    * the loop exits in a handful of rounds; `maxIters` is a loud
+    * safety bound, not a truncation — non-convergence throws rather
+    * than returning wrong labels. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+    maxIters: Int = 50): DataFrame = {
+    import nodes.sparkSession.implicits._
+    val edges = pairs.select($"d1".as("src"), $"d2".as("dst"))
+      .union(pairs.select($"d2".as("src"), $"d1".as("dst")))
+      .persist()
+    var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select($"doc_id".as("src"), $"cluster_id"), "src")
+        .groupBy($"dst".as("doc_id"))
+        .agg(min($"cluster_id").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select($"doc_id",
+          least($"cluster_id", coalesce($"nbr_min", $"cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.select($"doc_id", $"cluster_id".as("old_id")), "doc_id")
+        .filter($"cluster_id" =!= $"old_id")
+        .limit(1).count()
+      converged = changed == 0
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"connected components did not converge in $maxIters iterations")
+    val w = Window.partitionBy($"cluster_id")
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .orderBy($"doc_id")
+  }
+
+  /** Near-dup cluster assignment: connected components of the n-gram
+    * Jaccard pair graph ([[ngramJaccardPairs]], j ≥ 0.5) — the step a
+    * dedup pipeline runs after pair generation, since near-duplication
+    * is transitive in practice (A≈B≈C belong to one cluster even when
+    * A–C alone misses the threshold) and the keep-one-per-cluster
+    * decision needs the cluster, not the pairs. Output: every doc with
+    * its cluster id (min doc_id in the component) and cluster size. */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    connectedComponents(
+      docs.select(docs("doc_id")),
+      ngramJaccardPairs(docs).select("d1", "d2"))
+  }
+
+  /** The oracle computes the same transitive closure with a recursive
+    * CTE: reach(node, lbl) holds every (node, reachable id) pair;
+    * MIN(lbl) per node is the component label. Identical pair
+    * generation (same CTEs as q_ngram_jaccard), so the graphs match by
+    * construction. */
+  val qDedupClustersSql: String =
+    s"""WITH RECURSIVE
+       |g AS ($gramRowsSql),
+       |n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+       |gf AS (SELECT doc_id, gram FROM (
+       |        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM g)
+       |       WHERE df <= $GramDfCap),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+       |      FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |jp AS (SELECT d1, d2
+       |       FROM p JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
+       |       WHERE inter * 2 >= na.ng + nb.ng - inter),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM jp
+       |          UNION ALL SELECT d2, d1 FROM jp),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.node = e.src),
+       |lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+       |FROM lab JOIN sz USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   /** End-to-end cleaning pipeline — the composition every training-
     * data ingest runs before tokenization: quality gate (same rule as
     * q_text_quality's keep flag) → exact dedup among kept docs →
@@ -419,9 +514,11 @@ object Dedup {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_edit_dist_pairs" -> (qEditDistPairs _),
+    "q_dedup_clusters" -> (qDedupClusters _),
     "q_pipeline_clean" -> (qPipelineClean _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,

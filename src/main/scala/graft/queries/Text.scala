@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextFunctions
 
@@ -154,7 +155,99 @@ object Text {
   }
 
   // ---------------------------------------------------------------
+  /** Top terms per doc via TF-IDF-style weighting. The weight is the
+    * exact-integer inverse document frequency `(1000·N) DIV df`
+    * instead of `ln(N/df)`: Java's and DuckDB's `ln` are not
+    * guaranteed bit-identical (the repo rule — reductions and ranks in
+    * integer space), and the ranking it induces is the same
+    * monotone-in-1/df order. Top [[TfidfTopK]] per doc is written as
+    * the plain `row_number() <= k` idiom, so TopKRewrite plans it on
+    * the bounded-heap TopKPerKey operator — per-doc keys are
+    * high-cardinality, exactly the shape the partial flush handles.
+    *
+    * Shuffles: (doc, term) tf aggregate, term-keyed df aggregate +
+    * join-back, and the top-k exchange of ≤ k·partitions survivors —
+    * each on a key whose cardinality grows with the corpus. The 1-row
+    * doc count joins in as a broadcast.
+    *
+    * df is a groupBy (map-side combinable) rather than a
+    * count-over-Window on term: a stopword's window partition would
+    * hold one row per containing DOC (≈ the corpus) in a single task.
+    * The price is that Catalyst evaluates the tf subtree twice (plans
+    * share no common subexpression without manual materialization) —
+    * a second linear, embarrassingly-parallel pass; a production
+    * pipeline materializes the (doc, term, tf) table into the catalog
+    * once and feeds every downstream consumer from it. */
+  val TfidfTopK = 3
+
+  def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("term"))
+      .filter(length($"term") > 0)
+    val tf = words.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", $"tf" * expr("(1000 * n_docs) DIV df"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")))
+      .filter($"rnk" <= TfidfTopK)
+      .select($"doc_id", $"term", $"tf", $"df", $"score", $"rnk")
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  val qTfidfSql: String =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+       |           FROM documents),
+       |wf AS (SELECT doc_id, term FROM w WHERE LENGTH(term) > 0),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM wf GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |sc AS (SELECT t.doc_id, t.term, t.tf, d.df,
+       |         t.tf * ((1000 * n.n_docs) // d.df) AS score
+       |       FROM tf t JOIN df d USING (term) CROSS JOIN n),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY score DESC, term) AS rnk FROM sc)
+       |SELECT doc_id, term, tf, df, CAST(score AS BIGINT) AS score, CAST(rnk AS INT) AS rnk
+       |FROM r WHERE rnk <= $TfidfTopK ORDER BY doc_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Deterministic stratified sampling: per-language Bernoulli rates
+    * keyed on a content-independent hash of the doc id — the
+    * rebalancing move a training mix runs (downsample the dominant
+    * language, keep more of the rest). The first hex nibble of
+    * md5(doc_id) is uniform over '0'..'f', so `nibble < '1'` keeps
+    * 1/16 of `en` and `nibble < '4'` keeps 4/16 of everything else —
+    * a pure string compare, identical in both engines.
+    *
+    * Determinism is the point: re-running the pipeline (or a failed
+    * task) selects the SAME sample — no RNG state, no seed plumbing —
+    * and the predicate is a per-row filter, so the scan stays
+    * shuffle-free and linear. */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        substring(md5($"doc_id".cast("string")), 1, 1).as("h"))
+      .filter($"h" < when($"lang" === "en", "1").otherwise("4"))
+      .orderBy($"doc_id")
+  }
+
+  val qSampleStratifiedSql: String =
+    """SELECT doc_id, lang, SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+      |FROM documents
+      |WHERE SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 1)
+      |      < CASE WHEN lang = 'en' THEN '1' ELSE '4' END
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf" -> (qTfidf _),
+    "q_sample_stratified" -> (qSampleStratified _),
     "q_text_quality" -> (qTextQuality _),
     "q_lang_id" -> (qLangId _),
     "q_token_count" -> (qTokenCount _),
@@ -162,6 +255,8 @@ object Text {
     "q_winnow_fingerprint" -> (qWinnowFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_tfidf" -> qTfidfSql,
+    "q_sample_stratified" -> qSampleStratifiedSql,
     "q_text_quality" -> qTextQualitySql,
     "q_lang_id" -> qLangIdSql,
     "q_token_count" -> qTokenCountSql,

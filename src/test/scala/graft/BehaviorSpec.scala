@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-4 operators: funnel/retention, near-dup clustering, TF-IDF
+  * top-k, deterministic stratified sampling. */
+class BehaviorSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  for ((name, fn) <- queries.Behavior.defs) {
+    test(s"$name runs and returns rows at sf0.001") {
+      assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q_funnel stage counts are monotone and lag sums consistent") {
+    val r = queries.Behavior.qFunnel(spark, sf).collect()(0)
+    val (nu, n1, n2, n3) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nu >= n1 && n1 >= n2 && n2 >= n3,
+      s"funnel not monotone: $nu >= $n1 >= $n2 >= $n3")
+    assert(n1 > 0, "no user reached stage 1 — degenerate fixture")
+    // strictly-after semantics make every stage gap positive, so the
+    // summed gaps are positive exactly when someone reached the stage
+    if (n2 > 0) assert(r.getLong(4) > 0) else assert(r.isNullAt(4))
+    if (n3 > 0) assert(r.getLong(5) > 0) else assert(r.isNullAt(5))
+  }
+
+  test("q_funnel plans ONE data-sized shuffle (stacked windows share it)") {
+    val plan = queries.Behavior.qFunnel(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // one Exchange on user_id; the closing one-row aggregate uses a
+    // SinglePartition exchange, not a hash one
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
+  }
+
+  test("q_retention: offset-0 row equals cohort size and offsets bounded") {
+    val rows = queries.Behavior.qRetention(spark, sf).collect()
+    val byCohort = rows.groupBy(_.getLong(0))
+    for ((cohort, rs) <- byCohort) {
+      val day0 = rs.find(_.getLong(1) == 0L)
+      assert(day0.isDefined, s"cohort $cohort missing offset 0")
+      val base = day0.get.getLong(2)
+      // every user is active on their own cohort day, and no later
+      // offset can retain more users than the cohort has
+      assert(rs.forall(_.getLong(2) <= base))
+      assert(rs.forall(r => r.getLong(1) >= 0 &&
+        r.getLong(1) <= queries.Behavior.RetentionDays))
+    }
+  }
+
+  test("connectedComponents labels a chain graph through multi-step propagation") {
+    import spark.implicits._
+    // path 10-20-30-40 needs 3 propagation rounds; 50 is isolated
+    val nodes = Seq(10L, 20L, 30L, 40L, 50L).toDF("doc_id")
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L)).toDF("d1", "d2")
+    val got = queries.Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 10L, 4L), (20L, 10L, 4L), (30L, 10L, 4L),
+      (40L, 10L, 4L), (50L, 50L, 1L)))
+  }
+
+  test("q_dedup_clusters covers every doc; near-dup pairs land in one cluster") {
+    val docs = Tables.documents(spark, sf)
+    val clusters = queries.Dedup.qDedupClusters(spark, sf).cache()
+    assert(clusters.count() == docs.count())
+    assert(clusters.filter("cluster_id > doc_id").count() == 0)
+    // every Jaccard pair must be intra-cluster (components absorb edges)
+    val lab = clusters.select(col("doc_id"), col("cluster_id"))
+    val crossEdges = queries.Dedup.qNgramJaccard(spark, sf)
+      .select(col("d1"), col("d2"))
+      .join(lab.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("cluster_id", "c1"), "d1")
+      .join(lab.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("cluster_id", "c2"), "d2")
+      .filter("c1 <> c2").count()
+    assert(crossEdges == 0, s"$crossEdges similarity edges cross clusters")
+    // sizes are consistent: summing each distinct cluster once = n docs
+    val sizeSum = clusters.select("cluster_id", "cluster_size").distinct()
+      .agg(sum("cluster_size")).collect()(0).getLong(0)
+    assert(sizeSum == docs.count())
+    clusters.unpersist()
+  }
+
+  test("q_tfidf emits at most k ranked terms per doc, scores non-increasing") {
+    val df = queries.Text.qTfidf(spark, sf).cache()
+    val k = queries.Text.TfidfTopK
+    assert(df.filter(s"rnk < 1 OR rnk > $k").count() == 0)
+    val over = df.groupBy("doc_id").count().filter(s"count > $k").count()
+    assert(over == 0)
+    val misordered = df.selectExpr("doc_id",
+      "score - lead(score) OVER (PARTITION BY doc_id ORDER BY rnk) AS step")
+      .filter("step < 0").count()
+    assert(misordered == 0, "scores must be non-increasing in rank")
+    df.unpersist()
+  }
+
+  test("q_tfidf plans the bounded-heap top-k (TopKRewrite applies)") {
+    // the extensions-injected rule rewrites the row_number idiom; the
+    // shared test session has no extensions, so apply the rule's
+    // target operator shape check via a rewritten session run
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations = Seq(plans.TopKRewrite)
+    plans.TopKPerKey.ensureStrategy(s2)
+    val plan = queries.Text.qTfidf(s2, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopK") && plan.contains("FinalTopK"),
+      s"TopKRewrite did not fire on q_tfidf:\n$plan")
+  }
+
+  test("q_sample_stratified is deterministic and respects per-stratum rates") {
+    val a = queries.Text.qSampleStratified(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    val b = queries.Text.qSampleStratified(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b, "sample must be identical across runs (no RNG)")
+    // the nibble rule holds row-by-row
+    val bad = queries.Text.qSampleStratified(spark, sf)
+      .filter("(lang = 'en' AND h >= '1') OR (lang <> 'en' AND h >= '4')")
+      .count()
+    assert(bad == 0)
+  }
+}

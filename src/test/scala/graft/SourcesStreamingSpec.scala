@@ -134,6 +134,24 @@ class CatalogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Catalog.append(spark, "nation", retyped, out)
     }
+    // readers never see staged data, and a crashed append (leftover
+    // staging dir) is detected and blocks the next append loudly
+    assert(!Catalog.appendPending(spark, out))
+    val stale = java.nio.file.Paths.get(out, "_tmp_append_dead")
+    Files.createDirectory(stale)
+    Files.write(stale.resolve("part-junk.parquet"), Array[Byte](9, 9))
+    assert(spark.read.parquet(out).count() == 2 * n1,
+      "underscore-prefixed staging dirs must be invisible to reads")
+    assert(Catalog.appendPending(spark, out))
+    val crashMsg = intercept[IllegalArgumentException] {
+      Catalog.append(spark, "nation", nation, out)
+    }
+    assert(crashMsg.getMessage.contains("_tmp_append"))
+    // operator resolves, append proceeds and commits fully
+    Catalog.dropIfExists(spark, stale.toString)
+    Catalog.append(spark, "nation", nation, out)
+    assert(spark.read.parquet(out).count() == 3 * n1)
+    assert(!Catalog.appendPending(spark, out), "staging dir must be cleaned up")
   }
 
   test("fingerprint-bucketed catalog makes exact dedup shuffle-free") {
