@@ -1,0 +1,209 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 reader for fixed-width big-endian binary records —
+  * the FITS-bintable bulk-load path as a first-class Spark source:
+  *
+  * {{{
+  *   spark.read.format("graft.sources.v2.BinRecordSource")
+  *     .schema(recordSchema)            // plays the FITS header
+  *     .option("path", dir)
+  *     .load()
+  * }}}
+  *
+  * Why a full V2 source instead of the RDD decode
+  * ([[graft.sources.Catalog.readBinaryRecords]]):
+  *  - **Column pruning reaches the byte level.** The scan implements
+  *    `SupportsPushDownRequiredColumns`, so `SELECT two columns`
+  *    decodes two fields per record and skips the rest by offset —
+  *    on a 100-column catalog dump that is a ~50× decode saving the
+  *    RDD path cannot express (`ReadSchema` in explain shows it).
+  *  - **Record-aligned splits.** Files are split at multiples of the
+  *    record length into `maxSplitBytes`-sized partitions (the same
+  *    contract as Hadoop text splits), so ingest parallelism scales
+  *    with bytes, not files — one 1 TB dump still fans out across the
+  *    cluster.
+  *  - Engine-integrated: the result is a normal `DataFrame`; filters,
+  *    projections and writes compose, and `spark.read.format(...)`
+  *    needs no library import at the call site.
+  *
+  * Supported field types (all big-endian, as FITS mandates):
+  * Long/Double (8 bytes), Int/Float (4), Short (2). The schema is
+  * declared by the caller (`supportsExternalMetadata`) — a binary
+  * dump carries no self-describing footer to infer from.
+  */
+class BinRecordSource extends TableProvider {
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    throw new IllegalArgumentException(
+      "binrec carries no self-describing schema: declare one with .schema(...)")
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+    properties: util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty, "option 'path' is required")
+    BinRecordTable(schema, path,
+      Option(properties.get("maxSplitBytes")).map(_.toLong)
+        .getOrElse(BinRecord.DefaultSplitBytes))
+  }
+}
+
+private[v2] object BinRecord {
+  val DefaultSplitBytes: Long = 128L * 1024 * 1024
+
+  def width(dt: DataType): Int = dt match {
+    case LongType | DoubleType => 8
+    case IntegerType | FloatType => 4
+    case ShortType => 2
+    case other => throw new IllegalArgumentException(
+      s"unsupported binary-record field type $other")
+  }
+
+  /** Byte offset of each field inside one record. */
+  def offsets(schema: StructType): Array[Int] =
+    schema.fields.map(f => width(f.dataType)).scanLeft(0)(_ + _).dropRight(1)
+
+  def recordLength(schema: StructType): Int =
+    schema.fields.map(f => width(f.dataType)).sum
+}
+
+private[v2] case class BinRecordTable(tableSchema: StructType, path: String,
+  maxSplitBytes: Long) extends Table with SupportsRead {
+  override def name(): String = s"binrec($path)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BinRecordScanBuilder(tableSchema, path, maxSplitBytes)
+}
+
+private[v2] class BinRecordScanBuilder(full: StructType, path: String,
+  maxSplitBytes: Long) extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+
+  /** Catalyst hands us the projected schema; keep the FILE order so
+    * field offsets stay monotone in the decode loop. */
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    val keep = requiredSchema.fieldNames.toSet
+    required = StructType(full.fields.filter(f => keep.contains(f.name)))
+  }
+
+  override def build(): Scan = BinRecordScan(full, required, path, maxSplitBytes)
+}
+
+/** One record-aligned byte range of one file. */
+private[v2] case class BinRecordPartition(file: String, start: Long,
+  length: Long) extends InputPartition
+
+private[v2] case class BinRecordScan(full: StructType, required: StructType,
+  path: String, maxSplitBytes: Long) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"binrec $path recLen=${BinRecord.recordLength(full)} " +
+      s"ReadFields=${required.fieldNames.mkString(",")}"
+
+  /** Driver-side planning: list visible files, validate record
+    * alignment (a truncated file fails loudly HERE, not as a silently
+    * short partition), and cut record-aligned splits. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val recLen = BinRecord.recordLength(full).toLong
+    val hconf = SparkSession.active.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(hconf)
+    def visible(st: FileStatus) = {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    val matched =
+      if (fs.isDirectory(p)) fs.listStatus(p).filter(_.isFile).filter(visible)
+      else Option(fs.globStatus(p)).getOrElse(Array.empty[FileStatus])
+        .filter(_.isFile).filter(visible)
+    require(matched.nonEmpty, s"no (visible) binary input files at $path")
+    // split size: a whole number of records, at least one
+    val split = math.max((maxSplitBytes / recLen) * recLen, recLen)
+    matched.flatMap { st =>
+      require(st.getLen % recLen == 0,
+        s"${st.getPath} length ${st.getLen} is not a multiple of record " +
+          s"length $recLen (truncated or mis-declared binary table)")
+      (0L until st.getLen by split).map { off =>
+        BinRecordPartition(st.getPath.toString, off,
+          math.min(split, st.getLen - off))
+      }
+    }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    BinRecordReaderFactory(full, required)
+}
+
+private[v2] case class BinRecordReaderFactory(full: StructType,
+  required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new BinRecordReader(full, required, partition.asInstanceOf[BinRecordPartition])
+}
+
+/** Streams one byte range, decoding ONLY the required fields of each
+  * record by absolute offset (pruned fields are never touched). */
+private[v2] class BinRecordReader(full: StructType, required: StructType,
+  part: BinRecordPartition) extends PartitionReader[InternalRow] {
+
+  private val recLen = BinRecord.recordLength(full)
+  private val allOffsets = BinRecord.offsets(full)
+  private val fieldIdx = full.fieldNames.zipWithIndex.toMap
+  // (offset-in-record, type) per required field, in output order
+  private val wanted: Array[(Int, DataType)] =
+    required.fields.map(f => (allOffsets(fieldIdx(f.name)), f.dataType))
+
+  // executors recreate the FS from the default Hadoop configuration;
+  // the harness (and any spark-submit cluster) ships core-site via
+  // the usual conf mechanism
+  private val fs = new Path(part.file).getFileSystem(new Configuration())
+  private val in = fs.open(new Path(part.file))
+  in.seek(part.start)
+
+  private val totalRecords = (part.length / recLen).toInt
+  private val buf = new Array[Byte](recLen)
+  private var readRecords = 0
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (readRecords >= totalRecords) return false
+    in.readFully(buf, 0, recLen)
+    val bb = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.BIG_ENDIAN)
+    val row = new GenericInternalRow(wanted.length)
+    var i = 0
+    while (i < wanted.length) {
+      val (off, dt) = wanted(i)
+      dt match {
+        case LongType => row.setLong(i, bb.getLong(off))
+        case DoubleType => row.setDouble(i, bb.getDouble(off))
+        case IntegerType => row.setInt(i, bb.getInt(off))
+        case FloatType => row.setFloat(i, bb.getFloat(off))
+        case ShortType => row.setShort(i, bb.getShort(off))
+        case other => throw new IllegalStateException(other.toString)
+      }
+      i += 1
+    }
+    current = row
+    readRecords += 1
+    true
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

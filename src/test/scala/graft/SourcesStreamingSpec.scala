@@ -193,6 +193,51 @@ class CatalogSpec extends AnyFunSuite {
     assert(back.toSeq == recs)
   }
 
+  test("binrec V2 source: record-aligned splits + byte-level column pruning") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("flux", DoubleType),
+      StructField("band", IntegerType)))
+    val recs = (0 until 100).map(i => (i.toLong, i * 1.5, i % 6))
+    val bb = java.nio.ByteBuffer.allocate(recs.length * 20)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    recs.foreach { case (id, flux, band) =>
+      bb.putLong(id); bb.putDouble(flux); bb.putInt(band)
+    }
+    val dir = Files.createTempDirectory("graft_binv2")
+    Files.write(dir.resolve("table.bin"), bb.array())
+    // also prove staging/hidden files are skipped like every source
+    Files.write(dir.resolve("_junk.bin"), Array[Byte](1))
+
+    def read() = spark.read.format("graft.sources.v2.BinRecordSource")
+      .schema(schema)
+      .option("path", dir.toString)
+      .option("maxSplitBytes", "400") // 20 records per split -> 5 splits
+      .load()
+
+    val full = read()
+    assert(full.rdd.getNumPartitions == 5, "record-aligned splits expected")
+    val back = full.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      .sortBy(_._1)
+    assert(back.toSeq == recs)
+
+    // projection must reach the scan: only the requested field decodes
+    val pruned = read().select("flux")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.readSchema().fieldNames.toSeq
+    }
+    assert(scans == Seq(Seq("flux")), s"pruning did not reach the scan: $scans")
+    assert(pruned.collect().map(_.getDouble(0)).sorted.toSeq ==
+      recs.map(_._2).sorted)
+
+    // a truncated file fails loudly at planning, not as short output
+    Files.write(dir.resolve("bad.bin"), Array[Byte](1, 2, 3))
+    val e = intercept[Exception] { read().count() }
+    assert(e.getMessage != null && e.getMessage.contains("multiple"),
+      s"expected alignment failure, got $e")
+  }
+
   test("csv ingest round-trips with the declared schema") {
     val out = Files.createTempDirectory("graft_csv").toString
     val nation = Catalog.readParquet(spark, "nation", s"$sf/nation.parquet")
