@@ -24,11 +24,10 @@ object Explain {
     for (n <- names) {
       println(s"\n========== $n ==========")
       val df = SparkEntry.queries(n)(spark, sfDir)
-      // collect() drives df's OWN QueryExecution, so the printed plan
-      // is the finalized adaptive one (a noop write would execute a
-      // separate QueryExecution and leave this one initial). Dev tool
-      // at small SF — the collect is cheap.
-      if (execute) df.collect()
+      // drive df's OWN QueryExecution (a noop write would execute a
+      // separate one and leave this plan initial), without collecting
+      // any rows to the driver
+      if (execute) df.queryExecution.toRdd.foreachPartition(_ => ())
       println(df.queryExecution.explainString(ExplainMode.fromString("formatted")))
     }
     spark.stop()

@@ -24,11 +24,18 @@ object Behavior {
   /** Retention horizon (days after cohort entry) reported. */
   val RetentionDays = 7
 
-  /** events with integer-micro timestamps. */
+  /** events with integer-micro timestamps. NULL user_id (anonymous)
+    * rows are excluded up front: a NULL key would otherwise collapse
+    * every anonymous event into ONE phantom user — inflating funnel
+    * counts with mixed unrelated sessions, seeding a fake cohort, and
+    * concentrating all those rows in a single window partition (the
+    * exact skew the single-shuffle design avoids). Mirrored in both
+    * oracles. */
   private def ev(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.events(s, dir).select(
-      $"user_id", $"event_type", expr("ts DIV 1000").as("tus"))
+    Tables.events(s, dir)
+      .filter($"user_id".isNotNull)
+      .select($"user_id", $"event_type", expr("ts DIV 1000").as("tus"))
   }
 
   // ---------------------------------------------------------------
@@ -66,7 +73,8 @@ object Behavior {
   }
 
   val qFunnelSql: String =
-    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+      |            WHERE user_id IS NOT NULL),
       |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN tus END)
       |         OVER (PARTITION BY user_id) AS t1 FROM ev),
       |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND tus > t1 THEN tus END)
@@ -107,7 +115,8 @@ object Behavior {
   }
 
   val qRetentionSql: String =
-    s"""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+    s"""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events
+       |            WHERE user_id IS NOT NULL),
        |c AS (SELECT *, MIN(day) OVER (PARTITION BY user_id) AS cohort_day FROM ud)
        |SELECT cohort_day, day - cohort_day AS day_offset, COUNT(*) AS n_users
        |FROM c WHERE day - cohort_day <= $RetentionDays

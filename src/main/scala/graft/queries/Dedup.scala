@@ -398,16 +398,15 @@ object Dedup {
         .join(labels.select($"doc_id".as("src"), $"cluster_id"), "src")
         .groupBy($"dst".as("doc_id"))
         .agg(min($"cluster_id").as("nbr_min"))
+      // carry the previous label through the checkpoint so convergence
+      // is a filter over already-materialized data, not another join
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select($"doc_id",
-          least($"cluster_id", coalesce($"nbr_min", $"cluster_id")).as("cluster_id"))
+          least($"cluster_id", coalesce($"nbr_min", $"cluster_id")).as("new_id"),
+          $"cluster_id".as("old_id"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.select($"doc_id", $"cluster_id".as("old_id")), "doc_id")
-        .filter($"cluster_id" =!= $"old_id")
-        .limit(1).count()
-      converged = changed == 0
-      labels = next
+      converged = next.filter($"new_id" =!= $"old_id").limit(1).count() == 0
+      labels = next.select($"doc_id", $"new_id".as("cluster_id"))
       it += 1
     }
     edges.unpersist()

@@ -130,11 +130,45 @@ object Catalog {
   /** Are there crashed (uncommitted) appends left behind at `path`?
     * A crashed [[append]] leaves its hidden `_tmp_append_*` staging
     * directory in place — that leftover IS the marker that an append
-    * died before commit (the table's own files are untouched). */
+    * died before commit. [[recoverAppends]] resolves them. */
   def appendPending(s: SparkSession, path: String): Boolean = {
     val (f, p) = fs(s, path)
     f.exists(p) && f.listStatus(p).exists(st =>
       st.isDirectory && st.getPath.getName.startsWith("_tmp_append_"))
+  }
+
+  private val AppendManifest = "_MANIFEST"
+
+  /** Resolve every crashed append at `path`, making each one
+    * all-or-nothing after the fact: a staging dir WITH a manifest had
+    * finished writing its data, so it rolls FORWARD (the remaining
+    * manifest entries are renamed in — renames already done by the
+    * crashed job are skipped, making recovery idempotent); a staging
+    * dir WITHOUT a manifest died mid-write and rolls BACK (deleted).
+    * Returns (rolledForward, rolledBack) staging-dir counts. */
+  def recoverAppends(s: SparkSession, path: String): (Int, Int) = {
+    val (f, p) = fs(s, path)
+    if (!f.exists(p)) return (0, 0)
+    val staged = f.listStatus(p).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("_tmp_append_"))
+    var (fwd, back) = (0, 0)
+    staged.foreach { st =>
+      val manifest = new org.apache.hadoop.fs.Path(st.getPath, AppendManifest)
+      if (f.exists(manifest)) {
+        val in = f.open(manifest)
+        val names = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList finally in.close()
+        names.foreach { n =>
+          val src = new org.apache.hadoop.fs.Path(st.getPath, n)
+          val dst = new org.apache.hadoop.fs.Path(p, n)
+          if (f.exists(src) && !f.rename(src, dst))
+            throw new java.io.IOException(s"append recovery failed moving $src -> $dst")
+        }
+        fwd += 1
+      } else back += 1
+      f.delete(st.getPath, true)
+    }
+    (fwd, back)
   }
 
   /** Append `df` to the declared catalog table at `path`, rejecting
@@ -144,14 +178,16 @@ object Catalog {
     * freely on read).
     *
     * Crash-safety: the job writes to a hidden `_tmp_append_*` staging
-    * subdirectory (underscore-prefixed, so readers never see it), then
-    * moves the data files into the table directory — a metadata-only
-    * rename loop, shrinking the vulnerable window from the whole job
-    * to the loop itself. A job that dies mid-write leaves only the
-    * staging dir behind (the table still holds exactly its pre-append
-    * files), and the next append detects the leftover via
-    * [[appendPending]] and fails loudly instead of silently stacking
-    * more data next to an unresolved crash. */
+    * subdirectory (underscore-prefixed, so readers never see it),
+    * records the staged part-file names in a `_MANIFEST`, then moves
+    * the files into the table directory and deletes the staging dir.
+    * Any crash leaves the staging dir behind as the pending marker,
+    * and the manifest makes the outcome decidable: died mid-write
+    * (no manifest) → [[recoverAppends]] rolls the append back; died
+    * mid-commit (manifest present, some files possibly already moved)
+    * → it rolls the append forward to completion. The next append
+    * fails loudly while anything is pending, so a crash can never be
+    * silently half-committed. */
   def append(s: SparkSession, table: String, df: DataFrame, path: String): Unit = {
     val want = schemas(table).map(f => (f.name, f.dataType))
     val got = df.schema.map(f => (f.name, f.dataType))
@@ -159,17 +195,18 @@ object Catalog {
       s"schema drift appending to $table: got $got, declared $want")
     require(!appendPending(s, path),
       s"$path has leftover _tmp_append_* staging dirs from a crashed append; " +
-        "inspect and delete them (or move their files in) before appending")
+        "run Catalog.recoverAppends to roll them forward/back first")
     val (f, p) = fs(s, path)
     val tmp = new org.apache.hadoop.fs.Path(p,
       s"_tmp_append_${java.util.UUID.randomUUID().toString.take(8)}")
     df.write.mode("errorifexists").parquet(tmp.toString)
     // part-file names embed a job-unique UUID, so renames cannot
     // collide with the table's existing files
-    val parts = f.listStatus(tmp).filter(_.isFile).filter { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
+    val parts = f.listStatus(tmp).filter(_.isFile)
+      .filter(st => v2.BinRecord.visible(st.getPath.getName))
+    val out = f.create(new org.apache.hadoop.fs.Path(tmp, AppendManifest), true)
+    try out.write(parts.map(_.getPath.getName).mkString("", "\n", "\n")
+      .getBytes("UTF-8")) finally out.close()
     parts.foreach { st =>
       val dst = new org.apache.hadoop.fs.Path(p, st.getPath.getName)
       if (!f.rename(st.getPath, dst))
@@ -194,14 +231,9 @@ object Catalog {
     * bytes), Int/Float (4), Short (2) — all big-endian, as FITS
     * mandates. */
   def readBinaryRecords(s: SparkSession, path: String, schema: StructType): DataFrame = {
-    def width(dt: DataType): Int = dt match {
-      case LongType | DoubleType => 8
-      case IntegerType | FloatType => 4
-      case ShortType => 2
-      case other => throw new IllegalArgumentException(
-        s"unsupported binary-record field type $other")
-    }
-    val recLen = schema.fields.map(f => width(f.dataType)).sum
+    // layout arithmetic shared with the V2 source so the two binary
+    // readers can never disagree on record shape
+    val recLen = v2.BinRecord.recordLength(schema)
     val fields = schema.fields.map(f => f.dataType)
     // fail loudly on truncated/corrupt files: the record reader would
     // silently drop a trailing partial record otherwise. This check is
@@ -211,7 +243,7 @@ object Catalog {
     // between this listing and the read is consumed unvalidated.
     val (f, p) = fs(s, path)
     def visible(st: org.apache.hadoop.fs.FileStatus) =
-      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
+      v2.BinRecord.visible(st.getPath.getName)
     // globStatus returns null (not empty) for a missing non-glob path;
     // directory matches expand one level, mirroring FileInputFormat's
     // own (non-recursive) listing so validation sees what the read sees

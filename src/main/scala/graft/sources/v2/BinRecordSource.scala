@@ -61,7 +61,10 @@ class BinRecordSource extends TableProvider {
   }
 }
 
-private[v2] object BinRecord {
+/** Record-layout arithmetic + file-visibility rule, shared with the
+  * RDD ingest path ([[graft.sources.Catalog.readBinaryRecords]]) so
+  * the two readers cannot drift. */
+private[sources] object BinRecord {
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
 
   def width(dt: DataType): Int = dt match {
@@ -78,6 +81,11 @@ private[v2] object BinRecord {
 
   def recordLength(schema: StructType): Int =
     schema.fields.map(f => width(f.dataType)).sum
+
+  /** The convention every Spark source applies: underscore/dot names
+    * (staging dirs, markers, checksums) are invisible to reads. */
+  def visible(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
 }
 
 private[v2] case class BinRecordTable(tableSchema: StructType, path: String,
@@ -119,20 +127,23 @@ private[v2] case class BinRecordScan(full: StructType, required: StructType,
 
   /** Driver-side planning: list visible files, validate record
     * alignment (a truncated file fails loudly HERE, not as a silently
-    * short partition), and cut record-aligned splits. */
+    * short partition), and cut record-aligned splits. Directory glob
+    * matches expand one level (the same contract as the RDD ingest
+    * path) — a match is never silently dropped. */
   override def planInputPartitions(): Array[InputPartition] = {
     val recLen = BinRecord.recordLength(full).toLong
     val hconf = SparkSession.active.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(hconf)
-    def visible(st: FileStatus) = {
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".")
-    }
-    val matched =
-      if (fs.isDirectory(p)) fs.listStatus(p).filter(_.isFile).filter(visible)
+    def visible(st: FileStatus) = BinRecord.visible(st.getPath.getName)
+    val globbed =
+      if (fs.isDirectory(p)) Array(fs.getFileStatus(p))
       else Option(fs.globStatus(p)).getOrElse(Array.empty[FileStatus])
-        .filter(_.isFile).filter(visible)
+    val matched = globbed.toSeq.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).filter(_.isFile).filter(visible).toSeq
+      else Seq(st).filter(visible)
+    }
     require(matched.nonEmpty, s"no (visible) binary input files at $path")
     // split size: a whole number of records, at least one
     val split = math.max((maxSplitBytes / recLen) * recLen, recLen)
@@ -147,20 +158,34 @@ private[v2] case class BinRecordScan(full: StructType, required: StructType,
     }.toArray[InputPartition]
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    BinRecordReaderFactory(full, required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // executors must see the DRIVER's Hadoop configuration (including
+    // spark.hadoop.* injections, which never reach a classpath
+    // core-site.xml), so ship it as a plain serializable key→value map
+    val hconf = SparkSession.active.sparkContext.hadoopConfiguration
+    val it = hconf.iterator()
+    val entries = Array.newBuilder[(String, String)]
+    while (it.hasNext) { val e = it.next(); entries += (e.getKey -> e.getValue) }
+    BinRecordReaderFactory(full, required, entries.result())
+  }
 }
 
 private[v2] case class BinRecordReaderFactory(full: StructType,
-  required: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new BinRecordReader(full, required, partition.asInstanceOf[BinRecordPartition])
+  required: StructType, confEntries: Array[(String, String)])
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val conf = new Configuration(false)
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    new BinRecordReader(full, required, conf,
+      partition.asInstanceOf[BinRecordPartition])
+  }
 }
 
 /** Streams one byte range, decoding ONLY the required fields of each
   * record by absolute offset (pruned fields are never touched). */
 private[v2] class BinRecordReader(full: StructType, required: StructType,
-  part: BinRecordPartition) extends PartitionReader[InternalRow] {
+  conf: Configuration, part: BinRecordPartition)
+  extends PartitionReader[InternalRow] {
 
   private val recLen = BinRecord.recordLength(full)
   private val allOffsets = BinRecord.offsets(full)
@@ -169,16 +194,16 @@ private[v2] class BinRecordReader(full: StructType, required: StructType,
   private val wanted: Array[(Int, DataType)] =
     required.fields.map(f => (allOffsets(fieldIdx(f.name)), f.dataType))
 
-  // executors recreate the FS from the default Hadoop configuration;
-  // the harness (and any spark-submit cluster) ships core-site via
-  // the usual conf mechanism
-  private val fs = new Path(part.file).getFileSystem(new Configuration())
+  private val fs = new Path(part.file).getFileSystem(conf)
   private val in = fs.open(new Path(part.file))
   in.seek(part.start)
 
-  private val totalRecords = (part.length / recLen).toInt
+  // Long arithmetic: a partition can legally exceed Int.MaxValue
+  // records (tiny recLen × large maxSplitBytes) — an Int cast here
+  // would silently drop rows
+  private val totalRecords: Long = part.length / recLen
   private val buf = new Array[Byte](recLen)
-  private var readRecords = 0
+  private var readRecords = 0L
   private var current: InternalRow = _
 
   override def next(): Boolean = {

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.Catalog
@@ -146,11 +147,35 @@ class CatalogSpec extends AnyFunSuite {
     val crashMsg = intercept[IllegalArgumentException] {
       Catalog.append(spark, "nation", nation, out)
     }
-    assert(crashMsg.getMessage.contains("_tmp_append"))
-    // operator resolves, append proceeds and commits fully
-    Catalog.dropIfExists(spark, stale.toString)
+    assert(crashMsg.getMessage.contains("recoverAppends"))
+    // no manifest = the crashed job died mid-WRITE: recovery rolls it
+    // back (junk never reaches the table)
+    assert(Catalog.recoverAppends(spark, out) == (0, 1))
+    assert(!Catalog.appendPending(spark, out))
+    assert(spark.read.parquet(out).count() == 2 * n1)
+    // manifest present = died mid-COMMIT: recovery rolls it FORWARD,
+    // skipping files the crashed job had already moved (idempotent)
+    val scratch = Files.createTempDirectory("graft_app_src")
+    nation.repartition(2).write.mode("overwrite").parquet(scratch.toString)
+    val partNames = Files.list(scratch).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("part-") && n.endsWith(".parquet")).toList
+    assert(partNames.size == 2)
+    val fwd = java.nio.file.Paths.get(out, "_tmp_append_fwd")
+    Files.createDirectory(fwd)
+    // first file: "already moved" by the crashed job; second: staged
+    Files.copy(scratch.resolve(partNames.head),
+      java.nio.file.Paths.get(out, partNames.head))
+    Files.copy(scratch.resolve(partNames(1)), fwd.resolve(partNames(1)))
+    Files.write(fwd.resolve("_MANIFEST"),
+      partNames.mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(Catalog.recoverAppends(spark, out) == (1, 0))
+    assert(!Catalog.appendPending(spark, out))
+    assert(spark.read.parquet(out).count() == 3 * n1,
+      "roll-forward must complete the crashed append exactly once")
+    // and a clean append still commits fully
     Catalog.append(spark, "nation", nation, out)
-    assert(spark.read.parquet(out).count() == 3 * n1)
+    assert(spark.read.parquet(out).count() == 4 * n1)
     assert(!Catalog.appendPending(spark, out), "staging dir must be cleaned up")
   }
 
