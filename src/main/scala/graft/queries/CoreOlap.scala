@@ -350,6 +350,46 @@ object CoreOlap {
       |WHERE rn <= 5 ORDER BY o_orderpriority, rn""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Shared scan: THREE unrelated reports over the fact table — by
+    * return flag, by line status, by ship month — computed in ONE
+    * scan + one shuffle via GROUPING SETS, with `grouping_id`
+    * labeling which report a row belongs to. This is Qserv's
+    * signature shared-scan workload (many concurrent full-table
+    * queries riding one physical pass; Wang et al.) re-expressed
+    * declaratively: instead of scheduling N scans against the same
+    * 100 TB table, the sets expand each row to its N report keys
+    * BEFORE the map-side partial aggregate, so the scan cost is paid
+    * once and the shuffle carries only per-report partial aggregates. */
+  def qSharedScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .withColumn("ship_month", month($"l_shipdate"))
+      .groupingSets(
+        Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq($"ship_month")),
+        $"l_returnflag", $"l_linestatus", $"ship_month")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"l_quantity" * 100).cast("long")).as("qty_c100"),
+        grouping_id().cast("int").as("gid"))
+      .select(
+        coalesce($"l_returnflag", lit("(all)")).as("returnflag"),
+        coalesce($"l_linestatus", lit("(all)")).as("linestatus"),
+        coalesce($"ship_month".cast("string"), lit("(all)")).as("ship_month"),
+        $"n", $"qty_c100", $"gid")
+      .orderBy($"gid", $"returnflag", $"linestatus", $"ship_month")
+  }
+
+  val qSharedScanSql: String =
+    """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+      |  COALESCE(l_linestatus, '(all)') AS linestatus,
+      |  COALESCE(CAST(ship_month AS VARCHAR), '(all)') AS ship_month,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c100,
+      |  CAST(GROUPING(l_returnflag, l_linestatus, ship_month) AS INT) AS gid
+      |FROM (SELECT *, CAST(MONTH(l_shipdate) AS INT) AS ship_month FROM lineitem)
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (ship_month))
+      |ORDER BY gid, returnflag, linestatus, ship_month""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Skew-salted fact⋈dim join, aggregated per supplier nation — the
     * query form of [[graft.operators.SaltedJoin]]: the fact side's
     * key is split into 8 deterministic salt sub-keys (spreading any
@@ -492,6 +532,7 @@ object CoreOlap {
     "q_cube" -> (qCube _),
     "q_skew_join" -> (qSkewJoin _),
     "q_topn_idiom" -> (qTopnIdiom _),
+    "q_shared_scan" -> (qSharedScan _),
     "q_case_pivot" -> (qCasePivot _),
     "q_corr_subquery" -> (qCorrSubquery _),
     "q_asof_join" -> (qAsofJoin _))
@@ -510,6 +551,7 @@ object CoreOlap {
     "q_cube" -> qCubeSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_topn_idiom" -> qTopnIdiomSql,
+    "q_shared_scan" -> qSharedScanSql,
     "q_case_pivot" -> qCasePivotSql,
     "q_corr_subquery" -> qCorrSubquerySql,
     "q_asof_join" -> qAsofJoinSql,

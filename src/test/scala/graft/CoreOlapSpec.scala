@@ -59,6 +59,27 @@ class CoreOlapSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("q_shared_scan computes its three reports over ONE table scan") {
+    // AQE wraps finished stages in leaf QueryStage nodes that hide the
+    // scan from plan.collect; the scan count is static, so assert on a
+    // non-adaptive plan (same approach as the spatial pruning spec)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = queries.CoreOlap.qSharedScan(spark, sf)
+      val plan = df.queryExecution.executedPlan
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.size == 1, s"expected one shared scan, got ${scans.size}")
+      assert(plan.toString.contains("Expand"), "grouping sets should Expand")
+      // each report's '(all)' markers confirm the three distinct key sets
+      assert(df.filter("gid = 3").count() > 0) // by returnflag
+      assert(df.filter("gid = 5").count() > 0) // by linestatus
+      assert(df.filter("gid = 6").count() > 0) // by ship month
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
