@@ -18,14 +18,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   /** The round-1/2 headline ten first (cross-round comparable), then
-    * the round-3 additions — totals across rounds are NOT comparable
-    * once the list grows; compare per-query values. */
+    * the round-3 and round-4 additions — totals across rounds are NOT
+    * comparable once the list grows; compare per-query values. */
   val headline: Seq[String] = Seq(
     "q01_pricing_summary", "q03_topk_revenue", "q05_regional_join",
     "q_zone_xmatch", "q_dedup_minhash", "q_ann_bruteforce",
     "q_sessionize", "q_text_quality", "q_lightcurve_stats",
     "q_asof_join",
-    "q_ann_ivf", "q_range_nbr", "q_pipeline_clean")
+    "q_ann_ivf", "q_range_nbr", "q_pipeline_clean",
+    "q_tfidf", "q_dedup_clusters", "q_funnel", "q_shared_scan")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
