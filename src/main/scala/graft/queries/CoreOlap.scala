@@ -416,6 +416,35 @@ object CoreOlap {
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
   // ---------------------------------------------------------------
+  /** True pivot via `RelationalGroupedDataset.pivot` (q_case_pivot is
+    * the manual CASE formulation): order counts per priority, statuses
+    * as columns. The pivot VALUES are declared explicitly — at scale
+    * an implicit pivot runs a blocking distinct scan to discover them,
+    * and a declared list keeps the output schema stable as data
+    * arrives. Pivot aggregation is map-side combinable (one shuffle
+    * of priority×3 counters); absent cells surface as 0, matching the
+    * oracle's FILTER counts. */
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"o_orderpriority",
+        coalesce($"F", lit(0L)).as("n_f"),
+        coalesce($"O", lit(0L)).as("n_o"),
+        coalesce($"P", lit(0L)).as("n_p"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val qPivotSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------
   def qCasePivot(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // ts is Long nanos (nanosAsLong); integer DIV keeps full precision
@@ -533,6 +562,7 @@ object CoreOlap {
     "q_skew_join" -> (qSkewJoin _),
     "q_topn_idiom" -> (qTopnIdiom _),
     "q_shared_scan" -> (qSharedScan _),
+    "q_pivot" -> (qPivot _),
     "q_case_pivot" -> (qCasePivot _),
     "q_corr_subquery" -> (qCorrSubquery _),
     "q_asof_join" -> (qAsofJoin _))
@@ -552,6 +582,7 @@ object CoreOlap {
     "q_skew_join" -> qSkewJoinSql,
     "q_topn_idiom" -> qTopnIdiomSql,
     "q_shared_scan" -> qSharedScanSql,
+    "q_pivot" -> qPivotSql,
     "q_case_pivot" -> qCasePivotSql,
     "q_corr_subquery" -> qCorrSubquerySql,
     "q_asof_join" -> qAsofJoinSql,

@@ -216,6 +216,54 @@ object Text {
        |FROM r WHERE rnk <= $TfidfTopK ORDER BY doc_id, rnk""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Exact corpus heavy hitters (terms with ≥ [[HhPctX100]]/100 % of
+    * all term occurrences) WITHOUT a full-vocabulary shuffle: a
+    * Misra-Gries sketch aggregate (custom TypedImperativeAggregate,
+    * [[graft.functions.MisraGries]]) nominates ≤ [[HhK]] candidates —
+    * every item above n/([[HhK]]+1) ≈ 1.5% is mathematically
+    * guaranteed to survive, across any partitioning/merge order — and
+    * only those candidates are exactly recounted (broadcast semi-join)
+    * and thresholded. The shuffle carries one ≤ 64-counter map per
+    * partition instead of one row per distinct term; the recount
+    * aggregates a candidate-pruned stream. The DuckDB oracle computes
+    * the same heavy hitters the naive way, so parity PROVES the
+    * sketch's no-false-negative guarantee end-to-end. */
+  val HhK = 64
+  /** Threshold in hundredths of a percent of total occurrences (2%);
+    * must stay above 100·100/(HhK+1) ≈ 1.54% for the MG guarantee. */
+  val HhPctX100 = 200
+
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def words = Tables.documents(s, dir)
+      .select(explode(split(lower($"text"), "[^a-z]+")).as("term"))
+      .filter(length($"term") > 0)
+    val cand = words
+      .agg(graft.functions.HeavyHitters.misraGries($"term", HhK).as("hh"))
+      .select(explode($"hh").as("h"))
+      .select($"h.item".as("term"))
+    val n = words.agg(count(lit(1)).as("n_words"))
+    words
+      .join(broadcast(cand), "term")
+      .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter($"cnt" * 10000L >= $"n_words" * HhPctX100)
+      .select($"term", $"cnt", $"n_words")
+      .orderBy($"cnt".desc, $"term")
+  }
+
+  val qHeavyHittersSql: String =
+    s"""WITH w AS (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+       |           FROM documents),
+       |wf AS (SELECT term FROM w WHERE LENGTH(term) > 0),
+       |n AS (SELECT COUNT(*) AS n_words FROM wf),
+       |c AS (SELECT term, COUNT(*) AS cnt FROM wf GROUP BY 1)
+       |SELECT term, cnt, n.n_words
+       |FROM c CROSS JOIN n
+       |WHERE cnt * 10000 >= n.n_words * $HhPctX100
+       |ORDER BY cnt DESC, term""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Deterministic stratified sampling: per-language Bernoulli rates
     * keyed on a content-independent hash of the doc id — the
     * rebalancing move a training mix runs (downsample the dominant
@@ -247,6 +295,7 @@ object Text {
   // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> (qTfidf _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_sample_stratified" -> (qSampleStratified _),
     "q_text_quality" -> (qTextQuality _),
     "q_lang_id" -> (qLangId _),
@@ -256,6 +305,7 @@ object Text {
 
   val oracles: Map[String, String] = Map(
     "q_tfidf" -> qTfidfSql,
+    "q_heavy_hitters" -> qHeavyHittersSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_text_quality" -> qTextQualitySql,
     "q_lang_id" -> qLangIdSql,

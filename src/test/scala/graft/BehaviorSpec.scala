@@ -110,6 +110,48 @@ class BehaviorSpec extends AnyFunSuite {
       s"TopKRewrite did not fire on q_tfidf:\n$plan")
   }
 
+  test("misra_gries never loses an item above n/(k+1), across partitionings") {
+    import spark.implicits._
+    // zipf-ish synthetic stream: item i appears ~ n/i times
+    val rng = new scala.util.Random(7)
+    val items = (1 to 40).flatMap(i => Seq.fill(2000 / i)(s"item_$i"))
+    val data = rng.shuffle(items)
+    val n = data.size.toLong
+    val k = 10
+    val exact = data.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val mustSurvive = exact.filter(_._2 > n / (k + 1)).keySet
+    for (parts <- Seq(1, 4, 13)) { // merge order must not matter
+      val sketch = data.toDF("term").repartition(parts)
+        .agg(functions.HeavyHitters.misraGries(col("term"), k).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item"), col("h.cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(sketch.size <= k)
+      val lost = mustSurvive -- sketch.keySet
+      assert(lost.isEmpty, s"parts=$parts lost guaranteed heavy hitters: $lost")
+      // residual counters never overcount and undercount by <= n/(k+1)
+      sketch.foreach { case (t, c) =>
+        assert(c <= exact(t), s"$t overcounted: $c > ${exact(t)}")
+        assert(exact(t) - c <= n / (k + 1) + 1,
+          s"$t undercounted beyond the bound: $c vs ${exact(t)}")
+      }
+    }
+  }
+
+  test("q_heavy_hitters equals the naive full-shuffle computation") {
+    import spark.implicits._
+    val got = queries.Text.qHeavyHitters(spark, sf)
+      .select("term", "cnt").as[(String, Long)].collect().toSet
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(lower($"text"), "[^a-z]+")).as("term"))
+      .filter(length($"term") > 0)
+    val n = words.count()
+    val want = words.groupBy($"term").count()
+      .filter($"count" * 10000L >= n * queries.Text.HhPctX100)
+      .as[(String, Long)].collect().toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("q_sample_stratified is deterministic and respects per-stratum rates") {
     val a = queries.Text.qSampleStratified(spark, sf)
       .collect().map(_.getLong(0)).toSeq
