@@ -13,12 +13,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreOlap.defs ++ TimeSeries.defs ++ Spatial.defs ++ Text.defs ++
       Dedup.defs ++ Ann.defs ++ Multimodal.defs ++ Sketches.defs ++
-      Behavior.defs
+      Behavior.defs ++ Quality.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreOlap.oracles ++ TimeSeries.oracles ++ Spatial.oracles ++
       Text.oracles ++ Dedup.oracles ++ Ann.oracles ++ Multimodal.oracles ++
-      Sketches.oracles ++ Behavior.oracles
+      Sketches.oracles ++ Behavior.oracles ++ Quality.oracles
 }

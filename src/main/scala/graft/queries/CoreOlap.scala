@@ -546,7 +546,84 @@ object CoreOlap {
       |ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // ---------------------------------------------------------------
+  /** Bag/set algebra over keyed extracts — the INTERSECT / EXCEPT /
+    * EXCEPT ALL surface of the SQL dialect (a user migrating from the
+    * reference runs these directly). Four audits over the customer
+    * key space: high-balance customers who did / did not order, buyers
+    * below the balance bar, and the multiset surplus of repeat orders
+    * (EXCEPT ALL keeps multiplicity: total orders − distinct buyers).
+    *
+    * Scale shape: every set op is a single hash shuffle on the key —
+    * Spark plans INTERSECT/EXCEPT as left-semi/left-anti over
+    * aggregated keys and EXCEPT ALL as a count-diff generate, so
+    * nothing here is worse than the equivalent join. */
+  val SetOpsBalanceBar = 5000.0
+
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val high = Tables.customer(s, dir)
+      .filter($"c_acctbal" > SetOpsBalanceBar).select($"c_custkey".as("k"))
+    val buyers = Tables.orders(s, dir).select($"o_custkey".as("k")).distinct()
+    val allOrders = Tables.orders(s, dir).select($"o_custkey".as("k"))
+    def tagged(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(name).as("grp"), $"n")
+    tagged("high_buyer", high.intersect(buyers))
+      .unionByName(tagged("high_dormant", high.except(buyers)))
+      .unionByName(tagged("buyer_low_bal", buyers.except(high)))
+      .unionByName(tagged("repeat_surplus", allOrders.exceptAll(buyers)))
+      .orderBy($"grp")
+  }
+
+  val qSetOpsSql: String =
+    s"""WITH high AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > $SetOpsBalanceBar),
+       |buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+       |allo AS (SELECT o_custkey AS k FROM orders)
+       |SELECT 'high_buyer' AS grp, COUNT(*) AS n FROM (SELECT k FROM high INTERSECT SELECT k FROM buyers)
+       |UNION ALL
+       |SELECT 'high_dormant', COUNT(*) FROM (SELECT k FROM high EXCEPT SELECT k FROM buyers)
+       |UNION ALL
+       |SELECT 'buyer_low_bal', COUNT(*) FROM (SELECT k FROM buyers EXCEPT SELECT k FROM high)
+       |UNION ALL
+       |SELECT 'repeat_surplus', COUNT(*) FROM (SELECT k FROM allo EXCEPT ALL SELECT k FROM buyers)
+       |ORDER BY grp""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Exact mode (most frequent value) per group with a deterministic
+    * tie-break — the argmax/statistical-mode aggregate, written as the
+    * `row_number() = 1` idiom so [[graft.plans.TopKRewrite]] plans it
+    * on the bounded-heap TopKPerKey operator: per-user keys are
+    * high-cardinality, and only one (count, type) survivor per user
+    * crosses the final exchange instead of the whole per-user
+    * frequency table.
+    *
+    * Scale shape: map-side-combinable (user, type) count, then the
+    * top-1 heap — two shuffles, both on keys that grow with the data. */
+  def qMode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.events(s, dir)
+      .filter($"user_id".isNotNull)
+      .groupBy($"user_id", $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"cnt".desc, $"event_type")))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type".as("mode_type"), $"cnt")
+      .orderBy($"user_id")
+  }
+
+  val qModeSql: String =
+    """SELECT user_id, event_type AS mode_type, cnt
+      |FROM (SELECT user_id, event_type, COUNT(*) AS cnt
+      |      FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+      |  ORDER BY cnt DESC, event_type) = 1
+      |ORDER BY user_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_set_ops" -> (qSetOps _),
+    "q_mode" -> (qMode _),
     "q01_pricing_summary" -> (q01 _),
     "q03_topk_revenue" -> (q03 _),
     "q05_regional_join" -> (q05 _),
@@ -568,6 +645,8 @@ object CoreOlap {
     "q_asof_join" -> (qAsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_set_ops" -> qSetOpsSql,
+    "q_mode" -> qModeSql,
     "q01_pricing_summary" -> q01Sql,
     "q03_topk_revenue" -> q03Sql,
     "q05_regional_join" -> q05Sql,

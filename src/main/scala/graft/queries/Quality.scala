@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality surface over the catalog — the profiling and
+  * constraint-validation pass an ingest pipeline runs before it
+  * trusts a table (the reference validates its bulk-loads by
+  * row-count and spot-query; at warehouse scale this generalizes to
+  * per-column profiles and declared-rule checks, cf. Deequ's
+  * published design).
+  *
+  * Both queries are single-scan shapes: the profile is ONE aggregate
+  * over the table (plus Spark's Expand for the exact multi-column
+  * distinct counts), the constraint check is one aggregate plus one
+  * anti-join for the referential rule. At 100 TB the exact distinct
+  * columns would switch to the HLL sketch path (`q_sketch_distinct`)
+  * — the exact version here is the oracle-checkable contract.
+  */
+object Quality {
+
+  /** Orders projected to type-normalized profile columns: doubles to
+    * exact c100 bigints, timestamps to integer micros, so min/max
+    * render identically as strings in both engines. */
+  private def o(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir).select(
+      $"o_orderkey".as("okey"),
+      $"o_custkey".as("cust"),
+      $"o_orderstatus".as("status"),
+      round($"o_totalprice" * 100).cast("long").as("price_c100"),
+      // o_orderdate lands as TIMESTAMP_NTZ; the session TZ is pinned
+      // UTC, so the NTZ→TZ cast is the identity and unix_micros
+      // equals DuckDB's epoch_us on the same naive value
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("odate_us"),
+      $"o_orderpriority".as("prio"))
+  }
+
+  // ---------------------------------------------------------------
+  /** Per-column profile of `orders`: total rows, null count, exact
+    * distinct count, and min/max (stringified — bigint→string is
+    * deterministic in both engines) — one long-format row per column. */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cols = Seq("okey", "cust", "status", "price_c100", "odate_us", "prio")
+    val aggs = count(lit(1)).as("n_total") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    }
+    val stackArgs = cols.map { c =>
+      s"'$c', n_total, n_total - nn_$c, nd_$c, mn_$c, mx_$c"
+    }.mkString(", ")
+    o(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_total, n_null, n_distinct, min_s, max_s)")
+      .orderBy($"col_name")
+  }
+
+  val qProfileSql: String = {
+    val cols = Seq("okey", "cust", "status", "price_c100", "odate_us", "prio")
+    val selects = cols.map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_total,
+         |  COUNT(*) - COUNT($c) AS n_null, COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_s, CAST(MAX($c) AS VARCHAR) AS max_s
+         |FROM o""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH o AS (SELECT o_orderkey AS okey, o_custkey AS cust,
+       |  o_orderstatus AS status,
+       |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c100,
+       |  epoch_us(o_orderdate) AS odate_us, o_orderpriority AS prio
+       |  FROM orders)
+       |$selects
+       |ORDER BY col_name""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  /** Declared-rule constraint check: one row per rule with its
+    * violation count — the accept/reject gate of an ingest job
+    * (domain, range, null, uniqueness, and referential integrity).
+    * The four row-local rules share ONE scan (a single aggregate);
+    * the referential rule is the usual anti-join on the key. */
+  def qConstraints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val local = o(s, dir).agg(
+      sum(when($"price_c100" < 0, 1L).otherwise(0L)).as("v_price_nonneg"),
+      sum(when(!$"status".isin("O", "F", "P"), 1L).otherwise(0L)).as("v_status_domain"),
+      sum(when($"cust".isNull, 1L).otherwise(0L)).as("v_cust_notnull"),
+      (count(lit(1)) - countDistinct($"okey")).as("v_orderkey_unique"))
+      .selectExpr("stack(4, " +
+        "'price_nonneg', v_price_nonneg, " +
+        "'status_domain', v_status_domain, " +
+        "'cust_notnull', v_cust_notnull, " +
+        "'orderkey_unique', v_orderkey_unique) AS (rule, n_violations)")
+    val orphan = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("cust_referential").as("rule"), $"n_violations")
+    local.unionByName(orphan).orderBy($"rule")
+  }
+
+  val qConstraintsSql: String =
+    """WITH o AS (SELECT o_orderkey AS okey, o_custkey AS cust,
+      |  o_orderstatus AS status,
+      |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c100
+      |  FROM orders)
+      |SELECT 'price_nonneg' AS rule,
+      |  CAST(SUM(CASE WHEN price_c100 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM o
+      |UNION ALL
+      |SELECT 'status_domain',
+      |  CAST(SUM(CASE WHEN status NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) FROM o
+      |UNION ALL
+      |SELECT 'cust_notnull',
+      |  CAST(SUM(CASE WHEN cust IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM o
+      |UNION ALL
+      |SELECT 'orderkey_unique', COUNT(*) - COUNT(DISTINCT okey) FROM o
+      |UNION ALL
+      |SELECT 'cust_referential', COUNT(*) FROM orders o2
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o2.o_custkey)
+      |ORDER BY rule""".stripMargin
+
+  // ---------------------------------------------------------------
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> (qProfile _),
+    "q_constraints" -> (qConstraints _))
+
+  val oracles: Map[String, String] = Map(
+    "q_profile" -> qProfileSql,
+    "q_constraints" -> qConstraintsSql)
+}

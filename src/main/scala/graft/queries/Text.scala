@@ -293,7 +293,68 @@ object Text {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Collocation mining: adjacent-word bigrams scored by integer lift
+    * `(1000·N·c(ab)) DIV (c(a)·c(b))` — the PMI ranking (PMI =
+    * log lift is monotone in it, and integer lift is bit-exact across
+    * engines where `ln` is not). Bigrams below [[CollocMinCount]]
+    * occurrences are dropped — the standard frequency floor, and the
+    * reason the surviving join side is vocabulary-sized, not
+    * corpus-sized.
+    *
+    * Scale shape: bigram and unigram counts are map-side-combinable
+    * aggregates; the two score joins key on single terms
+    * (vocabulary-sized sides, Zipf-skewed but count-aggregated first,
+    * so each key is ONE row — no posting-list blowup); the 1-row
+    * token total broadcasts. */
+  val CollocMinCount = 5
+
+  def qCollocations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("lt"))
+    val uni = toks.select(explode($"lt").as("w"))
+    val ucnt = uni.groupBy($"w").agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(count(lit(1)).as("n_tok"))
+    // element_at is 1-based; the sequence guard avoids Spark's
+    // descending sequence(1, 0) on 0/1-token docs
+    val big = toks.select(explode(expr(
+      "CASE WHEN size(lt) < 2 THEN array() ELSE " +
+        "transform(sequence(1, size(lt) - 1), " +
+        "i -> struct(element_at(lt, i) AS w1, element_at(lt, i + 1) AS w2)) END"))
+      .as("bg"))
+      .select($"bg.w1", $"bg.w2")
+    val bcnt = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c_ab"))
+      .filter($"c_ab" >= CollocMinCount)
+    bcnt
+      .join(ucnt.select($"w".as("w1"), $"c".as("c_a")), "w1")
+      .join(ucnt.select($"w".as("w2"), $"c".as("c_b")), "w2")
+      .crossJoin(broadcast(nTok))
+      .withColumn("lift_x1000", expr("(1000 * n_tok * c_ab) DIV (c_a * c_b)"))
+      .select($"w1", $"w2", $"c_ab", $"c_a", $"c_b", $"lift_x1000")
+      .orderBy($"lift_x1000".desc, $"w1", $"w2")
+  }
+
+  val qCollocationsSql: String =
+    s"""WITH toks AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                x -> x <> '') AS lt FROM documents),
+       |uni AS (SELECT unnest(lt) AS w FROM toks),
+       |ucnt AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_tok FROM uni),
+       |big AS (SELECT unnest(list_transform(range(1, len(lt)),
+       |          i -> struct_pack(w1 := lt[i], w2 := lt[i + 1]))) AS bg FROM toks),
+       |bcnt AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS c_ab FROM big
+       |         GROUP BY 1, 2 HAVING COUNT(*) >= $CollocMinCount)
+       |SELECT b.w1, b.w2, b.c_ab, u1.c AS c_a, u2.c AS c_b,
+       |  (1000 * n.n_tok * b.c_ab) // (u1.c * u2.c) AS lift_x1000
+       |FROM bcnt b
+       |JOIN ucnt u1 ON b.w1 = u1.w
+       |JOIN ucnt u2 ON b.w2 = u2.w
+       |CROSS JOIN n
+       |ORDER BY lift_x1000 DESC, w1, w2""".stripMargin
+
+  // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_collocations" -> (qCollocations _),
     "q_tfidf" -> (qTfidf _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_sample_stratified" -> (qSampleStratified _),
@@ -304,6 +365,7 @@ object Text {
     "q_winnow_fingerprint" -> (qWinnowFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_collocations" -> qCollocationsSql,
     "q_tfidf" -> qTfidfSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_sample_stratified" -> qSampleStratifiedSql,

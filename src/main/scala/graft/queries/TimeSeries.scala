@@ -274,13 +274,186 @@ object TimeSeries {
        |GROUP BY 1, 2 ORDER BY a.user_id, a.event_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Trailing-window anomaly detection: an event is anomalous when its
+    * value deviates from the mean of the SAME user's previous
+    * [[AnomalyWin]] events by more than [[AnomalyZ]] sample standard
+    * deviations — the light-curve outburst/transient flag (and the
+    * telemetry-spike flag of a pipeline monitor).
+    *
+    * The z-test is evaluated WITHOUT floats: with trailing n, Σx, Σx²,
+    * `(x−μ)² > Z²·σ²` cross-multiplies to
+    * `(n·x − Σx)²·(n−1) > Z²·n·(n·Σx² − (Σx)²)` — all exact int64
+    * (|x|≤10⁶c100, n≤20 keeps every term < 2⁶³), so the flag is
+    * bit-identical across engines, unlike a float mean/std compare.
+    *
+    * Scale shape: one shuffle on user_id (cardinality grows with the
+    * data); the three trailing sums share a single window frame over
+    * one Exchange+Sort, and the filter is per-row. */
+  val AnomalyWin = 20
+  val AnomalyZ = 3L
+  val AnomalyMinPrev = 5L
+
+  def qAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      .rowsBetween(-AnomalyWin, -1)
+    series(s, dir)
+      .withColumn("n_prev", count($"xc").over(w))
+      .withColumn("sum_prev", sum($"xc").over(w))
+      .withColumn("ss_prev", sum($"xc" * $"xc").over(w))
+      .filter($"n_prev" >= AnomalyMinPrev)
+      .withColumn("dev_num",
+        ($"n_prev" * $"xc" - $"sum_prev") * ($"n_prev" * $"xc" - $"sum_prev") *
+          ($"n_prev" - 1))
+      .withColumn("thr_num",
+        lit(AnomalyZ * AnomalyZ) * $"n_prev" *
+          ($"n_prev" * $"ss_prev" - $"sum_prev" * $"sum_prev"))
+      .filter($"dev_num" > $"thr_num")
+      .select($"user_id", $"event_id", $"tus", $"xc", $"n_prev",
+        $"dev_num", $"thr_num")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val qAnomalySql: String =
+    s"""WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+       |             CAST(ROUND(value*100) AS BIGINT) AS xc FROM events),
+       |w AS (SELECT *,
+       |        COUNT(xc) OVER pw AS n_prev,
+       |        SUM(xc) OVER pw AS sum_prev,
+       |        SUM(xc*xc) OVER pw AS ss_prev
+       |      FROM s WINDOW pw AS (PARTITION BY user_id ORDER BY tus, event_id
+       |        ROWS BETWEEN $AnomalyWin PRECEDING AND 1 PRECEDING))
+       |SELECT user_id, event_id, tus, xc,
+       |  CAST(n_prev AS BIGINT) AS n_prev,
+       |  CAST((n_prev*xc - sum_prev)*(n_prev*xc - sum_prev)*(n_prev-1) AS BIGINT) AS dev_num,
+       |  CAST(${AnomalyZ * AnomalyZ}*n_prev*(n_prev*ss_prev - sum_prev*sum_prev) AS BIGINT) AS thr_num
+       |FROM w
+       |WHERE n_prev >= $AnomalyMinPrev
+       |  AND (n_prev*xc - sum_prev)*(n_prev*xc - sum_prev)*(n_prev-1)
+       |      > ${AnomalyZ * AnomalyZ}*n_prev*(n_prev*ss_prev - sum_prev*sum_prev)
+       |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Micros per hour; gap-fill bucket width. */
+  private val HourUs = 3600000000L
+  /** Per-user fill-horizon guard (hours): a user whose observed span
+    * exceeds this is excluded rather than handed an unbounded spine
+    * explode — one stray decades-old event must not generate 200k
+    * synthetic rows for that key. Mirrored in the oracle. */
+  val MaxFillHours = 2000L
+
+  /** Gap-fill / resample: regularize each user's series onto an hourly
+    * grid — the last observation of each (user, hour) is the hour's
+    * value, missing hours are forward-filled from the previous
+    * observed hour (time-series resampling, the feature-grid prep step
+    * of a training pipeline). Verified through per-user aggregates
+    * (hour count, observed count, plain + position-weighted fill sums)
+    * so a single wrongly-filled cell breaks parity while the output
+    * stays compact.
+    *
+    * Scale shape: the (user, hour) last-value window and the
+    * spine⋈observed join both shuffle on keys whose cardinality grows
+    * with users×time; the spine explode is bounded per key by
+    * [[MaxFillHours]], so no input can make one task quadratic. */
+  def qGapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val s0 = series(s, dir)
+      .filter($"user_id".isNotNull)
+      .withColumn("h", expr(s"tus DIV $HourUs"))
+    // last observation per (user, hour), deterministic by (tus, event_id)
+    val wLast = Window.partitionBy($"user_id", $"h")
+      .orderBy($"tus".desc, $"event_id".desc)
+    val obs = s0.withColumn("rn", row_number().over(wLast))
+      .filter($"rn" === 1).select($"user_id", $"h", $"xc")
+    val span = obs.groupBy($"user_id")
+      .agg(min($"h").as("min_h"), max($"h").as("max_h"))
+      .filter($"max_h" - $"min_h" <= MaxFillHours)
+    val spine = span.select($"user_id", $"min_h",
+      explode(sequence($"min_h", $"max_h")).as("h"))
+    val wFf = Window.partitionBy($"user_id").orderBy($"h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(obs, Seq("user_id", "h"), "left")
+      .withColumn("fx", last($"xc", ignoreNulls = true).over(wFf))
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_hours"),
+        count($"xc").as("n_obs"),
+        sum($"fx").as("sum_filled_c100"),
+        sum($"fx" * ($"h" - $"min_h")).as("wsum_filled"))
+      .orderBy($"user_id")
+  }
+
+  val qGapFillSql: String =
+    s"""WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+       |             epoch_us(ts) // $HourUs AS h,
+       |             CAST(ROUND(value*100) AS BIGINT) AS xc
+       |           FROM events WHERE user_id IS NOT NULL),
+       |obs AS (SELECT user_id, h, xc FROM s
+       |        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, h
+       |          ORDER BY tus DESC, event_id DESC) = 1),
+       |span AS (SELECT user_id, MIN(h) AS min_h, MAX(h) AS max_h FROM obs
+       |         GROUP BY 1 HAVING MAX(h) - MIN(h) <= $MaxFillHours),
+       |spine AS (SELECT user_id, min_h, unnest(generate_series(min_h, max_h)) AS h
+       |          FROM span),
+       |f AS (SELECT sp.user_id, sp.min_h, sp.h, o.xc,
+       |        LAST_VALUE(o.xc IGNORE NULLS) OVER (PARTITION BY sp.user_id
+       |          ORDER BY sp.h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fx
+       |      FROM spine sp LEFT JOIN obs o ON sp.user_id = o.user_id AND sp.h = o.h)
+       |SELECT user_id, COUNT(*) AS n_hours, COUNT(xc) AS n_obs,
+       |  CAST(SUM(fx) AS BIGINT) AS sum_filled_c100,
+       |  CAST(SUM(fx*(h - min_h)) AS BIGINT) AS wsum_filled
+       |FROM f GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** SCD-2 / temporal-table build: collapse each user's event stream
+    * into state intervals — a new version opens whenever `event_type`
+    * differs from the previous event's, `valid_to_us` is the next
+    * change's start (NULL = current) — the change-data-capture shape
+    * that turns an append-only log into a versioned dimension.
+    *
+    * Scale shape: one shuffle on user_id; the change filter runs on
+    * the first window pass and the version/lead pass reuses the same
+    * partitioning (Catalyst plans both Windows over one Exchange). */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val ev = Tables.events(s, dir)
+      .filter($"user_id".isNotNull)
+      .select($"user_id", $"event_id", expr("ts DIV 1000").as("tus"), $"event_type")
+    ev.withColumn("prev_t", lag($"event_type", 1).over(w))
+      .filter($"prev_t".isNull || $"prev_t" =!= $"event_type")
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_us", lead($"tus", 1).over(w))
+      .select($"user_id", $"version", $"event_type".as("state"),
+        $"tus".as("valid_from_us"), $"valid_to_us")
+      .orderBy($"user_id", $"version")
+  }
+
+  val qScd2Sql: String =
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+      |            FROM events WHERE user_id IS NOT NULL),
+      |l AS (SELECT *, LAG(event_type, 1) OVER (PARTITION BY user_id
+      |        ORDER BY tus, event_id) AS prev_t FROM ev),
+      |c AS (SELECT * FROM l WHERE prev_t IS NULL OR prev_t <> event_type)
+      |SELECT user_id,
+      |  CAST(ROW_NUMBER() OVER pw AS INT) AS version,
+      |  event_type AS state,
+      |  tus AS valid_from_us,
+      |  LEAD(tus, 1) OVER pw AS valid_to_us
+      |FROM c WINDOW pw AS (PARTITION BY user_id ORDER BY tus, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
+  // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lightcurve_stats" -> (qLightcurveStats _),
     "q_lightcurve_delta" -> (qLightcurveDelta _),
     "q_sessionize" -> (qSessionize _),
     "q_time_bucket" -> (qTimeBucket _),
     "q_event_json" -> (qEventJson _),
-    "q_range_nbr" -> (qRangeNbr _))
+    "q_range_nbr" -> (qRangeNbr _),
+    "q_anomaly" -> (qAnomaly _),
+    "q_gap_fill" -> (qGapFill _),
+    "q_scd2" -> (qScd2 _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -288,5 +461,8 @@ object TimeSeries {
     "q_sessionize" -> qSessionizeSql,
     "q_time_bucket" -> qTimeBucketSql,
     "q_event_json" -> qEventJsonSql,
-    "q_range_nbr" -> qRangeNbrSql)
+    "q_range_nbr" -> qRangeNbrSql,
+    "q_anomaly" -> qAnomalySql,
+    "q_gap_fill" -> qGapFillSql,
+    "q_scd2" -> qScd2Sql)
 }

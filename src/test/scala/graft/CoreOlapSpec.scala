@@ -80,6 +80,35 @@ class CoreOlapSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("q_set_ops partitions add up to the underlying sets") {
+    import org.apache.spark.sql.functions._
+    val v = queries.CoreOlap.qSetOps(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val high = Tables.customer(spark, sf)
+      .filter(col("c_acctbal") > queries.CoreOlap.SetOpsBalanceBar).count()
+    val buyers = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    val orders = Tables.orders(spark, sf).count()
+    // INTERSECT + EXCEPT partition each input set exactly
+    assert(v("high_buyer") + v("high_dormant") == high)
+    assert(v("high_buyer") + v("buyer_low_bal") == buyers)
+    // EXCEPT ALL keeps multiplicity: total minus one per distinct buyer
+    assert(v("repeat_surplus") == orders - buyers)
+  }
+
+  test("q_mode returns exactly one row per user, backed by a real count") {
+    import org.apache.spark.sql.functions._
+    val df = queries.CoreOlap.qMode(spark, sf).cache()
+    val users = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull).select("user_id").distinct().count()
+    assert(df.count() == users)
+    // the mode's count is the user's true max frequency
+    val truth = Tables.events(spark, sf).filter(col("user_id").isNotNull)
+      .groupBy("user_id", "event_type").count()
+      .groupBy("user_id").agg(max("count").as("mx"))
+    assert(df.join(truth, "user_id").filter(col("cnt") =!= col("mx")).count() == 0)
+    df.unpersist()
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

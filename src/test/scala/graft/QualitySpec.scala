@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualitySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  for ((name, fn) <- queries.Quality.defs) {
+    test(s"$name runs and returns rows at sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.count() > 0)
+      assert(df.columns.nonEmpty)
+    }
+  }
+
+  test("q_profile: one row per profiled column, bounds consistent") {
+    val df = queries.Quality.qProfile(spark, sf).cache()
+    assert(df.count() == 6)
+    val orders = Tables.orders(spark, sf).count()
+    // every column profile agrees on the table's row count
+    assert(df.filter(col("n_total") =!= orders).count() == 0)
+    // distinct ≤ non-null rows; nulls ≤ total; min ≤ max as rendered
+    assert(df.filter(col("n_distinct") > col("n_total") - col("n_null")).count() == 0)
+    assert(df.filter(col("n_null") < 0 || col("n_null") > col("n_total")).count() == 0)
+    df.unpersist()
+  }
+
+  test("q_constraints: the generated TPC-H-ish orders table is clean") {
+    val df = queries.Quality.qConstraints(spark, sf).cache()
+    assert(df.count() == 5)
+    // all declared rules hold on the driver-generated data, so every
+    // violation count is exactly zero — a nonzero here means the check
+    // itself is wrong, not the data
+    val dirty = df.filter(col("n_violations") =!= 0L).collect()
+    assert(dirty.isEmpty, s"unexpected violations: ${dirty.mkString(",")}")
+    df.unpersist()
+  }
+
+  test("q_constraints flags injected violations") {
+    import spark.implicits._
+    // corrupt a copy of orders in every rule's direction and check the
+    // counts move: negative price, bad status, null custkey, dup key,
+    // orphan custkey
+    val o = Tables.orders(spark, sf).limit(100).cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft_dq").toString
+    val bad = o
+      .withColumn("o_totalprice",
+        when($"o_orderkey" % 10 === 0, -$"o_totalprice").otherwise($"o_totalprice"))
+      .withColumn("o_orderstatus",
+        when($"o_orderkey" % 7 === 0, lit("X")).otherwise($"o_orderstatus"))
+      .withColumn("o_custkey",
+        when($"o_orderkey" % 11 === 0, lit(null: java.lang.Long))
+          .otherwise($"o_custkey"))
+    bad.unionByName(bad.limit(5)) // duplicate 5 order keys
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Tables.customer(spark, sf).write.mode("overwrite")
+      .parquet(s"$dir/customer.parquet")
+    val v = queries.Quality.qConstraints(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v("price_nonneg") > 0)
+    assert(v("status_domain") > 0)
+    assert(v("cust_notnull") > 0)
+    assert(v("orderkey_unique") == 5)
+    o.unpersist()
+  }
+}

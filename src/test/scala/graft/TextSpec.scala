@@ -61,6 +61,16 @@ class TextSpec extends AnyFunSuite {
     assert(df.select("fp").distinct().count() == df.count())
   }
 
+  test("q_collocations: pair counts bounded by both unigram counts, lift positive") {
+    val df = queries.Text.qCollocations(spark, sf).cache()
+    assert(df.count() > 0)
+    assert(df.filter("c_ab > c_a OR c_ab > c_b").count() == 0,
+      "a bigram occurred more often than one of its words")
+    assert(df.filter(s"c_ab < ${queries.Text.CollocMinCount}").count() == 0)
+    assert(df.filter("lift_x1000 < 0").count() == 0)
+    df.unpersist()
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val df = queries.Text.qWinnowFingerprint(spark, sf)
     df.collect() // finalize THIS plan's AQE so codegen ids are annotated

@@ -55,4 +55,49 @@ class TimeSeriesSpec extends AnyFunSuite {
     val df = queries.TimeSeries.qTimeBucket(spark, sf)
     assert(df.agg(sum("n")).head.getLong(0) == Tables.events(spark, sf).count())
   }
+
+  test("q_anomaly: every flagged row satisfies the integer z-test strictly") {
+    val df = queries.TimeSeries.qAnomaly(spark, sf).cache()
+    assert(df.filter("dev_num <= thr_num").count() == 0)
+    assert(df.filter(
+      s"n_prev < ${queries.TimeSeries.AnomalyMinPrev} OR n_prev > ${queries.TimeSeries.AnomalyWin}")
+      .count() == 0)
+    // anomalies are rare by construction: < 10% of all events
+    val total = Tables.events(spark, sf).count()
+    assert(df.count() * 10 < total, "anomaly flag fires too often to be a z>3 test")
+    df.unpersist()
+  }
+
+  test("q_gap_fill: spine arithmetic holds per user") {
+    val df = queries.TimeSeries.qGapFill(spark, sf).cache()
+    // observed hours never exceed spine hours; spine respects the guard
+    assert(df.filter("n_obs > n_hours OR n_obs < 1").count() == 0)
+    assert(df.filter(s"n_hours > ${queries.TimeSeries.MaxFillHours} + 1").count() == 0)
+    // forward fill leaves no hole: a filled sum exists for every user
+    assert(df.filter("sum_filled_c100 IS NULL").count() == 0)
+    df.unpersist()
+  }
+
+  test("q_scd2: versions are dense and intervals chain per user") {
+    val df = queries.TimeSeries.qScd2(spark, sf).cache()
+    val bad = df.groupBy("user_id")
+      .agg(max("version").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n")).count()
+    assert(bad == 0, "version numbering not dense")
+    // every non-final interval closes exactly where one opens:
+    // valid_to equals the NEXT version's valid_from
+    import spark.implicits._
+    val nxt = df.select($"user_id", ($"version" - 1).as("version"),
+      $"valid_from_us".as("next_from"))
+    val broken = df.join(nxt, Seq("user_id", "version"))
+      .filter($"valid_to_us" =!= $"next_from").count()
+    assert(broken == 0, "intervals do not chain")
+    // consecutive versions always change state
+    val same = df.select($"user_id", $"version", $"state")
+      .join(df.select($"user_id", ($"version" - 1).as("version"),
+        $"state".as("next_state")), Seq("user_id", "version"))
+      .filter($"state" === $"next_state").count()
+    assert(same == 0, "adjacent versions share a state")
+    df.unpersist()
+  }
 }
