@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -98,9 +99,52 @@ private[v2] case class BinRecordTable(tableSchema: StructType, path: String,
     new BinRecordScanBuilder(tableSchema, path, maxSplitBytes)
 }
 
+/** One pushed comparison, compiled to byte-offset form on the driver:
+  * the reader evaluates it directly on the record buffer and skips
+  * failing records BEFORE any row is materialized — predicate
+  * pushdown at the byte level, the V2 analog of a parquet row-group
+  * filter for a format with no statistics. `integral` picks the exact
+  * comparison space (long for Long/Int/Short fields, double for
+  * Float/Double) so no filter is ever approximated. */
+private[v2] case class BinPred(off: Int, dt: DataType, op: String,
+  integral: Boolean, lv: Long, dv: Double) {
+  def eval(bb: java.nio.ByteBuffer): Boolean = {
+    if (integral) {
+      val x = dt match {
+        case LongType => bb.getLong(off)
+        case IntegerType => bb.getInt(off).toLong
+        case ShortType => bb.getShort(off).toLong
+        case other => throw new IllegalStateException(other.toString)
+      }
+      op match {
+        case "=" => x == lv
+        case ">" => x > lv
+        case ">=" => x >= lv
+        case "<" => x < lv
+        case "<=" => x <= lv
+      }
+    } else {
+      val x = dt match {
+        case DoubleType => bb.getDouble(off)
+        case FloatType => bb.getFloat(off).toDouble
+        case other => throw new IllegalStateException(other.toString)
+      }
+      op match {
+        case "=" => x == dv
+        case ">" => x > dv
+        case ">=" => x >= dv
+        case "<" => x < dv
+        case "<=" => x <= dv
+      }
+    }
+  }
+}
+
 private[v2] class BinRecordScanBuilder(full: StructType, path: String,
-  maxSplitBytes: Long) extends ScanBuilder with SupportsPushDownRequiredColumns {
+  maxSplitBytes: Long) extends ScanBuilder
+  with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[sources.Filter] = Array.empty
 
   /** Catalyst hands us the projected schema; keep the FILE order so
     * field offsets stay monotone in the decode loop. */
@@ -109,7 +153,49 @@ private[v2] class BinRecordScanBuilder(full: StructType, path: String,
     required = StructType(full.fields.filter(f => keep.contains(f.name)))
   }
 
-  override def build(): Scan = BinRecordScan(full, required, path, maxSplitBytes)
+  private val offsetOf: Map[String, Int] =
+    full.fieldNames.zip(BinRecord.offsets(full)).toMap
+
+  /** A literal is acceptable for an integral field only when it IS
+    * integral — `id > 3.5` must not silently become `id > 3` (for
+    * `>=` the two differ); such filters stay with Spark. */
+  private def compile(att: String, op: String, v: Any): Option[BinPred] =
+    full.fields.find(_.name == att).flatMap { f =>
+      val integral = f.dataType match {
+        case LongType | IntegerType | ShortType => true
+        case DoubleType | FloatType => false
+      }
+      v match {
+        case n: Number =>
+          val dv = n.doubleValue()
+          if (integral && dv != math.rint(dv)) None
+          else Some(BinPred(offsetOf(att), f.dataType, op, integral,
+            n.longValue(), dv))
+        case _ => None
+      }
+    }
+
+  private def toPred(fl: sources.Filter): Option[BinPred] = fl match {
+    case sources.EqualTo(a, v) => compile(a, "=", v)
+    case sources.GreaterThan(a, v) => compile(a, ">", v)
+    case sources.GreaterThanOrEqual(a, v) => compile(a, ">=", v)
+    case sources.LessThan(a, v) => compile(a, "<", v)
+    case sources.LessThanOrEqual(a, v) => compile(a, "<=", v)
+    // fixed-width binary fields can never be NULL: trivially true
+    case sources.IsNotNull(_) => Some(BinPred(0, LongType, "notnull", true, 0L, 0.0))
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    val (ok, rest) = filters.partition(f => toPred(f).isDefined)
+    pushed = ok
+    rest // Spark evaluates what the byte-level reader can't prove exactly
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan = BinRecordScan(full, required, path, maxSplitBytes,
+    pushed.flatMap(toPred).filter(_.op != "notnull"), pushed.map(_.toString))
 }
 
 /** One record-aligned byte range of one file. */
@@ -117,13 +203,15 @@ private[v2] case class BinRecordPartition(file: String, start: Long,
   length: Long) extends InputPartition
 
 private[v2] case class BinRecordScan(full: StructType, required: StructType,
-  path: String, maxSplitBytes: Long) extends Scan with Batch {
+  path: String, maxSplitBytes: Long, preds: Array[BinPred],
+  pushedDesc: Array[String]) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"binrec $path recLen=${BinRecord.recordLength(full)} " +
-      s"ReadFields=${required.fieldNames.mkString(",")}"
+      s"ReadFields=${required.fieldNames.mkString(",")} " +
+      s"PushedFilters=[${pushedDesc.mkString(", ")}]"
 
   /** Driver-side planning: list visible files, validate record
     * alignment (a truncated file fails loudly HERE, not as a silently
@@ -166,25 +254,27 @@ private[v2] case class BinRecordScan(full: StructType, required: StructType,
     val it = hconf.iterator()
     val entries = Array.newBuilder[(String, String)]
     while (it.hasNext) { val e = it.next(); entries += (e.getKey -> e.getValue) }
-    BinRecordReaderFactory(full, required, entries.result())
+    BinRecordReaderFactory(full, required, preds, entries.result())
   }
 }
 
 private[v2] case class BinRecordReaderFactory(full: StructType,
-  required: StructType, confEntries: Array[(String, String)])
+  required: StructType, preds: Array[BinPred],
+  confEntries: Array[(String, String)])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val conf = new Configuration(false)
     confEntries.foreach { case (k, v) => conf.set(k, v) }
-    new BinRecordReader(full, required, conf,
+    new BinRecordReader(full, required, preds, conf,
       partition.asInstanceOf[BinRecordPartition])
   }
 }
 
 /** Streams one byte range, decoding ONLY the required fields of each
-  * record by absolute offset (pruned fields are never touched). */
+  * record by absolute offset (pruned fields are never touched), and
+  * dropping records that fail a pushed filter BEFORE any row exists. */
 private[v2] class BinRecordReader(full: StructType, required: StructType,
-  conf: Configuration, part: BinRecordPartition)
+  preds: Array[BinPred], conf: Configuration, part: BinRecordPartition)
   extends PartitionReader[InternalRow] {
 
   private val recLen = BinRecord.recordLength(full)
@@ -207,26 +297,36 @@ private[v2] class BinRecordReader(full: StructType, required: StructType,
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    if (readRecords >= totalRecords) return false
-    in.readFully(buf, 0, recLen)
-    val bb = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.BIG_ENDIAN)
-    val row = new GenericInternalRow(wanted.length)
-    var i = 0
-    while (i < wanted.length) {
-      val (off, dt) = wanted(i)
-      dt match {
-        case LongType => row.setLong(i, bb.getLong(off))
-        case DoubleType => row.setDouble(i, bb.getDouble(off))
-        case IntegerType => row.setInt(i, bb.getInt(off))
-        case FloatType => row.setFloat(i, bb.getFloat(off))
-        case ShortType => row.setShort(i, bb.getShort(off))
-        case other => throw new IllegalStateException(other.toString)
+    while (readRecords < totalRecords) {
+      in.readFully(buf, 0, recLen)
+      readRecords += 1
+      val bb = java.nio.ByteBuffer.wrap(buf).order(java.nio.ByteOrder.BIG_ENDIAN)
+      var p = 0
+      var pass = true
+      while (pass && p < preds.length) {
+        pass = preds(p).eval(bb)
+        p += 1
       }
-      i += 1
+      if (pass) {
+        val row = new GenericInternalRow(wanted.length)
+        var i = 0
+        while (i < wanted.length) {
+          val (off, dt) = wanted(i)
+          dt match {
+            case LongType => row.setLong(i, bb.getLong(off))
+            case DoubleType => row.setDouble(i, bb.getDouble(off))
+            case IntegerType => row.setInt(i, bb.getInt(off))
+            case FloatType => row.setFloat(i, bb.getFloat(off))
+            case ShortType => row.setShort(i, bb.getShort(off))
+            case other => throw new IllegalStateException(other.toString)
+          }
+          i += 1
+        }
+        current = row
+        return true
+      }
     }
-    current = row
-    readRecords += 1
-    true
+    false
   }
 
   override def get(): InternalRow = current

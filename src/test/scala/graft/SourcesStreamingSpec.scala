@@ -263,6 +263,52 @@ class CatalogSpec extends AnyFunSuite {
       s"expected alignment failure, got $e")
   }
 
+  test("binrec V2 source: filters push to the byte level and stay exact") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("flux", DoubleType),
+      StructField("band", IntegerType)))
+    val recs = (0 until 100).map(i => (i.toLong, i * 1.5, i % 6))
+    val bb = java.nio.ByteBuffer.allocate(recs.length * 20)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    recs.foreach { case (id, flux, band) =>
+      bb.putLong(id); bb.putDouble(flux); bb.putInt(band)
+    }
+    val dir = Files.createTempDirectory("graft_binv2f")
+    Files.write(dir.resolve("table.bin"), bb.array())
+    def read() = spark.read.format("graft.sources.v2.BinRecordSource")
+      .schema(schema).option("path", dir.toString).load()
+
+    // comparison filters are claimed by the scan (visible in its
+    // description) and the results match the reference predicate
+    val q = read().filter("band = 3 AND flux > 30.0").select("id")
+    val descs = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(descs.exists(d => d.contains("PushedFilters=[") &&
+      d.contains("EqualTo(band,3)") && d.contains("GreaterThan(flux,30.0)")),
+      s"filters not pushed: $descs")
+    val got = q.collect().map(_.getLong(0)).sorted.toSeq
+    val want = recs.filter(r => r._3 == 3 && r._2 > 30.0).map(_._1)
+    assert(got == want)
+
+    // a fractional literal against an integral field must NOT be
+    // claimed (id >= 3.5 is not id >= 3): it stays with Spark and the
+    // answer is still exact
+    val q2 = read().filter(org.apache.spark.sql.functions.col("id") >= 3.5)
+    val descs2 = q2.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(!descs2.exists(_.contains("3.5")), s"inexact pushdown: $descs2")
+    assert(q2.count() == recs.count(_._1 >= 4))
+
+    // filter on a column that is NOT projected still prunes rows
+    val q3 = read().filter("band = 0").select("flux")
+    assert(q3.collect().map(_.getDouble(0)).sorted.toSeq ==
+      recs.filter(_._3 == 0).map(_._2).sorted.toSeq)
+  }
+
   test("csv ingest round-trips with the declared schema") {
     val out = Files.createTempDirectory("graft_csv").toString
     val nation = Catalog.readParquet(spark, "nation", s"$sf/nation.parquet")
