@@ -389,8 +389,19 @@ object Dedup {
     val edges = pairs.select($"d1".as("src"), $"d2".as("dst"))
       .union(pairs.select($"d2".as("src"), $"d1".as("dst")))
       .persist()
-    var labels = nodes.select($"doc_id", $"doc_id".as("cluster_id"))
+    // Only nodes that touch an edge can ever change label; every other
+    // node is its own singleton cluster and never enters the loop. In a
+    // near-dup graph the edge-touching set is a sliver of the corpus
+    // (dup rate × corpus, not the corpus), so each iteration's join +
+    // aggregate runs on that sliver — at 100 TB the iterating frame is
+    // GBs, not the table.
+    // eagerly checkpointed: the final singleton anti-join below reads
+    // it AFTER edges is unpersisted — without this the whole pair
+    // generation would silently re-run to answer "which nodes had an
+    // edge"
+    val active = edges.select($"src".as("doc_id")).distinct()
       .localCheckpoint(true)
+    var labels = active.select($"doc_id", $"doc_id".as("cluster_id"))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -412,10 +423,14 @@ object Dedup {
     edges.unpersist()
     require(converged,
       s"connected components did not converge in $maxIters iterations")
+    // component sizes over the (tiny) edge-touching set only; the
+    // singleton majority joins back as size-1 clusters with no window
     val w = Window.partitionBy($"cluster_id")
-    labels
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .orderBy($"doc_id")
+    val clustered = labels.withColumn("cluster_size", count(lit(1)).over(w))
+    val singletons = nodes.select($"doc_id")
+      .join(active, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"doc_id".as("cluster_id"), lit(1L).as("cluster_size"))
+    clustered.unionByName(singletons).orderBy($"doc_id")
   }
 
   /** Near-dup cluster assignment: connected components of the n-gram
@@ -461,6 +476,67 @@ object Dedup {
        |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
        |FROM lab JOIN sz USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Graph-motif statistics of the near-dup pair graph: nodes, edges,
+    * wedges (open 2-paths), triangles, and the global clustering
+    * coefficient ×1000 — the telemetry a dedup pipeline reads to judge
+    * whether its similarity threshold produces tight cliques (healthy)
+    * or sprawling chains (threshold too loose). Triangles are counted
+    * once each via the `d1 < d2` edge orientation: e1=(a,b), e2=(b,c),
+    * closing edge (a,c) with a<b<c.
+    *
+    * Scale shape: the edge list is already skew-capped upstream (gram
+    * df cap bounds every posting list, so no node's degree can grow
+    * with the corpus — a clique of n identical docs generates NO pairs
+    * here because its grams exceed the df cap and the exact-dedup path
+    * owns that case). The triangle join is two equi-joins on node ids
+    * over that bounded-degree list; all five stats are one-row
+    * aggregates crossed together at the end. */
+  def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = ngramJaccardPairs(Tables.documents(s, dir))
+      .select($"d1", $"d2").persist()
+    val deg = p.select($"d1".as("v")).union(p.select($"d2".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val m = p.agg(count(lit(1)).as("n_edges"))
+    val wd = deg.agg(sum(expr("(deg * (deg - 1)) DIV 2")).as("n_wedges"))
+    val tr = p.as("e1")
+      .join(p.as("e2"), col("e1.d2") === col("e2.d1"))
+      .select(col("e1.d1").as("a"), col("e2.d2").as("c"))
+      .join(p.select($"d1".as("a"), $"d2".as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nn.crossJoin(m).crossJoin(wd).crossJoin(tr)
+      .withColumn("clustering_x1000",
+        when($"n_wedges" > 0, expr("(3000 * n_triangles) DIV n_wedges")))
+  }
+
+  val qTrianglesSql: String =
+    s"""WITH g AS ($gramRowsSql),
+       |n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+       |gf AS (SELECT doc_id, gram FROM (
+       |        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM g)
+       |       WHERE df <= $GramDfCap),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+       |      FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |jp AS (SELECT d1, d2
+       |       FROM p JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
+       |       WHERE inter * 2 >= na.ng + nb.ng - inter),
+       |deg AS (SELECT v, COUNT(*) AS deg FROM (
+       |          SELECT d1 AS v FROM jp UNION ALL SELECT d2 FROM jp)
+       |        GROUP BY 1),
+       |nn AS (SELECT COUNT(*) AS n_nodes FROM deg),
+       |m AS (SELECT COUNT(*) AS n_edges FROM jp),
+       |wd AS (SELECT CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+       |tr AS (SELECT COUNT(*) AS n_triangles
+       |       FROM jp e1 JOIN jp e2 ON e1.d2 = e2.d1
+       |       JOIN jp e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2)
+       |SELECT nn.n_nodes, m.n_edges, wd.n_wedges, tr.n_triangles,
+       |  CASE WHEN wd.n_wedges > 0
+       |       THEN (3000 * tr.n_triangles) // wd.n_wedges END AS clustering_x1000
+       |FROM nn, m, wd, tr""".stripMargin
 
   // ---------------------------------------------------------------
   /** End-to-end cleaning pipeline — the composition every training-
@@ -514,10 +590,12 @@ object Dedup {
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_edit_dist_pairs" -> (qEditDistPairs _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_triangles" -> (qTriangles _),
     "q_pipeline_clean" -> (qPipelineClean _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_triangles" -> qTrianglesSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,

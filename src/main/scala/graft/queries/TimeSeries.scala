@@ -211,7 +211,7 @@ object TimeSeries {
 
   // ---------------------------------------------------------------
   /** ±30 min neighbor window, in exact integer micros. */
-  private val RangeWUs = 1800000000L
+  private[graft] val RangeWUs = 1800000000L
   /** Per-user event cap for the range join (skew guard): a runaway
     * key (bot, sensor stuck in a loop) is excluded instead of handed
     * a quadratic task. Mirrored in the oracle. */
@@ -405,6 +405,37 @@ object TimeSeries {
        |FROM f GROUP BY 1 ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Trailing 30-minute RANGE-frame aggregate: for every event, the
+    * count and exact sum of the SAME user's events in
+    * `[tus − 30 min, tus]` — the window-frame formulation of the
+    * interval neighborhood (q_range_nbr is the pairwise-join
+    * formulation; this one is one-sided, frame-based, and needs no
+    * join at all). RANGE (not ROWS) so timestamp ties share a frame.
+    *
+    * Scale shape: one shuffle on user_id, one sort, a sliding frame —
+    * linear per partition, no candidate pairs ever materialize. */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus")
+      .rangeBetween(-RangeWUs, 0)
+    series(s, dir)
+      .withColumn("n_30m", count(lit(1)).over(w))
+      .withColumn("sum_c100_30m", sum($"xc").over(w))
+      .select($"user_id", $"event_id", $"tus", $"xc", $"n_30m", $"sum_c100_30m")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val qWindowRangeSql: String =
+    s"""SELECT user_id, event_id, tus, xc,
+       |  COUNT(*) OVER pw AS n_30m,
+       |  CAST(SUM(xc) OVER pw AS BIGINT) AS sum_c100_30m
+       |FROM (SELECT user_id, event_id, epoch_us(ts) AS tus,
+       |        CAST(ROUND(value*100) AS BIGINT) AS xc FROM events)
+       |WINDOW pw AS (PARTITION BY user_id ORDER BY tus
+       |  RANGE BETWEEN $RangeWUs PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------
   /** SCD-2 / temporal-table build: collapse each user's event stream
     * into state intervals — a new version opens whenever `event_type`
     * differs from the previous event's, `valid_to_us` is the next
@@ -453,7 +484,8 @@ object TimeSeries {
     "q_range_nbr" -> (qRangeNbr _),
     "q_anomaly" -> (qAnomaly _),
     "q_gap_fill" -> (qGapFill _),
-    "q_scd2" -> (qScd2 _))
+    "q_scd2" -> (qScd2 _),
+    "q_window_range" -> (qWindowRange _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -464,5 +496,6 @@ object TimeSeries {
     "q_range_nbr" -> qRangeNbrSql,
     "q_anomaly" -> qAnomalySql,
     "q_gap_fill" -> qGapFillSql,
-    "q_scd2" -> qScd2Sql)
+    "q_scd2" -> qScd2Sql,
+    "q_window_range" -> qWindowRangeSql)
 }

@@ -85,6 +85,27 @@ class BehaviorSpec extends AnyFunSuite {
     clusters.unpersist()
   }
 
+  test("q_triangles matches a local recount of the pair-graph motifs") {
+    val pairs = queries.Dedup.qNgramJaccard(spark, sf)
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = pairs.flatMap(p => Set(p._1, p._2))
+    val deg = nodes.map(v =>
+      v -> pairs.count(p => p._1 == v || p._2 == v).toLong).toMap
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val und = pairs ++ pairs.map(p => (p._2, p._1))
+    val tris = pairs.toSeq.map { case (a, b) =>
+      nodes.count(c => c > b && und((a, c)) && und((b, c))).toLong
+    }.sum
+    val r = queries.Dedup.qTriangles(spark, sf).collect()(0)
+    assert(r.getLong(0) == nodes.size.toLong, "n_nodes")
+    assert(r.getLong(1) == pairs.size.toLong, "n_edges")
+    assert(r.getLong(2) == wedges, "n_wedges")
+    assert(r.getLong(3) == tris, "n_triangles")
+    if (wedges > 0)
+      assert(r.getLong(4) == 3000L * tris / wedges, "clustering_x1000")
+  }
+
   test("q_tfidf emits at most k ranked terms per doc, scores non-increasing") {
     val df = queries.Text.qTfidf(spark, sf).cache()
     val k = queries.Text.TfidfTopK

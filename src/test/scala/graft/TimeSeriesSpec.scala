@@ -100,4 +100,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(same == 0, "adjacent versions share a state")
     df.unpersist()
   }
+
+  test("q_window_range frame equals the brute-force pairwise definition") {
+    import spark.implicits._
+    val df = queries.TimeSeries.qWindowRange(spark, sf).cache()
+    // the frame includes the current row, so count >= 1 and the sum
+    // is at least the row's own value contribution
+    assert(df.filter("n_30m < 1").count() == 0)
+    // brute-force oracle on one user: every event pair within the
+    // trailing window, computed with a plain self-join
+    val uid = df.select("user_id").head().getLong(0)
+    val mine = df.filter($"user_id" === uid)
+      .select($"event_id", $"tus", $"xc", $"n_30m", $"sum_c100_30m")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val w = queries.TimeSeries.RangeWUs
+    for ((id, t, _, n, s) <- mine) {
+      val inFrame = mine.filter { case (_, t2, _, _, _) => t2 >= t - w && t2 <= t }
+      assert(inFrame.length.toLong == n, s"event $id count mismatch")
+      assert(inFrame.map(_._3).sum == s, s"event $id sum mismatch")
+    }
+    // RANGE (not ROWS): no hash exchange beyond the user_id one, no join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"frame query must not plan a join:\n$plan")
+    df.unpersist()
+  }
 }
