@@ -80,6 +80,53 @@ object EventStream {
         col("click_ts"), col("view_ts"))
   }
 
+  case class AnomalyFlag(user_id: Long, event_id: Long, tms: Long,
+    xc: Long, n_prior: Long)
+
+  case class RunStats(n: Long, sum: Long, sumsq: Long)
+
+  /** Streaming anomaly detection: flag each event whose value deviates
+    * from the SAME user's running mean by more than `k` population
+    * standard deviations, scored against the `n_prior` events seen
+    * BEFORE it (a real-time detector never sees the future). The
+    * per-user state is three Longs — counts and integer-cent sums are
+    * exact, so state is identical no matter how events were batched —
+    * and the flag predicate is a fixed double-precision expression of
+    * those Longs, making the whole detector replay-deterministic: a
+    * batch window computation folding events in the same order
+    * produces bit-identical flags (spec-verified against the window
+    * formulation over the replayed events table).
+    *
+    * Condition (integer form, no mean/σ divisions):
+    *   dev = xc·n − Σx;   dev² > k²·(n·Σx² − (Σx)²)
+    * Scale shape: one shuffle on user_id; state is O(distinct users)
+    * regardless of stream length. */
+  def anomalies(events: Dataset[Event], k: Int = 3,
+    minPrior: Long = 20): Dataset[AnomalyFlag] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunStats, AnomalyFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[RunStats]) =>
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(RunStats(0L, 0L, 0L))
+          val out = Seq.newBuilder[AnomalyFlag]
+          for (e <- evs) {
+            val xc = math.round(e.value * 100)
+            if (st.n >= minPrior) {
+              val dev = (xc * st.n - st.sum).toDouble
+              val nVar = st.n.toDouble * st.sumsq - st.sum.toDouble * st.sum
+              if (dev * dev > k.toDouble * k * nVar)
+                out += AnomalyFlag(userId, e.event_id, e.ts.getTime, xc, st.n)
+            }
+            st = RunStats(st.n + 1, st.sum + xc, st.sumsq + xc * xc)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Gap-based sessionization with explicit state: a session closes
     * when no event arrives for `gapSeconds` (in-batch for observed
     * gaps; via event-time timeout once the watermark passes the gap

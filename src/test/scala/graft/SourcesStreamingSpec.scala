@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.expr
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.Catalog
 import graft.streaming.EventStream
@@ -437,6 +438,54 @@ class EventStreamSpec extends AnyFunSuite {
           "end_tus DIV 1000 AS e_ms", "n_events")
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(streamed == batch,
+        s"stream-only: ${(streamed diff batch).take(3)}; batch-only: ${(batch diff streamed).take(3)}")
+    } finally q.stop()
+  }
+
+  test("streaming anomalies match the batch prefix-window formulation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = Tables.events(spark, sf)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value").collect()
+      .map(r => Event(r.getLong(0), new Timestamp(r.getLong(1) / 1000000L),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val minPrior = 5L
+    val input = MemoryStream[Event]
+    val q = EventStream.anomalies(input.toDS(), k = 3, minPrior = minPrior)
+      .writeStream.format("memory").queryName("anom_parity")
+      .outputMode("append").start()
+    try {
+      // two arbitrary batch splits: exact Long state makes the split
+      // irrelevant as long as replay is in event-time order
+      val (a, b) = evs.sortBy(e => (e.ts.getTime, e.event_id)).splitAt(evs.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      val streamed = spark.table("anom_parity")
+        .select($"user_id", $"event_id", $"tms", $"xc", $"n_prior")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // batch: cumulative prefix sums over (ms, event_id) order —
+      // the same fold the stream performs
+      val batch = Tables.events(spark, sf)
+        .selectExpr("user_id", "event_id", "ts DIV 1000000 AS tms",
+          "CAST(ROUND(value*100) AS BIGINT) AS xc")
+        .selectExpr("*",
+          """count(*)  OVER (PARTITION BY user_id ORDER BY tms, event_id
+            |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n""".stripMargin,
+          """sum(xc)   OVER (PARTITION BY user_id ORDER BY tms, event_id
+            |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s""".stripMargin,
+          """sum(xc*xc) OVER (PARTITION BY user_id ORDER BY tms, event_id
+            |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sq""".stripMargin)
+        .filter($"n" >= minPrior)
+        .filter(expr("""CAST(xc*n - s AS DOUBLE) * CAST(xc*n - s AS DOUBLE) >
+          | 9.0D * (CAST(n AS DOUBLE)*sq - CAST(s AS DOUBLE)*s)""".stripMargin))
+        .select($"user_id", $"event_id", $"tms", $"xc", $"n".as("n_prior"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(batch.nonEmpty, "degenerate fixture: no anomalies at minPrior=5")
       assert(streamed == batch,
         s"stream-only: ${(streamed diff batch).take(3)}; batch-only: ${(batch diff streamed).take(3)}")
     } finally q.stop()
