@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.operators.BloomJoin
 
 /** Core OLAP surface: the catalog selection/aggregation workload of
   * the reference (Pserv issues projections, predicates, aggregates
@@ -621,7 +622,45 @@ object CoreOlap {
       |  ORDER BY cnt DESC, event_type) = 1
       |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Bloom-prefiltered semi join: lineitems of urgent high-value
+    * orders. The urgent+high-value order-key SET is small, but at the
+    * 100 TB target the orders slice is too large to broadcast as a
+    * hash relation — [[graft.operators.BloomJoin]] builds a few-MB
+    * Bloom filter over the keys distributed, prefilters lineitem
+    * inside whole-stage codegen BEFORE its shuffle, and closes with
+    * the exact semi join so false positives never reach the result.
+    * The dominant exchange carries only the ~matching fraction of the
+    * fact table instead of all of it. */
+  val BloomOrderPrice = 250000.0
+
+  def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT" &&
+        $"o_totalprice" > BloomOrderPrice)
+      .select($"o_orderkey")
+    val li = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_returnflag", $"l_extendedprice", $"l_discount")
+    BloomJoin.semi(li, dim, "l_orderkey", "o_orderkey",
+      expectedKeys = 1L << 20)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sumScaled($"l_extendedprice" * (lit(1.0) - $"l_discount"), 10000L)
+          .as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qBloomJoinSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n_items,
+       |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)) AS BIGINT)/10000.0 AS revenue
+       |FROM lineitem
+       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+       |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > $BloomOrderPrice)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bloom_join" -> (qBloomJoin _),
     "q_set_ops" -> (qSetOps _),
     "q_mode" -> (qMode _),
     "q01_pricing_summary" -> (q01 _),
@@ -645,6 +684,7 @@ object CoreOlap {
     "q_asof_join" -> (qAsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_bloom_join" -> qBloomJoinSql,
     "q_set_ops" -> qSetOpsSql,
     "q_mode" -> qModeSql,
     "q01_pricing_summary" -> q01Sql,

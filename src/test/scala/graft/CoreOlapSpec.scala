@@ -112,4 +112,40 @@ class CoreOlapSpec extends AnyFunSuite {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("BloomJoin.semi is exactly the semi join, and the probe prefilters") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val fact = (1L to 10000L).map(k => (k % 997, k)).toDF("key", "payload")
+    val dim = Seq(1L, 5L, 900L, 996L).toDF("dkey")
+    val got = operators.BloomJoin.semi(fact, dim, "key", "dkey", 100L)
+    val want = fact.join(dim.select($"dkey".as("key")), Seq("key"), "left_semi")
+    assert(got.collect().toSet == want.collect().toSet)
+    // the probe prefilters the parquet-backed plan (local relations
+    // get constant-folded, so assert on the real-table query), and
+    // its Filter runs inside a WholeStageCodegen span (starred node)
+    val df = queries.CoreOlap.qBloomJoin(spark, sf)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Filter .*bloom_might_contain_long""".r
+      .findFirstIn(plan).isDefined,
+      s"bloom probe not in a codegen'd Filter:\n$plan")
+  }
+
+  test("q_bloom_join equals the plain IN-subquery formulation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = queries.CoreOlap.qBloomJoin(spark, sf).collect().toSeq
+    val want = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf)
+        .filter($"o_orderpriority" === "1-URGENT" &&
+          $"o_totalprice" > queries.CoreOlap.BloomOrderPrice)
+        .select($"o_orderkey".as("l_orderkey")), Seq("l_orderkey"), "left_semi")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        (sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000L)
+          .cast("long")) / 10000.0).as("revenue"))
+      .orderBy($"l_returnflag").collect().toSeq
+    assert(got == want)
+  }
 }
