@@ -275,6 +275,75 @@ object Catalog {
     s.createDataFrame(rdd, schema)
   }
 
+  /** Partition-scoped upsert (MERGE): rows of `updates` replace
+    * same-key rows and new keys append, rewriting ONLY the partitions
+    * `updates` touches — at 100 TB a merge that touches 3 of 10,000
+    * date partitions rewrites 3, the rest are never read or written
+    * (the scan of current rows is partition-pruned by an IN filter on
+    * the collected partition values, which are few by construction:
+    * one merge batch touches few partitions).
+    *
+    * Constraint (standard for partition-scoped merge without a
+    * transactional table format): a key's partition value must be
+    * stable — if an update moves a key to a new partition value, the
+    * old row is outside the rewritten set and survives.
+    *
+    * Self-overwrite safety: the merged rows are staged to a temp dir
+    * and read back before the dynamic partition overwrite, so the
+    * overwrite never reads the files it is replacing. The overwrite
+    * itself uses Spark's dynamic mode — only partitions present in
+    * the staged data are replaced, via the committer's own
+    * staging+rename protocol. */
+  def upsertPartitioned(s: SparkSession, updates: DataFrame, path: String,
+    partCol: String, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val partVals = updates.select(partCol).distinct().collect().map(_.get(0))
+    require(partVals.nonEmpty, "empty update batch")
+    import org.apache.spark.sql.functions.col
+    val current = s.read.parquet(path)
+      .filter(col(partCol).isin(partVals.toSeq: _*))
+    val merged = current.join(updates, keyCols, "left_anti")
+      .unionByName(updates)
+    val (f, p) = fs(s, path)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s"_tmp_upsert_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      merged.write.mode("errorifexists").parquet(tmp.toString)
+      s.read.parquet(tmp.toString)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol).parquet(path)
+    } finally f.delete(tmp, true)
+  }
+
+  /** Compact a partitioned table's small files: rewrite each named
+    * partition (default: all) into ONE file per partition (rows are
+    * hash-clustered on the partition value; `parallelism` bounds the
+    * number of concurrent write tasks). Streaming ingest and repeated
+    * appends accrete part-files; at scale a 10,000-file partition
+    * costs a task per file on every scan, so periodic compaction is
+    * part of the catalog lifecycle. Same staging + dynamic-overwrite
+    * protocol as [[upsertPartitioned]] — untouched partitions are
+    * never read or written. */
+  def compactPartitions(s: SparkSession, path: String, partCol: String,
+    parallelism: Int, partVals: Seq[Any] = Seq.empty): Unit = {
+    import org.apache.spark.sql.functions.col
+    val base = s.read.parquet(path)
+    val chosen = if (partVals.isEmpty) base
+      else base.filter(col(partCol).isin(partVals: _*))
+    val (f, p) = fs(s, path)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s"_tmp_compact_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      chosen.repartition(parallelism, col(partCol))
+        .write.mode("errorifexists").parquet(tmp.toString)
+      s.read.parquet(tmp.toString)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol).parquet(path)
+    } finally f.delete(tmp, true)
+  }
+
   /** Bucketed catalog table: pre-shuffled on the join key at ingest
     * time, so every later equi-join/aggregation on that key is
     * co-located — zero Exchange in the plan (the SURVEY §5 strategy

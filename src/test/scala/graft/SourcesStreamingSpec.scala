@@ -62,6 +62,63 @@ class CatalogSpec extends AnyFunSuite {
     assert(!plan.contains("lang%3Dde") || plan.contains("PartitionFilters"))
   }
 
+  test("upsert rewrites only touched partitions; merge semantics exact") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_upsert").toString + "/t"
+    val base = Seq(
+      (1L, "en", 10L), (2L, "en", 20L),
+      (3L, "de", 30L), (4L, "de", 40L),
+      (5L, "fr", 50L)).toDF("id", "lang", "v")
+    Catalog.writePartitioned(base, out, Seq("lang"))
+    def filesOf(lang: String) =
+      new java.io.File(s"$out/lang=$lang").listFiles()
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val frBefore = filesOf("fr")
+    // update key 2 (replace), insert key 6 — touches only lang=en
+    val updates = Seq((2L, "en", 21L), (6L, "en", 60L)).toDF("id", "lang", "v")
+    Catalog.upsertPartitioned(spark, updates, out, "lang", Seq("id"))
+    val got = spark.read.parquet(out).select($"id", $"v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 21L), (3L, 30L), (4L, 40L),
+      (5L, 50L), (6L, 60L)))
+    // untouched partitions keep their exact files (never rewritten)
+    assert(filesOf("fr") == frBefore,
+      "upsert rewrote a partition the update batch never touched")
+    // idempotent: replaying the same batch changes nothing
+    Catalog.upsertPartitioned(spark, updates, out, "lang", Seq("id"))
+    val again = spark.read.parquet(out).select($"id", $"v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == got, "replayed upsert must be a no-op on contents")
+  }
+
+  test("compactPartitions collapses a partition's files; others untouched") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_compact").toString + "/t"
+    // accrete many small files in lang=en via repartition(4) + append-style writes
+    val a = Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L),
+      (4L, "en", 40L)).toDF("id", "lang", "v").repartition(4)
+    Catalog.writePartitioned(a, out, Seq("lang"))
+    val b = Seq((9L, "de", 90L)).toDF("id", "lang", "v")
+    b.write.mode("append").partitionBy("lang").parquet(out)
+    def nFiles(lang: String) =
+      new java.io.File(s"$out/lang=$lang").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val deBefore = new java.io.File(s"$out/lang=de").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+    assert(nFiles("en") > 1, s"fixture should start multi-file, got ${nFiles("en")}")
+    Catalog.compactPartitions(spark, out, "lang", 8, Seq("en"))
+    assert(nFiles("en") == 1, s"compaction left ${nFiles("en")} files")
+    assert(new java.io.File(s"$out/lang=de").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet == deBefore,
+      "compaction touched an unselected partition")
+    val got = spark.read.parquet(out).select($"id", $"v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (9L, 90L)))
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     val orders = Catalog.readParquet(spark, "orders", s"$sf/orders.parquet")
     val customer = Catalog.readParquet(spark, "customer", s"$sf/customer.parquet")
