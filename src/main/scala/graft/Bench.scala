@@ -26,7 +26,9 @@ object Bench {
     "q_sessionize", "q_text_quality", "q_lightcurve_stats",
     "q_asof_join",
     "q_ann_ivf", "q_range_nbr", "q_pipeline_clean",
-    "q_tfidf", "q_dedup_clusters", "q_funnel", "q_shared_scan")
+    "q_tfidf", "q_dedup_clusters", "q_funnel", "q_shared_scan",
+    "q_bloom_join", "q_window_range", "q_triangles", "q_scd2",
+    "q_gap_fill")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

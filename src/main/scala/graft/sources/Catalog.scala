@@ -316,6 +316,20 @@ object Catalog {
     } finally f.delete(tmp, true)
   }
 
+  /** Replace exactly the partitions present in `df` (dynamic
+    * partition overwrite), leaving every other partition untouched —
+    * the primitive under partition-scoped view maintenance: a
+    * recompute of N partitions swaps in N directories via the
+    * committer's staging protocol and never reads or writes the
+    * rest. Unlike [[upsertPartitioned]] the replaced partitions'
+    * previous contents do NOT merge in: `df` is the new truth for its
+    * partitions (so deletions inside a partition propagate). */
+  def replacePartitions(s: SparkSession, df: DataFrame, path: String,
+    partCol: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(path)
+
   /** Compact a partitioned table's small files: rewrite each named
     * partition (default: all) into ONE file per partition (rows are
     * hash-clustered on the partition value; `parallelism` bounds the

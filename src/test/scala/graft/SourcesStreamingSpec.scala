@@ -119,6 +119,57 @@ class CatalogSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (9L, 90L)))
   }
 
+  test("incremental rollup refresh equals a from-scratch rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_rollup").toString
+    val basePath = s"$root/events"
+    val rollupPath = s"$root/rollup"
+    val events = Tables.events(spark, sf)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    val withDay = events.withColumn("day", graft.operators.Rollup.dayOfTs)
+    withDay.write.partitionBy("day").parquet(basePath)
+    graft.operators.Rollup.build(spark, events, rollupPath)
+    // delta: new events on one existing day and one brand-new day
+    val someTs = events.select($"ts").head().getLong(0)
+    val newDayTs = events.agg(max($"ts")).head().getLong(0) + 86400L * 1000000000L
+    val delta = Seq(
+      (900001L, someTs + 1000L, 42L, "click", 1.5),
+      (900002L, newDayTs, 43L, "view", 2.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val untouched = withDay.select($"day").distinct().collect().map(_.getString(0))
+      .filterNot { d =>
+        val touched = delta.select(graft.operators.Rollup.dayOfTs.as("day"))
+          .distinct().collect().map(_.getString(0)).toSet
+        touched(d)
+      }.head
+    def filesOf(day: String) =
+      new java.io.File(s"$rollupPath/day=$day").listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    val before = filesOf(untouched)
+    // commit delta to base, then refresh
+    delta.withColumn("day", graft.operators.Rollup.dayOfTs)
+      .write.mode("append").partitionBy("day").parquet(basePath)
+    graft.operators.Rollup.refresh(spark, basePath, delta, rollupPath)
+    // incremental result == full rebuild over base∪delta
+    val got = spark.read.parquet(rollupPath)
+      .select($"day".cast("string"), $"event_type", $"n_events", $"n_users", $"value_c100")
+      .collect().map(_.toSeq).toSet
+    val want = graft.operators.Rollup.compute(events.unionByName(delta))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // untouched day partitions were never rewritten
+    assert(filesOf(untouched) == before,
+      "refresh rewrote a day the delta never touched")
+    // replaying the refresh converges to the same contents
+    graft.operators.Rollup.refresh(spark, basePath, delta, rollupPath)
+    val again = spark.read.parquet(rollupPath)
+      .select($"day".cast("string"), $"event_type", $"n_events", $"n_users", $"value_c100")
+      .collect().map(_.toSeq).toSet
+    assert(again == got, "replayed refresh must converge")
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     val orders = Catalog.readParquet(spark, "orders", s"$sf/orders.parquet")
     val customer = Catalog.readParquet(spark, "customer", s"$sf/customer.parquet")
