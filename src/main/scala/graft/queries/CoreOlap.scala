@@ -659,7 +659,65 @@ object CoreOlap {
        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > $BloomOrderPrice)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** NTILE quantile bucketing: quartile of each order's price within
+    * its priority class, summarized per (priority, quartile). Ordering
+    * includes the unique o_orderkey so tie rows land deterministically
+    * — NTILE over a non-unique order is engine-dependent row
+    * placement, which would break oracle parity.
+    *
+    * Scale shape: one shuffle on o_orderpriority (5 groups at any SF —
+    * a LOW-cardinality window partition, acceptable only because the
+    * output is a 20-row summary; the summary aggregate after it is
+    * map-side combinable). */
+  def qNtile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy($"o_orderpriority", $"quartile")
+      .agg(count(lit(1)).as("n"),
+        sumScaled($"o_totalprice", 100L).as("sum_price"))
+      .orderBy($"o_orderpriority", $"quartile")
+  }
+
+  val qNtileSql: String =
+    """SELECT o_orderpriority, quartile, COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_price
+      |FROM (SELECT o_orderpriority, o_totalprice,
+      |        NTILE(4) OVER (PARTITION BY o_orderpriority
+      |          ORDER BY o_totalprice, o_orderkey) AS quartile
+      |      FROM orders)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Ordered string aggregation: per nation, the 5 alphabetically
+    * first customer names joined into one field (the report/export
+    * shape). Collect → sort → slice keeps the per-group payload
+    * bounded: only 5 names per nation survive into the result no
+    * matter the corpus, and collect_list is a single map-side
+    * combinable shuffle on the (bounded-cardinality) nation key. */
+  def qStringAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        array_join(slice(sort_array(collect_list($"c_name")), 1, 5), ",")
+          .as("first5"))
+      .orderBy($"n_name")
+  }
+
+  val qStringAggSql: String =
+    """SELECT n_name, COUNT(*) AS n_cust,
+      |  array_to_string(list_sort(list(c_name))[1:5], ',') AS first5
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ntile" -> (qNtile _),
+    "q_string_agg" -> (qStringAgg _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_set_ops" -> (qSetOps _),
     "q_mode" -> (qMode _),
@@ -684,6 +742,8 @@ object CoreOlap {
     "q_asof_join" -> (qAsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_ntile" -> qNtileSql,
+    "q_string_agg" -> qStringAggSql,
     "q_bloom_join" -> qBloomJoinSql,
     "q_set_ops" -> qSetOpsSql,
     "q_mode" -> qModeSql,

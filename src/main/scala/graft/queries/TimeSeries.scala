@@ -436,6 +436,46 @@ object TimeSeries {
        |ORDER BY user_id, event_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** First/last state per user (argmin/argmax by event time): the
+    * entry and exit event type of each user's history, with the span.
+    * min_by/max_by over a struct of (tus, event_id) makes the
+    * tie-break deterministic — two events in the same microsecond
+    * resolve by the unique event id on both engines.
+    *
+    * Scale shape: a single map-side-combinable aggregate on user_id —
+    * each partial carries one (key, smallest, largest) triple per
+    * user, no window sort, one shuffle. */
+  def qFirstLast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", expr("ts DIV 1000").as("tus"),
+        $"event_type")
+      .groupBy($"user_id")
+      .agg(
+        min_by($"event_type", struct($"tus", $"event_id")).as("first_type"),
+        max_by($"event_type", struct($"tus", $"event_id")).as("last_type"),
+        min($"tus").as("first_tus"),
+        max($"tus").as("last_tus"),
+        count(lit(1)).as("n_events"))
+      .withColumn("span_us", $"last_tus" - $"first_tus")
+      .orderBy($"user_id")
+  }
+
+  val qFirstLastSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |             event_type FROM events),
+      |r AS (SELECT *,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS ra,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rd
+      |FROM e)
+      |SELECT user_id,
+      |  MAX(CASE WHEN ra = 1 THEN event_type END) AS first_type,
+      |  MAX(CASE WHEN rd = 1 THEN event_type END) AS last_type,
+      |  MIN(tus) AS first_tus, MAX(tus) AS last_tus,
+      |  COUNT(*) AS n_events, MAX(tus) - MIN(tus) AS span_us
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   /** SCD-2 / temporal-table build: collapse each user's event stream
     * into state intervals — a new version opens whenever `event_type`
     * differs from the previous event's, `valid_to_us` is the next
@@ -485,7 +525,8 @@ object TimeSeries {
     "q_anomaly" -> (qAnomaly _),
     "q_gap_fill" -> (qGapFill _),
     "q_scd2" -> (qScd2 _),
-    "q_window_range" -> (qWindowRange _))
+    "q_window_range" -> (qWindowRange _),
+    "q_first_last" -> (qFirstLast _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -497,5 +538,6 @@ object TimeSeries {
     "q_anomaly" -> qAnomalySql,
     "q_gap_fill" -> qGapFillSql,
     "q_scd2" -> qScd2Sql,
-    "q_window_range" -> qWindowRangeSql)
+    "q_window_range" -> qWindowRangeSql,
+    "q_first_last" -> qFirstLastSql)
 }
