@@ -666,10 +666,14 @@ object CoreOlap {
     * — NTILE over a non-unique order is engine-dependent row
     * placement, which would break oracle parity.
     *
-    * Scale shape: one shuffle on o_orderpriority (5 groups at any SF —
-    * a LOW-cardinality window partition, acceptable only because the
-    * output is a 20-row summary; the summary aggregate after it is
-    * map-side combinable). */
+    * Scale shape: exact NTILE requires a total order per priority —
+    * a 5-partition window sort whose per-task frame grows linearly
+    * with the table. That is inherent to the EXACT semantics, not to
+    * this plan; the 100 TB route is quartile BOUNDARIES from
+    * approx_percentile (one combinable aggregate, see
+    * q_sketch_quantile) and a join-free bucket assignment against
+    * the broadcast boundaries. This query keeps the exact form the
+    * reference's users actually run at report scale. */
   def qNtile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"o_orderpriority")

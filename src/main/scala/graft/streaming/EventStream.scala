@@ -80,6 +80,17 @@ object EventStream {
         col("click_ts"), col("view_ts"))
   }
 
+  /** Stream-static enrichment: join the event stream against a batch
+    * dimension (the catalog's customer table keyed by user id). The
+    * static side re-plans per micro-batch, so a catalog refresh is
+    * picked up without restarting the query; with a dim that fits the
+    * broadcast threshold each micro-batch is a broadcast hash join —
+    * no stream-side shuffle and no streaming state at all (unlike
+    * stream-stream joins, stream-static needs no watermark). */
+  def enrich(events: DataFrame, dim: DataFrame,
+    eventKey: String = "user_id", dimKey: String = "c_custkey"): DataFrame =
+    events.join(dim, events(eventKey) === dim(dimKey), "left")
+
   case class AnomalyFlag(user_id: Long, event_id: Long, tms: Long,
     xc: Long, n_prior: Long)
 

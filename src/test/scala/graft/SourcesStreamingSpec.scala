@@ -551,6 +551,28 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrich joins each micro-batch against the dim table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((7L, "BUILDING"), (8L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val input = MemoryStream[Event]
+    val q = EventStream.enrich(input.toDS().toDF(), dim)
+      .select($"event_id", $"user_id", $"c_mktsegment")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ts(0), 7, "click", 1.0),
+        Event(2, ts(1), 8, "view", 1.0),
+        Event(3, ts(2), 99, "view", 1.0)) // no dim row: left join keeps it
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getString(2))).toMap
+      assert(rows == Map(1L -> "BUILDING", 2L -> "MACHINERY", 3L -> null))
+    } finally q.stop()
+  }
+
   test("streaming anomalies match the batch prefix-window formulation") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
