@@ -719,7 +719,53 @@ object CoreOlap {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Scalable quantile bucketing — the 100 TB counterpart of
+    * [[qNtile]]: instead of a total order per group, compute the
+    * three quartile BOUNDARIES with one combinable aggregate, join
+    * the (groups × 1 row) boundary table back, and assign each row's
+    * quartile with three integer comparisons. No window, no sort; two
+    * linear scans and a broadcast-sized join. Boundary comparison is
+    * exact: values are integer cents, boundaries are interpolated
+    * quartiles scaled ×100 to bigint (the q_percentiles idiom), and
+    * `vc·100 > p` is integer-vs-integer on both engines. Ties AT a
+    * boundary all land in the lower bucket, so bucket populations can
+    * differ from NTILE's forced-equal split — that is the documented
+    * semantic trade for scale-correctness. */
+  def qQuartileBucket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.events(s, dir)
+      .select($"event_type", round($"value" * 100).cast("long").as("vc"))
+    val bounds = v.groupBy($"event_type").agg(
+      expr("CAST(percentile(vc, 0.25) * 100 AS BIGINT)").as("p25"),
+      expr("CAST(percentile(vc, 0.5) * 100 AS BIGINT)").as("p50"),
+      expr("CAST(percentile(vc, 0.75) * 100 AS BIGINT)").as("p75"))
+    v.join(broadcast(bounds), "event_type")
+      .withColumn("quartile",
+        lit(1) + ($"vc" * 100 > $"p25").cast("int")
+          + ($"vc" * 100 > $"p50").cast("int")
+          + ($"vc" * 100 > $"p75").cast("int"))
+      .groupBy($"event_type", $"quartile")
+      .agg(count(lit(1)).as("n"), sum($"vc").as("sum_vc"))
+      .orderBy($"event_type", $"quartile")
+  }
+
+  val qQuartileBucketSql: String =
+    """WITH v AS (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS vc FROM events),
+      |b AS (SELECT event_type,
+      |        CAST(QUANTILE_CONT(vc, 0.25) * 100 AS BIGINT) AS p25,
+      |        CAST(QUANTILE_CONT(vc, 0.5) * 100 AS BIGINT) AS p50,
+      |        CAST(QUANTILE_CONT(vc, 0.75) * 100 AS BIGINT) AS p75
+      |      FROM v GROUP BY 1)
+      |SELECT event_type,
+      |  1 + CAST(vc*100 > p25 AS INT) + CAST(vc*100 > p50 AS INT)
+      |    + CAST(vc*100 > p75 AS INT) AS quartile,
+      |  COUNT(*) AS n, CAST(SUM(vc) AS BIGINT) AS sum_vc
+      |FROM v JOIN b USING (event_type)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quartile_bucket" -> (qQuartileBucket _),
     "q_ntile" -> (qNtile _),
     "q_string_agg" -> (qStringAgg _),
     "q_bloom_join" -> (qBloomJoin _),
@@ -746,6 +792,7 @@ object CoreOlap {
     "q_asof_join" -> (qAsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_quartile_bucket" -> qQuartileBucketSql,
     "q_ntile" -> qNtileSql,
     "q_string_agg" -> qStringAggSql,
     "q_bloom_join" -> qBloomJoinSql,

@@ -113,6 +113,21 @@ class CoreOlapSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q_quartile_bucket buckets partition each group exactly") {
+    import org.apache.spark.sql.functions._
+    val df = queries.CoreOlap.qQuartileBucket(spark, sf).cache()
+    assert(df.filter("quartile < 1 OR quartile > 4").count() == 0)
+    // per-type bucket counts sum to the type's event count
+    val byType = df.groupBy("event_type").agg(sum("n").as("tot"))
+    val truth = Tables.events(spark, sf).groupBy("event_type").count()
+    assert(byType.join(truth, "event_type")
+      .filter(col("tot") =!= col("count")).count() == 0)
+    // no window/sort in the plan: boundary agg + broadcast join only
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"quartile bucketing must not plan a window:\n$plan")
+    df.unpersist()
+  }
+
   test("BloomJoin.semi is exactly the semi join, and the probe prefilters") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
