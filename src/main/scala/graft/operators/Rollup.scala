@@ -40,9 +40,14 @@ object Rollup {
         count_distinct(col("user_id")).as("n_users"),
         sum(round(col("value") * 100).cast("long")).as("value_c100"))
 
-  /** Full (re)build of the rollup table at `rollupPath`. */
+  /** Full (re)build of the rollup table at `rollupPath`. STATIC
+    * overwrite on purpose: a full rebuild must also DROP day
+    * partitions that no longer exist in the base (dynamic overwrite
+    * only replaces days present in the new aggregate, which would
+    * leave stale days behind after an upstream purge). */
   def build(s: SparkSession, events: DataFrame, rollupPath: String): Unit =
-    Catalog.replacePartitions(s, compute(events), rollupPath, "day")
+    compute(events).write.mode("overwrite").partitionBy("day")
+      .parquet(rollupPath)
 
   /** Incremental refresh: re-aggregate only the days `delta` touches,
     * reading those days from the day-partitioned base table at

@@ -690,8 +690,8 @@ object CoreOlap {
     """SELECT o_orderpriority, quartile, COUNT(*) AS n,
       |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_price
       |FROM (SELECT o_orderpriority, o_totalprice,
-      |        NTILE(4) OVER (PARTITION BY o_orderpriority
-      |          ORDER BY o_totalprice, o_orderkey) AS quartile
+      |        CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+      |          ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
       |      FROM orders)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 

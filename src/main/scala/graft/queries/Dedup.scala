@@ -495,8 +495,13 @@ object Dedup {
     * aggregates crossed together at the end. */
   def qTriangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // eager localCheckpoint, not persist(): the five stats below each
+    // re-read the pair graph, and the returned plan is materialized by
+    // the CALLER — a persist here would never have a safe unpersist
+    // point and would leak cached blocks across bench iterations
+    // (checkpoint blocks are released when the plan is GC'd)
     val p = ngramJaccardPairs(Tables.documents(s, dir))
-      .select($"d1", $"d2").persist()
+      .select($"d1", $"d2").localCheckpoint(true)
     val deg = p.select($"d1".as("v")).union(p.select($"d2".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
     val nn = deg.agg(count(lit(1)).as("n_nodes"))

@@ -329,7 +329,13 @@ object Text {
       .join(ucnt.select($"w".as("w1"), $"c".as("c_a")), "w1")
       .join(ucnt.select($"w".as("w2"), $"c".as("c_b")), "w2")
       .crossJoin(broadcast(nTok))
-      .withColumn("lift_x1000", expr("(1000 * n_tok * c_ab) DIV (c_a * c_b)"))
+      // decimal(38,0) intermediates: at the 100 TB target n_tok is
+      // ~1e13 and a frequent unigram pair's c_a·c_b can pass 2^63 —
+      // int64 products would wrap silently (Spark) or error (DuckDB).
+      // DIV on decimals is exact integral division on both engines.
+      .withColumn("lift_x1000", expr(
+        "CAST((CAST(1000 AS DECIMAL(38,0)) * n_tok * c_ab) " +
+          "DIV (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"))
       .select($"w1", $"w2", $"c_ab", $"c_a", $"c_b", $"lift_x1000")
       .orderBy($"lift_x1000".desc, $"w1", $"w2")
   }
@@ -345,7 +351,8 @@ object Text {
        |bcnt AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS c_ab FROM big
        |         GROUP BY 1, 2 HAVING COUNT(*) >= $CollocMinCount)
        |SELECT b.w1, b.w2, b.c_ab, u1.c AS c_a, u2.c AS c_b,
-       |  (1000 * n.n_tok * b.c_ab) // (u1.c * u2.c) AS lift_x1000
+       |  CAST((CAST(1000 AS HUGEINT) * n.n_tok * b.c_ab)
+       |    // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS lift_x1000
        |FROM bcnt b
        |JOIN ucnt u1 ON b.w1 = u1.w
        |JOIN ucnt u2 ON b.w2 = u2.w

@@ -129,12 +129,20 @@ private[v2] case class BinPred(off: Int, dt: DataType, op: String,
         case FloatType => bb.getFloat(off).toDouble
         case other => throw new IllegalStateException(other.toString)
       }
+      // Spark SQL's total order (SQLOrderingUtil semantics): -0.0 ==
+      // 0.0, NaN == NaN, and NaN sorts above every other value. Raw
+      // Java comparisons would silently drop NaN rows that Spark's
+      // own post-scan evaluation keeps — and since these filters are
+      // claimed as exactly handled, Spark never re-checks them.
+      // (float→double widening is exact, so comparing in double space
+      // preserves the float ordering.)
+      val cmp = if (x == dv) 0 else java.lang.Double.compare(x, dv)
       op match {
-        case "=" => x == dv
-        case ">" => x > dv
-        case ">=" => x >= dv
-        case "<" => x < dv
-        case "<=" => x <= dv
+        case "=" => cmp == 0
+        case ">" => cmp > 0
+        case ">=" => cmp >= 0
+        case "<" => cmp < 0
+        case "<=" => cmp <= 0
       }
     }
   }

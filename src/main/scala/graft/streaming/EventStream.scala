@@ -124,7 +124,11 @@ object EventStream {
           var st = state.getOption.getOrElse(RunStats(0L, 0L, 0L))
           val out = Seq.newBuilder[AnomalyFlag]
           for (e <- evs) {
-            val xc = math.round(e.value * 100)
+            // Spark ROUND is HALF_UP away from zero; math.round rounds
+            // half toward +infinity, which diverges on negative .5
+            // values and would break the batch-parity guarantee
+            val xc = java.math.BigDecimal.valueOf(e.value * 100)
+              .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
             if (st.n >= minPrior) {
               val dev = (xc * st.n - st.sum).toDouble
               val nVar = st.n.toDouble * st.sumsq - st.sum.toDouble * st.sum

@@ -168,6 +168,15 @@ class CatalogSpec extends AnyFunSuite {
       .select($"day".cast("string"), $"event_type", $"n_events", $"n_users", $"value_c100")
       .collect().map(_.toSeq).toSet
     assert(again == got, "replayed refresh must converge")
+    // a FULL rebuild over a purged base drops days that vanished —
+    // static overwrite, not dynamic (stale partitions must not survive)
+    val purgedDay = spark.read.parquet(rollupPath)
+      .select($"day".cast("string")).distinct().head().getString(0)
+    val purged = events.unionByName(delta)
+      .filter(graft.operators.Rollup.dayOfTs =!= purgedDay)
+    graft.operators.Rollup.build(spark, purged, rollupPath)
+    assert(!new java.io.File(s"$rollupPath/day=$purgedDay").exists(),
+      s"full rebuild left stale partition day=$purgedDay")
   }
 
   test("bucketed tables join without any shuffle exchange") {
@@ -416,6 +425,29 @@ class CatalogSpec extends AnyFunSuite {
     val q3 = read().filter("band = 0").select("flux")
     assert(q3.collect().map(_.getDouble(0)).sorted.toSeq ==
       recs.filter(_._3 == 0).map(_._2).sorted.toSeq)
+  }
+
+  test("binrec V2 source: NaN rows follow Spark's total order under pushdown") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("flux", DoubleType)))
+    val rows = Seq((1L, 10.0), (2L, Double.NaN), (3L, 50.0), (4L, -0.0))
+    val bb = java.nio.ByteBuffer.allocate(rows.length * 16)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    rows.foreach { case (id, f) => bb.putLong(id); bb.putDouble(f) }
+    val dir = Files.createTempDirectory("graft_binv2nan")
+    Files.write(dir.resolve("t.bin"), bb.array())
+    def read() = spark.read.format("graft.sources.v2.BinRecordSource")
+      .schema(schema).option("path", dir.toString).load()
+    def ids(cond: String) =
+      read().filter(cond).select("id").collect().map(_.getLong(0)).toSet
+    // Spark semantics: NaN > every value, NaN = NaN, -0.0 = 0.0 — the
+    // pushed byte-level filter must keep the same rows the unpushed
+    // Filter would (it is claimed exact, so Spark never re-checks)
+    assert(ids("flux > 30.0") == Set(2L, 3L), "NaN must pass flux > 30")
+    assert(ids("flux <= 30.0") == Set(1L, 4L), "NaN must fail flux <= 30")
+    assert(ids("flux = CAST('NaN' AS DOUBLE)") == Set(2L), "NaN = NaN")
+    assert(ids("flux = 0.0") == Set(4L), "-0.0 = 0.0")
   }
 
   test("csv ingest round-trips with the declared schema") {
