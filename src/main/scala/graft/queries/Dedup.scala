@@ -495,26 +495,33 @@ object Dedup {
     * aggregates crossed together at the end. */
   def qTriangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // eager localCheckpoint, not persist(): the five stats below each
-    // re-read the pair graph, and the returned plan is materialized by
-    // the CALLER — a persist here would never have a safe unpersist
-    // point and would leak cached blocks across bench iterations
-    // (checkpoint blocks are released when the plan is GC'd)
+    // The three distributed passes (degree stats, edge count, triangle
+    // join) run EAGERLY over one persisted pair graph, which is then
+    // explicitly unpersisted — returning a lazy plan over a persist
+    // would leak the cached blocks forever (the caller materializes
+    // after this function exits, so there is no later unpersist
+    // point). Each pass reduces to at most a handful of rows, so the
+    // driver-side collect is a few numbers, not data.
     val p = ngramJaccardPairs(Tables.documents(s, dir))
-      .select($"d1", $"d2").localCheckpoint(true)
-    val deg = p.select($"d1".as("v")).union(p.select($"d2".as("v")))
-      .groupBy($"v").agg(count(lit(1)).as("deg"))
-    val nn = deg.agg(count(lit(1)).as("n_nodes"))
-    val m = p.agg(count(lit(1)).as("n_edges"))
-    val wd = deg.agg(sum(expr("(deg * (deg - 1)) DIV 2")).as("n_wedges"))
-    val tr = p.as("e1")
-      .join(p.as("e2"), col("e1.d2") === col("e2.d1"))
-      .select(col("e1.d1").as("a"), col("e2.d2").as("c"))
-      .join(p.select($"d1".as("a"), $"d2".as("c")), Seq("a", "c"))
-      .agg(count(lit(1)).as("n_triangles"))
-    nn.crossJoin(m).crossJoin(wd).crossJoin(tr)
-      .withColumn("clustering_x1000",
-        when($"n_wedges" > 0, expr("(3000 * n_triangles) DIV n_wedges")))
+      .select($"d1", $"d2").persist()
+    try {
+      val deg = p.select($"d1".as("v")).union(p.select($"d2".as("v")))
+        .groupBy($"v").agg(count(lit(1)).as("deg"))
+      val Array(nn, wd) = deg
+        .agg(count(lit(1)).as("n_nodes"),
+          coalesce(sum(expr("(deg * (deg - 1)) DIV 2")), lit(0L)).as("n_wedges"))
+        .head().toSeq.map(_.asInstanceOf[Long]).toArray
+      val m = p.count()
+      val tr = p.as("e1")
+        .join(p.as("e2"), col("e1.d2") === col("e2.d1"))
+        .select(col("e1.d1").as("a"), col("e2.d2").as("c"))
+        .join(p.select($"d1".as("a"), $"d2".as("c")), Seq("a", "c"))
+        .count()
+      Seq((nn, m, wd, tr))
+        .toDF("n_nodes", "n_edges", "n_wedges", "n_triangles")
+        .withColumn("clustering_x1000",
+          when($"n_wedges" > 0, expr("(3000 * n_triangles) DIV n_wedges")))
+    } finally p.unpersist()
   }
 
   val qTrianglesSql: String =
