@@ -551,6 +551,93 @@ object Dedup {
        |FROM nn, m, wd, tr""".stripMargin
 
   // ---------------------------------------------------------------
+  /** PageRank iterations run on this fixed-point scale: 1.0 ≡ 10⁶.
+    * All arithmetic is integer (`DIV`), so the result is bit-exact
+    * and independent of aggregation order — float PageRank would
+    * drift under parallel summation and could never hash-match an
+    * oracle. */
+  val PrScale = 1000000L
+  /** Fixed iteration count (unrolled verbatim in the DuckDB oracle). */
+  val PrIters = 4
+
+  /** Fixed-iteration PageRank (damping 0.85) over an undirected pair
+    * graph, in pure integer arithmetic: each node starts at
+    * [[PrScale]]; per iteration every node sends `pr DIV deg` along
+    * each edge and collects `150000 + (850·Σcontrib) DIV 1000`.
+    * The undirected graph has no dangling nodes — every sender is
+    * also a receiver — so the rank frame keeps the full node set
+    * without a dangling-mass correction. On a k-regular graph the
+    * rank provably stays at [[PrScale]] (spec-checked).
+    *
+    * Scale shape: iterates ONLY over edge-touching nodes (the dup
+    * sliver, not the corpus); each of the fixed K iterations is one
+    * equi-join on `src` plus one aggregate on `dst` over that sliver.
+    * Node degree is bounded upstream (the gram df-cap means no doc
+    * pairs with more than a bounded neighbor set), so there is no hub
+    * skew; frames are eagerly checkpointed per iteration, keeping
+    * lineage flat exactly as in [[connectedComponents]]. */
+  def pageRank(pairs: DataFrame, iters: Int = PrIters): DataFrame = {
+    import pairs.sparkSession.implicits._
+    val edges = pairs.select($"d1".as("src"), $"d2".as("dst"))
+      .union(pairs.select($"d2".as("src"), $"d1".as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy($"src".as("node"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    var ranks = deg.select($"node", lit(PrScale).as("pr"))
+    for (_ <- 1 to iters) {
+      val contribs = ranks.join(deg, "node")
+        .select($"node".as("src"), expr("pr DIV deg").as("contrib"))
+      ranks = edges.join(contribs, "src")
+        .groupBy($"dst".as("node"))
+        .agg(expr("150000 + (850 * sum(contrib)) DIV 1000").as("pr"))
+        .localCheckpoint(true)
+    }
+    ranks.join(deg, "node")
+      .select($"node".as("doc_id"), $"deg", $"pr".as("pr_rank"))
+      .orderBy($"doc_id")
+  }
+
+  /** Centrality of the near-dup pair graph: which documents sit at the
+    * middle of duplication families? A doc that near-matches many
+    * already-well-matched docs is boilerplate radiating through the
+    * corpus — dedup pipelines rank by this to pick audit samples.
+    * Singletons are excluded (their rank is the constant base). */
+  def qPageRank(s: SparkSession, dir: String): DataFrame =
+    pageRank(ngramJaccardPairs(Tables.documents(s, dir)).select("d1", "d2"))
+
+  /** Same pair CTEs as q_ngram_jaccard, then the K iterations unrolled
+    * as plain CTEs r1..rK — integer `//` matches Spark's `DIV` exactly
+    * on the all-positive ranks. */
+  val qPageRankSql: String = {
+    val iterCtes = (1 to PrIters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |  CAST(150000 + (850 * SUM(r.pr // d.deg)) // 1000 AS BIGINT) AS pr
+         |  FROM edges e JOIN r${i - 1} r ON r.node = e.src
+         |  JOIN deg d ON d.node = e.src
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS ($gramRowsSql),
+       |n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+       |gf AS (SELECT doc_id, gram FROM (
+       |        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM g)
+       |       WHERE df <= $GramDfCap),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+       |      FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |jp AS (SELECT d1, d2
+       |       FROM p JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
+       |       WHERE inter * 2 >= na.ng + nb.ng - inter),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM jp
+       |          UNION ALL SELECT d2, d1 FROM jp),
+       |deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+       |r0 AS (SELECT node, CAST($PrScale AS BIGINT) AS pr FROM deg),
+       |$iterCtes
+       |SELECT r.node AS doc_id, deg.deg, r.pr AS pr_rank
+       |FROM r$PrIters r JOIN deg USING (node)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   /** End-to-end cleaning pipeline — the composition every training-
     * data ingest runs before tokenization: quality gate (same rule as
     * q_text_quality's keep flag) → exact dedup among kept docs →
@@ -603,11 +690,13 @@ object Dedup {
     "q_edit_dist_pairs" -> (qEditDistPairs _),
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_triangles" -> (qTriangles _),
+    "q_pagerank" -> (qPageRank _),
     "q_pipeline_clean" -> (qPipelineClean _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_triangles" -> qTrianglesSql,
+    "q_pagerank" -> qPageRankSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,

@@ -106,6 +106,40 @@ class BehaviorSpec extends AnyFunSuite {
       assert(r.getLong(4) == 3000L * tris / wedges, "clustering_x1000")
   }
 
+  test("pageRank is exact: constant on regular graphs, hand-computed on a path") {
+    import spark.implicits._
+    // triangle = 2-regular: every iteration sends pr/2 along both
+    // edges, receives 2·(pr/2) back — rank stays at PrScale forever
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("d1", "d2")
+    val triRanks = queries.Dedup.pageRank(tri, iters = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(triRanks.toSet ==
+      Set((1L, 2L, 1000000L), (2L, 2L, 1000000L), (3L, 2L, 1000000L)))
+    // path 1-2-3 after ONE iteration (integer arithmetic, by hand):
+    // ends get 150000 + 850*(1000000 DIV 2)/1000 = 575000;
+    // middle gets 150000 + 850*(1000000+1000000)/1000 = 1850000
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("d1", "d2")
+    val r1 = queries.Dedup.pageRank(path, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(r1 == Map(1L -> 575000L, 2L -> 1850000L, 3L -> 575000L))
+  }
+
+  test("q_pagerank covers exactly the edge-touching docs; mass never inflates") {
+    val pr = queries.Dedup.qPageRank(spark, sf).cache()
+    val active = queries.Dedup.qNgramJaccard(spark, sf)
+      .selectExpr("d1 AS doc_id").union(
+        queries.Dedup.qNgramJaccard(spark, sf).selectExpr("d2 AS doc_id"))
+      .distinct().count()
+    assert(pr.count() == active, "one rank row per edge-touching doc")
+    // integer DIV only sheds mass: total rank <= n·PrScale, and every
+    // node keeps at least the base rank
+    val n = pr.count()
+    val total = pr.agg(sum("pr_rank")).collect()(0).getLong(0)
+    assert(total <= n * queries.Dedup.PrScale, "rank mass inflated")
+    assert(pr.filter(s"pr_rank < 150000").count() == 0, "below base rank")
+    pr.unpersist()
+  }
+
   test("q_tfidf emits at most k ranked terms per doc, scores non-increasing") {
     val df = queries.Text.qTfidf(spark, sf).cache()
     val k = queries.Text.TfidfTopK
