@@ -28,7 +28,10 @@ object Bench {
     "q_ann_ivf", "q_range_nbr", "q_pipeline_clean",
     "q_tfidf", "q_dedup_clusters", "q_funnel", "q_shared_scan",
     "q_bloom_join", "q_window_range", "q_triangles", "q_scd2",
-    "q_gap_fill")
+    "q_gap_fill",
+    // round-7 additions: iterative graph (regresses silently if the
+    // active-set optimization breaks) + the two sort-free quantile ops
+    "q_pagerank", "q_mode", "q_quartile_bucket")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -515,6 +515,34 @@ object TimeSeries {
       |ORDER BY user_id, version""".stripMargin
 
   // ---------------------------------------------------------------
+  /** The id probed by the point-lookup query — exists at every SF
+    * (user_ids are dense from 0). */
+  val LookupId = 7L
+
+  /** Director-index point lookup — Pserv's most-used query shape:
+    * one object's full light curve, time-ordered
+    * (`SELECT ... WHERE objectId = ? ORDER BY mjd`). Over the flat
+    * table this is a pushed-filter scan (correctness shape); the
+    * scan-AVOIDING production path is [[graft.sources.ObjectIndex]]:
+    * the same projection over a bucket-partitioned sorted layout
+    * where the bucket equality is a partition filter — the spec
+    * asserts parity and single-bucket pruning. */
+  def qObjectLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter($"user_id" === LookupId)
+      .select($"user_id", $"event_id", expr("ts DIV 1000").as("tus"),
+        round($"value" * 100).cast("long").as("xc"), $"event_type")
+      .orderBy($"tus", $"event_id")
+  }
+
+  val qObjectLookupSql: String =
+    s"""SELECT user_id, event_id, epoch_us(ts) AS tus,
+       |  CAST(ROUND(value*100) AS BIGINT) AS xc, event_type
+       |FROM events WHERE user_id = $LookupId
+       |ORDER BY tus, event_id""".stripMargin
+
+  // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lightcurve_stats" -> (qLightcurveStats _),
     "q_lightcurve_delta" -> (qLightcurveDelta _),
@@ -526,7 +554,8 @@ object TimeSeries {
     "q_gap_fill" -> (qGapFill _),
     "q_scd2" -> (qScd2 _),
     "q_window_range" -> (qWindowRange _),
-    "q_first_last" -> (qFirstLast _))
+    "q_first_last" -> (qFirstLast _),
+    "q_object_lookup" -> (qObjectLookup _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -539,5 +568,6 @@ object TimeSeries {
     "q_gap_fill" -> qGapFillSql,
     "q_scd2" -> qScd2Sql,
     "q_window_range" -> qWindowRangeSql,
-    "q_first_last" -> qFirstLastSql)
+    "q_first_last" -> qFirstLastSql,
+    "q_object_lookup" -> qObjectLookupSql)
 }

@@ -126,4 +126,41 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"frame query must not plan a join:\n$plan")
     df.unpersist()
   }
+
+  test("object-index lookup prunes to one bucket and matches the flat point query") {
+    val out = java.nio.file.Files.createTempDirectory("graft_objidx").toString
+    val nb = 16 // 15 distinct users at sf0.001 -> most buckets non-empty
+    sources.ObjectIndex.build(spark, sf, out, nb)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("obkt="))
+    assert(dirs.length > 8, s"expected many bucket dirs, got ${dirs.length}")
+    // one file per bucket: the repartition(n, obkt) write discipline
+    assert(dirs.forall(_.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "a bucket dir has more than one file - small-file discipline broken")
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val id = queries.TimeSeries.LookupId
+      val idx = sources.ObjectIndex.lookup(spark, out, id, nb)
+      val got = idx.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val want = queries.TimeSeries.qObjectLookup(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.nonEmpty && got.toSeq == want.toSeq,
+        s"indexed lookup differs from flat point query (${got.length} vs ${want.length})")
+
+      // the bucket equality must be a PARTITION filter: exactly 1 of
+      // nb directories listed/read; user_id must be a pushed filter
+      val scans = idx.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty,
+        "no PartitionFilters on the object-index scan")
+      assert(scans.head.metrics("numFiles").value == 1L,
+        s"lookup read ${scans.head.metrics("numFiles").value} files, wanted 1")
+      val planStr = scans.head.toString
+      assert(planStr.contains("PushedFilters") && planStr.contains("user_id"),
+        s"user_id filter not pushed to parquet:\n$planStr")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
