@@ -59,6 +59,55 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** One micro-batch of the production ingest loop (factored out so
+    * the spec can replay it directly). Two steps:
+    *
+    *  1. the batch lands in the day-partitioned base table under
+    *     `day=<d>/ibatch=<batchId>` with DYNAMIC partition overwrite:
+    *     `foreachBatch` is at-least-once, so a replayed batch must
+    *     not duplicate rows — keying the subpartition by batchId
+    *     makes the replay overwrite ITS OWN files and nothing else,
+    *     turning at-least-once delivery into exactly-once contents;
+    *  2. [[graft.operators.Rollup.refresh]] re-aggregates exactly the
+    *     DAYS the batch touched from the base (partition-pruned scan)
+    *     and swaps those rollup partitions — idempotent by
+    *     construction, so a crash between 1 and 2 is healed by the
+    *     replay.
+    *
+    * 100 TB shape: per batch, write cost = the batch, refresh cost =
+    * the touched days — never the table. The `ibatch` subpartitions
+    * are exactly the small files [[graft.sources.Catalog
+    * .compactPartitions]] periodically folds up. */
+  def applyIngestBatch(batch: DataFrame, batchId: Long, basePath: String,
+    rollupPath: String): Unit = if (!batch.isEmpty) {
+    val b = batch.persist()
+    try {
+      b.withColumn("day", graft.operators.Rollup.dayOfTs)
+        .withColumn("ibatch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day", "ibatch")
+        .parquet(basePath)
+      graft.operators.Rollup.refresh(b.sparkSession, basePath, b, rollupPath)
+    } finally b.unpersist()
+  }
+
+  /** The composed production ingest loop: streaming events land in
+    * the day-partitioned base table AND the daily rollup stays fresh,
+    * one [[applyIngestBatch]] per micro-batch. Callers own the
+    * returned query's lifecycle; restart on the same checkpoint
+    * resumes exactly-once. */
+  def ingestWithRollup(events: DataFrame, basePath: String,
+    rollupPath: String, checkpointPath: String)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyIngestBatch(batch.toDF(), id, basePath, rollupPath)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .outputMode(OutputMode.Append())
+      .start()
+
   /** Stream-stream interval join: each click pairs with the same
     * user's views from the preceding hour. Both sides are watermarked
     * and the join condition bounds event-time distance, so Spark can
