@@ -7,9 +7,10 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -48,9 +49,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class BinRecordSource extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 
+  /** A binary dump carries no self-describing footer; the schema comes
+    * from `.schema(...)` (read path) or the `recordSchema` DDL option
+    * (required on the WRITE path, where `DataFrameWriter` has no
+    * schema method and Spark falls back to `inferSchema`). */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    throw new IllegalArgumentException(
-      "binrec carries no self-describing schema: declare one with .schema(...)")
+    Option(options.get("recordSchema")).map(StructType.fromDDL).getOrElse(
+      throw new IllegalArgumentException(
+        "binrec carries no self-describing schema: declare one with " +
+          ".schema(...) or .option(\"recordSchema\", <ddl>)"))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
     properties: util.Map[String, String]): Table = {
@@ -90,13 +97,25 @@ private[sources] object BinRecord {
 }
 
 private[v2] case class BinRecordTable(tableSchema: StructType, path: String,
-  maxSplitBytes: Long) extends Table with SupportsRead {
+  maxSplitBytes: Long) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"binrec($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BinRecordScanBuilder(tableSchema, path, maxSplitBytes)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // the byte layout IS the schema: a mis-ordered or retyped query
+    // schema would scramble every record, so demand an exact match
+    val q = info.schema()
+    require(q.fields.map(f => (f.name, f.dataType)).toSeq ==
+      tableSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"write schema ${q.toDDL} does not match declared record layout " +
+        s"${tableSchema.toDDL}")
+    BinRecord.recordLength(q) // rejects unsupported field types loudly
+    new BinRecordWriteBuilder(q, path, info.queryId())
+  }
 }
 
 /** One pushed comparison, compiled to byte-offset form on the driver:
@@ -339,4 +358,133 @@ private[v2] class BinRecordReader(full: StructType, required: StructType,
 
   override def get(): InternalRow = current
   override def close(): Unit = in.close()
+}
+
+// ---------------------------------------------------------------------
+// Write path — the round-trip half of the FITS-bintable analog.
+//
+// Commit protocol (the same two-phase discipline as Spark's file
+// sources): each task streams its records to
+// `<path>/_staging_<queryId>/part-<partition>-<task>.bin` — invisible
+// to concurrent reads by the underscore rule — and the JOB commit
+// renames the staged files into place (plus deletes pre-existing data
+// first under truncate/overwrite). A failed task or job only ever
+// leaves staging garbage behind, never a torn table; a re-attempted
+// task writes a new file keyed by its task id.
+
+private[v2] class BinRecordWriteBuilder(schema: StructType, path: String,
+  queryId: String) extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = BinRecordWrite(schema, path, queryId, doTruncate)
+}
+
+private[v2] case class BinWriteMessage(staged: String) extends WriterCommitMessage
+
+private[v2] case class BinRecordWrite(schema: StructType, path: String,
+  queryId: String, truncate: Boolean) extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+
+  private def hconfEntries: Array[(String, String)] = {
+    val hconf = SparkSession.active.sparkContext.hadoopConfiguration
+    val it = hconf.iterator()
+    val entries = Array.newBuilder[(String, String)]
+    while (it.hasNext) { val e = it.next(); entries += (e.getKey -> e.getValue) }
+    entries.result()
+  }
+
+  private def stagingDir = new Path(path, s"_staging_$queryId")
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+    : DataWriterFactory = {
+    val hconf = SparkSession.active.sparkContext.hadoopConfiguration
+    stagingDir.getFileSystem(hconf).mkdirs(stagingDir)
+    BinRecordWriterFactory(schema, stagingDir.toString, hconfEntries)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val hconf = SparkSession.active.sparkContext.hadoopConfiguration
+    val dest = new Path(path)
+    val fs = dest.getFileSystem(hconf)
+    val recLen = BinRecord.recordLength(schema)
+    val staged = messages.collect { case BinWriteMessage(f) => new Path(f) }
+    // a torn staged file must fail the JOB, before any rename
+    staged.foreach { f =>
+      val len = fs.getFileStatus(f).getLen
+      require(len % recLen == 0,
+        s"staged file $f length $len is not a multiple of record length $recLen")
+    }
+    if (truncate) {
+      fs.listStatus(dest).filter(_.isFile)
+        .filter(st => BinRecord.visible(st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, false))
+    }
+    staged.foreach { f =>
+      require(fs.rename(f, new Path(dest, f.getName)),
+        s"could not commit staged file $f into $dest")
+    }
+    fs.delete(stagingDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val hconf = SparkSession.active.sparkContext.hadoopConfiguration
+    stagingDir.getFileSystem(hconf).delete(stagingDir, true)
+  }
+}
+
+private[v2] case class BinRecordWriterFactory(schema: StructType,
+  stagingDir: String, confEntries: Array[(String, String)])
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+    : DataWriter[InternalRow] = {
+    val conf = new Configuration(false)
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    new BinRecordDataWriter(schema, conf,
+      new Path(stagingDir, f"part-$partitionId%05d-$taskId.bin"))
+  }
+}
+
+/** Encodes rows big-endian at the declared fixed width. Fixed-width
+  * records have no null representation, so a null field fails the
+  * task loudly instead of writing garbage bytes. */
+private[v2] class BinRecordDataWriter(schema: StructType,
+  conf: Configuration, file: Path) extends DataWriter[InternalRow] {
+  private val recLen = BinRecord.recordLength(schema)
+  private val types = schema.fields.map(_.dataType)
+  private val fs = file.getFileSystem(conf)
+  private val out = fs.create(file, true)
+  private val buf = java.nio.ByteBuffer.allocate(recLen)
+    .order(java.nio.ByteOrder.BIG_ENDIAN)
+
+  override def write(row: InternalRow): Unit = {
+    buf.clear()
+    var i = 0
+    while (i < types.length) {
+      if (row.isNullAt(i)) throw new IllegalArgumentException(
+        s"null in field '${schema.fields(i).name}': fixed-width binary " +
+          "records cannot encode null")
+      types(i) match {
+        case LongType => buf.putLong(row.getLong(i))
+        case DoubleType => buf.putDouble(row.getDouble(i))
+        case IntegerType => buf.putInt(row.getInt(i))
+        case FloatType => buf.putFloat(row.getFloat(i))
+        case ShortType => buf.putShort(row.getShort(i))
+        case other => throw new IllegalStateException(other.toString)
+      }
+      i += 1
+    }
+    out.write(buf.array(), 0, recLen)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    BinWriteMessage(file.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fs.delete(file, false)
+  }
+
+  override def close(): Unit = ()
 }

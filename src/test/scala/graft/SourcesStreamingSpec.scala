@@ -450,6 +450,74 @@ class CatalogSpec extends AnyFunSuite {
     assert(ids("flux = 0.0") == Set(4L), "-0.0 = 0.0")
   }
 
+  test("binrec V2 write path: byte-exact round-trip, append, overwrite truncate") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("flux", DoubleType),
+      StructField("band", IntegerType)))
+    val recs = (0 until 100).map(i => (i.toLong, i * 1.5, i % 6))
+    val out = Files.createTempDirectory("graft_binv2w").resolve("tbl").toString
+    def write(rows: Seq[(Long, Double, Int)], mode: String) =
+      rows.toDF("id", "flux", "band")
+        .repartition(1).sortWithinPartitions("id")
+        .write.format("graft.sources.v2.BinRecordSource")
+        .option("path", out).option("recordSchema", schema.toDDL)
+        .mode(mode).save()
+    def read() = spark.read.format("graft.sources.v2.BinRecordSource")
+      .schema(schema).option("path", out).load()
+
+    write(recs, "append")
+    // byte-exact: one sorted partition -> one file, bytes == reference buffer
+    val files = new java.io.File(out).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(files.length == 1, s"expected 1 visible data file, got ${files.toSeq}")
+    val expect = java.nio.ByteBuffer.allocate(recs.length * 20)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    recs.foreach { case (id, flux, band) =>
+      expect.putLong(id); expect.putDouble(flux); expect.putInt(band)
+    }
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(files.head.toPath), expect.array()),
+      "written bytes differ from the reference big-endian layout")
+    // no staging leftovers
+    assert(!new java.io.File(out).listFiles().exists(_.getName.startsWith("_staging")),
+      "staging dir survived the commit")
+
+    // BOTH readers agree on the written table (cross-reader contract)
+    val viaV2 = read().collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).sortBy(_._1)
+    val viaRdd = Catalog.readBinaryRecords(spark, out, schema).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).sortBy(_._1)
+    assert(viaV2.toSeq == recs && viaRdd.toSeq == recs)
+
+    // append adds; overwrite truncates back down
+    write(recs.map { case (i, f, b) => (i + 1000, f, b) }, "append")
+    assert(read().count() == 200, "append lost or duplicated rows")
+    write(recs.take(10), "overwrite")
+    assert(read().collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 10L), "overwrite did not truncate prior data")
+
+    // fixed-width records cannot encode null: the write must fail loudly
+    val withNull = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(1L, null, 3),
+        org.apache.spark.sql.Row(2L, 2.0, 4)),
+      schema)
+    val e = intercept[Exception] {
+      withNull.write.format("graft.sources.v2.BinRecordSource")
+        .option("path", out).option("recordSchema", schema.toDDL)
+        .mode("append").save()
+    }
+    def rootChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(rootChain(e).exists(_.contains("cannot encode null")),
+      s"unexpected failure: $e")
+    // the failed job must not have changed the committed table
+    assert(read().count() == 10, "aborted write leaked rows")
+  }
+
   test("csv ingest round-trips with the declared schema") {
     val out = Files.createTempDirectory("graft_csv").toString
     val nation = Catalog.readParquet(spark, "nation", s"$sf/nation.parquet")
