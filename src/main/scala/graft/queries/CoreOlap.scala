@@ -666,20 +666,65 @@ object CoreOlap {
     * — NTILE over a non-unique order is engine-dependent row
     * placement, which would break oracle parity.
     *
-    * Scale shape: exact NTILE requires a total order per priority —
-    * a 5-partition window sort whose per-task frame grows linearly
-    * with the table. That is inherent to the EXACT semantics, not to
-    * this plan; the 100 TB route is quartile BOUNDARIES from
-    * approx_percentile (one combinable aggregate, see
-    * q_sketch_quantile) and a join-free bucket assignment against
-    * the broadcast boundaries. This query keeps the exact form the
-    * reference's users actually run at report scale. */
+    * Scale shape — EXACT ntile without a total order per group
+    * (the histogram-split plan). A naive `ntile(4) OVER (PARTITION BY
+    * priority ORDER BY price)` sorts each priority class in ONE task;
+    * here the per-task sort is bounded by a histogram cell instead:
+    *
+    *  1. ~[[NtileSplits]] approximate split points per priority (one
+    *     combinable `approx_percentile` — accuracy only affects load
+    *     balance, never the answer);
+    *  2. each row's CELL = number of split points below it (broadcast
+    *     join + one codegen'd array fold; monotone in the sort key,
+    *     and tie values always share a cell);
+    *  3. `row_number` within (priority, cell) — parallelism is
+    *     groups × cells and each sort task holds ~1/cells of a group;
+    *  4. cell row-counts (tiny: groups × cells) → cumulative offsets,
+    *     broadcast back; global rank = offset + local rank;
+    *  5. NTILE's exact bucket-of-rank formula in integer arithmetic
+    *     (first n%4 buckets get one extra row), matching the window
+    *     function bit-for-bit.
+    *
+    * At 100 TB, raise NtileSplits with the data; every stage stays
+    * combinable, broadcast-sized, or cell-bounded. */
+  val NtileSplits = 32
+
   def qNtile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"o_orderpriority")
-      .orderBy($"o_totalprice", $"o_orderkey")
-    Tables.orders(s, dir)
-      .withColumn("quartile", ntile(4).over(w))
+    val o = Tables.orders(s, dir).select($"o_orderpriority",
+      $"o_orderkey", $"o_totalprice",
+      round($"o_totalprice" * 100).cast("long").as("pc"))
+    val probes = (1 until NtileSplits).map(_.toDouble / NtileSplits)
+    val sp = o.groupBy($"o_orderpriority").agg(
+      expr(s"approx_percentile(pc, array(${probes.mkString(",")}))").as("sps"))
+    val withCell = o.join(broadcast(sp), "o_orderpriority")
+      .withColumn("cell",
+        expr("aggregate(sps, 0, (acc, b) -> acc + IF(pc > b, 1, 0))"))
+      .drop("sps")
+    val ranked = withCell.withColumn("lr", row_number().over(
+      Window.partitionBy($"o_orderpriority", $"cell")
+        .orderBy($"o_totalprice", $"o_orderkey")))
+    val wOff = Window.partitionBy($"o_orderpriority").orderBy($"cell")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withCell.groupBy($"o_orderpriority", $"cell")
+      .agg(count(lit(1)).as("cn"))
+      .withColumn("off", coalesce(sum($"cn").over(wOff), lit(0L)))
+      .withColumn("n_grp",
+        sum($"cn").over(Window.partitionBy($"o_orderpriority")))
+      .drop("cn")
+    // NTILE(4) bucket of global rank r in a group of n_grp rows: the
+    // first n%4 buckets take DIV(n,4)+1 rows, the rest DIV(n,4). The
+    // ELSE branch never runs when DIV(n,4)=0 (then r <= n = the WHEN
+    // bound), so the DIV-by-zero is unreachable.
+    ranked.join(broadcast(offs), Seq("o_orderpriority", "cell"))
+      .withColumn("quartile", expr(
+        """CAST(CASE
+          |  WHEN off + lr <= (n_grp % 4) * (n_grp DIV 4 + 1)
+          |  THEN (off + lr - 1) DIV (n_grp DIV 4 + 1) + 1
+          |  ELSE n_grp % 4
+          |    + (off + lr - (n_grp % 4) * (n_grp DIV 4 + 1) - 1) DIV (n_grp DIV 4)
+          |    + 1
+          |END AS INT)""".stripMargin))
       .groupBy($"o_orderpriority", $"quartile")
       .agg(count(lit(1)).as("n"),
         sumScaled($"o_totalprice", 100L).as("sum_price"))

@@ -163,4 +163,39 @@ class CoreOlapSpec extends AnyFunSuite {
       .orderBy($"l_returnflag").collect().toSeq
     assert(got == want)
   }
+
+  test("q_ntile histogram-split plan equals the plain ntile window, sorts per cell") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val got = queries.CoreOlap.qNtile(spark, sf).collect().toSeq
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    val want = Tables.orders(spark, sf)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy($"o_orderpriority", $"quartile")
+      .agg(count(lit(1)).as("n"),
+        (sum(round($"o_totalprice" * 100).cast("long")) / 100.0).as("sum_price"))
+      .orderBy($"o_orderpriority", $"quartile")
+      .collect().toSeq
+    assert(got == want, s"histogram-split ntile diverged from the window ntile")
+    // the only full-width window sort must be per (priority, cell) —
+    // a sort on priority alone is the single-task-per-group plan this
+    // formulation exists to avoid. AQE leaf stages hide SortExec from
+    // plan.collect, so assert on a non-adaptive plan.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = queries.CoreOlap.qNtile(spark, sf)
+      val rowNumSorts = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.SortExec
+          if s.sortOrder.exists(_.child.toString.contains("o_totalprice")) =>
+          (s.sortOrder.map(_.child.toString),
+            s.child.outputPartitioning.toString)
+      }
+      assert(rowNumSorts.nonEmpty, "no row_number sort found in the plan")
+      assert(rowNumSorts.forall(_._2.contains("cell")),
+        s"row_number sort is not partitioned by cell: $rowNumSorts")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
