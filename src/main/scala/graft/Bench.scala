@@ -30,8 +30,9 @@ object Bench {
     "q_bloom_join", "q_window_range", "q_triangles", "q_scd2",
     "q_gap_fill",
     // round-7 additions: iterative graph (regresses silently if the
-    // active-set optimization breaks) + the two sort-free quantile ops
-    "q_pagerank", "q_mode", "q_quartile_bucket")
+    // active-set optimization breaks), the two sort-free quantile ops,
+    // the histogram-split exact ntile, and the cell-bounded skyline
+    "q_pagerank", "q_mode", "q_quartile_bucket", "q_ntile", "q_skyline")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -123,11 +123,55 @@ object Behavior {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Audience overlap: for every pair of event types, how many users
+    * do both, with exact integer parts-per-million Jaccard. The
+    * distinct (type, user) projection collapses event volume to
+    * audiences BEFORE the self-join, and the join key is user_id
+    * (data-scale cardinality, shuffle-balanced); per-type totals ride
+    * in as a broadcast. The `t1 < t2` canonicalization halves the
+    * pair space. Jaccard in integer DIV space so both engines agree
+    * bit-for-bit. */
+  def qAudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val aud = ev(s, dir).select($"event_type", $"user_id").distinct()
+    val totals = aud.groupBy($"event_type").agg(count(lit(1)).as("sz"))
+    val shared = aud.select($"event_type".as("t1"), $"user_id")
+      .join(aud.select($"event_type".as("t2"), $"user_id"), Seq("user_id"))
+      .filter($"t1" < $"t2")
+      .groupBy($"t1", $"t2")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(totals.select($"event_type".as("t1"), $"sz".as("n_a"))), Seq("t1"))
+      .join(broadcast(totals.select($"event_type".as("t2"), $"sz".as("n_b"))), Seq("t2"))
+      .withColumn("jacc_ppm",
+        expr("n_shared * 1000000 DIV (n_a + n_b - n_shared)"))
+      .select($"t1", $"t2", $"n_shared", $"n_a", $"n_b", $"jacc_ppm")
+      .orderBy($"t1", $"t2")
+  }
+
+  val qAudienceOverlapSql: String =
+    """WITH aud AS (SELECT DISTINCT event_type, user_id FROM events
+      |             WHERE user_id IS NOT NULL),
+      |tot AS (SELECT event_type, COUNT(*) AS sz FROM aud GROUP BY 1),
+      |sh AS (SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_shared
+      |       FROM aud a JOIN aud b ON a.user_id = b.user_id
+      |         AND a.event_type < b.event_type
+      |       GROUP BY 1, 2)
+      |SELECT t1, t2, n_shared,
+      |  ta.sz AS n_a, tb.sz AS n_b,
+      |  n_shared * 1000000 // (ta.sz + tb.sz - n_shared) AS jacc_ppm
+      |FROM sh JOIN tot ta ON sh.t1 = ta.event_type
+      |        JOIN tot tb ON sh.t2 = tb.event_type
+      |ORDER BY t1, t2""".stripMargin
+
+  // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (qFunnel _),
-    "q_retention" -> (qRetention _))
+    "q_retention" -> (qRetention _),
+    "q_audience_overlap" -> (qAudienceOverlap _))
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
-    "q_retention" -> qRetentionSql)
+    "q_retention" -> qRetentionSql,
+    "q_audience_overlap" -> qAudienceOverlapSql)
 }

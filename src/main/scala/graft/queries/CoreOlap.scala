@@ -809,7 +809,127 @@ object CoreOlap {
       |FROM v JOIN b USING (event_type)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Fixed-width price histogram per priority class (the profiling /
+    * distribution-report shape). Bin id is integer cents DIV a
+    * constant width, so binning is one codegen'd expression and the
+    * whole query is a single map-side-combinable aggregate over
+    * ~groups × bins keys — no sort, no window, scale-free. */
+  def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderpriority",
+        round($"o_totalprice" * 100).cast("long").as("pc"))
+      .groupBy($"o_orderpriority", expr("pc DIV 2500000").as("bin"))
+      .agg(count(lit(1)).as("n"), sum($"pc").as("sum_pc"))
+      .orderBy($"o_orderpriority", $"bin")
+  }
+
+  val qHistogramSql: String =
+    """SELECT o_orderpriority, pc // 2500000 AS bin, COUNT(*) AS n,
+      |  CAST(SUM(pc) AS BIGINT) AS sum_pc
+      |FROM (SELECT o_orderpriority,
+      |        CAST(ROUND(o_totalprice*100) AS BIGINT) AS pc FROM orders)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** UNPIVOT / melt: the wide per-flag report re-shaped long — one
+    * (key, measure, value) row per measure, the form every
+    * ML-feature or export pipeline wants. `stack` is a codegen'd
+    * row-expansion (×3 here), not a join or shuffle; the only
+    * exchange is the report aggregate's own. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_quantity".cast("long")).as("sum_qty"),
+        count(lit(1)).as("n_items"),
+        sum(round($"l_discount" * 100).cast("long")).as("sum_disc_c"))
+      .select($"l_returnflag", expr(
+        """stack(3, 'sum_qty', sum_qty, 'n_items', n_items,
+          |         'sum_disc_c', sum_disc_c) AS (measure, val)""".stripMargin))
+      .orderBy($"l_returnflag", $"measure")
+  }
+
+  val qUnpivotSql: String =
+    """WITH w AS (SELECT l_returnflag,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |    COUNT(*) AS n_items,
+      |    CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT) AS sum_disc_c
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, measure, val FROM (
+      |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM w
+      |  UNION ALL
+      |  SELECT l_returnflag, 'n_items', n_items FROM w
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_disc_c', sum_disc_c FROM w)
+      |ORDER BY l_returnflag, measure""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Skyline (Pareto frontier): orders not dominated on
+    * (price low, date early) — no other order is ≤ on both axes and
+    * < on at least one. The naive formulation is the O(n²)
+    * NOT EXISTS self-join the oracle runs; this plan is the
+    * distributed sort-based skyline, reusing [[qNtile]]'s
+    * histogram-split machinery:
+    *
+    *  1. rows land in price-range CELLS via broadcast approximate
+    *     split points (accuracy → balance only);
+    *  2. within a cell, a RANGE-frame running `min(od)` over strictly
+    *     cheaper rows plus a same-price group min decide local
+    *     dominance — sorts are cell-bounded;
+    *  3. across cells, each cell's min date cumulated over PRECEDING
+    *     cells (a ≤cells-row control-plane window) decides dominance
+    *     by any cheaper cell.
+    *
+    * Ties surviving on both axes are kept, matching NOT EXISTS
+    * semantics exactly. */
+  def qSkyline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).select($"o_orderkey",
+      round($"o_totalprice" * 100).cast("long").as("pc"),
+      // o_orderdate surfaces as TIMESTAMP_NTZ; the session runs UTC so
+      // the cast to TIMESTAMP is lossless and unix_micros applies
+      unix_micros($"o_orderdate".cast("timestamp")).as("od"))
+    val probes = (1 until NtileSplits).map(_.toDouble / NtileSplits)
+    val sp = o.agg(
+      expr(s"approx_percentile(pc, array(${probes.mkString(",")}))").as("sps"))
+    val withCell = o.crossJoin(broadcast(sp))
+      .withColumn("cell",
+        expr("aggregate(sps, 0, (acc, b) -> acc + IF(pc > b, 1, 0))"))
+      .drop("sps")
+    val wCheaper = Window.partitionBy($"cell").orderBy($"pc")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSamePc = Window.partitionBy($"cell", $"pc")
+    val wPrevCells = Window.orderBy($"cell")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevMin = withCell.groupBy($"cell").agg(min($"od").as("mo"))
+      .withColumn("prev_mo", min($"mo").over(wPrevCells))
+      .select($"cell", $"prev_mo")
+    withCell.join(broadcast(prevMin), "cell")
+      .withColumn("m_in", min($"od").over(wCheaper))
+      .withColumn("m_pc", min($"od").over(wSamePc))
+      .filter(($"m_in".isNull || $"m_in" > $"od") &&
+        ($"prev_mo".isNull || $"prev_mo" > $"od") &&
+        $"od" === $"m_pc")
+      .select($"o_orderkey", $"pc", $"od")
+      .orderBy($"pc", $"od", $"o_orderkey")
+  }
+
+  val qSkylineSql: String =
+    """WITH o AS (SELECT o_orderkey,
+      |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS pc,
+      |    epoch_us(o_orderdate) AS od FROM orders)
+      |SELECT o_orderkey, pc, od FROM o a
+      |WHERE NOT EXISTS (SELECT 1 FROM o b
+      |  WHERE b.pc <= a.pc AND b.od <= a.od
+      |    AND (b.pc < a.pc OR b.od < a.od))
+      |ORDER BY pc, od, o_orderkey""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram" -> (qHistogram _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_skyline" -> (qSkyline _),
     "q_quartile_bucket" -> (qQuartileBucket _),
     "q_ntile" -> (qNtile _),
     "q_string_agg" -> (qStringAgg _),
@@ -837,6 +957,9 @@ object CoreOlap {
     "q_asof_join" -> (qAsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_histogram" -> qHistogramSql,
+    "q_unpivot" -> qUnpivotSql,
+    "q_skyline" -> qSkylineSql,
     "q_quartile_bucket" -> qQuartileBucketSql,
     "q_ntile" -> qNtileSql,
     "q_string_agg" -> qStringAggSql,

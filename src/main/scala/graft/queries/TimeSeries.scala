@@ -515,6 +515,135 @@ object TimeSeries {
       |ORDER BY user_id, version""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Gaps-and-islands: maximal runs of consecutive ACTIVE DAYS per
+    * user (the classic `day − row_number` island key). Distinct
+    * (user, day) first — one combinable shuffle bounds the window
+    * input to users × days regardless of event volume; the island
+    * window then reuses the same user partitioning. */
+  def qStreaks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val days = Tables.events(s, dir)
+      .select($"user_id", expr("ts DIV 86400000000000").as("d"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"d")
+    days.withColumn("grp", $"d" - row_number().over(w))
+      .groupBy($"user_id", $"grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_streaks"),
+        max($"len").as("max_streak"),
+        sum($"len").as("active_days"))
+      .orderBy($"user_id")
+  }
+
+  val qStreaksSql: String =
+    """WITH days AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+      |isl AS (SELECT user_id,
+      |          d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      |        FROM days),
+      |runs AS (SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_streaks,
+      |  CAST(MAX(len) AS BIGINT) AS max_streak,
+      |  CAST(SUM(len) AS BIGINT) AS active_days
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Exact exponential moving average, fixed-point: α = 1/2 over a
+    * 10-measurement lookback, so every weight is a binary fraction
+    * and `ema_num = Σ_j lag(xc, j) · 2^(9−j)` is EXACT integer
+    * arithmetic (the IEEE-summation-order trap of a float EMA cannot
+    * arise). One shuffle on user_id; ten lags share a single window
+    * sort. `n_terms` counts the available lags so series heads are
+    * explicit rather than silently padded. */
+  def qEma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val terms = (0 until 10).map(j =>
+      coalesce(lag($"xc", j).over(w), lit(0L)) * lit(1L << (9 - j)))
+    val avail = (0 until 10).map(j =>
+      when(lag($"xc", j).over(w).isNotNull, 1).otherwise(0))
+    series(s, dir)
+      .withColumn("ema_num", terms.reduce(_ + _))
+      .withColumn("n_terms", avail.reduce(_ + _))
+      .select($"user_id", $"event_id", $"tus", $"xc", $"ema_num", $"n_terms")
+      .orderBy($"user_id", $"tus", $"event_id")
+  }
+
+  val qEmaSql: String = {
+    val terms = (0 until 10)
+      .map(j => s"COALESCE(LAG(xc, $j) OVER pw, 0) * ${1L << (9 - j)}")
+      .mkString(" + ")
+    val avail = (0 until 10)
+      .map(j => s"CASE WHEN LAG(xc, $j) OVER pw IS NOT NULL THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT user_id, event_id, tus, xc,
+       |  CAST($terms AS BIGINT) AS ema_num,
+       |  CAST($avail AS INT) AS n_terms
+       |FROM (SELECT user_id, event_id, epoch_us(ts) AS tus,
+       |        CAST(ROUND(value*100) AS BIGINT) AS xc FROM events)
+       |WINDOW pw AS (PARTITION BY user_id ORDER BY tus, event_id)
+       |ORDER BY user_id, tus, event_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  /** Markov transition matrix: per (previous event type → event type)
+    * bigram along each user's time-ordered stream, with the distinct
+    * users making that transition. One shuffle on user_id for the
+    * lag; the (5×5)-key aggregate is map-side combinable. */
+  def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    Tables.events(s, dir)
+      .filter($"user_id".isNotNull)
+      .select($"user_id", $"event_id", expr("ts DIV 1000").as("tus"),
+        $"event_type")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        count_distinct($"user_id").as("n_users"))
+      .orderBy($"prev_type", $"event_type")
+  }
+
+  val qTransitionsSql: String =
+    """SELECT prev_type, event_type, COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM (SELECT user_id, event_type,
+      |        LAG(event_type, 1) OVER (PARTITION BY user_id
+      |          ORDER BY epoch_us(ts), event_id) AS prev_type
+      |      FROM events WHERE user_id IS NOT NULL)
+      |WHERE prev_type IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Cumulative distinct users by day — the running-audience curve.
+    * COUNT(DISTINCT) under a running window would re-scan every
+    * prefix; instead each user collapses to a FIRST-SEEN day (one
+    * combinable shuffle), and the running total is a cumulative sum
+    * over the tiny day-level table. */
+  def qRunningDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val firstSeen = Tables.events(s, dir)
+      .filter($"user_id".isNotNull)
+      .groupBy($"user_id")
+      .agg(min(expr("ts DIV 86400000000000")).as("fd"))
+    val wc = Window.orderBy($"fd")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstSeen.groupBy($"fd").agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_users", sum($"n_new").over(wc))
+      .orderBy($"fd")
+  }
+
+  val qRunningDistinctSql: String =
+    """WITH fs AS (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS fd
+      |            FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |d AS (SELECT fd, COUNT(*) AS n_new FROM fs GROUP BY 1)
+      |SELECT fd, n_new,
+      |  CAST(SUM(n_new) OVER (ORDER BY fd
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM d ORDER BY fd""".stripMargin
+
+  // ---------------------------------------------------------------
   /** The id probed by the point-lookup query — exists at every SF
     * (user_ids are dense from 0). */
   val LookupId = 7L
@@ -555,7 +684,11 @@ object TimeSeries {
     "q_scd2" -> (qScd2 _),
     "q_window_range" -> (qWindowRange _),
     "q_first_last" -> (qFirstLast _),
-    "q_object_lookup" -> (qObjectLookup _))
+    "q_object_lookup" -> (qObjectLookup _),
+    "q_streaks" -> (qStreaks _),
+    "q_ema" -> (qEma _),
+    "q_transitions" -> (qTransitions _),
+    "q_running_distinct" -> (qRunningDistinct _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -569,5 +702,9 @@ object TimeSeries {
     "q_scd2" -> qScd2Sql,
     "q_window_range" -> qWindowRangeSql,
     "q_first_last" -> qFirstLastSql,
-    "q_object_lookup" -> qObjectLookupSql)
+    "q_object_lookup" -> qObjectLookupSql,
+    "q_streaks" -> qStreaksSql,
+    "q_ema" -> qEmaSql,
+    "q_transitions" -> qTransitionsSql,
+    "q_running_distinct" -> qRunningDistinctSql)
 }

@@ -164,6 +164,28 @@ class CoreOlapSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q_skyline equals the brute-force dominance definition, no cartesian in plan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = queries.CoreOlap.qSkyline(spark, sf)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force oracle on the collected base table (sf0.001 is small)
+    val base = Tables.orders(spark, sf).select($"o_orderkey",
+      round($"o_totalprice" * 100).cast("long").as("pc"),
+      unix_micros($"o_orderdate".cast("timestamp")).as("od"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = base.filter { case (_, pc, od) =>
+      !base.exists { case (_, pc2, od2) =>
+        pc2 <= pc && od2 <= od && (pc2 < pc || od2 < od) }
+    }.sortBy(t => (t._2, t._3, t._1))
+    assert(rows.toSeq == want.toSeq,
+      s"skyline mismatch: got ${rows.length}, want ${want.length}")
+    // the distributed plan must never fall back to a product join
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"skyline planned a cartesian product:\n$plan")
+  }
+
   test("q_ntile histogram-split plan equals the plain ntile window, sorts per cell") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

@@ -127,6 +127,37 @@ class TimeSeriesSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q_ema fixed-point numerator equals a driver-side recompute for one user") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = queries.TimeSeries.qEma(spark, sf)
+    val uid = df.select("user_id").head().getLong(0)
+    val mine = df.filter($"user_id" === uid)
+      .orderBy($"tus", $"event_id")
+      .select($"xc", $"ema_num", $"n_terms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val xs = mine.map(_._1)
+    mine.zipWithIndex.foreach { case ((_, ema, nt), i) =>
+      val lags = (0 until 10).flatMap(j => if (i - j >= 0) Some(xs(i - j)) else None)
+      val want = lags.zipWithIndex.map { case (x, j) => x * (1L << (9 - j)) }.sum
+      assert(ema == want, s"row $i: ema $ema != $want")
+      assert(nt == lags.length, s"row $i: n_terms $nt != ${lags.length}")
+    }
+  }
+
+  test("q_streaks conserves active days and bounds streak lengths") {
+    import org.apache.spark.sql.functions._
+    val df = queries.TimeSeries.qStreaks(spark, sf).cache()
+    val activeTotal = df.agg(sum("active_days")).head.getLong(0)
+    val distinctDays = Tables.events(spark, sf)
+      .selectExpr("user_id", "ts DIV 86400000000000 AS d").distinct().count()
+    assert(activeTotal == distinctDays,
+      s"streak days $activeTotal != distinct user-days $distinctDays")
+    assert(df.filter(col("max_streak") > col("active_days")).count() == 0)
+    assert(df.filter(col("n_streaks") < 1).count() == 0)
+    df.unpersist()
+  }
+
   test("object-index lookup prunes to one bucket and matches the flat point query") {
     val out = java.nio.file.Files.createTempDirectory("graft_objidx").toString
     val nb = 16 // 15 distinct users at sf0.001 -> most buckets non-empty
