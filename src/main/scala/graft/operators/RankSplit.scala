@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Histogram-split global ordering — EXACT per-group rank (and,
+  * optionally, running weight) without a total-order sort per group.
+  *
+  * `rank(df).over(groups, cellCol, orderCols)` is semantically
+  * `row_number() OVER (PARTITION BY groups ORDER BY orderCols)` plus
+  * the group size, but the plan never sorts a whole group in one
+  * task:
+  *
+  *  1. ~`splits` approximate split points of `cellCol` per group (one
+  *     combinable `approx_percentile`; accuracy only affects balance,
+  *     never the answer);
+  *  2. each row's CELL = number of split points below its `cellCol`
+  *     (broadcast join + codegen'd array fold — monotone in the sort
+  *     key, tie values always share a cell);
+  *  3. `row_number` / running `sum(weight)` within (group, cell) —
+  *     parallelism is groups × cells, each sort holds ~1/splits of a
+  *     group;
+  *  4. per-(group, cell) row/weight totals (a groups × cells
+  *     control-plane table) are cumulated over PRECEDING cells and
+  *     broadcast back: global rank = cell offset + local rank.
+  *
+  * Requirements: `cellCol` must order consistently with `orderCols`
+  * (typically it IS the first order column, or a monotone integer
+  * proxy of it — e.g. price in cents for a double price), and
+  * `orderCols` must be a total order (include a unique tie-break).
+  *
+  * Used by q_ntile, q_percent_rank and q_weighted_median; at 100 TB
+  * raise `splits` with the data — every stage stays combinable,
+  * broadcast-sized, or cell-bounded.
+  */
+object RankSplit {
+
+  /** Output columns appended to the input frame. */
+  val RankCol = "__rank"      // 1-based global rank within the group
+  val SizeCol = "__grp_n"     // group row count
+  val CumWCol = "__cumw"      // inclusive running weight (weighted form)
+  val TotWCol = "__grp_w"     // group weight total (weighted form)
+
+  def rank(df: DataFrame, groupCols: Seq[String], cellCol: String,
+    orderCols: Seq[String], weightCol: Option[String] = None,
+    splits: Int = 32): DataFrame = {
+    require(splits >= 2, "need at least 2 splits")
+    val gCols = groupCols.map(col)
+    val probes = (1 until splits).map(_.toDouble / splits)
+    val sp = df.groupBy(gCols: _*).agg(
+      expr(s"approx_percentile($cellCol, array(${probes.mkString(",")}))")
+        .as("__sps"))
+    val withCell = (if (groupCols.isEmpty) df.crossJoin(broadcast(sp))
+      else df.join(broadcast(sp), groupCols))
+      .withColumn("__cell", expr(
+        s"aggregate(__sps, 0, (acc, b) -> acc + IF($cellCol > b, 1, 0))"))
+      .drop("__sps")
+
+    val cellPart = gCols :+ col("__cell")
+    val wLocal = Window.partitionBy(cellPart: _*)
+      .orderBy(orderCols.map(col): _*)
+    val wPrevCells = Window.partitionBy(gCols: _*).orderBy(col("__cell"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wGrp = Window.partitionBy(gCols: _*)
+
+    val perCellAggs: Seq[Column] = count(lit(1)).as("__cn") +:
+      weightCol.map(w => sum(col(w)).as("__cw")).toSeq
+    var offs = withCell.groupBy(cellPart: _*).agg(perCellAggs.head,
+        perCellAggs.tail: _*)
+      .withColumn("__off", coalesce(sum(col("__cn")).over(wPrevCells), lit(0L)))
+      .withColumn(SizeCol, sum(col("__cn")).over(wGrp))
+    for (_ <- weightCol) offs = offs
+      .withColumn("__offw", coalesce(sum(col("__cw")).over(wPrevCells), lit(0L)))
+      .withColumn(TotWCol, sum(col("__cw")).over(wGrp))
+    offs = offs.drop("__cn", "__cw")
+
+    var out = withCell
+      .join(broadcast(offs), groupCols :+ "__cell")
+      .withColumn(RankCol, col("__off") + row_number().over(wLocal))
+    for (w <- weightCol) out = out
+      .withColumn(CumWCol, col("__offw") + sum(col(w)).over(
+        wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    out.drop("__cell", "__off", "__offw")
+  }
+}

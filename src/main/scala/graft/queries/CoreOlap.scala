@@ -686,7 +686,8 @@ object CoreOlap {
     *     function bit-for-bit.
     *
     * At 100 TB, raise NtileSplits with the data; every stage stays
-    * combinable, broadcast-sized, or cell-bounded. */
+    * combinable, broadcast-sized, or cell-bounded. The rank machinery
+    * is the shared [[graft.operators.RankSplit]]. */
   val NtileSplits = 32
 
   def qNtile(s: SparkSession, dir: String): DataFrame = {
@@ -694,35 +695,20 @@ object CoreOlap {
     val o = Tables.orders(s, dir).select($"o_orderpriority",
       $"o_orderkey", $"o_totalprice",
       round($"o_totalprice" * 100).cast("long").as("pc"))
-    val probes = (1 until NtileSplits).map(_.toDouble / NtileSplits)
-    val sp = o.groupBy($"o_orderpriority").agg(
-      expr(s"approx_percentile(pc, array(${probes.mkString(",")}))").as("sps"))
-    val withCell = o.join(broadcast(sp), "o_orderpriority")
-      .withColumn("cell",
-        expr("aggregate(sps, 0, (acc, b) -> acc + IF(pc > b, 1, 0))"))
-      .drop("sps")
-    val ranked = withCell.withColumn("lr", row_number().over(
-      Window.partitionBy($"o_orderpriority", $"cell")
-        .orderBy($"o_totalprice", $"o_orderkey")))
-    val wOff = Window.partitionBy($"o_orderpriority").orderBy($"cell")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = withCell.groupBy($"o_orderpriority", $"cell")
-      .agg(count(lit(1)).as("cn"))
-      .withColumn("off", coalesce(sum($"cn").over(wOff), lit(0L)))
-      .withColumn("n_grp",
-        sum($"cn").over(Window.partitionBy($"o_orderpriority")))
-      .drop("cn")
+    val ranked = graft.operators.RankSplit.rank(o,
+      Seq("o_orderpriority"), "pc", Seq("o_totalprice", "o_orderkey"),
+      splits = NtileSplits)
     // NTILE(4) bucket of global rank r in a group of n_grp rows: the
     // first n%4 buckets take DIV(n,4)+1 rows, the rest DIV(n,4). The
     // ELSE branch never runs when DIV(n,4)=0 (then r <= n = the WHEN
     // bound), so the DIV-by-zero is unreachable.
-    ranked.join(broadcast(offs), Seq("o_orderpriority", "cell"))
+    ranked
       .withColumn("quartile", expr(
         """CAST(CASE
-          |  WHEN off + lr <= (n_grp % 4) * (n_grp DIV 4 + 1)
-          |  THEN (off + lr - 1) DIV (n_grp DIV 4 + 1) + 1
-          |  ELSE n_grp % 4
-          |    + (off + lr - (n_grp % 4) * (n_grp DIV 4 + 1) - 1) DIV (n_grp DIV 4)
+          |  WHEN __rank <= (__grp_n % 4) * (__grp_n DIV 4 + 1)
+          |  THEN (__rank - 1) DIV (__grp_n DIV 4 + 1) + 1
+          |  ELSE __grp_n % 4
+          |    + (__rank - (__grp_n % 4) * (__grp_n DIV 4 + 1) - 1) DIV (__grp_n DIV 4)
           |    + 1
           |END AS INT)""".stripMargin))
       .groupBy($"o_orderpriority", $"quartile")
@@ -926,7 +912,76 @@ object CoreOlap {
       |    AND (b.pc < a.pc OR b.od < a.od))
       |ORDER BY pc, od, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Exact per-row PERCENT_RANK within each priority class — the
+    * normalized-score shape feature pipelines feed to models. Rank
+    * comes from the shared [[graft.operators.RankSplit]] histogram-
+    * split plan (no per-group total sort); the unique o_orderkey
+    * tie-break makes RANK ≡ ROW_NUMBER so the (r−1)/(n−1) division
+    * matches the window function bit-for-bit on both engines. */
+  def qPercentRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).select($"o_orderpriority",
+      $"o_orderkey", $"o_totalprice",
+      round($"o_totalprice" * 100).cast("long").as("pc"))
+    graft.operators.RankSplit.rank(o,
+      Seq("o_orderpriority"), "pc", Seq("o_totalprice", "o_orderkey"))
+      .withColumn("pr",
+        ($"__rank" - 1).cast("double") / ($"__grp_n" - 1))
+      .select($"o_orderkey", $"o_orderpriority", $"pc", $"pr")
+      .orderBy($"o_orderpriority", $"pc", $"o_orderkey")
+  }
+
+  val qPercentRankSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS pc,
+      |  PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice, o_orderkey) AS pr
+      |FROM orders
+      |ORDER BY o_orderpriority, pc, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Exact weighted median: per return flag, the price (in cents) at
+    * which the running quantity-weighted mass crosses half the total
+    * — the first row, in (price, key) order, with inclusive running
+    * weight ≥ ⌈W/2⌉. Running weight comes from
+    * [[graft.operators.RankSplit]] with a weight column, so no group
+    * is ever sorted in one task; the crossing row is a one-predicate
+    * filter (running ≥ T, running − own weight < T), unique per group
+    * by construction. All arithmetic integer. */
+  def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_returnflag",
+      $"l_orderkey", $"l_linenumber",
+      round($"l_extendedprice" * 100).cast("long").as("pc"),
+      $"l_quantity".cast("long").as("qty"))
+    graft.operators.RankSplit.rank(li, Seq("l_returnflag"), "pc",
+      Seq("pc", "l_orderkey", "l_linenumber"), weightCol = Some("qty"))
+      .filter($"__cumw" >= expr("(__grp_w + 1) DIV 2") &&
+        $"__cumw" - $"qty" < expr("(__grp_w + 1) DIV 2"))
+      .select($"l_returnflag", $"pc".as("wmedian_pc"),
+        $"__cumw".as("cum_qty"), $"__grp_w".as("total_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qWeightedMedianSql: String =
+    """WITH li AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+      |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS pc,
+      |    CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+      |w AS (SELECT *,
+      |    SUM(qty) OVER (PARTITION BY l_returnflag
+      |      ORDER BY pc, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    SUM(qty) OVER (PARTITION BY l_returnflag) AS tot FROM li)
+      |SELECT l_returnflag, pc AS wmedian_pc,
+      |  CAST(cumw AS BIGINT) AS cum_qty, CAST(tot AS BIGINT) AS total_qty
+      |FROM w
+      |WHERE cumw >= (tot + 1) // 2 AND cumw - qty < (tot + 1) // 2
+      |ORDER BY l_returnflag""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percent_rank" -> (qPercentRank _),
+    "q_weighted_median" -> (qWeightedMedian _),
     "q_histogram" -> (qHistogram _),
     "q_unpivot" -> (qUnpivot _),
     "q_skyline" -> (qSkyline _),
@@ -957,6 +1012,8 @@ object CoreOlap {
     "q_asof_join" -> (qAsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_percent_rank" -> qPercentRankSql,
+    "q_weighted_median" -> qWeightedMedianSql,
     "q_histogram" -> qHistogramSql,
     "q_unpivot" -> qUnpivotSql,
     "q_skyline" -> qSkylineSql,
