@@ -165,13 +165,51 @@ object Behavior {
       |ORDER BY t1, t2""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Contiguous sequence-pattern match: users whose time-ordered
+    * stream contains view → click → purchase as IMMEDIATELY
+    * consecutive events (the strict MATCH_RECOGNIZE shape, vs
+    * [[qFunnel]]'s eventually-ordered stages), with the number of
+    * occurrences. Two lags over the one user-partitioned window sort
+    * detect every triple in a single pass — no per-user sequence
+    * string is ever materialized, so the state per row is two event
+    * types regardless of stream length. */
+  def qSequenceMatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    Tables.events(s, dir)
+      .filter($"user_id".isNotNull)
+      .select($"user_id", $"event_id", expr("ts DIV 1000").as("tus"),
+        $"event_type")
+      .withColumn("t1", lag($"event_type", 2).over(w))
+      .withColumn("t2", lag($"event_type", 1).over(w))
+      .filter($"t1" === "view" && $"t2" === "click" &&
+        $"event_type" === "purchase")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy($"user_id")
+  }
+
+  val qSequenceMatchSql: String =
+    """SELECT user_id, COUNT(*) AS n_matches
+      |FROM (SELECT user_id, event_type,
+      |        LAG(event_type, 2) OVER pw AS t1,
+      |        LAG(event_type, 1) OVER pw AS t2
+      |      FROM events WHERE user_id IS NOT NULL
+      |      WINDOW pw AS (PARTITION BY user_id
+      |        ORDER BY epoch_us(ts), event_id))
+      |WHERE t1 = 'view' AND t2 = 'click' AND event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
-    "q_audience_overlap" -> (qAudienceOverlap _))
+    "q_audience_overlap" -> (qAudienceOverlap _),
+    "q_sequence_match" -> (qSequenceMatch _))
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
     "q_retention" -> qRetentionSql,
-    "q_audience_overlap" -> qAudienceOverlapSql)
+    "q_audience_overlap" -> qAudienceOverlapSql,
+    "q_sequence_match" -> qSequenceMatchSql)
 }

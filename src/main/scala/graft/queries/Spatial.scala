@@ -182,6 +182,65 @@ object Spatial {
        |WHERE dist_r6 < 1.0 ORDER BY k1, k2""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Nearest neighbor within 1°: for every point, the closest OTHER
+    * point of the catalog and its distance — Qserv's per-object
+    * nearest-source shape. Candidates come from the same adaptive
+    * zone grid as [[qZoneXmatch]] (each ORDERED pair arises exactly
+    * once: probe explodes over the neighbor cells, build sits in its
+    * home cell), so no all-pairs product exists anywhere. The
+    * argmin is two combinable aggregates on k1 — min distance, then
+    * min neighbor id at that distance (deterministic under rounded-
+    * distance ties) — with an equi-join back on (k1, exact double),
+    * bit-identical on both engines because both sides compute the
+    * identical haversine tree. Points with no neighbor within 1°
+    * drop out, matching the oracle. */
+  def qNearestNbr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val radius = 1.0
+    val zm = s.createDataFrame(zoneRaBuckets(radius, radius))
+      .toDF("zm_zone", "nrb")
+    val pts = points(s, dir)
+      .withColumn("zone", floor(($"decl" + 90.0) / radius).cast("int"))
+    val build = pts
+      .join(broadcast(zm), $"zone" === $"zm_zone")
+      .select($"k".as("k2"), $"ra".as("ra2"), $"decl".as("decl2"),
+        $"zone".as("z2"),
+        floor($"ra" * $"nrb" / 360.0).cast("int").as("rb2"))
+    val probe = pts
+      .withColumn("zp", explode(array($"zone" - 1, $"zone", $"zone" + 1)))
+      .join(broadcast(zm), $"zp" === $"zm_zone")
+      .withColumn("c", floor($"ra" * $"nrb" / 360.0).cast("int"))
+      .withColumn("rp", explode(array_distinct(array(
+        pmod($"c" - 1, $"nrb"), pmod($"c", $"nrb"), pmod($"c" + 1, $"nrb")))))
+      .select($"k".as("k1"), $"ra".as("ra1"), $"decl".as("decl1"), $"zp", $"rp")
+    val pairs = probe
+      .join(build, probe("zp") === build("z2") && probe("rp") === build("rb2"))
+      .filter($"k1" =!= $"k2")
+      .withColumn("dist_r6", round(distDeg($"ra1", $"decl1", $"ra2", $"decl2"), 6))
+      .filter($"dist_r6" < radius)
+      .select($"k1", $"k2", $"dist_r6")
+    val nearest = pairs.groupBy($"k1").agg(min($"dist_r6").as("nn_dist"))
+      .withColumnRenamed("k1", "nk1")
+    pairs.join(nearest, $"k1" === $"nk1" && $"dist_r6" === $"nn_dist")
+      .groupBy($"k1", $"nn_dist")
+      .agg(min($"k2").as("nn_k"))
+      .select($"k1", $"nn_k", $"nn_dist")
+      .orderBy($"k1")
+  }
+
+  val qNearestNbrSql: String =
+    s"""WITH pairs AS (
+       |  SELECT a.k AS k1, b.k AS k2,
+       |    ROUND(${distDegSql("a.ra", "a.decl", "b.ra", "b.decl")}, 6) AS dist_r6
+       |  FROM ($pointsSql) a JOIN ($pointsSql) b ON a.k <> b.k),
+       |cand AS (SELECT * FROM pairs WHERE dist_r6 < 1.0),
+       |m AS (SELECT k1, MIN(dist_r6) AS nn_dist FROM cand GROUP BY 1)
+       |SELECT k1, MIN(k2) AS nn_k, nn_dist
+       |FROM cand JOIN m USING (k1)
+       |WHERE dist_r6 = nn_dist
+       |GROUP BY k1, nn_dist ORDER BY k1""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Materialize the point catalog zone-partitioned: the dec stripe
     * (5° zones by default) is the PHYSICAL partition key, so spatial
     * scans prune at the source — the SURVEY §5 claim that the zone key
@@ -241,11 +300,13 @@ object Spatial {
     "q_cone_search" -> (qConeSearch _),
     "q_box_search" -> (qBoxSearch _),
     "q_zone_xmatch" -> (qZoneXmatch _),
-    "q_spatial_density" -> (qSpatialDensity _))
+    "q_spatial_density" -> (qSpatialDensity _),
+    "q_nearest_nbr" -> (qNearestNbr _))
 
   val oracles: Map[String, String] = Map(
     "q_cone_search" -> qConeSearchSql,
     "q_box_search" -> qBoxSearchSql,
     "q_zone_xmatch" -> qZoneXmatchSql,
-    "q_spatial_density" -> qSpatialDensitySql)
+    "q_spatial_density" -> qSpatialDensitySql,
+    "q_nearest_nbr" -> qNearestNbrSql)
 }

@@ -360,7 +360,46 @@ object Text {
        |ORDER BY lift_x1000 DESC, w1, w2""".stripMargin
 
   // ---------------------------------------------------------------
+  // ---------------------------------------------------------------
+  /** Zipf rank–frequency table: corpus terms ranked by (count desc,
+    * term) with their counts — the vocabulary-telemetry curve every
+    * corpus health check plots. The term-count aggregate is one
+    * combinable shuffle; the GLOBAL rank comes from
+    * [[graft.operators.RankSplit]] (cell-bounded sorts — a plain
+    * `row_number() OVER (ORDER BY cnt DESC)` would sort the whole
+    * vocabulary in one task). Ranking on the negated count makes the
+    * ascending rank machinery produce a descending-frequency rank.
+    * The count floor keeps the report bounded; it is a tested
+    * semantic (mirrored in the oracle), not hidden truncation. */
+  val ZipfMinCount = 50L
+
+  def qZipf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.documents(s, dir)
+      .select(explode(split(lower($"text"), "[^a-z]+")).as("term"))
+      .filter(length($"term") > 0)
+      .groupBy($"term").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= ZipfMinCount)
+      .withColumn("nc", -$"cnt")
+    graft.operators.RankSplit.rank(counts, Seq.empty, "nc",
+      Seq("nc", "term"))
+      .select($"__rank".as("rank"), $"term", $"cnt")
+      .orderBy($"rank")
+  }
+
+  val qZipfSql: String =
+    s"""WITH c AS (
+       |  SELECT term, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+       |    FROM documents) t
+       |  WHERE term <> '' GROUP BY 1)
+       |SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rank, term,
+       |  CAST(cnt AS BIGINT) AS cnt
+       |FROM c WHERE cnt >= $ZipfMinCount
+       |ORDER BY rank""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zipf" -> (qZipf _),
     "q_collocations" -> (qCollocations _),
     "q_tfidf" -> (qTfidf _),
     "q_heavy_hitters" -> (qHeavyHitters _),
@@ -372,6 +411,7 @@ object Text {
     "q_winnow_fingerprint" -> (qWinnowFingerprint _))
 
   val oracles: Map[String, String] = Map(
+    "q_zipf" -> qZipfSql,
     "q_collocations" -> qCollocationsSql,
     "q_tfidf" -> qTfidfSql,
     "q_heavy_hitters" -> qHeavyHittersSql,

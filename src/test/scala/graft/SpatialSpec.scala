@@ -88,4 +88,25 @@ class SpatialSpec extends AnyFunSuite {
         s"scan read $numFiles of $totalFiles files - no pruning")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("q_nearest_nbr: one row per matched point, no product join, true argmin") {
+    import org.apache.spark.sql.functions._
+    val df = queries.Spatial.qNearestNbr(spark, sf).cache()
+    // one nearest neighbor per point
+    assert(df.groupBy("k1").count().filter(col("count") > 1).count() == 0)
+    // the reported neighbor's distance can never beat another candidate:
+    // cross-check against the full xmatch pair list (symmetric closure)
+    val pairs = queries.Spatial.qZoneXmatch(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val best = (pairs ++ pairs.map(t => (t._2, t._1, t._3)))
+      .groupBy(_._1).map { case (k, ps) =>
+        val md = ps.map(_._3).min
+        k -> (md, ps.filter(_._3 == md).map(_._2).min)
+      }
+    val got = df.collect().map(r => (r.getLong(0), (r.getDouble(2), r.getLong(1)))).toMap
+    assert(got == best, s"argmin mismatch: ${(best.toSet diff got.toSet).take(3)}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "nearest-nbr planned a product")
+    df.unpersist()
+  }
 }

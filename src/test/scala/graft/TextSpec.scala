@@ -78,4 +78,13 @@ class TextSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(plan.contains("codegen id"), s"no codegen span in:\n$plan")
   }
+
+  test("q_zipf ranks are dense from 1 and counts non-increasing") {
+    val rows = queries.Text.qZipf(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq, "ranks not dense")
+    assert(rows.sliding(2).forall(w => w.length < 2 || w(0)._2 >= w(1)._2),
+      "counts must be non-increasing by rank")
+  }
 }
