@@ -30,9 +30,17 @@ import org.apache.spark.sql.functions._
   * proxy of it — e.g. price in cents for a double price), and
   * `orderCols` must be a total order (include a unique tie-break).
   *
-  * Used by q_ntile, q_percent_rank and q_weighted_median; at 100 TB
-  * raise `splits` with the data — every stage stays combinable,
-  * broadcast-sized, or cell-bounded.
+  * Used by q_ntile, q_percent_rank, q_weighted_median and q_zipf; at
+  * 100 TB raise `splits` with the data — every stage stays
+  * combinable, broadcast-sized, or cell-bounded.
+  *
+  * COST CONTRACT: the input is traversed in THREE independent
+  * subplans (split points, per-cell totals, final rank join) —
+  * Catalyst does not share them. For a plain pruned scan that is the
+  * classic re-read-vs-materialize trade (Spark's own range
+  * partitioner samples + re-reads the same way); if the input is
+  * EXPENSIVE to recompute (an aggregate, a join), persist or
+  * `localCheckpoint` it first, as q_zipf does with its vocabulary.
   */
 object RankSplit {
 

@@ -133,7 +133,12 @@ object Behavior {
     * bit-for-bit. */
   def qAudienceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the audience table feeds three subplans (totals + both join
+    // sides); Catalyst plans each independently, so without this
+    // materialization the events scan + distinct would run 3×.
+    // localCheckpoint pins the (users × types)-bounded table once.
     val aud = ev(s, dir).select($"event_type", $"user_id").distinct()
+      .localCheckpoint()
     val totals = aud.groupBy($"event_type").agg(count(lit(1)).as("sz"))
     val shared = aud.select($"event_type".as("t1"), $"user_id")
       .join(aud.select($"event_type".as("t2"), $"user_id"), Seq("user_id"))

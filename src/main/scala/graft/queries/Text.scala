@@ -375,12 +375,17 @@ object Text {
 
   def qZipf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // RankSplit makes three linear passes over its input; without a
+    // materialization each pass would re-tokenize the whole CORPUS.
+    // localCheckpoint pins the (already count-floored) vocab table —
+    // corpus scanned once, the three passes read the small vocab.
     val counts = Tables.documents(s, dir)
       .select(explode(split(lower($"text"), "[^a-z]+")).as("term"))
       .filter(length($"term") > 0)
       .groupBy($"term").agg(count(lit(1)).as("cnt"))
       .filter($"cnt" >= ZipfMinCount)
       .withColumn("nc", -$"cnt")
+      .localCheckpoint()
     graft.operators.RankSplit.rank(counts, Seq.empty, "nc",
       Seq("nc", "term"))
       .select($"__rank".as("rank"), $"term", $"cnt")
