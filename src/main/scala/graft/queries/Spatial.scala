@@ -194,9 +194,13 @@ object Spatial {
     * bit-identical on both engines because both sides compute the
     * identical haversine tree. Points with no neighbor within 1°
     * drop out, matching the oracle. */
-  def qNearestNbr(s: SparkSession, dir: String): DataFrame = {
+  /** All ORDERED neighbor pairs (k1→k2, k1≠k2) within `radius`, via
+    * the adaptive zone grid — each ordered pair arises exactly once
+    * (probe explodes over neighbor cells, build sits in its home
+    * cell). Shared by [[qNearestNbr]] and [[qKnn3]]. */
+  private def orderedPairs(s: SparkSession, dir: String,
+    radius: Double): DataFrame = {
     import s.implicits._
-    val radius = 1.0
     val zm = s.createDataFrame(zoneRaBuckets(radius, radius))
       .toDF("zm_zone", "nrb")
     val pts = points(s, dir)
@@ -213,12 +217,17 @@ object Spatial {
       .withColumn("rp", explode(array_distinct(array(
         pmod($"c" - 1, $"nrb"), pmod($"c", $"nrb"), pmod($"c" + 1, $"nrb")))))
       .select($"k".as("k1"), $"ra".as("ra1"), $"decl".as("decl1"), $"zp", $"rp")
-    val pairs = probe
+    probe
       .join(build, probe("zp") === build("z2") && probe("rp") === build("rb2"))
       .filter($"k1" =!= $"k2")
       .withColumn("dist_r6", round(distDeg($"ra1", $"decl1", $"ra2", $"decl2"), 6))
       .filter($"dist_r6" < radius)
       .select($"k1", $"k2", $"dist_r6")
+  }
+
+  def qNearestNbr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = orderedPairs(s, dir, 1.0)
     val nearest = pairs.groupBy($"k1").agg(min($"dist_r6").as("nn_dist"))
       .withColumnRenamed("k1", "nk1")
     pairs.join(nearest, $"k1" === $"nk1" && $"dist_r6" === $"nn_dist")
@@ -239,6 +248,39 @@ object Spatial {
        |FROM cand JOIN m USING (k1)
        |WHERE dist_r6 = nn_dist
        |GROUP BY k1, nn_dist ORDER BY k1""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** k-nearest-neighbors (k=3) within 1°: the plain
+    * `row_number() <= 3` idiom over the zone-grid pair list. Under
+    * [[graft.GraftExtensions]] the [[graft.plans.TopKRewrite]] rule
+    * plans it onto the bounded-heap TopKPerKey operator (verified on
+    * this exact shape in the optimizer debug run); without the
+    * extension Spark's own WindowGroupLimit still bounds per-point
+    * state to a 3-slot heap — either way no candidate list is fully
+    * sorted. Deterministic under rounded-distance ties via the k2
+    * tie-break. */
+  def qKnn3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k1").orderBy($"dist_r6", $"k2")
+    orderedPairs(s, dir, 1.0)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"k1", $"rnk", $"k2", $"dist_r6")
+      .orderBy($"k1", $"rnk")
+  }
+
+  val qKnn3Sql: String =
+    s"""WITH pairs AS (
+       |  SELECT a.k AS k1, b.k AS k2,
+       |    ROUND(${distDegSql("a.ra", "a.decl", "b.ra", "b.decl")}, 6) AS dist_r6
+       |  FROM ($pointsSql) a JOIN ($pointsSql) b ON a.k <> b.k),
+       |r AS (SELECT k1, k2, dist_r6,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY k1
+       |          ORDER BY dist_r6, k2) AS INT) AS rnk
+       |      FROM pairs WHERE dist_r6 < 1.0)
+       |SELECT k1, rnk, k2, dist_r6 FROM r WHERE rnk <= 3
+       |ORDER BY k1, rnk""".stripMargin
 
   // ---------------------------------------------------------------
   /** Materialize the point catalog zone-partitioned: the dec stripe
@@ -301,12 +343,14 @@ object Spatial {
     "q_box_search" -> (qBoxSearch _),
     "q_zone_xmatch" -> (qZoneXmatch _),
     "q_spatial_density" -> (qSpatialDensity _),
-    "q_nearest_nbr" -> (qNearestNbr _))
+    "q_nearest_nbr" -> (qNearestNbr _),
+    "q_knn3" -> (qKnn3 _))
 
   val oracles: Map[String, String] = Map(
     "q_cone_search" -> qConeSearchSql,
     "q_box_search" -> qBoxSearchSql,
     "q_zone_xmatch" -> qZoneXmatchSql,
     "q_spatial_density" -> qSpatialDensitySql,
-    "q_nearest_nbr" -> qNearestNbrSql)
+    "q_nearest_nbr" -> qNearestNbrSql,
+    "q_knn3" -> qKnn3Sql)
 }

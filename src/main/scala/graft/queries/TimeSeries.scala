@@ -644,6 +644,107 @@ object TimeSeries {
       |FROM d ORDER BY fd""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Last-touch attribution: for each purchase, the user's most
+    * recent STRICTLY PRECEDING view (stream order (tus, event_id))
+    * and the elapsed gap. Pass 1 finds the attributed view TIME with
+    * one running-max window over the user partition (no per-purchase
+    * scan-back); pass 2 recovers that view's event_id with an exact
+    * integer equi-join on (user, time) — `min(event_id)` makes
+    * same-timestamp duplicates deterministic. Purchases with no
+    * preceding view drop out, mirrored in the oracle. */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter($"user_id".isNotNull)
+      .select($"user_id", $"event_id", expr("ts DIV 1000").as("tus"),
+        $"event_type")
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val purchases = ev
+      .withColumn("view_tus",
+        max(when($"event_type" === "view", $"tus")).over(w))
+      .filter($"event_type" === "purchase" && $"view_tus".isNotNull)
+      .select($"user_id", $"event_id".as("purchase_id"),
+        $"tus".as("purchase_tus"), $"view_tus")
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"tus".as("view_tus"))
+      .agg(min($"event_id").as("view_id"))
+    purchases.join(views, Seq("user_id", "view_tus"))
+      .select($"user_id", $"purchase_id", $"purchase_tus",
+        $"view_id", $"view_tus",
+        ($"purchase_tus" - $"view_tus").as("gap_us"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  val qAttributionSql: String =
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus, event_type
+      |            FROM events WHERE user_id IS NOT NULL),
+      |p AS (SELECT user_id, event_id AS purchase_id, tus AS purchase_tus,
+      |        MAX(CASE WHEN event_type = 'view' THEN tus END) OVER
+      |          (PARTITION BY user_id ORDER BY tus, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_tus,
+      |        event_type
+      |      FROM ev),
+      |v AS (SELECT user_id, tus AS view_tus, MIN(event_id) AS view_id
+      |      FROM ev WHERE event_type = 'view' GROUP BY 1, 2)
+      |SELECT user_id, purchase_id, purchase_tus, view_id, view_tus,
+      |  purchase_tus - view_tus AS gap_us
+      |FROM p JOIN v USING (user_id, view_tus)
+      |WHERE event_type = 'purchase'
+      |ORDER BY user_id, purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Lag-1 autocorrelation per object, exact to the final division:
+    * all five sufficient statistics over consecutive pairs
+    * (Σx, Σy, Σxy, Σx², Σy² with x = previous, y = current, in c100)
+    * are integer sums off ONE lag window pass, the covariance/
+    * variance numerators are integer bilinears of those, and only
+    * the final Pearson ratio touches IEEE — one sqrt+division,
+    * identical on both engines. The variability statistic Pserv's
+    * light-curve users compute after the reduced-χ². */
+  def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    series(s, dir)
+      .withColumn("px", lag($"xc", 1).over(w))
+      .filter($"px".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n1"),
+        sum($"px").as("sx"), sum($"xc").as("sy"),
+        sum($"px" * $"xc").as("sxy"),
+        sum($"px" * $"px").as("sxx"),
+        sum($"xc" * $"xc").as("syy"))
+      .withColumn("cov_num", $"n1" * $"sxy" - $"sx" * $"sy")
+      .withColumn("varx_num", $"n1" * $"sxx" - $"sx" * $"sx")
+      .withColumn("vary_num", $"n1" * $"syy" - $"sy" * $"sy")
+      .withColumn("r1",
+        when($"varx_num" > 0 && $"vary_num" > 0,
+          $"cov_num" / sqrt($"varx_num".cast("double") * $"vary_num")))
+      .select($"user_id", $"n1", $"cov_num", $"varx_num", $"vary_num", $"r1")
+      .orderBy($"user_id")
+  }
+
+  val qAutocorrSql: String =
+    """WITH l AS (SELECT user_id, xc,
+      |    LAG(xc, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS px
+      |  FROM (SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |          CAST(ROUND(value*100) AS BIGINT) AS xc FROM events)),
+      |s AS (SELECT user_id, COUNT(*) AS n1,
+      |    CAST(SUM(px) AS BIGINT) AS sx, CAST(SUM(xc) AS BIGINT) AS sy,
+      |    CAST(SUM(px*xc) AS BIGINT) AS sxy,
+      |    CAST(SUM(px*px) AS BIGINT) AS sxx,
+      |    CAST(SUM(xc*xc) AS BIGINT) AS syy
+      |  FROM l WHERE px IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n1,
+      |  CAST(n1*sxy - sx*sy AS BIGINT) AS cov_num,
+      |  CAST(n1*sxx - sx*sx AS BIGINT) AS varx_num,
+      |  CAST(n1*syy - sy*sy AS BIGINT) AS vary_num,
+      |  CASE WHEN n1*sxx - sx*sx > 0 AND n1*syy - sy*sy > 0 THEN
+      |    (n1*sxy - sx*sy) / SQRT(CAST(n1*sxx - sx*sx AS DOUBLE)
+      |      * (n1*syy - sy*sy)) END AS r1
+      |FROM s ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
   /** The id probed by the point-lookup query — exists at every SF
     * (user_ids are dense from 0). */
   val LookupId = 7L
@@ -688,7 +789,9 @@ object TimeSeries {
     "q_streaks" -> (qStreaks _),
     "q_ema" -> (qEma _),
     "q_transitions" -> (qTransitions _),
-    "q_running_distinct" -> (qRunningDistinct _))
+    "q_running_distinct" -> (qRunningDistinct _),
+    "q_attribution" -> (qAttribution _),
+    "q_autocorr" -> (qAutocorr _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -706,5 +809,7 @@ object TimeSeries {
     "q_streaks" -> qStreaksSql,
     "q_ema" -> qEmaSql,
     "q_transitions" -> qTransitionsSql,
-    "q_running_distinct" -> qRunningDistinctSql)
+    "q_running_distinct" -> qRunningDistinctSql,
+    "q_attribution" -> qAttributionSql,
+    "q_autocorr" -> qAutocorrSql)
 }

@@ -109,4 +109,25 @@ class SpatialSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "nearest-nbr planned a product")
     df.unpersist()
   }
+
+  test("q_knn3 is planned onto the bounded-heap TopK operator and ranks correctly") {
+    import org.apache.spark.sql.functions._
+    val df = queries.Spatial.qKnn3(spark, sf)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // with GraftExtensions the idiom becomes FinalTopK (verified in
+    // TopKPerKeySpec); this shared session runs without the extension,
+    // where Spark's own WindowGroupLimit must still bound the heap
+    assert(plan.contains("FinalTopK") || plan.contains("WindowGroupLimit"),
+      s"top-3 idiom planned as an unbounded per-group sort:\n$plan")
+    // per point: at most 3 neighbors, ranks dense from 1, distances
+    // non-decreasing with rank
+    val byK = rows
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+      .groupBy(_._1).values
+    assert(byK.forall(_.length <= 3))
+    assert(byK.forall(g => g.map(_._2).sorted.toSeq == (1 to g.length).toSeq))
+    assert(byK.forall(g => g.sortBy(_._2).sliding(2).forall(
+      w => w.length < 2 || w(0)._3 <= w(1)._3)))
+  }
 }
