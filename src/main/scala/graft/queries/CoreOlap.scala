@@ -979,7 +979,48 @@ object CoreOlap {
       |WHERE cumw >= (tot + 1) // 2 AND cumw - qty < (tot + 1) // 2
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Full-outer reconciliation: per calendar day, order count vs
+    * event count, keeping days present on EITHER side — the
+    * two-source audit join every warehouse runs between an
+    * operational table and its telemetry. One aggregate per side
+    * (map-side combinable, day-keyed) then a full-outer join on the
+    * tiny day domain; the `side` flag makes one-sided days explicit
+    * rather than silently zero-filled. */
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val od = Tables.orders(s, dir)
+      .groupBy(expr("CAST(to_date(o_orderdate) AS STRING)").as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ed = Tables.events(s, dir)
+      .groupBy(graft.operators.Rollup.dayOfTs.as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    od.join(ed, Seq("day"), "full_outer")
+      .select($"day",
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        when($"n_orders".isNull, "events_only")
+          .when($"n_events".isNull, "orders_only")
+          .otherwise("both").as("side"))
+      .orderBy($"day")
+  }
+
+  val qFullOuterSql: String =
+    """WITH od AS (SELECT STRFTIME(o_orderdate, '%Y-%m-%d') AS day,
+      |    COUNT(*) AS n_orders FROM orders GROUP BY 1),
+      |ed AS (SELECT STRFTIME(ts, '%Y-%m-%d') AS day,
+      |    COUNT(*) AS n_events FROM events GROUP BY 1)
+      |SELECT COALESCE(od.day, ed.day) AS day,
+      |  COALESCE(n_orders, 0) AS n_orders,
+      |  COALESCE(n_events, 0) AS n_events,
+      |  CASE WHEN n_orders IS NULL THEN 'events_only'
+      |       WHEN n_events IS NULL THEN 'orders_only'
+      |       ELSE 'both' END AS side
+      |FROM od FULL OUTER JOIN ed ON od.day = ed.day
+      |ORDER BY day""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_full_outer" -> (qFullOuter _),
     "q_percent_rank" -> (qPercentRank _),
     "q_weighted_median" -> (qWeightedMedian _),
     "q_histogram" -> (qHistogram _),
@@ -1012,6 +1053,7 @@ object CoreOlap {
     "q_asof_join" -> (qAsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_full_outer" -> qFullOuterSql,
     "q_percent_rank" -> qPercentRankSql,
     "q_weighted_median" -> qWeightedMedianSql,
     "q_histogram" -> qHistogramSql,

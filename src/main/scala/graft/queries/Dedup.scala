@@ -680,6 +680,39 @@ object Dedup {
       |FROM canon GROUP BY 1 ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------
+  // ---------------------------------------------------------------
+  /** Degree distribution of the near-dup pair graph — the telemetry
+    * histogram that catches boilerplate explosions (a template shared
+    * by thousands of docs shows up as a fat high-degree tail long
+    * before the clustering step melts down). Two combinable
+    * aggregates over the pair list; output is ≤ max-degree rows. */
+  def qDegreeDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = ngramJaccardPairs(Tables.documents(s, dir)).select($"d1", $"d2")
+    p.select($"d1".as("v")).union(p.select($"d2".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+      .groupBy($"deg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy($"deg")
+  }
+
+  val qDegreeDistSql: String =
+    s"""WITH g AS ($gramRowsSql),
+       |n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+       |gf AS (SELECT doc_id, gram FROM (
+       |        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM g)
+       |       WHERE df <= $GramDfCap),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+       |      FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |jp AS (SELECT d1, d2
+       |       FROM p JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
+       |       WHERE inter * 2 >= na.ng + nb.ng - inter),
+       |deg AS (SELECT v, COUNT(*) AS deg FROM (
+       |          SELECT d1 AS v FROM jp UNION ALL SELECT d2 FROM jp)
+       |        GROUP BY 1)
+       |SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY 1"""
+      .stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
@@ -691,7 +724,8 @@ object Dedup {
     "q_dedup_clusters" -> (qDedupClusters _),
     "q_triangles" -> (qTriangles _),
     "q_pagerank" -> (qPageRank _),
-    "q_pipeline_clean" -> (qPipelineClean _))
+    "q_pipeline_clean" -> (qPipelineClean _),
+    "q_degree_dist" -> (qDegreeDist _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_clusters" -> qDedupClustersSql,
@@ -701,5 +735,6 @@ object Dedup {
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_edit_dist_pairs" -> qEditDistPairsSql,
-    "q_pipeline_clean" -> qPipelineCleanSql)
+    "q_pipeline_clean" -> qPipelineCleanSql,
+    "q_degree_dist" -> qDegreeDistSql)
 }

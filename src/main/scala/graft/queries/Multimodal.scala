@@ -88,10 +88,52 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------
+  /** Frame sampling over a binary payload: the blob is a stream of
+    * fixed [[FrameBytes]]-byte frames (a fake video); every
+    * [[FrameStride]]-th frame is sliced out with typed per-frame
+    * metadata — the decode-free subsampling step a video pipeline
+    * runs BEFORE the expensive codec, expressed declaratively
+    * (sequence + explode + byte slicing, all codegen; no UDF). Frame
+    * digests are over the frame's hex image so the oracle (DuckDB has
+    * no BLOB substring) can hash the identical value. */
+  val FrameBytes = 64
+  val FrameStride = 8
+
+  def qBlobFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    blobs(s, dir)
+      .filter(length($"blob") > 0)
+      .withColumn("n_frames",
+        expr(s"CAST((length(blob) + ${FrameBytes - 1}) DIV $FrameBytes AS INT)"))
+      .withColumn("fi", explode(expr(
+        s"sequence(0, n_frames - 1, $FrameStride)")))
+      .withColumn("fhex",
+        lower(hex(expr(s"substring(blob, fi * $FrameBytes + 1, $FrameBytes)"))))
+      .select($"doc_id", $"n_frames", $"fi",
+        (length($"fhex") / 2).cast("int").as("frame_len"),
+        sha2($"fhex", 256).as("frame_sha"))
+      .orderBy($"doc_id", $"fi")
+  }
+
+  val qBlobFrameSampleSql: String =
+    s"""WITH b AS (SELECT doc_id, LOWER(HEX(ENCODE(text))) AS h,
+       |    CAST((OCTET_LENGTH(ENCODE(text)) + ${FrameBytes - 1}) // $FrameBytes AS INT) AS n_frames
+       |  FROM documents WHERE OCTET_LENGTH(ENCODE(text)) > 0)
+       |SELECT doc_id, n_frames, CAST(fi AS INT) AS fi,
+       |  CAST(LENGTH(SUBSTRING(h, fi * ${2 * FrameBytes} + 1, ${2 * FrameBytes})) // 2 AS INT) AS frame_len,
+       |  SHA256(SUBSTRING(h, fi * ${2 * FrameBytes} + 1, ${2 * FrameBytes})) AS frame_sha
+       |FROM (SELECT doc_id, h, n_frames,
+       |        UNNEST(generate_series(0, n_frames - 1, $FrameStride)) AS fi
+       |      FROM b)
+       |ORDER BY doc_id, fi""".stripMargin
+
+  // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_blob_meta" -> (qBlobMeta _),
-    "q_blob_features" -> (qBlobFeatures _))
+    "q_blob_features" -> (qBlobFeatures _),
+    "q_blob_framesample" -> (qBlobFrameSample _))
 
   val oracles: Map[String, String] = Map(
-    "q_blob_meta" -> qBlobMetaSql)
+    "q_blob_meta" -> qBlobMetaSql,
+    "q_blob_framesample" -> qBlobFrameSampleSql)
 }
