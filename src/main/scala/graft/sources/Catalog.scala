@@ -193,6 +193,36 @@ object Catalog {
     val got = df.schema.map(f => (f.name, f.dataType))
     require(got == want,
       s"schema drift appending to $table: got $got, declared $want")
+    stagedAppend(s, df, path)
+  }
+
+  /** Schema-EVOLVING append: the batch must carry every declared
+    * column of `table` at its declared type (same core-schema
+    * contract as [[append]]) and may ADD new columns — the one
+    * evolution parquet supports losslessly: old files simply lack the
+    * new column and surface NULL under a merged-schema read
+    * ([[readEvolved]]). Type changes and dropped declared columns
+    * still FAILFAST — those are corruption, not evolution. Same
+    * crash-safe staging commit as [[append]]. */
+  def appendEvolve(s: SparkSession, table: String, df: DataFrame,
+    path: String): Unit = {
+    val got = df.schema.map(f => (f.name, f.dataType)).toMap
+    schemas(table).foreach { f =>
+      require(got.contains(f.name),
+        s"evolving append to $table dropped declared column ${f.name}")
+      require(got(f.name) == f.dataType,
+        s"evolving append to $table changed ${f.name}: " +
+          s"${got(f.name)} vs declared ${f.dataType}")
+    }
+    stagedAppend(s, df, path)
+  }
+
+  /** Union-schema read over an evolved table: files written before a
+    * column existed surface NULL for it. */
+  def readEvolved(s: SparkSession, path: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(path)
+
+  private def stagedAppend(s: SparkSession, df: DataFrame, path: String): Unit = {
     require(!appendPending(s, path),
       s"$path has leftover _tmp_append_* staging dirs from a crashed append; " +
         "run Catalog.recoverAppends to roll them forward/back first")

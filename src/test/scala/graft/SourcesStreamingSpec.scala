@@ -233,6 +233,40 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == nation.count())
   }
 
+  test("lifecycle: evolving append adds columns; old rows surface NULL; mutations rejected") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft_evo").toString + "/nation"
+    val nation = Catalog.readParquet(spark, "nation", s"$sf/nation.parquet")
+    Catalog.createIfAbsent(spark, nation, out)
+    val n1 = spark.read.parquet(out).count()
+    // evolve: add a quality column the original schema lacks
+    val evolved = nation.withColumn("quality", lit(7).cast("int"))
+    Catalog.appendEvolve(spark, "nation", evolved, out)
+    val merged = Catalog.readEvolved(spark, out)
+    assert(merged.count() == 2 * n1)
+    assert(merged.columns.contains("quality"))
+    assert(merged.filter(col("quality").isNull).count() == n1,
+      "pre-evolution rows must surface NULL for the new column")
+    assert(merged.filter(col("quality") === 7).count() == n1)
+    // a dropped declared column is corruption, not evolution
+    val e1 = intercept[IllegalArgumentException] {
+      Catalog.appendEvolve(spark, "nation", nation.drop("n_regionkey"), out)
+    }
+    assert(e1.getMessage.contains("dropped declared column"))
+    // so is a type change
+    val e2 = intercept[IllegalArgumentException] {
+      Catalog.appendEvolve(spark, "nation",
+        nation.withColumn("n_nationkey", col("n_nationkey").cast("string")), out)
+    }
+    assert(e2.getMessage.contains("changed"))
+    // the STRICT append still rejects the extra column
+    intercept[IllegalArgumentException] {
+      Catalog.append(spark, "nation", evolved, out)
+    }
+    assert(Catalog.readEvolved(spark, out).count() == 2 * n1,
+      "failed appends must not write")
+  }
+
   test("lifecycle: append grows the table; schema drift is rejected before writing") {
     val out = Files.createTempDirectory("graft_app").toString + "/nation"
     val nation = Catalog.readParquet(spark, "nation", s"$sf/nation.parquet")
