@@ -745,6 +745,38 @@ object TimeSeries {
       |FROM s ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Hopping-window aggregate: 2-hour windows sliding by 1 hour (each
+    * event lands in exactly 2 overlapping windows) — the batch twin
+    * of the streaming `window(size, hop)` operator. The ×2 row
+    * expansion is a codegen'd explode of the two window starts; the
+    * aggregate stays map-side combinable on the (window, type) key.
+    * At any hop ratio the expansion factor is size/hop — bounded and
+    * explicit, never a range join. */
+  val HopUs = 3600000000L // 1 hour
+
+  def qHopping(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select($"event_type", expr("ts DIV 1000").as("tus"),
+        round($"value" * 100).cast("long").as("xc"))
+      .withColumn("h", expr(s"tus DIV $HopUs"))
+      .withColumn("ws", explode(array($"h" - 1, $"h")))
+      .groupBy($"ws", $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"xc").as("sum_xc"))
+      .orderBy($"ws", $"event_type")
+  }
+
+  val qHoppingSql: String =
+    s"""SELECT ws, event_type, COUNT(*) AS n,
+       |  CAST(SUM(xc) AS BIGINT) AS sum_xc
+       |FROM (SELECT event_type, xc,
+       |        UNNEST([h - 1, h]) AS ws
+       |      FROM (SELECT event_type,
+       |              CAST(ROUND(value*100) AS BIGINT) AS xc,
+       |              epoch_us(ts) // $HopUs AS h FROM events))
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------
   /** The id probed by the point-lookup query — exists at every SF
     * (user_ids are dense from 0). */
   val LookupId = 7L
@@ -791,7 +823,8 @@ object TimeSeries {
     "q_transitions" -> (qTransitions _),
     "q_running_distinct" -> (qRunningDistinct _),
     "q_attribution" -> (qAttribution _),
-    "q_autocorr" -> (qAutocorr _))
+    "q_autocorr" -> (qAutocorr _),
+    "q_hopping" -> (qHopping _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -811,5 +844,6 @@ object TimeSeries {
     "q_transitions" -> qTransitionsSql,
     "q_running_distinct" -> qRunningDistinctSql,
     "q_attribution" -> qAttributionSql,
-    "q_autocorr" -> qAutocorrSql)
+    "q_autocorr" -> qAutocorrSql,
+    "q_hopping" -> qHoppingSql)
 }

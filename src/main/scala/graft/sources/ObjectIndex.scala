@@ -47,6 +47,24 @@ object ObjectIndex {
       .write.mode("overwrite").partitionBy("obkt").parquet(outPath)
   }
 
+  /** Incremental maintenance: append a delta batch into its bucket
+    * directories (same hash discipline, one new file per non-empty
+    * bucket, sorted within). Lookups stay single-directory — they now
+    * read the bucket's few files instead of one; periodic
+    * [[Catalog.compactPartitions]] over `obkt=` folds them back to
+    * one file per bucket. The delta repartition touches only delta
+    * rows: maintenance cost tracks the BATCH, never the index. */
+  def append(s: SparkSession, delta: org.apache.spark.sql.DataFrame,
+    outPath: String, numBuckets: Int = DefaultBuckets): Unit = {
+    import s.implicits._
+    delta
+      .filter($"user_id".isNotNull)
+      .withColumn("obkt", pmod($"user_id", lit(numBuckets)).cast("int"))
+      .repartition(numBuckets, $"obkt")
+      .sortWithinPartitions($"user_id", $"ts", $"event_id")
+      .write.mode("append").partitionBy("obkt").parquet(outPath)
+  }
+
   /** Point lookup against the index layout. Returns the same
     * projection as `TimeSeries.qObjectLookup` over the flat table —
     * the spec asserts both the parity and that the scan read exactly

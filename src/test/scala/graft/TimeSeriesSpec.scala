@@ -194,4 +194,45 @@ class TimeSeriesSpec extends AnyFunSuite {
         s"user_id filter not pushed to parquet:\n$planStr")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("object-index append keeps lookups single-directory and complete") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_objidx_app").toString
+    val nb = 16
+    val ev = Tables.events(spark, sf)
+    // build from the first half, append the second as a delta batch
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sources.ObjectIndex.build(spark, sf, out, nb)
+    // overwrite with half, then append the rest (simulating ingest)
+    val half = ev.filter(col("event_id") < 500)
+    half.filter(col("user_id").isNotNull)
+      .withColumn("obkt", pmod(col("user_id"), lit(nb)).cast("int"))
+      .repartition(nb, col("obkt"))
+      .sortWithinPartitions("user_id", "ts", "event_id")
+      .write.mode("overwrite").partitionBy("obkt").parquet(out)
+    sources.ObjectIndex.append(spark, ev.filter(col("event_id") >= 500), out, nb)
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val id = queries.TimeSeries.LookupId
+      val idx = sources.ObjectIndex.lookup(spark, out, id, nb)
+      val got = idx.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val want = queries.TimeSeries.qObjectLookup(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == want.toSeq, "post-append lookup lost or duplicated rows")
+      // still exactly ONE bucket directory read — its (now two) files
+      val bucketDir = new java.io.File(out, s"obkt=${id % nb}")
+      val filesInBucket = bucketDir.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(filesInBucket == 2, s"expected 2 files in bucket, got $filesInBucket")
+      val scans = idx.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty,
+        "no PartitionFilters on the appended-index scan")
+      assert(scans.head.metrics("numFiles").value == filesInBucket.toLong,
+        s"lookup read ${scans.head.metrics("numFiles").value} files, " +
+          s"wanted the bucket's $filesInBucket")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
