@@ -21,4 +21,16 @@ object SparkEntry {
     CoreOlap.oracles ++ TimeSeries.oracles ++ Spatial.oracles ++
       Text.oracles ++ Dedup.oracles ++ Ann.oracles ++ Multimodal.oracles ++
       Sketches.oracles ++ Behavior.oracles ++ Quality.oracles
+
+  /** SQL surface: register every catalog table of `dir` as a temp
+    * view so `spark.sql("SELECT ... FROM lineitem ...")` works — the
+    * reference's users write SQL, and with `GraftExtensions` active
+    * the custom functions (minhash_sig, simhash64, …) resolve there
+    * too. Views are lazy; no data moves at registration. */
+  def registerTables(spark: SparkSession, dir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .foreach { t =>
+        spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
+      }
 }

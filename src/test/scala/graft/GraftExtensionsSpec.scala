@@ -117,4 +117,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val top = plans.TopKPerKey(df, Seq("GRP"), Seq("SCORE" -> false), 1)
     assert(top.count() == 2)
   }
+
+  test("registerTables exposes the SQL surface; a plain SQL query matches the DataFrame API") {
+    val s = SparkTestSession.spark
+    SparkEntry.registerTables(s, SparkTestSession.sf)
+    val viaSql = s.sql(
+      """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+    import org.apache.spark.sql.functions._
+    val viaDf = Tables.lineitem(s, SparkTestSession.sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("l_returnflag")).collect()
+    assert(viaSql.map(_.toSeq).toSeq == viaDf.map(_.toSeq).toSeq)
+    assert(s.catalog.tableExists("documents") && s.catalog.tableExists("events"))
+  }
 }
