@@ -206,15 +206,63 @@ object Behavior {
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** RFM segmentation: per user, recency (days since last purchase at
+    * the corpus horizon), frequency (purchase count) and monetary
+    * (exact cent sum), each cut at FIXED domain thresholds into
+    * 1–3 scores concatenated to a segment code. One combinable
+    * shuffle on user_id; the horizon rides in as a broadcast scalar.
+    * Fixed thresholds (not per-corpus quantiles) keep a user's
+    * segment stable as the corpus grows — the production choice, and
+    * exact-integer parity for free. */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = ev(s, dir).filter($"event_type" === "purchase")
+    val horizon = p.agg(max($"tus").as("h"))
+    p.groupBy($"user_id")
+      .agg(max($"tus").as("last_tus"),
+        count(lit(1)).as("freq"))
+      .crossJoin(broadcast(horizon))
+      .withColumn("rec_days", expr(s"(h - last_tus) DIV $DayUs"))
+      .withColumn("r_score",
+        when($"rec_days" <= 3, 3).when($"rec_days" <= 10, 2).otherwise(1))
+      .withColumn("f_score",
+        when($"freq" >= 20, 3).when($"freq" >= 8, 2).otherwise(1))
+      .withColumn("segment",
+        concat($"r_score".cast("string"), $"f_score".cast("string")))
+      .select($"user_id", $"rec_days", $"freq", $"r_score", $"f_score",
+        $"segment")
+      .orderBy($"user_id")
+  }
+
+  val qRfmSql: String =
+    s"""WITH p AS (SELECT user_id, epoch_us(ts) AS tus FROM events
+       |           WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+       |h AS (SELECT MAX(tus) AS h FROM p),
+       |u AS (SELECT user_id, MAX(tus) AS last_tus, COUNT(*) AS freq
+       |      FROM p GROUP BY 1)
+       |SELECT user_id, (h - last_tus) // $DayUs AS rec_days, freq,
+       |  CASE WHEN (h - last_tus) // $DayUs <= 3 THEN 3
+       |       WHEN (h - last_tus) // $DayUs <= 10 THEN 2 ELSE 1 END AS r_score,
+       |  CASE WHEN freq >= 20 THEN 3 WHEN freq >= 8 THEN 2 ELSE 1 END AS f_score,
+       |  CAST(CASE WHEN (h - last_tus) // $DayUs <= 3 THEN 3
+       |       WHEN (h - last_tus) // $DayUs <= 10 THEN 2 ELSE 1 END AS VARCHAR)
+       |    || CAST(CASE WHEN freq >= 20 THEN 3 WHEN freq >= 8 THEN 2
+       |            ELSE 1 END AS VARCHAR) AS segment
+       |FROM u CROSS JOIN h
+       |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_audience_overlap" -> (qAudienceOverlap _),
-    "q_sequence_match" -> (qSequenceMatch _))
+    "q_sequence_match" -> (qSequenceMatch _),
+    "q_rfm" -> (qRfm _))
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
     "q_retention" -> qRetentionSql,
     "q_audience_overlap" -> qAudienceOverlapSql,
-    "q_sequence_match" -> qSequenceMatchSql)
+    "q_sequence_match" -> qSequenceMatchSql,
+    "q_rfm" -> qRfmSql)
 }

@@ -713,6 +713,31 @@ object Dedup {
        |SELECT deg, COUNT(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY 1"""
       .stripMargin
 
+  // ---------------------------------------------------------------
+  /** Dedup-rate telemetry per source: docs, distinct contents, dup
+    * count and integer dup-permille — the per-feed health figure a
+    * pipeline alerts on (one crawler feed going 90% duplicate is an
+    * incident, not a statistic). COUNT(DISTINCT hash) per group —
+    * exact, two-level aggregate, no join. */
+  def qDupRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"source", md5($"text").as("fp"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct($"fp").as("n_distinct"))
+      .withColumn("n_dups", $"n_docs" - $"n_distinct")
+      .withColumn("dup_pm", expr("(1000 * n_dups) DIV n_docs"))
+      .orderBy($"source")
+  }
+
+  val qDupRatioSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT MD5(text)) AS n_distinct,
+      |  COUNT(*) - COUNT(DISTINCT MD5(text)) AS n_dups,
+      |  (1000 * (COUNT(*) - COUNT(DISTINCT MD5(text)))) // COUNT(*) AS dup_pm
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
@@ -725,7 +750,8 @@ object Dedup {
     "q_triangles" -> (qTriangles _),
     "q_pagerank" -> (qPageRank _),
     "q_pipeline_clean" -> (qPipelineClean _),
-    "q_degree_dist" -> (qDegreeDist _))
+    "q_degree_dist" -> (qDegreeDist _),
+    "q_dup_ratio" -> (qDupRatio _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_clusters" -> qDedupClustersSql,
@@ -736,5 +762,6 @@ object Dedup {
     "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_edit_dist_pairs" -> qEditDistPairsSql,
     "q_pipeline_clean" -> qPipelineCleanSql,
-    "q_degree_dist" -> qDegreeDistSql)
+    "q_degree_dist" -> qDegreeDistSql,
+    "q_dup_ratio" -> qDupRatioSql)
 }
