@@ -32,7 +32,9 @@ object Bench {
     // round-7 additions: iterative graph (regresses silently if the
     // active-set optimization breaks), the two sort-free quantile ops,
     // the histogram-split exact ntile, and the cell-bounded skyline
-    "q_pagerank", "q_mode", "q_quartile_bucket", "q_ntile", "q_skyline")
+    "q_pagerank", "q_mode", "q_quartile_bucket", "q_ntile", "q_skyline",
+    // round-7 wave-2: spatial argmin, exact EMA, RankSplit-ranked vocab
+    "q_nearest_nbr", "q_ema", "q_zipf")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

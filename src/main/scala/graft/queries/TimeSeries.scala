@@ -777,6 +777,52 @@ object TimeSeries {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Per-object linear flux trend (least-squares slope) — the
+    * light-curve secular-variability fit. Time is rebased per object
+    * to MINUTES since its first measurement, so every sufficient
+    * statistic stays in exact integer range (30-day span → t ≤ 43 200,
+    * Σt² ≤ 2e12·n — no overflow at any realistic series length) and
+    * the slope numerator/denominator are exact integers; only the
+    * final division is IEEE. Two window/aggregate passes over ONE
+    * user_id shuffle (the rebase min reuses the aggregation
+    * partitioning). */
+  def qLightcurveTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    series(s, dir)
+      .withColumn("tmin", expr("(tus - min(tus) OVER (PARTITION BY user_id)) DIV 60000000"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"tmin").as("st"), sum($"xc").as("sx"),
+        sum($"tmin" * $"xc").as("stx"),
+        sum($"tmin" * $"tmin").as("stt"))
+      .withColumn("slope_num", $"n" * $"stx" - $"st" * $"sx")
+      .withColumn("slope_den", $"n" * $"stt" - $"st" * $"st")
+      .withColumn("slope_c100_per_min",
+        when($"slope_den" > 0, $"slope_num" / $"slope_den".cast("double")))
+      .select($"user_id", $"n", $"slope_num", $"slope_den",
+        $"slope_c100_per_min")
+      .orderBy($"user_id")
+  }
+
+  val qLightcurveTrendSql: String =
+    """WITH b AS (SELECT user_id,
+      |    (tus - MIN(tus) OVER (PARTITION BY user_id)) // 60000000 AS tmin, xc
+      |  FROM (SELECT user_id, epoch_us(ts) AS tus,
+      |          CAST(ROUND(value*100) AS BIGINT) AS xc FROM events)),
+      |a AS (SELECT user_id, COUNT(*) AS n,
+      |    CAST(SUM(tmin) AS BIGINT) AS st, CAST(SUM(xc) AS BIGINT) AS sx,
+      |    CAST(SUM(tmin*xc) AS BIGINT) AS stx,
+      |    CAST(SUM(tmin*tmin) AS BIGINT) AS stt
+      |  FROM b GROUP BY 1)
+      |SELECT user_id, n,
+      |  CAST(n*stx - st*sx AS BIGINT) AS slope_num,
+      |  CAST(n*stt - st*st AS BIGINT) AS slope_den,
+      |  CASE WHEN n*stt - st*st > 0 THEN
+      |    (n*stx - st*sx) / CAST(n*stt - st*st AS DOUBLE) END
+      |    AS slope_c100_per_min
+      |FROM a ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
   /** The id probed by the point-lookup query — exists at every SF
     * (user_ids are dense from 0). */
   val LookupId = 7L
@@ -824,7 +870,8 @@ object TimeSeries {
     "q_running_distinct" -> (qRunningDistinct _),
     "q_attribution" -> (qAttribution _),
     "q_autocorr" -> (qAutocorr _),
-    "q_hopping" -> (qHopping _))
+    "q_hopping" -> (qHopping _),
+    "q_lightcurve_trend" -> (qLightcurveTrend _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -845,5 +892,6 @@ object TimeSeries {
     "q_running_distinct" -> qRunningDistinctSql,
     "q_attribution" -> qAttributionSql,
     "q_autocorr" -> qAutocorrSql,
-    "q_hopping" -> qHoppingSql)
+    "q_hopping" -> qHoppingSql,
+    "q_lightcurve_trend" -> qLightcurveTrendSql)
 }
