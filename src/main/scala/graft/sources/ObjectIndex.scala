@@ -65,6 +65,45 @@ object ObjectIndex {
       .write.mode("append").partitionBy("obkt").parquet(outPath)
   }
 
+  /** One micro-batch of streaming index maintenance, factored out so
+    * the spec can replay it. The batch lands under
+    * `obkt=<b>/ibatch=<batchId>` with DYNAMIC partition overwrite —
+    * the same replay-idempotence discipline as
+    * [[graft.streaming.EventStream.applyIngestBatch]]: an
+    * at-least-once foreachBatch replay overwrites ITS OWN
+    * subpartitions instead of duplicating rows. `lookup` is
+    * unaffected: `obkt` stays the first-level partition key, so the
+    * scan still lists exactly one bucket tree. */
+  def applyIndexBatch(batch: org.apache.spark.sql.DataFrame, batchId: Long,
+    outPath: String, numBuckets: Int = DefaultBuckets): Unit =
+    if (!batch.isEmpty) {
+      import batch.sparkSession.implicits._
+      batch
+        .filter($"user_id".isNotNull)
+        .withColumn("obkt", pmod($"user_id", lit(numBuckets)).cast("int"))
+        .withColumn("ibatch", lit(batchId))
+        .repartition(numBuckets, $"obkt")
+        .sortWithinPartitions($"user_id", $"ts", $"event_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("obkt", "ibatch")
+        .parquet(outPath)
+    }
+
+  /** Streaming director-index maintenance: every micro-batch of the
+    * event stream lands in its bucket directories exactly once across
+    * restarts; point lookups stay single-bucket throughout. Callers
+    * own the returned query's lifecycle. */
+  def ingestStream(events: org.apache.spark.sql.DataFrame, outPath: String,
+    checkpointPath: String, numBuckets: Int = DefaultBuckets)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        applyIndexBatch(b.toDF(), id, outPath, numBuckets)
+      }
+      .option("checkpointLocation", checkpointPath)
+      .start()
+
   /** Point lookup against the index layout. Returns the same
     * projection as `TimeSeries.qObjectLookup` over the flat table —
     * the spec asserts both the parity and that the scan read exactly

@@ -676,6 +676,46 @@ class EventStreamSpec extends AnyFunSuite {
       "rollup diverged after batch replay")
   }
 
+  test("streaming object-index ingest: lookups stay single-bucket; replays idempotent") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_idxstream")
+    val in = base.resolve("in").toString
+    val idx = base.resolve("idx").toString
+    val cp = base.resolve("cp").toString
+    val events = Tables.events(spark, sf)
+    val nb = 16
+    def stream() = spark.readStream
+      .schema(Catalog.schemas("events")).parquet(in)
+    val id = queries.TimeSeries.LookupId
+
+    events.filter("event_id < 500").write.mode("append").parquet(in)
+    val q1 = graft.sources.ObjectIndex.ingestStream(stream(), idx, cp, nb)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(graft.sources.ObjectIndex.lookup(spark, idx, id, nb)
+      .collect().map(_.getLong(1)).sorted.toSeq ==
+      queries.TimeSeries.qObjectLookup(spark, sf)
+        .filter($"event_id" < 500).collect().map(_.getLong(1)).sorted.toSeq)
+
+    // restart with new files: resume exactly-once
+    events.filter("event_id >= 500").write.mode("append").parquet(in)
+    val q2 = graft.sources.ObjectIndex.ingestStream(stream(), idx, cp, nb)
+    try q2.processAllAvailable() finally q2.stop()
+    val full = graft.sources.ObjectIndex.lookup(spark, idx, id, nb)
+    assert(full.collect().map(_.getLong(1)).sorted.toSeq ==
+      queries.TimeSeries.qObjectLookup(spark, sf)
+        .collect().map(_.getLong(1)).sorted.toSeq,
+      "post-restart index lookup lost or duplicated rows")
+
+    // replaying the SAME batch id must not duplicate
+    graft.sources.ObjectIndex.applyIndexBatch(
+      events.filter("event_id < 100"), 999L, idx, nb)
+    graft.sources.ObjectIndex.applyIndexBatch(
+      events.filter("event_id < 100"), 999L, idx, nb)
+    val dups = spark.read.parquet(idx).groupBy("event_id")
+      .count().filter($"count" > 2).count()
+    assert(dups == 0, "replayed index batch duplicated rows")
+  }
+
   test("stream-stream interval join pairs clicks with preceding views only") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
