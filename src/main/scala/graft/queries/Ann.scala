@@ -218,10 +218,90 @@ object Ann {
        |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
 
   // ---------------------------------------------------------------
+  private[queries] val PqM = 8        // subspaces (64 dims → 8 per subspace)
+  private[queries] val PqK = 8        // centroids per subspace
+  private[queries] val PqSub = 8      // dims per subspace
+  private[queries] val PqCand = 100   // ADC candidates re-ranked exactly
+
+  /** Product-quantization ANN — the memory-side 100 TB lever IVF does
+    * not provide: each vector compresses to [[PqM]] one-byte codes
+    * (64 dims × 8 bytes → 8 bytes, 64×), and candidate scoring reads
+    * CODES, not vectors.
+    *
+    *  1. "train": per subspace, [[PqK]] centroid subvectors from the
+    *     same deterministic codebook rows as IVF — shipped as one
+    *     nested literal (model parameters, not data);
+    *  2. encode: per row and subspace, argmin integer L2 to the
+    *     subspace centroids (codegen'd array fold over literals —
+    *     one corpus scan, zero shuffle; at rest the codes column is
+    *     what a production table stores);
+    *  3. ADC: per (query, row), the asymmetric distance is the exact
+    *     integer L2 between the query and the row's RECONSTRUCTION
+    *     (the chosen centroids concatenated) — equal to the classic
+    *     per-subspace lookup-table sum, expressed declaratively;
+    *  4. top-[[PqCand]] by (adc, vid) per query (bounded heap), then
+    *     the standard exact integer-cosine re-rank to top-[[K]].
+    *
+    * Approximate by construction (codes quantize), so rows-only; the
+    * spec pins recall against brute force and re-derives one row's
+    * ADC from its codes driver-side. */
+  private def pqCentroids(e: DataFrame): Seq[Seq[Seq[Long]]] = {
+    import e.sparkSession.implicits._
+    val rows = e.filter($"vec_id" >= NQueries && $"vec_id" < NQueries + PqK)
+      .orderBy($"vec_id").collect()
+      .map(_.getSeq[Long](1))
+    // [subspace][centroid][dim]: centroid c of subspace m = training
+    // row c's m-th 8-dim slice
+    (0 until PqM).map(m => rows.toSeq.map(_.slice(m * PqSub, (m + 1) * PqSub)))
+  }
+
+  private[graft] def pqScored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).select(
+      $"vec_id", VectorOps.intVec("embedding").as("iv"))
+      .withColumn("nrm", VectorOps.normSq("iv"))
+    val cent = typedLit(pqCentroids(e.select($"vec_id", $"iv")))
+    // codes: per subspace, argmin integer L2 over the literal centroids
+    val coded = e.withColumn("cent", cent).withColumn("codes", expr(
+      s"""transform(sequence(0, ${PqM - 1}), m ->
+         |  array_position(
+         |    transform(cent[m], c ->
+         |      aggregate(zip_with(slice(iv, m * $PqSub + 1, $PqSub), c,
+         |        (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)),
+         |    array_min(
+         |      transform(cent[m], c ->
+         |        aggregate(zip_with(slice(iv, m * $PqSub + 1, $PqSub), c,
+         |          (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x))))
+         |  - 1)""".stripMargin))
+    // reconstruction from codes (what ADC scores against)
+    val withRecon = coded.withColumn("recon", expr(
+      s"flatten(transform(sequence(0, ${PqM - 1}), m -> cent[m][CAST(codes[m] AS INT)]))"))
+      .select($"vec_id", $"iv", $"nrm", $"codes", $"recon")
+    val q = e.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("qid"), $"iv".as("qiv"), $"nrm".as("qnrm"))
+    withRecon
+      .join(broadcast(q), $"vec_id" =!= $"qid")
+      .withColumn("adc", expr(
+        "aggregate(zip_with(qiv, recon, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+  }
+
+  def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wc = Window.partitionBy($"qid").orderBy($"adc", $"vec_id")
+    val cand = pqScored(s, dir)
+      .withColumn("crn", row_number().over(wc))
+      .filter($"crn" <= PqCand)
+      .withColumn("dot", VectorOps.dot("qiv", "iv"))
+      .withColumn("cosine", VectorOps.cosine($"dot", $"qnrm", $"nrm"))
+      .select($"qid", $"vec_id".as("vid"), $"dot", $"cosine")
+    topK(cand)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
-    "q_ann_ivf" -> (qAnnIvf _))
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_pq" -> (qAnnPq _))
 
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce" -> qAnnBruteforceSql,

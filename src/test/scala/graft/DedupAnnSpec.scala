@@ -194,4 +194,27 @@ class DedupAnnSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"), "cartesian in pair plan")
     }
   }
+
+  test("q_ann_pq: codes reconstruct ADC exactly; recall vs brute force is strong") {
+    import org.apache.spark.sql.functions._
+    def topkSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ADC consistency: one scored row's adc equals the driver-side
+    // integer L2 between the query vector and the code reconstruction
+    val one = queries.Ann.pqScored(spark, sf)
+      .select("qiv", "recon", "adc").head()
+    val qiv = one.getSeq[Long](0)
+    val recon = one.getSeq[Long](1)
+    val want = qiv.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+    assert(one.getLong(2) == want, s"ADC ${one.getLong(2)} != recomputed $want")
+    // recall@10 against the exact answer (deterministic data)
+    val exact = topkSet(queries.Ann.qAnnBruteforce(spark, sf))
+    val pq = topkSet(queries.Ann.qAnnPq(spark, sf))
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall $recall too low")
+    // output shape matches the other ANN ops: K rows per query, dense ranks
+    val byQ = queries.Ann.qAnnPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(4))).groupBy(_._1)
+    assert(byQ.values.forall(g => g.map(_._2).sorted.toSeq == (1 to g.length).toSeq))
+  }
 }
