@@ -252,17 +252,56 @@ object Behavior {
        |ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Cohort lifetime value: per first-seen-day cohort, users and the
+    * exact cent sum of purchase value within the first
+    * [[RetentionDays]] days of each user's life — retention's revenue
+    * twin. The cohort day attaches via one user-partitioned window
+    * min (same single shuffle as retention); the horizon filter and
+    * the rollup are combinable. */
+  def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    Tables.events(s, dir)
+      .filter($"user_id".isNotNull)
+      .select($"user_id", $"event_type", expr("ts DIV 1000").as("tus"),
+        round($"value" * 100).cast("long").as("vc"))
+      .withColumn("first_tus", min($"tus").over(w))
+      .filter($"event_type" === "purchase" &&
+        $"tus" - $"first_tus" <= lit(RetentionDays) * DayUs)
+      .groupBy(expr(s"first_tus DIV $DayUs").as("cohort_day"))
+      .agg(count_distinct($"user_id").as("n_buyers"),
+        count(lit(1)).as("n_purchases"),
+        sum($"vc").as("ltv_c100"))
+      .orderBy($"cohort_day")
+  }
+
+  val qCohortLtvSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus,
+       |    CAST(ROUND(value*100) AS BIGINT) AS vc FROM events
+       |  WHERE user_id IS NOT NULL),
+       |f AS (SELECT *, MIN(tus) OVER (PARTITION BY user_id) AS first_tus FROM ev)
+       |SELECT first_tus // $DayUs AS cohort_day,
+       |  COUNT(DISTINCT user_id) AS n_buyers,
+       |  COUNT(*) AS n_purchases,
+       |  CAST(SUM(vc) AS BIGINT) AS ltv_c100
+       |FROM f
+       |WHERE event_type = 'purchase' AND tus - first_tus <= $RetentionDays * $DayUs
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_audience_overlap" -> (qAudienceOverlap _),
     "q_sequence_match" -> (qSequenceMatch _),
-    "q_rfm" -> (qRfm _))
+    "q_rfm" -> (qRfm _),
+    "q_cohort_ltv" -> (qCohortLtv _))
 
   val oracles: Map[String, String] = Map(
     "q_funnel" -> qFunnelSql,
     "q_retention" -> qRetentionSql,
     "q_audience_overlap" -> qAudienceOverlapSql,
     "q_sequence_match" -> qSequenceMatchSql,
-    "q_rfm" -> qRfmSql)
+    "q_rfm" -> qRfmSql,
+    "q_cohort_ltv" -> qCohortLtvSql)
 }

@@ -1019,7 +1019,101 @@ object CoreOlap {
       |FROM od FULL OUTER JOIN ed ON od.day = ed.day
       |ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Null-safe join semantics (`<=>` / IS NOT DISTINCT FROM): the
+    * anonymous (NULL-user) traffic bucket must MATCH its aggregate
+    * row instead of silently dropping — the semantic corner plain
+    * equi-joins get wrong. Both sides keyed on the nullable user_id;
+    * one combinable aggregate each, then the null-safe join keeps
+    * the NULL row paired. */
+  def qNullsafeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val counts = ev.groupBy($"user_id").agg(count(lit(1)).as("n_events"))
+    val vals = ev.groupBy($"user_id".as("uid"))
+      .agg(sum(round($"value" * 100).cast("long")).as("sum_c100"))
+    counts.join(vals, $"user_id" <=> $"uid")
+      .select($"user_id", $"n_events", $"sum_c100",
+        $"user_id".isNull.cast("int").as("is_anon"))
+      .orderBy($"user_id".asc_nulls_first)
+  }
+
+  val qNullsafeJoinSql: String =
+    """SELECT c.user_id, n_events, sum_c100,
+      |  CAST(c.user_id IS NULL AS INT) AS is_anon
+      |FROM (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1) c
+      |JOIN (SELECT user_id AS uid,
+      |        CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_c100
+      |      FROM events GROUP BY 1) v
+      |  ON c.user_id IS NOT DISTINCT FROM v.uid
+      |ORDER BY c.user_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Benford first-significant-digit distribution of order totals —
+    * the classic fraud/profiling screen. Digit extraction is pure
+    * string/integer ops on the cent value; one combinable aggregate
+    * over 9 keys. Permille in integer DIV space. */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the total rides a window over the 9-row digit aggregate — no
+    // second scan, no driver-side count
+    Tables.orders(s, dir)
+      .select(substring(round($"o_totalprice" * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum($"n").over(Window.partitionBy()))
+      .withColumn("pm", expr("(1000 * n) DIV total"))
+      .drop("total")
+      .orderBy($"digit")
+  }
+
+  val qBenfordSql: String =
+    """SELECT digit, COUNT(*) AS n,
+      |  (1000 * COUNT(*)) // (SELECT COUNT(*) FROM orders) AS pm
+      |FROM (SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT)
+      |        AS VARCHAR), 1, 1) AS INT) AS digit FROM orders)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Exact DISCRETE percentiles (p50/p90 as actually-occurring
+    * values, not interpolations) per priority class — the
+    * SLA-reporting shape. percentile_disc(p) = the value at rank
+    * ⌈p·n⌉ in the total order, so [[graft.operators.RankSplit]]
+    * provides it without a per-group sort: filter the two crossing
+    * ranks, pivot to columns. Complements q_percentiles (continuous/
+    * interpolated). */
+  def qPercentileDisc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).select($"o_orderpriority",
+      $"o_orderkey", $"o_totalprice",
+      round($"o_totalprice" * 100).cast("long").as("pc"))
+    graft.operators.RankSplit.rank(o,
+      Seq("o_orderpriority"), "pc", Seq("pc", "o_orderkey"))
+      .filter($"__rank" === expr("CAST(CEIL(0.5 * __grp_n) AS BIGINT)") ||
+        $"__rank" === expr("CAST(CEIL(0.9 * __grp_n) AS BIGINT)"))
+      .groupBy($"o_orderpriority")
+      .agg(min(when($"__rank" === expr("CAST(CEIL(0.5 * __grp_n) AS BIGINT)"), $"pc"))
+        .as("p50_pc"),
+        min(when($"__rank" === expr("CAST(CEIL(0.9 * __grp_n) AS BIGINT)"), $"pc"))
+          .as("p90_pc"))
+      .orderBy($"o_orderpriority")
+  }
+
+  // ties in rounded cents: the pc VALUE at a rank is tie-invariant,
+  // so the single-column ORDER BY matches the (pc, key) rank exactly
+  val qPercentileDiscSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(ROUND(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY o_totalprice)*100)
+      |    AS BIGINT) AS p50_pc,
+      |  CAST(ROUND(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY o_totalprice)*100)
+      |    AS BIGINT) AS p90_pc
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nullsafe_join" -> (qNullsafeJoin _),
+    "q_benford" -> (qBenford _),
+    "q_percentile_disc" -> (qPercentileDisc _),
     "q_full_outer" -> (qFullOuter _),
     "q_percent_rank" -> (qPercentRank _),
     "q_weighted_median" -> (qWeightedMedian _),
@@ -1053,6 +1147,9 @@ object CoreOlap {
     "q_asof_join" -> (qAsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_nullsafe_join" -> qNullsafeJoinSql,
+    "q_benford" -> qBenfordSql,
+    "q_percentile_disc" -> qPercentileDiscSql,
     "q_full_outer" -> qFullOuterSql,
     "q_percent_rank" -> qPercentRankSql,
     "q_weighted_median" -> qWeightedMedianSql,
