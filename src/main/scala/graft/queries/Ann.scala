@@ -222,79 +222,211 @@ object Ann {
   private[queries] val PqK = 8        // centroids per subspace
   private[queries] val PqSub = 8      // dims per subspace
   private[queries] val PqCand = 100   // ADC candidates re-ranked exactly
+  private[queries] val PqIters = 2    // Lloyd iterations over the seed
 
   /** Product-quantization ANN — the memory-side 100 TB lever IVF does
     * not provide: each vector compresses to [[PqM]] one-byte codes
-    * (64 dims × 8 bytes → 8 bytes, 64×), and candidate scoring reads
-    * CODES, not vectors.
+    * (64 dims × 8 bytes → 8 bytes, 64×), and ADC candidate scoring
+    * reads CODES, not vectors.
     *
-    *  1. "train": per subspace, [[PqK]] centroid subvectors from the
-    *     same deterministic codebook rows as IVF — shipped as one
-    *     nested literal (model parameters, not data);
-    *  2. encode: per row and subspace, argmin integer L2 to the
-    *     subspace centroids (codegen'd array fold over literals —
-    *     one corpus scan, zero shuffle; at rest the codes column is
-    *     what a production table stores);
-    *  3. ADC: per (query, row), the asymmetric distance is the exact
-    *     integer L2 between the query and the row's RECONSTRUCTION
-    *     (the chosen centroids concatenated) — equal to the classic
-    *     per-subspace lookup-table sum, expressed declaratively;
-    *  4. top-[[PqCand]] by (adc, vid) per query (bounded heap), then
-    *     the standard exact integer-cosine re-rank to top-[[K]].
+    * Production shape (all spec-tested over a STORED codes table):
+    *  1. [[pqTrain]]: [[PqIters]] Lloyd iterations per subspace, all
+    *     integer (sums are exact in any order; the new centroid is the
+    *     floor-average), seeded from [[PqK]] deterministic corpus
+    *     rows. Each iteration is one combinable 512-key aggregate; the
+    *     collected codebook is model parameters, not data-plane.
+    *  2. [[buildPqIndex]]: encode (per subspace, argmin integer L2
+    *     over the literal codebook — one scan, zero shuffle) and store
+    *     `[vec_id, codes]` via [[graft.sources.Catalog.createIfAbsent]]
+    *     — the 64× compression lands AT REST.
+    *  3. [[pqSearchStored]]: per query, the M×K distance LUT is
+    *     computed driver-side (8×8 longs — search-request parameters)
+    *     and ADC = Σ_m lut[m][codes[m]] — an [[PqM]]-element fold per
+    *     candidate over the codes scan, whose ReadSchema is exactly
+    *     `[vec_id, codes]` (spec-asserted).
+    *  4. top-[[PqCand]] by (adc, vid) per query via the salted
+    *     two-phase heap, then the standard exact integer-cosine
+    *     re-rank of those ≤ [[PqCand]]·queries rows to top-[[K]]
+    *     (only the re-rank touches full vectors, via a broadcast
+    *     candidate join — ~1e-3 of the corpus at these settings).
     *
-    * Approximate by construction (codes quantize), so rows-only; the
-    * spec pins recall against brute force and re-derives one row's
-    * ADC from its codes driver-side. */
-  private def pqCentroids(e: DataFrame): Seq[Seq[Seq[Long]]] = {
+    * [[qAnnPq]] (the verify-gate entry) runs the identical train /
+    * encode / LUT-ADC / re-rank pipeline with the codes kept in-plan
+    * (the correctness gate may not write to disk); the spec pins
+    * stored-vs-in-plan parity, so the green row covers both.
+    * Approximate by construction (codes quantize) → rows-only; the
+    * spec also pins recall vs brute force and re-derives one ADC
+    * driver-side from the stored codes. */
+  private[graft] def intEmb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir).select(
+      $"vec_id", VectorOps.intVec("embedding").as("iv"))
+      .withColumn("nrm", VectorOps.normSq("iv"))
+  }
+
+  /** Deterministic seed codebook: centroid c of subspace m = seed row
+    * c's m-th [[PqSub]]-dim slice (same rows as the IVF codebook). */
+  private[graft] def pqSeed(e: DataFrame): Seq[Seq[Seq[Long]]] = {
     import e.sparkSession.implicits._
     val rows = e.filter($"vec_id" >= NQueries && $"vec_id" < NQueries + PqK)
       .orderBy($"vec_id").collect()
       .map(_.getSeq[Long](1))
-    // [subspace][centroid][dim]: centroid c of subspace m = training
-    // row c's m-th 8-dim slice
     (0 until PqM).map(m => rows.toSeq.map(_.slice(m * PqSub, (m + 1) * PqSub)))
   }
 
-  private[graft] def pqScored(s: SparkSession, dir: String): DataFrame = {
+  /** codes column (array<int>, values 0..[[PqK]]-1) from `iv` against
+    * the literal `cent` codebook: per subspace, argmin integer L2
+    * (ties → lowest centroid id, via array_position's first match). */
+  private def codesCol: Column = expr(
+    s"""transform(sequence(0, ${PqM - 1}), m ->
+       |  CAST(array_position(
+       |    transform(cent[m], c ->
+       |      aggregate(zip_with(slice(iv, m * $PqSub + 1, $PqSub), c,
+       |        (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)),
+       |    array_min(
+       |      transform(cent[m], c ->
+       |        aggregate(zip_with(slice(iv, m * $PqSub + 1, $PqSub), c,
+       |          (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x))))
+       |  - 1 AS INT))""".stripMargin)
+
+  private def withCodes(e: DataFrame, cent: Seq[Seq[Seq[Long]]]): DataFrame =
+    e.withColumn("cent", typedLit(cent))
+      .withColumn("codes", codesCol)
+      .drop("cent")
+
+  /** Integer Lloyd iterations: assign every row's subvectors to their
+    * nearest centroids, then recompute each centroid as the exact
+    * integer floor-average of its members (empty clusters keep their
+    * previous centroid). Sums/counts are order-independent bigints →
+    * the trained codebook is bit-deterministic under any partitioning.
+    * Per iteration: one corpus scan + a combinable aggregate on
+    * [[PqM]]·[[PqK]]·[[PqSub]] = 512 keys; the collect is the
+    * codebook, not data. */
+  private[graft] def pqTrain(e: DataFrame, iters: Int = PqIters): Seq[Seq[Seq[Long]]] = {
+    import e.sparkSession.implicits._
+    var cent = pqSeed(e)
+    for (_ <- 1 to iters) {
+      val stats = withCodes(e.select($"vec_id", $"iv"), cent)
+        .select($"iv", posexplode($"codes").as(Seq("m", "code")))
+        .select($"m", $"code",
+          posexplode(expr(s"slice(iv, m * $PqSub + 1, $PqSub)")).as(Seq("d", "v")))
+        .groupBy($"m", $"code", $"d")
+        .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+          Math.floorDiv(r.getLong(3), r.getLong(4)))).toMap
+      cent = (0 until PqM).map(m => (0 until PqK).map(k => (0 until PqSub).map(d =>
+        stats.getOrElse((m, k, d), cent(m)(k)(d)))))
+    }
+    cent
+  }
+
+  /** Total integer quantization error Σ‖iv − recon(codes)‖² of a
+    * codebook over the corpus — the quantity Lloyd descends; the spec
+    * asserts training does not worsen it vs the seed. */
+  private[graft] def pqQuantError(e: DataFrame, cent: Seq[Seq[Seq[Long]]]): Long = {
+    import e.sparkSession.implicits._
+    withCodes(e.select($"vec_id", $"iv"), cent)
+      .withColumn("cent", typedLit(cent))
+      .withColumn("recon", expr(
+        s"flatten(transform(sequence(0, ${PqM - 1}), m -> cent[m][codes[m]]))"))
+      .withColumn("qe", expr(
+        "aggregate(zip_with(iv, recon, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .agg(sum($"qe")).head().getLong(0)
+  }
+
+  /** Train + encode + store the `[vec_id, codes]` table at
+    * `codesPath` (idempotent create). Returns the trained codebook —
+    * the model half of the index; callers hand it to
+    * [[pqSearchStored]]. */
+  def buildPqIndex(s: SparkSession, dir: String, codesPath: String): Seq[Seq[Seq[Long]]] = {
     import s.implicits._
-    val e = Tables.embeddings(s, dir).select(
-      $"vec_id", VectorOps.intVec("embedding").as("iv"))
-      .withColumn("nrm", VectorOps.normSq("iv"))
-    val cent = typedLit(pqCentroids(e.select($"vec_id", $"iv")))
-    // codes: per subspace, argmin integer L2 over the literal centroids
-    val coded = e.withColumn("cent", cent).withColumn("codes", expr(
-      s"""transform(sequence(0, ${PqM - 1}), m ->
-         |  array_position(
-         |    transform(cent[m], c ->
-         |      aggregate(zip_with(slice(iv, m * $PqSub + 1, $PqSub), c,
-         |        (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)),
-         |    array_min(
-         |      transform(cent[m], c ->
-         |        aggregate(zip_with(slice(iv, m * $PqSub + 1, $PqSub), c,
-         |          (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x))))
-         |  - 1)""".stripMargin))
-    // reconstruction from codes (what ADC scores against)
-    val withRecon = coded.withColumn("recon", expr(
-      s"flatten(transform(sequence(0, ${PqM - 1}), m -> cent[m][CAST(codes[m] AS INT)]))"))
-      .select($"vec_id", $"iv", $"nrm", $"codes", $"recon")
-    val q = e.filter($"vec_id" < NQueries)
-      .select($"vec_id".as("qid"), $"iv".as("qiv"), $"nrm".as("qnrm"))
-    withRecon
-      .join(broadcast(q), $"vec_id" =!= $"qid")
+    val e = intEmb(s, dir)
+    val cent = pqTrain(e)
+    graft.sources.Catalog.createIfAbsent(s,
+      withCodes(e.select($"vec_id", $"iv"), cent).select($"vec_id", $"codes"),
+      codesPath)
+    cent
+  }
+
+  /** Driver-side per-query LUT: lut[m][k] = integer L2 between the
+    * query's m-th subvector and centroid k of subspace m. ADC of a
+    * candidate is then Σ_m lut[m][codes[m]] — [[PqM]] array lookups,
+    * no vector math. */
+  private[graft] def pqLut(cent: Seq[Seq[Seq[Long]]], qiv: Seq[Long]): Seq[Seq[Long]] =
+    (0 until PqM).map { m =>
+      val sub = qiv.slice(m * PqSub, (m + 1) * PqSub)
+      cent(m).map(c => sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }
+
+  /** Tiny query-side frame: (qid, qiv, qnrm, lut) for the [[NQueries]]
+    * query vectors — broadcast everywhere it joins. */
+  private[graft] def pqQueryFrame(s: SparkSession, e: DataFrame,
+    cent: Seq[Seq[Seq[Long]]]): DataFrame = {
+    import s.implicits._
+    val qs = e.filter($"vec_id" < NQueries)
+      .select($"vec_id", $"iv", $"nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    qs.map { case (qid, qiv, qnrm) => (qid, qiv, qnrm, pqLut(cent, qiv)) }
+      .toDF("qid", "qiv", "qnrm", "lut")
+  }
+
+  /** ADC over a codes frame (columns vec_id, codes — nothing else is
+    * referenced, so a stored-table scan prunes to exactly those two),
+    * then salted two-phase top-[[PqCand]] per query by (adc, vid). */
+  private[graft] def pqAdcCandidates(codes: DataFrame, qdf: DataFrame): DataFrame = {
+    import codes.sparkSession.implicits._
+    val adc = codes
+      .crossJoin(broadcast(qdf.select($"qid", $"lut")))
+      .filter($"vec_id" =!= $"qid")
       .withColumn("adc", expr(
-        "aggregate(zip_with(qiv, recon, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        "aggregate(zip_with(lut, codes, (l, c) -> l[c]), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .select($"qid", $"vec_id".as("vid"), $"adc")
+    val order = Seq($"adc", $"vid")
+    val w1 = Window.partitionBy($"qid", $"salt").orderBy(order: _*)
+    val w2 = Window.partitionBy($"qid").orderBy(order: _*)
+    adc.withColumn("salt", pmod($"vid", lit(64)))
+      .withColumn("prn", row_number().over(w1)).filter($"prn" <= PqCand)
+      .withColumn("crn", row_number().over(w2)).filter($"crn" <= PqCand)
+      .select($"qid", $"vid", $"adc")
+  }
+
+  /** Exact integer-cosine re-rank of the ADC candidates (broadcast
+    * candidate semi-join → one pruned pass over the vectors for
+    * ≤ [[PqCand]]·[[NQueries]] rows), then the shared top-[[K]]. */
+  private def pqRerank(e: DataFrame, cand: DataFrame, qdf: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    val scored = e
+      .join(broadcast(cand.select($"qid", $"vid")), e("vec_id") === $"vid")
+      .join(broadcast(qdf.select($"qid".as("jqid"), $"qiv", $"qnrm")),
+        $"qid" === $"jqid")
+      .withColumn("dot", VectorOps.dot("qiv", "iv"))
+      .withColumn("cosine", VectorOps.cosine($"dot", $"qnrm", $"nrm"))
+      .select($"qid", $"vid", $"dot", $"cosine")
+    topK(scored)
+  }
+
+  /** Search a STORED codes table: the production path. The ADC stage
+    * scans `codesPath` only (ReadSchema `[vec_id, codes]`, asserted in
+    * the spec); vectors are touched once, for the bounded re-rank. */
+  def pqSearchStored(s: SparkSession, dir: String, codesPath: String,
+    cent: Seq[Seq[Seq[Long]]]): DataFrame = {
+    import s.implicits._
+    val e = intEmb(s, dir)
+    val qdf = pqQueryFrame(s, e, cent)
+    val codes = s.read.parquet(codesPath).select($"vec_id", $"codes")
+    pqRerank(e, pqAdcCandidates(codes, qdf), qdf)
   }
 
   def qAnnPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val wc = Window.partitionBy($"qid").orderBy($"adc", $"vec_id")
-    val cand = pqScored(s, dir)
-      .withColumn("crn", row_number().over(wc))
-      .filter($"crn" <= PqCand)
-      .withColumn("dot", VectorOps.dot("qiv", "iv"))
-      .withColumn("cosine", VectorOps.cosine($"dot", $"qnrm", $"nrm"))
-      .select($"qid", $"vec_id".as("vid"), $"dot", $"cosine")
-    topK(cand)
+    val e = intEmb(s, dir)
+    val cent = pqTrain(e)
+    val qdf = pqQueryFrame(s, e, cent)
+    val codes = withCodes(e.select($"vec_id", $"iv"), cent)
+      .select($"vec_id", $"codes")
+    pqRerank(e, pqAdcCandidates(codes, qdf), qdf)
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

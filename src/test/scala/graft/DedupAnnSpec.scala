@@ -195,18 +195,53 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
-  test("q_ann_pq: codes reconstruct ADC exactly; recall vs brute force is strong") {
-    import org.apache.spark.sql.functions._
+  test("q_ann_pq: stored codes index — ADC scan reads [vec_id, codes] only, LUT rederives, k-means descends, recall strong") {
     def topkSet(df: org.apache.spark.sql.DataFrame) =
       df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // ADC consistency: one scored row's adc equals the driver-side
-    // integer L2 between the query vector and the code reconstruction
-    val one = queries.Ann.pqScored(spark, sf)
-      .select("qiv", "recon", "adc").head()
-    val qiv = one.getSeq[Long](0)
-    val recon = one.getSeq[Long](1)
-    val want = qiv.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
-    assert(one.getLong(2) == want, s"ADC ${one.getLong(2)} != recomputed $want")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    val codesPath = s"$tmp/pq_codes"
+    // build the production index: trained codebook + stored codes table
+    val cent = queries.Ann.buildPqIndex(spark, sf, codesPath)
+    assert(sources.Catalog.tableComplete(spark, codesPath))
+    // training descends (or at least never worsens) the quantization
+    // error Lloyd minimizes, vs the raw seed codebook
+    val e = queries.Ann.intEmb(spark, sf)
+    val errSeed = queries.Ann.pqQuantError(e, queries.Ann.pqSeed(e))
+    val errTrained = queries.Ann.pqQuantError(e, cent)
+    assert(errTrained <= errSeed,
+      s"k-means worsened quantization error: $errTrained > seed $errSeed")
+    // the production search over the STORED table: its ADC stage must
+    // scan the codes table with ReadSchema exactly [vec_id, codes]
+    // (AQE off so the pre-execution plan exposes the scans)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val res = queries.Ann.pqSearchStored(spark, sf, codesPath, cent)
+      val scans = res.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val codeScans = scans.filter(
+        _.relation.location.rootPaths.exists(_.toString.contains("pq_codes")))
+      assert(codeScans.nonEmpty, "no scan of the stored codes table in the plan")
+      assert(codeScans.forall(_.requiredSchema.fieldNames.toSeq == Seq("vec_id", "codes")),
+        s"codes scan reads ${codeScans.map(_.requiredSchema.fieldNames.toSeq)}")
+      // stored-table search ≡ the in-plan verify-gate query
+      assert(res.collect().toSeq == queries.Ann.qAnnPq(spark, sf).collect().toSeq,
+        "stored-index search diverges from q_ann_pq")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // ADC consistency: the engine's adc for a candidate equals the
+    // driver-side LUT sum over that row's STORED codes
+    import spark.implicits._
+    val qdf = queries.Ann.pqQueryFrame(spark, e, cent)
+    val one = queries.Ann.pqAdcCandidates(
+      spark.read.parquet(codesPath).select($"vec_id", $"codes"), qdf).head()
+    val (qid, vid, adc) = (one.getLong(0), one.getLong(1), one.getLong(2))
+    val codesRow = spark.read.parquet(codesPath)
+      .filter($"vec_id" === vid).head().getSeq[Int](1)
+    val qiv = e.filter($"vec_id" === qid).head().getSeq[Long](1)
+    val lut = queries.Ann.pqLut(cent, qiv)
+    val want = codesRow.zipWithIndex.map { case (c, m) => lut(m)(c) }.sum
+    assert(adc == want, s"engine ADC $adc != LUT rederivation $want")
     // recall@10 against the exact answer (deterministic data)
     val exact = topkSet(queries.Ann.qAnnBruteforce(spark, sf))
     val pq = topkSet(queries.Ann.qAnnPq(spark, sf))
