@@ -182,6 +182,73 @@ object Spatial {
        |WHERE dist_r6 < 1.0 ORDER BY k1, k2""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Detection "stream": a second catalog of sky positions derived
+    * from ORDER keys with different scatter constants — the stand-in
+    * for a night's incoming source detections. Same exact-rational
+    * construction as [[points]], so the oracle reproduces it. */
+  private def detections(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir).select(
+      $"o_orderkey".as("det_k"),
+      (($"o_orderkey" * 149 % 36000) / 100.0).as("ra"),
+      (($"o_orderkey" * 101 % 17000) / 100.0 - 85.0).as("decl"))
+  }
+
+  private val detectionsSql =
+    """SELECT o_orderkey AS det_k, (o_orderkey*149 % 36000)/100.0 AS ra,
+      |       (o_orderkey*101 % 17000)/100.0 - 85.0 AS decl FROM orders"""
+      .stripMargin
+
+  /** TWO-catalog zone cross-match, radius 1° — the reference's daily
+    * association shape: match the incoming detection stream against
+    * the known-object catalog (vs [[qZoneXmatch]]'s self match).
+    *
+    * Scale shape: the OBJECT catalog (the big, stable side) sits in
+    * its home (zone, ra-bucket) cell — at rest that cell key is its
+    * physical partition key ([[writeZonePartitioned]]), so the nightly
+    * job never re-shuffles it losslessly grid-aligned. The DETECTION
+    * side (the small, fresh side) explodes into its ≤3×3 neighbor
+    * cells (≤×9, array_distinct deduping polar wrap) and equi-joins on
+    * the cell key — a plain shuffle join, no cartesian anywhere. Each
+    * (detection, object) candidate arises in exactly one cell (the
+    * object's home cell), so no pair-level dedup pass is needed; the
+    * exact haversine keeps true matches. Unmatched detections (new
+    * transients) fall out and would feed an object-creation branch. */
+  def qXmatch2cat(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val radius = 1.0
+    val zm = s.createDataFrame(zoneRaBuckets(radius, radius))
+      .toDF("zm_zone", "nrb")
+    val build = points(s, dir)
+      .withColumn("zone", floor(($"decl" + 90.0) / radius).cast("int"))
+      .join(broadcast(zm), $"zone" === $"zm_zone")
+      .select($"k".as("obj_k"), $"ra".as("ra2"), $"decl".as("decl2"),
+        $"zone".as("z2"),
+        floor($"ra" * $"nrb" / 360.0).cast("int").as("rb2"))
+    val probe = detections(s, dir)
+      .withColumn("zone", floor(($"decl" + 90.0) / radius).cast("int"))
+      .withColumn("zp", explode(array($"zone" - 1, $"zone", $"zone" + 1)))
+      .join(broadcast(zm), $"zp" === $"zm_zone")
+      .withColumn("c", floor($"ra" * $"nrb" / 360.0).cast("int"))
+      .withColumn("rp", explode(array_distinct(array(
+        pmod($"c" - 1, $"nrb"), pmod($"c", $"nrb"), pmod($"c" + 1, $"nrb")))))
+      .select($"det_k", $"ra".as("ra1"), $"decl".as("decl1"), $"zp", $"rp")
+    probe
+      .join(build, probe("zp") === build("z2") && probe("rp") === build("rb2"))
+      .withColumn("dist_r6", round(distDeg($"ra1", $"decl1", $"ra2", $"decl2"), 6))
+      .filter($"dist_r6" < radius)
+      .select($"det_k", $"obj_k", $"dist_r6")
+      .orderBy($"det_k", $"obj_k")
+  }
+
+  val qXmatch2catSql: String =
+    s"""SELECT det_k, obj_k, dist_r6 FROM (
+       |  SELECT d.det_k, o.k AS obj_k,
+       |    ROUND(${distDegSql("d.ra", "d.decl", "o.ra", "o.decl")}, 6) AS dist_r6
+       |  FROM ($detectionsSql) d CROSS JOIN ($pointsSql) o) t
+       |WHERE dist_r6 < 1.0 ORDER BY det_k, obj_k""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Nearest neighbor within 1°: for every point, the closest OTHER
     * point of the catalog and its distance — Qserv's per-object
     * nearest-source shape. Candidates come from the same adaptive
@@ -342,6 +409,7 @@ object Spatial {
     "q_cone_search" -> (qConeSearch _),
     "q_box_search" -> (qBoxSearch _),
     "q_zone_xmatch" -> (qZoneXmatch _),
+    "q_xmatch_2cat" -> (qXmatch2cat _),
     "q_spatial_density" -> (qSpatialDensity _),
     "q_nearest_nbr" -> (qNearestNbr _),
     "q_knn3" -> (qKnn3 _))
@@ -350,6 +418,7 @@ object Spatial {
     "q_cone_search" -> qConeSearchSql,
     "q_box_search" -> qBoxSearchSql,
     "q_zone_xmatch" -> qZoneXmatchSql,
+    "q_xmatch_2cat" -> qXmatch2catSql,
     "q_spatial_density" -> qSpatialDensitySql,
     "q_nearest_nbr" -> qNearestNbrSql,
     "q_knn3" -> qKnn3Sql)

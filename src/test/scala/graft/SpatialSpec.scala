@@ -31,6 +31,36 @@ class SpatialSpec extends AnyFunSuite {
     assert(df.count() == df.select("k1", "k2").distinct().count())
   }
 
+  test("q_xmatch_2cat plan has no cartesian; pairs unique; every match within radius") {
+    val df = queries.Spatial.qXmatch2cat(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian product in plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "nested-loop join in plan")
+    assert(df.count() == df.select("det_k", "obj_k").distinct().count(),
+      "duplicate (detection, object) pair — a candidate arose in more than one cell")
+    assert(df.filter("dist_r6 >= 1.0 OR dist_r6 < 0").count() == 0)
+  }
+
+  test("q_xmatch_2cat matches the brute-force two-catalog join") {
+    // in-Spark oracle twin of the DuckDB one: all (det, obj) pairs
+    val obj = Tables.customer(spark, sf).selectExpr("c_custkey AS obj_k",
+      "(c_custkey*137 % 36000)/100.0 AS ra2", "(c_custkey*97 % 17000)/100.0 - 85.0 AS decl2")
+    val det = Tables.orders(spark, sf).selectExpr("o_orderkey AS det_k",
+      "(o_orderkey*149 % 36000)/100.0 AS ra1", "(o_orderkey*101 % 17000)/100.0 - 85.0 AS decl1")
+    val rad = "0.017453292519943295"
+    val deg = "57.29577951308232"
+    val brute = det.crossJoin(obj).selectExpr("det_k", "obj_k",
+      s"""ROUND(2*ASIN(SQRT(
+         |  SIN((decl1 - decl2)*$rad/2) * SIN((decl1 - decl2)*$rad/2)
+         |  + COS(decl1*$rad) * COS(decl2*$rad)
+         |    * SIN((ra1 - ra2)*$rad/2) * SIN((ra1 - ra2)*$rad/2)))*$deg, 6) AS dist_r6""".stripMargin)
+      .filter("dist_r6 < 1.0")
+      .select("det_k", "obj_k").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val grid = queries.Spatial.qXmatch2cat(spark, sf)
+      .select("det_k", "obj_k").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grid == brute, s"grid ${grid.size} pairs vs brute ${brute.size}")
+  }
+
   test("q_spatial_density counts sum to the full catalog") {
     val df = queries.Spatial.qSpatialDensity(spark, sf)
     val total = df.agg(sum("n")).head.getLong(0)
