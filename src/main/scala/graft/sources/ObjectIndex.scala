@@ -8,10 +8,10 @@ import org.apache.spark.sql.functions._
   * ORDER BY mjd`) without scanning the table. Pserv keeps a
   * director index mapping objectId → chunk so a point lookup touches
   * one shard; the Spark-native equivalent is a deterministic bucket
-  * directory (`obkt = user_id % numBuckets`) as the PHYSICAL
+  * directory (`obkt = user_id mod numBuckets`) as the first PHYSICAL
   * partition key plus (user_id, ts) sort within each file:
   *
-  *  - the `obkt = id % n` equality is a static PARTITION filter —
+  *  - the `obkt = id mod n` equality is a static PARTITION filter —
   *    the scan lists exactly one of n directories (no footer reads
   *    elsewhere, no data reads elsewhere);
   *  - the `user_id = id` equality is a pushed parquet filter, and
@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   *  - rows inside a row group are already in (user_id, ts) order,
   *    so the per-object time sort is a near-no-op.
   *
+  * ONE layout for every maintenance discipline: all writers emit
+  * `obkt=<b>/ibatch=<g>` (two partition levels), so a path can be
+  * bootstrapped with [[build]] (generation [[BaseGen]]), bulk-appended
+  * with [[append]], micro-batch-maintained with [[ingestStream]]
+  * (generation = the streaming batch id, ≥ 0), and periodically folded
+  * with [[compactIndex]] (fresh negative generations) — mixing them
+  * can never produce the conflicting directory depths Spark's
+  * partition discovery rejects. Lookups filter on `obkt` only, so the
+  * generation level is invisible to them.
+  *
   * 100 TB shape: lookup cost is O(one bucket's footers + one
   * object's row groups), independent of table size once numBuckets
   * scales with the data (buckets of a few GB each). The build is a
@@ -27,43 +37,52 @@ import org.apache.spark.sql.functions._
   * clustered-layout ingest, amortized over every subsequent lookup.
   * The modulus (not a hash) keeps the bucket computable by ANY
   * client — including non-JVM ones — from the objectId alone, which
-  * is exactly what Pserv's director index provides.
+  * is exactly what Pserv's director index provides. Both writers
+  * (`pmod`) and [[lookup]] (`Math.floorMod`) use the non-negative
+  * residue, so the two agree on the whole Long domain, negative ids
+  * included.
   */
 object ObjectIndex {
   val DefaultBuckets = 64
 
-  /** Materialize the index layout. `repartition(n, obkt)` makes each
-    * write task own exactly one bucket → n files total, no
-    * small-file explosion; `sortWithinPartitions` gives the
-    * row-group clustering the lookup's min/max skipping relies on. */
-  def build(s: SparkSession, dir: String, outPath: String,
-    numBuckets: Int = DefaultBuckets): Unit = {
-    import s.implicits._
-    graft.Tables.events(s, dir)
-      .filter($"user_id".isNotNull)
-      .withColumn("obkt", pmod($"user_id", lit(numBuckets)).cast("int"))
-      .repartition(numBuckets, $"obkt")
-      .sortWithinPartitions($"user_id", $"ts", $"event_id")
-      .write.mode("overwrite").partitionBy("obkt").parquet(outPath)
+  /** Generation id used by [[build]]/[[append]]; streaming batches
+    * use their (non-negative) batch id; [[compactIndex]] allocates
+    * fresh generations below the current minimum. */
+  val BaseGen = -1L
+
+  private def fs(s: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
   }
 
-  /** Incremental maintenance: append a delta batch into its bucket
-    * directories (same hash discipline, one new file per non-empty
-    * bucket, sorted within). Lookups stay single-directory — they now
-    * read the bucket's few files instead of one; periodic
-    * [[Catalog.compactPartitions]] over `obkt=` folds them back to
-    * one file per bucket. The delta repartition touches only delta
-    * rows: maintenance cost tracks the BATCH, never the index. */
-  def append(s: SparkSession, delta: org.apache.spark.sql.DataFrame,
-    outPath: String, numBuckets: Int = DefaultBuckets): Unit = {
-    import s.implicits._
-    delta
-      .filter($"user_id".isNotNull)
-      .withColumn("obkt", pmod($"user_id", lit(numBuckets)).cast("int"))
-      .repartition(numBuckets, $"obkt")
-      .sortWithinPartitions($"user_id", $"ts", $"event_id")
-      .write.mode("append").partitionBy("obkt").parquet(outPath)
-  }
+  /** The shared write discipline: non-null keys, modulus bucket,
+    * generation column, one write task per bucket (no small-file
+    * explosion), (user_id, ts) clustering within files. */
+  private def bucketed(df: DataFrame, numBuckets: Int, gen: Long): DataFrame =
+    df.filter(col("user_id").isNotNull)
+      .withColumn("obkt", pmod(col("user_id"), lit(numBuckets)).cast("int"))
+      .withColumn("ibatch", lit(gen))
+      .repartition(numBuckets, col("obkt"))
+      .sortWithinPartitions("user_id", "ts", "event_id")
+
+  /** Materialize the index layout from scratch (generation
+    * [[BaseGen]]). */
+  def build(s: SparkSession, dir: String, outPath: String,
+    numBuckets: Int = DefaultBuckets): Unit =
+    bucketed(graft.Tables.events(s, dir), numBuckets, BaseGen)
+      .write.mode("overwrite").partitionBy("obkt", "ibatch").parquet(outPath)
+
+  /** Incremental bulk maintenance: append a delta batch into its
+    * bucket directories (same hash discipline, one new file per
+    * non-empty bucket, sorted within). Lookups stay single-bucket —
+    * they now read the bucket's few files instead of one; periodic
+    * [[compactIndex]] folds them back to one file per bucket. The
+    * delta repartition touches only delta rows: maintenance cost
+    * tracks the BATCH, never the index. */
+  def append(s: SparkSession, delta: DataFrame,
+    outPath: String, numBuckets: Int = DefaultBuckets): Unit =
+    bucketed(delta, numBuckets, BaseGen)
+      .write.mode("append").partitionBy("obkt", "ibatch").parquet(outPath)
 
   /** One micro-batch of streaming index maintenance, factored out so
     * the spec can replay it. The batch lands under
@@ -71,19 +90,16 @@ object ObjectIndex {
     * the same replay-idempotence discipline as
     * [[graft.streaming.EventStream.applyIngestBatch]]: an
     * at-least-once foreachBatch replay overwrites ITS OWN
-    * subpartitions instead of duplicating rows. `lookup` is
-    * unaffected: `obkt` stays the first-level partition key, so the
-    * scan still lists exactly one bucket tree. */
-  def applyIndexBatch(batch: org.apache.spark.sql.DataFrame, batchId: Long,
+    * generation subpartitions instead of duplicating rows. `lookup`
+    * is unaffected: `obkt` stays the first-level partition key, so
+    * the scan still lists exactly one bucket tree. */
+  def applyIndexBatch(batch: DataFrame, batchId: Long,
     outPath: String, numBuckets: Int = DefaultBuckets): Unit =
     if (!batch.isEmpty) {
-      import batch.sparkSession.implicits._
-      batch
-        .filter($"user_id".isNotNull)
-        .withColumn("obkt", pmod($"user_id", lit(numBuckets)).cast("int"))
-        .withColumn("ibatch", lit(batchId))
-        .repartition(numBuckets, $"obkt")
-        .sortWithinPartitions($"user_id", $"ts", $"event_id")
+      require(batchId >= 0,
+        s"streaming batch ids are non-negative (got $batchId): negative " +
+          "generations are reserved for build/compaction")
+      bucketed(batch, numBuckets, batchId)
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("obkt", "ibatch")
@@ -93,8 +109,9 @@ object ObjectIndex {
   /** Streaming director-index maintenance: every micro-batch of the
     * event stream lands in its bucket directories exactly once across
     * restarts; point lookups stay single-bucket throughout. Callers
-    * own the returned query's lifecycle. */
-  def ingestStream(events: org.apache.spark.sql.DataFrame, outPath: String,
+    * own the returned query's lifecycle, and schedule
+    * [[compactIndex]] periodically to bound files-per-bucket. */
+  def ingestStream(events: DataFrame, outPath: String,
     checkpointPath: String, numBuckets: Int = DefaultBuckets)
     : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
@@ -107,15 +124,130 @@ object ObjectIndex {
   /** Point lookup against the index layout. Returns the same
     * projection as `TimeSeries.qObjectLookup` over the flat table —
     * the spec asserts both the parity and that the scan read exactly
-    * one bucket directory. */
+    * one bucket directory. `floorMod` (not `%`) so a negative
+    * objectId probes the same non-negative bucket `pmod` wrote. */
   def lookup(s: SparkSession, path: String, objectId: Long,
     numBuckets: Int = DefaultBuckets): DataFrame = {
     import s.implicits._
     s.read.parquet(path)
-      .filter($"obkt" === (objectId % numBuckets).toInt &&
+      .filter($"obkt" === Math.floorMod(objectId, numBuckets.toLong).toInt &&
         $"user_id" === objectId)
       .select($"user_id", $"event_id", expr("ts DIV 1000").as("tus"),
         round($"value" * 100).cast("long").as("xc"), $"event_type")
       .orderBy($"tus", $"event_id")
+  }
+
+  // ---------------------------------------------------------------
+  // Compaction: long-lived streaming maintenance accretes one
+  // `ibatch=` generation per touched bucket per micro-batch;
+  // compaction folds every CURRENT generation into one fresh
+  // generation (one file per bucket) and removes the folded ones.
+
+  private val CompactManifest = "_COMPACT_MANIFEST"
+
+  /** Is a crashed compaction awaiting [[recoverCompaction]]? */
+  def compactPending(s: SparkSession, path: String): Boolean = {
+    val (f, p) = fs(s, path)
+    f.exists(new org.apache.hadoop.fs.Path(p, CompactManifest))
+  }
+
+  private def listGenerations(f: org.apache.hadoop.fs.FileSystem,
+    p: org.apache.hadoop.fs.Path): Seq[String] =
+    f.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("obkt="))
+      .flatMap(b => f.listStatus(b.getPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("ibatch="))
+        .map(st => s"${b.getPath.getName}/${st.getPath.getName}"))
+
+  /** Fold every generation present at call time into ONE new
+    * generation (id = current minimum − 1, so successive compactions
+    * never collide with past generations or future batch ids), one
+    * file per bucket, then delete the folded generation directories.
+    * Returns the new generation id.
+    *
+    * Concurrency: only generations captured in the initial listing
+    * are folded AND deleted — a streaming micro-batch landing
+    * mid-compaction is simply left for the next cycle. Lookups stay
+    * single-bucket throughout (they prune on `obkt` only); within
+    * the folded bucket there is a brief window where a reader can see
+    * both the old and new generation of already-committed rows — the
+    * standard trade of partition-directory storage without a
+    * transactional table format (same caveat as
+    * [[Catalog.upsertPartitioned]]).
+    *
+    * Crash safety: the fold is staged next to the index first; the
+    * manifest (atomically renamed into place) records the new
+    * generation and the captured directories before any destructive
+    * step. [[recoverCompaction]] then makes any crash decidable
+    * PER BUCKET: a bucket whose new-generation directory exists rolls
+    * forward (its captured dirs are deleted); one without rolls back
+    * (its captured dirs are kept) — never losing or duplicating a
+    * bucket either way. */
+  def compactIndex(s: SparkSession, path: String,
+    numBuckets: Int = DefaultBuckets): Long = {
+    require(!compactPending(s, path),
+      s"$path has a leftover $CompactManifest from a crashed compaction; " +
+        "run ObjectIndex.recoverCompaction first")
+    val (f, p) = fs(s, path)
+    val captured = listGenerations(f, p)
+    require(captured.nonEmpty, s"no index generations to compact at $path")
+    val gens = captured.map(_.split("=").last.toLong)
+    val gen = gens.min - 1
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s"_tmp_idxcompact_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      // stage the fold OUTSIDE the index root (never visible to readers,
+      // and the final write must not read from its own output path)
+      s.read.parquet(path)
+        .filter(col("ibatch").isin(gens.distinct: _*))
+        .withColumn("ibatch", lit(gen))
+        .repartition(numBuckets, col("obkt"))
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .write.mode("errorifexists").parquet(tmp.toString)
+      // manifest marks "commit in progress"; written via rename so a
+      // partial manifest can never be mistaken for a real one
+      val mtmp = new org.apache.hadoop.fs.Path(p, CompactManifest + ".tmp")
+      val out = f.create(mtmp, true)
+      try out.write((gen.toString +: captured).mkString("", "\n", "\n")
+        .getBytes("UTF-8")) finally out.close()
+      if (!f.rename(mtmp, new org.apache.hadoop.fs.Path(p, CompactManifest)))
+        throw new java.io.IOException(s"could not commit compaction manifest at $p")
+      // commit the new generation (adds obkt=*/ibatch=gen dirs only)
+      s.read.parquet(tmp.toString)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("obkt", "ibatch").parquet(path)
+      finishCompaction(f, p, gen, captured)
+    } finally f.delete(tmp, true)
+    gen
+  }
+
+  /** Per-bucket roll-forward: delete a captured generation dir only
+    * when its bucket's new-generation dir exists, then clear the
+    * manifest. Idempotent — safe to re-run at any point. */
+  private def finishCompaction(f: org.apache.hadoop.fs.FileSystem,
+    p: org.apache.hadoop.fs.Path, gen: Long, captured: Seq[String]): Unit = {
+    captured.foreach { rel =>
+      val bucket = rel.split("/")(0)
+      if (f.exists(new org.apache.hadoop.fs.Path(p, s"$bucket/ibatch=$gen")))
+        f.delete(new org.apache.hadoop.fs.Path(p, rel), true)
+    }
+    f.delete(new org.apache.hadoop.fs.Path(p, CompactManifest), false)
+  }
+
+  /** Resolve a crashed [[compactIndex]]: buckets whose new generation
+    * committed roll forward (folded dirs deleted); buckets it never
+    * reached roll back (folded dirs kept — their rows exist nowhere
+    * else). Returns true when a pending compaction was resolved. */
+  def recoverCompaction(s: SparkSession, path: String): Boolean = {
+    val (f, p) = fs(s, path)
+    val mf = new org.apache.hadoop.fs.Path(p, CompactManifest)
+    if (!f.exists(mf)) return false
+    val in = f.open(mf)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList finally in.close()
+    val gen = lines.head.toLong
+    finishCompaction(f, p, gen, lines.tail)
+    true
   }
 }

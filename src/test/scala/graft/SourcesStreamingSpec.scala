@@ -716,6 +716,75 @@ class EventStreamSpec extends AnyFunSuite {
     assert(dups == 0, "replayed index batch duplicated rows")
   }
 
+  test("object-index compaction bounds files per bucket; lookups stay single-bucket; crashes recover") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_idxcompact")
+    val idx = base.resolve("idx").toString
+    val events = Tables.events(spark, sf)
+    val nb = 16
+    val id = queries.TimeSeries.LookupId
+    def wantUnder(bound: Long) = queries.TimeSeries.qObjectLookup(spark, sf)
+      .filter($"event_id" < bound).collect().map(_.toSeq).toSeq
+    def want = wantUnder(Long.MaxValue)
+    def got = graft.sources.ObjectIndex.lookup(spark, idx, id, nb)
+      .collect().map(_.toSeq).toSeq
+    def gensPerBucket: Seq[Int] = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("obkt="))
+      .map(_.listFiles().count(f => f.isDirectory && f.getName.startsWith("ibatch=")))
+      .toSeq
+
+    // replay N disjoint micro-batches: generations (and files) accrete
+    // per bucket; the tail of the table arrives later as batch 100
+    val n = 6
+    for (b <- 0 until n)
+      graft.sources.ObjectIndex.applyIndexBatch(
+        events.filter(s"event_id < 600 AND event_id % $n = $b"), b.toLong, idx, nb)
+    assert(gensPerBucket.max > 1, "expected multi-generation buckets before compaction")
+    assert(got == wantUnder(600), "pre-compaction lookup broken")
+
+    // fold: every bucket collapses to ONE generation with one file
+    val gen = graft.sources.ObjectIndex.compactIndex(spark, idx, nb)
+    assert(gen == -1L, s"first compaction generation should be -1, got $gen")
+    assert(gensPerBucket.forall(_ == 1),
+      s"buckets still multi-generation after compaction: $gensPerBucket")
+    assert(got == wantUnder(600), "compaction lost or duplicated rows")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val scan = graft.sources.ObjectIndex.lookup(spark, idx, id, nb)
+      val scans = scan.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      scan.collect()
+      assert(scans.head.partitionFilters.nonEmpty, "no partition filter post-compaction")
+      assert(scans.head.metrics("numFiles").value == 1L,
+        s"post-compaction lookup read ${scans.head.metrics("numFiles").value} files")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
+    // a later batch + second compaction allocates the next generation down
+    graft.sources.ObjectIndex.applyIndexBatch(
+      events.filter("event_id >= 600"), 100L, idx, nb)
+    val gen2 = graft.sources.ObjectIndex.compactIndex(spark, idx, nb)
+    assert(gen2 == -2L, s"second compaction generation should be -2, got $gen2")
+    assert(gensPerBucket.forall(_ == 1) && got == want)
+
+    // recovery: no pending manifest -> no-op
+    assert(!graft.sources.ObjectIndex.recoverCompaction(spark, idx))
+    // crashed-before-commit manifest (its generation never materialized)
+    // -> per-bucket roll-forward deletes nothing, manifest cleared
+    val mf = new java.io.File(idx, "_COMPACT_MANIFEST")
+    val pre = gensPerBucket
+    java.nio.file.Files.write(mf.toPath,
+      s"-9\nobkt=${Math.floorMod(id, nb)}/ibatch=$gen2\n".getBytes("UTF-8"))
+    assert(graft.sources.ObjectIndex.compactPending(spark, idx))
+    intercept[IllegalArgumentException] {
+      graft.sources.ObjectIndex.compactIndex(spark, idx, nb)
+    }
+    assert(graft.sources.ObjectIndex.recoverCompaction(spark, idx))
+    assert(!mf.exists() && gensPerBucket == pre && got == want,
+      "rolled-back recovery must leave the index untouched")
+  }
+
   test("stream-stream interval join pairs clicks with preceding views only") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

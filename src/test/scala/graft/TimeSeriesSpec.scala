@@ -165,9 +165,13 @@ class TimeSeriesSpec extends AnyFunSuite {
     val dirs = new java.io.File(out).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("obkt="))
     assert(dirs.length > 8, s"expected many bucket dirs, got ${dirs.length}")
-    // one file per bucket: the repartition(n, obkt) write discipline
-    assert(dirs.forall(_.listFiles().count(_.getName.endsWith(".parquet")) == 1),
-      "a bucket dir has more than one file - small-file discipline broken")
+    // unified layout: each bucket holds exactly the base generation,
+    // with one file — the repartition(n, obkt) write discipline
+    assert(dirs.forall { d =>
+      val gens = d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("ibatch="))
+      gens.map(_.getName).toSeq == Seq("ibatch=-1") &&
+        gens.head.listFiles().count(_.getName.endsWith(".parquet")) == 1
+    }, "a bucket dir deviates from one ibatch=-1 generation with one file")
 
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
@@ -207,9 +211,10 @@ class TimeSeriesSpec extends AnyFunSuite {
     val half = ev.filter(col("event_id") < 500)
     half.filter(col("user_id").isNotNull)
       .withColumn("obkt", pmod(col("user_id"), lit(nb)).cast("int"))
+      .withColumn("ibatch", lit(sources.ObjectIndex.BaseGen))
       .repartition(nb, col("obkt"))
       .sortWithinPartitions("user_id", "ts", "event_id")
-      .write.mode("overwrite").partitionBy("obkt").parquet(out)
+      .write.mode("overwrite").partitionBy("obkt", "ibatch").parquet(out)
     sources.ObjectIndex.append(spark, ev.filter(col("event_id") >= 500), out, nb)
 
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -222,7 +227,7 @@ class TimeSeriesSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       assert(got.toSeq == want.toSeq, "post-append lookup lost or duplicated rows")
       // still exactly ONE bucket directory read — its (now two) files
-      val bucketDir = new java.io.File(out, s"obkt=${id % nb}")
+      val bucketDir = new java.io.File(out, s"obkt=${id % nb}/ibatch=-1")
       val filesInBucket = bucketDir.listFiles().count(_.getName.endsWith(".parquet"))
       assert(filesInBucket == 2, s"expected 2 files in bucket, got $filesInBucket")
       val scans = idx.queryExecution.executedPlan.collect {
