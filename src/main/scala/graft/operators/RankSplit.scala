@@ -59,10 +59,17 @@ object RankSplit {
     val sp = df.groupBy(gCols: _*).agg(
       expr(s"approx_percentile($cellCol, array(${probes.mkString(",")}))")
         .as("__sps"))
+    // a NULL cell value would silently drop its row at the __cell
+    // equi-joins below (NULL never equi-matches); fail loudly instead —
+    // callers must coalesce/filter NULLs upstream, where the intended
+    // ordering of NULLs is theirs to choose
     val withCell = (if (groupCols.isEmpty) df.crossJoin(broadcast(sp))
       else df.join(broadcast(sp), groupCols))
       .withColumn("__cell", expr(
-        s"aggregate(__sps, 0, (acc, b) -> acc + IF($cellCol > b, 1, 0))"))
+        s"""CASE WHEN $cellCol IS NULL THEN
+           |  CAST(raise_error('RankSplit: NULL in cell column $cellCol — coalesce or filter NULLs upstream') AS INT)
+           |ELSE aggregate(__sps, 0, (acc, b) -> acc + IF($cellCol > b, 1, 0)) END"""
+          .stripMargin))
       .drop("__sps")
 
     val cellPart = gCols :+ col("__cell")

@@ -216,40 +216,50 @@ object Behavior {
     * exact-integer parity for free. */
   def qRfm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val p = ev(s, dir).filter($"event_type" === "purchase")
+    val p = Tables.events(s, dir)
+      .filter($"user_id".isNotNull && $"event_type" === "purchase")
+      .select($"user_id", expr("ts DIV 1000").as("tus"),
+        round($"value" * 100).cast("long").as("vc"))
     val horizon = p.agg(max($"tus").as("h"))
     p.groupBy($"user_id")
       .agg(max($"tus").as("last_tus"),
-        count(lit(1)).as("freq"))
+        count(lit(1)).as("freq"),
+        sum($"vc").as("mon_c100"))
       .crossJoin(broadcast(horizon))
       .withColumn("rec_days", expr(s"(h - last_tus) DIV $DayUs"))
       .withColumn("r_score",
         when($"rec_days" <= 3, 3).when($"rec_days" <= 10, 2).otherwise(1))
       .withColumn("f_score",
         when($"freq" >= 20, 3).when($"freq" >= 8, 2).otherwise(1))
+      .withColumn("m_score",
+        when($"mon_c100" >= 80000, 3).when($"mon_c100" >= 45000, 2).otherwise(1))
       .withColumn("segment",
-        concat($"r_score".cast("string"), $"f_score".cast("string")))
-      .select($"user_id", $"rec_days", $"freq", $"r_score", $"f_score",
-        $"segment")
+        concat($"r_score".cast("string"), $"f_score".cast("string"),
+          $"m_score".cast("string")))
+      .select($"user_id", $"rec_days", $"freq", $"mon_c100",
+        $"r_score", $"f_score", $"m_score", $"segment")
       .orderBy($"user_id")
   }
 
   val qRfmSql: String =
-    s"""WITH p AS (SELECT user_id, epoch_us(ts) AS tus FROM events
+    s"""WITH p AS (SELECT user_id, epoch_us(ts) AS tus,
+       |             CAST(ROUND(value*100) AS BIGINT) AS vc FROM events
        |           WHERE user_id IS NOT NULL AND event_type = 'purchase'),
        |h AS (SELECT MAX(tus) AS h FROM p),
-       |u AS (SELECT user_id, MAX(tus) AS last_tus, COUNT(*) AS freq
-       |      FROM p GROUP BY 1)
-       |SELECT user_id, (h - last_tus) // $DayUs AS rec_days, freq,
-       |  CASE WHEN (h - last_tus) // $DayUs <= 3 THEN 3
-       |       WHEN (h - last_tus) // $DayUs <= 10 THEN 2 ELSE 1 END AS r_score,
-       |  CASE WHEN freq >= 20 THEN 3 WHEN freq >= 8 THEN 2 ELSE 1 END AS f_score,
-       |  CAST(CASE WHEN (h - last_tus) // $DayUs <= 3 THEN 3
-       |       WHEN (h - last_tus) // $DayUs <= 10 THEN 2 ELSE 1 END AS VARCHAR)
-       |    || CAST(CASE WHEN freq >= 20 THEN 3 WHEN freq >= 8 THEN 2
-       |            ELSE 1 END AS VARCHAR) AS segment
-       |FROM u CROSS JOIN h
-       |ORDER BY user_id""".stripMargin
+       |u AS (SELECT user_id, MAX(tus) AS last_tus, COUNT(*) AS freq,
+       |        CAST(SUM(vc) AS BIGINT) AS mon_c100
+       |      FROM p GROUP BY 1),
+       |sc AS (SELECT user_id, (h - last_tus) // $DayUs AS rec_days, freq, mon_c100,
+       |         CASE WHEN (h - last_tus) // $DayUs <= 3 THEN 3
+       |              WHEN (h - last_tus) // $DayUs <= 10 THEN 2 ELSE 1 END AS r_score,
+       |         CASE WHEN freq >= 20 THEN 3 WHEN freq >= 8 THEN 2 ELSE 1 END AS f_score,
+       |         CASE WHEN mon_c100 >= 80000 THEN 3
+       |              WHEN mon_c100 >= 45000 THEN 2 ELSE 1 END AS m_score
+       |       FROM u CROSS JOIN h)
+       |SELECT user_id, rec_days, freq, mon_c100, r_score, f_score, m_score,
+       |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+       |    || CAST(m_score AS VARCHAR) AS segment
+       |FROM sc ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
   /** Cohort lifetime value: per first-seen-day cohort, users and the

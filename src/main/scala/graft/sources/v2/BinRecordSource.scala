@@ -365,7 +365,8 @@ private[v2] class BinRecordReader(full: StructType, required: StructType,
 //
 // Commit protocol (the same two-phase discipline as Spark's file
 // sources): each task streams its records to
-// `<path>/_staging_<queryId>/part-<partition>-<task>.bin` — invisible
+// `<path>/_staging_<queryId>/part-<partition>-<task>-<queryId>.bin` —
+// invisible
 // to concurrent reads by the underscore rule — and the JOB commit
 // renames the staged files into place (plus deletes pre-existing data
 // first under truncate/overwrite). A failed task or job only ever
@@ -399,7 +400,7 @@ private[v2] case class BinRecordWrite(schema: StructType, path: String,
     : DataWriterFactory = {
     val hconf = SparkSession.active.sparkContext.hadoopConfiguration
     stagingDir.getFileSystem(hconf).mkdirs(stagingDir)
-    BinRecordWriterFactory(schema, stagingDir.toString, hconfEntries)
+    BinRecordWriterFactory(schema, stagingDir.toString, queryId, hconfEntries)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -433,14 +434,18 @@ private[v2] case class BinRecordWrite(schema: StructType, path: String,
 }
 
 private[v2] case class BinRecordWriterFactory(schema: StructType,
-  stagingDir: String, confEntries: Array[(String, String)])
+  stagingDir: String, queryId: String, confEntries: Array[(String, String)])
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
     : DataWriter[InternalRow] = {
     val conf = new Configuration(false)
     confEntries.foreach { case (k, v) => conf.set(k, v) }
+    // the per-query UUID rides into the COMMITTED name: task ids
+    // restart per application, so without it two appends from
+    // different applications could collide mid-rename (a partially
+    // committed batch with no rollback)
     new BinRecordDataWriter(schema, conf,
-      new Path(stagingDir, f"part-$partitionId%05d-$taskId.bin"))
+      new Path(stagingDir, f"part-$partitionId%05d-$taskId-$queryId.bin"))
   }
 }
 

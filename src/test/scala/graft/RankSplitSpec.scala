@@ -61,6 +61,19 @@ class RankSplitSpec extends AnyFunSuite {
       s"global rank must be a 1..$n permutation: $got")
   }
 
+  test("a NULL cell value fails loudly instead of silently dropping its row") {
+    val withNull = base.withColumn("pc",
+      when(col("o_orderkey") === 7, lit(null)).otherwise(col("pc")))
+    val e = intercept[Exception] {
+      RankSplit.rank(withNull, Seq("o_orderpriority"), "pc",
+        Seq("o_totalprice", "o_orderkey")).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("RankSplit: NULL")),
+      s"expected the loud NULL-cell error, got $e")
+  }
+
   test("the full-width sort is cell-partitioned, never per-group") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
