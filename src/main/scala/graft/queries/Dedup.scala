@@ -317,6 +317,80 @@ object Dedup {
   private def cappedGramIndex(gramRows: DataFrame): DataFrame =
     capBlocks(gramRows, Seq("gram"), GramDfCap)
 
+  // ---------------------------------------------------------------
+  /** Substring-level (containment) dedup: directed pairs where ≥
+    * [[ContainPctMin]]% of the smaller doc's informative character
+    * 8-grams also occur in the other doc — the affix/contained-
+    * duplicate relation document-level Jaccard misses (a doc pasted
+    * inside a larger one scores low symmetric Jaccard but high
+    * containment).
+    *
+    * Exactly the [[ngramJaccardPairs]] discipline, one level finer
+    * (character grams, not word grams): the denominator `ng1` is the
+    * EXACT distinct char-8-gram count of the contained side, while the
+    * intersection is counted over the df-capped inverted index — a
+    * deterministic lower bound that sheds only corpus-common grams
+    * (boilerplate phrases), mirrored verbatim in the oracle so parity
+    * is exact WITH the skew guard on. [[ContainMinGrams]] floors the
+    * denominator so trivially short docs cannot pass on noise.
+    *
+    * 100 TB path: the posting-list join is the only pair-generating
+    * stage and every list is capped before it; at rest the sparse
+    * winnowing fingerprints (TextFunctions.winnowFingerprints, ~1/w
+    * of these grams) serve as the stored accelerator index — the spec
+    * proves winnow-fingerprint blocking recovers every emitted pair,
+    * so a production pipeline can scan the fingerprint table instead
+    * of re-gramming the corpus. */
+  val ContainPctMin = 70
+  val ContainMinGrams = 30
+  private val ContainGramLen = 8
+
+  private[queries] def charGramRowsOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .filter(length($"text") >= ContainGramLen)
+      .select($"doc_id", explode(array_distinct(expr(
+        s"transform(sequence(1, length(text) - ${ContainGramLen - 1}), i -> xxhash64(substring(text, i, $ContainGramLen)))")))
+        .as("gram"))
+  }
+
+  def containPairs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val g = charGramRowsOf(docs)
+    val counts = g.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
+    val gf = cappedGramIndex(g)
+    val pairs = gf.select($"doc_id".as("d1"), $"gram")
+      .join(gf.select($"doc_id".as("d2"), $"gram"), "gram")
+      .filter($"d1" =!= $"d2")
+      .groupBy($"d1", $"d2").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(counts.select($"doc_id".as("d1"), $"ng".as("ng1")), "d1")
+      .filter($"ng1" >= ContainMinGrams &&
+        $"inter" * 100 >= $"ng1" * ContainPctMin)
+      .select($"d1", $"d2", $"ng1", $"inter",
+        expr("(100 * inter) DIV ng1").as("cont_pct"))
+      .orderBy($"d1", $"d2")
+  }
+
+  def qDedupContain(s: SparkSession, dir: String): DataFrame =
+    containPairs(Tables.documents(s, dir))
+
+  val qDedupContainSql: String =
+    s"""WITH g AS (SELECT doc_id, unnest(list_distinct(
+       |    [substr(text, i, $ContainGramLen) for i in range(1, len(text) - ${ContainGramLen - 2})])) AS gram
+       |  FROM documents WHERE length(text) >= $ContainGramLen),
+       |n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+       |gf AS (SELECT doc_id, gram FROM (
+       |        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM g)
+       |       WHERE df <= $GramDfCap),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+       |      FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id <> b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT d1, d2, n1.ng AS ng1, inter, (100 * inter) // n1.ng AS cont_pct
+       |FROM p JOIN n n1 ON p.d1 = n1.doc_id
+       |WHERE n1.ng >= $ContainMinGrams AND inter * 100 >= n1.ng * $ContainPctMin
+       |ORDER BY d1, d2""".stripMargin
+
   /** Edit-distance similarity join (string-similarity search): pairs
     * whose raw 64-char prefixes are within Levenshtein distance
     * [[EditDistMax]] (no case folding or whitespace normalization —
@@ -741,6 +815,7 @@ object Dedup {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_dedup_contain" -> (qDedupContain _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_lsh_pairs" -> (qDedupLshPairs _),
     "q_dedup_simhash" -> (qDedupSimhash _),
@@ -759,6 +834,7 @@ object Dedup {
     "q_pagerank" -> qPageRankSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_dedup_contain" -> qDedupContainSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_edit_dist_pairs" -> qEditDistPairsSql,
     "q_pipeline_clean" -> qPipelineCleanSql,

@@ -184,6 +184,47 @@ class DedupAnnSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q_dedup_contain: directed pairs above threshold; winnow blocking recovers every pair") {
+    val df = queries.Dedup.qDedupContain(spark, sf).cache()
+    assert(df.count() > 0, "expected containment pairs (exact dups contain each other)")
+    assert(df.filter(
+      s"d1 = d2 OR cont_pct < ${queries.Dedup.ContainPctMin}" +
+        s" OR ng1 < ${queries.Dedup.ContainMinGrams}").count() == 0)
+    // exact duplicates are mutually contained: every exact-dup pair with
+    // enough grams must appear in BOTH directions
+    val dups = queries.Dedup.qDedupExact(spark, sf)
+      .filter("is_dup = 1").select("doc_id", "canonical_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = df.select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bigEnough = df.select("d1").collect().map(_.getLong(0)).toSet
+    dups.filter(p => bigEnough(p._1) && bigEnough(p._2)).foreach { case (a, b) =>
+      assert(got((a, b)) && got((b, a)),
+        s"exact-dup pair ($a,$b) missing from containment output")
+    }
+    // the sparse winnowing fingerprint index (the at-rest accelerator)
+    // blocks losslessly for this relation: every emitted pair shares a
+    // selected fingerprint
+    val fp = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(functions.TextFunctions.winnowFingerprints(col("text"), k = 8, w = 4)).as("fp"))
+      .distinct()
+    val cand = fp.select(col("doc_id").as("d1"), col("fp"))
+      .join(fp.select(col("doc_id").as("d2"), col("fp")), "fp")
+      .filter("d1 <> d2").select("d1", "d2").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = got.diff(cand)
+    assert(missed.isEmpty,
+      s"winnow blocking missed ${missed.size} containment pairs: ${missed.take(3)}")
+    df.unpersist()
+  }
+
+  test("containment join does no quadratic work on mass-identical input (degenerate)") {
+    // 1000 identical docs: every char-8-gram has df 1000 > cap, so the
+    // capped index empties and zero candidate pairs are generated
+    assert(queries.Dedup.containPairs(identicalDocs(1000)).count() == 0)
+  }
+
   test("no cartesian product in the pair plans") {
     for (q <- Seq(queries.Dedup.qNgramJaccard(spark, sf),
       queries.Dedup.qDedupLshPairs(spark, sf),
