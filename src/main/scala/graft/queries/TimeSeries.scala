@@ -823,6 +823,68 @@ object TimeSeries {
       |FROM a ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Trial periods for the period search, in microseconds (2 h …
+    * 14 d) — a fixed grid, as a production period scan would ship. */
+  private[graft] val PeriodGridUs: Seq[Long] =
+    Seq(2, 3, 4, 6, 8, 12, 16, 24, 36, 48, 72, 96, 120, 168, 240, 336)
+      .map(_ * 3600000000L)
+  private[graft] val PhaseBins = 8
+
+  /** Light-curve period search — phase-dispersion minimization
+    * (Stellingwerf 1978) over the fixed [[PeriodGridUs]] grid: for
+    * each (object, trial period), fold the series into [[PhaseBins]]
+    * integer phase bins and score the folding by Σ_b ⌊s_b²/n_b⌋
+    * (s_b, n_b = per-bin flux sum/count in exact cents). Minimizing
+    * within-bin variance ≡ maximizing that sum, and the floor
+    * surrogate keeps the argmax in pure integer space — bit-identical
+    * across engines, no IEEE accumulation anywhere.
+    *
+    * Scale shape: the explode is a CONSTANT ×|grid| row expansion
+    * (×16 — the classic bounded explode, like q_hopping), every
+    * aggregate is map-side combinable on keys whose cardinality grows
+    * with the data (objects × grid × bins), and the final argmax is
+    * one combinable max(struct(score, −period)) — no window, no
+    * sort, two shuffles total. At 100 TB the grid rides along as a
+    * literal; nothing is driver-side. */
+  def qPeriodogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nb = PhaseBins
+    val folded = series(s, dir)
+      .filter($"user_id".isNotNull)
+      .withColumn("p_us", explode(typedLit(PeriodGridUs)))
+      .withColumn("bin", expr(s"((tus % p_us) * $nb) DIV p_us"))
+    val scores = folded
+      .groupBy($"user_id", $"p_us", $"bin")
+      .agg(count(lit(1)).as("n"), sum($"xc").as("sb"))
+      .groupBy($"user_id", $"p_us")
+      .agg(sum(expr("(sb * sb) DIV n")).as("score"))
+    scores
+      .groupBy($"user_id")
+      .agg(max(struct($"score", (-$"p_us").as("negp"))).as("b"))
+      .select($"user_id", (-$"b.negp").as("best_p_us"),
+        $"b.score".as("score"))
+      .orderBy($"user_id")
+  }
+
+  val qPeriodogramSql: String = {
+    val grid = PeriodGridUs.mkString(", ")
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc
+       |  FROM events WHERE user_id IS NOT NULL),
+       |grid AS (SELECT unnest([$grid]) AS p_us),
+       |b AS (SELECT user_id, p_us, ((tus % p_us) * $PhaseBins) // p_us AS bin,
+       |        COUNT(*) AS n, CAST(SUM(xc) AS BIGINT) AS sb
+       |      FROM ev CROSS JOIN grid GROUP BY 1, 2, 3),
+       |sc AS (SELECT user_id, p_us, CAST(SUM((sb * sb) // n) AS BIGINT) AS score
+       |       FROM b GROUP BY 1, 2),
+       |r AS (SELECT user_id, p_us, score, ROW_NUMBER() OVER (
+       |        PARTITION BY user_id ORDER BY score DESC, p_us) AS rn
+       |      FROM sc)
+       |SELECT user_id, p_us AS best_p_us, score FROM r WHERE rn = 1
+       |ORDER BY user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   /** The id probed by the point-lookup query — exists at every SF
     * (user_ids are dense from 0). */
   val LookupId = 7L
@@ -871,7 +933,8 @@ object TimeSeries {
     "q_attribution" -> (qAttribution _),
     "q_autocorr" -> (qAutocorr _),
     "q_hopping" -> (qHopping _),
-    "q_lightcurve_trend" -> (qLightcurveTrend _))
+    "q_lightcurve_trend" -> (qLightcurveTrend _),
+    "q_periodogram" -> (qPeriodogram _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -893,5 +956,6 @@ object TimeSeries {
     "q_attribution" -> qAttributionSql,
     "q_autocorr" -> qAutocorrSql,
     "q_hopping" -> qHoppingSql,
-    "q_lightcurve_trend" -> qLightcurveTrendSql)
+    "q_lightcurve_trend" -> qLightcurveTrendSql,
+    "q_periodogram" -> qPeriodogramSql)
 }

@@ -158,6 +158,34 @@ class TimeSeriesSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q_periodogram: one row per object, period from the grid, score matches a driver recompute") {
+    val df = queries.TimeSeries.qPeriodogram(spark, sf).cache()
+    val users = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull).select("user_id").distinct().count()
+    assert(df.count() == users, "periodogram must cover every object once")
+    val gridSet = queries.TimeSeries.PeriodGridUs.toSet
+    assert(df.collect().forall(r => gridSet(r.getLong(1))),
+      "best period not from the trial grid")
+    // exact recompute of the winning score for one object
+    val id = queries.TimeSeries.LookupId
+    val series = Tables.events(spark, sf)
+      .filter(col("user_id") === id)
+      .selectExpr("ts DIV 1000 AS tus", "CAST(ROUND(value*100) AS LONG) AS xc")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def score(p: Long): Long = series
+      .groupBy { case (tus, _) => (tus % p) * queries.TimeSeries.PhaseBins / p }
+      .values.map { xs =>
+        val s = xs.map(_._2).sum
+        s * s / xs.length
+      }.sum
+    val best = queries.TimeSeries.PeriodGridUs
+      .map(p => (score(p), p)).maxBy { case (sc, p) => (sc, -p) }
+    val got = df.filter(col("user_id") === id).head()
+    assert((got.getLong(2), got.getLong(1)) == best,
+      s"engine best ${(got.getLong(2), got.getLong(1))} != recompute $best")
+    df.unpersist()
+  }
+
   test("object-index lookup prunes to one bucket and matches the flat point query") {
     val out = java.nio.file.Files.createTempDirectory("graft_objidx").toString
     val nb = 16 // 15 distinct users at sf0.001 -> most buckets non-empty
