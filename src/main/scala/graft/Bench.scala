@@ -34,7 +34,12 @@ object Bench {
     // the histogram-split exact ntile, and the cell-bounded skyline
     "q_pagerank", "q_mode", "q_quartile_bucket", "q_ntile", "q_skyline",
     // round-7 wave-2: spatial argmin, exact EMA, RankSplit-ranked vocab
-    "q_nearest_nbr", "q_ema", "q_zipf")
+    "q_nearest_nbr", "q_ema", "q_zipf",
+    // round-8: two-catalog cross-match, containment dedup (char-gram
+    // inverted index), periodogram (bounded explode), and the
+    // productionized PQ (k-means + LUT ADC) — each would regress
+    // silently if its blocking/fold discipline broke
+    "q_xmatch_2cat", "q_dedup_contain", "q_periodogram", "q_ann_pq")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -276,23 +276,26 @@ object Ann {
 
   /** codes column (array<int>, values 0..[[PqK]]-1) from `iv` against
     * the literal `cent` codebook: per subspace, argmin integer L2
-    * (ties → lowest centroid id, via array_position's first match). */
-  private def codesCol: Column = expr(
-    s"""transform(sequence(0, ${PqM - 1}), m ->
-       |  CAST(array_position(
-       |    transform(cent[m], c ->
-       |      aggregate(zip_with(slice(iv, m * $PqSub + 1, $PqSub), c,
-       |        (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)),
-       |    array_min(
-       |      transform(cent[m], c ->
-       |        aggregate(zip_with(slice(iv, m * $PqSub + 1, $PqSub), c,
-       |          (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x))))
-       |  - 1 AS INT))""".stripMargin)
-
-  private def withCodes(e: DataFrame, cent: Seq[Seq[Seq[Long]]]): DataFrame =
-    e.withColumn("cent", typedLit(cent))
-      .withColumn("codes", codesCol)
-      .drop("cent")
+    * (ties → lowest centroid id, via array_position's first match).
+    *
+    * The per-centroid score is `‖c‖² − 2·x·c` — same argmin (and same
+    * ties) as the full L2, since `‖x‖²` is constant within a
+    * subspace — built from the native codegen [[VectorOps.dotC]]
+    * kernel over literal centroid slices, NOT a higher-order
+    * `aggregate` lambda: interpreted HOFs in this per-row inner loop
+    * (M×K evaluations each) were the whole encode cost. */
+  private def withCodes(e: DataFrame, cent: Seq[Seq[Seq[Long]]]): DataFrame = {
+    val dists: Seq[Column] = (0 until PqM).map { m =>
+      array((0 until PqK).map { k =>
+        val c = cent(m)(k)
+        val cc = c.map(x => x * x).sum
+        lit(cc) - lit(2L) * VectorOps.dotC(
+          slice(col("iv"), m * PqSub + 1, PqSub), typedLit(c))
+      }: _*)
+    }
+    e.withColumn("codes", array(dists.map(d =>
+      (array_position(d, array_min(d)) - 1).cast("int")): _*))
+  }
 
   /** Integer Lloyd iterations: assign every row's subvectors to their
     * nearest centroids, then recompute each centroid as the exact
