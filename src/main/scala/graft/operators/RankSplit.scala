@@ -50,8 +50,11 @@ object RankSplit {
   val CumWCol = "__cumw"      // inclusive running weight (weighted form)
   val TotWCol = "__grp_w"     // group weight total (weighted form)
 
-  def rank(df: DataFrame, groupCols: Seq[String], cellCol: String,
-    orderCols: Seq[String], weightCol: Option[String] = None,
+  /** Steps 1–2 alone: append `__cell` (0..splits−1, monotone in
+    * `cellCol`) from per-group approximate split points. Reused by
+    * [[rank]] and by plans that need histogram cells without ranks
+    * (q_skyline's cell-bounded dominance). */
+  def assignCells(df: DataFrame, groupCols: Seq[String], cellCol: String,
     splits: Int = 32): DataFrame = {
     require(splits >= 2, "need at least 2 splits")
     val gCols = groupCols.map(col)
@@ -63,7 +66,7 @@ object RankSplit {
     // equi-joins below (NULL never equi-matches); fail loudly instead —
     // callers must coalesce/filter NULLs upstream, where the intended
     // ordering of NULLs is theirs to choose
-    val withCell = (if (groupCols.isEmpty) df.crossJoin(broadcast(sp))
+    (if (groupCols.isEmpty) df.crossJoin(broadcast(sp))
       else df.join(broadcast(sp), groupCols))
       .withColumn("__cell", expr(
         s"""CASE WHEN $cellCol IS NULL THEN
@@ -71,6 +74,13 @@ object RankSplit {
            |ELSE aggregate(__sps, 0, (acc, b) -> acc + IF($cellCol > b, 1, 0)) END"""
           .stripMargin))
       .drop("__sps")
+  }
+
+  def rank(df: DataFrame, groupCols: Seq[String], cellCol: String,
+    orderCols: Seq[String], weightCol: Option[String] = None,
+    splits: Int = 32): DataFrame = {
+    val gCols = groupCols.map(col)
+    val withCell = assignCells(df, groupCols, cellCol, splits)
 
     val cellPart = gCols :+ col("__cell")
     val wLocal = Window.partitionBy(cellPart: _*)

@@ -877,13 +877,11 @@ object CoreOlap {
       // o_orderdate surfaces as TIMESTAMP_NTZ; the session runs UTC so
       // the cast to TIMESTAMP is lossless and unix_micros applies
       unix_micros($"o_orderdate".cast("timestamp")).as("od"))
-    val probes = (1 until NtileSplits).map(_.toDouble / NtileSplits)
-    val sp = o.agg(
-      expr(s"approx_percentile(pc, array(${probes.mkString(",")}))").as("sps"))
-    val withCell = o.crossJoin(broadcast(sp))
-      .withColumn("cell",
-        expr("aggregate(sps, 0, (acc, b) -> acc + IF(pc > b, 1, 0))"))
-      .drop("sps")
+    // the shared histogram-cell assignment (RankSplit steps 1-2),
+    // including its loud NULL-cell guard
+    val withCell = graft.operators.RankSplit
+      .assignCells(o, Seq.empty, "pc", NtileSplits)
+      .withColumnRenamed("__cell", "cell")
     val wCheaper = Window.partitionBy($"cell").orderBy($"pc")
       .rangeBetween(Window.unboundedPreceding, -1)
     val wSamePc = Window.partitionBy($"cell", $"pc")

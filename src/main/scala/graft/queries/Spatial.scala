@@ -128,48 +128,65 @@ object Spatial {
     }
   }
 
-  /** Zone-algorithm near-neighbor self cross-match, radius 1°.
+  /** THE zone-grid candidate join, shared by every cross-match shape
+    * ([[qZoneXmatch]], [[orderedPairs]] → kNN/nearest, and the
+    * two-catalog [[qXmatch2cat]]): all (probe, build) point pairs
+    * within `radius`, via the adaptive (zone, ra-bucket) grid.
     *
-    * Scale shape: each point lands in one (zone, ra-bucket) grid cell
+    * Scale shape: each BUILD point lands in its one home grid cell
     * (zone height = radius; per-zone adaptive bucket width from
     * [[zoneRaBuckets]] — as tight as the Δra bound allows, so the grid
-    * has ~40k cells instead of a fixed 30/zone). The probe side is
+    * has ~40k cells instead of a fixed 30/zone). The PROBE side is
     * exploded into its ≤3×3 neighboring cells (array_distinct keeps
     * modular duplicates out when a polar zone has <3 buckets) and
     * equi-joined on the cell key — a plain shuffle join with ~10× key
     * amplification, never a cartesian/broadcast-nested-loop. The
     * ≤182-row zone-metadata table rides along as broadcast joins.
-    * Each candidate pair arises in exactly one cell (the build point's
-    * home cell), so no pair-level dedup pass is needed. The exact
-    * haversine predicate then keeps true neighbors; k1 < k2
-    * canonicalizes.
+    * Each candidate pair arises in exactly one cell (the build
+    * point's home cell), so no pair-level dedup pass is needed; the
+    * grid is a lossless candidate superset of the exact haversine
+    * predicate applied at the end.
     *
-    * Oracle: brute-force all-pairs with the identical haversine tree —
-    * the grid is a lossless candidate superset, so results match. */
-  def qZoneXmatch(s: SparkSession, dir: String): DataFrame = {
+    * Inputs carry (k, ra, decl); the output carries the probe row as
+    * (k1, ra1, decl1), the build row as (k2, ra2, decl2), and the
+    * rounded `dist_r6 < radius`. Identity predicates (k1<k2, k1≠k2)
+    * are the caller's — Catalyst pushes them below the haversine
+    * projection into the join. */
+  private def gridCandidates(probe: DataFrame, build: DataFrame,
+    radius: Double): DataFrame = {
+    val s = probe.sparkSession
     import s.implicits._
-    val radius = 1.0
     val zm = s.createDataFrame(zoneRaBuckets(radius, radius))
       .toDF("zm_zone", "nrb")
-    val pts = points(s, dir)
+    val b = build
       .withColumn("zone", floor(($"decl" + 90.0) / radius).cast("int"))
-    val build = pts
       .join(broadcast(zm), $"zone" === $"zm_zone")
       .select($"k".as("k2"), $"ra".as("ra2"), $"decl".as("decl2"),
         $"zone".as("z2"),
         floor($"ra" * $"nrb" / 360.0).cast("int").as("rb2"))
-    val probe = pts
+    val pr = probe
+      .withColumn("zone", floor(($"decl" + 90.0) / radius).cast("int"))
       .withColumn("zp", explode(array($"zone" - 1, $"zone", $"zone" + 1)))
       .join(broadcast(zm), $"zp" === $"zm_zone")
       .withColumn("c", floor($"ra" * $"nrb" / 360.0).cast("int"))
       .withColumn("rp", explode(array_distinct(array(
         pmod($"c" - 1, $"nrb"), pmod($"c", $"nrb"), pmod($"c" + 1, $"nrb")))))
       .select($"k".as("k1"), $"ra".as("ra1"), $"decl".as("decl1"), $"zp", $"rp")
-    probe
-      .join(build, probe("zp") === build("z2") && probe("rp") === build("rb2"))
-      .filter($"k1" < $"k2")
+    pr.join(b, pr("zp") === b("z2") && pr("rp") === b("rb2"))
       .withColumn("dist_r6", round(distDeg($"ra1", $"decl1", $"ra2", $"decl2"), 6))
       .filter($"dist_r6" < radius)
+  }
+
+  /** Zone-algorithm near-neighbor self cross-match, radius 1° —
+    * [[gridCandidates]] over the catalog against itself; k1 < k2
+    * canonicalizes. Oracle: brute-force all-pairs with the identical
+    * haversine tree — the grid is a lossless superset, so results
+    * match. */
+  def qZoneXmatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = points(s, dir)
+    gridCandidates(pts, pts, 1.0)
+      .filter($"k1" < $"k2")
       .select($"k1", $"k2", $"dist_r6")
       .orderBy($"k1", $"k2")
   }
@@ -202,42 +219,18 @@ object Spatial {
   /** TWO-catalog zone cross-match, radius 1° — the reference's daily
     * association shape: match the incoming detection stream against
     * the known-object catalog (vs [[qZoneXmatch]]'s self match).
-    *
-    * Scale shape: the OBJECT catalog (the big, stable side) sits in
-    * its home (zone, ra-bucket) cell — at rest that cell key is its
-    * physical partition key ([[writeZonePartitioned]]), so the nightly
-    * job never re-shuffles it losslessly grid-aligned. The DETECTION
-    * side (the small, fresh side) explodes into its ≤3×3 neighbor
-    * cells (≤×9, array_distinct deduping polar wrap) and equi-joins on
-    * the cell key — a plain shuffle join, no cartesian anywhere. Each
-    * (detection, object) candidate arises in exactly one cell (the
-    * object's home cell), so no pair-level dedup pass is needed; the
-    * exact haversine keeps true matches. Unmatched detections (new
-    * transients) fall out and would feed an object-creation branch. */
+    * [[gridCandidates]] with the DETECTION stream (the small, fresh
+    * side) probing and the OBJECT catalog building: objects stay in
+    * their home cell — at rest that cell key is their physical
+    * partition key ([[writeZonePartitioned]]), so the nightly job
+    * never re-shuffles the big side — while detections take the ≤×9
+    * explode. Unmatched detections (new transients) fall out and
+    * would feed an object-creation branch. */
   def qXmatch2cat(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val radius = 1.0
-    val zm = s.createDataFrame(zoneRaBuckets(radius, radius))
-      .toDF("zm_zone", "nrb")
-    val build = points(s, dir)
-      .withColumn("zone", floor(($"decl" + 90.0) / radius).cast("int"))
-      .join(broadcast(zm), $"zone" === $"zm_zone")
-      .select($"k".as("obj_k"), $"ra".as("ra2"), $"decl".as("decl2"),
-        $"zone".as("z2"),
-        floor($"ra" * $"nrb" / 360.0).cast("int").as("rb2"))
-    val probe = detections(s, dir)
-      .withColumn("zone", floor(($"decl" + 90.0) / radius).cast("int"))
-      .withColumn("zp", explode(array($"zone" - 1, $"zone", $"zone" + 1)))
-      .join(broadcast(zm), $"zp" === $"zm_zone")
-      .withColumn("c", floor($"ra" * $"nrb" / 360.0).cast("int"))
-      .withColumn("rp", explode(array_distinct(array(
-        pmod($"c" - 1, $"nrb"), pmod($"c", $"nrb"), pmod($"c" + 1, $"nrb")))))
-      .select($"det_k", $"ra".as("ra1"), $"decl".as("decl1"), $"zp", $"rp")
-    probe
-      .join(build, probe("zp") === build("z2") && probe("rp") === build("rb2"))
-      .withColumn("dist_r6", round(distDeg($"ra1", $"decl1", $"ra2", $"decl2"), 6))
-      .filter($"dist_r6" < radius)
-      .select($"det_k", $"obj_k", $"dist_r6")
+    gridCandidates(detections(s, dir).withColumnRenamed("det_k", "k"),
+      points(s, dir), 1.0)
+      .select($"k1".as("det_k"), $"k2".as("obj_k"), $"dist_r6")
       .orderBy($"det_k", $"obj_k")
   }
 
@@ -261,34 +254,15 @@ object Spatial {
     * bit-identical on both engines because both sides compute the
     * identical haversine tree. Points with no neighbor within 1°
     * drop out, matching the oracle. */
-  /** All ORDERED neighbor pairs (k1→k2, k1≠k2) within `radius`, via
-    * the adaptive zone grid — each ordered pair arises exactly once
-    * (probe explodes over neighbor cells, build sits in its home
-    * cell). Shared by [[qNearestNbr]] and [[qKnn3]]. */
+  /** All ORDERED neighbor pairs (k1→k2, k1≠k2) within `radius` —
+    * [[gridCandidates]] over the catalog against itself, keeping both
+    * directions. Shared by [[qNearestNbr]] and [[qKnn3]]. */
   private def orderedPairs(s: SparkSession, dir: String,
     radius: Double): DataFrame = {
     import s.implicits._
-    val zm = s.createDataFrame(zoneRaBuckets(radius, radius))
-      .toDF("zm_zone", "nrb")
     val pts = points(s, dir)
-      .withColumn("zone", floor(($"decl" + 90.0) / radius).cast("int"))
-    val build = pts
-      .join(broadcast(zm), $"zone" === $"zm_zone")
-      .select($"k".as("k2"), $"ra".as("ra2"), $"decl".as("decl2"),
-        $"zone".as("z2"),
-        floor($"ra" * $"nrb" / 360.0).cast("int").as("rb2"))
-    val probe = pts
-      .withColumn("zp", explode(array($"zone" - 1, $"zone", $"zone" + 1)))
-      .join(broadcast(zm), $"zp" === $"zm_zone")
-      .withColumn("c", floor($"ra" * $"nrb" / 360.0).cast("int"))
-      .withColumn("rp", explode(array_distinct(array(
-        pmod($"c" - 1, $"nrb"), pmod($"c", $"nrb"), pmod($"c" + 1, $"nrb")))))
-      .select($"k".as("k1"), $"ra".as("ra1"), $"decl".as("decl1"), $"zp", $"rp")
-    probe
-      .join(build, probe("zp") === build("z2") && probe("rp") === build("rb2"))
+    gridCandidates(pts, pts, radius)
       .filter($"k1" =!= $"k2")
-      .withColumn("dist_r6", round(distDeg($"ra1", $"decl1", $"ra2", $"decl2"), 6))
-      .filter($"dist_r6" < radius)
       .select($"k1", $"k2", $"dist_r6")
   }
 

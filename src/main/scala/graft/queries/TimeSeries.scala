@@ -522,7 +522,11 @@ object TimeSeries {
     * window then reuses the same user partitioning. */
   def qStreaks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // anonymous (NULL-user) events would otherwise collapse into one
+    // phantom "user" — a single hot window partition with meaningless
+    // streaks; per-user semantics exclude them, like every sibling op
     val days = Tables.events(s, dir)
+      .filter($"user_id".isNotNull)
       .select($"user_id", expr("ts DIV 86400000000000").as("d"))
       .distinct()
     val w = Window.partitionBy($"user_id").orderBy($"d")
@@ -537,7 +541,8 @@ object TimeSeries {
   }
 
   val qStreaksSql: String =
-    """WITH days AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+    """WITH days AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+      |              FROM events WHERE user_id IS NOT NULL),
       |isl AS (SELECT user_id,
       |          d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
       |        FROM days),

@@ -214,6 +214,25 @@ object Catalog {
         s"evolving append to $table changed ${f.name}: " +
           s"${got(f.name)} vs declared ${f.dataType}")
     }
+    // EVOLVED (non-declared) columns are part of the contract too once
+    // written: a second append re-adding one at a different type would
+    // commit cleanly and then break every merged-schema read — so it
+    // FAILFASTs here instead. The current-schema probe is a footer
+    // read (control-plane), only on this rare evolving path.
+    val declared = schemas(table).map(_.name).toSet
+    val (f, p) = fs(s, path)
+    val hasData = f.exists(p) && f.listStatus(p).exists(st =>
+      st.isFile && v2.BinRecord.visible(st.getPath.getName))
+    if (hasData) {
+      val current = readEvolved(s, path).schema
+        .filterNot(fld => declared(fld.name))
+        .map(fld => (fld.name, fld.dataType)).toMap
+      df.schema.filterNot(fld => declared(fld.name)).foreach { fld =>
+        current.get(fld.name).foreach(dt => require(dt == fld.dataType,
+          s"evolving append to $table changed evolved column ${fld.name}: " +
+            s"${fld.dataType} vs already-written $dt"))
+      }
+    }
     stagedAppend(s, df, path)
   }
 

@@ -159,11 +159,22 @@ object ObjectIndex {
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("ibatch="))
         .map(st => s"${b.getPath.getName}/${st.getPath.getName}"))
 
-  /** Fold every generation present at call time into ONE new
-    * generation (id = current minimum − 1, so successive compactions
-    * never collide with past generations or future batch ids), one
-    * file per bucket, then delete the folded generation directories.
-    * Returns the new generation id.
+  /** Fold the current generations into ONE new generation (id =
+    * current minimum − 1, so successive compactions never collide
+    * with past generations or future batch ids), one file per bucket,
+    * then delete the folded generation directories. Returns the new
+    * generation id.
+    *
+    * Replay safety: the NEWEST non-negative (streaming) generation is
+    * NEVER folded. Structured Streaming's at-least-once foreachBatch
+    * can replay exactly the latest batch after a crash (its
+    * checkpoint commit may not have landed); if compaction had folded
+    * that generation away and deleted its directories, the replay's
+    * dynamic overwrite of `ibatch=<batchId>` would re-add rows that
+    * now also live in the compacted generation — permanent
+    * duplicates. Leaving the newest batch generation for the next
+    * cycle keeps replay ∘ compaction idempotent; files-per-bucket
+    * stays bounded by 2 generations instead of 1.
     *
     * Concurrency: only generations captured in the initial listing
     * are folded AND deleted — a streaming micro-batch landing
@@ -189,15 +200,24 @@ object ObjectIndex {
       s"$path has a leftover $CompactManifest from a crashed compaction; " +
         "run ObjectIndex.recoverCompaction first")
     val (f, p) = fs(s, path)
-    val captured = listGenerations(f, p)
-    require(captured.nonEmpty, s"no index generations to compact at $path")
+    val all = listGenerations(f, p)
+    require(all.nonEmpty, s"no index generations to compact at $path")
+    // never fold the newest streaming generation — it may still replay
+    val newestBatch = all.map(_.split("=").last.toLong).filter(_ >= 0)
+      .sorted.lastOption
+    val captured = newestBatch match {
+      case Some(nb) => all.filterNot(_.endsWith(s"=$nb"))
+      case None => all
+    }
+    if (captured.isEmpty) return newestBatch.get // single replayable gen: no-op
     val gens = captured.map(_.split("=").last.toLong)
     val gen = gens.min - 1
-    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+    val tmp = new org.apache.hadoop.fs.Path(p,
       s"_tmp_idxcompact_${java.util.UUID.randomUUID().toString.take(8)}")
     try {
-      // stage the fold OUTSIDE the index root (never visible to readers,
-      // and the final write must not read from its own output path)
+      // stage the fold INSIDE the index root (underscore-hidden from
+      // readers, and reclaimable by recoverCompaction after a hard
+      // crash; the commit write reads the staged files, not `path`)
       s.read.parquet(path)
         .filter(col("ibatch").isin(gens.distinct: _*))
         .withColumn("ibatch", lit(gen))
@@ -238,11 +258,18 @@ object ObjectIndex {
   /** Resolve a crashed [[compactIndex]]: buckets whose new generation
     * committed roll forward (folded dirs deleted); buckets it never
     * reached roll back (folded dirs kept — their rows exist nowhere
-    * else). Returns true when a pending compaction was resolved. */
+    * else). Stray `_tmp_idxcompact_*` staging dirs left by a hard
+    * crash (the in-flight fold copy) are reclaimed too — safe under
+    * the one-maintainer-per-index discipline every writer here
+    * assumes. Returns true when anything was resolved. */
   def recoverCompaction(s: SparkSession, path: String): Boolean = {
     val (f, p) = fs(s, path)
+    val strays = if (f.exists(p)) f.listStatus(p).toSeq.filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("_tmp_idxcompact_"))
+      else Seq.empty
+    strays.foreach(st => f.delete(st.getPath, true))
     val mf = new org.apache.hadoop.fs.Path(p, CompactManifest)
-    if (!f.exists(mf)) return false
+    if (!f.exists(mf)) return strays.nonEmpty
     val in = f.open(mf)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList finally in.close()

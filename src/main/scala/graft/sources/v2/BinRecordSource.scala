@@ -368,9 +368,10 @@ private[v2] class BinRecordReader(full: StructType, required: StructType,
 // `<path>/_staging_<queryId>/part-<partition>-<task>-<queryId>.bin` —
 // invisible
 // to concurrent reads by the underscore rule — and the JOB commit
-// renames the staged files into place (plus deletes pre-existing data
-// first under truncate/overwrite). A failed task or job only ever
-// leaves staging garbage behind, never a torn table; a re-attempted
+// renames the staged files into place (under truncate/overwrite the
+// pre-existing files are deleted AFTER the renames, so a mid-commit
+// crash shows old+new rows, never a torn or emptied table). A failed
+// task or job only ever leaves staging garbage behind; a re-attempted
 // task writes a new file keyed by its task id.
 
 private[v2] class BinRecordWriteBuilder(schema: StructType, path: String,
@@ -415,15 +416,22 @@ private[v2] case class BinRecordWrite(schema: StructType, path: String,
       require(len % recLen == 0,
         s"staged file $f length $len is not a multiple of record length $recLen")
     }
-    if (truncate) {
+    // truncate order matters: capture the OLD files first, rename the
+    // staged files IN (their names embed the per-query UUID, so they
+    // can never collide with old files), and only then delete the old
+    // generation. A crash mid-commit therefore leaves old+new rows
+    // visible (re-running the overwrite converges) — never a torn or
+    // emptied table, which delete-first would produce.
+    val old = if (truncate)
       fs.listStatus(dest).filter(_.isFile)
         .filter(st => BinRecord.visible(st.getPath.getName))
-        .foreach(st => fs.delete(st.getPath, false))
-    }
+        .map(_.getPath)
+    else Array.empty[Path]
     staged.foreach { f =>
       require(fs.rename(f, new Path(dest, f.getName)),
         s"could not commit staged file $f into $dest")
     }
+    old.foreach(f => fs.delete(f, false))
     fs.delete(stagingDir, true)
   }
 
