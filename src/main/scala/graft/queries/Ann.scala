@@ -112,27 +112,40 @@ object Ann {
     * Tie-breaking is (cosine desc, centroid id asc) everywhere, via
     * struct ordering on (cos, -cid) — bit-identical to the oracle's
     * ROW_NUMBER, since cosines are exact-integer-derived doubles. */
-  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val e = Tables.embeddings(s, dir).select(
-      $"vec_id", VectorOps.intVec("embedding").as("iv"))
-      .withColumn("nrm", VectorOps.normSq("iv"))
-    // "train": deterministic codebook (cid = the centroid's vec_id)
-    val cents: Seq[(Long, Seq[Long], Long)] = e
-      .filter($"vec_id" >= NQueries && $"vec_id" < NQueries + NCentroids)
+  /** "train": deterministic IVF codebook (cid = the centroid's
+    * vec_id) — the tiny driver-side collect is model parameters. */
+  private def ivfCents(e: DataFrame): Seq[(Long, Seq[Long], Long)] = {
+    import e.sparkSession.implicits._
+    e.filter($"vec_id" >= NQueries && $"vec_id" < NQueries + NCentroids)
       .orderBy($"vec_id").collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
-    def centScores(iv: Column, nrm: Column): Column =
-      array(cents.map { case (cid, civ, cn) =>
-        struct(
-          VectorOps.cosine(VectorOps.dotC(iv, typedLit(civ)), nrm, lit(cn))
-            .as("cos"),
-          lit(-cid).as("negcid"))
-      }: _*)
-    val assigned = e.withColumn("acid",
-      -array_max(centScores($"iv", $"nrm")).getField("negcid"))
+  }
+
+  /** Per-row (cos, −cid) scores against the literal IVF codebook;
+    * argmax of the struct = nearest list with cid tie-break. */
+  private def centScores(cents: Seq[(Long, Seq[Long], Long)])(
+    iv: Column, nrm: Column): Column =
+    array(cents.map { case (cid, civ, cn) =>
+      struct(
+        VectorOps.cosine(VectorOps.dotC(iv, typedLit(civ)), nrm, lit(cn))
+          .as("cos"),
+        lit(-cid).as("negcid"))
+    }: _*)
+
+  private def withListAssignment(e: DataFrame,
+    cents: Seq[(Long, Seq[Long], Long)]): DataFrame = {
+    import e.sparkSession.implicits._
+    e.withColumn("acid",
+      -array_max(centScores(cents)($"iv", $"nrm")).getField("negcid"))
+  }
+
+  def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = intEmb(s, dir)
+    val cents = ivfCents(e)
+    val assigned = withListAssignment(e, cents)
     val probes = e.filter($"vec_id" < NQueries)
-      .withColumn("scores", centScores($"iv", $"nrm"))
+      .withColumn("scores", centScores(cents)($"iv", $"nrm"))
       .withColumn("probe", explode(expr(
         s"transform(slice(sort_array(scores, false), 1, $NProbe), x -> -x.negcid)")))
       .select($"vec_id".as("qid"), $"iv".as("qiv"), $"nrm".as("qnrm"), $"probe")
@@ -375,17 +388,15 @@ object Ann {
       .toDF("qid", "qiv", "qnrm", "lut")
   }
 
-  /** ADC over a codes frame (columns vec_id, codes — nothing else is
-    * referenced, so a stored-table scan prunes to exactly those two),
-    * then salted two-phase top-[[PqCand]] per query by (adc, vid). */
-  private[graft] def pqAdcCandidates(codes: DataFrame, qdf: DataFrame): DataFrame = {
-    import codes.sparkSession.implicits._
-    val adc = codes
-      .crossJoin(broadcast(qdf.select($"qid", $"lut")))
-      .filter($"vec_id" =!= $"qid")
-      .withColumn("adc", expr(
-        "aggregate(zip_with(lut, codes, (l, c) -> l[c]), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-      .select($"qid", $"vec_id".as("vid"), $"adc")
+  /** The LUT fold: Σ_m lut[m][codes[m]] — [[PqM]] array lookups per
+    * candidate, no vector math. */
+  private def adcCol: Column = expr(
+    "aggregate(zip_with(lut, codes, (l, c) -> l[c]), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+
+  /** Salted two-phase top-[[PqCand]] per query by (adc, vid) — no
+    * single task ever holds a query's whole candidate list. */
+  private def topByAdc(adc: DataFrame): DataFrame = {
+    import adc.sparkSession.implicits._
     val order = Seq($"adc", $"vid")
     val w1 = Window.partitionBy($"qid", $"salt").orderBy(order: _*)
     val w2 = Window.partitionBy($"qid").orderBy(order: _*)
@@ -393,6 +404,18 @@ object Ann {
       .withColumn("prn", row_number().over(w1)).filter($"prn" <= PqCand)
       .withColumn("crn", row_number().over(w2)).filter($"crn" <= PqCand)
       .select($"qid", $"vid", $"adc")
+  }
+
+  /** ADC over a codes frame (columns vec_id, codes — nothing else is
+    * referenced, so a stored-table scan prunes to exactly those two),
+    * then salted two-phase top-[[PqCand]] per query by (adc, vid). */
+  private[graft] def pqAdcCandidates(codes: DataFrame, qdf: DataFrame): DataFrame = {
+    import codes.sparkSession.implicits._
+    topByAdc(codes
+      .crossJoin(broadcast(qdf.select($"qid", $"lut")))
+      .filter($"vec_id" =!= $"qid")
+      .withColumn("adc", adcCol)
+      .select($"qid", $"vec_id".as("vid"), $"adc"))
   }
 
   /** Exact integer-cosine re-rank of the ADC candidates (broadcast
@@ -432,11 +455,108 @@ object Ann {
     pqRerank(e, pqAdcCandidates(codes, qdf), qdf)
   }
 
+  // ---------------------------------------------------------------
+  /** IVF×PQ — the full composed ANN index, at rest: every vector is
+    * assigned to its IVF list AND compressed to PQ codes, stored as a
+    * codes table PARTITIONED BY the list id. A search then
+    *  1. picks each query's [[NProbe]] nearest lists driver-side
+    *     (scoring the ≤[[NCentroids]]-entry codebook — request
+    *     parameters, not data);
+    *  2. scans ONLY the probed list partitions (`acid IN (...)` is a
+    *     static partition filter — ~NProbe/NCentroids of the table is
+    *     LISTED, let alone read) with ReadSchema `[vec_id, codes]`;
+    *  3. LUT-ADC scores those candidates, salted top-[[PqCand]];
+    *  4. exact integer-cosine re-rank of the bounded candidate set.
+    * That is the 100 TB similarity-search shape: IVF bounds the I/O,
+    * PQ bounds the bytes per row, the re-rank bounds the exactness
+    * cost. Approximate by construction (both stages prune) →
+    * rows-only; the spec pins stored≡in-plan parity, partition
+    * pruning, probed-list discipline, and recall. */
+  def buildIvfPqIndex(s: SparkSession, dir: String, codesPath: String)
+    : (Seq[(Long, Seq[Long], Long)], Seq[Seq[Seq[Long]]]) = {
+    import s.implicits._
+    val e = intEmb(s, dir)
+    val lists = ivfCents(e)
+    val pq = pqTrain(e)
+    val coded = withCodes(withListAssignment(e, lists), pq)
+      .select($"vec_id", $"codes", $"acid")
+    graft.sources.Catalog.writePartitioned(coded, codesPath, Seq("acid"))
+    (lists, pq)
+  }
+
+  /** Driver-side probe selection: the query's [[NProbe]] nearest IVF
+    * lists by (cosine desc, cid asc) — same ordering as the in-plan
+    * assignment. */
+  private def probeListsFor(qiv: Seq[Long], qnrm: Long,
+    lists: Seq[(Long, Seq[Long], Long)]): Seq[Long] =
+    lists.map { case (cid, civ, cn) =>
+      val dot = qiv.zip(civ).map { case (a, b) => a * b }.sum
+      (dot.toDouble / (math.sqrt(qnrm.toDouble) * math.sqrt(cn.toDouble)), cid)
+    }.sortBy { case (cos, cid) => (-cos, cid) }.take(NProbe).map(_._2)
+
+  /** Query frame with probe lists attached: (qid, qiv, qnrm, lut,
+    * probes). */
+  private def ivfPqQueryFrame(s: SparkSession, e: DataFrame,
+    lists: Seq[(Long, Seq[Long], Long)], pq: Seq[Seq[Seq[Long]]]): DataFrame = {
+    import s.implicits._
+    e.filter($"vec_id" < NQueries)
+      .select($"vec_id", $"iv", $"nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+      .map { case (qid, qiv, qnrm) =>
+        (qid, qiv, qnrm, pqLut(pq, qiv), probeListsFor(qiv, qnrm, lists))
+      }
+      .toDF("qid", "qiv", "qnrm", "lut", "probes")
+  }
+
+  /** ADC candidates from a LIST-PARTITIONED codes frame: the probed
+    * lists arrive as a static IN partition filter plus a per-query
+    * equi-join on the list id. */
+  private def ivfPqCandidates(codes: DataFrame, qdf: DataFrame,
+    allProbed: Seq[Long]): DataFrame = {
+    import codes.sparkSession.implicits._
+    val probeDf = qdf.select($"qid", $"lut", explode($"probes").as("pacid"))
+    topByAdc(codes
+      .filter($"acid".isin(allProbed: _*))
+      .join(broadcast(probeDf), $"acid" === $"pacid" && $"vec_id" =!= $"qid")
+      .withColumn("adc", adcCol)
+      .select($"qid", $"vec_id".as("vid"), $"adc"))
+  }
+
+  private def ivfPqSearch(s: SparkSession, e: DataFrame, codes: DataFrame,
+    lists: Seq[(Long, Seq[Long], Long)], pq: Seq[Seq[Seq[Long]]]): DataFrame = {
+    val qdf = ivfPqQueryFrame(s, e, lists, pq)
+    import s.implicits._
+    val allProbed = qdf.select(explode($"probes")).collect()
+      .map(_.getLong(0)).distinct.toSeq
+    pqRerank(e, ivfPqCandidates(codes, qdf, allProbed), qdf)
+  }
+
+  /** Search the STORED list-partitioned codes table (the production
+    * path; spec asserts partition pruning + pruned ReadSchema). */
+  def ivfPqSearchStored(s: SparkSession, dir: String, codesPath: String,
+    lists: Seq[(Long, Seq[Long], Long)], pq: Seq[Seq[Seq[Long]]]): DataFrame = {
+    import s.implicits._
+    ivfPqSearch(s, intEmb(s, dir),
+      s.read.parquet(codesPath).select($"vec_id", $"codes", $"acid"), lists, pq)
+  }
+
+  def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = intEmb(s, dir)
+    val lists = ivfCents(e)
+    val pq = pqTrain(e)
+    val codes = withCodes(withListAssignment(e, lists), pq)
+      .select($"vec_id", $"codes", $"acid")
+    ivfPqSearch(s, e, codes, lists, pq)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
-    "q_ann_pq" -> (qAnnPq _))
+    "q_ann_pq" -> (qAnnPq _),
+    "q_ann_ivfpq" -> (qAnnIvfPq _))
 
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce" -> qAnnBruteforceSql,

@@ -293,4 +293,64 @@ class DedupAnnSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(4))).groupBy(_._1)
     assert(byQ.values.forall(g => g.map(_._2).sorted.toSeq == (1 to g.length).toSeq))
   }
+
+  test("q_ann_ivfpq: stored list-partitioned index — partition-pruned ADC, probed-list discipline, parity") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val codesPath = s"$tmp/ivfpq_codes"
+    val (lists, pq) = queries.Ann.buildIvfPqIndex(spark, sf, codesPath)
+    // at rest: one directory per IVF list — the pruning unit
+    val listDirs = new java.io.File(codesPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("acid="))
+    assert(listDirs.length > 1, "expected multiple list partitions")
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val inPlan = queries.Ann.qAnnIvfPq(spark, sf).collect().toSeq
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val res = queries.Ann.ivfPqSearchStored(spark, sf, codesPath, lists, pq)
+      val scans = res.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.filter(_.relation.location.rootPaths.exists(_.toString.contains("ivfpq_codes")))
+      assert(scans.nonEmpty, "no scan of the stored ivfpq codes table")
+      assert(scans.forall(_.partitionFilters.nonEmpty),
+        "probed-list IN filter did not become a partition filter")
+      assert(scans.forall(_.requiredSchema.fieldNames.toSeq == Seq("vec_id", "codes")),
+        s"codes scan reads ${scans.map(_.requiredSchema.fieldNames.toSeq)}")
+      // the scan LISTS only the probed partitions
+      val scanned = scans.head.metrics("numFiles").value
+      val totalFiles = listDirs.map(_.listFiles()
+        .count(_.getName.endsWith(".parquet"))).sum
+      assert(scanned < totalFiles,
+        s"scan read $scanned of $totalFiles files - no list pruning")
+      assert(res.collect().toSeq == inPlan,
+        "stored ivfpq search diverges from q_ann_ivfpq")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
+    // probed-list discipline: every returned neighbor's stored list is
+    // among its query's probed lists (independently re-derived here)
+    val acidOf = spark.read.parquet(codesPath).select("vec_id", "acid")
+      .collect().map(r => r.getLong(0) -> r.get(1).toString.toLong).toMap
+    val queriesIv = queries.Ann.intEmb(spark, sf)
+      .filter($"vec_id" < 5).select("vec_id", "iv", "nrm").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+    def probesOf(qid: Long): Set[Long] = {
+      val (qiv, qnrm) = queriesIv(qid)
+      lists.map { case (cid, civ, cn) =>
+        val dot = qiv.zip(civ).map { case (a, b) => a * b }.sum
+        (dot.toDouble / (math.sqrt(qnrm.toDouble) * math.sqrt(cn.toDouble)), cid)
+      }.sortBy { case (cos, cid) => (-cos, cid) }.take(2).map(_._2).toSet
+    }
+    inPlan.foreach { r =>
+      val (qid, vid) = (r.getLong(0), r.getLong(1))
+      assert(probesOf(qid)(acidOf(vid)),
+        s"neighbor $vid of query $qid came from unprobed list ${acidOf(vid)}")
+    }
+    // recall@10 vs brute force: both stages prune, so a floor not a match
+    val exact2 = queries.Ann.qAnnBruteforce(spark, sf)
+      .select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got2 = inPlan.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall2 = (exact2 & got2).size.toDouble / exact2.size
+    assert(recall2 >= 0.2, s"ivfpq recall $recall2 too low")
+  }
 }
