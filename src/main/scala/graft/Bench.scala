@@ -39,7 +39,8 @@ object Bench {
     // inverted index), periodogram (bounded explode), and the
     // productionized PQ (k-means + LUT ADC) — each would regress
     // silently if its blocking/fold discipline broke
-    "q_xmatch_2cat", "q_dedup_contain", "q_periodogram", "q_ann_pq")
+    "q_xmatch_2cat", "q_dedup_contain", "q_periodogram", "q_ann_pq",
+    "q_ann_ivfpq")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
