@@ -357,7 +357,13 @@ object Dedup {
   def containPairs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val g = charGramRowsOf(docs)
-    val counts = g.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
+    // exact denominator WITHOUT a second exploded pass + shuffle: the
+    // distinct-gram cardinality folds per doc inside the scan
+    val counts = docs
+      .filter(length($"text") >= ContainGramLen)
+      .select($"doc_id", size(array_distinct(expr(
+        s"transform(sequence(1, length(text) - ${ContainGramLen - 1}), i -> xxhash64(substring(text, i, $ContainGramLen)))")))
+        .cast("long").as("ng"))
     val gf = cappedGramIndex(g)
     val pairs = gf.select($"doc_id".as("d1"), $"gram")
       .join(gf.select($"doc_id".as("d2"), $"gram"), "gram")
