@@ -319,20 +319,28 @@ object Dedup {
 
   // ---------------------------------------------------------------
   /** Substring-level (containment) dedup: directed pairs where ≥
-    * [[ContainPctMin]]% of the smaller doc's informative character
+    * [[ContainPctMin]]% of the smaller doc's INFORMATIVE character
     * 8-grams also occur in the other doc — the affix/contained-
     * duplicate relation document-level Jaccard misses (a doc pasted
     * inside a larger one scores low symmetric Jaccard but high
     * containment).
     *
     * Exactly the [[ngramJaccardPairs]] discipline, one level finer
-    * (character grams, not word grams): the denominator `ng1` is the
-    * EXACT distinct char-8-gram count of the contained side, while the
-    * intersection is counted over the df-capped inverted index — a
-    * deterministic lower bound that sheds only corpus-common grams
-    * (boilerplate phrases), mirrored verbatim in the oracle so parity
-    * is exact WITH the skew guard on. [[ContainMinGrams]] floors the
-    * denominator so trivially short docs cannot pass on noise.
+    * (character grams, not word grams) — with one deliberate twist:
+    * BOTH the intersection and the denominator `ng1` live in the
+    * df-capped gram space. Char 8-grams are so unspecific that the
+    * corpus-common share of a doc's grams GROWS with the corpus (at
+    * 10× docs only ~10% of a doc's grams stay under the cap), so an
+    * exact-denominator ratio decays toward zero as data grows — a
+    * threshold that silently tightens with scale. Ratioing inside
+    * the informative space keeps the relation scale-stable (two
+    * identical docs score 100% at any corpus size) and is the more
+    * meaningful statement anyway: shared boilerplate should not
+    * count as evidence of containment. The cap is mirrored verbatim
+    * in the oracle, so parity is exact WITH the skew guard on.
+    * [[ContainMinGrams]] floors the informative-gram count so docs
+    * that are pure boilerplate (nothing informative to test) are
+    * excluded rather than matched on noise.
     *
     * 100 TB path: the posting-list join is the only pair-generating
     * stage and every list is capped before it; at rest the sparse
@@ -341,7 +349,7 @@ object Dedup {
     * proves winnow-fingerprint blocking recovers every emitted pair,
     * so a production pipeline can scan the fingerprint table instead
     * of re-gramming the corpus. */
-  val ContainPctMin = 70
+  val ContainPctMin = 90
   val ContainMinGrams = 30
   private val ContainGramLen = 8
 
@@ -357,14 +365,11 @@ object Dedup {
   def containPairs(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val g = charGramRowsOf(docs)
-    // exact denominator WITHOUT a second exploded pass + shuffle: the
-    // distinct-gram cardinality folds per doc inside the scan
-    val counts = docs
-      .filter(length($"text") >= ContainGramLen)
-      .select($"doc_id", size(array_distinct(expr(
-        s"transform(sequence(1, length(text) - ${ContainGramLen - 1}), i -> xxhash64(substring(text, i, $ContainGramLen)))")))
-        .cast("long").as("ng"))
     val gf = cappedGramIndex(g)
+    // the denominator counts the CAPPED (informative) grams — same
+    // frame the intersection runs over; one doc_id-keyed combinable
+    // aggregate off the index's gram-partitioned output
+    val counts = gf.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
     val pairs = gf.select($"doc_id".as("d1"), $"gram")
       .join(gf.select($"doc_id".as("d2"), $"gram"), "gram")
       .filter($"d1" =!= $"d2")
@@ -385,10 +390,10 @@ object Dedup {
     s"""WITH g AS (SELECT doc_id, unnest(list_distinct(
        |    [substr(text, i, $ContainGramLen) for i in range(1, len(text) - ${ContainGramLen - 2})])) AS gram
        |  FROM documents WHERE length(text) >= $ContainGramLen),
-       |n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
        |gf AS (SELECT doc_id, gram FROM (
        |        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM g)
        |       WHERE df <= $GramDfCap),
+       |n AS (SELECT doc_id, COUNT(*) AS ng FROM gf GROUP BY doc_id),
        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
        |      FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id <> b.doc_id
        |      GROUP BY 1, 2)
