@@ -241,6 +241,32 @@ object Spatial {
        |  FROM ($detectionsSql) d CROSS JOIN ($pointsSql) o) t
        |WHERE dist_r6 < 1.0 ORDER BY det_k, obj_k""".stripMargin
 
+  /** The other half of the daily association: detections with NO
+    * known object within 1° — the new-transient stream that feeds
+    * object creation. A left-anti join of the detection table against
+    * the [[qXmatch2cat]] matches on det_k: the grid does the heavy
+    * lifting once; the anti side is an equi-join on the detection
+    * key, so no second spatial pass exists. Oracle: NOT EXISTS with
+    * the identical haversine tree (the grid candidate set is a
+    * lossless superset, so "no grid match" ⇔ "no match"). */
+  def qXmatchUnmatched(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val det = detections(s, dir)
+    val matched = gridCandidates(det.withColumnRenamed("det_k", "k"),
+      points(s, dir), 1.0)
+      .select($"k1".as("det_k")).distinct()
+    det.join(matched, Seq("det_k"), "left_anti")
+      .select($"det_k", $"ra", $"decl")
+      .orderBy($"det_k")
+  }
+
+  val qXmatchUnmatchedSql: String =
+    s"""SELECT det_k, ra, decl FROM ($detectionsSql) d
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM ($pointsSql) o
+       |  WHERE ROUND(${distDegSql("d.ra", "d.decl", "o.ra", "o.decl")}, 6) < 1.0)
+       |ORDER BY det_k""".stripMargin
+
   // ---------------------------------------------------------------
   /** Nearest neighbor within 1°: for every point, the closest OTHER
     * point of the catalog and its distance — Qserv's per-object
@@ -384,6 +410,7 @@ object Spatial {
     "q_box_search" -> (qBoxSearch _),
     "q_zone_xmatch" -> (qZoneXmatch _),
     "q_xmatch_2cat" -> (qXmatch2cat _),
+    "q_xmatch_unmatched" -> (qXmatchUnmatched _),
     "q_spatial_density" -> (qSpatialDensity _),
     "q_nearest_nbr" -> (qNearestNbr _),
     "q_knn3" -> (qKnn3 _))
@@ -393,6 +420,7 @@ object Spatial {
     "q_box_search" -> qBoxSearchSql,
     "q_zone_xmatch" -> qZoneXmatchSql,
     "q_xmatch_2cat" -> qXmatch2catSql,
+    "q_xmatch_unmatched" -> qXmatchUnmatchedSql,
     "q_spatial_density" -> qSpatialDensitySql,
     "q_nearest_nbr" -> qNearestNbrSql,
     "q_knn3" -> qKnn3Sql)

@@ -61,6 +61,19 @@ class SpatialSpec extends AnyFunSuite {
     assert(grid == brute, s"grid ${grid.size} pairs vs brute ${brute.size}")
   }
 
+  test("q_xmatch_unmatched partitions the detections exactly against the matched set") {
+    val det = Tables.orders(spark, sf).count()
+    val matched = queries.Spatial.qXmatch2cat(spark, sf)
+      .select("det_k").distinct().count()
+    val unmatched = queries.Spatial.qXmatchUnmatched(spark, sf).count()
+    assert(matched + unmatched == det,
+      s"$matched matched + $unmatched unmatched != $det detections")
+    // disjointness: no detection appears on both sides
+    val overlap = queries.Spatial.qXmatchUnmatched(spark, sf)
+      .join(queries.Spatial.qXmatch2cat(spark, sf), "det_k").count()
+    assert(overlap == 0, "a detection is both matched and unmatched")
+  }
+
   test("q_spatial_density counts sum to the full catalog") {
     val df = queries.Spatial.qSpatialDensity(spark, sf)
     val total = df.agg(sum("n")).head.getLong(0)
