@@ -294,6 +294,15 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(byQ.values.forall(g => g.map(_._2).sorted.toSeq == (1 to g.length).toSeq))
   }
 
+  test("pqTrain is bit-deterministic under any partitioning") {
+    // the k-means claim: integer sums/counts are order-independent, so
+    // the trained codebook cannot depend on how the corpus is split
+    val e = queries.Ann.intEmb(spark, sf)
+    val a = queries.Ann.pqTrain(e.repartition(3))
+    val b = queries.Ann.pqTrain(e.repartition(17))
+    assert(a == b, "codebook varies with partitioning — training is not deterministic")
+  }
+
   test("q_ann_ivfpq: stored list-partitioned index — partition-pruned ADC, probed-list discipline, parity") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
