@@ -109,14 +109,31 @@ object ObjectIndex {
   /** Streaming director-index maintenance: every micro-batch of the
     * event stream lands in its bucket directories exactly once across
     * restarts; point lookups stay single-bucket throughout. Callers
-    * own the returned query's lifecycle, and schedule
-    * [[compactIndex]] periodically to bound files-per-bucket. */
+    * own the returned query's lifecycle.
+    *
+    * `compactEvery` > 0 folds the accreted generations every that
+    * many batches, INSIDE the foreachBatch callback — between
+    * batches, on the driver, so no micro-batch ever runs concurrently
+    * with its own compaction, and files-per-bucket stays bounded for
+    * the stream's whole lifetime with no external scheduler. The
+    * newest-generation exclusion makes the fold safe against the
+    * batch that may replay; a replayed TRIGGERING batch just runs a
+    * second (idempotent, one-generation) fold. A pending crashed
+    * compaction is recovered before the next fold. */
   def ingestStream(events: DataFrame, outPath: String,
-    checkpointPath: String, numBuckets: Int = DefaultBuckets)
+    checkpointPath: String, numBuckets: Int = DefaultBuckets,
+    compactEvery: Int = 0)
     : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         applyIndexBatch(b.toDF(), id, outPath, numBuckets)
+        val (fsys, root) = fs(b.sparkSession, outPath)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0 &&
+          fsys.exists(root)) {
+          recoverCompaction(b.sparkSession, outPath)
+          compactIndex(b.sparkSession, outPath, numBuckets)
+        }
+        ()
       }
       .option("checkpointLocation", checkpointPath)
       .start()

@@ -813,6 +813,44 @@ class EventStreamSpec extends AnyFunSuite {
       "rolled-back recovery must leave the index untouched")
   }
 
+  test("compacting ingest loop bounds generations across a stream's lifetime") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_idxloop")
+    val in = base.resolve("in").toString
+    val idx = base.resolve("idx").toString
+    val cp = base.resolve("cp").toString
+    val events = Tables.events(spark, sf)
+    val nb = 16
+    val id = queries.TimeSeries.LookupId
+    def stream() = spark.readStream
+      .schema(Catalog.schemas("events")).parquet(in)
+
+    events.filter("event_id < 150").write.mode("append").parquet(in)
+    val q = graft.sources.ObjectIndex.ingestStream(
+      stream(), idx, cp, nb, compactEvery = 2)
+    try {
+      q.processAllAvailable()
+      for (i <- 1 until 6) {
+        events.filter(s"event_id >= ${i * 150} AND event_id < ${(i + 1) * 150}")
+          .write.mode("append").parquet(in)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    // with folds every 2 batches, a bucket can hold at most the last
+    // compacted generation plus the unfolded newest batches
+    val gens = new java.io.File(idx).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("obkt="))
+      .map(_.listFiles().count(f => f.isDirectory && f.getName.startsWith("ibatch=")))
+    assert(gens.nonEmpty && gens.max <= 3,
+      s"generations unbounded under the compacting loop: ${gens.toSeq}")
+    val got = graft.sources.ObjectIndex.lookup(spark, idx, id, nb)
+      .collect().map(_.toSeq).toSeq
+    val want = queries.TimeSeries.qObjectLookup(spark, sf)
+      .filter($"event_id" < 900).collect().map(_.toSeq).toSeq
+    assert(got == want, "compacting ingest loop lost or duplicated rows")
+  }
+
   test("stream-stream interval join pairs clicks with preceding views only") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
