@@ -402,6 +402,67 @@ object Dedup {
        |WHERE n1.ng >= $ContainMinGrams AND inter * 100 >= n1.ng * $ContainPctMin
        |ORDER BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** STORED containment index — the incremental-ingest shape of
+    * [[containPairs]]: a growing training corpus dedups each NEW
+    * batch against the existing corpus without re-gramming it.
+    *
+    * Three tables land under `indexPath` (all via the crash-safe
+    * [[graft.sources.Catalog]] lifecycle):
+    *  - `grams`:  the df-capped inverted index (doc_id, gram) — the
+    *    posting lists new docs probe;
+    *  - `ngrams`: per-doc informative-gram counts (for the corpus
+    *    side of future ratios);
+    *  - `stopgrams`: the grams the cap DROPPED (df > cap). Tiny (a
+    *    few hundred rows — boilerplate is rare as a set, massive as
+    *    occurrences), but load-bearing: without it a new doc cannot
+    *    tell "corpus-boilerplate gram" (excluded from its
+    *    denominator) from "gram the corpus has never seen" (counts
+    *    against containment).
+    *
+    * [[containNewDocs]] then grams ONLY the new batch, drops
+    * stopgrams via a broadcast, and joins the rest against the stored
+    * posting lists — per-batch cost tracks the BATCH, never the
+    * corpus. Semantics match [[containPairs]] restricted to
+    * (new → corpus) pairs, proven in the spec. */
+  def buildContainIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
+    import s.implicits._
+    val g = charGramRowsOf(Tables.documents(s, dir))
+    val df = g.groupBy($"gram").agg(count(lit(1)).as("df"))
+    val gf = g.join(df.filter($"df" <= GramDfCap).select($"gram"), "gram")
+      .select($"doc_id", $"gram")
+    graft.sources.Catalog.createIfAbsent(s, gf, s"$indexPath/grams")
+    graft.sources.Catalog.createIfAbsent(s,
+      gf.groupBy($"doc_id").agg(count(lit(1)).as("ng")), s"$indexPath/ngrams")
+    graft.sources.Catalog.createIfAbsent(s,
+      df.filter($"df" > GramDfCap).select($"gram"), s"$indexPath/stopgrams")
+  }
+
+  /** Match a NEW batch of docs against the stored corpus index:
+    * directed (new_id → corpus doc_id) pairs where ≥
+    * [[ContainPctMin]]% of the new doc's informative grams (its
+    * distinct grams minus corpus stopgrams) occur in the corpus doc.
+    * The corpus is touched only through the stored posting lists. */
+  def containNewDocs(s: SparkSession, indexPath: String,
+    newDocs: DataFrame): DataFrame = {
+    import s.implicits._
+    val stop = s.read.parquet(s"$indexPath/stopgrams")
+    val gNew = charGramRowsOf(newDocs.select($"doc_id", $"text"))
+      .join(broadcast(stop), Seq("gram"), "left_anti")
+    val counts = gNew.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
+    val pairs = gNew.select($"doc_id".as("new_id"), $"gram")
+      .join(s.read.parquet(s"$indexPath/grams"), "gram")
+      .filter($"new_id" =!= $"doc_id")
+      .groupBy($"new_id", $"doc_id").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(counts.select($"doc_id".as("new_id"), $"ng".as("ng1")), "new_id")
+      .filter($"ng1" >= ContainMinGrams &&
+        $"inter" * 100 >= $"ng1" * ContainPctMin)
+      .select($"new_id", $"doc_id", $"ng1", $"inter",
+        expr("(100 * inter) DIV ng1").as("cont_pct"))
+      .orderBy($"new_id", $"doc_id")
+  }
+
   /** Edit-distance similarity join (string-similarity search): pairs
     * whose raw 64-char prefixes are within Levenshtein distance
     * [[EditDistMax]] (no case folding or whitespace normalization —

@@ -219,6 +219,23 @@ class DedupAnnSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("stored containment index: new-batch match equals batch containment restricted to new docs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_containidx").toString
+    queries.Dedup.buildContainIndex(spark, sf, tmp)
+    // replay a fifth of the corpus as the "new" nightly batch: the
+    // stored-index path must reproduce exactly what the batch operator
+    // says about those docs (its d1 ∈ new restriction)
+    val newDocs = Tables.documents(spark, sf).filter("doc_id % 5 = 0")
+    val got = queries.Dedup.containNewDocs(spark, tmp, newDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val want = queries.Dedup.qDedupContain(spark, sf)
+      .filter("d1 % 5 = 0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want,
+      s"stored-index match diverges: +${(got diff want).take(3)} -${(want diff got).take(3)}")
+    assert(got.nonEmpty, "expected replayed docs to match their corpus duplicates")
+  }
+
   test("containment join does no quadratic work on mass-identical input (degenerate)") {
     // 1000 identical docs: every char-8-gram has df 1000 > cap, so the
     // capped index empties and zero candidate pairs are generated
