@@ -456,29 +456,57 @@ object Ann {
   }
 
   // ---------------------------------------------------------------
-  /** IVF×PQ — the full composed ANN index, at rest: every vector is
-    * assigned to its IVF list AND compressed to PQ codes, stored as a
-    * codes table PARTITIONED BY the list id. A search then
+  /** IVF×PQ (IVFADC) — the full composed ANN index, at rest: every
+    * vector is assigned to its IVF list and its RESIDUAL against the
+    * list centroid is compressed to PQ codes, stored as a codes table
+    * PARTITIONED BY the list id. Residual (not raw) quantization is
+    * the classic IVFADC choice: residual norms are far smaller than
+    * vector norms, so the same [[PqK]]-centroid budget resolves the
+    * differences that matter within a probed list. A search then
     *  1. picks each query's [[NProbe]] nearest lists driver-side
     *     (scoring the ≤[[NCentroids]]-entry codebook — request
-    *     parameters, not data);
+    *     parameters, not data) and builds one residual LUT PER
+    *     probed list (lut[m][k] vs the query's residual against that
+    *     list's centroid);
     *  2. scans ONLY the probed list partitions (`acid IN (...)` is a
     *     static partition filter — ~NProbe/NCentroids of the table is
     *     LISTED, let alone read) with ReadSchema `[vec_id, codes]`;
-    *  3. LUT-ADC scores those candidates, salted top-[[PqCand]];
+    *  3. LUT-ADC scores those candidates (the list-id equi-join picks
+    *     each candidate's matching per-list LUT), salted
+    *     top-[[PqCand]];
     *  4. exact integer-cosine re-rank of the bounded candidate set.
     * That is the 100 TB similarity-search shape: IVF bounds the I/O,
     * PQ bounds the bytes per row, the re-rank bounds the exactness
     * cost. Approximate by construction (both stages prune) →
     * rows-only; the spec pins stored≡in-plan parity, partition
     * pruning, probed-list discipline, and recall. */
+  /** Literal cid → centroid-vector map (model parameters). */
+  private def centMapCol(lists: Seq[(Long, Seq[Long], Long)]): Column =
+    map(lists.flatMap { case (cid, civ, _) =>
+      Seq(lit(cid), typedLit(civ)) }: _*)
+
+  /** RESIDUAL frame: rv = iv − centroid(assigned list). Classic
+    * IVFADC quantizes residuals, not raw vectors — residual norms are
+    * much smaller than vector norms, so the same [[PqK]]-centroid
+    * budget spends its resolution where the query actually
+    * discriminates (within the probed list). */
+  private def withResiduals(e: DataFrame,
+    lists: Seq[(Long, Seq[Long], Long)]): DataFrame = {
+    import e.sparkSession.implicits._
+    withListAssignment(e, lists)
+      .withColumn("cvec", element_at(centMapCol(lists), $"acid"))
+      .withColumn("rv", expr("zip_with(iv, cvec, (a, b) -> a - b)"))
+      .drop("cvec")
+  }
+
   def buildIvfPqIndex(s: SparkSession, dir: String, codesPath: String)
     : (Seq[(Long, Seq[Long], Long)], Seq[Seq[Seq[Long]]]) = {
     import s.implicits._
     val e = intEmb(s, dir)
     val lists = ivfCents(e)
-    val pq = pqTrain(e)
-    val coded = withCodes(withListAssignment(e, lists), pq)
+    val res = withResiduals(e, lists)
+    val pq = pqTrain(res.select($"vec_id", $"rv".as("iv")))
+    val coded = withCodes(res.select($"vec_id", $"rv".as("iv"), $"acid"), pq)
       .select($"vec_id", $"codes", $"acid")
     graft.sources.Catalog.writePartitioned(coded, codesPath, Seq("acid"))
     (lists, pq)
@@ -494,28 +522,39 @@ object Ann {
       (dot.toDouble / (math.sqrt(qnrm.toDouble) * math.sqrt(cn.toDouble)), cid)
     }.sortBy { case (cos, cid) => (-cos, cid) }.take(NProbe).map(_._2)
 
-  /** Query frame with probe lists attached: (qid, qiv, qnrm, lut,
-    * probes). */
-  private def ivfPqQueryFrame(s: SparkSession, e: DataFrame,
-    lists: Seq[(Long, Seq[Long], Long)], pq: Seq[Seq[Seq[Long]]]): DataFrame = {
+  /** Probe-side frames, driver-built: `qdf` carries (qid, qiv, qnrm)
+    * for the exact re-rank; `probeDf` carries one row per (query,
+    * probed list) with THAT LIST's residual LUT — lut[m][k] = integer
+    * L2 between the query's residual against the list centroid and
+    * PQ centroid k (the IVFADC per-list lookup table). */
+  private def ivfPqQueryFrames(s: SparkSession, e: DataFrame,
+    lists: Seq[(Long, Seq[Long], Long)], pq: Seq[Seq[Seq[Long]]])
+    : (DataFrame, DataFrame, Seq[Long]) = {
     import s.implicits._
-    e.filter($"vec_id" < NQueries)
+    val qs = e.filter($"vec_id" < NQueries)
       .select($"vec_id", $"iv", $"nrm").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
       .sortBy(_._1).toSeq
-      .map { case (qid, qiv, qnrm) =>
-        (qid, qiv, qnrm, pqLut(pq, qiv), probeListsFor(qiv, qnrm, lists))
+    val probeRows = qs.flatMap { case (qid, qiv, qnrm) =>
+      probeListsFor(qiv, qnrm, lists).map { pa =>
+        val civ = lists.find(_._1 == pa).get._2
+        val qres = qiv.zip(civ).map { case (a, b) => a - b }
+        (qid, pa, pqLut(pq, qres))
       }
-      .toDF("qid", "qiv", "qnrm", "lut", "probes")
+    }
+    (qs.map { case (qid, qiv, qnrm) => (qid, qiv, qnrm) }
+      .toDF("qid", "qiv", "qnrm"),
+      probeRows.toDF("qid", "pacid", "lut"),
+      probeRows.map(_._2).distinct)
   }
 
   /** ADC candidates from a LIST-PARTITIONED codes frame: the probed
     * lists arrive as a static IN partition filter plus a per-query
-    * equi-join on the list id. */
-  private def ivfPqCandidates(codes: DataFrame, qdf: DataFrame,
+    * equi-join on the list id, which also selects the right per-list
+    * residual LUT. */
+  private def ivfPqCandidates(codes: DataFrame, probeDf: DataFrame,
     allProbed: Seq[Long]): DataFrame = {
     import codes.sparkSession.implicits._
-    val probeDf = qdf.select($"qid", $"lut", explode($"probes").as("pacid"))
     topByAdc(codes
       .filter($"acid".isin(allProbed: _*))
       .join(broadcast(probeDf), $"acid" === $"pacid" && $"vec_id" =!= $"qid")
@@ -525,11 +564,8 @@ object Ann {
 
   private def ivfPqSearch(s: SparkSession, e: DataFrame, codes: DataFrame,
     lists: Seq[(Long, Seq[Long], Long)], pq: Seq[Seq[Seq[Long]]]): DataFrame = {
-    val qdf = ivfPqQueryFrame(s, e, lists, pq)
-    import s.implicits._
-    val allProbed = qdf.select(explode($"probes")).collect()
-      .map(_.getLong(0)).distinct.toSeq
-    pqRerank(e, ivfPqCandidates(codes, qdf, allProbed), qdf)
+    val (qdf, probeDf, allProbed) = ivfPqQueryFrames(s, e, lists, pq)
+    pqRerank(e, ivfPqCandidates(codes, probeDf, allProbed), qdf)
   }
 
   /** Search the STORED list-partitioned codes table (the production
@@ -545,8 +581,9 @@ object Ann {
     import s.implicits._
     val e = intEmb(s, dir)
     val lists = ivfCents(e)
-    val pq = pqTrain(e)
-    val codes = withCodes(withListAssignment(e, lists), pq)
+    val res = withResiduals(e, lists)
+    val pq = pqTrain(res.select($"vec_id", $"rv".as("iv")))
+    val codes = withCodes(res.select($"vec_id", $"rv".as("iv"), $"acid"), pq)
       .select($"vec_id", $"codes", $"acid")
     ivfPqSearch(s, e, codes, lists, pq)
   }
