@@ -485,18 +485,28 @@ object Ann {
     map(lists.flatMap { case (cid, civ, _) =>
       Seq(lit(cid), typedLit(civ)) }: _*)
 
-  /** RESIDUAL frame: rv = iv − centroid(assigned list). Classic
-    * IVFADC quantizes residuals, not raw vectors — residual norms are
-    * much smaller than vector norms, so the same [[PqK]]-centroid
-    * budget spends its resolution where the query actually
-    * discriminates (within the probed list). */
-  private def withResiduals(e: DataFrame,
+  /** RESIDUAL frame: iv ← iv − centroid(assigned list), plus `acid`.
+    * Classic IVFADC quantizes residuals, not raw vectors — residual
+    * norms are much smaller than vector norms, so the same
+    * [[PqK]]-centroid budget spends its resolution where the query
+    * actually discriminates (within the probed list).
+    *
+    * MATERIALIZED (localCheckpoint): the residual is a computed
+    * column, and projection collapse would otherwise inline its whole
+    * expression tree (list argmax + subtraction) into every one of
+    * the 128 slice references inside the codes argmin — measured as a
+    * ~4× query blowup. A production build materializes residuals
+    * transiently before encoding anyway (the stored codes are the
+    * durable artifact); checkpointing here is that same step. */
+  private def residualFrame(e: DataFrame,
     lists: Seq[(Long, Seq[Long], Long)]): DataFrame = {
     import e.sparkSession.implicits._
     withListAssignment(e, lists)
       .withColumn("cvec", element_at(centMapCol(lists), $"acid"))
-      .withColumn("rv", expr("zip_with(iv, cvec, (a, b) -> a - b)"))
-      .drop("cvec")
+      .select($"vec_id",
+        expr("zip_with(iv, cvec, (a, b) -> a - b)").as("iv"),
+        $"acid")
+      .localCheckpoint()
   }
 
   def buildIvfPqIndex(s: SparkSession, dir: String, codesPath: String)
@@ -504,9 +514,9 @@ object Ann {
     import s.implicits._
     val e = intEmb(s, dir)
     val lists = ivfCents(e)
-    val res = withResiduals(e, lists)
-    val pq = pqTrain(res.select($"vec_id", $"rv".as("iv")))
-    val coded = withCodes(res.select($"vec_id", $"rv".as("iv"), $"acid"), pq)
+    val res = residualFrame(e, lists)
+    val pq = pqTrain(res.select($"vec_id", $"iv"))
+    val coded = withCodes(res, pq)
       .select($"vec_id", $"codes", $"acid")
     graft.sources.Catalog.writePartitioned(coded, codesPath, Seq("acid"))
     (lists, pq)
@@ -581,9 +591,9 @@ object Ann {
     import s.implicits._
     val e = intEmb(s, dir)
     val lists = ivfCents(e)
-    val res = withResiduals(e, lists)
-    val pq = pqTrain(res.select($"vec_id", $"rv".as("iv")))
-    val codes = withCodes(res.select($"vec_id", $"rv".as("iv"), $"acid"), pq)
+    val res = residualFrame(e, lists)
+    val pq = pqTrain(res.select($"vec_id", $"iv"))
+    val codes = withCodes(res, pq)
       .select($"vec_id", $"codes", $"acid")
     ivfPqSearch(s, e, codes, lists, pq)
   }
