@@ -73,8 +73,24 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    // One query's persisted/localCheckpoint blocks must not tax its
+    // neighbors (r8 saw unchanged queries drift 1.5-2.6x from suite
+    // pressure alone): drop every persistent RDD and nudge GC between
+    // queries so each starts from a quiet heap.
+    def quiesce(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b runs an isolated subset — the
+    // forensic mode for "did this query regress or did the suite?".
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
     materialize(names.head) // warm-up: JVM + codegen + parquet footer cache
+    quiesce()
 
     val results = names.map { name =>
       val samples = (1 to iters).map { _ =>
@@ -82,6 +98,7 @@ object Bench {
         materialize(name) // throws on failure: a broken query fails the bench
         (System.nanoTime() - t0) / 1e9
       }
+      quiesce()
       name -> median(samples)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

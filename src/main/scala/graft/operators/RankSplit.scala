@@ -65,7 +65,10 @@ object RankSplit {
     // a NULL cell value would silently drop its row at the __cell
     // equi-joins below (NULL never equi-matches); fail loudly instead —
     // callers must coalesce/filter NULLs upstream, where the intended
-    // ordering of NULLs is theirs to choose
+    // ordering of NULLs is theirs to choose. The CASE wrapper is
+    // measured cost-free: isolated sf0.1 bench of q_ntile is the same
+    // (within run noise) with and without it — the `aggregate` HOF
+    // dominates either way.
     (if (groupCols.isEmpty) df.crossJoin(broadcast(sp))
       else df.join(broadcast(sp), groupCols))
       .withColumn("__cell", expr(
