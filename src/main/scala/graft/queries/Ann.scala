@@ -90,13 +90,15 @@ object Ann {
   private val NCentroids = 8
   private val NProbe = 2
 
-  /** IVF-style ANN with a deterministic codebook.
+  /** IVF-style ANN with a TRAINED deterministic codebook.
     *
-    * The centroids are the embedding vectors with vec_id in
-    * [NQueries, NQueries+NCentroids) — a stand-in for the k-means
-    * train step, which at scale runs once offline and ships its
-    * codebook to every executor exactly as done here (the tiny
-    * driver-side collect is the model parameters, not data-plane).
+    * The coarse quantizer is [[ivfTrain]]: integer Lloyd over a
+    * deterministic seed (the embedding rows with vec_id in [NQueries,
+    * NQueries+NCentroids)). At scale the train step runs once offline
+    * and ships its codebook to every executor exactly as done here
+    * (the tiny driver-side collect is the model parameters, not
+    * data-plane); the DuckDB oracle re-derives the identical codebook
+    * by unrolling the same integer iterations in SQL.
     *
     * Phase shapes (the 100 TB path):
     *  1. assign: per-row argmax over the LITERAL codebook (baked into
@@ -112,13 +114,56 @@ object Ann {
     * Tie-breaking is (cosine desc, centroid id asc) everywhere, via
     * struct ordering on (cos, -cid) — bit-identical to the oracle's
     * ROW_NUMBER, since cosines are exact-integer-derived doubles. */
-  /** "train": deterministic IVF codebook (cid = the centroid's
-    * vec_id) — the tiny driver-side collect is model parameters. */
-  private def ivfCents(e: DataFrame): Seq[(Long, Seq[Long], Long)] = {
+  /** Seed codebook for the coarse quantizer: the embedding rows with
+    * vec_id in [NQueries, NQueries+NCentroids), cid = vec_id — the
+    * deterministic k-means++-stand-in initializer. */
+  private[graft] def ivfSeed(e: DataFrame): Seq[(Long, Seq[Long], Long)] = {
     import e.sparkSession.implicits._
     e.filter($"vec_id" >= NQueries && $"vec_id" < NQueries + NCentroids)
       .orderBy($"vec_id").collect().toSeq
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+  }
+
+  private[graft] val IvfIters = 2
+
+  /** Trained IVF coarse quantizer: [[IvfIters]] integer Lloyd
+    * iterations over the seed. Assignment is (cosine desc, cid asc) —
+    * IDENTICAL to search-time list assignment, so training optimizes
+    * the objective searches actually see — and the update is the
+    * per-dimension integer floor-average of the members (an empty
+    * list keeps its previous centroid). Sums/counts are exact
+    * order-independent bigints → the codebook is bit-deterministic
+    * under any partitioning, and the DuckDB oracle re-derives it
+    * exactly by unrolling the same iterations in SQL. Per iteration:
+    * one corpus scan + a combinable (NCentroids × dims)-key
+    * aggregate; the collect is the codebook, not data-plane. */
+  private[graft] def ivfTrain(e: DataFrame, iters: Int = IvfIters): Seq[(Long, Seq[Long], Long)] = {
+    import e.sparkSession.implicits._
+    var cents = ivfSeed(e)
+    for (_ <- 1 to iters) {
+      val stats = withListAssignment(e, cents)
+        .select($"acid", posexplode($"iv").as(Seq("d", "v")))
+        .groupBy($"acid", $"d")
+        .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1)),
+          Math.floorDiv(r.getLong(2), r.getLong(3)))).toMap
+      cents = cents.map { case (cid, civ, _) =>
+        val nv = civ.indices.map(d => stats.getOrElse((cid, d), civ(d)))
+        (cid, nv, nv.map(x => x * x).sum)
+      }
+    }
+    cents
+  }
+
+  /** Mean cosine of every row to its assigned list centroid — the
+    * (spherical) objective [[ivfTrain]] ascends; the spec asserts
+    * training does not worsen it vs the seed. */
+  private[graft] def ivfMeanCos(e: DataFrame, cents: Seq[(Long, Seq[Long], Long)]): Double = {
+    import e.sparkSession.implicits._
+    e.withColumn("best",
+      array_max(centScores(cents)($"iv", $"nrm")).getField("cos"))
+      .agg(avg($"best")).head().getDouble(0)
   }
 
   /** Per-row (cos, −cid) scores against the literal IVF codebook;
@@ -132,7 +177,7 @@ object Ann {
         lit(-cid).as("negcid"))
     }: _*)
 
-  private def withListAssignment(e: DataFrame,
+  private[graft] def withListAssignment(e: DataFrame,
     cents: Seq[(Long, Seq[Long], Long)]): DataFrame = {
     import e.sparkSession.implicits._
     e.withColumn("acid",
@@ -142,7 +187,7 @@ object Ann {
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = intEmb(s, dir)
-    val cents = ivfCents(e)
+    val cents = ivfTrain(e)
     val assigned = withListAssignment(e, cents)
     val probes = e.filter($"vec_id" < NQueries)
       .withColumn("scores", centScores(cents)($"iv", $"nrm"))
@@ -191,24 +236,51 @@ object Ann {
   val qAnnBruteforceSql: String = oracleSql(bucketJoin = false)
   val qAnnLshSql: String = oracleSql(bucketJoin = true)
 
-  /** Oracle twin of [[qAnnIvf]]: same codebook (vec_ids 5..12), same
-    * (cos desc, cid asc) tie-breaks via ROW_NUMBER. */
-  val qAnnIvfSql: String =
+  /** One unrolled integer-Lloyd iteration k of the oracle twin:
+    * assign every vector to its (cos desc, cid asc) nearest centroid
+    * of codebook c{k}, then c{k+1} = per-(cid, dim) floor-average of
+    * the members (COALESCE keeps an empty list's previous centroid).
+    * `(s - ((s % n) + n) % n) // n` is exact floor division — DuckDB's
+    * `//` truncates toward zero, Spark's Math.floorDiv floors, and the
+    * adjusted numerator is exactly divisible so both agree. */
+  private def ivfTrainCte(k: Int): String = {
+    val j = k + 1
+    s"""cn$k AS (SELECT cid, SUM(vi * vi) AS nrm FROM c$k GROUP BY cid),
+       |d$k AS (SELECT ev.vec_id AS vid, c.cid, CAST(SUM(ev.vi * c.vi) AS BIGINT) AS dot
+       |       FROM e ev JOIN c$k c ON c.i = ev.i GROUP BY 1, 2),
+       |a$k AS (SELECT vid, cid FROM (
+       |    SELECT d$k.vid, d$k.cid, ROW_NUMBER() OVER (PARTITION BY d$k.vid ORDER BY
+       |      CAST(d$k.dot AS DOUBLE) / (SQRT(CAST(nv.nrm AS DOUBLE)) * SQRT(CAST(nc.nrm AS DOUBLE))) DESC,
+       |      d$k.cid) AS rn
+       |    FROM d$k JOIN n nv ON nv.vec_id = d$k.vid
+       |         JOIN cn$k nc ON nc.cid = d$k.cid) t WHERE rn = 1),
+       |m$k AS (SELECT a$k.cid, e.i, CAST(SUM(e.vi) AS BIGINT) AS s, COUNT(*) AS cnt
+       |       FROM a$k JOIN e ON e.vec_id = a$k.vid GROUP BY 1, 2),
+       |c$j AS (SELECT c$k.cid, c$k.i,
+       |         COALESCE(CAST((m$k.s - ((m$k.s % m$k.cnt) + m$k.cnt) % m$k.cnt) // m$k.cnt AS BIGINT),
+       |                  c$k.vi) AS vi
+       |       FROM c$k LEFT JOIN m$k ON m$k.cid = c$k.cid AND m$k.i = c$k.i),""".stripMargin
+  }
+
+  /** Oracle twin of [[qAnnIvf]]: re-trains the identical coarse
+    * quantizer (seed rows 5..12, [[IvfIters]] unrolled integer Lloyd
+    * iterations), same (cos desc, cid asc) tie-breaks via ROW_NUMBER. */
+  val qAnnIvfSql: String = {
+    val T = IvfIters
     s"""WITH e AS (
        |  SELECT vec_id, i, CAST(ROUND(CAST(v AS DOUBLE) * ${VectorOps.ScaleLit}) AS BIGINT) AS vi
        |  FROM (SELECT vec_id, unnest(embedding) AS v,
        |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
        |n AS (SELECT vec_id, SUM(vi * vi) AS nrm FROM e GROUP BY vec_id),
-       |cent AS (SELECT vec_id AS cid FROM embeddings
-       |         WHERE vec_id >= $NQueries AND vec_id < ${NQueries + NCentroids}),
-       |cd AS (SELECT ev.vec_id AS vid, cent.cid,
-       |         CAST(SUM(ev.vi * ec.vi) AS BIGINT) AS dot
-       |       FROM e ev CROSS JOIN cent
-       |         JOIN e ec ON ec.vec_id = cent.cid AND ec.i = ev.i
-       |       GROUP BY 1, 2),
-       |cs AS (SELECT vid, cid,
+       |c0 AS (SELECT vec_id AS cid, i, vi FROM e
+       |       WHERE vec_id >= $NQueries AND vec_id < ${NQueries + NCentroids}),
+       |${(0 until T).map(ivfTrainCte).mkString("\n")}
+       |cn$T AS (SELECT cid, SUM(vi * vi) AS nrm FROM c$T GROUP BY cid),
+       |cd AS (SELECT ev.vec_id AS vid, c.cid, CAST(SUM(ev.vi * c.vi) AS BIGINT) AS dot
+       |       FROM e ev JOIN c$T c ON c.i = ev.i GROUP BY 1, 2),
+       |cs AS (SELECT vid, cd.cid AS cid,
        |         CAST(dot AS DOUBLE) / (SQRT(CAST(nv.nrm AS DOUBLE)) * SQRT(CAST(nc.nrm AS DOUBLE))) AS cos
-       |       FROM cd JOIN n nv ON nv.vec_id = vid JOIN n nc ON nc.vec_id = cid),
+       |       FROM cd JOIN n nv ON nv.vec_id = vid JOIN cn$T nc ON nc.cid = cd.cid),
        |assign AS (SELECT vid, cid FROM (
        |    SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, cid) AS rn
        |    FROM cs) t WHERE rn = 1),
@@ -229,6 +301,7 @@ object Ann {
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rnk
        |  FROM c) t
        |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   private[queries] val PqM = 8        // subspaces (64 dims → 8 per subspace)
@@ -278,14 +351,24 @@ object Ann {
   }
 
   /** Deterministic seed codebook: centroid c of subspace m = seed row
-    * c's m-th [[PqSub]]-dim slice (same rows as the IVF codebook). */
-  private[graft] def pqSeed(e: DataFrame): Seq[Seq[Seq[Long]]] = {
+    * c's m-th [[PqSub]]-dim slice. `seedBase` picks the first seed
+    * row's vec_id: the raw-vector PQ seeds from [NQueries,
+    * NQueries+PqK) (the same rows as the IVF seed — harmless there),
+    * but RESIDUAL training (IVFADC) must seed from rows DISJOINT from
+    * the IVF codebook ([[IvfPqSeedBase]]): a codebook row's residual
+    * against its own list is ~zero, and eight ~zero seeds collapse
+    * every subspace to one effective centroid. */
+  private[graft] def pqSeed(e: DataFrame, seedBase: Long = NQueries): Seq[Seq[Seq[Long]]] = {
     import e.sparkSession.implicits._
-    val rows = e.filter($"vec_id" >= NQueries && $"vec_id" < NQueries + PqK)
+    val rows = e.filter($"vec_id" >= seedBase && $"vec_id" < seedBase + PqK)
       .orderBy($"vec_id").collect()
       .map(_.getSeq[Long](1))
     (0 until PqM).map(m => rows.toSeq.map(_.slice(m * PqSub, (m + 1) * PqSub)))
   }
+
+  /** Residual-PQ seed rows: the [[PqK]] vec_ids immediately after the
+    * IVF codebook range — disjoint from it by construction. */
+  private[graft] val IvfPqSeedBase: Long = NQueries + NCentroids
 
   /** codes column (array<int>, values 0..[[PqK]]-1) from `iv` against
     * the literal `cent` codebook: per subspace, argmin integer L2
@@ -318,9 +401,10 @@ object Ann {
     * Per iteration: one corpus scan + a combinable aggregate on
     * [[PqM]]·[[PqK]]·[[PqSub]] = 512 keys; the collect is the
     * codebook, not data. */
-  private[graft] def pqTrain(e: DataFrame, iters: Int = PqIters): Seq[Seq[Seq[Long]]] = {
+  private[graft] def pqTrain(e: DataFrame, iters: Int = PqIters,
+    seedBase: Long = NQueries): Seq[Seq[Seq[Long]]] = {
     import e.sparkSession.implicits._
-    var cent = pqSeed(e)
+    var cent = pqSeed(e, seedBase)
     for (_ <- 1 to iters) {
       val stats = withCodes(e.select($"vec_id", $"iv"), cent)
         .select($"iv", posexplode($"codes").as(Seq("m", "code")))
@@ -513,9 +597,9 @@ object Ann {
     : (Seq[(Long, Seq[Long], Long)], Seq[Seq[Seq[Long]]]) = {
     import s.implicits._
     val e = intEmb(s, dir)
-    val lists = ivfCents(e)
+    val lists = ivfTrain(e)
     val res = residualFrame(e, lists)
-    val pq = pqTrain(res.select($"vec_id", $"iv"))
+    val pq = pqTrain(res.select($"vec_id", $"iv"), seedBase = IvfPqSeedBase)
     val coded = withCodes(res, pq)
       .select($"vec_id", $"codes", $"acid")
     graft.sources.Catalog.writePartitioned(coded, codesPath, Seq("acid"))
@@ -590,9 +674,9 @@ object Ann {
   def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = intEmb(s, dir)
-    val lists = ivfCents(e)
+    val lists = ivfTrain(e)
     val res = residualFrame(e, lists)
-    val pq = pqTrain(res.select($"vec_id", $"iv"))
+    val pq = pqTrain(res.select($"vec_id", $"iv"), seedBase = IvfPqSeedBase)
     val codes = withCodes(res, pq)
       .select($"vec_id", $"codes", $"acid")
     ivfPqSearch(s, e, codes, lists, pq)

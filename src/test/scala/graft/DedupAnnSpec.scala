@@ -311,6 +311,48 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(byQ.values.forall(g => g.map(_._2).sorted.toSeq == (1 to g.length).toSeq))
   }
 
+  test("ivfTrain: objective ascends vs seed, lists balance, codebook is partition-deterministic") {
+    val e = queries.Ann.intEmb(spark, sf)
+    val seed = queries.Ann.ivfSeed(e)
+    val trained = queries.Ann.ivfTrain(e)
+    // training ascends (or at least never worsens) the mean cosine to
+    // the assigned centroid — the spherical objective assignment uses
+    val mcSeed = queries.Ann.ivfMeanCos(e, seed)
+    val mcTrained = queries.Ann.ivfMeanCos(e, trained)
+    assert(mcTrained >= mcSeed,
+      s"Lloyd worsened mean assigned cosine: $mcTrained < seed $mcSeed")
+    // list sizes balance: untrained seed centroids skew the partition
+    // sizes the IVFADC table inherits; training must not worsen the
+    // largest list (the straggler bound at scale)
+    def maxList(cents: Seq[(Long, Seq[Long], Long)]): Long = {
+      import spark.implicits._
+      queries.Ann.withListAssignment(e, cents)
+        .groupBy($"acid").count().agg(org.apache.spark.sql.functions.max($"count"))
+        .head().getLong(0)
+    }
+    assert(maxList(trained) <= maxList(seed),
+      "training grew the largest IVF list")
+    // integer sums/counts are order-independent → same codebook under
+    // any partitioning
+    assert(queries.Ann.ivfTrain(e.repartition(3)) ==
+      queries.Ann.ivfTrain(e.repartition(17)),
+      "IVF codebook varies with partitioning")
+  }
+
+  test("residual PQ codebook is non-degenerate: >1 distinct centroid per subspace") {
+    // the round-8 seeding bug: residual PQ seeded from the IVF
+    // codebook rows themselves -> all-zero seed residuals -> every
+    // subspace collapses to ~1 effective centroid and ADC carries no
+    // information. Guard: every subspace of the trained residual
+    // codebook must keep >1 distinct centroid.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_cb").toString
+    val (_, pq) = queries.Ann.buildIvfPqIndex(spark, sf, s"$tmp/codes")
+    pq.zipWithIndex.foreach { case (sub, m) =>
+      assert(sub.distinct.length > 1,
+        s"residual PQ subspace $m degenerated to ${sub.distinct.length} distinct centroid(s)")
+    }
+  }
+
   test("pqTrain is bit-deterministic under any partitioning") {
     // the k-means claim: integer sums/counts are order-independent, so
     // the trained codebook cannot depend on how the corpus is split
