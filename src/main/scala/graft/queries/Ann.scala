@@ -343,10 +343,16 @@ object Ann {
     * Approximate by construction (codes quantize) → rows-only; the
     * spec also pins recall vs brute force and re-derives one ADC
     * driver-side from the stored codes. */
-  private[graft] def intEmb(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.embeddings(s, dir).select(
-      $"vec_id", VectorOps.intVec("embedding").as("iv"))
+  private[graft] def intEmb(s: SparkSession, dir: String): DataFrame =
+    intEmbOf(Tables.embeddings(s, dir))
+
+  /** (vec_id, embedding) rows → the integer-scaled (vec_id, iv, nrm)
+    * frame every ANN path works in. Factored out so incremental
+    * appends can encode an arbitrary new-vector batch, not just the
+    * stored table. */
+  private[graft] def intEmbOf(raw: DataFrame): DataFrame = {
+    import raw.sparkSession.implicits._
+    raw.select($"vec_id", VectorOps.intVec("embedding").as("iv"))
       .withColumn("nrm", VectorOps.normSq("iv"))
   }
 
@@ -380,7 +386,7 @@ object Ann {
     * kernel over literal centroid slices, NOT a higher-order
     * `aggregate` lambda: interpreted HOFs in this per-row inner loop
     * (M×K evaluations each) were the whole encode cost. */
-  private def withCodes(e: DataFrame, cent: Seq[Seq[Seq[Long]]]): DataFrame = {
+  private[graft] def withCodes(e: DataFrame, cent: Seq[Seq[Seq[Long]]]): DataFrame = {
     val dists: Seq[Column] = (0 until PqM).map { m =>
       array((0 until PqK).map { k =>
         val c = cent(m)(k)
@@ -435,18 +441,56 @@ object Ann {
       .agg(sum($"qe")).head().getLong(0)
   }
 
-  /** Train + encode + store the `[vec_id, codes]` table at
-    * `codesPath` (idempotent create). Returns the trained codebook —
-    * the model half of the index; callers hand it to
-    * [[pqSearchStored]]. */
-  def buildPqIndex(s: SparkSession, dir: String, codesPath: String): Seq[Seq[Seq[Long]]] = {
+  /** Bucket count for the stored PQ codes table: codes are
+    * partitioned by `bk = vec_id mod PqBuckets`, so appends land as
+    * bounded per-bucket files, [[graft.sources.Catalog.compactPartitions]]
+    * compacts in place, and a point lookup by vec_id prunes to one
+    * bucket. Raise with corpus size (buckets ≈ corpus / executor-sized
+    * chunk); the value only shapes file layout, never results. */
+  private[graft] val PqBuckets = 16
+
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("bk", pmod(col("vec_id"), lit(PqBuckets.toLong)))
+
+  /** Train + encode + store the codes table at `codesPath`,
+    * partitioned by the [[PqBuckets]] vec_id bucket (idempotent,
+    * crash-safe create: a directory without `_SUCCESS` fails loudly).
+    * Returns the trained codebook — the model half of the index;
+    * callers hand it to [[pqSearchStored]] and [[appendPqVectors]]. */
+  def buildPqIndex(s: SparkSession, dir: String, codesPath: String): Seq[Seq[Seq[Long]]] =
+    buildPqIndexOf(s, Tables.embeddings(s, dir), codesPath)
+
+  /** [[buildPqIndex]] over an explicit (vec_id, embedding) corpus
+    * frame — the ingest-pipeline entry point (and how the spec builds
+    * on a corpus subset to prove append ≡ rebuild). */
+  def buildPqIndexOf(s: SparkSession, raw: DataFrame, codesPath: String): Seq[Seq[Seq[Long]]] = {
     import s.implicits._
-    val e = intEmb(s, dir)
+    val e = intEmbOf(raw)
     val cent = pqTrain(e)
-    graft.sources.Catalog.createIfAbsent(s,
-      withCodes(e.select($"vec_id", $"iv"), cent).select($"vec_id", $"codes"),
-      codesPath)
+    graft.sources.Catalog.createPartitionedIfAbsent(s,
+      withBucket(withCodes(e.select($"vec_id", $"iv"), cent)
+        .select($"vec_id", $"codes")),
+      codesPath, Seq("bk"))
     cent
+  }
+
+  /** Incremental ingest: encode ONLY `rawBatch` (a (vec_id,
+    * embedding) frame of new vectors) against the FROZEN `cent`
+    * codebook and append to the stored codes table — per-batch cost
+    * tracks the batch, never the corpus, mirroring
+    * [[graft.queries.Dedup.containNewDocs]]' discipline. The appended
+    * codes are bit-identical to what a full re-encode of the union
+    * with the same codebook would produce (spec-proven); the codebook
+    * itself is as of build time — retraining on a drifted corpus is a
+    * rebuild event, not an append. */
+  def appendPqVectors(s: SparkSession, codesPath: String,
+    cent: Seq[Seq[Seq[Long]]], rawBatch: DataFrame): Unit = {
+    import s.implicits._
+    val e = intEmbOf(rawBatch)
+    graft.sources.Catalog.appendPartitioned(s,
+      withBucket(withCodes(e.select($"vec_id", $"iv"), cent)
+        .select($"vec_id", $"codes")),
+      codesPath, Seq("bk"))
   }
 
   /** Driver-side per-query LUT: lut[m][k] = integer L2 between the
@@ -523,6 +567,8 @@ object Ann {
   def pqSearchStored(s: SparkSession, dir: String, codesPath: String,
     cent: Seq[Seq[Seq[Long]]]): DataFrame = {
     import s.implicits._
+    require(graft.sources.Catalog.tableComplete(s, codesPath),
+      s"$codesPath is not a complete codes table (crashed build?)")
     val e = intEmb(s, dir)
     val qdf = pqQueryFrame(s, e, cent)
     val codes = s.read.parquet(codesPath).select($"vec_id", $"codes")
@@ -582,7 +628,7 @@ object Ann {
     * ~4× query blowup. A production build materializes residuals
     * transiently before encoding anyway (the stored codes are the
     * durable artifact); checkpointing here is that same step. */
-  private def residualFrame(e: DataFrame,
+  private[graft] def residualFrame(e: DataFrame,
     lists: Seq[(Long, Seq[Long], Long)]): DataFrame = {
     import e.sparkSession.implicits._
     withListAssignment(e, lists)
@@ -594,16 +640,40 @@ object Ann {
   }
 
   def buildIvfPqIndex(s: SparkSession, dir: String, codesPath: String)
+    : (Seq[(Long, Seq[Long], Long)], Seq[Seq[Seq[Long]]]) =
+    buildIvfPqIndexOf(s, Tables.embeddings(s, dir), codesPath)
+
+  /** [[buildIvfPqIndex]] over an explicit (vec_id, embedding) corpus
+    * frame — the ingest-pipeline entry point. */
+  def buildIvfPqIndexOf(s: SparkSession, raw: DataFrame, codesPath: String)
     : (Seq[(Long, Seq[Long], Long)], Seq[Seq[Seq[Long]]]) = {
     import s.implicits._
-    val e = intEmb(s, dir)
+    val e = intEmbOf(raw)
     val lists = ivfTrain(e)
     val res = residualFrame(e, lists)
     val pq = pqTrain(res.select($"vec_id", $"iv"), seedBase = IvfPqSeedBase)
     val coded = withCodes(res, pq)
       .select($"vec_id", $"codes", $"acid")
-    graft.sources.Catalog.writePartitioned(coded, codesPath, Seq("acid"))
+    // same crash-safe lifecycle as buildPqIndex: complete → no-op,
+    // unmarked partial directory → loud failure, never silently read
+    graft.sources.Catalog.createPartitionedIfAbsent(s, coded, codesPath, Seq("acid"))
     (lists, pq)
+  }
+
+  /** Incremental ingest for the IVFADC index: assign ONLY `rawBatch`
+    * to its IVF lists, residual-encode against the FROZEN (lists, pq)
+    * model, and append into the matching `acid=` partitions — batch
+    * cost tracks the batch; existing partitions stay prunable.
+    * Spec-proven bit-identical to a full re-encode of the union under
+    * the same model; retraining either codebook is a rebuild event. */
+  def appendIvfPqVectors(s: SparkSession, codesPath: String,
+    lists: Seq[(Long, Seq[Long], Long)], pq: Seq[Seq[Seq[Long]]],
+    rawBatch: DataFrame): Unit = {
+    import s.implicits._
+    val res = residualFrame(intEmbOf(rawBatch), lists)
+    graft.sources.Catalog.appendPartitioned(s,
+      withCodes(res, pq).select($"vec_id", $"codes", $"acid"),
+      codesPath, Seq("acid"))
   }
 
   /** Driver-side probe selection: the query's [[NProbe]] nearest IVF
@@ -667,6 +737,8 @@ object Ann {
   def ivfPqSearchStored(s: SparkSession, dir: String, codesPath: String,
     lists: Seq[(Long, Seq[Long], Long)], pq: Seq[Seq[Seq[Long]]]): DataFrame = {
     import s.implicits._
+    require(graft.sources.Catalog.tableComplete(s, codesPath),
+      s"$codesPath is not a complete codes table (crashed build?)")
     ivfPqSearch(s, intEmb(s, dir),
       s.read.parquet(codesPath).select($"vec_id", $"codes", $"acid"), lists, pq)
   }

@@ -120,6 +120,23 @@ object Catalog {
         "dropIfExists first if it should be replaced.")
     else { df.write.mode("errorifexists").parquet(path); true }
 
+  /** [[createIfAbsent]] for PARTITIONED tables — same lifecycle
+    * contract (complete → no-op; ambiguous unmarked directory → loud
+    * failure; absent → write). The `_SUCCESS` marker lands at the
+    * table root, so [[tableComplete]] governs partitioned and flat
+    * tables alike. */
+  def createPartitionedIfAbsent(s: SparkSession, df: DataFrame, path: String,
+    partitionCols: Seq[String]): Boolean =
+    if (tableComplete(s, path)) false
+    else if (tableExists(s, path)) throw new IllegalStateException(
+      s"$path exists but has no _SUCCESS marker: either a crashed partial " +
+        "write or an externally-produced table. Refusing to guess — call " +
+        "dropIfExists first if it should be replaced.")
+    else {
+      df.write.mode("errorifexists").partitionBy(partitionCols: _*).parquet(path)
+      true
+    }
+
   /** Drop the table if present; returns true when something was
     * removed. Dropping a missing table is a no-op, not an error. */
   def dropIfExists(s: SparkSession, path: String): Boolean = {
@@ -159,8 +176,11 @@ object Catalog {
         val names = try scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().filter(_.nonEmpty).toList finally in.close()
         names.foreach { n =>
+          // n is relative to the staging dir; partitioned appends use
+          // subdir entries like "acid=3/part-….parquet"
           val src = new org.apache.hadoop.fs.Path(st.getPath, n)
           val dst = new org.apache.hadoop.fs.Path(p, n)
+          f.mkdirs(dst.getParent)
           if (f.exists(src) && !f.rename(src, dst))
             throw new java.io.IOException(s"append recovery failed moving $src -> $dst")
         }
@@ -241,27 +261,74 @@ object Catalog {
   def readEvolved(s: SparkSession, path: String): DataFrame =
     s.read.option("mergeSchema", "true").parquet(path)
 
-  private def stagedAppend(s: SparkSession, df: DataFrame, path: String): Unit = {
+  private def stagedAppend(s: SparkSession, df: DataFrame, path: String,
+    partitionCols: Seq[String] = Seq.empty): Unit = {
     require(!appendPending(s, path),
       s"$path has leftover _tmp_append_* staging dirs from a crashed append; " +
         "run Catalog.recoverAppends to roll them forward/back first")
     val (f, p) = fs(s, path)
     val tmp = new org.apache.hadoop.fs.Path(p,
       s"_tmp_append_${java.util.UUID.randomUUID().toString.take(8)}")
-    df.write.mode("errorifexists").parquet(tmp.toString)
+    if (partitionCols.isEmpty)
+      df.write.mode("errorifexists").parquet(tmp.toString)
+    else
+      df.write.mode("errorifexists").partitionBy(partitionCols: _*)
+        .parquet(tmp.toString)
     // part-file names embed a job-unique UUID, so renames cannot
-    // collide with the table's existing files
-    val parts = f.listStatus(tmp).filter(_.isFile)
-      .filter(st => v2.BinRecord.visible(st.getPath.getName))
+    // collide with the table's existing files; manifest entries are
+    // staging-relative ("acid=3/part-….parquet" for partitioned
+    // appends), and commit creates partition dirs as needed
+    val parts = {
+      val it = f.listFiles(tmp, true)
+      val buf = scala.collection.mutable.ArrayBuffer[String]()
+      // qualified prefix with trailing slash: listFiles returns fully
+      // qualified paths, so prefix-stripping yields the staging-relative
+      // name ("part-…" flat, "acid=3/part-…" partitioned)
+      val base = f.makeQualified(tmp).toString + "/"
+      while (it.hasNext) {
+        val st = it.next()
+        val full = st.getPath.toString
+        if (st.isFile && v2.BinRecord.visible(st.getPath.getName)) {
+          require(full.startsWith(base), s"unexpected staged path $full")
+          buf += full.stripPrefix(base)
+        }
+      }
+      buf.toSeq
+    }
     val out = f.create(new org.apache.hadoop.fs.Path(tmp, AppendManifest), true)
-    try out.write(parts.map(_.getPath.getName).mkString("", "\n", "\n")
-      .getBytes("UTF-8")) finally out.close()
-    parts.foreach { st =>
-      val dst = new org.apache.hadoop.fs.Path(p, st.getPath.getName)
-      if (!f.rename(st.getPath, dst))
-        throw new java.io.IOException(s"append commit failed moving ${st.getPath} -> $dst")
+    try out.write(parts.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    parts.foreach { rel =>
+      val src = new org.apache.hadoop.fs.Path(tmp, rel)
+      val dst = new org.apache.hadoop.fs.Path(p, rel)
+      f.mkdirs(dst.getParent)
+      if (!f.rename(src, dst))
+        throw new java.io.IOException(s"append commit failed moving $src -> $dst")
     }
     f.delete(tmp, true)
+  }
+
+  /** Staged append to a PARTITIONED table — the [[append]] protocol
+    * (hidden staging dir + manifest + rename commit; crashes resolve
+    * through [[recoverAppends]]) with the batch partitioned on write,
+    * so each appended file lands inside its partition directory and
+    * stays prunable. Schema drift on the DATA columns (everything but
+    * the partition keys) fails loudly against the existing table's
+    * file schema before any data is written. */
+  def appendPartitioned(s: SparkSession, df: DataFrame, path: String,
+    partitionCols: Seq[String]): Unit = {
+    require(tableComplete(s, path),
+      s"$path is not a complete table — build it before appending")
+    val want = s.read.parquet(path).schema
+      .filterNot(f => partitionCols.contains(f.name))
+      .map(f => (f.name, f.dataType))
+    val got = df.schema.filterNot(f => partitionCols.contains(f.name))
+      .map(f => (f.name, f.dataType))
+    require(got == want,
+      s"schema drift appending to $path: got $got, table has $want")
+    require(partitionCols.forall(df.columns.contains),
+      s"batch is missing partition columns $partitionCols")
+    stagedAppend(s, df, path, partitionCols)
   }
 
   // ---------------------------------------------------------------

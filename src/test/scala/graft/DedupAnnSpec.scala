@@ -353,6 +353,82 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("stored ANN append: batch-encoded appends ≡ full re-encode of the union under the frozen model; compaction preserves content") {
+    import spark.implicits._
+    val raw = Tables.embeddings(spark, sf)
+    // the nightly batch: disjoint from the query rows [0,5), the IVF
+    // seed rows [5,13) and the residual-PQ seed rows [13,21), so the
+    // subset build trains on exactly the seeds the full build would
+    val batch = raw.filter("vec_id >= 21 AND vec_id % 10 = 7")
+    val old = raw.filter("NOT (vec_id >= 21 AND vec_id % 10 = 7)")
+
+    // ---- flat-bucketed PQ codes table ----
+    val tmp = java.nio.file.Files.createTempDirectory("graft_append").toString
+    val pqPath = s"$tmp/pq_codes"
+    val cent = queries.Ann.buildPqIndexOf(spark, old, pqPath)
+    queries.Ann.appendPqVectors(spark, pqPath, cent, batch)
+    def pqContent(): Set[(Long, Seq[Int])] =
+      spark.read.parquet(pqPath).select($"vec_id", $"codes")
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    val wantPq = queries.Ann.withCodes(
+      queries.Ann.intEmbOf(raw).select($"vec_id", $"iv"), cent)
+      .select($"vec_id", $"codes")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    assert(pqContent() == wantPq,
+      "PQ append diverges from full re-encode of the union")
+    // compaction: fewer files, identical content, search still works
+    val nBefore = new java.io.File(pqPath).listFiles()
+      .filter(_.getName.startsWith("bk=")).map(_.listFiles()
+        .count(_.getName.endsWith(".parquet"))).sum
+    sources.Catalog.compactPartitions(spark, pqPath, "bk", 4)
+    val nAfter = new java.io.File(pqPath).listFiles()
+      .filter(_.getName.startsWith("bk=")).map(_.listFiles()
+        .count(_.getName.endsWith(".parquet"))).sum
+    assert(nAfter < nBefore, s"compaction did not shrink files: $nBefore -> $nAfter")
+    assert(pqContent() == wantPq, "compaction changed table content")
+    assert(queries.Ann.pqSearchStored(spark, sf, pqPath, cent).count() == 50)
+
+    // ---- list-partitioned IVFADC codes table ----
+    val ivfPath = s"$tmp/ivfpq_codes"
+    val (lists, pq) = queries.Ann.buildIvfPqIndexOf(spark, old, ivfPath)
+    queries.Ann.appendIvfPqVectors(spark, ivfPath, lists, pq, batch)
+    def ivfContent(): Set[(Long, Seq[Int], Long)] =
+      spark.read.parquet(ivfPath).select($"vec_id", $"codes", $"acid")
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1),
+          r.get(2).toString.toLong)).toSet
+    val wantIvf = queries.Ann.withCodes(
+      queries.Ann.residualFrame(queries.Ann.intEmbOf(raw), lists), pq)
+      .select($"vec_id", $"codes", $"acid")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).toSet
+    assert(ivfContent() == wantIvf,
+      "IVFADC append diverges from full residual re-encode of the union")
+    assert(queries.Ann.ivfPqSearchStored(spark, sf, ivfPath, lists, pq).count() == 50)
+    // appended files landed inside their acid= partition dirs (stayed prunable)
+    assert(new java.io.File(ivfPath).listFiles()
+      .filter(_.isDirectory).forall(_.getName.startsWith("acid=")))
+  }
+
+  test("partitioned append crash-recovery: subdir manifest entries roll forward into partition dirs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_precover").toString
+    val f = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def put(rel: String, body: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(tmp, rel)
+      f.mkdirs(p.getParent)
+      val o = f.create(p, true)
+      try o.write(body.getBytes("UTF-8")) finally o.close()
+    }
+    // a crashed mid-commit partitioned append: staging dir with a
+    // manifest naming a file inside a partition subdir
+    put("_tmp_append_crash/acid=99/part-recover.parquet", "payload")
+    put("_tmp_append_crash/_MANIFEST", "acid=99/part-recover.parquet\n")
+    assert(sources.Catalog.appendPending(spark, tmp))
+    assert(sources.Catalog.recoverAppends(spark, tmp) == (1, 0))
+    assert(!sources.Catalog.appendPending(spark, tmp))
+    assert(f.exists(new org.apache.hadoop.fs.Path(tmp, "acid=99/part-recover.parquet")),
+      "rolled-forward file missing from its partition dir")
+  }
+
   test("pqTrain is bit-deterministic under any partitioning") {
     // the k-means claim: integer sums/counts are order-independent, so
     // the trained codebook cannot depend on how the corpus is split
