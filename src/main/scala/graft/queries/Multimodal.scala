@@ -7,9 +7,13 @@ import graft.Tables
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
   * `binary` columns with typed metadata alongside. The harness tables
   * carry no real media, so the payload is the UTF-8 byte stream of
-  * `text` — the *plumbing* (binary schema, metadata extraction,
-  * batched per-partition feature extraction) is real and tested; only
-  * the codec itself is stubbed (see BlobFeatures.decodeStub).
+  * `text`, decoded as the same fixed-width frame format
+  * [[Multimodal.qBlobFrameSample]] subsamples — the full path (binary
+  * schema, metadata extraction, batched per-partition decode) is real,
+  * deterministic, and oracle-checked byte-for-byte. A deployment with
+  * actual media swaps [[Multimodal.decodeFrames]] for its codec; every
+  * surrounding shape (partition-batched iteration, typed feature
+  * record, one decoder instance per partition) is what it would use.
   */
 object Multimodal {
 
@@ -45,16 +49,27 @@ object Multimodal {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
-  /** Per-blob feature record produced by the (stubbed) decoder. */
-  case class BlobFeatures(doc_id: Long, n_bytes: Int, byte_sum: Long,
-    byte_min: Int, byte_max: Int, head_byte: Int)
+  /** Fixed frame geometry of the fake-video payload (shared by the
+    * decoder, the frame sampler, and both oracles). Declared BEFORE
+    * the oracle-SQL vals that interpolate them — object vals
+    * initialize in declaration order. */
+  val FrameBytes = 64
+  val FrameStride = 8
 
-  /** STUB: stands in for a real media decode (image/audio libs are
-    * not available in this environment). Computes deterministic
-    * byte-level statistics so the batched mapPartitions plumbing is
-    * fully exercisable; a real deployment swaps only this function
-    * for e.g. a JPEG decode + resize + embedding. */
-  def decodeStub(docId: Long, bytes: Array[Byte]): BlobFeatures = {
+  /** Per-blob feature record produced by the frame decoder. */
+  case class BlobFeatures(doc_id: Long, n_bytes: Int, n_frames: Int,
+    byte_sum: Long, byte_min: Int, byte_max: Int, head_byte: Int)
+
+  /** Deterministic fixed-format decode: the blob is a stream of
+    * [[FrameBytes]]-byte frames (the same fake-video layout
+    * [[qBlobFrameSample]] subsamples; the tail frame may be short),
+    * reduced to exact byte-level sample statistics — the 8-bit
+    * "pixel" reduction of a grayscale decode, computed in one pass.
+    * Fully oracle-checked: DuckDB re-derives every field from the
+    * payload's hex image. A real media deployment swaps this function
+    * for its codec (JPEG decode + resize + embedding, PCM unpack, …)
+    * without touching the surrounding partition-batched plumbing. */
+  def decodeFrames(docId: Long, bytes: Array[Byte]): BlobFeatures = {
     var sum = 0L
     var mn = 256
     var mx = -1
@@ -66,7 +81,8 @@ object Multimodal {
       if (b > mx) mx = b
       i += 1
     }
-    BlobFeatures(docId, bytes.length, sum,
+    BlobFeatures(docId, bytes.length,
+      (bytes.length + FrameBytes - 1) / FrameBytes, sum,
       if (bytes.isEmpty) 0 else mn, if (bytes.isEmpty) 0 else mx,
       if (bytes.isEmpty) 0 else bytes(0) & 0xff)
   }
@@ -74,18 +90,42 @@ object Multimodal {
   /** Batched feature extraction over binary payloads: mapPartitions
     * over (id, blob) batches — the genuine per-partition imperative
     * hot loop a media pipeline needs (one decoder instance per
-    * partition, streaming through its batch). Rows-only check. */
+    * partition, streaming through its batch). */
   def qBlobFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     blobs(s, dir)
       .select($"doc_id", $"blob").as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // a real pipeline initializes the decoder once per partition here
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
+        it.map { case (id, bytes) => decodeFrames(id, bytes) }
       }
       .toDF()
       .orderBy($"doc_id")
   }
+
+  /** Oracle twin of [[qBlobFeatures]]: bytes are re-derived from the
+    * payload's hex image with nibble arithmetic (DuckDB has no blob
+    * indexing), then reduced with the same statistics. Empty payloads
+    * keep their zero-feature row via the LEFT JOIN. */
+  val qBlobFeaturesSql: String =
+    s"""WITH b AS (SELECT doc_id, LOWER(HEX(ENCODE(text))) AS h,
+      |    OCTET_LENGTH(ENCODE(text)) AS n FROM documents),
+      |by AS (SELECT doc_id,
+      |    (STRPOS('0123456789abcdef', SUBSTRING(h, 2*i+1, 1)) - 1) * 16 +
+      |    (STRPOS('0123456789abcdef', SUBSTRING(h, 2*i+2, 1)) - 1) AS v, i
+      |  FROM (SELECT doc_id, h, UNNEST(range(0, n)) AS i FROM b)),
+      |agg AS (SELECT doc_id, CAST(SUM(v) AS BIGINT) AS byte_sum,
+      |    CAST(MIN(v) AS INT) AS byte_min, CAST(MAX(v) AS INT) AS byte_max,
+      |    CAST(MAX(CASE WHEN i = 0 THEN v END) AS INT) AS head_byte
+      |  FROM by GROUP BY doc_id)
+      |SELECT b.doc_id, CAST(b.n AS INT) AS n_bytes,
+      |  CAST((b.n + ${FrameBytes - 1}) // $FrameBytes AS INT) AS n_frames,
+      |  COALESCE(agg.byte_sum, 0) AS byte_sum,
+      |  COALESCE(agg.byte_min, 0) AS byte_min,
+      |  COALESCE(agg.byte_max, 0) AS byte_max,
+      |  COALESCE(agg.head_byte, 0) AS head_byte
+      |FROM b LEFT JOIN agg ON agg.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   /** Frame sampling over a binary payload: the blob is a stream of
@@ -96,9 +136,6 @@ object Multimodal {
     * (sequence + explode + byte slicing, all codegen; no UDF). Frame
     * digests are over the frame's hex image so the oracle (DuckDB has
     * no BLOB substring) can hash the identical value. */
-  val FrameBytes = 64
-  val FrameStride = 8
-
   def qBlobFrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     blobs(s, dir)
@@ -135,5 +172,6 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "q_blob_meta" -> qBlobMetaSql,
+    "q_blob_features" -> qBlobFeaturesSql,
     "q_blob_framesample" -> qBlobFrameSampleSql)
 }

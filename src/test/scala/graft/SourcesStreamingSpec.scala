@@ -26,15 +26,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df.filter("blob_len <= 0 OR length(sha256) != 64").count() == 0)
   }
 
-  test("q_blob_features matches the stub decoder on a driver-side check") {
+  test("q_blob_features matches the frame decoder on a driver-side check") {
     val row = queries.Multimodal.qBlobFeatures(spark, sf)
       .filter("doc_id = 0").head()
     val text = Tables.documents(spark, sf).filter("doc_id = 0")
       .head().getAs[String]("text")
-    val expected = queries.Multimodal.decodeStub(0L, text.getBytes("UTF-8"))
+    val expected = queries.Multimodal.decodeFrames(0L, text.getBytes("UTF-8"))
     assert(row.getAs[Int]("n_bytes") == expected.n_bytes)
+    assert(row.getAs[Int]("n_frames") == expected.n_frames)
     assert(row.getAs[Long]("byte_sum") == expected.byte_sum)
     assert(row.getAs[Int]("head_byte") == expected.head_byte)
+    // the frame count is the same quantity q_blob_framesample derives
+    val nf = queries.Multimodal.qBlobFrameSample(spark, sf)
+      .filter("doc_id = 0").head().getAs[Int]("n_frames")
+    assert(expected.n_frames == nf)
   }
 }
 
