@@ -40,7 +40,14 @@ object Bench {
     // productionized PQ (k-means + LUT ADC) — each would regress
     // silently if its blocking/fold discipline broke
     "q_xmatch_2cat", "q_dedup_contain", "q_periodogram", "q_ann_pq",
-    "q_ann_ivfpq")
+    "q_ann_ivfpq",
+    // round-9: the most expensive previously-unbenched queries, so
+    // regressions can't hide in unbenched code — spatial knn, the two
+    // biggest pair/fingerprint outputs, the RankSplit-heavy ranks,
+    // sketch-style aggregates, and the widest window/sequence scans
+    "q_knn3", "q_edit_dist_pairs", "q_retention", "q_winnow_fingerprint",
+    "q_xmatch_unmatched", "q_percent_rank", "q_attribution",
+    "q_heavy_hitters", "q_collocations", "q_hopping")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

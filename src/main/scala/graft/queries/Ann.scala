@@ -139,21 +139,28 @@ object Ann {
     * aggregate; the collect is the codebook, not data-plane. */
   private[graft] def ivfTrain(e: DataFrame, iters: Int = IvfIters): Seq[(Long, Seq[Long], Long)] = {
     import e.sparkSession.implicits._
-    var cents = ivfSeed(e)
-    for (_ <- 1 to iters) {
-      val stats = withListAssignment(e, cents)
-        .select($"acid", posexplode($"iv").as(Seq("d", "v")))
-        .groupBy($"acid", $"d")
-        .agg(sum($"v").as("s"), count(lit(1)).as("n"))
-        .collect()
-        .map(r => ((r.getLong(0), r.getInt(1)),
-          Math.floorDiv(r.getLong(2), r.getLong(3)))).toMap
-      cents = cents.map { case (cid, civ, _) =>
-        val nv = civ.indices.map(d => stats.getOrElse((cid, d), civ(d)))
-        (cid, nv, nv.map(x => x * x).sum)
+    // training makes iters+1 passes over the corpus frame (each seed/
+    // assignment scan re-derives intVec from parquet otherwise); pin
+    // it for the duration — the train working set, released before
+    // any data-plane query runs
+    val pinned = e.persist()
+    try {
+      var cents = ivfSeed(pinned)
+      for (_ <- 1 to iters) {
+        val stats = withListAssignment(pinned, cents)
+          .select($"acid", posexplode($"iv").as(Seq("d", "v")))
+          .groupBy($"acid", $"d")
+          .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => ((r.getLong(0), r.getInt(1)),
+            Math.floorDiv(r.getLong(2), r.getLong(3)))).toMap
+        cents = cents.map { case (cid, civ, _) =>
+          val nv = civ.indices.map(d => stats.getOrElse((cid, d), civ(d)))
+          (cid, nv, nv.map(x => x * x).sum)
+        }
       }
-    }
-    cents
+      cents
+    } finally e.unpersist(false)
   }
 
   /** Mean cosine of every row to its assigned list centroid — the

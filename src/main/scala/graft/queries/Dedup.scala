@@ -423,8 +423,18 @@ object Dedup {
     * [[containNewDocs]] then grams ONLY the new batch, drops
     * stopgrams via a broadcast, and joins the rest against the stored
     * posting lists — per-batch cost tracks the BATCH, never the
-    * corpus. Semantics match [[containPairs]] restricted to
-    * (new → corpus) pairs, proven in the spec. */
+    * corpus.
+    *
+    * Semantics are FROZEN-INDEX: the df cap and stopgram set are as
+    * of the last build, and the batch's own grams never feed df. For
+    * docs already in the indexed corpus this equals [[containPairs]]
+    * restricted to (new → corpus) pairs (the replay case the spec
+    * proves); for genuinely new docs it equals matching against the
+    * corpus-as-built, which can drift from a full re-gram of
+    * corpus+batch as df counts age. That drift is the designed
+    * trade (it is what makes batch cost independent of corpus size);
+    * rebuild the index when the corpus has grown enough that the
+    * stopgram set no longer reflects its boilerplate. */
   def buildContainIndex(s: SparkSession, dir: String, indexPath: String): Unit = {
     import s.implicits._
     val g = charGramRowsOf(Tables.documents(s, dir))

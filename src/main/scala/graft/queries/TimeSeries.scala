@@ -844,6 +844,14 @@ object TimeSeries {
     * surrogate keeps the argmax in pure integer space — bit-identical
     * across engines, no IEEE accumulation anywhere.
     *
+    * PRECONDITION for the exact-integer claim: s_b² must stay inside
+    * a signed 64-bit long, i.e. |s_b| < 2^31.5 ≈ 3.04e9 cents per
+    * (object, period, bin). Series whose per-bin flux sums exceed
+    * that (≳30M observations of one object at ~100-cent flux) need
+    * the per-bin MEAN-based dispersion (⌊s_b/n_b⌋² · n_b) or a wider
+    * cent scale before the squaring — re-derive, don't assume, at
+    * ingest volumes beyond that bound.
+    *
     * Scale shape: the explode is a CONSTANT ×|grid| row expansion
     * (×16 — the classic bounded explode, like q_hopping), every
     * aggregate is map-side combinable on keys whose cardinality grows
