@@ -92,10 +92,19 @@ object Bench {
 
     // SPARK_GRAFT_BENCH_ONLY=q_a,q_b runs an isolated subset — the
     // forensic mode for "did this query regress or did the suite?".
+    // A name that matches nothing is a failed forensic run, not an
+    // empty one: misspelling the query must not silently conclude
+    // "did not regress" for a query that never executed.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    for (o <- only) {
+      val unknown = o.diff(headline.toSet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names not in the headline list: ${unknown.mkString(", ")}")
+    }
     val names = headline.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
+    require(names.nonEmpty, "no queries selected to bench")
     materialize(names.head) // warm-up: JVM + codegen + parquet footer cache
     quiesce()
 
@@ -103,9 +112,13 @@ object Bench {
       val samples = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         materialize(name) // throws on failure: a broken query fails the bench
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // quiesce BETWEEN samples too (outside the timed region): a
+        // query that leaks checkpoint blocks must not pressure its own
+        // later samples any more than its neighbors
+        quiesce()
+        dt
       }
-      quiesce()
       name -> median(samples)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -49,7 +49,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
+    // ALWAYS dump the full oracle map, even in subset mode: a focused
+    // re-run into a previously-full outDir must not shrink
+    // oracle_sql.json and silently exempt every other query from the
+    // next DuckDB compare (the dump is cheap; the compare walks
+    // whichever result dirs exist)
+    val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -128,8 +128,8 @@ object Ann {
 
   /** Trained IVF coarse quantizer: [[IvfIters]] integer Lloyd
     * iterations over the seed. Assignment is (cosine desc, cid asc) —
-    * IDENTICAL to search-time list assignment, so training optimizes
-    * the objective searches actually see — and the update is the
+    * IDENTICAL to search-time list assignment, so training clusters
+    * under the same geometry searches use — and the update is the
     * per-dimension integer floor-average of the members (an empty
     * list keeps its previous centroid). Sums/counts are exact
     * order-independent bigints → the codebook is bit-deterministic
@@ -137,13 +137,16 @@ object Ann {
     * exactly by unrolling the same iterations in SQL. Per iteration:
     * one corpus scan + a combinable (NCentroids × dims)-key
     * aggregate; the collect is the codebook, not data-plane. */
-  private[graft] def ivfTrain(e: DataFrame, iters: Int = IvfIters): Seq[(Long, Seq[Long], Long)] = {
+  private[graft] def ivfTrain(e: DataFrame, iters: Int = IvfIters,
+    pin: Boolean = true): Seq[(Long, Seq[Long], Long)] = {
     import e.sparkSession.implicits._
     // training makes iters+1 passes over the corpus frame (each seed/
     // assignment scan re-derives intVec from parquet otherwise); pin
     // it for the duration — the train working set, released before
-    // any data-plane query runs
-    val pinned = e.persist()
+    // any data-plane query runs. Callers that keep using the frame
+    // right after training (the IVFADC builds re-scan it for the
+    // residual encode) pass pin=false and own the persist lifetime.
+    val pinned = if (pin) e.persist() else e
     try {
       var cents = ivfSeed(pinned)
       for (_ <- 1 to iters) {
@@ -160,12 +163,18 @@ object Ann {
         }
       }
       cents
-    } finally e.unpersist(false)
+    } finally if (pin) { e.unpersist(false); () }
   }
 
   /** Mean cosine of every row to its assigned list centroid — the
-    * (spherical) objective [[ivfTrain]] ascends; the spec asserts
-    * training does not worsen it vs the seed. */
+    * quality proxy the spec pins for [[ivfTrain]]. NOTE: cosine
+    * assignment with an unnormalized floor-mean update is NOT
+    * guaranteed monotone in this quantity (the floor-mean is the L2
+    * minimizer, and spherical k-means would mean-normalize members);
+    * the spec's "does not worsen vs the seed" is an EMPIRICAL pin on
+    * the fixed deterministic test corpus, catching regressions in the
+    * training plumbing rather than asserting an algorithmic
+    * invariant. */
   private[graft] def ivfMeanCos(e: DataFrame, cents: Seq[(Long, Seq[Long], Long)]): Double = {
     import e.sparkSession.implicits._
     e.withColumn("best",
@@ -459,11 +468,67 @@ object Ann {
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn("bk", pmod(col("vec_id"), lit(PqBuckets.toLong)))
 
+  // ---------------------------------------------------------------
+  // Stored model: the codebook(s) are PART of the index — a codes
+  // table is meaningless without the exact model that encoded it, so
+  // every build persists the model at `<codesPath>.model` and a
+  // rebuild over a COMPLETE index returns the STORED model instead of
+  // retraining (a retrained codebook over a drifted corpus would
+  // silently mismatch the stored codes — the reviewed failure mode).
+  // Write order makes crashes decidable: model first, codes second;
+  // codes-absent → any stale model is dropped and both rewritten;
+  // codes-complete+model-missing → loud failure.
+
+  private def modelPath(codesPath: String): String = codesPath + ".model"
+
+  /** Model rows: (kind, a, k, d, v) — kind="pq" rows carry subspace
+    * codebooks (a = subspace, k = centroid, d = dim); kind="ivf" rows
+    * carry coarse centroids (a = cid, k unused, d = dim). */
+  private def pqModelRows(s: SparkSession, cent: Seq[Seq[Seq[Long]]]): DataFrame = {
+    import s.implicits._
+    (for (m <- cent.indices; k <- cent(m).indices; d <- cent(m)(k).indices)
+      yield ("pq", m.toLong, k, d, cent(m)(k)(d)))
+      .toDF("kind", "a", "k", "d", "v")
+  }
+
+  private def ivfModelRows(s: SparkSession, lists: Seq[(Long, Seq[Long], Long)]): DataFrame = {
+    import s.implicits._
+    (for ((cid, civ, _) <- lists; d <- civ.indices)
+      yield ("ivf", cid, 0, d, civ(d)))
+      .toDF("kind", "a", "k", "d", "v")
+  }
+
+  private def loadModelRows(s: SparkSession, codesPath: String)
+    : Seq[(String, Long, Int, Int, Long)] = {
+    require(graft.sources.Catalog.tableComplete(s, modelPath(codesPath)),
+      s"codes table at $codesPath is complete but its model at " +
+        s"${modelPath(codesPath)} is missing — the index is unusable; " +
+        "dropIfExists both and rebuild")
+    s.read.parquet(modelPath(codesPath)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSeq
+  }
+
+  private def pqModelOf(rows: Seq[(String, Long, Int, Int, Long)]): Seq[Seq[Seq[Long]]] = {
+    val byKey = rows.collect { case ("pq", m, k, d, v) => ((m.toInt, k, d), v) }.toMap
+    (0 until PqM).map(m => (0 until PqK).map(k => (0 until PqSub).map(d =>
+      byKey((m, k, d)))))
+  }
+
+  private def ivfModelOf(rows: Seq[(String, Long, Int, Int, Long)]): Seq[(Long, Seq[Long], Long)] =
+    rows.collect { case ("ivf", cid, _, d, v) => (cid, d, v) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (cid, ds) =>
+        val civ = ds.sortBy(_._2).map(_._3)
+        (cid, civ, civ.map(x => x * x).sum)
+      }
+
   /** Train + encode + store the codes table at `codesPath`,
-    * partitioned by the [[PqBuckets]] vec_id bucket (idempotent,
-    * crash-safe create: a directory without `_SUCCESS` fails loudly).
-    * Returns the trained codebook — the model half of the index;
-    * callers hand it to [[pqSearchStored]] and [[appendPqVectors]]. */
+    * partitioned by the [[PqBuckets]] vec_id bucket, plus its model
+    * at `<codesPath>.model`. Idempotent AND consistent: over a
+    * complete index this retrains nothing and returns the STORED
+    * codebook. Callers hand the codebook to [[pqSearchStored]] and
+    * [[appendPqVectors]]. */
   def buildPqIndex(s: SparkSession, dir: String, codesPath: String): Seq[Seq[Seq[Long]]] =
     buildPqIndexOf(s, Tables.embeddings(s, dir), codesPath)
 
@@ -472,8 +537,12 @@ object Ann {
     * on a corpus subset to prove append ≡ rebuild). */
   def buildPqIndexOf(s: SparkSession, raw: DataFrame, codesPath: String): Seq[Seq[Seq[Long]]] = {
     import s.implicits._
+    if (graft.sources.Catalog.tableComplete(s, codesPath))
+      return pqModelOf(loadModelRows(s, codesPath))
+    graft.sources.Catalog.dropIfExists(s, modelPath(codesPath))
     val e = intEmbOf(raw)
     val cent = pqTrain(e)
+    graft.sources.Catalog.createIfAbsent(s, pqModelRows(s, cent), modelPath(codesPath))
     graft.sources.Catalog.createPartitionedIfAbsent(s,
       withBucket(withCodes(e.select($"vec_id", $"iv"), cent)
         .select($"vec_id", $"codes")),
@@ -484,16 +553,21 @@ object Ann {
   /** Incremental ingest: encode ONLY `rawBatch` (a (vec_id,
     * embedding) frame of new vectors) against the FROZEN `cent`
     * codebook and append to the stored codes table — per-batch cost
-    * tracks the batch, never the corpus, mirroring
-    * [[graft.queries.Dedup.containNewDocs]]' discipline. The appended
-    * codes are bit-identical to what a full re-encode of the union
-    * with the same codebook would produce (spec-proven); the codebook
-    * itself is as of build time — retraining on a drifted corpus is a
+    * tracks the batch plus one column-pruned scan of the stored
+    * vec_ids (the REPLAY GUARD: an orchestrator that crashes after
+    * commit and retries the batch must not duplicate rows, so already
+    * -present vec_ids are anti-joined away — append-if-new
+    * semantics, spec-proven idempotent). The appended codes are
+    * bit-identical to what a full re-encode of the union with the
+    * same codebook would produce (spec-proven); the codebook itself
+    * is as of build time — retraining on a drifted corpus is a
     * rebuild event, not an append. */
   def appendPqVectors(s: SparkSession, codesPath: String,
     cent: Seq[Seq[Seq[Long]]], rawBatch: DataFrame): Unit = {
     import s.implicits._
-    val e = intEmbOf(rawBatch)
+    val fresh = rawBatch.join(
+      s.read.parquet(codesPath).select($"vec_id"), Seq("vec_id"), "left_anti")
+    val e = intEmbOf(fresh)
     graft.sources.Catalog.appendPartitioned(s,
       withBucket(withCodes(e.select($"vec_id", $"iv"), cent)
         .select($"vec_id", $"codes")),
@@ -651,33 +725,50 @@ object Ann {
     buildIvfPqIndexOf(s, Tables.embeddings(s, dir), codesPath)
 
   /** [[buildIvfPqIndex]] over an explicit (vec_id, embedding) corpus
-    * frame — the ingest-pipeline entry point. */
+    * frame — the ingest-pipeline entry point. Idempotent AND
+    * consistent: over a complete index nothing retrains and the
+    * STORED (lists, pq) model is returned — a freshly trained model
+    * over a drifted corpus would silently mismatch the stored codes.
+    * The corpus frame stays pinned from coarse training through the
+    * eager residual materialization (one persist lifetime instead of
+    * re-deriving intVec per phase). */
   def buildIvfPqIndexOf(s: SparkSession, raw: DataFrame, codesPath: String)
     : (Seq[(Long, Seq[Long], Long)], Seq[Seq[Seq[Long]]]) = {
     import s.implicits._
-    val e = intEmbOf(raw)
-    val lists = ivfTrain(e)
-    val res = residualFrame(e, lists)
-    val pq = pqTrain(res.select($"vec_id", $"iv"), seedBase = IvfPqSeedBase)
-    val coded = withCodes(res, pq)
-      .select($"vec_id", $"codes", $"acid")
-    // same crash-safe lifecycle as buildPqIndex: complete → no-op,
-    // unmarked partial directory → loud failure, never silently read
-    graft.sources.Catalog.createPartitionedIfAbsent(s, coded, codesPath, Seq("acid"))
-    (lists, pq)
+    if (graft.sources.Catalog.tableComplete(s, codesPath)) {
+      val rows = loadModelRows(s, codesPath)
+      return (ivfModelOf(rows), pqModelOf(rows))
+    }
+    graft.sources.Catalog.dropIfExists(s, modelPath(codesPath))
+    val e = intEmbOf(raw).persist()
+    try {
+      val lists = ivfTrain(e, pin = false)
+      val res = residualFrame(e, lists) // eager checkpoint — e is done after this
+      val pq = pqTrain(res.select($"vec_id", $"iv"), seedBase = IvfPqSeedBase)
+      val coded = withCodes(res, pq)
+        .select($"vec_id", $"codes", $"acid")
+      graft.sources.Catalog.createIfAbsent(s,
+        ivfModelRows(s, lists).union(pqModelRows(s, pq)), modelPath(codesPath))
+      graft.sources.Catalog.createPartitionedIfAbsent(s, coded, codesPath, Seq("acid"))
+      (lists, pq)
+    } finally { e.unpersist(false); () }
   }
 
   /** Incremental ingest for the IVFADC index: assign ONLY `rawBatch`
     * to its IVF lists, residual-encode against the FROZEN (lists, pq)
     * model, and append into the matching `acid=` partitions — batch
-    * cost tracks the batch; existing partitions stay prunable.
-    * Spec-proven bit-identical to a full re-encode of the union under
-    * the same model; retraining either codebook is a rebuild event. */
+    * cost tracks the batch (plus the replay-guard scan of stored
+    * vec_ids, as in [[appendPqVectors]]); existing partitions stay
+    * prunable. Spec-proven bit-identical to a full re-encode of the
+    * union under the same model and idempotent under batch replay;
+    * retraining either codebook is a rebuild event. */
   def appendIvfPqVectors(s: SparkSession, codesPath: String,
     lists: Seq[(Long, Seq[Long], Long)], pq: Seq[Seq[Seq[Long]]],
     rawBatch: DataFrame): Unit = {
     import s.implicits._
-    val res = residualFrame(intEmbOf(rawBatch), lists)
+    val fresh = rawBatch.join(
+      s.read.parquet(codesPath).select($"vec_id"), Seq("vec_id"), "left_anti")
+    val res = residualFrame(intEmbOf(fresh), lists)
     graft.sources.Catalog.appendPartitioned(s,
       withCodes(res, pq).select($"vec_id", $"codes", $"acid"),
       codesPath, Seq("acid"))
@@ -752,13 +843,19 @@ object Ann {
 
   def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = intEmb(s, dir)
-    val lists = ivfTrain(e)
-    val res = residualFrame(e, lists)
-    val pq = pqTrain(res.select($"vec_id", $"iv"), seedBase = IvfPqSeedBase)
-    val codes = withCodes(res, pq)
-      .select($"vec_id", $"codes", $"acid")
-    ivfPqSearch(s, e, codes, lists, pq)
+    // one persist lifetime across coarse training, the eager residual
+    // materialization, and the driver-side query-frame collects; the
+    // returned frame's re-rank scan re-derives from parquet (lazy,
+    // after the unpersist — same as a stored-index search would)
+    val e = intEmb(s, dir).persist()
+    try {
+      val lists = ivfTrain(e, pin = false)
+      val res = residualFrame(e, lists)
+      val pq = pqTrain(res.select($"vec_id", $"iv"), seedBase = IvfPqSeedBase)
+      val codes = withCodes(res, pq)
+        .select($"vec_id", $"codes", $"acid")
+      ivfPqSearch(s, e, codes, lists, pq)
+    } finally { e.unpersist(false); () }
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

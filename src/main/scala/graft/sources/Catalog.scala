@@ -105,36 +105,32 @@ object Catalog {
     f.exists(p) && f.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
   }
 
+  /** Shared create-if-absent guard: complete table → false (no-op);
+    * unmarked directory → loud failure (it could be a crashed partial
+    * write of ours, but equally a valid table from a tool that writes
+    * no marker — NEVER delete, let the operator decide); absent →
+    * run the write, return true. */
+  private def guardedCreate(s: SparkSession, path: String)(write: => Unit): Boolean =
+    if (tableComplete(s, path)) false
+    else if (tableExists(s, path)) throw new IllegalStateException(
+      s"$path exists but has no _SUCCESS marker: either a crashed partial " +
+        "write or an externally-produced table. Refusing to guess — call " +
+        "dropIfExists first if it should be replaced.")
+    else { write; true }
+
   /** Create the table from `df` only if a COMPLETE table is absent;
     * returns true when the write happened. Re-running an ingest
-    * script is a no-op. A directory WITHOUT the `_SUCCESS` marker is
-    * ambiguous — it could be a crashed partial write of ours, but
-    * equally a valid table produced by a tool that writes no marker —
-    * so this NEVER deletes it: it fails loudly and the operator
-    * decides (dropIfExists then re-create, or just read it). */
+    * script is a no-op. */
   def createIfAbsent(s: SparkSession, df: DataFrame, path: String): Boolean =
-    if (tableComplete(s, path)) false
-    else if (tableExists(s, path)) throw new IllegalStateException(
-      s"$path exists but has no _SUCCESS marker: either a crashed partial " +
-        "write or an externally-produced table. Refusing to guess — call " +
-        "dropIfExists first if it should be replaced.")
-    else { df.write.mode("errorifexists").parquet(path); true }
+    guardedCreate(s, path) { df.write.mode("errorifexists").parquet(path) }
 
   /** [[createIfAbsent]] for PARTITIONED tables — same lifecycle
-    * contract (complete → no-op; ambiguous unmarked directory → loud
-    * failure; absent → write). The `_SUCCESS` marker lands at the
-    * table root, so [[tableComplete]] governs partitioned and flat
-    * tables alike. */
+    * contract. The `_SUCCESS` marker lands at the table root, so
+    * [[tableComplete]] governs partitioned and flat tables alike. */
   def createPartitionedIfAbsent(s: SparkSession, df: DataFrame, path: String,
     partitionCols: Seq[String]): Boolean =
-    if (tableComplete(s, path)) false
-    else if (tableExists(s, path)) throw new IllegalStateException(
-      s"$path exists but has no _SUCCESS marker: either a crashed partial " +
-        "write or an externally-produced table. Refusing to guess — call " +
-        "dropIfExists first if it should be replaced.")
-    else {
+    guardedCreate(s, path) {
       df.write.mode("errorifexists").partitionBy(partitionCols: _*).parquet(path)
-      true
     }
 
   /** Drop the table if present; returns true when something was
