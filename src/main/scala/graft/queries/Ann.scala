@@ -523,6 +523,25 @@ object Ann {
         (cid, civ, civ.map(x => x * x).sum)
       }
 
+  /** Load the model half of a complete stored PQ index — a reader's
+    * entry point: no training, no corpus scan, just the tiny model
+    * table. Fails loudly on an incomplete index. */
+  def loadPqIndex(s: SparkSession, codesPath: String): Seq[Seq[Seq[Long]]] = {
+    require(graft.sources.Catalog.tableComplete(s, codesPath),
+      s"$codesPath is not a complete codes table")
+    pqModelOf(loadModelRows(s, codesPath))
+  }
+
+  /** Load the (lists, pq) model halves of a complete stored IVFADC
+    * index — as [[loadPqIndex]], for [[ivfPqSearchStored]]. */
+  def loadIvfPqIndex(s: SparkSession, codesPath: String)
+    : (Seq[(Long, Seq[Long], Long)], Seq[Seq[Seq[Long]]]) = {
+    require(graft.sources.Catalog.tableComplete(s, codesPath),
+      s"$codesPath is not a complete codes table")
+    val rows = loadModelRows(s, codesPath)
+    (ivfModelOf(rows), pqModelOf(rows))
+  }
+
   /** Train + encode + store the codes table at `codesPath`,
     * partitioned by the [[PqBuckets]] vec_id bucket, plus its model
     * at `<codesPath>.model`. Idempotent AND consistent: over a
@@ -538,7 +557,7 @@ object Ann {
   def buildPqIndexOf(s: SparkSession, raw: DataFrame, codesPath: String): Seq[Seq[Seq[Long]]] = {
     import s.implicits._
     if (graft.sources.Catalog.tableComplete(s, codesPath))
-      return pqModelOf(loadModelRows(s, codesPath))
+      return loadPqIndex(s, codesPath)
     graft.sources.Catalog.dropIfExists(s, modelPath(codesPath))
     val e = intEmbOf(raw)
     val cent = pqTrain(e)
@@ -735,10 +754,8 @@ object Ann {
   def buildIvfPqIndexOf(s: SparkSession, raw: DataFrame, codesPath: String)
     : (Seq[(Long, Seq[Long], Long)], Seq[Seq[Seq[Long]]]) = {
     import s.implicits._
-    if (graft.sources.Catalog.tableComplete(s, codesPath)) {
-      val rows = loadModelRows(s, codesPath)
-      return (ivfModelOf(rows), pqModelOf(rows))
-    }
+    if (graft.sources.Catalog.tableComplete(s, codesPath))
+      return loadIvfPqIndex(s, codesPath)
     graft.sources.Catalog.dropIfExists(s, modelPath(codesPath))
     val e = intEmbOf(raw).persist()
     try {
@@ -773,6 +790,32 @@ object Ann {
       withCodes(res, pq).select($"vec_id", $"codes", $"acid"),
       codesPath, Seq("acid"))
   }
+
+  /** Streaming ingest into a stored ANN index: each micro-batch of
+    * (vec_id, embedding) rows is encoded against the frozen model and
+    * appended — [[appendPqVectors]]' replay guard turns the stream's
+    * at-least-once delivery into effectively-exactly-once table
+    * content (a replayed micro-batch re-encodes nothing that already
+    * landed), the same discipline as
+    * [[graft.sources.ObjectIndex.ingestStream]]. Pass `ivfPq` to feed
+    * a list-partitioned IVFADC index instead of a flat-bucketed PQ
+    * one. */
+  def ingestVectorStream(vecs: DataFrame, codesPath: String,
+    checkpointPath: String,
+    pq: Seq[Seq[Seq[Long]]],
+    ivfLists: Option[Seq[(Long, Seq[Long], Long)]] = None)
+    : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ivfLists match {
+          case Some(lists) =>
+            appendIvfPqVectors(batch.sparkSession, codesPath, lists, pq, batch)
+          case None =>
+            appendPqVectors(batch.sparkSession, codesPath, pq, batch)
+        }
+      }
+      .start()
 
   /** Driver-side probe selection: the query's [[NProbe]] nearest IVF
     * lists by (cosine desc, cid asc) — same ordering as the in-plan

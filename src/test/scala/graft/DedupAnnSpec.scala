@@ -433,6 +433,44 @@ class DedupAnnSpec extends AnyFunSuite {
       .filter(_.isDirectory).forall(_.getName.startsWith("acid=")))
   }
 
+  test("streaming ANN ingest: replayed micro-batches land exactly-once; stored model loads back") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Tables.embeddings(spark, sf)
+    val batch = raw.filter("vec_id >= 21 AND vec_id % 10 = 7")
+    val old = raw.filter("NOT (vec_id >= 21 AND vec_id % 10 = 7)")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_annstream").toString
+    val pqPath = s"$tmp/pq_codes"
+    val cent = queries.Ann.buildPqIndexOf(spark, old, pqPath)
+    // the public loader returns exactly the model the build stored
+    assert(queries.Ann.loadPqIndex(spark, pqPath) == cent)
+    // stream the new vectors in two micro-batches, REPLAYING the
+    // first inside the second — the at-least-once delivery shape the
+    // replay guard must absorb
+    val rows = batch.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    assert(b1.nonEmpty && b2.nonEmpty)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = queries.Ann.ingestVectorStream(
+      input.toDF().toDF("vec_id", "embedding"), pqPath, s"$tmp/ckpt", cent)
+    try {
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b1 ++ b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val want = queries.Ann.withCodes(
+      queries.Ann.intEmbOf(raw).select($"vec_id", $"iv"), cent)
+      .select($"vec_id", $"codes")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    val got = spark.read.parquet(pqPath).select($"vec_id", $"codes")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    assert(got == want, "streamed index diverges from the batch encode of the union")
+    assert(spark.read.parquet(pqPath).count() == want.size,
+      "replayed micro-batch duplicated rows")
+  }
+
   test("partitioned append crash-recovery: subdir manifest entries roll forward into partition dirs") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_precover").toString
     val f = new org.apache.hadoop.fs.Path(tmp)
