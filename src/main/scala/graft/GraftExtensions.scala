@@ -64,6 +64,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException("int_vec_dot(a, b)")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (args: Seq[Expression]) => args match {
+        case Seq(lut, codes) => PqAdc(lut, codes)
+        case _ => throw new IllegalArgumentException("pq_adc(lut, codes)")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("int_vec_norm_sq"),
       new ExpressionInfo(classOf[IntVecNormSq].getName, "int_vec_norm_sq"),
       (args: Seq[Expression]) => args match {

@@ -28,6 +28,19 @@ object VectorKernels {
     while (i < n) { val x = a.getLong(i); s += x * x; i += 1 }
     s
   }
+
+  /** Σ_m lut[m][codes[m]] — the PQ asymmetric-distance lookup fold:
+    * `lut` is the per-query M×K integer distance table
+    * (array<array<bigint>>), `codes` a candidate's M one-byte codes
+    * (array<int>). Evaluated once per ADC candidate row — the PQ
+    * search hot path. */
+  def pqAdc(lut: ArrayData, codes: ArrayData): Long = {
+    val m = math.min(lut.numElements(), codes.numElements())
+    var s = 0L
+    var i = 0
+    while (i < m) { s += lut.getArray(i).getLong(codes.getInt(i)); i += 1 }
+    s
+  }
 }
 
 /** Σ a_i·b_i over two integer-scaled (bigint array) vectors. */
@@ -39,6 +52,20 @@ case class IntVecDot(left: Expression, right: Expression) extends BinaryExpressi
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.intDot($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): IntVecDot =
+    copy(left = l, right = r)
+}
+
+/** Σ_m lut[m][codes[m]] — PQ ADC scoring as a native codegen kernel;
+  * the declarative `aggregate(zip_with(lut, codes, …))` twin is an
+  * interpreted higher-order function evaluated per candidate row. */
+case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc"
+  override def nullSafeEval(lut: Any, codes: Any): Any =
+    VectorKernels.pqAdc(lut.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.pqAdc($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
     copy(left = l, right = r)
 }
 

@@ -617,9 +617,17 @@ object Ann {
   }
 
   /** The LUT fold: Σ_m lut[m][codes[m]] — [[PqM]] array lookups per
-    * candidate, no vector math. */
-  private def adcCol: Column = expr(
-    "aggregate(zip_with(lut, codes, (l, c) -> l[c]), CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    * candidate, no vector math. A native codegen kernel
+    * ([[graft.functions.PqAdc]]): this evaluates once per ADC
+    * candidate row (the PQ search hot path), and the declarative
+    * `aggregate(zip_with(...))` twin is an interpreted higher-order
+    * function there. */
+  private def adcCol: Column = {
+    import org.apache.spark.sql.graftx.ColumnBridge
+    ColumnBridge.column(graft.functions.PqAdc(
+      ColumnBridge.expression(col("lut")),
+      ColumnBridge.expression(col("codes"))))
+  }
 
   /** Salted two-phase top-[[PqCand]] per query by (adc, vid) — no
     * single task ever holds a query's whole candidate list. */
