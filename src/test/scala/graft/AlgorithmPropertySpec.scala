@@ -117,6 +117,26 @@ class AlgorithmPropertySpec extends AnyFunSuite {
     assert(checked > 3000, s"too few in-radius pairs sampled: $checked")
   }
 
+  test("PqAdc kernel equals the declarative LUT fold on random inputs") {
+    // the native codegen kernel replaced aggregate(zip_with(lut,
+    // codes, (l, c) -> l[c])) in the ADC hot path; semantics must be
+    // identical on any (lut, codes) shape, including negative
+    // distances and M < lut-length prefixes
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    for (_ <- 1 to 200) {
+      val m = 1 + rng.nextInt(12)
+      val k = 1 + rng.nextInt(16)
+      val lut = Seq.fill(m, k)(rng.nextLong() % 1000000L)
+      val codes = Seq.fill(m)(rng.nextInt(k))
+      val want = (0 until m).map(i => lut(i)(codes(i))).sum
+      val got = graft.functions.VectorKernels.pqAdc(
+        new GenericArrayData(lut.map(row =>
+          new GenericArrayData(row.toArray): Any).toArray),
+        new GenericArrayData(codes.toArray))
+      assert(got == want, s"kernel $got != fold $want (m=$m k=$k)")
+    }
+  }
+
   test("winnowing guarantees at least one fingerprint per window span") {
     // Schleimer et al. property: any k+w-1 char run contributes >= 1
     // selected gram; check density on synthetic text
