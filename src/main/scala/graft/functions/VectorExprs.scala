@@ -33,12 +33,29 @@ object VectorKernels {
     * `lut` is the per-query M×K integer distance table
     * (array<array<bigint>>), `codes` a candidate's M one-byte codes
     * (array<int>). Evaluated once per ADC candidate row — the PQ
-    * search hot path. */
+    * search hot path. STRICT where the declarative
+    * `aggregate(zip_with(...))` twin was silently NULL: a length
+    * mismatch or out-of-range code means a corrupt/mismatched codes
+    * row, and scoring it as NULL would silently drop it from ranking
+    * — fail loudly instead. */
   def pqAdc(lut: ArrayData, codes: ArrayData): Long = {
-    val m = math.min(lut.numElements(), codes.numElements())
+    val m = lut.numElements()
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"pq_adc: codes length ${codes.numElements()} != lut subspaces $m — " +
+          "corrupt codes row or model/table mismatch")
     var s = 0L
     var i = 0
-    while (i < m) { s += lut.getArray(i).getLong(codes.getInt(i)); i += 1 }
+    while (i < m) {
+      val c = codes.getInt(i)
+      val row = lut.getArray(i)
+      if (c < 0 || c >= row.numElements())
+        throw new IllegalArgumentException(
+          s"pq_adc: code $c out of range [0, ${row.numElements()}) in subspace $i — " +
+            "corrupt codes row or model/table mismatch")
+      s += row.getLong(c)
+      i += 1
+    }
     s
   }
 }

@@ -525,20 +525,30 @@ object Ann {
 
   /** Load the model half of a complete stored PQ index — a reader's
     * entry point: no training, no corpus scan, just the tiny model
-    * table. Fails loudly on an incomplete index. */
+    * table. Fails loudly on an incomplete index AND on an index of
+    * the wrong kind (an IVFADC model here would decode residual codes
+    * with raw-space LUTs — silently wrong neighbors). */
   def loadPqIndex(s: SparkSession, codesPath: String): Seq[Seq[Seq[Long]]] = {
     require(graft.sources.Catalog.tableComplete(s, codesPath),
       s"$codesPath is not a complete codes table")
-    pqModelOf(loadModelRows(s, codesPath))
+    val rows = loadModelRows(s, codesPath)
+    require(!rows.exists(_._1 == "ivf"),
+      s"$codesPath is an IVFADC index (its model has coarse centroids) — " +
+        "use loadIvfPqIndex/ivfPqSearchStored")
+    pqModelOf(rows)
   }
 
   /** Load the (lists, pq) model halves of a complete stored IVFADC
-    * index — as [[loadPqIndex]], for [[ivfPqSearchStored]]. */
+    * index — as [[loadPqIndex]], for [[ivfPqSearchStored]]; fails
+    * loudly when pointed at a flat PQ index (no coarse centroids). */
   def loadIvfPqIndex(s: SparkSession, codesPath: String)
     : (Seq[(Long, Seq[Long], Long)], Seq[Seq[Seq[Long]]]) = {
     require(graft.sources.Catalog.tableComplete(s, codesPath),
       s"$codesPath is not a complete codes table")
     val rows = loadModelRows(s, codesPath)
+    require(rows.exists(_._1 == "ivf"),
+      s"$codesPath is a flat PQ index (its model has no coarse centroids) — " +
+        "use loadPqIndex/pqSearchStored")
     (ivfModelOf(rows), pqModelOf(rows))
   }
 
@@ -584,8 +594,19 @@ object Ann {
   def appendPqVectors(s: SparkSession, codesPath: String,
     cent: Seq[Seq[Seq[Long]]], rawBatch: DataFrame): Unit = {
     import s.implicits._
-    val fresh = rawBatch.join(
-      s.read.parquet(codesPath).select($"vec_id"), Seq("vec_id"), "left_anti")
+    // vec_id is the identity key: duplicates WITHIN the batch (an
+    // at-least-once source can deliver a vector twice in one poll)
+    // collapse arbitrarily here, duplicates vs the TABLE are
+    // anti-joined away below. The guard scan prunes to the batch's
+    // own buckets — a duplicate must land in the same bk partition
+    // (bk is a pure function of vec_id), so per-batch guard cost
+    // tracks the touched buckets, not the index.
+    val batch = rawBatch.dropDuplicates("vec_id")
+    val bks = batch.select(pmod($"vec_id", lit(PqBuckets.toLong)).as("bk"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val fresh = batch.join(
+      s.read.parquet(codesPath).filter($"bk".isin(bks: _*)).select($"vec_id"),
+      Seq("vec_id"), "left_anti")
     val e = intEmbOf(fresh)
     graft.sources.Catalog.appendPartitioned(s,
       withBucket(withCodes(e.select($"vec_id", $"iv"), cent)
@@ -737,14 +758,21 @@ object Ann {
     * transiently before encoding anyway (the stored codes are the
     * durable artifact); checkpointing here is that same step. */
   private[graft] def residualFrame(e: DataFrame,
-    lists: Seq[(Long, Seq[Long], Long)]): DataFrame = {
+    lists: Seq[(Long, Seq[Long], Long)], pinned: Boolean = false): DataFrame = {
     import e.sparkSession.implicits._
-    withListAssignment(e, lists)
+    val r = withListAssignment(e, lists)
       .withColumn("cvec", element_at(centMapCol(lists), $"acid"))
       .select($"vec_id",
         expr("zip_with(iv, cvec, (a, b) -> a - b)").as("iv"),
         $"acid")
-      .localCheckpoint()
+    // pinned=true materializes via persist (an InMemoryRelation is an
+    // equally good projection-collapse barrier) so the caller can
+    // RELEASE the blocks deterministically with unpersist — required
+    // on the per-micro-batch append path, where localCheckpoint
+    // blocks would otherwise accrete until driver GC. Query/build
+    // paths keep localCheckpoint (blocks die with the plan).
+    if (pinned) { val p = r.persist(); p.count(); p }
+    else r.localCheckpoint()
   }
 
   def buildIvfPqIndex(s: SparkSession, dir: String, codesPath: String)
@@ -791,39 +819,50 @@ object Ann {
     lists: Seq[(Long, Seq[Long], Long)], pq: Seq[Seq[Seq[Long]]],
     rawBatch: DataFrame): Unit = {
     import s.implicits._
-    val fresh = rawBatch.join(
-      s.read.parquet(codesPath).select($"vec_id"), Seq("vec_id"), "left_anti")
-    val res = residualFrame(intEmbOf(fresh), lists)
-    graft.sources.Catalog.appendPartitioned(s,
-      withCodes(res, pq).select($"vec_id", $"codes", $"acid"),
-      codesPath, Seq("acid"))
+    // see appendPqVectors: in-batch dedup on the identity key, then a
+    // replay guard pruned to the batch's own lists (assignment is a
+    // pure function of the vector under the frozen model, so a
+    // duplicate lands in the same acid partition)
+    val res = residualFrame(intEmbOf(rawBatch.dropDuplicates("vec_id")),
+      lists, pinned = true)
+    try {
+      val acids = res.select($"acid").distinct().collect().map(_.getLong(0)).toSeq
+      val fresh = withCodes(res, pq).select($"vec_id", $"codes", $"acid")
+        .join(s.read.parquet(codesPath).filter($"acid".isin(acids: _*))
+          .select($"vec_id"), Seq("vec_id"), "left_anti")
+      graft.sources.Catalog.appendPartitioned(s, fresh, codesPath, Seq("acid"))
+    } finally { res.unpersist(false); () }
   }
 
   /** Streaming ingest into a stored ANN index: each micro-batch of
-    * (vec_id, embedding) rows is encoded against the frozen model and
-    * appended — [[appendPqVectors]]' replay guard turns the stream's
-    * at-least-once delivery into effectively-exactly-once table
-    * content (a replayed micro-batch re-encodes nothing that already
-    * landed), the same discipline as
-    * [[graft.sources.ObjectIndex.ingestStream]]. Pass `ivfPq` to feed
-    * a list-partitioned IVFADC index instead of a flat-bucketed PQ
-    * one. */
+    * (vec_id, embedding) rows is encoded and appended. The codebook
+    * is NOT a parameter — it is loaded from the index's own stored
+    * model (the only codebook that can be correct for this table;
+    * taking one from the caller would let a retrained model silently
+    * poison the codes), and the model's kind decides PQ vs IVFADC.
+    * The append replay guard turns at-least-once delivery into
+    * effectively-exactly-once table content, and each batch first
+    * resolves any crashed append commit ([[graft.sources.Catalog
+    * .recoverAppends]] — deterministic roll-forward/back), so the
+    * stream self-heals after a kill instead of refusing on the
+    * leftover staging dir. Single-writer per index, like every
+    * appender here. */
   def ingestVectorStream(vecs: DataFrame, codesPath: String,
-    checkpointPath: String,
-    pq: Seq[Seq[Seq[Long]]],
-    ivfLists: Option[Seq[(Long, Seq[Long], Long)]] = None)
-    : org.apache.spark.sql.streaming.StreamingQuery =
+    checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val rows = loadModelRows(vecs.sparkSession, codesPath)
+    val ivfPq = rows.exists(_._1 == "ivf")
+    val pq = pqModelOf(rows)
+    val lists = if (ivfPq) ivfModelOf(rows) else Seq.empty
     vecs.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ivfLists match {
-          case Some(lists) =>
-            appendIvfPqVectors(batch.sparkSession, codesPath, lists, pq, batch)
-          case None =>
-            appendPqVectors(batch.sparkSession, codesPath, pq, batch)
-        }
+        val s = batch.sparkSession
+        graft.sources.Catalog.recoverAppends(s, codesPath)
+        if (ivfPq) appendIvfPqVectors(s, codesPath, lists, pq, batch)
+        else appendPqVectors(s, codesPath, pq, batch)
       }
       .start()
+  }
 
   /** Driver-side probe selection: the query's [[NProbe]] nearest IVF
     * lists by (cosine desc, cid asc) — same ordering as the in-plan

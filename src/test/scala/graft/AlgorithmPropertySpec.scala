@@ -117,12 +117,16 @@ class AlgorithmPropertySpec extends AnyFunSuite {
     assert(checked > 3000, s"too few in-radius pairs sampled: $checked")
   }
 
-  test("PqAdc kernel equals the declarative LUT fold on random inputs") {
+  test("PqAdc kernel equals the declarative LUT fold on random well-formed inputs; strict on corrupt ones") {
     // the native codegen kernel replaced aggregate(zip_with(lut,
-    // codes, (l, c) -> l[c])) in the ADC hot path; semantics must be
-    // identical on any (lut, codes) shape, including negative
-    // distances and M < lut-length prefixes
+    // codes, (l, c) -> l[c])) in the ADC hot path; on well-formed
+    // inputs (equal lengths, in-range codes — the only shapes the
+    // engine writes) the sums must be identical, including negative
+    // distances. On corrupt shapes the HOF was silently NULL (the row
+    // would vanish from ranking); the kernel fails loudly instead.
     import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def lutData(lut: Seq[Seq[Long]]) = new GenericArrayData(
+      lut.map(row => new GenericArrayData(row.toArray): Any).toArray)
     for (_ <- 1 to 200) {
       val m = 1 + rng.nextInt(12)
       val k = 1 + rng.nextInt(16)
@@ -130,10 +134,15 @@ class AlgorithmPropertySpec extends AnyFunSuite {
       val codes = Seq.fill(m)(rng.nextInt(k))
       val want = (0 until m).map(i => lut(i)(codes(i))).sum
       val got = graft.functions.VectorKernels.pqAdc(
-        new GenericArrayData(lut.map(row =>
-          new GenericArrayData(row.toArray): Any).toArray),
-        new GenericArrayData(codes.toArray))
+        lutData(lut), new GenericArrayData(codes.toArray))
       assert(got == want, s"kernel $got != fold $want (m=$m k=$k)")
+    }
+    val lut2 = Seq(Seq(1L, 2L), Seq(3L, 4L))
+    intercept[IllegalArgumentException] { // length mismatch
+      graft.functions.VectorKernels.pqAdc(lutData(lut2), new GenericArrayData(Array(1)))
+    }
+    intercept[IllegalArgumentException] { // out-of-range code
+      graft.functions.VectorKernels.pqAdc(lutData(lut2), new GenericArrayData(Array(0, 5)))
     }
   }
 

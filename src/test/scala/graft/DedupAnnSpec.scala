@@ -447,15 +447,23 @@ class DedupAnnSpec extends AnyFunSuite {
     // stream the new vectors in two micro-batches, REPLAYING the
     // first inside the second — the at-least-once delivery shape the
     // replay guard must absorb
+    // a flat PQ index must refuse the IVFADC loader and vice versa —
+    // decoding residual codes with raw-space LUTs (or the reverse)
+    // would be silently wrong neighbors
+    intercept[IllegalArgumentException] {
+      queries.Ann.loadIvfPqIndex(spark, pqPath)
+    }
     val rows = batch.select($"vec_id", $"embedding")
       .as[(Long, Seq[Float])].collect().toSeq
     val (b1, b2) = rows.splitAt(rows.length / 2)
     assert(b1.nonEmpty && b2.nonEmpty)
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    // the stream derives the codebook from the index's stored model —
+    // no caller-supplied model to mismatch
     val q = queries.Ann.ingestVectorStream(
-      input.toDF().toDF("vec_id", "embedding"), pqPath, s"$tmp/ckpt", cent)
+      input.toDF().toDF("vec_id", "embedding"), pqPath, s"$tmp/ckpt")
     try {
-      input.addData(b1)
+      input.addData(b1 ++ b1.take(1)) // an in-batch duplicate delivery too
       q.processAllAvailable()
       input.addData(b1 ++ b2)
       q.processAllAvailable()
