@@ -675,6 +675,89 @@ object Ann {
       .select($"qid", $"vec_id".as("vid"), $"adc"))
   }
 
+  // ---------------------------------------------------------------
+  // Bucketed VECTOR STORE — the at-rest layout for the re-rank side.
+  // The codes tables bound the CANDIDATE scan, but the exact re-rank
+  // must fetch candidate vectors, and against a flat corpus file that
+  // fetch is a full-corpus scan. Stored [vec_id, embedding]
+  // partitioned by bk = vec_id mod PqBuckets, the re-rank reads ONLY
+  // the buckets holding candidates (a static partition filter from
+  // the ≤ PqCand·NQueries collected candidate ids — request-plane,
+  // like the LUTs): search I/O is bounded by candidates on BOTH scan
+  // paths, the full 100 TB shape.
+
+  /** Create the bucket-partitioned vector store (same crash-safe
+    * lifecycle as the codes tables). */
+  def buildVectorStore(s: SparkSession, raw: DataFrame, path: String): Boolean =
+    graft.sources.Catalog.createPartitionedIfAbsent(s,
+      withBucket(raw.select(col("vec_id"), col("embedding"))), path, Seq("bk"))
+
+  /** Append new vectors to the store — in-batch dedup + the
+    * bucket-pruned replay guard, exactly as [[appendPqVectors]]. */
+  def appendVectorStore(s: SparkSession, path: String, rawBatch: DataFrame): Unit = {
+    import s.implicits._
+    val batch = rawBatch.dropDuplicates("vec_id")
+    val bks = batch.select(pmod($"vec_id", lit(PqBuckets.toLong)).as("bk"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val fresh = batch.join(
+      s.read.parquet(path).filter($"bk".isin(bks: _*)).select($"vec_id"),
+      Seq("vec_id"), "left_anti")
+    graft.sources.Catalog.appendPartitioned(s,
+      withBucket(fresh.select($"vec_id", $"embedding")), path, Seq("bk"))
+  }
+
+  /** Bucket-pruned fetch of specific vec_ids from the store, as the
+    * integer-scaled (vec_id, iv, nrm) frame. */
+  private def fetchVectors(s: SparkSession, vecStorePath: String,
+    ids: Seq[Long]): DataFrame = {
+    import s.implicits._
+    val bks = ids.map(i => Math.floorMod(i, PqBuckets).toLong).distinct
+    intEmbOf(s.read.parquet(vecStorePath)
+      .filter($"bk".isin(bks: _*) && $"vec_id".isin(ids: _*))
+      .select($"vec_id", $"embedding"))
+  }
+
+  /** Re-rank against the bucketed store: collect the bounded
+    * candidate set (request-plane), fetch only its buckets, exact
+    * integer-cosine top-[[K]]. */
+  private def indexedRerank(s: SparkSession, vecStorePath: String,
+    cand: DataFrame, qdf: DataFrame): DataFrame = {
+    import s.implicits._
+    val candRows = cand.select($"qid", $"vid", $"adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val vecs = fetchVectors(s, vecStorePath, candRows.map(_._2).distinct)
+    pqRerank(vecs, candRows.toDF("qid", "vid", "adc"), qdf)
+  }
+
+  /** Fully-stored PQ search: both scan paths are index-shaped — ADC
+    * over the codes table (ReadSchema [vec_id, codes]), re-rank over
+    * ONLY the candidate buckets of the vector store — and the model
+    * comes from the index itself. The self-contained reader entry
+    * point: two paths in, neighbors out. */
+  def pqSearchIndexed(s: SparkSession, vecStorePath: String,
+    codesPath: String): DataFrame = {
+    import s.implicits._
+    val cent = loadPqIndex(s, codesPath)
+    val qdf = pqQueryFrame(s,
+      fetchVectors(s, vecStorePath, 0L until NQueries), cent)
+    val codes = s.read.parquet(codesPath).select($"vec_id", $"codes")
+    indexedRerank(s, vecStorePath, pqAdcCandidates(codes, qdf), qdf)
+  }
+
+  /** Fully-stored IVFADC search — as [[pqSearchIndexed]]: probed-list
+    * partition-pruned ADC + candidate-bucket-pruned re-rank, model
+    * from the index. */
+  def ivfPqSearchIndexed(s: SparkSession, vecStorePath: String,
+    codesPath: String): DataFrame = {
+    import s.implicits._
+    val (lists, pq) = loadIvfPqIndex(s, codesPath)
+    val qe = fetchVectors(s, vecStorePath, 0L until NQueries)
+    val (qdf, probeDf, allProbed) = ivfPqQueryFrames(s, qe, lists, pq)
+    val codes = s.read.parquet(codesPath).select($"vec_id", $"codes", $"acid")
+    indexedRerank(s, vecStorePath,
+      ivfPqCandidates(codes, probeDf, allProbed), qdf)
+  }
+
   /** Exact integer-cosine re-rank of the ADC candidates (broadcast
     * candidate semi-join → one pruned pass over the vectors for
     * ≤ [[PqCand]]·[[NQueries]] rows), then the shared top-[[K]]. */

@@ -479,6 +479,51 @@ class DedupAnnSpec extends AnyFunSuite {
       "replayed micro-batch duplicated rows")
   }
 
+  test("fully-stored search: bucketed vector store prunes the re-rank to candidate buckets; parity with stored/in-plan") {
+    import spark.implicits._
+    val raw = Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vecstore").toString
+    val storePath = s"$tmp/vectors"
+    assert(queries.Ann.buildVectorStore(spark, raw, storePath))
+    assert(sources.Catalog.tableComplete(spark, storePath))
+
+    // PQ: the self-contained two-path search equals the stored-codes
+    // search with the same (stored) model
+    val pqPath = s"$tmp/pq_codes"
+    val cent = queries.Ann.buildPqIndex(spark, sf, pqPath)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val res = queries.Ann.pqSearchIndexed(spark, storePath, pqPath)
+      // the vector-store scans must be partition-pruned: candidates
+      // (and queries) touch a subset of buckets
+      val scans = res.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.filter(_.relation.location.rootPaths.exists(_.toString.contains("vectors")))
+      assert(scans.nonEmpty, "no scan of the vector store in the plan")
+      assert(scans.forall(_.partitionFilters.nonEmpty),
+        "candidate-bucket filter did not become a partition filter")
+      assert(res.collect().toSeq ==
+        queries.Ann.pqSearchStored(spark, sf, pqPath, cent).collect().toSeq,
+        "indexed search diverges from stored-codes search")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
+    // IVFADC: parity with the in-plan gate query (same corpus, same
+    // deterministic training)
+    val ivfPath = s"$tmp/ivfpq_codes"
+    queries.Ann.buildIvfPqIndex(spark, sf, ivfPath)
+    assert(queries.Ann.ivfPqSearchIndexed(spark, storePath, ivfPath).collect().toSeq ==
+      queries.Ann.qAnnIvfPq(spark, sf).collect().toSeq,
+      "indexed IVFADC search diverges from the in-plan query")
+
+    // store appends share the replay-guard discipline
+    val batch = raw.filter("vec_id >= 21 AND vec_id % 10 = 7")
+    val n0 = spark.read.parquet(storePath).count()
+    queries.Ann.appendVectorStore(spark, storePath, batch)
+    assert(spark.read.parquet(storePath).count() == n0,
+      "replayed store append duplicated rows (batch was already in the store)")
+  }
+
   test("partitioned append crash-recovery: subdir manifest entries roll forward into partition dirs") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_precover").toString
     val f = new org.apache.hadoop.fs.Path(tmp)
