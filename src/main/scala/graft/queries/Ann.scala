@@ -696,7 +696,12 @@ object Ann {
     * bucket-pruned replay guard, exactly as [[appendPqVectors]]. */
   def appendVectorStore(s: SparkSession, path: String, rawBatch: DataFrame): Unit = {
     import s.implicits._
-    val batch = rawBatch.dropDuplicates("vec_id")
+    // normalize array nullability: tightly-encoded sources (e.g. a
+    // streaming Dataset of tuples) carry array<float> NOT NULL, which
+    // the schema-drift guard would reject against the stored table
+    val batch = rawBatch
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .dropDuplicates("vec_id")
     val bks = batch.select(pmod($"vec_id", lit(PqBuckets.toLong)).as("bk"))
       .distinct().collect().map(_.getLong(0)).toSeq
     val fresh = batch.join(
@@ -929,9 +934,17 @@ object Ann {
     * .recoverAppends]] — deterministic roll-forward/back), so the
     * stream self-heals after a kill instead of refusing on the
     * leftover staging dir. Single-writer per index, like every
-    * appender here. */
+    * appender here.
+    *
+    * With `vecStorePath` set, each batch ALSO lands in the bucketed
+    * vector store (codes first, store second — both appends carry
+    * their own replay guard, so a crash between the two just replays
+    * into no-ops and the pair converges), keeping the fully-stored
+    * search paths ([[pqSearchIndexed]]/[[ivfPqSearchIndexed]])
+    * serviceable under streaming ingest. */
   def ingestVectorStream(vecs: DataFrame, codesPath: String,
-    checkpointPath: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    checkpointPath: String, vecStorePath: Option[String] = None)
+    : org.apache.spark.sql.streaming.StreamingQuery = {
     val rows = loadModelRows(vecs.sparkSession, codesPath)
     val ivfPq = rows.exists(_._1 == "ivf")
     val pq = pqModelOf(rows)
@@ -943,6 +956,10 @@ object Ann {
         graft.sources.Catalog.recoverAppends(s, codesPath)
         if (ivfPq) appendIvfPqVectors(s, codesPath, lists, pq, batch)
         else appendPqVectors(s, codesPath, pq, batch)
+        vecStorePath.foreach { sp =>
+          graft.sources.Catalog.recoverAppends(s, sp)
+          appendVectorStore(s, sp, batch)
+        }
       }
       .start()
   }

@@ -458,10 +458,15 @@ class DedupAnnSpec extends AnyFunSuite {
     val (b1, b2) = rows.splitAt(rows.length / 2)
     assert(b1.nonEmpty && b2.nonEmpty)
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    // dual-target ingest: the same micro-batches must also land
+    // exactly-once in the bucketed vector store
+    val storePath = s"$tmp/vectors"
+    assert(queries.Ann.buildVectorStore(spark, old, storePath))
     // the stream derives the codebook from the index's stored model —
     // no caller-supplied model to mismatch
     val q = queries.Ann.ingestVectorStream(
-      input.toDF().toDF("vec_id", "embedding"), pqPath, s"$tmp/ckpt")
+      input.toDF().toDF("vec_id", "embedding"), pqPath, s"$tmp/ckpt",
+      Some(storePath))
     try {
       input.addData(b1 ++ b1.take(1)) // an in-batch duplicate delivery too
       q.processAllAvailable()
@@ -477,6 +482,12 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(got == want, "streamed index diverges from the batch encode of the union")
     assert(spark.read.parquet(pqPath).count() == want.size,
       "replayed micro-batch duplicated rows")
+    // the vector store converged to the same union, exactly-once
+    val storeIds = spark.read.parquet(storePath).select($"vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(storeIds.sorted.toSeq ==
+      raw.select($"vec_id").collect().map(_.getLong(0)).sorted.toSeq,
+      "streamed vector store diverges from the union of old + batch")
   }
 
   test("fully-stored search: bucketed vector store prunes the re-rank to candidate buckets; parity with stored/in-plan") {
