@@ -278,10 +278,12 @@ object Ann {
        |       FROM c$k LEFT JOIN m$k ON m$k.cid = c$k.cid AND m$k.i = c$k.i),""".stripMargin
   }
 
-  /** Oracle twin of [[qAnnIvf]]: re-trains the identical coarse
-    * quantizer (seed rows 5..12, [[IvfIters]] unrolled integer Lloyd
-    * iterations), same (cos desc, cid asc) tie-breaks via ROW_NUMBER. */
-  val qAnnIvfSql: String = {
+  /** Shared oracle prefix: integer-scaled rows `e`, norms `n`, the
+    * [[IvfIters]]-times-unrolled coarse-quantizer training to `c$T`,
+    * the per-row list `assign`ment, and each query's [[NProbe]]
+    * probed lists `qp` — the common front of the IVF and IVFADC
+    * oracle twins, identical tie-breaks to the in-plan code. */
+  private def ivfCoarsePrefix: String = {
     val T = IvfIters
     s"""WITH e AS (
        |  SELECT vec_id, i, CAST(ROUND(CAST(v AS DOUBLE) * ${VectorOps.ScaleLit}) AS BIGINT) AS vi
@@ -302,7 +304,14 @@ object Ann {
        |    FROM cs) t WHERE rn = 1),
        |qp AS (SELECT vid AS qid, cid FROM (
        |    SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, cid) AS rn
-       |    FROM cs WHERE vid < $NQueries) t WHERE rn <= $NProbe),
+       |    FROM cs WHERE vid < $NQueries) t WHERE rn <= $NProbe),""".stripMargin
+  }
+
+  /** Oracle twin of [[qAnnIvf]]: re-trains the identical coarse
+    * quantizer (seed rows 5..12, [[IvfIters]] unrolled integer Lloyd
+    * iterations), same (cos desc, cid asc) tie-breaks via ROW_NUMBER. */
+  val qAnnIvfSql: String = {
+    s"""$ivfCoarsePrefix
        |cand AS (SELECT qp.qid, a.vid FROM qp
        |         JOIN assign a ON a.cid = qp.cid AND a.vid <> qp.qid),
        |d AS (SELECT cand.qid, cand.vid, CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
@@ -356,9 +365,12 @@ object Ann {
     * encode / LUT-ADC / re-rank pipeline with the codes kept in-plan
     * (the correctness gate may not write to disk); the spec pins
     * stored-vs-in-plan parity, so the green row covers both.
-    * Approximate by construction (codes quantize) → rows-only; the
-    * spec also pins recall vs brute force and re-derives one ADC
-    * driver-side from the stored codes. */
+    * Though approximate w.r.t. brute force, the pipeline itself is
+    * deterministic integer math end-to-end, so [[qAnnPqSql]] is a
+    * full DuckDB oracle twin (unrolled training, encode, LUT, ADC,
+    * re-rank) and the row is hash-checked; the spec additionally
+    * pins recall vs brute force and re-derives one ADC driver-side
+    * from the stored codes. */
   private[graft] def intEmb(s: SparkSession, dir: String): DataFrame =
     intEmbOf(Tables.embeddings(s, dir))
 
@@ -455,6 +467,141 @@ object Ann {
       .withColumn("qe", expr(
         "aggregate(zip_with(iv, recon, (a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
       .agg(sum($"qe")).head().getLong(0)
+  }
+
+  // -- oracle twin of the PQ pipeline ----------------------------
+  /** Assignment CTEs against subspace codebook `p$t`: per (row,
+    * subspace), the centroid minimizing `‖c‖² − 2·x·c` (same argmin
+    * and same lowest-k tie-break as [[withCodes]]' `array_position`
+    * of the min). `pa$t` is (vid, m, k). `src` is the subspace-rows
+    * table — raw subvectors for flat PQ, residual subvectors for
+    * IVFADC. */
+  private def pqAssignCte(t: Int, src: String = "es"): String =
+    s"""pc$t AS (SELECT m, k, SUM(vi * vi) AS cc FROM p$t GROUP BY m, k),
+       |pd$t AS (SELECT $src.vec_id AS vid, $src.m, c.k,
+       |          CAST(SUM($src.vi * c.vi) AS BIGINT) AS dot
+       |        FROM $src JOIN p$t c ON c.m = $src.m AND c.d = $src.d
+       |        GROUP BY 1, 2, 3),
+       |pa$t AS (SELECT vid, m, k FROM (
+       |    SELECT pd$t.vid, pd$t.m, pd$t.k,
+       |      ROW_NUMBER() OVER (PARTITION BY pd$t.vid, pd$t.m
+       |        ORDER BY CAST(pc.cc AS BIGINT) - 2 * pd$t.dot, pd$t.k) AS rn
+       |    FROM pd$t JOIN pc$t pc ON pc.m = pd$t.m AND pc.k = pd$t.k) t
+       |  WHERE rn = 1),""".stripMargin
+
+  /** One unrolled integer-Lloyd iteration of [[pqTrain]]'s oracle
+    * twin: assign ([[pqAssignCte]]), then `p${t+1}` = per-(m, k, d)
+    * exact floor-average of the members (COALESCE keeps an empty
+    * cluster's previous centroid; floor-division idiom as in
+    * [[ivfTrainCte]]). */
+  private def pqTrainCte(t: Int, src: String = "es"): String = {
+    val j = t + 1
+    s"""${pqAssignCte(t, src)}
+       |pm$t AS (SELECT a.m, a.k, $src.d, CAST(SUM($src.vi) AS BIGINT) AS s,
+       |          COUNT(*) AS cnt
+       |        FROM pa$t a JOIN $src ON $src.vec_id = a.vid AND $src.m = a.m
+       |        GROUP BY 1, 2, 3),
+       |p$j AS (SELECT c.m, c.k, c.d,
+       |         COALESCE(CAST((pm$t.s - ((pm$t.s % pm$t.cnt) + pm$t.cnt) % pm$t.cnt) // pm$t.cnt AS BIGINT),
+       |                  c.vi) AS vi
+       |       FROM p$t c LEFT JOIN pm$t
+       |         ON pm$t.m = c.m AND pm$t.k = c.k AND pm$t.d = c.d),""".stripMargin
+  }
+
+  /** Oracle twin of [[qAnnPq]]: re-trains the identical per-subspace
+    * codebooks ([[PqIters]] unrolled integer Lloyd iterations over the
+    * seed rows), re-encodes every vector, rebuilds each query's
+    * integer L2 LUT, scores ADC = Σ_m lut[m][codes[m]], keeps the
+    * top-[[PqCand]] by (adc, vid), and exactly re-ranks — every stage
+    * integer-exact, so the hash compare is bit-strict. */
+  val qAnnPqSql: String = {
+    val T = PqIters
+    s"""WITH e AS (
+       |  SELECT vec_id, i, CAST(ROUND(CAST(v AS DOUBLE) * ${VectorOps.ScaleLit}) AS BIGINT) AS vi
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+       |n AS (SELECT vec_id, SUM(vi * vi) AS nrm FROM e GROUP BY vec_id),
+       |es AS (SELECT vec_id, CAST((i - 1) // $PqSub AS INT) AS m,
+       |         CAST((i - 1) % $PqSub AS INT) AS d, vi FROM e),
+       |p0 AS (SELECT m, CAST(vec_id - $NQueries AS INT) AS k, d, vi FROM es
+       |       WHERE vec_id >= $NQueries AND vec_id < ${NQueries + PqK}),
+       |${(0 until T).map(t => pqTrainCte(t)).mkString("\n")}
+       |${pqAssignCte(T)}
+       |lut AS (SELECT es.vec_id AS qid, c.m, c.k,
+       |          CAST(SUM((es.vi - c.vi) * (es.vi - c.vi)) AS BIGINT) AS l2
+       |        FROM es JOIN p$T c ON c.m = es.m AND c.d = es.d
+       |        WHERE es.vec_id < $NQueries GROUP BY 1, 2, 3),
+       |adc AS (SELECT l.qid, a.vid, CAST(SUM(l.l2) AS BIGINT) AS adc
+       |        FROM pa$T a JOIN lut l ON l.m = a.m AND l.k = a.k
+       |        WHERE a.vid <> l.qid GROUP BY 1, 2),
+       |cand AS (SELECT qid, vid FROM (
+       |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS crn
+       |    FROM adc) t WHERE crn <= $PqCand),
+       |d AS (SELECT cand.qid, cand.vid, CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
+       |      FROM cand JOIN e ea ON ea.vec_id = cand.qid
+       |                JOIN e eb ON eb.vec_id = cand.vid AND eb.i = ea.i
+       |      GROUP BY 1, 2),
+       |c AS (SELECT qid, vid, dot,
+       |        CAST(dot AS DOUBLE) / (SQRT(CAST(nq.nrm AS DOUBLE)) * SQRT(CAST(nv.nrm AS DOUBLE))) AS cosine
+       |      FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid)
+       |SELECT qid, vid, dot, cosine, rnk FROM (
+       |  SELECT qid, vid, dot, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rnk
+       |  FROM c) t
+       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** Oracle twin of [[qAnnIvfPq]] — the composed IVFADC pipeline,
+    * every stage integer-exact: the shared coarse prefix
+    * ([[ivfCoarsePrefix]]: trained quantizer, `assign`, probes `qp`),
+    * residuals of every row against its assigned list centroid,
+    * residual-PQ training seeded from [[IvfPqSeedBase]], residual
+    * encode, one residual LUT per (query, probed list), ADC over
+    * candidates whose assigned list is probed by that query,
+    * top-[[PqCand]] by (adc, vid), exact re-rank on RAW vectors. */
+  val qAnnIvfPqSql: String = {
+    val T = IvfIters
+    val P = PqIters
+    s"""$ivfCoarsePrefix
+       |res AS (SELECT ev.vec_id, ev.i, ev.vi - c.vi AS vi
+       |        FROM e ev JOIN assign a ON a.vid = ev.vec_id
+       |             JOIN c$T c ON c.cid = a.cid AND c.i = ev.i),
+       |ess AS (SELECT vec_id, CAST((i - 1) // $PqSub AS INT) AS m,
+       |          CAST((i - 1) % $PqSub AS INT) AS d, vi FROM res),
+       |p0 AS (SELECT m, CAST(vec_id - $IvfPqSeedBase AS INT) AS k, d, vi FROM ess
+       |       WHERE vec_id >= $IvfPqSeedBase AND vec_id < ${IvfPqSeedBase + PqK}),
+       |${(0 until P).map(pqTrainCte(_, "ess")).mkString("\n")}
+       |${pqAssignCte(P, "ess")}
+       |qres AS (SELECT qp.qid, qp.cid, ev.i, ev.vi - c.vi AS vi
+       |         FROM qp JOIN e ev ON ev.vec_id = qp.qid
+       |              JOIN c$T c ON c.cid = qp.cid AND c.i = ev.i),
+       |qss AS (SELECT qid, cid, CAST((i - 1) // $PqSub AS INT) AS m,
+       |          CAST((i - 1) % $PqSub AS INT) AS d, vi FROM qres),
+       |lut AS (SELECT qss.qid, qss.cid, c.m, c.k,
+       |          CAST(SUM((qss.vi - c.vi) * (qss.vi - c.vi)) AS BIGINT) AS l2
+       |        FROM qss JOIN p$P c ON c.m = qss.m AND c.d = qss.d
+       |        GROUP BY 1, 2, 3, 4),
+       |adc AS (SELECT qp.qid, a.vid, CAST(SUM(l.l2) AS BIGINT) AS adc
+       |        FROM assign a JOIN qp ON qp.cid = a.cid AND a.vid <> qp.qid
+       |             JOIN pa$P enc ON enc.vid = a.vid
+       |             JOIN lut l ON l.qid = qp.qid AND l.cid = a.cid
+       |                       AND l.m = enc.m AND l.k = enc.k
+       |        GROUP BY 1, 2),
+       |cand AS (SELECT qid, vid FROM (
+       |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS crn
+       |    FROM adc) t WHERE crn <= $PqCand),
+       |d AS (SELECT cand.qid, cand.vid, CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
+       |      FROM cand JOIN e ea ON ea.vec_id = cand.qid
+       |                JOIN e eb ON eb.vec_id = cand.vid AND eb.i = ea.i
+       |      GROUP BY 1, 2),
+       |c AS (SELECT qid, vid, dot,
+       |        CAST(dot AS DOUBLE) / (SQRT(CAST(nq.nrm AS DOUBLE)) * SQRT(CAST(nv.nrm AS DOUBLE))) AS cosine
+       |      FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid)
+       |SELECT qid, vid, dot, cosine, rnk FROM (
+       |  SELECT qid, vid, dot, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rnk
+       |  FROM c) t
+       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
   }
 
   /** Bucket count for the stored PQ codes table: codes are
@@ -824,9 +971,12 @@ object Ann {
     *  4. exact integer-cosine re-rank of the bounded candidate set.
     * That is the 100 TB similarity-search shape: IVF bounds the I/O,
     * PQ bounds the bytes per row, the re-rank bounds the exactness
-    * cost. Approximate by construction (both stages prune) →
-    * rows-only; the spec pins stored≡in-plan parity, partition
-    * pruning, probed-list discipline, and recall. */
+    * cost. Though approximate w.r.t. brute force (both stages prune),
+    * the pipeline is deterministic integer math end-to-end, so
+    * [[qAnnIvfPqSql]] re-derives it in full as a DuckDB oracle and
+    * the row is hash-checked; the spec additionally pins stored≡
+    * in-plan parity, partition pruning, probed-list discipline, and
+    * recall. */
   /** Literal cid → centroid-vector map (model parameters). */
   private def centMapCol(lists: Seq[(Long, Seq[Long], Long)]): Column =
     map(lists.flatMap { case (cid, civ, _) =>
@@ -1058,5 +1208,7 @@ object Ann {
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce" -> qAnnBruteforceSql,
     "q_ann_lsh" -> qAnnLshSql,
-    "q_ann_ivf" -> qAnnIvfSql)
+    "q_ann_ivf" -> qAnnIvfSql,
+    "q_ann_pq" -> qAnnPqSql,
+    "q_ann_ivfpq" -> qAnnIvfPqSql)
 }
