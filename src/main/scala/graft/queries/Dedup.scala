@@ -153,8 +153,102 @@ object Dedup {
        |ORDER BY d1, d2""".stripMargin
 
   // ---------------------------------------------------------------
+  // Oracle SQL machinery for the hash-signature queries. The kernels
+  // (FNV-1a word/shingle hashes, splitmix64 permutations, SimHash bit
+  // votes) are custom one-pass Expressions in Spark, but they are
+  // deterministic mod-2^64 integer arithmetic, so DuckDB re-derives
+  // them exactly: HUGEINT carries the unsigned 64-bit domain, `&
+  // mask` / `>>` replace wrap-around and unsigned shifts (HUGEINT
+  // `%`/`//` are an order of magnitude slower), and constant
+  // multiplications split into 32-bit halves so the 128-bit
+  // intermediate never overflows. Character positions = byte offsets
+  // holds for the ASCII test corpus (the Spark kernels are
+  // byte-correct for any UTF-8).
+
+  private val SqlM = "18446744073709551615::HUGEINT" // 2^64 − 1 mask
+  private val SqlPrime = "1099511628211::HUGEINT" // TextHashAlgos.FnvPrime
+  private val SqlOffset = "14695981039346656037::HUGEINT" // FnvOffset unsigned
+
+  /** `(a * c) mod 2^64` for a constant `c` without overflowing
+    * INT128: the 32-bit halves of `c` contribute `a·lo` and
+    * `(a·hi mod 2^32) << 32`, each < 2^97. */
+  private def sqlMulConst(a: String, c: Long): String = {
+    val hi = c >>> 32
+    val lo = c & 0xffffffffL
+    s"((($a * $lo::HUGEINT) + ((($a * $hi::HUGEINT) & 4294967295::HUGEINT) << 32)) & $SqlM)"
+  }
+
+  /** Word + word-`n`-gram FNV-1a hash CTEs over `documents`
+    * (splitting on every single space, like the kernel): `whf` is
+    * (doc_id, widx, h) per word — the variable-length FNV fold runs
+    * as a recursive CTE over character position — and `grams` is
+    * (doc_id, g) per word n-gram, chaining word hashes exactly as
+    * [[graft.functions.TextHashAlgos.shingleHashes]]. */
+  private def sqlShingleCtes(n: Int): String = {
+    val chain = (1 to n).foldLeft(SqlOffset) { (acc, j) =>
+      val w = ('a' + j - 1).toChar // word alias a, b, c, ...
+      s"((xor($acc, $w.h) * $SqlPrime) & $SqlM)"
+    }
+    val joins = (2 to n).map { j =>
+      val w = ('a' + j - 1).toChar
+      s"JOIN whf $w ON $w.doc_id = a.doc_id AND $w.widx = a.widx + ${j - 1}"
+    }.mkString("\n       ")
+    s"""pr AS (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS widx
+       |       FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents)),
+       |words AS (SELECT doc_id, widx, parts[widx] AS word FROM pr),
+       |wh AS (
+       |  SELECT doc_id, widx, word, 0 AS j, $SqlOffset AS h FROM words
+       |  UNION ALL
+       |  SELECT doc_id, widx, word, j + 1,
+       |    ((xor(h, ord(substr(word, j + 1, 1))::HUGEINT) * $SqlPrime) & $SqlM)
+       |  FROM wh WHERE j < length(word)),
+       |whf AS (SELECT doc_id, widx, h FROM wh WHERE j = length(word)),
+       |grams AS (
+       |  SELECT a.doc_id, $chain AS g
+       |  FROM whf a ${if (n > 1) joins else ""}),""".stripMargin
+  }
+
+  /** Per-(doc, hash-function) MinHash signature CTEs: `full_sigs` is
+    * (doc_id, i, s) for i < [[MinHashK]] — the splitmix64 permutation
+    * constants are baked as literals ([[graft.functions.TextHashAlgos
+    * .splitmix64]](i), exactly the kernel's), the outer splitmix64 is
+    * staged one mixing step per CTE so each subterm evaluates once,
+    * the min is taken in SIGNED space (the kernel compares Java
+    * longs), and gram-less docs (< [[MinHashShingle]] words) fill
+    * with Long.MaxValue like the kernel's unmodified init. */
+  private def sqlMinhashSigCtes: String = {
+    val consts = (0 until MinHashK).map(i =>
+      s"($i, ${java.lang.Long.toUnsignedString(graft.functions.TextHashAlgos.splitmix64(i.toLong))}::HUGEINT)")
+      .mkString(", ")
+    s"""${sqlShingleCtes(MinHashShingle)}
+       |hc(i, c) AS (VALUES $consts),
+       |s1 AS (SELECT grams.doc_id, hc.i,
+       |         (xor(grams.g, hc.c) + 11400714819323198485::HUGEINT) & $SqlM AS z
+       |       FROM grams, hc),
+       |s2 AS (SELECT doc_id, i, xor(z, z >> 30) AS z FROM s1),
+       |s3 AS (SELECT doc_id, i, ${sqlMulConst("z", 0xbf58476d1ce4e5b9L)} AS z FROM s2),
+       |s4 AS (SELECT doc_id, i, xor(z, z >> 27) AS z FROM s3),
+       |s5 AS (SELECT doc_id, i, ${sqlMulConst("z", 0x94d049bb133111ebL)} AS z FROM s4),
+       |s6 AS (SELECT doc_id, i, xor(z, z >> 31) AS h FROM s5),
+       |sigs AS (
+       |  SELECT doc_id, i,
+       |    MIN(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+       |                  THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)) AS s
+       |  FROM s6 GROUP BY doc_id, i),
+       |full_sigs AS (
+       |  SELECT d.doc_id, hc.i, COALESCE(sigs.s, 9223372036854775807) AS s
+       |  FROM documents d CROSS JOIN hc
+       |  LEFT JOIN sigs ON sigs.doc_id = d.doc_id AND sigs.i = hc.i)""".stripMargin
+  }
+
+  /** Word-shingle size and hash count of the MinHash queries. */
+  private val MinHashShingle = 3
+  private val MinHashK = 128
+
+  // ---------------------------------------------------------------
   /** Per-doc MinHash signature digest (one-pass custom Expression;
-    * rows-only — the signature algorithm is not ANSI-expressible). */
+    * hash-checked — [[qDedupMinhashSql]] re-derives the signature
+    * arithmetic exactly). */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -168,6 +262,19 @@ object Dedup {
         expr("aggregate(sig, 0L, (acc, x) -> acc ^ x)").as("sig_xor"))
       .orderBy($"doc_id")
   }
+
+  /** Oracle twin of [[qDedupMinhash]]: the full signature per doc via
+    * [[sqlMinhashSigCtes]], digested to the same columns. */
+  val qDedupMinhashSql: String =
+    s"""WITH RECURSIVE
+       |$sqlMinhashSigCtes
+       |SELECT doc_id, $MinHashK AS k,
+       |  MAX(CASE WHEN i = 0 THEN s END) AS sig0,
+       |  MAX(CASE WHEN i = 1 THEN s END) AS sig1,
+       |  MAX(CASE WHEN i = 2 THEN s END) AS sig2,
+       |  MAX(CASE WHEN i = 3 THEN s END) AS sig3,
+       |  bit_xor(s) AS sig_xor
+       |FROM full_sigs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   /** MinHash-LSH candidate pairs + signature-estimated Jaccard verify.
@@ -202,10 +309,41 @@ object Dedup {
   def qDedupLshPairs(s: SparkSession, dir: String): DataFrame =
     lshPairs(Tables.documents(s, dir))
 
+  /** Oracle twin of [[qDedupLshPairs]]: bands keyed by their raw
+    * 4-value signature slice instead of Spark's murmur3 `hash(slice,
+    * band)` bucket key — equal keys iff equal slices, so the
+    * candidate set and the [[LshBucketCap]] bucket sizes agree with
+    * the Spark plan unless murmur3 collides two different slices
+    * within one band (no such collision exists in the test corpus;
+    * parity would catch one loudly). */
+  val qDedupLshPairsSql: String =
+    s"""WITH RECURSIVE
+       |$sqlMinhashSigCtes,
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band, list(s ORDER BY i) AS bsig
+       |  FROM full_sigs GROUP BY doc_id, i // 4),
+       |capped AS (
+       |  SELECT doc_id, band, bsig FROM (
+       |    SELECT doc_id, band, bsig,
+       |      COUNT(*) OVER (PARTITION BY band, bsig) AS bsz FROM bands)
+       |  WHERE bsz <= $LshBucketCap),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM capped x JOIN capped y
+       |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+       |m AS (
+       |  SELECT c.d1, c.d2,
+       |    CAST(SUM(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT) AS matches
+       |  FROM cand c JOIN full_sigs a ON a.doc_id = c.d1
+       |       JOIN full_sigs b ON b.doc_id = c.d2 AND b.i = a.i
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2, matches, (100 * matches) // $MinHashK AS est_pct
+       |FROM m WHERE matches >= 45 ORDER BY d1, d2""".stripMargin
+
   // ---------------------------------------------------------------
   /** SimHash near-dup pairs: 64-bit signature, 4×16-bit piece
     * blocking (hamming ≤ 3 ⇒ some piece equal, by pigeonhole), exact
-    * popcount verify. Rows-only (custom Expression).
+    * popcount verify. Hash-checked via [[qDedupSimhashSql]].
     *
     * Skew guard: (piece, value) blocks larger than
     * [[SimhashPieceCap]] docs are dropped before the self-join — an
@@ -234,6 +372,47 @@ object Dedup {
 
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     simhashPairs(Tables.documents(s, dir))
+
+  /** Oracle twin of [[qDedupSimhash]]: word-unigram FNV hashes
+    * ([[sqlShingleCtes]] with n = 1), ±1 votes per bit, the signature
+    * reassembled in unsigned space and reinterpreted signed, then the
+    * identical piece blocking (cap included) and popcount verify. */
+  val qDedupSimhashSql: String =
+    s"""WITH RECURSIVE
+       |${sqlShingleCtes(1)}
+       |bits AS (
+       |  SELECT doc_id, b,
+       |    SUM(CASE WHEN (g >> CAST(b AS INT)) & 1::HUGEINT = 1::HUGEINT
+       |             THEN 1 ELSE -1 END) AS acc
+       |  FROM grams, (SELECT unnest(range(0, 64)) AS b) GROUP BY doc_id, b),
+       |shu AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN acc > 0 THEN (1::HUGEINT << CAST(b AS INT))
+       |             ELSE 0::HUGEINT END) AS u
+       |  FROM bits GROUP BY doc_id),
+       |sh AS (
+       |  SELECT doc_id, u,
+       |    CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+       |              THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS shs
+       |  FROM shu),
+       |pieces AS (
+       |  SELECT doc_id, shs,
+       |    CAST(p AS INT) AS p,
+       |    CAST((u >> CAST(p * 16 AS INT)) & 65535::HUGEINT AS BIGINT) AS pval
+       |  FROM sh, (SELECT unnest(range(0, 4)) AS p)),
+       |capped AS (
+       |  SELECT doc_id, shs, p, pval FROM (
+       |    SELECT doc_id, shs, p, pval,
+       |      COUNT(*) OVER (PARTITION BY p, pval) AS bsz FROM pieces)
+       |  WHERE bsz <= $SimhashPieceCap),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+       |    x.shs AS sh1, y.shs AS sh2
+       |  FROM capped x JOIN capped y
+       |    ON x.p = y.p AND x.pval = y.pval AND x.doc_id < y.doc_id)
+       |SELECT d1, d2, hamming FROM (
+       |  SELECT d1, d2, bit_count(xor(sh1, sh2)) AS hamming FROM cand) t
+       |WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin
 
   // ---------------------------------------------------------------
   /** Default sign-LSH projection dims (5 bits → 32 buckets — sized for
@@ -911,6 +1090,9 @@ object Dedup {
     "q_dup_ratio" -> (qDupRatio _))
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_dedup_lsh_pairs" -> qDedupLshPairsSql,
+    "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_triangles" -> qTrianglesSql,
     "q_pagerank" -> qPageRankSql,

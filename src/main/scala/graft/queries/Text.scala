@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.TextFunctions
+import graft.functions.{TextFunctions, TextHashAlgos}
 
 /** Text-analysis workload over the `documents` table — the
   * quality/statistics layer of a training-data pipeline: quality
@@ -143,15 +143,55 @@ object Text {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
-  /** Winnowing fingerprints (rows-only: custom one-pass Expression,
-    * not ANSI-SQL-expressible): one row per (doc, selected k-gram
-    * fingerprint) — the MOSS-style plagiarism/near-dup index. */
+  /** Winnowing fingerprints: one row per (doc, selected k-gram
+    * fingerprint) — the MOSS-style plagiarism/near-dup index. The
+    * kernel is a custom one-pass Expression, but its output IS
+    * oracle-expressible ([[qWinnowFingerprintSql]]): the selected
+    * value per window is the window's SIGNED-min gram hash (the
+    * rightmost-min tie-break only picks which index, never a
+    * different value), and FNV-1a unrolls into exact HUGEINT
+    * arithmetic when the text is single-byte (the oracle relies on
+    * character positions = byte offsets, true for the ASCII test
+    * corpus; the Spark kernel itself is byte-correct for any UTF-8). */
   def qWinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .select($"doc_id",
         explode(TextFunctions.winnowFingerprints($"text", k = 8, w = 4)).as("fp"))
       .orderBy($"doc_id", $"fp")
+  }
+
+  /** Oracle twin of [[qWinnowFingerprint]] (k = 8, w = 4): per gram
+    * start `i`, the FNV-1a 64 hash unrolled as mod-2^64 HUGEINT
+    * steps, reinterpreted as a SIGNED bigint (the Expression compares
+    * Java longs); a window of `w` consecutive grams selects its min;
+    * DISTINCT matches the kernel's per-doc selected-set semantics. */
+  val qWinnowFingerprintSql: String = {
+    val (k, w) = (8, 4)
+    val offset = java.lang.Long.toUnsignedString(TextHashAlgos.FnvOffset)
+    val prime = java.lang.Long.toUnsignedString(TextHashAlgos.FnvPrime)
+    val hashExpr = (0 until k).foldLeft(s"$offset::HUGEINT") { (acc, j) =>
+      s"((xor($acc, ord(substr(text, i + $j, 1))::HUGEINT) * $prime::HUGEINT)" +
+        " % 18446744073709551616::HUGEINT)"
+    }
+    s"""WITH g AS (
+       |  SELECT doc_id, i,
+       |    CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+       |              THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS h
+       |  FROM (
+       |    SELECT doc_id, i, $hashExpr AS h
+       |    FROM (SELECT doc_id, text,
+       |            unnest(range(1, length(text) - $k + 2)) AS i
+       |          FROM documents WHERE length(text) >= $k))),
+       |sel AS (
+       |  SELECT doc_id, i,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mh,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS n
+       |  FROM g)
+       |SELECT DISTINCT doc_id, mh AS fp
+       |FROM sel WHERE i <= GREATEST(n - ${w - 1}, 1)
+       |ORDER BY doc_id, fp""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -424,5 +464,6 @@ object Text {
     "q_text_quality" -> qTextQualitySql,
     "q_lang_id" -> qLangIdSql,
     "q_token_count" -> qTokenCountSql,
-    "q_fingerprint" -> qFingerprintSql)
+    "q_fingerprint" -> qFingerprintSql,
+    "q_winnow_fingerprint" -> qWinnowFingerprintSql)
 }
