@@ -1091,7 +1091,15 @@ object Ann {
     * their own replay guard, so a crash between the two just replays
     * into no-ops and the pair converges), keeping the fully-stored
     * search paths ([[pqSearchIndexed]]/[[ivfPqSearchIndexed]])
-    * serviceable under streaming ingest. */
+    * serviceable under streaming ingest.
+    *
+    * File accretion (one file per touched partition per batch) is
+    * folded OUT-OF-BAND with [[graft.sources.Catalog
+    * .compactPartitions]] while the stream is stopped — unlike
+    * [[graft.sources.ObjectIndex]]'s manifest-guarded in-loop fold,
+    * compactPartitions' dynamic-overwrite rewrite is not crash-
+    * atomic, so it stays a maintenance-window operation under the
+    * single-writer discipline rather than running inside the loop. */
   def ingestVectorStream(vecs: DataFrame, codesPath: String,
     checkpointPath: String, vecStorePath: Option[String] = None)
     : org.apache.spark.sql.streaming.StreamingQuery = {

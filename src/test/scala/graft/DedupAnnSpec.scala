@@ -533,6 +533,15 @@ class DedupAnnSpec extends AnyFunSuite {
     queries.Ann.appendVectorStore(spark, storePath, batch)
     assert(spark.read.parquet(storePath).count() == n0,
       "replayed store append duplicated rows (batch was already in the store)")
+    // and the shared compaction folds the store without changing it
+    val before = spark.read.parquet(storePath)
+      .select($"vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    sources.Catalog.compactPartitions(spark, storePath, "bk", 4)
+    val after = spark.read.parquet(storePath)
+      .select($"vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before, "vector-store compaction changed table content")
+    assert(queries.Ann.pqSearchIndexed(spark, storePath, pqPath).collect().nonEmpty,
+      "indexed search broken after store compaction")
   }
 
   test("partitioned append crash-recovery: subdir manifest entries roll forward into partition dirs") {
