@@ -219,6 +219,24 @@ object Ann {
   }
 
   // ---------------------------------------------------------------
+  /** Shared oracle tail: exact integer dot + cosine over candidate
+    * pairs `(qid, vid)` in CTE `candCte`, then the top-[[K]] by
+    * (cosine desc, vid) — the common back of every ANN oracle twin,
+    * as [[ivfCoarsePrefix]] is the common front. */
+  private def sqlRerankTail(candCte: String): String =
+    s"""d AS (SELECT $candCte.qid, $candCte.vid, CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
+       |      FROM $candCte JOIN e ea ON ea.vec_id = $candCte.qid
+       |                JOIN e eb ON eb.vec_id = $candCte.vid AND eb.i = ea.i
+       |      GROUP BY 1, 2),
+       |c AS (SELECT qid, vid, dot,
+       |        CAST(dot AS DOUBLE) / (SQRT(CAST(nq.nrm AS DOUBLE)) * SQRT(CAST(nv.nrm AS DOUBLE))) AS cosine
+       |      FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid)
+       |SELECT qid, vid, dot, cosine, rnk FROM (
+       |  SELECT qid, vid, dot, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rnk
+       |  FROM c) t
+       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+
   private def oracleSql(bucketJoin: Boolean): String = {
     val bucket = VectorOps.Sql.signBucket("embedding", Dedup.BucketDims)
     // multi-probe twin: candidate iff buckets are equal or differ in
@@ -235,18 +253,7 @@ object Ann {
        |pair AS (SELECT bq.vec_id AS qid, bv.vec_id AS vid
        |         FROM b bq JOIN b bv ON bq.vec_id < $NQueries
        |           AND bv.vec_id <> bq.vec_id$bucketCond),
-       |d AS (SELECT pair.qid, pair.vid, CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
-       |      FROM pair JOIN e ea ON ea.vec_id = pair.qid
-       |                JOIN e eb ON eb.vec_id = pair.vid AND eb.i = ea.i
-       |      GROUP BY 1, 2),
-       |c AS (SELECT qid, vid, dot,
-       |        CAST(dot AS DOUBLE) / (SQRT(CAST(nq.nrm AS DOUBLE)) * SQRT(CAST(nv.nrm AS DOUBLE))) AS cosine
-       |      FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid)
-       |SELECT qid, vid, dot, cosine, rnk FROM (
-       |  SELECT qid, vid, dot, cosine,
-       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rnk
-       |  FROM c) t
-       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+       |${sqlRerankTail("pair")}""".stripMargin
   }
 
   val qAnnBruteforceSql: String = oracleSql(bucketJoin = false)
@@ -314,18 +321,7 @@ object Ann {
     s"""$ivfCoarsePrefix
        |cand AS (SELECT qp.qid, a.vid FROM qp
        |         JOIN assign a ON a.cid = qp.cid AND a.vid <> qp.qid),
-       |d AS (SELECT cand.qid, cand.vid, CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
-       |      FROM cand JOIN e ea ON ea.vec_id = cand.qid
-       |                JOIN e eb ON eb.vec_id = cand.vid AND eb.i = ea.i
-       |      GROUP BY 1, 2),
-       |c AS (SELECT qid, vid, dot,
-       |        CAST(dot AS DOUBLE) / (SQRT(CAST(nq.nrm AS DOUBLE)) * SQRT(CAST(nv.nrm AS DOUBLE))) AS cosine
-       |      FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid)
-       |SELECT qid, vid, dot, cosine, rnk FROM (
-       |  SELECT qid, vid, dot, cosine,
-       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rnk
-       |  FROM c) t
-       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+       |${sqlRerankTail("cand")}""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -537,18 +533,7 @@ object Ann {
        |cand AS (SELECT qid, vid FROM (
        |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS crn
        |    FROM adc) t WHERE crn <= $PqCand),
-       |d AS (SELECT cand.qid, cand.vid, CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
-       |      FROM cand JOIN e ea ON ea.vec_id = cand.qid
-       |                JOIN e eb ON eb.vec_id = cand.vid AND eb.i = ea.i
-       |      GROUP BY 1, 2),
-       |c AS (SELECT qid, vid, dot,
-       |        CAST(dot AS DOUBLE) / (SQRT(CAST(nq.nrm AS DOUBLE)) * SQRT(CAST(nv.nrm AS DOUBLE))) AS cosine
-       |      FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid)
-       |SELECT qid, vid, dot, cosine, rnk FROM (
-       |  SELECT qid, vid, dot, cosine,
-       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rnk
-       |  FROM c) t
-       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+       |${sqlRerankTail("cand")}""".stripMargin
   }
 
   /** Oracle twin of [[qAnnIvfPq]] — the composed IVFADC pipeline,
@@ -590,18 +575,7 @@ object Ann {
        |cand AS (SELECT qid, vid FROM (
        |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS crn
        |    FROM adc) t WHERE crn <= $PqCand),
-       |d AS (SELECT cand.qid, cand.vid, CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
-       |      FROM cand JOIN e ea ON ea.vec_id = cand.qid
-       |                JOIN e eb ON eb.vec_id = cand.vid AND eb.i = ea.i
-       |      GROUP BY 1, 2),
-       |c AS (SELECT qid, vid, dot,
-       |        CAST(dot AS DOUBLE) / (SQRT(CAST(nq.nrm AS DOUBLE)) * SQRT(CAST(nv.nrm AS DOUBLE))) AS cosine
-       |      FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid)
-       |SELECT qid, vid, dot, cosine, rnk FROM (
-       |  SELECT qid, vid, dot, cosine,
-       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rnk
-       |  FROM c) t
-       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+       |${sqlRerankTail("cand")}""".stripMargin
   }
 
   /** Bucket count for the stored PQ codes table: codes are
@@ -738,23 +712,31 @@ object Ann {
     * same codebook would produce (spec-proven); the codebook itself
     * is as of build time — retraining on a drifted corpus is a
     * rebuild event, not an append. */
-  def appendPqVectors(s: SparkSession, codesPath: String,
-    cent: Seq[Seq[Seq[Long]]], rawBatch: DataFrame): Unit = {
+  /** In-batch dedup + the bucket-pruned replay guard shared by every
+    * bk-partitioned appender (PQ codes, vector store). vec_id is the
+    * identity key: duplicates WITHIN the batch (an at-least-once
+    * source can deliver a vector twice in one poll) collapse
+    * arbitrarily, duplicates vs the TABLE are anti-joined away. The
+    * guard scan prunes to the batch's own buckets — a duplicate must
+    * land in the same bk partition (bk is a pure function of
+    * vec_id), so per-batch guard cost tracks the touched buckets,
+    * not the table. One implementation so the two tables' replay
+    * semantics can never silently diverge. */
+  private def freshAgainst(s: SparkSession, path: String,
+    rawBatch: DataFrame): DataFrame = {
     import s.implicits._
-    // vec_id is the identity key: duplicates WITHIN the batch (an
-    // at-least-once source can deliver a vector twice in one poll)
-    // collapse arbitrarily here, duplicates vs the TABLE are
-    // anti-joined away below. The guard scan prunes to the batch's
-    // own buckets — a duplicate must land in the same bk partition
-    // (bk is a pure function of vec_id), so per-batch guard cost
-    // tracks the touched buckets, not the index.
     val batch = rawBatch.dropDuplicates("vec_id")
     val bks = batch.select(pmod($"vec_id", lit(PqBuckets.toLong)).as("bk"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val fresh = batch.join(
-      s.read.parquet(codesPath).filter($"bk".isin(bks: _*)).select($"vec_id"),
+    batch.join(
+      s.read.parquet(path).filter($"bk".isin(bks: _*)).select($"vec_id"),
       Seq("vec_id"), "left_anti")
-    val e = intEmbOf(fresh)
+  }
+
+  def appendPqVectors(s: SparkSession, codesPath: String,
+    cent: Seq[Seq[Seq[Long]]], rawBatch: DataFrame): Unit = {
+    import s.implicits._
+    val e = intEmbOf(freshAgainst(s, codesPath, rawBatch))
     graft.sources.Catalog.appendPartitioned(s,
       withBucket(withCodes(e.select($"vec_id", $"iv"), cent)
         .select($"vec_id", $"codes")),
@@ -839,24 +821,36 @@ object Ann {
     graft.sources.Catalog.createPartitionedIfAbsent(s,
       withBucket(raw.select(col("vec_id"), col("embedding"))), path, Seq("bk"))
 
-  /** Append new vectors to the store — in-batch dedup + the
-    * bucket-pruned replay guard, exactly as [[appendPqVectors]]. */
+  /** Append new vectors to the store — the shared [[freshAgainst]]
+    * dedup + replay guard, then the staged partitioned append. */
   def appendVectorStore(s: SparkSession, path: String, rawBatch: DataFrame): Unit = {
     import s.implicits._
-    // normalize array nullability: tightly-encoded sources (e.g. a
-    // streaming Dataset of tuples) carry array<float> NOT NULL, which
-    // the schema-drift guard would reject against the stored table
-    val batch = rawBatch
-      .withColumn("embedding", col("embedding").cast("array<float>"))
-      .dropDuplicates("vec_id")
-    val bks = batch.select(pmod($"vec_id", lit(PqBuckets.toLong)).as("bk"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val fresh = batch.join(
-      s.read.parquet(path).filter($"bk".isin(bks: _*)).select($"vec_id"),
-      Seq("vec_id"), "left_anti")
+    // normalize array NULLABILITY only: tightly-encoded sources
+    // (e.g. a streaming Dataset of tuples) carry array<float> NOT
+    // NULL, which the schema-drift guard would reject against the
+    // stored nullable column. A non-float element type is left
+    // untouched so the guard still FAILFASTs loudly — an
+    // unconditional cast would silently narrow doubles or null out
+    // strings past the very check meant to reject them.
+    val batch = rawBatch.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) =>
+        rawBatch.withColumn("embedding", col("embedding").cast("array<float>"))
+      case _ => rawBatch
+    }
+    val fresh = freshAgainst(s, path, batch)
     graft.sources.Catalog.appendPartitioned(s,
       withBucket(fresh.select($"vec_id", $"embedding")), path, Seq("bk"))
   }
+
+  /** A partial store (crashed build, no _SUCCESS) would not fail a
+    * search loudly — missing query vectors silently drop whole
+    * queries and missing candidates vanish from the re-rank's inner
+    * join — so every indexed-search entry point checks completeness
+    * first, like the stored-codes searches do. */
+  private def requireVectorStore(s: SparkSession, vecStorePath: String): Unit =
+    require(graft.sources.Catalog.tableComplete(s, vecStorePath),
+      s"$vecStorePath is not a complete vector store (crashed build?)")
 
   /** Bucket-pruned fetch of specific vec_ids from the store, as the
     * integer-scaled (vec_id, iv, nrm) frame. */
@@ -889,6 +883,7 @@ object Ann {
   def pqSearchIndexed(s: SparkSession, vecStorePath: String,
     codesPath: String): DataFrame = {
     import s.implicits._
+    requireVectorStore(s, vecStorePath)
     val cent = loadPqIndex(s, codesPath)
     val qdf = pqQueryFrame(s,
       fetchVectors(s, vecStorePath, 0L until NQueries), cent)
@@ -902,6 +897,7 @@ object Ann {
   def ivfPqSearchIndexed(s: SparkSession, vecStorePath: String,
     codesPath: String): DataFrame = {
     import s.implicits._
+    requireVectorStore(s, vecStorePath)
     val (lists, pq) = loadIvfPqIndex(s, codesPath)
     val qe = fetchVectors(s, vecStorePath, 0L until NQueries)
     val (qdf, probeDf, allProbed) = ivfPqQueryFrames(s, qe, lists, pq)
@@ -1087,11 +1083,16 @@ object Ann {
     * appender here.
     *
     * With `vecStorePath` set, each batch ALSO lands in the bucketed
-    * vector store (codes first, store second — both appends carry
-    * their own replay guard, so a crash between the two just replays
-    * into no-ops and the pair converges), keeping the fully-stored
-    * search paths ([[pqSearchIndexed]]/[[ivfPqSearchIndexed]])
-    * serviceable under streaming ingest.
+    * vector store — STORE FIRST, codes second: a concurrent search
+    * resolves every codes row it finds (an extra store row without
+    * codes is invisible — only candidates are fetched), whereas the
+    * reverse order opens a window where a true neighbor's codes are
+    * scannable but its vector is absent and the re-rank's inner join
+    * silently drops it. Both appends carry their own replay guard,
+    * so a crash between the two converges on replay under either
+    * order; the ordering buys read consistency, keeping
+    * [[pqSearchIndexed]]/[[ivfPqSearchIndexed]] serviceable under
+    * streaming ingest.
     *
     * File accretion (one file per touched partition per batch) is
     * folded OUT-OF-BAND with [[graft.sources.Catalog
@@ -1111,13 +1112,19 @@ object Ann {
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        graft.sources.Catalog.recoverAppends(s, codesPath)
-        if (ivfPq) appendIvfPqVectors(s, codesPath, lists, pq, batch)
-        else appendPqVectors(s, codesPath, pq, batch)
-        vecStorePath.foreach { sp =>
-          graft.sources.Catalog.recoverAppends(s, sp)
-          appendVectorStore(s, sp, batch)
-        }
+        // each appender runs its own dedup + guard + write actions
+        // against this frame — pin it once so the micro-batch is not
+        // recomputed per action (4× for dual-target ingest)
+        val b = batch.persist()
+        try {
+          vecStorePath.foreach { sp =>
+            graft.sources.Catalog.recoverAppends(s, sp)
+            appendVectorStore(s, sp, b)
+          }
+          graft.sources.Catalog.recoverAppends(s, codesPath)
+          if (ivfPq) appendIvfPqVectors(s, codesPath, lists, pq, b)
+          else appendPqVectors(s, codesPath, pq, b)
+        } finally { b.unpersist(false); () }
       }
       .start()
   }
