@@ -1073,6 +1073,88 @@ object Dedup {
       |  (1000 * (COUNT(*) - COUNT(DISTINCT MD5(text)))) // COUNT(*) AS dup_pm
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Benchmark decontamination: flag training docs whose text overlaps
+    * an evaluation/benchmark set — the pipeline step that keeps eval
+    * answers out of the training corpus. The benchmark here is a
+    * deterministic carve-out (`doc_id % `[[BenchMod]]` = 0`) so the
+    * DuckDB oracle can reproduce it exactly; in production it is a
+    * fixed external table of eval items.
+    *
+    * Shape for 100 TB: the benchmark set is FIXED-SIZE (eval suites
+    * don't grow with the corpus), so its df-capped gram set is
+    * broadcast; the corpus is gram-scanned ONCE and aggregated per
+    * (doc, bench) with map-side partial combine — no corpus self-join
+    * and no shuffle of corpus grams beyond the per-doc aggregate.
+    * [[BenchGramDfCap]] drops grams shared by more than that many
+    * bench docs (bench-side boilerplate identifies no specific eval
+    * item), which also bounds broadcast-join fan-out per corpus gram.
+    *
+    * A doc is contaminated by a bench doc when it contains ≥
+    * [[ContamMinHits]] of its informative grams AND those cover ≥
+    * [[ContamPctMin]]% of that bench doc's informative-gram set —
+    * the ratio is denominated in the BENCH doc (the question is "does
+    * this training doc leak the eval item", not the converse).
+    * Output per contaminated doc: how many bench docs it leaks, the
+    * strongest overlap, and the strongest-hit bench id (ties → lowest
+    * bench id). */
+  val ContamMinHits = 20
+  val ContamPctMin = 20
+  val BenchMod = 97L
+  val BenchGramDfCap = 3
+
+  private[graft] def decontaminate(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val g = charGramRowsOf(docs)
+    val bg = capBlocks(
+      g.filter($"doc_id" % BenchMod === 0)
+        .withColumnRenamed("doc_id", "bench_id"),
+      Seq("gram"), BenchGramDfCap)
+    val bgN = bg.groupBy($"bench_id").agg(count(lit(1)).as("nbg"))
+    g.filter($"doc_id" % BenchMod =!= 0)
+      .join(broadcast(bg), "gram")
+      .groupBy($"doc_id", $"bench_id")
+      .agg(count(lit(1)).as("hits"))
+      .join(broadcast(bgN), "bench_id")
+      .filter($"hits" >= ContamMinHits &&
+        $"hits" * 100 >= $"nbg" * ContamPctMin)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bench"),
+        max(struct($"hits", (-$"bench_id").as("nb"))).as("b"))
+      .select($"doc_id", $"n_bench", $"b.hits".as("max_hits"),
+        (-$"b.nb").as("top_bench"))
+      .orderBy($"doc_id")
+  }
+
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables.documents(s, dir))
+
+  val qDecontaminateSql: String =
+    s"""WITH g AS (SELECT doc_id, unnest(list_distinct(
+       |    [substr(text, i, $ContainGramLen) for i in range(1, len(text) - ${ContainGramLen - 2})])) AS gram
+       |  FROM documents WHERE length(text) >= $ContainGramLen),
+       |bg AS (SELECT bench_id, gram FROM (
+       |        SELECT doc_id AS bench_id, gram,
+       |               COUNT(*) OVER (PARTITION BY gram) AS df
+       |        FROM g WHERE doc_id % $BenchMod = 0)
+       |       WHERE df <= $BenchGramDfCap),
+       |bn AS (SELECT bench_id, COUNT(*) AS nbg FROM bg GROUP BY 1),
+       |p AS (SELECT c.doc_id, b.bench_id, COUNT(*) AS hits
+       |      FROM g c JOIN bg b USING (gram) WHERE c.doc_id % $BenchMod <> 0
+       |      GROUP BY 1, 2),
+       |pf AS (SELECT p.doc_id, p.bench_id, p.hits
+       |       FROM p JOIN bn ON p.bench_id = bn.bench_id
+       |       WHERE p.hits >= $ContamMinHits
+       |         AND p.hits * 100 >= bn.nbg * $ContamPctMin),
+       |r AS (SELECT doc_id, bench_id, hits,
+       |        ROW_NUMBER() OVER (PARTITION BY doc_id
+       |          ORDER BY hits DESC, bench_id) AS rn,
+       |        COUNT(*) OVER (PARTITION BY doc_id) AS n_bench,
+       |        MAX(hits) OVER (PARTITION BY doc_id) AS max_hits
+       |      FROM pf)
+       |SELECT doc_id, n_bench, max_hits, bench_id AS top_bench
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
@@ -1087,7 +1169,8 @@ object Dedup {
     "q_pagerank" -> (qPageRank _),
     "q_pipeline_clean" -> (qPipelineClean _),
     "q_degree_dist" -> (qDegreeDist _),
-    "q_dup_ratio" -> (qDupRatio _))
+    "q_dup_ratio" -> (qDupRatio _),
+    "q_decontaminate" -> (qDecontaminate _))
 
   val oracles: Map[String, String] = Map(
     "q_dedup_minhash" -> qDedupMinhashSql,
@@ -1103,5 +1186,6 @@ object Dedup {
     "q_edit_dist_pairs" -> qEditDistPairsSql,
     "q_pipeline_clean" -> qPipelineCleanSql,
     "q_degree_dist" -> qDegreeDistSql,
-    "q_dup_ratio" -> qDupRatioSql)
+    "q_dup_ratio" -> qDupRatioSql,
+    "q_decontaminate" -> qDecontaminateSql)
 }

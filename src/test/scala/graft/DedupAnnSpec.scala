@@ -91,6 +91,33 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(queries.Dedup.embeddingNearDups(emb).count() == 0)
   }
 
+  test("q_decontaminate flags the planted leak; bench boilerplate is capped out") {
+    import spark.implicits._
+    val bp = "standard eval header boilerplate shared by every benchmark item in the suite "
+    val item0 = (0 until 20).map(i => f"leakable$i%03d").mkString(" ")
+    val docs = Seq(
+      (0L, bp + item0),
+      (97L, bp + "unique tail for benchmark item ninety-seven goes right here"),
+      (194L, bp + "another unique tail for benchmark item one-ninety-four"),
+      (291L, bp + "yet another unique tail for item two-ninety-one to close"),
+      // the leak: contains eval item 0 verbatim
+      (1L, "training doc that leaks the eval item: " + item0 + " plus chatter"),
+      (2L, "a completely unrelated training document about something else entirely"),
+      // below ContamMinHits: only 13 grams of item 0
+      (3L, "tiny overlap only: " + item0.substring(0, 20)),
+      // pure bench boilerplate — its grams are df-capped out of the index
+      (4L, bp + "corpus doc that is nothing but the shared boilerplate")
+    ).toDF("doc_id", "text")
+    val out = queries.Dedup.decontaminate(docs)
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L),
+      s"expected only doc 1 flagged, got ${rows.mkString(",")}")
+    assert(rows.head.getAs[Long]("n_bench") == 1 &&
+      rows.head.getAs[Long]("top_bench") == 0L)
+    assert(out.queryExecution.executedPlan.toString.contains("Broadcast"),
+      "bench gram set must reach the corpus scan as a broadcast")
+  }
+
   test("exact dedup still collapses the mass-duplicate cluster the caps dropped") {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
