@@ -443,6 +443,78 @@ object Text {
        |FROM c WHERE cnt >= $ZipfMinCount
        |ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Intra-document repetition filters (the Gopher/MassiveText family):
+    * duplicate word-3-gram permille (how much of the doc is recycled
+    * phrasing) and top-bigram coverage permille (how much one bigram
+    * dominates). Docs above either threshold are machine-generated /
+    * boilerplate suspects and get `keep = 0`.
+    *
+    * Shape for 100 TB: repetition is a PER-DOCUMENT property, so both
+    * metrics are computed inside one row with array expressions —
+    * n-grams via `transform(sequence(...))`, the distinct count via
+    * `array_distinct`, and the max bigram multiplicity as a run-length
+    * fold over the SORTED bigram array (`aggregate` HOF, single pass).
+    * Zero shuffle: nothing leaves the document, unlike the tf/df
+    * queries. The fold state is 3 fields wide and the arrays live only
+    * inside the projection — no explode, no per-gram rows. */
+  val RepDup3PmMax = 10
+  val RepTop2PmMax = 60
+
+  def qRepetition(s: SparkSession, dir: String): DataFrame =
+    repetition(Tables.documents(s, dir))
+
+  private[graft] def repetition(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 3)
+      .select($"doc_id",
+        size($"w").cast("long").as("n_words"),
+        expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))").as("g3"),
+        expr("array_sort(transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1])))").as("s2"))
+      .select($"doc_id", $"n_words",
+        expr("CAST(size(g3) AS BIGINT)").as("n3"),
+        expr("CAST(size(array_distinct(g3)) AS BIGINT)").as("dst3"),
+        expr("""aggregate(s2,
+             named_struct('prev', CAST(NULL AS STRING),
+                          'run', CAST(0 AS BIGINT), 'mx', CAST(0 AS BIGINT)),
+             (a, x) -> named_struct(
+               'prev', x,
+               'run', IF(x <=> a.prev, a.run + 1, CAST(1 AS BIGINT)),
+               'mx', GREATEST(a.mx, IF(x <=> a.prev, a.run + 1, CAST(1 AS BIGINT)))),
+             a -> a.mx)""").as("mx2"),
+        expr("CAST(size(s2) AS BIGINT)").as("n2"))
+      .select($"doc_id", $"n_words",
+        expr("(1000 * (n3 - dst3)) DIV n3").as("dup3_pm"),
+        expr("(1000 * mx2) DIV n2").as("top2_pm"))
+      .withColumn("keep",
+        when($"dup3_pm" <= RepDup3PmMax && $"top2_pm" <= RepTop2PmMax, 1)
+          .otherwise(0))
+      .orderBy($"doc_id")
+  }
+
+  val qRepetitionSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |           WHERE len(string_split(text, ' ')) >= 3),
+       |t3 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                              for i in range(1, len(w) - 1)]) AS g FROM d),
+       |a3 AS (SELECT doc_id, COUNT(*) AS n3, COUNT(DISTINCT g) AS dst3
+       |       FROM t3 GROUP BY 1),
+       |t2 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+       |                              for i in range(1, len(w))]) AS g FROM d),
+       |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM t2 GROUP BY 1, 2),
+       |a2 AS (SELECT doc_id, MAX(c) AS mx2, CAST(SUM(c) AS BIGINT) AS n2
+       |       FROM c2 GROUP BY 1)
+       |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
+       |  (1000 * (a3.n3 - a3.dst3)) // a3.n3 AS dup3_pm,
+       |  (1000 * a2.mx2) // a2.n2 AS top2_pm,
+       |  CASE WHEN (1000 * (a3.n3 - a3.dst3)) // a3.n3 <= $RepDup3PmMax
+       |        AND (1000 * a2.mx2) // a2.n2 <= $RepTop2PmMax
+       |       THEN 1 ELSE 0 END AS keep
+       |FROM d JOIN a3 USING (doc_id) JOIN a2 USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zipf" -> (qZipf _),
     "q_collocations" -> (qCollocations _),
@@ -453,7 +525,8 @@ object Text {
     "q_lang_id" -> (qLangId _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
-    "q_winnow_fingerprint" -> (qWinnowFingerprint _))
+    "q_winnow_fingerprint" -> (qWinnowFingerprint _),
+    "q_repetition" -> (qRepetition _))
 
   val oracles: Map[String, String] = Map(
     "q_zipf" -> qZipfSql,
@@ -465,5 +538,6 @@ object Text {
     "q_lang_id" -> qLangIdSql,
     "q_token_count" -> qTokenCountSql,
     "q_fingerprint" -> qFingerprintSql,
-    "q_winnow_fingerprint" -> qWinnowFingerprintSql)
+    "q_winnow_fingerprint" -> qWinnowFingerprintSql,
+    "q_repetition" -> qRepetitionSql)
 }

@@ -79,6 +79,36 @@ class TextSpec extends AnyFunSuite {
     assert(plan.contains("codegen id"), s"no codegen span in:\n$plan")
   }
 
+  test("q_repetition: planted loops are dropped, clean doc kept, no per-gram shuffle") {
+    import spark.implicits._
+    val distinctWords = (0 until 60).map(i => f"w$i%02d").mkString(" ")
+    val docs = Seq(
+      // one phrase looped 20x: nearly every 3-gram is a duplicate
+      (1L, Seq.fill(20)("copy paste spam block").mkString(" ")),
+      // one bigram dominates an otherwise-varied doc
+      (2L, distinctWords + " " + Seq.fill(30)("buy now").mkString(" ")),
+      // clean: all words distinct
+      (3L, distinctWords),
+      // too short for a 3-gram: filtered out entirely
+      (4L, "ab cd")
+    ).toDF("doc_id", "text")
+    val out = queries.Text.repetition(docs).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getAs[Long]("dup3_pm"), r.getAs[Long]("top2_pm"), r.getAs[Int]("keep"))).toMap
+    assert(byId(1L)._1 > 900 && byId(1L)._3 == 0, s"looped doc: ${byId(1L)}")
+    assert(byId(2L)._2 > queries.Text.RepTop2PmMax && byId(2L)._3 == 0,
+      s"dominated doc: ${byId(2L)}")
+    assert(byId(3L) == ((0L, 16L, 1)), s"clean doc: ${byId(3L)}")
+    // per-document metrics must not shuffle per-gram rows: the only
+    // exchange is the presentation sort's range partitioning
+    val df = queries.Text.repetition(docs)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), s"unexpected aggregate in:\n$plan")
+    assert(!plan.contains("hashpartitioning"), s"per-gram shuffle in:\n$plan")
+  }
+
   test("q_zipf ranks are dense from 1 and counts non-increasing") {
     val rows = queries.Text.qZipf(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
