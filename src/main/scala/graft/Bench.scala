@@ -47,7 +47,10 @@ object Bench {
     // sketch-style aggregates, and the widest window/sequence scans
     "q_knn3", "q_edit_dist_pairs", "q_retention", "q_winnow_fingerprint",
     "q_xmatch_unmatched", "q_percent_rank", "q_attribution",
-    "q_heavy_hitters", "q_collocations", "q_hopping")
+    "q_heavy_hitters", "q_collocations", "q_hopping",
+    // round-9 wave-2: the new pipeline gates — bench-set broadcast
+    // contamination join and the zero-shuffle repetition fold
+    "q_decontaminate", "q_repetition")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -151,6 +151,67 @@ object TextHashAlgos {
   }
 }
 
+object TextStatAlgos {
+  /** Repetition stats of `text` split on single spaces (empty tokens
+    * kept, exactly like `split(text, ' ')` with limit -1):
+    * `[n_words, n3, dst3, mx2, n2]` where n3/dst3 are total/distinct
+    * word-3-gram counts and mx2/n2 are the max multiplicity and total
+    * count of word-2-grams.
+    *
+    * Equality of joined n-grams is equality of the underlying text
+    * span: every separator is exactly one space, so the words i..j
+    * joined with ' ' ARE the original substring [start(i), end(j)) —
+    * dedup works on substrings, no gram strings are re-assembled. One
+    * pass, exact (string-keyed, no hash truncation), replacing a
+    * sort + interpreted fold over per-row gram arrays. */
+  def repStats(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    var nw = 1
+    var i = 0
+    while (i < len) { if (s.charAt(i) == ' ') nw += 1; i += 1 }
+    val starts = new Array[Int](nw)
+    val ends = new Array[Int](nw)
+    var w = 0
+    i = 0
+    while (i < len) {
+      if (s.charAt(i) == ' ') { ends(w) = i; w += 1; starts(w) = i + 1 }
+      i += 1
+    }
+    ends(w) = len
+    val n3 = if (nw >= 3) nw - 2 else 0
+    val set3 = new java.util.HashSet[String](Integer.highestOneBit(n3 * 4 + 15))
+    i = 0
+    while (i < n3) { set3.add(s.substring(starts(i), ends(i + 2))); i += 1 }
+    val n2 = if (nw >= 2) nw - 1 else 0
+    val cnt2 = new java.util.HashMap[String, Integer](Integer.highestOneBit(n2 * 4 + 15))
+    var mx2 = 0L
+    i = 0
+    while (i < n2) {
+      val g = s.substring(starts(i), ends(i + 1))
+      val prev = cnt2.get(g)
+      val c = if (prev == null) 1 else prev.intValue + 1
+      cnt2.put(g, Integer.valueOf(c))
+      if (c > mx2) mx2 = c.toLong
+      i += 1
+    }
+    new GenericArrayData(Array[Long](nw.toLong, n3.toLong, set3.size.toLong, mx2, n2.toLong))
+  }
+}
+
+/** Per-document repetition stats `[n_words, n3, dst3, mx2, n2]` — see
+  * [[TextStatAlgos.repStats]]. */
+case class RepStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rep_stats"
+  override def nullSafeEval(input: Any): Any =
+    TextStatAlgos.repStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatAlgos.repStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
+}
+
 /** MinHash signature of the word `shingle`-grams of a string column:
   * array of `numHashes` longs. One pass, codegen-friendly. */
 case class MinHashSig(child: Expression, shingle: Int, numHashes: Int)
@@ -200,4 +261,6 @@ object TextFunctions {
     ColumnBridge.column(SimHash64(ColumnBridge.expression(c)))
   def winnowFingerprints(c: Column, k: Int = 8, w: Int = 4): Column =
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(c), k, w))
+  def repStats(c: Column): Column =
+    ColumnBridge.column(RepStats(ColumnBridge.expression(c)))
 }

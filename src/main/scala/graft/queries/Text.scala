@@ -451,13 +451,14 @@ object Text {
     * boilerplate suspects and get `keep = 0`.
     *
     * Shape for 100 TB: repetition is a PER-DOCUMENT property, so both
-    * metrics are computed inside one row with array expressions —
-    * n-grams via `transform(sequence(...))`, the distinct count via
-    * `array_distinct`, and the max bigram multiplicity as a run-length
-    * fold over the SORTED bigram array (`aggregate` HOF, single pass).
-    * Zero shuffle: nothing leaves the document, unlike the tf/df
-    * queries. The fold state is 3 fields wide and the arrays live only
-    * inside the projection — no explode, no per-gram rows. */
+    * metrics are computed in ONE streaming pass per row by the native
+    * [[graft.functions.RepStats]] expression (codegen static call —
+    * the projection stays inside the whole-stage loop). Zero shuffle:
+    * nothing leaves the document, unlike the tf/df queries; only the
+    * 5-long stats vector exists outside the kernel. The declarative
+    * twin [[repetitionFold]] (array `transform` + sorted run-length
+    * `aggregate` fold) is kept as the property-test oracle for the
+    * kernel. */
   val RepDup3PmMax = 10
   val RepTop2PmMax = 60
 
@@ -466,7 +467,21 @@ object Text {
 
   private[graft] def repetition(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs
+    repGate(docs
+      .select($"doc_id", TextFunctions.repStats($"text").as("r"))
+      .filter($"r" (0) >= 3)
+      .select($"doc_id", $"r" (0).as("n_words"), $"r" (1).as("n3"),
+        $"r" (2).as("dst3"), $"r" (3).as("mx2"), $"r" (4).as("n2")))
+  }
+
+  /** Declarative twin of [[repetition]] — same result, computed with
+    * built-in array expressions (n-grams via `transform(sequence)`,
+    * distinct via `array_distinct`, max bigram multiplicity as a
+    * run-length `aggregate` fold over the sorted bigram array). The
+    * spec proves kernel ≡ fold on randomized corpora. */
+  private[graft] def repetitionFold(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    repGate(docs
       .select($"doc_id", split($"text", " ").as("w"))
       .filter(size($"w") >= 3)
       .select($"doc_id",
@@ -484,7 +499,14 @@ object Text {
                'run', IF(x <=> a.prev, a.run + 1, CAST(1 AS BIGINT)),
                'mx', GREATEST(a.mx, IF(x <=> a.prev, a.run + 1, CAST(1 AS BIGINT)))),
              a -> a.mx)""").as("mx2"),
-        expr("CAST(size(s2) AS BIGINT)").as("n2"))
+        expr("CAST(size(s2) AS BIGINT)").as("n2")))
+  }
+
+  /** Shared tail: permille metrics + the keep gate over the raw
+    * (n_words, n3, dst3, mx2, n2) stats. */
+  private def repGate(stats: DataFrame): DataFrame = {
+    import stats.sparkSession.implicits._
+    stats
       .select($"doc_id", $"n_words",
         expr("(1000 * (n3 - dst3)) DIV n3").as("dup3_pm"),
         expr("(1000 * mx2) DIV n2").as("top2_pm"))

@@ -109,6 +109,25 @@ class TextSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning"), s"per-gram shuffle in:\n$plan")
   }
 
+  test("rep_stats kernel matches the declarative fold on randomized corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0 until 300).map { i =>
+      val n = 3 + rnd.nextInt(60)
+      val sb = new StringBuilder(vocab(rnd.nextInt(vocab.size)))
+      (1 until n).foreach { _ =>
+        // occasional double space → empty tokens, the split edge case
+        sb.append(if (rnd.nextInt(12) == 0) "  " else " ")
+        sb.append(vocab(rnd.nextInt(vocab.size)))
+      }
+      (i.toLong, sb.toString)
+    }.toDF("doc_id", "text")
+    val a = queries.Text.repetition(docs).collect().map(_.toSeq).toSeq
+    val b = queries.Text.repetitionFold(docs).collect().map(_.toSeq).toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("q_zipf ranks are dense from 1 and counts non-increasing") {
     val rows = queries.Text.qZipf(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
