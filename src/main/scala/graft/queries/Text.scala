@@ -537,6 +537,63 @@ object Text {
        |FROM d JOIN a3 USING (doc_id) JOIN a2 USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Sequence packing: assign documents to fixed token-budget training
+    * shards, concatenate-and-chunk style (docs are laid end-to-end in
+    * order; a shard is [[PackBudget]] whitespace tokens; a doc belongs
+    * to the shard its first token lands in, `n_cut` counts docs that
+    * straddle a shard boundary — the padding/splitting the trainer
+    * must absorb).
+    *
+    * Shape for 100 TB: packing is sequential per stream, so a single
+    * per-source ordering would serialize the corpus. Instead docs are
+    * packed within `(source, batch)` where batch = `doc_id DIV`
+    * [[PackBatch]] — the ingest-batch granularity. Every window is
+    * bounded by the batch size, all batches pack in parallel, and one
+    * shuffle (the window partition key) does all the work; shard ids
+    * are deterministic and stable under re-partitioning. */
+  val PackBudget = 128L
+  val PackBatch = 100L
+
+  def qPackShards(s: SparkSession, dir: String): DataFrame =
+    packShards(Tables.documents(s, dir))
+
+  private[graft] def packShards(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = Window.partitionBy($"source", $"batch").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select($"doc_id", $"source",
+        expr(s"doc_id DIV $PackBatch").as("batch"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("toks"))
+      .withColumn("cum", sum($"toks").over(w))
+      // a doc is cut iff its LAST token (position cum - 1) lands in a
+      // later shard than its first; ending exactly on a boundary is
+      // not a cut
+      .select($"doc_id", $"source", $"batch", $"toks",
+        expr(s"(cum - toks) DIV $PackBudget").as("shard"),
+        expr(s"CASE WHEN (cum - 1) DIV $PackBudget > (cum - toks) DIV $PackBudget THEN 1 ELSE 0 END").as("cut"))
+      .groupBy($"source", $"batch", $"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"cut").as("n_cut"),
+        min($"doc_id").as("doc_lo"), max($"doc_id").as("doc_hi"),
+        sum($"toks").as("tok_sum"))
+      .orderBy($"source", $"batch", $"shard")
+  }
+
+  val qPackShardsSql: String =
+    s"""WITH t AS (SELECT doc_id, source, doc_id // $PackBatch AS batch,
+       |    CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS toks
+       |  FROM documents),
+       |c AS (SELECT *, SUM(toks) OVER (PARTITION BY source, batch
+       |        ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+       |SELECT source, batch, CAST((cum - toks) // $PackBudget AS BIGINT) AS shard,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN (cum - 1) // $PackBudget > (cum - toks) // $PackBudget
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_cut,
+       |  MIN(doc_id) AS doc_lo, MAX(doc_id) AS doc_hi,
+       |  CAST(SUM(toks) AS BIGINT) AS tok_sum
+       |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zipf" -> (qZipf _),
     "q_collocations" -> (qCollocations _),
@@ -548,7 +605,8 @@ object Text {
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_winnow_fingerprint" -> (qWinnowFingerprint _),
-    "q_repetition" -> (qRepetition _))
+    "q_repetition" -> (qRepetition _),
+    "q_pack_shards" -> (qPackShards _))
 
   val oracles: Map[String, String] = Map(
     "q_zipf" -> qZipfSql,
@@ -561,5 +619,6 @@ object Text {
     "q_token_count" -> qTokenCountSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_winnow_fingerprint" -> qWinnowFingerprintSql,
-    "q_repetition" -> qRepetitionSql)
+    "q_repetition" -> qRepetitionSql,
+    "q_pack_shards" -> qPackShardsSql)
 }

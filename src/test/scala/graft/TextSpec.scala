@@ -128,6 +128,29 @@ class TextSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("q_pack_shards: exact shard layout, boundary-end is not a cut, batches pack independently") {
+    import spark.implicits._
+    def doc(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // budget 128: cum after each doc = 100, 128, 138, 288, 289
+    val docs = Seq(
+      (0L, "s", doc(100)), // shard 0
+      (1L, "s", doc(28)),  // ends exactly at 128 -> shard 0, NOT cut
+      (2L, "s", doc(10)),  // starts at 128 -> shard 1
+      (3L, "s", doc(150)), // 138..288 spans into shard 2 -> cut
+      (4L, "s", doc(1)),   // starts at 288 -> shard 2
+      // next ingest batch (doc_id DIV 100 = 1): packs from shard 0
+      (100L, "s", doc(5))
+    ).toDF("doc_id", "source", "text")
+    val out = queries.Text.packShards(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 2L, 0L, 0L, 1L, 128L),
+      (0L, 1L, 2L, 1L, 2L, 3L, 160L),
+      (0L, 2L, 1L, 0L, 4L, 4L, 1L),
+      (1L, 0L, 1L, 0L, 100L, 100L, 5L)), s"got ${out.toSeq}")
+  }
+
   test("q_zipf ranks are dense from 1 and counts non-increasing") {
     val rows = queries.Text.qZipf(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
