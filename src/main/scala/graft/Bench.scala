@@ -50,7 +50,7 @@ object Bench {
     "q_heavy_hitters", "q_collocations", "q_hopping",
     // round-9 wave-2: the new pipeline gates — bench-set broadcast
     // contamination join and the zero-shuffle repetition fold
-    "q_decontaminate", "q_repetition")
+    "q_decontaminate", "q_repetition", "q_pack_shards")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
