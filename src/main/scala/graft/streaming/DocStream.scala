@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.functions.TextFunctions
+import graft.queries.Text
+import graft.sources.Catalog
+
+/** Streaming corpus ingest — the documents twin of the stored-ANN
+  * ingest ([[graft.queries.Ann.ingestVectorStream]]): each micro-batch
+  * passes the shared quality + repetition gates, is exact-deduped by
+  * content fingerprint within the batch AND against the corpus at
+  * rest, and lands through the crash-safe staged-append lifecycle
+  * ([[Catalog.appendPartitioned]]; a predecessor's crash is resolved
+  * by [[Catalog.recoverAppends]] at the top of each batch — same
+  * single-writer discipline as the ANN ingest).
+  *
+  * Shape for 100 TB: the at-rest table is partitioned by fingerprint
+  * bucket, so the per-batch anti-join reads ONLY the buckets the
+  * batch touches (static partition pruning — cost tracks the batch,
+  * not the corpus). Deduping on the CONTENT fingerprint makes
+  * at-least-once delivery exactly-once content: a replayed
+  * micro-batch anti-joins away entirely, and the same text
+  * re-submitted under a new doc_id is still one copy at rest.
+  */
+object DocStream {
+  /** Fingerprint-bucket partition count of the clean corpus. Sized so
+    * one bucket ≈ one maintenance unit; at 100 TB raise it with a
+    * rebuild (bucket id is derived, not stored upstream). */
+  val DocBuckets = 16L
+
+  /** The shared ingest gate: minimum length + stopword presence
+    * (q_text_quality's keep) and the repetition gate (q_repetition's
+    * keep) — thresholds defined ONCE in [[Text]], so tuning them
+    * updates the batch queries, their oracles, and this ingest
+    * together. GREATEST keeps the permille DIVs ANSI-safe on docs
+    * with no trigram (they fail the length gate regardless). */
+  private[graft] def gate(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("r", TextFunctions.repStats($"text"))
+      .filter($"r" (0) >= Text.QualityMinWords &&
+        expr(s"size(filter(split(text, ' '), w -> w IN (${Text.StopProbeList}))) > 0") &&
+        expr(s"(1000 * (r[1] - r[2])) DIV GREATEST(r[1], 1) <= ${Text.RepDup3PmMax}") &&
+        expr(s"(1000 * r[3]) DIV GREATEST(r[4], 1) <= ${Text.RepTop2PmMax}"))
+      .drop("r")
+  }
+
+  private def withFp(docs: DataFrame): DataFrame =
+    docs.withColumn("fp", xxhash64(col("text")))
+      .withColumn("bk", pmod(col("fp"), lit(DocBuckets)))
+
+  /** Deterministic in-batch content dedup: lowest doc_id wins per
+    * fingerprint (not dropDuplicates, whose survivor is
+    * partitioning-dependent). */
+  private def dedupBatch(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = Window.partitionBy($"fp").orderBy($"doc_id")
+    docs.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+  }
+
+  /** Build the clean corpus table from an existing documents frame —
+    * create-if-absent lifecycle, no-op when already complete. */
+  def buildCleanCorpus(s: SparkSession, docs: DataFrame, path: String): Boolean =
+    Catalog.createPartitionedIfAbsent(s, dedupBatch(withFp(gate(docs))),
+      path, Seq("bk"))
+
+  /** Gate + dedup + append one batch of raw documents. */
+  def appendDocs(s: SparkSession, path: String, rawBatch: DataFrame): Unit = {
+    import s.implicits._
+    val batch = dedupBatch(withFp(gate(rawBatch)))
+    val bks = batch.select($"bk").distinct().collect().map(_.getLong(0)).toSeq
+    val fresh =
+      if (bks.isEmpty) batch
+      else batch.join(
+        s.read.parquet(path).filter($"bk".isin(bks: _*)).select($"fp"),
+        Seq("fp"), "left_anti")
+    // align column order with the stored table before the
+    // schema-drift check (a caller's select order is not a drift)
+    val dataCols = s.read.parquet(path).schema.map(_.name).filterNot(_ == "bk")
+    Catalog.appendPartitioned(s, fresh.select((dataCols :+ "bk").map(col): _*),
+      path, Seq("bk"))
+  }
+
+  /** Streaming ingest into the clean corpus at `corpusPath` (must be
+    * built first via [[buildCleanCorpus]]). */
+  def ingestDocStream(docs: DataFrame, corpusPath: String,
+    checkpointPath: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        // pin the micro-batch: the gate + dedup + anti-join run
+        // several actions against it (bucket collect, append)
+        val b = batch.persist()
+        try {
+          Catalog.recoverAppends(s, corpusPath)
+          appendDocs(s, corpusPath, b)
+        } finally { b.unpersist(false); () }
+      }
+      .start()
+}
