@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftx.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass text-signature algorithms as native Catalyst expressions.
@@ -197,6 +197,28 @@ object TextStatAlgos {
     }
     new GenericArrayData(Array[Long](nw.toLong, n3.toLong, set3.size.toLong, mx2, n2.toLong))
   }
+
+  /** The whole length + repetition keep verdict in ONE kernel call:
+    * n_words ≥ minWords, duplicate-trigram permille ≤ dup3PmMax, and
+    * top-bigram-coverage permille ≤ top2PmMax. Exists so a gating
+    * FILTER costs one [[repStats]] pass — filtering on fields of an
+    * aliased repStats column lets predicate pushdown substitute the
+    * alias and re-evaluate the kernel once per referenced field.
+    * JVM integer division == `DIV` here (all operands non-negative);
+    * minWords ≥ 3 keeps the denominators positive. */
+  def repKeep(text: UTF8String, minWords: Int,
+    dup3PmMax: Long, top2PmMax: Long): Boolean = {
+    require(minWords >= 3, s"minWords must be >= 3, got $minWords")
+    val a = repStats(text)
+    val nw = a.getLong(0)
+    val n3 = a.getLong(1)
+    val dst3 = a.getLong(2)
+    val mx2 = a.getLong(3)
+    val n2 = a.getLong(4)
+    nw >= minWords &&
+      (1000L * (n3 - dst3)) / n3 <= dup3PmMax &&
+      (1000L * mx2) / n2 <= top2PmMax
+  }
 }
 
 /** Per-document repetition stats `[n_words, n3, dst3, mx2, n2]` — see
@@ -209,6 +231,22 @@ case class RepStats(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextStatAlgos.repStats($c)")
   override protected def withNewChildInternal(newChild: Expression): RepStats =
+    copy(child = newChild)
+}
+
+/** One-call length + repetition gate verdict — see
+  * [[TextStatAlgos.repKeep]]. */
+case class RepKeep(child: Expression, minWords: Int,
+  dup3PmMax: Long, top2PmMax: Long) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "rep_keep"
+  override def nullSafeEval(input: Any): Any =
+    TextStatAlgos.repKeep(input.asInstanceOf[UTF8String],
+      minWords, dup3PmMax, top2PmMax)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextStatAlgos.repKeep($c, $minWords, ${dup3PmMax}L, ${top2PmMax}L)")
+  override protected def withNewChildInternal(newChild: Expression): RepKeep =
     copy(child = newChild)
 }
 
@@ -263,4 +301,7 @@ object TextFunctions {
     ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(c), k, w))
   def repStats(c: Column): Column =
     ColumnBridge.column(RepStats(ColumnBridge.expression(c)))
+  def repKeep(c: Column, minWords: Int, dup3PmMax: Long, top2PmMax: Long): Column =
+    ColumnBridge.column(RepKeep(ColumnBridge.expression(c),
+      minWords, dup3PmMax, top2PmMax))
 }

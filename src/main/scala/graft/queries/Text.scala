@@ -467,9 +467,14 @@ object Text {
 
   private[graft] def repetition(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
+    // the ≥3-words filter runs BEFORE the kernel on a cheap builtin
+    // (space count ≥ 2 ⟺ n_words ≥ 3): filtering on r[0] instead
+    // would push the predicate through the projection by substituting
+    // the alias — re-evaluating the kernel once in the Filter and
+    // again in the Project (spec-pinned to exactly one invocation)
     repGate(docs
+      .filter(expr("length(text) - length(replace(text, ' ', '')) >= 2"))
       .select($"doc_id", TextFunctions.repStats($"text").as("r"))
-      .filter($"r" (0) >= 3)
       .select($"doc_id", $"r" (0).as("n_words"), $"r" (1).as("n3"),
         $"r" (2).as("dst3"), $"r" (3).as("mx2"), $"r" (4).as("n2")))
   }

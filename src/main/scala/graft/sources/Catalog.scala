@@ -312,19 +312,24 @@ object Catalog {
     * the partition keys) fails loudly against the existing table's
     * file schema before any data is written. */
   def appendPartitioned(s: SparkSession, df: DataFrame, path: String,
-    partitionCols: Seq[String]): Unit = {
+    partitionCols: Seq[String], tableSchema: Option[StructType] = None): Unit = {
     require(tableComplete(s, path),
       s"$path is not a complete table — build it before appending")
-    val want = s.read.parquet(path).schema
+    val want = tableSchema.getOrElse(s.read.parquet(path).schema)
       .filterNot(f => partitionCols.contains(f.name))
       .map(f => (f.name, f.dataType))
     val got = df.schema.filterNot(f => partitionCols.contains(f.name))
       .map(f => (f.name, f.dataType))
-    require(got == want,
+    // drift is judged by NAME+type, not position: a caller's select
+    // order is not a drift. The batch is re-ordered to the table's
+    // column order before writing so every file stays uniform.
+    require(got.sortBy(_._1) == want.sortBy(_._1),
       s"schema drift appending to $path: got $got, table has $want")
     require(partitionCols.forall(df.columns.contains),
       s"batch is missing partition columns $partitionCols")
-    stagedAppend(s, df, path, partitionCols)
+    stagedAppend(s,
+      df.select((want.map(_._1) ++ partitionCols).map(org.apache.spark.sql.functions.col): _*),
+      path, partitionCols)
   }
 
   // ---------------------------------------------------------------

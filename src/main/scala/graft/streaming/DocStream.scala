@@ -35,17 +35,16 @@ object DocStream {
     * (q_text_quality's keep) and the repetition gate (q_repetition's
     * keep) — thresholds defined ONCE in [[Text]], so tuning them
     * updates the batch queries, their oracles, and this ingest
-    * together. GREATEST keeps the permille DIVs ANSI-safe on docs
-    * with no trigram (they fail the length gate regardless). */
+    * together. The length + repetition verdict is ONE RepKeep kernel
+    * call per row — a filter over fields of an aliased repStats
+    * column would let predicate pushdown substitute the alias and
+    * re-run the kernel once per referenced field (6× here). */
   private[graft] def gate(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs
-      .withColumn("r", TextFunctions.repStats($"text"))
-      .filter($"r" (0) >= Text.QualityMinWords &&
-        expr(s"size(filter(split(text, ' '), w -> w IN (${Text.StopProbeList}))) > 0") &&
-        expr(s"(1000 * (r[1] - r[2])) DIV GREATEST(r[1], 1) <= ${Text.RepDup3PmMax}") &&
-        expr(s"(1000 * r[3]) DIV GREATEST(r[4], 1) <= ${Text.RepTop2PmMax}"))
-      .drop("r")
+    docs.filter(
+      TextFunctions.repKeep($"text", Text.QualityMinWords,
+        Text.RepDup3PmMax.toLong, Text.RepTop2PmMax.toLong) &&
+        expr(s"size(filter(split(text, ' '), w -> w IN (${Text.StopProbeList}))) > 0"))
   }
 
   private def withFp(docs: DataFrame): DataFrame =
@@ -70,18 +69,16 @@ object DocStream {
   /** Gate + dedup + append one batch of raw documents. */
   def appendDocs(s: SparkSession, path: String, rawBatch: DataFrame): Unit = {
     import s.implicits._
+    val stored = s.read.parquet(path)
     val batch = dedupBatch(withFp(gate(rawBatch)))
     val bks = batch.select($"bk").distinct().collect().map(_.getLong(0)).toSeq
     val fresh =
       if (bks.isEmpty) batch
       else batch.join(
-        s.read.parquet(path).filter($"bk".isin(bks: _*)).select($"fp"),
+        stored.filter($"bk".isin(bks: _*)).select($"fp"),
         Seq("fp"), "left_anti")
-    // align column order with the stored table before the
-    // schema-drift check (a caller's select order is not a drift)
-    val dataCols = s.read.parquet(path).schema.map(_.name).filterNot(_ == "bk")
-    Catalog.appendPartitioned(s, fresh.select((dataCols :+ "bk").map(col): _*),
-      path, Seq("bk"))
+    Catalog.appendPartitioned(s, fresh, path, Seq("bk"),
+      tableSchema = Some(stored.schema))
   }
 
   /** Streaming ingest into the clean corpus at `corpusPath` (must be

@@ -13,6 +13,20 @@ class DocStreamSpec extends AnyFunSuite {
   private def doc(tag: String): String =
     "the " + (0 until 44).map(i => s"${tag}w$i").mkString(" ")
 
+  test("ingest gate runs the repetition kernel once per row") {
+    // a parquet-backed frame: a local relation constant-folds the
+    // whole gate away and there is no plan left to inspect
+    val gated = DocStream.gate(spark.read.parquet(s"$sf/documents.parquet"))
+    assert(gated.count() > 0)
+    val plan = gated.queryExecution.executedPlan.toString
+    // FileScan echoes the filter as DataFilters metadata without
+    // evaluating it — count evaluation sites (Filter/Project lines)
+    val evalSites = plan.linesIterator.filterNot(_.contains("FileScan"))
+      .count(_.contains("rep_keep"))
+    assert(evalSites == 1 && !plan.contains("rep_stats"),
+      s"gate must cost one kernel call in:\n$plan")
+  }
+
   test("doc ingest: gate at build, content dedup at rest, replayed content is exactly-once") {
     val dir = java.nio.file.Files.createTempDirectory("doc_ingest").toString
     val corpus = s"$dir/clean"

@@ -102,11 +102,24 @@ class TextSpec extends AnyFunSuite {
     assert(byId(3L) == ((0L, 16L, 1)), s"clean doc: ${byId(3L)}")
     // per-document metrics must not shuffle per-gram rows: the only
     // exchange is the presentation sort's range partitioning
-    val df = queries.Text.repetition(docs)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
+    // plan shape over the parquet-backed table (a local relation
+    // constant-folds the whole pipeline away): no per-gram shuffle,
+    // and the kernel runs ONCE per row — a filter on r[0] would be
+    // pushed through the projection by alias substitution and
+    // re-evaluate rep_stats in the Filter as well as the Project
+    val pq = queries.Text.qRepetition(spark, sf)
+    pq.collect()
+    val plan = pq.queryExecution.executedPlan.toString
     assert(!plan.contains("HashAggregate"), s"unexpected aggregate in:\n$plan")
     assert(!plan.contains("hashpartitioning"), s"per-gram shuffle in:\n$plan")
+    // count evaluation sites in the final plan only: the AQE dump
+    // repeats the tree under "Initial Plan", and FileScan echoes
+    // filters as DataFilters metadata without evaluating them
+    val evalSites = plan.linesIterator
+      .takeWhile(!_.contains("Initial Plan"))
+      .filterNot(_.contains("FileScan"))
+      .count(_.contains("rep_stats"))
+    assert(evalSites == 1, s"rep_stats must evaluate exactly once in:\n$plan")
   }
 
   test("rep_stats kernel matches the declarative fold on randomized corpora") {
