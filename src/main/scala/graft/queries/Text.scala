@@ -599,6 +599,77 @@ object Text {
        |  CAST(SUM(toks) AS BIGINT) AS tok_sum
        |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Gate telemetry: per-source counts of documents failing each
+    * ingest gate (too short, no stopword, repetitive) and the docs
+    * that pass all three — the dashboard a corpus operator watches to
+    * see WHAT the pipeline is dropping and from WHERE. Flags are
+    * independent (a doc can be both short and repetitive); `n_keep`
+    * is exactly [[graft.streaming.DocStream.gate]]'s survivor count
+    * per source (spec-tied). Thresholds are the shared [[Text]]
+    * constants.
+    *
+    * Shape for 100 TB: one scan, the RepStats kernel once per row
+    * (flags are projected from a single aliased stats vector — no
+    * filter references it, so nothing re-evaluates it), one
+    * combinable groupBy(source). GREATEST guards the permille DIVs
+    * for docs with no trigram (their repetition flag is false). */
+  def qGateStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"source", TextFunctions.repStats($"text").as("r"),
+        expr(s"size(filter(split(text, ' '), w -> w IN ($StopProbeList)))").as("stop_hits"))
+      .select($"source",
+        when($"r" (0) < QualityMinWords, 1).otherwise(0).as("short"),
+        when($"stop_hits" === 0, 1).otherwise(0).as("nostop"),
+        when($"r" (1) >= 1 &&
+          (expr(s"(1000 * (r[1] - r[2])) DIV GREATEST(r[1], 1)") > RepDup3PmMax ||
+            expr(s"(1000 * r[3]) DIV GREATEST(r[4], 1)") > RepTop2PmMax), 1)
+          .otherwise(0).as("rep"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"short").as("n_short"), sum($"nostop").as("n_nostop"),
+        sum($"rep").as("n_repeat"),
+        sum(when($"short" === 0 && $"nostop" === 0 && $"rep" === 0, 1)
+          .otherwise(0)).as("n_keep"))
+      .orderBy($"source")
+  }
+
+  val qGateStatsSql: String =
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |t3 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                              for i in range(1, len(w) - 1)]) AS g
+       |       FROM d WHERE len(w) >= 3),
+       |a3 AS (SELECT doc_id, COUNT(*) AS n3, COUNT(DISTINCT g) AS dst3
+       |       FROM t3 GROUP BY 1),
+       |t2 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+       |                              for i in range(1, len(w))]) AS g
+       |       FROM d WHERE len(w) >= 2),
+       |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM t2 GROUP BY 1, 2),
+       |a2 AS (SELECT doc_id, MAX(c) AS mx2, CAST(SUM(c) AS BIGINT) AS n2
+       |       FROM c2 GROUP BY 1),
+       |st AS (SELECT d.doc_id, d.source, CAST(len(d.w) AS BIGINT) AS nw,
+       |        COALESCE(a3.n3, 0) AS n3, COALESCE(a3.dst3, 0) AS dst3,
+       |        COALESCE(a2.mx2, 0) AS mx2, COALESCE(a2.n2, 0) AS n2,
+       |        CASE WHEN LEN(LIST_FILTER(d.w, x -> x IN ($StopProbeList))) > 0
+       |             THEN 0 ELSE 1 END AS nostop
+       |       FROM d LEFT JOIN a3 USING (doc_id) LEFT JOIN a2 USING (doc_id)),
+       |f AS (SELECT source,
+       |        CASE WHEN nw < $QualityMinWords THEN 1 ELSE 0 END AS short,
+       |        nostop,
+       |        CASE WHEN n3 >= 1 AND
+       |              ((1000 * (n3 - dst3)) // GREATEST(n3, 1) > $RepDup3PmMax
+       |               OR (1000 * mx2) // GREATEST(n2, 1) > $RepTop2PmMax)
+       |             THEN 1 ELSE 0 END AS rep
+       |      FROM st)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(short) AS BIGINT) AS n_short,
+       |  CAST(SUM(nostop) AS BIGINT) AS n_nostop,
+       |  CAST(SUM(rep) AS BIGINT) AS n_repeat,
+       |  CAST(SUM(CASE WHEN short = 0 AND nostop = 0 AND rep = 0
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zipf" -> (qZipf _),
     "q_collocations" -> (qCollocations _),
@@ -611,7 +682,8 @@ object Text {
     "q_fingerprint" -> (qFingerprint _),
     "q_winnow_fingerprint" -> (qWinnowFingerprint _),
     "q_repetition" -> (qRepetition _),
-    "q_pack_shards" -> (qPackShards _))
+    "q_pack_shards" -> (qPackShards _),
+    "q_gate_stats" -> (qGateStats _))
 
   val oracles: Map[String, String] = Map(
     "q_zipf" -> qZipfSql,
@@ -625,5 +697,6 @@ object Text {
     "q_fingerprint" -> qFingerprintSql,
     "q_winnow_fingerprint" -> qWinnowFingerprintSql,
     "q_repetition" -> qRepetitionSql,
-    "q_pack_shards" -> qPackShardsSql)
+    "q_pack_shards" -> qPackShardsSql,
+    "q_gate_stats" -> qGateStatsSql)
 }

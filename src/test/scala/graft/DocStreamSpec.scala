@@ -27,6 +27,17 @@ class DocStreamSpec extends AnyFunSuite {
       s"gate must cost one kernel call in:\n$plan")
   }
 
+  test("q_gate_stats n_keep equals the ingest gate's survivor count per source") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val stats = queries.Text.qGateStats(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_keep")).toMap
+    val gated = DocStream.gate(docs).groupBy($"source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    assert(stats.filter(_._2 > 0) == gated,
+      s"telemetry and gate disagree: $stats vs $gated")
+    assert(gated.values.sum > 0, "gate must keep something at sf0.001")
+  }
+
   test("doc ingest: gate at build, content dedup at rest, replayed content is exactly-once") {
     val dir = java.nio.file.Files.createTempDirectory("doc_ingest").toString
     val corpus = s"$dir/clean"
