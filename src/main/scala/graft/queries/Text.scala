@@ -670,6 +670,45 @@ object Text {
        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Document chunking for embedding/retrieval pipelines: overlapping
+    * fixed-token windows ([[ChunkTokens]] tokens every [[ChunkStride]],
+    * so consecutive chunks share `ChunkTokens - ChunkStride` tokens of
+    * context), one row per chunk with its token extent and an md5
+    * content key for downstream dedup/joins.
+    *
+    * Shape for 100 TB: the explode factor is ⌈n_words/stride⌉ — a
+    * bounded ~1.3× row expansion at these settings, all inside
+    * whole-stage codegen (`sequence` + `slice` + `concat_ws`, no UDF,
+    * no shuffle but the presentation sort). Chunk ids are derived
+    * (doc_id, chunk_id) — deterministic under any partitioning. */
+  val ChunkTokens = 64
+  val ChunkStride = 48
+
+  def qChunk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", $"w",
+        expr(s"explode(sequence(0, (size(w) - 1) DIV $ChunkStride))").as("c"))
+      .select($"doc_id", $"c".cast("long").as("chunk_id"),
+        ($"c" * ChunkStride).cast("long").as("start_word"),
+        expr(s"CAST(size(slice(w, c * $ChunkStride + 1, $ChunkTokens)) AS BIGINT)").as("n_tokens"),
+        expr(s"md5(concat_ws(' ', slice(w, c * $ChunkStride + 1, $ChunkTokens)))").as("chunk_md5"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val qChunkSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |c AS (SELECT doc_id, w,
+       |        unnest(range(0, (len(w) - 1) // $ChunkStride + 1)) AS c
+       |      FROM d)
+       |SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+       |  CAST(c * $ChunkStride AS BIGINT) AS start_word,
+       |  CAST(len(list_slice(w, c * $ChunkStride + 1, c * $ChunkStride + $ChunkTokens)) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(list_slice(w, c * $ChunkStride + 1, c * $ChunkStride + $ChunkTokens), ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zipf" -> (qZipf _),
     "q_collocations" -> (qCollocations _),
@@ -683,7 +722,8 @@ object Text {
     "q_winnow_fingerprint" -> (qWinnowFingerprint _),
     "q_repetition" -> (qRepetition _),
     "q_pack_shards" -> (qPackShards _),
-    "q_gate_stats" -> (qGateStats _))
+    "q_gate_stats" -> (qGateStats _),
+    "q_chunk" -> (qChunk _))
 
   val oracles: Map[String, String] = Map(
     "q_zipf" -> qZipfSql,
@@ -698,5 +738,6 @@ object Text {
     "q_winnow_fingerprint" -> qWinnowFingerprintSql,
     "q_repetition" -> qRepetitionSql,
     "q_pack_shards" -> qPackShardsSql,
-    "q_gate_stats" -> qGateStatsSql)
+    "q_gate_stats" -> qGateStatsSql,
+    "q_chunk" -> qChunkSql)
 }

@@ -164,6 +164,31 @@ class TextSpec extends AnyFunSuite {
       (1L, 0L, 1L, 0L, 100L, 100L, 5L)), s"got ${out.toSeq}")
   }
 
+  test("q_chunk: overlapping windows tile the document exactly") {
+    import spark.implicits._
+    val sf001 = queries.Text.qChunk(spark, sf)
+    val byDoc = sf001.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    for ((_, chunks) <- byDoc) {
+      val sorted = chunks.sortBy(_._2)
+      // chunk ids dense from 0, starts at stride multiples
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong))
+      assert(sorted.forall(c => c._3 == c._2 * queries.Text.ChunkStride))
+      // every chunk except the last is full-length or covers the tail;
+      // consecutive chunks overlap by ChunkTokens - ChunkStride
+      val nWords = sorted.last._3 + sorted.last._4
+      for (c <- sorted.init)
+        assert(c._4 == queries.Text.ChunkTokens ||
+          c._3 + c._4 == nWords, s"non-terminal short chunk: $c")
+      // the last chunk ends exactly at the document end, and one more
+      // stride would start past it
+      assert(sorted.last._3 < nWords &&
+        sorted.last._3 + queries.Text.ChunkStride >= nWords)
+    }
+  }
+
   test("q_zipf ranks are dense from 1 and counts non-increasing") {
     val rows = queries.Text.qZipf(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
