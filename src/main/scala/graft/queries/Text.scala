@@ -709,6 +709,63 @@ object Text {
        |  md5(array_to_string(list_slice(w, c * $ChunkStride + 1, c * $ChunkStride + $ChunkTokens), ' ')) AS chunk_md5
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Vocabulary drift telemetry: per source, how far its [[DriftK]]
+    * most frequent terms diverge from the corpus-global top-[[DriftK]]
+    * — overlap count and exact integer-permille Jaccard. A source
+    * whose feed changed character (new domain, spam influx, encoding
+    * break) drops out of the global vocabulary first.
+    *
+    * Shape for 100 TB: ONE corpus-scale shuffle (the combinable
+    * (source, term) count); everything after runs on vocabulary-sized
+    * data — global counts re-aggregate the per-source aggregate (never
+    * the corpus), the global top-K is a broadcast, and the per-source
+    * rank window partitions over sources. Ties break (count desc,
+    * term asc) on both sides, so the K-boundary is deterministic. */
+  val DriftK = 20
+
+  def qSourceDrift(s: SparkSession, dir: String): DataFrame =
+    sourceDrift(Tables.documents(s, dir))
+
+  private[graft] def sourceDrift(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val st = docs
+      .select($"source", explode(split(lower($"text"), "[^a-z]+")).as("term"))
+      .filter($"term" =!= "")
+      .groupBy($"source", $"term").agg(count(lit(1)).as("cnt"))
+    val globalTop = st.groupBy($"term").agg(sum($"cnt").as("cnt"))
+      .orderBy($"cnt".desc, $"term").limit(DriftK).select($"term")
+    val w = Window.partitionBy($"source").orderBy($"cnt".desc, $"term")
+    val srcTop = st.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= DriftK).select($"source", $"term")
+    srcTop
+      .join(broadcast(globalTop.withColumn("g", lit(1))), Seq("term"), "left")
+      .groupBy($"source")
+      .agg(sum(coalesce($"g", lit(0))).as("n_overlap"))
+      .select($"source", $"n_overlap",
+        expr(s"(1000 * n_overlap) DIV (2 * $DriftK - n_overlap)").as("jac_pm"))
+      .orderBy($"source")
+  }
+
+  val qSourceDriftSql: String =
+    s"""WITH t AS (SELECT source, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+       |           FROM documents),
+       |st AS (SELECT source, term, COUNT(*) AS cnt FROM t
+       |       WHERE term <> '' GROUP BY 1, 2),
+       |g AS (SELECT term FROM (SELECT term, SUM(cnt) AS cnt FROM st GROUP BY 1)
+       |      ORDER BY cnt DESC, term LIMIT $DriftK),
+       |sk AS (SELECT source, term FROM (
+       |         SELECT source, term,
+       |           ROW_NUMBER() OVER (PARTITION BY source
+       |             ORDER BY cnt DESC, term) AS rk FROM st)
+       |       WHERE rk <= $DriftK),
+       |ov AS (SELECT sk.source,
+       |         CAST(SUM(CASE WHEN g.term IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_overlap
+       |       FROM sk LEFT JOIN g ON sk.term = g.term GROUP BY 1)
+       |SELECT source, n_overlap,
+       |  (1000 * n_overlap) // (2 * $DriftK - n_overlap) AS jac_pm
+       |FROM ov ORDER BY source""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zipf" -> (qZipf _),
     "q_collocations" -> (qCollocations _),
@@ -723,7 +780,8 @@ object Text {
     "q_repetition" -> (qRepetition _),
     "q_pack_shards" -> (qPackShards _),
     "q_gate_stats" -> (qGateStats _),
-    "q_chunk" -> (qChunk _))
+    "q_chunk" -> (qChunk _),
+    "q_source_drift" -> (qSourceDrift _))
 
   val oracles: Map[String, String] = Map(
     "q_zipf" -> qZipfSql,
@@ -739,5 +797,6 @@ object Text {
     "q_repetition" -> qRepetitionSql,
     "q_pack_shards" -> qPackShardsSql,
     "q_gate_stats" -> qGateStatsSql,
-    "q_chunk" -> qChunkSql)
+    "q_chunk" -> qChunkSql,
+    "q_source_drift" -> qSourceDriftSql)
 }

@@ -189,6 +189,25 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("q_source_drift: an alien-vocabulary source scores zero overlap") {
+    import spark.implicits._
+    // the tokenizer splits on [^a-z]+, so vocab must be letters-only
+    val core = ('a' to 'y').map(c => s"core$c$c").mkString(" ")
+    val docs = Seq(
+      (0L, core, "s0"), (1L, core, "s0"),
+      (2L, core, "s1"), (3L, core, "s1"),
+      // drifted source: vocabulary disjoint from the corpus core
+      (4L, ('a' to 'y').map(c => s"alien$c$c").mkString(" "), "sx")
+    ).toDF("doc_id", "text", "source")
+    val out = queries.Text.sourceDrift(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // global top-20 is the core vocab (4 docs vs 1): s0/s1 fully
+    // overlap (jaccard 1000 permille), sx not at all
+    assert(out("s0") == ((20L, 1000L)) && out("s1") == ((20L, 1000L)),
+      s"core sources: $out")
+    assert(out("sx") == ((0L, 0L)), s"drifted source: $out")
+  }
+
   test("q_zipf ranks are dense from 1 and counts non-increasing") {
     val rows = queries.Text.qZipf(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
