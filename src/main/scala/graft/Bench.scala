@@ -50,7 +50,10 @@ object Bench {
     "q_heavy_hitters", "q_collocations", "q_hopping",
     // round-9 wave-2: the new pipeline gates — bench-set broadcast
     // contamination join and the zero-shuffle repetition fold
-    "q_decontaminate", "q_repetition", "q_pack_shards")
+    "q_decontaminate", "q_repetition", "q_pack_shards",
+    // round-9 wave-3: gate telemetry (kernel-heavy scan), chunking
+    // (bounded explode), vocabulary drift (corpus shuffle + topK)
+    "q_gate_stats", "q_chunk", "q_source_drift")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
