@@ -38,6 +38,31 @@ class DocStreamSpec extends AnyFunSuite {
     assert(gated.values.sum > 0, "gate must keep something at sf0.001")
   }
 
+  test("a predecessor's crashed append is healed by the next micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("doc_crash").toString
+    val corpus = s"$dir/clean"
+    val seed = Seq((0L, doc("a"), "s0")).toDF("doc_id", "text", "source")
+    assert(DocStream.buildCleanCorpus(spark, seed, corpus))
+    // fabricate a mid-WRITE crash: staging dir without a manifest
+    val stale = java.nio.file.Paths.get(corpus, "_tmp_append_dead")
+    java.nio.file.Files.createDirectory(stale)
+    java.nio.file.Files.write(stale.resolve("part-junk.parquet"), Array[Byte](9))
+    assert(graft.sources.Catalog.appendPending(spark, corpus))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = DocStream.ingestDocStream(
+      input.toDF().toDF("doc_id", "text", "source"), corpus, s"$dir/ckpt")
+    try {
+      input.addData((1L, doc("b"), "s0"))
+      q.processAllAvailable()
+      assert(!graft.sources.Catalog.appendPending(spark, corpus),
+        "the crashed staging dir must be resolved before appending")
+      assert(spark.read.parquet(corpus).count() == 2,
+        "the junk rolls back, the new batch lands")
+    } finally q.stop()
+  }
+
   test("doc ingest: gate at build, content dedup at rest, replayed content is exactly-once") {
     val dir = java.nio.file.Files.createTempDirectory("doc_ingest").toString
     val corpus = s"$dir/clean"
