@@ -1129,6 +1129,67 @@ object Dedup {
   def qDecontaminate(s: SparkSession, dir: String): DataFrame =
     decontaminate(Tables.documents(s, dir))
 
+  /** Build the STORED benchmark gram index at `indexPath`: the eval
+    * carve-out's (`doc_id % `[[BenchMod]]` = 0` within `docs`)
+    * df-capped informative grams, with each bench doc's
+    * informative-gram count denormalized onto every row — one SMALL
+    * table (the bench set is fixed-size), broadcast whole at probe
+    * time. Unlike the containment index there is no frozen-df drift
+    * caveat: eval suites are curated, so the index is exact until the
+    * bench set itself changes — rebuild only then. */
+  def buildBenchIndex(s: SparkSession, docs: DataFrame,
+    indexPath: String): Boolean = {
+    import s.implicits._
+    val bg = capBlocks(
+      charGramRowsOf(docs)
+        .filter($"doc_id" % BenchMod === 0)
+        .withColumnRenamed("doc_id", "bench_id"),
+      Seq("gram"), BenchGramDfCap)
+    val bgN = bg.groupBy($"bench_id").agg(count(lit(1)).as("nbg"))
+    graft.sources.Catalog.createIfAbsent(s,
+      bg.join(bgN, "bench_id").select($"gram", $"bench_id", $"nbg"),
+      indexPath)
+  }
+
+  /** (doc, bench) contamination pairs of a batch against the stored
+    * index — the shared probe stage: gram the BATCH only, broadcast
+    * the index, aggregate hits. Cost tracks the batch, never the
+    * corpus or the eval set's history. */
+  private def contamPairs(s: SparkSession, indexPath: String,
+    docs: DataFrame): DataFrame = {
+    import s.implicits._
+    charGramRowsOf(docs.select($"doc_id", $"text"))
+      .join(broadcast(s.read.parquet(indexPath)), "gram")
+      .groupBy($"doc_id", $"bench_id", $"nbg")
+      .agg(count(lit(1)).as("hits"))
+      .filter($"hits" >= ContamMinHits &&
+        $"hits" * 100 >= $"nbg" * ContamPctMin)
+  }
+
+  /** Doc ids of a batch that leak some stored bench item — the ingest
+    * filter shape (no presentation sort, no per-bench report). */
+  def contaminatedIds(s: SparkSession, indexPath: String,
+    docs: DataFrame): DataFrame = {
+    import s.implicits._
+    contamPairs(s, indexPath, docs).select($"doc_id").distinct()
+  }
+
+  /** [[decontaminate]] against the STORED bench index: identical
+    * output semantics restricted to the given batch (the spec proves
+    * equality on the corpus replay). The caller feeds TRAINING docs;
+    * a bench doc in the batch would match itself. */
+  def decontaminateNewDocs(s: SparkSession, indexPath: String,
+    docs: DataFrame): DataFrame = {
+    import s.implicits._
+    contamPairs(s, indexPath, docs)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bench"),
+        max(struct($"hits", (-$"bench_id").as("nb"))).as("b"))
+      .select($"doc_id", $"n_bench", $"b.hits".as("max_hits"),
+        (-$"b.nb").as("top_bench"))
+      .orderBy($"doc_id")
+  }
+
   val qDecontaminateSql: String =
     s"""WITH g AS (SELECT doc_id, unnest(list_distinct(
        |    [substr(text, i, $ContainGramLen) for i in range(1, len(text) - ${ContainGramLen - 2})])) AS gram

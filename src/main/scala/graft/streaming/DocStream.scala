@@ -66,11 +66,18 @@ object DocStream {
     Catalog.createPartitionedIfAbsent(s, dedupBatch(withFp(gate(docs))),
       path, Seq("bk"))
 
-  /** Gate + dedup + append one batch of raw documents. */
-  def appendDocs(s: SparkSession, path: String, rawBatch: DataFrame): Unit = {
+  /** Gate + dedup (+ optional decontamination against a stored bench
+    * index) + append one batch of raw documents. */
+  def appendDocs(s: SparkSession, path: String, rawBatch: DataFrame,
+    benchIndexPath: Option[String] = None): Unit = {
     import s.implicits._
     val stored = s.read.parquet(path)
-    val batch = dedupBatch(withFp(gate(rawBatch)))
+    val gated = gate(rawBatch)
+    val clean = benchIndexPath.fold(gated) { idx =>
+      gated.join(graft.queries.Dedup.contaminatedIds(s, idx, gated),
+        Seq("doc_id"), "left_anti")
+    }
+    val batch = dedupBatch(withFp(clean))
     val bks = batch.select($"bk").distinct().collect().map(_.getLong(0)).toSeq
     val fresh =
       if (bks.isEmpty) batch
@@ -82,9 +89,12 @@ object DocStream {
   }
 
   /** Streaming ingest into the clean corpus at `corpusPath` (must be
-    * built first via [[buildCleanCorpus]]). */
+    * built first via [[buildCleanCorpus]]). With `benchIndexPath`,
+    * docs leaking a stored eval item are dropped at ingest —
+    * decontamination as a pipeline stage, not an afterthought. */
   def ingestDocStream(docs: DataFrame, corpusPath: String,
-    checkpointPath: String): StreamingQuery =
+    checkpointPath: String,
+    benchIndexPath: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -94,7 +104,7 @@ object DocStream {
         val b = batch.persist()
         try {
           Catalog.recoverAppends(s, corpusPath)
-          appendDocs(s, corpusPath, b)
+          appendDocs(s, corpusPath, b, benchIndexPath)
         } finally { b.unpersist(false); () }
       }
       .start()

@@ -118,6 +118,22 @@ class DedupAnnSpec extends AnyFunSuite {
       "bench gram set must reach the corpus scan as a broadcast")
   }
 
+  test("stored bench index: decontaminateNewDocs equals the batch query on the corpus replay") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("bench_idx").toString + "/idx"
+    val docs = Tables.documents(spark, sf)
+    assert(queries.Dedup.buildBenchIndex(spark, docs, idx))
+    val replay = queries.Dedup.decontaminateNewDocs(spark, idx,
+        docs.filter($"doc_id" % queries.Dedup.BenchMod =!= 0))
+      .collect().map(_.toSeq).toSeq
+    val batch = queries.Dedup.qDecontaminate(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty && replay == batch,
+      s"stored-index replay diverged: ${replay.size} vs ${batch.size} rows")
+    // rebuilding over a complete index is a lifecycle no-op
+    assert(!queries.Dedup.buildBenchIndex(spark, docs, idx))
+  }
+
   test("exact dedup still collapses the mass-duplicate cluster the caps dropped") {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")

@@ -38,6 +38,33 @@ class DocStreamSpec extends AnyFunSuite {
     assert(gated.values.sum > 0, "gate must keep something at sf0.001")
   }
 
+  test("ingest drops docs leaking a stored bench item when given the index") {
+    val dir = java.nio.file.Files.createTempDirectory("doc_decon").toString
+    val corpus = s"$dir/clean"
+    val idx = s"$dir/bench_idx"
+    // bench doc 0 (doc_id % 97 == 0) is the eval item; build its index
+    val evalItem = doc("e")
+    val bench = Seq((0L, evalItem, "bench")).toDF("doc_id", "text", "source")
+    assert(queries.Dedup.buildBenchIndex(spark, bench, idx))
+    assert(DocStream.buildCleanCorpus(spark,
+      Seq((1L, doc("a"), "s0")).toDF("doc_id", "text", "source"), corpus))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = DocStream.ingestDocStream(
+      input.toDF().toDF("doc_id", "text", "source"), corpus, s"$dir/ckpt",
+      benchIndexPath = Some(idx))
+    try {
+      input.addData(
+        (10L, doc("b"), "s1"),                       // clean -> lands
+        (11L, "prefix chatter " + evalItem, "s1"))   // leaks the eval item
+      q.processAllAvailable()
+      val t = spark.read.parquet(corpus)
+      assert(t.select($"doc_id").as[Long].collect().toSet == Set(1L, 10L),
+        s"leaking doc must be dropped at ingest: ${t.collect().mkString(",")}")
+    } finally q.stop()
+  }
+
   test("a predecessor's crashed append is healed by the next micro-batch") {
     val dir = java.nio.file.Files.createTempDirectory("doc_crash").toString
     val corpus = s"$dir/clean"
