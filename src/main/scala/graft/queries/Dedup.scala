@@ -1103,27 +1103,43 @@ object Dedup {
   val BenchMod = 97L
   val BenchGramDfCap = 3
 
-  private[graft] def decontaminate(docs: DataFrame): DataFrame = {
-    import docs.sparkSession.implicits._
-    val g = charGramRowsOf(docs)
-    val bg = capBlocks(
+  /** The df-capped bench gram carve-out of a gram frame — shared by
+    * the in-plan query and the stored-index build so their capping
+    * can never diverge. */
+  private def benchGrams(g: DataFrame): DataFrame = {
+    import g.sparkSession.implicits._
+    capBlocks(
       g.filter($"doc_id" % BenchMod === 0)
         .withColumnRenamed("doc_id", "bench_id"),
       Seq("gram"), BenchGramDfCap)
-    val bgN = bg.groupBy($"bench_id").agg(count(lit(1)).as("nbg"))
-    g.filter($"doc_id" % BenchMod =!= 0)
-      .join(broadcast(bg), "gram")
-      .groupBy($"doc_id", $"bench_id")
-      .agg(count(lit(1)).as("hits"))
-      .join(broadcast(bgN), "bench_id")
-      .filter($"hits" >= ContamMinHits &&
-        $"hits" * 100 >= $"nbg" * ContamPctMin)
+  }
+
+  /** The per-doc contamination report over filtered (doc, bench,
+    * hits) pairs — shared tail of the in-plan and stored paths (the
+    * spec-proven equality rests on this being ONE definition). */
+  private def contamReport(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    pairs
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_bench"),
         max(struct($"hits", (-$"bench_id").as("nb"))).as("b"))
       .select($"doc_id", $"n_bench", $"b.hits".as("max_hits"),
         (-$"b.nb").as("top_bench"))
       .orderBy($"doc_id")
+  }
+
+  private[graft] def decontaminate(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val g = charGramRowsOf(docs)
+    val bg = benchGrams(g)
+    val bgN = bg.groupBy($"bench_id").agg(count(lit(1)).as("nbg"))
+    contamReport(g.filter($"doc_id" % BenchMod =!= 0)
+      .join(broadcast(bg), "gram")
+      .groupBy($"doc_id", $"bench_id")
+      .agg(count(lit(1)).as("hits"))
+      .join(broadcast(bgN), "bench_id")
+      .filter($"hits" >= ContamMinHits &&
+        $"hits" * 100 >= $"nbg" * ContamPctMin))
   }
 
   def qDecontaminate(s: SparkSession, dir: String): DataFrame =
@@ -1140,11 +1156,7 @@ object Dedup {
   def buildBenchIndex(s: SparkSession, docs: DataFrame,
     indexPath: String): Boolean = {
     import s.implicits._
-    val bg = capBlocks(
-      charGramRowsOf(docs)
-        .filter($"doc_id" % BenchMod === 0)
-        .withColumnRenamed("doc_id", "bench_id"),
-      Seq("gram"), BenchGramDfCap)
+    val bg = benchGrams(charGramRowsOf(docs))
     val bgN = bg.groupBy($"bench_id").agg(count(lit(1)).as("nbg"))
     graft.sources.Catalog.createIfAbsent(s,
       bg.join(bgN, "bench_id").select($"gram", $"bench_id", $"nbg"),
@@ -1158,6 +1170,11 @@ object Dedup {
   private def contamPairs(s: SparkSession, indexPath: String,
     docs: DataFrame): DataFrame = {
     import s.implicits._
+    // a partial index (crashed build, no _SUCCESS) would silently
+    // under-filter — the one failure mode decontamination must not
+    // have. Same refusal discipline as the rest of the lifecycle.
+    require(graft.sources.Catalog.tableComplete(s, indexPath),
+      s"$indexPath is not a complete bench index — build it first")
     charGramRowsOf(docs.select($"doc_id", $"text"))
       .join(broadcast(s.read.parquet(indexPath)), "gram")
       .groupBy($"doc_id", $"bench_id", $"nbg")
@@ -1179,16 +1196,8 @@ object Dedup {
     * equality on the corpus replay). The caller feeds TRAINING docs;
     * a bench doc in the batch would match itself. */
   def decontaminateNewDocs(s: SparkSession, indexPath: String,
-    docs: DataFrame): DataFrame = {
-    import s.implicits._
-    contamPairs(s, indexPath, docs)
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_bench"),
-        max(struct($"hits", (-$"bench_id").as("nb"))).as("b"))
-      .select($"doc_id", $"n_bench", $"b.hits".as("max_hits"),
-        (-$"b.nb").as("top_bench"))
-      .orderBy($"doc_id")
-  }
+    docs: DataFrame): DataFrame =
+    contamReport(contamPairs(s, indexPath, docs))
 
   val qDecontaminateSql: String =
     s"""WITH g AS (SELECT doc_id, unnest(list_distinct(

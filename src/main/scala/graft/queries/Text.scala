@@ -689,8 +689,11 @@ object Text {
     import s.implicits._
     Tables.documents(s, dir)
       .select($"doc_id", split($"text", " ").as("w"))
+      // the last chunk is the FIRST whose window reaches the document
+      // end — a further stride would emit a chunk fully contained in
+      // the previous one (zero new tokens, a redundant embedding)
       .select($"doc_id", $"w",
-        expr(s"explode(sequence(0, (size(w) - 1) DIV $ChunkStride))").as("c"))
+        expr(s"explode(sequence(0, CAST(greatest(0, (size(w) - $ChunkTokens + $ChunkStride - 1) DIV $ChunkStride) AS INT)))").as("c"))
       .select($"doc_id", $"c".cast("long").as("chunk_id"),
         ($"c" * ChunkStride).cast("long").as("start_word"),
         expr(s"CAST(size(slice(w, c * $ChunkStride + 1, $ChunkTokens)) AS BIGINT)").as("n_tokens"),
@@ -701,7 +704,7 @@ object Text {
   val qChunkSql: String =
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |c AS (SELECT doc_id, w,
-       |        unnest(range(0, (len(w) - 1) // $ChunkStride + 1)) AS c
+       |        unnest(range(0, greatest(0, (len(w) - $ChunkTokens + $ChunkStride - 1) // $ChunkStride) + 1)) AS c
        |      FROM d)
        |SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
        |  CAST(c * $ChunkStride AS BIGINT) AS start_word,
@@ -738,12 +741,18 @@ object Text {
     val w = Window.partitionBy($"source").orderBy($"cnt".desc, $"term")
     val srcTop = st.withColumn("rk", row_number().over(w))
       .filter($"rk" <= DriftK).select($"source", $"term")
+    // true Jaccard over the ACTUAL set sizes — a narrow source (or a
+    // tiny global vocabulary) can have fewer than DriftK terms, and
+    // those degenerate feeds are exactly what this telemetry flags
+    val nGlob = globalTop.agg(count(lit(1)).as("n_glob"))
     srcTop
       .join(broadcast(globalTop.withColumn("g", lit(1))), Seq("term"), "left")
       .groupBy($"source")
-      .agg(sum(coalesce($"g", lit(0))).as("n_overlap"))
+      .agg(sum(coalesce($"g", lit(0))).as("n_overlap"),
+        count(lit(1)).as("n_src"))
+      .crossJoin(broadcast(nGlob))
       .select($"source", $"n_overlap",
-        expr(s"(1000 * n_overlap) DIV (2 * $DriftK - n_overlap)").as("jac_pm"))
+        expr("(1000 * n_overlap) DIV (n_src + n_glob - n_overlap)").as("jac_pm"))
       .orderBy($"source")
   }
 
@@ -760,10 +769,11 @@ object Text {
        |             ORDER BY cnt DESC, term) AS rk FROM st)
        |       WHERE rk <= $DriftK),
        |ov AS (SELECT sk.source,
-       |         CAST(SUM(CASE WHEN g.term IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_overlap
+       |         CAST(SUM(CASE WHEN g.term IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_overlap,
+       |         COUNT(*) AS n_src
        |       FROM sk LEFT JOIN g ON sk.term = g.term GROUP BY 1)
        |SELECT source, n_overlap,
-       |  (1000 * n_overlap) // (2 * $DriftK - n_overlap) AS jac_pm
+       |  (1000 * n_overlap) // (n_src + (SELECT COUNT(*) FROM g) - n_overlap) AS jac_pm
        |FROM ov ORDER BY source""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -73,8 +73,11 @@ object DocStream {
     import s.implicits._
     val stored = s.read.parquet(path)
     val gated = gate(rawBatch)
+    // probe contamination on the RAW batch: its ids are a superset of
+    // the gated ones, so the anti-join result is identical, and the
+    // gate kernel is not evaluated a second time under the probe
     val clean = benchIndexPath.fold(gated) { idx =>
-      gated.join(graft.queries.Dedup.contaminatedIds(s, idx, gated),
+      gated.join(graft.queries.Dedup.contaminatedIds(s, idx, rawBatch),
         Seq("doc_id"), "left_anti")
     }
     val batch = dedupBatch(withFp(clean))

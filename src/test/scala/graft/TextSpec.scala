@@ -179,13 +179,14 @@ class TextSpec extends AnyFunSuite {
       // every chunk except the last is full-length or covers the tail;
       // consecutive chunks overlap by ChunkTokens - ChunkStride
       val nWords = sorted.last._3 + sorted.last._4
-      for (c <- sorted.init)
-        assert(c._4 == queries.Text.ChunkTokens ||
-          c._3 + c._4 == nWords, s"non-terminal short chunk: $c")
-      // the last chunk ends exactly at the document end, and one more
-      // stride would start past it
-      assert(sorted.last._3 < nWords &&
-        sorted.last._3 + queries.Text.ChunkStride >= nWords)
+      // every non-last chunk is full-length AND stops short of the
+      // document end (the last chunk is the FIRST to reach it — no
+      // chunk is a redundant subset of its predecessor)
+      for (c <- sorted.init) {
+        assert(c._4 == queries.Text.ChunkTokens, s"non-terminal short chunk: $c")
+        assert(c._3 + c._4 < nWords, s"redundant successor after: $c")
+      }
+      assert(sorted.last._3 < nWords)
     }
   }
 
