@@ -29,6 +29,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Subset mode leaves stale result dirs for unselected queries in
+    // place, and the downstream compare walks whichever dirs exist —
+    // record WHICH queries this run actually re-executed so fresh
+    // results are distinguishable from leftovers of older code. A
+    // full run removes any previous marker (everything is fresh).
+    val markerPath = Paths.get(s"$outDir/_subset.json")
+    Files.deleteIfExists(markerPath)
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -57,6 +64,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    only.foreach { names =>
+      Files.writeString(markerPath,
+        names.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    }
     spark.stop()
   }
 }

@@ -682,6 +682,19 @@ object Ann {
   def buildPqIndex(s: SparkSession, dir: String, codesPath: String): Seq[Seq[Seq[Long]]] =
     buildPqIndexOf(s, Tables.embeddings(s, dir), codesPath)
 
+  /** FAILFAST on an unmarked partial codes dir BEFORE any builder
+    * drops the stored model: a rebuild over a crashed build would
+    * otherwise delete the old model first and then throw on
+    * createPartitionedIfAbsent — leaving a freshly retrained model
+    * beside stale partial codes, and an operator who "repairs" the
+    * codes dir by hand would pair mismatched model+codes. Resolving
+    * the partial dir (drop it, or restore its marker) is an explicit
+    * operator decision, taken while the old model is still intact. */
+  private def requireNoPartialCodes(s: SparkSession, codesPath: String): Unit =
+    require(!graft.sources.Catalog.tableExists(s, codesPath),
+      s"$codesPath exists but is not marked complete (crashed build?); " +
+        "resolve it before rebuilding — the stored model has not been touched")
+
   /** [[buildPqIndex]] over an explicit (vec_id, embedding) corpus
     * frame — the ingest-pipeline entry point (and how the spec builds
     * on a corpus subset to prove append ≡ rebuild). */
@@ -689,6 +702,7 @@ object Ann {
     import s.implicits._
     if (graft.sources.Catalog.tableComplete(s, codesPath))
       return loadPqIndex(s, codesPath)
+    requireNoPartialCodes(s, codesPath)
     graft.sources.Catalog.dropIfExists(s, modelPath(codesPath))
     val e = intEmbOf(raw)
     val cent = pqTrain(e)
@@ -722,10 +736,24 @@ object Ann {
     * vec_id), so per-batch guard cost tracks the touched buckets,
     * not the table. One implementation so the two tables' replay
     * semantics can never silently diverge. */
+  /** Deterministic in-batch dedup on the identity key: lowest
+    * embedding wins per vec_id (array ordering is total), NOT
+    * dropDuplicates, whose survivor is partitioning-dependent — in
+    * dual-target ingest the store and codes appenders each dedup the
+    * same micro-batch independently, and nondeterministic survivors
+    * could commit a store vector and codes encoded from DIFFERENT
+    * rows under one vec_id: a silent vector/codes mismatch. Same
+    * reasoning as [[graft.streaming.DocStream]]'s dedupBatch. */
+  private def dedupBatchDet(rawBatch: DataFrame): DataFrame = {
+    import rawBatch.sparkSession.implicits._
+    val w = Window.partitionBy($"vec_id").orderBy($"embedding")
+    rawBatch.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+  }
+
   private def freshAgainst(s: SparkSession, path: String,
     rawBatch: DataFrame): DataFrame = {
     import s.implicits._
-    val batch = rawBatch.dropDuplicates("vec_id")
+    val batch = dedupBatchDet(rawBatch)
     val bks = batch.select(pmod($"vec_id", lit(PqBuckets.toLong)).as("bk"))
       .distinct().collect().map(_.getLong(0)).toSeq
     batch.join(
@@ -1026,6 +1054,7 @@ object Ann {
     import s.implicits._
     if (graft.sources.Catalog.tableComplete(s, codesPath))
       return loadIvfPqIndex(s, codesPath)
+    requireNoPartialCodes(s, codesPath)
     graft.sources.Catalog.dropIfExists(s, modelPath(codesPath))
     val e = intEmbOf(raw).persist()
     try {
@@ -1053,11 +1082,11 @@ object Ann {
     lists: Seq[(Long, Seq[Long], Long)], pq: Seq[Seq[Seq[Long]]],
     rawBatch: DataFrame): Unit = {
     import s.implicits._
-    // see appendPqVectors: in-batch dedup on the identity key, then a
-    // replay guard pruned to the batch's own lists (assignment is a
-    // pure function of the vector under the frozen model, so a
-    // duplicate lands in the same acid partition)
-    val res = residualFrame(intEmbOf(rawBatch.dropDuplicates("vec_id")),
+    // see appendPqVectors: deterministic in-batch dedup on the
+    // identity key, then a replay guard pruned to the batch's own
+    // lists (assignment is a pure function of the vector under the
+    // frozen model, so a duplicate lands in the same acid partition)
+    val res = residualFrame(intEmbOf(dedupBatchDet(rawBatch)),
       lists, pinned = true)
     try {
       val acids = res.select($"acid").distinct().collect().map(_.getLong(0)).toSeq

@@ -47,9 +47,19 @@ object DocStream {
         expr(s"size(filter(split(text, ' '), w -> w IN (${Text.StopProbeList}))) > 0"))
   }
 
+  /** 128-bit content fingerprint (md5 hex, as q_dedup_exact uses):
+    * the at-rest anti-join is keyed SOLELY on fp and never re-reads
+    * text, so a fingerprint collision silently drops a distinct
+    * document forever — at the multi-billion-doc target, 64-bit
+    * birthday collisions are no longer negligible, 128-bit ones are.
+    * The bucket is a pure function of the fingerprint (first 15 hex
+    * chars = 60 bits), so identical text always lands — and is
+    * always probed — in the same partition. */
   private def withFp(docs: DataFrame): DataFrame =
-    docs.withColumn("fp", xxhash64(col("text")))
-      .withColumn("bk", pmod(col("fp"), lit(DocBuckets)))
+    docs.withColumn("fp", md5(col("text")))
+      .withColumn("bk",
+        pmod(conv(substring(col("fp"), 1, 15), 16, 10).cast("long"),
+          lit(DocBuckets)))
 
   /** Deterministic in-batch content dedup: lowest doc_id wins per
     * fingerprint (not dropDuplicates, whose survivor is

@@ -676,4 +676,78 @@ class DedupAnnSpec extends AnyFunSuite {
     val recall2 = (exact2 & got2).size.toDouble / exact2.size
     assert(recall2 >= 0.2, s"ivfpq recall $recall2 too low")
   }
+
+  test("rebuild over an unmarked partial codes dir fails loudly BEFORE touching the stored model") {
+    val raw = Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_partial").toString
+    val codesPath = s"$tmp/pq_codes"
+    queries.Ann.buildPqIndexOf(spark, raw, codesPath)
+    assert(sources.Catalog.tableComplete(spark, s"$codesPath.model"))
+    // simulate a crashed build: the codes dir exists but is unmarked
+    assert(new java.io.File(s"$codesPath/_SUCCESS").delete())
+    val before = new java.io.File(s"$codesPath.model").listFiles().map(_.getName).sorted.toSeq
+    intercept[IllegalArgumentException] {
+      queries.Ann.buildPqIndexOf(spark, raw, codesPath)
+    }
+    // the old model survived intact — an operator resolving the codes
+    // dir by hand cannot end up pairing it with a silently retrained one
+    assert(sources.Catalog.tableComplete(spark, s"$codesPath.model"))
+    assert(new java.io.File(s"$codesPath.model").listFiles().map(_.getName).sorted.toSeq == before,
+      "failed rebuild modified the stored model")
+    // same guard on the IVFADC builder
+    val ivfPath = s"$tmp/ivfpq_codes"
+    queries.Ann.buildIvfPqIndexOf(spark, raw, ivfPath)
+    assert(new java.io.File(s"$ivfPath/_SUCCESS").delete())
+    intercept[IllegalArgumentException] {
+      queries.Ann.buildIvfPqIndexOf(spark, raw, ivfPath)
+    }
+    assert(sources.Catalog.tableComplete(spark, s"$ivfPath.model"))
+  }
+
+  test("dual-target ingest dedups deterministically: conflicting payloads under one vec_id commit ONE consistent (vector, codes) pair") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raw = Tables.embeddings(spark, sf)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dualdet").toString
+    val (codesPath, storePath) = (s"$tmp/pq_codes", s"$tmp/vectors")
+    // build both targets WITHOUT vec_id 21's decile, then stream in a
+    // batch carrying TWO conflicting payloads for one new vec_id
+    val old = raw.filter("NOT (vec_id >= 21 AND vec_id % 10 = 7)")
+    val cent = queries.Ann.buildPqIndexOf(spark, old, codesPath)
+    assert(queries.Ann.buildVectorStore(spark, old, storePath))
+    val dupId = 27L
+    val base = raw.filter(s"vec_id = $dupId")
+      .select($"embedding").as[Seq[Float]].head()
+    val conflict = base.updated(0, base.head + 1.0f)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = queries.Ann.ingestVectorStream(
+      input.toDF().toDF("vec_id", "embedding"), codesPath, s"$tmp/ckpt",
+      Some(storePath))
+    try {
+      // conflicting payloads in ONE micro-batch, both orders seen by
+      // whatever partitioning — the survivor must still be the same
+      // row in BOTH targets
+      input.addData(Seq((dupId, conflict), (dupId, base)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val storedVec = spark.read.parquet(storePath)
+      .filter($"vec_id" === dupId).select($"embedding")
+      .as[Seq[Float]].collect().toSeq
+    assert(storedVec.length == 1, s"store committed ${storedVec.length} rows for one vec_id")
+    // deterministic survivor: the array-ordering minimum of the two payloads
+    assert(storedVec.head == Seq(base, conflict).min(Ordering.Implicits.seqOrdering[Seq, Float]),
+      "store survivor is not the deterministic (lowest-embedding) row")
+    val storedCodes = spark.read.parquet(codesPath)
+      .filter($"vec_id" === dupId).select($"codes")
+      .collect().map(_.getSeq[Int](0)).toSeq
+    assert(storedCodes.length == 1, s"codes table committed ${storedCodes.length} rows for one vec_id")
+    // codes must be the encode of the SAME surviving vector — the
+    // vector/codes-mismatch failure mode this dedup exists to prevent
+    val wantCodes = queries.Ann.withCodes(
+      queries.Ann.intEmbOf(Seq((dupId, storedVec.head)).toDF("vec_id", "embedding"))
+        .select($"vec_id", $"iv"), cent)
+      .select($"codes").collect().map(_.getSeq[Int](0)).head
+    assert(storedCodes.head == wantCodes,
+      "stored codes were encoded from a different row than the stored vector")
+  }
 }
