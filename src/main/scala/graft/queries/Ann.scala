@@ -200,10 +200,85 @@ object Ann {
       -array_max(centScores(cents)($"iv", $"nrm")).getField("negcid"))
   }
 
+  // ---------------------------------------------------------------
+  // Standalone coarse-quantizer model lifecycle (IVF without PQ
+  // codes): train ONCE at build time, store the tiny model table,
+  // LOAD at query time. The registered q_ann_ivf used to retrain
+  // in-plan on every execution — iters+1 extra corpus passes per
+  // query run, a cost that at 100× scale charges every analyst for a
+  // model that should be an artifact. Training stays available as
+  // the explicit build path ([[buildIvfModel]]); the query path only
+  // ever reads the stored model.
+
+  /** Train-if-absent + store the standalone IVF model at `path`;
+    * over a complete model this trains nothing and returns the
+    * STORED one (same idempotence contract as the codes builders). */
+  def buildIvfModel(s: SparkSession, raw: DataFrame, path: String)
+    : Seq[(Long, Seq[Long], Long)] = {
+    if (graft.sources.Catalog.tableComplete(s, path))
+      return loadIvfModel(s, path)
+    val lists = ivfTrain(intEmbOf(raw))
+    graft.sources.Catalog.createIfAbsent(s, ivfModelRows(s, lists), path)
+    lists
+  }
+
+  /** Load a stored standalone IVF model — no training, no corpus
+    * scan, just the tiny model table. */
+  def loadIvfModel(s: SparkSession, path: String): Seq[(Long, Seq[Long], Long)] = {
+    require(graft.sources.Catalog.tableComplete(s, path),
+      s"$path is not a complete IVF model table — build it first")
+    ivfModelOf(s.read.parquet(path).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toSeq)
+  }
+
+  /** Per-corpus cache location for the registered q_ann_ivf's stored
+    * model, keyed by the embeddings files' identity (name + length +
+    * mtime): regenerated test data gets a fresh key, so a stale
+    * cached codebook can never shadow retrained truth. The registered
+    * query's (session, dir) signature has nowhere to thread an
+    * explicit model path through — production callers use
+    * [[buildIvfModel]]/[[loadIvfModel]] with a real artifact
+    * location; this cache is the same lifecycle with a derived one. */
+  private[graft] def ivfModelCachePath(dir: String): String = {
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).map(sig).mkString("[", ",", "]")
+      else s"${f.getName}:${f.length}:${f.lastModified}"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|${sig(new java.io.File(dir, "embeddings.parquet"))}"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+      System.getProperty("java.io.tmpdir")) + s"/graft_ivf_model_$key"
+  }
+
+  /** Per-process memo of loaded standalone models, keyed by (path,
+    * commit-marker mtime): repeated executions skip even the tiny
+    * model read, while a REPLACED model at the same path (new build →
+    * new `_SUCCESS` mtime) invalidates naturally. Bounded: one tiny
+    * entry per distinct stored model this process has touched. */
+  private val ivfModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[(Long, Seq[Long], Long)]]()
+
+  private[graft] def ivfStoredModel(s: SparkSession, dir: String)
+    : Seq[(Long, Seq[Long], Long)] = {
+    val path = ivfModelCachePath(dir)
+    if (!graft.sources.Catalog.tableComplete(s, path)) {
+      // a partial dir here is OUR crashed cache build, not a user
+      // table — unlike the codes builders there is nothing consistent
+      // with it to protect, so resolve it by rebuilding
+      graft.sources.Catalog.dropIfExists(s, path)
+      buildIvfModel(s, Tables.embeddings(s, dir), path)
+    }
+    val mtime = new java.io.File(path, "_SUCCESS").lastModified
+    ivfModelMemo.computeIfAbsent((path, mtime), _ => loadIvfModel(s, path))
+  }
+
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = intEmb(s, dir)
-    val cents = ivfTrain(e)
+    val cents = ivfStoredModel(s, dir)
     val assigned = withListAssignment(e, cents)
     val probes = e.filter($"vec_id" < NQueries)
       .withColumn("scores", centScores(cents)($"iv", $"nrm"))

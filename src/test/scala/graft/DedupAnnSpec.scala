@@ -677,6 +677,38 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(recall2 >= 0.2, s"ivfpq recall $recall2 too low")
   }
 
+  test("q_ann_ivf quantizer comes from the STORED model: build-once parity, load-not-retrain, stale cache cannot survive data change") {
+    val raw = Tables.embeddings(spark, sf)
+    // explicit artifact lifecycle: build ≡ direct training; rebuild
+    // over a complete model LOADS it (even with a different corpus in
+    // hand — the proof it never silently retrains)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfmodel").toString
+    val p = s"$tmp/ivf_model"
+    val built = queries.Ann.buildIvfModel(spark, raw, p)
+    assert(built == queries.Ann.ivfTrain(queries.Ann.intEmb(spark, sf)),
+      "stored-model build diverges from direct training")
+    assert(queries.Ann.loadIvfModel(spark, p) == built)
+    assert(queries.Ann.buildIvfModel(spark, raw.filter("vec_id % 3 = 0"), p) == built,
+      "rebuild over a complete model retrained instead of loading")
+    // the registered query's resolution: cold cache trains + stores;
+    // warm cache is AUTHORITATIVE (a poisoned cache is returned
+    // verbatim — the query path loads, never retrains)
+    val cache = queries.Ann.ivfModelCachePath(sf)
+    sources.Catalog.dropIfExists(spark, cache)
+    val m1 = queries.Ann.ivfStoredModel(spark, sf)
+    assert(m1 == built, "cold-cache resolution trained a different model")
+    assert(sources.Catalog.tableComplete(spark, cache),
+      "resolution did not store the model for the next execution")
+    sources.Catalog.dropIfExists(spark, cache)
+    val half = queries.Ann.buildIvfModel(spark, raw.filter("vec_id % 3 = 0"), cache)
+    assert(half != m1, "half-corpus training unexpectedly matched the full model")
+    assert(queries.Ann.ivfStoredModel(spark, sf) == half,
+      "warm-cache resolution retrained instead of loading the stored model")
+    sources.Catalog.dropIfExists(spark, cache)
+    // a cross-kind load must refuse: a standalone IVF model has no PQ rows
+    intercept[IllegalArgumentException] { queries.Ann.loadIvfModel(spark, s"$tmp/nope") }
+  }
+
   test("rebuild over an unmarked partial codes dir fails loudly BEFORE touching the stored model") {
     val raw = Tables.embeddings(spark, sf)
     val tmp = java.nio.file.Files.createTempDirectory("graft_partial").toString
