@@ -384,6 +384,140 @@ object Spatial {
   }
 
   // ---------------------------------------------------------------
+  // qserv_areaspec_poly / qserv_areaspec_ellipse — the remaining two
+  // members of the published areaspec family (box and circle above).
+  // Both predicates are pure +,−,×,÷ over doubles parsed from the
+  // same decimal literals on both engines (no per-row trig: the
+  // ellipse's rotation/scale constants are Scala-computed doubles
+  // interpolated into BOTH expression trees), so every comparison is
+  // bit-identical and the oracle hash-matches exactly.
+
+  /** Convex search polygon, CCW in (ra, dec) — a planar region spec,
+    * valid away from the poles and the ra=0 wrap (Qserv's polygon
+    * areaspec carries the same small-region caveat). */
+  private[graft] val PolyVerts: Seq[(Double, Double)] =
+    Seq((150.0, -10.0), (210.0, -10.0), (230.0, 25.0), (180.0, 45.0),
+      (130.0, 25.0))
+
+  /** Half-plane conjunction: p inside a CCW convex polygon iff p lies
+    * on or left of every directed edge — cross((v2−v1), (p−v1)) ≥ 0.
+    * All operands are 2-decimal rationals: products stay well under
+    * 2^53, so the doubles are EXACT and the test has no epsilon. */
+  private def inPoly(ra: Column, decl: Column): Column =
+    PolyVerts.indices.map { i =>
+      val (x1, y1) = PolyVerts(i)
+      val (x2, y2) = PolyVerts((i + 1) % PolyVerts.size)
+      (lit(x2 - x1) * (decl - lit(y1)) - lit(y2 - y1) * (ra - lit(x1))) >= 0.0
+    }.reduce(_ && _)
+
+  private def inPolySql(ra: String, decl: String): String =
+    PolyVerts.indices.map { i =>
+      val (x1, y1) = PolyVerts(i)
+      val (x2, y2) = PolyVerts((i + 1) % PolyVerts.size)
+      s"((${x2 - x1})*($decl - ($y1)) - (${y2 - y1})*($ra - ($x1))) >= 0"
+    }.mkString("(", " AND ", ")")
+
+  /** Polygon search over the flat catalog — one scan + an all-codegen
+    * comparison chain; the zone-pruned twin is [[polyPartitioned]]. */
+  def qPolySearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    points(s, dir).filter(inPoly($"ra", $"decl")).orderBy($"k")
+  }
+
+  val qPolySearchSql: String =
+    s"""SELECT k, ra, decl FROM ($pointsSql) t
+       |WHERE ${inPolySql("ra", "decl")} ORDER BY k""".stripMargin
+
+  /** Polygon search against the zone-partitioned layout
+    * ([[writeZonePartitioned]]): the polygon's dec bounding box
+    * becomes a zone-range PARTITION filter — the scan reads only the
+    * overlapping dec stripes, exactly like [[conePartitioned]] — and
+    * the half-plane chain keeps the polygon. Spec asserts parity with
+    * [[qPolySearch]] and the pruning. */
+  def polyPartitioned(s: SparkSession, path: String,
+    zoneHeight: Double = 5.0): DataFrame = {
+    import s.implicits._
+    val decLo = PolyVerts.map(_._2).min
+    val decHi = PolyVerts.map(_._2).max
+    val zLo = math.floor((decLo + 90.0) / zoneHeight).toInt
+    val zHi = math.floor((decHi + 90.0) / zoneHeight).toInt
+    s.read.parquet(path)
+      .filter($"zone" >= zLo && $"zone" <= zHi)
+      .filter(inPoly($"ra", $"decl"))
+      .select($"k", $"ra", $"decl")
+      .orderBy($"k")
+  }
+
+  /** Ellipse spec: center, semi-axes (deg), position angle — the
+    * qserv_areaspec_ellipse parameter set. The flat-sky constants
+    * (cos of the center dec, sin/cos of the position angle) are
+    * computed ONCE here and embedded as decimal literals in both
+    * engines' trees. */
+  // center chosen ON the small-key point locus (ra = 1.37k,
+  // dec = 0.97k − 85 before the first modular wrap) so the search is
+  // non-empty even at the smallest test SF
+  private val EllRaC = 165.0
+  private val EllDecC = 31.0
+  private val EllA = 40.0
+  private val EllB = 25.0
+  private val EllCosDec = math.cos(math.toRadians(EllDecC))
+  private val EllCosPA = math.cos(math.toRadians(30.0))
+  private val EllSinPA = math.sin(math.toRadians(30.0))
+
+  /** Ellipse search: local flat-sky offsets (u = Δra·cos decC,
+    * v = Δdec) rotated by the position angle, then the normalized
+    * quadratic form m = (x/a)² + (y/b)² < 1 — all constant-folded
+    * multiplies, no per-row trig. m is the membership metric (0 at
+    * center, 1 on the boundary), reported rounded. */
+  def qEllipseSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val u = ($"ra" - lit(EllRaC)) * lit(EllCosDec)
+    val v = $"decl" - lit(EllDecC)
+    val x = u * lit(EllCosPA) + v * lit(EllSinPA)
+    val y = v * lit(EllCosPA) - u * lit(EllSinPA)
+    val m = (x / EllA) * (x / EllA) + (y / EllB) * (y / EllB)
+    points(s, dir)
+      .withColumn("m", m)
+      .filter($"m" < 1.0)
+      .select($"k", $"ra", $"decl", round($"m", 6).as("m_r6"))
+      .orderBy($"k")
+  }
+
+  val qEllipseSearchSql: String = {
+    val u = s"((ra - $EllRaC)*$EllCosDec)"
+    val v = s"(decl - $EllDecC)"
+    val x = s"($u*$EllCosPA + $v*$EllSinPA)"
+    val y = s"($v*$EllCosPA - $u*$EllSinPA)"
+    val m = s"(($x/$EllA)*($x/$EllA) + ($y/$EllB)*($y/$EllB))"
+    s"""SELECT k, ra, decl, ROUND($m, 6) AS m_r6
+       |FROM ($pointsSql) t
+       |WHERE $m < 1.0 ORDER BY k""".stripMargin
+  }
+
+  /** Ellipse search with zone pruning, as [[polyPartitioned]]: the
+    * dec extent of the ellipse (|v| ≤ √((a·sinPA)² + (b·cosPA)²))
+    * bounds the zone range. */
+  def ellipsePartitioned(s: SparkSession, path: String,
+    zoneHeight: Double = 5.0): DataFrame = {
+    import s.implicits._
+    val decHalf = math.sqrt(EllA * EllSinPA * EllA * EllSinPA +
+      EllB * EllCosPA * EllB * EllCosPA)
+    val zLo = math.floor((EllDecC - decHalf + 90.0) / zoneHeight).toInt
+    val zHi = math.floor((EllDecC + decHalf + 90.0) / zoneHeight).toInt
+    val u = ($"ra" - lit(EllRaC)) * lit(EllCosDec)
+    val v = $"decl" - lit(EllDecC)
+    val x = u * lit(EllCosPA) + v * lit(EllSinPA)
+    val y = v * lit(EllCosPA) - u * lit(EllSinPA)
+    val m = (x / EllA) * (x / EllA) + (y / EllB) * (y / EllB)
+    s.read.parquet(path)
+      .filter($"zone" >= zLo && $"zone" <= zHi)
+      .withColumn("m", m)
+      .filter($"m" < 1.0)
+      .select($"k", $"ra", $"decl", round($"m", 6).as("m_r6"))
+      .orderBy($"k")
+  }
+
+  // ---------------------------------------------------------------
   /** Density map over a 5°×5° (zone, ra-cell) grid — Qserv's
     * shared-scan object-count map; the grid key is the natural
     * spatial shard key at cluster scale. */
@@ -413,7 +547,9 @@ object Spatial {
     "q_xmatch_unmatched" -> (qXmatchUnmatched _),
     "q_spatial_density" -> (qSpatialDensity _),
     "q_nearest_nbr" -> (qNearestNbr _),
-    "q_knn3" -> (qKnn3 _))
+    "q_knn3" -> (qKnn3 _),
+    "q_poly_search" -> (qPolySearch _),
+    "q_ellipse_search" -> (qEllipseSearch _))
 
   val oracles: Map[String, String] = Map(
     "q_cone_search" -> qConeSearchSql,
@@ -423,5 +559,7 @@ object Spatial {
     "q_xmatch_unmatched" -> qXmatchUnmatchedSql,
     "q_spatial_density" -> qSpatialDensitySql,
     "q_nearest_nbr" -> qNearestNbrSql,
-    "q_knn3" -> qKnn3Sql)
+    "q_knn3" -> qKnn3Sql,
+    "q_poly_search" -> qPolySearchSql,
+    "q_ellipse_search" -> qEllipseSearchSql)
 }

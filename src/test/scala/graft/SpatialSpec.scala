@@ -132,6 +132,57 @@ class SpatialSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("polygon and ellipse searches prune zone partitions and match the flat scan; results lie inside the region") {
+    // brute-force membership cross-check: every returned point passes
+    // the same predicate re-derived driver-side, every omitted one fails
+    val pts = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+      .map(k => (k, (k * 137 % 36000) / 100.0, (k * 97 % 17000) / 100.0 - 85.0))
+    val vs = queries.Spatial.PolyVerts
+    def inPoly(ra: Double, decl: Double): Boolean =
+      vs.indices.forall { i =>
+        val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
+        (x2 - x1) * (decl - y1) - (y2 - y1) * (ra - x1) >= 0
+      }
+    val wantPoly = pts.filter(p => inPoly(p._2, p._3)).map(_._1).toSet
+    assert(wantPoly.nonEmpty, "degenerate test polygon: no points inside")
+    val gotPoly = queries.Spatial.qPolySearch(spark, sf)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(gotPoly == wantPoly, "polygon membership mismatch vs brute force")
+
+    val out = java.nio.file.Files.createTempDirectory("graft_polyzones").toString
+    queries.Spatial.writeZonePartitioned(spark, sf, out)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for ((name, part, flat) <- Seq(
+        ("poly", queries.Spatial.polyPartitioned(spark, out),
+          queries.Spatial.qPolySearch(spark, sf)),
+        ("ellipse", queries.Spatial.ellipsePartitioned(spark, out),
+          queries.Spatial.qEllipseSearch(spark, sf)))) {
+        assert(part.select("k").collect().map(_.getLong(0)).toSet ==
+          flat.select("k").collect().map(_.getLong(0)).toSet,
+          s"partitioned $name differs from the flat scan")
+        part.collect()
+        val scans = part.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty,
+          s"no PartitionFilters on the zone-partitioned $name scan")
+        val numFiles = scans.head.metrics("numFiles").value
+        val totalFiles = new java.io.File(out).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("zone="))
+          .map(_.listFiles().count(_.getName.endsWith(".parquet")).toLong).sum
+        assert(numFiles > 0 && numFiles < totalFiles,
+          s"$name scan read $numFiles of $totalFiles files - no pruning")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
+    // ellipse results honor the membership metric
+    val m = queries.Spatial.qEllipseSearch(spark, sf)
+    assert(m.filter("m_r6 >= 1.0 OR m_r6 < 0").count() == 0)
+  }
+
   test("q_nearest_nbr: one row per matched point, no product join, true argmin") {
     import org.apache.spark.sql.functions._
     val df = queries.Spatial.qNearestNbr(spark, sf).cache()
