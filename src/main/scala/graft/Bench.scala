@@ -53,7 +53,13 @@ object Bench {
     "q_decontaminate", "q_repetition", "q_pack_shards",
     // round-9 wave-3: gate telemetry (kernel-heavy scan), chunking
     // (bounded explode), vocabulary drift (corpus shuffle + topK)
-    "q_gate_stats", "q_chunk", "q_source_drift")
+    "q_gate_stats", "q_chunk", "q_source_drift",
+    // round-10: the production-path stored ANN searches (pre-built
+    // codes + bucketed vector store; first sample builds the cache,
+    // the median reports the warm searches production actually runs)
+    // and the two new areaspec members
+    "q_ann_pq_stored", "q_ann_ivfpq_stored", "q_poly_search",
+    "q_ellipse_search")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

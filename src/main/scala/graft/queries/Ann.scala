@@ -240,7 +240,7 @@ object Ann {
     * explicit model path through — production callers use
     * [[buildIvfModel]]/[[loadIvfModel]] with a real artifact
     * location; this cache is the same lifecycle with a derived one. */
-  private[graft] def ivfModelCachePath(dir: String): String = {
+  private[graft] def annCachePath(dir: String, kind: String): String = {
     def sig(f: java.io.File): String =
       if (f.isDirectory)
         f.listFiles().sortBy(_.getName).map(sig).mkString("[", ",", "]")
@@ -250,8 +250,11 @@ object Ann {
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
-      System.getProperty("java.io.tmpdir")) + s"/graft_ivf_model_$key"
+      System.getProperty("java.io.tmpdir")) + s"/graft_${kind}_$key"
   }
+
+  private[graft] def ivfModelCachePath(dir: String): String =
+    annCachePath(dir, "ivf_model")
 
   /** Per-process memo of loaded standalone models, keyed by (path,
     * commit-marker mtime): repeated executions skip even the tiny
@@ -1317,17 +1320,67 @@ object Ann {
     } finally { e.unpersist(false); () }
   }
 
+  // ---------------------------------------------------------------
+  // Registered STORED searches — the production path (pre-built codes
+  // table + bucketed vector store, both scans index-shaped) as
+  // first-class query entries, so the bench measures what production
+  // runs and CORRECTNESS hash-checks it. The index artifacts resolve
+  // per corpus exactly like [[ivfStoredModel]]'s: built once into a
+  // data-identity-keyed cache location (a regenerated corpus gets a
+  // fresh key), reused by every later execution — the create-if-
+  // absent builders make re-resolution a no-op, never a rebuild.
+  // Results are bit-identical to the in-plan q_ann_pq / q_ann_ivfpq
+  // (training is deterministic from the same data), so the same
+  // DuckDB oracles hash-check them.
+
+  /** Resolve (build-once) the shared bucketed vector store for `dir`. */
+  private def ensureVectorStore(s: SparkSession, dir: String): String = {
+    val path = annCachePath(dir, "vecstore")
+    if (!graft.sources.Catalog.tableComplete(s, path))
+      graft.sources.Catalog.dropIfExists(s, path) // our crashed cache build
+    buildVectorStore(s, Tables.embeddings(s, dir), path)
+    path
+  }
+
+  /** Resolve (build-once) a stored codes index for `dir`; `ivf`
+    * selects IVFADC vs flat PQ. A partial cache dir is OUR crashed
+    * build — resolved by dropping codes AND model before the builder
+    * (whose partial-dir guard protects USER tables, not this cache). */
+  private def ensureCodesIndex(s: SparkSession, dir: String, ivf: Boolean): String = {
+    val path = annCachePath(dir, if (ivf) "ivfpq_codes" else "pq_codes")
+    if (!graft.sources.Catalog.tableComplete(s, path)) {
+      graft.sources.Catalog.dropIfExists(s, path)
+      graft.sources.Catalog.dropIfExists(s, modelPath(path))
+    }
+    if (ivf) buildIvfPqIndexOf(s, Tables.embeddings(s, dir), path)
+    else buildPqIndexOf(s, Tables.embeddings(s, dir), path)
+    path
+  }
+
+  def qAnnPqStored(s: SparkSession, dir: String): DataFrame =
+    pqSearchIndexed(s, ensureVectorStore(s, dir), ensureCodesIndex(s, dir, ivf = false))
+
+  def qAnnIvfPqStored(s: SparkSession, dir: String): DataFrame =
+    ivfPqSearchIndexed(s, ensureVectorStore(s, dir), ensureCodesIndex(s, dir, ivf = true))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_pq" -> (qAnnPq _),
-    "q_ann_ivfpq" -> (qAnnIvfPq _))
+    "q_ann_ivfpq" -> (qAnnIvfPq _),
+    "q_ann_pq_stored" -> (qAnnPqStored _),
+    "q_ann_ivfpq_stored" -> (qAnnIvfPqStored _))
 
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce" -> qAnnBruteforceSql,
     "q_ann_lsh" -> qAnnLshSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_pq" -> qAnnPqSql,
-    "q_ann_ivfpq" -> qAnnIvfPqSql)
+    "q_ann_ivfpq" -> qAnnIvfPqSql,
+    // the stored searches return bit-identical results to their
+    // in-plan twins (deterministic training over the same corpus), so
+    // the same unrolled-training oracles hash-check them
+    "q_ann_pq_stored" -> qAnnPqSql,
+    "q_ann_ivfpq_stored" -> qAnnIvfPqSql)
 }

@@ -709,6 +709,33 @@ class DedupAnnSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { queries.Ann.loadIvfModel(spark, s"$tmp/nope") }
   }
 
+  test("registered stored ANN searches build the index once and REUSE it; parity with the in-plan twins") {
+    val paths = Seq(
+      queries.Ann.annCachePath(sf, "pq_codes"),
+      queries.Ann.annCachePath(sf, "pq_codes") + ".model",
+      queries.Ann.annCachePath(sf, "ivfpq_codes"),
+      queries.Ann.annCachePath(sf, "ivfpq_codes") + ".model",
+      queries.Ann.annCachePath(sf, "vecstore"))
+    paths.foreach(p => sources.Catalog.dropIfExists(spark, p))
+    val pq1 = queries.Ann.qAnnPqStored(spark, sf).collect().toSeq
+    val ivf1 = queries.Ann.qAnnIvfPqStored(spark, sf).collect().toSeq
+    paths.foreach(p => assert(sources.Catalog.tableComplete(spark, p),
+      s"first execution did not leave a complete artifact at $p"))
+    // commit-marker mtimes pin the artifacts: a re-execution that
+    // rebuilt ANY of them (instead of reusing) would refresh a marker
+    val marks = paths.map(p => new java.io.File(p, "_SUCCESS").lastModified)
+    assert(queries.Ann.qAnnPqStored(spark, sf).collect().toSeq == pq1)
+    assert(queries.Ann.qAnnIvfPqStored(spark, sf).collect().toSeq == ivf1)
+    assert(paths.map(p => new java.io.File(p, "_SUCCESS").lastModified) == marks,
+      "re-execution rebuilt an index artifact instead of reusing it")
+    // the stored path answers exactly what the in-plan twins answer —
+    // the contract that lets them share CORRECTNESS oracles
+    assert(pq1 == queries.Ann.qAnnPq(spark, sf).collect().toSeq,
+      "stored PQ search diverges from in-plan q_ann_pq")
+    assert(ivf1 == queries.Ann.qAnnIvfPq(spark, sf).collect().toSeq,
+      "stored IVFADC search diverges from in-plan q_ann_ivfpq")
+  }
+
   test("rebuild over an unmarked partial codes dir fails loudly BEFORE touching the stored model") {
     val raw = Tables.embeddings(spark, sf)
     val tmp = java.nio.file.Files.createTempDirectory("graft_partial").toString
