@@ -59,7 +59,11 @@ object Bench {
     // the median reports the warm searches production actually runs)
     // and the two new areaspec members
     "q_ann_pq_stored", "q_ann_ivfpq_stored", "q_poly_search",
-    "q_ellipse_search")
+    "q_ellipse_search",
+    // round-10 wave-2: BPE — vocab induction amortizes behind the
+    // frozen-artifact memo (build step; near-zero warm), tokenization
+    // is the real per-corpus scan being measured
+    "q_bpe_vocab", "q_bpe_tokens")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -13,14 +13,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreOlap.defs ++ TimeSeries.defs ++ Spatial.defs ++ Text.defs ++
       Dedup.defs ++ Ann.defs ++ Multimodal.defs ++ Sketches.defs ++
-      Behavior.defs ++ Quality.defs
+      Behavior.defs ++ Quality.defs ++ Bpe.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreOlap.oracles ++ TimeSeries.oracles ++ Spatial.oracles ++
       Text.oracles ++ Dedup.oracles ++ Ann.oracles ++ Multimodal.oracles ++
-      Sketches.oracles ++ Behavior.oracles ++ Quality.oracles
+      Sketches.oracles ++ Behavior.oracles ++ Quality.oracles ++ Bpe.oracles
 
   /** SQL surface: register every catalog table of `dir` as a temp
     * view so `spark.sql("SELECT ... FROM lineitem ...")` works — the

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Byte-pair-encoding vocabulary induction + tokenization — the
+  * subword layer a training pipeline sizes its shards in (whitespace
+  * token counts under-count code/rare-word-heavy sources; BPE counts
+  * are what the trainer actually sees).
+  *
+  * Scale shape: induction runs on the DISTINCT-WORD frequency table
+  * (the classic BPE trick) — after ONE corpus-wide aggregate, every
+  * merge iteration costs a combinable pair-count aggregate over the
+  * vocabulary, never the corpus. Each iteration's argmax collect is
+  * one row (control-plane). Tokenization applies the frozen merge
+  * table as [[BpeMerges]] nested literal `replace` calls — pure
+  * codegen string work, one corpus scan, zero shuffle.
+  *
+  * Exact-parity representation: a symbolized word is a string of
+  * self-contained `^sym|` spans (words are pre-filtered to
+  * `^[a-z]+$`, so the markers cannot collide with content). Merging
+  * pair (a, b) is then the plain non-overlapping left-to-right
+  * `replace(enc, '^a|^b|', '^ab|')` — because every span carries its
+  * OWN start and end marker, adjacent matches share no characters,
+  * so string replace is exactly the greedy symbol-level BPE merge
+  * (including runs like `aaaa` → `aa aa`). Both engines run the
+  * identical replaces, so results hash-match bit-for-bit; the DuckDB
+  * oracle unrolls all [[BpeMerges]] iterations as CTE stages.
+  */
+object Bpe {
+
+  /** Fixed merge-table size K — each induction iteration is one
+    * vocabulary aggregate, and the oracle unrolls K CTE stages. */
+  private[graft] val BpeMerges = 10
+
+  /** Distinct-word frequency table, words pre-symbolized: one
+    * `^c|`-span per character. The `^[a-z]+$` filter both defines the
+    * inducted alphabet and guarantees the markers are collision-free. */
+  private def wordFreq(docs: DataFrame): DataFrame =
+    docs.select(explode(expr(
+      "filter(split(text, ' '), w -> w rlike '^[a-z]+$')")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(expr("regexp_replace(w, '(.)', '^$1|')").as("enc"), col("freq"))
+
+  /** K greedy merges over `docs`: each iteration counts adjacent
+    * symbol pairs across the (cached) vocabulary weighted by word
+    * frequency, takes the (count DESC, pair ASC) argmax, and folds
+    * the merge into the encodings. Deterministic: exact long counts,
+    * total tie-break. */
+  private[graft] def induceMerges(docs: DataFrame, k: Int = BpeMerges)
+    : Seq[(String, String, Long)] = {
+    val base = wordFreq(docs).persist()
+    try {
+      var cur = base
+      val merges = Seq.newBuilder[(String, String, Long)]
+      for (_ <- 1 to k) {
+        val top = cur
+          .withColumn("syms", expr(
+            "transform(filter(split(enc, '[|]'), x -> x != ''), x -> substring(x, 2))"))
+          .filter(expr("size(syms) >= 2"))
+          .select(col("freq"), col("syms"),
+            explode(expr("sequence(0, size(syms)-2)")).as("i"))
+          .select(expr("syms[i]").as("a"), expr("syms[i+1]").as("b"), col("freq"))
+          .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("c"))
+          .orderBy(desc("c"), asc("a"), asc("b")).limit(1).collect()
+        require(top.nonEmpty, s"BPE corpus exhausted before $k merges")
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((a, b, c))
+        // a, b are ^[a-z]+ — safe to inline as SQL literals
+        cur = cur.withColumn("enc",
+          expr(s"replace(enc, '^$a|^$b|', '^$a$b|')"))
+      }
+      merges.result()
+    } finally { base.unpersist(false); () }
+  }
+
+  /** Per-process memo of inducted merge tables, keyed by the corpus
+    * files' identity (as [[Ann.annCachePath]]): induction is the
+    * BUILD step — a frozen vocabulary artifact — so later executions
+    * (and [[qBpeTokens]], which consumes it) load rather than
+    * re-induce. Deterministic induction makes memo ≡ fresh. */
+  private val mergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String, Long)]]()
+
+  private[graft] def mergesFor(s: SparkSession, dir: String): Seq[(String, String, Long)] =
+    mergeMemo.computeIfAbsent(Ann.annCachePath(dir, "bpe"),
+      _ => induceMerges(Tables.documents(s, dir)))
+
+  /** The inducted merge table: (rnk, lft, rgt, cnt), rank order. */
+  def qBpeVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mergesFor(s, dir).zipWithIndex
+      .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+      .toDF("rnk", "lft", "rgt", "cnt")
+      .orderBy("rnk")
+  }
+
+  /** Doc text → the span encoding with a space between words (the
+    * space breaks `^a|^b|` across word boundaries, keeping merges
+    * strictly word-internal). */
+  private def encDocCol: Column = expr(
+    "array_join(transform(filter(split(text, ' '), w -> w rlike '^[a-z]+$'), " +
+      "w -> regexp_replace(w, '(.)', '^$1|')), ' ')")
+
+  /** Apply the frozen merge table: K nested literal replaces. */
+  private def applyMerges(enc: Column, merges: Seq[(String, String, Long)]): Column =
+    merges.foldLeft(enc) { case (e, (a, b, _)) =>
+      call_function("replace", e, lit(s"^$a|^$b|"), lit(s"^$a$b|"))
+    }
+
+  /** Per-doc BPE token counts under the corpus-inducted vocabulary:
+    * every `|` closes one symbol, so the count is a length delta —
+    * no explode, no shuffle, one codegen pass. */
+  def qBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val merges = mergesFor(s, dir)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        applyMerges(encDocCol, merges).as("app"))
+      .select(col("doc_id"),
+        (length(col("app")) - length(call_function("replace", col("app"), lit("|"), lit(""))))
+          .cast("int").as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** (doc_id, toks) under the inducted vocabulary, for pipeline
+    * stages that size work in real subword tokens —
+    * [[Text.packShards]]'s optional token source. */
+  def bpeTokenCounts(s: SparkSession, dir: String): DataFrame =
+    qBpeTokens(s, dir).withColumnRenamed("bpe_tokens", "toks")
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle: the SAME induction unrolled as K CTE stages.
+  // Stage i: pair counts over w{i} (index the symbol list), the
+  // (count DESC, pair ASC) argmax b{i}, then w{i+1} folds the merge
+  // in via the identical replace. Duck's SUM(BIGINT) is HUGEINT —
+  // cast back at the edges.
+
+  private def w0Sql: String =
+    """w0 AS MATERIALIZED (SELECT regexp_replace(w, '(.)', '^\1|', 'g') AS enc,
+      |    CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY 1)""".stripMargin
+
+  private def stageSql(i: Int): String = {
+    val (a, b) = (s"(SELECT a FROM b$i)", s"(SELECT b FROM b$i)")
+    s"""p$i AS MATERIALIZED (SELECT syms[x] AS a, syms[x + 1] AS b, SUM(freq) AS c FROM (
+       |    SELECT unnest(range(1, len(syms))) AS x, syms, freq FROM (
+       |      SELECT list_transform(list_filter(string_split(enc, '|'),
+       |        z -> z <> ''), z -> z[2:]) AS syms, freq FROM w$i))
+       |  GROUP BY 1, 2),
+       |b$i AS MATERIALIZED (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+       |w${i + 1} AS MATERIALIZED (SELECT replace(enc, '^' || $a || '|^' || $b || '|',
+       |    '^' || $a || $b || '|') AS enc, freq FROM w$i)""".stripMargin
+  }
+
+  private def mergeCtes: String =
+    (w0Sql +: (0 until BpeMerges).map(stageSql)).mkString(",\n")
+
+  val qBpeVocabSql: String = {
+    val rows = (0 until BpeMerges)
+      .map(i => s"SELECT ${i + 1} AS rnk, a AS lft, b AS rgt, CAST(c AS BIGINT) AS cnt FROM b$i")
+      .mkString("\n  UNION ALL ")
+    s"WITH\n$mergeCtes\nSELECT * FROM (\n  $rows) ORDER BY rnk"
+  }
+
+  val qBpeTokensSql: String = {
+    val applied = (0 until BpeMerges).foldLeft("encdoc") { (e, i) =>
+      val (a, b) = (s"(SELECT a FROM b$i)", s"(SELECT b FROM b$i)")
+      s"replace($e, '^' || $a || '|^' || $b || '|', '^' || $a || $b || '|')"
+    }
+    s"""WITH
+       |$mergeCtes,
+       |d AS MATERIALIZED (SELECT doc_id, array_to_string(list_transform(
+       |    list_filter(string_split(text, ' '),
+       |      w -> regexp_matches(w, '^[a-z]+$$')),
+       |    w -> regexp_replace(w, '(.)', '^\\1|', 'g')), ' ') AS encdoc
+       |  FROM documents)
+       |SELECT doc_id, CAST(length(app) - length(replace(app, '|', '')) AS INT)
+       |    AS bpe_tokens
+       |FROM (SELECT doc_id, $applied AS app FROM d) ORDER BY doc_id""".stripMargin
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_vocab" -> (qBpeVocab _),
+    "q_bpe_tokens" -> (qBpeTokens _))
+
+  val oracles: Map[String, String] = Map(
+    "q_bpe_vocab" -> qBpeVocabSql,
+    "q_bpe_tokens" -> qBpeTokensSql)
+}

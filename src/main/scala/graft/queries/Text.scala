@@ -563,14 +563,24 @@ object Text {
   def qPackShards(s: SparkSession, dir: String): DataFrame =
     packShards(Tables.documents(s, dir))
 
-  private[graft] def packShards(docs: DataFrame): DataFrame = {
+  /** `toksOf`: optional (doc_id, toks) frame replacing the default
+    * whitespace token counts — the hook for sizing shards in REAL
+    * subword tokens ([[Bpe.bpeTokenCounts]]); whitespace counts
+    * under-count exactly the sources (code, rare words) that blow a
+    * token budget. The join is on the corpus key, so it rides the
+    * same shuffle the packing window needs anyway. */
+  private[graft] def packShards(docs: DataFrame,
+    toksOf: Option[DataFrame] = None): DataFrame = {
     import docs.sparkSession.implicits._
     val w = Window.partitionBy($"source", $"batch").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select($"doc_id", $"source",
-        expr(s"doc_id DIV $PackBatch").as("batch"),
-        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("toks"))
+    val base = docs.select($"doc_id", $"source",
+      expr(s"doc_id DIV $PackBatch").as("batch"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("ws_toks"))
+    toksOf.fold(base.withColumnRenamed("ws_toks", "toks")) { t =>
+      base.drop("ws_toks")
+        .join(t.select($"doc_id", $"toks".cast("long").as("toks")), Seq("doc_id"))
+    }
       .withColumn("cum", sum($"toks").over(w))
       // a doc is cut iff its LAST token (position cum - 1) lands in a
       // later shard than its first; ending exactly on a boundary is

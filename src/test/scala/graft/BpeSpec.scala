@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import spark.implicits._
+
+  for ((name, fn) <- queries.Bpe.defs) {
+    test(s"$name runs and returns rows at sf0.001") {
+      assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("induction is greedy and deterministic on a hand-derivable corpus") {
+    // word freqs: the=4, aaaa=2, then=1. Pair counts round 1:
+    // (a,a)=3·2=6 beats (t,h)=(h,e)=5 → merge (a,a); the aaaa run
+    // must split GREEDILY into [aa,aa] (the shared-boundary case the
+    // span encoding exists for). Round 2: (t,h)=(h,e)=5 tie broken by
+    // pair order → (h,e). Round 3: (t,he)=5.
+    val docs = Seq((0L, "the the the aaaa"), (1L, "then the aaaa"))
+      .toDF("doc_id", "text")
+    assert(queries.Bpe.induceMerges(docs, 3) ==
+      Seq(("a", "a", 6L), ("h", "e", 5L), ("t", "he", 5L)))
+  }
+
+  test("token counts match a driver-side greedy re-tokenization; packShards consumes BPE counts") {
+    val merges = queries.Bpe.mergesFor(spark, sf)
+    assert(merges.size == queries.Bpe.BpeMerges)
+    // independent reference tokenizer: one left-to-right merge pass
+    // per rank (sufficient: a merge a+b can never create a new (a,b)
+    // adjacency, since ab differs from both halves)
+    def tokenize(word: String): Int = {
+      var syms = word.map(_.toString).toList
+      for ((a, b, _) <- merges) {
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var rest = syms
+        while (rest.nonEmpty) rest match {
+          case x :: y :: t if x == a && y == b => out += (x + y); rest = t
+          case x :: t => out += x; rest = t
+        }
+        syms = out.toList
+      }
+      syms.length
+    }
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    queries.Bpe.qBpeTokens(spark, sf).collect().foreach { r =>
+      val (id, n) = (r.getLong(0), r.getInt(1))
+      val want = texts(id).split(" ").filter(_.matches("[a-z]+"))
+        .map(tokenize).sum
+      assert(n == want, s"doc $id: engine says $n tokens, reference says $want")
+    }
+    // the packShards hook: shard token sums must conserve the BPE
+    // counts exactly (every doc packed once, sized in subword tokens)
+    val toks = queries.Bpe.bpeTokenCounts(spark, sf)
+    val packed = queries.Text.packShards(
+      spark.read.parquet(s"$sf/documents.parquet"), Some(toks))
+    val (nDocs, tokSum) = packed
+      .agg(org.apache.spark.sql.functions.sum("n_docs"),
+        org.apache.spark.sql.functions.sum("tok_sum")).as[(Long, Long)].head()
+    assert(nDocs == texts.size, "pack-by-BPE lost or duplicated docs")
+    val wantSum = queries.Bpe.qBpeTokens(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("bpe_tokens")).as[Long].head()
+    assert(tokSum == wantSum, "shard token sums do not conserve the BPE counts")
+  }
+}
