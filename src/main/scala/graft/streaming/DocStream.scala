@@ -121,4 +121,24 @@ object DocStream {
         } finally { b.unpersist(false); () }
       }
       .start()
+
+  /** Fold streaming file accretion — one file per touched bucket per
+    * micro-batch — back to one file per fp bucket, completing the
+    * corpus lifecycle the ANN codes tables and ObjectIndex already
+    * have. A maintenance-window operation under the single-writer
+    * discipline (compactPartitions' dynamic-overwrite rewrite is not
+    * crash-atomic, so it runs while the stream is STOPPED, like the
+    * ANN tables' fold); refuses on an incomplete table and on
+    * unresolved crashed appends — recovery is [[Catalog
+    * .recoverAppends]]'s job and must happen first, or the fold
+    * would silently bake a half-committed batch's visible subset
+    * into the rewritten partitions. */
+  def compactCorpus(s: SparkSession, corpusPath: String,
+    parallelism: Int = 16): Unit = {
+    require(Catalog.tableComplete(s, corpusPath),
+      s"$corpusPath is not a complete corpus table")
+    require(!Catalog.appendPending(s, corpusPath),
+      s"$corpusPath has unresolved crashed appends — recoverAppends first")
+    Catalog.compactPartitions(s, corpusPath, "bk", parallelism)
+  }
 }

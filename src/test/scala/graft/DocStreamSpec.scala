@@ -130,4 +130,59 @@ class DocStreamSpec extends AnyFunSuite {
       assert(t2.select($"doc_id").as[Long].collect().toSet == Set(0L, 1L, 10L, 21L))
     } finally q.stop()
   }
+
+  test("corpus compaction folds streaming file accretion to one file per bucket; content and dedup behavior survive") {
+    val dir = java.nio.file.Files.createTempDirectory("doc_compact").toString
+    val corpus = s"$dir/clean"
+    assert(DocStream.buildCleanCorpus(spark,
+      Seq((0L, doc("a"), "s0")).toDF("doc_id", "text", "source"), corpus))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = DocStream.ingestDocStream(
+      input.toDF().toDF("doc_id", "text", "source"), corpus, s"$dir/ckpt")
+    try {
+      // several micro-batches, each touching most of the 16 buckets —
+      // repeat-touched buckets accrete one file per batch
+      for (i <- 1 to 4) {
+        input.addData((0 until 8).map(j => (i * 100L + j, doc(s"w${i}x$j"), "s1")): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def filesPerBucket(): Map[String, Int] =
+      new java.io.File(corpus).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bk="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    val before = spark.read.parquet(corpus)
+      .select($"doc_id", $"fp").as[(Long, String)].collect().toSet
+    assert(filesPerBucket().values.exists(_ > 1),
+      "ingest did not accrete multiple files — compaction has nothing to prove")
+
+    // a pending crashed append must block the fold (recovery first)
+    val stale = java.nio.file.Paths.get(corpus, "_tmp_append_dead")
+    java.nio.file.Files.createDirectory(stale)
+    intercept[IllegalArgumentException] { DocStream.compactCorpus(spark, corpus) }
+    java.nio.file.Files.delete(stale)
+
+    DocStream.compactCorpus(spark, corpus)
+    assert(filesPerBucket().values.forall(_ == 1),
+      s"compaction left multi-file buckets: ${filesPerBucket()}")
+    assert(spark.read.parquet(corpus)
+      .select($"doc_id", $"fp").as[(Long, String)].collect().toSet == before,
+      "compaction changed corpus content")
+
+    // the folded table still serves ingest: replayed content dedups,
+    // new content lands — the at-rest anti-join reads the same fps
+    val input2 = MemoryStream[(Long, String, String)]
+    val q2 = DocStream.ingestDocStream(
+      input2.toDF().toDF("doc_id", "text", "source"), corpus, s"$dir/ckpt2")
+    try {
+      input2.addData((1000L, doc("w1x0"), "s2"), (101L, doc("z"), "s2"))
+      q2.processAllAvailable()
+      val ids = spark.read.parquet(corpus).select($"doc_id").as[Long].collect().toSet
+      assert(!ids.contains(1000L), "replayed content landed twice after compaction")
+      assert(ids.contains(101L), "new content failed to land after compaction")
+    } finally q2.stop()
+  }
 }
