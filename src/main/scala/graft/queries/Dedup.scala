@@ -737,6 +737,7 @@ object Dedup {
     val active = edges.select($"src".as("doc_id")).distinct()
       .localCheckpoint(true)
     var labels = active.select($"doc_id", $"doc_id".as("cluster_id"))
+    var prev: Option[org.apache.spark.sql.DataFrame] = None
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -744,14 +745,24 @@ object Dedup {
         .join(labels.select($"doc_id".as("src"), $"cluster_id"), "src")
         .groupBy($"dst".as("doc_id"))
         .agg(min($"cluster_id").as("nbr_min"))
-      // carry the previous label through the checkpoint so convergence
-      // is a filter over already-materialized data, not another join
+      // ONE job per iteration: the FULL changed-row count both
+      // materializes the persisted frame (every partition scanned — a
+      // limit(1) short-circuit would leave holes that silently
+      // re-derive the whole lineage when the next join reads them)
+      // and answers convergence. The old shape paid a second action
+      // per iteration just to ask "did anything change".
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select($"doc_id",
           least($"cluster_id", coalesce($"nbr_min", $"cluster_id")).as("new_id"),
           $"cluster_id".as("old_id"))
-        .localCheckpoint(true)
-      converged = next.filter($"new_id" =!= $"old_id").limit(1).count() == 0
+        .persist()
+      converged = next.filter($"new_id" =!= $"old_id").count() == 0
+      // the previous iteration's blocks are dead once `next` is
+      // materialized — release them instead of accreting one cached
+      // sliver per iteration (the final frame stays cached for the
+      // cluster-size window + singleton union below)
+      prev.foreach(_.unpersist(false))
+      prev = Some(next)
       labels = next.select($"doc_id", $"new_id".as("cluster_id"))
       it += 1
     }
