@@ -63,7 +63,7 @@ object Bench {
     // round-10 wave-2: BPE — vocab induction amortizes behind the
     // frozen-artifact memo (build step; near-zero warm), tokenization
     // is the real per-corpus scan being measured
-    "q_bpe_vocab", "q_bpe_tokens")
+    "q_bpe_vocab", "q_bpe_tokens", "q_chunk_bpe")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

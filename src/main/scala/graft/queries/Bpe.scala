@@ -129,6 +129,48 @@ object Bpe {
   def bpeTokenCounts(s: SparkSession, dir: String): DataFrame =
     qBpeTokens(s, dir).withColumnRenamed("bpe_tokens", "toks")
 
+  /** BPE-token budget per chunk for [[qChunkBpe]]. */
+  private[graft] val ChunkBpeBudget = 64L
+
+  /** Chunking budgeted in SUBWORD tokens — [[Text]]'s q_chunk cuts
+    * fixed WORD windows, but an embedding/context budget is a token
+    * budget: chunks here are variable-length word runs whose BPE
+    * token sum stays ≤ [[ChunkBpeBudget]] (a word never splits; a
+    * straddling word starts the next chunk, pack_shards' discipline).
+    *
+    * Scale shape: per-word token costs come from the DISTINCT-word
+    * table (apply the frozen merges once per vocabulary entry, tiny →
+    * broadcast); the corpus side is one posexplode + a per-doc
+    * prefix-sum window + one combinable aggregate — no corpus
+    * self-join, no explode amplification beyond the word count.
+    * Words outside the inducted `[a-z]+` alphabet cost 0 tokens (they
+    * are not subword-tokenized), mirroring [[qBpeTokens]]. */
+  def qChunkBpe(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merges = mergesFor(s, dir)
+    val docs = Tables.documents(s, dir)
+    val app = applyMerges(expr("regexp_replace(w, '(.)', '^$1|')"), merges)
+    val wt = docs.select(explode(expr(
+      "filter(split(text, ' '), w -> w rlike '^[a-z]+$')")).as("w"))
+      .distinct()
+      .select(col("w"),
+        (length(app) - length(call_function("replace", app, lit("|"), lit(""))))
+          .cast("long").as("wtoks"))
+    val words = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    words.join(broadcast(wt), Seq("w"), "left")
+      .na.fill(0L, Seq("wtoks"))
+      .withColumn("cum", sum(col("wtoks")).over(win))
+      .withColumn("chunk_id", expr(s"(cum - wtoks) DIV $ChunkBpeBudget"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("wtoks")).as("bpe_toks"),
+        expr("md5(array_join(transform(array_sort(collect_list(struct(pos, w))), x -> x.w), ' '))")
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   // ---------------------------------------------------------------
   // DuckDB oracle: the SAME induction unrolled as K CTE stages.
   // Stage i: pair counts over w{i} (index the symbol list), the
@@ -181,11 +223,39 @@ object Bpe {
        |FROM (SELECT doc_id, $applied AS app FROM d) ORDER BY doc_id""".stripMargin
   }
 
+  /** [[qChunkBpe]]'s oracle: the per-word token costs fall out of the
+    * FINAL merge stage for free — w{K}'s encodings already carry all
+    * K merges, so wtoks is a length delta and the original word is
+    * the encoding with its markers stripped. */
+  val qChunkBpeSql: String =
+    s"""WITH
+       |$mergeCtes,
+       |wt AS MATERIALIZED (SELECT replace(replace(enc, '^', ''), '|', '') AS w,
+       |    CAST(length(enc) - length(replace(enc, '|', '')) AS BIGINT) AS wtoks
+       |  FROM w$BpeMerges),
+       |x AS MATERIALIZED (SELECT doc_id, pos, ws[pos] AS w FROM (
+       |    SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos FROM (
+       |      SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+       |c AS MATERIALIZED (SELECT doc_id, pos, w, wtoks,
+       |    SUM(wtoks) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM (SELECT x.doc_id, x.pos, x.w, COALESCE(wt.wtoks, 0) AS wtoks
+       |        FROM x LEFT JOIN wt ON wt.w = x.w))
+       |SELECT doc_id, chunk_id, COUNT(*) AS n_words,
+       |  CAST(SUM(wtoks) AS BIGINT) AS bpe_toks,
+       |  md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+       |FROM (SELECT doc_id, pos, w, wtoks,
+       |        CAST((cum - wtoks) // $ChunkBpeBudget AS BIGINT) AS chunk_id
+       |      FROM c)
+       |GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_vocab" -> (qBpeVocab _),
-    "q_bpe_tokens" -> (qBpeTokens _))
+    "q_bpe_tokens" -> (qBpeTokens _),
+    "q_chunk_bpe" -> (qChunkBpe _))
 
   val oracles: Map[String, String] = Map(
     "q_bpe_vocab" -> qBpeVocabSql,
-    "q_bpe_tokens" -> qBpeTokensSql)
+    "q_bpe_tokens" -> qBpeTokensSql,
+    "q_chunk_bpe" -> qChunkBpeSql)
 }

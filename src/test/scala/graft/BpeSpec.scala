@@ -65,4 +65,32 @@ class BpeSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum("bpe_tokens")).as[Long].head()
     assert(tokSum == wantSum, "shard token sums do not conserve the BPE counts")
   }
+
+  test("q_chunk_bpe conserves tokens and words; every chunk starts inside the budget") {
+    import org.apache.spark.sql.functions._
+    val chunks = queries.Bpe.qChunkBpe(spark, sf).cache()
+    // every word lands in exactly one chunk, every token is counted once
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(sum("n_words").as("nw"), sum("bpe_toks").as("nt"))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS nw")
+    assert(perDoc.join(docs, "doc_id")
+      .filter(perDoc("nw") =!= docs("nw")).count() == 0,
+      "chunking lost or duplicated words")
+    val wantToks = queries.Bpe.qBpeTokens(spark, sf)
+      .agg(sum("bpe_tokens")).as[Long].head()
+    assert(chunks.agg(sum("bpe_toks")).as[Long].head() == wantToks,
+      "chunking lost or duplicated tokens")
+    // the budget discipline: a chunk overruns only by its LAST word
+    // (a straddling word starts the next chunk, it never splits), so
+    // every chunk minus any single word fits — equivalently chunk
+    // token sums are < budget + the corpus' max word cost
+    val maxWord = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS w")
+      .selectExpr("CAST(length(w) AS BIGINT) AS c") // word toks <= chars
+      .agg(max("c")).as[Long].head()
+    assert(chunks.filter(col("bpe_toks") >= lit(queries.Bpe.ChunkBpeBudget) + maxWord)
+      .count() == 0, "a chunk exceeded budget by more than one word")
+    chunks.unpersist()
+  }
 }
