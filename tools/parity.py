@@ -30,7 +30,19 @@ def main(sfdir, outdir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = 0
+    # A subset Verify run marks WHICH queries it re-executed; result
+    # dirs outside the marker are leftovers of older code — comparing
+    # them against the fresh oracle dump would report pass/fail for
+    # queries that never ran. Flag, don't compare.
+    subset = None
+    if os.path.exists(f"{outdir}/_subset.json"):
+        subset = set(json.load(open(f"{outdir}/_subset.json")))
     names = sorted(d for d in os.listdir(outdir) if os.path.isdir(f"{outdir}/{d}"))
+    stale = [n for n in names if subset is not None and n not in subset]
+    if stale:
+        print(f"[subset   ] comparing only {sorted(subset)}; "
+              f"{len(stale)} stale result dir(s) skipped")
+        names = [n for n in names if n not in stale]
     for name in names:
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
