@@ -29,24 +29,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Subset mode leaves stale result dirs for unselected queries in
-    // place, and the downstream compare walks whichever dirs exist —
-    // record WHICH queries this run actually re-executed so fresh
-    // results are distinguishable from leftovers of older code. A
-    // full run removes any previous marker (everything is fresh).
-    val markerPath = Paths.get(s"$outDir/_subset.json")
-    Files.deleteIfExists(markerPath)
-    SparkEntry.queries.foreach { case (name, fn) =>
-      if (selected(name))
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    // JSON string escape (shared by the marker and oracle dumps below)
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -56,6 +39,36 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Subset mode leaves stale result dirs for unselected queries in
+    // place, and the downstream compare walks whichever dirs exist —
+    // record WHICH queries this run re-executes so fresh results are
+    // distinguishable from leftovers of older code. The marker is
+    // written BEFORE the query loop (it records intent) and each
+    // selected query's previous result dir is removed up front: a run
+    // killed mid-loop then surfaces as MISSING results for the
+    // unfinished queries, never as stale dirs compared as fresh. A
+    // full run removes any previous marker (everything is fresh).
+    val markerPath = Paths.get(s"$outDir/_subset.json")
+    Files.deleteIfExists(markerPath)
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+    only.foreach { names =>
+      names.toSeq.sorted.foreach(n => rmTree(Paths.get(s"$outDir/$n")))
+      Files.writeString(markerPath,
+        names.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (selected(name))
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+    }
     // ALWAYS dump the full oracle map, even in subset mode: a focused
     // re-run into a previously-full outDir must not shrink
     // oracle_sql.json and silently exempt every other query from the
@@ -64,10 +77,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    only.foreach { names =>
-      Files.writeString(markerPath,
-        names.toSeq.sorted.map(q).mkString("[", ",", "]"))
-    }
     spark.stop()
   }
 }

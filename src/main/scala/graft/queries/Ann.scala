@@ -223,30 +223,39 @@ object Ann {
   }
 
   /** Load a stored standalone IVF model — no training, no corpus
-    * scan, just the tiny model table. */
+    * scan, just the tiny model table. Fails loudly on a wrong-kind or
+    * empty model table (as [[loadPqIndex]]/[[loadIvfPqIndex]] do for
+    * the symmetric mistakes) — an empty centroid list would otherwise
+    * flow through [[qAnnIvf]] as silently empty assignments. */
   def loadIvfModel(s: SparkSession, path: String): Seq[(Long, Seq[Long], Long)] = {
     require(graft.sources.Catalog.tableComplete(s, path),
       s"$path is not a complete IVF model table — build it first")
-    ivfModelOf(s.read.parquet(path).collect()
+    val rows = s.read.parquet(path).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4)))
-      .toSeq)
+      .toSeq
+    require(rows.nonEmpty && rows.forall(_._1 == "ivf"),
+      s"$path is not a standalone IVF model table (kinds: " +
+        s"${rows.map(_._1).distinct.sorted.mkString(",")}) — point " +
+        "PQ/IVFADC indexes at loadPqIndex/loadIvfPqIndex instead")
+    ivfModelOf(rows)
   }
 
   /** Per-corpus cache location for the registered q_ann_ivf's stored
-    * model, keyed by the embeddings files' identity (name + length +
+    * model, keyed by `table`'s file identity (name + length +
     * mtime): regenerated test data gets a fresh key, so a stale
     * cached codebook can never shadow retrained truth. The registered
     * query's (session, dir) signature has nowhere to thread an
     * explicit model path through — production callers use
     * [[buildIvfModel]]/[[loadIvfModel]] with a real artifact
     * location; this cache is the same lifecycle with a derived one. */
-  private[graft] def annCachePath(dir: String, kind: String): String = {
+  private[graft] def annCachePath(dir: String, kind: String,
+    table: String = "embeddings.parquet"): String = {
     def sig(f: java.io.File): String =
       if (f.isDirectory)
         f.listFiles().sortBy(_.getName).map(sig).mkString("[", ",", "]")
       else s"${f.getName}:${f.length}:${f.lastModified}"
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${sig(new java.io.File(dir, "embeddings.parquet"))}"
+      .digest(s"$dir|${sig(new java.io.File(dir, table))}"
         .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
     sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
@@ -274,8 +283,11 @@ object Ann {
       graft.sources.Catalog.dropIfExists(s, path)
       buildIvfModel(s, Tables.embeddings(s, dir), path)
     }
-    val mtime = new java.io.File(path, "_SUCCESS").lastModified
-    ivfModelMemo.computeIfAbsent((path, mtime), _ => loadIvfModel(s, path))
+    // stamp via the Hadoop FS like the rest of the lifecycle —
+    // java.io.File would report 0 for every non-local scheme and the
+    // memo would never invalidate on a rebuild
+    val stamp = graft.sources.Catalog.commitStamp(s, path)
+    ivfModelMemo.computeIfAbsent((path, stamp), _ => loadIvfModel(s, path))
   }
 
   def qAnnIvf(s: SparkSession, dir: String): DataFrame = {

@@ -84,7 +84,12 @@ object Bpe {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String, Long)]]()
 
   private[graft] def mergesFor(s: SparkSession, dir: String): Seq[(String, String, Long)] =
-    mergeMemo.computeIfAbsent(Ann.annCachePath(dir, "bpe"),
+    mergeMemo.computeIfAbsent(
+      // key on documents.parquet — the table induction actually reads;
+      // keying on the default (embeddings) would serve a stale merge
+      // table after the corpus is regenerated under an untouched
+      // embeddings file
+      Ann.annCachePath(dir, "bpe", table = "documents.parquet"),
       _ => induceMerges(Tables.documents(s, dir)))
 
   /** The inducted merge table: (rnk, lft, rgt, cnt), rank order. */
@@ -134,21 +139,31 @@ object Bpe {
 
   /** Chunking budgeted in SUBWORD tokens — [[Text]]'s q_chunk cuts
     * fixed WORD windows, but an embedding/context budget is a token
-    * budget: chunks here are variable-length word runs whose BPE
-    * token sum stays ≤ [[ChunkBpeBudget]] (a word never splits; a
-    * straddling word starts the next chunk, pack_shards' discipline).
+    * budget: chunks here are variable-length word runs packed
+    * GREEDILY — a word whose cost would push the running sum past
+    * [[ChunkBpeBudget]] starts the next chunk (words never split), so
+    * every chunk's token sum is ≤ the budget, except a chunk whose
+    * single opening word alone exceeds it (it can't be split, so it
+    * rides alone). This is the guarantee an embedding/context-window
+    * consumer actually sizes against — unlike [[Text.packShards]],
+    * which deliberately CUTS docs at fixed shard boundaries.
     *
     * Scale shape: per-word token costs come from the DISTINCT-word
     * table (apply the frozen merges once per vocabulary entry, tiny →
-    * broadcast); the corpus side is one posexplode + a per-doc
-    * prefix-sum window + one combinable aggregate — no corpus
-    * self-join, no explode amplification beyond the word count.
-    * Words outside the inducted `[a-z]+` alphabet cost 0 tokens (they
-    * are not subword-tokenized), mirroring [[qBpeTokens]]. */
-  def qChunkBpe(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val merges = mergesFor(s, dir)
-    val docs = Tables.documents(s, dir)
+    * broadcast); the corpus side is one posexplode + broadcast cost
+    * join, ONE shuffle to regroup each doc's words, and a per-doc
+    * greedy fold (`aggregate` HOF — budget resets are inherently
+    * sequential per doc, but each doc folds independently and in
+    * codegen; cost is linear in the doc's word count, the same bound
+    * as reading it). The final per-chunk regroup reuses the doc_id
+    * partitioning — no second shuffle. Words outside the inducted
+    * `[a-z]+` alphabet cost 0 tokens (they are not
+    * subword-tokenized), mirroring [[qBpeTokens]]. */
+  def qChunkBpe(s: SparkSession, dir: String): DataFrame =
+    chunkByBpe(Tables.documents(s, dir), mergesFor(s, dir))
+
+  private[graft] def chunkByBpe(docs: DataFrame,
+    merges: Seq[(String, String, Long)]): DataFrame = {
     val app = applyMerges(expr("regexp_replace(w, '(.)', '^$1|')"), merges)
     val wt = docs.select(explode(expr(
       "filter(split(text, ' '), w -> w rlike '^[a-z]+$')")).as("w"))
@@ -158,12 +173,27 @@ object Bpe {
           .cast("long").as("wtoks"))
     val words = docs.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     words.join(broadcast(wt), Seq("w"), "left")
       .na.fill(0L, Seq("wtoks"))
-      .withColumn("cum", sum(col("wtoks")).over(win))
-      .withColumn("chunk_id", expr(s"(cum - wtoks) DIV $ChunkBpeBudget"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("w"), col("wtoks"))))
+        .as("ws"))
+      // the greedy fold: carry (current chunk, tokens used in it) and
+      // emit each word's chunk id; `used > 0` keeps an oversized
+      // opening word in its own chunk instead of an empty one
+      .withColumn("ids", expr(s"""
+        aggregate(ws,
+          named_struct('chunk', CAST(0 AS BIGINT), 'used', CAST(0 AS BIGINT),
+            'ids', CAST(array() AS array<bigint>)),
+          (a, x) -> IF(a.used > 0 AND a.used + x.wtoks > $ChunkBpeBudget,
+            named_struct('chunk', a.chunk + 1, 'used', x.wtoks,
+              'ids', concat(a.ids, array(a.chunk + 1))),
+            named_struct('chunk', a.chunk, 'used', a.used + x.wtoks,
+              'ids', concat(a.ids, array(a.chunk)))),
+          a -> a.ids)"""))
+      .select(col("doc_id"), expr("inline(arrays_zip(ws, ids))"))
+      .select(col("doc_id"), col("ws.pos").as("pos"), col("ws.w").as("w"),
+        col("ws.wtoks").as("wtoks"), col("ids").as("chunk_id"))
       .groupBy(col("doc_id"), col("chunk_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("wtoks")).as("bpe_toks"),
         expr("md5(array_join(transform(array_sort(collect_list(struct(pos, w))), x -> x.w), ' '))")
@@ -226,9 +256,12 @@ object Bpe {
   /** [[qChunkBpe]]'s oracle: the per-word token costs fall out of the
     * FINAL merge stage for free — w{K}'s encodings already carry all
     * K merges, so wtoks is a length delta and the original word is
-    * the encoding with its markers stripped. */
+    * the encoding with its markers stripped. The greedy budget fold
+    * is a recursive CTE advancing every doc one word per step (steps
+    * = max words per doc), the same (chunk, used) recurrence the
+    * Spark fold runs. */
   val qChunkBpeSql: String =
-    s"""WITH
+    s"""WITH RECURSIVE
        |$mergeCtes,
        |wt AS MATERIALIZED (SELECT replace(replace(enc, '^', ''), '|', '') AS w,
        |    CAST(length(enc) - length(replace(enc, '|', '')) AS BIGINT) AS wtoks
@@ -236,17 +269,25 @@ object Bpe {
        |x AS MATERIALIZED (SELECT doc_id, pos, ws[pos] AS w FROM (
        |    SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos FROM (
        |      SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
-       |c AS MATERIALIZED (SELECT doc_id, pos, w, wtoks,
-       |    SUM(wtoks) OVER (PARTITION BY doc_id ORDER BY pos
-       |      ROWS UNBOUNDED PRECEDING) AS cum
-       |  FROM (SELECT x.doc_id, x.pos, x.w, COALESCE(wt.wtoks, 0) AS wtoks
-       |        FROM x LEFT JOIN wt ON wt.w = x.w))
+       |c AS MATERIALIZED (SELECT x.doc_id, x.pos, x.w,
+       |    COALESCE(wt.wtoks, 0) AS wtoks
+       |  FROM x LEFT JOIN wt ON wt.w = x.w),
+       |rec AS (
+       |  SELECT doc_id, 0 AS pos, CAST(0 AS BIGINT) AS chunk,
+       |    CAST(0 AS BIGINT) AS used
+       |  FROM (SELECT DISTINCT doc_id FROM c)
+       |  UNION ALL
+       |  SELECT c.doc_id, c.pos,
+       |    CASE WHEN r.used > 0 AND r.used + c.wtoks > $ChunkBpeBudget
+       |      THEN r.chunk + 1 ELSE r.chunk END,
+       |    CASE WHEN r.used > 0 AND r.used + c.wtoks > $ChunkBpeBudget
+       |      THEN c.wtoks ELSE r.used + c.wtoks END
+       |  FROM rec r JOIN c ON c.doc_id = r.doc_id AND c.pos = r.pos + 1)
        |SELECT doc_id, chunk_id, COUNT(*) AS n_words,
        |  CAST(SUM(wtoks) AS BIGINT) AS bpe_toks,
        |  md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
-       |FROM (SELECT doc_id, pos, w, wtoks,
-       |        CAST((cum - wtoks) // $ChunkBpeBudget AS BIGINT) AS chunk_id
-       |      FROM c)
+       |FROM (SELECT r.doc_id, r.pos, c.w, c.wtoks, r.chunk AS chunk_id
+       |      FROM rec r JOIN c ON c.doc_id = r.doc_id AND c.pos = r.pos)
        |GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

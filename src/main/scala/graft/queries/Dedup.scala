@@ -710,14 +710,24 @@ object Dedup {
     * driver legitimately iterates — the classic Pregel/GraphX shape —
     * and each iteration is fully distributed: one equi-join of edges
     * against current labels (shuffle on node id) + one min-aggregate.
-    * `localCheckpoint(eager)` truncates lineage per iteration so plans
-    * don't grow with the iteration count.
+    * Each iteration's frame is persisted and fully materialized by the
+    * convergence count (one job does both); every few iterations the
+    * labels are additionally `localCheckpoint`ed — a cheap cache-read
+    * job — so lineage depth stays bounded instead of growing one join
+    * per iteration (a cache eviction late in a long run would
+    * otherwise recompute from iteration 0).
     *
     * Convergence: min-label propagation stabilizes within the graph
     * diameter. Near-dup graphs are dense clusters (diameter 2-3), so
     * the loop exits in a handful of rounds; `maxIters` is a loud
     * safety bound, not a truncation — non-convergence throws rather
     * than returning wrong labels. */
+  /** Truncate label-frame lineage every this many propagation
+    * iterations — near-dup graphs converge in 2-4, so the common case
+    * pays zero extra jobs; only slow-converging graphs buy the
+    * bounded-recompute insurance. */
+  private val LineageTruncateEvery = 4
+
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
     maxIters: Int = 50): DataFrame = {
     import nodes.sparkSession.implicits._
@@ -757,13 +767,22 @@ object Dedup {
           $"cluster_id".as("old_id"))
         .persist()
       converged = next.filter($"new_id" =!= $"old_id").count() == 0
+      // truncate lineage every few iterations: the checkpoint job
+      // reads the just-materialized cache (cheap), and bounds how far
+      // back a cache eviction can cascade a recompute
+      val kept =
+        if (!converged && (it + 1) % LineageTruncateEvery == 0) {
+          val cp = next.localCheckpoint(true)
+          next.unpersist(false)
+          cp
+        } else next
       // the previous iteration's blocks are dead once `next` is
       // materialized — release them instead of accreting one cached
       // sliver per iteration (the final frame stays cached for the
       // cluster-size window + singleton union below)
       prev.foreach(_.unpersist(false))
-      prev = Some(next)
-      labels = next.select($"doc_id", $"new_id".as("cluster_id"))
+      prev = Some(kept)
+      labels = kept.select($"doc_id", $"new_id".as("cluster_id"))
       it += 1
     }
     edges.unpersist()

@@ -469,15 +469,22 @@ object Spatial {
     * quadratic form m = (x/a)² + (y/b)² < 1 — all constant-folded
     * multiplies, no per-row trig. m is the membership metric (0 at
     * center, 1 on the boundary), reported rounded. */
-  def qEllipseSearch(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val u = ($"ra" - lit(EllRaC)) * lit(EllCosDec)
-    val v = $"decl" - lit(EllDecC)
+  /** The normalized quadratic form m — shared by the flat and
+    * zone-partitioned paths (as [[inPoly]] is for the polygon pair):
+    * the hash-parity contract requires both to compute bit-identical
+    * doubles, so the expression exists exactly once. */
+  private def ellipseM: Column = {
+    val u = (col("ra") - lit(EllRaC)) * lit(EllCosDec)
+    val v = col("decl") - lit(EllDecC)
     val x = u * lit(EllCosPA) + v * lit(EllSinPA)
     val y = v * lit(EllCosPA) - u * lit(EllSinPA)
-    val m = (x / EllA) * (x / EllA) + (y / EllB) * (y / EllB)
+    (x / EllA) * (x / EllA) + (y / EllB) * (y / EllB)
+  }
+
+  def qEllipseSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     points(s, dir)
-      .withColumn("m", m)
+      .withColumn("m", ellipseM)
       .filter($"m" < 1.0)
       .select($"k", $"ra", $"decl", round($"m", 6).as("m_r6"))
       .orderBy($"k")
@@ -504,14 +511,9 @@ object Spatial {
       EllB * EllCosPA * EllB * EllCosPA)
     val zLo = math.floor((EllDecC - decHalf + 90.0) / zoneHeight).toInt
     val zHi = math.floor((EllDecC + decHalf + 90.0) / zoneHeight).toInt
-    val u = ($"ra" - lit(EllRaC)) * lit(EllCosDec)
-    val v = $"decl" - lit(EllDecC)
-    val x = u * lit(EllCosPA) + v * lit(EllSinPA)
-    val y = v * lit(EllCosPA) - u * lit(EllSinPA)
-    val m = (x / EllA) * (x / EllA) + (y / EllB) * (y / EllB)
     s.read.parquet(path)
       .filter($"zone" >= zLo && $"zone" <= zHi)
-      .withColumn("m", m)
+      .withColumn("m", ellipseM)
       .filter($"m" < 1.0)
       .select($"k", $"ra", $"decl", round($"m", 6).as("m_r6"))
       .orderBy($"k")

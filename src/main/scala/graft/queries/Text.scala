@@ -578,8 +578,16 @@ object Text {
       expr(s"doc_id DIV $PackBatch").as("batch"),
       expr("CAST(size(split(text, ' ')) AS BIGINT)").as("ws_toks"))
     toksOf.fold(base.withColumnRenamed("ws_toks", "toks")) { t =>
+      // left join + loud failure on a missing count: an inner join
+      // would silently DROP any doc the token source skipped — shard
+      // packing must cover the corpus or fail, never quietly lose
+      // training data
       base.drop("ws_toks")
-        .join(t.select($"doc_id", $"toks".cast("long").as("toks")), Seq("doc_id"))
+        .join(t.select($"doc_id", $"toks".cast("long").as("toks")),
+          Seq("doc_id"), "left")
+        .withColumn("toks", coalesce($"toks", raise_error(concat(
+          lit("packShards: toksOf has no token count for doc_id "),
+          $"doc_id"))))
     }
       .withColumn("cum", sum($"toks").over(w))
       // a doc is cut iff its LAST token (position cum - 1) lands in a

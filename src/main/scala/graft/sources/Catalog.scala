@@ -133,6 +133,18 @@ object Catalog {
       df.write.mode("errorifexists").partitionBy(partitionCols: _*).parquet(path)
     }
 
+  /** Modification time of the table's `_SUCCESS` commit marker —
+    * the cache-invalidation stamp for per-process memos of loaded
+    * artifacts (a rebuilt table writes a fresh marker). Resolved
+    * through the Hadoop filesystem like every other lifecycle check,
+    * so it works on any scheme, not just `file:`. Requires a
+    * complete table. */
+  def commitStamp(s: SparkSession, path: String): Long = {
+    val (f, p) = fs(s, path)
+    f.getFileStatus(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      .getModificationTime
+  }
+
   /** Drop the table if present; returns true when something was
     * removed. Dropping a missing table is a no-op, not an error. */
   def dropIfExists(s: SparkSession, path: String): Boolean = {

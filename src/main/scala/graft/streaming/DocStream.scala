@@ -82,6 +82,18 @@ object DocStream {
     benchIndexPath: Option[String] = None): Unit = {
     import s.implicits._
     val stored = s.read.parquet(path)
+    // the fingerprint scheme changed once (64-bit xxhash64 long →
+    // 128-bit md5 hex string, with the bucket re-derived from hex
+    // chars): a corpus built under the old scheme must be rebuilt,
+    // not appended to — the anti-join would silently coerce across
+    // the type mismatch and identical text would probe the wrong
+    // bucket. Fail with the migration path instead of an obscure
+    // schema-drift error downstream.
+    require(stored.schema("fp").dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"$path stores ${stored.schema("fp").dataType.simpleString} " +
+        "fingerprints (the pre-md5 64-bit scheme) — rebuild the corpus " +
+        "(dropIfExists + buildCleanCorpus + replay) before ingesting")
     val gated = gate(rawBatch)
     // probe contamination on the RAW batch: its ids are a superset of
     // the gated ones, so the anti-join result is identical, and the

@@ -66,7 +66,7 @@ class BpeSpec extends AnyFunSuite {
     assert(tokSum == wantSum, "shard token sums do not conserve the BPE counts")
   }
 
-  test("q_chunk_bpe conserves tokens and words; every chunk starts inside the budget") {
+  test("q_chunk_bpe conserves tokens and words; chunks respect the budget") {
     import org.apache.spark.sql.functions._
     val chunks = queries.Bpe.qChunkBpe(spark, sf).cache()
     // every word lands in exactly one chunk, every token is counted once
@@ -81,16 +81,34 @@ class BpeSpec extends AnyFunSuite {
       .agg(sum("bpe_tokens")).as[Long].head()
     assert(chunks.agg(sum("bpe_toks")).as[Long].head() == wantToks,
       "chunking lost or duplicated tokens")
-    // the budget discipline: a chunk overruns only by its LAST word
-    // (a straddling word starts the next chunk, it never splits), so
-    // every chunk minus any single word fits — equivalently chunk
-    // token sums are < budget + the corpus' max word cost
-    val maxWord = spark.read.parquet(s"$sf/documents.parquet")
-      .selectExpr("explode(split(text, ' ')) AS w")
-      .selectExpr("CAST(length(w) AS BIGINT) AS c") // word toks <= chars
-      .agg(max("c")).as[Long].head()
-    assert(chunks.filter(col("bpe_toks") >= lit(queries.Bpe.ChunkBpeBudget) + maxWord)
-      .count() == 0, "a chunk exceeded budget by more than one word")
+    // the budget discipline: greedy packing guarantees every chunk's
+    // token sum is ≤ the budget — the sole exception is a chunk whose
+    // single word alone exceeds it (words never split)
+    assert(chunks.filter(col("bpe_toks") > lit(queries.Bpe.ChunkBpeBudget)
+      && col("n_words") > 1).count() == 0,
+      "a multi-word chunk exceeded the token budget")
     chunks.unpersist()
+    // planted greed exactness: single-letter words cost 1 token under
+    // any merge table (a lone symbol has no pairs), so a uniform
+    // 130-word doc must chunk as exactly 64+64+2 — full chunks close
+    // only on overflow, never early
+    val planted = Seq((9000001L, Seq.fill(130)("a").mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = queries.Bpe.mergesFor(spark, sf)
+    val got = queries.Bpe.chunkByBpe(planted, merges).collect()
+      .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("bpe_toks"))).sortBy(_._1).toSeq
+    assert(got == Seq((0L, 64L, 64L), (1L, 64L, 64L), (2L, 2L, 2L)),
+      s"greedy chunking of a uniform 130-word doc: $got")
+    // zero-cost words (outside the [a-z]+ alphabet) must never open a
+    // chunk on their own — they ride along until a costed word arrives
+    val lead = Seq((9000002L, (Seq.fill(3)("") ++ Seq.fill(5)("a")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got2 = queries.Bpe.chunkByBpe(lead, merges).collect()
+      .map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("bpe_toks"))).sortBy(_._1).toSeq
+    // 3 zero-cost empty words + 5 cost-1 words all fit in one chunk
+    assert(got2 == Seq((0L, 8L, 5L)),
+      s"zero-cost prefix words must not open chunks: $got2")
   }
 }
