@@ -63,7 +63,11 @@ object Bench {
     // round-10 wave-2: BPE — vocab induction amortizes behind the
     // frozen-artifact memo (build step; near-zero warm), tokenization
     // is the real per-corpus scan being measured
-    "q_bpe_vocab", "q_bpe_tokens", "q_chunk_bpe")
+    "q_bpe_vocab", "q_bpe_tokens", "q_chunk_bpe",
+    // round-10 wave-3: the clustering consumers of the stored IVF
+    // model — cluster profiling (scan + 8-key aggregate) and
+    // SemDeDup (cluster-blocked pair join)
+    "q_kmeans_profile", "q_semdedup")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

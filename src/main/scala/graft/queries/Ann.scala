@@ -309,6 +309,94 @@ object Ann {
   }
 
   // ---------------------------------------------------------------
+  // Clustering surface over the SAME trained coarse quantizer: the
+  // IVF codebook IS an integer k-means model, so cluster analytics
+  // and SemDeDup-style semantic dedup reuse it — one model, three
+  // consumers (ANN probing, cluster profiling, semantic dedup).
+
+  /** Per-row best (cos, −cid, dot) against the literal codebook —
+    * [[centScores]] plus the raw integer dot, for consumers that
+    * aggregate exact integer statistics per cluster. The struct
+    * ordering (cos, negcid, ...) is unchanged: negcid is unique per
+    * element, so the added field never participates in the argmax. */
+  private def centScoresDot(cents: Seq[(Long, Seq[Long], Long)])(
+    iv: Column, nrm: Column): Column =
+    array(cents.map { case (cid, civ, cn) =>
+      val dot = VectorOps.dotC(iv, typedLit(civ))
+      struct(
+        VectorOps.cosine(dot, nrm, lit(cn)).as("cos"),
+        lit(-cid).as("negcid"),
+        dot.as("dot"))
+    }: _*)
+
+  /** Per-cluster profile of the corpus under the stored k-means
+    * model: member count, exact integer dot-sum to the centroid, and
+    * min/max member cosine (each an order-independent exact double —
+    * a MEAN cosine would be summation-order-dependent and break the
+    * hash oracle; sum_dot is the exact sufficient statistic a caller
+    * derives means from). One corpus scan against the broadcast
+    * literal codebook + one [[NCentroids]]-key combinable aggregate —
+    * no shuffle wider than the cluster count at any corpus size. */
+  private[graft] def kmeansProfileOf(e: DataFrame,
+    cents: Seq[(Long, Seq[Long], Long)]): DataFrame = {
+    import e.sparkSession.implicits._
+    e.withColumn("best", array_max(centScoresDot(cents)($"iv", $"nrm")))
+      .select((-$"best.negcid").as("cid"), $"best.cos".as("cos"),
+        $"best.dot".as("dot"))
+      .groupBy($"cid")
+      .agg(count(lit(1)).as("n_members"), sum($"dot").as("sum_dot"),
+        min($"cos").as("min_cos"), max($"cos").as("max_cos"))
+      .orderBy($"cid")
+  }
+
+  def qKmeansProfile(s: SparkSession, dir: String): DataFrame =
+    kmeansProfileOf(intEmb(s, dir), ivfStoredModel(s, dir))
+
+  /** Semantic-dedup cosine threshold — aligned with the LSH-blocked
+    * near-dup notion ([[Dedup]]'s embedding pairs use the same bar). */
+  private[graft] val SemTau = 0.35
+
+  /** SemDeDup-style semantic dedup: assign every vector to its
+    * k-means cluster, compare pairs ONLY within a cluster, and drop
+    * any vector whose cluster holds a lower-id vector with cosine ≥
+    * [[SemTau]] (lowest id wins — the deterministic survivor rule the
+    * exact-dedup paths use). Output: every vector with its cluster,
+    * its dup source (−1 when kept), and the keep flag.
+    *
+    * Scale shape: clustering IS the blocking — the pair join is an
+    * equi-join on cluster id, so no all-pairs product exists and each
+    * cluster's quadratic work is bounded by its size. The cluster
+    * count is the scale knob (raise NCentroids with the corpus so
+    * per-cluster membership stays bounded, exactly how SemDeDup runs
+    * at corpus scale); skewed clusters are AQE skew-join territory.
+    * At test scale Catalyst broadcasts the smaller build side. */
+  private[graft] def semDedupOf(e: DataFrame,
+    cents: Seq[(Long, Seq[Long], Long)]): DataFrame = {
+    import e.sparkSession.implicits._
+    val a = withListAssignment(e, cents)
+      .select($"vec_id", $"iv", $"nrm", $"acid")
+    val dupOf = a.select($"acid", $"vec_id".as("i"), $"iv".as("iv1"), $"nrm".as("n1"))
+      .join(a.select($"acid", $"vec_id".as("j"), $"iv".as("iv2"), $"nrm".as("n2")),
+        Seq("acid"))
+      .filter($"i" < $"j")
+      .withColumn("dot", VectorOps.dot("iv1", "iv2"))
+      .withColumn("cos", VectorOps.cosine($"dot", $"n1", $"n2"))
+      .filter($"cos" >= SemTau)
+      .groupBy($"j".as("vec_id")).agg(min($"i").as("dup_of"))
+    a.select($"vec_id", $"acid".as("cid"))
+      .join(dupOf, Seq("vec_id"), "left")
+      // −1, not NULL, for kept rows: a nullable long column round-trips
+      // through pandas as float64 and the driver's compare would see a
+      // schema drift
+      .withColumn("dup_of", coalesce($"dup_of", lit(-1L)))
+      .withColumn("kept", $"dup_of".equalTo(-1L).cast("int"))
+      .orderBy($"vec_id")
+  }
+
+  def qSemdedup(s: SparkSession, dir: String): DataFrame =
+    semDedupOf(intEmb(s, dir), ivfStoredModel(s, dir))
+
+  // ---------------------------------------------------------------
   /** Shared oracle tail: exact integer dot + cosine over candidate
     * pairs `(qid, vid)` in CTE `candCte`, then the top-[[K]] by
     * (cosine desc, vid) — the common back of every ANN oracle twin,
@@ -413,6 +501,44 @@ object Ann {
        |         JOIN assign a ON a.cid = qp.cid AND a.vid <> qp.qid),
        |${sqlRerankTail("cand")}""".stripMargin
   }
+
+  /** Oracle twin of [[qKmeansProfile]]: the shared unrolled-training
+    * prefix already carries per-(vid, cid) dots (`cd`) and cosines
+    * (`cs`) — restrict both to the assigned pair and aggregate. */
+  val qKmeansProfileSql: String =
+    s"""$ivfCoarsePrefix
+       |prof AS (SELECT a.cid, COUNT(*) AS n_members,
+       |    CAST(SUM(cd.dot) AS BIGINT) AS sum_dot,
+       |    MIN(cs.cos) AS min_cos, MAX(cs.cos) AS max_cos
+       |  FROM assign a
+       |  JOIN cd ON cd.vid = a.vid AND cd.cid = a.cid
+       |  JOIN cs ON cs.vid = a.vid AND cs.cid = a.cid
+       |  GROUP BY a.cid)
+       |SELECT cid, n_members, sum_dot, min_cos, max_cos
+       |FROM prof ORDER BY cid""".stripMargin
+
+  /** Oracle twin of [[qSemdedup]]: same assignment, within-cluster
+    * pairs only, same exact integer dot / cosine and the lowest-id
+    * survivor rule. */
+  val qSemdedupSql: String =
+    s"""$ivfCoarsePrefix
+       |pr AS (SELECT x.vid AS i, y.vid AS j FROM assign x
+       |       JOIN assign y ON x.cid = y.cid AND x.vid < y.vid),
+       |pd AS (SELECT pr.i, pr.j, CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
+       |       FROM pr JOIN e ea ON ea.vec_id = pr.i
+       |            JOIN e eb ON eb.vec_id = pr.j AND eb.i = ea.i
+       |       GROUP BY 1, 2),
+       |pc AS (SELECT pd.i, pd.j FROM pd
+       |       JOIN n na ON na.vec_id = pd.i JOIN n nb ON nb.vec_id = pd.j
+       |       WHERE CAST(pd.dot AS DOUBLE) /
+       |         (SQRT(CAST(na.nrm AS DOUBLE)) * SQRT(CAST(nb.nrm AS DOUBLE)))
+       |         >= $SemTau),
+       |dup AS (SELECT j AS vec_id, MIN(i) AS dup_of FROM pc GROUP BY j)
+       |SELECT a.vid AS vec_id, a.cid,
+       |  COALESCE(dup.dup_of, -1) AS dup_of,
+       |  CAST(COALESCE(dup.dup_of, -1) = -1 AS INT) AS kept
+       |FROM assign a LEFT JOIN dup ON dup.vec_id = a.vid
+       |ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------
   private[queries] val PqM = 8        // subspaces (64 dims → 8 per subspace)
@@ -1382,7 +1508,9 @@ object Ann {
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_pq_stored" -> (qAnnPqStored _),
-    "q_ann_ivfpq_stored" -> (qAnnIvfPqStored _))
+    "q_ann_ivfpq_stored" -> (qAnnIvfPqStored _),
+    "q_kmeans_profile" -> (qKmeansProfile _),
+    "q_semdedup" -> (qSemdedup _))
 
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce" -> qAnnBruteforceSql,
@@ -1394,5 +1522,7 @@ object Ann {
     // in-plan twins (deterministic training over the same corpus), so
     // the same unrolled-training oracles hash-check them
     "q_ann_pq_stored" -> qAnnPqSql,
-    "q_ann_ivfpq_stored" -> qAnnIvfPqSql)
+    "q_ann_ivfpq_stored" -> qAnnIvfPqSql,
+    "q_kmeans_profile" -> qKmeansProfileSql,
+    "q_semdedup" -> qSemdedupSql)
 }

@@ -809,4 +809,44 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(storedCodes.head == wantCodes,
       "stored codes were encoded from a different row than the stored vector")
   }
+
+  test("semDedup drops the higher id of an identical pair, keeps orthogonal rows") {
+    import spark.implicits._
+    // one cluster so every pair is compared; integer frame built
+    // directly in (vec_id, iv, nrm) space
+    def row(id: Long, v: Seq[Long]) = (id, v, v.map(x => x * x).sum)
+    val e = Seq(
+      row(0, Seq(1000L, 0, 0, 0)), row(1, Seq(0, 1000L, 0, 0)),
+      row(2, Seq(0, 0, 1000L, 0)), row(3, Seq(0, 0, 0, 1000L)),
+      row(9, Seq(1000L, 0, 0, 0)) // identical to 0 → cosine 1.0
+    ).toDF("vec_id", "iv", "nrm")
+    val cents = Seq((0L, Seq(1L, 1L, 1L, 1L), 4L))
+    val got = queries.Ann.semDedupOf(e, cents).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getInt(3))).sortBy(_._1).toSeq
+    assert(got == Seq((0L, -1L, 1), (1L, -1L, 1), (2L, -1L, 1),
+      (3L, -1L, 1), (9L, 0L, 0)),
+      s"identical pair must resolve to (lowest kept, higher dropped): ${got.toList}")
+  }
+
+  test("q_kmeans_profile partitions the corpus; q_semdedup's survivor rule holds corpus-wide") {
+    import spark.implicits._
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val prof = queries.Ann.qKmeansProfile(spark, sf)
+    assert(prof.agg(sum($"n_members")).as[Long].head() == nVecs,
+      "cluster sizes must partition the corpus")
+    assert(prof.filter($"min_cos" > $"max_cos").count() == 0)
+    val sd = queries.Ann.qSemdedup(spark, sf).cache()
+    try {
+      assert(sd.count() == nVecs, "semdedup must cover every vector")
+      // dropped rows point at a strictly lower id; kept rows at -1
+      assert(sd.filter($"kept" === 0 && ($"dup_of" < 0 || $"dup_of" >= $"vec_id"))
+        .count() == 0, "a dropped row's dup source must be a lower id")
+      assert(sd.filter($"kept" === 1 && $"dup_of" =!= -1L).count() == 0)
+      // the dup source is in the SAME cluster and was itself kept or
+      // points lower still — at minimum it must exist in the output
+      val ids = sd.select($"vec_id").as[Long].collect().toSet
+      val srcs = sd.filter($"kept" === 0).select($"dup_of").as[Long].collect()
+      assert(srcs.forall(ids.contains), "dup sources must be corpus vectors")
+    } finally { sd.unpersist(); () }
+  }
 }
