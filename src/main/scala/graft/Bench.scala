@@ -66,8 +66,9 @@ object Bench {
     "q_bpe_vocab", "q_bpe_tokens", "q_chunk_bpe",
     // round-10 wave-3: the clustering consumers of the stored IVF
     // model — cluster profiling (scan + 8-key aggregate) and
-    // SemDeDup (cluster-blocked pair join)
-    "q_kmeans_profile", "q_semdedup")
+    // SemDeDup (cluster-blocked pair join) — and the phase-fold
+    // composition over the periodogram
+    "q_kmeans_profile", "q_semdedup", "q_period_fold")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -859,7 +859,9 @@ object TimeSeries {
     * one combinable max(struct(score, −period)) — no window, no
     * sort, two shuffles total. At 100 TB the grid rides along as a
     * literal; nothing is driver-side. */
-  def qPeriodogram(s: SparkSession, dir: String): DataFrame = {
+  /** (user_id, best_p_us, score) — the periodogram argmax, factored
+    * so the phase-fold query composes with it in one plan. */
+  private def bestPeriods(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nb = PhaseBins
     val folded = series(s, dir)
@@ -876,7 +878,39 @@ object TimeSeries {
       .agg(max(struct($"score", (-$"p_us").as("negp"))).as("b"))
       .select($"user_id", (-$"b.negp").as("best_p_us"),
         $"b.score".as("score"))
-      .orderBy($"user_id")
+  }
+
+  def qPeriodogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bestPeriods(s, dir).orderBy($"user_id")
+  }
+
+  /** Phase-folded light curve at each object's best period — the step
+    * an astronomer runs right after the period search: fold every
+    * observation at [[bestPeriods]]' argmax and bin the phase into
+    * [[PhaseBins]] buckets, reporting per-bin count and exact integer
+    * flux statistics (sum / min / max of the cent-scaled flux; a mean
+    * is derivable and a variance needs only one more integer column).
+    *
+    * Scale shape: the series is scanned twice by construction (the
+    * period must be known before folding), but the second pass joins
+    * against the tiny per-object period table — an equi-join on the
+    * SAME key the final aggregate groups by, so the join's shuffle is
+    * the aggregate's shuffle (and at test scale Catalyst broadcasts
+    * the period side outright). Bin math is the periodogram's integer
+    * phase formula, so the oracle composes the same CTEs. */
+  def qPeriodFold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nb = PhaseBins
+    val best = bestPeriods(s, dir).select($"user_id", $"best_p_us")
+    series(s, dir)
+      .filter($"user_id".isNotNull)
+      .join(best, Seq("user_id"))
+      .withColumn("bin", expr(s"((tus % best_p_us) * $nb) DIV best_p_us"))
+      .groupBy($"user_id", $"bin")
+      .agg(count(lit(1)).as("n"), sum($"xc").as("sum_xc"),
+        min($"xc").as("min_xc"), max($"xc").as("max_xc"))
+      .orderBy($"user_id", $"bin")
   }
 
   val qPeriodogramSql: String = {
@@ -895,6 +929,31 @@ object TimeSeries {
        |      FROM sc)
        |SELECT user_id, p_us AS best_p_us, score FROM r WHERE rn = 1
        |ORDER BY user_id""".stripMargin
+  }
+
+  /** Oracle twin of [[qPeriodFold]]: the periodogram CTEs compose with
+    * one more join + aggregate, the same integer phase-bin formula. */
+  val qPeriodFoldSql: String = {
+    val grid = PeriodGridUs.mkString(", ")
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc
+       |  FROM events WHERE user_id IS NOT NULL),
+       |grid AS (SELECT unnest([$grid]) AS p_us),
+       |b AS (SELECT user_id, p_us, ((tus % p_us) * $PhaseBins) // p_us AS bin,
+       |        COUNT(*) AS n, CAST(SUM(xc) AS BIGINT) AS sb
+       |      FROM ev CROSS JOIN grid GROUP BY 1, 2, 3),
+       |sc AS (SELECT user_id, p_us, CAST(SUM((sb * sb) // n) AS BIGINT) AS score
+       |       FROM b GROUP BY 1, 2),
+       |r AS (SELECT user_id, p_us, score, ROW_NUMBER() OVER (
+       |        PARTITION BY user_id ORDER BY score DESC, p_us) AS rn
+       |      FROM sc),
+       |best AS (SELECT user_id, p_us AS best_p_us FROM r WHERE rn = 1)
+       |SELECT ev.user_id,
+       |  ((ev.tus % best.best_p_us) * $PhaseBins) // best.best_p_us AS bin,
+       |  COUNT(*) AS n, CAST(SUM(ev.xc) AS BIGINT) AS sum_xc,
+       |  MIN(ev.xc) AS min_xc, MAX(ev.xc) AS max_xc
+       |FROM ev JOIN best ON best.user_id = ev.user_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -947,7 +1006,8 @@ object TimeSeries {
     "q_autocorr" -> (qAutocorr _),
     "q_hopping" -> (qHopping _),
     "q_lightcurve_trend" -> (qLightcurveTrend _),
-    "q_periodogram" -> (qPeriodogram _))
+    "q_periodogram" -> (qPeriodogram _),
+    "q_period_fold" -> (qPeriodFold _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -970,5 +1030,6 @@ object TimeSeries {
     "q_autocorr" -> qAutocorrSql,
     "q_hopping" -> qHoppingSql,
     "q_lightcurve_trend" -> qLightcurveTrendSql,
-    "q_periodogram" -> qPeriodogramSql)
+    "q_periodogram" -> qPeriodogramSql,
+    "q_period_fold" -> qPeriodFoldSql)
 }

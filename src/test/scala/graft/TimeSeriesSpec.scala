@@ -186,6 +186,38 @@ class TimeSeriesSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q_period_fold folds at the periodogram's best period and conserves the series") {
+    val folds = queries.TimeSeries.qPeriodFold(spark, sf).cache()
+    val nb = queries.TimeSeries.PhaseBins
+    assert(folds.filter(col("bin") < 0 || col("bin") >= nb).count() == 0,
+      "phase bin out of range")
+    // per-object conservation: bin counts sum to the object's series
+    val perObj = folds.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.sum("n").as("tot"))
+    val want = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id").count()
+    assert(perObj.join(want, "user_id")
+      .filter(col("tot") =!= col("count")).count() == 0,
+      "fold lost or duplicated observations")
+    assert(perObj.count() == want.count())
+    // driver recompute of one object's fold at its winning period
+    val id = queries.TimeSeries.LookupId
+    val bestP = queries.TimeSeries.qPeriodogram(spark, sf)
+      .filter(col("user_id") === id).head().getLong(1)
+    val series = Tables.events(spark, sf)
+      .filter(col("user_id") === id)
+      .selectExpr("ts DIV 1000 AS tus", "CAST(ROUND(value*100) AS LONG) AS xc")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wantBins = series.groupBy { case (tus, _) => (tus % bestP) * nb / bestP }
+      .map { case (b, xs) => (b, (xs.length.toLong, xs.map(_._2).sum)) }
+    val gotBins = folds.filter(col("user_id") === id).collect()
+      .map(r => (r.getLong(1), (r.getLong(2), r.getLong(3)))).toMap
+    assert(gotBins == wantBins,
+      s"object $id fold mismatch: got $gotBins want $wantBins")
+    folds.unpersist()
+  }
+
   test("object-index lookup prunes to one bucket and matches the flat point query") {
     val out = java.nio.file.Files.createTempDirectory("graft_objidx").toString
     val nb = 16 // 15 distinct users at sf0.001 -> most buckets non-empty
