@@ -68,7 +68,9 @@ object Bench {
     // model — cluster profiling (scan + 8-key aggregate) and
     // SemDeDup (cluster-blocked pair join) — and the phase-fold
     // composition over the periodogram
-    "q_kmeans_profile", "q_semdedup", "q_period_fold")
+    "q_kmeans_profile", "q_semdedup", "q_period_fold",
+    // and mixture planning (corpus-wide hash-ordered sampling window)
+    "q_source_mix")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -794,6 +794,121 @@ object Text {
        |  (1000 * n_overlap) // (n_src + (SELECT COUNT(*) FROM g) - n_overlap) AS jac_pm
        |FROM ov ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Mixture budget: sample `total DIV MixBudgetDen` docs. */
+  private[graft] val MixBudgetDen = 2L
+
+  def qSourceMix(s: SparkSession, dir: String): DataFrame =
+    sourceMix(Tables.documents(s, dir))
+
+  /** Data-mixture planning + deterministic sampling — the step that
+    * turns a heterogeneous corpus into a training mix: give every
+    * source an equal share of the global budget, but never more than
+    * it has (integer water-filling). The level L is the largest
+    * integer with Σ min(avail_i, L) ≤ B; quotas are min(avail, L)
+    * with the integer remainder spread one doc each to the first
+    * sources (by name) that still have headroom. L falls out in
+    * CLOSED FORM from one pass over the sources sorted by
+    * availability: taking the i−1 smallest sources fully and leveling
+    * the rest gives candidate (B − p_{i−1}) DIV (n−i+1), valid when
+    * avail_{i−1} fits under it — the true level is the max valid
+    * candidate (the optimum's own split produces exactly L and any
+    * valid candidate is feasible, so none exceeds the optimum).
+    *
+    * Sampling is then deterministic and seedless: each source keeps
+    * its `quota` lowest docs by (md5(doc_id), doc_id) — a stable
+    * pseudo-random order both engines compute identically; the
+    * per-source digest of sampled ids makes the oracle pin the exact
+    * SAMPLE, not just its size.
+    *
+    * Scale shape: the plan (level, quotas) is computed on the
+    * per-source aggregate — source-cardinality rows, so its
+    * unpartitioned windows are control-plane sized by construction —
+    * and the corpus-side work is one combinable count plus one
+    * hash-ordered row_number per source partition (a single shuffle);
+    * the quota table joins back as a broadcast. */
+  private[graft] def sourceMix(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val av = docs.groupBy($"source").agg(count(lit(1)).as("avail"))
+    val tot = av.agg(sum($"avail").as("total"), count(lit(1)).as("n"))
+      .select($"total", $"n", expr(s"total DIV $MixBudgetDen").as("b"))
+    val wOrd = Window.orderBy($"avail", $"source")
+    val lvl = av.crossJoin(broadcast(tot))
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("pprev", coalesce(
+        sum($"avail").over(wOrd.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("aprev", coalesce(lag($"avail", 1).over(wOrd), lit(0L)))
+      .withColumn("lcand", expr("(b - pprev) DIV (n - i + 1)"))
+      // negative-numerator candidates are invalid in both engines
+      // before division semantics could diverge: avail ≥ 1 ⇒ aprev ≥ 1
+      // on any row whose prefix already exceeds the budget
+      .filter($"aprev" <= $"lcand")
+      .agg(max($"lcand").as("lvl"))
+    val based = av.crossJoin(broadcast(lvl))
+      .withColumn("base", least($"avail", $"lvl"))
+    val sb = based.agg(sum($"base").as("sbase"))
+    val wName = Window.orderBy($"source")
+    val quotas = based.crossJoin(broadcast(sb)).crossJoin(broadcast(tot))
+      .withColumn("elig", ($"avail" > $"lvl").cast("long"))
+      .withColumn("erank", sum($"elig").over(wName))
+      .withColumn("quota", $"base" +
+        when($"elig" === 1L && $"erank" <= $"b" - $"sbase", 1L).otherwise(0L))
+      .select($"source", $"avail", $"quota")
+    val sampW = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val sampled = docs.select($"source", $"doc_id")
+      .withColumn("rn", row_number().over(sampW))
+      .join(broadcast(quotas.select($"source", $"quota")), Seq("source"))
+      .filter($"rn" <= $"quota")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_sampled"),
+        expr("md5(array_join(transform(array_sort(collect_list(doc_id)), " +
+          "x -> cast(x as string)), ','))").as("sample_md5"))
+    quotas.join(sampled, Seq("source"), "left")
+      .select($"source", $"avail", $"quota",
+        coalesce($"n_sampled", lit(0L)).as("n_sampled"),
+        coalesce($"sample_md5", md5(lit(""))).as("sample_md5"))
+      .orderBy($"source")
+  }
+
+  val qSourceMixSql: String =
+    s"""WITH av AS (SELECT source, COUNT(*) AS avail FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(avail) AS BIGINT) AS total, COUNT(*) AS n,
+       |        CAST(SUM(avail) AS BIGINT) // $MixBudgetDen AS b FROM av),
+       |ord AS (SELECT source, avail,
+       |         ROW_NUMBER() OVER (ORDER BY avail, source) AS i,
+       |         COALESCE(CAST(SUM(avail) OVER (ORDER BY avail, source
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |           0) AS pprev,
+       |         COALESCE(LAG(avail) OVER (ORDER BY avail, source), 0) AS aprev
+       |       FROM av),
+       |lvl AS (SELECT MAX((b - pprev) // (n - i + 1)) AS lvl
+       |        FROM ord, tot WHERE aprev <= (b - pprev) // (n - i + 1)),
+       |base AS (SELECT source, avail, LEAST(avail, lvl) AS base, lvl
+       |         FROM av, lvl),
+       |sb AS (SELECT CAST(SUM(base) AS BIGINT) AS sbase FROM base),
+       |qt AS (SELECT source, avail, CAST(base + CASE WHEN avail > lvl AND
+       |          SUM(CASE WHEN avail > lvl THEN 1 ELSE 0 END)
+       |            OVER (ORDER BY source) <= b - sbase
+       |          THEN 1 ELSE 0 END AS BIGINT) AS quota
+       |       FROM base, sb, tot),
+       |smp AS (SELECT x.source, x.doc_id FROM (
+       |         SELECT d.source, d.doc_id,
+       |           ROW_NUMBER() OVER (PARTITION BY d.source
+       |             ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+       |         FROM documents d) x
+       |        JOIN qt ON qt.source = x.source AND x.rn <= qt.quota),
+       |g AS (SELECT source, COUNT(*) AS n_sampled,
+       |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+       |         AS sample_md5
+       |      FROM smp GROUP BY 1)
+       |SELECT qt.source, qt.avail, qt.quota,
+       |  COALESCE(g.n_sampled, 0) AS n_sampled,
+       |  COALESCE(g.sample_md5, md5('')) AS sample_md5
+       |FROM qt LEFT JOIN g ON g.source = qt.source
+       |ORDER BY qt.source""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zipf" -> (qZipf _),
     "q_collocations" -> (qCollocations _),
@@ -809,7 +924,8 @@ object Text {
     "q_pack_shards" -> (qPackShards _),
     "q_gate_stats" -> (qGateStats _),
     "q_chunk" -> (qChunk _),
-    "q_source_drift" -> (qSourceDrift _))
+    "q_source_drift" -> (qSourceDrift _),
+    "q_source_mix" -> (qSourceMix _))
 
   val oracles: Map[String, String] = Map(
     "q_zipf" -> qZipfSql,
@@ -826,5 +942,6 @@ object Text {
     "q_pack_shards" -> qPackShardsSql,
     "q_gate_stats" -> qGateStatsSql,
     "q_chunk" -> qChunkSql,
-    "q_source_drift" -> qSourceDriftSql)
+    "q_source_drift" -> qSourceDriftSql,
+    "q_source_mix" -> qSourceMixSql)
 }

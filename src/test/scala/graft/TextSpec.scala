@@ -217,4 +217,37 @@ class TextSpec extends AnyFunSuite {
     assert(rows.sliding(2).forall(w => w.length < 2 || w(0)._2 >= w(1)._2),
       "counts must be non-increasing by rank")
   }
+
+  test("q_source_mix: quotas exhaust the budget and never exceed availability") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val mix = queries.Text.qSourceMix(spark, sf).cache()
+    try {
+      val (availSum, quotaSum) = mix
+        .agg(sum("avail"), sum("quota")).as[(Long, Long)].head()
+      assert(quotaSum == availSum / queries.Text.MixBudgetDen,
+        s"quota sum $quotaSum must equal the budget ${availSum / 2}")
+      assert(mix.filter(col("quota") > col("avail")).count() == 0,
+        "a quota exceeded its source's availability")
+      assert(mix.filter(col("n_sampled") =!= col("quota")).count() == 0,
+        "sampling must hit the quota exactly")
+    } finally { mix.unpersist(); () }
+  }
+
+  test("sourceMix water-fills a skewed corpus: small sources kept whole, big ones capped") {
+    import spark.implicits._
+    // avails: sA=10, sB=5, sC=1; total 16 → budget 8. Level L=3
+    // (base 1+3+3=7), remainder 1 goes to the first eligible source
+    // by name (sA) → quotas sA=4, sB=3, sC=1.
+    val docs = ((0 until 10).map(i => (i.toLong, "sA")) ++
+      (10 until 15).map(i => (i.toLong, "sB")) ++ Seq((15L, "sC")))
+      .toDF("doc_id", "source")
+    val got = queries.Text.sourceMix(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) ==
+      Seq(("sA", 10L, 4L), ("sB", 5L, 3L), ("sC", 1L, 1L)),
+      s"water-fill quotas: $got")
+    assert(got.forall(t => t._4 == t._3), "sampled counts must equal quotas")
+  }
 }
