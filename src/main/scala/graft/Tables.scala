@@ -21,7 +21,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = read(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = read(s, d, "events")
+  /** `events.ts` contract: BIGINT epoch NANOSECONDS. The harness's
+    * generator has written the column both as parquet timestamp[ns]
+    * (which Spark 4 surfaces as LONG ns under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and as timestamp[us]
+    * (surfaced as TIMESTAMP_NTZ); normalize here so every downstream
+    * plan sees one type regardless of generator vintage. The session
+    * TZ is pinned UTC, so NTZ→LTZ preserves the UTC instant and the
+    * derived `tus` values match DuckDB's `epoch_us(ts)` exactly. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = read(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ => raw.withColumn("ts",
+        org.apache.spark.sql.functions
+          .expr("unix_micros(cast(ts as timestamp_ltz)) * 1000"))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }

@@ -782,7 +782,20 @@ object Dedup {
       // cluster-size window + singleton union below)
       prev.foreach(_.unpersist(false))
       prev = Some(kept)
-      labels = kept.select($"doc_id", $"new_id".as("cluster_id"))
+      // pointer jump (path compression): label ← label's label. Plain
+      // neighbor-min propagation needs O(diameter) rounds, which on
+      // CHAIN-shaped graphs (friends-of-friends filaments, unlike the
+      // dense diameter-2 near-dup clusters) means hundreds of rounds;
+      // compressing one hop per round drops convergence to
+      // O(log diameter). Labels only decrease and every label is an
+      // active node id, so L(L(u)) is defined and ≤ L(u); the join is
+      // lazy — the next iteration's propagate folds it in, costing one
+      // extra sliver-sized join, no extra job.
+      val lk = kept.select($"doc_id", $"new_id")
+      labels = lk.join(
+        lk.select($"doc_id".as("__p"), $"new_id".as("__pl")),
+        lk("new_id") === col("__p"), "left")
+        .select($"doc_id", coalesce($"__pl", $"new_id").as("cluster_id"))
       it += 1
     }
     edges.unpersist()

@@ -541,6 +541,63 @@ object Spatial {
        |GROUP BY 1, 2 ORDER BY zone5, ra_cell""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Friends-of-friends linking length (deg): pairs closer than this
+    * are "friends"; groups are the transitive closure — the standard
+    * group/cluster finder of galaxy-survey catalogs. */
+  val FofLinkDeg = 1.0
+
+  /** Friends-of-friends group catalog: connected components of the
+    * within-[[FofLinkDeg]] pair graph, reported per GROUP (≥2
+    * members) with the member count and an md5 membership
+    * fingerprint (pins the exact member set through the compare
+    * without shipping a list column).
+    *
+    * Scale shape: the pair graph comes from the same adaptive
+    * zone-grid candidate join as every cross-match ([[gridCandidates]]
+    * — never cartesian); the closure reuses
+    * [[graft.queries.Dedup.connectedComponents]], whose per-iteration
+    * work runs on the edge-touching sliver only. Group density is a
+    * physical constant of the sky, not of the catalog size, so the
+    * iterating frame stays a bounded fraction of the data at any
+    * scale. */
+  def qFofGroups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pts = points(s, dir)
+    val pairs = gridCandidates(pts, pts, FofLinkDeg)
+      .filter($"k1" < $"k2")
+      .select($"k1".as("d1"), $"k2".as("d2"))
+    Dedup.connectedComponents(pts.select($"k".as("doc_id")), pairs)
+      .filter($"cluster_size" >= 2)
+      .groupBy($"cluster_id".as("group_id"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("md5(array_join(transform(array_sort(collect_list(doc_id)), " +
+          "x -> cast(x as string)), ','))").as("members_md5"))
+      .orderBy($"group_id")
+  }
+
+  /** Oracle: brute-force pair graph (the grid is a lossless candidate
+    * superset) + recursive-CTE transitive closure, exactly the
+    * [[graft.queries.Dedup]] cluster-oracle shape. */
+  val qFofGroupsSql: String =
+    s"""WITH RECURSIVE
+       |pts AS ($pointsSql),
+       |jp AS (SELECT a.k AS d1, b.k AS d2 FROM pts a JOIN pts b ON a.k < b.k
+       |       WHERE ROUND(${distDegSql("a.ra", "a.decl", "b.ra", "b.decl")}, 6)
+       |             < $FofLinkDeg),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM jp
+       |          UNION ALL SELECT d2, d1 FROM jp),
+       |reach(node, lbl) AS (
+       |  SELECT k, k FROM pts
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.node = e.src),
+       |lab AS (SELECT node, MIN(lbl) AS group_id FROM reach GROUP BY 1)
+       |SELECT group_id, COUNT(*) AS n_members,
+       |  MD5(STRING_AGG(CAST(node AS VARCHAR), ',' ORDER BY node))
+       |    AS members_md5
+       |FROM lab GROUP BY 1 HAVING COUNT(*) >= 2
+       |ORDER BY group_id""".stripMargin
+
+  // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cone_search" -> (qConeSearch _),
     "q_box_search" -> (qBoxSearch _),
@@ -551,7 +608,8 @@ object Spatial {
     "q_nearest_nbr" -> (qNearestNbr _),
     "q_knn3" -> (qKnn3 _),
     "q_poly_search" -> (qPolySearch _),
-    "q_ellipse_search" -> (qEllipseSearch _))
+    "q_ellipse_search" -> (qEllipseSearch _),
+    "q_fof_groups" -> (qFofGroups _))
 
   val oracles: Map[String, String] = Map(
     "q_cone_search" -> qConeSearchSql,
@@ -563,5 +621,6 @@ object Spatial {
     "q_nearest_nbr" -> qNearestNbrSql,
     "q_knn3" -> qKnn3Sql,
     "q_poly_search" -> qPolySearchSql,
-    "q_ellipse_search" -> qEllipseSearchSql)
+    "q_ellipse_search" -> qEllipseSearchSql,
+    "q_fof_groups" -> qFofGroupsSql)
 }

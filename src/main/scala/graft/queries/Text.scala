@@ -909,6 +909,137 @@ object Text {
        |FROM qt LEFT JOIN g ON g.source = qt.source
        |ORDER BY qt.source""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** PII scrubbing: detect and redact e-mail addresses and phone
+    * numbers before text enters a training corpus — the mandatory
+    * compliance pass of every web-scale pipeline. Output per doc:
+    * match counts per PII class and the md5 of the REDACTED text (the
+    * fingerprint proves byte-identical redaction without shipping the
+    * text through the compare).
+    *
+    * The synthetic corpus contains no organic PII, so a DETERMINISTIC
+    * augmentation (doc_id-derived e-mail / phone suffixes, mirrored
+    * exactly in the oracle) stands in for dirty text; the scrubber —
+    * the regex detect + replace pipeline — is the operator under
+    * test, and it never sees the injection rule.
+    *
+    * Scale shape: pure per-row regex expressions inside one codegen
+    * stage — no shuffle, no UDF; the scan streams and the plan is
+    * embarrassingly parallel at any corpus size. */
+  def qPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phonePat = "555-[0-9]{4}"
+    val aug = Tables.documents(s, dir).select($"doc_id", concat($"text",
+      when($"doc_id" % 3 === 0, concat(lit(" mail user"),
+        $"doc_id".cast("string"), lit("@example.com"))).otherwise(""),
+      when($"doc_id" % 5 < 2, concat(lit(" call 555-"),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0"))).otherwise(""))
+      .as("t"))
+    aug.select($"doc_id",
+      regexp_count($"t", lit(emailPat)).as("n_email"),
+      regexp_count($"t", lit(phonePat)).as("n_phone"),
+      md5(regexp_replace(regexp_replace($"t", emailPat, "<EMAIL>"),
+        phonePat, "<PHONE>")).as("red_fp"))
+      .orderBy($"doc_id")
+  }
+
+  /** DuckDB redaction needs the 'g' flag (its regexp_replace is
+    * first-match-only by default; Spark's is global). */
+  val qPiiScrubSql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 5 < 2
+      |         THEN ' call 555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |         ELSE '' END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(t, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS INT)
+      |    AS n_email,
+      |  CAST(LEN(REGEXP_EXTRACT_ALL(t, '555-[0-9]{4}')) AS INT) AS n_phone,
+      |  MD5(REGEXP_REPLACE(REGEXP_REPLACE(t, '[a-z0-9]+@[a-z]+\.[a-z]+',
+      |    '<EMAIL>', 'g'), '555-[0-9]{4}', '<PHONE>', 'g')) AS red_fp
+      |FROM aug ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Integer-quantized "log-probability" per bigram: the number of
+    * DECIMAL DIGITS of the corpus bigram count — floor(log10)+1,
+    * bit-exact on both engines where float `ln` is not. Monotone in
+    * the true log-count, so the ranking it induces matches a real
+    * LM-likelihood ranking at this quantization. */
+  private def digitsCol(c: org.apache.spark.sql.Column) =
+    length(c.cast("string"))
+
+  /** Docs whose mean quantized bigram log-count falls below this
+    * (×1000) are flagged — the perplexity-filter gate (CCNet-style):
+    * text made of bigrams the corpus has rarely seen is boilerplate,
+    * noise, or another language. */
+  val LmLowScoreX1000 = 2000L
+
+  /** LM-likelihood quality score: train a bigram language model on
+    * the corpus itself (one combinable count aggregate), then score
+    * every document by its mean quantized bigram log-count and flag
+    * the low-likelihood tail — the classic perplexity filter of
+    * web-corpus pipelines, with integer arithmetic standing in for
+    * float log-probs so the oracle hash-matches.
+    *
+    * Scale shape: bigram "training" is a map-combinable groupBy whose
+    * key space is the observed-bigram vocabulary (Zipf-bounded, far
+    * below corpus size); scoring joins the corpus bigram stream
+    * against that count-aggregated table on the bigram key — the
+    * exact tfidf/collocations join shape, one row per key on the
+    * build side so no posting-list blowup — then folds per-doc with
+    * one more combinable aggregate. Three shuffles total, all on
+    * keys whose cardinality grows sub-linearly with the data. */
+  def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select($"doc_id",
+      expr("filter(split(lower(text), '[^a-z]+'), x -> x != '')").as("lt"))
+    val bigs = toks.select($"doc_id", explode(expr(
+      "CASE WHEN size(lt) < 2 THEN array() ELSE " +
+        "transform(sequence(1, size(lt) - 1), " +
+        "i -> struct(element_at(lt, i) AS w1, element_at(lt, i + 1) AS w2)) END"))
+      .as("bg"))
+      .select($"doc_id", $"bg.w1", $"bg.w2")
+    val lm = bigs.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+    val scored = bigs.join(lm, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(digitsCol($"c")).as("logp_sum"))
+      .withColumn("lm_x1000",
+        expr("CAST((1000 * logp_sum) DIV n_bigrams AS BIGINT)"))
+    docs.select($"doc_id").join(scored, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"lm_x1000", lit(0L)).as("lm_x1000"))
+      .withColumn("low_quality", $"lm_x1000" < LmLowScoreX1000)
+      .orderBy($"doc_id")
+  }
+
+  val qLmScoreSql: String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |      x -> x <> '') AS lt FROM documents),
+       |bigs AS (SELECT doc_id, unnest(list_transform(range(1, len(lt)),
+       |    i -> struct_pack(w1 := lt[i], w2 := lt[i + 1]))) AS bg FROM toks),
+       |b AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bigs),
+       |lm AS (SELECT w1, w2, COUNT(*) AS c FROM b GROUP BY 1, 2),
+       |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+       |         SUM(LENGTH(CAST(c AS VARCHAR))) AS logp_sum
+       |       FROM b JOIN lm USING (w1, w2) GROUP BY 1),
+       |f AS (SELECT d.doc_id,
+       |        COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+       |        COALESCE(CAST((1000 * sc.logp_sum) // sc.n_bigrams AS BIGINT), 0)
+       |          AS lm_x1000
+       |      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+       |SELECT doc_id, n_bigrams, lm_x1000,
+       |  lm_x1000 < $LmLowScoreX1000 AS low_quality
+       |FROM f ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zipf" -> (qZipf _),
     "q_collocations" -> (qCollocations _),
@@ -925,7 +1056,9 @@ object Text {
     "q_gate_stats" -> (qGateStats _),
     "q_chunk" -> (qChunk _),
     "q_source_drift" -> (qSourceDrift _),
-    "q_source_mix" -> (qSourceMix _))
+    "q_source_mix" -> (qSourceMix _),
+    "q_pii_scrub" -> (qPiiScrub _),
+    "q_lm_score" -> (qLmScore _))
 
   val oracles: Map[String, String] = Map(
     "q_zipf" -> qZipfSql,
@@ -943,5 +1076,7 @@ object Text {
     "q_gate_stats" -> qGateStatsSql,
     "q_chunk" -> qChunkSql,
     "q_source_drift" -> qSourceDriftSql,
-    "q_source_mix" -> qSourceMixSql)
+    "q_source_mix" -> qSourceMixSql,
+    "q_pii_scrub" -> qPiiScrubSql,
+    "q_lm_score" -> qLmScoreSql)
 }

@@ -49,4 +49,24 @@ class SketchesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_sketch_cms estimates are one-sided: estimate >= exact for every probe") {
+    val rows = queries.Sketches.qSketchCms(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == queries.Sketches.CmsProbes.toSet,
+      "every probe word must appear in the synthetic vocabulary")
+    for (r <- rows) {
+      val (w, exact, est) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"$w: CMS estimate $est below exact count $exact")
+    }
+  }
+
+  test("q_sketch_cms estimate equals exact when no bucket collides across all depths") {
+    // with 256 buckets x 4 depths over a ~40-word vocabulary, at least
+    // one probe word should have a collision-free row; for those the
+    // min over depths is EXACTLY the true count — a stronger property
+    // than one-sidedness that catches an off-by-one in the cell counts
+    val rows = queries.Sketches.qSketchCms(spark, sf).collect()
+    assert(rows.exists(r => r.getLong(2) == r.getLong(1)),
+      "expected at least one collision-free probe at this vocabulary size")
+  }
 }

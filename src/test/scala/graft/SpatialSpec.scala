@@ -224,4 +224,35 @@ class SpatialSpec extends AnyFunSuite {
     assert(byK.forall(g => g.sortBy(_._2).sliding(2).forall(
       w => w.length < 2 || w(0)._3 <= w(1)._3)))
   }
+
+  test("q_fof_groups matches brute-force connected components; no cartesian in plan") {
+    val df = queries.Spatial.qFofGroups(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "FoF pair graph planned a product")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // brute-force in-Spark oracle: all within-link pairs, then
+    // union-find on the driver (the candidate sets are tiny at sf0.001)
+    val pts = Tables.customer(spark, sf).selectExpr("c_custkey AS k",
+      "(c_custkey*137 % 36000)/100.0 AS ra", "(c_custkey*97 % 17000)/100.0 - 85.0 AS decl")
+    val rad = "0.017453292519943295"
+    val deg = "57.29577951308232"
+    val a = pts.selectExpr("k AS k1", "ra AS ra1", "decl AS decl1")
+    val pairs = a.crossJoin(pts).selectExpr("k1", "k AS k2",
+      s"""ROUND(2*ASIN(SQRT(
+         |  SIN((decl1 - decl)*$rad/2) * SIN((decl1 - decl)*$rad/2)
+         |  + COS(decl1*$rad) * COS(decl*$rad)
+         |    * SIN((ra1 - ra)*$rad/2) * SIN((ra1 - ra)*$rad/2)))*$deg, 6) AS d""".stripMargin)
+      .filter(s"k1 < k2 AND d < ${queries.Spatial.FofLinkDeg}")
+      .select("k1", "k2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((x, y) <- pairs) { val (rx, ry) = (find(x), find(y));
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry) }
+    val exp = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find).map { case (root, ms) => (root, ms.length.toLong) }
+    assert(got == exp, s"FoF groups mismatch: got $got expected $exp")
+  }
 }

@@ -14,6 +14,36 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("q_pii_scrub finds exactly the injected PII and redacts it") {
+    val rows = queries.Text.qPiiScrub(spark, sf).collect()
+    for (r <- rows) {
+      val (id, nEmail, nPhone) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      assert(nEmail == (if (id % 3 == 0) 1 else 0), s"doc $id email count $nEmail")
+      assert(nPhone == (if (id % 5 < 2) 1 else 0), s"doc $id phone count $nPhone")
+    }
+    // redacted text of a PII-free doc is the original text
+    import org.apache.spark.sql.functions._
+    val clean = Tables.documents(spark, sf)
+      .filter("doc_id % 3 != 0 AND doc_id % 5 >= 2")
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (r <- rows if clean.contains(r.getLong(0)))
+      assert(r.getString(3) == clean(r.getLong(0)),
+        s"doc ${r.getLong(0)}: redaction altered PII-free text")
+  }
+
+  test("q_lm_score: common-bigram docs score higher than the flagged tail") {
+    val rows = queries.Text.qLmScore(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(2) >= 0))
+    // flag is exactly the threshold predicate
+    for (r <- rows)
+      assert(r.getBoolean(3) == (r.getLong(2) < queries.Text.LmLowScoreX1000))
+    // scores are bounded by the quantization: digits of a count within
+    // the corpus bigram total
+    val maxDigits = rows.map(_.getLong(2)).max / 1000 + 1
+    assert(maxDigits <= 12, "quantized log-count out of any plausible range")
+  }
+
   test("minhash signature: identical texts agree, k respected") {
     val a = TextHashAlgos.minhash(UTF8String.fromString("a b c d e f g"), 3, 16)
     val b = TextHashAlgos.minhash(UTF8String.fromString("a b c d e f g"), 3, 16)
