@@ -70,7 +70,12 @@ object Bench {
     // composition over the periodogram
     "q_kmeans_profile", "q_semdedup", "q_period_fold",
     // and mixture planning (corpus-wide hash-ordered sampling window)
-    "q_source_mix")
+    "q_source_mix",
+    // round-10 wave-4: corpus-global line dedup (segment-df join +
+    // ordered reassembly — regresses silently if the count-aggregated
+    // join-back ever becomes a posting-list product) and the
+    // zero-shuffle hashed-feature quality gate
+    "q_line_dedup", "q_quality_classifier")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -77,6 +77,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(c) => IntVecNormSq(c)
         case _ => throw new IllegalArgumentException("int_vec_norm_sq(vec)")
       }))
+    // the qserv_areaspec region predicates (AreaSpec.scala): each
+    // expands to built-in codegen expressions, not a UDF
+    ext.injectFunction((
+      new FunctionIdentifier("areaspec_circle"),
+      new ExpressionInfo(AreaSpec.getClass.getName, "areaspec_circle"),
+      (args: Seq[Expression]) => args match {
+        case Seq(ra, de, rc, dc, r) => AreaSpec.circleExpr(ra, de, rc, dc, r)
+        case _ => throw new IllegalArgumentException(
+          "areaspec_circle(ra, decl, raCenter, decCenter, radiusDeg)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("areaspec_box"),
+      new ExpressionInfo(AreaSpec.getClass.getName, "areaspec_box"),
+      (args: Seq[Expression]) => args match {
+        case Seq(ra, de, r1, d1, r2, d2) =>
+          AreaSpec.boxExpr(ra, de, r1, d1, r2, d2)
+        case _ => throw new IllegalArgumentException(
+          "areaspec_box(ra, decl, raMin, decMin, raMax, decMax)")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("areaspec_poly"),
+      new ExpressionInfo(AreaSpec.getClass.getName, "areaspec_poly"),
+      (args: Seq[Expression]) => {
+        if (args.length < 8 || args.length % 2 != 0)
+          throw new IllegalArgumentException(
+            "areaspec_poly(ra, decl, x1, y1, x2, y2, x3, y3[, ...]) — CCW convex vertices")
+        val verts = args.drop(2).grouped(2).map {
+          case Seq(x, y) => (x, y)
+        }.toSeq
+        AreaSpec.polyExpr(args(0), args(1), verts)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("areaspec_ellipse"),
+      new ExpressionInfo(AreaSpec.getClass.getName, "areaspec_ellipse"),
+      (args: Seq[Expression]) => args match {
+        case Seq(ra, de, rc, dc, a, b, pa) =>
+          AreaSpec.ellipseExpr(ra, de, rc, dc, a, b, pa)
+        case _ => throw new IllegalArgumentException(
+          "areaspec_ellipse(ra, decl, raCenter, decCenter, semiMajorDeg, semiMinorDeg, positionAngleDeg)")
+      }))
     // whole-operator extension: plan TopKPerKeyNode via its strategy,
     // and rewrite the row_number()<=k window idiom onto it
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

@@ -1268,7 +1268,80 @@ object Dedup {
        |SELECT doc_id, n_bench, max_hits, bench_id AS top_bench
        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Words per "line" segment: documents are segmented into
+    * non-overlapping [[LineLen]]-word spans (the corpus has no
+    * newlines, so fixed spans stand in for C4's \n-delimited lines —
+    * the operator under test is the corpus-global count + removal,
+    * not the splitter). */
+  val LineLen = 10
+
+  /** A segment appearing in ≥ this many DISTINCT docs is boilerplate
+    * and removed from every doc (C4 §2.2-style "line occurred in
+    * multiple pages" rule). */
+  val LineDupDocs = 3
+
+  /** C4-style corpus-level line dedup: segment every doc, count each
+    * distinct segment's document frequency across the WHOLE corpus,
+    * delete boilerplate segments (df ≥ [[LineDupDocs]]) everywhere,
+    * and reassemble each doc in original order. Output per doc:
+    * segment count, removed count, and the md5 of the cleaned text
+    * (pins byte-identical reconstruction through the compare).
+    *
+    * Scale shape: segmentation is a bounded ~L/[[LineLen]]× explode;
+    * the df count is (fp, doc) dedup + count — both combinable, keyed
+    * on the high-cardinality segment fingerprint; the join back
+    * carries a COUNT-AGGREGATED build side (exactly 1 row per fp, so
+    * a viral boilerplate segment fans out 1:1, never a posting-list
+    * product — no cap needed, unlike the pair-generating stages
+    * above); reassembly is one shuffle on doc_id with bounded per-doc
+    * state. Hot fps on the probe side are AQE skew-split. */
+  def qLineDedup(s: SparkSession, dir: String): DataFrame =
+    lineDedup(Tables.documents(s, dir))
+
+  /** [[qLineDedup]] over an arbitrary (doc_id, text) frame — the
+    * spec's planting surface. */
+  def lineDedup(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val segs = docs
+      .select($"doc_id", expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, (size(toks) - 1) DIV $LineLen), " +
+          s"i -> array_join(slice(toks, i * $LineLen + 1, $LineLen), ' '))")))
+      .select($"doc_id", $"pos", md5($"col").as("seg_fp"), $"col".as("seg"))
+    val cnt = segs.select($"seg_fp", $"doc_id").distinct()
+      .groupBy($"seg_fp").agg(count(lit(1)).as("n_docs"))
+    segs.join(cnt, "seg_fp")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_seg"),
+        sum(when($"n_docs" >= LineDupDocs, 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(transform(array_sort(collect_list(
+          when($"n_docs" < LineDupDocs, struct($"pos", $"seg")))),
+          x => x.getField("seg")), " ")).as("clean_fp"))
+      .orderBy($"doc_id")
+  }
+
+  val qLineDedupSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x != '') AS toks
+       |  FROM documents),
+       |seg AS (SELECT doc_id, i AS pos,
+       |    array_to_string(toks[(i*$LineLen+1):(i*$LineLen+$LineLen)], ' ') AS seg
+       |  FROM t, UNNEST(range((len(toks)-1)//$LineLen + 1)) AS u(i)
+       |  WHERE len(toks) > 0),
+       |cnt AS (SELECT seg, COUNT(DISTINCT doc_id) AS n_docs
+       |  FROM seg GROUP BY 1)
+       |SELECT s.doc_id, COUNT(*) AS n_seg,
+       |  CAST(SUM(CASE WHEN c.n_docs >= $LineDupDocs THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_removed,
+       |  MD5(COALESCE(string_agg(CASE WHEN c.n_docs < $LineDupDocs THEN s.seg END,
+       |    ' ' ORDER BY s.pos), '')) AS clean_fp
+       |FROM seg s JOIN cnt c USING (seg)
+       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_line_dedup" -> (qLineDedup _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_contain" -> (qDedupContain _),
@@ -1286,6 +1359,7 @@ object Dedup {
     "q_decontaminate" -> (qDecontaminate _))
 
   val oracles: Map[String, String] = Map(
+    "q_line_dedup" -> qLineDedupSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_lsh_pairs" -> qDedupLshPairsSql,
     "q_dedup_simhash" -> qDedupSimhashSql,

@@ -124,11 +124,55 @@ object Quality {
       |ORDER BY rule""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Hashed-feature linear classifier (the fastText-shaped quality
+    * filter of DCLM/FineWeb-style pipelines): every token hashes to a
+    * signed integer weight, the doc's score is the sum, and the gate
+    * keeps docs scoring above a mean-per-token threshold. Here the
+    * "model" is a pure hash function — weight(w) = ascii of md5(w)'s
+    * first hex char, centered at its expectation (70 = mean ascii of
+    * a uniform hex digit: (48..57, 97..102)/16) — i.e. a deterministic
+    * random projection; swapping in trained weights changes the
+    * lookup, not the plan.
+    *
+    * Scale shape: the weight is a function OF THE TOKEN, so there is
+    * no vocabulary table, no join, no shuffle — one higher-order
+    * `aggregate` fold per row inside a single codegen stage; the
+    * presentation sort is the only exchange. At 100 TB this is the
+    * cheapest possible gate: one streaming pass. */
+  val QcMeanX1000 = 125L
+
+  def qQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+      .select($"doc_id", size($"toks").as("n_toks"),
+        expr("aggregate(toks, 0L, (acc, x) -> " +
+          "acc + ascii(substring(md5(x), 1, 1)) - 70)").as("score"))
+      .withColumn("keep", $"score" * 1000 >= $"n_toks" * QcMeanX1000)
+      .orderBy($"doc_id")
+  }
+
+  val qQualityClassifierSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  list_filter(string_split(text, ' '), x -> x != '') AS toks
+       |  FROM documents)
+       |SELECT doc_id, CAST(len(toks) AS INT) AS n_toks,
+       |  CAST(COALESCE(list_sum(list_transform(toks,
+       |    x -> ascii(substring(md5(x), 1, 1)) - 70)), 0) AS BIGINT) AS score,
+       |  CAST(COALESCE(list_sum(list_transform(toks,
+       |    x -> ascii(substring(md5(x), 1, 1)) - 70)), 0) AS BIGINT) * 1000
+       |    >= len(toks) * $QcMeanX1000 AS keep
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> (qProfile _),
-    "q_constraints" -> (qConstraints _))
+    "q_constraints" -> (qConstraints _),
+    "q_quality_classifier" -> (qQualityClassifier _))
 
   val oracles: Map[String, String] = Map(
     "q_profile" -> qProfileSql,
-    "q_constraints" -> qConstraintsSql)
+    "q_constraints" -> qConstraintsSql,
+    "q_quality_classifier" -> qQualityClassifierSql)
 }

@@ -46,7 +46,7 @@ object Spatial {
   /** Haversine angular distance in degrees between (ra1,dec1) and
     * (ra2,dec2) — wrap-safe (sin²(Δra/2) is symmetric around 180°).
     * Same textual expression tree as the SQL oracle below. */
-  private def distDeg(ra1: Column, dec1: Column, ra2: Column, dec2: Column): Column = {
+  private[graft] def distDeg(ra1: Column, dec1: Column, ra2: Column, dec2: Column): Column = {
     val rad = lit(Rad.toDouble)
     val sd = sin((dec1 - dec2) * rad / 2)
     val sr = sin((ra1 - ra2) * rad / 2)

@@ -12,6 +12,36 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("q_line_dedup removes exactly the cross-doc boilerplate segments and reconstructs in order") {
+    import spark.implicits._
+    val boiler = (1 to queries.Dedup.LineLen).map(i => s"b$i").mkString(" ")
+    def uniq(d: Int, seg: Int) =
+      (1 to queries.Dedup.LineLen).map(i => s"u${d}_${seg}_$i").mkString(" ")
+    // boilerplate span in docs 0,1,2 (df=3 → removed); doc 3 clean
+    val docs = Seq(
+      (0L, s"${uniq(0, 1)} $boiler ${uniq(0, 2)}"),
+      (1L, s"$boiler ${uniq(1, 1)}"),
+      (2L, s"${uniq(2, 1)} $boiler"),
+      (3L, s"${uniq(3, 1)} ${uniq(3, 2)}")
+    ).toDF("doc_id", "text")
+    val out = queries.Dedup.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(2) == 1 && out(0L).getLong(1) == 3)
+    assert(out(1L).getLong(2) == 1 && out(2L).getLong(2) == 1)
+    assert(out(3L).getLong(2) == 0)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 0: boilerplate excised, surviving segments in original order
+    assert(out(0L).getString(3) == md5hex(s"${uniq(0, 1)} ${uniq(0, 2)}"))
+    // clean doc reconstructs byte-identically
+    assert(out(3L).getString(3) == md5hex(s"${uniq(3, 1)} ${uniq(3, 2)}"))
+    // a doc that is ENTIRELY boilerplate collapses to the empty text
+    val allBoiler = Seq((0L, boiler), (1L, boiler), (2L, boiler))
+      .toDF("doc_id", "text")
+    val collapsed = queries.Dedup.lineDedup(allBoiler).collect()
+    assert(collapsed.forall(_.getString(3) == md5hex("")))
+  }
+
   test("q_dedup_exact covers every doc and canonical <= doc_id") {
     val df = queries.Dedup.qDedupExact(spark, sf)
     assert(df.count() == Tables.documents(spark, sf).count())

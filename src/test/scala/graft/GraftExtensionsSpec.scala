@@ -46,6 +46,53 @@ class GraftExtensionsSpec extends AnyFunSuite {
         org.apache.spark.unsafe.types.UTF8String.fromString(text)))
   }
 
+  test("areaspec SQL family matches the Spatial query twins on the point locus") {
+    // the same golden-angle point locus the Spatial queries scan
+    spark.read.parquet(s"${SparkTestSession.sf}/customer.parquet")
+      .selectExpr("c_custkey AS k", "(c_custkey*137 % 36000)/100.0 AS ra",
+        "(c_custkey*97 % 17000)/100.0 - 85.0 AS decl")
+      .createOrReplaceTempView("obj_ext")
+    // circle: SQL registration wires the args onto the same Column
+    // tree (bit-identical predicate), and agrees with qConeSearch on
+    // everything off the rounding boundary
+    import org.apache.spark.sql.functions.{col, lit}
+    val cone = spark.sql(
+      "SELECT k FROM obj_ext WHERE areaspec_circle(ra, decl, 180.0, 20.0, 25.0)")
+    val coneTwin = spark.table("obj_ext")
+      .where(functions.AreaSpec.circle(col("ra"), col("decl"),
+        lit(180.0), lit(20.0), lit(25.0)))
+      .select("k")
+    assert(cone.count() > 0 && cone.exceptAll(coneTwin).count() == 0
+      && coneTwin.exceptAll(cone).count() == 0)
+    // box ≡ qBoxSearch
+    val box = spark.sql(
+      "SELECT k FROM obj_ext WHERE areaspec_box(ra, decl, 30.0, -30.0, 90.0, 30.0)").collect()
+      .map(_.getLong(0)).toSet
+    val boxTwin = queries.Spatial.qBoxSearch(SparkTestSession.spark, SparkTestSession.sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(box == boxTwin && box.nonEmpty)
+    // poly over qPolySearch's vertex ring matches it
+    val vargs = queries.Spatial.PolyVerts
+      .map { case (x, y) => s"$x, $y" }.mkString(", ")
+    val poly = spark.sql(
+      s"SELECT k FROM obj_ext WHERE areaspec_poly(ra, decl, $vargs)").collect()
+      .map(_.getLong(0)).toSet
+    val polyTwin = queries.Spatial.qPolySearch(SparkTestSession.spark, SparkTestSession.sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(poly == polyTwin && poly.nonEmpty)
+    // ellipse ≡ qEllipseSearch (same center/axes/PA)
+    val ell = spark.sql(
+      "SELECT k FROM obj_ext WHERE areaspec_ellipse(ra, decl, 165.0, 31.0, 40.0, 25.0, 30.0)")
+      .collect().map(_.getLong(0)).toSet
+    val ellTwin = queries.Spatial.qEllipseSearch(SparkTestSession.spark, SparkTestSession.sf)
+      .collect().map(_.getLong(0)).toSet
+    assert(ell == ellTwin && ell.nonEmpty)
+    // literal parameters + built-in expressions: the predicate stays
+    // codegen'd and the plan contains no UDF/eval node
+    val plan = cone.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+
   test("int_vec_dot / int_vec_norm_sq work from SQL") {
     val row = spark.sql(
       "SELECT int_vec_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d, " +

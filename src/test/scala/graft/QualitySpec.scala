@@ -37,6 +37,26 @@ class QualitySpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q_quality_classifier: score is the exact sum of per-token hash weights") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def weight(w: String) = md5hex(w).charAt(0).toInt - 70
+    val texts = Tables.documents(spark, sf).select("doc_id", "text")
+      .limit(50).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = queries.Quality.qQualityClassifier(spark, sf)
+      .filter(col("doc_id").isin(texts.keys.toSeq: _*)).collect()
+    assert(rows.length == texts.size)
+    for (r <- rows) {
+      val toks = texts(r.getLong(0)).split(" ").filter(_.nonEmpty)
+      val expected = toks.map(weight).map(_.toLong).sum
+      assert(r.getInt(1) == toks.length)
+      assert(r.getLong(2) == expected,
+        s"doc ${r.getLong(0)}: score ${r.getLong(2)} != $expected")
+      assert(r.getBoolean(3) ==
+        (expected * 1000 >= toks.length.toLong * queries.Quality.QcMeanX1000))
+    }
+  }
+
   test("q_constraints flags injected violations") {
     import spark.implicits._
     // corrupt a copy of orders in every rule's direction and check the
