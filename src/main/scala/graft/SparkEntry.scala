@@ -25,12 +25,37 @@ object SparkEntry {
   /** SQL surface: register every catalog table of `dir` as a temp
     * view so `spark.sql("SELECT ... FROM lineitem ...")` works — the
     * reference's users write SQL, and with `GraftExtensions` active
-    * the custom functions (minhash_sig, simhash64, …) resolve there
-    * too. Views are lazy; no data moves at registration. */
-  def registerTables(spark: SparkSession, dir: String): Unit =
+    * the custom functions (minhash_sig, areaspec_circle, …) resolve
+    * there too. Views are lazy; no data moves at registration.
+    *
+    * `events` registers through [[Tables.events]] so SQL sees the
+    * engine-wide bigint-nanoseconds `ts` contract regardless of the
+    * parquet vintage. On top of the raw tables, the Pserv catalog
+    * schema (Object / ForcedSource — the names the reference's SQL
+    * workload queries) is registered as derived views over the same
+    * deterministic mappings every spatial/light-curve query uses, so
+    * e.g. `SELECT * FROM object WHERE areaspec_circle(ra, decl, 180,
+    * 20, 25)` is exactly the reference's cone-search idiom. */
+  def registerTables(spark: SparkSession, dir: String): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events", "documents", "embeddings")
+      "lineitem", "documents", "embeddings")
       .foreach { t =>
         spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
       }
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    // Pserv's Object table: position columns on the golden-angle
+    // locus (the same derivation Spatial.points uses)
+    spark.table("customer").selectExpr(
+      "c_custkey AS objectId",
+      "(c_custkey*137 % 36000)/100.0 AS ra",
+      "(c_custkey*97 % 17000)/100.0 - 85.0 AS decl")
+      .createOrReplaceTempView("object")
+    // Pserv's ForcedSource table: per-object photometry series (the
+    // TimeSeries.series mapping — integer micros + centi-flux)
+    spark.table("events").selectExpr(
+      "user_id AS objectId", "event_id AS srcId",
+      "ts DIV 1000 AS tmid_us",
+      "CAST(round(value*100) AS BIGINT) AS flux_c100")
+      .createOrReplaceTempView("forcedsource")
+  }
 }

@@ -178,5 +178,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .orderBy(col("l_returnflag")).collect()
     assert(viaSql.map(_.toSeq).toSeq == viaDf.map(_.toSeq).toSeq)
     assert(s.catalog.tableExists("documents") && s.catalog.tableExists("events"))
+    // the events view carries the engine-wide bigint-ns ts contract
+    assert(s.table("events").schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("the Pserv catalog views compose with the areaspec SQL surface") {
+    val s = spark // extension-bearing session
+    SparkEntry.registerTables(s, SparkTestSession.sf)
+    // the reference's cone-search idiom, verbatim
+    val cone = s.sql(
+      """SELECT objectId FROM object
+        |WHERE areaspec_circle(ra, decl, 180.0, 20.0, 25.0)""".stripMargin)
+    val twin = queries.Spatial.qConeSearch(SparkTestSession.spark, SparkTestSession.sf)
+      .select("k").collect().map(_.getLong(0)).toSet
+    val got = cone.collect().map(_.getLong(0)).toSet
+    // qConeSearch rounds the reported distance to 6 dp before its
+    // cutoff; the raw predicate may disagree only inside that 5e-7
+    // boundary shell, which the 2-decimal locus never hits
+    assert(got == twin && got.nonEmpty)
+    // the light-curve SQL: per-object forced-source stats over the
+    // ForcedSource view match the TimeSeries engine query
+    val viaSql = s.sql(
+      """SELECT objectId, COUNT(*) AS n, SUM(flux_c100) AS sum_c100
+        |FROM forcedsource WHERE objectId IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val viaDf = queries.TimeSeries.qLightcurveStats(SparkTestSession.spark, SparkTestSession.sf)
+      .filter("user_id IS NOT NULL")
+      .selectExpr("user_id", "n", "sum_c100").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaSql.toSeq == viaDf.toSeq && viaSql.nonEmpty)
   }
 }
