@@ -75,7 +75,12 @@ object Bench {
     // ordered reassembly — regresses silently if the count-aggregated
     // join-back ever becomes a posting-list product) and the
     // zero-shuffle hashed-feature quality gate
-    "q_line_dedup", "q_quality_classifier")
+    "q_line_dedup", "q_quality_classifier",
+    // round-10 wave-5: friends-of-friends (pointer-jumping CC over
+    // the zone pair graph — the iterative op most exposed to a
+    // convergence regression), the bigram-LM gate (vocabulary-keyed
+    // joins), the PII regex scan, and the CMS sketch fold
+    "q_fof_groups", "q_lm_score", "q_pii_scrub", "q_sketch_cms")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

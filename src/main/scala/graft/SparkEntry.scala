@@ -51,11 +51,21 @@ object SparkEntry {
       "(c_custkey*97 % 17000)/100.0 - 85.0 AS decl")
       .createOrReplaceTempView("object")
     // Pserv's ForcedSource table: per-object photometry series (the
-    // TimeSeries.series mapping — integer micros + centi-flux)
+    // TimeSeries.series mapping — integer micros + centi-flux), with
+    // the hour-bucket visit id joining it to ccdvisit below
     spark.table("events").selectExpr(
       "user_id AS objectId", "event_id AS srcId",
       "ts DIV 1000 AS tmid_us",
+      "(ts DIV 1000) DIV 3600000000 AS visitId",
       "CAST(round(value*100) AS BIGINT) AS flux_c100")
       .createOrReplaceTempView("forcedsource")
+    // Pserv's CcdVisit table: one row per (hour-bucket) visit with
+    // its observation window and source count — an aggregate view, so
+    // SQL joins against it plan as a groupBy + equi-join on visitId
+    spark.sql(
+      """SELECT visitId, MIN(tmid_us) AS obs_start_us,
+        |  MAX(tmid_us) AS obs_end_us, COUNT(*) AS n_src
+        |FROM forcedsource GROUP BY visitId""".stripMargin)
+      .createOrReplaceTempView("ccdvisit")
   }
 }

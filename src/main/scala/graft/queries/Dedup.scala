@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -1299,26 +1299,44 @@ object Dedup {
   def qLineDedup(s: SparkSession, dir: String): DataFrame =
     lineDedup(Tables.documents(s, dir))
 
-  /** [[qLineDedup]] over an arbitrary (doc_id, text) frame — the
-    * spec's planting surface. */
-  def lineDedup(docs: DataFrame): DataFrame = {
+  /** The shared segmentation: one row per (doc, position) with the
+    * segment text and its md5 fingerprint — used by the batch query
+    * and the stored-index lifecycle below, so both see byte-identical
+    * segments. */
+  private def segmentsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val segs = docs
+    docs
       .select($"doc_id", expr("filter(split(text, ' '), x -> x != '')").as("toks"))
       .filter(size($"toks") > 0)
       .select($"doc_id", posexplode(expr(
         s"transform(sequence(0, (size(toks) - 1) DIV $LineLen), " +
           s"i -> array_join(slice(toks, i * $LineLen + 1, $LineLen), ' '))")))
       .select($"doc_id", $"pos", md5($"col").as("seg_fp"), $"col".as("seg"))
-    val cnt = segs.select($"seg_fp", $"doc_id").distinct()
-      .groupBy($"seg_fp").agg(count(lit(1)).as("n_docs"))
-    segs.join(cnt, "seg_fp")
+  }
+
+  /** The shared reassembly: per-doc segment count, count matching
+    * `removed`, and the order-preserving concat of the survivors. */
+  private def reassemble(segs: DataFrame, removed: Column): DataFrame = {
+    import segs.sparkSession.implicits._
+    segs
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_seg"),
-        sum(when($"n_docs" >= LineDupDocs, 1L).otherwise(0L)).as("n_removed"),
-        md5(array_join(transform(array_sort(collect_list(
-          when($"n_docs" < LineDupDocs, struct($"pos", $"seg")))),
-          x => x.getField("seg")), " ")).as("clean_fp"))
+        sum(when(removed, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+          when(!removed, struct($"pos", $"seg")))),
+          x => x.getField("seg")), " ").as("text_clean"))
+  }
+
+  /** [[qLineDedup]] over an arbitrary (doc_id, text) frame — the
+    * spec's planting surface. */
+  def lineDedup(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val segs = segmentsOf(docs)
+    val cnt = segs.select($"seg_fp", $"doc_id").distinct()
+      .groupBy($"seg_fp").agg(count(lit(1)).as("n_docs"))
+    reassemble(segs.join(cnt, "seg_fp"), $"n_docs" >= LineDupDocs)
+      .select($"doc_id", $"n_seg", $"n_removed",
+        md5($"text_clean").as("clean_fp"))
       .orderBy($"doc_id")
   }
 
@@ -1339,6 +1357,86 @@ object Dedup {
        |    ' ' ORDER BY s.pos), '')) AS clean_fp
        |FROM seg s JOIN cnt c USING (seg)
        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Stored segment-df index: the at-rest shape of line dedup. The
+  // batch query re-counts the whole corpus per run; a streaming
+  // pipeline instead maintains (segment fingerprint → document
+  // frequency) as a partitioned table, ADDS each batch's counts with
+  // a partition-scoped merge, and scrubs incoming docs against the
+  // boilerplate slice (df ≥ LineDupDocs). Per-batch cost tracks the
+  // batch's segments, never the corpus — the same discipline as the
+  // stored containment index, with the same honesty caveat inverted:
+  // the index only ever GROWS, so a segment that crosses the
+  // boilerplate threshold is scrubbed from every doc ingested AFTER
+  // the crossing; docs already at rest keep their copy (C4 has the
+  // same property — it scrubs at preprocessing time, not
+  // retroactively).
+
+  /** Fingerprint-bucket partition count of the segment-df index. */
+  val LineDfBuckets = 16L
+
+  private def segCounts(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    segmentsOf(docs).select($"seg_fp", $"doc_id").distinct()
+      .groupBy($"seg_fp").agg(count(lit(1)).as("n_docs"))
+      .withColumn("bk",
+        pmod(conv(substring($"seg_fp", 1, 15), 16, 10).cast("long"),
+          lit(LineDfBuckets)))
+  }
+
+  /** Build the segment-df index over a corpus — create-if-absent
+    * lifecycle (complete table → no-op, unmarked partial → loud
+    * failure, as every builder in this file). */
+  def buildLineDfIndex(s: SparkSession, docs: DataFrame,
+    path: String): Boolean =
+    graft.sources.Catalog.createPartitionedIfAbsent(s, segCounts(docs),
+      path, Seq("bk"))
+
+  /** Fold one batch's document frequencies into the stored index:
+    * batch counts join the stored rows of the touched buckets only
+    * (partition-pruned read), summed dfs replace them via the
+    * partition-scoped merge. Each document must be fed to the index
+    * exactly once — the caller's batch discipline (DocStream's
+    * at-rest anti-join provides it when wired there); a replayed doc
+    * would double-count its segments. */
+  def updateLineDfIndex(s: SparkSession, path: String,
+    batch: DataFrame): Unit = {
+    import s.implicits._
+    require(graft.sources.Catalog.tableComplete(s, path),
+      s"$path is not a complete segment-df index — build it first")
+    val bc = segCounts(batch)
+    val bks = bc.select($"bk").distinct().collect().map(_.getLong(0))
+    if (bks.isEmpty) return
+    val stored = s.read.parquet(path).filter($"bk".isin(bks.toSeq: _*))
+      .select($"seg_fp", $"n_docs".as("n_stored"))
+    val summed = bc.join(stored, Seq("seg_fp"), "left")
+      .select($"seg_fp",
+        ($"n_docs" + coalesce($"n_stored", lit(0L))).as("n_docs"), $"bk")
+    graft.sources.Catalog.upsertPartitioned(s, summed, path,
+      "bk", Seq("seg_fp"))
+  }
+
+  /** Scrub a batch against the stored index: segments whose STORED
+    * df ≥ [[LineDupDocs]] are excised, the doc reassembled in order.
+    * Returns (doc_id, n_seg, n_removed, text_clean). The probe joins
+    * only the boilerplate slice of the index (df-filtered BEFORE the
+    * join — at web scale a small fraction of distinct segments), and
+    * the join-back side carries one row per fingerprint, so the same
+    * no-posting-list-product guarantee as [[lineDedup]] holds. */
+  def scrubLines(s: SparkSession, path: String,
+    docs: DataFrame): DataFrame = {
+    import s.implicits._
+    require(graft.sources.Catalog.tableComplete(s, path),
+      s"$path is not a complete segment-df index — build it first")
+    val boiler = s.read.parquet(path)
+      .filter($"n_docs" >= LineDupDocs)
+      .select($"seg_fp", lit(true).as("boiler"))
+    val segs = segmentsOf(docs)
+      .join(boiler, Seq("seg_fp"), "left")
+    reassemble(segs, coalesce($"boiler", lit(false)))
+      .select($"doc_id", $"n_seg", $"n_removed", $"text_clean")
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_line_dedup" -> (qLineDedup _),

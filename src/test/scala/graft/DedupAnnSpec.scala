@@ -42,6 +42,66 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(collapsed.forall(_.getString(3) == md5hex("")))
   }
 
+  test("q_line_dedup: a mass-duplicated corpus stays linear — count join, no pair product") {
+    import spark.implicits._
+    // 500 byte-identical docs: every segment's df is 500 (≥ 3), so
+    // everything is boilerplate. A pair-generating design would build
+    // 500² candidates here; the count-aggregated join-back keeps the
+    // work at one row per (doc, segment).
+    val docs = (0L until 500L)
+      .map(i => (i, "a b c d e f g h i j k l m n o"))
+      .toDF("doc_id", "text")
+    val out = queries.Dedup.lineDedup(docs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    val rows = out.collect()
+    assert(rows.length == 500)
+    assert(rows.forall(r => r.getLong(1) == 2 && r.getLong(2) == 2),
+      "all segments of every doc are corpus-wide boilerplate")
+  }
+
+  test("stored segment-df index: scrub ≡ batch line dedup; incremental build ≡ one-shot; threshold crossing scrubs later docs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_linedf").toString
+    val full = s"$tmp/full"
+    // stored ≡ batch: index built over the corpus, then the corpus
+    // scrubbed against it, matches qLineDedup row for row
+    assert(queries.Dedup.buildLineDfIndex(spark, docs, full))
+    val viaIndex = queries.Dedup.scrubLines(spark, full, docs)
+      .selectExpr("doc_id", "n_seg", "n_removed", "md5(text_clean) AS clean_fp")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val viaBatch = queries.Dedup.lineDedup(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(viaIndex == viaBatch && viaIndex.nonEmpty)
+    // incremental: build from the first half, fold in the second —
+    // identical df table to the one-shot build
+    val inc = s"$tmp/inc"
+    val (h1, h2) = (docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"))
+    assert(queries.Dedup.buildLineDfIndex(spark, h1, inc))
+    queries.Dedup.updateLineDfIndex(spark, inc, h2)
+    def dfMap(p: String) = spark.read.parquet(p)
+      .select("seg_fp", "n_docs").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfMap(inc) == dfMap(full))
+    // threshold crossing: a segment at df 2 is not boilerplate; one
+    // more carrier pushes it over and NEW docs lose it
+    val seg = (1 to queries.Dedup.LineLen).map(i => s"tc$i").mkString(" ")
+    val cross = s"$tmp/cross"
+    assert(queries.Dedup.buildLineDfIndex(spark,
+      Seq((1L, seg), (2L, seg)).toDF("doc_id", "text"), cross))
+    val before = queries.Dedup.scrubLines(spark, cross,
+      Seq((9L, seg)).toDF("doc_id", "text")).head
+    assert(before.getLong(2) == 0, "df=2 segment must survive")
+    queries.Dedup.updateLineDfIndex(spark, cross,
+      Seq((3L, seg)).toDF("doc_id", "text"))
+    val after = queries.Dedup.scrubLines(spark, cross,
+      Seq((10L, seg)).toDF("doc_id", "text")).head
+    assert(after.getLong(2) == 1 && after.getString(3) == "",
+      "df=3 segment must scrub from post-crossing docs")
+  }
+
   test("q_dedup_exact covers every doc and canonical <= doc_id") {
     val df = queries.Dedup.qDedupExact(spark, sf)
     assert(df.count() == Tables.documents(spark, sf).count())

@@ -209,5 +209,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .selectExpr("user_id", "n", "sum_c100").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(viaSql.toSeq == viaDf.toSeq && viaSql.nonEmpty)
+    // ccdvisit partitions forcedsource exactly: every source falls in
+    // its visit's window and the per-visit counts sum to the table
+    val bad = s.sql(
+      """SELECT COUNT(*) AS n FROM forcedsource f JOIN ccdvisit v USING (visitId)
+        |WHERE f.tmid_us < v.obs_start_us OR f.tmid_us > v.obs_end_us""".stripMargin)
+      .head.getLong(0)
+    assert(bad == 0)
+    val total = s.sql("SELECT SUM(n_src) FROM ccdvisit").head.getLong(0)
+    assert(total == s.table("forcedsource").count())
   }
 }
