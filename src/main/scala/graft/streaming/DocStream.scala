@@ -76,10 +76,45 @@ object DocStream {
     Catalog.createPartitionedIfAbsent(s, dedupBatch(withFp(gate(docs))),
       path, Seq("bk"))
 
+  /** Marker-guarded segment-df fold: with a batch id, an
+    * already-applied batch (its `_linedf_batch_<id>` marker exists
+    * under the index root — underscore files are invisible to the
+    * parquet reader, like `_SUCCESS`) is a no-op, so at-least-once
+    * batch delivery does not double-count document frequencies. The
+    * marker lands AFTER the merge: a crash inside that window
+    * over-counts the replayed batch's dfs by one — bounded, rare, and
+    * benign for a ≥-threshold gate (it can only scrub a boilerplate
+    * line EARLIER), unlike content dedup, which stays exact via the
+    * at-rest anti-join. */
+  private def updateLineIndexOnce(s: SparkSession, indexPath: String,
+    gated: DataFrame, batchId: Option[Long]): Unit = batchId match {
+    case None => graft.queries.Dedup.updateLineDfIndex(s, indexPath, gated)
+    case Some(id) =>
+      val p = new org.apache.hadoop.fs.Path(indexPath)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(p, s"_linedf_batch_$id")
+      if (!f.exists(marker)) {
+        graft.queries.Dedup.updateLineDfIndex(s, indexPath, gated)
+        f.create(marker, true).close()
+      }
+  }
+
   /** Gate + dedup (+ optional decontamination against a stored bench
-    * index) + append one batch of raw documents. */
+    * index, + optional boilerplate-line scrubbing against a stored
+    * segment-df index) + append one batch of raw documents.
+    *
+    * With `lineIndexPath`, the batch's segment dfs fold into the
+    * index FIRST (so boilerplate shared by ≥ threshold docs of the
+    * same batch scrubs immediately — batch-local semantics match
+    * [[graft.queries.Dedup.lineDedup]]), then every doc is scrubbed
+    * and a fully-boilerplate doc drops entirely. Scrubbing precedes
+    * fingerprinting: content identity at rest is the identity of the
+    * CLEANED text, so two docs differing only in boilerplate
+    * converge to one stored copy. */
   def appendDocs(s: SparkSession, path: String, rawBatch: DataFrame,
-    benchIndexPath: Option[String] = None): Unit = {
+    benchIndexPath: Option[String] = None,
+    lineIndexPath: Option[String] = None,
+    batchId: Option[Long] = None): Unit = {
     import s.implicits._
     val stored = s.read.parquet(path)
     // the fingerprint scheme changed once (64-bit xxhash64 long →
@@ -102,7 +137,15 @@ object DocStream {
       gated.join(graft.queries.Dedup.contaminatedIds(s, idx, rawBatch),
         Seq("doc_id"), "left_anti")
     }
-    val batch = dedupBatch(withFp(clean))
+    val scrubbed = lineIndexPath.fold(clean) { idx =>
+      updateLineIndexOnce(s, idx, clean, batchId)
+      clean.drop("text").join(
+        graft.queries.Dedup.scrubLines(s, idx, clean)
+          .filter(length($"text_clean") > 0)
+          .select($"doc_id", $"text_clean".as("text")),
+        Seq("doc_id"))
+    }
+    val batch = dedupBatch(withFp(scrubbed))
     val bks = batch.select($"bk").distinct().collect().map(_.getLong(0)).toSeq
     val fresh =
       if (bks.isEmpty) batch
@@ -116,20 +159,27 @@ object DocStream {
   /** Streaming ingest into the clean corpus at `corpusPath` (must be
     * built first via [[buildCleanCorpus]]). With `benchIndexPath`,
     * docs leaking a stored eval item are dropped at ingest —
-    * decontamination as a pipeline stage, not an afterthought. */
+    * decontamination as a pipeline stage, not an afterthought. With
+    * `lineIndexPath` (a [[graft.queries.Dedup.buildLineDfIndex]]
+    * table), each batch folds its segment dfs in and is scrubbed of
+    * corpus-wide boilerplate lines before landing — the C4 pipeline
+    * as a streaming stage; the micro-batch id makes the fold
+    * replay-safe. */
   def ingestDocStream(docs: DataFrame, corpusPath: String,
     checkpointPath: String,
-    benchIndexPath: Option[String] = None): StreamingQuery =
+    benchIndexPath: Option[String] = None,
+    lineIndexPath: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         // pin the micro-batch: the gate + dedup + anti-join run
         // several actions against it (bucket collect, append)
         val b = batch.persist()
         try {
           Catalog.recoverAppends(s, corpusPath)
-          appendDocs(s, corpusPath, b, benchIndexPath)
+          appendDocs(s, corpusPath, b, benchIndexPath, lineIndexPath,
+            Some(batchId))
         } finally { b.unpersist(false); () }
       }
       .start()

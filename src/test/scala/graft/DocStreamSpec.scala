@@ -65,6 +65,47 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest scrubs corpus-wide boilerplate lines via the stored segment-df index; replayed folds don't double-count") {
+    val dir = java.nio.file.Files.createTempDirectory("doc_linededup").toString
+    val corpus = s"$dir/clean"
+    val lidx = s"$dir/line_idx"
+    val seed = Seq((0L, doc("a"), "s0")).toDF("doc_id", "text", "source")
+    assert(DocStream.buildCleanCorpus(spark, seed, corpus))
+    assert(queries.Dedup.buildLineDfIndex(spark, seed, lidx))
+    val boiler = (1 to queries.Dedup.LineLen).map(i => s"bz$i").mkString(" ")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = DocStream.ingestDocStream(
+      input.toDF().toDF("doc_id", "text", "source"), corpus, s"$dir/ckpt",
+      lineIndexPath = Some(lidx))
+    try {
+      // one micro-batch, three docs sharing a leading boilerplate
+      // span: the batch's own fold pushes it to df=3, so batch-local
+      // boilerplate scrubs immediately (lineDedup's semantics)
+      input.addData(
+        (10L, s"$boiler ${doc("b")}", "s1"),
+        (11L, s"$boiler ${doc("c")}", "s1"),
+        (12L, s"$boiler ${doc("d")}", "s1"))
+      q.processAllAvailable()
+      val t = spark.read.parquet(corpus).select($"doc_id", $"text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(t.keySet == Set(0L, 10L, 11L, 12L))
+      for (id <- Seq(10L, 11L, 12L))
+        assert(!t(id).contains("bz1"), s"doc $id kept scrubbed boilerplate")
+      assert(t(10L) == doc("b"), "the unique tail must land byte-identical")
+      // a replayed batch (same micro-batch id) must not re-fold dfs
+      val dfOf = () => spark.read.parquet(lidx).select($"seg_fp", $"n_docs")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val before = dfOf()
+      DocStream.appendDocs(spark, corpus,
+        Seq((10L, s"$boiler ${doc("b")}", "s1")).toDF("doc_id", "text", "source"),
+        lineIndexPath = Some(lidx), batchId = Some(0L))
+      assert(dfOf() == before, "replayed fold must be a marker-guarded no-op")
+      assert(spark.read.parquet(corpus).count() == 4,
+        "replayed content stays exactly-once at rest")
+    } finally q.stop()
+  }
+
   test("a predecessor's crashed append is healed by the next micro-batch") {
     val dir = java.nio.file.Files.createTempDirectory("doc_crash").toString
     val corpus = s"$dir/clean"
