@@ -43,21 +43,19 @@ object SparkEntry {
         spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t)
       }
     Tables.events(spark, dir).createOrReplaceTempView("events")
-    // Pserv's Object table: position columns on the golden-angle
-    // locus (the same derivation Spatial.points uses)
-    spark.table("customer").selectExpr(
-      "c_custkey AS objectId",
-      "(c_custkey*137 % 36000)/100.0 AS ra",
-      "(c_custkey*97 % 17000)/100.0 - 85.0 AS decl")
+    // Pserv's Object table: THE golden-angle point locus — built
+    // from queries.Spatial.points, so the SQL view and every spatial
+    // query share one derivation by construction
+    graft.queries.Spatial.points(spark, dir)
+      .selectExpr("k AS objectId", "ra", "decl")
       .createOrReplaceTempView("object")
-    // Pserv's ForcedSource table: per-object photometry series (the
-    // TimeSeries.series mapping — integer micros + centi-flux), with
+    // Pserv's ForcedSource table: per-object photometry series —
+    // queries.TimeSeries.series (integer micros + centi-flux), with
     // the hour-bucket visit id joining it to ccdvisit below
-    spark.table("events").selectExpr(
-      "user_id AS objectId", "event_id AS srcId",
-      "ts DIV 1000 AS tmid_us",
-      "(ts DIV 1000) DIV 3600000000 AS visitId",
-      "CAST(round(value*100) AS BIGINT) AS flux_c100")
+    graft.queries.TimeSeries.series(spark, dir)
+      .selectExpr("user_id AS objectId", "event_id AS srcId",
+        "tus AS tmid_us", "tus DIV 3600000000 AS visitId",
+        "xc AS flux_c100")
       .createOrReplaceTempView("forcedsource")
     // Pserv's CcdVisit table: one row per (hour-bucket) visit with
     // its observation window and source count — an aggregate view, so

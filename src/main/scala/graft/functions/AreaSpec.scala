@@ -33,16 +33,21 @@ object AreaSpec {
   private val Deg = Literal(57.29577951308232)    // 180/pi
   private val Two = Literal(2.0)
 
-  /** Haversine angular distance in degrees — the Catalyst twin of
-    * `Spatial.distDeg`: sd² + cos·cos·sr², asin(sqrt)·2·(180/π),
-    * identical association. */
+  /** Haversine angular distance in degrees — THE haversine tree:
+    * `Spatial.distDeg` (the Column face every spatial query uses) and
+    * the SQL `areaspec_circle` both delegate here, so DataFrame, SQL
+    * function, and (by transcription, parity-checked) DuckDB oracle
+    * share one association order: sd·sd + ((cos·cos)·sr)·sr
+    * left-associated exactly as the oracles' infix `COS*COS*SIN*SIN`
+    * parses — IEEE multiplication is commutative but NOT associative,
+    * so the association IS the contract. */
   def distDegExpr(ra1: Expression, dec1: Expression,
     ra2: Expression, dec2: Expression): Expression = {
     val sd = Sin(Divide(Multiply(Subtract(dec1, dec2), Rad), Two))
     val sr = Sin(Divide(Multiply(Subtract(ra1, ra2), Rad), Two))
     val h = Add(Multiply(sd, sd),
-      Multiply(Multiply(Cos(Multiply(dec1, Rad)), Cos(Multiply(dec2, Rad))),
-        Multiply(sr, sr)))
+      Multiply(Multiply(Multiply(Cos(Multiply(dec1, Rad)),
+        Cos(Multiply(dec2, Rad))), sr), sr))
     Multiply(Multiply(Asin(Sqrt(h)), Two), Deg)
   }
 

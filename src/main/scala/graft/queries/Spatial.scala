@@ -30,7 +30,7 @@ object Spatial {
   private val Deg = "57.29577951308232"    // 180/pi
 
   /** catalog points: (k, ra, dec) from customer keys. */
-  private def points(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def points(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.customer(s, dir).select(
       $"c_custkey".as("k"),
@@ -45,13 +45,15 @@ object Spatial {
 
   /** Haversine angular distance in degrees between (ra1,dec1) and
     * (ra2,dec2) — wrap-safe (sin²(Δra/2) is symmetric around 180°).
-    * Same textual expression tree as the SQL oracle below. */
+    * Delegates to [[graft.functions.AreaSpec.distDegExpr]], the ONE
+    * haversine tree the SQL `areaspec_circle` also expands to, so
+    * DataFrame and SQL-surface predicates are bit-identical by
+    * construction; the tree transcribes the SQL oracle below
+    * association-for-association. */
   private[graft] def distDeg(ra1: Column, dec1: Column, ra2: Column, dec2: Column): Column = {
-    val rad = lit(Rad.toDouble)
-    val sd = sin((dec1 - dec2) * rad / 2)
-    val sr = sin((ra1 - ra2) * rad / 2)
-    val h = sd * sd + cos(dec1 * rad) * cos(dec2 * rad) * sr * sr
-    asin(sqrt(h)) * 2 * lit(Deg.toDouble)
+    import org.apache.spark.sql.graftx.ColumnBridge.{column, expression}
+    column(graft.functions.AreaSpec.distDegExpr(
+      expression(ra1), expression(dec1), expression(ra2), expression(dec2)))
   }
 
   /** SQL twin of distDeg — identical operation order. */

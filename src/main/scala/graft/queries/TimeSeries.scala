@@ -28,7 +28,7 @@ object TimeSeries {
   private val SessionGapUs = 6L * 3600 * 1000 * 1000
 
   /** events projected to the light-curve columns, value in exact c100. */
-  private def series(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def series(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir).select(
       $"user_id", $"event_id",

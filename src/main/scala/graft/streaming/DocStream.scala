@@ -76,45 +76,63 @@ object DocStream {
     Catalog.createPartitionedIfAbsent(s, dedupBatch(withFp(gate(docs))),
       path, Seq("bk"))
 
-  /** Marker-guarded segment-df fold: with a batch id, an
-    * already-applied batch (its `_linedf_batch_<id>` marker exists
-    * under the index root — underscore files are invisible to the
-    * parquet reader, like `_SUCCESS`) is a no-op, so at-least-once
-    * batch delivery does not double-count document frequencies. The
-    * marker lands AFTER the merge: a crash inside that window
-    * over-counts the replayed batch's dfs by one — bounded, rare, and
-    * benign for a ≥-threshold gate (it can only scrub a boilerplate
-    * line EARLIER), unlike content dedup, which stays exact via the
-    * at-rest anti-join. */
+  /** Marker-guarded segment-df fold over the batch's FRESH docs (the
+    * survivors of content dedup and the at-rest anti-join): because
+    * only content actually landing in the corpus is ever counted, the
+    * index is exactly the corpus-at-rest document frequency — a
+    * replayed batch, or the same text under fresh doc_ids, anti-joins
+    * away before it gets here and can never inflate a df.
+    *
+    * The one non-idempotent window left is fold-succeeded /
+    * append-crashed: on replay the content is NOT at rest, so it
+    * arrives here again. The marker closes it, and it is keyed on the
+    * batch's fingerprint SET (md5 over the sorted fps — underscore
+    * files are invisible to the parquet reader, like `_SUCCESS`), so
+    * the guard holds across stream restarts and checkpoint resets —
+    * a micro-batch id would restart at 0 with a fresh checkpoint and
+    * silently skip folds for genuinely new content. A crash between
+    * merge and marker still over-counts that one batch: benign for a
+    * ≥-threshold gate (it can only scrub a boilerplate line
+    * earlier), unlike content identity, which stays exact via the
+    * anti-join. */
   private def updateLineIndexOnce(s: SparkSession, indexPath: String,
-    gated: DataFrame, batchId: Option[Long]): Unit = batchId match {
-    case None => graft.queries.Dedup.updateLineDfIndex(s, indexPath, gated)
-    case Some(id) =>
-      val p = new org.apache.hadoop.fs.Path(indexPath)
-      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val marker = new org.apache.hadoop.fs.Path(p, s"_linedf_batch_$id")
-      if (!f.exists(marker)) {
-        graft.queries.Dedup.updateLineDfIndex(s, indexPath, gated)
-        f.create(marker, true).close()
-      }
+    fresh: DataFrame): Unit = {
+    import s.implicits._
+    val head = fresh
+      .agg(count(lit(1)).as("n"),
+        md5(concat_ws(",", sort_array(collect_list($"fp")))).as("k"))
+      .head()
+    if (head.getLong(0) == 0L) return
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(p, s"_linedf_fold_${head.getString(1)}")
+    if (!f.exists(marker)) {
+      graft.queries.Dedup.updateLineDfIndex(s, indexPath, fresh)
+      f.create(marker, true).close()
+    }
   }
 
   /** Gate + dedup (+ optional decontamination against a stored bench
     * index, + optional boilerplate-line scrubbing against a stored
     * segment-df index) + append one batch of raw documents.
     *
-    * With `lineIndexPath`, the batch's segment dfs fold into the
-    * index FIRST (so boilerplate shared by ≥ threshold docs of the
-    * same batch scrubs immediately — batch-local semantics match
-    * [[graft.queries.Dedup.lineDedup]]), then every doc is scrubbed
-    * and a fully-boilerplate doc drops entirely. Scrubbing precedes
-    * fingerprinting: content identity at rest is the identity of the
-    * CLEANED text, so two docs differing only in boilerplate
-    * converge to one stored copy. */
+    * With `lineIndexPath`, each doc is scrubbed against the index AS
+    * OF the previous batch, and only the batch's FRESH survivors
+    * (post content-dedup, post at-rest anti-join) fold their dfs in —
+    * so the index counts distinct content at rest, exactly-once, and
+    * a segment crossing the boilerplate threshold scrubs from the
+    * NEXT batch on (C4's non-retroactive semantics, one batch later;
+    * the bootstrap batch semantics live in
+    * [[graft.queries.Dedup.buildLineDfIndex]]). A doc the scrub did
+    * not touch keeps its RAW text byte-identically — reassembly would
+    * otherwise normalize whitespace and silently shift content
+    * identity; a fully-boilerplate doc drops entirely. Scrubbing
+    * precedes fingerprinting: content identity at rest is the
+    * identity of the CLEANED text, so two docs differing only in
+    * boilerplate converge to one stored copy. */
   def appendDocs(s: SparkSession, path: String, rawBatch: DataFrame,
     benchIndexPath: Option[String] = None,
-    lineIndexPath: Option[String] = None,
-    batchId: Option[Long] = None): Unit = {
+    lineIndexPath: Option[String] = None): Unit = {
     import s.implicits._
     val stored = s.read.parquet(path)
     // the fingerprint scheme changed once (64-bit xxhash64 long →
@@ -137,23 +155,40 @@ object DocStream {
       gated.join(graft.queries.Dedup.contaminatedIds(s, idx, rawBatch),
         Seq("doc_id"), "left_anti")
     }
-    val scrubbed = lineIndexPath.fold(clean) { idx =>
-      updateLineIndexOnce(s, idx, clean, batchId)
-      clean.drop("text").join(
-        graft.queries.Dedup.scrubLines(s, idx, clean)
-          .filter(length($"text_clean") > 0)
-          .select($"doc_id", $"text_clean".as("text")),
-        Seq("doc_id"))
-    }
-    val batch = dedupBatch(withFp(scrubbed))
-    val bks = batch.select($"bk").distinct().collect().map(_.getLong(0)).toSeq
-    val fresh =
-      if (bks.isEmpty) batch
-      else batch.join(
-        stored.filter($"bk".isin(bks: _*)).select($"fp"),
-        Seq("fp"), "left_anti")
-    Catalog.appendPartitioned(s, fresh, path, Seq("bk"),
-      tableSchema = Some(stored.schema))
+    // the scrub path consumes `clean` twice (probe + join-back) and
+    // `fresh` three times (fold marker, fold, append) — pin both for
+    // the batch's scope so the gate kernel and segmentation run once
+    val cleanP = if (lineIndexPath.isDefined) clean.persist() else clean
+    try {
+      val scrubbed = lineIndexPath.fold(cleanP) { idx =>
+        val marked = graft.queries.Dedup.scrubLines(s, idx, cleanP)
+          .select($"doc_id", $"n_removed", $"text_clean")
+        cleanP.join(marked, Seq("doc_id"))
+          .withColumn("text",
+            when($"n_removed" > 0, $"text_clean").otherwise($"text"))
+          .filter(length($"text") > 0)
+          .drop("n_removed", "text_clean")
+      }
+      val batch = dedupBatch(withFp(scrubbed))
+      val bks = batch.select($"bk").distinct().collect().map(_.getLong(0)).toSeq
+      val fresh0 =
+        if (bks.isEmpty) batch
+        else batch.join(
+          stored.filter($"bk".isin(bks: _*)).select($"fp"),
+          Seq("fp"), "left_anti")
+      // localCheckpoint, NOT persist: the fold below OVERWRITES the
+      // index files this plan reads through the scrub, and Spark's
+      // write-path refreshByPath would invalidate a mere cache — the
+      // append would then silently recompute the scrub against the
+      // POST-fold index and land different text than was counted.
+      // Checkpointing truncates the lineage, so the batch the fold
+      // counted is byte-for-byte the batch the append lands.
+      val fresh = if (lineIndexPath.isDefined) fresh0.localCheckpoint(true)
+        else fresh0
+      lineIndexPath.foreach(updateLineIndexOnce(s, _, fresh))
+      Catalog.appendPartitioned(s, fresh, path, Seq("bk"),
+        tableSchema = Some(stored.schema))
+    } finally if (lineIndexPath.isDefined) { cleanP.unpersist(false); () }
   }
 
   /** Streaming ingest into the clean corpus at `corpusPath` (must be
@@ -161,25 +196,23 @@ object DocStream {
     * docs leaking a stored eval item are dropped at ingest —
     * decontamination as a pipeline stage, not an afterthought. With
     * `lineIndexPath` (a [[graft.queries.Dedup.buildLineDfIndex]]
-    * table), each batch folds its segment dfs in and is scrubbed of
-    * corpus-wide boilerplate lines before landing — the C4 pipeline
-    * as a streaming stage; the micro-batch id makes the fold
-    * replay-safe. */
+    * table), each batch is scrubbed of corpus-wide boilerplate lines
+    * and its fresh survivors fold their dfs in — the C4 pipeline as a
+    * streaming stage, replay-safe via the content-keyed fold marker. */
   def ingestDocStream(docs: DataFrame, corpusPath: String,
     checkpointPath: String,
     benchIndexPath: Option[String] = None,
     lineIndexPath: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         // pin the micro-batch: the gate + dedup + anti-join run
         // several actions against it (bucket collect, append)
         val b = batch.persist()
         try {
           Catalog.recoverAppends(s, corpusPath)
-          appendDocs(s, corpusPath, b, benchIndexPath, lineIndexPath,
-            Some(batchId))
+          appendDocs(s, corpusPath, b, benchIndexPath, lineIndexPath)
         } finally { b.unpersist(false); () }
       }
       .start()

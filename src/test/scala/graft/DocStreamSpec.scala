@@ -65,7 +65,7 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("ingest scrubs corpus-wide boilerplate lines via the stored segment-df index; replayed folds don't double-count") {
+  test("ingest scrubs boilerplate via the stored segment-df index: non-retroactive, replay-exact, raw text preserved") {
     val dir = java.nio.file.Files.createTempDirectory("doc_linededup").toString
     val corpus = s"$dir/clean"
     val lidx = s"$dir/line_idx"
@@ -73,35 +73,52 @@ class DocStreamSpec extends AnyFunSuite {
     assert(DocStream.buildCleanCorpus(spark, seed, corpus))
     assert(queries.Dedup.buildLineDfIndex(spark, seed, lidx))
     val boiler = (1 to queries.Dedup.LineLen).map(i => s"bz$i").mkString(" ")
+    // a doc with consecutive spaces: the scrub must never rewrite a
+    // doc it did not alter (reassembly would normalize whitespace and
+    // shift its content identity)
+    val wsDoc = doc("w").replaceFirst("the ", "the  ")
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, String)]
     val q = DocStream.ingestDocStream(
       input.toDF().toDF("doc_id", "text", "source"), corpus, s"$dir/ckpt",
       lineIndexPath = Some(lidx))
+    val dfOf = () => spark.read.parquet(lidx).select($"seg_fp", $"n_docs")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     try {
-      // one micro-batch, three docs sharing a leading boilerplate
-      // span: the batch's own fold pushes it to df=3, so batch-local
-      // boilerplate scrubs immediately (lineDedup's semantics)
+      // batch 1: three carriers push the boiler span to df=3; the
+      // scrub ran against the PREVIOUS index state, so they land
+      // unscrubbed (non-retroactive, like C4's preprocessing)
       input.addData(
         (10L, s"$boiler ${doc("b")}", "s1"),
         (11L, s"$boiler ${doc("c")}", "s1"),
-        (12L, s"$boiler ${doc("d")}", "s1"))
+        (12L, s"$boiler ${doc("d")}", "s1"),
+        (13L, wsDoc, "s1"))
       q.processAllAvailable()
       val t = spark.read.parquet(corpus).select($"doc_id", $"text")
         .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-      assert(t.keySet == Set(0L, 10L, 11L, 12L))
-      for (id <- Seq(10L, 11L, 12L))
-        assert(!t(id).contains("bz1"), s"doc $id kept scrubbed boilerplate")
-      assert(t(10L) == doc("b"), "the unique tail must land byte-identical")
-      // a replayed batch (same micro-batch id) must not re-fold dfs
-      val dfOf = () => spark.read.parquet(lidx).select($"seg_fp", $"n_docs")
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(t.keySet == Set(0L, 10L, 11L, 12L, 13L))
+      assert(t(10L) == s"$boiler ${doc("b")}",
+        "pre-crossing docs keep their text (non-retroactive)")
+      assert(t(13L) == wsDoc,
+        "a doc the scrub did not alter must land byte-identical")
+      // batch 2: the threshold has been crossed — a later carrier is
+      // scrubbed down to its unique tail
+      input.addData((20L, s"$boiler ${doc("e")}", "s1"))
+      q.processAllAvailable()
+      val t2 = spark.read.parquet(corpus).select($"doc_id", $"text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(t2(20L) == doc("e"), "post-crossing boilerplate must scrub")
+      // replay: doc 20's RAW text under a fresh id scrubs to the same
+      // cleaned content, anti-joins away, and folds nothing — docs
+      // differing only in boilerplate converge to one stored copy and
+      // dfs count distinct content at rest exactly once
       val before = dfOf()
+      val n = spark.read.parquet(corpus).count()
       DocStream.appendDocs(spark, corpus,
-        Seq((10L, s"$boiler ${doc("b")}", "s1")).toDF("doc_id", "text", "source"),
-        lineIndexPath = Some(lidx), batchId = Some(0L))
-      assert(dfOf() == before, "replayed fold must be a marker-guarded no-op")
-      assert(spark.read.parquet(corpus).count() == 4,
+        Seq((99L, s"$boiler ${doc("e")}", "s1")).toDF("doc_id", "text", "source"),
+        lineIndexPath = Some(lidx))
+      assert(dfOf() == before, "replayed content must not inflate dfs")
+      assert(spark.read.parquet(corpus).count() == n,
         "replayed content stays exactly-once at rest")
     } finally q.stop()
   }
