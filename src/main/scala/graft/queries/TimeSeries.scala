@@ -63,6 +63,59 @@ object TimeSeries {
       .orderBy($"user_id")
   }
 
+  /** Variability-selection thresholds, all in exact integer space so
+    * the classification is engine-deterministic: an object is
+    * `variable` when its sample variance (c100² units, the exact
+    * integer numerator over n(n−1)) exceeds [[VarThreshC100Sq]], and
+    * escalates to `transient` when the amplitude also exceeds
+    * [[AmpThreshC100]]; under [[MinObs]] observations it is `sparse`
+    * (unclassifiable), else `constant`. */
+  val MinObs = 5L
+  val VarThreshC100Sq = 23000000L // variance > 2300 units² — the locus median
+  val AmpThreshC100 = 26000L      // amplitude > 260 units — its p75
+
+  /** Variability classification — the LSST selection query: every
+    * object labeled constant / variable / transient / sparse from its
+    * per-object photometry statistics. The classifying comparisons
+    * run on the exact integer variance NUMERATOR (var·n(n−1) form, no
+    * division — bit-exact on both engines) and the integer amplitude.
+    *
+    * Scale shape: identical to q_lightcurve_stats — ONE combinable
+    * aggregate on the per-object key (cardinality grows with the
+    * catalog, so parallelism does too) plus per-row CASE arithmetic;
+    * the class column adds zero shuffles. */
+  def qVariabilityClass(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    series(s, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        (max($"xc") - min($"xc")).as("amp_c100"),
+        (count(lit(1)) * sum($"xc" * $"xc") - sum($"xc") * sum($"xc"))
+          .as("var_num"))
+      .withColumn("class",
+        when($"n" < MinObs, "sparse")
+          .when($"var_num" > lit(VarThreshC100Sq) * $"n" * ($"n" - 1),
+            when($"amp_c100" > AmpThreshC100, "transient")
+              .otherwise("variable"))
+          .otherwise("constant"))
+      .orderBy($"user_id")
+  }
+
+  val qVariabilityClassSql: String =
+    s"""SELECT user_id, n, amp_c100, var_num,
+       |  CASE WHEN n < $MinObs THEN 'sparse'
+       |       WHEN var_num > $VarThreshC100Sq * n * (n - 1) THEN
+       |         CASE WHEN amp_c100 > $AmpThreshC100 THEN 'transient'
+       |              ELSE 'variable' END
+       |       ELSE 'constant' END AS class
+       |FROM (SELECT user_id, COUNT(*) AS n,
+       |        CAST(MAX(xc) - MIN(xc) AS BIGINT) AS amp_c100,
+       |        CAST(COUNT(*)*SUM(xc*xc) - SUM(xc)*SUM(xc) AS BIGINT) AS var_num
+       |      FROM (SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS xc
+       |            FROM events)
+       |      GROUP BY user_id)
+       |ORDER BY user_id""".stripMargin
+
   val qLightcurveStatsSql: String =
     """SELECT user_id, COUNT(*) AS n,
       |  CAST(SUM(xc) AS BIGINT) AS sum_c100,
@@ -987,6 +1040,7 @@ object TimeSeries {
   // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lightcurve_stats" -> (qLightcurveStats _),
+    "q_variability_class" -> (qVariabilityClass _),
     "q_lightcurve_delta" -> (qLightcurveDelta _),
     "q_sessionize" -> (qSessionize _),
     "q_time_bucket" -> (qTimeBucket _),
@@ -1011,6 +1065,7 @@ object TimeSeries {
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
+    "q_variability_class" -> qVariabilityClassSql,
     "q_lightcurve_delta" -> qLightcurveDeltaSql,
     "q_sessionize" -> qSessionizeSql,
     "q_time_bucket" -> qTimeBucketSql,

@@ -35,6 +35,24 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(df.filter(col("var_num") < 0).count() == 0)
   }
 
+  test("q_variability_class: label is exactly the declared integer predicate") {
+    import queries.TimeSeries._
+    val rows = qVariabilityClass(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, amp, vn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val expected =
+        if (n < MinObs) "sparse"
+        else if (vn > VarThreshC100Sq * n * (n - 1))
+          if (amp > AmpThreshC100) "transient" else "variable"
+        else "constant"
+      assert(r.getString(4) == expected, s"object ${r.get(0)}: $r")
+    }
+    // the thresholds discriminate on this locus — a single-class
+    // output means they are vacuous
+    assert(rows.map(_.getString(4)).distinct.length >= 2)
+  }
+
   test("q_sessionize events sum to the full table") {
     val df = queries.TimeSeries.qSessionize(spark, sf)
     val total = df.agg(sum("n_events")).head.getLong(0)
