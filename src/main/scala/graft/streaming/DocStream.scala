@@ -79,33 +79,44 @@ object DocStream {
   /** Marker-guarded segment-df fold over the batch's FRESH docs (the
     * survivors of content dedup and the at-rest anti-join): because
     * only content actually landing in the corpus is ever counted, the
-    * index is exactly the corpus-at-rest document frequency — a
-    * replayed batch, or the same text under fresh doc_ids, anti-joins
-    * away before it gets here and can never inflate a df.
+    * index is the corpus-at-rest document frequency, and a replayed
+    * batch whose content IS at rest anti-joins away before it gets
+    * here — the normal replay path folds nothing.
     *
-    * The one non-idempotent window left is fold-succeeded /
-    * append-crashed: on replay the content is NOT at rest, so it
-    * arrives here again. The marker closes it, and it is keyed on the
-    * batch's fingerprint SET (md5 over the sorted fps — underscore
-    * files are invisible to the parquet reader, like `_SUCCESS`), so
-    * the guard holds across stream restarts and checkpoint resets —
-    * a micro-batch id would restart at 0 with a fresh checkpoint and
-    * silently skip folds for genuinely new content. A crash between
-    * merge and marker still over-counts that one batch: benign for a
-    * ≥-threshold gate (it can only scrub a boilerplate line
-    * earlier), unlike content identity, which stays exact via the
-    * anti-join. */
+    * The non-idempotent window is fold-succeeded / append-crashed:
+    * on replay that content is NOT at rest and arrives here again.
+    * The marker closes the common case — it is keyed on a
+    * commutative content digest (count + wrapping sum of fp hashes —
+    * O(1) memory at any batch size, order-independent), so a replay
+    * of the SAME surviving content skips, across stream restarts and
+    * checkpoint resets alike (a micro-batch id would restart at 0
+    * and silently skip folds for genuinely new content). Two
+    * residual windows survive by design, both bounded to that one
+    * crashed batch and both OVER-counting — benign-direction for a
+    * ≥-threshold gate (a boilerplate line scrubs earlier), unlike
+    * content identity, which stays exact via the anti-join:
+    * a replay re-delivered with different batch composition keys a
+    * different digest; and if the crashed batch's own fold pushed a
+    * segment over the threshold, the replay's scrub excises it,
+    * changing the fps and hence the digest. Underscore marker files
+    * are invisible to the parquet reader, like `_SUCCESS`. */
   private def updateLineIndexOnce(s: SparkSession, indexPath: String,
     fresh: DataFrame): Unit = {
     import s.implicits._
+    // hashes reduced mod a 31-bit prime before the sum: the digest
+    // stays exact-commutative and a long sum cannot overflow (ANSI
+    // arithmetic throws) until ~4e9 docs in one micro-batch
     val head = fresh
       .agg(count(lit(1)).as("n"),
-        md5(concat_ws(",", sort_array(collect_list($"fp")))).as("k"))
+        sum(pmod(xxhash64($"fp"), lit(2147483647L))).as("h"))
       .head()
     if (head.getLong(0) == 0L) return
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${head.getLong(0)}|${head.getLong(1)}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     val p = new org.apache.hadoop.fs.Path(indexPath)
     val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(p, s"_linedf_fold_${head.getString(1)}")
+    val marker = new org.apache.hadoop.fs.Path(p, s"_linedf_fold_$key")
     if (!f.exists(marker)) {
       graft.queries.Dedup.updateLineDfIndex(s, indexPath, fresh)
       f.create(marker, true).close()
@@ -169,22 +180,23 @@ object DocStream {
           .filter(length($"text") > 0)
           .drop("n_removed", "text_clean")
       }
-      val batch = dedupBatch(withFp(scrubbed))
-      val bks = batch.select($"bk").distinct().collect().map(_.getLong(0)).toSeq
-      val fresh0 =
-        if (bks.isEmpty) batch
-        else batch.join(
-          stored.filter($"bk".isin(bks: _*)).select($"fp"),
-          Seq("fp"), "left_anti")
+      val batch0 = dedupBatch(withFp(scrubbed))
       // localCheckpoint, NOT persist: the fold below OVERWRITES the
       // index files this plan reads through the scrub, and Spark's
       // write-path refreshByPath would invalidate a mere cache — the
       // append would then silently recompute the scrub against the
       // POST-fold index and land different text than was counted.
-      // Checkpointing truncates the lineage, so the batch the fold
-      // counted is byte-for-byte the batch the append lands.
-      val fresh = if (lineIndexPath.isDefined) fresh0.localCheckpoint(true)
-        else fresh0
+      // Checkpointing BEFORE the bucket collect truncates the
+      // index-reading lineage once, so the collect, anti-join, fold,
+      // and append all read one materialized scrub.
+      val batch = if (lineIndexPath.isDefined) batch0.localCheckpoint(true)
+        else batch0
+      val bks = batch.select($"bk").distinct().collect().map(_.getLong(0)).toSeq
+      val fresh =
+        if (bks.isEmpty) batch
+        else batch.join(
+          stored.filter($"bk".isin(bks: _*)).select($"fp"),
+          Seq("fp"), "left_anti")
       lineIndexPath.foreach(updateLineIndexOnce(s, _, fresh))
       Catalog.appendPartitioned(s, fresh, path, Seq("bk"),
         tableSchema = Some(stored.schema))

@@ -120,6 +120,25 @@ class DocStreamSpec extends AnyFunSuite {
       assert(dfOf() == before, "replayed content must not inflate dfs")
       assert(spark.read.parquet(corpus).count() == n,
         "replayed content stays exactly-once at rest")
+      // the fold-succeeded/append-crashed window: content folded for
+      // THIS index but absent from the append target. Fabricate it
+      // with a second corpus that lacks the content — fresh is
+      // non-empty there, but the content digest matches the marker
+      // from the successful fold above, so the re-fold must skip
+      // while the append still lands.
+      input.addData((30L, doc("f"), "s1"))
+      q.processAllAvailable()
+      val corpus2 = s"$dir/clean2"
+      assert(DocStream.buildCleanCorpus(spark, seed, corpus2))
+      val beforeSkip = dfOf()
+      DocStream.appendDocs(spark, corpus2,
+        Seq((31L, doc("f"), "s1")).toDF("doc_id", "text", "source"),
+        lineIndexPath = Some(lidx))
+      assert(dfOf() == beforeSkip,
+        "the content-keyed marker must skip the re-fold")
+      assert(spark.read.parquet(corpus2).select($"doc_id").as[Long]
+        .collect().toSet == Set(0L, 31L),
+        "the append itself must still land")
     } finally q.stop()
   }
 
