@@ -705,29 +705,26 @@ object Dedup {
 
   // ---------------------------------------------------------------
   /** Connected components of an undirected pair graph by iterative
-    * min-label propagation: every node ends up labeled with the
-    * smallest node id reachable from it. The loop is the one place the
-    * driver legitimately iterates — the classic Pregel/GraphX shape —
-    * and each iteration is fully distributed: one equi-join of edges
-    * against current labels (shuffle on node id) + one min-aggregate.
-    * Each iteration's frame is persisted and fully materialized by the
-    * convergence count (one job does both); every few iterations the
-    * labels are additionally `localCheckpoint`ed — a cheap cache-read
-    * job — so lineage depth stays bounded instead of growing one join
-    * per iteration (a cache eviction late in a long run would
-    * otherwise recompute from iteration 0).
+    * min-label propagation with per-round path compression: every
+    * node ends up labeled with the smallest node id reachable from
+    * it. The loop is the one place the driver legitimately iterates —
+    * the classic Pregel/GraphX shape — and each iteration is fully
+    * distributed: one equi-join of edges against current labels
+    * (shuffle on node id) + one min-aggregate + two lazy compression
+    * joins. Each iteration's frame is persisted, fully materialized
+    * by the convergence count, and `localCheckpoint`ed — the
+    * checkpoint reads the just-built cache (sliver-sized, cheap) and
+    * keeps the per-round plan CONSTANT depth: with lazy joins feeding
+    * round over round, an accreting lineage turns into a plan whose
+    * Catalyst analysis cost dwarfs execution (measured in minutes on
+    * the FoF filament graph before per-round truncation).
     *
-    * Convergence: min-label propagation stabilizes within the graph
-    * diameter. Near-dup graphs are dense clusters (diameter 2-3), so
-    * the loop exits in a handful of rounds; `maxIters` is a loud
-    * safety bound, not a truncation — non-convergence throws rather
-    * than returning wrong labels. */
-  /** Truncate label-frame lineage every this many propagation
-    * iterations — near-dup graphs converge in 2-4, so the common case
-    * pays zero extra jobs; only slow-converging graphs buy the
-    * bounded-recompute insurance. */
-  private val LineageTruncateEvery = 4
-
+    * Convergence: min-label propagation stabilizes within ~the graph
+    * diameter over the compression reach. Near-dup graphs are dense
+    * clusters (diameter 2-3) and exit in a handful of rounds;
+    * filament-shaped FoF graphs at bench scale measure ~30 rounds.
+    * `maxIters` is a loud safety bound, not a truncation —
+    * non-convergence throws rather than returning wrong labels. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
     maxIters: Int = 50): DataFrame = {
     import nodes.sparkSession.implicits._
@@ -746,10 +743,29 @@ object Dedup {
     // edge"
     val active = edges.select($"src".as("doc_id")).distinct()
       .localCheckpoint(true)
+    // The iterating joins are sliver-sized micro-jobs: AQE's
+    // per-exchange query-stage materialization adds scheduling
+    // latency to every shuffle (≈5 exchanges/round × tens of rounds
+    // dominated FoF wall time at bench scale), and a default-width
+    // shuffle of a KB-sized frame is pure task-launch overhead. Run
+    // the LOOP with AQE off and the shuffle width sized to the
+    // active sliver (≥4, one partition per ~1M active nodes, never
+    // wider than the session default); both settings restore before
+    // the data-scale singleton join below, which wants AQE back.
+    // Skew inside the loop is safe without AQE: the only wide key is
+    // cluster_id in a min-aggregate, which combines map-side.
+    val sess = nodes.sparkSession
+    val activeN = active.count()
+    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled")
+    val prevShuf = sess.conf.get("spark.sql.shuffle.partitions")
     var labels = active.select($"doc_id", $"doc_id".as("cluster_id"))
     var prev: Option[org.apache.spark.sql.DataFrame] = None
     var converged = false
     var it = 0
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    sess.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, math.min(prevShuf.toLong, activeN / 1000000L + 4L)).toString)
+    try {
     while (!converged && it < maxIters) {
       val nbrMin = edges
         .join(labels.select($"doc_id".as("src"), $"cluster_id"), "src")
@@ -767,38 +783,52 @@ object Dedup {
           $"cluster_id".as("old_id"))
         .persist()
       converged = next.filter($"new_id" =!= $"old_id").count() == 0
-      // truncate lineage every few iterations: the checkpoint job
-      // reads the just-materialized cache (cheap), and bounds how far
-      // back a cache eviction can cascade a recompute
-      val kept =
-        if (!converged && (it + 1) % LineageTruncateEvery == 0) {
-          val cp = next.localCheckpoint(true)
-          next.unpersist(false)
-          cp
-        } else next
+      // truncate lineage EVERY iteration: the checkpoint reads the
+      // just-materialized cache (sliver-sized — cheap), and with the
+      // two lazy compression joins below feeding the next round, an
+      // unbounded lineage compounds into a plan whose ANALYSIS cost
+      // dwarfs its execution (measured: minutes of optimizer time on
+      // the FoF filament graph when truncating every 4th round).
+      val kept = {
+        val cp = next.localCheckpoint(true)
+        next.unpersist(false)
+        cp
+      }
       // the previous iteration's blocks are dead once `next` is
       // materialized — release them instead of accreting one cached
       // sliver per iteration (the final frame stays cached for the
       // cluster-size window + singleton union below)
       prev.foreach(_.unpersist(false))
       prev = Some(kept)
-      // pointer jump (path compression): label ← label's label. Plain
-      // neighbor-min propagation needs O(diameter) rounds, which on
-      // CHAIN-shaped graphs (friends-of-friends filaments, unlike the
-      // dense diameter-2 near-dup clusters) means hundreds of rounds;
-      // compressing one hop per round drops convergence to
-      // O(log diameter). Labels only decrease and every label is an
-      // active node id, so L(L(u)) is defined and ≤ L(u); the join is
-      // lazy — the next iteration's propagate folds it in, costing one
-      // extra sliver-sized join, no extra job.
+      // pointer jump (path compression): label ← label's label,
+      // applied TWICE. Plain neighbor-min propagation needs
+      // O(diameter) rounds, which on CHAIN-shaped graphs
+      // (friends-of-friends filaments, unlike the dense diameter-2
+      // near-dup clusters) means hundreds of rounds; each compression
+      // hop multiplies the per-round reach, so two hops cut the
+      // round count ~1.5× over one (34 → 22 measured on the FoF
+      // filaments at bench scale). Labels only decrease and every
+      // label is an active node id, so L(L(u)) is defined and
+      // ≤ L(u); the joins are lazy — the next iteration's propagate
+      // folds them in, costing two sliver-sized joins, no extra job.
       val lk = kept.select($"doc_id", $"new_id")
-      labels = lk.join(
+      val hop1 = lk.join(
         lk.select($"doc_id".as("__p"), $"new_id".as("__pl")),
         lk("new_id") === col("__p"), "left")
-        .select($"doc_id", coalesce($"__pl", $"new_id").as("cluster_id"))
+        .select($"doc_id", coalesce($"__pl", $"new_id").as("__mid"))
+      labels = hop1.join(
+        lk.select($"doc_id".as("__q"), $"new_id".as("__ql")),
+        hop1("__mid") === col("__q"), "left")
+        .select($"doc_id", coalesce($"__ql", $"__mid").as("cluster_id"))
       it += 1
     }
+    } finally {
+      sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      sess.conf.set("spark.sql.shuffle.partitions", prevShuf)
+    }
     edges.unpersist()
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged after $it iterations")
     require(converged,
       s"connected components did not converge in $maxIters iterations")
     // component sizes over the (tiny) edge-touching set only; the

@@ -543,29 +543,46 @@ object Spatial {
        |GROUP BY 1, 2 ORDER BY zone5, ra_cell""".stripMargin
 
   // ---------------------------------------------------------------
-  /** Friends-of-friends linking length (deg): pairs closer than this
-    * are "friends"; groups are the transitive closure — the standard
-    * group/cluster finder of galaxy-survey catalogs. */
-  val FofLinkDeg = 1.0
+  /** Friends-of-friends linking parameter b: the linking length is
+    * b × the mean interparticle separation, r = b·√(sky/n) — the
+    * standard FoF convention (Davis et al. use b≈0.2 of mean
+    * separation), and the reason FoF scales: a FIXED length over a
+    * growing catalog crosses the percolation threshold (π r² n/A > 1)
+    * and links the whole sky into one giant component — the r9 bench
+    * measured exactly that (28 s of pointer-jumping over a
+    * sky-spanning cluster at 10× the correctness scale). With r tied
+    * to density, the expected neighbor count π b² stays constant at
+    * EVERY catalog size, so groups stay bounded and the iterating
+    * frame stays a sliver. */
+  val FofLinkB = 0.2
+
+  /** Full-sky solid angle in square degrees (4π sr). */
+  val FullSkyDeg2 = 41253.0
+
+  /** The density-adaptive linking length for an n-point catalog. */
+  def fofLinkDeg(n: Long): Double =
+    FofLinkB * math.sqrt(FullSkyDeg2 / n)
 
   /** Friends-of-friends group catalog: connected components of the
-    * within-[[FofLinkDeg]] pair graph, reported per GROUP (≥2
+    * within-[[fofLinkDeg]] pair graph, reported per GROUP (≥2
     * members) with the member count and an md5 membership
     * fingerprint (pins the exact member set through the compare
     * without shipping a list column).
     *
-    * Scale shape: the pair graph comes from the same adaptive
-    * zone-grid candidate join as every cross-match ([[gridCandidates]]
-    * — never cartesian); the closure reuses
+    * Scale shape: one control-plane count sizes the linking length;
+    * the pair graph comes from the same adaptive zone-grid candidate
+    * join as every cross-match ([[gridCandidates]] — never
+    * cartesian); the closure reuses
     * [[graft.queries.Dedup.connectedComponents]], whose per-iteration
-    * work runs on the edge-touching sliver only. Group density is a
-    * physical constant of the sky, not of the catalog size, so the
+    * work runs on the edge-touching sliver only. With the adaptive
+    * length the group density is scale-free by construction, so the
     * iterating frame stays a bounded fraction of the data at any
-    * scale. */
+    * catalog size. */
   def qFofGroups(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pts = points(s, dir)
-    val pairs = gridCandidates(pts, pts, FofLinkDeg)
+    val link = fofLinkDeg(pts.count())
+    val pairs = gridCandidates(pts, pts, link)
       .filter($"k1" < $"k2")
       .select($"k1".as("d1"), $"k2".as("d2"))
     Dedup.connectedComponents(pts.select($"k".as("doc_id")), pairs)
@@ -579,13 +596,17 @@ object Spatial {
 
   /** Oracle: brute-force pair graph (the grid is a lossless candidate
     * superset) + recursive-CTE transitive closure, exactly the
-    * [[graft.queries.Dedup]] cluster-oracle shape. */
+    * [[graft.queries.Dedup]] cluster-oracle shape. The linking length
+    * re-derives as the same IEEE expression (correctly-rounded
+    * divide, sqrt, multiply over the identical count), so both
+    * engines compare against the identical double. */
   val qFofGroupsSql: String =
     s"""WITH RECURSIVE
        |pts AS ($pointsSql),
+       |lnk AS (SELECT $FofLinkB * SQRT($FullSkyDeg2 / COUNT(*)) AS r FROM pts),
        |jp AS (SELECT a.k AS d1, b.k AS d2 FROM pts a JOIN pts b ON a.k < b.k
        |       WHERE ROUND(${distDegSql("a.ra", "a.decl", "b.ra", "b.decl")}, 6)
-       |             < $FofLinkDeg),
+       |             < (SELECT r FROM lnk)),
        |edges AS (SELECT d1 AS src, d2 AS dst FROM jp
        |          UNION ALL SELECT d2, d1 FROM jp),
        |reach(node, lbl) AS (

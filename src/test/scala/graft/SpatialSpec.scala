@@ -242,7 +242,7 @@ class SpatialSpec extends AnyFunSuite {
          |  SIN((decl1 - decl)*$rad/2) * SIN((decl1 - decl)*$rad/2)
          |  + COS(decl1*$rad) * COS(decl*$rad)
          |    * SIN((ra1 - ra)*$rad/2) * SIN((ra1 - ra)*$rad/2)))*$deg, 6) AS d""".stripMargin)
-      .filter(s"k1 < k2 AND d < ${queries.Spatial.FofLinkDeg}")
+      .filter(s"k1 < k2 AND d < ${queries.Spatial.fofLinkDeg(pts.count())}")
       .select("k1", "k2").collect().map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
