@@ -65,10 +65,50 @@ object AreaSpec {
 
   /** On-or-left of every directed edge of a CCW convex polygon — the
     * half-plane conjunction `qPolySearch` uses, over caller
-    * vertices. */
+    * vertices.
+    *
+    * When every vertex is a literal (the Qserv contract — areaspec
+    * arguments always are), the ring is VALIDATED at plan time: a
+    * clockwise or non-convex ring would make the conjunction silently
+    * empty (or wrong), the kind of no-rows bug a user debugs for an
+    * afternoon; failing analysis with the reason beats that. Column
+    * vertices skip the check — their values aren't known until run
+    * time. */
   def polyExpr(ra: Expression, decl: Expression,
     verts: Seq[(Expression, Expression)]): Expression = {
     require(verts.size >= 3, "areaspec_poly needs at least 3 vertices")
+    // SQL numeric literals arrive as Int/Decimal (exact-decimal
+    // parsing) and negatives as UnaryMinus before folding
+    def const(e: Expression): Option[Double] = e match {
+      case Literal(x: Double, _) => Some(x)
+      case Literal(x: Int, _) => Some(x.toDouble)
+      case Literal(x: Long, _) => Some(x.toDouble)
+      case Literal(x: org.apache.spark.sql.types.Decimal, _) =>
+        Some(x.toDouble)
+      case UnaryMinus(inner, _) => const(inner).map(-_)
+      case _ => None
+    }
+    val lits = verts.map { case (x, y) =>
+      (const(x), const(y)) match {
+        case (Some(a), Some(b)) => Some((a, b))
+        case _ => None
+      }
+    }
+    if (lits.forall(_.isDefined)) {
+      val vs = lits.flatten
+      val crosses = vs.indices.map { i =>
+        val (x1, y1) = vs(i)
+        val (x2, y2) = vs((i + 1) % vs.size)
+        val (x3, y3) = vs((i + 2) % vs.size)
+        (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)
+      }
+      if (crosses.exists(_ < 0))
+        throw new IllegalArgumentException(
+          if (crosses.forall(_ <= 0))
+            "areaspec_poly vertices wind CLOCKWISE — list them counter-clockwise"
+          else
+            "areaspec_poly vertices are not a convex ring")
+    }
     verts.indices.map { i =>
       val (x1, y1) = verts(i)
       val (x2, y2) = verts((i + 1) % verts.size)

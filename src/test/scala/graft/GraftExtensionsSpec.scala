@@ -91,6 +91,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // codegen'd and the plan contains no UDF/eval node
     val plan = cone.queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+    // a clockwise vertex ring fails at analysis time with the reason —
+    // the half-plane conjunction would otherwise silently match nothing
+    val cw = queries.Spatial.PolyVerts.reverse
+      .map { case (x, y) => s"$x, $y" }.mkString(", ")
+    val err = intercept[Exception](spark.sql(
+      s"SELECT k FROM obj_ext WHERE areaspec_poly(ra, decl, $cw)").collect())
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + messages(t.getCause)
+    assert(messages(err).contains("CLOCKWISE"), s"got: ${messages(err)}")
   }
 
   test("int_vec_dot / int_vec_norm_sq work from SQL") {
