@@ -80,7 +80,10 @@ object Bench {
     // the zone pair graph — the iterative op most exposed to a
     // convergence regression), the bigram-LM gate (vocabulary-keyed
     // joins), the PII regex scan, and the CMS sketch fold
-    "q_fof_groups", "q_lm_score", "q_pii_scrub", "q_sketch_cms")
+    "q_fof_groups", "q_lm_score", "q_pii_scrub", "q_sketch_cms",
+    // round-10 wave-6: the Landy–Szalay correlation function — three
+    // zone-grid pair streams into combinable bin counts
+    "q_two_point_corr")
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -621,6 +621,106 @@ object Spatial {
        |ORDER BY group_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Two-point correlation maximum separation (deg) and bin width:
+    * 8 angular bins of 0.25° up to 2°. The bin index is
+    * floor(dist·4) — ×4 is a power-of-two scaling, exact on the
+    * 6-dp-rounded distance in both engines, where ÷0.25 would not
+    * be. */
+  val TpcThetaMax = 2.0
+  val TpcBins = 8
+
+  /** The "random" comparison catalog for Landy–Szalay: the same keys
+    * scattered by different multipliers — deterministic (no RNG
+    * state, re-runs and both engines agree) and the same size as the
+    * data catalog by construction, which keeps the estimator's
+    * normalization a pure count ratio. */
+  private def randPoints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir).select(
+      $"c_custkey".as("k"),
+      (($"c_custkey" * 149 % 36000) / 100.0).as("ra"),
+      (($"c_custkey" * 103 % 17000) / 100.0 - 85.0).as("decl"))
+  }
+
+  private val randPointsSql =
+    """SELECT c_custkey AS k, (c_custkey*149 % 36000)/100.0 AS ra,
+      |       (c_custkey*103 % 17000)/100.0 - 85.0 AS decl FROM customer"""
+      .stripMargin
+
+  /** Two-point angular correlation function, Landy–Szalay estimator —
+    * THE clustering statistic of a survey catalog: per angular bin,
+    * the data-data / data-random / random-random pair counts and
+    * ξ(θ) = (DD̂ − 2DR̂ + RR̂)/RR̂ with the hat-normalizations
+    * reduced to exact integer numerator/denominator columns (the
+    * reported `xi` is their single correctly-rounded IEEE division —
+    * the one float op the determinism contract allows).
+    *
+    * Scale shape: all three pair streams come from the zone-grid
+    * candidate join (never cartesian) and are consumed by a
+    * combinable 8-key count aggregate — no pair set ever
+    * materializes; the random catalog is derived in-plan (zero
+    * storage). The pair count itself grows with n²·θ²/A — that is
+    * the physics of the statistic, not a plan defect; at survey
+    * scale the standard move is the deterministic hash subsample
+    * (q_sample_stratified's predicate) composed upstream, which
+    * scales DD/DR/RR together and leaves ξ unbiased. */
+  def qTwoPointCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = points(s, dir)
+    val r = randPoints(s, dir)
+    val n = d.count() // = r count by construction
+    def binned(pairs: DataFrame, name: String): DataFrame =
+      pairs.select(floor($"dist_r6" * 4).cast("int").as("bin"))
+        .groupBy($"bin").agg(count(lit(1)).as(name))
+    val dd = binned(gridCandidates(d, d, TpcThetaMax).filter($"k1" < $"k2"), "dd")
+    val rr = binned(gridCandidates(r, r, TpcThetaMax).filter($"k1" < $"k2"), "rr")
+    val dr = binned(gridCandidates(d, r, TpcThetaMax), "dr")
+    val bins = s.range(0, TpcBins).select($"id".cast("int").as("bin"))
+    bins
+      .join(dd, Seq("bin"), "left").join(dr, Seq("bin"), "left")
+      .join(rr, Seq("bin"), "left")
+      .na.fill(0L, Seq("dd", "dr", "rr"))
+      // ξ = dd/rr − dr·(n−1)/(n·rr) + 1  (equal-size catalogs) —
+      // over the common denominator n·rr that is exactly
+      // (dd·n − dr·(n−1) + rr·n) / (rr·n): exact integer
+      // numerator/denominator, one division
+      .withColumn("xi_num",
+        $"dd" * n - $"dr" * (n - 1) + $"rr" * n)
+      .withColumn("xi_den", $"rr" * n)
+      .withColumn("xi", when($"xi_den" > 0, $"xi_num" / $"xi_den"))
+      .withColumn("theta_lo_pm", $"bin" * 250)
+      .select($"bin", $"theta_lo_pm", $"dd", $"dr", $"rr",
+        $"xi_num", $"xi_den", $"xi")
+      .orderBy($"bin")
+  }
+
+  val qTwoPointCorrSql: String = {
+    def pairsSql(a: String, b: String, half: Boolean) =
+      s"""SELECT CAST(FLOOR(ROUND(${distDegSql("a.ra", "a.decl", "b.ra", "b.decl")}, 6) * 4) AS INT) AS bin
+         |FROM ($a) a JOIN ($b) b
+         |  ON ${if (half) "a.k < b.k" else "TRUE"}
+         | AND ROUND(${distDegSql("a.ra", "a.decl", "b.ra", "b.decl")}, 6) < $TpcThetaMax"""
+        .stripMargin
+    s"""WITH n AS (SELECT COUNT(*) AS n FROM ($pointsSql)),
+       |ddb AS (SELECT bin, COUNT(*) AS dd FROM (${pairsSql(pointsSql, pointsSql, half = true)}) GROUP BY 1),
+       |rrb AS (SELECT bin, COUNT(*) AS rr FROM (${pairsSql(randPointsSql, randPointsSql, half = true)}) GROUP BY 1),
+       |drb AS (SELECT bin, COUNT(*) AS dr FROM (${pairsSql(pointsSql, randPointsSql, half = false)}) GROUP BY 1),
+       |bins AS (SELECT CAST(UNNEST(range($TpcBins)) AS INT) AS bin)
+       |SELECT bins.bin, bins.bin * 250 AS theta_lo_pm,
+       |  COALESCE(dd, 0) AS dd, COALESCE(dr, 0) AS dr, COALESCE(rr, 0) AS rr,
+       |  COALESCE(dd, 0)*n.n - COALESCE(dr, 0)*(n.n - 1) + COALESCE(rr, 0)*n.n AS xi_num,
+       |  COALESCE(rr, 0)*n.n AS xi_den,
+       |  CASE WHEN COALESCE(rr, 0) > 0 THEN
+       |    (COALESCE(dd, 0)*n.n - COALESCE(dr, 0)*(n.n - 1) + COALESCE(rr, 0)*n.n)
+       |      / CAST(COALESCE(rr, 0)*n.n AS DOUBLE)
+       |  END AS xi
+       |FROM bins CROSS JOIN n
+       |LEFT JOIN ddb ON ddb.bin = bins.bin
+       |LEFT JOIN drb ON drb.bin = bins.bin
+       |LEFT JOIN rrb ON rrb.bin = bins.bin
+       |ORDER BY bins.bin""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cone_search" -> (qConeSearch _),
     "q_box_search" -> (qBoxSearch _),
@@ -632,7 +732,8 @@ object Spatial {
     "q_knn3" -> (qKnn3 _),
     "q_poly_search" -> (qPolySearch _),
     "q_ellipse_search" -> (qEllipseSearch _),
-    "q_fof_groups" -> (qFofGroups _))
+    "q_fof_groups" -> (qFofGroups _),
+    "q_two_point_corr" -> (qTwoPointCorr _))
 
   val oracles: Map[String, String] = Map(
     "q_cone_search" -> qConeSearchSql,
@@ -645,5 +746,6 @@ object Spatial {
     "q_knn3" -> qKnn3Sql,
     "q_poly_search" -> qPolySearchSql,
     "q_ellipse_search" -> qEllipseSearchSql,
-    "q_fof_groups" -> qFofGroupsSql)
+    "q_fof_groups" -> qFofGroupsSql,
+    "q_two_point_corr" -> qTwoPointCorrSql)
 }

@@ -255,4 +255,41 @@ class SpatialSpec extends AnyFunSuite {
       .groupBy(find).map { case (root, ms) => (root, ms.length.toLong) }
     assert(got == exp, s"FoF groups mismatch: got $got expected $exp")
   }
+
+  test("q_two_point_corr: bin counts match brute force; estimator is the exact LS ratio") {
+    import org.apache.spark.sql.functions._
+    val out = queries.Spatial.qTwoPointCorr(spark, sf).collect()
+    assert(out.length == queries.Spatial.TpcBins)
+    // brute-force both catalogs at sf0.001 (150 points): every pair
+    // binned the same way the query bins them
+    def pts(m1: Int, m2: Int) = Tables.customer(spark, sf).selectExpr("c_custkey AS k",
+      s"(c_custkey*$m1 % 36000)/100.0 AS ra", s"(c_custkey*$m2 % 17000)/100.0 - 85.0 AS decl")
+    val rad = "0.017453292519943295"; val deg = "57.29577951308232"
+    def dist(a: String, b: String) =
+      s"""ROUND(2*ASIN(SQRT(SIN((decl$a - decl$b)*$rad/2)*SIN((decl$a - decl$b)*$rad/2)
+         | + COS(decl$a*$rad)*COS(decl$b*$rad)*SIN((ra$a - ra$b)*$rad/2)*SIN((ra$a - ra$b)*$rad/2)))*$deg, 6)""".stripMargin
+    def brute(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame, half: Boolean) = {
+      val xx = x.selectExpr("k AS k1", "ra AS ra1", "decl AS decl1")
+      val yy = y.selectExpr("k AS k2", "ra AS ra2", "decl AS decl2")
+      xx.crossJoin(yy).selectExpr("k1", "k2", s"${dist("1", "2")} AS d")
+        .filter(s"d < ${queries.Spatial.TpcThetaMax}" + (if (half) " AND k1 < k2" else ""))
+        .selectExpr("CAST(FLOOR(d*4) AS INT) AS bin").groupBy("bin").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    }
+    val d = pts(137, 97); val r = pts(149, 103)
+    val (ddB, drB, rrB) = (brute(d, d, half = true), brute(d, r, half = false), brute(r, r, half = true))
+    val n = d.count()
+    for (row <- out) {
+      val b = row.getInt(0)
+      assert(row.getLong(2) == ddB.getOrElse(b, 0L), s"dd bin $b")
+      assert(row.getLong(3) == drB.getOrElse(b, 0L), s"dr bin $b")
+      assert(row.getLong(4) == rrB.getOrElse(b, 0L), s"rr bin $b")
+      // the estimator columns are exactly the integer LS reduction
+      assert(row.getLong(5) == row.getLong(2)*n - row.getLong(3)*(n-1) + row.getLong(4)*n)
+      assert(row.getLong(6) == row.getLong(4)*n)
+      if (row.getLong(6) > 0)
+        assert(row.getDouble(7) == row.getLong(5).toDouble / row.getLong(6))
+    }
+    assert(out.map(_.getLong(2)).sum > 0, "no DD pairs at all — theta bins vacuous")
+  }
 }
