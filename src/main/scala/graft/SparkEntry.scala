@@ -50,12 +50,15 @@ object SparkEntry {
       .selectExpr("k AS objectId", "ra", "decl")
       .createOrReplaceTempView("object")
     // Pserv's ForcedSource table: per-object photometry series —
-    // queries.TimeSeries.series (integer micros + centi-flux), with
-    // the hour-bucket visit id joining it to ccdvisit below
-    graft.queries.TimeSeries.series(spark, dir)
+    // queries.TimeSeries.bandedSeries (integer micros + centi-flux +
+    // the deterministic ugriz band), with the hour-bucket visit id
+    // joining it to ccdvisit below. `filterName` makes the
+    // reference's per-filter idiom (`GROUP BY objectId, filterName`)
+    // answerable directly in SQL.
+    graft.queries.TimeSeries.bandedSeries(spark, dir)
       .selectExpr("user_id AS objectId", "event_id AS srcId",
         "tus AS tmid_us", "tus DIV 3600000000 AS visitId",
-        "xc AS flux_c100")
+        "xc AS flux_c100", "band AS filterName")
       .createOrReplaceTempView("forcedsource")
     // Pserv's CcdVisit table: one row per (hour-bucket) visit with
     // its observation window and source count — an aggregate view, so

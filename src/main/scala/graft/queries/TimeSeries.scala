@@ -1038,6 +1038,111 @@ object TimeSeries {
        |ORDER BY tus, event_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Deterministic filter-band assignment — the ugriz analog of the
+    * reference's per-filter photometry (Pserv's ForcedSource rows
+    * carry a filter band and its light-curve SQL groups by it). The
+    * five synthetic event types map to the five bands in wavelength
+    * order via one fixed CASE, mirrored verbatim in the DuckDB
+    * oracles, so the banding is bit-exact on both engines and adds
+    * zero shuffles (a per-row projection). */
+  private[graft] val BandCaseSql: String =
+    "CASE event_type WHEN 'click' THEN 'u' WHEN 'error' THEN 'g' " +
+      "WHEN 'purchase' THEN 'r' WHEN 'signup' THEN 'i' ELSE 'z' END"
+
+  /** [[series]] plus the derived band — the multi-band light-curve
+    * projection behind the `forcedsource.filterName` SQL view. */
+  private[graft] def bandedSeries(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir).select(
+      $"user_id", $"event_id",
+      expr("ts DIV 1000").as("tus"),
+      round($"value" * 100).cast("long").as("xc"),
+      expr(BandCaseSql).as("band"))
+  }
+
+  /** Per-object PER-BAND light-curve statistics — the reference's
+    * per-filter idiom (`SELECT objectId, filterName, agg...
+    * GROUP BY objectId, filterName`). Same exact-integer summary
+    * shape as [[qLightcurveStats]], one combinable shuffle on the
+    * (object, band) composite key; key cardinality is 5× the object
+    * count, so parallelism still scales with the catalog. */
+  def qLightcurveBand(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bandedSeries(s, dir)
+      .groupBy($"user_id", $"band")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"xc").as("sum_c100"),
+        min($"xc").as("min_c100"),
+        max($"xc").as("max_c100"),
+        (max($"xc") - min($"xc")).as("amp_c100"),
+        (count(lit(1)) * sum($"xc" * $"xc") - sum($"xc") * sum($"xc"))
+          .as("var_num"))
+      .withColumn("mean_val", $"sum_c100" / ($"n" * lit(100.0)))
+      .orderBy($"user_id", $"band")
+  }
+
+  val qLightcurveBandSql: String =
+    s"""SELECT user_id, band, COUNT(*) AS n,
+       |  CAST(SUM(xc) AS BIGINT) AS sum_c100,
+       |  MIN(xc) AS min_c100, MAX(xc) AS max_c100,
+       |  CAST(MAX(xc) - MIN(xc) AS BIGINT) AS amp_c100,
+       |  CAST(COUNT(*)*SUM(xc*xc) - SUM(xc)*SUM(xc) AS BIGINT) AS var_num,
+       |  CAST(SUM(xc) AS DOUBLE) / (COUNT(*) * 100.0) AS mean_val
+       |FROM (SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS xc,
+       |        $BandCaseSql AS band FROM events)
+       |GROUP BY user_id, band ORDER BY user_id, band""".stripMargin
+
+  /** g−r color index per object: the difference of per-band mean
+    * fluxes held in EXACT rational form (num = Σg·n_r − Σr·n_g,
+    * den = n_g·n_r — both bigint, hash-stable) plus one IEEE
+    * division for the readable value, and the variability color
+    * term amp_g − amp_r (exact integer). Conditional aggregation —
+    * NOT a pivot — so both bands reduce in the same single
+    * combinable shuffle on the object key; objects missing either
+    * band are excluded (no defined color). */
+  def qColorIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = when($"band" === "g", $"xc")
+    val r = when($"band" === "r", $"xc")
+    bandedSeries(s, dir)
+      .groupBy($"user_id")
+      .agg(
+        count(g).as("n_g"), sum(g).as("sum_g_c100"),
+        (max(g) - min(g)).as("amp_g_c100"),
+        count(r).as("n_r"), sum(r).as("sum_r_c100"),
+        (max(r) - min(r)).as("amp_r_c100"))
+      .filter($"n_g" > 0 && $"n_r" > 0)
+      .withColumn("color_num",
+        $"sum_g_c100" * $"n_r" - $"sum_r_c100" * $"n_g")
+      .withColumn("color_den", $"n_g" * $"n_r")
+      .withColumn("color_gr", $"color_num" / ($"color_den" * lit(100.0)))
+      .withColumn("var_color_c100", $"amp_g_c100" - $"amp_r_c100")
+      .orderBy($"user_id")
+  }
+
+  val qColorIndexSql: String =
+    s"""WITH b AS (SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS xc,
+       |        $BandCaseSql AS band FROM events),
+       |agg AS (SELECT user_id,
+       |  COUNT(CASE WHEN band = 'g' THEN 1 END) AS n_g,
+       |  CAST(SUM(CASE WHEN band = 'g' THEN xc END) AS BIGINT) AS sum_g_c100,
+       |  CAST(MAX(CASE WHEN band = 'g' THEN xc END)
+       |     - MIN(CASE WHEN band = 'g' THEN xc END) AS BIGINT) AS amp_g_c100,
+       |  COUNT(CASE WHEN band = 'r' THEN 1 END) AS n_r,
+       |  CAST(SUM(CASE WHEN band = 'r' THEN xc END) AS BIGINT) AS sum_r_c100,
+       |  CAST(MAX(CASE WHEN band = 'r' THEN xc END)
+       |     - MIN(CASE WHEN band = 'r' THEN xc END) AS BIGINT) AS amp_r_c100
+       |FROM b GROUP BY user_id)
+       |SELECT *,
+       |  CAST(color_num AS DOUBLE) / (color_den * 100.0) AS color_gr,
+       |  amp_g_c100 - amp_r_c100 AS var_color_c100
+       |FROM (SELECT *, sum_g_c100 * n_r - sum_r_c100 * n_g AS color_num,
+       |        n_g * n_r AS color_den
+       |      FROM agg WHERE n_g > 0 AND n_r > 0)
+       |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lightcurve_stats" -> (qLightcurveStats _),
     "q_variability_class" -> (qVariabilityClass _),
@@ -1061,7 +1166,9 @@ object TimeSeries {
     "q_hopping" -> (qHopping _),
     "q_lightcurve_trend" -> (qLightcurveTrend _),
     "q_periodogram" -> (qPeriodogram _),
-    "q_period_fold" -> (qPeriodFold _))
+    "q_period_fold" -> (qPeriodFold _),
+    "q_lightcurve_band" -> (qLightcurveBand _),
+    "q_color_index" -> (qColorIndex _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -1086,5 +1193,7 @@ object TimeSeries {
     "q_hopping" -> qHoppingSql,
     "q_lightcurve_trend" -> qLightcurveTrendSql,
     "q_periodogram" -> qPeriodogramSql,
-    "q_period_fold" -> qPeriodFoldSql)
+    "q_period_fold" -> qPeriodFoldSql,
+    "q_lightcurve_band" -> qLightcurveBandSql,
+    "q_color_index" -> qColorIndexSql)
 }

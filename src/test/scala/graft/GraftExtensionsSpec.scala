@@ -227,5 +227,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(bad == 0)
     val total = s.sql("SELECT SUM(n_src) FROM ccdvisit").head.getLong(0)
     assert(total == s.table("forcedsource").count())
+    // the reference's PER-FILTER idiom: GROUP BY objectId, filterName
+    // over the view matches the q_lightcurve_band engine query
+    val perFilter = s.sql(
+      """SELECT objectId, filterName, COUNT(*) AS n, SUM(flux_c100) AS s
+        |FROM forcedsource GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bandDf = queries.TimeSeries.qLightcurveBand(SparkTestSession.spark, SparkTestSession.sf)
+      .selectExpr("user_id", "band", "n", "sum_c100").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(perFilter.toSeq == bandDf.toSeq && perFilter.nonEmpty)
   }
 }

@@ -14,6 +14,41 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_lightcurve_band partitions q_lightcurve_stats exactly (per-band n/sum reconcile)") {
+    val band = queries.TimeSeries.qLightcurveBand(spark, sf)
+      .groupBy("user_id")
+      .agg(sum("n").as("n"), sum("sum_c100").as("sum_c100"))
+    val flat = queries.TimeSeries.qLightcurveStats(spark, sf)
+      .select(col("user_id"), col("n"), col("sum_c100"))
+    // banding is a partition of each object's series: summing the
+    // per-band rows back must reproduce the unbanded totals
+    assert(band.except(flat).isEmpty && flat.except(band).isEmpty)
+    // the CASE maps onto exactly the five ugriz bands
+    val bands = queries.TimeSeries.qLightcurveBand(spark, sf)
+      .select("band").distinct().collect().map(_.getString(0)).sorted
+    assert(bands.sameElements(Array("g", "i", "r", "u", "z")), bands.mkString(","))
+  }
+
+  test("q_color_index is the exact g−r mean difference off the banded stats") {
+    val ci = queries.TimeSeries.qColorIndex(spark, sf).collect()
+    assert(ci.nonEmpty)
+    val byBand = queries.TimeSeries.qLightcurveBand(spark, sf)
+      .select("user_id", "band", "n", "sum_c100").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    for (r <- ci) {
+      val uid = r.getLong(0)
+      val (ng, sg) = byBand(uid -> "g")
+      val (nr, sr) = byBand(uid -> "r")
+      assert(r.getAs[Long]("n_g") == ng && r.getAs[Long]("n_r") == nr)
+      // exact rational color: num/den match the independent per-band frame
+      assert(r.getAs[Long]("color_num") == sg * nr - sr * ng, s"object $uid")
+      assert(r.getAs[Long]("color_den") == ng * nr)
+      assert(r.getAs[Double]("color_gr") ==
+        (sg * nr - sr * ng).toDouble / (ng * nr * 100.0))
+    }
+  }
+
   test("q_range_nbr neighbor counts are symmetric and within the window") {
     val df = queries.TimeSeries.qRangeNbr(spark, sf).cache()
     // every (a,b) neighbor pair contributes to both a's and b's count,
