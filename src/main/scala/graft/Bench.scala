@@ -83,7 +83,14 @@ object Bench {
     "q_fof_groups", "q_lm_score", "q_pii_scrub", "q_sketch_cms",
     // round-10 wave-6: the Landy–Szalay correlation function — three
     // zone-grid pair streams into combinable bin counts
-    "q_two_point_corr")
+    "q_two_point_corr",
+    // round-11: multi-band photometry — per-(object, band) stats and
+    // the conditional-aggregation color index
+    "q_lightcurve_band", "q_color_index")
+
+  /** The rounds-1/2 cross-round set — the only totals comparable
+    * across every round; reported as its own `headline10` object. */
+  val headline10: Seq[String] = headline.take(10)
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -158,11 +165,23 @@ object Bench {
       quiesce()
       name -> median(samples)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // COMPACT artifact: the driver retains only a bounded tail of
+    // stdout, and round 10's full-precision 69-query line outgrew it
+    // (BENCH_r10.json parsed: null). Millisecond precision (3 dp,
+    // Locale.ROOT so no comma decimal separators) keeps the whole
+    // line — full per-query map PLUS the cross-round `headline10`
+    // object — comfortably inside the capture window, and it is the
+    // ONLY stdout line so the tail always starts at a parseable
+    // boundary.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def qjson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val h10 = results.filter(r => headline10.contains(r._1))
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iters":$iters}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":${qjson(results)},"headline10":${qjson(h10)},""" +
+        s""""headline10_total":${fmt(h10.map(_._2).sum)},"sf":"$sfDir","iters":$iters}"""
     println(line)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
