@@ -1,5 +1,7 @@
 package graft.queries
 
+import java.util.concurrent.atomic.AtomicInteger
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -726,7 +728,7 @@ object Dedup {
     * `maxIters` is a loud safety bound, not a truncation —
     * non-convergence throws rather than returning wrong labels. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-    maxIters: Int = 50): DataFrame = {
+    maxIters: Int = 50, itersOut: AtomicInteger = null): DataFrame = {
     import nodes.sparkSession.implicits._
     val edges = pairs.select($"d1".as("src"), $"d2".as("dst"))
       .union(pairs.select($"d2".as("src"), $"d1".as("dst")))
@@ -750,24 +752,45 @@ object Dedup {
     // shuffle of a KB-sized frame is pure task-launch overhead. Run
     // the LOOP with AQE off and the shuffle width sized to the
     // active sliver (≥4, one partition per ~1M active nodes, never
-    // wider than the session default); both settings restore before
-    // the data-scale singleton join below, which wants AQE back.
-    // Skew inside the loop is safe without AQE: the only wide key is
-    // cluster_id in a min-aggregate, which combines map-side.
+    // wider than the session default). Skew inside the loop is safe
+    // without AQE: the only wide key is cluster_id in a
+    // min-aggregate, which combines map-side.
+    //
+    // The overrides live on a CHILD session (`newSession()` — same
+    // SparkContext and shared cache manager, ISOLATED SQL conf), so
+    // a concurrent query on the caller's session never observes AQE
+    // off or a shrunken shuffle width; the loop frames are re-rooted
+    // onto it via the resolved logical plan (they read the same
+    // persisted blocks through the shared cache). The caller's
+    // conf value parses defensively — a non-numeric width (e.g. a
+    // runtime that sets 'auto') falls back to the 200 default.
     val sess = nodes.sparkSession
     val activeN = active.count()
-    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled")
-    val prevShuf = sess.conf.get("spark.sql.shuffle.partitions")
-    var labels = active.select($"doc_id", $"doc_id".as("cluster_id"))
+    val loopSess = sess.newSession()
+    val baseShuf = scala.util.Try(sess.conf.get("spark.sql.shuffle.partitions"))
+      .toOption.flatMap(_.toLongOption).getOrElse(200L)
+    loopSess.conf.set("spark.sql.adaptive.enabled", "false")
+    loopSess.conf.set("spark.sql.shuffle.partitions",
+      math.max(4L, math.min(baseShuf, activeN / 1000000L + 4L)).toString)
+    def reRoot(df: DataFrame, to: SparkSession): DataFrame =
+      org.apache.spark.sql.graftx.ColumnBridge
+        .ofRows(to, df.queryExecution.logical)
+    val edgesL = reRoot(edges, loopSess)
+    // Seed each label with min(self, min neighbor) off the already-
+    // shuffled edge frame — exactly the assignment round 1 would
+    // compute, for the price of one sliver aggregate folded into the
+    // first job, so propagation starts one hop ahead (saves a round
+    // on every graph shape).
+    val seed = edgesL.groupBy($"dst".as("doc_id"))
+      .agg(min($"src").as("nbr_min"))
+    var labels = reRoot(active, loopSess).join(seed, Seq("doc_id"), "left")
+      .select($"doc_id",
+        least($"doc_id", coalesce($"nbr_min", $"doc_id")).as("cluster_id"))
     var prev: Option[org.apache.spark.sql.DataFrame] = None
     var converged = false
     var it = 0
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    sess.conf.set("spark.sql.shuffle.partitions",
-      math.max(4L, math.min(prevShuf.toLong, activeN / 1000000L + 4L)).toString)
-    try {
     while (!converged && it < maxIters) {
-      val nbrMin = edges
+      val nbrMin = edgesL
         .join(labels.select($"doc_id".as("src"), $"cluster_id"), "src")
         .groupBy($"dst".as("doc_id"))
         .agg(min($"cluster_id").as("nbr_min"))
@@ -822,15 +845,20 @@ object Dedup {
         .select($"doc_id", coalesce($"__ql", $"__mid").as("cluster_id"))
       it += 1
     }
-    } finally {
-      sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      sess.conf.set("spark.sql.shuffle.partitions", prevShuf)
-    }
     edges.unpersist()
+    // convergence-round telemetry for the caller (specs pin round
+    // counts on fixture graphs through this — race-free, unlike a
+    // shared field, under sbt's concurrent suites)
+    if (itersOut != null) itersOut.set(it)
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[cc] converged after $it iterations")
     require(converged,
       s"connected components did not converge in $maxIters iterations")
+    // hand the (checkpointed — physically materialized, so re-rooting
+    // is free) label frame back to the CALLER's session: the
+    // data-scale window + singleton join below want its conf (AQE on,
+    // full shuffle width), and the loop session is discarded here
+    labels = reRoot(labels, sess)
     // component sizes over the (tiny) edge-touching set only; the
     // singleton majority joins back as size-1 clusters with no window
     val w = Window.partitionBy($"cluster_id")
@@ -839,6 +867,101 @@ object Dedup {
       .join(active, Seq("doc_id"), "left_anti")
       .select($"doc_id", $"doc_id".as("cluster_id"), lit(1L).as("cluster_size"))
     clustered.unionByName(singletons).orderBy($"doc_id")
+  }
+
+  /** Partition-local union-find: collapses every edge in one
+    * partition into (node → min id of its local set) without a
+    * single shuffle round. Union-by-min + path compression — the
+    * root of a set is always its smallest member id, so the emitted
+    * local root is exactly the label min-propagation would converge
+    * to on this edge subset. Memory is one Long→Long entry per
+    * DISTINCT node in the partition — the caller bounds that by
+    * choosing the contraction key (a band of adjacent zones), not
+    * the planner. */
+  private def unionFindPartition(
+    it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    it.foreach { case (a, b) =>
+      if (!parent.contains(a)) parent(a) = a
+      if (!parent.contains(b)) parent(b) = b
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent.keysIterator.toArray.iterator.map(k => (k, find(k)))
+  }
+
+  /** Connected components with single-pass LOCALITY CONTRACTION —
+    * the scale path for long-diameter (filament-shaped) graphs where
+    * plain label propagation pays O(diameter) shuffle rounds.
+    *
+    * Input: the pair graph with a caller-chosen contraction key per
+    * endpoint (`d1, d2, band1, band2`) such that most edges are
+    * intra-band (FoF uses bands of adjacent declination zones: a
+    * link never spans more than one zone, so only the 1-in-B
+    * boundary stripes emit cross edges). Three stages:
+    *
+    *  1. intra-band edges hash-partition by band and collapse with a
+    *     partition-local union-find (ONE shuffle, zero rounds) —
+    *     safe because no intra-stream edge joins two bands, so a
+    *     partition holding several bands never merges across them;
+    *  2. cross-band edges translate endpoints to their local roots,
+    *     yielding a contracted super-node graph that is both far
+    *     smaller AND far shallower (diameter ÷ nodes-per-band along
+    *     any path) — [[connectedComponents]] iterates on THAT;
+    *  3. every node's final label = its local root's contracted
+    *     label (min id composes through contraction: each root is
+    *     the min of its local set, so the component min survives).
+    *
+    * Returns (doc_id, cluster_id) for edge-touching nodes only —
+    * every one of them is in a ≥2 component by construction; the
+    * caller owns singleton semantics. */
+  def contractedComponents(pairs: DataFrame,
+    itersOut: AtomicInteger = null): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    val p = pairs.persist()
+    val local = p.filter($"band1" === $"band2")
+      .repartition(col("band1"))
+      .select($"d1", $"d2").as[(Long, Long)]
+      .mapPartitions(unionFindPartition)
+      .toDF("doc_id", "local_root")
+      .localCheckpoint(true)
+    val cross = p.filter($"band1" =!= $"band2").select($"d1", $"d2")
+    val cpairs = cross
+      .join(local.select($"doc_id".as("d1"), $"local_root".as("r1")),
+        Seq("d1"), "left")
+      .join(local.select($"doc_id".as("d2"), $"local_root".as("r2")),
+        Seq("d2"), "left")
+      .select(coalesce($"r1", $"d1").as("a"), coalesce($"r2", $"d2").as("b"))
+      .filter($"a" =!= $"b")
+      .select(least($"a", $"b").as("d1"), greatest($"a", $"b").as("d2"))
+      .distinct()
+      .localCheckpoint(true)
+    p.unpersist()
+    val cnodes = cpairs.select($"d1".as("doc_id"))
+      .union(cpairs.select($"d2".as("doc_id"))).distinct()
+    val cc = connectedComponents(cnodes, cpairs, itersOut = itersOut)
+      .select($"doc_id".as("local_root"), $"cluster_id")
+    // members of locally-collapsed sets: contracted label if the
+    // root entered the cross graph, else the root already IS the
+    // component min
+    val viaLocal = local.join(cc, Seq("local_root"), "left")
+      .select($"doc_id",
+        coalesce($"cluster_id", $"local_root").as("cluster_id"))
+    // nodes touching ONLY cross edges act as their own root and are
+    // labeled directly by the contracted pass
+    val crossOnly = cnodes
+      .join(local.select($"doc_id"), Seq("doc_id"), "left_anti")
+      .join(cc.select($"local_root".as("doc_id"), $"cluster_id"),
+        Seq("doc_id"))
+    viaLocal.unionByName(crossOnly)
   }
 
   /** Near-dup cluster assignment: connected components of the n-gram
