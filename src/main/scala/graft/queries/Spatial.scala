@@ -111,21 +111,33 @@ object Spatial {
     * i.e. the join parallelism — is floor(360/Δra_bound) per zone:
     * ~360 cells/zone at the equator instead of a fixed 30, shrinking
     * toward the poles exactly as fast as geometry requires. */
+  /** Worst-case Δra (deg) between two points ≤ `radius` apart when one
+    * of them lies in declination zone `z` — the inverse-haversine
+    * bound at the zone's radius-expanded |dec| maximum. A zone whose
+    * expanded range touches a pole can pair points at ANY ra
+    * separation (all meridians meet there), so the only safe bound is
+    * the whole ring — no clamp trickery. Shared by the candidate-grid
+    * sizing ([[zoneRaBuckets]]) and the at-rest ra-cell pruning
+    * ([[coneZoneRaPartitioned]]), so writer and reader derive the
+    * identical geometry by construction. */
+  private[graft] def raBoundDeg(z: Int, radius: Double,
+    zoneHeight: Double): Double = {
+    val lo = z * zoneHeight - 90.0
+    val hi = (z + 1) * zoneHeight - 90.0
+    val touchesPole = lo - radius <= -90.0 || hi + radius >= 90.0
+    if (touchesPole) 360.0
+    else {
+      val maxAbs = math.max(math.abs(lo - radius), math.abs(hi + radius))
+      val sinHalf = math.sin(math.toRadians(radius) / 2) /
+        math.cos(math.toRadians(maxAbs))
+      if (sinHalf >= 1) 360.0 else math.toDegrees(2 * math.asin(sinHalf))
+    }
+  }
+
   private[graft] def zoneRaBuckets(radius: Double, zoneHeight: Double): Seq[(Int, Int)] = {
     val nZones = math.ceil(180.0 / zoneHeight).toInt
     (-1 to nZones).map { z =>
-      val lo = z * zoneHeight - 90.0
-      val hi = (z + 1) * zoneHeight - 90.0
-      // a zone whose radius-expanded dec range touches a pole can pair
-      // points at ANY ra separation (all meridians meet there), so the
-      // only safe bound is the whole ring — no clamp trickery
-      val touchesPole = lo - radius <= -90.0 || hi + radius >= 90.0
-      val boundDeg = if (touchesPole) 360.0 else {
-        val maxAbs = math.max(math.abs(lo - radius), math.abs(hi + radius))
-        val sinHalf = math.sin(math.toRadians(radius) / 2) /
-          math.cos(math.toRadians(maxAbs))
-        if (sinHalf >= 1) 360.0 else math.toDegrees(2 * math.asin(sinHalf))
-      }
+      val boundDeg = raBoundDeg(z, radius, zoneHeight)
       (z, math.max(1, math.floor(360.0 / math.max(boundDeg, 1e-9)).toInt))
     }
   }
@@ -357,12 +369,75 @@ object Spatial {
     * scans prune at the source — the SURVEY §5 claim that the zone key
     * doubles as the shard key, made concrete. */
   def writeZonePartitioned(s: SparkSession, dir: String, outPath: String,
-    zoneHeight: Double = 5.0): Unit = {
+    zoneHeight: Double = 5.0, ingestTasks: Int = 0): Unit = {
     import s.implicits._
+    val pts = points(s, dir)
+      .withColumn("zone", floor(($"decl" + 90.0) / zoneHeight).cast("int"))
     graft.sources.Catalog.writePartitioned(
-      points(s, dir)
-        .withColumn("zone", floor(($"decl" + 90.0) / zoneHeight).cast("int")),
+      if (ingestTasks > 0) pts.repartition(ingestTasks) else pts,
       outPath, Seq("zone"))
+  }
+
+  /** Materialize the catalog TWO-LEVEL partitioned — (zone, rb): the
+    * dec stripe AND an ra cell within it, cells sized by the same
+    * [[zoneRaBuckets]] geometry as the candidate grid (bucket width ≥
+    * the worst-case Δra of a zoneHeight-separation at that dec, so
+    * cells stay near-square and their count per zone grows toward the
+    * equator exactly as the ring widens). A cone scan then prunes BOTH
+    * keys at planning time — dec stripes via the zone range, ra cells
+    * via [[raBoundDeg]] — reading Θ(cone area / cell area) files
+    * instead of Θ(cone height / stripe height) full rings: on a wide
+    * survey the dec-only layout still scans the whole 360° of every
+    * overlapping stripe, which at 100 TB is ~all of the data for an
+    * equatorial query. */
+  def writeZoneRaPartitioned(s: SparkSession, dir: String, outPath: String,
+    zoneHeight: Double = 5.0, ingestTasks: Int = 0): Unit = {
+    import s.implicits._
+    val zm = s.createDataFrame(zoneRaBuckets(zoneHeight, zoneHeight))
+      .toDF("zm_zone", "nrb")
+    val pts = points(s, dir)
+      .withColumn("zone", floor(($"decl" + 90.0) / zoneHeight).cast("int"))
+      .join(broadcast(zm), $"zone" === $"zm_zone")
+      .withColumn("rb", floor($"ra" * $"nrb" / 360.0).cast("int"))
+      .select($"k", $"ra", $"decl", $"zone", $"rb")
+    graft.sources.Catalog.writePartitioned(
+      if (ingestTasks > 0) pts.repartition(ingestTasks) else pts,
+      outPath, Seq("zone", "rb"))
+  }
+
+  /** Cone search against the [[writeZoneRaPartitioned]] layout: per
+    * overlapping zone, the reader re-derives the zone's bucket count
+    * and the cone's exact Δra bound ([[raBoundDeg]] with the CONE's
+    * radius — tighter than the layout's cell width when the cone is
+    * small) and emits `zone = z AND rb IN (…)` with ra-wraparound via
+    * floorMod. The whole predicate is a literal disjunction over the
+    * two partition columns, so Catalyst folds it into
+    * PartitionFilters and the scan opens only the touched cells. */
+  def coneZoneRaPartitioned(s: SparkSession, path: String, raC: Double,
+    decC: Double, radius: Double, zoneHeight: Double = 5.0): DataFrame = {
+    import s.implicits._
+    val zLo = math.floor((decC - radius + 90.0) / zoneHeight).toInt
+    val zHi = math.floor((decC + radius + 90.0) / zoneHeight).toInt
+    val nrbByZone = zoneRaBuckets(zoneHeight, zoneHeight).toMap
+    val pred = (zLo to zHi).map { z =>
+      val nrb = nrbByZone(z)
+      val dRa = raBoundDeg(z, radius, zoneHeight)
+      val rbs: Seq[Int] =
+        if (dRa >= 180.0) 0 until nrb
+        else {
+          val bLo = math.floor((raC - dRa) * nrb / 360.0).toInt
+          val bHi = math.floor((raC + dRa) * nrb / 360.0).toInt
+          (bLo to bHi).map(b => math.floorMod(b, nrb)).distinct
+        }
+      $"zone" === z && $"rb".isin(rbs: _*)
+    }.reduce(_ || _)
+    s.read.parquet(path)
+      .filter(pred)
+      .withColumn("dist_r6",
+        round(distDeg($"ra", $"decl", lit(raC), lit(decC)), 6))
+      .filter($"dist_r6" < radius)
+      .select($"k", $"ra", $"decl", $"dist_r6")
+      .orderBy($"k")
   }
 
   /** Cone search against a zone-partitioned layout: the zone-range

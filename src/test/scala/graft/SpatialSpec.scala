@@ -132,6 +132,49 @@ class SpatialSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("two-level (zone, rb) layout prunes BOTH keys and reads fewer files than dec-only") {
+    // denser catalog (1500 points) + a multi-task ingest (8 writer
+    // tasks, same for both layouts): production tables always have
+    // many files per partition dir — every ingest task writes one per
+    // dir it touches — and the file-count win of ra-cell pruning only
+    // becomes visible when dirs hold >1 file.
+    val sfd = "/root/testdata/sf0.01"
+    val outZ = java.nio.file.Files.createTempDirectory("graft_zonly").toString
+    val outZR = java.nio.file.Files.createTempDirectory("graft_zra").toString
+    queries.Spatial.writeZonePartitioned(spark, sfd, outZ, ingestTasks = 8)
+    queries.Spatial.writeZoneRaPartitioned(spark, sfd, outZR, ingestTasks = 8)
+    val (raC, decC, r) = (137.0, 14.0, 2.0) // k=100's locus position: non-empty cone
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val flat = queries.Spatial.points(spark, sfd)
+        .withColumn("dist_r6", round(
+          queries.Spatial.distDeg(col("ra"), col("decl"), lit(raC), lit(decC)), 6))
+        .filter(s"dist_r6 < $r").select("k").collect().map(_.getLong(0)).toSet
+      assert(flat.nonEmpty, "degenerate fixture: empty cone")
+      def scanOf(df: org.apache.spark.sql.DataFrame) = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.head
+      }
+      val cone2 = queries.Spatial.coneZoneRaPartitioned(spark, outZR, raC, decC, r)
+      assert(cone2.select("k").collect().map(_.getLong(0)).toSet == flat,
+        "two-level cone differs from the flat scan")
+      val s2 = scanOf(cone2)
+      // BOTH partition columns participate in the pruning predicate
+      val pf = s2.partitionFilters.map(_.toString).mkString(";")
+      assert(pf.contains("zone") && pf.contains("rb"),
+        s"expected zone AND rb in PartitionFilters, got: $pf")
+      val s1 = scanOf(queries.Spatial.conePartitioned(spark, outZ, raC, decC, r))
+      assert(s1.metrics("numOutputRows").value > s2.metrics("numOutputRows").value,
+        "ra-cell pruning did not reduce rows scanned")
+      val (f1, f2) = (s1.metrics("numFiles").value, s2.metrics("numFiles").value)
+      assert(f2 > 0 && f2 < f1,
+        s"two-level read $f2 files, dec-only read $f1 - expected strict reduction")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("polygon and ellipse searches prune zone partitions and match the flat scan; results lie inside the region") {
     // brute-force membership cross-check: every returned point passes
     // the same predicate re-derived driver-side, every omitted one fails
