@@ -85,8 +85,11 @@ object Bench {
     // zone-grid pair streams into combinable bin counts
     "q_two_point_corr",
     // round-11: multi-band photometry — per-(object, band) stats and
-    // the conditional-aggregation color index
-    "q_lightcurve_band", "q_color_index")
+    // the conditional-aggregation color index — and the subsampled
+    // correlation-function scale path (should bench WELL below the
+    // full statistic; regression here means the sample stopped
+    // composing upstream of the pair streams)
+    "q_lightcurve_band", "q_color_index", "q_two_point_sampled")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

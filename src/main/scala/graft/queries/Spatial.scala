@@ -758,10 +758,16 @@ object Spatial {
     * scale the standard move is the deterministic hash subsample
     * (q_sample_stratified's predicate) composed upstream, which
     * scales DD/DR/RR together and leaves ξ unbiased. */
-  def qTwoPointCorr(s: SparkSession, dir: String): DataFrame = {
+  def qTwoPointCorr(s: SparkSession, dir: String): DataFrame =
+    twoPointOver(points(s, dir), randPoints(s, dir))
+
+  /** Landy–Szalay over explicit data/random catalogs — shared by the
+    * full statistic and its subsampled scale path. Requires
+    * |d| = |r| (both callers construct the catalogs from the same key
+    * set, so equality holds by construction, sampled or not). */
+  private def twoPointOver(d: DataFrame, r: DataFrame): DataFrame = {
+    val s = d.sparkSession
     import s.implicits._
-    val d = points(s, dir)
-    val r = randPoints(s, dir)
     val n = d.count() // = r count by construction
     def binned(pairs: DataFrame, name: String): DataFrame =
       pairs.select(floor($"dist_r6" * 4).cast("int").as("bin"))
@@ -788,17 +794,38 @@ object Spatial {
       .orderBy($"bin")
   }
 
-  val qTwoPointCorrSql: String = {
+  /** Hex-digit threshold for the two-point hash subsample: keep a key
+    * when the first hex digit of md5(k) < '4' — a deterministic 25%
+    * sample, the same engine-exact idiom as q_sample_stratified. */
+  val TpcSampleHex = "4"
+
+  private def hashSample(df: DataFrame): DataFrame =
+    df.filter(substring(md5(col("k").cast("string")), 1, 1) < TpcSampleHex)
+
+  /** The 100-TB scale path for the correlation function, as an
+    * EXECUTABLE query (not a doc note): the deterministic md5
+    * hash-subsample composes UPSTREAM of all three pair streams, so
+    * DD, DR and RR shrink together by the sample fraction squared
+    * (~16× fewer pairs at 25%) and ξ stays unbiased — pair counts
+    * enter the Landy–Szalay estimator only through ratios, and
+    * sampling d and r by the SAME key predicate keeps |d| = |r|
+    * exactly. Survey-scale runs tune [[TpcSampleHex]]; correctness is
+    * scale-independent because both engines evaluate the identical
+    * md5 predicate. */
+  def qTwoPointSampled(s: SparkSession, dir: String): DataFrame =
+    twoPointOver(hashSample(points(s, dir)), hashSample(randPoints(s, dir)))
+
+  private def twoPointSqlOver(dSql: String, rSql: String): String = {
     def pairsSql(a: String, b: String, half: Boolean) =
       s"""SELECT CAST(FLOOR(ROUND(${distDegSql("a.ra", "a.decl", "b.ra", "b.decl")}, 6) * 4) AS INT) AS bin
          |FROM ($a) a JOIN ($b) b
          |  ON ${if (half) "a.k < b.k" else "TRUE"}
          | AND ROUND(${distDegSql("a.ra", "a.decl", "b.ra", "b.decl")}, 6) < $TpcThetaMax"""
         .stripMargin
-    s"""WITH n AS (SELECT COUNT(*) AS n FROM ($pointsSql)),
-       |ddb AS (SELECT bin, COUNT(*) AS dd FROM (${pairsSql(pointsSql, pointsSql, half = true)}) GROUP BY 1),
-       |rrb AS (SELECT bin, COUNT(*) AS rr FROM (${pairsSql(randPointsSql, randPointsSql, half = true)}) GROUP BY 1),
-       |drb AS (SELECT bin, COUNT(*) AS dr FROM (${pairsSql(pointsSql, randPointsSql, half = false)}) GROUP BY 1),
+    s"""WITH n AS (SELECT COUNT(*) AS n FROM ($dSql)),
+       |ddb AS (SELECT bin, COUNT(*) AS dd FROM (${pairsSql(dSql, dSql, half = true)}) GROUP BY 1),
+       |rrb AS (SELECT bin, COUNT(*) AS rr FROM (${pairsSql(rSql, rSql, half = true)}) GROUP BY 1),
+       |drb AS (SELECT bin, COUNT(*) AS dr FROM (${pairsSql(dSql, rSql, half = false)}) GROUP BY 1),
        |bins AS (SELECT CAST(UNNEST(range($TpcBins)) AS INT) AS bin)
        |SELECT bins.bin, bins.bin * 250 AS theta_lo_pm,
        |  COALESCE(dd, 0) AS dd, COALESCE(dr, 0) AS dr, COALESCE(rr, 0) AS rr,
@@ -815,6 +842,16 @@ object Spatial {
        |ORDER BY bins.bin""".stripMargin
   }
 
+  val qTwoPointCorrSql: String = twoPointSqlOver(pointsSql, randPointsSql)
+
+  private def sampleSql(src: String): String =
+    s"""SELECT * FROM ($src) t
+       |WHERE SUBSTRING(MD5(CAST(k AS VARCHAR)), 1, 1) < '$TpcSampleHex'"""
+      .stripMargin
+
+  val qTwoPointSampledSql: String =
+    twoPointSqlOver(sampleSql(pointsSql), sampleSql(randPointsSql))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cone_search" -> (qConeSearch _),
     "q_box_search" -> (qBoxSearch _),
@@ -827,7 +864,8 @@ object Spatial {
     "q_poly_search" -> (qPolySearch _),
     "q_ellipse_search" -> (qEllipseSearch _),
     "q_fof_groups" -> (qFofGroups _),
-    "q_two_point_corr" -> (qTwoPointCorr _))
+    "q_two_point_corr" -> (qTwoPointCorr _),
+    "q_two_point_sampled" -> (qTwoPointSampled _))
 
   val oracles: Map[String, String] = Map(
     "q_cone_search" -> qConeSearchSql,
@@ -841,5 +879,6 @@ object Spatial {
     "q_poly_search" -> qPolySearchSql,
     "q_ellipse_search" -> qEllipseSearchSql,
     "q_fof_groups" -> qFofGroupsSql,
-    "q_two_point_corr" -> qTwoPointCorrSql)
+    "q_two_point_corr" -> qTwoPointCorrSql,
+    "q_two_point_sampled" -> qTwoPointSampledSql)
 }

@@ -175,6 +175,44 @@ class SpatialSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("q_two_point_sampled: pair counts shrink together; bins match brute force over the md5-sampled catalogs") {
+    val out = queries.Spatial.qTwoPointSampled(spark, sf).collect()
+    assert(out.length == queries.Spatial.TpcBins)
+    val full = queries.Spatial.qTwoPointCorr(spark, sf).collect()
+    // sampling composes upstream: every bin's DD/DR/RR is a subset count
+    for ((sRow, fRow) <- out.zip(full); c <- Seq(2, 3, 4))
+      assert(sRow.getLong(c) <= fRow.getLong(c),
+        s"bin ${sRow.getInt(0)} col $c grew under sampling")
+    assert(out.map(_.getLong(2)).sum < full.map(_.getLong(2)).sum,
+      "sampling did not shrink DD")
+    // brute-force the sampled DD bins driver-side with the same predicate
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def keep(k: Long): Boolean = {
+      val h = md.digest(k.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      h.charAt(0) < queries.Spatial.TpcSampleHex.charAt(0)
+    }
+    val pts = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0)).filter(keep)
+      .map(k => (k, (k * 137 % 36000) / 100.0, (k * 97 % 17000) / 100.0 - 85.0))
+    def hav(a: (Long, Double, Double), b: (Long, Double, Double)): Double = {
+      val (r1, d1, r2, d2) = (math.toRadians(a._2), math.toRadians(a._3),
+        math.toRadians(b._2), math.toRadians(b._3))
+      val s1 = math.sin((d1 - d2) / 2); val s2 = math.sin((r1 - r2) / 2)
+      val x = s1 * s1 + math.cos(d1) * math.cos(d2) * s2 * s2
+      BigDecimal(math.toDegrees(2 * math.asin(math.sqrt(x))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val ddBrute = (for {
+      i <- pts.indices; j <- (i + 1) until pts.length
+      d = hav(pts(i), pts(j)) if d < queries.Spatial.TpcThetaMax
+    } yield math.floor(d * 4).toInt)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (row <- out)
+      assert(row.getLong(2) == ddBrute.getOrElse(row.getInt(0), 0L),
+        s"sampled DD mismatch in bin ${row.getInt(0)}")
+  }
+
   test("polygon and ellipse searches prune zone partitions and match the flat scan; results lie inside the region") {
     // brute-force membership cross-check: every returned point passes
     // the same predicate re-derived driver-side, every omitted one fails
