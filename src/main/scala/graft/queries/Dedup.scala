@@ -1546,28 +1546,98 @@ object Dedup {
     graft.sources.Catalog.createPartitionedIfAbsent(s, segCounts(docs),
       path, Seq("bk"))
 
+  /** Fold markers kept per index root — far beyond any replay
+    * horizon (a streaming checkpoint re-delivers at most the last
+    * uncommitted micro-batch; even a checkpoint reset re-plays a
+    * bounded recent window), so GC'ing past this count can never
+    * delete a marker a legitimate replay would consult. Without GC
+    * one marker per micro-batch accretes forever and, on object
+    * stores, degrades every directory listing the index performs. */
+  private val FoldMarkerKeep = 64
+
+  private def gcFoldMarkers(f: org.apache.hadoop.fs.FileSystem,
+    root: org.apache.hadoop.fs.Path): Unit = {
+    val ms = f.listStatus(root)
+      .filter(_.getPath.getName.startsWith("_linedf_fold_"))
+    if (ms.length > FoldMarkerKeep)
+      ms.sortBy(_.getModificationTime).dropRight(FoldMarkerKeep)
+        .foreach(st => f.delete(st.getPath, false))
+  }
+
+  /** Commutative content digest of a batch — the fold-marker key.
+    * Four independent O(1)-memory reductions over the full 64-bit
+    * text hashes: count, wrapping sum of 31-bit residues, wrapping
+    * sum of squared residues, and bitwise XOR of the FULL 64-bit
+    * values. Order-independent (every component is commutative), and
+    * a collision must align all four simultaneously — unlike the old
+    * (count, residue-sum) pair, whose 31-bit sum a same-size batch
+    * could match by chance, silently skipping a legitimate fold (the
+    * one UNDER-counting window this index had). Residues are reduced
+    * mod a 31-bit prime before summing so ANSI long arithmetic
+    * cannot overflow until ~4e9 docs in one batch; the XOR never
+    * overflows. None = empty batch (nothing to fold). */
+  private def foldDigest(batch: DataFrame): Option[String] = {
+    import batch.sparkSession.implicits._
+    val P = lit(2147483647L)
+    val r = pmod(xxhash64($"text"), P)
+    val row = batch.agg(
+      count(lit(1)).as("n"), sum(r).as("s1"),
+      sum(pmod(r * r, P)).as("s2"),
+      expr("bit_xor(xxhash64(text))").as("x")).head()
+    if (row.getLong(0) == 0L) None
+    else Some(java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${row.getLong(0)}|${row.getLong(1)}|${row.getLong(2)}|${row.getLong(3)}"
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)
+  }
+
   /** Fold one batch's document frequencies into the stored index:
     * batch counts join the stored rows of the touched buckets only
     * (partition-pruned read), summed dfs replace them via the
-    * partition-scoped merge. Each document must be fed to the index
-    * exactly once — the caller's batch discipline (DocStream's
-    * at-rest anti-join provides it when wired there); a replayed doc
-    * would double-count its segments. */
+    * partition-scoped merge.
+    *
+    * Each document's segments must enter the index exactly once;
+    * the guard lives HERE, not in the caller: the fold is keyed on a
+    * content digest ([[foldDigest]]) recorded as an underscore
+    * marker file in the index root (invisible to the parquet reader,
+    * like `_SUCCESS`), so a replay of the SAME batch content skips
+    * its fold — across stream restarts and checkpoint resets alike
+    * (a micro-batch id would restart at 0 and skip folds for
+    * genuinely new content). The marker lands AFTER the fold
+    * commits: a crash between the two re-folds on replay
+    * (over-count — benign for a ≥-threshold boilerplate gate; the
+    * segment scrubs earlier), never skip-without-fold (under-count).
+    * The residual window is that one crashed batch, and only when
+    * re-delivered with IDENTICAL surviving content. Callers that
+    * feed overlapping batches with differing composition still
+    * double-count — content identity across batches is the at-rest
+    * anti-join's job (DocStream wires it); this guard closes exact
+    * replays, which is what checkpointed streaming re-delivers. */
   def updateLineDfIndex(s: SparkSession, path: String,
     batch: DataFrame): Unit = {
     import s.implicits._
     require(graft.sources.Catalog.tableComplete(s, path),
       s"$path is not a complete segment-df index — build it first")
+    val keyOpt = foldDigest(batch)
+    if (keyOpt.isEmpty) return
+    val key = keyOpt.get
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, s"_linedf_fold_$key")
+    if (f.exists(marker)) return
     val bc = segCounts(batch)
     val bks = bc.select($"bk").distinct().collect().map(_.getLong(0))
-    if (bks.isEmpty) return
-    val stored = s.read.parquet(path).filter($"bk".isin(bks.toSeq: _*))
-      .select($"seg_fp", $"n_docs".as("n_stored"))
-    val summed = bc.join(stored, Seq("seg_fp"), "left")
-      .select($"seg_fp",
-        ($"n_docs" + coalesce($"n_stored", lit(0L))).as("n_docs"), $"bk")
-    graft.sources.Catalog.upsertPartitioned(s, summed, path,
-      "bk", Seq("seg_fp"))
+    if (bks.nonEmpty) {
+      val stored = s.read.parquet(path).filter($"bk".isin(bks.toSeq: _*))
+        .select($"seg_fp", $"n_docs".as("n_stored"))
+      val summed = bc.join(stored, Seq("seg_fp"), "left")
+        .select($"seg_fp",
+          ($"n_docs" + coalesce($"n_stored", lit(0L))).as("n_docs"), $"bk")
+      graft.sources.Catalog.upsertPartitioned(s, summed, path,
+        "bk", Seq("seg_fp"))
+    }
+    f.create(marker, true).close()
+    gcFoldMarkers(f, root)
   }
 
   /** Scrub a batch against the stored index: segments whose STORED

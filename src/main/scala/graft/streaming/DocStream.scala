@@ -76,52 +76,17 @@ object DocStream {
     Catalog.createPartitionedIfAbsent(s, dedupBatch(withFp(gate(docs))),
       path, Seq("bk"))
 
-  /** Marker-guarded segment-df fold over the batch's FRESH docs (the
-    * survivors of content dedup and the at-rest anti-join): because
-    * only content actually landing in the corpus is ever counted, the
-    * index is the corpus-at-rest document frequency, and a replayed
-    * batch whose content IS at rest anti-joins away before it gets
-    * here — the normal replay path folds nothing.
-    *
-    * The non-idempotent window is fold-succeeded / append-crashed:
-    * on replay that content is NOT at rest and arrives here again.
-    * The marker closes the common case — it is keyed on a
-    * commutative content digest (count + wrapping sum of fp hashes —
-    * O(1) memory at any batch size, order-independent), so a replay
-    * of the SAME surviving content skips, across stream restarts and
-    * checkpoint resets alike (a micro-batch id would restart at 0
-    * and silently skip folds for genuinely new content). Two
-    * residual windows survive by design, both bounded to that one
-    * crashed batch and both OVER-counting — benign-direction for a
-    * ≥-threshold gate (a boilerplate line scrubs earlier), unlike
-    * content identity, which stays exact via the anti-join:
-    * a replay re-delivered with different batch composition keys a
-    * different digest; and if the crashed batch's own fold pushed a
-    * segment over the threshold, the replay's scrub excises it,
-    * changing the fps and hence the digest. Underscore marker files
-    * are invisible to the parquet reader, like `_SUCCESS`. */
-  private def updateLineIndexOnce(s: SparkSession, indexPath: String,
-    fresh: DataFrame): Unit = {
-    import s.implicits._
-    // hashes reduced mod a 31-bit prime before the sum: the digest
-    // stays exact-commutative and a long sum cannot overflow (ANSI
-    // arithmetic throws) until ~4e9 docs in one micro-batch
-    val head = fresh
-      .agg(count(lit(1)).as("n"),
-        sum(pmod(xxhash64($"fp"), lit(2147483647L))).as("h"))
-      .head()
-    if (head.getLong(0) == 0L) return
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"${head.getLong(0)}|${head.getLong(1)}".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(p, s"_linedf_fold_$key")
-    if (!f.exists(marker)) {
-      graft.queries.Dedup.updateLineDfIndex(s, indexPath, fresh)
-      f.create(marker, true).close()
-    }
-  }
+  // The segment-df fold over the batch's FRESH docs (the survivors
+  // of content dedup and the at-rest anti-join) is replay-guarded
+  // INSIDE Dedup.updateLineDfIndex — a content-digest marker keyed
+  // on the surviving text, written after the fold commits, with GC
+  // past the replay horizon. Because only content actually landing
+  // in the corpus is ever counted, the index is the corpus-at-rest
+  // document frequency; a replayed batch whose content IS at rest
+  // anti-joins away before the fold (the normal replay path folds
+  // nothing), and the fold-succeeded / append-crashed window is
+  // closed by the marker. The residual windows are bounded to one
+  // crashed batch and OVER-count — benign for a ≥-threshold gate.
 
   /** Gate + dedup (+ optional decontamination against a stored bench
     * index, + optional boilerplate-line scrubbing against a stored
@@ -171,12 +136,20 @@ object DocStream {
     // the batch's scope so the gate kernel and segmentation run once
     val cleanP = if (lineIndexPath.isDefined) clean.persist() else clean
     try {
+      // LEFT join: scrubLines only emits docs with ≥1 token (its
+      // segmentation filters empty token lists), so an inner join
+      // would silently drop a gated-in doc whose text is whitespace-
+      // only. Today's quality gate (stopword presence) happens to
+      // make that unreachable, but content retention must not hang
+      // off a cross-module gate invariant — absent a scrub row the
+      // doc keeps its raw text.
       val scrubbed = lineIndexPath.fold(cleanP) { idx =>
         val marked = graft.queries.Dedup.scrubLines(s, idx, cleanP)
           .select($"doc_id", $"n_removed", $"text_clean")
-        cleanP.join(marked, Seq("doc_id"))
+        cleanP.join(marked, Seq("doc_id"), "left")
           .withColumn("text",
-            when($"n_removed" > 0, $"text_clean").otherwise($"text"))
+            when(coalesce($"n_removed", lit(0L)) > 0, $"text_clean")
+              .otherwise($"text"))
           .filter(length($"text") > 0)
           .drop("n_removed", "text_clean")
       }
@@ -197,7 +170,7 @@ object DocStream {
         else batch.join(
           stored.filter($"bk".isin(bks: _*)).select($"fp"),
           Seq("fp"), "left_anti")
-      lineIndexPath.foreach(updateLineIndexOnce(s, _, fresh))
+      lineIndexPath.foreach(graft.queries.Dedup.updateLineDfIndex(s, _, fresh))
       Catalog.appendPartitioned(s, fresh, path, Seq("bk"),
         tableSchema = Some(stored.schema))
     } finally if (lineIndexPath.isDefined) { cleanP.unpersist(false); () }
