@@ -89,7 +89,11 @@ object Bench {
     // correlation-function scale path (should bench WELL below the
     // full statistic; regression here means the sample stopped
     // composing upstream of the pair streams)
-    "q_lightcurve_band", "q_color_index", "q_two_point_sampled")
+    "q_lightcurve_band", "q_color_index", "q_two_point_sampled",
+    // round-11 wave-2: the structure function — the per-object pair
+    // stream (cadence-bounded quadratic) into lag-binned cells;
+    // regresses silently if the pair join stops being per-object
+    "q_structure_function")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

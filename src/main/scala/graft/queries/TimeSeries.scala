@@ -1143,6 +1143,55 @@ object TimeSeries {
        |ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Structure-function lag-bin width: 2 days in micros (the 30-day
+    * synthetic window → 15 lag bins, the sampling a survey-cadence
+    * SF analysis would use). */
+  private[graft] val SfBinUs = 172800000000L
+
+  /** First-order structure function per band: SF(τ) = ⟨(Δflux)²⟩
+    * over all epoch pairs with lag τ — the standard ensemble
+    * variability statistic of time-domain astronomy (quasar/AGN
+    * selection fits SF(τ) ∝ τ^γ; LSST's DRP computes it per filter).
+    *
+    * Shape: the pair stream is a PER-OBJECT self-join — one shuffle
+    * on the (object, band) composite key, then pairs generate inside
+    * each group, so the blow-up is quadratic in per-object EPOCH
+    * COUNT (bounded by survey cadence, ~10³ pairs per object) and
+    * linear in the catalog — never corpus-quadratic. The lag-binned
+    * reduction is map-side combinable into |bands|×|bins| cells.
+    * Δ² sums in decimal(38,0) (exact at any corpus size — a bigint
+    * sum would overflow past ~4e9 pairs/bin); the only IEEE step is
+    * the final mean division, so the hash is stable. */
+  def qStructureFunction(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = bandedSeries(s, dir)
+    val l = b.select($"user_id", $"band", $"tus".as("t1"), $"xc".as("x1"))
+    val r = b.select($"user_id", $"band", $"tus".as("t2"), $"xc".as("x2"))
+    l.join(r, Seq("user_id", "band")).filter($"t1" < $"t2")
+      .select($"band", expr(s"(t2 - t1) DIV $SfBinUs").as("lag_bin"),
+        (($"x2" - $"x1") * ($"x2" - $"x1")).as("d2"))
+      .groupBy($"band", $"lag_bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"d2".cast("decimal(30,0)")).as("sd2"))
+      .select($"band", $"lag_bin", $"n_pairs",
+        ($"sd2".cast("double") / $"n_pairs").as("sf_c100sq"))
+      .orderBy($"band", $"lag_bin")
+  }
+
+  val qStructureFunctionSql: String =
+    s"""WITH b AS (SELECT user_id, $BandCaseSql AS band,
+       |    epoch_us(ts) AS tus, CAST(ROUND(value*100) AS BIGINT) AS xc
+       |  FROM events),
+       |p AS (SELECT a.band, (c.tus - a.tus) // $SfBinUs AS lag_bin,
+       |        (c.xc - a.xc)*(c.xc - a.xc) AS d2
+       |      FROM b a JOIN b c
+       |        ON a.user_id = c.user_id AND a.band = c.band
+       |       AND a.tus < c.tus)
+       |SELECT band, lag_bin, COUNT(*) AS n_pairs,
+       |  CAST(SUM(d2) AS DOUBLE) / COUNT(*) AS sf_c100sq
+       |FROM p GROUP BY band, lag_bin ORDER BY band, lag_bin""".stripMargin
+
+  // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lightcurve_stats" -> (qLightcurveStats _),
     "q_variability_class" -> (qVariabilityClass _),
@@ -1168,7 +1217,8 @@ object TimeSeries {
     "q_periodogram" -> (qPeriodogram _),
     "q_period_fold" -> (qPeriodFold _),
     "q_lightcurve_band" -> (qLightcurveBand _),
-    "q_color_index" -> (qColorIndex _))
+    "q_color_index" -> (qColorIndex _),
+    "q_structure_function" -> (qStructureFunction _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -1195,5 +1245,6 @@ object TimeSeries {
     "q_periodogram" -> qPeriodogramSql,
     "q_period_fold" -> qPeriodFoldSql,
     "q_lightcurve_band" -> qLightcurveBandSql,
-    "q_color_index" -> qColorIndexSql)
+    "q_color_index" -> qColorIndexSql,
+    "q_structure_function" -> qStructureFunctionSql)
 }

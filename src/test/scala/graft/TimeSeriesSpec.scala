@@ -49,6 +49,36 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_structure_function equals an exact brute-force pair recompute") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = queries.TimeSeries.qStructureFunction(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty)
+    // brute force: every (object, band) series, all ordered pairs
+    val series = Tables.events(spark, sf).select($"user_id",
+      expr(queries.TimeSeries.BandCaseSql).as("band"),
+      expr("ts DIV 1000").as("tus"),
+      round($"value" * 100).cast("long").as("xc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(t => (t._1, t._2))
+    val acc = scala.collection.mutable.Map[(String, Long), (Long, BigInt)]()
+    for (((_, band), rows) <- series; Seq(a, b) <- rows.toSeq
+           .sortBy(_._3).combinations(2) if a._3 != b._3) {
+      val bin = (b._3 - a._3) / queries.TimeSeries.SfBinUs
+      val d = b._4 - a._4
+      val (n0, s0) = acc.getOrElse((band, bin), (0L, BigInt(0)))
+      acc((band, bin)) = (n0 + 1, s0 + BigInt(d) * BigInt(d))
+    }
+    assert(got.keySet == acc.keySet.toSet)
+    for ((k, (n, s)) <- acc) {
+      assert(got(k)._1 == n, s"$k pair count")
+      assert(got(k)._2 == s.toDouble / n, s"$k SF value")
+    }
+  }
+
   test("q_range_nbr neighbor counts are symmetric and within the window") {
     val df = queries.TimeSeries.qRangeNbr(spark, sf).cache()
     // every (a,b) neighbor pair contributes to both a's and b's count,
