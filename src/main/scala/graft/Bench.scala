@@ -93,7 +93,11 @@ object Bench {
     // round-11 wave-2: the structure function — the per-object pair
     // stream (cadence-bounded quadratic) into lag-binned cells;
     // regresses silently if the pair join stops being per-object
-    "q_structure_function")
+    "q_structure_function",
+    // and the visit-calibration join (broadcast visit aggregate over
+    // one source scan — regresses silently if the join-back ever
+    // shuffles the source side)
+    "q_visit_calib")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

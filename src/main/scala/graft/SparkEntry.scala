@@ -57,7 +57,7 @@ object SparkEntry {
     // answerable directly in SQL.
     graft.queries.TimeSeries.bandedSeries(spark, dir)
       .selectExpr("user_id AS objectId", "event_id AS srcId",
-        "tus AS tmid_us", "tus DIV 3600000000 AS visitId",
+        "tus AS tmid_us", s"tus DIV ${graft.queries.TimeSeries.VisitUs} AS visitId",
         "xc AS flux_c100", "band AS filterName")
       .createOrReplaceTempView("forcedsource")
     // Pserv's CcdVisit table: one row per (hour-bucket) visit with

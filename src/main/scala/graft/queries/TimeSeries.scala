@@ -1192,6 +1192,54 @@ object TimeSeries {
        |FROM p GROUP BY band, lag_bin ORDER BY band, lag_bin""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Visit id: the hour bucket of the measurement — the derivation
+    * behind the `ccdvisit` SQL view (SparkEntry), shared so the
+    * registered query and the SQL surface agree by construction. */
+  private[graft] val VisitUs = 3600000000L
+
+  /** Per-visit relative calibration — the ForcedSource ⋈ CcdVisit
+    * workload (Pserv joins its source table to the visit table for
+    * exactly this): each measurement reported against its visit's
+    * ensemble mean, the difference-imaging / relative-photometry
+    * residual. The residual is EXACT rational (num = flux·n_v −
+    * Σ_v flux, den = n_v — both bigint) plus one IEEE division.
+    *
+    * Scale shape: the visit aggregate is a combinable groupBy on the
+    * visit id, and its output is one row per VISIT — a frame that
+    * grows with survey duration, not with the catalog, so the
+    * join-back broadcasts (explicitly: at 100 TB the source side
+    * never shuffles for this join; a decade of LSST is ~10⁶ visits,
+    * KBs per row). Sources scan once, join map-side, aggregate
+    * map-side. */
+  def qVisitCalib(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = series(s, dir)
+      .withColumn("visitId", expr(s"tus DIV $VisitUs"))
+    val vstat = src.groupBy($"visitId")
+      .agg(count(lit(1)).as("n_v"), sum($"xc").as("sum_v_c100"))
+    src.join(broadcast(vstat), Seq("visitId"))
+      .select($"user_id", $"event_id", $"visitId", $"xc".as("flux_c100"),
+        $"n_v",
+        ($"xc" * $"n_v" - $"sum_v_c100").as("resid_num"),
+        (($"xc" * $"n_v" - $"sum_v_c100") / ($"n_v" * lit(100.0)))
+          .as("resid_val"))
+      .orderBy($"event_id")
+  }
+
+  val qVisitCalibSql: String =
+    s"""WITH src AS (SELECT user_id, event_id,
+       |    epoch_us(ts) // $VisitUs AS visitId,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc FROM events),
+       |v AS (SELECT visitId, COUNT(*) AS n_v,
+       |    CAST(SUM(xc) AS BIGINT) AS sum_v_c100
+       |  FROM src GROUP BY 1)
+       |SELECT user_id, event_id, visitId, xc AS flux_c100, n_v,
+       |  CAST(xc*n_v - sum_v_c100 AS BIGINT) AS resid_num,
+       |  CAST(xc*n_v - sum_v_c100 AS DOUBLE) / (n_v * 100.0) AS resid_val
+       |FROM src JOIN v USING (visitId)
+       |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lightcurve_stats" -> (qLightcurveStats _),
     "q_variability_class" -> (qVariabilityClass _),
@@ -1218,7 +1266,8 @@ object TimeSeries {
     "q_period_fold" -> (qPeriodFold _),
     "q_lightcurve_band" -> (qLightcurveBand _),
     "q_color_index" -> (qColorIndex _),
-    "q_structure_function" -> (qStructureFunction _))
+    "q_structure_function" -> (qStructureFunction _),
+    "q_visit_calib" -> (qVisitCalib _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -1246,5 +1295,6 @@ object TimeSeries {
     "q_period_fold" -> qPeriodFoldSql,
     "q_lightcurve_band" -> qLightcurveBandSql,
     "q_color_index" -> qColorIndexSql,
-    "q_structure_function" -> qStructureFunctionSql)
+    "q_structure_function" -> qStructureFunctionSql,
+    "q_visit_calib" -> qVisitCalibSql)
 }

@@ -79,6 +79,19 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_visit_calib residuals telescope to zero within every visit") {
+    val rows = queries.TimeSeries.qVisitCalib(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // sum over a visit of (flux*n_v - sum_v) is identically zero, and
+    // n_v must equal the actual visit row count — catches any drift
+    // between the aggregate side and the join-back side
+    val byVisit = rows.groupBy(_.getAs[Long]("visitId"))
+    for ((v, rs) <- byVisit) {
+      assert(rs.map(_.getAs[Long]("resid_num")).sum == 0L, s"visit $v")
+      assert(rs.forall(_.getAs[Long]("n_v") == rs.length), s"visit $v n_v")
+    }
+  }
+
   test("q_range_nbr neighbor counts are symmetric and within the window") {
     val df = queries.TimeSeries.qRangeNbr(spark, sf).cache()
     // every (a,b) neighbor pair contributes to both a's and b's count,
