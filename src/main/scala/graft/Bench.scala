@@ -97,7 +97,17 @@ object Bench {
     // and the visit-calibration join (broadcast visit aggregate over
     // one source scan — regresses silently if the join-back ever
     // shuffles the source side)
-    "q_visit_calib")
+    "q_visit_calib",
+    // round-11 wave-3: astrometric fit (one object-key shuffle),
+    // source-pair KMV overlap (bounded-heap bottom-K + exact twin),
+    // and DSIR importance scoring (control-plane histogram + one
+    // codegen fold pass — regresses if scoring ever grows a join)
+    "q_proper_motion", "q_source_overlap", "q_importance_weight",
+    // offset-free span dedup — the ×L window explode through the
+    // fp-keyed rank; the most expensive text pass by design, watch
+    // that the window stays fp-partitioned (a doc-keyed sort here
+    // would be a silent quadratic regression)
+    "q_span_dedup")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

@@ -1661,6 +1661,192 @@ object Dedup {
       .select($"doc_id", $"n_seg", $"n_removed", $"text_clean")
   }
 
+  // ---------------------------------------------------------------
+  /** Token-window width of the span-dedup pass. */
+  val SpanW = 8
+
+  /** Repeated-span detection at token-window granularity — the
+    * exact-substring dedup of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"), shaped for Spark:
+    * every [[SpanW]]-token sliding window is fingerprinted, the
+    * corpus-global FIRST occurrence (smallest (doc_id, pos)) is the
+    * canonical copy, and every later instance counts as a duplicated
+    * span. Finer than [[qLineDedup]] (which needs aligned
+    * [[LineLen]]-token segments): a copied passage registers at ANY
+    * offset. Per doc: window count, duplicated-window count, the
+    * cross-document slice of those (first occurrence in a DIFFERENT
+    * doc — the training-data leak signal; the rest is
+    * self-repetition), and the integer duplication percentage.
+    *
+    * Scale shape: the window explode is ×L per doc (the price of
+    * offset-free matching; a stride knob bounds it when span
+    * STATISTICS rather than exact spans suffice). The first-
+    * occurrence rank is a window function over the FINGERPRINT — a
+    * key whose cardinality grows with the corpus, so the sort is
+    * tiny-group-per-partition (it is the fp-shuffle that carries the
+    * cost, same exchange a groupBy would need); the per-doc roll-up
+    * is one combinable aggregate. Nothing joins a posting list. */
+  def qSpanDedup(s: SparkSession, dir: String): DataFrame =
+    spanDedup(Tables.documents(s, dir))
+
+  /** [[qSpanDedup]] over an arbitrary (doc_id, text) frame — the
+    * spec's planting surface. */
+  def spanDedup(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = docs
+      .select($"doc_id", expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+      .filter(size($"toks") >= SpanW)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, size(toks) - $SpanW), " +
+          s"i -> md5(array_join(slice(toks, i + 1, $SpanW), ' ')))")))
+      .select($"doc_id", $"pos", $"col".as("fp"))
+    val win = Window.partitionBy($"fp").orderBy($"doc_id", $"pos")
+    val marked = w
+      .withColumn("rn", row_number().over(win))
+      .withColumn("first_doc", first($"doc_id").over(win))
+    val agg = marked.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_win"),
+        sum(when($"rn" > 1, 1L).otherwise(0L)).as("n_dup"),
+        sum(when($"rn" > 1 && $"first_doc" =!= $"doc_id", 1L).otherwise(0L))
+          .as("n_dup_cross"))
+    docs.select($"doc_id").join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_win", lit(0L)).as("n_win"),
+        coalesce($"n_dup", lit(0L)).as("n_dup"),
+        coalesce($"n_dup_cross", lit(0L)).as("n_dup_cross"))
+      .withColumn("dup_pct",
+        when($"n_win" > 0, expr("(100 * n_dup) DIV n_win")).otherwise(lit(0L)))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle twin of [[qSpanDedup]] — same windows, same global
+    * (doc_id, pos) first-occurrence rank. */
+  val qSpanDedupSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x != '') AS toks
+       |  FROM documents),
+       |w AS (SELECT doc_id, i AS pos,
+       |    md5(array_to_string(toks[(i+1):(i+$SpanW)], ' ')) AS fp
+       |  FROM t, UNNEST(range(len(toks) - $SpanW + 1)) AS u(i)
+       |  WHERE len(toks) >= $SpanW),
+       |m AS (SELECT doc_id, pos,
+       |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn,
+       |    FIRST_VALUE(doc_id) OVER (PARTITION BY fp ORDER BY doc_id, pos)
+       |      AS first_doc
+       |  FROM w),
+       |a AS (SELECT doc_id, COUNT(*) AS n_win,
+       |    CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |    CAST(SUM(CASE WHEN rn > 1 AND first_doc != doc_id THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_dup_cross
+       |  FROM m GROUP BY 1)
+       |SELECT t.doc_id, COALESCE(n_win, 0) AS n_win,
+       |  COALESCE(n_dup, 0) AS n_dup,
+       |  COALESCE(n_dup_cross, 0) AS n_dup_cross,
+       |  CASE WHEN COALESCE(n_win, 0) > 0
+       |    THEN (100 * n_dup) // n_win ELSE 0 END AS dup_pct
+       |FROM t LEFT JOIN a ON a.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Bottom-K (KMV) sketch size of the source-overlap estimator. */
+  val OverlapK = 64
+
+  /** Cross-source content overlap — the contamination telemetry a
+    * corpus curator runs before mixing sources: for every source
+    * pair, the Jaccard similarity of their SEGMENT-fingerprint sets
+    * (the [[segmentsOf]] lines, so shared boilerplate and cross-
+    * posted content both register), reported twice: a bottom-K
+    * (K-minimum-values) sketch estimate and the exact count. The
+    * exact side is the checkable contract; the sketch side is the
+    * 100-TB path — per-source state is K longs regardless of corpus
+    * size, and the estimator ĵ = |bottomK(A∪B) ∩ A ∩ B| / |bottomK
+    * (A∪B)| needs only the two sketches.
+    *
+    * Scale shape: the bottom-K runs through [[graft.plans.TopKPerKey]]
+    * (bounded heap per source per input partition — K·P survivor rows
+    * shuffle, never the segment table; a window row_number would
+    * funnel the corpus through |sources| tasks). The pairwise frame is
+    * |sources|² rows of K-length arrays — control-plane sized. The
+    * exact twin joins distinct (source, fp) on fp: combinable,
+    * skew-safe (a fingerprint appears once per source). Hash parity:
+    * the 60-bit fingerprint is the md5 hex prefix read as an integer
+    * in both engines; every output column is exact-integer. */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val vals = segmentsOf(docs)
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .select($"source",
+        conv(substring($"seg_fp", 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val sk = graft.plans.TopKPerKey(vals, Seq("source"),
+        Seq("h" -> true), OverlapK)
+      .groupBy($"source")
+      .agg(sort_array(collect_list($"h")).as("sk"))
+    val nsrc = vals.groupBy($"source").agg(count(lit(1)).as("n_h"))
+    val side = sk.join(nsrc, "source")
+    val est = side.select($"source".as("s1"), $"sk".as("sk1"), $"n_h".as("n1"))
+      .join(side.select($"source".as("s2"), $"sk".as("sk2"), $"n_h".as("n2")),
+        $"s1" < $"s2")
+      .withColumn("merged",
+        expr(s"slice(array_sort(array_union(sk1, sk2)), 1, $OverlapK)"))
+      .withColumn("k_eff", size($"merged").cast("long"))
+      .withColumn("kmv_matches", expr(
+        "CAST(size(filter(merged, v -> array_contains(sk1, v) " +
+          "AND array_contains(sk2, v))) AS BIGINT)"))
+    val inter = vals.select($"source".as("s1"), $"h")
+      .join(vals.select($"source".as("s2"), $"h"), "h")
+      .filter($"s1" < $"s2")
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("inter"))
+    est.join(inter, Seq("s1", "s2"), "left")
+      .withColumn("inter", coalesce($"inter", lit(0L)))
+      .withColumn("uni", $"n1" + $"n2" - $"inter")
+      .select($"s1", $"s2", $"k_eff", $"kmv_matches",
+        expr("CAST((100 * kmv_matches) DIV k_eff AS BIGINT)").as("est_pct"),
+        $"n1", $"n2", $"inter", $"uni",
+        expr("CAST((100 * inter) DIV uni AS BIGINT)").as("jacc_pct"))
+      .orderBy($"s1", $"s2")
+  }
+
+  /** Oracle twin of [[qSourceOverlap]]: same segmentation as
+    * [[qLineDedupSql]], fingerprints as `('0x' || md5-prefix)::
+    * BIGINT` (= Spark's `conv(hex, 16, 10)`), bottom-K via
+    * row_number, the same KMV merge in list algebra. */
+  val qSourceOverlapSql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    list_filter(string_split(text, ' '), x -> x != '') AS toks
+       |  FROM documents),
+       |seg AS (SELECT DISTINCT source, ('0x' || substr(md5(
+       |      array_to_string(toks[(i*$LineLen+1):(i*$LineLen+$LineLen)], ' ')
+       |    ), 1, 15))::BIGINT AS h
+       |  FROM t, UNNEST(range((len(toks)-1)//$LineLen + 1)) AS u(i)
+       |  WHERE len(toks) > 0),
+       |n AS (SELECT source, COUNT(*) AS n_h FROM seg GROUP BY 1),
+       |rk AS (SELECT source, h,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM seg),
+       |sk AS (SELECT source, list(h ORDER BY h) AS sk FROM rk
+       |  WHERE rn <= $OverlapK GROUP BY 1),
+       |iv AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS inter
+       |  FROM seg a JOIN seg b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |p AS (SELECT a.source AS s1, b.source AS s2, a.sk AS sk1, b.sk AS sk2,
+       |    na.n_h AS n1, nb.n_h AS n2,
+       |    list_sort(list_distinct(a.sk || b.sk))[1:$OverlapK] AS merged
+       |  FROM sk a JOIN sk b ON a.source < b.source
+       |  JOIN n na ON na.source = a.source JOIN n nb ON nb.source = b.source),
+       |e AS (SELECT s1, s2, CAST(len(merged) AS BIGINT) AS k_eff,
+       |    CAST(len(list_filter(merged, v -> list_contains(sk1, v)
+       |      AND list_contains(sk2, v))) AS BIGINT) AS kmv_matches,
+       |    n1, n2 FROM p)
+       |SELECT s1, s2, k_eff, kmv_matches,
+       |  CAST((100 * kmv_matches) // k_eff AS BIGINT) AS est_pct,
+       |  n1, n2, COALESCE(iv.inter, 0) AS inter,
+       |  n1 + n2 - COALESCE(iv.inter, 0) AS uni,
+       |  CAST((100 * COALESCE(iv.inter, 0))
+       |    // (n1 + n2 - COALESCE(iv.inter, 0)) AS BIGINT) AS jacc_pct
+       |FROM e LEFT JOIN iv USING (s1, s2)
+       |ORDER BY s1, s2""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_line_dedup" -> (qLineDedup _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -1677,7 +1863,9 @@ object Dedup {
     "q_pipeline_clean" -> (qPipelineClean _),
     "q_degree_dist" -> (qDegreeDist _),
     "q_dup_ratio" -> (qDupRatio _),
-    "q_decontaminate" -> (qDecontaminate _))
+    "q_decontaminate" -> (qDecontaminate _),
+    "q_source_overlap" -> (qSourceOverlap _),
+    "q_span_dedup" -> (qSpanDedup _))
 
   val oracles: Map[String, String] = Map(
     "q_line_dedup" -> qLineDedupSql,
@@ -1695,5 +1883,7 @@ object Dedup {
     "q_pipeline_clean" -> qPipelineCleanSql,
     "q_degree_dist" -> qDegreeDistSql,
     "q_dup_ratio" -> qDupRatioSql,
-    "q_decontaminate" -> qDecontaminateSql)
+    "q_decontaminate" -> qDecontaminateSql,
+    "q_source_overlap" -> qSourceOverlapSql,
+    "q_span_dedup" -> qSpanDedupSql)
 }

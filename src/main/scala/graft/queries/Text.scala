@@ -1040,6 +1040,102 @@ object Text {
        |  lm_x1000 < $LmLowScoreX1000 AS low_quality
        |FROM f ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Hashed-feature buckets / target slice of the importance weigher. */
+  val IwBuckets = 64
+  val IwTargetLang = "en"
+
+  /** DSIR-shaped importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how much its hashed-feature distribution looks
+    * like a TARGET slice (here the `en` documents) relative to the
+    * raw corpus, then keep each doc with probability proportional to
+    * its per-token importance ratio via a deterministic content-keyed
+    * coin. The published method uses hashed n-gram log-likelihood
+    * ratios; the checkable contract here keeps the ratio in integer
+    * space — per-bucket corpus probabilities in exact ppm, the
+    * per-bucket importance ratio in exact permille (both floor
+    * divisions, +1-smoothed), a doc's score the exact integer sum of
+    * its tokens' bucket ratios — so the DuckDB twin hash-matches;
+    * swapping the permille table for trained log-ratios changes the
+    * 64 literals, not the plan.
+    *
+    * Scale shape: the "model" is the 64-bucket histogram — two
+    * combinable counts collected as control-plane rows (the literal-
+    * codebook convention of q_kmeans_profile) and re-emitted as an
+    * array LITERAL, so scoring is one codegen fold per row: no
+    * vocabulary table, no explode, no join, no shuffle in the scoring
+    * pass, and the keep/drop coin is a per-row md5 — at 100 TB the
+    * selection costs one streaming pass plus two tiny aggregates. */
+  def qImportanceWeight(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select($"doc_id", $"lang",
+      expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+    val hist = toks.select($"lang", explode($"toks").as("tok"))
+      .select($"lang", expr("CAST(conv(substring(md5(tok), 1, 2), 16, 10) " +
+        s"AS BIGINT) % $IwBuckets").as("b"))
+      .groupBy($"b")
+      .agg(count(lit(1)).as("raw_n"),
+        sum(when($"lang" === IwTargetLang, 1L).otherwise(0L)).as("tgt_n"))
+      .collect()
+    val rawTot = hist.map(_.getAs[Long]("raw_n")).sum
+    val tgtTot = hist.map(_.getAs[Long]("tgt_n")).sum
+    require(rawTot > 0 && tgtTot > 0,
+      s"importance weighting needs tokens on both sides (raw=$rawTot target=$tgtTot)")
+    val ratio = Array.fill(IwBuckets)(0L)
+    for (r <- hist) {
+      val prPpm = r.getAs[Long]("raw_n") * 1000000L / rawTot
+      val ptPpm = r.getAs[Long]("tgt_n") * 1000000L / tgtTot
+      ratio(r.getAs[Long]("b").toInt) = (ptPpm + 1L) * 1000L / (prPpm + 1L)
+    }
+    toks
+      .select($"doc_id", size($"toks").cast("long").as("n_toks"),
+        expr(s"aggregate(toks, 0L, (acc, x) -> acc + element_at(" +
+          s"array(${ratio.mkString("L, ")}L), CAST(CAST(conv(substring(" +
+          s"md5(x), 1, 2), 16, 10) AS BIGINT) % $IwBuckets AS INT) + 1))")
+          .as("score"))
+      .withColumn("srate_milli",
+        when($"n_toks" > 0, expr("score DIV n_toks")).otherwise(lit(0L)))
+      .withColumn("u_milli", expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) " +
+          "AS BIGINT) % 2000"))
+      .withColumn("keep", $"u_milli" < $"srate_milli")
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle twin of [[qImportanceWeight]]: the same ppm/permille
+    * integer ratio table built in CTEs, the score via explode + join
+    * on the bucket (every token's bucket is in the histogram by
+    * construction, so the join is total). */
+  val qImportanceWeightSql: String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    list_filter(string_split(text, ' '), x -> x != '') AS toks
+       |  FROM documents),
+       |tok AS (SELECT doc_id, lang,
+       |    ('0x' || substr(md5(x), 1, 2))::BIGINT % $IwBuckets AS b
+       |  FROM t, UNNEST(toks) AS u(x)),
+       |h AS (SELECT b, COUNT(*) AS raw_n,
+       |    SUM(CASE WHEN lang = '$IwTargetLang' THEN 1 ELSE 0 END) AS tgt_n
+       |  FROM tok GROUP BY 1),
+       |tot AS (SELECT SUM(raw_n) AS raw_tot, SUM(tgt_n) AS tgt_tot FROM h),
+       |r AS (SELECT b,
+       |    ((tgt_n * 1000000 // tgt_tot) + 1) * 1000
+       |      // ((raw_n * 1000000 // raw_tot) + 1) AS ratio
+       |  FROM h, tot),
+       |sc AS (SELECT tok.doc_id, CAST(SUM(r.ratio) AS BIGINT) AS score
+       |  FROM tok JOIN r USING (b) GROUP BY 1),
+       |d AS (SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       |    COALESCE(sc.score, 0) AS score
+       |  FROM t LEFT JOIN sc ON sc.doc_id = t.doc_id)
+       |SELECT doc_id, n_toks, score,
+       |  CASE WHEN n_toks > 0 THEN score // n_toks ELSE 0 END AS srate_milli,
+       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 2000
+       |    AS u_milli,
+       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 2000
+       |    < CASE WHEN n_toks > 0 THEN score // n_toks ELSE 0 END AS keep
+       |FROM d ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zipf" -> (qZipf _),
     "q_collocations" -> (qCollocations _),
@@ -1058,7 +1154,8 @@ object Text {
     "q_source_drift" -> (qSourceDrift _),
     "q_source_mix" -> (qSourceMix _),
     "q_pii_scrub" -> (qPiiScrub _),
-    "q_lm_score" -> (qLmScore _))
+    "q_lm_score" -> (qLmScore _),
+    "q_importance_weight" -> (qImportanceWeight _))
 
   val oracles: Map[String, String] = Map(
     "q_zipf" -> qZipfSql,
@@ -1078,5 +1175,6 @@ object Text {
     "q_source_drift" -> qSourceDriftSql,
     "q_source_mix" -> qSourceMixSql,
     "q_pii_scrub" -> qPiiScrubSql,
-    "q_lm_score" -> qLmScoreSql)
+    "q_lm_score" -> qLmScoreSql,
+    "q_importance_weight" -> qImportanceWeightSql)
 }

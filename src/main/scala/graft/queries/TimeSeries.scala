@@ -1240,6 +1240,88 @@ object TimeSeries {
        |ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Proper-motion fit — the astrometric companion of
+    * [[qLightcurveTrend]] and the LSST Object-table idiom (the
+    * reference's Object schema carries per-object muRa/muDecl fitted
+    * from per-epoch source positions). Per-epoch position offsets are
+    * derived deterministically from the integer keys (a linear drift
+    * keyed on the object id plus an epoch-keyed jitter, in
+    * milliarcseconds — the same derive-from-keys convention as the
+    * golden-angle sky positions), and the per-object least-squares
+    * slope over days-since-first-epoch is held in EXACT rational form
+    * (bigint numerator/denominator, the [[qLightcurveTrend]]
+    * sufficient-statistics shape); the two fitted rates and the total
+    * proper-motion magnitude are each ONE IEEE operation off those
+    * exact integers (two divisions + one sqrt of their squares, an
+    * identical expression tree in DuckDB), so the hash-compare holds.
+    *
+    * Scale shape: the per-object epoch rebase (window min) and the
+    * sufficient-statistic aggregate share the user_id shuffle — one
+    * exchange total, map-side combinable, no join. Objects observed
+    * on a single day have a zero denominator and report NULL rates
+    * (a fit needs a time baseline), exactly as the oracle does. */
+  def qProperMotion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    series(s, dir)
+      .withColumn("tday",
+        expr("(tus - min(tus) OVER (PARTITION BY user_id)) DIV 86400000000"))
+      .withColumn("ra_off",
+        ($"user_id" % 21 - 10) * $"tday" + ($"event_id" % 7 - 3))
+      .withColumn("dec_off",
+        ($"user_id" % 17 - 8) * $"tday" + ($"event_id" % 5 - 2))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"tday").as("st"), sum($"tday" * $"tday").as("stt"),
+        sum($"ra_off").as("sra"), sum($"tday" * $"ra_off").as("stra"),
+        sum($"dec_off").as("sdec"), sum($"tday" * $"dec_off").as("stdec"))
+      .withColumn("pm_ra_num", $"n" * $"stra" - $"st" * $"sra")
+      .withColumn("pm_dec_num", $"n" * $"stdec" - $"st" * $"sdec")
+      .withColumn("pm_den", $"n" * $"stt" - $"st" * $"st")
+      .withColumn("pm_ra_mas_day",
+        when($"pm_den" > 0, $"pm_ra_num" / $"pm_den".cast("double")))
+      .withColumn("pm_dec_mas_day",
+        when($"pm_den" > 0, $"pm_dec_num" / $"pm_den".cast("double")))
+      .withColumn("pm_tot_mas_day",
+        when($"pm_den" > 0, sqrt($"pm_ra_mas_day" * $"pm_ra_mas_day" +
+          $"pm_dec_mas_day" * $"pm_dec_mas_day")))
+      .select($"user_id", $"n", $"pm_ra_num", $"pm_dec_num", $"pm_den",
+        $"pm_ra_mas_day", $"pm_dec_mas_day", $"pm_tot_mas_day")
+      .orderBy($"user_id")
+  }
+
+  val qProperMotionSql: String =
+    """WITH b AS (SELECT user_id, event_id,
+      |    (tus - MIN(tus) OVER (PARTITION BY user_id)) // 86400000000 AS tday
+      |  FROM (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events)),
+      |o AS (SELECT user_id,
+      |    (user_id % 21 - 10)*tday + (event_id % 7 - 3) AS ra_off,
+      |    (user_id % 17 - 8)*tday + (event_id % 5 - 2) AS dec_off, tday
+      |  FROM b),
+      |a AS (SELECT user_id, COUNT(*) AS n,
+      |    CAST(SUM(tday) AS BIGINT) AS st,
+      |    CAST(SUM(tday*tday) AS BIGINT) AS stt,
+      |    CAST(SUM(ra_off) AS BIGINT) AS sra,
+      |    CAST(SUM(tday*ra_off) AS BIGINT) AS stra,
+      |    CAST(SUM(dec_off) AS BIGINT) AS sdec,
+      |    CAST(SUM(tday*dec_off) AS BIGINT) AS stdec
+      |  FROM o GROUP BY 1),
+      |f AS (SELECT user_id, n,
+      |    CAST(n*stra - st*sra AS BIGINT) AS pm_ra_num,
+      |    CAST(n*stdec - st*sdec AS BIGINT) AS pm_dec_num,
+      |    CAST(n*stt - st*st AS BIGINT) AS pm_den
+      |  FROM a)
+      |SELECT user_id, n, pm_ra_num, pm_dec_num, pm_den,
+      |  CASE WHEN pm_den > 0 THEN pm_ra_num / CAST(pm_den AS DOUBLE) END
+      |    AS pm_ra_mas_day,
+      |  CASE WHEN pm_den > 0 THEN pm_dec_num / CAST(pm_den AS DOUBLE) END
+      |    AS pm_dec_mas_day,
+      |  CASE WHEN pm_den > 0 THEN SQRT(
+      |    (pm_ra_num / CAST(pm_den AS DOUBLE)) * (pm_ra_num / CAST(pm_den AS DOUBLE))
+      |    + (pm_dec_num / CAST(pm_den AS DOUBLE)) * (pm_dec_num / CAST(pm_den AS DOUBLE)))
+      |  END AS pm_tot_mas_day
+      |FROM f ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lightcurve_stats" -> (qLightcurveStats _),
     "q_variability_class" -> (qVariabilityClass _),
@@ -1267,7 +1349,8 @@ object TimeSeries {
     "q_lightcurve_band" -> (qLightcurveBand _),
     "q_color_index" -> (qColorIndex _),
     "q_structure_function" -> (qStructureFunction _),
-    "q_visit_calib" -> (qVisitCalib _))
+    "q_visit_calib" -> (qVisitCalib _),
+    "q_proper_motion" -> (qProperMotion _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -1296,5 +1379,6 @@ object TimeSeries {
     "q_lightcurve_band" -> qLightcurveBandSql,
     "q_color_index" -> qColorIndexSql,
     "q_structure_function" -> qStructureFunctionSql,
-    "q_visit_calib" -> qVisitCalibSql)
+    "q_visit_calib" -> qVisitCalibSql,
+    "q_proper_motion" -> qProperMotionSql)
 }

@@ -12,6 +12,82 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("spanDedup counts offset-shifted copied passages that line dedup misses") {
+    import spark.implicits._
+    val W = queries.Dedup.SpanW
+    val passage = (1 to 2 * W).map(i => s"p$i").mkString(" ")
+    def filler(d: Int, n: Int) = (1 to n).map(i => s"f${d}_$i").mkString(" ")
+    // doc 0 holds the passage; doc 1 copies it at a DIFFERENT token
+    // offset (3 filler tokens first — unaligned for LineLen segments);
+    // doc 2 is clean; doc 3 is shorter than one window
+    val docs = Seq(
+      (0L, s"$passage ${filler(0, 4)}"),
+      (1L, s"${filler(1, 3)} $passage"),
+      (2L, filler(2, 3 * W)),
+      (3L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = queries.Dedup.spanDedup(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: the 2W-token passage contributes exactly W+1 complete
+    // duplicated windows, all first seen in doc 0
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_dup") == W + 1, s"got ${d1.getAs[Long]("n_dup")}")
+    assert(d1.getAs[Long]("n_dup_cross") == W + 1)
+    // doc 0 owns the first occurrences; doc 2 is untouched; doc 3
+    // has no window at all but still reports a row
+    assert(out(0L).getAs[Long]("n_dup") == 0)
+    assert(out(2L).getAs[Long]("n_dup") == 0)
+    assert(out(3L).getAs[Long]("n_win") == 0 && out(3L).getAs[Long]("dup_pct") == 0)
+    // window counts: len - W + 1 complete windows per doc
+    assert(out(0L).getAs[Long]("n_win") == (2 * W + 4) - W + 1)
+    assert(out(1L).getAs[Long]("n_win") == (3 + 2 * W) - W + 1)
+    // the same planting is INVISIBLE to aligned-segment line dedup
+    val ld = queries.Dedup.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ld.values.forall(_ == 0L), "line dedup should miss the offset copy")
+  }
+
+  test("q_source_overlap matches a brute-force KMV + exact-Jaccard recompute") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val L = queries.Dedup.LineLen
+    val K = queries.Dedup.OverlapK
+    // per-source segment-fingerprint sets, mirroring segmentsOf
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sets = docs.groupBy(_._1).map { case (src, rows) =>
+      src -> rows.flatMap { case (_, text) =>
+        val toks = text.split(" ").filter(_.nonEmpty)
+        if (toks.isEmpty) Seq.empty
+        else toks.grouped(L).map(seg =>
+          java.lang.Long.parseLong(md5hex(seg.mkString(" ")).take(15), 16))
+      }.toSet
+    }
+    val q = queries.Dedup.qSourceOverlap(spark, sf)
+    // scale-shape: the bottom-K runs on the custom bounded-heap operator
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopK") && plan.contains("FinalTopK"),
+      "per-source bottom-K not planned on TopKPerKey")
+    val rows = q.collect()
+    assert(rows.length == sets.size * (sets.size - 1) / 2)
+    for (r <- rows) {
+      val (a, b) = (sets(r.getString(0)), sets(r.getString(1)))
+      val inter = (a & b).size.toLong
+      assert(r.getAs[Long]("n1") == a.size && r.getAs[Long]("n2") == b.size)
+      assert(r.getAs[Long]("inter") == inter, s"${r.getString(0)}/${r.getString(1)}")
+      assert(r.getAs[Long]("uni") == a.size + b.size - inter)
+      // KMV: bottom-K of the union, counted against both bottom-K sketches
+      val (skA, skB) = (a.toSeq.sorted.take(K).toSet, b.toSeq.sorted.take(K).toSet)
+      val merged = (skA | skB).toSeq.sorted.take(K)
+      val m = merged.count(v => skA(v) && skB(v)).toLong
+      assert(r.getAs[Long]("k_eff") == merged.size.toLong)
+      assert(r.getAs[Long]("kmv_matches") == m)
+      assert(r.getAs[Long]("est_pct") == 100 * m / merged.size)
+    }
+  }
+
   test("q_line_dedup removes exactly the cross-doc boilerplate segments and reconstructs in order") {
     import spark.implicits._
     val boiler = (1 to queries.Dedup.LineLen).map(i => s"b$i").mkString(" ")

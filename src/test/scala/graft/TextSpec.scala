@@ -14,6 +14,48 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("q_importance_weight matches a brute-force recompute and upweights the target slice") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val B = queries.Text.IwBuckets
+    def bucket(tok: String): Int =
+      (java.lang.Long.parseLong(md5hex(tok).take(2), 16) % B).toInt
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty)))
+    // the 64-bucket histogram → ppm → permille ratio table, in driver code
+    val raw = Array.fill(B)(0L); val tgt = Array.fill(B)(0L)
+    for ((_, lang, toks) <- docs; t <- toks) {
+      raw(bucket(t)) += 1
+      if (lang == queries.Text.IwTargetLang) tgt(bucket(t)) += 1
+    }
+    val (rawTot, tgtTot) = (raw.sum, tgt.sum)
+    val ratio = Array.tabulate(B) { b =>
+      (tgt(b) * 1000000L / tgtTot + 1) * 1000L / (raw(b) * 1000000L / rawTot + 1)
+    }
+    val got = queries.Text.qImportanceWeight(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == docs.map(_._1).toSet)
+    val srateByLang = collection.mutable.Map[String, List[Long]]()
+    for ((id, lang, toks) <- docs) {
+      val score = toks.map(t => ratio(bucket(t))).sum
+      val r = got(id)
+      assert(r.getAs[Long]("score") == score, s"doc $id")
+      val srate = if (toks.nonEmpty) score / toks.length else 0L
+      assert(r.getAs[Long]("srate_milli") == srate, s"doc $id")
+      val u = java.lang.Long.parseLong(md5hex(id.toString).take(4), 16) % 2000
+      assert(r.getAs[Long]("u_milli") == u && r.getAs[Boolean]("keep") == (u < srate))
+      srateByLang(lang) = srate :: srateByLang.getOrElse(lang, Nil)
+    }
+    // directional: target-language docs score above any other slice's mean
+    def mean(xs: List[Long]) = xs.sum.toDouble / xs.size
+    val en = mean(srateByLang(queries.Text.IwTargetLang))
+    for ((lang, xs) <- srateByLang if lang != queries.Text.IwTargetLang)
+      assert(en > mean(xs), s"target mean $en not above $lang ${mean(xs)}")
+  }
+
   test("q_pii_scrub finds exactly the injected PII and redacts it") {
     val rows = queries.Text.qPiiScrub(spark, sf).collect()
     for (r <- rows) {

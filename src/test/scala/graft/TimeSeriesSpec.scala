@@ -92,6 +92,41 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_proper_motion matches a brute-force exact least-squares recompute") {
+    import spark.implicits._
+    val got = queries.TimeSeries.qProperMotion(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.nonEmpty)
+    val obs = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", expr("ts DIV 1000").as("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(got.keySet == obs.keySet)
+    for ((uid, rows) <- obs) {
+      val t0 = rows.map(_._3).min
+      val pts = rows.map { case (u, e, tus) =>
+        val td = (tus - t0) / 86400000000L
+        (td, (u % 21 - 10) * td + (e % 7 - 3), (u % 17 - 8) * td + (e % 5 - 2))
+      }
+      val n = pts.size.toLong
+      val st = pts.map(_._1).sum; val stt = pts.map(p => p._1 * p._1).sum
+      val den = n * stt - st * st
+      val r = got(uid)
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("pm_den") == den, s"object $uid")
+      assert(r.getAs[Long]("pm_ra_num") ==
+        n * pts.map(p => p._1 * p._2).sum - st * pts.map(_._2).sum, s"object $uid ra")
+      assert(r.getAs[Long]("pm_dec_num") ==
+        n * pts.map(p => p._1 * p._3).sum - st * pts.map(_._3).sum, s"object $uid dec")
+      if (den > 0) {
+        val ra = r.getAs[Long]("pm_ra_num").toDouble / den
+        val de = r.getAs[Long]("pm_dec_num").toDouble / den
+        assert(r.getAs[Double]("pm_ra_mas_day") == ra)
+        assert(r.getAs[Double]("pm_tot_mas_day") == math.sqrt(ra * ra + de * de))
+      } else assert(r.isNullAt(r.fieldIndex("pm_ra_mas_day")) &&
+        r.isNullAt(r.fieldIndex("pm_tot_mas_day")), s"object $uid null fit")
+    }
+  }
+
   test("q_range_nbr neighbor counts are symmetric and within the window") {
     val df = queries.TimeSeries.qRangeNbr(spark, sf).cache()
     // every (a,b) neighbor pair contributes to both a's and b's count,
