@@ -107,7 +107,10 @@ object Bench {
     // fp-keyed rank; the most expensive text pass by design, watch
     // that the window stays fp-partitioned (a doc-keyed sort here
     // would be a silent quadratic regression)
-    "q_span_dedup")
+    "q_span_dedup",
+    // robust sigmaMAD — two object-keyed rank passes; regresses if
+    // the two windows stop sharing one object partitioning
+    "q_mad")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

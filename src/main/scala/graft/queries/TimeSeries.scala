@@ -1240,6 +1240,67 @@ object TimeSeries {
        |ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Robust per-object variability via the median absolute deviation
+    * — the sigmaMAD statistic LSST's variability pipelines prefer over
+    * the plain standard deviation (one flaring outlier epoch cannot
+    * move it). Two discrete-median passes in exact integer cents:
+    * the flux median (rank CEIL(n/2) under (value, id) — the VALUE at
+    * the rank is tie-invariant, the q_percentile_disc argument), then
+    * the median of |flux − median|; the Gaussian-consistent
+    * sigma_mad = 1.4826·MAD is the single IEEE operation, identical
+    * in the oracle.
+    *
+    * Scale shape: every window and join keys on the OBJECT — one
+    * partitioning reused across both rank passes and the median
+    * join-back (1 row/object build side). Per-group sorted state is
+    * the object's epoch count — cadence-bounded (the
+    * q_structure_function argument), so tasks stay bounded no matter
+    * the catalog size; this is the many-small-groups regime where a
+    * per-group sort beats a RankSplit histogram (built for few LARGE
+    * groups, as q_percentile_disc uses). */
+  def qMad(s: SparkSession, dir: String): DataFrame =
+    madOf(series(s, dir))
+
+  /** [[qMad]] over an arbitrary (user_id, event_id, xc) frame — the
+    * spec's planting surface. */
+  def madOf(base: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
+    val w1 = Window.partitionBy($"user_id").orderBy($"xc", $"event_id")
+    val med = base
+      .withColumn("rn", row_number().over(w1))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"user_id")))
+      .filter($"rn" === expr("CAST(CEIL(0.5 * n) AS BIGINT)"))
+      .select($"user_id", $"n", $"xc".as("med_c100"))
+    val w2 = Window.partitionBy($"user_id").orderBy($"ad", $"event_id")
+    base.join(med, "user_id")
+      .withColumn("ad", abs($"xc" - $"med_c100"))
+      .withColumn("rn", row_number().over(w2))
+      .filter($"rn" === expr("CAST(CEIL(0.5 * n) AS BIGINT)"))
+      .select($"user_id", $"n", $"med_c100", $"ad".as("mad_c100"),
+        ($"ad" * lit(1.4826)).as("sigma_mad_c100"))
+      .orderBy($"user_id")
+  }
+
+  val qMadSql: String =
+    """WITH b AS (SELECT user_id, event_id,
+      |    CAST(ROUND(value*100) AS BIGINT) AS xc FROM events),
+      |r1 AS (SELECT user_id, xc,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY xc, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM b),
+      |med AS (SELECT user_id, n, xc AS med_c100 FROM r1
+      |  WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)),
+      |r2 AS (SELECT b.user_id, med.n, med.med_c100,
+      |    ABS(b.xc - med.med_c100) AS ad,
+      |    ROW_NUMBER() OVER (PARTITION BY b.user_id
+      |      ORDER BY ABS(b.xc - med.med_c100), b.event_id) AS rn
+      |  FROM b JOIN med USING (user_id))
+      |SELECT user_id, n, med_c100, ad AS mad_c100,
+      |  ad * CAST(1.4826 AS DOUBLE) AS sigma_mad_c100
+      |FROM r2 WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Proper-motion fit — the astrometric companion of
     * [[qLightcurveTrend]] and the LSST Object-table idiom (the
     * reference's Object schema carries per-object muRa/muDecl fitted
@@ -1350,7 +1411,8 @@ object TimeSeries {
     "q_color_index" -> (qColorIndex _),
     "q_structure_function" -> (qStructureFunction _),
     "q_visit_calib" -> (qVisitCalib _),
-    "q_proper_motion" -> (qProperMotion _))
+    "q_proper_motion" -> (qProperMotion _),
+    "q_mad" -> (qMad _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -1380,5 +1442,6 @@ object TimeSeries {
     "q_color_index" -> qColorIndexSql,
     "q_structure_function" -> qStructureFunctionSql,
     "q_visit_calib" -> qVisitCalibSql,
-    "q_proper_motion" -> qProperMotionSql)
+    "q_proper_motion" -> qProperMotionSql,
+    "q_mad" -> qMadSql)
 }

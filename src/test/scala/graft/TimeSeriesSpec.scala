@@ -127,6 +127,35 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mad matches driver-side discrete medians and shrugs off an outlier") {
+    import spark.implicits._
+    val got = queries.TimeSeries.qMad(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.nonEmpty)
+    val series = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", round($"value" * 100).cast("long").as("xc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(got.keySet == series.keySet)
+    def discMed(xs: Seq[Long]): Long = xs.sorted.apply(((xs.size + 1) / 2) - 1)
+    for ((uid, rows) <- series) {
+      val m = discMed(rows.map(_._3).toSeq)
+      val mad = discMed(rows.map(t => math.abs(t._3 - m)).toSeq)
+      val r = got(uid)
+      assert(r.getAs[Long]("med_c100") == m, s"object $uid median")
+      assert(r.getAs[Long]("mad_c100") == mad, s"object $uid MAD")
+      assert(r.getAs[Double]("sigma_mad_c100") == mad * 1.4826)
+    }
+    // robustness: a single enormous outlier epoch leaves the MAD of a
+    // constant series at zero (the reason sigmaMAD exists), while the
+    // plain variance numerator explodes
+    val planted = (Seq.tabulate(9)(i => (1L, i.toLong, 10000L)) :+ ((1L, 9L, 1000000000L)))
+      .toDF("user_id", "event_id", "xc")
+    val pr = queries.TimeSeries.madOf(planted).collect().head
+    assert(pr.getAs[Long]("med_c100") == 10000L)
+    assert(pr.getAs[Long]("mad_c100") == 0L && pr.getAs[Double]("sigma_mad_c100") == 0.0)
+  }
+
   test("q_range_nbr neighbor counts are symmetric and within the window") {
     val df = queries.TimeSeries.qRangeNbr(spark, sf).cache()
     // every (a,b) neighbor pair contributes to both a's and b's count,
