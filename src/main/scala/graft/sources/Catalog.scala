@@ -71,6 +71,47 @@ object Catalog {
   def readJson(s: SparkSession, table: String, path: String): DataFrame =
     s.read.schema(schemas(table)).option("mode", "FAILFAST").json(path)
 
+  /** Column name the quarantined raw line travels under. */
+  val CorruptCol = "_corrupt_record"
+
+  /** PERMISSIVE CSV bulk-load with bad-record quarantine — the
+    * production variant of [[readCsv]]'s FAILFAST: one malformed line
+    * must not abort a multi-hour load, and silently nulling it out
+    * loses data. Returns (clean, quarantine): `clean` carries the
+    * declared schema, rows that failed type-parsing land in
+    * `quarantine` with their raw line intact for re-ingest after
+    * repair. ONE parse pass feeds both sides — the parsed frame is
+    * cached for the two filters (also required: Spark refuses plans
+    * that filter on the internal corrupt-record column of a raw
+    * file scan), and the caller unpersists via the returned handle.
+    *
+    * Scale note: the cache holds the BATCH being loaded, not the
+    * table — a bulk load is chunked by input files, so per-chunk
+    * cache footprint is bounded by the chunk, and a cluster ingest
+    * caches on executors, never the driver. */
+  final case class QuarantinedLoad(clean: DataFrame, quarantine: DataFrame,
+    private val parsed: DataFrame) {
+    /** Release the one-pass parse cache once both sides are landed. */
+    def unpersist(): Unit = { parsed.unpersist(); () }
+  }
+
+  def readCsvQuarantined(s: SparkSession, table: String,
+    path: String): QuarantinedLoad = {
+    import org.apache.spark.sql.functions.col
+    val declared = schemas(table)
+    val raw = s.read.schema(declared.add(StructField(CorruptCol, StringType)))
+      .option("header", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .csv(path)
+      .cache()
+    QuarantinedLoad(
+      clean = raw.filter(col(CorruptCol).isNull)
+        .select(declared.fieldNames.map(col).toSeq: _*),
+      quarantine = raw.filter(col(CorruptCol).isNotNull).select(col(CorruptCol)),
+      parsed = raw)
+  }
+
   /** Partitioned parquet sink — the catalog's storage layout. The
     * partition column becomes the pruning key for downstream scans
     * (e.g. spatial zone, date bucket). Overwrite = the reference's

@@ -577,6 +577,31 @@ class CatalogSpec extends AnyFunSuite {
     assert(back.collect().map(_.toString).sorted.toSeq ==
       nation.collect().map(_.toString).sorted.toSeq)
   }
+
+  test("quarantined csv ingest routes malformed lines without aborting the load") {
+    val out = Files.createTempDirectory("graft_csvq").toString
+    val nation = Catalog.readParquet(spark, "nation", s"$sf/nation.parquet")
+    nation.write.mode("overwrite").option("header", "false").csv(out)
+    val nGood = nation.count()
+    // corrupt lines: a non-numeric key and a truncated row — the
+    // FITS→CSV→bulk-load path's classic field-shift failures
+    val badLines = Seq("notakey,BROKENLAND,0,oops", "8,SHORT")
+    Files.write(java.nio.file.Paths.get(out, "bad.csv"),
+      badLines.mkString("\n").getBytes)
+    // FAILFAST (the strict reader) aborts on the same input — on a
+    // full materialization: a bare count() prunes every column and
+    // never exercises the parser
+    intercept[Exception] { Catalog.readCsv(spark, "nation", out).collect() }
+    // …the quarantining reader loads every well-formed row and banks
+    // the raw lines of the rest
+    val load = Catalog.readCsvQuarantined(spark, "nation", out)
+    try {
+      assert(load.clean.schema == Catalog.schemas("nation"))
+      assert(load.clean.count() == nGood, "well-formed rows must all load")
+      val banked = load.quarantine.collect().map(_.getString(0)).sorted
+      assert(banked.toSeq == badLines.sorted, banked.mkString("|"))
+    } finally load.unpersist()
+  }
 }
 
 class EventStreamSpec extends AnyFunSuite {
