@@ -1556,9 +1556,10 @@ object Dedup {
   private val FoldMarkerKeep = 64
 
   private def gcFoldMarkers(f: org.apache.hadoop.fs.FileSystem,
-    root: org.apache.hadoop.fs.Path): Unit = {
+    root: org.apache.hadoop.fs.Path,
+    prefix: String = "_linedf_fold_"): Unit = {
     val ms = f.listStatus(root)
-      .filter(_.getPath.getName.startsWith("_linedf_fold_"))
+      .filter(_.getPath.getName.startsWith(prefix))
     if (ms.length > FoldMarkerKeep)
       ms.sortBy(_.getModificationTime).dropRight(FoldMarkerKeep)
         .foreach(st => f.delete(st.getPath, false))
@@ -1691,15 +1692,23 @@ object Dedup {
 
   /** [[qSpanDedup]] over an arbitrary (doc_id, text) frame — the
     * spec's planting surface. */
-  def spanDedup(docs: DataFrame): DataFrame = {
+  /** The shared windowing: one row per (doc, offset) with the
+    * [[SpanW]]-token window's md5 — used by the batch query and the
+    * stored-index lifecycle below, so both see identical windows. */
+  private def spanWindows(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val w = docs
+    docs
       .select($"doc_id", expr("filter(split(text, ' '), x -> x != '')").as("toks"))
       .filter(size($"toks") >= SpanW)
       .select($"doc_id", posexplode(expr(
         s"transform(sequence(0, size(toks) - $SpanW), " +
           s"i -> md5(array_join(slice(toks, i + 1, $SpanW), ' ')))")))
       .select($"doc_id", $"pos", $"col".as("fp"))
+  }
+
+  def spanDedup(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w = spanWindows(docs)
     val win = Window.partitionBy($"fp").orderBy($"doc_id", $"pos")
     val marked = w
       .withColumn("rn", row_number().over(win))
@@ -1746,6 +1755,111 @@ object Dedup {
        |    THEN (100 * n_dup) // n_win ELSE 0 END AS dup_pct
        |FROM t LEFT JOIN a ON a.doc_id = t.doc_id
        |ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Stored span index: the at-rest shape of span dedup. The batch
+  // query re-ranks the whole corpus per run; a nightly pipeline
+  // instead keeps (window fingerprint → first occurrence) as a
+  // bucket-partitioned table, checks each NEW batch against the
+  // stored firsts plus its own internal order, and appends only the
+  // batch's genuinely-new fingerprints. Per-batch cost tracks the
+  // batch, never the corpus — the containment/segment-df discipline.
+  // Canonical-copy semantics at rest are FIRST-INGESTED (streaming
+  // order), where the batch query's are smallest (doc_id, pos); the
+  // two agree whenever ingest order follows doc_id order, and the
+  // parity spec runs in that regime.
+
+  /** Fingerprint-bucket partition count of the span index. */
+  val SpanBuckets = 16L
+
+  private def spanBk(fp: Column): Column =
+    pmod(conv(substring(fp, 1, 15), 16, 10).cast("long"), lit(SpanBuckets))
+
+  /** Per-batch first occurrence of every window fingerprint. */
+  private def spanFirsts(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    spanWindows(docs)
+      .groupBy($"fp")
+      .agg(min(struct($"doc_id", $"pos")).as("m"))
+      .select($"fp", $"m.doc_id".as("first_doc"), $"m.pos".as("first_pos"),
+        spanBk($"fp").as("bk"))
+  }
+
+  /** Build the span index over a corpus — create-if-absent lifecycle
+    * (complete table → no-op, unmarked partial → loud failure). */
+  def buildSpanIndex(s: SparkSession, docs: DataFrame,
+    path: String): Boolean =
+    graft.sources.Catalog.createPartitionedIfAbsent(s, spanFirsts(docs),
+      path, Seq("bk"))
+
+  /** [[spanDedup]] for a NEW batch against the stored index: a batch
+    * window is duplicated if its fingerprint is already AT REST (any
+    * stored first precedes the whole batch in ingest order) or if an
+    * earlier batch instance holds it; the cross-document flag tracks
+    * whichever canonical copy applies. The stored probe reads ONLY
+    * the buckets the batch's fingerprints hash into — per-batch I/O
+    * is bounded by the batch at any corpus size. */
+  def spanDedupNewDocs(s: SparkSession, path: String,
+    batch: DataFrame): DataFrame = {
+    import s.implicits._
+    require(graft.sources.Catalog.tableComplete(s, path),
+      s"$path is not a complete span index — build it first")
+    val w = spanWindows(batch).withColumn("bk", spanBk($"fp"))
+    val bks = w.select($"bk").distinct().collect().map(_.getLong(0))
+    val stored = s.read.parquet(path)
+      .filter($"bk".isin(bks.toSeq: _*))
+      .select($"fp", $"first_doc".as("st_doc"))
+    val win = Window.partitionBy($"fp").orderBy($"doc_id", $"pos")
+    val marked = w.join(stored, Seq("fp"), "left")
+      .withColumn("rn", row_number().over(win))
+      .withColumn("bfirst", first($"doc_id").over(win))
+      .withColumn("dup", $"st_doc".isNotNull || $"rn" > 1)
+      .withColumn("crossdup",
+        ($"st_doc".isNotNull && $"st_doc" =!= $"doc_id") ||
+          ($"st_doc".isNull && $"rn" > 1 && $"bfirst" =!= $"doc_id"))
+    val agg = marked.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_win"),
+        sum(when($"dup", 1L).otherwise(0L)).as("n_dup"),
+        sum(when($"crossdup", 1L).otherwise(0L)).as("n_dup_cross"))
+    batch.select($"doc_id").join(agg, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_win", lit(0L)).as("n_win"),
+        coalesce($"n_dup", lit(0L)).as("n_dup"),
+        coalesce($"n_dup_cross", lit(0L)).as("n_dup_cross"))
+      .withColumn("dup_pct",
+        when($"n_win" > 0, expr("(100 * n_dup) DIV n_win")).otherwise(lit(0L)))
+      .orderBy($"doc_id")
+  }
+
+  /** Fold a checked batch's NEW fingerprints into the index — stored
+    * firsts always win (first-ingested is canonical), so the fold is
+    * a bucket-pruned anti-join plus an APPEND of new keys only: no
+    * stored row is ever rewritten. Replay-safe via the same
+    * content-keyed fold marker as the segment-df index (a re-
+    * delivered micro-batch is skipped, markers GC'd past the replay
+    * horizon). */
+  def updateSpanIndex(s: SparkSession, path: String,
+    batch: DataFrame): Unit = {
+    import s.implicits._
+    require(graft.sources.Catalog.tableComplete(s, path),
+      s"$path is not a complete span index — build it first")
+    val keyOpt = foldDigest(batch)
+    if (keyOpt.isEmpty) return
+    val root = new org.apache.hadoop.fs.Path(path)
+    val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, s"_span_fold_${keyOpt.get}")
+    if (f.exists(marker)) return
+    val firsts = spanFirsts(batch)
+    val bks = firsts.select($"bk").distinct().collect().map(_.getLong(0))
+    if (bks.nonEmpty) {
+      val stored = s.read.parquet(path).filter($"bk".isin(bks.toSeq: _*))
+        .select($"fp")
+      val fresh = firsts.join(stored, Seq("fp"), "left_anti")
+      graft.sources.Catalog.appendPartitioned(s, fresh, path, Seq("bk"))
+    }
+    f.create(marker, true).close()
+    gcFoldMarkers(f, root, "_span_fold_")
+  }
 
   // ---------------------------------------------------------------
   /** Bottom-K (KMV) sketch size of the source-overlap estimator. */

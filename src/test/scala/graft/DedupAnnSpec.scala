@@ -47,6 +47,49 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(ld.values.forall(_ == 0L), "line dedup should miss the offset copy")
   }
 
+  test("stored span index: incremental batches equal the one-shot batch query; fold is replay-safe and append-only") {
+    import spark.implicits._
+    val W = queries.Dedup.SpanW
+    def words(tag: String, n: Int) = (1 to n).map(i => s"${tag}_$i").mkString(" ")
+    val passage = words("p", 2 * W)
+    val b1 = Seq(
+      (0L, s"$passage ${words("a", 4)}"),
+      (1L, words("b", 3 * W))).toDF("doc_id", "text")
+    val b2 = Seq(
+      (10L, s"${words("c", 3)} $passage"), // copies b1's passage, shifted
+      (11L, words("d", 2 * W))).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_spanidx").toString + "/idx"
+    assert(queries.Dedup.buildSpanIndex(spark, b1, idx))
+    // incremental check of b2 ≡ the batch query over b1 ∪ b2
+    // restricted to b2 (ingest order follows doc_id order here)
+    val inc = queries.Dedup.spanDedupNewDocs(spark, idx, b2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val oneShot = queries.Dedup.spanDedup(b1.unionByName(b2)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(10L, 11L); c <- Seq("n_win", "n_dup", "n_dup_cross", "dup_pct"))
+      assert(inc(id).getAs[Long](c) == oneShot(id).getAs[Long](c),
+        s"doc $id col $c: inc=${inc(id)} oneShot=${oneShot(id)}")
+    assert(inc(10L).getAs[Long]("n_dup_cross") == W + 1, inc(10L).toString)
+    // fold b2 in; a doc copying b2's fresh content is now flagged
+    queries.Dedup.updateSpanIndex(spark, idx, b2)
+    val n1 = spark.read.parquet(idx).count()
+    val b3 = Seq((20L, words("d", 2 * W))).toDF("doc_id", "text")
+    val chk = queries.Dedup.spanDedupNewDocs(spark, idx, b3).collect().head
+    assert(chk.getAs[Long]("n_dup") == chk.getAs[Long]("n_win") &&
+      chk.getAs[Long]("dup_pct") == 100L, chk.toString)
+    // replaying the same batch is a no-op (fold marker), and folds
+    // never rewrite stored rows — the passage's first stays in doc 0
+    queries.Dedup.updateSpanIndex(spark, idx, b2)
+    assert(spark.read.parquet(idx).count() == n1, "replay double-fold")
+    val pFirst = spark.read.parquet(idx)
+      .filter(col("first_doc") === 0L).count()
+    assert(pFirst >= W + 1, "b1's firsts must survive the b2 fold")
+    assert(spark.read.parquet(idx).filter(col("first_doc") === 10L)
+      .count() > 0, "b2's genuinely-new windows must land")
+    assert(spark.read.parquet(idx).groupBy("fp").count()
+      .filter(col("count") > 1).count() == 0, "duplicate fp rows in index")
+  }
+
   test("q_source_overlap matches a brute-force KMV + exact-Jaccard recompute") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
