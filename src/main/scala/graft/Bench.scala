@@ -110,7 +110,10 @@ object Bench {
     "q_span_dedup",
     // robust sigmaMAD — two object-keyed rank passes; regresses if
     // the two windows stop sharing one object partitioning
-    "q_mad")
+    "q_mad",
+    // tokenizer fertility — one codegen tokenization scan + a 20-key
+    // aggregate; regresses if the scan grows an explode or a join
+    "q_bpe_fertility")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

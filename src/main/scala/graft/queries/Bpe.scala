@@ -290,13 +290,89 @@ object Bpe {
        |      FROM rec r JOIN c ON c.doc_id = r.doc_id AND c.pos = r.pos)
        |GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Per-source tokenizer fertility under the frozen vocabulary —
+    * the curation signal a tokenizer-aware mixer reads: fertility
+    * (subword tokens per word, permille) and compression (characters
+    * per subword token, permille) per source. A source the vocabulary
+    * fits well sits near 1000 fertility / high compression; an
+    * out-of-distribution source fragments into per-character symbols
+    * and its context-window cost balloons — this query prices that
+    * before mixing. Only inducted-alphabet words (`[a-z]+`) count,
+    * mirroring [[qBpeTokens]]; ratios are integer permille (floor
+    * DIV), so the frame hash-matches the oracle exactly.
+    *
+    * Scale shape: the tokenization is the same single codegen corpus
+    * pass as [[qBpeTokens]] (K nested literal replaces, no explode),
+    * then ONE combinable aggregate on the source key — fertility at
+    * 100 TB costs the corpus scan it cannot avoid and nothing else. */
+  def qBpeFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = mergesFor(s, dir)
+    Tables.documents(s, dir)
+      .select($"source",
+        expr("filter(split(text, ' '), w -> w rlike '^[a-z]+$')").as("ws"))
+      .select($"source",
+        size($"ws").cast("long").as("nw"),
+        expr("aggregate(ws, 0L, (acc, w) -> acc + length(w))").as("nc"),
+        applyMerges(expr(
+          "array_join(transform(ws, w -> regexp_replace(w, '(.)', '^$1|')), ' ')"),
+          merges).as("app"))
+      .select($"source", $"nw", $"nc",
+        (length($"app") -
+          length(call_function("replace", $"app", lit("|"), lit(""))))
+          .cast("long").as("nt"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"nw").as("n_words"),
+        sum($"nc").as("n_chars"), sum($"nt").as("bpe_toks"))
+      .withColumn("fert_milli", when($"n_words" > 0,
+        expr("(1000 * bpe_toks) DIV n_words")).otherwise(lit(0L)))
+      .withColumn("cpt_milli", when($"bpe_toks" > 0,
+        expr("(1000 * n_chars) DIV bpe_toks")).otherwise(lit(0L)))
+      .orderBy($"source")
+  }
+
+  val qBpeFertilitySql: String = {
+    val applied = (0 until BpeMerges).foldLeft("encdoc") { (e, i) =>
+      val (a, b) = (s"(SELECT a FROM b$i)", s"(SELECT b FROM b$i)")
+      s"replace($e, '^' || $a || '|^' || $b || '|', '^' || $a || $b || '|')"
+    }
+    s"""WITH
+       |$mergeCtes,
+       |d AS MATERIALIZED (SELECT source,
+       |    list_filter(string_split(text, ' '),
+       |      w -> regexp_matches(w, '^[a-z]+$$')) AS ws
+       |  FROM documents),
+       |e AS (SELECT source, CAST(len(ws) AS BIGINT) AS nw,
+       |    CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0)
+       |      AS BIGINT) AS nc,
+       |    array_to_string(list_transform(ws,
+       |      w -> regexp_replace(w, '(.)', '^\\1|', 'g')), ' ') AS encdoc
+       |  FROM d),
+       |f AS (SELECT source, nw, nc,
+       |    CAST(length(app) - length(replace(app, '|', '')) AS BIGINT) AS nt
+       |  FROM (SELECT source, nw, nc, $applied AS app FROM e)),
+       |a AS (SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(nw) AS BIGINT) AS n_words,
+       |    CAST(SUM(nc) AS BIGINT) AS n_chars,
+       |    CAST(SUM(nt) AS BIGINT) AS bpe_toks
+       |  FROM f GROUP BY 1)
+       |SELECT source, n_docs, n_words, n_chars, bpe_toks,
+       |  CASE WHEN n_words > 0 THEN (1000 * bpe_toks) // n_words
+       |    ELSE 0 END AS fert_milli,
+       |  CASE WHEN bpe_toks > 0 THEN (1000 * n_chars) // bpe_toks
+       |    ELSE 0 END AS cpt_milli
+       |FROM a ORDER BY source""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_vocab" -> (qBpeVocab _),
     "q_bpe_tokens" -> (qBpeTokens _),
-    "q_chunk_bpe" -> (qChunkBpe _))
+    "q_chunk_bpe" -> (qChunkBpe _),
+    "q_bpe_fertility" -> (qBpeFertility _))
 
   val oracles: Map[String, String] = Map(
     "q_bpe_vocab" -> qBpeVocabSql,
     "q_bpe_tokens" -> qBpeTokensSql,
-    "q_chunk_bpe" -> qChunkBpeSql)
+    "q_chunk_bpe" -> qChunkBpeSql,
+    "q_bpe_fertility" -> qBpeFertilitySql)
 }

@@ -66,6 +66,40 @@ class BpeSpec extends AnyFunSuite {
     assert(tokSum == wantSum, "shard token sums do not conserve the BPE counts")
   }
 
+  test("q_bpe_fertility reconciles with per-doc token counts and raw word/char totals") {
+    import org.apache.spark.sql.functions._
+    val got = queries.Bpe.qBpeFertility(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.nonEmpty)
+    // independent recompute: per-doc BPE counts joined to raw text
+    val toks = queries.Bpe.qBpeTokens(spark, sf)
+    val docs = Tables.documents(spark, sf)
+      .join(toks, "doc_id")
+      .select(col("source"), col("text"), col("bpe_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .groupBy(_._1)
+    assert(got.keySet == docs.keySet)
+    for ((src, rows) <- docs) {
+      val ws = rows.map(_._2.split(" ").filter(_.matches("^[a-z]+$")))
+      val (nWords, nChars) = (ws.map(_.length.toLong).sum, ws.map(_.map(_.length).sum.toLong).sum)
+      val nToks = rows.map(_._3.toLong).sum
+      val r = got(src)
+      assert(r.getAs[Long]("n_docs") == rows.size.toLong, src)
+      assert(r.getAs[Long]("n_words") == nWords, src)
+      assert(r.getAs[Long]("n_chars") == nChars, src)
+      assert(r.getAs[Long]("bpe_toks") == nToks, src)
+      assert(r.getAs[Long]("fert_milli") ==
+        (if (nWords > 0) 1000 * nToks / nWords else 0L), src)
+      assert(r.getAs[Long]("cpt_milli") ==
+        (if (nToks > 0) 1000 * nChars / nToks else 0L), src)
+      // fertility is bounded by [1000, 1000·maxWordLen]: at least one
+      // token per word, at most one per character
+      if (nWords > 0) assert(r.getAs[Long]("fert_milli") >= 1000L, src)
+      if (nToks > 0) assert(r.getAs[Long]("cpt_milli") >= 1000L, src)
+    }
+  }
+
   test("q_chunk_bpe conserves tokens and words; chunks respect the budget") {
     import org.apache.spark.sql.functions._
     val chunks = queries.Bpe.qChunkBpe(spark, sf).cache()
