@@ -165,13 +165,48 @@ object Multimodal {
        |ORDER BY doc_id, fi""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Exact binary-content dedup — the hash step every multimodal
+    * pipeline runs before any perceptual matching (identical bytes
+    * re-crawled under different ids are the bulk of image dup mass):
+    * blobs grouped by sha256, canonical copy = smallest doc_id, each
+    * blob annotated with its canonical and the content's copy count.
+    *
+    * Scale shape: ONE shuffle on the digest (high-cardinality,
+    * skew-free by construction — a hash key's population is the
+    * content's true copy count); the canonical/count side aggregates
+    * to 1 row per digest before the join back, so a viral blob fans
+    * out 1:1 (the q_line_dedup join-back discipline). The blob bytes
+    * themselves never shuffle — only (doc_id, digest) pairs move. */
+  def qBlobDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = blobs(s, dir)
+      .select($"doc_id", sha2($"blob", 256).as("sha256"))
+    val canon = hashed.groupBy($"sha256")
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+    hashed.join(canon, "sha256")
+      .select($"doc_id", $"sha256", $"canonical_id", $"n_copies",
+        ($"doc_id" =!= $"canonical_id").as("is_dup"))
+      .orderBy($"doc_id")
+  }
+
+  val qBlobDedupSql: String =
+    """WITH h AS (SELECT doc_id, SHA256(text) AS sha256 FROM documents),
+      |c AS (SELECT sha256, MIN(doc_id) AS canonical_id,
+      |    COUNT(*) AS n_copies
+      |  FROM h GROUP BY 1)
+      |SELECT doc_id, sha256, canonical_id, n_copies,
+      |  doc_id != canonical_id AS is_dup
+      |FROM h JOIN c USING (sha256) ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_blob_meta" -> (qBlobMeta _),
     "q_blob_features" -> (qBlobFeatures _),
-    "q_blob_framesample" -> (qBlobFrameSample _))
+    "q_blob_framesample" -> (qBlobFrameSample _),
+    "q_blob_dedup" -> (qBlobDedup _))
 
   val oracles: Map[String, String] = Map(
     "q_blob_meta" -> qBlobMetaSql,
     "q_blob_features" -> qBlobFeaturesSql,
-    "q_blob_framesample" -> qBlobFrameSampleSql)
+    "q_blob_framesample" -> qBlobFrameSampleSql,
+    "q_blob_dedup" -> qBlobDedupSql)
 }

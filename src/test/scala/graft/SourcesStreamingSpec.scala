@@ -26,6 +26,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df.filter("blob_len <= 0 OR length(sha256) != 64").count() == 0)
   }
 
+  test("q_blob_dedup agrees with text-level exact dedup and counts copies consistently") {
+    val blob = queries.Multimodal.qBlobDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // identical bytes ⇔ identical text: the blob-level canonical map
+    // must equal q_dedup_exact's (built on md5(text))
+    val txt = queries.Dedup.qDedupExact(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Int]("is_dup"))).toMap
+    assert(blob.keySet == txt.keySet)
+    for ((id, r) <- blob) {
+      assert(r.getAs[Long]("canonical_id") == txt(id)._1, s"doc $id")
+      assert(r.getAs[Boolean]("is_dup") == (txt(id)._2 == 1), s"doc $id")
+    }
+    // n_copies is the population of the doc's content class, and every
+    // class has exactly one non-dup member (its canonical)
+    val byCanon = blob.values.groupBy(_.getAs[Long]("canonical_id"))
+    for ((c, rs) <- byCanon) {
+      assert(rs.forall(_.getAs[Long]("n_copies") == rs.size.toLong), s"class $c")
+      assert(rs.count(!_.getAs[Boolean]("is_dup")) == 1, s"class $c")
+    }
+  }
+
   test("q_blob_features matches the frame decoder on a driver-side check") {
     val row = queries.Multimodal.qBlobFeatures(spark, sf)
       .filter("doc_id = 0").head()
