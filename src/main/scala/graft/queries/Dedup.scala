@@ -1888,11 +1888,17 @@ object Dedup {
   def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
+    // the (source, fingerprint) set feeds FOUR independent subplans
+    // (bottom-K, per-source counts, both sides of the exact-intersect
+    // join) — localCheckpoint pins it so the corpus is segmented
+    // once, the passes read the distinct-fingerprint frame (the
+    // q_zipf / RankSplit cost-contract discipline)
     val vals = segmentsOf(docs)
       .join(docs.select($"doc_id", $"source"), "doc_id")
       .select($"source",
         conv(substring($"seg_fp", 1, 15), 16, 10).cast("long").as("h"))
       .distinct()
+      .localCheckpoint()
     val sk = graft.plans.TopKPerKey(vals, Seq("source"),
         Seq("h" -> true), OverlapK)
       .groupBy($"source")
