@@ -79,6 +79,33 @@ object Ann {
   def qAnnBruteforce(s: SparkSession, dir: String): DataFrame =
     topK(scored(s, dir, useBuckets = false, multiProbe = false))
 
+  /** FILTERED vector search — the tenant/category-scoped idiom every
+    * production vector store serves ("top-k among vectors WHERE
+    * label = ?"): each query ranks only corpus vectors sharing its
+    * label, filter-THEN-search (the predicate joins before any
+    * scoring, so no post-filter recall loss — search-then-filter
+    * returns fewer than k when the filter is selective).
+    *
+    * Scale shape: the label predicate rides the equi-join key, so at
+    * rest a label-partitioned layout prunes the scan to the query's
+    * slice (the IVF-list discipline applied to a metadata column) and
+    * the scored candidate set is the label slice, not the corpus;
+    * scoring and top-k are the [[qAnnBruteforce]] machinery (query
+    * side broadcast, two-phase salted top-k). */
+  def qAnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).select($"vec_id", $"label",
+      VectorOps.intVec("embedding").as("iv"))
+      .withColumn("nrm", VectorOps.normSq("iv"))
+    val q = e.filter($"vec_id" < NQueries).select(
+      $"vec_id".as("qid"), $"label".as("qlabel"),
+      $"iv".as("qiv"), $"nrm".as("qnrm"))
+    topK(e.join(broadcast(q), $"label" === $"qlabel" && $"vec_id" =!= $"qid")
+      .withColumn("dot", VectorOps.dot("qiv", "iv"))
+      .withColumn("cosine", VectorOps.cosine($"dot", $"qnrm", $"nrm"))
+      .select($"qid", $"vec_id".as("vid"), $"dot", $"cosine"))
+  }
+
   /** Exact-bucket (single-probe) variant — kept for the recall spec. */
   def annLshSingleProbe(s: SparkSession, dir: String): DataFrame =
     topK(scored(s, dir, useBuckets = true, multiProbe = false))
@@ -415,27 +442,31 @@ object Ann {
        |  FROM c) t
        |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
 
-  private def oracleSql(bucketJoin: Boolean): String = {
+  private def oracleSql(bucketJoin: Boolean,
+    labelJoin: Boolean = false): String = {
     val bucket = VectorOps.Sql.signBucket("embedding", Dedup.BucketDims)
     // multi-probe twin: candidate iff buckets are equal or differ in
     // exactly one plane bit (xor is 0 or a power of two)
     val probeMasks = Dedup.BucketDims.indices.map(1 << _).mkString(", ")
     val bucketCond =
       if (bucketJoin) s" AND xor(bq.bucket, bv.bucket) IN (0, $probeMasks)" else ""
+    val labelCond = if (labelJoin) " AND bq.label = bv.label" else ""
     s"""WITH e AS (
        |  SELECT vec_id, i, CAST(ROUND(CAST(v AS DOUBLE) * ${VectorOps.ScaleLit}) AS BIGINT) AS vi
        |  FROM (SELECT vec_id, unnest(embedding) AS v,
        |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
        |n AS (SELECT vec_id, SUM(vi * vi) AS nrm FROM e GROUP BY vec_id),
-       |b AS (SELECT vec_id, $bucket AS bucket FROM embeddings),
+       |b AS (SELECT vec_id, label, $bucket AS bucket FROM embeddings),
        |pair AS (SELECT bq.vec_id AS qid, bv.vec_id AS vid
        |         FROM b bq JOIN b bv ON bq.vec_id < $NQueries
-       |           AND bv.vec_id <> bq.vec_id$bucketCond),
+       |           AND bv.vec_id <> bq.vec_id$bucketCond$labelCond),
        |${sqlRerankTail("pair")}""".stripMargin
   }
 
   val qAnnBruteforceSql: String = oracleSql(bucketJoin = false)
   val qAnnLshSql: String = oracleSql(bucketJoin = true)
+  val qAnnFilteredSql: String =
+    oracleSql(bucketJoin = false, labelJoin = true)
 
   /** One unrolled integer-Lloyd iteration k of the oracle twin:
     * assign every vector to its (cos desc, cid asc) nearest centroid
@@ -1503,6 +1534,7 @@ object Ann {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
+    "q_ann_filtered" -> (qAnnFiltered _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_pq" -> (qAnnPq _),
@@ -1514,6 +1546,7 @@ object Ann {
 
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce" -> qAnnBruteforceSql,
+    "q_ann_filtered" -> qAnnFilteredSql,
     "q_ann_lsh" -> qAnnLshSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_pq" -> qAnnPqSql,

@@ -260,6 +260,34 @@ class DedupAnnSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q_ann_filtered stays inside each query's label slice with dense ranks") {
+    import spark.implicits._
+    val labels = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val df = queries.Ann.qAnnFiltered(spark, sf).cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // filter-then-search: every neighbor shares its query's label
+    for (r <- rows)
+      assert(labels(r.getAs[Long]("vid")) == labels(r.getAs[Long]("qid")),
+        s"query ${r.getAs[Long]("qid")} leaked label")
+    // ranks are dense from 1 and cosine-monotone within each query
+    for ((_, rs) <- rows.groupBy(_.getAs[Long]("qid"))) {
+      val ranks = rs.map(_.getAs[Int]("rnk")).sorted
+      assert(ranks.toSeq == (1 to ranks.length).toSeq)
+    }
+    assert(df.selectExpr("qid",
+      "cosine - lead(cosine) OVER (PARTITION BY qid ORDER BY rnk) AS step")
+      .filter("step < 0").count() == 0)
+    // a selective filter returns FEWER candidates than the corpus-wide
+    // search ranks — never padded back to k from outside the slice
+    for ((q, rs) <- rows.groupBy(_.getAs[Long]("qid")))
+      assert(rs.length <= 10 &&
+        rs.length <= labels.values.count(_ == labels(q)) - (if (q < 5) 1 else 0))
+    df.unpersist()
+  }
+
   test("q_ann_lsh results are a subset of brute-force candidates' buckets") {
     val df = queries.Ann.qAnnLsh(spark, sf)
     assert(df.count() > 0)
