@@ -1690,8 +1690,6 @@ object Dedup {
   def qSpanDedup(s: SparkSession, dir: String): DataFrame =
     spanDedup(Tables.documents(s, dir))
 
-  /** [[qSpanDedup]] over an arbitrary (doc_id, text) frame — the
-    * spec's planting surface. */
   /** The shared windowing: one row per (doc, offset) with the
     * [[SpanW]]-token window's md5 — used by the batch query and the
     * stored-index lifecycle below, so both see identical windows. */
@@ -1706,18 +1704,17 @@ object Dedup {
       .select($"doc_id", $"pos", $"col".as("fp"))
   }
 
-  def spanDedup(docs: DataFrame): DataFrame = {
+  /** The shared per-doc roll-up over dup-flagged windows: counts +
+    * integer dup percentage, with a left join back to `docs` so
+    * window-less documents keep a zero row — ONE implementation for
+    * the batch query and the stored-index probe, so the documented
+    * incremental ≡ one-shot equivalence cannot drift one-sided. */
+  private def spanRollup(docs: DataFrame, marked: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val w = spanWindows(docs)
-    val win = Window.partitionBy($"fp").orderBy($"doc_id", $"pos")
-    val marked = w
-      .withColumn("rn", row_number().over(win))
-      .withColumn("first_doc", first($"doc_id").over(win))
     val agg = marked.groupBy($"doc_id")
       .agg(count(lit(1)).as("n_win"),
-        sum(when($"rn" > 1, 1L).otherwise(0L)).as("n_dup"),
-        sum(when($"rn" > 1 && $"first_doc" =!= $"doc_id", 1L).otherwise(0L))
-          .as("n_dup_cross"))
+        sum(when($"dup", 1L).otherwise(0L)).as("n_dup"),
+        sum(when($"crossdup", 1L).otherwise(0L)).as("n_dup_cross"))
     docs.select($"doc_id").join(agg, Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"n_win", lit(0L)).as("n_win"),
@@ -1726,6 +1723,19 @@ object Dedup {
       .withColumn("dup_pct",
         when($"n_win" > 0, expr("(100 * n_dup) DIV n_win")).otherwise(lit(0L)))
       .orderBy($"doc_id")
+  }
+
+  /** [[qSpanDedup]] over an arbitrary (doc_id, text) frame — the
+    * spec's planting surface. */
+  def spanDedup(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val win = Window.partitionBy($"fp").orderBy($"doc_id", $"pos")
+    val marked = spanWindows(docs)
+      .withColumn("rn", row_number().over(win))
+      .withColumn("first_doc", first($"doc_id").over(win))
+      .withColumn("dup", $"rn" > 1)
+      .withColumn("crossdup", $"rn" > 1 && $"first_doc" =!= $"doc_id")
+    spanRollup(docs, marked)
   }
 
   /** Oracle twin of [[qSpanDedup]] — same windows, same global
@@ -1775,6 +1785,26 @@ object Dedup {
   private def spanBk(fp: Column): Column =
     pmod(conv(substring(fp, 1, 15), 16, 10).cast("long"), lit(SpanBuckets))
 
+  /** Declared index schema — reads go through it so a LEGITIMATELY
+    * empty index (a corpus whose docs are all shorter than one
+    * window writes zero data files, only the `_SUCCESS` marker) is an
+    * empty frame, not an unreadable table: schema inference over a
+    * file-less root throws, and since the fold probe reads before it
+    * appends, an empty index could otherwise never grow out of its
+    * emptiness. */
+  private val SpanIndexSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("fp",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("first_doc",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("first_pos",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bk",
+      org.apache.spark.sql.types.LongType)))
+
+  private def readSpanIndex(s: SparkSession, path: String): DataFrame =
+    s.read.schema(SpanIndexSchema).parquet(path)
+
   /** Per-batch first occurrence of every window fingerprint. */
   private def spanFirsts(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
@@ -1804,9 +1834,14 @@ object Dedup {
     import s.implicits._
     require(graft.sources.Catalog.tableComplete(s, path),
       s"$path is not a complete span index — build it first")
+    // pinned: the bucket collect and the main probe both consume the
+    // ×L window explode — without the checkpoint the batch would be
+    // re-tokenized and re-hashed once per consumer (the qSourceOverlap
+    // cost-contract discipline)
     val w = spanWindows(batch).withColumn("bk", spanBk($"fp"))
+      .localCheckpoint()
     val bks = w.select($"bk").distinct().collect().map(_.getLong(0))
-    val stored = s.read.parquet(path)
+    val stored = readSpanIndex(s, path)
       .filter($"bk".isin(bks.toSeq: _*))
       .select($"fp", $"first_doc".as("st_doc"))
     val win = Window.partitionBy($"fp").orderBy($"doc_id", $"pos")
@@ -1817,18 +1852,7 @@ object Dedup {
       .withColumn("crossdup",
         ($"st_doc".isNotNull && $"st_doc" =!= $"doc_id") ||
           ($"st_doc".isNull && $"rn" > 1 && $"bfirst" =!= $"doc_id"))
-    val agg = marked.groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_win"),
-        sum(when($"dup", 1L).otherwise(0L)).as("n_dup"),
-        sum(when($"crossdup", 1L).otherwise(0L)).as("n_dup_cross"))
-    batch.select($"doc_id").join(agg, Seq("doc_id"), "left")
-      .select($"doc_id",
-        coalesce($"n_win", lit(0L)).as("n_win"),
-        coalesce($"n_dup", lit(0L)).as("n_dup"),
-        coalesce($"n_dup_cross", lit(0L)).as("n_dup_cross"))
-      .withColumn("dup_pct",
-        when($"n_win" > 0, expr("(100 * n_dup) DIV n_win")).otherwise(lit(0L)))
-      .orderBy($"doc_id")
+    spanRollup(batch, marked)
   }
 
   /** Fold a checked batch's NEW fingerprints into the index — stored
@@ -1849,13 +1873,18 @@ object Dedup {
     val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(root, s"_span_fold_${keyOpt.get}")
     if (f.exists(marker)) return
-    val firsts = spanFirsts(batch)
+    // pinned: bucket collect + anti-join probe both consume the
+    // windowing (see spanDedupNewDocs)
+    val firsts = spanFirsts(batch).localCheckpoint()
     val bks = firsts.select($"bk").distinct().collect().map(_.getLong(0))
     if (bks.nonEmpty) {
-      val stored = s.read.parquet(path).filter($"bk".isin(bks.toSeq: _*))
+      val stored = readSpanIndex(s, path).filter($"bk".isin(bks.toSeq: _*))
         .select($"fp")
       val fresh = firsts.join(stored, Seq("fp"), "left_anti")
-      graft.sources.Catalog.appendPartitioned(s, fresh, path, Seq("bk"))
+      // declared schema: appending to a legitimately EMPTY index must
+      // not trip over schema inference on a file-less table root
+      graft.sources.Catalog.appendPartitioned(s, fresh, path, Seq("bk"),
+        tableSchema = Some(SpanIndexSchema))
     }
     f.create(marker, true).close()
     gcFoldMarkers(f, root, "_span_fold_")

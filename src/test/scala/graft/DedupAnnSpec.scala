@@ -88,6 +88,20 @@ class DedupAnnSpec extends AnyFunSuite {
       .count() > 0, "b2's genuinely-new windows must land")
     assert(spark.read.parquet(idx).groupBy("fp").count()
       .filter(col("count") > 1).count() == 0, "duplicate fp rows in index")
+    // a LEGITIMATELY empty index (every doc shorter than one window
+    // writes zero data files) must stay probe-able and growable —
+    // schema inference over the file-less root would otherwise wedge
+    // the lifecycle permanently
+    val empty = java.nio.file.Files.createTempDirectory("graft_spanidx0")
+      .toString + "/idx"
+    assert(queries.Dedup.buildSpanIndex(spark,
+      Seq((0L, "too short")).toDF("doc_id", "text"), empty))
+    val viaEmpty = queries.Dedup.spanDedupNewDocs(spark, empty, b2).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_dup")).toMap
+    assert(viaEmpty(11L) == 0L, "nothing at rest, nothing duplicated")
+    queries.Dedup.updateSpanIndex(spark, empty, b2)
+    assert(spark.read.parquet(empty).count() > 0,
+      "the empty index must grow out of its emptiness")
   }
 
   test("q_source_overlap matches a brute-force KMV + exact-Jaccard recompute") {
