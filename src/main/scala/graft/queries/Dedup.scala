@@ -1782,6 +1782,12 @@ object Dedup {
   /** Fingerprint-bucket partition count of the span index. */
   val SpanBuckets = 16L
 
+  /** Ingest drop threshold: a doc whose cross-document duplicated-
+    * window share reaches this percentage is mostly someone else's
+    * content (the C4/RefinedWeb "largely duplicated document" rule)
+    * and is dropped at streaming ingest rather than landed. */
+  val SpanDupMaxPct = 60L
+
   private def spanBk(fp: Column): Column =
     pmod(conv(substring(fp, 1, 15), 16, 10).cast("long"), lit(SpanBuckets))
 

@@ -108,7 +108,8 @@ object DocStream {
     * boilerplate converge to one stored copy. */
   def appendDocs(s: SparkSession, path: String, rawBatch: DataFrame,
     benchIndexPath: Option[String] = None,
-    lineIndexPath: Option[String] = None): Unit = {
+    lineIndexPath: Option[String] = None,
+    spanIndexPath: Option[String] = None): Unit = {
     import s.implicits._
     val stored = s.read.parquet(path)
     // the fingerprint scheme changed once (64-bit xxhash64 long →
@@ -153,7 +154,22 @@ object DocStream {
           .filter(length($"text") > 0)
           .drop("n_removed", "text_clean")
       }
-      val batch0 = dedupBatch(withFp(scrubbed))
+      // span gate: a doc whose CROSS-document duplicated-window share
+      // (vs the stored span index plus earlier batch docs) reaches
+      // the threshold is mostly someone else's content — drop it
+      // before it costs fingerprinting and an at-rest probe. Runs on
+      // the SCRUBBED text (the content that would land), pinned once
+      // because the span stats and the join-back both consume it.
+      val spanChecked = spanIndexPath.fold(scrubbed) { idx =>
+        val sp = scrubbed.localCheckpoint(true)
+        val tooDup = graft.queries.Dedup.spanDedupNewDocs(s, idx, sp)
+          .filter($"n_win" > 0 &&
+            expr("(100 * n_dup_cross) DIV n_win") >=
+              graft.queries.Dedup.SpanDupMaxPct)
+          .select($"doc_id")
+        sp.join(tooDup, Seq("doc_id"), "left_anti")
+      }
+      val batch0 = dedupBatch(withFp(spanChecked))
       // localCheckpoint, NOT persist: the fold below OVERWRITES the
       // index files this plan reads through the scrub, and Spark's
       // write-path refreshByPath would invalidate a mere cache — the
@@ -173,6 +189,16 @@ object DocStream {
       lineIndexPath.foreach(graft.queries.Dedup.updateLineDfIndex(s, _, fresh))
       Catalog.appendPartitioned(s, fresh, path, Seq("bk"),
         tableSchema = Some(stored.schema))
+      // span fold AFTER the append commits — the opposite order from
+      // the line-df fold, because the residual windows point opposite
+      // ways: an over-folded segment-df only tightens a ≥-threshold
+      // scrub (benign), but an over-folded span index would flag
+      // content as at-rest that never landed and DROP future copies
+      // of it (destructive). Fold-after leaves the benign residual: a
+      // crash between append and fold misses one batch's windows, so
+      // one later partial copy escapes the drop rule — never data
+      // loss. A replayed batch anti-joins away and folds nothing.
+      spanIndexPath.foreach(graft.queries.Dedup.updateSpanIndex(s, _, fresh))
     } finally if (lineIndexPath.isDefined) { cleanP.unpersist(false); () }
   }
 
@@ -187,7 +213,8 @@ object DocStream {
   def ingestDocStream(docs: DataFrame, corpusPath: String,
     checkpointPath: String,
     benchIndexPath: Option[String] = None,
-    lineIndexPath: Option[String] = None): StreamingQuery =
+    lineIndexPath: Option[String] = None,
+    spanIndexPath: Option[String] = None): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -197,7 +224,8 @@ object DocStream {
         val b = batch.persist()
         try {
           Catalog.recoverAppends(s, corpusPath)
-          appendDocs(s, corpusPath, b, benchIndexPath, lineIndexPath)
+          appendDocs(s, corpusPath, b, benchIndexPath, lineIndexPath,
+            spanIndexPath)
         } finally { b.unpersist(false); () }
       }
       .start()

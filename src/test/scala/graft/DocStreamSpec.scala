@@ -65,6 +65,41 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingest drops mostly-copied docs via the stored span index; survivors fold after landing") {
+    val dir = java.nio.file.Files.createTempDirectory("doc_span").toString
+    val (corpus, idx) = (s"$dir/clean", s"$dir/span_idx")
+    def copier(src: String, tag: String): String =
+      (src.split(" ").take(40) ++ (0 until 5).map(i => s"${tag}n$i")).mkString(" ")
+    val base = Seq((1L, doc("a"), "s0")).toDF("doc_id", "text", "source")
+    assert(DocStream.buildCleanCorpus(spark, base, corpus))
+    assert(queries.Dedup.buildSpanIndex(spark, base.select($"doc_id", $"text"), idx))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = DocStream.ingestDocStream(
+      input.toDF().toDF("doc_id", "text", "source"), corpus, s"$dir/ckpt",
+      spanIndexPath = Some(idx))
+    try {
+      input.addData(
+        (10L, doc("b"), "s1"),              // fresh -> lands, then folds
+        (11L, copier(doc("a"), "x"), "s1")) // 33/38 windows are doc 1's -> dropped
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).select($"doc_id").as[Long]
+        .collect().toSet == Set(1L, 10L), "the 86%-copied doc must be dropped")
+      // the survivor's windows folded into the index AFTER landing
+      assert(spark.read.parquet(idx).filter($"first_doc" === 10L).count() > 0,
+        "landed content must fold into the span index")
+      // a later batch copying the batch-1 SURVIVOR is now caught too
+      input.addData(
+        (12L, copier(doc("b"), "y"), "s2"), // mostly doc 10's content
+        (13L, doc("c"), "s2"))              // fresh -> lands
+      q.processAllAvailable()
+      assert(spark.read.parquet(corpus).select($"doc_id").as[Long]
+        .collect().toSet == Set(1L, 10L, 13L),
+        "content landed by an earlier batch must gate later copiers")
+    } finally q.stop()
+  }
+
   test("ingest scrubs boilerplate via the stored segment-df index: non-retroactive, replay-exact, raw text preserved") {
     val dir = java.nio.file.Files.createTempDirectory("doc_linededup").toString
     val corpus = s"$dir/clean"
