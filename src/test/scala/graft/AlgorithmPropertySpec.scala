@@ -44,6 +44,61 @@ class AlgorithmPropertySpec extends AnyFunSuite {
     assert(meanErr < 0.05, s"mean |est-exact| = $meanErr")
   }
 
+  test("KMV bottom-K Jaccard: exact at full coverage, within statistical error under it") {
+    // the qSourceOverlap estimator in driver form: bottom-K of the
+    // union, counted against both bottom-K sketches
+    def est(a: Set[Long], b: Set[Long], k: Int): Double = {
+      val (ska, skb) = (a.toSeq.sorted.take(k).toSet, b.toSeq.sorted.take(k).toSet)
+      val merged = (ska | skb).toSeq.sorted.take(k)
+      merged.count(v => ska(v) && skb(v)).toDouble / merged.size
+    }
+    def randSet(n: Int): Set[Long] =
+      Set.fill(n)(rng.nextLong() & Long.MaxValue)
+    var totalErr = 0.0
+    val trials = 40
+    for (_ <- 1 to trials) {
+      val shared = randSet(200 + rng.nextInt(200))
+      val a = shared ++ randSet(100 + rng.nextInt(300))
+      val b = shared ++ randSet(100 + rng.nextInt(300))
+      val exact = (a & b).size.toDouble / (a | b).size
+      // K >= |A ∪ B|: the sketch IS the set, the estimate is exact
+      assert(est(a, b, 4096) == exact)
+      totalErr += math.abs(est(a, b, 128) - exact)
+    }
+    // K=128 => sd ≈ sqrt(j(1-j)/128) <= 0.045; mean abs err well under
+    val meanErr = totalErr / trials
+    assert(meanErr < 0.07, s"mean |est-exact| = $meanErr")
+  }
+
+  test("span dedup conservation: total duplicated windows = windows minus distinct fingerprints") {
+    import SparkTestSession._
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val W = queries.Dedup.SpanW
+    // random docs over a small vocab so windows genuinely collide
+    val docs = (0L until 30L).map { id =>
+      (id, Seq.fill(W + rng.nextInt(4 * W))(vocab(rng.nextInt(6))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = queries.Dedup.spanDedup(docs).collect()
+    // per-doc sanity: cross-dups are dups, dups are windows
+    for (r <- out) {
+      assert(r.getAs[Long]("n_dup_cross") <= r.getAs[Long]("n_dup"))
+      assert(r.getAs[Long]("n_dup") <= r.getAs[Long]("n_win"))
+    }
+    // conservation: every window beyond its fingerprint's first
+    // occurrence is a dup, regardless of which doc holds it
+    val totWin = out.map(_.getAs[Long]("n_win")).sum
+    val totDup = out.map(_.getAs[Long]("n_dup")).sum
+    val distinctFps = docs
+      .select(explode(expr(
+        s"""transform(sequence(0, size(filter(split(text, ' '), x -> x != '')) - $W),
+           |i -> md5(array_join(slice(filter(split(text, ' '), x -> x != ''), i + 1, $W), ' ')))"""
+          .stripMargin)).as("fp"))
+      .agg(countDistinct($"fp")).head().getLong(0)
+    assert(totDup == totWin - distinctFps,
+      s"dup conservation broke: $totDup != $totWin - $distinctFps")
+  }
+
   test("native vector kernels equal the declarative HOF results") {
     import SparkTestSession._
     import org.apache.spark.sql.functions._
