@@ -85,6 +85,59 @@ object Spatial {
        |WHERE dist_r6 < 25.0 ORDER BY k""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Annulus width of the radial profile, degrees. */
+  private val ProfBinDeg = 2.5
+  private val TwoPi = "6.283185307179586"
+
+  /** Radial (annular) profile around the cone center — the standard
+    * cluster/density-profile query an astronomer runs right after a
+    * cone search: source counts and surface density per 2.5° annulus
+    * out to the cone radius, with the EXACT spherical annulus area
+    * 2π(cos r₁ − cos r₂) rather than the flat-sky π(r₂²−r₁²)
+    * approximation (3% wrong already at 25°). Counts are exact; the
+    * area/density doubles come from one identical literal expression
+    * tree in both engines.
+    *
+    * Scale shape: the same single pruned scan as the cone search (at
+    * rest the (zone, ra-cell) layout prunes to the disc's cells) into
+    * ONE combinable aggregate on ~radius/width keys — the profile is
+    * free once the cone is paid for. */
+  def qRadialProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    points(s, dir)
+      .withColumn("dist_r6",
+        round(distDeg($"ra", $"decl", lit(180.0), lit(20.0)), 6))
+      .filter($"dist_r6" < 25.0)
+      .withColumn("bin", floor($"dist_r6" / ProfBinDeg).cast("long"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r_lo", $"bin" * ProfBinDeg)
+      .withColumn("r_hi", ($"bin" + 1) * ProfBinDeg)
+      .withColumn("area_sr",
+        expr(s"$TwoPi * (cos(r_lo * $Rad) - cos(r_hi * $Rad))"))
+      .withColumn("dens_per_sr", $"n" / $"area_sr")
+      .orderBy($"bin")
+  }
+
+  /** Oracle twin of [[qRadialProfile]] — 2.5 is cast to DOUBLE
+    * everywhere (a bare decimal literal is DECIMAL in DuckDB and
+    * would carry exact-decimal arithmetic where Spark runs IEEE). */
+  val qRadialProfileSql: String =
+    s"""WITH c AS (
+       |  SELECT ROUND(${distDegSql("ra", "decl", "180.0", "20.0")}, 6) AS dist_r6
+       |  FROM ($pointsSql) p),
+       |g AS (SELECT CAST(FLOOR(dist_r6 / CAST(2.5 AS DOUBLE)) AS BIGINT) AS bin,
+       |    COUNT(*) AS n
+       |  FROM c WHERE dist_r6 < 25.0 GROUP BY 1)
+       |SELECT bin, n, bin * CAST(2.5 AS DOUBLE) AS r_lo,
+       |  (bin + 1) * CAST(2.5 AS DOUBLE) AS r_hi,
+       |  $TwoPi * (COS(bin * CAST(2.5 AS DOUBLE) * $Rad)
+       |    - COS((bin + 1) * CAST(2.5 AS DOUBLE) * $Rad)) AS area_sr,
+       |  n / ($TwoPi * (COS(bin * CAST(2.5 AS DOUBLE) * $Rad)
+       |    - COS((bin + 1) * CAST(2.5 AS DOUBLE) * $Rad))) AS dens_per_sr
+       |FROM g ORDER BY bin""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Box search: ra ∈ [30, 90), dec ∈ [−30, 30) — pure comparisons,
     * exact parity. */
   def qBoxSearch(s: SparkSession, dir: String): DataFrame = {
@@ -854,6 +907,7 @@ object Spatial {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cone_search" -> (qConeSearch _),
+    "q_radial_profile" -> (qRadialProfile _),
     "q_box_search" -> (qBoxSearch _),
     "q_zone_xmatch" -> (qZoneXmatch _),
     "q_xmatch_2cat" -> (qXmatch2cat _),
@@ -869,6 +923,7 @@ object Spatial {
 
   val oracles: Map[String, String] = Map(
     "q_cone_search" -> qConeSearchSql,
+    "q_radial_profile" -> qRadialProfileSql,
     "q_box_search" -> qBoxSearchSql,
     "q_zone_xmatch" -> qZoneXmatchSql,
     "q_xmatch_2cat" -> qXmatch2catSql,

@@ -18,6 +18,31 @@ class SpatialSpec extends AnyFunSuite {
     assert(df.filter("dist_r6 >= 25.0 OR dist_r6 < 0").count() == 0)
   }
 
+  test("q_radial_profile partitions the cone exactly; spherical areas are sane") {
+    val cone = queries.Spatial.qConeSearch(spark, sf).collect()
+      .map(_.getAs[Double]("dist_r6"))
+    val prof = queries.Spatial.qRadialProfile(spark, sf).collect()
+      .map(r => r.getAs[Long]("bin") -> r).toMap
+    // annuli tile the cone: per-bin counts equal a driver-side rebin,
+    // and nothing is lost or double-counted
+    val want = cone.groupBy(d => math.floor(d / 2.5).toLong).view.mapValues(_.length)
+    assert(prof.keySet == want.keys.toSet)
+    for ((b, n) <- want) assert(prof(b).getAs[Long]("n") == n.toLong, s"bin $b")
+    assert(prof.values.map(_.getAs[Long]("n")).sum == cone.length)
+    for (r <- prof.values) {
+      val (lo, hi) = (r.getAs[Double]("r_lo"), r.getAs[Double]("r_hi"))
+      assert(hi == lo + 2.5)
+      // spherical annulus area: positive, and at fixed width GROWS
+      // with radius on this side of 90°
+      assert(r.getAs[Double]("area_sr") > 0)
+      assert(r.getAs[Double]("dens_per_sr") ==
+        r.getAs[Long]("n") / r.getAs[Double]("area_sr"))
+    }
+    val areas = prof.toSeq.sortBy(_._1).map(_._2.getAs[Double]("area_sr"))
+    assert(areas.zip(areas.tail).forall { case (a, b) => b > a },
+      "annulus areas must grow with radius below 90 degrees")
+  }
+
   test("q_zone_xmatch plan has no cartesian or nested-loop join") {
     val plan = queries.Spatial.qZoneXmatch(spark, sf)
       .queryExecution.executedPlan.toString
