@@ -1240,6 +1240,74 @@ object TimeSeries {
        |ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Cross-band flux correlation per object — the chromatic-
+    * variability statistic that separates achromatic variables
+    * (eclipses, most pulsators: g and r move together, corr → 1)
+    * from color-variable sources (AGN, chromatic flares): Pearson
+    * correlation between the g- and r-band per-VISIT flux sums,
+    * paired on the shared visit id (the `ccdvisit` hour bucket).
+    * Sufficient statistics are exact integers; the correlation's
+    * numerator and both denominator factors are exact bigints
+    * (columns, hash-checked) and the IEEE tail is num /
+    * (√den_g · √den_r) — two sqrts then one multiply, NOT
+    * √(den_g·den_r), whose product overflows 64 bits at realistic
+    * cadence; identical tree in the oracle. Objects with fewer than
+    * 2 paired visits or a constant band report NULL.
+    *
+    * Scale shape: one combinable aggregate on (object, visit) pairs
+    * the bands via conditional aggregation (no pivot, no self-join),
+    * one more on the object key folds the sufficient statistics —
+    * two shuffles, both on keys that grow with the catalog. */
+  def qCrossbandCorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val paired = bandedSeries(s, dir)
+      .filter($"band".isin("g", "r"))
+      .withColumn("visitId", expr(s"tus DIV $VisitUs"))
+      .groupBy($"user_id", $"visitId")
+      .agg(sum(when($"band" === "g", $"xc")).as("gc"),
+        sum(when($"band" === "r", $"xc")).as("rc"))
+      .filter($"gc".isNotNull && $"rc".isNotNull)
+    paired
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"gc").as("sg"), sum($"rc").as("sr"),
+        sum($"gc" * $"rc").as("sgr"),
+        sum($"gc" * $"gc").as("sgg"), sum($"rc" * $"rc").as("srr"))
+      .withColumn("corr_num", $"n" * $"sgr" - $"sg" * $"sr")
+      .withColumn("den_g", $"n" * $"sgg" - $"sg" * $"sg")
+      .withColumn("den_r", $"n" * $"srr" - $"sr" * $"sr")
+      .withColumn("corr_gr",
+        when($"n" >= 2 && $"den_g" > 0 && $"den_r" > 0,
+          $"corr_num" / (sqrt($"den_g") * sqrt($"den_r"))))
+      .select($"user_id", $"n", $"corr_num", $"den_g", $"den_r", $"corr_gr")
+      .orderBy($"user_id")
+  }
+
+  val qCrossbandCorrSql: String =
+    s"""WITH b AS (SELECT user_id, epoch_us(ts) // $VisitUs AS visitId,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc, $BandCaseSql AS band
+       |  FROM events),
+       |p AS (SELECT user_id, visitId,
+       |    SUM(CASE WHEN band = 'g' THEN xc END) AS gc,
+       |    SUM(CASE WHEN band = 'r' THEN xc END) AS rc
+       |  FROM b WHERE band IN ('g', 'r') GROUP BY 1, 2),
+       |a AS (SELECT user_id, COUNT(*) AS n,
+       |    CAST(SUM(gc) AS BIGINT) AS sg, CAST(SUM(rc) AS BIGINT) AS sr,
+       |    CAST(SUM(gc*rc) AS BIGINT) AS sgr,
+       |    CAST(SUM(gc*gc) AS BIGINT) AS sgg,
+       |    CAST(SUM(rc*rc) AS BIGINT) AS srr
+       |  FROM p WHERE gc IS NOT NULL AND rc IS NOT NULL GROUP BY 1)
+       |SELECT user_id, n,
+       |  CAST(n*sgr - sg*sr AS BIGINT) AS corr_num,
+       |  CAST(n*sgg - sg*sg AS BIGINT) AS den_g,
+       |  CAST(n*srr - sr*sr AS BIGINT) AS den_r,
+       |  CASE WHEN n >= 2 AND n*sgg - sg*sg > 0 AND n*srr - sr*sr > 0
+       |    THEN (n*sgr - sg*sr) / (SQRT(CAST(n*sgg - sg*sg AS DOUBLE))
+       |      * SQRT(CAST(n*srr - sr*sr AS DOUBLE)))
+       |  END AS corr_gr
+       |FROM a ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Robust per-object variability via the median absolute deviation
     * — the sigmaMAD statistic LSST's variability pipelines prefer over
     * the plain standard deviation (one flaring outlier epoch cannot
@@ -1412,7 +1480,8 @@ object TimeSeries {
     "q_structure_function" -> (qStructureFunction _),
     "q_visit_calib" -> (qVisitCalib _),
     "q_proper_motion" -> (qProperMotion _),
-    "q_mad" -> (qMad _))
+    "q_mad" -> (qMad _),
+    "q_crossband_corr" -> (qCrossbandCorr _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -1443,5 +1512,6 @@ object TimeSeries {
     "q_structure_function" -> qStructureFunctionSql,
     "q_visit_calib" -> qVisitCalibSql,
     "q_proper_motion" -> qProperMotionSql,
-    "q_mad" -> qMadSql)
+    "q_mad" -> qMadSql,
+    "q_crossband_corr" -> qCrossbandCorrSql)
 }

@@ -156,6 +156,45 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(pr.getAs[Long]("mad_c100") == 0L && pr.getAs[Double]("sigma_mad_c100") == 0.0)
   }
 
+  test("q_crossband_corr matches a driver-side Pearson recompute over paired visits") {
+    import spark.implicits._
+    val got = queries.TimeSeries.qCrossbandCorr(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.nonEmpty)
+    val vu = queries.TimeSeries.VisitUs
+    val byObj = Tables.events(spark, sf)
+      .select($"user_id", expr("ts DIV 1000").as("tus"),
+        round($"value" * 100).cast("long").as("xc"),
+        expr(queries.TimeSeries.BandCaseSql).as("band"))
+      .filter($"band".isin("g", "r")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / vu, r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    for ((uid, rows) <- byObj) {
+      val byVisit = rows.groupBy(_._2).flatMap { case (_, vs) =>
+        val g = vs.filter(_._4 == "g").map(_._3)
+        val r = vs.filter(_._4 == "r").map(_._3)
+        if (g.nonEmpty && r.nonEmpty) Some((g.sum, r.sum)) else None
+      }.toSeq
+      if (byVisit.isEmpty) assert(!got.contains(uid), s"object $uid")
+      else {
+        val n = byVisit.size.toLong
+        val (sg, sr) = (byVisit.map(_._1).sum, byVisit.map(_._2).sum)
+        val num = n * byVisit.map(p => p._1 * p._2).sum - sg * sr
+        val dg = n * byVisit.map(p => p._1 * p._1).sum - sg * sg
+        val dr = n * byVisit.map(p => p._2 * p._2).sum - sr * sr
+        val row = got(uid)
+        assert(row.getAs[Long]("n") == n && row.getAs[Long]("corr_num") == num,
+          s"object $uid")
+        assert(row.getAs[Long]("den_g") == dg && row.getAs[Long]("den_r") == dr)
+        if (n >= 2 && dg > 0 && dr > 0) {
+          val c = row.getAs[Double]("corr_gr")
+          assert(c == num / (math.sqrt(dg.toDouble) * math.sqrt(dr.toDouble)))
+          assert(c >= -1.0000001 && c <= 1.0000001, s"object $uid corr $c")
+        } else assert(row.isNullAt(row.fieldIndex("corr_gr")))
+      }
+    }
+  }
+
   test("q_range_nbr neighbor counts are symmetric and within the window") {
     val df = queries.TimeSeries.qRangeNbr(spark, sf).cache()
     // every (a,b) neighbor pair contributes to both a's and b's count,
