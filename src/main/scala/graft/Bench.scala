@@ -113,7 +113,10 @@ object Bench {
     "q_mad",
     // tokenizer fertility — one codegen tokenization scan + a 20-key
     // aggregate; regresses if the scan grows an explode or a join
-    "q_bpe_fertility")
+    "q_bpe_fertility",
+    // annular profile (the cone scan + one ~10-key aggregate) and the
+    // chromatic-variability pairing (two object-prefixed shuffles)
+    "q_radial_profile", "q_crossband_corr")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */
