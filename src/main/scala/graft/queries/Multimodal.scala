@@ -185,7 +185,7 @@ object Multimodal {
       .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
     hashed.join(canon, "sha256")
       .select($"doc_id", $"sha256", $"canonical_id", $"n_copies",
-        ($"doc_id" =!= $"canonical_id").as("is_dup"))
+        ($"doc_id" =!= $"canonical_id").cast("int").as("is_dup"))
       .orderBy($"doc_id")
   }
 
@@ -195,7 +195,7 @@ object Multimodal {
       |    COUNT(*) AS n_copies
       |  FROM h GROUP BY 1)
       |SELECT doc_id, sha256, canonical_id, n_copies,
-      |  doc_id != canonical_id AS is_dup
+      |  CAST(doc_id != canonical_id AS INT) AS is_dup
       |FROM h JOIN c USING (sha256) ORDER BY doc_id""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1100,7 +1100,7 @@ object Text {
       .withColumn("u_milli", expr(
         "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) " +
           "AS BIGINT) % 2000"))
-      .withColumn("keep", $"u_milli" < $"srate_milli")
+      .withColumn("keep", ($"u_milli" < $"srate_milli").cast("int"))
       .orderBy($"doc_id")
   }
 
@@ -1132,8 +1132,8 @@ object Text {
        |  CASE WHEN n_toks > 0 THEN score // n_toks ELSE 0 END AS srate_milli,
        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 2000
        |    AS u_milli,
-       |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 2000
-       |    < CASE WHEN n_toks > 0 THEN score // n_toks ELSE 0 END AS keep
+       |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 2000
+       |    < CASE WHEN n_toks > 0 THEN score // n_toks ELSE 0 END AS INT) AS keep
        |FROM d ORDER BY doc_id""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

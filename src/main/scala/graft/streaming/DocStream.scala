@@ -177,8 +177,12 @@ object DocStream {
       // POST-fold index and land different text than was counted.
       // Checkpointing BEFORE the bucket collect truncates the
       // index-reading lineage once, so the collect, anti-join, fold,
-      // and append all read one materialized scrub.
-      val batch = if (lineIndexPath.isDefined) batch0.localCheckpoint(true)
+      // and append all read one materialized scrub. The span path
+      // needs the same fence for cost, not correctness: without it
+      // the span-gate probe (index join + two rank windows + roll-up
+      // + anti-join) re-executes under every downstream action.
+      val batch = if (lineIndexPath.isDefined || spanIndexPath.isDefined)
+        batch0.localCheckpoint(true)
         else batch0
       val bks = batch.select($"bk").distinct().collect().map(_.getLong(0)).toSeq
       val fresh =
@@ -224,6 +228,12 @@ object DocStream {
         val b = batch.persist()
         try {
           Catalog.recoverAppends(s, corpusPath)
+          // the span index appends through the same staged-append
+          // protocol — a crash inside its fold would otherwise leave
+          // a _tmp_append_ staging dir that wedges every later fold
+          // (stagedAppend refuses while one is pending), and unlike
+          // the corpus path nothing else heals it
+          spanIndexPath.foreach(Catalog.recoverAppends(s, _))
           appendDocs(s, corpusPath, b, benchIndexPath, lineIndexPath,
             spanIndexPath)
         } finally { b.unpersist(false); () }

@@ -89,6 +89,11 @@ class DocStreamSpec extends AnyFunSuite {
       // the survivor's windows folded into the index AFTER landing
       assert(spark.read.parquet(idx).filter($"first_doc" === 10L).count() > 0,
         "landed content must fold into the span index")
+      // a predecessor's crash inside the span-index FOLD leaves a
+      // staging dir that would wedge every later fold — the ingest
+      // loop must heal the index path too, not just the corpus
+      val wedge = new java.io.File(s"$idx/_tmp_append_deadbeef")
+      assert(wedge.mkdirs())
       // a later batch copying the batch-1 SURVIVOR is now caught too
       input.addData(
         (12L, copier(doc("b"), "y"), "s2"), // mostly doc 10's content
@@ -97,6 +102,9 @@ class DocStreamSpec extends AnyFunSuite {
       assert(spark.read.parquet(corpus).select($"doc_id").as[Long]
         .collect().toSet == Set(1L, 10L, 13L),
         "content landed by an earlier batch must gate later copiers")
+      assert(!wedge.exists(), "crashed span-index staging dir must be healed")
+      assert(spark.read.parquet(idx).filter($"first_doc" === 13L).count() > 0,
+        "the fold after healing must land the fresh doc's windows")
     } finally q.stop()
   }
 

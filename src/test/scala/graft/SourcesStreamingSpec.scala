@@ -37,14 +37,14 @@ class MultimodalSpec extends AnyFunSuite {
     assert(blob.keySet == txt.keySet)
     for ((id, r) <- blob) {
       assert(r.getAs[Long]("canonical_id") == txt(id)._1, s"doc $id")
-      assert(r.getAs[Boolean]("is_dup") == (txt(id)._2 == 1), s"doc $id")
+      assert(r.getAs[Int]("is_dup") == txt(id)._2, s"doc $id")
     }
     // n_copies is the population of the doc's content class, and every
     // class has exactly one non-dup member (its canonical)
     val byCanon = blob.values.groupBy(_.getAs[Long]("canonical_id"))
     for ((c, rs) <- byCanon) {
       assert(rs.forall(_.getAs[Long]("n_copies") == rs.size.toLong), s"class $c")
-      assert(rs.count(!_.getAs[Boolean]("is_dup")) == 1, s"class $c")
+      assert(rs.count(_.getAs[Int]("is_dup") == 0) == 1, s"class $c")
     }
   }
 

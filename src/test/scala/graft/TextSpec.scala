@@ -46,7 +46,8 @@ class TextSpec extends AnyFunSuite {
       val srate = if (toks.nonEmpty) score / toks.length else 0L
       assert(r.getAs[Long]("srate_milli") == srate, s"doc $id")
       val u = java.lang.Long.parseLong(md5hex(id.toString).take(4), 16) % 2000
-      assert(r.getAs[Long]("u_milli") == u && r.getAs[Boolean]("keep") == (u < srate))
+      assert(r.getAs[Long]("u_milli") == u &&
+        r.getAs[Int]("keep") == (if (u < srate) 1 else 0))
       srateByLang(lang) = srate :: srateByLang.getOrElse(lang, Nil)
     }
     // directional: target-language docs score above any other slice's mean
