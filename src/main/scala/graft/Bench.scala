@@ -116,7 +116,10 @@ object Bench {
     "q_bpe_fertility",
     // annular profile (the cone scan + one ~10-key aggregate) and the
     // chromatic-variability pairing (two object-prefixed shuffles)
-    "q_radial_profile", "q_crossband_corr")
+    "q_radial_profile", "q_crossband_corr",
+    // shard-mix diversity — RankSplit running weight + two combinable
+    // aggregates; regresses if the global cumsum becomes one window
+    "q_mix_diversity")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

@@ -1041,6 +1041,71 @@ object Text {
        |FROM f ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Shard mixing diversity — the check a trainer runs on packed
+    * shards: are sources INTERLEAVED, or does a shard degenerate into
+    * one source (sequential-source shards destabilize training)?
+    * Docs are ordered by a deterministic content-independent
+    * interleave key (md5 of the doc id — the "global shuffle" a
+    * pipeline would bake in), cut into [[PackBudget]]-token shards on
+    * the running token sum, and each shard reports its source
+    * composition: distinct sources, the dominant source's share, and
+    * Simpson/Gini diversity 1 − Σ(n_s/n)² in exact ppm (an entropy
+    * surrogate that stays in integer space — no cross-engine log).
+    *
+    * Scale shape: the global running sum runs on [[RankSplit]]'s
+    * histogram-split running weight (cell-bounded sorts — a plain
+    * global window would funnel the corpus through ONE task), then
+    * two combinable aggregates ((shard, source) → shard). The
+    * RankSplit input is a cheap projection re-derived per pass (its
+    * documented contract; the scan is the cost floor anyway). */
+  def qMixDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir).select($"doc_id", $"source",
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("toks"),
+      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) " +
+        "AS BIGINT)").as("h"))
+    val ranked = graft.operators.RankSplit.rank(base, Seq.empty, "h",
+      Seq("h", "doc_id"), weightCol = Some("toks"))
+    val perSrc = ranked
+      .withColumn("shard",
+        expr(s"(${graft.operators.RankSplit.CumWCol} - toks) DIV $PackBudget"))
+      .groupBy($"shard", $"source")
+      .agg(count(lit(1)).as("n_s"))
+    perSrc.groupBy($"shard")
+      .agg(sum($"n_s").as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        max($"n_s").as("n_top"),
+        sum($"n_s" * $"n_s").as("sq"))
+      .select($"shard", $"n_docs", $"n_sources",
+        expr("CAST((100 * n_top) DIV n_docs AS BIGINT)").as("top_share_pct"),
+        expr("CAST(1000000 - (1000000 * sq) DIV (n_docs * n_docs) AS BIGINT)")
+          .as("div_ppm"))
+      .orderBy($"shard")
+  }
+
+  val qMixDiversitySql: String =
+    s"""WITH b AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM documents),
+       |r AS (SELECT source, toks,
+       |    SUM(toks) OVER (ORDER BY h, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+       |  FROM b),
+       |ps AS (SELECT CAST((cumw - toks) // $PackBudget AS BIGINT) AS shard,
+       |    source, COUNT(*) AS n_s
+       |  FROM r GROUP BY 1, 2),
+       |a AS (SELECT shard, CAST(SUM(n_s) AS BIGINT) AS n_docs,
+       |    COUNT(*) AS n_sources, CAST(MAX(n_s) AS BIGINT) AS n_top,
+       |    CAST(SUM(n_s * n_s) AS BIGINT) AS sq
+       |  FROM ps GROUP BY 1)
+       |SELECT shard, n_docs, n_sources,
+       |  CAST((100 * n_top) // n_docs AS BIGINT) AS top_share_pct,
+       |  CAST(1000000 - (1000000 * sq) // (n_docs * n_docs) AS BIGINT)
+       |    AS div_ppm
+       |FROM a ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Hashed-feature buckets / target slice of the importance weigher. */
   val IwBuckets = 64
   val IwTargetLang = "en"
@@ -1155,7 +1220,8 @@ object Text {
     "q_source_mix" -> (qSourceMix _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_lm_score" -> (qLmScore _),
-    "q_importance_weight" -> (qImportanceWeight _))
+    "q_importance_weight" -> (qImportanceWeight _),
+    "q_mix_diversity" -> (qMixDiversity _))
 
   val oracles: Map[String, String] = Map(
     "q_zipf" -> qZipfSql,
@@ -1176,5 +1242,6 @@ object Text {
     "q_source_mix" -> qSourceMixSql,
     "q_pii_scrub" -> qPiiScrubSql,
     "q_lm_score" -> qLmScoreSql,
-    "q_importance_weight" -> qImportanceWeightSql)
+    "q_importance_weight" -> qImportanceWeightSql,
+    "q_mix_diversity" -> qMixDiversitySql)
 }

@@ -57,6 +57,47 @@ class TextSpec extends AnyFunSuite {
       assert(en > mean(xs), s"target mean $en not above $lang ${mean(xs)}")
   }
 
+  test("q_mix_diversity matches a driver-side interleave recompute; shards are source-mixed") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).length.toLong,
+        java.lang.Long.parseLong(md5hex(r.getLong(0).toString).take(15), 16)))
+      .sortBy(t => (t._4, t._1))
+    var cum = 0L
+    val shardOf = docs.map { case (_, src, toks, _) =>
+      val shard = cum / queries.Text.PackBudget
+      cum += toks
+      (shard, src)
+    }
+    val want = shardOf.groupBy(_._1).map { case (sh, rows) =>
+      val bySrc = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val n = rows.length.toLong
+      val sq = bySrc.values.map(v => v * v).sum
+      sh -> (n, bySrc.size.toLong, 100 * bySrc.values.max / n,
+        1000000L - 1000000L * sq / (n * n))
+    }
+    val got = queries.Text.qMixDiversity(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == want.keySet)
+    for ((sh, (n, ns, top, div)) <- want) {
+      val r = got(sh)
+      assert(r.getAs[Long]("n_docs") == n, s"shard $sh")
+      assert(r.getAs[Long]("n_sources") == ns, s"shard $sh")
+      assert(r.getAs[Long]("top_share_pct") == top, s"shard $sh")
+      assert(r.getAs[Long]("div_ppm") == div, s"shard $sh")
+    }
+    // the md5 interleave genuinely mixes: most multi-doc shards hold
+    // more than one source
+    val multi = got.values.filter(_.getAs[Long]("n_docs") >= 5)
+    assert(multi.nonEmpty &&
+      multi.count(_.getAs[Long]("n_sources") > 1) * 2 > multi.size,
+      "interleaved shards should usually mix sources")
+  }
+
   test("q_pii_scrub finds exactly the injected PII and redacts it") {
     val rows = queries.Text.qPiiScrub(spark, sf).collect()
     for (r <- rows) {
