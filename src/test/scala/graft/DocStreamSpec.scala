@@ -108,6 +108,70 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full-pipeline ingest: decontamination, scrub, and span gate compose in order; replay touches nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("doc_full").toString
+    val (corpus, bidx, lidx, sidx) =
+      (s"$dir/clean", s"$dir/bench_idx", s"$dir/line_idx", s"$dir/span_idx")
+    val boiler = (1 to queries.Dedup.LineLen).map(i => s"bz$i").mkString(" ")
+    def copier(src: String, tag: String): String =
+      (src.split(" ").take(40) ++ (0 until 5).map(i => s"${tag}n$i")).mkString(" ")
+    val evalItem = doc("e")
+    // seed: doc 0 plus three boiler carriers so the boilerplate is at
+    // threshold (df=3) from the first streamed batch
+    val seed = Seq(
+      (0L, doc("a"), "s0"),
+      (1L, s"$boiler ${doc("p")}", "s0"),
+      (2L, s"$boiler ${doc("q")}", "s0"),
+      (3L, s"$boiler ${doc("r")}", "s0")).toDF("doc_id", "text", "source")
+    assert(DocStream.buildCleanCorpus(spark, seed, corpus))
+    assert(queries.Dedup.buildBenchIndex(spark,
+      Seq((0L, evalItem, "bench")).toDF("doc_id", "text", "source"), bidx))
+    assert(queries.Dedup.buildLineDfIndex(spark, seed, lidx))
+    assert(queries.Dedup.buildSpanIndex(spark,
+      seed.select($"doc_id", $"text"), sidx))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val q = DocStream.ingestDocStream(
+      input.toDF().toDF("doc_id", "text", "source"), corpus, s"$dir/ckpt",
+      benchIndexPath = Some(bidx), lineIndexPath = Some(lidx),
+      spanIndexPath = Some(sidx))
+    try {
+      input.addData(
+        (10L, doc("b"), "s1"),                      // fresh -> lands
+        (11L, "prefix chatter " + evalItem, "s1"),  // eval leak -> dropped
+        (12L, copier(doc("a"), "x"), "s1"),         // 86% copied -> span-dropped
+        (13L, s"$boiler ${doc("d")}", "s1"),        // boiler scrubbed, tail lands
+        // the ORDER pin: boilerplate wraps a copied passage — only if
+        // the scrub runs BEFORE the span gate does the copier surface
+        (14L, s"$boiler ${copier(doc("a"), "y")}", "s1"))
+      q.processAllAvailable()
+      val t = spark.read.parquet(corpus).select($"doc_id", $"text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(t.keySet == Set(0L, 1L, 2L, 3L, 10L, 13L),
+        s"landed ${t.keySet.toSeq.sorted.mkString(",")}")
+      assert(t(13L) == doc("d"), "boilerplate must scrub before landing")
+      // the survivor folded into BOTH maintenance indexes
+      assert(spark.read.parquet(sidx).filter($"first_doc" === 10L).count() > 0)
+      val dfs = spark.read.parquet(lidx).select($"seg_fp", $"n_docs").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // replay the batch verbatim through the batch API: content is at
+      // rest, so nothing anywhere may move
+      val (nC, nS) = (spark.read.parquet(corpus).count(),
+        spark.read.parquet(sidx).count())
+      DocStream.appendDocs(spark, corpus,
+        Seq((10L, doc("b"), "s1"), (13L, s"$boiler ${doc("d")}", "s1"))
+          .toDF("doc_id", "text", "source"),
+        benchIndexPath = Some(bidx), lineIndexPath = Some(lidx),
+        spanIndexPath = Some(sidx))
+      assert(spark.read.parquet(corpus).count() == nC, "corpus moved on replay")
+      assert(spark.read.parquet(sidx).count() == nS, "span index moved on replay")
+      assert(spark.read.parquet(lidx).select($"seg_fp", $"n_docs").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap == dfs,
+        "segment dfs moved on replay")
+    } finally q.stop()
+  }
+
   test("ingest scrubs boilerplate via the stored segment-df index: non-retroactive, replay-exact, raw text preserved") {
     val dir = java.nio.file.Files.createTempDirectory("doc_linededup").toString
     val corpus = s"$dir/clean"
