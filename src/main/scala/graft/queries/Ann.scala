@@ -468,6 +468,71 @@ object Ann {
   val qAnnFilteredSql: String =
     oracleSql(bucketJoin = false, labelJoin = true)
 
+  /** Recall@k of the multi-probe LSH search against the exact answer,
+    * AS A QUERY — the eval telemetry an ANN deployment monitors
+    * continuously (a recall regression is silent in the search
+    * results themselves): per query vector, how many of the exact
+    * top-k survive in the LSH top-k. Composes the two searches and
+    * one (qid, vid) equi-join; integer percentage, hash-checked.
+    *
+    * Scale shape: in production the exact side runs on a fixed probe
+    * SAMPLE of queries (recall needs statistical coverage, not every
+    * query), so the brute-force cost is bounded by the probe set —
+    * here the probe set IS the harness's [[NQueries]] queries. */
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = qAnnBruteforce(s, dir).select($"qid", $"vid")
+    val approx = qAnnLsh(s, dir).select($"qid", $"vid", lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vid"), "left")
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce($"hit", lit(0))).cast("long").as("n_match"))
+      .select($"qid", $"n_exact", $"n_match",
+        expr("CAST((100 * n_match) DIV n_exact AS BIGINT)").as("recall_pct"))
+      .orderBy($"qid")
+  }
+
+  /** Oracle twin of [[qAnnRecall]]: both candidate generations + the
+    * shared re-rank tail inlined twice (exact and bucket-probed),
+    * overlap-counted per query. */
+  val qAnnRecallSql: String = {
+    val bucket = VectorOps.Sql.signBucket("embedding", Dedup.BucketDims)
+    val probeMasks = Dedup.BucketDims.indices.map(1 << _).mkString(", ")
+    def ranked(sfx: String, cond: String) =
+      s"""p$sfx AS (SELECT bq.vec_id AS qid, bv.vec_id AS vid
+         |  FROM b bq JOIN b bv ON bq.vec_id < $NQueries
+         |    AND bv.vec_id <> bq.vec_id$cond),
+         |d$sfx AS (SELECT p$sfx.qid, p$sfx.vid,
+         |    CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
+         |  FROM p$sfx JOIN e ea ON ea.vec_id = p$sfx.qid
+         |    JOIN e eb ON eb.vec_id = p$sfx.vid AND eb.i = ea.i
+         |  GROUP BY 1, 2),
+         |c$sfx AS (SELECT qid, vid, CAST(dot AS DOUBLE)
+         |      / (SQRT(CAST(nq.nrm AS DOUBLE)) * SQRT(CAST(nv.nrm AS DOUBLE)))
+         |      AS cosine
+         |  FROM d$sfx JOIN n nq ON nq.vec_id = qid
+         |    JOIN n nv ON nv.vec_id = vid),
+         |r$sfx AS (SELECT qid, vid FROM (
+         |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY cosine DESC, vid) AS rn FROM c$sfx) t
+         |  WHERE rn <= $K)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, i, CAST(ROUND(CAST(v AS DOUBLE) * ${VectorOps.ScaleLit}) AS BIGINT) AS vi
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+       |n AS (SELECT vec_id, SUM(vi * vi) AS nrm FROM e GROUP BY vec_id),
+       |b AS (SELECT vec_id, $bucket AS bucket FROM embeddings),
+       |${ranked("bf", "")},
+       |${ranked("ls", s" AND xor(bq.bucket, bv.bucket) IN (0, $probeMasks)")}
+       |SELECT rbf.qid, COUNT(*) AS n_exact,
+       |  CAST(SUM(CASE WHEN rls.vid IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_match,
+       |  CAST((100 * SUM(CASE WHEN rls.vid IS NOT NULL THEN 1 ELSE 0 END))
+       |    // COUNT(*) AS BIGINT) AS recall_pct
+       |FROM rbf LEFT JOIN rls ON rls.qid = rbf.qid AND rls.vid = rbf.vid
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** One unrolled integer-Lloyd iteration k of the oracle twin:
     * assign every vector to its (cos desc, cid asc) nearest centroid
     * of codebook c{k}, then c{k+1} = per-(cid, dim) floor-average of
@@ -1535,6 +1600,7 @@ object Ann {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_filtered" -> (qAnnFiltered _),
+    "q_ann_recall" -> (qAnnRecall _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_pq" -> (qAnnPq _),
@@ -1547,6 +1613,7 @@ object Ann {
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce" -> qAnnBruteforceSql,
     "q_ann_filtered" -> qAnnFilteredSql,
+    "q_ann_recall" -> qAnnRecallSql,
     "q_ann_lsh" -> qAnnLshSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_pq" -> qAnnPqSql,

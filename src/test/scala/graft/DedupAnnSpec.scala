@@ -302,6 +302,24 @@ class DedupAnnSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q_ann_recall equals the overlap of the two searches and bounds hold") {
+    val exact = queries.Ann.qAnnBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid")))
+    val lsh = queries.Ann.qAnnLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid"))).toSet
+    val rows = queries.Ann.qAnnRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == exact.map(_._1).toSet)
+    for ((qid, pairs) <- exact.groupBy(_._1)) {
+      val m = pairs.count(lsh.contains).toLong
+      val r = rows(qid)
+      assert(r.getAs[Long]("n_exact") == pairs.length.toLong, s"query $qid")
+      assert(r.getAs[Long]("n_match") == m, s"query $qid")
+      assert(r.getAs[Long]("recall_pct") == 100 * m / pairs.length, s"query $qid")
+      assert(r.getAs[Long]("recall_pct") >= 0 && r.getAs[Long]("recall_pct") <= 100)
+    }
+  }
+
   test("q_ann_lsh results are a subset of brute-force candidates' buckets") {
     val df = queries.Ann.qAnnLsh(spark, sf)
     assert(df.count() > 0)
