@@ -428,18 +428,26 @@ object Ann {
     * pairs `(qid, vid)` in CTE `candCte`, then the top-[[K]] by
     * (cosine desc, vid) — the common back of every ANN oracle twin,
     * as [[ivfCoarsePrefix]] is the common front. */
-  private def sqlRerankTail(candCte: String): String =
-    s"""d AS (SELECT $candCte.qid, $candCte.vid, CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
+  /** The ONE integer-dot + cosine + (cosine DESC, vid) re-rank CTE
+    * chain, suffix-parameterized so oracles needing TWO candidate
+    * generations in one statement (q_ann_recall) share it verbatim
+    * with the single-search oracles — a tie-break or norm change
+    * edits every oracle or none. */
+  private def sqlRerankCtes(candCte: String, sfx: String): String =
+    s"""d$sfx AS (SELECT $candCte.qid, $candCte.vid, CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
        |      FROM $candCte JOIN e ea ON ea.vec_id = $candCte.qid
        |                JOIN e eb ON eb.vec_id = $candCte.vid AND eb.i = ea.i
        |      GROUP BY 1, 2),
-       |c AS (SELECT qid, vid, dot,
+       |c$sfx AS (SELECT qid, vid, dot,
        |        CAST(dot AS DOUBLE) / (SQRT(CAST(nq.nrm AS DOUBLE)) * SQRT(CAST(nv.nrm AS DOUBLE))) AS cosine
-       |      FROM d JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid)
-       |SELECT qid, vid, dot, cosine, rnk FROM (
-       |  SELECT qid, vid, dot, cosine,
+       |      FROM d$sfx JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid),
+       |r$sfx AS (SELECT qid, vid, dot, cosine,
        |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rnk
-       |  FROM c) t
+       |  FROM c$sfx)""".stripMargin
+
+  private def sqlRerankTail(candCte: String): String =
+    s"""${sqlRerankCtes(candCte, "")}
+       |SELECT qid, vid, dot, cosine, rnk FROM r
        |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
 
   private def oracleSql(bucketJoin: Boolean,
@@ -498,38 +506,28 @@ object Ann {
   val qAnnRecallSql: String = {
     val bucket = VectorOps.Sql.signBucket("embedding", Dedup.BucketDims)
     val probeMasks = Dedup.BucketDims.indices.map(1 << _).mkString(", ")
-    def ranked(sfx: String, cond: String) =
+    def pairs(sfx: String, cond: String) =
       s"""p$sfx AS (SELECT bq.vec_id AS qid, bv.vec_id AS vid
          |  FROM b bq JOIN b bv ON bq.vec_id < $NQueries
-         |    AND bv.vec_id <> bq.vec_id$cond),
-         |d$sfx AS (SELECT p$sfx.qid, p$sfx.vid,
-         |    CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
-         |  FROM p$sfx JOIN e ea ON ea.vec_id = p$sfx.qid
-         |    JOIN e eb ON eb.vec_id = p$sfx.vid AND eb.i = ea.i
-         |  GROUP BY 1, 2),
-         |c$sfx AS (SELECT qid, vid, CAST(dot AS DOUBLE)
-         |      / (SQRT(CAST(nq.nrm AS DOUBLE)) * SQRT(CAST(nv.nrm AS DOUBLE)))
-         |      AS cosine
-         |  FROM d$sfx JOIN n nq ON nq.vec_id = qid
-         |    JOIN n nv ON nv.vec_id = vid),
-         |r$sfx AS (SELECT qid, vid FROM (
-         |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid
-         |      ORDER BY cosine DESC, vid) AS rn FROM c$sfx) t
-         |  WHERE rn <= $K)""".stripMargin
+         |    AND bv.vec_id <> bq.vec_id$cond)""".stripMargin
     s"""WITH e AS (
        |  SELECT vec_id, i, CAST(ROUND(CAST(v AS DOUBLE) * ${VectorOps.ScaleLit}) AS BIGINT) AS vi
        |  FROM (SELECT vec_id, unnest(embedding) AS v,
        |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
        |n AS (SELECT vec_id, SUM(vi * vi) AS nrm FROM e GROUP BY vec_id),
        |b AS (SELECT vec_id, $bucket AS bucket FROM embeddings),
-       |${ranked("bf", "")},
-       |${ranked("ls", s" AND xor(bq.bucket, bv.bucket) IN (0, $probeMasks)")}
+       |${pairs("bf", "")},
+       |${sqlRerankCtes("pbf", "bf")},
+       |${pairs("ls", s" AND xor(bq.bucket, bv.bucket) IN (0, $probeMasks)")},
+       |${sqlRerankCtes("pls", "ls")}
        |SELECT rbf.qid, COUNT(*) AS n_exact,
        |  CAST(SUM(CASE WHEN rls.vid IS NOT NULL THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_match,
        |  CAST((100 * SUM(CASE WHEN rls.vid IS NOT NULL THEN 1 ELSE 0 END))
        |    // COUNT(*) AS BIGINT) AS recall_pct
-       |FROM rbf LEFT JOIN rls ON rls.qid = rbf.qid AND rls.vid = rbf.vid
+       |FROM (SELECT qid, vid FROM rbf WHERE rnk <= $K) rbf
+       |LEFT JOIN (SELECT qid, vid FROM rls WHERE rnk <= $K) rls
+       |  ON rls.qid = rbf.qid AND rls.vid = rbf.vid
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 

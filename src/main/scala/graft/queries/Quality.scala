@@ -149,7 +149,7 @@ object Quality {
       .select($"doc_id", size($"toks").as("n_toks"),
         expr("aggregate(toks, 0L, (acc, x) -> " +
           "acc + ascii(substring(md5(x), 1, 1)) - 70)").as("score"))
-      .withColumn("keep", $"score" * 1000 >= $"n_toks" * QcMeanX1000)
+      .withColumn("keep", ($"score" * 1000 >= $"n_toks" * QcMeanX1000).cast("int"))
       .orderBy($"doc_id")
   }
 
@@ -160,9 +160,9 @@ object Quality {
        |SELECT doc_id, CAST(len(toks) AS INT) AS n_toks,
        |  CAST(COALESCE(list_sum(list_transform(toks,
        |    x -> ascii(substring(md5(x), 1, 1)) - 70)), 0) AS BIGINT) AS score,
-       |  CAST(COALESCE(list_sum(list_transform(toks,
+       |  CAST(CAST(COALESCE(list_sum(list_transform(toks,
        |    x -> ascii(substring(md5(x), 1, 1)) - 70)), 0) AS BIGINT) * 1000
-       |    >= len(toks) * $QcMeanX1000 AS keep
+       |    >= len(toks) * $QcMeanX1000 AS INT) AS keep
        |FROM t ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------

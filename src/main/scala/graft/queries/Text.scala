@@ -1016,7 +1016,7 @@ object Text {
       .select($"doc_id",
         coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
         coalesce($"lm_x1000", lit(0L)).as("lm_x1000"))
-      .withColumn("low_quality", $"lm_x1000" < LmLowScoreX1000)
+      .withColumn("low_quality", ($"lm_x1000" < LmLowScoreX1000).cast("int"))
       .orderBy($"doc_id")
   }
 
@@ -1037,7 +1037,7 @@ object Text {
        |          AS lm_x1000
        |      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
        |SELECT doc_id, n_bigrams, lm_x1000,
-       |  lm_x1000 < $LmLowScoreX1000 AS low_quality
+       |  CAST(lm_x1000 < $LmLowScoreX1000 AS INT) AS low_quality
        |FROM f ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------

@@ -52,8 +52,9 @@ class QualitySpec extends AnyFunSuite {
       assert(r.getInt(1) == toks.length)
       assert(r.getLong(2) == expected,
         s"doc ${r.getLong(0)}: score ${r.getLong(2)} != $expected")
-      assert(r.getBoolean(3) ==
-        (expected * 1000 >= toks.length.toLong * queries.Quality.QcMeanX1000))
+      assert(r.getInt(3) ==
+        (if (expected * 1000 >= toks.length.toLong * queries.Quality.QcMeanX1000) 1
+         else 0))
     }
   }
 

@@ -121,7 +121,7 @@ class TextSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(2) >= 0))
     // flag is exactly the threshold predicate
     for (r <- rows)
-      assert(r.getBoolean(3) == (r.getLong(2) < queries.Text.LmLowScoreX1000))
+      assert(r.getInt(3) == (if (r.getLong(2) < queries.Text.LmLowScoreX1000) 1 else 0))
     // scores are bounded by the quantization: digits of a count within
     // the corpus bigram total
     val maxDigits = rows.map(_.getLong(2)).max / 1000 + 1
