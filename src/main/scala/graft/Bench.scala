@@ -120,9 +120,10 @@ object Bench {
     // shard-mix diversity — RankSplit running weight + two combinable
     // aggregates; regresses if the global cumsum becomes one window
     "q_mix_diversity",
-    // recall telemetry — both searches + one join; the monitored
-    // eval query, so its cost belongs in the artifact too
-    "q_ann_recall")
+    // recall telemetry — both searches / both pair generations + one
+    // join; the monitored eval queries, so their cost belongs in the
+    // artifact too
+    "q_ann_recall", "q_dedup_recall")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

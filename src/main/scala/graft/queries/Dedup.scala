@@ -1767,6 +1767,86 @@ object Dedup {
        |ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Candidate-recall telemetry for the near-dup pipeline — the dedup
+    * analog of q_ann_recall: how many of the EXACT n-gram-Jaccard
+    * pairs (j ≥ 50%) does the MinHash-LSH candidate stage surface?
+    * Blocked dedup quietly loses pairs when bands/caps drift — this
+    * query is the continuously-monitorable number that catches it
+    * (the spec-level recall check, promoted to a production query).
+    * One summary row: exact/LSH/overlap pair counts + integer recall.
+    *
+    * Scale shape: composes the two existing pair generations (each
+    * with its own blocking discipline) and one full-outer join on the
+    * pair key; at 100 TB the exact side runs on a SAMPLE of the
+    * corpus (recall needs statistical coverage, not every pair) —
+    * the subsample predicate of q_sample_stratified composes upstream
+    * exactly as q_two_point_sampled does for the correlation
+    * function. */
+  def qDedupRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val ex = ngramJaccardPairs(docs).select($"d1", $"d2", lit(1).as("ex"))
+    val ls = lshPairs(docs).select($"d1", $"d2", lit(1).as("ls"))
+    ex.join(ls, Seq("d1", "d2"), "full")
+      .agg(
+        sum(coalesce($"ex", lit(0))).cast("long").as("n_exact"),
+        sum(coalesce($"ls", lit(0))).cast("long").as("n_lsh"),
+        sum(when($"ex".isNotNull && $"ls".isNotNull, 1L).otherwise(0L))
+          .as("n_match"))
+      .select($"n_exact", $"n_lsh", $"n_match",
+        when($"n_exact" > 0,
+          expr("CAST((100 * n_match) DIV n_exact AS BIGINT)"))
+          .otherwise(lit(100L)).as("recall_pct"))
+  }
+
+  /** Oracle twin of [[qDedupRecall]] — the LSH and exact-Jaccard
+    * oracles' CTE chains composed in one statement (disjoint CTE
+    * namespaces by construction) and overlap-counted. */
+  val qDedupRecallSql: String =
+    s"""WITH RECURSIVE
+       |$sqlMinhashSigCtes,
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band, list(s ORDER BY i) AS bsig
+       |  FROM full_sigs GROUP BY doc_id, i // 4),
+       |capped AS (
+       |  SELECT doc_id, band, bsig FROM (
+       |    SELECT doc_id, band, bsig,
+       |      COUNT(*) OVER (PARTITION BY band, bsig) AS bsz FROM bands)
+       |  WHERE bsz <= $LshBucketCap),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM capped x JOIN capped y
+       |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+       |m AS (
+       |  SELECT c.d1, c.d2,
+       |    CAST(SUM(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT) AS matches
+       |  FROM cand c JOIN full_sigs a ON a.doc_id = c.d1
+       |       JOIN full_sigs b ON b.doc_id = c.d2 AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |lp AS (SELECT d1, d2 FROM m WHERE matches >= 45),
+       |g AS ($gramRowsSql),
+       |n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+       |gf AS (SELECT doc_id, gram FROM (
+       |        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM g)
+       |       WHERE df <= $GramDfCap),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+       |      FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |xp AS (SELECT d1, d2 FROM p
+       |      JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
+       |      WHERE inter * 2 >= na.ng + nb.ng - inter),
+       |agg AS (SELECT
+       |    CAST(SUM(CASE WHEN x.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |    CAST(SUM(CASE WHEN l.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+       |    CAST(SUM(CASE WHEN x.d1 IS NOT NULL AND l.d1 IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       |  FROM xp x FULL JOIN lp l ON l.d1 = x.d1 AND l.d2 = x.d2)
+       |SELECT n_exact, n_lsh, n_match,
+       |  CASE WHEN n_exact > 0 THEN CAST((100 * n_match) // n_exact AS BIGINT)
+       |    ELSE 100 END AS recall_pct
+       |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------
   // Stored span index: the at-rest shape of span dedup. The batch
   // query re-ranks the whole corpus per run; a nightly pipeline
   // instead keeps (window fingerprint → first occurrence) as a
@@ -2020,7 +2100,8 @@ object Dedup {
     "q_dup_ratio" -> (qDupRatio _),
     "q_decontaminate" -> (qDecontaminate _),
     "q_source_overlap" -> (qSourceOverlap _),
-    "q_span_dedup" -> (qSpanDedup _))
+    "q_span_dedup" -> (qSpanDedup _),
+    "q_dedup_recall" -> (qDedupRecall _))
 
   val oracles: Map[String, String] = Map(
     "q_line_dedup" -> qLineDedupSql,
@@ -2040,5 +2121,6 @@ object Dedup {
     "q_dup_ratio" -> qDupRatioSql,
     "q_decontaminate" -> qDecontaminateSql,
     "q_source_overlap" -> qSourceOverlapSql,
-    "q_span_dedup" -> qSpanDedupSql)
+    "q_span_dedup" -> qSpanDedupSql,
+    "q_dedup_recall" -> qDedupRecallSql)
 }

@@ -353,6 +353,47 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(queries.Dedup.lshPairs(docs).count() == 0)
   }
 
+  test("q_dedup_recall equals the overlap of the exact and LSH pair sets") {
+    def pairsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ex = pairsOf(queries.Dedup.qNgramJaccard(spark, sf))
+    val ls = pairsOf(queries.Dedup.qDedupLshPairs(spark, sf))
+    val r = queries.Dedup.qDedupRecall(spark, sf).collect().head
+    assert(r.getAs[Long]("n_exact") == ex.size.toLong)
+    assert(r.getAs[Long]("n_lsh") == ls.size.toLong)
+    assert(r.getAs[Long]("n_match") == (ex & ls).size.toLong)
+    assert(r.getAs[Long]("recall_pct") ==
+      (if (ex.nonEmpty) 100L * (ex & ls).size / ex.size else 100L))
+    // the pipeline's health bar: the LSH stage should catch most
+    // exact pairs on the harness corpus (the spec-level 70% bound)
+    assert(r.getAs[Long]("recall_pct") >= 70, r.toString)
+  }
+
+  test("span dedup on mass duplicates: one canonical doc, everything else pure dup (degenerate input)") {
+    // unlike the pair-generating stages above (which CAP the block
+    // away), span dedup has no pair product to guard: the fp-keyed
+    // rank costs one row per window instance however hot the key, so
+    // a degenerate corpus must COMPLETE and count exactly — doc 0
+    // owns every first occurrence, every other doc is 100% cross-dup
+    val n = 1000
+    // text long enough to clear SpanW: extend the shared line
+    val text = (1 to 2 * queries.Dedup.SpanW).map(i => s"same$i").mkString(" ")
+    import spark.implicits._
+    val docs = (0L until n.toLong).map(i => (i, text)).toDF("doc_id", "text")
+    val out = queries.Dedup.spanDedup(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val perDoc = queries.Dedup.SpanW + 1L // 2W tokens -> W+1 windows
+    assert(out.size == n)
+    assert(out(0L).getAs[Long]("n_dup") == 0)
+    for (i <- 1L until n.toLong) {
+      assert(out(i).getAs[Long]("n_win") == perDoc, s"doc $i")
+      assert(out(i).getAs[Long]("n_dup") == perDoc, s"doc $i")
+      assert(out(i).getAs[Long]("n_dup_cross") == perDoc, s"doc $i")
+      assert(out(i).getAs[Long]("dup_pct") == 100L, s"doc $i")
+    }
+  }
+
   test("embedding bucket cap kills a degenerate hub bucket") {
     import spark.implicits._
     val vec = Array.tabulate(64)(i => (if (i % 2 == 0) 0.1f else -0.1f))
