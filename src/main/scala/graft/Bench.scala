@@ -123,7 +123,9 @@ object Bench {
     // recall telemetry — both searches / both pair generations + one
     // join; the monitored eval queries, so their cost belongs in the
     // artifact too
-    "q_ann_recall", "q_dedup_recall")
+    "q_ann_recall", "q_dedup_recall",
+    // drift monitor — broadcast midpoint + one combinable histogram
+    "q_value_drift")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

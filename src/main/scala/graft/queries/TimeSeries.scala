@@ -1240,6 +1240,79 @@ object TimeSeries {
        |ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Flux-bucket width (cents) of the drift monitor. */
+  private val DriftBucketC100 = 500L
+
+  /** Distribution-drift monitor — the PSI-style check a pipeline runs
+    * on every refresh ("did this stream's value distribution move?"),
+    * here per event type between the first and second half of the
+    * observation window: bucketed value histograms for each half,
+    * compared by TOTAL-VARIATION distance in exact ppm (½·Σ|p−q|,
+    * the integer-exact drift statistic — PSI's log-ratio weighting
+    * adds a cross-engine log for no extra detection power at a
+    * fixed alert threshold). Per-half probabilities are floor-ppm of
+    * per-bucket counts, so every output column is exact integer.
+    *
+    * Scale shape: the window midpoint is a 1-row broadcast aggregate
+    * (the q_rfm horizon-scalar pattern); the histogram is ONE
+    * combinable aggregate on (type, half, bucket) — bucket
+    * cardinality is value-range/width, not data size — folded to
+    * (type, bucket) and then to the per-type drift row. Nothing
+    * joins, nothing sorts, nothing is data-dependent on the driver. */
+  def qValueDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = series(s, dir)
+    // integer DIV midpoint: Column `/` is IEEE division and Spark's
+    // double→long cast truncates where DuckDB's rounds — keep the
+    // whole expression integral on both engines
+    val mid = e.agg(min($"tus").as("mn"), max($"tus").as("mx"))
+      .select(expr("(mn + mx) DIV 2").as("mid"))
+    val hist = Tables.events(s, dir)
+      .select($"event_type", expr("ts DIV 1000").as("tus"),
+        round($"value" * 100).cast("long").as("xc"))
+      .crossJoin(broadcast(mid))
+      .withColumn("half", when($"tus" < $"mid", 1L).otherwise(2L))
+      .withColumn("bucket", expr(s"xc DIV $DriftBucketC100"))
+      .groupBy($"event_type", $"bucket")
+      .agg(sum(when($"half" === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when($"half" === 2, 1L).otherwise(0L)).as("c2"))
+    hist
+      .withColumn("t1", sum($"c1").over(Window.partitionBy($"event_type")))
+      .withColumn("t2", sum($"c2").over(Window.partitionBy($"event_type")))
+      .groupBy($"event_type")
+      .agg(max($"t1").as("n1"), max($"t2").as("n2"),
+        count(lit(1)).as("n_buckets"),
+        sum(abs(expr(
+          "CASE WHEN t1 > 0 THEN (c1 * 1000000) DIV t1 ELSE 0 END - " +
+            "CASE WHEN t2 > 0 THEN (c2 * 1000000) DIV t2 ELSE 0 END")))
+          .as("l1_ppm"))
+      .withColumn("tv_ppm", expr("l1_ppm DIV 2"))
+      .select($"event_type", $"n1", $"n2", $"n_buckets", $"tv_ppm")
+      .orderBy($"event_type")
+  }
+
+  val qValueDriftSql: String =
+    s"""WITH e AS (SELECT event_type, epoch_us(ts) AS tus,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc FROM events),
+       |mid AS (SELECT (MIN(tus) + MAX(tus)) // 2 AS mid FROM e),
+       |h AS (SELECT event_type, xc // $DriftBucketC100 AS bucket,
+       |    CAST(SUM(CASE WHEN tus < mid THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(SUM(CASE WHEN tus >= mid THEN 1 ELSE 0 END) AS BIGINT) AS c2
+       |  FROM e, mid GROUP BY 1, 2),
+       |t AS (SELECT event_type, bucket, c1, c2,
+       |    SUM(c1) OVER (PARTITION BY event_type) AS t1,
+       |    SUM(c2) OVER (PARTITION BY event_type) AS t2
+       |  FROM h)
+       |SELECT event_type, CAST(MAX(t1) AS BIGINT) AS n1,
+       |  CAST(MAX(t2) AS BIGINT) AS n2,
+       |  COUNT(*) AS n_buckets,
+       |  CAST(SUM(ABS(
+       |    CASE WHEN t1 > 0 THEN (c1 * 1000000) // t1 ELSE 0 END -
+       |    CASE WHEN t2 > 0 THEN (c2 * 1000000) // t2 ELSE 0 END)) // 2
+       |    AS BIGINT) AS tv_ppm
+       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Cross-band flux correlation per object — the chromatic-
     * variability statistic that separates achromatic variables
     * (eclipses, most pulsators: g and r move together, corr → 1)
@@ -1481,7 +1554,8 @@ object TimeSeries {
     "q_visit_calib" -> (qVisitCalib _),
     "q_proper_motion" -> (qProperMotion _),
     "q_mad" -> (qMad _),
-    "q_crossband_corr" -> (qCrossbandCorr _))
+    "q_crossband_corr" -> (qCrossbandCorr _),
+    "q_value_drift" -> (qValueDrift _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -1513,5 +1587,6 @@ object TimeSeries {
     "q_visit_calib" -> qVisitCalibSql,
     "q_proper_motion" -> qProperMotionSql,
     "q_mad" -> qMadSql,
-    "q_crossband_corr" -> qCrossbandCorrSql)
+    "q_crossband_corr" -> qCrossbandCorrSql,
+    "q_value_drift" -> qValueDriftSql)
 }

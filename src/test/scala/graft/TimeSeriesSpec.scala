@@ -195,6 +195,37 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_value_drift matches a driver-side TV-distance recompute and is bounded") {
+    import spark.implicits._
+    val evs = Tables.events(spark, sf)
+      .select($"event_type", expr("ts DIV 1000").as("tus"),
+        round($"value" * 100).cast("long").as("xc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val mid = (evs.map(_._2).min + evs.map(_._2).max) / 2
+    val got = queries.TimeSeries.qValueDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == evs.map(_._1).toSet)
+    for ((et, rows) <- evs.groupBy(_._1)) {
+      val (h1, h2) = rows.partition(_._2 < mid)
+      def histo(xs: Array[(String, Long, Long)]) =
+        xs.groupBy(_._3 / 500).view.mapValues(_.length.toLong).toMap
+      val (b1, b2) = (histo(h1), histo(h2))
+      val (t1, t2) = (h1.length.toLong, h2.length.toLong)
+      val l1 = (b1.keySet | b2.keySet).toSeq.map { b =>
+        val p = if (t1 > 0) b1.getOrElse(b, 0L) * 1000000L / t1 else 0L
+        val q = if (t2 > 0) b2.getOrElse(b, 0L) * 1000000L / t2 else 0L
+        math.abs(p - q)
+      }.sum
+      val r = got(et)
+      assert(r.getAs[Long]("n1") == t1 && r.getAs[Long]("n2") == t2, et)
+      assert(r.getAs[Long]("n_buckets") == (b1.keySet | b2.keySet).size.toLong, et)
+      assert(r.getAs[Long]("tv_ppm") == l1 / 2, et)
+      // TV distance lives in [0, 1e6]; a stationary synthetic stream
+      // must not register an extreme drift
+      assert(r.getAs[Long]("tv_ppm") >= 0 && r.getAs[Long]("tv_ppm") <= 1000000L)
+    }
+  }
+
   test("q_range_nbr neighbor counts are symmetric and within the window") {
     val df = queries.TimeSeries.qRangeNbr(spark, sf).cache()
     // every (a,b) neighbor pair contributes to both a's and b's count,
