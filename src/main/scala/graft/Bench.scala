@@ -125,7 +125,9 @@ object Bench {
     // artifact too
     "q_ann_recall", "q_dedup_recall",
     // drift monitor — broadcast midpoint + one combinable histogram
-    "q_value_drift")
+    "q_value_drift",
+    // completeness curve — the association grid + a flag join-back
+    "q_completeness")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

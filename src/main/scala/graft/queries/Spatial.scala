@@ -335,6 +335,63 @@ object Spatial {
        |ORDER BY det_k""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Flux-bin width (cents) of the completeness curve. */
+  private val ComplBinC100 = 5000000L
+
+  /** Association completeness vs flux — the survey-QA curve an
+    * operations team watches nightly: per detection-flux bin, the
+    * fraction of detections matched to a known object within 1°.
+    * Completeness dropping at the faint end (or anywhere) is the
+    * first sign of an astrometry or depth regression, and binning by
+    * flux is what localizes it. Flux is the detection's native
+    * measurement (`o_totalprice` in exact cents here); counts and the
+    * integer match percentage are exact.
+    *
+    * Scale shape: ONE spatial pass (the same [[gridCandidates]] grid
+    * as the association itself — candidates are a lossless superset,
+    * so "has grid match" ⇔ "has match"), the match flag joins back on
+    * the DETECTION key (equi, no second spatial pass — the
+    * q_xmatch_unmatched discipline), then one combinable aggregate on
+    * ~flux-range/width keys. */
+  def qCompleteness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val det = Tables.orders(s, dir).select(
+      $"o_orderkey".as("det_k"),
+      (($"o_orderkey" * 149 % 36000) / 100.0).as("ra"),
+      (($"o_orderkey" * 101 % 17000) / 100.0 - 85.0).as("decl"),
+      round($"o_totalprice" * 100).cast("long").as("flux_c100"))
+    val matched = gridCandidates(
+      det.select($"det_k".as("k"), $"ra", $"decl"), points(s, dir), 1.0)
+      .select($"k1".as("det_k")).distinct()
+      .withColumn("hit", lit(1L))
+    det.join(matched, Seq("det_k"), "left")
+      .withColumn("fbin", expr(s"flux_c100 DIV $ComplBinC100"))
+      .groupBy($"fbin")
+      .agg(count(lit(1)).as("n_det"),
+        sum(coalesce($"hit", lit(0L))).as("n_matched"))
+      .withColumn("match_pct", expr("CAST((100 * n_matched) DIV n_det AS BIGINT)"))
+      .orderBy($"fbin")
+  }
+
+  val qCompletenessSql: String =
+    s"""WITH d AS (SELECT det_k, ra, decl,
+       |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS flux_c100
+       |  FROM (SELECT o_orderkey AS det_k,
+       |      (o_orderkey*149 % 36000)/100.0 AS ra,
+       |      (o_orderkey*101 % 17000)/100.0 - 85.0 AS decl, o_totalprice
+       |    FROM orders)),
+       |f AS (SELECT flux_c100 // $ComplBinC100 AS fbin,
+       |    CASE WHEN EXISTS (
+       |      SELECT 1 FROM ($pointsSql) o
+       |      WHERE ROUND(${distDegSql("d.ra", "d.decl", "o.ra", "o.decl")}, 6) < 1.0)
+       |    THEN 1 ELSE 0 END AS hit
+       |  FROM d)
+       |SELECT fbin, COUNT(*) AS n_det,
+       |  CAST(SUM(hit) AS BIGINT) AS n_matched,
+       |  CAST((100 * SUM(hit)) // COUNT(*) AS BIGINT) AS match_pct
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Nearest neighbor within 1°: for every point, the closest OTHER
     * point of the catalog and its distance — Qserv's per-object
     * nearest-source shape. Candidates come from the same adaptive
@@ -908,6 +965,7 @@ object Spatial {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cone_search" -> (qConeSearch _),
     "q_radial_profile" -> (qRadialProfile _),
+    "q_completeness" -> (qCompleteness _),
     "q_box_search" -> (qBoxSearch _),
     "q_zone_xmatch" -> (qZoneXmatch _),
     "q_xmatch_2cat" -> (qXmatch2cat _),
@@ -924,6 +982,7 @@ object Spatial {
   val oracles: Map[String, String] = Map(
     "q_cone_search" -> qConeSearchSql,
     "q_radial_profile" -> qRadialProfileSql,
+    "q_completeness" -> qCompletenessSql,
     "q_box_search" -> qBoxSearchSql,
     "q_zone_xmatch" -> qZoneXmatchSql,
     "q_xmatch_2cat" -> qXmatch2catSql,

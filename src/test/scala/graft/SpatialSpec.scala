@@ -43,6 +43,24 @@ class SpatialSpec extends AnyFunSuite {
       "annulus areas must grow with radius below 90 degrees")
   }
 
+  test("q_completeness reconciles with the association and its unmatched half") {
+    val prof = queries.Spatial.qCompleteness(spark, sf).collect()
+    assert(prof.nonEmpty)
+    val totDet = prof.map(_.getAs[Long]("n_det")).sum
+    val totMatch = prof.map(_.getAs[Long]("n_matched")).sum
+    // every detection is in exactly one bin
+    assert(totDet == Tables.orders(spark, sf).count())
+    // matched + unmatched partition the detections exactly
+    val unmatched = queries.Spatial.qXmatchUnmatched(spark, sf).count()
+    assert(totMatch == totDet - unmatched,
+      s"matched $totMatch + unmatched $unmatched != total $totDet")
+    for (r <- prof) {
+      assert(r.getAs[Long]("n_matched") <= r.getAs[Long]("n_det"))
+      assert(r.getAs[Long]("match_pct") ==
+        100 * r.getAs[Long]("n_matched") / r.getAs[Long]("n_det"))
+    }
+  }
+
   test("q_zone_xmatch plan has no cartesian or nested-loop join") {
     val plan = queries.Spatial.qZoneXmatch(spark, sf)
       .queryExecution.executedPlan.toString
