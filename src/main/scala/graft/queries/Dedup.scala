@@ -139,15 +139,20 @@ object Dedup {
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramJaccardPairs(Tables.documents(s, dir))
 
-  val qNgramJaccardSql: String =
-    s"""WITH g AS ($gramRowsSql),
+  /** The gram/df-cap/intersection CTE chain of the exact-Jaccard
+    * oracle — shared verbatim with [[qDedupRecallSql]]. */
+  private def sqlNgramPairCtes: String =
+    s"""g AS ($gramRowsSql),
        |n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
        |gf AS (SELECT doc_id, gram FROM (
        |        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM g)
        |       WHERE df <= $GramDfCap),
        |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
        |      FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id
-       |      GROUP BY 1, 2)
+       |      GROUP BY 1, 2)""".stripMargin
+
+  val qNgramJaccardSql: String =
+    s"""WITH $sqlNgramPairCtes
        |SELECT d1, d2, inter, na.ng + nb.ng - inter AS un,
        |  (100 * inter) // (na.ng + nb.ng - inter) AS jac_pct
        |FROM p JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
@@ -279,6 +284,11 @@ object Dedup {
        |FROM full_sigs GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Minimum matching signature positions for an LSH pair to survive
+    * (45/128 ≈ estimated Jaccard 0.35) — ONE constant for the Spark
+    * query, its oracle, and the recall oracle. */
+  val LshMinMatches = 45
+
   /** MinHash-LSH candidate pairs + signature-estimated Jaccard verify.
     * 128 hashes, 32 bands × 4 rows; buckets capped at [[LshBucketCap]]
     * docs (skew guard — a degenerate bucket can never force a
@@ -302,7 +312,7 @@ object Dedup {
       .join(sigs.select($"doc_id".as("d2"), $"sig".as("sig2")), "d2")
       .withColumn("matches", expr(
         "aggregate(zip_with(sig1, sig2, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"))
-      .filter($"matches" >= 45)
+      .filter($"matches" >= LshMinMatches)
       .select($"d1", $"d2", $"matches",
         expr("(100 * matches) DIV 128").as("est_pct"))
       .orderBy($"d1", $"d2")
@@ -318,10 +328,12 @@ object Dedup {
     * the Spark plan unless murmur3 collides two different slices
     * within one band (no such collision exists in the test corpus;
     * parity would catch one loudly). */
-  val qDedupLshPairsSql: String =
-    s"""WITH RECURSIVE
-       |$sqlMinhashSigCtes,
-       |bands AS (
+  /** The band/cap/candidate/signature-match CTE chain of the LSH
+    * oracle — shared verbatim with [[qDedupRecallSql]] (the Ann
+    * sqlRerankCtes discipline: a banding or cap change edits every
+    * oracle or none). Expects [[sqlMinhashSigCtes]] upstream. */
+  private def sqlLshPairCtes: String =
+    s"""bands AS (
        |  SELECT doc_id, i // 4 AS band, list(s ORDER BY i) AS bsig
        |  FROM full_sigs GROUP BY doc_id, i // 4),
        |capped AS (
@@ -338,9 +350,14 @@ object Dedup {
        |    CAST(SUM(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT) AS matches
        |  FROM cand c JOIN full_sigs a ON a.doc_id = c.d1
        |       JOIN full_sigs b ON b.doc_id = c.d2 AND b.i = a.i
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  val qDedupLshPairsSql: String =
+    s"""WITH RECURSIVE
+       |$sqlMinhashSigCtes,
+       |$sqlLshPairCtes
        |SELECT d1, d2, matches, (100 * matches) // $MinHashK AS est_pct
-       |FROM m WHERE matches >= 45 ORDER BY d1, d2""".stripMargin
+       |FROM m WHERE matches >= $LshMinMatches ORDER BY d1, d2""".stripMargin
 
   // ---------------------------------------------------------------
   /** SimHash near-dup pairs: 64-bit signature, 4×16-bit piece
@@ -1789,10 +1806,10 @@ object Dedup {
     val ls = lshPairs(docs).select($"d1", $"d2", lit(1).as("ls"))
     ex.join(ls, Seq("d1", "d2"), "full")
       .agg(
-        sum(coalesce($"ex", lit(0))).cast("long").as("n_exact"),
-        sum(coalesce($"ls", lit(0))).cast("long").as("n_lsh"),
-        sum(when($"ex".isNotNull && $"ls".isNotNull, 1L).otherwise(0L))
-          .as("n_match"))
+        coalesce(sum(coalesce($"ex", lit(0))), lit(0L)).cast("long").as("n_exact"),
+        coalesce(sum(coalesce($"ls", lit(0))), lit(0L)).cast("long").as("n_lsh"),
+        coalesce(sum(when($"ex".isNotNull && $"ls".isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_match"))
       .select($"n_exact", $"n_lsh", $"n_match",
         when($"n_exact" > 0,
           expr("CAST((100 * n_match) DIV n_exact AS BIGINT)"))
@@ -1805,41 +1822,17 @@ object Dedup {
   val qDedupRecallSql: String =
     s"""WITH RECURSIVE
        |$sqlMinhashSigCtes,
-       |bands AS (
-       |  SELECT doc_id, i // 4 AS band, list(s ORDER BY i) AS bsig
-       |  FROM full_sigs GROUP BY doc_id, i // 4),
-       |capped AS (
-       |  SELECT doc_id, band, bsig FROM (
-       |    SELECT doc_id, band, bsig,
-       |      COUNT(*) OVER (PARTITION BY band, bsig) AS bsz FROM bands)
-       |  WHERE bsz <= $LshBucketCap),
-       |cand AS (
-       |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-       |  FROM capped x JOIN capped y
-       |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
-       |m AS (
-       |  SELECT c.d1, c.d2,
-       |    CAST(SUM(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT) AS matches
-       |  FROM cand c JOIN full_sigs a ON a.doc_id = c.d1
-       |       JOIN full_sigs b ON b.doc_id = c.d2 AND b.i = a.i
-       |  GROUP BY 1, 2),
-       |lp AS (SELECT d1, d2 FROM m WHERE matches >= 45),
-       |g AS ($gramRowsSql),
-       |n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
-       |gf AS (SELECT doc_id, gram FROM (
-       |        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM g)
-       |       WHERE df <= $GramDfCap),
-       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
-       |      FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id
-       |      GROUP BY 1, 2),
+       |$sqlLshPairCtes,
+       |lp AS (SELECT d1, d2 FROM m WHERE matches >= $LshMinMatches),
+       |$sqlNgramPairCtes,
        |xp AS (SELECT d1, d2 FROM p
        |      JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
        |      WHERE inter * 2 >= na.ng + nb.ng - inter),
        |agg AS (SELECT
-       |    CAST(SUM(CASE WHEN x.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
-       |    CAST(SUM(CASE WHEN l.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
-       |    CAST(SUM(CASE WHEN x.d1 IS NOT NULL AND l.d1 IS NOT NULL
-       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       |    COALESCE(CAST(SUM(CASE WHEN x.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_exact,
+       |    COALESCE(CAST(SUM(CASE WHEN l.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_lsh,
+       |    COALESCE(CAST(SUM(CASE WHEN x.d1 IS NOT NULL AND l.d1 IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_match
        |  FROM xp x FULL JOIN lp l ON l.d1 = x.d1 AND l.d2 = x.d2)
        |SELECT n_exact, n_lsh, n_match,
        |  CASE WHEN n_exact > 0 THEN CAST((100 * n_match) // n_exact AS BIGINT)

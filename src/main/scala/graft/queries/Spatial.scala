@@ -275,12 +275,17 @@ object Spatial {
     Tables.orders(s, dir).select(
       $"o_orderkey".as("det_k"),
       (($"o_orderkey" * 149 % 36000) / 100.0).as("ra"),
-      (($"o_orderkey" * 101 % 17000) / 100.0 - 85.0).as("decl"))
+      (($"o_orderkey" * 101 % 17000) / 100.0 - 85.0).as("decl"),
+      // the detection's native measurement — carried by the ONE locus
+      // helper so q_completeness can never drift from the association
+      // queries' geometry (gridCandidates prunes it where unused)
+      round($"o_totalprice" * 100).cast("long").as("flux_c100"))
   }
 
   private val detectionsSql =
     """SELECT o_orderkey AS det_k, (o_orderkey*149 % 36000)/100.0 AS ra,
-      |       (o_orderkey*101 % 17000)/100.0 - 85.0 AS decl FROM orders"""
+      |       (o_orderkey*101 % 17000)/100.0 - 85.0 AS decl,
+      |       CAST(ROUND(o_totalprice*100) AS BIGINT) AS flux_c100 FROM orders"""
       .stripMargin
 
   /** TWO-catalog zone cross-match, radius 1° — the reference's daily
@@ -355,11 +360,7 @@ object Spatial {
     * ~flux-range/width keys. */
   def qCompleteness(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val det = Tables.orders(s, dir).select(
-      $"o_orderkey".as("det_k"),
-      (($"o_orderkey" * 149 % 36000) / 100.0).as("ra"),
-      (($"o_orderkey" * 101 % 17000) / 100.0 - 85.0).as("decl"),
-      round($"o_totalprice" * 100).cast("long").as("flux_c100"))
+    val det = detections(s, dir)
     val matched = gridCandidates(
       det.select($"det_k".as("k"), $"ra", $"decl"), points(s, dir), 1.0)
       .select($"k1".as("det_k")).distinct()
@@ -374,12 +375,7 @@ object Spatial {
   }
 
   val qCompletenessSql: String =
-    s"""WITH d AS (SELECT det_k, ra, decl,
-       |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS flux_c100
-       |  FROM (SELECT o_orderkey AS det_k,
-       |      (o_orderkey*149 % 36000)/100.0 AS ra,
-       |      (o_orderkey*101 % 17000)/100.0 - 85.0 AS decl, o_totalprice
-       |    FROM orders)),
+    s"""WITH d AS ($detectionsSql),
        |f AS (SELECT flux_c100 // $ComplBinC100 AS fbin,
        |    CASE WHEN EXISTS (
        |      SELECT 1 FROM ($pointsSql) o

@@ -1241,7 +1241,7 @@ object TimeSeries {
 
   // ---------------------------------------------------------------
   /** Flux-bucket width (cents) of the drift monitor. */
-  private val DriftBucketC100 = 500L
+  private[graft] val DriftBucketC100 = 500L
 
   /** Distribution-drift monitor — the PSI-style check a pipeline runs
     * on every refresh ("did this stream's value distribution move?"),

@@ -208,7 +208,8 @@ class TimeSeriesSpec extends AnyFunSuite {
     for ((et, rows) <- evs.groupBy(_._1)) {
       val (h1, h2) = rows.partition(_._2 < mid)
       def histo(xs: Array[(String, Long, Long)]) =
-        xs.groupBy(_._3 / 500).view.mapValues(_.length.toLong).toMap
+        xs.groupBy(_._3 / queries.TimeSeries.DriftBucketC100)
+          .view.mapValues(_.length.toLong).toMap
       val (b1, b2) = (histo(h1), histo(h2))
       val (t1, t2) = (h1.length.toLong, h2.length.toLong)
       val l1 = (b1.keySet | b2.keySet).toSeq.map { b =>
