@@ -61,6 +61,13 @@ class SpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("q_completeness plan rides the grid — no cartesian or nested-loop join") {
+    val plan = queries.Spatial.qCompleteness(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "cartesian product in plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "nested-loop join in plan")
+  }
+
   test("q_zone_xmatch plan has no cartesian or nested-loop join") {
     val plan = queries.Spatial.qZoneXmatch(spark, sf)
       .queryExecution.executedPlan.toString
