@@ -127,7 +127,12 @@ object Bench {
     // drift monitor — broadcast midpoint + one combinable histogram
     "q_value_drift",
     // completeness curve — the association grid + a flag join-back
-    "q_completeness")
+    "q_completeness",
+    // round-12: the stored nightly-association lifecycle — first
+    // sample builds the halo table + appends the batches, the median
+    // reports the warm telemetry scan production actually runs
+    // (regresses if the replay guard breaks and batches re-associate)
+    "q_assoc_history")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */
@@ -206,31 +211,94 @@ object Bench {
       quiesce()
       name -> median(samples)
     }
-    // COMPACT artifact: the driver retains only a bounded tail of
-    // stdout, and round 10's full-precision 69-query line outgrew it
-    // (BENCH_r10.json parsed: null). Millisecond precision (3 dp,
-    // Locale.ROOT so no comma decimal separators) keeps the whole
-    // line — full per-query map PLUS the cross-round `headline10`
-    // object — comfortably inside the capture window, and it is the
-    // ONLY stdout line so the tail always starts at a parseable
-    // boundary.
+    // Suite-pressure adjudication (rounds 9-11 each needed a manual
+    // forensic JVM run to tell "query regressed" from "suite heap
+    // pressure"): re-time the slowest in-suite queries in a FORKED
+    // fresh JVM (true isolation — same classpath and JVM flags as this
+    // process, SPARK_GRAFT_BENCH_ONLY subset) and ship the result as
+    // an `isolated` object in the artifact, so the per-query
+    // comparison is self-adjudicating. Skipped inside the child (the
+    // ONLY env guard, so a forensic SPARK_GRAFT_BENCH_ONLY run also
+    // stays single-JVM); a fork failure degrades to an empty object
+    // rather than failing the bench.
+    val isolated: Seq[(String, Double)] =
+      if (only.isDefined) Seq.empty
+      else runIsolated(results.sortBy(-_._2).take(10).map(_._1))
+
+    // Artifact layout: the driver retains only a bounded TAIL of
+    // stdout, and the full per-query map outgrew it two rounds running
+    // (BENCH_r10/r11 parsed: null — the tail window starts mid-line).
+    // So the full map goes out first (and to SPARK_GRAFT_BENCH_OUT,
+    // which always holds the complete artifact), and a SHORT summary
+    // line — cross-round headline10 + totals + the isolated object,
+    // well under any plausible tail window — is the FINAL stdout line,
+    // so the retained tail always ends at a parseable boundary.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val h10 = results.filter(r => headline10.contains(r._1))
-    val line =
+    val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""queries":${qjson(results)},"headline10":${qjson(h10)},""" +
-        s""""headline10_total":${fmt(h10.map(_._2).sum)},"sf":"$sfDir","iters":$iters}"""
-    println(line)
+        s""""headline10_total":${fmt(h10.map(_._2).sum)},"isolated":${qjson(isolated)},""" +
+        s""""sf":"$sfDir","iters":$iters}"""
+    val summaryLine =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""queries":${qjson(h10)},"headline10_total":${fmt(h10.map(_._2).sum)},""" +
+        s""""isolated":${qjson(isolated)},"sf":"$sfDir","iters":$iters}"""
+    println(fullLine)
+    println(summaryLine)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-        (line + "\n").getBytes("UTF-8"))
+        (fullLine + "\n" + summaryLine + "\n").getBytes("UTF-8"))
     } catch {
       case e: Exception =>
         System.err.println(s"[bench] could not write $outFile: $e")
     }
     spark.stop()
+  }
+
+  /** Fork a fresh JVM (this JVM's binary, flags, and classpath — sbt
+    * forks the bench, so `java.class.path` IS the application
+    * classpath) running `graft.Bench` restricted to `names`, and parse
+    * its per-query medians back out of its output file. Returns empty
+    * (with a stderr note) on any failure — isolation numbers are
+    * diagnostic, never worth failing the artifact over. */
+  private def runIsolated(names: Seq[String]): Seq[(String, Double)] = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        sys.props("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val childOut = java.nio.file.Files.createTempFile("graft_bench_iso", ".json")
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", childOut.toString)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      val done = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { p.destroyForcibly(); sys.error("isolated bench timed out") }
+      require(p.exitValue() == 0, s"isolated bench exit ${p.exitValue()}")
+      val text = new String(java.nio.file.Files.readAllBytes(childOut), "UTF-8")
+      java.nio.file.Files.deleteIfExists(childOut)
+      val json = org.json4s.jackson.JsonMethods.parse(text.linesIterator.next())
+      val org.json4s.JObject(fields) = (json \ "queries"): @unchecked
+      val byName = fields.collect {
+        case (k, org.json4s.JDouble(v)) => k -> v
+        case (k, org.json4s.JDecimal(v)) => k -> v.toDouble
+        case (k, org.json4s.JInt(v)) => k -> v.toDouble
+      }.toMap
+      names.flatMap(n => byName.get(n).map(n -> _))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] isolated pass skipped: $e")
+        Seq.empty
+    }
   }
 }

@@ -270,7 +270,7 @@ object Spatial {
     * from ORDER keys with different scatter constants — the stand-in
     * for a night's incoming source detections. Same exact-rational
     * construction as [[points]], so the oracle reproduces it. */
-  private def detections(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def detections(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, dir).select(
       $"o_orderkey".as("det_k"),
@@ -565,6 +565,268 @@ object Spatial {
       .select($"k", $"ra", $"decl", $"dist_r6")
       .orderBy($"k")
   }
+
+  // ---------------------------------------------------------------
+  // Chunk-overlap at-rest layout — Qserv's subchunk-overlap design:
+  // objects within the match radius of a cell boundary are REPLICATED
+  // into the neighboring cells at write time (flagged halo copies), so
+  // a near-neighbor join probes ONLY its own cell and still sees every
+  // in-radius neighbor. With both catalogs bucketed on the cell id the
+  // equi-join on `cell` is a co-located merge — ZERO ShuffleExchange
+  // in the plan (spec-asserted): at 100 TB the object catalog is never
+  // exchanged again after ingest, and a nightly detection batch pays
+  // exactly one small-side exchange into the stored distribution.
+
+  /** Composite cell id of (zone, ra-cell) — one long, the bucketing
+    * and join key of the overlap layout. 100000 exceeds any per-zone
+    * bucket count down to zoneHeight ≈ 0.004°. */
+  private def cellOf(zone: Column, rb: Column): Column =
+    zone.cast("long") * 100000L + rb.cast("long")
+
+  /** Zone metadata for a halo layout: per zone, the at-rest grid's
+    * bucket count (cells sized for zoneHeight-separation — the
+    * [[writeZoneRaPartitioned]] geometry) and the worst-case Δra
+    * between a point IN the zone and anything within `radius` of it
+    * ([[raBoundDeg]]) — the halo window. ≤182 rows; rides along as a
+    * broadcast join. */
+  private def haloZoneMeta(s: SparkSession, radius: Double,
+    zoneHeight: Double): DataFrame =
+    s.createDataFrame(zoneRaBuckets(zoneHeight, zoneHeight).map {
+      case (z, nrb) => (z, nrb, raBoundDeg(z, radius, zoneHeight))
+    }).toDF("zm_zone", "nrb", "dra")
+
+  /** Every (cell, replica) a point must be stored in so that a probe
+    * joining ONLY its home cell still sees every neighbor within
+    * `radius`: the home cell (`is_core = 1`) plus halo copies
+    * (`is_core = 0`) in each neighboring cell whose probes could lie
+    * within the radius — the ±radius dec window picks the zones, each
+    * zone's Δra bound picks its ra cells. Lossless by the same
+    * inverse-haversine bound as the candidate grid: a probe p in zone
+    * z′ with dist(p, o) ≤ radius has |ra_p − ra_o| ≤ dra(z′), so o's
+    * replica set covers every home cell such a p can occupy.
+    * Replication ≈ (1 + 2·radius/zoneHeight)² — ~2× at the default 5°
+    * cells with a 1° radius, Qserv's chunk ≫ overlap regime — and a
+    * point lands at most once per cell (`array_distinct` collapses
+    * ra wraparound), exactly once with `is_core = 1`. */
+  private[graft] def withHaloCells(pts: DataFrame, radius: Double,
+    zoneHeight: Double): DataFrame = {
+    val s = pts.sparkSession
+    import s.implicits._
+    pts
+      .withColumn("zone0", floor(($"decl" + 90.0) / zoneHeight).cast("int"))
+      .withColumn("zc", explode(sequence(
+        floor(($"decl" - radius + 90.0) / zoneHeight).cast("int"),
+        floor(($"decl" + radius + 90.0) / zoneHeight).cast("int"))))
+      .join(broadcast(haloZoneMeta(s, radius, zoneHeight)),
+        $"zc" === $"zm_zone")
+      .withColumn("rb", explode(array_distinct(
+        when($"dra" >= 180.0, sequence(lit(0), $"nrb" - 1))
+          .otherwise(transform(
+            sequence(floor(($"ra" - $"dra") * $"nrb" / 360.0).cast("int"),
+              floor(($"ra" + $"dra") * $"nrb" / 360.0).cast("int")),
+            b => pmod(b, $"nrb"))))))
+      .withColumn("is_core", ($"zc" === $"zone0" &&
+        $"rb" === floor($"ra" * $"nrb" / 360.0).cast("int")).cast("int"))
+      .withColumn("cell", cellOf($"zc", $"rb"))
+      .select($"k", $"ra", $"decl", $"is_core", $"cell")
+  }
+
+  /** Home-cell-only assignment — the probe side of the layout (each
+    * probe point joins exactly one cell). */
+  private[graft] def withHomeCell(pts: DataFrame,
+    zoneHeight: Double): DataFrame = {
+    val s = pts.sparkSession
+    import s.implicits._
+    val zm = s.createDataFrame(zoneRaBuckets(zoneHeight, zoneHeight))
+      .toDF("zm_zone", "nrb")
+    pts
+      .withColumn("zone", floor(($"decl" + 90.0) / zoneHeight).cast("int"))
+      .join(broadcast(zm), $"zone" === $"zm_zone")
+      .withColumn("cell",
+        cellOf($"zone", floor($"ra" * $"nrb" / 360.0).cast("int")))
+      .select($"k", $"ra", $"decl", $"cell")
+  }
+
+  /** Write `pts` (k, ra, decl) as the stored overlap layout:
+    * halo-replicated ([[withHaloCells]]), bucketed AND sorted on
+    * `cell` — the build side of every shuffle-free cross-match.
+    * `numBuckets` must match the probe table's (Qserv: chunk
+    * placement is shared by every director-keyed table); bucket
+    * metadata lives in the session catalog. */
+  def writeXmatchHalo(pts: DataFrame, table: String, radius: Double,
+    zoneHeight: Double = 5.0, numBuckets: Int = 16): Unit =
+    graft.sources.Catalog.writeBucketed(
+      withHaloCells(pts, radius, zoneHeight), table, "cell", numBuckets)
+
+  /** Write `pts` home-cell-only under the same bucketing — the stored
+    * probe side (a detection archive being re-associated, say). */
+  def writeXmatchProbe(pts: DataFrame, table: String,
+    zoneHeight: Double = 5.0, numBuckets: Int = 16): Unit =
+    graft.sources.Catalog.writeBucketed(
+      withHomeCell(pts, zoneHeight), table, "cell", numBuckets)
+
+  /** Cross-match against the stored overlap layout, entirely
+    * cell-local: probe rows (home cells — a halo table's
+    * `is_core = 1` subset is the self-match probe) equi-join the
+    * build table's core+halo replicas on `cell`; the exact haversine
+    * keeps the radius. Every in-radius pair appears EXACTLY once —
+    * the probe has one home cell and the build point at most one
+    * replica there — so no halo-dedup pass exists. With both inputs
+    * bucketed on `cell` the plan carries ZERO ShuffleExchange
+    * (spec-asserted): the at-rest halo bought the association for the
+    * price of a per-cell merge. `radius` must not exceed the radius
+    * the build table's halo was written with (wider probes would
+    * outrun the replicas). */
+  def xmatchStored(probe: DataFrame, build: DataFrame,
+    radius: Double): DataFrame = {
+    val pr = probe.select(col("cell"), col("k").as("k1"),
+      col("ra").as("ra1"), col("decl").as("decl1"))
+    val bd = build.select(col("cell").as("cell2"), col("k").as("k2"),
+      col("ra").as("ra2"), col("decl").as("decl2"))
+    pr.join(bd, pr("cell") === bd("cell2"))
+      .withColumn("dist_r6",
+        round(distDeg(col("ra1"), col("decl1"), col("ra2"), col("decl2")), 6))
+      .filter(col("dist_r6") < radius)
+      .select(col("k1"), col("k2"), col("dist_r6"))
+  }
+
+  // ---------------------------------------------------------------
+  // Stored nightly association — the reference's daily workload KEEPS
+  // the detection→object match table, it doesn't recompute history:
+  // each night's batch is associated against the stored object
+  // catalog and APPENDED, replay-guarded, so per-night cost is
+  // bounded by the batch (the dedup-index lifecycle discipline
+  // applied to the spatial association).
+
+  import org.apache.spark.sql.types.{StructType, StructField, LongType, DoubleType}
+
+  /** Declared schema of the stored match table — required because a
+    * legitimate all-quiet night appends ZERO rows and a file-less
+    * partitioned root cannot infer its schema. `batch_id` is the
+    * partition key, declared LONG so reads never re-infer it as INT. */
+  private[graft] val MatchSchema: StructType = StructType(Seq(
+    StructField("det_k", LongType), StructField("obj_k", LongType),
+    StructField("dist_r6", DoubleType), StructField("batch_id", LongType)))
+
+  /** Read the stored match table (declared schema — see above). */
+  def readMatchTable(s: SparkSession, matchPath: String): DataFrame =
+    s.read.schema(MatchSchema).parquet(matchPath)
+
+  /** Associate one batch of fresh detections (`k`, `ra`, `decl`)
+    * against the stored object halo table and append the matches —
+    * (det_k, obj_k, dist_r6) — to the match table at `matchPath`,
+    * partitioned by `batch_id`.
+    *
+    * Lifecycle: crashed appends are healed first ([[graft.sources
+    * .Catalog.recoverAppends]] — every staged-append path runs
+    * recovery on ITS path), and a batch whose partition already
+    * exists is a REPLAY and appends nothing, so re-running a nightly
+    * job after a crash can never double-associate. Returns the number
+    * of match rows appended (0 on replay).
+    *
+    * Scale shape: the batch takes [[withHomeCell]] + ONE exchange
+    * into the halo table's bucketing; the object side — the 100 TB
+    * side — is never exchanged ([[xmatchStored]]). Appended files
+    * land inside their `batch_id` partition, so history queries prune
+    * by night. */
+  def associateNewDetections(s: SparkSession, batch: DataFrame,
+    objHalo: DataFrame, matchPath: String, batchId: Long,
+    radius: Double, zoneHeight: Double = 5.0): Long = {
+    import graft.sources.Catalog
+    Catalog.recoverAppends(s, matchPath)
+    val partDir = new org.apache.hadoop.fs.Path(matchPath, s"batch_id=$batchId")
+    val fsys = partDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (Catalog.tableComplete(s, matchPath) && fsys.exists(partDir)) return 0L
+    val matches = xmatchStored(withHomeCell(batch, zoneHeight), objHalo, radius)
+      .select(col("k1").as("det_k"), col("k2").as("obj_k"), col("dist_r6"))
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint() // one association pass feeds count AND append
+    val n = matches.count()
+    if (!Catalog.tableComplete(s, matchPath))
+      Catalog.createPartitionedIfAbsent(s, matches, matchPath, Seq("batch_id"))
+    else
+      Catalog.appendPartitioned(s, matches, matchPath, Seq("batch_id"),
+        Some(MatchSchema))
+    n
+  }
+
+  /** Cache key/locations for the registered [[qAssocHistory]]
+    * lifecycle, keyed by the input tables' file identity (customer =
+    * objects, orders = detections) so regenerated test data can never
+    * read a stale stored association — the ANN stored-model cache
+    * pattern. Production callers pass real artifact locations to
+    * [[writeXmatchHalo]] / [[associateNewDetections]] directly; the
+    * registered (session, dir) signature has nowhere to thread one
+    * through. */
+  private def assocKey(dir: String): String = {
+    def sig(f: java.io.File): String =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).map(sig).mkString("[", ",", "]")
+      else s"${f.getName}:${f.length}:${f.lastModified}"
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + "|" + sig(new java.io.File(dir, "customer.parquet")) +
+        "|" + sig(new java.io.File(dir, "orders.parquet"))).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def assocMatchPath(dir: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+      System.getProperty("java.io.tmpdir")) + s"/graft_assoc_match_${assocKey(dir)}"
+
+  /** Nights the detection stream is split into for the registered
+    * lifecycle (batch = det_k mod this — deterministic, so the oracle
+    * reproduces the assignment). */
+  private val AssocBatches = 3
+
+  /** Association-history telemetry over the STORED match table — the
+    * survey-operations query the nightly lifecycle exists to answer:
+    * per night (batch), how many detection→object matches landed, how
+    * many distinct detections matched, and the closest association.
+    * The query MAINTAINS the lifecycle it reads: the object halo
+    * table and the match table build on first touch (batches appended
+    * through [[associateNewDetections]] — replay-guarded, so
+    * re-execution appends nothing), then the telemetry is one
+    * partition-pruned scan + a per-night aggregate. The DuckDB oracle
+    * recomputes every night's association brute-force, so the hash
+    * check certifies the stored table's CONTENT, not just its shape. */
+  def qAssocHistory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val haloTable = s"graft_assoc_halo_${assocKey(dir)}"
+    if (!s.catalog.tableExists(haloTable))
+      writeXmatchHalo(points(s, dir), haloTable, radius = 1.0,
+        zoneHeight = 5.0, numBuckets = 8)
+    val matchPath = assocMatchPath(dir)
+    // a partial dir here is OUR crashed cache build (no _SUCCESS yet
+    // ⇒ batch 0's create died): nothing downstream is consistent with
+    // it, so resolve by rebuilding
+    if (graft.sources.Catalog.tableExists(s, matchPath) &&
+      !graft.sources.Catalog.tableComplete(s, matchPath))
+      graft.sources.Catalog.dropIfExists(s, matchPath)
+    val dets = detections(s, dir)
+    (0 until AssocBatches).foreach { b =>
+      associateNewDetections(s,
+        dets.filter(pmod($"det_k", lit(AssocBatches)) === b)
+          .select($"det_k".as("k"), $"ra", $"decl"),
+        s.table(haloTable), matchPath, b.toLong, radius = 1.0)
+    }
+    readMatchTable(s, matchPath)
+      .groupBy($"batch_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"det_k").as("n_matched_dets"),
+        min($"dist_r6").as("min_dist_r6"))
+      .orderBy($"batch_id")
+  }
+
+  val qAssocHistorySql: String =
+    s"""WITH m AS (
+       |  SELECT d.det_k % $AssocBatches AS batch_id, d.det_k,
+       |    ROUND(${distDegSql("d.ra", "d.decl", "o.ra", "o.decl")}, 6) AS dist_r6
+       |  FROM ($detectionsSql) d CROSS JOIN ($pointsSql) o)
+       |SELECT batch_id, COUNT(*) AS n_pairs,
+       |  COUNT(DISTINCT det_k) AS n_matched_dets,
+       |  MIN(dist_r6) AS min_dist_r6
+       |FROM m WHERE dist_r6 < 1.0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
   // qserv_areaspec_poly / qserv_areaspec_ellipse — the remaining two
@@ -973,7 +1235,8 @@ object Spatial {
     "q_ellipse_search" -> (qEllipseSearch _),
     "q_fof_groups" -> (qFofGroups _),
     "q_two_point_corr" -> (qTwoPointCorr _),
-    "q_two_point_sampled" -> (qTwoPointSampled _))
+    "q_two_point_sampled" -> (qTwoPointSampled _),
+    "q_assoc_history" -> (qAssocHistory _))
 
   val oracles: Map[String, String] = Map(
     "q_cone_search" -> qConeSearchSql,
@@ -990,5 +1253,6 @@ object Spatial {
     "q_ellipse_search" -> qEllipseSearchSql,
     "q_fof_groups" -> qFofGroupsSql,
     "q_two_point_corr" -> qTwoPointCorrSql,
-    "q_two_point_sampled" -> qTwoPointSampledSql)
+    "q_two_point_sampled" -> qTwoPointSampledSql,
+    "q_assoc_history" -> qAssocHistorySql)
 }

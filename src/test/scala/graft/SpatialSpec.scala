@@ -423,4 +423,99 @@ class SpatialSpec extends AnyFunSuite {
     }
     assert(out.map(_.getLong(2)).sum > 0, "no DD pairs at all — theta bins vacuous")
   }
+
+  // --- chunk-overlap halo layout + stored nightly association -----
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("halo layout: one core copy per point, bounded replication, self-match shuffle-free and equal to the flat grid xmatch") {
+    val pts = queries.Spatial.points(spark, sf)
+    val halo = queries.Spatial.withHaloCells(pts, 1.0, 5.0).localCheckpoint()
+    val n = pts.count()
+    assert(halo.filter("is_core = 1").count() == n,
+      "every point must have exactly one core copy")
+    assert(halo.groupBy("k", "cell").count().filter("count > 1").count() == 0,
+      "at most one replica of a point per cell")
+    // chunk >> overlap regime: a 1-degree halo on 5-degree cells means
+    // <= 2 zones x <= 2 ra-cells per point, never a 3x3 blowup
+    assert(halo.count() <= 4 * n, s"replication ${halo.count()} vs $n points")
+
+    queries.Spatial.writeXmatchHalo(pts, "halo_self_t", 1.0, 5.0, 4)
+    val stored = spark.table("halo_self_t")
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // pin the both-sides-big shape: no broadcast fallback, plan
+      // asserted non-adaptively (the CoreOlapSpec pruning approach)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val m = queries.Spatial
+        .xmatchStored(stored.filter("is_core = 1"), stored, 1.0)
+        .filter("k1 < k2")
+      val plan = m.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"halo cross-match must not shuffle either bucketed side:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"), s"product join in:\n$plan")
+      assert(pairSet(m) == pairSet(queries.Spatial.qZoneXmatch(spark, sf)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
+  test("two stored catalogs cross-match shuffle-free and equal the flat two-catalog grid join") {
+    val dets = queries.Spatial.detections(spark, sf)
+      .selectExpr("det_k AS k", "ra", "decl")
+    queries.Spatial.writeXmatchProbe(dets, "probe_det_t", 5.0, 4)
+    queries.Spatial.writeXmatchHalo(queries.Spatial.points(spark, sf),
+      "halo_obj_t", 1.0, 5.0, 4)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val m = queries.Spatial.xmatchStored(
+        spark.table("probe_det_t"), spark.table("halo_obj_t"), 1.0)
+      val plan = m.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"stored-to-stored association must be cell-local:\n$plan")
+      assert(pairSet(m) == pairSet(queries.Spatial.qXmatch2cat(spark, sf)))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
+  test("stored association: batches reproduce the batch cross-match; replay and empty batches append nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_assoc").toString
+    val matchPath = s"$dir/matches"
+    queries.Spatial.writeXmatchHalo(queries.Spatial.points(spark, sf),
+      "halo_assoc_t", 1.0, 5.0, 4)
+    val objHalo = spark.table("halo_assoc_t")
+    val dets = queries.Spatial.detections(spark, sf)
+      .selectExpr("det_k AS k", "ra", "decl")
+    val n0 = queries.Spatial.associateNewDetections(spark,
+      dets.filter("k % 2 = 0"), objHalo, matchPath, 0L, 1.0)
+    val n1 = queries.Spatial.associateNewDetections(spark,
+      dets.filter("k % 2 = 1"), objHalo, matchPath, 1L, 1.0)
+    assert(n0 + n1 > 0, "no matches at all — association vacuous")
+    val stored = queries.Spatial.readMatchTable(spark, matchPath)
+    assert(stored.count() == n0 + n1)
+    // the union of the nightly appends IS the flat association
+    assert(pairSet(stored.select("det_k", "obj_k", "dist_r6")) ==
+      pairSet(queries.Spatial.qXmatch2cat(spark, sf)))
+    // batches land in prunable batch_id partitions of the declared type
+    assert(stored.filter("batch_id = 0").count() == n0)
+    // replaying a committed batch is a no-op, not a double-association
+    assert(queries.Spatial.associateNewDetections(spark,
+      dets.filter("k % 2 = 1"), objHalo, matchPath, 1L, 1.0) == 0L)
+    assert(queries.Spatial.readMatchTable(spark, matchPath).count() == n0 + n1)
+    // an all-quiet night (zero detections) appends nothing and leaves
+    // the table readable
+    assert(queries.Spatial.associateNewDetections(spark,
+      dets.filter("k < 0"), objHalo, matchPath, 2L, 1.0) == 0L)
+    assert(queries.Spatial.readMatchTable(spark, matchPath).count() == n0 + n1)
+  }
 }
