@@ -89,15 +89,19 @@ object Dedup {
     * probability ~(grams²/2^65) ≈ 1e-11 — far below any practical
     * concern, and the per-doc gram cardinality `ng` stays exact the
     * same way on both sides of the threshold inequality. */
+  /** The word-3-gram hash array expression over the split column `w`. */
+  private val GramArrExpr =
+    "transform(sequence(0, size(w) - 3), i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))"
+
   private[queries] def gramRowsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
       .select($"doc_id", split($"text", " ").as("w"))
       .filter(size($"w") >= 3)
-      .select($"doc_id", explode(array_distinct(expr(
-        "transform(sequence(0, size(w) - 3), i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))")))
-        .as("gram"))
+      .select($"doc_id",
+        explode(array_distinct(expr(GramArrExpr))).as("gram"))
   }
+
 
   private val gramRowsSql =
     """SELECT doc_id, unnest(list_distinct(
@@ -117,9 +121,13 @@ object Dedup {
     * that only sheds uninformative mass-shared grams. The df window
     * reuses the same hash-partitioning on `gram` the join needs —
     * no extra shuffle. */
-  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+  /** [[ngramJaccardPairs]] without the presentation sort — the form
+    * every GRAPH consumer (clusters, motifs, PageRank, recall) feeds
+    * from: their first move is a shuffle on node ids, so a global
+    * range-sort of the pair set upstream is a wasted exchange. */
+  private[queries] def ngramJaccardPairsCore(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val g = gramRowsOf(docs)
+    val g = gramRowsOf(docs).persist()
     val counts = g.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
     val gf = cappedGramIndex(g)
     val pairs = gf.select($"doc_id".as("d1"), $"gram")
@@ -133,7 +141,11 @@ object Dedup {
       .filter($"inter" * 2 >= $"un")
       .select($"d1", $"d2", $"inter", $"un",
         expr("(100 * inter) DIV un").as("jac_pct"))
-      .orderBy($"d1", $"d2")
+  }
+
+  def ngramJaccardPairs(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    ngramJaccardPairsCore(docs).orderBy($"d1", $"d2")
   }
 
   def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
@@ -756,12 +768,20 @@ object Dedup {
     // (dup rate × corpus, not the corpus), so each iteration's join +
     // aggregate runs on that sliver — at 100 TB the iterating frame is
     // GBs, not the table.
-    // eagerly checkpointed: the final singleton anti-join below reads
-    // it AFTER edges is unpersisted — without this the whole pair
-    // generation would silently re-run to answer "which nodes had an
-    // edge"
-    val active = edges.select($"src".as("doc_id")).distinct()
+    //
+    // ONE eager pass produces BOTH loop inputs: the min-neighbor
+    // aggregate is the round-1 assignment (seeding propagation a hop
+    // ahead), and since `edges` carries both directions its key set IS
+    // the active set — the old separate distinct() paid a second full
+    // pass over the edge cache for information the seed already holds.
+    // Eagerly checkpointed: the final singleton anti-join reads the
+    // keys AFTER edges is unpersisted — without the barrier the whole
+    // pair generation would silently re-run to answer "which nodes had
+    // an edge".
+    val seed0 = edges.groupBy($"dst".as("doc_id"))
+      .agg(min($"src").as("nbr_min"))
       .localCheckpoint(true)
+    val active = seed0.select($"doc_id")
     // The iterating joins are sliver-sized micro-jobs: AQE's
     // per-exchange query-stage materialization adds scheduling
     // latency to every shuffle (≈5 exchanges/round × tens of rounds
@@ -793,16 +813,11 @@ object Dedup {
       org.apache.spark.sql.graftx.ColumnBridge
         .ofRows(to, df.queryExecution.logical)
     val edgesL = reRoot(edges, loopSess)
-    // Seed each label with min(self, min neighbor) off the already-
-    // shuffled edge frame — exactly the assignment round 1 would
-    // compute, for the price of one sliver aggregate folded into the
-    // first job, so propagation starts one hop ahead (saves a round
-    // on every graph shape).
-    val seed = edgesL.groupBy($"dst".as("doc_id"))
-      .agg(min($"src").as("nbr_min"))
-    var labels = reRoot(active, loopSess).join(seed, Seq("doc_id"), "left")
-      .select($"doc_id",
-        least($"doc_id", coalesce($"nbr_min", $"doc_id")).as("cluster_id"))
+    // Labels start from the materialized seed: min(self, min neighbor)
+    // — exactly the assignment round 1 would compute, so propagation
+    // starts one hop ahead (saves a round on every graph shape).
+    var labels = reRoot(seed0, loopSess)
+      .select($"doc_id", least($"doc_id", $"nbr_min").as("cluster_id"))
     var prev: Option[org.apache.spark.sql.DataFrame] = None
     var converged = false
     var it = 0
@@ -823,43 +838,53 @@ object Dedup {
           $"cluster_id".as("old_id"))
         .persist()
       converged = next.filter($"new_id" =!= $"old_id").count() == 0
-      // truncate lineage EVERY iteration: the checkpoint reads the
-      // just-materialized cache (sliver-sized — cheap), and with the
-      // two lazy compression joins below feeding the next round, an
-      // unbounded lineage compounds into a plan whose ANALYSIS cost
-      // dwarfs its execution (measured: minutes of optimizer time on
-      // the FoF filament graph when truncating every 4th round).
-      val kept = {
-        val cp = next.localCheckpoint(true)
-        next.unpersist(false)
-        cp
+      if (converged) {
+        // final round: no next propagate will read this frame, so the
+        // lineage-truncating checkpoint and the compression hops are
+        // pure overhead — hand the just-persisted labels straight to
+        // the caller (their lineage is one checkpointed round deep)
+        prev.foreach(_.unpersist(false))
+        prev = Some(next)
+        labels = next.select($"doc_id", $"new_id".as("cluster_id"))
+      } else {
+        // truncate lineage EVERY iteration: the checkpoint reads the
+        // just-materialized cache (sliver-sized — cheap), and with the
+        // two lazy compression joins below feeding the next round, an
+        // unbounded lineage compounds into a plan whose ANALYSIS cost
+        // dwarfs its execution (measured: minutes of optimizer time on
+        // the FoF filament graph when truncating every 4th round).
+        val kept = {
+          val cp = next.localCheckpoint(true)
+          next.unpersist(false)
+          cp
+        }
+        // the previous iteration's blocks are dead once `next` is
+        // materialized — release them instead of accreting one cached
+        // sliver per iteration (the final frame stays cached for the
+        // cluster-size window + singleton union below)
+        prev.foreach(_.unpersist(false))
+        prev = Some(kept)
+        // pointer jump (path compression): label ← label's label,
+        // applied TWICE. Plain neighbor-min propagation needs
+        // O(diameter) rounds, which on CHAIN-shaped graphs
+        // (friends-of-friends filaments, unlike the dense diameter-2
+        // near-dup clusters) means hundreds of rounds; each compression
+        // hop multiplies the per-round reach, so two hops cut the
+        // round count ~1.5× over one (34 → 22 measured on the FoF
+        // filaments at bench scale). Labels only decrease and every
+        // label is an active node id, so L(L(u)) is defined and
+        // ≤ L(u); the joins are lazy — the next iteration's propagate
+        // folds them in, costing two sliver-sized joins, no extra job.
+        val lk = kept.select($"doc_id", $"new_id")
+        val hop1 = lk.join(
+          lk.select($"doc_id".as("__p"), $"new_id".as("__pl")),
+          lk("new_id") === col("__p"), "left")
+          .select($"doc_id", coalesce($"__pl", $"new_id").as("__mid"))
+        labels = hop1.join(
+          lk.select($"doc_id".as("__q"), $"new_id".as("__ql")),
+          hop1("__mid") === col("__q"), "left")
+          .select($"doc_id", coalesce($"__ql", $"__mid").as("cluster_id"))
       }
-      // the previous iteration's blocks are dead once `next` is
-      // materialized — release them instead of accreting one cached
-      // sliver per iteration (the final frame stays cached for the
-      // cluster-size window + singleton union below)
-      prev.foreach(_.unpersist(false))
-      prev = Some(kept)
-      // pointer jump (path compression): label ← label's label,
-      // applied TWICE. Plain neighbor-min propagation needs
-      // O(diameter) rounds, which on CHAIN-shaped graphs
-      // (friends-of-friends filaments, unlike the dense diameter-2
-      // near-dup clusters) means hundreds of rounds; each compression
-      // hop multiplies the per-round reach, so two hops cut the
-      // round count ~1.5× over one (34 → 22 measured on the FoF
-      // filaments at bench scale). Labels only decrease and every
-      // label is an active node id, so L(L(u)) is defined and
-      // ≤ L(u); the joins are lazy — the next iteration's propagate
-      // folds them in, costing two sliver-sized joins, no extra job.
-      val lk = kept.select($"doc_id", $"new_id")
-      val hop1 = lk.join(
-        lk.select($"doc_id".as("__p"), $"new_id".as("__pl")),
-        lk("new_id") === col("__p"), "left")
-        .select($"doc_id", coalesce($"__pl", $"new_id").as("__mid"))
-      labels = hop1.join(
-        lk.select($"doc_id".as("__q"), $"new_id".as("__ql")),
-        hop1("__mid") === col("__q"), "left")
-        .select($"doc_id", coalesce($"__ql", $"__mid").as("cluster_id"))
       it += 1
     }
     edges.unpersist()
@@ -992,7 +1017,7 @@ object Dedup {
     val docs = Tables.documents(s, dir)
     connectedComponents(
       docs.select(docs("doc_id")),
-      ngramJaccardPairs(docs).select("d1", "d2"))
+      ngramJaccardPairsCore(docs).select("d1", "d2"))
   }
 
   /** The oracle computes the same transitive closure with a recursive
@@ -1050,7 +1075,7 @@ object Dedup {
     // after this function exits, so there is no later unpersist
     // point). Each pass reduces to at most a handful of rows, so the
     // driver-side collect is a few numbers, not data.
-    val p = ngramJaccardPairs(Tables.documents(s, dir))
+    val p = ngramJaccardPairsCore(Tables.documents(s, dir))
       .select($"d1", $"d2").persist()
     try {
       val deg = p.select($"d1".as("v")).union(p.select($"d2".as("v")))
@@ -1151,7 +1176,7 @@ object Dedup {
     * corpus — dedup pipelines rank by this to pick audit samples.
     * Singletons are excluded (their rank is the constant base). */
   def qPageRank(s: SparkSession, dir: String): DataFrame =
-    pageRank(ngramJaccardPairs(Tables.documents(s, dir)).select("d1", "d2"))
+    pageRank(ngramJaccardPairsCore(Tables.documents(s, dir)).select("d1", "d2"))
 
   /** Same pair CTEs as q_ngram_jaccard, then the K iterations unrolled
     * as plain CTEs r1..rK — integer `//` matches Spark's `DIV` exactly
@@ -1236,7 +1261,7 @@ object Dedup {
     * aggregates over the pair list; output is ≤ max-degree rows. */
   def qDegreeDist(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val p = ngramJaccardPairs(Tables.documents(s, dir)).select($"d1", $"d2")
+    val p = ngramJaccardPairsCore(Tables.documents(s, dir)).select($"d1", $"d2")
     p.select($"d1".as("v")).union(p.select($"d2".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("deg"))
       .groupBy($"deg").agg(count(lit(1)).as("n_nodes"))
@@ -1802,7 +1827,7 @@ object Dedup {
   def qDedupRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val ex = ngramJaccardPairs(docs).select($"d1", $"d2", lit(1).as("ex"))
+    val ex = ngramJaccardPairsCore(docs).select($"d1", $"d2", lit(1).as("ex"))
     val ls = lshPairs(docs).select($"d1", $"d2", lit(1).as("ls"))
     ex.join(ls, Seq("d1", "d2"), "full")
       .agg(
