@@ -238,4 +238,94 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(perFilter.toSeq == bandDf.toSeq && perFilter.nonEmpty)
   }
+
+  test("SQL-surface parity sweep: twelve reference idioms match their DataFrame twins") {
+    val s = spark // extension-bearing session (areaspec functions live there)
+    val base = SparkTestSession.spark
+    val sf = SparkTestSession.sf
+    SparkEntry.registerTables(s, sf)
+    import org.apache.spark.sql.functions._
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    def sqlRows(q: String): Seq[Seq[Any]] = rows(s.sql(q))
+
+    val fsrc = queries.TimeSeries.bandedSeries(base, sf)
+      .selectExpr("user_id AS objectId", "event_id AS srcId", "tus",
+        s"tus DIV ${queries.TimeSeries.VisitUs} AS visitId",
+        "xc AS flux_c100", "band AS filterName")
+    val polyArgs = queries.Spatial.PolyVerts
+      .flatMap { case (x, y) => Seq(x, y) }.mkString(", ")
+
+    // (idiom, the SQL a reference user writes, the DataFrame twin)
+    val idioms: Seq[(String, String, org.apache.spark.sql.DataFrame)] = Seq(
+      ("cone search",
+        "SELECT objectId FROM object WHERE areaspec_circle(ra, decl, 180.0, 20.0, 25.0)",
+        queries.Spatial.qConeSearch(base, sf).select("k")),
+      ("box search",
+        "SELECT objectId FROM object WHERE areaspec_box(ra, decl, 30.0, -30.0, 90.0, 30.0)",
+        queries.Spatial.qBoxSearch(base, sf).select("k")),
+      ("polygon search",
+        s"SELECT objectId FROM object WHERE areaspec_poly(ra, decl, $polyArgs)",
+        queries.Spatial.qPolySearch(base, sf).select("k")),
+      ("ellipse search",
+        "SELECT objectId FROM object WHERE areaspec_ellipse(ra, decl, 165.0, 31.0, 40.0, 25.0, 30.0)",
+        queries.Spatial.qEllipseSearch(base, sf).select("k")),
+      ("density map",
+        """SELECT CAST(FLOOR((decl + 90.0) / 5.0) AS BIGINT) AS zone5,
+          |  CAST(FLOOR(ra / 5.0) AS BIGINT) AS ra_cell, COUNT(*) AS n
+          |FROM object GROUP BY 1, 2""".stripMargin,
+        queries.Spatial.qSpatialDensity(base, sf)
+          .select("zone5", "ra_cell", "n")),
+      ("light-curve stats",
+        """SELECT objectId, COUNT(*) AS n, SUM(flux_c100) AS sum_c100
+          |FROM forcedsource WHERE objectId IS NOT NULL GROUP BY 1""".stripMargin,
+        queries.TimeSeries.qLightcurveStats(base, sf)
+          .filter("user_id IS NOT NULL")
+          .selectExpr("user_id", "n", "sum_c100")),
+      ("per-filter photometry",
+        """SELECT objectId, filterName, COUNT(*) AS n, SUM(flux_c100) AS s
+          |FROM forcedsource GROUP BY 1, 2""".stripMargin,
+        queries.TimeSeries.qLightcurveBand(base, sf)
+          .selectExpr("user_id", "band", "n", "sum_c100")),
+      ("visit summary",
+        "SELECT visitId, COUNT(*) AS n_src FROM forcedsource GROUP BY 1",
+        fsrc.groupBy(col("visitId")).agg(count(lit(1)).as("n_src"))),
+      ("director-index lookup",
+        "SELECT srcId, flux_c100 FROM forcedsource WHERE objectId = 7",
+        fsrc.filter(col("objectId") === 7).select("srcId", "flux_c100")),
+      ("top-N brightest",
+        """SELECT objectId, SUM(flux_c100) AS s FROM forcedsource
+          |WHERE objectId IS NOT NULL
+          |GROUP BY 1 ORDER BY s DESC, objectId LIMIT 10""".stripMargin,
+        fsrc.filter(col("objectId").isNotNull)
+          .groupBy(col("objectId")).agg(sum(col("flux_c100")).as("s"))
+          .orderBy(col("s").desc, col("objectId")).limit(10)),
+      ("time-window scan",
+        """SELECT COUNT(*) AS n FROM forcedsource
+          |WHERE tmid_us >= 3600000000 AND tmid_us < 36000000000""".stripMargin,
+        fsrc.filter(col("tus") >= 3600000000L && col("tus") < 36000000000L)
+          .agg(count(lit(1)).as("n"))),
+      ("cone + light-curve shared scan",
+        // cone centered on the low-key corner of the locus, where the
+        // forced-source objectIds live
+        """SELECT f.objectId, COUNT(*) AS n
+          |FROM forcedsource f JOIN object o ON f.objectId = o.objectId
+          |WHERE areaspec_circle(o.ra, o.decl, 10.0, -78.0, 15.0)
+          |GROUP BY 1""".stripMargin,
+        fsrc.join(
+          queries.Spatial.points(base, sf)
+            .filter(queries.Spatial.distDeg(
+              col("ra"), col("decl"), lit(10.0), lit(-78.0)) < 15.0)
+            .select(col("k").as("objectId")),
+          Seq("objectId"))
+          .groupBy(col("objectId")).agg(count(lit(1)).as("n"))))
+
+    for ((name, q, twin) <- idioms) {
+      val got = sqlRows(q)
+      val want = rows(twin)
+      assert(got.nonEmpty, s"$name: SQL idiom returned no rows")
+      assert(got == want, s"$name: SQL surface diverged from the DataFrame twin")
+    }
+  }
 }
