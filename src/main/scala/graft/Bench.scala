@@ -132,7 +132,10 @@ object Bench {
     // sample builds the halo table + appends the batches, the median
     // reports the warm telemetry scan production actually runs
     // (regresses if the replay guard breaks and batches re-associate)
-    "q_assoc_history")
+    "q_assoc_history",
+    // and its transient half — warm cost is the stored-table scan +
+    // one combinable aggregate; the build amortizes with q_assoc_history
+    "q_transient_rate")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

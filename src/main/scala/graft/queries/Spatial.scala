@@ -750,6 +750,61 @@ object Spatial {
     n
   }
 
+  /** Declared transient-table schema — an all-matched batch appends
+    * ZERO rows and a file-less partitioned root cannot infer its
+    * schema; `batch_id` declared LONG like [[MatchSchema]]'s. */
+  private[graft] val TransientSchema: StructType = StructType(Seq(
+    StructField("det_k", LongType), StructField("ra", DoubleType),
+    StructField("decl", DoubleType), StructField("batch_id", LongType)))
+
+  /** Read the stored transient table (declared schema — see above). */
+  def readTransients(s: SparkSession, path: String): DataFrame =
+    s.read.schema(TransientSchema).parquet(path)
+
+  /** One full nightly batch: associate against the stored halo table
+    * and append the matches ([[associateNewDetections]]), then append
+    * the UNMATCHED remainder — the new-transient feed an
+    * object-creation path consumes — to its own batch_id-partitioned
+    * table. Each append is INDEPENDENTLY replay-guarded on its own
+    * batch_id partition, so a crash between the two heals on replay:
+    * the match append no-ops, and the transient append — whose
+    * partition never committed — recomputes its rows from the batch
+    * and the STORED match partition (a partition-pruned equi
+    * anti-join on the detection key; the spatial work is never
+    * redone). Returns the (matches, transients) row counts appended —
+    * (0, 0) on a full replay. [[graft.streaming.DetectionStream]]
+    * runs this per micro-batch. */
+  def associateBatch(s: SparkSession, batch: DataFrame, objHalo: DataFrame,
+    matchPath: String, transientPath: String, batchId: Long,
+    radius: Double, zoneHeight: Double = 5.0): (Long, Long) = {
+    import graft.sources.Catalog
+    // the batch feeds the association AND the anti-join — pin it once
+    val b = batch.select(col("det_k").as("k"), col("ra"), col("decl"))
+      .localCheckpoint(true)
+    val nMatch = associateNewDetections(s, b, objHalo, matchPath,
+      batchId, radius, zoneHeight)
+    Catalog.recoverAppends(s, transientPath)
+    val partDir = new org.apache.hadoop.fs.Path(transientPath,
+      s"batch_id=$batchId")
+    val fsys = partDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (Catalog.tableComplete(s, transientPath) && fsys.exists(partDir))
+      return (nMatch, 0L)
+    val matched = readMatchTable(s, matchPath)
+      .filter(col("batch_id") === batchId)
+      .select(col("det_k").as("k")).distinct()
+    val tr = b.join(matched, Seq("k"), "left_anti")
+      .select(col("k").as("det_k"), col("ra"), col("decl"))
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint(true) // one pass feeds count AND append
+    val nTrans = tr.count()
+    if (!Catalog.tableComplete(s, transientPath))
+      Catalog.createPartitionedIfAbsent(s, tr, transientPath, Seq("batch_id"))
+    else
+      Catalog.appendPartitioned(s, tr, transientPath, Seq("batch_id"),
+        Some(TransientSchema))
+    (nMatch, nTrans)
+  }
+
   /** Cache key/locations for the registered [[qAssocHistory]]
     * lifecycle, keyed by the input tables' file identity (customer =
     * objects, orders = detections) so regenerated test data can never
@@ -769,14 +824,57 @@ object Spatial {
       .map("%02x".format(_)).mkString
   }
 
-  private def assocMatchPath(dir: String): String =
+  private def assocStorePath(dir: String, kind: String): String =
     sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
-      System.getProperty("java.io.tmpdir")) + s"/graft_assoc_match_${assocKey(dir)}"
+      System.getProperty("java.io.tmpdir")) + s"/graft_assoc_${kind}_${assocKey(dir)}"
 
   /** Nights the detection stream is split into for the registered
     * lifecycle (batch = det_k mod this — deterministic, so the oracle
     * reproduces the assignment). */
   private val AssocBatches = 3
+
+  /** Build (or heal) the registered association lifecycle for `dir`:
+    * the object halo table, then each night's batch through
+    * [[associateBatch]] — match AND transient stores, every append
+    * replay-guarded, so re-entry from any registered query (or a
+    * crashed previous run) only fills what is missing. Returns
+    * (matchPath, transientPath). */
+  private def ensureAssocStores(s: SparkSession, dir: String): (String, String) = {
+    import s.implicits._
+    val haloTable = s"graft_assoc_halo_${assocKey(dir)}"
+    if (!s.catalog.tableExists(haloTable)) {
+      // A fresh session's in-memory catalog has no memory of a
+      // previous JVM's build, but the managed LOCATION survives in
+      // the warehouse dir and Spark refuses to create a table over
+      // it. The layout is a content-keyed derived cache (the key pins
+      // the input files), so clearing the leftover and rebuilding is
+      // always safe — and the only way to re-register it in an
+      // in-memory catalog.
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), haloTable)
+      val f = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(loc)) f.delete(loc, true)
+      writeXmatchHalo(points(s, dir), haloTable, radius = 1.0,
+        zoneHeight = 5.0, numBuckets = 8)
+    }
+    val matchPath = assocStorePath(dir, "match")
+    val transientPath = assocStorePath(dir, "trans")
+    // a partial dir here is OUR crashed cache build (no _SUCCESS yet
+    // ⇒ batch 0's create died): nothing downstream is consistent with
+    // it, so resolve by rebuilding
+    for (p <- Seq(matchPath, transientPath))
+      if (graft.sources.Catalog.tableExists(s, p) &&
+        !graft.sources.Catalog.tableComplete(s, p))
+        graft.sources.Catalog.dropIfExists(s, p)
+    val dets = detections(s, dir)
+    (0 until AssocBatches).foreach { b =>
+      associateBatch(s,
+        dets.filter(pmod($"det_k", lit(AssocBatches)) === b)
+          .select($"det_k", $"ra", $"decl"),
+        s.table(haloTable), matchPath, transientPath, b.toLong, radius = 1.0)
+    }
+    (matchPath, transientPath)
+  }
 
   /** Association-history telemetry over the STORED match table — the
     * survey-operations query the nightly lifecycle exists to answer:
@@ -791,24 +889,7 @@ object Spatial {
     * check certifies the stored table's CONTENT, not just its shape. */
   def qAssocHistory(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val haloTable = s"graft_assoc_halo_${assocKey(dir)}"
-    if (!s.catalog.tableExists(haloTable))
-      writeXmatchHalo(points(s, dir), haloTable, radius = 1.0,
-        zoneHeight = 5.0, numBuckets = 8)
-    val matchPath = assocMatchPath(dir)
-    // a partial dir here is OUR crashed cache build (no _SUCCESS yet
-    // ⇒ batch 0's create died): nothing downstream is consistent with
-    // it, so resolve by rebuilding
-    if (graft.sources.Catalog.tableExists(s, matchPath) &&
-      !graft.sources.Catalog.tableComplete(s, matchPath))
-      graft.sources.Catalog.dropIfExists(s, matchPath)
-    val dets = detections(s, dir)
-    (0 until AssocBatches).foreach { b =>
-      associateNewDetections(s,
-        dets.filter(pmod($"det_k", lit(AssocBatches)) === b)
-          .select($"det_k".as("k"), $"ra", $"decl"),
-        s.table(haloTable), matchPath, b.toLong, radius = 1.0)
-    }
+    val (matchPath, _) = ensureAssocStores(s, dir)
     readMatchTable(s, matchPath)
       .groupBy($"batch_id")
       .agg(count(lit(1)).as("n_pairs"),
@@ -827,6 +908,44 @@ object Spatial {
        |  MIN(dist_r6) AS min_dist_r6
        |FROM m WHERE dist_r6 < 1.0
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Transient-rate telemetry over the STORED transient table — the
+    * other nightly-operations curve: per night, how many detections
+    * matched nothing (candidate new objects / artifacts) and what
+    * fraction of the batch that is, in exact permille. A transient
+    * spike is the first sign of an astrometry regression or a bad
+    * calibration night. Same lifecycle as [[qAssocHistory]] (the two
+    * queries build/heal the same stores in either order); the DuckDB
+    * oracle recomputes every night's NOT EXISTS brute-force, so the
+    * hash certifies the stored transient CONTENT. */
+  def qTransientRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, transientPath) = ensureAssocStores(s, dir)
+    val totals = detections(s, dir)
+      .groupBy(pmod($"det_k", lit(AssocBatches)).cast("long").as("batch_id"))
+      .agg(count(lit(1)).as("n_det"))
+    readTransients(s, transientPath)
+      .groupBy($"batch_id").agg(count(lit(1)).as("n_transient"))
+      // right join: an all-matched night still reports a zero row
+      .join(totals, Seq("batch_id"), "right")
+      .withColumn("n_transient", coalesce($"n_transient", lit(0L)))
+      .withColumn("transient_pm", expr("(1000 * n_transient) DIV n_det"))
+      .select($"batch_id", $"n_det", $"n_transient", $"transient_pm")
+      .orderBy($"batch_id")
+  }
+
+  val qTransientRateSql: String =
+    s"""WITH t AS (
+       |  SELECT d.det_k % $AssocBatches AS batch_id,
+       |    CASE WHEN NOT EXISTS (
+       |      SELECT 1 FROM ($pointsSql) o
+       |      WHERE ROUND(${distDegSql("d.ra", "d.decl", "o.ra", "o.decl")}, 6) < 1.0)
+       |    THEN 1 ELSE 0 END AS is_tr
+       |  FROM ($detectionsSql) d)
+       |SELECT batch_id, COUNT(*) AS n_det,
+       |  CAST(SUM(is_tr) AS BIGINT) AS n_transient,
+       |  (1000 * CAST(SUM(is_tr) AS BIGINT)) // COUNT(*) AS transient_pm
+       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
   // qserv_areaspec_poly / qserv_areaspec_ellipse — the remaining two
@@ -1236,7 +1355,8 @@ object Spatial {
     "q_fof_groups" -> (qFofGroups _),
     "q_two_point_corr" -> (qTwoPointCorr _),
     "q_two_point_sampled" -> (qTwoPointSampled _),
-    "q_assoc_history" -> (qAssocHistory _))
+    "q_assoc_history" -> (qAssocHistory _),
+    "q_transient_rate" -> (qTransientRate _))
 
   val oracles: Map[String, String] = Map(
     "q_cone_search" -> qConeSearchSql,
@@ -1254,5 +1374,6 @@ object Spatial {
     "q_fof_groups" -> qFofGroupsSql,
     "q_two_point_corr" -> qTwoPointCorrSql,
     "q_two_point_sampled" -> qTwoPointSampledSql,
-    "q_assoc_history" -> qAssocHistorySql)
+    "q_assoc_history" -> qAssocHistorySql,
+    "q_transient_rate" -> qTransientRateSql)
 }

@@ -1048,3 +1048,75 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 }
+
+// top-level: MemoryStream needs an encoder without an outer-class scope
+case class Det(det_k: Long, ra: Double, decl: Double)
+
+class DetectionStreamSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.streaming.DetectionStream
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("streamed association reproduces the batch cross-match and transient split; replay appends nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_detstream")
+    val matchPath = base.resolve("matches").toString
+    val transientPath = base.resolve("transients").toString
+    val cp = base.resolve("cp").toString
+
+    queries.Spatial.writeXmatchHalo(
+      queries.Spatial.points(spark, sf), "halo_stream_t", 1.0, 5.0, 4)
+    val objHalo = spark.table("halo_stream_t")
+    val dets = queries.Spatial.detections(spark, sf)
+      .select("det_k", "ra", "decl").collect()
+      .map(r => Det(r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val (first, second) = dets.partition(_.det_k % 2 == 0)
+
+    val input = MemoryStream[Det]
+    val q = DetectionStream.start(input.toDF(), objHalo, matchPath,
+      transientPath, cp, 1.0)
+    try {
+      input.addData(first.toSeq); q.processAllAvailable()
+      input.addData(second.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // the accumulated match table IS the flat two-catalog association
+    val stored = queries.Spatial.readMatchTable(spark, matchPath)
+    assert(pairSet(stored.select("det_k", "obj_k", "dist_r6")) ==
+      pairSet(queries.Spatial.qXmatch2cat(spark, sf)))
+    // the transient table IS the unmatched half, and together they
+    // partition the detections exactly
+    val trans = queries.Spatial.readTransients(spark, transientPath)
+    val wantTrans = queries.Spatial.qXmatchUnmatched(spark, sf)
+      .select("det_k").collect().map(_.getLong(0)).toSet
+    assert(trans.select("det_k").collect().map(_.getLong(0)).toSet == wantTrans)
+    assert(trans.count() +
+      stored.select("det_k").distinct().count() == dets.length.toLong)
+
+    // a replayed micro-batch (same batch_id) appends to NEITHER table
+    val firstDf = first.toSeq.toDF("det_k", "ra", "decl")
+    assert(queries.Spatial.associateBatch(spark, firstDf, objHalo,
+      matchPath, transientPath, 0L, 1.0) == (0L, 0L))
+    assert(queries.Spatial.readMatchTable(spark, matchPath).count() ==
+      stored.count())
+    assert(queries.Spatial.readTransients(spark, transientPath).count() ==
+      trans.count())
+
+    // crash window: matches committed, transients lost — replay heals
+    // the transient partition without redoing the spatial work
+    val lostDir = new org.apache.hadoop.fs.Path(transientPath, "batch_id=1")
+    val fsys = lostDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = trans.filter("batch_id = 1").count()
+    assert(fsys.delete(lostDir, true))
+    val (m1, t1) = queries.Spatial.associateBatch(spark,
+      second.toSeq.toDF("det_k", "ra", "decl"), objHalo,
+      matchPath, transientPath, 1L, 1.0)
+    assert(m1 == 0L, "match append must replay as a no-op")
+    assert(t1 == before, "healed transient partition must restore its rows")
+    assert(queries.Spatial.readTransients(spark, transientPath)
+      .select("det_k").collect().map(_.getLong(0)).toSet == wantTrans)
+  }
+}
