@@ -805,6 +805,61 @@ object Spatial {
     (nMatch, nTrans)
   }
 
+  /** Declared schema of the new-object DELTA store — halo-layout rows
+    * ([[withHaloCells]] columns) plus the creating batch. */
+  private[graft] val ObjDeltaSchema: StructType = StructType(Seq(
+    StructField("k", LongType), StructField("ra", DoubleType),
+    StructField("decl", DoubleType),
+    StructField("is_core", org.apache.spark.sql.types.IntegerType),
+    StructField("cell", LongType), StructField("batch_id", LongType)))
+
+  /** Read the new-object delta store (declared schema). */
+  def deltaObjects(s: SparkSession, path: String): DataFrame =
+    s.read.schema(ObjDeltaSchema).parquet(path)
+
+  /** Object creation — the step that closes the nightly cycle: one
+    * batch's TRANSIENTS (stored by [[associateBatch]]) become new
+    * objects at their detected positions, halo-replicated
+    * ([[withHaloCells]], same radius/zoneHeight as the base layout)
+    * and appended to a DELTA store partitioned by the creating batch.
+    *
+    * The big halo table stays IMMUTABLE — the LSM discipline: nightly
+    * growth accretes in the delta (per-batch cost = the batch, with
+    * the staged-append replay guard on the batch_id partition, so a
+    * replayed night creates nothing), association probes base ∪ delta
+    * (two joins — the bucketed base stays exchange-free, the delta
+    * sliver broadcasts), and a periodic maintenance rebuild folds the
+    * delta into a fresh base layout exactly like any other
+    * compaction. New object ids are `idOffset + det_k` — a
+    * deterministic function of the detection, so ids are stable
+    * across replays and disjoint from the catalog's range by the
+    * caller's choice of offset. Returns new-object count (0 on
+    * replay). */
+  def createObjectsFromTransients(s: SparkSession, transientPath: String,
+    batchId: Long, deltaPath: String, idOffset: Long, radius: Double,
+    zoneHeight: Double = 5.0): Long = {
+    import graft.sources.Catalog
+    Catalog.recoverAppends(s, deltaPath)
+    val partDir = new org.apache.hadoop.fs.Path(deltaPath,
+      s"batch_id=$batchId")
+    val fsys = partDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (Catalog.tableComplete(s, deltaPath) && fsys.exists(partDir)) return 0L
+    val newObjs = withHaloCells(
+      readTransients(s, transientPath)
+        .filter(col("batch_id") === batchId)
+        .select((col("det_k") + idOffset).as("k"), col("ra"), col("decl")),
+      radius, zoneHeight)
+      .withColumn("batch_id", lit(batchId))
+      .localCheckpoint(true) // one pass feeds count AND append
+    val n = newObjs.filter(col("is_core") === 1).count()
+    if (!Catalog.tableComplete(s, deltaPath))
+      Catalog.createPartitionedIfAbsent(s, newObjs, deltaPath, Seq("batch_id"))
+    else
+      Catalog.appendPartitioned(s, newObjs, deltaPath, Seq("batch_id"),
+        Some(ObjDeltaSchema))
+    n
+  }
+
   /** Cache key/locations for the registered [[qAssocHistory]]
     * lifecycle, keyed by the input tables' file identity (customer =
     * objects, orders = detections) so regenerated test data can never

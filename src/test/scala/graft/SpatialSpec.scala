@@ -518,4 +518,43 @@ class SpatialSpec extends AnyFunSuite {
       dets.filter("k < 0"), objHalo, matchPath, 2L, 1.0) == 0L)
     assert(queries.Spatial.readMatchTable(spark, matchPath).count() == n0 + n1)
   }
+
+  test("object creation closes the nightly cycle: transients become matchable; replay creates nothing") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_objcreate")
+    val matchPath = s"$base/matches"
+    val transientPath = s"$base/transients"
+    val deltaPath = s"$base/obj_delta"
+    val IdOffset = 1000000L
+    queries.Spatial.writeXmatchHalo(queries.Spatial.points(spark, sf),
+      "halo_cycle_t", 1.0, 5.0, 4)
+    val objHalo = spark.table("halo_cycle_t")
+    val dets = queries.Spatial.detections(spark, sf)
+      .select("det_k", "ra", "decl")
+    val (_, nTrans) = queries.Spatial.associateBatch(spark, dets, objHalo,
+      matchPath, transientPath, 0L, 1.0)
+    assert(nTrans > 0, "fixture needs transients for the cycle to be non-vacuous")
+    val created = queries.Spatial.createObjectsFromTransients(spark,
+      transientPath, 0L, deltaPath, IdOffset, 1.0)
+    assert(created == nTrans, "every transient must become exactly one object")
+    // replay creates nothing (staged-append replay guard on batch_id)
+    assert(queries.Spatial.createObjectsFromTransients(spark,
+      transientPath, 0L, deltaPath, IdOffset, 1.0) == 0L)
+    assert(queries.Spatial.deltaObjects(spark, deltaPath)
+      .filter("is_core = 1").count() == nTrans)
+    // re-probing the SAME detections against base ∪ delta leaves
+    // nothing unmatched: the delta closed the catalog
+    val probe = queries.Spatial.withHomeCell(
+      dets.selectExpr("det_k AS k", "ra", "decl"), 5.0)
+    val mBase = queries.Spatial.xmatchStored(probe, objHalo, 1.0)
+    val mDelta = queries.Spatial.xmatchStored(probe,
+      queries.Spatial.deltaObjects(spark, deltaPath), 1.0)
+    val matched = mBase.select("k1").union(mDelta.select("k1"))
+      .distinct().count()
+    assert(matched == dets.count(),
+      s"base+delta matched $matched of ${dets.count()} detections")
+    // and each transient matches its own new object at distance zero
+    assert(mDelta.filter(col("k2") === col("k1") + IdOffset &&
+      col("dist_r6") === 0.0).count() == nTrans)
+  }
 }
