@@ -860,6 +860,41 @@ object Spatial {
     n
   }
 
+  /** The periodic maintenance rebuild that folds the accumulated
+    * new-object delta back into the base halo layout — the LSM
+    * compaction: the fresh base is re-derived from the CORE rows of
+    * base ∪ delta (each point exactly once — halo replicas are
+    * recomputed by the writer, so a radius/zoneHeight retune applies
+    * here too), written over the bucketed table, then the delta is
+    * dropped. Idempotent under replay: a crash after the rebuild but
+    * before the drop re-runs safely (the union's core set is
+    * unchanged — delta objects already in base collapse into the same
+    * rows). Like `Catalog.compactPartitions`, this is a maintenance
+    * op for a quiesced pipeline — a reader probing base ∪ delta
+    * INSIDE the rebuild-to-drop window would see delta objects twice.
+    * Returns the compacted object count. */
+  def compactHaloDelta(s: SparkSession, haloTable: String,
+    deltaPath: String, radius: Double, zoneHeight: Double = 5.0,
+    numBuckets: Int = 16): Long = {
+    import graft.sources.Catalog
+    val baseCore = s.table(haloTable).filter(col("is_core") === 1)
+      .select(col("k"), col("ra"), col("decl"))
+    val all =
+      if (Catalog.tableComplete(s, deltaPath))
+        baseCore.unionByName(deltaObjects(s, deltaPath)
+          .filter(col("is_core") === 1)
+          .select(col("k"), col("ra"), col("decl")))
+          .distinct() // delta ⊆ base after a crashed previous compact
+      else baseCore
+    // the rebuild reads the table it overwrites — break the
+    // self-overwrite through a physical materialization first
+    val pinned = all.localCheckpoint(true)
+    val n = pinned.count()
+    writeXmatchHalo(pinned, haloTable, radius, zoneHeight, numBuckets)
+    Catalog.dropIfExists(s, deltaPath)
+    n
+  }
+
   /** Cache key/locations for the registered [[qAssocHistory]]
     * lifecycle, keyed by the input tables' file identity (customer =
     * objects, orders = detections) so regenerated test data can never

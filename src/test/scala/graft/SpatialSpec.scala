@@ -556,5 +556,23 @@ class SpatialSpec extends AnyFunSuite {
     // and each transient matches its own new object at distance zero
     assert(mDelta.filter(col("k2") === col("k1") + IdOffset &&
       col("dist_r6") === 0.0).count() == nTrans)
+
+    // --- compaction: fold the delta into the base ---
+    val before = pairSet(mBase.select("k1", "k2", "dist_r6")) ++
+      pairSet(mDelta.select("k1", "k2", "dist_r6"))
+    val nPts = queries.Spatial.points(spark, sf).count()
+    val compacted = queries.Spatial.compactHaloDelta(spark, "halo_cycle_t",
+      deltaPath, 1.0, 5.0, 4)
+    assert(compacted == nPts + nTrans,
+      s"compacted $compacted objects, expected ${nPts + nTrans}")
+    assert(!graft.sources.Catalog.tableExists(spark, deltaPath),
+      "compaction must drop the folded delta")
+    // base-only association now equals the previous base ∪ delta
+    val after = queries.Spatial.xmatchStored(probe,
+      spark.table("halo_cycle_t"), 1.0)
+    assert(pairSet(after.select("k1", "k2", "dist_r6")) == before)
+    // idempotent: a re-run with no delta rebuilds the same base
+    assert(queries.Spatial.compactHaloDelta(spark, "halo_cycle_t",
+      deltaPath, 1.0, 5.0, 4) == compacted)
   }
 }
