@@ -246,9 +246,13 @@ object Bench {
         s""""queries":${qjson(results)},"headline10":${qjson(h10)},""" +
         s""""headline10_total":${fmt(h10.map(_._2).sum)},"isolated":${qjson(isolated)},""" +
         s""""sf":"$sfDir","iters":$iters}"""
+    // self-consistent summary: `queries`/`n_queries` describe the
+    // same (headline10) set, with the full-suite totals under
+    // explicit `suite_*` keys — a parser must never mistake the
+    // 10-query map for the whole run
     val summaryLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
-        s""""queries":${qjson(h10)},"headline10_total":${fmt(h10.map(_._2).sum)},""" +
+      s"""{"metric":"headline10_total","value":${fmt(h10.map(_._2).sum)},"unit":"sec","n_queries":${h10.size},""" +
+        s""""queries":${qjson(h10)},"suite_total":${fmt(total)},"suite_n_queries":${results.size},""" +
         s""""isolated":${qjson(isolated)},"sf":"$sfDir","iters":$iters}"""
     println(fullLine)
     println(summaryLine)

@@ -275,19 +275,27 @@ object Ann {
     * explicit model path through — production callers use
     * [[buildIvfModel]]/[[loadIvfModel]] with a real artifact
     * location; this cache is the same lifecycle with a derived one. */
-  private[graft] def annCachePath(dir: String, kind: String,
-    table: String = "embeddings.parquet"): String = {
+  /** Content key over `dir` + the named input tables' file identity
+    * (name + length + mtime, recursive) — shared by every derived
+    * cache in the library ([[annCachePath]] here, the spatial
+    * association stores in [[graft.queries.Spatial]]), so the key
+    * format cannot drift between modules. */
+  private[graft] def annCacheKey(dir: String, tables: Seq[String]): String = {
     def sig(f: java.io.File): String =
       if (f.isDirectory)
         f.listFiles().sortBy(_.getName).map(sig).mkString("[", ",", "]")
       else s"${f.getName}:${f.length}:${f.lastModified}"
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${sig(new java.io.File(dir, table))}"
-        .getBytes("UTF-8"))
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((dir + tables.map(t =>
+        "|" + sig(new java.io.File(dir, t))).mkString).getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
-      System.getProperty("java.io.tmpdir")) + s"/graft_${kind}_$key"
   }
+
+  private[graft] def annCachePath(dir: String, kind: String,
+    table: String = "embeddings.parquet"): String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+      System.getProperty("java.io.tmpdir")) +
+      s"/graft_${kind}_${annCacheKey(dir, Seq(table))}"
 
   private[graft] def ivfModelCachePath(dir: String): String =
     annCachePath(dir, "ivf_model")

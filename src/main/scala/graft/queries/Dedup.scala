@@ -127,7 +127,7 @@ object Dedup {
     * range-sort of the pair set upstream is a wasted exchange. */
   private[queries] def ngramJaccardPairsCore(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    val g = gramRowsOf(docs).persist()
+    val g = gramRowsOf(docs)
     val counts = g.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
     val gf = cappedGramIndex(g)
     val pairs = gf.select($"doc_id".as("d1"), $"gram")

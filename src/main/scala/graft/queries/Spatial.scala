@@ -729,11 +729,28 @@ object Spatial {
     * side — is never exchanged ([[xmatchStored]]). Appended files
     * land inside their `batch_id` partition, so history queries prune
     * by night. */
+  /** Heal a lifecycle-OWNED store at `path` before writing: resolve
+    * crashed appends, and clear a directory whose CREATE died before
+    * its `_SUCCESS` committed. These paths are designated by the
+    * caller and written only through this module, so an unmarked
+    * directory here is always OUR crashed batch-0 create — never the
+    * foreign marker-less table [[graft.sources.Catalog]]'s
+    * guardedCreate refuses to guess about — and nothing committed is
+    * lost by clearing it. Without this, one crash during the very
+    * first create would wedge every later batch behind the
+    * guardedCreate throw, breaking the replay-heals contract. */
+  private def healOwnedStore(s: SparkSession, path: String): Unit = {
+    import graft.sources.Catalog
+    Catalog.recoverAppends(s, path)
+    if (Catalog.tableExists(s, path) && !Catalog.tableComplete(s, path))
+      Catalog.dropIfExists(s, path)
+  }
+
   def associateNewDetections(s: SparkSession, batch: DataFrame,
     objHalo: DataFrame, matchPath: String, batchId: Long,
     radius: Double, zoneHeight: Double = 5.0): Long = {
     import graft.sources.Catalog
-    Catalog.recoverAppends(s, matchPath)
+    healOwnedStore(s, matchPath)
     val partDir = new org.apache.hadoop.fs.Path(matchPath, s"batch_id=$batchId")
     val fsys = partDir.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (Catalog.tableComplete(s, matchPath) && fsys.exists(partDir)) return 0L
@@ -783,7 +800,7 @@ object Spatial {
       .localCheckpoint(true)
     val nMatch = associateNewDetections(s, b, objHalo, matchPath,
       batchId, radius, zoneHeight)
-    Catalog.recoverAppends(s, transientPath)
+    healOwnedStore(s, transientPath)
     val partDir = new org.apache.hadoop.fs.Path(transientPath,
       s"batch_id=$batchId")
     val fsys = partDir.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -839,7 +856,7 @@ object Spatial {
     batchId: Long, deltaPath: String, idOffset: Long, radius: Double,
     zoneHeight: Double = 5.0): Long = {
     import graft.sources.Catalog
-    Catalog.recoverAppends(s, deltaPath)
+    healOwnedStore(s, deltaPath)
     val partDir = new org.apache.hadoop.fs.Path(deltaPath,
       s"batch_id=$batchId")
     val fsys = partDir.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -866,31 +883,47 @@ object Spatial {
     * base ∪ delta (each point exactly once — halo replicas are
     * recomputed by the writer, so a radius/zoneHeight retune applies
     * here too), written over the bucketed table, then the delta is
-    * dropped. Idempotent under replay: a crash after the rebuild but
-    * before the drop re-runs safely (the union's core set is
-    * unchanged — delta objects already in base collapse into the same
-    * rows). Like `Catalog.compactPartitions`, this is a maintenance
-    * op for a quiesced pipeline — a reader probing base ∪ delta
-    * INSIDE the rebuild-to-drop window would see delta objects twice.
-    * Returns the compacted object count. */
+    * dropped.
+    *
+    * Crash-safe through a DURABLE stage: the union is written to
+    * `<deltaPath>_compact_stage` BEFORE the table is touched, so the
+    * only copy of the catalog is never an in-memory pin of the JVM
+    * doing the overwrite. Every crash point re-runs: stage incomplete
+    * → rolled back and rebuilt from the untouched base ∪ delta; table
+    * overwrite died → the COMPLETE stage (not the mid-overwrite
+    * table) is the source of truth and the rebuild repeats from it;
+    * died between the final drops → the distinct collapses
+    * already-folded delta objects. Like `Catalog.compactPartitions`,
+    * this is a maintenance op for a quiesced pipeline — a reader
+    * probing base ∪ delta INSIDE the rebuild window would see delta
+    * objects twice. Returns the compacted object count. */
   def compactHaloDelta(s: SparkSession, haloTable: String,
     deltaPath: String, radius: Double, zoneHeight: Double = 5.0,
     numBuckets: Int = 16): Long = {
     import graft.sources.Catalog
-    val baseCore = s.table(haloTable).filter(col("is_core") === 1)
-      .select(col("k"), col("ra"), col("decl"))
-    val all =
-      if (Catalog.tableComplete(s, deltaPath))
-        baseCore.unionByName(deltaObjects(s, deltaPath)
-          .filter(col("is_core") === 1)
-          .select(col("k"), col("ra"), col("decl")))
-          .distinct() // delta ⊆ base after a crashed previous compact
-      else baseCore
-    // the rebuild reads the table it overwrites — break the
-    // self-overwrite through a physical materialization first
-    val pinned = all.localCheckpoint(true)
+    healOwnedStore(s, deltaPath) // crashed delta appends/creates first
+    val stagePath = deltaPath + "_compact_stage"
+    if (Catalog.tableExists(s, stagePath) &&
+      !Catalog.tableComplete(s, stagePath))
+      Catalog.dropIfExists(s, stagePath) // mid-write stage: roll back
+    if (!Catalog.tableComplete(s, stagePath)) {
+      val baseCore = s.table(haloTable).filter(col("is_core") === 1)
+        .select(col("k"), col("ra"), col("decl"))
+      val all =
+        if (Catalog.tableComplete(s, deltaPath))
+          baseCore.unionByName(deltaObjects(s, deltaPath)
+            .filter(col("is_core") === 1)
+            .select(col("k"), col("ra"), col("decl")))
+            .distinct() // delta ⊆ base after a crashed previous compact
+        else baseCore
+      all.write.mode("errorifexists").parquet(stagePath)
+    }
+    // a COMPLETE stage is the durable pin — the base table may be
+    // mid-overwrite from a crashed predecessor, so read the stage
+    val pinned = s.read.parquet(stagePath)
     val n = pinned.count()
     writeXmatchHalo(pinned, haloTable, radius, zoneHeight, numBuckets)
+    Catalog.dropIfExists(s, stagePath)
     Catalog.dropIfExists(s, deltaPath)
     n
   }
@@ -903,16 +936,8 @@ object Spatial {
     * [[writeXmatchHalo]] / [[associateNewDetections]] directly; the
     * registered (session, dir) signature has nowhere to thread one
     * through. */
-  private def assocKey(dir: String): String = {
-    def sig(f: java.io.File): String =
-      if (f.isDirectory)
-        f.listFiles().sortBy(_.getName).map(sig).mkString("[", ",", "]")
-      else s"${f.getName}:${f.length}:${f.lastModified}"
-    java.security.MessageDigest.getInstance("MD5")
-      .digest((dir + "|" + sig(new java.io.File(dir, "customer.parquet")) +
-        "|" + sig(new java.io.File(dir, "orders.parquet"))).getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-  }
+  private def assocKey(dir: String): String =
+    Ann.annCacheKey(dir, Seq("customer.parquet", "orders.parquet"))
 
   private def assocStorePath(dir: String, kind: String): String =
     sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
@@ -949,13 +974,7 @@ object Spatial {
     }
     val matchPath = assocStorePath(dir, "match")
     val transientPath = assocStorePath(dir, "trans")
-    // a partial dir here is OUR crashed cache build (no _SUCCESS yet
-    // ⇒ batch 0's create died): nothing downstream is consistent with
-    // it, so resolve by rebuilding
-    for (p <- Seq(matchPath, transientPath))
-      if (graft.sources.Catalog.tableExists(s, p) &&
-        !graft.sources.Catalog.tableComplete(s, p))
-        graft.sources.Catalog.dropIfExists(s, p)
+    // crashed partial creates heal inside associateBatch (healOwnedStore)
     val dets = detections(s, dir)
     (0 until AssocBatches).foreach { b =>
       associateBatch(s,

@@ -2,17 +2,19 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch profiler for the q_dedup_clusters cost structure (round-12
-  * forensics; not part of the library surface). */
+/** Dev forensic tool (like [[graft.Explain]]): stage-by-stage cost
+  * breakdown of q_dedup_clusters — pair generation vs the CC loop vs
+  * the composed query — against `SPARK_GRAFT_SF_DIR`. */
 object ProfCc {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.1"
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
