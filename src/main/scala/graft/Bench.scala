@@ -135,7 +135,11 @@ object Bench {
     "q_assoc_history",
     // and its transient half — warm cost is the stored-table scan +
     // one combinable aggregate; the build amortizes with q_assoc_history
-    "q_transient_rate")
+    "q_transient_rate",
+    // the stored-layout self cross-match: the benchable zero-exchange
+    // proof of the chunk-overlap design, vs q_zone_xmatch's in-plan
+    // grid (regresses if halo completeness or bucket co-location breaks)
+    "q_xmatch_stored")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

@@ -954,8 +954,10 @@ object Spatial {
     * replay-guarded, so re-entry from any registered query (or a
     * crashed previous run) only fills what is missing. Returns
     * (matchPath, transientPath). */
-  private def ensureAssocStores(s: SparkSession, dir: String): (String, String) = {
-    import s.implicits._
+  /** Build (once per data identity) and register the object halo
+    * table for `dir` — shared by every registered query that probes
+    * the stored layout. Returns the catalog table name. */
+  private def ensureHaloTable(s: SparkSession, dir: String): String = {
     val haloTable = s"graft_assoc_halo_${assocKey(dir)}"
     if (!s.catalog.tableExists(haloTable)) {
       // A fresh session's in-memory catalog has no memory of a
@@ -972,6 +974,12 @@ object Spatial {
       writeXmatchHalo(points(s, dir), haloTable, radius = 1.0,
         zoneHeight = 5.0, numBuckets = 8)
     }
+    haloTable
+  }
+
+  private def ensureAssocStores(s: SparkSession, dir: String): (String, String) = {
+    import s.implicits._
+    val haloTable = ensureHaloTable(s, dir)
     val matchPath = assocStorePath(dir, "match")
     val transientPath = assocStorePath(dir, "trans")
     // crashed partial creates heal inside associateBatch (healOwnedStore)
@@ -1017,6 +1025,24 @@ object Spatial {
        |  MIN(dist_r6) AS min_dist_r6
        |FROM m WHERE dist_r6 < 1.0
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The self cross-match answered FROM THE STORED LAYOUT — the
+    * registered, benchable proof of the chunk-overlap design:
+    * identical result set to [[qZoneXmatch]] (same 1° radius, same
+    * brute-force oracle), but the join probes the `cell`-bucketed
+    * halo table cell-locally — the catalog side is never exchanged
+    * (first execution builds the shared halo table; the measured warm
+    * path is the association a survey actually re-runs). A
+    * regression here that q_zone_xmatch doesn't share means the
+    * stored layout (halo completeness, bucket co-location) broke. */
+  def qXmatchStored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = s.table(ensureHaloTable(s, dir))
+    xmatchStored(t.filter($"is_core" === 1), t, 1.0)
+      .filter($"k1" < $"k2")
+      .select($"k1", $"k2", $"dist_r6")
+      .orderBy($"k1", $"k2")
+  }
 
   /** Transient-rate telemetry over the STORED transient table — the
     * other nightly-operations curve: per night, how many detections
@@ -1465,7 +1491,8 @@ object Spatial {
     "q_two_point_corr" -> (qTwoPointCorr _),
     "q_two_point_sampled" -> (qTwoPointSampled _),
     "q_assoc_history" -> (qAssocHistory _),
-    "q_transient_rate" -> (qTransientRate _))
+    "q_transient_rate" -> (qTransientRate _),
+    "q_xmatch_stored" -> (qXmatchStored _))
 
   val oracles: Map[String, String] = Map(
     "q_cone_search" -> qConeSearchSql,
@@ -1484,5 +1511,8 @@ object Spatial {
     "q_two_point_corr" -> qTwoPointCorrSql,
     "q_two_point_sampled" -> qTwoPointSampledSql,
     "q_assoc_history" -> qAssocHistorySql,
-    "q_transient_rate" -> qTransientRateSql)
+    "q_transient_rate" -> qTransientRateSql,
+    // identical contract to the in-plan grid self-match: the stored
+    // layout must reproduce it bit-for-bit
+    "q_xmatch_stored" -> qZoneXmatchSql)
 }
