@@ -250,13 +250,16 @@ object Bench {
         s""""queries":${qjson(results)},"headline10":${qjson(h10)},""" +
         s""""headline10_total":${fmt(h10.map(_._2).sum)},"isolated":${qjson(isolated)},""" +
         s""""sf":"$sfDir","iters":$iters}"""
-    // self-consistent summary: `queries`/`n_queries` describe the
-    // same (headline10) set, with the full-suite totals under
-    // explicit `suite_*` keys — a parser must never mistake the
-    // 10-query map for the whole run
+    // self-consistent summary: metric/value/n_queries keep the
+    // SUITE-TOTAL semantics every prior parsed round's last line
+    // carried (a tail parser comparing `value` across rounds must
+    // never silently switch populations), and the cross-round
+    // headline10 map rides under its OWN key — there is deliberately
+    // no `queries` key here, so the 10-entry map can never be
+    // mistaken for the full per-query map on the line above
     val summaryLine =
-      s"""{"metric":"headline10_total","value":${fmt(h10.map(_._2).sum)},"unit":"sec","n_queries":${h10.size},""" +
-        s""""queries":${qjson(h10)},"suite_total":${fmt(total)},"suite_n_queries":${results.size},""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""headline10":${qjson(h10)},"headline10_total":${fmt(h10.map(_._2).sum)},""" +
         s""""isolated":${qjson(isolated)},"sf":"$sfDir","iters":$iters}"""
     println(fullLine)
     println(summaryLine)

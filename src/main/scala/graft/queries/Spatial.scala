@@ -712,40 +712,52 @@ object Spatial {
   def readMatchTable(s: SparkSession, matchPath: String): DataFrame =
     s.read.schema(MatchSchema).parquet(matchPath)
 
+  /** Heal an association store at `path` before writing: resolve
+    * crashed appends, and roll back a CREATE that died before its
+    * `_SUCCESS` committed — without this, one crash during the very
+    * first create would wedge every later batch behind the
+    * guardedCreate throw, breaking the replay-heals contract. The
+    * rollback only fires when the directory carries the committer's
+    * own evidence of a died-mid-write job (a `_temporary` staging
+    * dir, or nothing at all); a marker-less directory WITH data files
+    * still fails loudly — it could be a foreign table at a mistyped
+    * path, and [[graft.sources.Catalog]]'s never-delete rule applies
+    * to anything this module cannot prove it was writing. */
+  private def healOwnedStore(s: SparkSession, path: String): Unit = {
+    import graft.sources.Catalog
+    Catalog.recoverAppends(s, path)
+    if (Catalog.tableExists(s, path) && !Catalog.tableComplete(s, path)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val entries = f.listStatus(p)
+      val crashedWrite = entries.isEmpty || entries.exists(st =>
+        st.isDirectory && st.getPath.getName == "_temporary")
+      if (crashedWrite) Catalog.dropIfExists(s, path)
+      else throw new IllegalStateException(
+        s"$path has data files but no _SUCCESS marker and no _temporary " +
+          "staging dir — not recognizably a crashed create of this " +
+          "lifecycle. Refusing to clear it; call Catalog.dropIfExists " +
+          "first if it should be replaced.")
+    }
+  }
+
   /** Associate one batch of fresh detections (`k`, `ra`, `decl`)
     * against the stored object halo table and append the matches —
     * (det_k, obj_k, dist_r6) — to the match table at `matchPath`,
     * partitioned by `batch_id`.
     *
-    * Lifecycle: crashed appends are healed first ([[graft.sources
-    * .Catalog.recoverAppends]] — every staged-append path runs
-    * recovery on ITS path), and a batch whose partition already
-    * exists is a REPLAY and appends nothing, so re-running a nightly
-    * job after a crash can never double-associate. Returns the number
-    * of match rows appended (0 on replay).
+    * Lifecycle: crashed creates/appends are healed first
+    * ([[healOwnedStore]] — every staged-append path runs recovery on
+    * ITS path), and a batch whose partition already exists is a
+    * REPLAY and appends nothing, so re-running a nightly job after a
+    * crash can never double-associate. Returns the number of match
+    * rows appended (0 on replay).
     *
     * Scale shape: the batch takes [[withHomeCell]] + ONE exchange
     * into the halo table's bucketing; the object side — the 100 TB
     * side — is never exchanged ([[xmatchStored]]). Appended files
     * land inside their `batch_id` partition, so history queries prune
     * by night. */
-  /** Heal a lifecycle-OWNED store at `path` before writing: resolve
-    * crashed appends, and clear a directory whose CREATE died before
-    * its `_SUCCESS` committed. These paths are designated by the
-    * caller and written only through this module, so an unmarked
-    * directory here is always OUR crashed batch-0 create — never the
-    * foreign marker-less table [[graft.sources.Catalog]]'s
-    * guardedCreate refuses to guess about — and nothing committed is
-    * lost by clearing it. Without this, one crash during the very
-    * first create would wedge every later batch behind the
-    * guardedCreate throw, breaking the replay-heals contract. */
-  private def healOwnedStore(s: SparkSession, path: String): Unit = {
-    import graft.sources.Catalog
-    Catalog.recoverAppends(s, path)
-    if (Catalog.tableExists(s, path) && !Catalog.tableComplete(s, path))
-      Catalog.dropIfExists(s, path)
-  }
-
   def associateNewDetections(s: SparkSession, batch: DataFrame,
     objHalo: DataFrame, matchPath: String, batchId: Long,
     radius: Double, zoneHeight: Double = 5.0): Long = {
@@ -888,10 +900,17 @@ object Spatial {
     * Crash-safe through a DURABLE stage: the union is written to
     * `<deltaPath>_compact_stage` BEFORE the table is touched, so the
     * only copy of the catalog is never an in-memory pin of the JVM
-    * doing the overwrite. Every crash point re-runs: stage incomplete
-    * → rolled back and rebuilt from the untouched base ∪ delta; table
-    * overwrite died → the COMPLETE stage (not the mid-overwrite
-    * table) is the source of truth and the rebuild repeats from it;
+    * doing the overwrite. The stage carries a `_DELTA_STATE` stamp of
+    * the delta's batch partitions at cut time, and is trusted ONLY
+    * while that stamp still matches — a stage orphaned by a crash
+    * after the table committed (whose delta then accreted new nights
+    * once the pipeline resumed) is stale and gets rebuilt instead of
+    * silently discarding those nights. Every crash point re-runs:
+    * stage incomplete or stamp-mismatched → rolled back and rebuilt
+    * from base ∪ delta (both intact — the table is only overwritten
+    * AFTER a valid stage exists); table overwrite died → the stamp
+    * still matches (quiesced op: nothing appends mid-compact), so the
+    * stage — not the mid-overwrite table — is the source of truth;
     * died between the final drops → the distinct collapses
     * already-folded delta objects. Like `Catalog.compactPartitions`,
     * this is a maintenance op for a quiesced pipeline — a reader
@@ -903,10 +922,28 @@ object Spatial {
     import graft.sources.Catalog
     healOwnedStore(s, deltaPath) // crashed delta appends/creates first
     val stagePath = deltaPath + "_compact_stage"
-    if (Catalog.tableExists(s, stagePath) &&
-      !Catalog.tableComplete(s, stagePath))
-      Catalog.dropIfExists(s, stagePath) // mid-write stage: roll back
-    if (!Catalog.tableComplete(s, stagePath)) {
+    val fsys = new org.apache.hadoop.fs.Path(stagePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // the delta's identity = its committed batch partitions
+    def deltaState(): String =
+      if (!Catalog.tableComplete(s, deltaPath)) "absent"
+      else fsys.listStatus(new org.apache.hadoop.fs.Path(deltaPath))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+        .map(_.getPath.getName).sorted.mkString(",")
+    val statePath = new org.apache.hadoop.fs.Path(stagePath, "_DELTA_STATE")
+    def stageValid(): Boolean =
+      Catalog.tableComplete(s, stagePath) && fsys.exists(statePath) && {
+        val in = fsys.open(statePath)
+        val recorded = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        recorded == deltaState()
+      }
+    if (!stageValid()) {
+      // incomplete, stamp-less, or stale — roll back and re-cut from
+      // base ∪ delta, which are both intact here (the table is only
+      // overwritten once a valid stage exists)
+      Catalog.dropIfExists(s, stagePath)
+      val state = deltaState()
       val baseCore = s.table(haloTable).filter(col("is_core") === 1)
         .select(col("k"), col("ra"), col("decl"))
       val all =
@@ -917,16 +954,35 @@ object Spatial {
             .distinct() // delta ⊆ base after a crashed previous compact
         else baseCore
       all.write.mode("errorifexists").parquet(stagePath)
+      val out = fsys.create(statePath, true)
+      try out.write(state.getBytes("UTF-8")) finally out.close()
     }
-    // a COMPLETE stage is the durable pin — the base table may be
+    // the valid stage is the durable pin — the base table may be
     // mid-overwrite from a crashed predecessor, so read the stage
     val pinned = s.read.parquet(stagePath)
     val n = pinned.count()
+    // the rebuild may be a RECOVERY in a fresh JVM: the crashed
+    // table's managed location can survive without a catalog entry,
+    // and saveAsTable refuses to create over it — clear it first
+    clearOrphanedTableLocation(s, haloTable)
     writeXmatchHalo(pinned, haloTable, radius, zoneHeight, numBuckets)
     Catalog.dropIfExists(s, stagePath)
     Catalog.dropIfExists(s, deltaPath)
     n
   }
+
+  /** If `table` has a warehouse LOCATION on disk but no entry in this
+    * session's (in-memory) catalog — a previous JVM's build or a
+    * crashed overwrite — delete the location: Spark refuses to CREATE
+    * a managed table over a surviving directory, so this is the only
+    * way to re-register the graft-owned derived table. */
+  private def clearOrphanedTableLocation(s: SparkSession, table: String): Unit =
+    if (!s.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table)
+      val f = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(loc)) f.delete(loc, true)
+    }
 
   /** Cache key/locations for the registered [[qAssocHistory]]
     * lifecycle, keyed by the input tables' file identity (customer =
@@ -948,35 +1004,30 @@ object Spatial {
     * reproduces the assignment). */
   private val AssocBatches = 3
 
-  /** Build (or heal) the registered association lifecycle for `dir`:
-    * the object halo table, then each night's batch through
-    * [[associateBatch]] — match AND transient stores, every append
-    * replay-guarded, so re-entry from any registered query (or a
-    * crashed previous run) only fills what is missing. Returns
-    * (matchPath, transientPath). */
   /** Build (once per data identity) and register the object halo
     * table for `dir` — shared by every registered query that probes
-    * the stored layout. Returns the catalog table name. */
+    * the stored layout. A fresh session's in-memory catalog has no
+    * memory of a previous JVM's build, and the layout is a
+    * content-keyed derived cache (the key pins the input files), so a
+    * leftover warehouse location is cleared and rebuilt
+    * ([[clearOrphanedTableLocation]]). Returns the catalog table
+    * name. */
   private def ensureHaloTable(s: SparkSession, dir: String): String = {
     val haloTable = s"graft_assoc_halo_${assocKey(dir)}"
     if (!s.catalog.tableExists(haloTable)) {
-      // A fresh session's in-memory catalog has no memory of a
-      // previous JVM's build, but the managed LOCATION survives in
-      // the warehouse dir and Spark refuses to create a table over
-      // it. The layout is a content-keyed derived cache (the key pins
-      // the input files), so clearing the leftover and rebuilding is
-      // always safe — and the only way to re-register it in an
-      // in-memory catalog.
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), haloTable)
-      val f = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (f.exists(loc)) f.delete(loc, true)
+      clearOrphanedTableLocation(s, haloTable)
       writeXmatchHalo(points(s, dir), haloTable, radius = 1.0,
         zoneHeight = 5.0, numBuckets = 8)
     }
     haloTable
   }
 
+  /** Build (or heal) the registered association lifecycle for `dir`:
+    * the object halo table, then each night's batch through
+    * [[associateBatch]] — match AND transient stores, every append
+    * replay-guarded, so re-entry from any registered query (or a
+    * crashed previous run) only fills what is missing. Returns
+    * (matchPath, transientPath). */
   private def ensureAssocStores(s: SparkSession, dir: String): (String, String) = {
     import s.implicits._
     val haloTable = ensureHaloTable(s, dir)

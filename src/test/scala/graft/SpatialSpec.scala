@@ -561,6 +561,16 @@ class SpatialSpec extends AnyFunSuite {
     val before = pairSet(mBase.select("k1", "k2", "dist_r6")) ++
       pairSet(mDelta.select("k1", "k2", "dist_r6"))
     val nPts = queries.Spatial.points(spark, sf).count()
+    // simulate a crashed predecessor's STALE stage (complete, but its
+    // delta-state stamp no longer matches): compaction must rebuild
+    // from base ∪ delta, never restore the stale snapshot
+    val stagePath = s"$deltaPath" + "_compact_stage"
+    queries.Spatial.points(spark, sf).select("k", "ra", "decl").limit(1)
+      .write.parquet(stagePath)
+    val stateP = new org.apache.hadoop.fs.Path(stagePath, "_DELTA_STATE")
+    val fsys2 = stateP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fsys2.create(stateP, true)
+    try out.write("batch_id=999".getBytes("UTF-8")) finally out.close()
     val compacted = queries.Spatial.compactHaloDelta(spark, "halo_cycle_t",
       deltaPath, 1.0, 5.0, 4)
     assert(compacted == nPts + nTrans,
