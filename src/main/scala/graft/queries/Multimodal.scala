@@ -198,15 +198,164 @@ object Multimodal {
       |  CAST(doc_id != canonical_id AS INT) AS is_dup
       |FROM h JOIN c USING (sha256) ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  // Perceptual near-dup — the step a multimodal pipeline runs AFTER
+  // exact dedup: re-encoded / lightly-edited payloads share no sha256
+  // but stay close under a content hash computed from the decoded
+  // sample stream. The hash here is a gradient (dHash-family)
+  // signature over the byte stream — codec-free, deterministic, and
+  // exactly re-derivable by the DuckDB oracle; a real deployment
+  // computes the same 64 comparisons over decoded pixel regions.
+
+  /** Byte regions of the gradient hash: 65 equal-share regions → 64
+    * adjacent-pair comparisons → four 16-bit signature pieces. */
+  val PhashRegions = 65
+
+  /** Max Hamming distance reported as a near-dup pair. 4-piece
+    * blocking is LOSSLESS for d ≤ 3 by pigeonhole (3 differing bits
+    * cannot touch all 4 pieces). */
+  val PhashHammingMax = 3
+
+  /** Max blobs per (piece, value) block before the block is dropped —
+    * monochrome/boilerplate signatures produce mega-blocks whose
+    * pairs grow quadratically; the same skew guard as SimHash's
+    * piece blocking, mirrored in the oracle. */
+  val PhashBlockCap = 50
+
+  /** Four 16-bit perceptual-signature pieces per blob. */
+  case class BlobSig(doc_id: Long, p0: Int, p1: Int, p2: Int, p3: Int)
+
+  /** Gradient hash of a byte stream: byte i belongs to region
+    * (i·65) DIV n; comparison r (r < 64) sets bit (r mod 16) of piece
+    * (r DIV 16) iff region r's byte mean exceeds region r+1's — in
+    * EXACT cross-multiplied integers (sum_r·cnt_{r+1} >
+    * sum_{r+1}·cnt_r), so no division, no floats, and the oracle
+    * reproduces every bit. Short payloads (< 65 bytes) leave trailing
+    * regions empty; the 0·0 comparison is false on both engines. */
+  def phashPieces(docId: Long, bytes: Array[Byte]): BlobSig = {
+    val n = bytes.length
+    val sums = new Array[Long](PhashRegions)
+    val cnts = new Array[Long](PhashRegions)
+    var i = 0
+    while (i < n) {
+      val r = ((i.toLong * PhashRegions) / n).toInt
+      sums(r) += bytes(i) & 0xff
+      cnts(r) += 1
+      i += 1
+    }
+    val p = new Array[Int](4)
+    var r = 0
+    while (r < PhashRegions - 1) {
+      if (sums(r) * cnts(r + 1) > sums(r + 1) * cnts(r))
+        p(r / 16) |= 1 << (r % 16)
+      r += 1
+    }
+    BlobSig(docId, p(0), p(1), p(2), p(3))
+  }
+
+  /** Perceptual near-dup pairs: signatures from the partition-batched
+    * decoder (one pass per blob — the [[qBlobFeatures]] plumbing),
+    * blocked on any shared 16-bit piece (size-capped BEFORE pair
+    * generation), verified by exact Hamming distance ≤
+    * [[PhashHammingMax]] via `bit_count(xor)` — blocking is lossless
+    * at that threshold, so the pair set equals the all-pairs scan's.
+    *
+    * Scale shape: the blob bytes are read once and reduced to four
+    * ints; everything after moves 1-row-per-doc signatures — the
+    * candidate join is a capped equi-join on (piece, value), never a
+    * cartesian, exactly the q_dedup_simhash discipline one modality
+    * over. */
+  def qBlobPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // three consumers (piece explode + both verify sides) — pin the
+    // one decode pass
+    val sigs = blobs(s, dir)
+      .filter(length($"blob") > 0)
+      .select($"doc_id", $"blob").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => phashPieces(id, b) })
+      .toDF().localCheckpoint(true)
+    val pieces = sigs.selectExpr("doc_id",
+      "stack(4, 0, p0, 1, p1, 2, p2, 3, p3) AS (pi, pv)")
+    val blocks = Dedup.capBlocks(pieces, Seq("pi", "pv"), PhashBlockCap)
+    val cand = blocks.select($"doc_id".as("d1"), $"pi", $"pv")
+      .join(blocks.select($"doc_id".as("d2"), $"pi", $"pv"), Seq("pi", "pv"))
+      .filter($"d1" < $"d2")
+      .select($"d1", $"d2").distinct()
+    cand
+      .join(sigs.select($"doc_id".as("d1"), $"p0".as("a0"), $"p1".as("a1"),
+        $"p2".as("a2"), $"p3".as("a3")), "d1")
+      .join(sigs.select($"doc_id".as("d2"), $"p0".as("b0"), $"p1".as("b1"),
+        $"p2".as("b2"), $"p3".as("b3")), "d2")
+      .withColumn("hamming", expr(
+        "CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
+          "bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS INT)"))
+      .filter($"hamming" <= PhashHammingMax)
+      .select($"d1", $"d2", $"hamming")
+      .orderBy($"d1", $"d2")
+  }
+
+  /** Oracle twin: bytes from the payload's hex image (the
+    * [[qBlobFeaturesSql]] nibble CTE), per-region exact sums/counts,
+    * the identical cross-multiplied comparisons packed into four INT
+    * pieces, the same capped piece blocking, and `bit_count(xor)`
+    * verification. */
+  val qBlobPhashSql: String = {
+    val lastR = PhashRegions - 1
+    s"""WITH b AS (SELECT doc_id, LOWER(HEX(ENCODE(text))) AS h,
+       |    OCTET_LENGTH(ENCODE(text)) AS n FROM documents
+       |  WHERE OCTET_LENGTH(ENCODE(text)) > 0),
+       |by AS (SELECT doc_id, n,
+       |    (STRPOS('0123456789abcdef', SUBSTRING(h, 2*i+1, 1)) - 1) * 16 +
+       |    (STRPOS('0123456789abcdef', SUBSTRING(h, 2*i+2, 1)) - 1) AS v, i
+       |  FROM (SELECT doc_id, h, n, UNNEST(range(0, n)) AS i FROM b)),
+       |reg AS (SELECT doc_id, CAST((i * $PhashRegions) // n AS INT) AS r,
+       |    CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS c
+       |  FROM by GROUP BY 1, 2),
+       |grid AS (SELECT doc_id, CAST(UNNEST(range(0, $PhashRegions)) AS INT) AS r FROM b),
+       |rg AS (SELECT grid.doc_id, grid.r, COALESCE(reg.s, 0) AS s,
+       |    COALESCE(reg.c, 0) AS c
+       |  FROM grid LEFT JOIN reg ON reg.doc_id = grid.doc_id AND reg.r = grid.r),
+       |cmp AS (SELECT a.doc_id, a.r AS idx,
+       |    CASE WHEN a.s * n2.c > n2.s * a.c THEN 1 ELSE 0 END AS bit
+       |  FROM rg a JOIN rg n2 ON n2.doc_id = a.doc_id AND n2.r = a.r + 1
+       |  WHERE a.r < $lastR),
+       |sig AS (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN idx // 16 = 0 THEN bit << (idx % 16) ELSE 0 END) AS INT) AS p0,
+       |    CAST(SUM(CASE WHEN idx // 16 = 1 THEN bit << (idx % 16) ELSE 0 END) AS INT) AS p1,
+       |    CAST(SUM(CASE WHEN idx // 16 = 2 THEN bit << (idx % 16) ELSE 0 END) AS INT) AS p2,
+       |    CAST(SUM(CASE WHEN idx // 16 = 3 THEN bit << (idx % 16) ELSE 0 END) AS INT) AS p3
+       |  FROM cmp GROUP BY 1),
+       |pieces AS (
+       |  SELECT doc_id, 0 AS pi, p0 AS pv FROM sig UNION ALL
+       |  SELECT doc_id, 1, p1 FROM sig UNION ALL
+       |  SELECT doc_id, 2, p2 FROM sig UNION ALL
+       |  SELECT doc_id, 3, p3 FROM sig),
+       |blocks AS (SELECT doc_id, pi, pv FROM (
+       |    SELECT doc_id, pi, pv, COUNT(*) OVER (PARTITION BY pi, pv) AS bsz
+       |    FROM pieces) WHERE bsz <= $PhashBlockCap),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2
+       |  FROM blocks a JOIN blocks b2 ON a.pi = b2.pi AND a.pv = b2.pv
+       |    AND a.doc_id < b2.doc_id)
+       |SELECT d1, d2,
+       |  CAST(bit_count(xor(sa.p0, sb.p0)) + bit_count(xor(sa.p1, sb.p1)) +
+       |       bit_count(xor(sa.p2, sb.p2)) + bit_count(xor(sa.p3, sb.p3)) AS INT) AS hamming
+       |FROM cand JOIN sig sa ON sa.doc_id = d1 JOIN sig sb ON sb.doc_id = d2
+       |WHERE bit_count(xor(sa.p0, sb.p0)) + bit_count(xor(sa.p1, sb.p1)) +
+       |      bit_count(xor(sa.p2, sb.p2)) + bit_count(xor(sa.p3, sb.p3)) <= $PhashHammingMax
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_blob_meta" -> (qBlobMeta _),
     "q_blob_features" -> (qBlobFeatures _),
     "q_blob_framesample" -> (qBlobFrameSample _),
-    "q_blob_dedup" -> (qBlobDedup _))
+    "q_blob_dedup" -> (qBlobDedup _),
+    "q_blob_phash" -> (qBlobPhash _))
 
   val oracles: Map[String, String] = Map(
     "q_blob_meta" -> qBlobMetaSql,
     "q_blob_features" -> qBlobFeaturesSql,
     "q_blob_framesample" -> qBlobFrameSampleSql,
-    "q_blob_dedup" -> qBlobDedupSql)
+    "q_blob_dedup" -> qBlobDedupSql,
+    "q_blob_phash" -> qBlobPhashSql)
 }
