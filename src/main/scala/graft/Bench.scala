@@ -139,7 +139,11 @@ object Bench {
     // the stored-layout self cross-match: the benchable zero-exchange
     // proof of the chunk-overlap design, vs q_zone_xmatch's in-plan
     // grid (regresses if halo completeness or bucket co-location breaks)
-    "q_xmatch_stored")
+    "q_xmatch_stored",
+    // round-13: perceptual (dHash-family) blob near-dup — one binary
+    // decode pass into 4-int signatures, capped piece blocking;
+    // regresses if the candidate join stops being block-capped
+    "q_blob_phash")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */
@@ -227,10 +231,27 @@ object Bench {
     // comparison is self-adjudicating. Skipped inside the child (the
     // ONLY env guard, so a forensic SPARK_GRAFT_BENCH_ONLY run also
     // stays single-JVM); a fork failure degrades to an empty object
-    // rather than failing the bench.
-    val isolated: Seq[(String, Double)] =
+    // rather than failing the bench — flagged by `isolated_ok`.
+    //
+    // The parent session is STOPPED (and its heap collected) before
+    // the fork: round 12 forked while the parent still held its
+    // fully-grown 90-query heap and the child's numbers came out 2-5x
+    // WORSE than both in-suite and a clean JVM — the adjudicator
+    // inverted its own signal. The fork is the last Spark-dependent
+    // step, so stopping first costs nothing.
+    val isoNames: Seq[String] =
       if (only.isDefined) Seq.empty
-      else runIsolated(results.sortBy(-_._2).take(10).map(_._1))
+      else results.sortBy(-_._2).take(10).map(_._1)
+    val (isolated: Seq[(String, Double)], isolatedOk: Boolean) =
+      if (isoNames.isEmpty) (Seq.empty, true)
+      else {
+        quiesce()
+        spark.stop()
+        System.gc()
+        Thread.sleep(2000) // let executor/daemon threads wind down
+        val iso = runIsolated(isoNames)
+        (iso, iso.size == isoNames.size)
+      }
 
     // Artifact layout: the driver retains only a bounded TAIL of
     // stdout, and the full per-query map outgrew it two rounds running
@@ -249,7 +270,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""queries":${qjson(results)},"headline10":${qjson(h10)},""" +
         s""""headline10_total":${fmt(h10.map(_._2).sum)},"isolated":${qjson(isolated)},""" +
-        s""""sf":"$sfDir","iters":$iters}"""
+        s""""isolated_ok":$isolatedOk,"sf":"$sfDir","iters":$iters}"""
     // self-consistent summary: metric/value/n_queries keep the
     // SUITE-TOTAL semantics every prior parsed round's last line
     // carried (a tail parser comparing `value` across rounds must
@@ -260,7 +281,8 @@ object Bench {
     val summaryLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""headline10":${qjson(h10)},"headline10_total":${fmt(h10.map(_._2).sum)},""" +
-        s""""isolated":${qjson(isolated)},"sf":"$sfDir","iters":$iters}"""
+        s""""isolated":${qjson(isolated)},"isolated_ok":$isolatedOk,""" +
+        s""""sf":"$sfDir","iters":$iters}"""
     println(fullLine)
     println(summaryLine)
     try {
@@ -288,8 +310,15 @@ object Bench {
         .getRuntimeMXBean.getInputArguments.asScala
         .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
       val childOut = java.nio.file.Files.createTempFile("graft_bench_iso", ".json")
+      // the child must NOT share this process's cwd spark-warehouse:
+      // its store-lifecycle queries would heal/rebuild the parent
+      // session's registered table locations mid-artifact (advice
+      // r12). SparkConf picks spark.* system properties up, so a -D
+      // is enough to point the child at its own temp warehouse.
+      val childWh = java.nio.file.Files.createTempDirectory("graft_bench_iso_wh")
       val cmd = (Seq(javaBin) ++ jvmArgs ++
-        Seq("-cp", sys.props("java.class.path"), "graft.Bench")).asJava
+        Seq(s"-Dspark.sql.warehouse.dir=${childWh.toUri}",
+          "-cp", sys.props("java.class.path"), "graft.Bench")).asJava
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
       pb.environment().put("SPARK_GRAFT_BENCH_OUT", childOut.toString)
@@ -301,6 +330,12 @@ object Bench {
       require(p.exitValue() == 0, s"isolated bench exit ${p.exitValue()}")
       val text = new String(java.nio.file.Files.readAllBytes(childOut), "UTF-8")
       java.nio.file.Files.deleteIfExists(childOut)
+      // best-effort temp-warehouse cleanup (child wrote only here)
+      try {
+        import java.nio.file.{Files => F}
+        F.walk(childWh).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => F.deleteIfExists(p))
+      } catch { case _: Exception => () }
       val json = org.json4s.jackson.JsonMethods.parse(text.linesIterator.next())
       val org.json4s.JObject(fields) = (json \ "queries"): @unchecked
       val byName = fields.collect {

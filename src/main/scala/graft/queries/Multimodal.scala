@@ -222,6 +222,29 @@ object Multimodal {
     * piece blocking, mirrored in the oracle. */
   val PhashBlockCap = 50
 
+  /** Every [[PhashVariantMod]]-th doc gets two planted "re-encode"
+    * variants in the perceptual corpus (the synthetic harness corpus
+    * has no byte-level near-dups of its own — round-12 verdict: the
+    * all-pairs minimum Hamming at sf0.001 is 12, so an unplanted
+    * corpus makes the query vacuous). Both variants are derived from
+    * the base payload at the BYTE level so the DuckDB oracle replants
+    * them exactly:
+    *  - `doc_id + PhashV1Offset`: every byte +4 (mod 256) — a global
+    *    brightness shift. The cross-multiplied region comparison is
+    *    invariant to a uniform shift ((s_r+4c_r)·c_{r+1} vs
+    *    (s_{r+1}+4c_{r+1})·c_r cancels the 4-terms), so for pure-ASCII
+    *    payloads the signature is IDENTICAL → Hamming-0 pairs; only
+    *    wrap-around bytes (≥ 252) can flip bits.
+    *  - `doc_id + PhashV2Offset`: bytes at i < n/3 get +16 (mod 256)
+    *    — a localized edit. The uniform shift cancels inside the
+    *    fully-shifted prefix; only the straddled boundary region's two
+    *    comparisons can flip → Hamming ≤ 2 typically.
+    * At sf0.001 this plants 100 doc families → 300 pairs at d ∈
+    * {0, 1, 2}, verified non-vacuous. */
+  val PhashVariantMod = 5
+  val PhashV1Offset = 10000000L
+  val PhashV2Offset = 20000000L
+
   /** Four 16-bit perceptual-signature pieces per blob. */
   case class BlobSig(doc_id: Long, p0: Int, p1: Int, p2: Int, p3: Int)
 
@@ -268,11 +291,29 @@ object Multimodal {
   def qBlobPhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // three consumers (piece explode + both verify sides) — pin the
-    // one decode pass
+    // one decode pass; planted re-encode variants (see
+    // [[PhashVariantMod]]) are emitted inline so the blob bytes are
+    // still read exactly once
     val sigs = blobs(s, dir)
       .filter(length($"blob") > 0)
       .select($"doc_id", $"blob").as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, b) => phashPieces(id, b) })
+      .mapPartitions(_.flatMap { case (id, b) =>
+        val base = phashPieces(id, b)
+        if (id % PhashVariantMod == 0) {
+          val n = b.length
+          val v1 = new Array[Byte](n)
+          val v2 = new Array[Byte](n)
+          val pfx = n / 3
+          var i = 0
+          while (i < n) {
+            v1(i) = (b(i) + 4).toByte // toByte wraps mod 256 = oracle's %256
+            v2(i) = if (i < pfx) (b(i) + 16).toByte else b(i)
+            i += 1
+          }
+          Seq(base, phashPieces(id + PhashV1Offset, v1),
+            phashPieces(id + PhashV2Offset, v2))
+        } else Seq(base)
+      })
       .toDF().localCheckpoint(true)
     val pieces = sigs.selectExpr("doc_id",
       "stack(4, 0, p0, 1, p1, 2, p2, 3, p3) AS (pi, pv)")
@@ -295,7 +336,9 @@ object Multimodal {
   }
 
   /** Oracle twin: bytes from the payload's hex image (the
-    * [[qBlobFeaturesSql]] nibble CTE), per-region exact sums/counts,
+    * [[qBlobFeaturesSql]] nibble CTE), the planted variants re-derived
+    * at the byte-value level (`byv` — same +4 / prefix+16 mod-256
+    * arithmetic as the Scala plant), per-region exact sums/counts,
     * the identical cross-multiplied comparisons packed into four INT
     * pieces, the same capped piece blocking, and `bit_count(xor)`
     * verification. */
@@ -308,10 +351,23 @@ object Multimodal {
        |    (STRPOS('0123456789abcdef', SUBSTRING(h, 2*i+1, 1)) - 1) * 16 +
        |    (STRPOS('0123456789abcdef', SUBSTRING(h, 2*i+2, 1)) - 1) AS v, i
        |  FROM (SELECT doc_id, h, n, UNNEST(range(0, n)) AS i FROM b)),
+       |byv AS (SELECT doc_id, n, v, i FROM by
+       |  UNION ALL
+       |  SELECT doc_id + $PhashV1Offset, n, (v + 4) % 256, i
+       |  FROM by WHERE doc_id % $PhashVariantMod = 0
+       |  UNION ALL
+       |  SELECT doc_id + $PhashV2Offset, n,
+       |    CASE WHEN i < n // 3 THEN (v + 16) % 256 ELSE v END, i
+       |  FROM by WHERE doc_id % $PhashVariantMod = 0),
+       |docs AS (SELECT doc_id, n FROM b
+       |  UNION ALL SELECT doc_id + $PhashV1Offset, n
+       |  FROM b WHERE doc_id % $PhashVariantMod = 0
+       |  UNION ALL SELECT doc_id + $PhashV2Offset, n
+       |  FROM b WHERE doc_id % $PhashVariantMod = 0),
        |reg AS (SELECT doc_id, CAST((i * $PhashRegions) // n AS INT) AS r,
        |    CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS c
-       |  FROM by GROUP BY 1, 2),
-       |grid AS (SELECT doc_id, CAST(UNNEST(range(0, $PhashRegions)) AS INT) AS r FROM b),
+       |  FROM byv GROUP BY 1, 2),
+       |grid AS (SELECT doc_id, CAST(UNNEST(range(0, $PhashRegions)) AS INT) AS r FROM docs),
        |rg AS (SELECT grid.doc_id, grid.r, COALESCE(reg.s, 0) AS s,
        |    COALESCE(reg.c, 0) AS c
        |  FROM grid LEFT JOIN reg ON reg.doc_id = grid.doc_id AND reg.r = grid.r),

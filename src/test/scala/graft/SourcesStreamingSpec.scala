@@ -63,6 +63,64 @@ class MultimodalSpec extends AnyFunSuite {
       .filter("doc_id = 0").head().getAs[Int]("n_frames")
     assert(expected.n_frames == nf)
   }
+
+  test("q_blob_phash equals the brute-force all-pairs scan over planted corpus") {
+    import queries.Multimodal._
+    // driver recompute: replant the variants, signature every blob,
+    // brute-force every pair — blocking at Hamming ≤ 3 must be lossless
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .filter(_._2.getBytes("UTF-8").nonEmpty)
+    val sigs = docs.flatMap { case (id, t) =>
+      val b = t.getBytes("UTF-8")
+      val base = phashPieces(id, b)
+      if (id % PhashVariantMod == 0) {
+        val pfx = b.length / 3
+        val v1 = b.map(x => (x + 4).toByte)
+        val v2 = b.zipWithIndex.map { case (x, i) =>
+          if (i < pfx) (x + 16).toByte else x }
+        Seq(base, phashPieces(id + PhashV1Offset, v1),
+          phashPieces(id + PhashV2Offset, v2))
+      } else Seq(base)
+    }
+    def bits(s: BlobSig): Long =
+      (s.p0.toLong & 0xffff) | (s.p1.toLong & 0xffff) << 16 |
+        (s.p2.toLong & 0xffff) << 32 | (s.p3.toLong & 0xffff) << 48
+    val expected = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      (a, b) = if (sigs(i).doc_id < sigs(j).doc_id) (sigs(i), sigs(j))
+               else (sigs(j), sigs(i))
+      h = java.lang.Long.bitCount(bits(a) ^ bits(b))
+      if h <= PhashHammingMax
+    } yield (a.doc_id, b.doc_id, h)).toSet
+    val got = qBlobPhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(got == expected)
+    // the plant is non-vacuous: every planted family's brightness twin
+    // is a Hamming-0 pair (UTF-8 bytes max 0xF4 < 252, so +4 never
+    // wraps and the cross-multiplied comparison is shift-invariant)
+    val planted = docs.collect {
+      case (id, t) if id % PhashVariantMod == 0 => id }
+    assert(planted.nonEmpty)
+    for (id <- planted)
+      assert(expected.contains((id, id + PhashV1Offset, 0)), s"doc $id")
+  }
+
+  test("q_blob_phash block cap drops monochrome mega-blocks instead of going quadratic") {
+    import spark.implicits._
+    import queries.Multimodal._
+    // 4 * PhashBlockCap identical payloads: every (piece, value) block
+    // holds every doc, far over the cap — the capped query must return
+    // ZERO pairs, not ~n²/2
+    val n = PhashBlockCap * 4
+    val dir = Files.createTempDirectory("graft_phash_cap").toString
+    (0L until n.toLong).map(i => (i, "same boilerplate payload", "en", "web", 24))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    assert(qBlobPhash(spark, dir).count() == 0)
+  }
 }
 
 class CatalogSpec extends AnyFunSuite {
