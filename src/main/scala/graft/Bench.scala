@@ -143,7 +143,15 @@ object Bench {
     // round-13: perceptual (dHash-family) blob near-dup — one binary
     // decode pass into 4-int signatures, capped piece blocking;
     // regresses if the candidate join stops being block-capped
-    "q_blob_phash")
+    "q_blob_phash",
+    // the reprocessing campaign: stored detection archive × stored
+    // catalog, both at rest in one bucketing — the only zero-exchange
+    // two-table association; regresses if either side starts moving
+    "q_xmatch_reprocess",
+    // the steady-state LSM read: bucketed base probe + broadcast
+    // delta sliver; regresses if the delta join stops broadcasting
+    // (first sample builds the delta store; warm is the read path)
+    "q_assoc_delta")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

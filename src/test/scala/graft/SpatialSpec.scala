@@ -585,4 +585,81 @@ class SpatialSpec extends AnyFunSuite {
     assert(queries.Spatial.compactHaloDelta(spark, "halo_cycle_t",
       deltaPath, 1.0, 5.0, 4) == compacted)
   }
+
+  test("halo geometry contract: a wider probe THROWS instead of silently losing pairs") {
+    queries.Spatial.writeXmatchHalo(queries.Spatial.points(spark, sf),
+      "halo_contract_t", 1.0, 5.0, 4)
+    // within the written radius: reads fine
+    assert(queries.Spatial.haloTableFor(spark, "halo_contract_t", 1.0)
+      .count() > 0)
+    assert(queries.Spatial.haloTableFor(spark, "halo_contract_t", 0.5)
+      .count() > 0)
+    // wider than written: replicas don't cover it — must refuse
+    val e = intercept[IllegalArgumentException] {
+      queries.Spatial.haloTableFor(spark, "halo_contract_t", 1.5)
+    }
+    assert(e.getMessage.contains("halo radius"))
+    // a table without the geometry properties is not a verifiable
+    // layout — must also refuse rather than guess
+    import spark.implicits._
+    Seq((1L, 0.0, 0.0, 1, 0L)).toDF("k", "ra", "decl", "is_core", "cell")
+      .write.mode("overwrite").saveAsTable("halo_noprops_t")
+    intercept[IllegalArgumentException] {
+      queries.Spatial.haloTableFor(spark, "halo_noprops_t", 0.1)
+    }
+  }
+
+  test("q_xmatch_reprocess: both stored sides join with zero hash exchange and match the brute force") {
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val m = queries.Spatial.qXmatchReprocess(spark, sf)
+      // the only exchange allowed is the final presentation sort's
+      // range partitioning — the archive × catalog join itself moves
+      // neither at-rest side
+      val plan = m.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"reprocess must not shuffle either stored side:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"), s"product join in:\n$plan")
+      // content: the full detection×object association, brute-force
+      val expected = pairSet(queries.Spatial.qXmatch2cat(spark, sf))
+      assert(pairSet(m.selectExpr("det_k AS k1", "obj_k AS k2", "dist_r6"))
+        == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
+  test("q_assoc_delta: base∪delta read associates every detection; delta side broadcasts") {
+    val df = queries.Spatial.qAssocDelta(spark, sf)
+    // the delta sliver must ride as a broadcast, never a shuffle of
+    // the probe side (the two-join LSM read shape)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"delta probe should broadcast the delta sliver:\n$plan")
+    val rows = df.collect()
+    val totals = queries.Spatial.detections(spark, sf)
+      .groupBy(expr("det_k % 3").as("batch_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("batch_id") -> r.getAs[Long]("n")).toMap
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val b = r.getAs[Long]("batch_id")
+      // after object creation every detection associates to SOMETHING
+      // (its own transient-born object at worst)
+      assert(r.getAs[Long]("n_assoc_dets") == totals(b),
+        s"batch $b: not every detection associated")
+      assert(r.getAs[Double]("min_dist_r6") == 0.0,
+        s"batch $b: transient self-matches should pin min dist to 0")
+    }
+    // the new-object pairs include at least one per transient
+    val nTrans = queries.Spatial.qTransientRate(spark, sf)
+      .agg(sum("n_transient")).head().getLong(0)
+    assert(nTrans > 0, "fixture needs transients for a non-vacuous delta")
+    assert(rows.map(_.getAs[Long]("n_new_obj_pairs")).sum >= nTrans)
+  }
 }
