@@ -749,10 +749,41 @@ object Ann {
     * Per iteration: one corpus scan + a combinable aggregate on
     * [[PqM]]·[[PqK]]·[[PqSub]] = 512 keys; the collect is the
     * codebook, not data. */
-  private[graft] def pqTrain(e: DataFrame, iters: Int = PqIters,
-    seedBase: Long = NQueries): Seq[Seq[Seq[Long]]] = {
+  /** One collected corpus head covering BOTH driver-side inputs of an
+    * in-plan PQ search — the query rows ([0, [[NQueries]])) and the
+    * seed rows ([seedBase, seedBase+[[PqK]])) — so the search pays ONE
+    * tiny collect job instead of two: at bench scale the pipeline's
+    * cost is per-job fixed overhead, not data (r12 verdict asked where
+    * q_ann_pq's time goes — it is this job ladder). */
+  private[graft] def pqHead(e: DataFrame,
+    seedBase: Long): Seq[(Long, Seq[Long], Long)] = {
     import e.sparkSession.implicits._
-    var cent = pqSeed(e, seedBase)
+    e.filter($"vec_id" < seedBase + PqK)
+      .select($"vec_id", $"iv", $"nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+  }
+
+  /** [[pqSeed]] from an already-collected head — identical rows and
+    * slicing, zero extra jobs. */
+  private[graft] def pqSeedOf(head: Seq[(Long, Seq[Long], Long)],
+    seedBase: Long): Seq[Seq[Seq[Long]]] = {
+    val rows = head.filter(r => r._1 >= seedBase && r._1 < seedBase + PqK)
+      .map(_._2)
+    (0 until PqM).map(m => rows.map(_.slice(m * PqSub, (m + 1) * PqSub)))
+  }
+
+  private[graft] def pqTrain(e: DataFrame, iters: Int = PqIters,
+    seedBase: Long = NQueries): Seq[Seq[Seq[Long]]] =
+    pqTrainFrom(e, pqSeed(e, seedBase), iters)
+
+  /** The Lloyd loop itself, from a given seed codebook — callers that
+    * already collected the head ([[pqHead]]) pass [[pqSeedOf]]'s
+    * result and skip the seed scan. */
+  private[graft] def pqTrainFrom(e: DataFrame, seed: Seq[Seq[Seq[Long]]],
+    iters: Int = PqIters): Seq[Seq[Seq[Long]]] = {
+    import e.sparkSession.implicits._
+    var cent = seed
     for (_ <- 1 to iters) {
       val stats = withCodes(e.select($"vec_id", $"iv"), cent)
         .select($"iv", posexplode($"codes").as(Seq("m", "code")))
@@ -1108,7 +1139,17 @@ object Ann {
       .select($"vec_id", $"iv", $"nrm").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
       .sortBy(_._1).toSeq
-    qs.map { case (qid, qiv, qnrm) => (qid, qiv, qnrm, pqLut(cent, qiv)) }
+    pqQueryFrameOf(s, qs, cent)
+  }
+
+  /** [[pqQueryFrame]] from an already-collected head ([[pqHead]]) —
+    * identical frame, zero extra jobs. */
+  private[graft] def pqQueryFrameOf(s: SparkSession,
+    head: Seq[(Long, Seq[Long], Long)],
+    cent: Seq[Seq[Seq[Long]]]): DataFrame = {
+    import s.implicits._
+    head.filter(_._1 < NQueries)
+      .map { case (qid, qiv, qnrm) => (qid, qiv, qnrm, pqLut(cent, qiv)) }
       .toDF("qid", "qiv", "qnrm", "lut")
   }
 
@@ -1284,8 +1325,10 @@ object Ann {
   def qAnnPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = intEmb(s, dir)
-    val cent = pqTrain(e)
-    val qdf = pqQueryFrame(s, e, cent)
+    // one head collect feeds both the seed and the query frame
+    val head = pqHead(e, NQueries)
+    val cent = pqTrainFrom(e, pqSeedOf(head, NQueries))
+    val qdf = pqQueryFrameOf(s, head, cent)
     val codes = withCodes(e.select($"vec_id", $"iv"), cent)
       .select($"vec_id", $"codes")
     pqRerank(e, pqAdcCandidates(codes, qdf), qdf)
