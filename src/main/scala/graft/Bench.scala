@@ -151,7 +151,11 @@ object Bench {
     // the steady-state LSM read: bucketed base probe + broadcast
     // delta sliver; regresses if the delta join stops broadcasting
     // (first sample builds the delta store; warm is the read path)
-    "q_assoc_delta")
+    "q_assoc_delta",
+    // forced photometry from the stored match table: one det_k join +
+    // a combinable obj_k aggregate; regresses if photometry ever
+    // re-runs the spatial match instead of reading the store
+    "q_forced_phot")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

@@ -1329,6 +1329,48 @@ object Spatial {
       .orderBy($"batch_id")
   }
 
+  /** Forced-photometry rollup — the science product the stored
+    * association exists to feed: per known object, the flux statistics
+    * of every detection associated to it across all nights, read FROM
+    * THE STORED match table (one partition-pruned scan) joined to the
+    * detection table's native flux on the detection key — never a
+    * re-run of the spatial match. Epoch count, night coverage, and
+    * exact integer-centiflux min/max/sum (sum, not mean — the oracle
+    * hash needs order-independent integer space).
+    *
+    * Scale shape: at 100 TB both sides are large, so this is ONE
+    * det_k-keyed shuffle join + a combinable obj_k aggregate — the
+    * spatial work was paid once at association time and amortizes over
+    * every photometry query. Oracle recomputes the association
+    * brute-force, so the hash certifies the stored pairs' content
+    * through the photometry read. */
+  def qForcedPhot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (matchPath, _) = ensureAssocStores(s, dir)
+    readMatchTable(s, matchPath)
+      .join(detections(s, dir).select($"det_k", $"flux_c100"), "det_k")
+      .groupBy($"obj_k")
+      .agg(count(lit(1)).as("n_epochs"),
+        countDistinct($"batch_id").as("n_nights"),
+        min($"flux_c100").as("flux_min_c100"),
+        max($"flux_c100").as("flux_max_c100"),
+        sum($"flux_c100").as("flux_sum_c100"))
+      .orderBy($"obj_k")
+  }
+
+  val qForcedPhotSql: String =
+    s"""WITH m AS (
+       |  SELECT d.det_k, o.k AS obj_k, d.det_k % $AssocBatches AS batch_id,
+       |    d.flux_c100
+       |  FROM ($detectionsSql) d CROSS JOIN ($pointsSql) o
+       |  WHERE ROUND(${distDegSql("d.ra", "d.decl", "o.ra", "o.decl")}, 6) < 1.0)
+       |SELECT obj_k, COUNT(*) AS n_epochs,
+       |  COUNT(DISTINCT batch_id) AS n_nights,
+       |  MIN(flux_c100) AS flux_min_c100,
+       |  MAX(flux_c100) AS flux_max_c100,
+       |  CAST(SUM(flux_c100) AS BIGINT) AS flux_sum_c100
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   val qAssocDeltaSql: String =
     s"""WITH tr AS (
        |  SELECT d.det_k, d.ra, d.decl FROM ($detectionsSql) d
@@ -1765,7 +1807,8 @@ object Spatial {
     "q_transient_rate" -> (qTransientRate _),
     "q_xmatch_stored" -> (qXmatchStored _),
     "q_xmatch_reprocess" -> (qXmatchReprocess _),
-    "q_assoc_delta" -> (qAssocDelta _))
+    "q_assoc_delta" -> (qAssocDelta _),
+    "q_forced_phot" -> (qForcedPhot _))
 
   val oracles: Map[String, String] = Map(
     "q_cone_search" -> qConeSearchSql,
@@ -1789,5 +1832,6 @@ object Spatial {
     // layout must reproduce it bit-for-bit
     "q_xmatch_stored" -> qZoneXmatchSql,
     "q_xmatch_reprocess" -> qXmatchReprocessSql,
-    "q_assoc_delta" -> qAssocDeltaSql)
+    "q_assoc_delta" -> qAssocDeltaSql,
+    "q_forced_phot" -> qForcedPhotSql)
 }

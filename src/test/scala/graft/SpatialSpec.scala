@@ -662,4 +662,27 @@ class SpatialSpec extends AnyFunSuite {
     assert(nTrans > 0, "fixture needs transients for a non-vacuous delta")
     assert(rows.map(_.getAs[Long]("n_new_obj_pairs")).sum >= nTrans)
   }
+
+  test("q_forced_phot equals the driver-side rollup of the brute-force association") {
+    // recompute per-object photometry from the flat two-catalog match
+    // (itself brute-force-verified) joined to the detections' flux
+    val flux = queries.Spatial.detections(spark, sf)
+      .select("det_k", "flux_c100").collect()
+      .map(r => r.getAs[Long]("det_k") -> r.getAs[Long]("flux_c100")).toMap
+    val pairs = queries.Spatial.qXmatch2cat(spark, sf).collect()
+      .map(r => (r.getAs[Long]("det_k"), r.getAs[Long]("obj_k")))
+    val expected = pairs.groupBy(_._2).map { case (obj, ps) =>
+      val fs = ps.map(p => flux(p._1))
+      val nights = ps.map(_._1 % 3).distinct.size
+      obj -> (ps.size.toLong, nights.toLong, fs.min, fs.max, fs.sum)
+    }
+    val got = queries.Spatial.qForcedPhot(spark, sf).collect()
+      .map(r => r.getAs[Long]("obj_k") ->
+        (r.getAs[Long]("n_epochs"), r.getAs[Long]("n_nights"),
+          r.getAs[Long]("flux_min_c100"), r.getAs[Long]("flux_max_c100"),
+          r.getAs[Long]("flux_sum_c100"))).toMap
+    assert(got == expected)
+    // multi-epoch objects exist, else the rollup is trivially per-pair
+    assert(got.values.exists(_._1 > 1L))
+  }
 }
