@@ -155,7 +155,11 @@ object Bench {
     // forced photometry from the stored match table: one det_k join +
     // a combinable obj_k aggregate; regresses if photometry ever
     // re-runs the spatial match instead of reading the store
-    "q_forced_phot")
+    "q_forced_phot",
+    // the stored perceptual index: warm path is one piece-table scan
+    // + the capped block self-join (no decode, no join-back) — should
+    // bench BELOW the in-plan q_blob_phash; first sample builds
+    "q_blob_phash_stored")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

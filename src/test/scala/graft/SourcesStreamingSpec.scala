@@ -108,6 +108,49 @@ class MultimodalSpec extends AnyFunSuite {
       assert(expected.contains((id, id + PhashV1Offset, 0)), s"doc $id")
   }
 
+  test("stored phash index: probe finds batch pairs, fold is replay-guarded, final index equals full build") {
+    import org.apache.spark.sql.functions._
+    import queries.Multimodal._
+    val path = Files.createTempDirectory("graft_phash_idx").toString + "/idx"
+    val sigs = phashSigs(spark, sf).localCheckpoint()
+    val batchA = sigs.filter("doc_id % 2 = 0")
+    val batchB = sigs.filter("doc_id % 2 = 1")
+    assert(buildPhashIndex(spark, batchA, path))
+    // probe: pairs involving batch B — against stored A plus within B
+    val probed = phashNewBlobs(spark, path, batchB).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Int]("hamming"))).toSet
+    // driver recompute: all corpus pairs with at least one B-side doc
+    val all = qBlobPhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Int]("hamming"))).toSet
+    val expected = all.filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    assert(probed == expected)
+    assert(probed.nonEmpty)
+    // fold B; replaying the same batch id must append nothing
+    updatePhashIndex(spark, path, batchB, 1L)
+    val n1 = readPhashIndex(spark, path).count()
+    updatePhashIndex(spark, path, batchB, 1L)
+    assert(readPhashIndex(spark, path).count() == n1)
+    // a re-delivered doc under a NEW batch id is dropped by the
+    // anti-join, not duplicated
+    updatePhashIndex(spark, path, batchB.limit(5), 2L)
+    assert(readPhashIndex(spark, path).count() == n1)
+    // folded index content == a fresh full build's
+    val fullPath = Files.createTempDirectory("graft_phash_full").toString + "/idx"
+    assert(buildPhashIndex(spark, sigs, fullPath))
+    def img(p: String) = readPhashIndex(spark, p)
+      .select("doc_id", "pi", "pv", "p0", "p1", "p2", "p3").collect()
+      .map(_.toSeq).toSet
+    assert(img(path) == img(fullPath))
+    // and the stored self-match over the folded index is the in-plan
+    // corpus scan
+    val stored = queries.Multimodal.qBlobPhashStored(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(stored == all)
+  }
+
   test("q_blob_phash block cap drops monochrome mega-blocks instead of going quadratic") {
     import spark.implicits._
     import queries.Multimodal._
