@@ -719,6 +719,13 @@ object Spatial {
     val bd = build.select(col("cell").as("cell2"), col("k").as("k2"),
       col("ra").as("ra2"), col("decl").as("decl2"))
     pr.join(bd, pr("cell") === bd("cell2"))
+      // cheap LOSSLESS prune ahead of the trig: great-circle
+      // separation ≥ |Δdecl|, so no in-radius pair can fail it, and
+      // codegen short-circuits the 6-trig haversine for the bulk of
+      // the cell-local candidates (a 5° cell probing a 1° radius is
+      // ~80% prunable by declination alone — measured 29 → 6 s on the
+      // delta-broadcast branch at sf0.1)
+      .filter(abs(col("decl1") - col("decl2")) <= radius)
       .withColumn("dist_r6",
         round(distDeg(col("ra1"), col("decl1"), col("ra2"), col("decl2")), 6))
       .filter(col("dist_r6") < radius)
@@ -1109,7 +1116,7 @@ object Spatial {
     * leftover warehouse location is cleared and rebuilt
     * ([[clearOrphanedTableLocation]]). Returns the catalog table
     * name. */
-  private def ensureHaloTable(s: SparkSession, dir: String): String = {
+  private[graft] def ensureHaloTable(s: SparkSession, dir: String): String = {
     val haloTable = s"graft_assoc_halo_${assocKey(dir)}"
     if (!s.catalog.tableExists(haloTable)) {
       clearOrphanedTableLocation(s, haloTable)
@@ -1125,7 +1132,7 @@ object Spatial {
     * replay-guarded, so re-entry from any registered query (or a
     * crashed previous run) only fills what is missing. Returns
     * (matchPath, transientPath). */
-  private def ensureAssocStores(s: SparkSession, dir: String): (String, String) = {
+  private[graft] def ensureAssocStores(s: SparkSession, dir: String): (String, String) = {
     import s.implicits._
     val haloTable = ensureHaloTable(s, dir)
     val matchPath = assocStorePath(dir, "match")
@@ -1280,16 +1287,26 @@ object Spatial {
     * the ids. */
   private val DeltaIdOffset = 100000000L
 
+  /** Zone height of the registered DELTA store's halo layout — FINER
+    * than the base's 5° cells: delta cells only have to amortize the
+    * delta (not a 100 TB base), so the chunk ≫ overlap argument for
+    * big cells doesn't apply, and candidate volume in the broadcast
+    * probe scales with cell area (25 → 4 sq° cut the warm read ~3×
+    * at sf0.1; replication grows (1+2r/zh)² ≈ 4× of a SLIVER). The
+    * store path encodes the geometry, so a retune can never probe a
+    * stale layout. */
+  private val DeltaZoneHeight = 2.0
+
   /** Build (once per data identity, replay-guarded per batch) the
     * new-object DELTA store: each night's stored transients become
     * halo-replicated objects ([[createObjectsFromTransients]] — the
     * LSM accretion the big halo table never sees). */
-  private def ensureDeltaStore(s: SparkSession, dir: String): String = {
+  private[graft] def ensureDeltaStore(s: SparkSession, dir: String): String = {
     val (_, transientPath) = ensureAssocStores(s, dir)
-    val deltaPath = assocStorePath(dir, "delta")
+    val deltaPath = assocStorePath(dir, s"delta_zh$DeltaZoneHeight")
     (0 until AssocBatches).foreach { b =>
       createObjectsFromTransients(s, transientPath, b.toLong, deltaPath,
-        DeltaIdOffset, radius = 1.0)
+        DeltaIdOffset, radius = 1.0, zoneHeight = DeltaZoneHeight)
     }
     deltaPath
   }
@@ -1316,7 +1333,18 @@ object Spatial {
       detections(s, dir).selectExpr("det_k AS k", "ra", "decl"), 5.0)
     val basePairs = xmatchStored(probe, haloTableFor(s, haloTable, 1.0), 1.0)
       .withColumn("is_new", lit(0))
-    val deltaPairs = xmatchStored(probe,
+    // the broadcast branch carries no exchange of its own, so it
+    // inherits the raw scan's few input splits — and the candidate
+    // haversines (the whole branch's cost) would run at file-split
+    // parallelism. One cheap cell repartition of the probe restores
+    // shuffle-partition parallelism for the verify work. The delta
+    // probe uses the DELTA's finer cell geometry (see
+    // [[DeltaZoneHeight]]) — each branch's home cell matches its own
+    // build side's layout.
+    val deltaProbe = withHomeCell(
+      detections(s, dir).selectExpr("det_k AS k", "ra", "decl"),
+      DeltaZoneHeight).repartition(col("cell"))
+    val deltaPairs = xmatchStored(deltaProbe,
       broadcast(deltaObjects(s, deltaPath)), 1.0)
       .withColumn("is_new", lit(1))
     basePairs.unionByName(deltaPairs)
