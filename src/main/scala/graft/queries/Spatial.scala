@@ -240,6 +240,12 @@ object Spatial {
         pmod($"c" - 1, $"nrb"), pmod($"c", $"nrb"), pmod($"c" + 1, $"nrb")))))
       .select($"k".as("k1"), $"ra".as("ra1"), $"decl".as("decl1"), $"zp", $"rp")
     pr.join(b, pr("zp") === b("z2") && pr("rp") === b("rb2"))
+      // cheap LOSSLESS prune ahead of the trig (the xmatchStored
+      // discipline): great-circle separation ≥ |Δdecl|, so no
+      // in-radius pair can fail it — the ±1-zone candidate window
+      // spans 3·radius of declination, so ~2/3 of candidates skip
+      // the 6-trig haversine entirely under codegen short-circuit
+      .filter(abs($"decl1" - $"decl2") <= radius)
       .withColumn("dist_r6", round(distDeg($"ra1", $"decl1", $"ra2", $"decl2"), 6))
       .filter($"dist_r6" < radius)
   }
