@@ -151,6 +151,12 @@ object Ann {
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
   }
 
+  /** [[ivfSeed]] from an already-collected corpus head ([[pqHead]]) —
+    * identical rows, zero extra jobs. */
+  private[graft] def ivfSeedOf(
+    head: Seq[(Long, Seq[Long], Long)]): Seq[(Long, Seq[Long], Long)] =
+    head.filter(r => r._1 >= NQueries && r._1 < NQueries + NCentroids)
+
   private[graft] val IvfIters = 2
 
   /** Trained IVF coarse quantizer: [[IvfIters]] integer Lloyd
@@ -165,6 +171,15 @@ object Ann {
     * one corpus scan + a combinable (NCentroids × dims)-key
     * aggregate; the collect is the codebook, not data-plane. */
   private[graft] def ivfTrain(e: DataFrame, iters: Int = IvfIters,
+    pin: Boolean = true): Seq[(Long, Seq[Long], Long)] =
+    ivfTrainFrom(e, null, iters, pin)
+
+  /** The Lloyd loop from a given seed codebook (null → collect the
+    * seed here) — callers that already collected the head
+    * ([[pqHead]]) pass [[ivfSeedOf]]'s result and skip the seed
+    * scan. */
+  private[graft] def ivfTrainFrom(e: DataFrame,
+    seed: Seq[(Long, Seq[Long], Long)], iters: Int = IvfIters,
     pin: Boolean = true): Seq[(Long, Seq[Long], Long)] = {
     import e.sparkSession.implicits._
     // training makes iters+1 passes over the corpus frame (each seed/
@@ -175,7 +190,7 @@ object Ann {
     // residual encode) pass pin=false and own the persist lifetime.
     val pinned = if (pin) e.persist() else e
     try {
-      var cents = ivfSeed(pinned)
+      var cents = if (seed != null) seed else ivfSeed(pinned)
       for (_ <- 1 to iters) {
         val stats = withListAssignment(pinned, cents)
           .select($"acid", posexplode($"iv").as(Seq("d", "v")))
@@ -756,9 +771,9 @@ object Ann {
     * cost is per-job fixed overhead, not data (r12 verdict asked where
     * q_ann_pq's time goes — it is this job ladder). */
   private[graft] def pqHead(e: DataFrame,
-    seedBase: Long): Seq[(Long, Seq[Long], Long)] = {
+    hi: Long): Seq[(Long, Seq[Long], Long)] = {
     import e.sparkSession.implicits._
-    e.filter($"vec_id" < seedBase + PqK)
+    e.filter($"vec_id" < hi)
       .select($"vec_id", $"iv", $"nrm").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
       .sortBy(_._1).toSeq
@@ -1326,7 +1341,7 @@ object Ann {
     import s.implicits._
     val e = intEmb(s, dir)
     // one head collect feeds both the seed and the query frame
-    val head = pqHead(e, NQueries)
+    val head = pqHead(e, NQueries + PqK)
     val cent = pqTrainFrom(e, pqSeedOf(head, NQueries))
     val qdf = pqQueryFrameOf(s, head, cent)
     val codes = withCodes(e.select($"vec_id", $"iv"), cent)
@@ -1542,6 +1557,17 @@ object Ann {
       .select($"vec_id", $"iv", $"nrm").collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
       .sortBy(_._1).toSeq
+    ivfPqQueryFramesOf(s, qs, lists, pq)
+  }
+
+  /** [[ivfPqQueryFrames]] from already-collected query rows (the
+    * [[pqHead]] fuse) — identical frames, zero extra jobs. */
+  private def ivfPqQueryFramesOf(s: SparkSession,
+    qrows: Seq[(Long, Seq[Long], Long)],
+    lists: Seq[(Long, Seq[Long], Long)], pq: Seq[Seq[Seq[Long]]])
+    : (DataFrame, DataFrame, Seq[Long]) = {
+    import s.implicits._
+    val qs = qrows.filter(_._1 < NQueries)
     val probeRows = qs.flatMap { case (qid, qiv, qnrm) =>
       probeListsFor(qiv, qnrm, lists).map { pa =>
         val civ = lists.find(_._1 == pa).get._2
@@ -1570,8 +1596,11 @@ object Ann {
   }
 
   private def ivfPqSearch(s: SparkSession, e: DataFrame, codes: DataFrame,
-    lists: Seq[(Long, Seq[Long], Long)], pq: Seq[Seq[Seq[Long]]]): DataFrame = {
-    val (qdf, probeDf, allProbed) = ivfPqQueryFrames(s, e, lists, pq)
+    lists: Seq[(Long, Seq[Long], Long)], pq: Seq[Seq[Seq[Long]]],
+    qrows: Seq[(Long, Seq[Long], Long)] = null): DataFrame = {
+    val (qdf, probeDf, allProbed) =
+      if (qrows != null) ivfPqQueryFramesOf(s, qrows, lists, pq)
+      else ivfPqQueryFrames(s, e, lists, pq)
     pqRerank(e, ivfPqCandidates(codes, probeDf, allProbed), qdf)
   }
 
@@ -1594,12 +1623,14 @@ object Ann {
     // after the unpersist — same as a stored-index search would)
     val e = intEmb(s, dir).persist()
     try {
-      val lists = ivfTrain(e, pin = false)
+      // one head collect feeds the IVF seed AND the query frames
+      val head = pqHead(e, NQueries + NCentroids)
+      val lists = ivfTrainFrom(e, ivfSeedOf(head), IvfIters, pin = false)
       val res = residualFrame(e, lists)
       val pq = pqTrain(res.select($"vec_id", $"iv"), seedBase = IvfPqSeedBase)
       val codes = withCodes(res, pq)
         .select($"vec_id", $"codes", $"acid")
-      ivfPqSearch(s, e, codes, lists, pq)
+      ivfPqSearch(s, e, codes, lists, pq, qrows = head)
     } finally { e.unpersist(false); () }
   }
 
