@@ -346,12 +346,18 @@ object Bench {
       require(p.exitValue() == 0, s"isolated bench exit ${p.exitValue()}")
       val text = new String(java.nio.file.Files.readAllBytes(childOut), "UTF-8")
       java.nio.file.Files.deleteIfExists(childOut)
-      // best-effort temp-warehouse cleanup (child wrote only here)
+      // best-effort temp-warehouse cleanup (child wrote only here);
+      // the walk stream holds a directory handle — close it
       try {
         import java.nio.file.{Files => F}
-        F.walk(childWh).sorted(java.util.Comparator.reverseOrder())
+        val walk = F.walk(childWh)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => F.deleteIfExists(p))
-      } catch { case _: Exception => () }
+        finally walk.close()
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[bench] temp-warehouse cleanup left $childWh: $e")
+      }
       val json = org.json4s.jackson.JsonMethods.parse(text.linesIterator.next())
       val org.json4s.JObject(fields) = (json \ "queries"): @unchecked
       val byName = fields.collect {

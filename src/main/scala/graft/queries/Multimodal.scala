@@ -472,16 +472,33 @@ object Multimodal {
   def phashNewBlobs(s: SparkSession, path: String,
     batchSigs: DataFrame): DataFrame = {
     import s.implicits._
+    // heal crashed folds before reading: a died-mid-commit append
+    // would otherwise be silently read as a subset of its piece rows
+    // (missed pairs, no error) — the healOwnedStore-on-entry
+    // discipline every other store in the module follows
+    graft.sources.Catalog.recoverAppends(s, path)
     require(graft.sources.Catalog.tableComplete(s, path),
       s"$path is not a complete phash index — build it first")
     // pinned: the bucket collect, the stored probe, and the batch
     // self-join all consume the piece explode
     val bp = phashPieceRows(batchSigs).localCheckpoint()
     val bks = bp.select($"bk").distinct().collect().map(_.getLong(0))
-    val stored = Dedup.capBlocks(
-      readPhashIndex(s, path).filter($"bk".isin(bks.toSeq: _*)),
-      Seq("pi", "pv"), PhashBlockCap)
-    val batch = Dedup.capBlocks(bp, Seq("pi", "pv"), PhashBlockCap)
+    val storedSlice = readPhashIndex(s, path).filter($"bk".isin(bks.toSeq: _*))
+    // the block cap must be the CORPUS-WIDE block size, exactly as
+    // [[qBlobPhash]] computes it (r13 review: capping each side
+    // separately emitted pairs from blocks that are over-cap only in
+    // aggregate — pairs the in-plan query and the oracle suppress).
+    // A (pi, pv) block lives in exactly ONE bucket (bk is a function
+    // of the block key), so the probed slice holds EVERY stored row
+    // of every block the batch touches, and stored ∪ batch distinct
+    // doc count IS the corpus-wide block size (distinct: an
+    // already-folded batch doc counts once, like the corpus scan).
+    val okBlocks = storedSlice.select($"pi", $"pv", $"doc_id")
+      .unionByName(bp.select($"pi", $"pv", $"doc_id")).distinct()
+      .groupBy($"pi", $"pv").agg(count(lit(1)).as("blk_n"))
+      .filter($"blk_n" <= PhashBlockCap).select($"pi", $"pv")
+    val stored = storedSlice.join(okBlocks, Seq("pi", "pv"), "left_semi")
+    val batch = bp.join(okBlocks, Seq("pi", "pv"), "left_semi")
     def side(df: DataFrame, tag: String): DataFrame =
       df.select($"pi", $"pv", $"doc_id".as(s"d$tag"),
         $"p0".as(s"a0$tag"), $"p1".as(s"a1$tag"),
@@ -498,15 +515,24 @@ object Multimodal {
       .distinct()
   }
 
-  /** Fold a batch's signatures into the stored index — append-only
-    * (signatures are immutable functions of the bytes; a re-ingested
-    * doc_id is dropped by the bucket-pruned anti-join, so re-encoded
-    * content under the SAME id never silently duplicates its piece
-    * rows), replay-guarded by a caller-supplied batch id marker, the
-    * [[graft.queries.Spatial]] nightly-lifecycle discipline. */
+  /** Fold a batch's signatures into the stored index — append-only,
+    * first-write-wins: a re-ingested doc_id is dropped by an
+    * INDEX-WIDE doc_id anti-join, so re-encoded content under the
+    * SAME id never duplicates its piece rows AND the outcome is
+    * deterministic (r13 review: the previous bucket-pruned anti-join
+    * looked for the doc's old rows in the NEW signature's buckets —
+    * for changed bytes they live in the OLD signature's buckets, so
+    * the doc was appended or dropped depending on a hash
+    * coincidence). The membership scan is column-pruned to the
+    * doc_id column; it is also what makes a crash between append and
+    * marker replay-safe — the appended ids are in the index, so the
+    * replay appends nothing. Replay-guarded by a caller-supplied
+    * batch id marker, the [[graft.queries.Spatial]]
+    * nightly-lifecycle discipline; crashed folds heal on entry. */
   def updatePhashIndex(s: SparkSession, path: String,
     batchSigs: DataFrame, batchId: Long): Unit = {
     import s.implicits._
+    graft.sources.Catalog.recoverAppends(s, path)
     require(graft.sources.Catalog.tableComplete(s, path),
       s"$path is not a complete phash index — build it first")
     val root = new org.apache.hadoop.fs.Path(path)
@@ -514,11 +540,8 @@ object Multimodal {
     val marker = new org.apache.hadoop.fs.Path(root, s"_phash_fold_$batchId")
     if (f.exists(marker)) return
     val bp = phashPieceRows(batchSigs).localCheckpoint()
-    val bks = bp.select($"bk").distinct().collect().map(_.getLong(0))
-    if (bks.nonEmpty) {
-      val storedIds = readPhashIndex(s, path)
-        .filter($"bk".isin(bks.toSeq: _*))
-        .select($"doc_id").distinct()
+    if (!bp.isEmpty) {
+      val storedIds = readPhashIndex(s, path).select($"doc_id").distinct()
       val fresh = bp.join(storedIds, Seq("doc_id"), "left_anti")
       graft.sources.Catalog.appendPartitioned(s, fresh, path, Seq("bk"),
         tableSchema = Some(PhashIndexSchema))
@@ -545,6 +568,10 @@ object Multimodal {
   def qBlobPhashStored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = phashIndexPath(dir)
+    // resolve crashed folds before the completeness check — a
+    // died-mid-commit append leaves the original _SUCCESS in place,
+    // so without healing the read would silently miss piece rows
+    graft.sources.Catalog.recoverAppends(s, path)
     if (!graft.sources.Catalog.tableComplete(s, path)) {
       graft.sources.Catalog.dropIfExists(s, path)
       buildPhashIndex(s, phashSigs(s, dir), path)

@@ -671,6 +671,7 @@ object Spatial {
       s"'graft.halo.radius' = '$radius', " +
       s"'graft.halo.zoneHeight' = '$zoneHeight', " +
       s"'graft.halo.numBuckets' = '$numBuckets')")
+    markOwnedTable(pts.sparkSession, table)
   }
 
   /** Validated read of a [[writeXmatchHalo]] table for a probe at
@@ -682,27 +683,75 @@ object Spatial {
     * consumer reads through this. */
   def haloTableFor(s: SparkSession, table: String,
     radius: Double): DataFrame = {
-    val props = s.sql(s"SHOW TBLPROPERTIES $table").collect()
-      .map(r => r.getString(0) -> r.getString(1)).toMap
-    val stored = props.get("graft.halo.radius").map(_.toDouble)
-    require(stored.isDefined,
-      s"$table carries no graft.halo.radius property — not a " +
-        "writeXmatchHalo layout (or written before the geometry " +
-        "contract); refusing an unverifiable cross-match")
-    require(radius <= stored.get,
+    val (stored, _, _) = haloGeometry(s, table)
+    require(radius <= stored,
       s"probe radius $radius exceeds $table's written halo radius " +
-        s"${stored.get}: replicas only cover the written radius, so " +
+        s"$stored: replicas only cover the written radius, so " +
         "this cross-match would silently lose pairs. Rebuild the " +
         "layout with writeXmatchHalo at the wider radius.")
     s.table(table)
   }
 
+  /** The (radius, zoneHeight, numBuckets) a [[writeXmatchHalo]] table
+    * was written with, from its persisted TBLPROPERTIES. Probe sides
+    * must compute home cells with THIS zoneHeight (a probe celled
+    * under a different zone grid equi-joins almost nothing and
+    * silently loses pairs — the same wrong-answer class as an
+    * over-wide radius), so every registered consumer derives its
+    * probe geometry here instead of repeating the writer's
+    * literals. */
+  def haloGeometry(s: SparkSession, table: String): (Double, Double, Int) = {
+    val props = s.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def need(k: String): String = props.getOrElse(s"graft.halo.$k",
+      throw new IllegalArgumentException(
+        s"$table carries no graft.halo.$k property — not a " +
+          "writeXmatchHalo layout (or written before the geometry " +
+          "contract); refusing an unverifiable cross-match"))
+    (need("radius").toDouble, need("zoneHeight").toDouble,
+      need("numBuckets").toInt)
+  }
+
   /** Write `pts` home-cell-only under the same bucketing — the stored
-    * probe side (a detection archive being re-associated, say). */
+    * probe side (a detection archive being re-associated, say). The
+    * cell geometry is persisted as TBLPROPERTIES like the halo's:
+    * a stored probe is only co-located with a halo table written
+    * under the SAME (zoneHeight, numBuckets) — [[probeTableFor]]
+    * enforces that at read. */
   def writeXmatchProbe(pts: DataFrame, table: String,
-    zoneHeight: Double = 5.0, numBuckets: Int = 16): Unit =
+    zoneHeight: Double = 5.0, numBuckets: Int = 16): Unit = {
     graft.sources.Catalog.writeBucketed(
       withHomeCell(pts, zoneHeight), table, "cell", numBuckets)
+    pts.sparkSession.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+      s"'graft.probe.zoneHeight' = '$zoneHeight', " +
+      s"'graft.probe.numBuckets' = '$numBuckets')")
+    markOwnedTable(pts.sparkSession, table)
+  }
+
+  /** Validated read of a [[writeXmatchProbe]] archive for a
+    * cross-match against a halo table of geometry (`zoneHeight`,
+    * `numBuckets`): THROWS on a mismatch — home cells computed under
+    * a different zone grid equi-join almost nothing, so a
+    * desynchronized pair of stored layouts would silently lose pairs
+    * rather than fail. */
+  def probeTableFor(s: SparkSession, table: String, zoneHeight: Double,
+    numBuckets: Int): DataFrame = {
+    val props = s.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    def need(k: String): String = props.getOrElse(s"graft.probe.$k",
+      throw new IllegalArgumentException(
+        s"$table carries no graft.probe.$k property — not a " +
+          "writeXmatchProbe layout; refusing an unverifiable " +
+          "cross-match"))
+    require(need("zoneHeight").toDouble == zoneHeight &&
+      need("numBuckets").toInt == numBuckets,
+      s"stored probe $table was written under (zoneHeight=" +
+        s"${need("zoneHeight")}, numBuckets=${need("numBuckets")}) but " +
+        s"the build side expects ($zoneHeight, $numBuckets): the cell " +
+        "grids differ, so the equi-join would silently lose pairs. " +
+        "Rewrite one side under the shared geometry.")
+    s.table(table)
+  }
 
   /** Cross-match against the stored overlap layout, entirely
     * cell-local: probe rows (home cells — a halo table's
@@ -1073,25 +1122,55 @@ object Spatial {
       s.read.parquet(loc.toString)
     }
 
+  /** Ownership marker every graft table writer drops into the
+    * managed location after commit — the on-disk evidence
+    * [[clearOrphanedTableLocation]] needs to reclaim a caller-named
+    * table in a fresh JVM (the session catalog that knew who wrote it
+    * is gone; the name prefix alone doesn't cover caller-chosen
+    * names). Underscore-prefixed, so readers never see it. */
+  private val OwnedMarker = "_GRAFT_OWNED"
+
+  private[graft] def markOwnedTable(s: SparkSession, table: String): Unit = {
+    val loc = warehouseLocation(s, table)
+    val f = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (f.exists(loc))
+      f.create(new org.apache.hadoop.fs.Path(loc, OwnedMarker), true).close()
+  }
+
   /** If `table` has a warehouse LOCATION on disk but no entry in this
     * session's (in-memory) catalog — a previous JVM's build or a
     * crashed overwrite — delete the location: Spark refuses to CREATE
     * a managed table over a surviving directory, so this is the only
-    * way to re-register the graft-owned derived table. Restricted to
-    * the module's own `graft_` name prefix (advice r12): anything else
-    * is potentially a foreign directory at a colliding name, and
-    * Catalog's never-delete-unowned rule applies. */
-  private def clearOrphanedTableLocation(s: SparkSession, table: String): Unit =
+    * way to re-register the graft-owned derived table. Deletion
+    * requires OWNERSHIP EVIDENCE: the module's own `graft_` name
+    * prefix (advice r12), the [[OwnedMarker]] a graft writer dropped
+    * after commit, or the committer's own died-mid-write residue (a
+    * `_temporary` staging dir / an empty dir — the [[healOwnedStore]]
+    * rule). A marker-less directory WITH data fails LOUDLY (not a
+    * silent no-op — r13 review: the silent path re-introduced the
+    * fresh-JVM recovery wedge for caller-named tables, surfacing only
+    * as a confusing saveAsTable failure later): it could be a foreign
+    * table at a colliding name, and Catalog's never-delete-unowned
+    * rule applies. */
+  private[graft] def clearOrphanedTableLocation(s: SparkSession, table: String): Unit =
     if (!s.catalog.tableExists(table)) {
-      if (table.startsWith("graft_")) {
-        val loc = warehouseLocation(s, table)
-        val f = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (f.exists(loc)) f.delete(loc, true)
-      } else System.err.println(
-        s"[graft] not clearing unregistered location for $table: only " +
-          "graft_-prefixed derived tables are owned by this lifecycle " +
-          "(a later saveAsTable fails loudly if a foreign directory " +
-          "occupies the name)")
+      val loc = warehouseLocation(s, table)
+      val f = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (f.exists(loc)) {
+        val entries = f.listStatus(loc)
+        val owned = table.startsWith("graft_") || entries.isEmpty ||
+          entries.exists(_.getPath.getName == OwnedMarker) ||
+          entries.exists(st => st.isDirectory &&
+            st.getPath.getName == "_temporary")
+        if (owned) f.delete(loc, true)
+        else throw new IllegalStateException(
+          s"$table is not in this session's catalog but its warehouse " +
+            s"location $loc holds data with no graft ownership evidence " +
+            "(graft_ prefix, _GRAFT_OWNED marker, or _temporary staging " +
+            "residue) — possibly a foreign table at a colliding name. " +
+            "Move it aside or delete it before the lifecycle can " +
+            "recreate the table.")
+      }
     }
 
   /** Cache key/locations for the registered [[qAssocHistory]]
@@ -1145,12 +1224,17 @@ object Spatial {
     val transientPath = assocStorePath(dir, "trans")
     // crashed partial creates heal inside associateBatch (healOwnedStore)
     val dets = detections(s, dir)
+    // probe home cells MUST be computed under the halo table's own
+    // zone grid — derive it from the stored geometry rather than
+    // repeating the writer's literal (r13 review: a halo retune would
+    // have silently desynchronized every hardcoded 5.0)
+    val (_, zh, _) = haloGeometry(s, haloTable)
     (0 until AssocBatches).foreach { b =>
       associateBatch(s,
         dets.filter(pmod($"det_k", lit(AssocBatches)) === b)
           .select($"det_k", $"ra", $"decl"),
         haloTableFor(s, haloTable, 1.0), matchPath, transientPath,
-        b.toLong, radius = 1.0)
+        b.toLong, radius = 1.0, zoneHeight = zh)
     }
     (matchPath, transientPath)
   }
@@ -1253,9 +1337,13 @@ object Spatial {
   private def ensureProbeTable(s: SparkSession, dir: String): String = {
     val t = s"graft_assoc_probe_${assocKey(dir)}"
     if (!s.catalog.tableExists(t)) {
+      // the archive shares the halo table's cell grid and bucket
+      // count BY DERIVATION (not by repeating its literals), so a
+      // halo retune can never strand the probe in a stale geometry
+      val (_, zh, nb) = haloGeometry(s, ensureHaloTable(s, dir))
       clearOrphanedTableLocation(s, t)
       writeXmatchProbe(detections(s, dir).selectExpr("det_k AS k", "ra", "decl"),
-        t, zoneHeight = 5.0, numBuckets = 8)
+        t, zoneHeight = zh, numBuckets = nb)
     }
     t
   }
@@ -1273,8 +1361,12 @@ object Spatial {
     * CONTENT. */
   def qXmatchReprocess(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val halo = haloTableFor(s, ensureHaloTable(s, dir), 1.0)
-    val probe = s.table(ensureProbeTable(s, dir))
+    val haloTable = ensureHaloTable(s, dir)
+    val (_, zh, nb) = haloGeometry(s, haloTable)
+    val halo = haloTableFor(s, haloTable, 1.0)
+    // validated: the archive must share the halo's cell grid and
+    // bucket count or the co-located join silently loses pairs
+    val probe = probeTableFor(s, ensureProbeTable(s, dir), zh, nb)
     xmatchStored(probe, halo, 1.0)
       .select($"k1".as("det_k"), $"k2".as("obj_k"), $"dist_r6")
       .orderBy($"det_k", $"obj_k")
@@ -1301,7 +1393,7 @@ object Spatial {
     * at sf0.1; replication grows (1+2r/zh)² ≈ 4× of a SLIVER). The
     * store path encodes the geometry, so a retune can never probe a
     * stale layout. */
-  private val DeltaZoneHeight = 2.0
+  private[graft] val DeltaZoneHeight = 2.0
 
   /** Build (once per data identity, replay-guarded per batch) the
     * new-object DELTA store: each night's stored transients become
@@ -1336,7 +1428,8 @@ object Spatial {
     val haloTable = ensureHaloTable(s, dir)
     val deltaPath = ensureDeltaStore(s, dir)
     val probe = withHomeCell(
-      detections(s, dir).selectExpr("det_k AS k", "ra", "decl"), 5.0)
+      detections(s, dir).selectExpr("det_k AS k", "ra", "decl"),
+      haloGeometry(s, haloTable)._2)
     val basePairs = xmatchStored(probe, haloTableFor(s, haloTable, 1.0), 1.0)
       .withColumn("is_new", lit(0))
     // the broadcast branch carries no exchange of its own, so it

@@ -35,14 +35,16 @@ object ProfAssoc {
     val haloT = t("ensureHaloTable")(Spatial.ensureHaloTable(spark, sf))
     val deltaP = t("ensureDeltaStore")(Spatial.ensureDeltaStore(spark, sf))
     val probe = Spatial.withHomeCell(
-      Spatial.detections(spark, sf).selectExpr("det_k AS k", "ra", "decl"), 5.0)
+      Spatial.detections(spark, sf).selectExpr("det_k AS k", "ra", "decl"),
+      Spatial.haloGeometry(spark, haloT)._2)
     t("basePairs count") {
       Spatial.xmatchStored(probe,
         Spatial.haloTableFor(spark, haloT, 1.0), 1.0).count()
     }
     // the delta store uses its own finer geometry — probe must match
     val deltaProbe = Spatial.withHomeCell(
-      Spatial.detections(spark, sf).selectExpr("det_k AS k", "ra", "decl"), 2.0)
+      Spatial.detections(spark, sf).selectExpr("det_k AS k", "ra", "decl"),
+      Spatial.DeltaZoneHeight)
       .repartition(col("cell"))
     val dp = Spatial.xmatchStored(deltaProbe,
       broadcast(Spatial.deltaObjects(spark, deltaP)), 1.0)

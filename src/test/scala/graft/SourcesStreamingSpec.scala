@@ -151,6 +151,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stored == all)
   }
 
+  test("phash fold: re-encoded content under the SAME doc_id is deterministically dropped (first-write-wins)") {
+    import org.apache.spark.sql.functions._
+    import queries.Multimodal._
+    val path = Files.createTempDirectory("graft_phash_reenc").toString + "/idx"
+    val sigs = phashSigs(spark, sf).localCheckpoint()
+    assert(buildPhashIndex(spark, sigs, path))
+    val before = readPhashIndex(spark, path)
+      .select("doc_id", "pi", "pv", "p0", "p1", "p2", "p3").collect()
+      .map(_.toSeq).toSet
+    // five docs re-ingested with CHANGED bytes → a different
+    // signature, whose piece rows hash to DIFFERENT buckets than the
+    // stored rows (r13 review: the bucket-pruned anti-join looked in
+    // the new signature's buckets and appended-or-dropped on a hash
+    // coincidence; the index-wide anti-join is deterministic)
+    val mutated = sigs.limit(5)
+      .withColumn("p0", pmod(col("p0") + 12345, lit(65536)).cast("int"))
+      .withColumn("p2", pmod(col("p2") + 321, lit(65536)).cast("int"))
+    updatePhashIndex(spark, path, mutated, 7L)
+    val after = readPhashIndex(spark, path)
+      .select("doc_id", "pi", "pv", "p0", "p1", "p2", "p3").collect()
+      .map(_.toSeq).toSet
+    assert(after == before)
+  }
+
+  test("phash probe caps blocks at their CORPUS-WIDE size, like the in-plan scan") {
+    import spark.implicits._
+    import queries.Multimodal._
+    val path = Files.createTempDirectory("graft_phash_strad").toString + "/idx"
+    // one boilerplate signature block straddles the cap: 30 stored +
+    // 30 batch docs, each side under PhashBlockCap=50, the corpus 60
+    // over it — the probe must suppress the block exactly as
+    // qBlobPhash over the 60-doc corpus would (r13 review: per-side
+    // caps let 30x30 cross + 435 within pairs through). A second
+    // 1+1-doc block stays under cap as the non-vacuity control.
+    assert(PhashBlockCap == 50)
+    val stored = ((0L until 30L).map(i => (i, 7, 7, 7, 7)) :+ (98L, 9, 9, 9, 9))
+      .toDF("doc_id", "p0", "p1", "p2", "p3")
+    val batch = ((100L until 130L).map(i => (i, 7, 7, 7, 7)) :+ (99L, 9, 9, 9, 9))
+      .toDF("doc_id", "p0", "p1", "p2", "p3")
+    assert(buildPhashIndex(spark, stored, path))
+    val pairs = phashNewBlobs(spark, path, batch).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(pairs == Set((98L, 99L, 0)))
+  }
+
   test("q_blob_phash block cap drops monochrome mega-blocks instead of going quadratic") {
     import spark.implicits._
     import queries.Multimodal._

@@ -685,4 +685,66 @@ class SpatialSpec extends AnyFunSuite {
     // multi-epoch objects exist, else the rollup is trivially per-pair
     assert(got.values.exists(_._1 > 1L))
   }
+
+  test("probe geometry contract: a desynchronized cell grid THROWS instead of silently losing pairs") {
+    val dets = queries.Spatial.detections(spark, sf)
+      .selectExpr("det_k AS k", "ra", "decl")
+    queries.Spatial.writeXmatchProbe(dets, "probe_geom_t", 2.5, 4)
+    // matching geometry: reads fine
+    assert(queries.Spatial.probeTableFor(spark, "probe_geom_t", 2.5, 4)
+      .count() > 0)
+    // a probe celled under a different zone grid (or bucketed
+    // differently) equi-joins almost nothing — must refuse, not lose
+    intercept[IllegalArgumentException] {
+      queries.Spatial.probeTableFor(spark, "probe_geom_t", 5.0, 4)
+    }
+    intercept[IllegalArgumentException] {
+      queries.Spatial.probeTableFor(spark, "probe_geom_t", 2.5, 8)
+    }
+    // a table without the geometry properties is not a verifiable
+    // archive — refuse rather than guess
+    import spark.implicits._
+    Seq((1L, 0.0, 0.0, 0L)).toDF("k", "ra", "decl", "cell")
+      .write.mode("overwrite").saveAsTable("probe_noprops_t")
+    intercept[IllegalArgumentException] {
+      queries.Spatial.probeTableFor(spark, "probe_noprops_t", 5.0, 4)
+    }
+  }
+
+  test("orphaned-location reclaim needs ownership evidence: marker or graft_ prefix clears, foreign data throws") {
+    import org.apache.hadoop.fs.Path
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val f = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // graft's own writers drop the marker at commit, so a fresh JVM
+    // can prove ownership of a CALLER-NAMED table's leftover location
+    queries.Spatial.writeXmatchHalo(queries.Spatial.points(spark, sf),
+      "halo_owned_t", 1.0, 5.0, 4)
+    assert(f.exists(new Path(new Path(wh, "halo_owned_t"), "_GRAFT_OWNED")))
+    // simulated fresh-JVM orphan (no catalog entry) WITH the marker:
+    // reclaimed, so the lifecycle can recreate the table
+    val marked = new Path(wh, "orphan_marked_t")
+    f.mkdirs(marked)
+    f.create(new Path(marked, "part-0000.parquet"), true).close()
+    f.create(new Path(marked, "_GRAFT_OWNED"), true).close()
+    queries.Spatial.clearOrphanedTableLocation(spark, "orphan_marked_t")
+    assert(!f.exists(marked))
+    // graft_-prefixed names stay reclaimable without a marker
+    val pref = new Path(wh, "graft_orphan_pref_t")
+    f.mkdirs(pref)
+    f.create(new Path(pref, "part-0000.parquet"), true).close()
+    queries.Spatial.clearOrphanedTableLocation(spark, "graft_orphan_pref_t")
+    assert(!f.exists(pref))
+    // a marker-less directory WITH data could be a foreign table at a
+    // colliding name: LOUD refusal (r13 review: the silent no-op
+    // re-introduced the recovery wedge), and the data survives
+    val foreign = new Path(wh, "orphan_foreign_t")
+    f.mkdirs(foreign)
+    f.create(new Path(foreign, "data.parquet"), true).close()
+    val e = intercept[IllegalStateException] {
+      queries.Spatial.clearOrphanedTableLocation(spark, "orphan_foreign_t")
+    }
+    assert(e.getMessage.contains("ownership evidence"))
+    assert(f.exists(new Path(foreign, "data.parquet")))
+    f.delete(foreign, true)
+  }
 }
