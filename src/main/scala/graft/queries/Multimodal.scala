@@ -549,6 +549,74 @@ object Multimodal {
     f.create(marker, true).close()
   }
 
+  /** Signature frame of a raw blob batch (doc_id, blob) — the
+    * streaming ingest's decode pass: one [[BlobSig]] row per
+    * non-empty delivered payload, nothing else (the registered-corpus
+    * derivation [[phashSigs]] additionally plants its harness
+    * variants; a production stream signs exactly what arrives). */
+  def sigsOfBlobs(batch: DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    import s.implicits._
+    batch.filter(length(col("blob")) > 0)
+      .select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => phashPieces(id, b) })
+      .toDF()
+  }
+
+  /** Declared schema of the streamed near-dup PAIRS store —
+    * `batch_id` is the partition key; an all-unique batch appends
+    * zero rows and a file-less partitioned root cannot infer its
+    * schema (the [[graft.queries.Spatial.MatchSchema]] rule). */
+  private[graft] val PhashPairsSchema: StructType = StructType(Seq(
+    StructField("d1", LongType), StructField("d2", LongType),
+    StructField("hamming", IntegerType), StructField("batch_id", LongType)))
+
+  /** Read the streamed pairs store (declared schema — see above). */
+  def readPhashPairs(s: SparkSession, path: String): DataFrame =
+    s.read.schema(PhashPairsSchema).parquet(path)
+
+  /** One full blob micro-batch — the perceptual-index twin of
+    * [[graft.queries.Spatial.associateBatch]]: sign the delivered
+    * payloads once, emit the near-dup pairs INVOLVING the batch
+    * against the index AS OF this batch ([[phashNewBlobs]] — block
+    * caps are evaluated over corpus-so-far ∪ batch, i.e. what
+    * [[qBlobPhash]] would report over the corpus at this point in the
+    * stream), append them to a `batch_id`-partitioned pairs store,
+    * then fold the batch into the index ([[updatePhashIndex]], same
+    * batch id). Pairs land BEFORE the fold, so a replayed
+    * crash-window batch probes the same pre-fold index and the two
+    * halves stay independently replay-guarded: the pairs append skips
+    * when its partition exists, the fold skips on its marker, and a
+    * crash inside either heals on entry ([[
+    * graft.queries.Spatial.healOwnedStore]] / the fold's index-wide
+    * anti-join). Returns pairs appended (0 on replay).
+    *
+    * 100 TB shape: per-batch cost tracks the batch — the probe reads
+    * only the bucket partitions the batch's piece keys hash into, and
+    * the fold appends inside its own partitions. */
+  def blobBatch(s: SparkSession, batch: DataFrame, indexPath: String,
+    pairsPath: String, batchId: Long): Long = {
+    import graft.sources.Catalog
+    Spatial.healOwnedStore(s, pairsPath)
+    val sigs = sigsOfBlobs(batch).localCheckpoint() // pairs AND fold
+    val partDir = new org.apache.hadoop.fs.Path(pairsPath, s"batch_id=$batchId")
+    val fsys = partDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    var n = 0L
+    if (!(Catalog.tableComplete(s, pairsPath) && fsys.exists(partDir))) {
+      val pairs = phashNewBlobs(s, indexPath, sigs)
+        .withColumn("batch_id", lit(batchId))
+        .localCheckpoint() // one probe feeds count AND append
+      n = pairs.count()
+      if (!Catalog.tableComplete(s, pairsPath))
+        Catalog.createPartitionedIfAbsent(s, pairs, pairsPath, Seq("batch_id"))
+      else
+        Catalog.appendPartitioned(s, pairs, pairsPath, Seq("batch_id"),
+          Some(PhashPairsSchema))
+    }
+    updatePhashIndex(s, indexPath, sigs, batchId)
+    n
+  }
+
   /** Content-keyed registered index location (the ANN stored-model
     * cache pattern — regenerated test data can never read a stale
     * index). */

@@ -820,7 +820,7 @@ object Spatial {
     * still fails loudly — it could be a foreign table at a mistyped
     * path, and [[graft.sources.Catalog]]'s never-delete rule applies
     * to anything this module cannot prove it was writing. */
-  private def healOwnedStore(s: SparkSession, path: String): Unit = {
+  private[graft] def healOwnedStore(s: SparkSession, path: String): Unit = {
     import graft.sources.Catalog
     Catalog.recoverAppends(s, path)
     if (Catalog.tableExists(s, path) && !Catalog.tableComplete(s, path)) {

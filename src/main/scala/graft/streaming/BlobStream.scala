@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.queries.Multimodal
+
+/** Streaming perceptual-index ingest — the blob twin of
+  * [[DetectionStream]]: each micro-batch of raw blobs (doc_id, blob)
+  * runs one [[Multimodal.blobBatch]] against the STORED piece index
+  * ([[Multimodal.buildPhashIndex]] — bk-partitioned, so the probe
+  * reads only the bucket partitions the batch's piece keys hash
+  * into) and lands in TWO replay-guarded stores:
+  *
+  *  - the PAIRS store (near-dup pairs involving the batch, at the
+  *    block caps of the corpus as of that batch — the nightly
+  *    increment of [[Multimodal.qBlobPhash]]'s corpus-wide scan), and
+  *  - the piece INDEX itself (the batch folded in,
+  *    [[Multimodal.updatePhashIndex]]'s deterministic
+  *    first-write-wins append).
+  *
+  * `foreachBatch` is at-least-once; the pairs append keys its
+  * batch_id partition and the fold keys its marker (plus the
+  * index-wide anti-join), so a replayed micro-batch changes nothing —
+  * at-least-once delivery becomes exactly-once stored contents, the
+  * [[DocStream]]/[[DetectionStream]] discipline one modality over.
+  * 100 TB shape: per-batch cost tracks the batch, never the
+  * accumulated corpus.
+  */
+object BlobStream {
+
+  /** Start the continuous ingest over a blob stream. Checkpointed
+    * source offsets give stable batch ids across restarts;
+    * [[Multimodal.blobBatch]]'s guarded halves make a re-delivered
+    * micro-batch a no-op. Callers own the returned query's
+    * lifecycle. */
+  def start(blobStream: DataFrame, indexPath: String, pairsPath: String,
+    checkpointPath: String): StreamingQuery =
+    blobStream.writeStream
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Multimodal.blobBatch(batch.sparkSession, batch, indexPath,
+          pairsPath, batchId)
+        ()
+      }
+      .start()
+}

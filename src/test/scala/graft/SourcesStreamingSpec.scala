@@ -1267,3 +1267,97 @@ class DetectionStreamSpec extends AnyFunSuite {
       .select("det_k").collect().map(_.getLong(0)).toSet == wantTrans)
   }
 }
+
+case class RawBlob(doc_id: Long, blob: Array[Byte])
+
+class BlobStreamSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import graft.streaming.BlobStream
+  import queries.Multimodal._
+
+  test("streamed blob ingest reproduces the in-plan perceptual scan; replay and crash windows heal") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_blobstream")
+    val indexPath = base.resolve("idx").toString
+    val pairsPath = base.resolve("pairs").toString
+    val cp = base.resolve("cp").toString
+
+    // the planted perceptual corpus as raw payloads, derived
+    // driver-side exactly like phashSigs derives it (non-empty texts;
+    // every PhashVariantMod-th doc gets the +4-shift and prefix-edit
+    // byte variants)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8"))
+      .filter(_._2.nonEmpty)
+    val corpus = docs.flatMap { case (id, b) =>
+      if (id % PhashVariantMod == 0) {
+        val pfx = b.length / 3
+        val v1 = b.map(x => (x + 4).toByte)
+        val v2 = b.zipWithIndex.map { case (x, i) =>
+          if (i < pfx) (x + 16).toByte else x }
+        Seq(RawBlob(id, b), RawBlob(id + PhashV1Offset, v1),
+          RawBlob(id + PhashV2Offset, v2))
+      } else Seq(RawBlob(id, b))
+    }
+    // keep each planted family together relative to batches only by
+    // chance — the split is by id parity, so families STRADDLE the
+    // two micro-batches and cross-batch pairs must come from the
+    // stored-index probe, not the within-batch join
+    val (first, second) = corpus.partition(_.doc_id % 2 == 0)
+
+    // stream onto an EMPTY index — the cold-start ingest
+    assert(buildPhashIndex(spark,
+      spark.emptyDataset[BlobSig].toDF(), indexPath))
+    val input = MemoryStream[RawBlob]
+    val q = BlobStream.start(input.toDF(), indexPath, pairsPath, cp)
+    try {
+      input.addData(first.toSeq); q.processAllAvailable()
+      input.addData(second.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // the accumulated pairs store IS the in-plan corpus scan (every
+    // block here stays under the cap, so as-of-batch caps and the
+    // final corpus cap agree), and each pair arrived exactly once
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val streamed = readPhashPairs(spark, pairsPath)
+    val want = pairSet(qBlobPhash(spark, sf))
+    assert(pairSet(streamed) == want)
+    assert(streamed.count() == want.size.toLong, "no pair may arrive twice")
+    assert(want.nonEmpty)
+    // the folded index equals a fresh full build over the corpus
+    val fullPath = base.resolve("full").toString
+    assert(buildPhashIndex(spark, phashSigs(spark, sf), fullPath))
+    def img(p: String) = readPhashIndex(spark, p)
+      .select("doc_id", "pi", "pv", "p0", "p1", "p2", "p3").collect()
+      .map(_.toSeq).toSet
+    assert(img(indexPath) == img(fullPath))
+
+    // a replayed micro-batch (same batch_id) appends to NEITHER store
+    val firstDf = first.toSeq.toDF("doc_id", "blob")
+    val nPairs = streamed.count()
+    val nIdx = readPhashIndex(spark, indexPath).count()
+    assert(blobBatch(spark, firstDf, indexPath, pairsPath, 0L) == 0L)
+    assert(readPhashPairs(spark, pairsPath).count() == nPairs)
+    assert(readPhashIndex(spark, indexPath).count() == nIdx)
+
+    // crash window: pairs partition lost after the fold committed —
+    // replay restores the partition; the re-probe against the
+    // already-folded index self-pairs at distance 0 are excluded by
+    // the probe's dx != dy guard, so the restored rows equal the lost
+    // ones
+    val lostDir = new org.apache.hadoop.fs.Path(pairsPath, "batch_id=1")
+    val fsys = lostDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = streamed.filter("batch_id = 1").count()
+    assert(fsys.delete(lostDir, true))
+    val restored = blobBatch(spark, second.toSeq.toDF("doc_id", "blob"),
+      indexPath, pairsPath, 1L)
+    assert(restored == before, "healed pairs partition must restore its rows")
+    assert(pairSet(readPhashPairs(spark, pairsPath)) == want)
+    assert(readPhashIndex(spark, indexPath).count() == nIdx,
+      "the fold half must replay as a no-op")
+  }
+}
