@@ -159,7 +159,12 @@ object Bench {
     // the stored perceptual index: warm path is one piece-table scan
     // + the capped block self-join (no decode, no join-back) — should
     // bench BELOW the in-plan q_blob_phash; first sample builds
-    "q_blob_phash_stored")
+    "q_blob_phash_stored",
+    // per-batch arrival telemetry over the STREAMED pairs store: warm
+    // path is one partitioned-store scan + a 3-group aggregate;
+    // regresses if the read stops pruning to the pairs store (first
+    // sample builds the streamed lifecycle)
+    "q_blob_phash_batches")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

@@ -293,13 +293,22 @@ object Multimodal {
     * [[PhashVariantMod]], emitted inline so the bytes are read
     * exactly once); shared by the in-plan query and the stored-index
     * build. */
-  private[graft] def phashSigs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def phashSigs(s: SparkSession, dir: String): DataFrame =
+    sigsOfBlobs(blobsWithVariants(s, dir))
+
+  /** The registered perceptual corpus at the PAYLOAD level: every
+    * non-empty blob, plus the two planted byte-derived re-encode
+    * variants per [[PhashVariantMod]]-th doc (see the plant's
+    * documentation above). [[phashSigs]] is its signature image; the
+    * streamed-lifecycle queries feed it through
+    * [[blobBatch]]/[[sigsOfBlobs]] batch-wise, so the in-plan and
+    * streamed paths derive from ONE corpus definition. */
+  private[graft] def blobsWithVariants(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     blobs(s, dir)
       .filter(length($"blob") > 0)
       .select($"doc_id", $"blob").as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) =>
-        val base = phashPieces(id, b)
         if (id % PhashVariantMod == 0) {
           val n = b.length
           val v1 = new Array[Byte](n)
@@ -311,11 +320,10 @@ object Multimodal {
             v2(i) = if (i < pfx) (b(i) + 16).toByte else b(i)
             i += 1
           }
-          Seq(base, phashPieces(id + PhashV1Offset, v1),
-            phashPieces(id + PhashV2Offset, v2))
-        } else Seq(base)
+          Seq((id, b), (id + PhashV1Offset, v1), (id + PhashV2Offset, v2))
+        } else Seq((id, b))
       })
-      .toDF()
+      .toDF("doc_id", "blob")
   }
 
   def qBlobPhash(s: SparkSession, dir: String): DataFrame = {
@@ -612,6 +620,13 @@ object Multimodal {
       else
         Catalog.appendPartitioned(s, pairs, pairsPath, Seq("batch_id"),
           Some(PhashPairsSchema))
+      // an all-unique batch appends no files — record its completion
+      // durably as its (empty) partition directory, so the replay
+      // guard and [[ensurePhashStream]]'s frontier detection can tell
+      // "ran, zero pairs" from "never ran" (without this the batch
+      // replays forever, and a replay AFTER later batches fold would
+      // mis-attribute their cross pairs to this batch)
+      if (!fsys.exists(partDir)) fsys.mkdirs(partDir)
     }
     updatePhashIndex(s, indexPath, sigs, batchId)
     n
@@ -624,6 +639,125 @@ object Multimodal {
     sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
       System.getProperty("java.io.tmpdir")) +
       s"/graft_phash_idx_${Ann.annCacheKey(dir, Seq("documents.parquet"))}"
+
+  /** Micro-batches the registered streamed-lifecycle corpus is split
+    * into (batch = doc_id mod this — deterministic, so the oracle
+    * reproduces both the assignment and each pair's ARRIVAL batch). */
+  private[graft] val PhashStreamBatches = 3
+
+  private def phashStreamPaths(dir: String): (String, String) = {
+    val key = Ann.annCacheKey(dir, Seq("documents.parquet"))
+    val root = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+      System.getProperty("java.io.tmpdir"))
+    (s"$root/graft_phash_sidx_$key", s"$root/graft_phash_pairs_$key")
+  }
+
+  /** Build (or heal) the registered STREAMED perceptual lifecycle for
+    * `dir`: a cold-start empty index, then the corpus through
+    * [[blobBatch]] in [[PhashStreamBatches]] deterministic
+    * micro-batches — exactly what [[graft.streaming.BlobStream]]
+    * does per delivered batch, so the registered query exercises the
+    * same code path the stream runs. Every half is replay-guarded;
+    * the warm path short-circuits on the fold markers + pairs
+    * partitions and touches nothing. Returns (indexPath,
+    * pairsPath). */
+  private[graft] def ensurePhashStream(s: SparkSession, dir: String): (String, String) = {
+    import graft.sources.Catalog
+    val (idxPath, pairsPath) = phashStreamPaths(dir)
+    val root = new org.apache.hadoop.fs.Path(idxPath)
+    val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val pairsRoot = new org.apache.hadoop.fs.Path(pairsPath)
+    val n = PhashStreamBatches
+    // per-batch durable completion: the fold marker (index half) and
+    // the pairs partition directory (pairs half — [[blobBatch]]
+    // mkdirs it even for a zero-pair batch)
+    val idxOk = Catalog.tableComplete(s, idxPath)
+    val pairsOk = Catalog.tableComplete(s, pairsPath)
+    val folds = (0 until n).map(b => idxOk &&
+      f.exists(new org.apache.hadoop.fs.Path(root, s"_phash_fold_$b")))
+    val pairsDone = (0 until n).map(b => pairsOk &&
+      f.exists(new org.apache.hadoop.fs.Path(pairsRoot, s"batch_id=$b")))
+    if (!(folds.forall(identity) && pairsDone.forall(identity))) {
+      import s.implicits._
+      // Resume is sound ONLY from a crash frontier: batches run in
+      // order and each writes pairs THEN folds, so the valid at-rest
+      // states are a fold prefix p with a pairs prefix q ∈ {p, p+1} —
+      // the replayed batch then probes exactly its as-of (pre-fold)
+      // index. Anything else (a lost middle partition, foreign
+      // leftovers) cannot be resumed without attributing later-folded
+      // batches' cross pairs to the replay, so wipe both halves and
+      // rebuild from the corpus (both paths are graft-keyed names
+      // under the index root — never a user table).
+      val p = folds.takeWhile(identity).size
+      val q = pairsDone.takeWhile(identity).size
+      val frontier = folds.drop(p).forall(!_) && pairsDone.drop(q).forall(!_) &&
+        (q == p || q == p + 1)
+      if (!frontier) {
+        Catalog.dropIfExists(s, idxPath)
+        Catalog.dropIfExists(s, pairsPath)
+      }
+      Spatial.healOwnedStore(s, idxPath)
+      if (!Catalog.tableComplete(s, idxPath))
+        buildPhashIndex(s, s.emptyDataset[BlobSig].toDF(), idxPath)
+      // one decode pass feeds every (re)played batch
+      val all = blobsWithVariants(s, dir).localCheckpoint()
+      val start = if (frontier) p else 0
+      (start until n).foreach { b =>
+        blobBatch(s, all.filter(pmod($"doc_id", lit(n)) === b),
+          idxPath, pairsPath, b.toLong)
+      }
+    }
+    (idxPath, pairsPath)
+  }
+
+  /** Per-batch near-dup telemetry over the STREAMED pairs store — the
+    * nightly-operations curve of the perceptual lifecycle (the
+    * [[graft.queries.Spatial.qAssocHistory]] discipline one modality
+    * over): per micro-batch, how many near-dup pairs ARRIVED (a pair
+    * lands with its later doc's batch) and how many were exact
+    * perceptual twins (Hamming 0 — the re-encode signature). A batch
+    * whose docs pair with nothing still reports a zero row. The
+    * query MAINTAINS the lifecycle it reads (cold-start build +
+    * [[blobBatch]] per batch, all replay-guarded); the DuckDB oracle
+    * recomputes the full corpus pair set brute-force and re-derives
+    * each pair's arrival batch, so the hash certifies the streamed
+    * store's CONTENT, not just its shape. */
+  def qBlobPhashBatches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, pairsPath) = ensurePhashStream(s, dir)
+    val g = s.range(PhashStreamBatches.toLong).select($"id".as("batch_id"))
+    readPhashPairs(s, pairsPath)
+      .groupBy($"batch_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"hamming" === 0, 1L).otherwise(0L)).as("n_h0"))
+      .join(g, Seq("batch_id"), "right")
+      .select($"batch_id", coalesce($"n_pairs", lit(0L)).as("n_pairs"),
+        coalesce($"n_h0", lit(0L)).as("n_h0"))
+      .orderBy($"batch_id")
+  }
+
+  /** Oracle twin of [[qBlobPhashBatches]]: the full
+    * [[qBlobPhashSql]] pair set as a CTE, each pair attributed to its
+    * arrival batch `GREATEST(d1 % n, d2 % n)` (the stream emits a
+    * pair when its LATER doc's batch probes the index — earlier docs
+    * are at rest in the stored half by then), left-joined against the
+    * batch range so an all-unique batch keeps its zero row. Block
+    * caps need no as-of-batch re-derivation here: the corpus' largest
+    * (piece, value) block is 8 ≪ the cap of 50, so prefix caps and
+    * the final corpus cap agree vacuously. */
+  val qBlobPhashBatchesSql: String =
+    s"""WITH pairs AS ($qBlobPhashSql),
+       |agg AS (
+       |  SELECT GREATEST(d1 % $PhashStreamBatches, d2 % $PhashStreamBatches) AS batch_id,
+       |    COUNT(*) AS n_pairs,
+       |    CAST(SUM(CASE WHEN hamming = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_h0
+       |  FROM pairs GROUP BY 1)
+       |SELECT g.batch_id, CAST(COALESCE(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(COALESCE(agg.n_h0, 0) AS BIGINT) AS n_h0
+       |FROM (SELECT CAST(range AS BIGINT) AS batch_id
+       |      FROM range($PhashStreamBatches)) g
+       |LEFT JOIN agg USING (batch_id)
+       |ORDER BY batch_id""".stripMargin
 
   /** [[qBlobPhash]] answered FROM THE STORED INDEX — identical
     * contract and oracle, but signatures come from the at-rest piece
@@ -667,7 +801,8 @@ object Multimodal {
     "q_blob_framesample" -> (qBlobFrameSample _),
     "q_blob_dedup" -> (qBlobDedup _),
     "q_blob_phash" -> (qBlobPhash _),
-    "q_blob_phash_stored" -> (qBlobPhashStored _))
+    "q_blob_phash_stored" -> (qBlobPhashStored _),
+    "q_blob_phash_batches" -> (qBlobPhashBatches _))
 
   val oracles: Map[String, String] = Map(
     "q_blob_meta" -> qBlobMetaSql,
@@ -677,5 +812,6 @@ object Multimodal {
     "q_blob_phash" -> qBlobPhashSql,
     // identical contract to the in-plan perceptual scan: the stored
     // index must reproduce it bit-for-bit
-    "q_blob_phash_stored" -> qBlobPhashSql)
+    "q_blob_phash_stored" -> qBlobPhashSql,
+    "q_blob_phash_batches" -> qBlobPhashBatchesSql)
 }

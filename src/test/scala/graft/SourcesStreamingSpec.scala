@@ -1360,4 +1360,50 @@ class BlobStreamSpec extends AnyFunSuite {
     assert(readPhashIndex(spark, indexPath).count() == nIdx,
       "the fold half must replay as a no-op")
   }
+
+  test("q_blob_phash_batches: arrival telemetry equals brute-force attribution; warm path touches nothing; lost partition heals") {
+    import spark.implicits._
+    val n = PhashStreamBatches.toLong
+    def run() = qBlobPhashBatches(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run()
+    // every micro-batch reports a row, pairs or not
+    assert(got.map(_._1) == (0L until n))
+    // brute force: the corpus pair set, each pair attributed to its
+    // later doc's batch (the stream emits a pair when the later
+    // batch probes the at-rest index)
+    val pairs = qBlobPhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byBatch = pairs.groupBy { case (d1, d2, _) => math.max(d1 % n, d2 % n) }
+    val want = (0L until n).map { b =>
+      val ps = byBatch.getOrElse(b, Array.empty[(Long, Long, Int)])
+      (b, ps.length.toLong, ps.count(_._3 == 0).toLong)
+    }
+    assert(got == want)
+    assert(want.map(_._2).sum > 0, "the planted corpus must yield pairs")
+
+    // warm path: a second read short-circuits on the fold markers +
+    // pairs partitions and rewrites NOTHING in either store
+    val (idxPath, pairsPath) = ensurePhashStream(spark, sf)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def newest(p: String): Long = {
+      val root = new org.apache.hadoop.fs.Path(p)
+      val it = root.getFileSystem(hconf).listFiles(root, true)
+      var m = 0L
+      while (it.hasNext) m = math.max(m, it.next().getModificationTime)
+      m
+    }
+    val stamps = (newest(idxPath), newest(pairsPath))
+    assert(run() == got)
+    assert((newest(idxPath), newest(pairsPath)) == stamps,
+      "warm path must not rewrite the stores")
+
+    // crash window: a lost pairs partition (fold marker intact) heals
+    // on the next read — earlier batches replay as no-ops, the lost
+    // batch re-probes the already-folded index (dx != dy excludes the
+    // self-pairs) and restores exactly its rows
+    val lost = new org.apache.hadoop.fs.Path(pairsPath, s"batch_id=${n - 1}")
+    assert(lost.getFileSystem(hconf).delete(lost, true))
+    assert(run() == got)
+  }
 }
