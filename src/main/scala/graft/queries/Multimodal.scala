@@ -699,13 +699,34 @@ object Multimodal {
       Spatial.healOwnedStore(s, idxPath)
       if (!Catalog.tableComplete(s, idxPath))
         buildPhashIndex(s, s.emptyDataset[BlobSig].toDF(), idxPath)
-      // one decode pass feeds every (re)played batch
-      val all = blobsWithVariants(s, dir).localCheckpoint()
+      // each (re)played batch re-derives its slice of the corpus —
+      // three pruned passes at build time beat pinning every payload
+      // byte in block storage for the whole loop (the decode into
+      // 4-int signatures happens per batch inside blobBatch either
+      // way, and per-batch cost must track the batch, not the corpus)
       val start = if (frontier) p else 0
       (start until n).foreach { b =>
-        blobBatch(s, all.filter(pmod($"doc_id", lit(n)) === b),
+        blobBatch(s,
+          blobsWithVariants(s, dir).filter(pmod($"doc_id", lit(n)) === b),
           idxPath, pairsPath, b.toLong)
       }
+      // The oracle attributes each pair with FULL-corpus block caps;
+      // the stream capped each probe at corpus-AS-OF-batch size. The
+      // two agree only while no block is capped anywhere (prefix
+      // sizes are monotone ≤ corpus size), so guard the equivalence
+      // at build time: the index holds every piece row uncapped, so
+      // its largest (pi, pv) block IS the corpus-wide maximum.
+      val maxBlk = readPhashIndex(s, idxPath)
+        .groupBy($"pi", $"pv").agg(count(lit(1)).as("c"))
+        .agg(max($"c")).collect()(0)
+      if (!maxBlk.isNullAt(0) && maxBlk.getLong(0) > PhashBlockCap)
+        throw new IllegalStateException(
+          s"perceptual corpus at $dir has a (pi, pv) block of " +
+            s"${maxBlk.getLong(0)} > PhashBlockCap $PhashBlockCap: " +
+            "as-of-batch caps no longer equal the full-corpus caps, " +
+            "so the streamed pairs store would diverge from the " +
+            "brute-force oracle attribution — raise the cap or " +
+            "re-batch the corpus")
     }
     (idxPath, pairsPath)
   }

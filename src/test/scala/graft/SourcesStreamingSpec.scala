@@ -1398,12 +1398,38 @@ class BlobStreamSpec extends AnyFunSuite {
     assert((newest(idxPath), newest(pairsPath)) == stamps,
       "warm path must not rewrite the stores")
 
-    // crash window: a lost pairs partition (fold marker intact) heals
-    // on the next read — earlier batches replay as no-ops, the lost
-    // batch re-probes the already-folded index (dx != dy excludes the
-    // self-pairs) and restores exactly its rows
+    // crash frontier q == p + 1 (died between the pairs append and
+    // the fold): the last fold marker is lost, its pairs partition
+    // intact — resume starts AT the frontier batch, the pairs half
+    // skips on its partition guard (the store is never rewritten) and
+    // the fold replays as a no-op through the index-wide anti-join
+    val fsys = new org.apache.hadoop.fs.Path(idxPath).getFileSystem(hconf)
+    val lastFold = new org.apache.hadoop.fs.Path(idxPath, s"_phash_fold_${n - 1}")
+    assert(fsys.delete(lastFold, false))
+    val idxCount = readPhashIndex(spark, idxPath).count()
+    val pairsStamp = newest(pairsPath)
+    assert(run() == got)
+    assert(fsys.exists(lastFold), "the fold marker must be restored")
+    assert(readPhashIndex(spark, idxPath).count() == idxCount,
+      "the fold replay must append nothing")
+    assert(newest(pairsPath) == pairsStamp,
+      "the pairs half must skip on its partition guard")
+
+    // crash frontier q == p (died before the last pairs append): both
+    // the fold marker and the pairs partition are gone — resume
+    // re-runs the frontier batch; the re-probe against the index (the
+    // dx != dy guard excludes the folded self-pairs, distinct folds
+    // the within/cross double-sighting) restores exactly its rows
     val lost = new org.apache.hadoop.fs.Path(pairsPath, s"batch_id=${n - 1}")
+    assert(fsys.delete(lastFold, false))
     assert(lost.getFileSystem(hconf).delete(lost, true))
+    assert(run() == got)
+
+    // non-frontier damage (a lost MIDDLE partition while later folds
+    // exist) cannot be resumed without mis-attributing later batches'
+    // cross pairs — the lifecycle wipes both halves and rebuilds
+    val middle = new org.apache.hadoop.fs.Path(pairsPath, "batch_id=0")
+    assert(middle.getFileSystem(hconf).delete(middle, true))
     assert(run() == got)
   }
 }
