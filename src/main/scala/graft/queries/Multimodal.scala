@@ -448,7 +448,7 @@ object Multimodal {
     * image: the (pi, pv) blocking key, the full signature carried
     * alongside (verification never joins back), and the partition
     * bucket. */
-  private def phashPieceRows(sigs: DataFrame): DataFrame = {
+  private[graft] def phashPieceRows(sigs: DataFrame): DataFrame = {
     val p = sigs.selectExpr("doc_id", "p0", "p1", "p2", "p3",
       "stack(4, 0, p0, 1, p1, 2, p2, 3, p3) AS (pi, pv)")
     p.withColumn("bk", phashBk(p("pi"), p("pv")))
@@ -457,13 +457,84 @@ object Multimodal {
   def readPhashIndex(s: SparkSession, path: String): DataFrame =
     s.read.schema(PhashIndexSchema).parquet(path)
 
+  // --- doc_id membership sidecar -------------------------------
+  // The fold's first-write-wins anti-join needs "is this doc_id
+  // already in the corpus" — asking the PIECE index that question
+  // costs a corpus-wide doc_id distinct SHUFFLE per nightly batch
+  // (4 rows/doc × 8 columns scanned, then deduplicated; the r13
+  // verdict's one remaining O(corpus)-per-batch step). The sidecar
+  // keeps exactly ONE (doc_id, batch_id) row per corpus doc,
+  // hash-partitioned on `mb = doc_id mod M`, so membership is a
+  // plain anti-join against an already-distinct 16-byte-per-doc
+  // table with NO shuffle on the stored side beyond the join's own,
+  // pruned to the batch's mb partitions (an id-clustered nightly
+  // batch — fresh ids are sequential — touches few partitions; M
+  // scales with the corpus so each partition stays a few GB). The
+  // modulus (not a hash) keeps the partition computable from the
+  // doc_id alone, the ObjectIndex director-index rule.
+
+  /** Hash-partition count of the membership sidecar (`mb = doc_id
+    * mod this`). */
+  val PhashMemberBuckets = 64
+
+  /** Generation recorded for docs present at [[buildPhashIndex]] /
+    * sidecar-rebuild time (streamed folds record their batch id). */
+  val PhashMemberBaseGen = -1L
+
+  private[graft] def phashMembersPath(indexPath: String): String =
+    indexPath + "_members"
+
+  private[graft] val PhashMembersSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("batch_id", LongType),
+    StructField("mb", LongType)))
+
+  private def phashMb(docId: Column): Column =
+    pmod(docId, lit(PhashMemberBuckets.toLong))
+
+  def readPhashMembers(s: SparkSession, indexPath: String): DataFrame =
+    s.read.schema(PhashMembersSchema).parquet(phashMembersPath(indexPath))
+
+  /** Heal-or-rebuild the membership sidecar for a COMPLETE index at
+    * `indexPath`: crashed sidecar appends roll forward/back, and an
+    * absent or incomplete sidecar is re-derived from the index (the
+    * one-time recovery scan; the nightly path never takes it). The
+    * sidecar is a derived-rebuildable cache of the index's doc_id
+    * set, so this can never invent or lose membership. */
+  private[graft] def ensurePhashMembers(s: SparkSession, indexPath: String): Unit = {
+    import s.implicits._
+    import graft.sources.Catalog
+    val mp = phashMembersPath(indexPath)
+    Catalog.recoverAppends(s, mp)
+    if (!Catalog.tableComplete(s, mp)) {
+      Catalog.dropIfExists(s, mp)
+      val m = readPhashIndex(s, indexPath).select($"doc_id").distinct()
+        .withColumn("batch_id", lit(PhashMemberBaseGen))
+        .withColumn("mb", phashMb($"doc_id"))
+      Catalog.createPartitionedIfAbsent(s, m, mp, Seq("mb"))
+    }
+  }
+
+  /** Drop the stored piece index AND its membership sidecar — the
+    * two are one lifecycle; dropping the index alone would leave a
+    * sidecar claiming membership for docs the rebuilt index no
+    * longer holds (their piece rows would be silently dropped at the
+    * first fold). */
+  private[graft] def dropPhashIndex(s: SparkSession, indexPath: String): Unit = {
+    graft.sources.Catalog.dropIfExists(s, indexPath)
+    graft.sources.Catalog.dropIfExists(s, phashMembersPath(indexPath))
+    ()
+  }
+
   /** Create the stored piece index from a signature frame (no-op if a
     * complete index already exists — the create-if-absent builder
-    * discipline). */
+    * discipline). The membership sidecar is (re)built alongside. */
   def buildPhashIndex(s: SparkSession, sigs: DataFrame,
-    path: String): Boolean =
-    graft.sources.Catalog.createPartitionedIfAbsent(s,
+    path: String): Boolean = {
+    val created = graft.sources.Catalog.createPartitionedIfAbsent(s,
       phashPieceRows(sigs), path, Seq("bk"))
+    ensurePhashMembers(s, path)
+    created
+  }
 
   /** Near-dup pairs INVOLVING a new batch, against the stored index:
     * the batch's signatures probe only the bucket partitions its own
@@ -523,36 +594,98 @@ object Multimodal {
       .distinct()
   }
 
+  /** The fold's membership probe: which of the batch's doc_ids are
+    * NOT yet in the corpus (first-write-wins — a re-ingested doc_id
+    * is dropped no matter which buckets its old or new signature
+    * hashes into, so re-encoded content under the SAME id folds
+    * deterministically; the r13 fix). Two pruned anti-joins replace
+    * the r13 corpus-wide doc_id distinct:
+    *
+    *  - the membership sidecar, pruned to the batch's `mb`
+    *    partitions and to rows of OTHER batches — covers every doc
+    *    folded by a previous batch or present at build. (Rows this
+    *    batch id wrote itself are a crashed replay's own residue,
+    *    handled next.)
+    *  - the piece index, pruned to the batch's `bk` buckets — covers
+    *    exactly the crash window where a replayed fold already
+    *    committed its index append (those rows sit in the CURRENT
+    *    signatures' buckets by determinism, so the pruned slice is
+    *    guaranteed to contain them; cross-batch re-encodes are the
+    *    sidecar's job, so this probe never needs the old buckets).
+    *
+    * Per-batch cost tracks the batch: both scans carry partition
+    * filters (spec-asserted), the sidecar side is one pre-distinct
+    * 16-byte row per doc in the touched partitions, and no corpus-
+    * wide shuffle happens anywhere. Returns (doc_id, mb) rows,
+    * pinned (two consumers: the sidecar append and the index
+    * append's semi-join). */
+  private[graft] def phashFreshDocsPlan(s: SparkSession, path: String,
+    bp: DataFrame, batchId: Long): DataFrame = {
+    import s.implicits._
+    val batchDocs = bp.select($"doc_id").distinct()
+      .withColumn("mb", phashMb($"doc_id"))
+    val mbs = batchDocs.select($"mb").distinct().collect().map(_.getLong(0))
+    val members = readPhashMembers(s, path)
+      .filter($"mb".isin(mbs.toSeq: _*))
+      .filter($"batch_id" =!= lit(batchId))
+      .select($"doc_id")
+    val bks = bp.select($"bk").distinct().collect().map(_.getLong(0))
+    val idxDocs = readPhashIndex(s, path)
+      .filter($"bk".isin(bks.toSeq: _*)).select($"doc_id")
+    batchDocs
+      .join(members, Seq("doc_id"), "left_anti")
+      .join(idxDocs, Seq("doc_id"), "left_anti")
+  }
+
+  private[graft] def phashFreshDocs(s: SparkSession, path: String,
+    bp: DataFrame, batchId: Long): DataFrame =
+    phashFreshDocsPlan(s, path, bp, batchId).localCheckpoint()
+
   /** Fold a batch's signatures into the stored index — append-only,
-    * first-write-wins: a re-ingested doc_id is dropped by an
-    * INDEX-WIDE doc_id anti-join, so re-encoded content under the
-    * SAME id never duplicates its piece rows AND the outcome is
-    * deterministic (r13 review: the previous bucket-pruned anti-join
-    * looked for the doc's old rows in the NEW signature's buckets —
-    * for changed bytes they live in the OLD signature's buckets, so
-    * the doc was appended or dropped depending on a hash
-    * coincidence). The membership scan is column-pruned to the
-    * doc_id column; it is also what makes a crash between append and
-    * marker replay-safe — the appended ids are in the index, so the
-    * replay appends nothing. Replay-guarded by a caller-supplied
-    * batch id marker, the [[graft.queries.Spatial]]
-    * nightly-lifecycle discipline; crashed folds heal on entry. */
+    * first-write-wins via [[phashFreshDocs]] (batch-bounded
+    * membership; the r13 corpus-wide distinct is gone). Append order
+    * is sidecar THEN index THEN marker, and every crash window
+    * replays clean: a crash inside either staged append heals on
+    * entry; after the sidecar append, the replay ignores this batch
+    * id's own sidecar rows (and skips re-appending them); after the
+    * index append, the bucket-pruned index anti-join finds the
+    * committed rows and the replay appends nothing. Replay-guarded
+    * by a caller-supplied batch id marker, the
+    * [[graft.queries.Spatial]] nightly-lifecycle discipline. */
   def updatePhashIndex(s: SparkSession, path: String,
     batchSigs: DataFrame, batchId: Long): Unit = {
     import s.implicits._
-    graft.sources.Catalog.recoverAppends(s, path)
-    require(graft.sources.Catalog.tableComplete(s, path),
+    import graft.sources.Catalog
+    Catalog.recoverAppends(s, path)
+    require(Catalog.tableComplete(s, path),
       s"$path is not a complete phash index — build it first")
     val root = new org.apache.hadoop.fs.Path(path)
     val f = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(root, s"_phash_fold_$batchId")
     if (f.exists(marker)) return
+    ensurePhashMembers(s, path)
+    val mp = phashMembersPath(path)
     val bp = phashPieceRows(batchSigs).localCheckpoint()
     if (!bp.isEmpty) {
-      val storedIds = readPhashIndex(s, path).select($"doc_id").distinct()
-      val fresh = bp.join(storedIds, Seq("doc_id"), "left_anti")
-      graft.sources.Catalog.appendPartitioned(s, fresh, path, Seq("bk"),
-        tableSchema = Some(PhashIndexSchema))
+      val freshDocs = phashFreshDocs(s, path, bp, batchId)
+      if (!freshDocs.isEmpty) {
+        // skip sidecar rows a crashed replay of THIS fold already
+        // committed (they are excluded from the probe above, so they
+        // would re-append forever otherwise)
+        val own = readPhashMembers(s, path)
+          .filter($"mb".isin(
+            freshDocs.select($"mb").distinct().collect().map(_.getLong(0)).toSeq: _*))
+          .filter($"batch_id" === lit(batchId)).select($"doc_id")
+        val newMembers = freshDocs.join(own, Seq("doc_id"), "left_anti")
+          .withColumn("batch_id", lit(batchId))
+          .select($"doc_id", $"batch_id", $"mb")
+        if (!newMembers.isEmpty)
+          Catalog.appendPartitioned(s, newMembers, mp, Seq("mb"),
+            tableSchema = Some(PhashMembersSchema))
+        val fresh = bp.join(freshDocs.select($"doc_id"), Seq("doc_id"), "left_semi")
+        Catalog.appendPartitioned(s, fresh, path, Seq("bk"),
+          tableSchema = Some(PhashIndexSchema))
+      }
     }
     f.create(marker, true).close()
   }
@@ -693,7 +826,7 @@ object Multimodal {
       val frontier = folds.drop(p).forall(!_) && pairsDone.drop(q).forall(!_) &&
         (q == p || q == p + 1)
       if (!frontier) {
-        Catalog.dropIfExists(s, idxPath)
+        dropPhashIndex(s, idxPath)
         Catalog.dropIfExists(s, pairsPath)
       }
       Spatial.healOwnedStore(s, idxPath)
@@ -719,7 +852,14 @@ object Multimodal {
       val maxBlk = readPhashIndex(s, idxPath)
         .groupBy($"pi", $"pv").agg(count(lit(1)).as("c"))
         .agg(max($"c")).collect()(0)
-      if (!maxBlk.isNullAt(0) && maxBlk.getLong(0) > PhashBlockCap)
+      if (!maxBlk.isNullAt(0) && maxBlk.getLong(0) > PhashBlockCap) {
+        // the stores are complete-on-disk at this point, so a later
+        // call would take the warm short-circuit above and silently
+        // serve the diverged pairs the guard exists to reject — drop
+        // both halves BEFORE throwing so every subsequent call
+        // rebuilds and re-faces this guard (advice r13)
+        dropPhashIndex(s, idxPath)
+        Catalog.dropIfExists(s, pairsPath)
         throw new IllegalStateException(
           s"perceptual corpus at $dir has a (pi, pv) block of " +
             s"${maxBlk.getLong(0)} > PhashBlockCap $PhashBlockCap: " +
@@ -727,6 +867,7 @@ object Multimodal {
             "so the streamed pairs store would diverge from the " +
             "brute-force oracle attribution — raise the cap or " +
             "re-batch the corpus")
+      }
     }
     (idxPath, pairsPath)
   }
@@ -796,7 +937,7 @@ object Multimodal {
     // so without healing the read would silently miss piece rows
     graft.sources.Catalog.recoverAppends(s, path)
     if (!graft.sources.Catalog.tableComplete(s, path)) {
-      graft.sources.Catalog.dropIfExists(s, path)
+      dropPhashIndex(s, path)
       buildPhashIndex(s, phashSigs(s, dir), path)
     }
     val blocks = Dedup.capBlocks(readPhashIndex(s, path),

@@ -244,8 +244,12 @@ object Spatial {
       // discipline): great-circle separation ≥ |Δdecl|, so no
       // in-radius pair can fail it — the ±1-zone candidate window
       // spans 3·radius of declination, so ~2/3 of candidates skip
-      // the 6-trig haversine entirely under codegen short-circuit
-      .filter(abs($"decl1" - $"decl2") <= radius)
+      // the 6-trig haversine entirely under codegen short-circuit.
+      // The 5e-7 slack makes the prune lossless for OFF-GRID radii
+      // too (advice r13): the surviving filter is round(dist,6) <
+      // radius, and rounding moves dist by at most 5e-7, so every
+      // pair it keeps has |Δdecl| ≤ dist < radius + 5e-7.
+      .filter(abs($"decl1" - $"decl2") <= radius + 5e-7)
       .withColumn("dist_r6", round(distDeg($"ra1", $"decl1", $"ra2", $"decl2"), 6))
       .filter($"dist_r6" < radius)
   }
@@ -779,8 +783,11 @@ object Spatial {
       // codegen short-circuits the 6-trig haversine for the bulk of
       // the cell-local candidates (a 5° cell probing a 1° radius is
       // ~80% prunable by declination alone — measured 29 → 6 s on the
-      // delta-broadcast branch at sf0.1)
-      .filter(abs(col("decl1") - col("decl2")) <= radius)
+      // delta-broadcast branch at sf0.1). The 5e-7 slack covers
+      // off-grid caller radii (advice r13): round(dist,6) < radius
+      // keeps only pairs with dist < radius + 5e-7, so the prune
+      // stays lossless for ANY radius, not just 1e-6 multiples.
+      .filter(abs(col("decl1") - col("decl2")) <= radius + 5e-7)
       .withColumn("dist_r6",
         round(distDeg(col("ra1"), col("decl1"), col("ra2"), col("decl2")), 6))
       .filter(col("dist_r6") < radius)
@@ -1091,7 +1098,13 @@ object Spatial {
     * `table` in this session. */
   private def warehouseLocation(s: SparkSession,
     table: String): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"), table)
+    // Spark lowercases managed-table identifiers when it resolves the
+    // warehouse directory, so a mixed-case caller name must be
+    // lowercased here too or every on-disk check (ownership marker,
+    // completeness, orphan reclaim) silently misses the real location
+    // (advice r13).
+    new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
 
   /** Whether the base halo table can be read in THIS session: a live
     * catalog registration, or (fresh JVM — the in-memory catalog has

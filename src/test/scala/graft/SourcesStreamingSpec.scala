@@ -197,6 +197,96 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((98L, 99L, 0)))
   }
 
+  test("phash fold membership probe is batch-bounded: partition filters on the sidecar AND index scans") {
+    import org.apache.spark.sql.functions._
+    import queries.Multimodal._
+    val path = Files.createTempDirectory("graft_phash_mb").toString + "/idx"
+    val sigs = phashSigs(spark, sf).localCheckpoint()
+    assert(buildPhashIndex(spark, sigs, path))
+    // the sidecar mirrors the index doc set exactly, one row per doc
+    val idxDocs = readPhashIndex(spark, path).select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    val mem = readPhashMembers(spark, path).collect()
+    assert(mem.map(_.getAs[Long]("doc_id")).toSet == idxDocs)
+    assert(mem.length == idxDocs.size, "sidecar must hold ONE row per doc")
+    assert(mem.forall(r =>
+      r.getAs[Long]("mb") == java.lang.Math.floorMod(
+        r.getAs[Long]("doc_id"), PhashMemberBuckets.toLong)))
+    // an id-clustered batch (all doc_id ≡ 5 mod 64) must prune the
+    // membership scan to its one mb partition and the index scan to
+    // its signatures' bk buckets — per-batch I/O bounded by the batch
+    import spark.implicits._
+    val batch = Seq((64L * 100000 + 5, 1, 2, 3, 4), (64L * 100001 + 5, 5, 6, 7, 8))
+      .toDF("doc_id", "p0", "p1", "p2", "p3")
+    val bp = phashPieceRows(batch)
+    // AQE wraps the executed plan; assert on a non-adaptive plan (the
+    // spatial pruning spec's approach)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val probe = phashFreshDocsPlan(spark, path, bp, 9L)
+      assert(probe.collect().map(_.getLong(0)).toSet == batch.collect()
+        .map(_.getLong(0)).toSet, "both batch docs are fresh")
+      val scans = probe.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      val memScan = scans.filter(_.toString.contains("_members"))
+      val idxScan = scans.filterNot(_.toString.contains("_members"))
+      assert(memScan.nonEmpty && memScan.forall(_.partitionFilters.nonEmpty),
+        "membership scan must carry a partition filter on mb")
+      assert(idxScan.nonEmpty && idxScan.forall(_.partitionFilters.nonEmpty),
+        "index scan must carry a partition filter on bk")
+      // the mb prune actually drops files: one of 64 partitions touched
+      val memFiles = memScan.map(_.metrics("numFiles").value).sum
+      val totalMemFiles = new java.io.File(phashMembersPath(path)).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("mb="))
+        .map(_.listFiles().count(_.getName.endsWith(".parquet")).toLong).sum
+      assert(memFiles < totalMemFiles,
+        s"membership scan read $memFiles of $totalMemFiles files — no pruning")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("phash fold crash windows replay clean (marker lost; sidecar committed without index)") {
+    import org.apache.spark.sql.functions._
+    import queries.Multimodal._
+    val path = Files.createTempDirectory("graft_phash_crash").toString + "/idx"
+    val sigs = phashSigs(spark, sf).localCheckpoint()
+    val batchA = sigs.filter("doc_id % 2 = 0")
+    val batchB = sigs.filter("doc_id % 2 = 1").localCheckpoint()
+    assert(buildPhashIndex(spark, batchA, path))
+    updatePhashIndex(spark, path, batchB, 1L)
+    val nIdx = readPhashIndex(spark, path).count()
+    val nMem = readPhashMembers(spark, path).count()
+    // window 1: fold fully committed but the MARKER write was lost —
+    // the replay must find every row via the pruned anti-joins and
+    // append nothing to either store
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fsys = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.delete(new org.apache.hadoop.fs.Path(root, "_phash_fold_1"), false)
+    updatePhashIndex(spark, path, batchB, 1L)
+    assert(readPhashIndex(spark, path).count() == nIdx, "index grew on replay")
+    assert(readPhashMembers(spark, path).count() == nMem, "sidecar grew on replay")
+    // window 2: the SIDECAR append committed but the index append did
+    // not (crash between the two) — the replay must ignore this batch
+    // id's own sidecar rows, append the index rows, and not duplicate
+    // the sidecar rows
+    val newDocs = Seq((5000001L, 11, 22, 33, 44), (5000002L, 55, 66, 77, 88))
+    import spark.implicits._
+    val cSigs = newDocs.toDF("doc_id", "p0", "p1", "p2", "p3")
+    val cMembers = cSigs.select(col("doc_id"), lit(3L).as("batch_id"),
+      pmod(col("doc_id"), lit(PhashMemberBuckets.toLong)).as("mb"))
+    Catalog.appendPartitioned(spark, cMembers, phashMembersPath(path),
+      Seq("mb"), Some(PhashMembersSchema))
+    updatePhashIndex(spark, path, cSigs, 3L)
+    val idxC = readPhashIndex(spark, path)
+      .filter(col("doc_id").isin(5000001L, 5000002L)).collect()
+    assert(idxC.length == 8, s"expected 4 piece rows per new doc, got ${idxC.length}")
+    val memC = readPhashMembers(spark, path)
+      .filter(col("doc_id").isin(5000001L, 5000002L)).collect()
+    assert(memC.length == 2 && memC.forall(_.getAs[Long]("batch_id") == 3L),
+      "sidecar rows duplicated or mis-batched on crash-window replay")
+  }
+
   test("q_blob_phash block cap drops monochrome mega-blocks instead of going quadratic") {
     import spark.implicits._
     import queries.Multimodal._
