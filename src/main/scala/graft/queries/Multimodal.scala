@@ -594,6 +594,67 @@ object Multimodal {
       .distinct()
   }
 
+  /** Compact the perceptual lifecycle's accreting stores — every
+    * nightly fold appends one file-set per batch, so after N batches
+    * a bucket scan costs N tasks ([[graft.streaming.DocStream
+    * .compactCorpus]]: at scale a 10,000-file partition costs a task
+    * per file on every scan). Rewrites the piece index per `bk`
+    * bucket, the membership sidecar per `mb` partition, and (when
+    * given) the streamed pairs store per `batch_id` partition, each
+    * to one file per partition.
+    *
+    * Retention note: the pairs store KEEPS its `batch_id`
+    * partitioning — the partition key IS the arrival-batch telemetry
+    * [[qBlobPhashBatches]] reports, and the empty partition
+    * directories are the durable zero-pair completion markers the
+    * frontier-resume logic reads, so folding batches together would
+    * destroy both. Compaction only collapses the files WITHIN each
+    * batch; a deployment that outgrows per-batch retention ages out
+    * whole partitions instead (drop `batch_id < horizon` dirs).
+    *
+    * Discipline (the [[graft.streaming.DocStream.compactCorpus]] /
+    * ObjectIndex.compactIndex contract): REFUSES while a crashed
+    * append is pending on any store — rolling it forward or back is
+    * a recovery decision ([[graft.sources.Catalog.recoverAppends]])
+    * that must happen before a rewrite touches the files it would
+    * recover. Fold markers and pairs partition dirs survive (dynamic
+    * partition overwrite rewrites only data partitions), so replay
+    * guards, probes, and future folds are unaffected — spec-proven.
+    */
+  def compactPhashIndex(s: SparkSession, indexPath: String,
+    pairsPath: Option[String] = None, parallelism: Int = 16): Unit = {
+    import graft.sources.Catalog
+    val stores = Seq(indexPath -> "bk", phashMembersPath(indexPath) -> "mb") ++
+      pairsPath.map(_ -> "batch_id")
+    for ((path, _) <- stores) {
+      require(Catalog.tableComplete(s, path),
+        s"$path is not a complete store — build it first")
+      require(!Catalog.appendPending(s, path),
+        s"$path has unresolved crashed appends — recoverAppends first")
+    }
+    for ((path, partCol) <- stores)
+      // a grow-from-empty store can be legitimately file-less (only
+      // partition dirs / _SUCCESS); nothing to compact there, and a
+      // schema-less read of a file-less root would throw
+      if (hasDataFiles(s, path))
+        Catalog.compactPartitions(s, path, partCol, parallelism)
+  }
+
+  private def hasDataFiles(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) return false
+    val it = f.listFiles(p, true)
+    var found = false
+    while (!found && it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      found = st.isFile && name.endsWith(".parquet") &&
+        !name.startsWith("_") && !name.startsWith(".")
+    }
+    found
+  }
+
   /** The fold's membership probe: which of the batch's doc_ids are
     * NOT yet in the corpus (first-write-wins — a re-ingested doc_id
     * is dropped no matter which buckets its old or new signature

@@ -287,6 +287,74 @@ class MultimodalSpec extends AnyFunSuite {
       "sidecar rows duplicated or mis-batched on crash-window replay")
   }
 
+  test("compactPhashIndex: one file per partition, probe/pairs parity across the rewrite, lifecycle continues") {
+    import org.apache.spark.sql.functions._
+    import queries.Multimodal._
+    val root = Files.createTempDirectory("graft_phash_cpt").toString
+    val path = s"$root/idx"
+    val pairs = s"$root/pairs"
+    val sigs = phashSigs(spark, sf).localCheckpoint()
+    // cold-start empty index, then three streamed batches — each fold
+    // appends its own file-set, accreting multiple files per bucket
+    import spark.implicits._
+    assert(buildPhashIndex(spark, spark.emptyDataset[BlobSig].toDF(), path))
+    val blobs = blobsWithVariants(spark, sf).localCheckpoint()
+    (0 until 3).foreach { b =>
+      blobBatch(spark, blobs.filter(pmod($"doc_id", lit(3)) === b),
+        path, pairs, b.toLong)
+    }
+    def filesPer(store: String, pfx: String): Map[String, Int] =
+      new java.io.File(store).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith(pfx))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    assert(filesPer(path, "bk=").values.exists(_ > 1),
+      "fixture should accrete multi-file buckets before compaction")
+    val idxBefore = readPhashIndex(spark, path).collect().map(_.toSeq).toSet
+    val memBefore = readPhashMembers(spark, path).collect().map(_.toSeq).toSet
+    val pairsBefore = readPhashPairs(spark, pairs).collect().map(_.toSeq).toSet
+    val emptyPartsBefore = filesPer(pairs, "batch_id=").filter(_._2 == 0).keySet
+    val probeBefore = phashNewBlobs(spark, path,
+      sigs.filter("doc_id % 2 = 1")).collect().map(_.toSeq).toSet
+    // refuse while a crashed append is pending
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(path, "_tmp_append_dead")
+    fsys.mkdirs(staged)
+    intercept[IllegalArgumentException] {
+      compactPhashIndex(spark, path, Some(pairs))
+    }
+    fsys.delete(staged, true)
+    compactPhashIndex(spark, path, Some(pairs))
+    // one file per non-empty partition, in all three stores
+    for ((store, pfx) <- Seq(path -> "bk=", phashMembersPath(path) -> "mb=",
+      pairs -> "batch_id=")) {
+      val bad = filesPer(store, pfx).filter(_._2 > 1)
+      assert(bad.isEmpty, s"$store still multi-file: $bad")
+    }
+    // content unchanged; zero-pair completion dirs survive
+    assert(readPhashIndex(spark, path).collect().map(_.toSeq).toSet == idxBefore)
+    assert(readPhashMembers(spark, path).collect().map(_.toSeq).toSet == memBefore)
+    assert(readPhashPairs(spark, pairs).collect().map(_.toSeq).toSet == pairsBefore)
+    assert(emptyPartsBefore.forall(d => new java.io.File(s"$pairs/$d").isDirectory),
+      "compaction destroyed a zero-pair batch's completion dir")
+    // fold markers survive → replaying an old batch is still a no-op
+    val nIdx = readPhashIndex(spark, path).count()
+    blobBatch(spark, blobs.filter(pmod($"doc_id", lit(3)) === 0), path, pairs, 0L)
+    assert(readPhashIndex(spark, path).count() == nIdx,
+      "compaction lost a fold marker: replayed batch re-appended")
+    // probe over the compacted index equals the uncompacted answer
+    val probeAfter = phashNewBlobs(spark, path,
+      sigs.filter("doc_id % 2 = 1")).collect().map(_.toSeq).toSet
+    assert(probeAfter.nonEmpty && probeAfter == probeBefore,
+      "stored self-match diverged across compaction")
+    // and a genuinely NEW batch still probes and folds
+    val newSigs = Seq((7000001L, 1, 2, 3, 4)).toDF("doc_id", "p0", "p1", "p2", "p3")
+    updatePhashIndex(spark, path, newSigs, 9L)
+    assert(readPhashIndex(spark, path)
+      .filter($"doc_id" === 7000001L).count() == 4)
+  }
+
   test("q_blob_phash block cap drops monochrome mega-blocks instead of going quadratic") {
     import spark.implicits._
     import queries.Multimodal._
