@@ -164,7 +164,12 @@ object Bench {
     // path is one partitioned-store scan + a 3-group aggregate;
     // regresses if the read stops pruning to the pairs store (first
     // sample builds the streamed lifecycle)
-    "q_blob_phash_batches")
+    "q_blob_phash_batches",
+    // cross-modal dup telemetry: one decode pass to signatures, two
+    // capped blockings (pieces + md5-caption), caption strings move
+    // only for the surviving pairs — regresses if either graph goes
+    // all-pairs
+    "q_modal_mismatch")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

@@ -326,11 +326,14 @@ object Multimodal {
       .toDF("doc_id", "blob")
   }
 
-  def qBlobPhash(s: SparkSession, dir: String): DataFrame = {
+  /** The in-plan perceptual pair graph of a PINNED signature frame:
+    * capped (piece, value) blocking, candidate equi-join, exact
+    * Hamming verify — shared by [[qBlobPhash]] and the cross-modal
+    * telemetry [[qModalMismatch]]. Caller pins `sigs` (three
+    * consumers: the piece explode and both verify sides). */
+  private def phashPairsOf(sigs: DataFrame): DataFrame = {
+    val s = sigs.sparkSession
     import s.implicits._
-    // three consumers (piece explode + both verify sides) — pin the
-    // one decode pass
-    val sigs = phashSigs(s, dir).localCheckpoint(true)
     val pieces = sigs.selectExpr("doc_id",
       "stack(4, 0, p0, 1, p1, 2, p2, 3, p3) AS (pi, pv)")
     val blocks = Dedup.capBlocks(pieces, Seq("pi", "pv"), PhashBlockCap)
@@ -348,7 +351,14 @@ object Multimodal {
           "bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS INT)"))
       .filter($"hamming" <= PhashHammingMax)
       .select($"d1", $"d2", $"hamming")
-      .orderBy($"d1", $"d2")
+  }
+
+  def qBlobPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // three consumers (piece explode + both verify sides) — pin the
+    // one decode pass
+    val sigs = phashSigs(s, dir).localCheckpoint(true)
+    phashPairsOf(sigs).orderBy($"d1", $"d2")
   }
 
   /** Oracle twin: bytes from the payload's hex image (the
@@ -1018,6 +1028,214 @@ object Multimodal {
       .orderBy($"d1", $"d2")
   }
 
+  // ---------------------------------------------------------------
+  // Cross-modal contamination telemetry — the mixed-modality dup mass
+  // a training pipeline actually monitors: a re-captioned duplicate
+  // image is TEXT-unique but a perceptual BLOB twin (it survives
+  // every text dedup pass), and a re-used caption over a different
+  // image is a TEXT dup whose blob is far (text dedup would wrongly
+  // collapse genuinely distinct media). The query joins the
+  // perceptual pair graph to the exact-text dup graph over one
+  // corpus; the DuckDB oracle re-derives BOTH graphs brute-force.
+
+  /** Third planted variant: SAME caption, perceptually-far payload
+    * (every byte inverted, `255 - b` — the cross-multiplied region
+    * comparison strictly inverts under complement, so the signature
+    * is ~bitwise-flipped and the pair lands far beyond
+    * [[PhashHammingMax]]). The plant makes the text_dup_blob_far
+    * direction non-vacuous, exactly as [[PhashV1Offset]]/
+    * [[PhashV2Offset]] make blob_twin_text_new non-vacuous. */
+  val PhashV3Offset = 30000000L
+
+  /** The cross-modal corpus at the (doc_id, text, blob) level: every
+    * non-empty doc, plus per [[PhashVariantMod]]-th doc the two
+    * re-encode variants of [[blobsWithVariants]] now carrying
+    * REWRITTEN captions (blob twin, text new) and the [[
+    * PhashV3Offset]] caption-reuse plant (text dup, blob far). Kept
+    * separate from [[blobsWithVariants]] so the registered perceptual
+    * queries' pair sets are untouched. */
+  private[graft] def modalCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text", encode($"text", "UTF-8").as("blob"))
+      .filter(length($"blob") > 0)
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, t, b) =>
+        if (id % PhashVariantMod == 0) {
+          val n = b.length
+          val v1 = new Array[Byte](n)
+          val v2 = new Array[Byte](n)
+          val v3 = new Array[Byte](n)
+          val pfx = n / 3
+          var i = 0
+          while (i < n) {
+            v1(i) = (b(i) + 4).toByte // toByte wraps mod 256 = oracle's %256
+            v2(i) = if (i < pfx) (b(i) + 16).toByte else b(i)
+            v3(i) = (255 - (b(i) & 0xff)).toByte
+            i += 1
+          }
+          Seq((id, t, b),
+            (id + PhashV1Offset, t + " [re-encoded]", v1),
+            (id + PhashV2Offset, t + " [crop]", v2),
+            (id + PhashV3Offset, t, v3))
+        } else Seq((id, t, b))
+      })
+      .toDF("doc_id", "text", "blob")
+  }
+
+  /** Caption table of [[modalCorpus]] — derived declaratively (no
+    * blob bytes read: the decode pass stays single). */
+  private def modalTexts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+      .filter(length($"text") > 0)
+      .select($"doc_id", $"text")
+    val planted = base.filter(pmod($"doc_id", lit(PhashVariantMod.toLong)) === 0)
+    base
+      .unionByName(planted.select(($"doc_id" + PhashV1Offset).as("doc_id"),
+        concat($"text", lit(" [re-encoded]")).as("text")))
+      .unionByName(planted.select(($"doc_id" + PhashV2Offset).as("doc_id"),
+        concat($"text", lit(" [crop]")).as("text")))
+      .unionByName(planted.select(($"doc_id" + PhashV3Offset).as("doc_id"),
+        $"text"))
+  }
+
+  /** Cross-modal dup mismatches over [[modalCorpus]]:
+    *  - `blob_twin_text_new` — perceptual pairs (Hamming ≤
+    *    [[PhashHammingMax]], the [[qBlobPhash]] graph) whose captions
+    *    DIFFER: dup mass every text-level dedup pass misses.
+    *  - `text_dup_blob_far` — exact-caption pairs whose signatures
+    *    sit beyond the threshold: distinct media a text dedup would
+    *    wrongly collapse.
+    *
+    * Scale shape: one decode pass to 4-int signatures; both pair
+    * generators are capped equi-join blockings (pieces for the
+    * perceptual graph, md5(caption) blocks for the text graph — the
+    * boilerplate-caption mega-group is dropped at [[PhashBlockCap]]
+    * exactly like a monochrome signature block); caption strings
+    * move only for the surviving pair set. */
+  def qModalMismatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // sigs: three consumers inside phashPairsOf + the text_dup verify
+    val sigs = sigsOfBlobs(modalCorpus(s, dir)).localCheckpoint(true)
+    val texts = modalTexts(s, dir)
+    def tside(tag: String): DataFrame =
+      texts.select($"doc_id".as(s"d$tag"), $"text".as(s"t$tag"))
+    val btn = phashPairsOf(sigs)
+      .join(tside("1"), "d1").join(tside("2"), "d2")
+      .filter($"t1" =!= $"t2")
+      .select(lit("blob_twin_text_new").as("kind"), $"d1", $"d2", $"hamming")
+    val tb = Dedup.capBlocks(texts.withColumn("th", md5($"text")),
+      Seq("th"), PhashBlockCap)
+    val tp = tb.select($"th", $"doc_id".as("d1"))
+      .join(tb.select($"th", $"doc_id".as("d2")), Seq("th"))
+      .filter($"d1" < $"d2").select($"d1", $"d2")
+    def sside(a: String, tag: String): DataFrame =
+      sigs.select($"doc_id".as(s"d$tag"), $"p0".as(s"${a}0"),
+        $"p1".as(s"${a}1"), $"p2".as(s"${a}2"), $"p3".as(s"${a}3"))
+    val tdf = tp.join(sside("a", "1"), "d1").join(sside("b", "2"), "d2")
+      .withColumn("hamming", expr(
+        "CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
+          "bit_count(a2 ^ b2) + bit_count(a3 ^ b3) AS INT)"))
+      .filter($"hamming" > PhashHammingMax)
+      .select(lit("text_dup_blob_far").as("kind"), $"d1", $"d2", $"hamming")
+    btn.unionByName(tdf).orderBy($"kind", $"d1", $"d2")
+  }
+
+  /** Oracle twin of [[qModalMismatch]]: the [[qBlobPhashSql]]
+    * derivation extended with the V3 byte complement (`255 - v`) and
+    * a caption CTE, then both graphs re-derived — the perceptual
+    * pairs with caption inequality, and the md5-blocked exact-caption
+    * pairs verified far by the same packed signatures. */
+  val qModalMismatchSql: String = {
+    val lastR = PhashRegions - 1
+    s"""WITH b AS (SELECT doc_id, text, LOWER(HEX(ENCODE(text))) AS h,
+       |    OCTET_LENGTH(ENCODE(text)) AS n FROM documents
+       |  WHERE OCTET_LENGTH(ENCODE(text)) > 0),
+       |by AS (SELECT doc_id, n,
+       |    (STRPOS('0123456789abcdef', SUBSTRING(h, 2*i+1, 1)) - 1) * 16 +
+       |    (STRPOS('0123456789abcdef', SUBSTRING(h, 2*i+2, 1)) - 1) AS v, i
+       |  FROM (SELECT doc_id, h, n, UNNEST(range(0, n)) AS i FROM b)),
+       |byv AS (SELECT doc_id, n, v, i FROM by
+       |  UNION ALL
+       |  SELECT doc_id + $PhashV1Offset, n, (v + 4) % 256, i
+       |  FROM by WHERE doc_id % $PhashVariantMod = 0
+       |  UNION ALL
+       |  SELECT doc_id + $PhashV2Offset, n,
+       |    CASE WHEN i < n // 3 THEN (v + 16) % 256 ELSE v END, i
+       |  FROM by WHERE doc_id % $PhashVariantMod = 0
+       |  UNION ALL
+       |  SELECT doc_id + $PhashV3Offset, n, 255 - v, i
+       |  FROM by WHERE doc_id % $PhashVariantMod = 0),
+       |docs AS (SELECT doc_id, n FROM b
+       |  UNION ALL SELECT doc_id + $PhashV1Offset, n
+       |  FROM b WHERE doc_id % $PhashVariantMod = 0
+       |  UNION ALL SELECT doc_id + $PhashV2Offset, n
+       |  FROM b WHERE doc_id % $PhashVariantMod = 0
+       |  UNION ALL SELECT doc_id + $PhashV3Offset, n
+       |  FROM b WHERE doc_id % $PhashVariantMod = 0),
+       |txt AS (SELECT doc_id, text FROM b
+       |  UNION ALL SELECT doc_id + $PhashV1Offset, text || ' [re-encoded]'
+       |  FROM b WHERE doc_id % $PhashVariantMod = 0
+       |  UNION ALL SELECT doc_id + $PhashV2Offset, text || ' [crop]'
+       |  FROM b WHERE doc_id % $PhashVariantMod = 0
+       |  UNION ALL SELECT doc_id + $PhashV3Offset, text
+       |  FROM b WHERE doc_id % $PhashVariantMod = 0),
+       |reg AS (SELECT doc_id, CAST((i * $PhashRegions) // n AS INT) AS r,
+       |    CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS c
+       |  FROM byv GROUP BY 1, 2),
+       |grid AS (SELECT doc_id, CAST(UNNEST(range(0, $PhashRegions)) AS INT) AS r FROM docs),
+       |rg AS (SELECT grid.doc_id, grid.r, COALESCE(reg.s, 0) AS s,
+       |    COALESCE(reg.c, 0) AS c
+       |  FROM grid LEFT JOIN reg ON reg.doc_id = grid.doc_id AND reg.r = grid.r),
+       |cmp AS (SELECT a.doc_id, a.r AS idx,
+       |    CASE WHEN a.s * n2.c > n2.s * a.c THEN 1 ELSE 0 END AS bit
+       |  FROM rg a JOIN rg n2 ON n2.doc_id = a.doc_id AND n2.r = a.r + 1
+       |  WHERE a.r < $lastR),
+       |sig AS (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN idx // 16 = 0 THEN bit << (idx % 16) ELSE 0 END) AS INT) AS p0,
+       |    CAST(SUM(CASE WHEN idx // 16 = 1 THEN bit << (idx % 16) ELSE 0 END) AS INT) AS p1,
+       |    CAST(SUM(CASE WHEN idx // 16 = 2 THEN bit << (idx % 16) ELSE 0 END) AS INT) AS p2,
+       |    CAST(SUM(CASE WHEN idx // 16 = 3 THEN bit << (idx % 16) ELSE 0 END) AS INT) AS p3
+       |  FROM cmp GROUP BY 1),
+       |pieces AS (
+       |  SELECT doc_id, 0 AS pi, p0 AS pv FROM sig UNION ALL
+       |  SELECT doc_id, 1, p1 FROM sig UNION ALL
+       |  SELECT doc_id, 2, p2 FROM sig UNION ALL
+       |  SELECT doc_id, 3, p3 FROM sig),
+       |blocks AS (SELECT doc_id, pi, pv FROM (
+       |    SELECT doc_id, pi, pv, COUNT(*) OVER (PARTITION BY pi, pv) AS bsz
+       |    FROM pieces) WHERE bsz <= $PhashBlockCap),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2
+       |  FROM blocks a JOIN blocks b2 ON a.pi = b2.pi AND a.pv = b2.pv
+       |    AND a.doc_id < b2.doc_id),
+       |pp AS (SELECT d1, d2,
+       |    CAST(bit_count(xor(sa.p0, sb.p0)) + bit_count(xor(sa.p1, sb.p1)) +
+       |         bit_count(xor(sa.p2, sb.p2)) + bit_count(xor(sa.p3, sb.p3)) AS INT) AS hamming
+       |  FROM cand JOIN sig sa ON sa.doc_id = d1 JOIN sig sb ON sb.doc_id = d2
+       |  WHERE bit_count(xor(sa.p0, sb.p0)) + bit_count(xor(sa.p1, sb.p1)) +
+       |        bit_count(xor(sa.p2, sb.p2)) + bit_count(xor(sa.p3, sb.p3)) <= $PhashHammingMax),
+       |btn AS (SELECT 'blob_twin_text_new' AS kind, pp.d1, pp.d2, pp.hamming
+       |  FROM pp JOIN txt t1 ON t1.doc_id = pp.d1
+       |    JOIN txt t2 ON t2.doc_id = pp.d2
+       |  WHERE t1.text != t2.text),
+       |tb AS (SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, COUNT(*) OVER (PARTITION BY MD5(text)) AS bsz
+       |    FROM txt) WHERE bsz <= $PhashBlockCap),
+       |tp AS (SELECT a.doc_id AS d1, b2.doc_id AS d2
+       |  FROM tb a JOIN tb b2 ON MD5(a.text) = MD5(b2.text)
+       |    AND a.doc_id < b2.doc_id),
+       |tdf AS (SELECT 'text_dup_blob_far' AS kind, tp.d1, tp.d2,
+       |    CAST(bit_count(xor(sa.p0, sb.p0)) + bit_count(xor(sa.p1, sb.p1)) +
+       |         bit_count(xor(sa.p2, sb.p2)) + bit_count(xor(sa.p3, sb.p3)) AS INT) AS hamming
+       |  FROM tp JOIN sig sa ON sa.doc_id = tp.d1 JOIN sig sb ON sb.doc_id = tp.d2
+       |  WHERE bit_count(xor(sa.p0, sb.p0)) + bit_count(xor(sa.p1, sb.p1)) +
+       |        bit_count(xor(sa.p2, sb.p2)) + bit_count(xor(sa.p3, sb.p3)) > $PhashHammingMax)
+       |SELECT kind, d1, d2, hamming FROM btn
+       |UNION ALL SELECT kind, d1, d2, hamming FROM tdf
+       |ORDER BY kind, d1, d2""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_blob_meta" -> (qBlobMeta _),
     "q_blob_features" -> (qBlobFeatures _),
@@ -1025,7 +1243,8 @@ object Multimodal {
     "q_blob_dedup" -> (qBlobDedup _),
     "q_blob_phash" -> (qBlobPhash _),
     "q_blob_phash_stored" -> (qBlobPhashStored _),
-    "q_blob_phash_batches" -> (qBlobPhashBatches _))
+    "q_blob_phash_batches" -> (qBlobPhashBatches _),
+    "q_modal_mismatch" -> (qModalMismatch _))
 
   val oracles: Map[String, String] = Map(
     "q_blob_meta" -> qBlobMetaSql,
@@ -1036,5 +1255,6 @@ object Multimodal {
     // identical contract to the in-plan perceptual scan: the stored
     // index must reproduce it bit-for-bit
     "q_blob_phash_stored" -> qBlobPhashSql,
-    "q_blob_phash_batches" -> qBlobPhashBatchesSql)
+    "q_blob_phash_batches" -> qBlobPhashBatchesSql,
+    "q_modal_mismatch" -> qModalMismatchSql)
 }

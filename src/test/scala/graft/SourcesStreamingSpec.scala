@@ -108,6 +108,64 @@ class MultimodalSpec extends AnyFunSuite {
       assert(expected.contains((id, id + PhashV1Offset, 0)), s"doc $id")
   }
 
+  test("q_modal_mismatch equals a driver brute-force over both modality graphs") {
+    import queries.Multimodal._
+    // re-derive the modal corpus driver-side: base + three planted
+    // variants per 5th doc (re-encode +4, crop prefix +16, caption
+    // re-use with complemented bytes)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._2.getBytes("UTF-8").nonEmpty)
+    val corpus: Seq[(Long, String, Array[Byte])] = docs.toSeq.flatMap { case (id, t) =>
+      val b = t.getBytes("UTF-8")
+      if (id % PhashVariantMod == 0) {
+        val v1 = b.map(x => (x + 4).toByte)
+        val pfx = b.length / 3
+        val v2 = b.zipWithIndex.map { case (x, i) =>
+          if (i < pfx) (x + 16).toByte else x }
+        val v3 = b.map(x => (255 - (x & 0xff)).toByte)
+        Seq((id, t, b), (id + PhashV1Offset, t + " [re-encoded]", v1),
+          (id + PhashV2Offset, t + " [crop]", v2),
+          (id + PhashV3Offset, t, v3))
+      } else Seq((id, t, b))
+    }
+    val sig = corpus.map { case (id, _, b) => id -> phashPieces(id, b) }.toMap
+    def ham(x: Long, y: Long): Int = {
+      val (a, b) = (sig(x), sig(y))
+      Integer.bitCount(a.p0 ^ b.p0) + Integer.bitCount(a.p1 ^ b.p1) +
+        Integer.bitCount(a.p2 ^ b.p2) + Integer.bitCount(a.p3 ^ b.p3)
+    }
+    val ids = corpus.map(_._1).sorted
+    val textOf = corpus.map(c => c._1 -> c._2).toMap
+    // graph 1: all-pairs perceptual twins with differing captions (no
+    // block tops the cap at this scale, so blocking is exactly lossless)
+    val btn = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      d1 = ids(i); d2 = ids(j)
+      h = ham(d1, d2) if h <= PhashHammingMax
+      if textOf(d1) != textOf(d2)
+    } yield ("blob_twin_text_new", d1, d2, h)
+    // graph 2: exact-caption pairs whose signatures are far
+    val byText = corpus.groupBy(_._2).values.filter(_.size > 1)
+    val tdf = for {
+      g <- byText.toSeq
+      gi = g.map(_._1).sorted
+      i <- gi.indices; j <- (i + 1) until gi.length
+      h = ham(gi(i), gi(j)) if h > PhashHammingMax
+    } yield ("text_dup_blob_far", gi(i), gi(j), h)
+    val expected = (btn ++ tdf).toSet
+    val got = qModalMismatch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(got == expected)
+    // non-vacuity: both planted directions are present
+    assert(got.exists(_._1 == "blob_twin_text_new"))
+    assert(got.exists(_._1 == "text_dup_blob_far"))
+    val someBase = docs.map(_._1).filter(_ % PhashVariantMod == 0).min
+    assert(got.contains(("text_dup_blob_far", someBase,
+      someBase + PhashV3Offset, ham(someBase, someBase + PhashV3Offset))))
+  }
+
   test("stored phash index: probe finds batch pairs, fold is replay-guarded, final index equals full build") {
     import org.apache.spark.sql.functions._
     import queries.Multimodal._
