@@ -800,15 +800,28 @@ object Ann {
     import e.sparkSession.implicits._
     var cent = seed
     for (_ <- 1 to iters) {
+      // one generator row per (vec, subspace) with the subspace's
+      // [[PqSub]] dim-sums as parallel aggregate columns — the r13
+      // shape exploded a second time to (vec, m, d) rows: 8× the
+      // aggregate input rows and 512 grouping keys for the identical
+      // integer sums (bit-for-bit: Σ per (m, code, d) is
+      // order-independent either way). At sf0.1 the two shapes time
+      // identically (~1.2 s JIT-warm, interleaved A/B in
+      // [[graft.tools.ProfIvfPq]] — the apparent 3→1 s win was JIT
+      // warmup); the 8× row reduction is kept for the scale path,
+      // where aggregate input rows dominate fixed overhead.
+      val dimSums = (0 until PqSub).map(d =>
+        sum(expr(s"iv[m * $PqSub + $d]")).as(s"s$d"))
       val stats = withCodes(e.select($"vec_id", $"iv"), cent)
         .select($"iv", posexplode($"codes").as(Seq("m", "code")))
-        .select($"m", $"code",
-          posexplode(expr(s"slice(iv, m * $PqSub + 1, $PqSub)")).as(Seq("d", "v")))
-        .groupBy($"m", $"code", $"d")
-        .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+        .groupBy($"m", $"code")
+        .agg(count(lit(1)).as("n"), dimSums: _*)
         .collect()
-        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
-          Math.floorDiv(r.getLong(3), r.getLong(4)))).toMap
+        .flatMap { r =>
+          val n = r.getLong(2)
+          (0 until PqSub).map(d =>
+            ((r.getInt(0), r.getInt(1), d), Math.floorDiv(r.getLong(3 + d), n)))
+        }.toMap
       cent = (0 until PqM).map(m => (0 until PqK).map(k => (0 until PqSub).map(d =>
         stats.getOrElse((m, k, d), cent(m)(k)(d)))))
     }
