@@ -58,6 +58,35 @@ object VectorKernels {
     }
     s
   }
+
+  /** All [[m]] PQ codes of one vector in a single pass: per subspace,
+    * argmin over k of `‖c‖² − 2·x·c` (exact bigint; `cc` carries the
+    * precomputed ‖c‖² terms). Strict `<` keeps the FIRST minimum —
+    * identical tie-break to the declarative
+    * `array_position(d, array_min(d))` (lowest centroid id). `cb` is
+    * the codebook flattened as [(m·k + k')·sub + d]. */
+  def pqEncode(iv: ArrayData, cb: Array[Long], cc: Array[Long],
+    m: Int, k: Int, sub: Int): ArrayData = {
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      var best = Long.MaxValue
+      var bestK = 0
+      var ki = 0
+      while (ki < k) {
+        var dot = 0L
+        val base = (mi * k + ki) * sub
+        var d = 0
+        while (d < sub) { dot += iv.getLong(mi * sub + d) * cb(base + d); d += 1 }
+        val score = cc(mi * k + ki) - 2L * dot
+        if (score < best) { best = score; bestK = ki }
+        ki += 1
+      }
+      codes(mi) = bestK
+      mi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
 }
 
 /** Σ a_i·b_i over two integer-scaled (bigint array) vectors. */
@@ -84,6 +113,46 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.pqAdc($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
     copy(left = l, right = r)
+}
+
+/** PQ-encode a vector against a literal codebook: array<int> of
+  * [[cent]].size codes, each the subspace argmin of `‖c‖² − 2·x·c`
+  * (ties → lowest centroid id). One native pass replaces the
+  * declarative M×K [[IntVecDot]]-over-slice + array_min +
+  * array_position tree — the encode is evaluated per corpus row per
+  * Lloyd iteration, and the composed tree was both the per-row cost
+  * and a whole-stage-codegen size problem (the generated method grew
+  * with M·K literal slices). `cent` is a Seq (structural equality →
+  * Catalyst canonicalization/subexpression elimination stay sound,
+  * which an Array field would silently break). */
+case class PqEncode(child: Expression, cent: Seq[Seq[Seq[Long]]])
+  extends UnaryExpression {
+  private val m = cent.size
+  private val k = cent.head.size
+  private val sub = cent.head.head.size
+  @transient private lazy val cbFlat: Array[Long] =
+    cent.flatten.flatten.toArray
+  @transient private lazy val ccFlat: Array[Long] =
+    cent.flatten.map(c => c.map(x => x * x).sum).toArray
+  // containsNull = true: the kernel never emits nulls, but the stored
+  // pq_codes tables read back from parquet as array<int> WITH nullable
+  // elements, and appendPartitioned's drift guard compares exact types
+  // — declaring false would wedge every append against an existing
+  // store (and the pre-native encode declared true as well).
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = true)
+  override def prettyName: String = "pq_encode"
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.pqEncode(a.asInstanceOf[ArrayData], cbFlat, ccFlat, m, k, sub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("pqCb", cbFlat, "long[]")
+    val cc = ctx.addReferenceObj("pqCc", ccFlat, "long[]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.VectorKernels.pqEncode($a, $cb, $cc, $m, $k, $sub)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
 }
 
 /** Σ a_i² over an integer-scaled (bigint array) vector. */

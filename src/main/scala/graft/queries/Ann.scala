@@ -739,21 +739,18 @@ object Ann {
     *
     * The per-centroid score is `‖c‖² − 2·x·c` — same argmin (and same
     * ties) as the full L2, since `‖x‖²` is constant within a
-    * subspace — built from the native codegen [[VectorOps.dotC]]
-    * kernel over literal centroid slices, NOT a higher-order
-    * `aggregate` lambda: interpreted HOFs in this per-row inner loop
-    * (M×K evaluations each) were the whole encode cost. */
+    * subspace — evaluated by the single-pass native codegen kernel
+    * [[graft.functions.PqEncode]]: one loop over the row's M×K×Sub
+    * products, NOT a composed tree of M×K slice+dot columns folded
+    * through array_min/array_position (the r13 shape — measurably
+    * slower per row AND a whole-stage-codegen size problem, since the
+    * generated method grew with the 64 literal centroid slices; before
+    * that, an interpreted higher-order `aggregate` lambda was the
+    * whole encode cost). */
   private[graft] def withCodes(e: DataFrame, cent: Seq[Seq[Seq[Long]]]): DataFrame = {
-    val dists: Seq[Column] = (0 until PqM).map { m =>
-      array((0 until PqK).map { k =>
-        val c = cent(m)(k)
-        val cc = c.map(x => x * x).sum
-        lit(cc) - lit(2L) * VectorOps.dotC(
-          slice(col("iv"), m * PqSub + 1, PqSub), typedLit(c))
-      }: _*)
-    }
-    e.withColumn("codes", array(dists.map(d =>
-      (array_position(d, array_min(d)) - 1).cast("int")): _*))
+    import org.apache.spark.sql.graftx.ColumnBridge
+    e.withColumn("codes", ColumnBridge.column(graft.functions.PqEncode(
+      ColumnBridge.expression(col("iv")), cent)))
   }
 
   /** Integer Lloyd iterations: assign every row's subvectors to their
