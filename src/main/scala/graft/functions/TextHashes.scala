@@ -198,6 +198,46 @@ object TextStatAlgos {
     new GenericArrayData(Array[Long](nw.toLong, n3.toLong, set3.size.toLong, mx2, n2.toLong))
   }
 
+  /** MD5 instance per thread — getInstance per row would dominate the
+    * per-token digest work in [[iwScoreStats]]'s inner loop. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** DSIR importance score + token count of `text` in one streaming
+    * pass: `[Σ ratio(bucket(tok)), n_toks]` over the non-empty
+    * space-separated tokens, where `bucket(tok)` = first byte of
+    * MD5(tok) mod `ratio.length` — identical arithmetic to the
+    * declarative `conv(substring(md5(tok), 1, 2), 16, 10) % B` (the
+    * first two hex chars ARE the first digest byte). Replaces a
+    * split + filter + interpreted higher-order `aggregate` lambda
+    * (the lambda body was re-evaluated per ELEMENT outside codegen)
+    * and never materializes the token array: each token is digested
+    * straight off its UTF-8 byte slice. */
+  def iwScoreStats(text: UTF8String, ratio: Array[Long]): ArrayData = {
+    val bytes = text.getBytes
+    val md = md5Local.get()
+    val b = ratio.length
+    var score = 0L
+    var n = 0L
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) { // empty tokens are filtered out
+          md.reset()
+          md.update(bytes, start, i - start)
+          score += ratio((md.digest()(0) & 0xff) % b)
+          n += 1L
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(Array[Long](score, n))
+  }
+
   /** The whole length + repetition keep verdict in ONE kernel call:
     * n_words ≥ minWords, duplicate-trigram permille ≤ dup3PmMax, and
     * top-bigram-coverage permille ≤ top2PmMax. Exists so a gating
@@ -247,6 +287,26 @@ case class RepKeep(child: Expression, minWords: Int,
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.TextStatAlgos.repKeep($c, $minWords, ${dup3PmMax}L, ${top2PmMax}L)")
   override protected def withNewChildInternal(newChild: Expression): RepKeep =
+    copy(child = newChild)
+}
+
+/** Per-document DSIR `[score, n_toks]` against a literal per-bucket
+  * ratio table — see [[TextStatAlgos.iwScoreStats]]. `ratio` is a Seq
+  * so Catalyst canonicalization/CSE compare it structurally (an Array
+  * field would silently break both). */
+case class IwScoreStats(child: Expression, ratio: Seq[Long])
+  extends UnaryExpression {
+  @transient private lazy val ratioArr: Array[Long] = ratio.toArray
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "iw_score_stats"
+  override def nullSafeEval(input: Any): Any =
+    TextStatAlgos.iwScoreStats(input.asInstanceOf[UTF8String], ratioArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("iwRatio", ratioArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextStatAlgos.iwScoreStats($c, $r)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): IwScoreStats =
     copy(child = newChild)
 }
 
@@ -304,4 +364,6 @@ object TextFunctions {
   def repKeep(c: Column, minWords: Int, dup3PmMax: Long, top2PmMax: Long): Column =
     ColumnBridge.column(RepKeep(ColumnBridge.expression(c),
       minWords, dup3PmMax, top2PmMax))
+  def iwScoreStats(c: Column, ratio: Seq[Long]): Column =
+    ColumnBridge.column(IwScoreStats(ColumnBridge.expression(c), ratio))
 }

@@ -146,9 +146,13 @@ object Sketches {
     *
     * Unlike [[qSketchDistinct]]'s HLL++ this sketch is built from
     * first principles with PORTABLE integer arithmetic — row `i`'s
-    * bucket for word `w` is hex byte `substring(md5(w || '#' || i),
-    * 1, 2)` — so DuckDB reproduces the cells bit-for-bit and the
-    * entry is fully hash-checked, not rows-only.
+    * bucket for word `w` is hex byte `substring(md5(w), 2i+1, 2)`,
+    * i.e. the four rows project four distinct bytes of ONE digest
+    * (uniform and pairwise-independent enough for 256-bucket rows,
+    * and the one-sided ≥-truth contract holds for ANY bucket
+    * function) — so DuckDB reproduces the cells bit-for-bit, the
+    * entry is fully hash-checked, not rows-only, and the build pays
+    * ONE md5 per token instead of one per (token, row).
     *
     * Scale shape: the ×[[CmsDepth]] bucket explode happens map-side
     * and feeds a partial aggregate, so the shuffle carries at most
@@ -165,22 +169,32 @@ object Sketches {
     // CmsDepth home buckets, then count — partial agg combines to
     // ≤1024 cells before the shuffle
     val cellCols = (0 until CmsDepth).map { i =>
-      struct(lit(i).as("i"),
-        substring(md5(concat($"w", lit(s"#$i"))), 1, 2).as("b"))
+      struct(lit(i).as("i"), substring($"h", 2 * i + 1, 2).as("b"))
     }
-    val cells = toks
-      .select(explode(array(cellCols: _*)).as("c"))
+    // The exact probe counts ride the SAME tokenize+aggregate pass as
+    // the sketch cells: a probe token emits a fifth marker cell
+    // (i = −1, b = the word itself), so one corpus scan feeds one
+    // combinable aggregate and both consumers filter its ≤1036-row
+    // output — the two branches share the aggregate's exchange
+    // (ReusedExchange), where the previous shape re-tokenized the
+    // whole corpus a second time just to count 12 words.
+    val allCells = toks
+      .select($"w", md5($"w").as("h"))
+      .select(explode(concat(
+        array(cellCols: _*),
+        when($"w".isInCollection(CmsProbes),
+          array(struct(lit(-1).as("i"), $"w".as("b"))))
+          .otherwise(array().cast("array<struct<i:int,b:string>>")))).as("c"))
       .groupBy($"c.i".as("i"), $"c.b".as("b"))
       .agg(count(lit(1)).as("cnt"))
     // probe rows: |CmsProbes| × CmsDepth, broadcast to the cells
     val probes = CmsProbes.toDF("word")
       .withColumn("i", explode(array((0 until CmsDepth).map(lit): _*)))
-      .withColumn("b",
-        substring(md5(concat($"word", lit("#"), $"i".cast("string"))), 1, 2))
-    val est = broadcast(probes).join(cells, Seq("i", "b"))
+      .withColumn("b", expr("substring(md5(word), 2 * i + 1, 2)"))
+    val est = broadcast(probes).join(allCells.filter($"i" >= 0), Seq("i", "b"))
       .groupBy($"word").agg(min($"cnt").as("cms_n"))
-    val exact = toks.filter($"w".isInCollection(CmsProbes))
-      .groupBy($"w".as("word")).agg(count(lit(1)).as("exact_n"))
+    val exact = allCells.filter($"i" === -1)
+      .select($"b".as("word"), $"cnt".as("exact_n"))
     est.join(exact, Seq("word"))
       .select($"word", $"exact_n", $"cms_n")
       .orderBy($"word")
@@ -197,13 +211,13 @@ object Sketches {
        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
        |tk AS (SELECT w FROM toks WHERE w <> ''),
        |cells AS (
-       |  SELECT d.i, SUBSTRING(MD5(w || '#' || d.i), 1, 2) AS b,
+       |  SELECT d.i, SUBSTRING(MD5(w), 2 * d.i + 1, 2) AS b,
        |         COUNT(*) AS cnt
        |  FROM tk CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(i)
        |  GROUP BY 1, 2),
        |probes AS (
        |  SELECT p.word, d.i,
-       |         SUBSTRING(MD5(p.word || '#' || d.i), 1, 2) AS b
+       |         SUBSTRING(MD5(p.word), 2 * d.i + 1, 2) AS b
        |  FROM (VALUES $cmsProbesSql) AS p(word)
        |  CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(i)),
        |est AS (

@@ -1127,11 +1127,14 @@ object Text {
     *
     * Scale shape: the "model" is the 64-bucket histogram — two
     * combinable counts collected as control-plane rows (the literal-
-    * codebook convention of q_kmeans_profile) and re-emitted as an
-    * array LITERAL, so scoring is one codegen fold per row: no
-    * vocabulary table, no explode, no join, no shuffle in the scoring
-    * pass, and the keep/drop coin is a per-row md5 — at 100 TB the
-    * selection costs one streaming pass plus two tiny aggregates. */
+    * codebook convention of q_kmeans_profile) and handed to the
+    * native [[graft.functions.IwScoreStats]] kernel as a literal, so
+    * scoring is ONE codegen pass per row digesting each token off the
+    * raw text bytes (no token array, no explode, no join, no shuffle
+    * — and no interpreted higher-order fold, which was the previous
+    * shape's whole cost), and the keep/drop coin is a per-row md5 —
+    * at 100 TB the selection costs one streaming pass plus two tiny
+    * aggregates. */
   def qImportanceWeight(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
@@ -1154,12 +1157,12 @@ object Text {
       val ptPpm = r.getAs[Long]("tgt_n") * 1000000L / tgtTot
       ratio(r.getAs[Long]("b").toInt) = (ptPpm + 1L) * 1000L / (prPpm + 1L)
     }
-    toks
-      .select($"doc_id", size($"toks").cast("long").as("n_toks"),
-        expr(s"aggregate(toks, 0L, (acc, x) -> acc + element_at(" +
-          s"array(${ratio.mkString("L, ")}L), CAST(CAST(conv(substring(" +
-          s"md5(x), 1, 2), 16, 10) AS BIGINT) % $IwBuckets AS INT) + 1))")
-          .as("score"))
+    docs
+      .select($"doc_id",
+        graft.functions.TextFunctions
+          .iwScoreStats($"text", ratio.toSeq).as("st"))
+      .select($"doc_id", $"st".getItem(1).as("n_toks"),
+        $"st".getItem(0).as("score"))
       .withColumn("srate_milli",
         when($"n_toks" > 0, expr("score DIV n_toks")).otherwise(lit(0L)))
       .withColumn("u_milli", expr(
