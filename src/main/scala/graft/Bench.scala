@@ -169,7 +169,12 @@ object Bench {
     // capped blockings (pieces + md5-caption), caption strings move
     // only for the surviving pairs — regresses if either graph goes
     // all-pairs
-    "q_modal_mismatch")
+    "q_modal_mismatch",
+    // round-14: Stetson J/K — one (object, band) shuffle shared by
+    // the group windows, the lead() pairing, and the final aggregate;
+    // regresses if the windows stop sharing a single sort or the
+    // linear consecutive-pair J ever becomes a self-join
+    "q_stetson")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

@@ -1524,6 +1524,105 @@ object TimeSeries {
       |FROM f ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Stetson J and K variability indices per (object, band) —
+    * Stetson 1996 (PASP 108, 851), the classic robust-variability
+    * statistic of every time-domain survey pipeline (and of the
+    * reference's per-filter light-curve summaries). A synthetic
+    * per-observation error `errc = 3 + |xc| DIV 50` (c100 units,
+    * strictly positive, flux-proportional like real photometric
+    * errors) stands in for the missing error column; swapping a real
+    * column changes one expression.
+    *
+    * Determinism discipline (the cross-engine hash): every
+    * order-dependent float SUM is replaced by a sum of PER-TERM
+    * rounded integers — each term is a fixed chain of IEEE ops over
+    * exact integers plus the single exact mean division, rounded to
+    * 1e-6 and summed as bigint, so neither engine's reduction order
+    * can drift the result.
+    *   - `u_i = |xc_i − mean| / errc_i` (the normalized residual up
+    *     to the pair-invariant sqrt(n/(n−1)) factor, which cancels in
+    *     K and is restored inside each J term);
+    *   - `sa_c6 = Σ round(1e6·u)`, `sq_c6 = Σ round(1e6·u²)`;
+    *   - per consecutive-pair (time order, event_id tiebreak)
+    *     `P = (n/(n−1))·(xc_i−mean)(xc_j−mean)/(errc_i·errc_j)`,
+    *     `j_c6 = Σ round(1e6·sgn(P)·sqrt|P|)`;
+    *   - `k_val = sa_c6/(1000·sqrt(n·sq_c6))` ≈ mean|δ|/rms(δ) and
+    *     `j_val = j_c6/(1e6·(n−1))` — single fixed expressions over
+    *     the exact sums.
+    *
+    * Scale shape: ONE shuffle on (object, band) serves the group
+    * aggregates, the lead() pairing, and the final groupBy (window
+    * partition = group key, so the sort is reused); no self-join —
+    * the consecutive-pair form of J is linear in the series where
+    * the naive all-pairs form is quadratic. */
+  def qStetson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wg = Window.partitionBy($"user_id", $"band")
+    val w = wg.orderBy($"tus", $"event_id")
+    val t = bandedSeries(s, dir)
+      .withColumn("errc", expr("3 + abs(xc) DIV 50"))
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("mean", sum($"xc").over(wg).cast("double") / $"n")
+      .withColumn("u", abs($"xc" - $"mean") / $"errc")
+      .withColumn("xn", lead($"xc", 1).over(w))
+      .withColumn("en", lead($"errc", 1).over(w))
+      .withColumn("p",
+        ($"n".cast("double") / ($"n" - lit(1.0))) *
+          (($"xc" - $"mean") * ($"xn" - $"mean")) / ($"errc" * $"en"))
+    t.groupBy($"user_id", $"band")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round($"u" * lit(1000000.0)).cast("long")).as("sa_c6"),
+        sum(round($"u" * $"u" * lit(1000000.0)).cast("long")).as("sq_c6"),
+        coalesce(sum(when($"p".isNotNull,
+          round(signum($"p") * sqrt(abs($"p")) * lit(1000000.0))
+            .cast("long"))), lit(0L)).as("j_c6"))
+      .withColumn("k_val", when($"sq_c6" > 0,
+        $"sa_c6" / (lit(1000.0) * sqrt($"n".cast("double") * $"sq_c6"))))
+      .withColumn("j_val", when($"n" > 1,
+        $"j_c6" / (lit(1000000.0) * ($"n" - 1))))
+      .orderBy($"user_id", $"band")
+  }
+
+  /** Oracle twin: same window pairing, same per-term 1e-6 rounding,
+    * same fixed IEEE chains (the mean re-inlined as the identical
+    * pure expression). */
+  val qStetsonSql: String =
+    s"""WITH b AS (SELECT user_id, $BandCaseSql AS band, event_id,
+       |    epoch_us(ts) AS tus, CAST(ROUND(value*100) AS BIGINT) AS xc
+       |  FROM events),
+       |e AS (SELECT *, 3 + ABS(xc) // 50 AS errc FROM b),
+       |g AS (SELECT user_id, band, xc, errc,
+       |    COUNT(*) OVER (PARTITION BY user_id, band) AS n,
+       |    CAST(SUM(xc) OVER (PARTITION BY user_id, band) AS DOUBLE)
+       |      / COUNT(*) OVER (PARTITION BY user_id, band) AS mean,
+       |    LEAD(xc) OVER (PARTITION BY user_id, band
+       |      ORDER BY tus, event_id) AS xn,
+       |    LEAD(errc) OVER (PARTITION BY user_id, band
+       |      ORDER BY tus, event_id) AS en
+       |  FROM e),
+       |t AS (SELECT user_id, band, n,
+       |    ABS(xc - mean) / errc AS u,
+       |    CASE WHEN xn IS NOT NULL THEN
+       |      (CAST(n AS DOUBLE) / (n - 1.0)) *
+       |        ((xc - mean) * (xn - mean)) / (errc * en)
+       |    END AS p
+       |  FROM g),
+       |a AS (SELECT user_id, band, COUNT(*) AS n,
+       |    CAST(SUM(CAST(ROUND(u * 1000000.0) AS BIGINT)) AS BIGINT)
+       |      AS sa_c6,
+       |    CAST(SUM(CAST(ROUND(u * u * 1000000.0) AS BIGINT)) AS BIGINT)
+       |      AS sq_c6,
+       |    CAST(COALESCE(SUM(CASE WHEN p IS NOT NULL THEN
+       |        CAST(ROUND(SIGN(p) * SQRT(ABS(p)) * 1000000.0) AS BIGINT)
+       |      END), 0) AS BIGINT) AS j_c6
+       |  FROM t GROUP BY 1, 2)
+       |SELECT user_id, band, n, sa_c6, sq_c6, j_c6,
+       |  CASE WHEN sq_c6 > 0 THEN
+       |    sa_c6 / (1000.0 * SQRT(CAST(n AS DOUBLE) * sq_c6)) END AS k_val,
+       |  CASE WHEN n > 1 THEN j_c6 / (1000000.0 * (n - 1)) END AS j_val
+       |FROM a ORDER BY user_id, band""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lightcurve_stats" -> (qLightcurveStats _),
     "q_variability_class" -> (qVariabilityClass _),
@@ -1555,7 +1654,8 @@ object TimeSeries {
     "q_proper_motion" -> (qProperMotion _),
     "q_mad" -> (qMad _),
     "q_crossband_corr" -> (qCrossbandCorr _),
-    "q_value_drift" -> (qValueDrift _))
+    "q_value_drift" -> (qValueDrift _),
+    "q_stetson" -> (qStetson _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -1588,5 +1688,6 @@ object TimeSeries {
     "q_proper_motion" -> qProperMotionSql,
     "q_mad" -> qMadSql,
     "q_crossband_corr" -> qCrossbandCorrSql,
-    "q_value_drift" -> qValueDriftSql)
+    "q_value_drift" -> qValueDriftSql,
+    "q_stetson" -> qStetsonSql)
 }

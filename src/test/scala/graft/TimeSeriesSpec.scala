@@ -531,4 +531,51 @@ class TimeSeriesSpec extends AnyFunSuite {
           s"wanted the bucket's $filesInBucket")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("q_stetson matches a driver-side recompute; K obeys Cauchy-Schwarz") {
+    // HALF_UP like Spark's round() (math.round ties toward +inf differ
+    // on negative halves)
+    def r6(x: Double): Long =
+      BigDecimal(x * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000").as("tus"),
+        round(col("value") * 100).cast("long").as("xc"),
+        expr(queries.TimeSeries.BandCaseSql).as("band"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getLong(2), r.getLong(1),
+        r.getLong(3)))
+    val got = queries.TimeSeries.qStetson(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val groups = raw.groupBy(t => (t._1, t._2))
+    assert(got.keySet == groups.keySet)
+    for (((uid, band), rows) <- groups) {
+      val sorted = rows.sortBy(t => (t._3, t._4)) // (tus, event_id)
+      val xs = sorted.map(_._5)
+      val errs = xs.map(x => 3L + math.abs(x) / 50L)
+      val n = xs.length
+      val mean = xs.sum.toDouble / n
+      val us = xs.zip(errs).map { case (x, e) => math.abs(x - mean) / e }
+      val sa = us.map(r6).sum
+      val sq = us.map(u => r6(u * u)).sum
+      val j = (0 until n - 1).map { i =>
+        val p = (n.toDouble / (n - 1.0)) *
+          ((xs(i) - mean) * (xs(i + 1) - mean)) / (errs(i) * errs(i + 1))
+        r6(math.signum(p) * math.sqrt(math.abs(p)))
+      }.sum
+      val r = got((uid, band))
+      assert(r.getAs[Long]("n") == n.toLong, s"($uid,$band) n")
+      assert(r.getAs[Long]("sa_c6") == sa, s"($uid,$band) sa_c6")
+      assert(r.getAs[Long]("sq_c6") == sq, s"($uid,$band) sq_c6")
+      assert(r.getAs[Long]("j_c6") == j, s"($uid,$band) j_c6")
+      if (sq > 0) {
+        val k = r.getAs[Double]("k_val")
+        assert(k == sa / (1000.0 * math.sqrt(n.toDouble * sq)))
+        // mean|δ| ≤ rms(δ) for ANY series (Cauchy-Schwarz); the 1e-6
+        // per-term rounding can only move K by ~1e-6-scale slack
+        assert(k > 0.0 && k <= 1.0 + 1e-4, s"($uid,$band) K=$k")
+      }
+    }
+  }
 }
