@@ -174,7 +174,11 @@ object Bench {
     // the group windows, the lead() pairing, and the final aggregate;
     // regresses if the windows stop sharing a single sort or the
     // linear consecutive-pair J ever becomes a self-join
-    "q_stetson")
+    "q_stetson",
+    // exact two-sample KS drift gate — one (source, value) histogram
+    // aggregate + windows over the tiny dense grid; regresses if the
+    // grid ever joins back against documents instead of the histogram
+    "q_ks_drift")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -166,13 +167,106 @@ object Quality {
        |FROM t ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Flag threshold: a source drifts when its KS distance from the
+    * rest of the corpus exceeds 0.10. */
+  val KsThreshMilli = 100L
+
+  /** Per-source distribution drift as the EXACT two-sample
+    * Kolmogorov–Smirnov statistic over the document-length (n_chars)
+    * distribution: each source A against the rest of the corpus B,
+    * `D = max_v |F_A(v) − F_B(v)|` kept in integer space as
+    * `d_num = max_v |cumA(v)·n_B − cumB(v)·n_A|` (bigint exact;
+    * `D = d_num/(n_A·n_B)` is the single IEEE division) — the
+    * ingest-gate check that a new crawl slice hasn't shifted shape
+    * even when its mean looks fine (q_value_drift's TV distance
+    * needs pre-chosen buckets; KS is bucket-free and catches shifts
+    * TV smears). The drift flag compares in pure integers
+    * (`1000·d_num > thresh·n_A·n_B`).
+    *
+    * Scale shape: one combinable (source, value) histogram aggregate
+    * — the corpus never moves, only |sources|×|distinct lengths|
+    * cells — then a broadcast dense grid (distinct values × sources)
+    * so every source's CDF is evaluated at EVERY corpus value (a
+    * source missing a value still steps there), cumsums as one
+    * source-partitioned window over that tiny grid, and a broadcast
+    * per-source-totals join. `cumB = cumTotal − cumA` avoids ever
+    * building the complement's histogram. Bigint bounds: products
+    * stay under 2^63 up to ~3·10^9 docs/side; past that the same
+    * query runs on a pre-sampled slice (the published KS n for 1e-3
+    * sensitivity is far smaller anyway). */
+  def qKsDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hist = Tables.documents(s, dir)
+      .groupBy($"source", $"n_chars".as("v"))
+      .agg(count(lit(1)).as("c"))
+    // dense grid: every (source, corpus-distinct value) cell, count 0
+    // where the source lacks the value — both factors are tiny
+    // aggregates of the histogram, so the grid never touches documents
+    val grid = broadcast(hist.select($"v").distinct())
+      .crossJoin(broadcast(hist.select($"source").distinct()))
+      .join(hist, Seq("source", "v"), "left")
+      .na.fill(0L, Seq("c"))
+    val wcum = Window.partitionBy($"source").orderBy($"v")
+    val wtot = Window.partitionBy($"vv").orderBy($"v")
+    val cums = grid
+      .withColumn("cum_a", sum($"c").over(wcum))
+      .withColumn("vv", lit(1))
+      .withColumn("cum_t", sum($"c").over(wtot))
+      // every source sees every v, so at each v the total cumulative
+      // count is |sources| × the per-source grid's share — divide out
+      // by counting each v once: cum_t over the grid counts all
+      // sources' cells up to v, which IS the corpus cumulative count
+      .drop("vv")
+    val tot = hist.groupBy($"source").agg(sum($"c").as("n_a"))
+      .withColumn("n_t", sum($"n_a").over(Window.partitionBy(lit(1))))
+    cums.join(broadcast(tot), Seq("source"))
+      .select($"source", $"n_a", ($"n_t" - $"n_a").as("n_b"),
+        abs($"cum_a" * ($"n_t" - $"n_a") -
+          ($"cum_t" - $"cum_a") * $"n_a").as("dn"))
+      .groupBy($"source", $"n_a", $"n_b")
+      .agg(max($"dn").as("d_num"))
+      .withColumn("d_val",
+        $"d_num".cast("double") / ($"n_a".cast("double") * $"n_b"))
+      .withColumn("drift",
+        (lit(1000L) * $"d_num" > lit(KsThreshMilli) * $"n_a" * $"n_b")
+          .cast("int"))
+      .orderBy($"source")
+  }
+
+  /** Oracle twin — same dense grid, same integer cumsum identity. */
+  val qKsDriftSql: String =
+    s"""WITH h AS (SELECT source, n_chars AS v, COUNT(*) AS c
+       |  FROM documents GROUP BY 1, 2),
+       |grid AS (SELECT sv.source, vv.v, COALESCE(h.c, 0) AS c
+       |  FROM (SELECT DISTINCT source FROM h) sv
+       |  CROSS JOIN (SELECT DISTINCT v FROM h) vv
+       |  LEFT JOIN h ON h.source = sv.source AND h.v = vv.v),
+       |cums AS (SELECT source, v, c,
+       |    SUM(c) OVER (PARTITION BY source ORDER BY v) AS cum_a,
+       |    SUM(c) OVER (ORDER BY v) AS cum_t
+       |  FROM grid),
+       |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_a
+       |  FROM h GROUP BY 1),
+       |tt AS (SELECT CAST(SUM(n_a) AS BIGINT) AS n_t FROM tot),
+       |d AS (SELECT c.source, t.n_a, tt.n_t - t.n_a AS n_b,
+       |    ABS(c.cum_a * (tt.n_t - t.n_a)
+       |      - (c.cum_t - c.cum_a) * t.n_a) AS dn
+       |  FROM cums c JOIN tot t ON c.source = t.source CROSS JOIN tt)
+       |SELECT source, n_a, n_b, CAST(MAX(dn) AS BIGINT) AS d_num,
+       |  CAST(MAX(dn) AS DOUBLE)
+       |    / (CAST(n_a AS DOUBLE) * n_b) AS d_val,
+       |  CAST(1000 * MAX(dn) > $KsThreshMilli * n_a * n_b AS INT) AS drift
+       |FROM d GROUP BY 1, 2, 3 ORDER BY source""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> (qProfile _),
     "q_constraints" -> (qConstraints _),
-    "q_quality_classifier" -> (qQualityClassifier _))
+    "q_quality_classifier" -> (qQualityClassifier _),
+    "q_ks_drift" -> (qKsDrift _))
 
   val oracles: Map[String, String] = Map(
     "q_profile" -> qProfileSql,
     "q_constraints" -> qConstraintsSql,
-    "q_quality_classifier" -> qQualityClassifierSql)
+    "q_quality_classifier" -> qQualityClassifierSql,
+    "q_ks_drift" -> qKsDriftSql)
 }

@@ -85,4 +85,33 @@ class QualitySpec extends AnyFunSuite {
     assert(v("orderkey_unique") == 5)
     o.unpersist()
   }
+
+  test("q_ks_drift matches a brute-force two-sample KS recompute per source") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val values = docs.map(_._2).distinct.sorted
+    val got = queries.Quality.qKsDrift(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sources = docs.map(_._1).distinct
+    assert(got.keySet == sources.toSet)
+    for (src <- sources) {
+      val a = docs.filter(_._1 == src).map(_._2)
+      val b = docs.filter(_._1 != src).map(_._2)
+      // sup over the corpus's step points of |cumA·nB − cumB·nA|
+      val dNum = values.map { v =>
+        math.abs(a.count(_ <= v).toLong * b.length -
+          b.count(_ <= v).toLong * a.length)
+      }.max
+      val r = got(src)
+      assert(r.getAs[Long]("n_a") == a.length.toLong, s"$src n_a")
+      assert(r.getAs[Long]("n_b") == b.length.toLong, s"$src n_b")
+      assert(r.getAs[Long]("d_num") == dNum, s"$src d_num")
+      val d = r.getAs[Double]("d_val")
+      assert(d >= 0.0 && d <= 1.0, s"$src d_val=$d outside [0,1]")
+      assert(r.getAs[Int]("drift") ==
+        (if (1000L * dNum > queries.Quality.KsThreshMilli *
+          a.length * b.length) 1 else 0), s"$src drift flag")
+    }
+  }
 }
