@@ -178,7 +178,11 @@ object Bench {
     // exact two-sample KS drift gate — one (source, value) histogram
     // aggregate + windows over the tiny dense grid; regresses if the
     // grid ever joins back against documents instead of the histogram
-    "q_ks_drift")
+    "q_ks_drift",
+    // mergeable daily-HLL distinct telemetry — two combinable
+    // aggregates whose shuffle carries KB sketch blobs; regresses if
+    // the exact twin's expand ever dominates or the merge re-scans
+    "q_sketch_hll_merge")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

@@ -232,10 +232,64 @@ object Sketches {
        |ORDER BY word""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Day bucket of the event micro-timestamp. */
+  private val DayUs = 86400000000L
+
+  /** lgConfigK of the Datasketches HLL sketches: 2^12 registers →
+    * ~1.6% standard error; [[HllMergeRelErrMax]] (5%) is ~3σ. */
+  val HllLgK = 12
+  val HllMergeRelErrMax = 0.05
+
+  /** MERGEABLE distinct-count telemetry — the property that makes
+    * sketches the 100 TB answer and that [[qSketchDistinct]]'s
+    * one-shot estimate never exercises: per-(event type, DAY)
+    * Datasketches HLL sketches built once (the nightly job), then
+    * merged per event type with `hll_union_agg` — a month's distinct
+    * users costs 30 binary-blob register-max merges, not a re-scan of
+    * a month of raw events, and the daily sketches are exactly what a
+    * stored telemetry table would persist. Verified like every sketch
+    * entry: the hashed columns are the EXACT twins (distinct users,
+    * day count) plus `in_bound` = [the merged estimate landed within
+    * [[HllMergeRelErrMax]]]; SketchesSpec additionally proves
+    * lossless mergeability (merged estimate ≡ one-shot whole-corpus
+    * sketch at the same lgK, register-max is exact).
+    *
+    * Scale shape: the daily build is one combinable (type, day)
+    * aggregate whose output is |types|×|days| KB-sized blobs; the
+    * merge shuffles only those blobs. The exact twin costs a real
+    * distinct — it exists FOR the harness (drop `exact_users` /
+    * `in_bound` and the count-distinct expand disappears). */
+  def qSketchHllMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.events(s, dir).select($"event_type", $"user_id",
+      expr(s"(ts DIV 1000) DIV $DayUs").as("day"))
+    val daily = e.groupBy($"event_type", $"day")
+      .agg(hll_sketch_agg($"user_id", lit(HllLgK)).as("sk"))
+    val merged = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"))
+    val exact = e.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact_users"))
+    merged.join(exact, Seq("event_type"))
+      .select($"event_type", $"n_days", $"exact_users",
+        when(abs($"approx_users" - $"exact_users") <=
+          $"exact_users" * HllMergeRelErrMax, 1L).otherwise(0L)
+          .as("in_bound"))
+      .orderBy($"event_type")
+  }
+
+  val qSketchHllMergeSql: String =
+    s"""SELECT event_type,
+       |  COUNT(DISTINCT epoch_us(ts) // $DayUs) AS n_days,
+       |  COUNT(DISTINCT user_id) AS exact_users,
+       |  CAST(1 AS BIGINT) AS in_bound
+       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sketch_distinct" -> (qSketchDistinct _),
     "q_sketch_quantile" -> (qSketchQuantile _),
-    "q_sketch_cms" -> (qSketchCms _))
+    "q_sketch_cms" -> (qSketchCms _),
+    "q_sketch_hll_merge" -> (qSketchHllMerge _))
 
   /** All three sketch entries are fully driver-checkable: the HLL++
     * and approx_percentile entries hash their EXACT twin columns and
@@ -245,5 +299,6 @@ object Sketches {
   val oracles: Map[String, String] = Map(
     "q_sketch_distinct" -> qSketchDistinctSql,
     "q_sketch_quantile" -> qSketchQuantileSql,
-    "q_sketch_cms" -> qSketchCmsSql)
+    "q_sketch_cms" -> qSketchCmsSql,
+    "q_sketch_hll_merge" -> qSketchHllMergeSql)
 }

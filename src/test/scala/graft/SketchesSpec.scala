@@ -66,4 +66,40 @@ class SketchesSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getLong(2) == r.getLong(1)),
       "expected at least one collision-free probe at this vocabulary size")
   }
+
+  test("q_sketch_hll_merge: day-merged estimate is lossless vs one-shot and in bound") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.Sketches.qSketchHllMerge(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct("user_id").as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one-shot whole-corpus sketch at the same lgK — register-max
+    // union must reproduce its estimate EXACTLY (mergeability is
+    // lossless for HLL, not just approximately right)
+    val oneShot = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("user_id"), lit(queries.Sketches.HllLgK)))
+        .as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = {
+      val e = Tables.events(spark, sf).select(col("event_type"),
+        col("user_id"), expr("(ts DIV 1000) DIV 86400000000").as("day"))
+      e.groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id"), lit(queries.Sketches.HllLgK)).as("sk"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("a"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(merged == oneShot,
+      s"merged daily sketches diverged from one-shot: $merged vs $oneShot")
+    for (r <- rows) {
+      val et = r.getString(0)
+      assert(r.getLong(2) == exact(et), s"$et exact twin")
+      assert(r.getLong(1) > 0, s"$et n_days")
+      assert(r.getLong(3) == 1L, s"$et merged estimate out of bound " +
+        s"(approx=${merged(et)}, exact=${exact(et)})")
+    }
+  }
 }
