@@ -182,7 +182,10 @@ object Bench {
     // mergeable daily-HLL distinct telemetry — two combinable
     // aggregates whose shuffle carries KB sketch blobs; regresses if
     // the exact twin's expand ever dominates or the merge re-scans
-    "q_sketch_hll_merge")
+    "q_sketch_hll_merge",
+    // von Neumann η — one (object, band) shuffle shared by the lag
+    // window and the exact-bigint aggregate
+    "q_eta")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

@@ -1623,6 +1623,53 @@ object TimeSeries {
        |  CASE WHEN n > 1 THEN j_c6 / (1000000.0 * (n - 1)) END AS j_val
        |FROM a ORDER BY user_id, band""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Von Neumann ratio η per (object, band) — the mean square
+    * successive difference over the variance (von Neumann 1941; the
+    * `η` trend statistic of the LSST/ZTF variability-feature sets:
+    * η ≈ 2 for white noise, ≪ 2 for smooth trends, > 2 for
+    * oscillation faster than the cadence). Unlike [[qStetson]]'s
+    * per-term-rounded sums, η is EXACT rational end-to-end:
+    * `η = n·Σ(Δx)² / (n·Σx² − (Σx)²)` — both sides bigint from the
+    * same (object, band) pass — plus one IEEE division for the
+    * reported value, so the hash needs no rounding discipline at all.
+    *
+    * Scale shape: the lag(1) window and the aggregate share ONE
+    * (object, band) shuffle; consecutive-difference form is linear in
+    * the series. */
+  def qEta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"band").orderBy($"tus", $"event_id")
+    bandedSeries(s, dir)
+      .withColumn("dx", $"xc" - lag($"xc", 1).over(w))
+      .groupBy($"user_id", $"band")
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum($"dx" * $"dx"), lit(0L)).as("d2_c100sq"),
+        (count(lit(1)) * sum($"xc" * $"xc") - sum($"xc") * sum($"xc"))
+          .as("var_num"))
+      .withColumn("eta_val", when($"var_num" > 0,
+        ($"n" * $"d2_c100sq").cast("double") / $"var_num"))
+      .orderBy($"user_id", $"band")
+  }
+
+  val qEtaSql: String =
+    s"""WITH b AS (SELECT user_id, $BandCaseSql AS band, event_id,
+       |    epoch_us(ts) AS tus, CAST(ROUND(value*100) AS BIGINT) AS xc
+       |  FROM events),
+       |l AS (SELECT user_id, band, xc,
+       |    xc - LAG(xc) OVER (PARTITION BY user_id, band
+       |      ORDER BY tus, event_id) AS dx
+       |  FROM b),
+       |a AS (SELECT user_id, band, COUNT(*) AS n,
+       |    CAST(COALESCE(SUM(dx * dx), 0) AS BIGINT) AS d2_c100sq,
+       |    CAST(COUNT(*)*SUM(xc*xc) - SUM(xc)*SUM(xc) AS BIGINT) AS var_num
+       |  FROM l GROUP BY 1, 2)
+       |SELECT user_id, band, n, d2_c100sq, var_num,
+       |  CASE WHEN var_num > 0 THEN
+       |    CAST(n * d2_c100sq AS DOUBLE) / var_num END AS eta_val
+       |FROM a ORDER BY user_id, band""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lightcurve_stats" -> (qLightcurveStats _),
     "q_variability_class" -> (qVariabilityClass _),
@@ -1655,7 +1702,8 @@ object TimeSeries {
     "q_mad" -> (qMad _),
     "q_crossband_corr" -> (qCrossbandCorr _),
     "q_value_drift" -> (qValueDrift _),
-    "q_stetson" -> (qStetson _))
+    "q_stetson" -> (qStetson _),
+    "q_eta" -> (qEta _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -1689,5 +1737,6 @@ object TimeSeries {
     "q_mad" -> qMadSql,
     "q_crossband_corr" -> qCrossbandCorrSql,
     "q_value_drift" -> qValueDriftSql,
-    "q_stetson" -> qStetsonSql)
+    "q_stetson" -> qStetsonSql,
+    "q_eta" -> qEtaSql)
 }

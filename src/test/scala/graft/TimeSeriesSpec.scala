@@ -578,4 +578,33 @@ class TimeSeriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_eta equals the exact rational n*sum(dx^2)/var_num recomputed brute-force") {
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000").as("tus"),
+        round(col("value") * 100).cast("long").as("xc"),
+        expr(queries.TimeSeries.BandCaseSql).as("band"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getLong(2), r.getLong(1),
+        r.getLong(3)))
+    val got = queries.TimeSeries.qEta(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val groups = raw.groupBy(t => (t._1, t._2))
+    assert(got.keySet == groups.keySet)
+    for (((uid, band), rows) <- groups) {
+      val xs = rows.sortBy(t => (t._3, t._4)).map(_._5)
+      val n = xs.length.toLong
+      val d2 = xs.sliding(2).collect { case Array(a, b) =>
+        (b - a) * (b - a)
+      }.sum
+      val varNum = n * xs.map(x => x * x).sum - xs.sum * xs.sum
+      val r = got((uid, band))
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("d2_c100sq") == d2 &&
+        r.getAs[Long]("var_num") == varNum, s"($uid,$band) sums")
+      if (varNum > 0)
+        assert(r.getAs[Double]("eta_val") ==
+          (n * d2).toDouble / varNum, s"($uid,$band) eta")
+    }
+  }
 }
