@@ -185,7 +185,10 @@ object Bench {
     "q_sketch_hll_merge",
     // von Neumann η — one (object, band) shuffle shared by the lag
     // window and the exact-bigint aggregate
-    "q_eta")
+    "q_eta",
+    // perceptual dedup clusters — pair generation + the sliver-only
+    // label loop; regresses if singletons ever enter the iteration
+    "q_blob_clusters")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

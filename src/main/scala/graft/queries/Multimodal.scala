@@ -368,9 +368,13 @@ object Multimodal {
     * the identical cross-multiplied comparisons packed into four INT
     * pieces, the same capped piece blocking, and `bit_count(xor)`
     * verification. */
-  val qBlobPhashSql: String = {
+  /** The oracle's shared CTE chain (payload bytes → planted variants
+    * → signatures → capped blocks → candidates) — embedded verbatim
+    * by [[qBlobPhashSql]] and the cluster twin [[qBlobClustersSql]],
+    * so the two queries' pair graphs match by construction. */
+  private val phashPairCtesSql: String = {
     val lastR = PhashRegions - 1
-    s"""WITH b AS (SELECT doc_id, LOWER(HEX(ENCODE(text))) AS h,
+    s"""b AS (SELECT doc_id, LOWER(HEX(ENCODE(text))) AS h,
        |    OCTET_LENGTH(ENCODE(text)) AS n FROM documents
        |  WHERE OCTET_LENGTH(ENCODE(text)) > 0),
        |by AS (SELECT doc_id, n,
@@ -417,7 +421,11 @@ object Multimodal {
        |    FROM pieces) WHERE bsz <= $PhashBlockCap),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2
        |  FROM blocks a JOIN blocks b2 ON a.pi = b2.pi AND a.pv = b2.pv
-       |    AND a.doc_id < b2.doc_id)
+       |    AND a.doc_id < b2.doc_id)""".stripMargin
+  }
+
+  val qBlobPhashSql: String =
+    s"""WITH $phashPairCtesSql
        |SELECT d1, d2,
        |  CAST(bit_count(xor(sa.p0, sb.p0)) + bit_count(xor(sa.p1, sb.p1)) +
        |       bit_count(xor(sa.p2, sb.p2)) + bit_count(xor(sa.p3, sb.p3)) AS INT) AS hamming
@@ -425,7 +433,52 @@ object Multimodal {
        |WHERE bit_count(xor(sa.p0, sb.p0)) + bit_count(xor(sa.p1, sb.p1)) +
        |      bit_count(xor(sa.p2, sb.p2)) + bit_count(xor(sa.p3, sb.p3)) <= $PhashHammingMax
        |ORDER BY d1, d2""".stripMargin
+
+  /** Media dedup CLUSTERS: connected components over the perceptual
+    * pair graph — the survivor-selection unit of multimodal dedup
+    * (keep one blob per cluster), composing [[qBlobPhash]]'s edge set
+    * with the same label-propagation engine as the text-side
+    * `q_dedup_clusters` (min-label + two-hop path compression over
+    * the edge-touching sliver only; singletons never iterate). A
+    * planted re-encode family (base + its two byte-variants, see
+    * [[PhashVariantMod]]) lands in ONE cluster — transitively, even
+    * when only the base links the two variants.
+    *
+    * Scale shape: the iterating frame is the edge-touching sliver
+    * (dup rate × corpus); the pair generation is the capped blocking
+    * above — nothing here is all-pairs, nothing iterates over the
+    * full corpus. */
+  def qBlobClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = phashSigs(s, dir).localCheckpoint(true)
+    Dedup.connectedComponents(
+      sigs.select($"doc_id"),
+      phashPairsOf(sigs).select("d1", "d2"))
   }
+
+  /** Oracle twin: the shared pair CTEs + the same recursive
+    * transitive closure as the text-side cluster oracle (MIN label
+    * per reachable set), over the full blob node set `docs`. */
+  val qBlobClustersSql: String =
+    s"""WITH RECURSIVE
+       |$phashPairCtesSql,
+       |jp AS (SELECT d1, d2
+       |  FROM cand JOIN sig sa ON sa.doc_id = d1 JOIN sig sb ON sb.doc_id = d2
+       |  WHERE bit_count(xor(sa.p0, sb.p0)) + bit_count(xor(sa.p1, sb.p1)) +
+       |        bit_count(xor(sa.p2, sb.p2)) + bit_count(xor(sa.p3, sb.p3))
+       |          <= $PhashHammingMax),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM jp
+       |          UNION ALL SELECT d2, d1 FROM jp),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM docs
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.node = e.src),
+       |lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id
+       |  FROM reach GROUP BY 1),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size
+       |FROM lab JOIN sz USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   // STORED perceptual-signature index — the at-rest half of blob
@@ -1244,7 +1297,8 @@ object Multimodal {
     "q_blob_phash" -> (qBlobPhash _),
     "q_blob_phash_stored" -> (qBlobPhashStored _),
     "q_blob_phash_batches" -> (qBlobPhashBatches _),
-    "q_modal_mismatch" -> (qModalMismatch _))
+    "q_modal_mismatch" -> (qModalMismatch _),
+    "q_blob_clusters" -> (qBlobClusters _))
 
   val oracles: Map[String, String] = Map(
     "q_blob_meta" -> qBlobMetaSql,
@@ -1256,5 +1310,6 @@ object Multimodal {
     // index must reproduce it bit-for-bit
     "q_blob_phash_stored" -> qBlobPhashSql,
     "q_blob_phash_batches" -> qBlobPhashBatchesSql,
-    "q_modal_mismatch" -> qModalMismatchSql)
+    "q_modal_mismatch" -> qModalMismatchSql,
+    "q_blob_clusters" -> qBlobClustersSql)
 }

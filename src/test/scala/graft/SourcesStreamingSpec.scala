@@ -108,6 +108,45 @@ class MultimodalSpec extends AnyFunSuite {
       assert(expected.contains((id, id + PhashV1Offset, 0)), s"doc $id")
   }
 
+  test("q_blob_clusters is the transitive closure of the phash pair graph") {
+    import queries.Multimodal._
+    val pairs = qBlobPhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+    val nodes = qBlobClusters(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("cluster_size")))
+    // driver union-find over the same edges
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      parent.getOrElseUpdate(x, x)
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = nodes.map(_._1)
+    val wantLbl = ids.map(id => id -> find(id)).toMap
+    val wantSz = wantLbl.values.groupBy(identity).view.mapValues(_.size.toLong)
+    for ((id, cl, sz) <- nodes) {
+      assert(cl == wantLbl(id), s"doc $id label")
+      assert(sz == wantSz(wantLbl(id)), s"doc $id size")
+    }
+    // the planted re-encode families are non-singleton clusters:
+    // base + both byte-variants land together, transitively
+    val fams = ids.filter(id => id < PhashV1Offset && id % PhashVariantMod == 0)
+    assert(fams.nonEmpty)
+    for (id <- fams) {
+      assert(wantLbl.get(id + PhashV1Offset).contains(wantLbl(id)) &&
+        wantLbl.get(id + PhashV2Offset).contains(wantLbl(id)),
+        s"family of $id split across clusters")
+    }
+  }
+
   test("q_modal_mismatch equals a driver brute-force over both modality graphs") {
     import queries.Multimodal._
     // re-derive the modal corpus driver-side: base + three planted
