@@ -188,7 +188,10 @@ object Bench {
     "q_eta",
     // perceptual dedup clusters — pair generation + the sliver-only
     // label loop; regresses if singletons ever enter the iteration
-    "q_blob_clusters")
+    "q_blob_clusters",
+    // irregular grouping sets — one scan, Expand ×3, one combinable
+    // aggregate; regresses if the three reports ever become three scans
+    "q_grouping_sets")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

@@ -298,6 +298,46 @@ object CoreOlap {
       |ORDER BY nation, segment""".stripMargin
 
   // ---------------------------------------------------------------
+  /** IRREGULAR GROUPING SETS — the report shape neither ROLLUP nor
+    * CUBE can express: one pass producing the (returnflag, linestatus)
+    * detail grid, an independent per-ship-month rollup, and the grand
+    * total, with `grouping_id()` as the authoritative level bitmask
+    * (bit order = the declared column order, matching DuckDB's
+    * GROUPING(...)). Spark expands the sets map-side (one Expand ×3)
+    * into ONE combinable aggregate — three reports for one scan and
+    * one shuffle, where three separate queries would scan thrice. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .withColumn("shipmonth", month($"l_shipdate").cast("int"))
+      .groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"shipmonth"), Seq()),
+        $"l_returnflag", $"l_linestatus", $"shipmonth")
+      .agg(count(lit(1)).as("n"),
+        sum(round($"l_quantity" * 100).cast("long")).as("qty_c100"),
+        grouping_id().cast("int").as("gid"))
+      .select(coalesce($"l_returnflag", lit("(all)")).as("returnflag"),
+        coalesce($"l_linestatus", lit("(all)")).as("linestatus"),
+        coalesce($"shipmonth", lit(-1)).as("shipmonth"),
+        $"n", $"qty_c100", $"gid")
+      .orderBy($"gid", $"returnflag", $"linestatus", $"shipmonth")
+  }
+
+  val qGroupingSetsSql: String =
+    """WITH l AS (SELECT l_returnflag, l_linestatus,
+      |    CAST(MONTH(l_shipdate) AS INT) AS shipmonth, l_quantity
+      |  FROM lineitem)
+      |SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+      |  COALESCE(l_linestatus, '(all)') AS linestatus,
+      |  COALESCE(shipmonth, -1) AS shipmonth,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c100,
+      |  CAST(GROUPING(l_returnflag, l_linestatus, shipmonth) AS INT) AS gid
+      |FROM l
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (shipmonth), ())
+      |ORDER BY gid, returnflag, linestatus, shipmonth""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Full CUBE over (returnflag, linestatus) with the grouping-id
     * bitmask — the GROUPING SETS shape (ROLLUP's superset). The
     * "(all)" coalescing keeps the NULL subtotal markers printable and
@@ -1136,6 +1176,7 @@ object CoreOlap {
     "q_anti_join" -> (qAntiJoin _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_skew_join" -> (qSkewJoin _),
     "q_topn_idiom" -> (qTopnIdiom _),
     "q_shared_scan" -> (qSharedScan _),
@@ -1171,6 +1212,7 @@ object CoreOlap {
     "q_anti_join" -> qAntiJoinSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_topn_idiom" -> qTopnIdiomSql,
     "q_shared_scan" -> qSharedScanSql,

@@ -220,4 +220,35 @@ class CoreOlapSpec extends AnyFunSuite {
         s"row_number sort is not partitioned by cell: $rowNumSorts")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("q_grouping_sets equals the three plain groupBys it fuses; levels reconcile") {
+    import org.apache.spark.sql.functions._
+    val rows = queries.CoreOlap.qGroupingSets(spark, sf).collect()
+    // gid bitmask over (returnflag, linestatus, shipmonth):
+    // detail set aggregates shipmonth only (001b=1), month set
+    // aggregates rf+ls (110b=6), grand total all three (111b=7)
+    val byGid = rows.groupBy(_.getAs[Int]("gid"))
+    assert(byGid.keySet == Set(1, 6, 7), byGid.keySet.toString)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+        month(col("l_shipdate")).as("m"),
+        round(col("l_quantity") * 100).cast("long").as("q"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3)))
+    val detail = li.groupBy(t => (t._1, t._2)).view
+      .mapValues(v => (v.size.toLong, v.map(_._4).sum)).toMap
+    val monthly = li.groupBy(_._3).view
+      .mapValues(v => (v.size.toLong, v.map(_._4).sum)).toMap
+    assert(byGid(1).map(r => (r.getString(0), r.getString(1)) ->
+      (r.getAs[Long]("n"), r.getAs[Long]("qty_c100"))).toMap == detail)
+    assert(byGid(6).map(r => r.getAs[Int]("shipmonth") ->
+      (r.getAs[Long]("n"), r.getAs[Long]("qty_c100"))).toMap == monthly)
+    val Array(total) = byGid(7).toArray
+    assert(total.getAs[Long]("n") == li.length.toLong &&
+      total.getAs[Long]("qty_c100") == li.map(_._4).sum)
+    // aggregated dimensions carry the "(all)"/-1 markers
+    assert(byGid(1).forall(_.getAs[Int]("shipmonth") == -1))
+    assert(byGid(6).forall(r => r.getString(0) == "(all)" &&
+      r.getString(1) == "(all)"))
+  }
 }
