@@ -186,12 +186,16 @@ object Bench {
     // von Neumann η — one (object, band) shuffle shared by the lag
     // window and the exact-bigint aggregate
     "q_eta",
+    "q_theil_sen",
+    "q_dcf",
     // perceptual dedup clusters — pair generation + the sliver-only
     // label loop; regresses if singletons ever enter the iteration
     "q_blob_clusters",
     // irregular grouping sets — one scan, Expand ×3, one combinable
     // aggregate; regresses if the three reports ever become three scans
-    "q_grouping_sets")
+    "q_grouping_sets",
+    "q_hash_sample",
+    "q_kmv_overlap")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

@@ -285,11 +285,119 @@ object Sketches {
        |  CAST(1 AS BIGINT) AS in_bound
        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** KMV sketch size: 64 minima → ~12.5% (1/√k) standard error. */
+  val KmvK = 64
+
+  /** K-minimum-values SET-OPERATION sketch across sources (Bar-Yossef
+    * et al. 2002; the Theta-sketch family's core) — the telemetry HLL
+    * cannot provide: per-source bottom-k document-hash sketches
+    * compose into UNION and INTERSECTION distinct estimates per source
+    * pair (bottom-k(A ∪ B) ⊆ bottom-k(A) ∪ bottom-k(B), so merging
+    * sketches IS sketching the union), giving the cross-source
+    * content-overlap matrix — "how much of source A is also in B" —
+    * at k rows per source instead of a corpus-pair distinct.
+    *
+    * Unlike the HLL entries (engine-specific registers, hash-checked
+    * via exact twins + an in-bound flag), KMV is md5-deterministic
+    * end-to-end, so the oracle re-derives the ENTIRE sketch and the
+    * estimates themselves hash-check: kth-min is exact-integer, the
+    * estimator (k−1)·2⁶⁰/h_k is one fixed double chain, and the
+    * Jaccard is integer permille. A sketch that saw its whole set
+    * (k_used < k) reports the EXACT count.
+    *
+    * Scale shape: the per-source set is one combinable (source, h)
+    * aggregate; the bottom-k runs on the [[graft.plans.TopKPerKey]]
+    * partial/final operator (≈k·P rows shuffled per source — a
+    * window would sort each source's whole corpus slice in one
+    * task); every stage after operates on the |sources|×k sketch
+    * frame, corpus-size-independent. */
+  def qKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val h = Tables.documents(s, dir)
+      .select($"source",
+        expr("CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+      .groupBy($"source", $"h").agg(count(lit(1)).as("_c")).drop("_c")
+    val sk = graft.plans.TopKPerKey(h, Seq("source"), Seq(("h", true)),
+      KmvK).select($"source", $"h")
+    val srcs = sk.select($"source").distinct()
+    val left = sk.join(srcs.withColumnRenamed("source", "other"),
+        $"source" < $"other")
+      .select($"source".as("src_a"), $"other".as("src_b"), $"h",
+        lit(1L).as("ia"), lit(0L).as("ib"))
+    val right = sk.join(srcs.withColumnRenamed("source", "other"),
+        $"other" < $"source")
+      .select($"other".as("src_a"), $"source".as("src_b"), $"h",
+        lit(0L).as("ia"), lit(1L).as("ib"))
+    val u = left.unionByName(right)
+      .groupBy($"src_a", $"src_b", $"h")
+      .agg(max($"ia").as("in_a"), max($"ib").as("in_b"))
+    val w = Window.partitionBy($"src_a", $"src_b").orderBy($"h")
+    u.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= KmvK)
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("k_used"), max($"h").as("kth_h"),
+        sum(when($"in_a" === 1 && $"in_b" === 1, 1L).otherwise(0L))
+          .as("shared"))
+      .withColumn("jacc_milli", expr("shared * 1000 DIV k_used"))
+      .withColumn("est_union",
+        when($"k_used" < KmvK, $"k_used".cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) *
+            lit(1152921504606846976.0) / $"kth_h".cast("double")))
+      .withColumn("est_inter",
+        $"shared".cast("double") / $"k_used".cast("double") * $"est_union")
+      .select($"src_a", $"src_b", $"k_used", $"kth_h", $"shared",
+        $"jacc_milli", $"est_union", $"est_inter")
+      .orderBy($"src_a", $"src_b")
+  }
+
+  /** Oracle twin: the whole sketch re-derived — same 60-bit hash,
+    * same bottom-k, same fixed estimator chain. */
+  val qKmvOverlapSql: String =
+    s"""WITH h AS (SELECT DISTINCT source,
+       |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+       |  FROM documents),
+       |sk AS (SELECT source, h FROM (SELECT source, h,
+       |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+       |    FROM h) WHERE rn <= $KmvK),
+       |srcs AS (SELECT DISTINCT source FROM sk),
+       |tagged AS (
+       |  SELECT sk.source AS src_a, o.source AS src_b, h,
+       |      1 AS ia, 0 AS ib
+       |    FROM sk JOIN srcs o ON sk.source < o.source
+       |  UNION ALL
+       |  SELECT o.source AS src_a, sk.source AS src_b, h,
+       |      0 AS ia, 1 AS ib
+       |    FROM sk JOIN srcs o ON o.source < sk.source),
+       |u AS (SELECT src_a, src_b, h, MAX(ia) AS in_a, MAX(ib) AS in_b
+       |  FROM tagged GROUP BY 1, 2, 3),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b
+       |    ORDER BY h) AS rn FROM u),
+       |agg AS (SELECT src_a, src_b, COUNT(*) AS k_used,
+       |    MAX(h) AS kth_h,
+       |    CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS shared
+       |  FROM r WHERE rn <= $KmvK GROUP BY 1, 2)
+       |SELECT src_a, src_b, k_used, kth_h, shared,
+       |  CAST(shared * 1000 // k_used AS BIGINT) AS jacc_milli,
+       |  CASE WHEN k_used < $KmvK THEN CAST(k_used AS DOUBLE)
+       |    ELSE CAST(${KmvK - 1} AS DOUBLE)
+       |      * CAST(1152921504606846976 AS DOUBLE)
+       |      / CAST(kth_h AS DOUBLE) END AS est_union,
+       |  CAST(shared AS DOUBLE) / CAST(k_used AS DOUBLE)
+       |    * (CASE WHEN k_used < $KmvK THEN CAST(k_used AS DOUBLE)
+       |      ELSE CAST(${KmvK - 1} AS DOUBLE)
+       |        * CAST(1152921504606846976 AS DOUBLE)
+       |        / CAST(kth_h AS DOUBLE) END) AS est_inter
+       |FROM agg ORDER BY src_a, src_b""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sketch_distinct" -> (qSketchDistinct _),
     "q_sketch_quantile" -> (qSketchQuantile _),
     "q_sketch_cms" -> (qSketchCms _),
-    "q_sketch_hll_merge" -> (qSketchHllMerge _))
+    "q_sketch_hll_merge" -> (qSketchHllMerge _),
+    "q_kmv_overlap" -> (qKmvOverlap _))
 
   /** All three sketch entries are fully driver-checkable: the HLL++
     * and approx_percentile entries hash their EXACT twin columns and
@@ -300,5 +408,6 @@ object Sketches {
     "q_sketch_distinct" -> qSketchDistinctSql,
     "q_sketch_quantile" -> qSketchQuantileSql,
     "q_sketch_cms" -> qSketchCmsSql,
-    "q_sketch_hll_merge" -> qSketchHllMergeSql)
+    "q_sketch_hll_merge" -> qSketchHllMergeSql,
+    "q_kmv_overlap" -> qKmvOverlapSql)
 }

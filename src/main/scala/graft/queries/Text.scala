@@ -1204,6 +1204,69 @@ object Text {
        |    < CASE WHEN n_toks > 0 THEN score // n_toks ELSE 0 END AS INT) AS keep
        |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Deterministic train/valid/test split census — the reproducible-
+    * split primitive every training pipeline runs before anything
+    * else: each document's split is a pure function of its id
+    * (md5-bucket 0-999 → 980/10/10 permille), so the assignment is
+    * stable across reshuffles, re-ingests, engine versions, and
+    * cluster sizes (no RNG seed to version, no row order to pin —
+    * the property `rand()`-based splits silently lack). Reports the
+    * per-(source, split) census: doc count, char mass, and the
+    * realized permille within the source (the split-skew audit — a
+    * source whose realized test share drifts far from 10‰ is too
+    * small to hold out from).
+    *
+    * Cross-engine discipline: the bucket is the house hex→int idiom
+    * (conv(substr(md5,1,15)) ≡ ('0x'||substr)::BIGINT — 60 bits, so
+    * no sign or overflow edge), and the permille is integer DIV
+    * against a windowed per-source total cast back to BIGINT (DuckDB
+    * windowed SUM promotes to hugeint).
+    *
+    * Scale shape: one map pass (md5 + two comparisons per row), one
+    * combinable (source, split) aggregate, then the permille window
+    * over the |sources|×3-row REDUCED frame — corpus-size-independent
+    * post-aggregate work. */
+  def qHashSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .withColumn("hb",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15)," +
+          " 16, 10) AS BIGINT) % 1000"))
+      .withColumn("split",
+        when($"hb" < 980, "train").when($"hb" < 990, "valid")
+          .otherwise("test"))
+    val w = Window.partitionBy($"source")
+    d.groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+      .withColumn("src_docs", sum($"n_docs").over(w))
+      .withColumn("permille", expr("n_docs * 1000 DIV src_docs"))
+      .select($"source", $"split", $"n_docs", $"chars", $"src_docs",
+        $"permille")
+      .orderBy($"source", $"split")
+  }
+
+  /** Oracle twin: identical bucket arithmetic, hugeint sums pinned
+    * back to BIGINT. */
+  val qHashSampleSql: String =
+    """WITH d AS (SELECT source, n_chars,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |      % 1000 AS hb
+      |  FROM documents),
+      |s AS (SELECT source,
+      |    CASE WHEN hb < 980 THEN 'train'
+      |         WHEN hb < 990 THEN 'valid' ELSE 'test' END AS split,
+      |    n_chars
+      |  FROM d),
+      |a AS (SELECT source, split, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS chars
+      |  FROM s GROUP BY 1, 2)
+      |SELECT source, split, n_docs, chars,
+      |  CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT) AS src_docs,
+      |  CAST(n_docs * 1000 // SUM(n_docs) OVER (PARTITION BY source)
+      |    AS BIGINT) AS permille
+      |FROM a ORDER BY source, split""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zipf" -> (qZipf _),
     "q_collocations" -> (qCollocations _),
@@ -1224,7 +1287,8 @@ object Text {
     "q_pii_scrub" -> (qPiiScrub _),
     "q_lm_score" -> (qLmScore _),
     "q_importance_weight" -> (qImportanceWeight _),
-    "q_mix_diversity" -> (qMixDiversity _))
+    "q_mix_diversity" -> (qMixDiversity _),
+    "q_hash_sample" -> (qHashSample _))
 
   val oracles: Map[String, String] = Map(
     "q_zipf" -> qZipfSql,
@@ -1246,5 +1310,6 @@ object Text {
     "q_pii_scrub" -> qPiiScrubSql,
     "q_lm_score" -> qLmScoreSql,
     "q_importance_weight" -> qImportanceWeightSql,
-    "q_mix_diversity" -> qMixDiversitySql)
+    "q_mix_diversity" -> qMixDiversitySql,
+    "q_hash_sample" -> qHashSampleSql)
 }

@@ -1670,6 +1670,170 @@ object TimeSeries {
        |    CAST(n * d2_c100sq AS DOUBLE) / var_num END AS eta_val
        |FROM a ORDER BY user_id, band""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Theil–Sen robust trend per (object, band): the low-median of all
+    * pairwise slopes (x_j − x_i)/(t_j − t_i) over epoch pairs t_i <
+    * t_j — the standard outlier-resistant alternative to the OLS
+    * trend of [[qLightcurveTrend]] (up to ~29% contaminated epochs
+    * cannot move it; Theil 1950 / Sen 1968, the robust proper-motion
+    * and secular-trend fit of time-domain pipelines).
+    *
+    * Cross-engine discipline: each slope is ONE fused IEEE chain
+    * (Δxc·8.64e13/Δt_us — milli-centiflux per day) rounded to bigint,
+    * so ranking is exact-integer; the median is the DISCRETE rank
+    * ⌈n/2⌉ element (row_number = (n+1) DIV 2), never an interpolated
+    * average, so no float-midpoint divergence is possible. Ties at
+    * the boundary are value-identical by construction.
+    *
+    * Scale shape: the pair stream is the [[qStructureFunction]]
+    * per-group self-join — ONE shuffle on the (object, band) key,
+    * pair blow-up quadratic in per-object epoch count (cadence-
+    * bounded), linear in the catalog — and the median-rank window
+    * partitions by the SAME key, so it sorts within the join's
+    * existing partitioning rather than re-shuffling. */
+  def qTheilSen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = bandedSeries(s, dir)
+    val l = b.select($"user_id", $"band", $"tus".as("t1"), $"xc".as("x1"))
+    val r = b.select($"user_id", $"band", $"tus".as("t2"), $"xc".as("x2"))
+    val slopes = l.join(r, Seq("user_id", "band")).filter($"t1" < $"t2")
+      .select($"user_id", $"band",
+        round(($"x2" - $"x1").cast("double") * lit(86400000000000.0) /
+          ($"t2" - $"t1").cast("double")).cast("long").as("slope_c3"))
+    val wg = Window.partitionBy($"user_id", $"band")
+    slopes
+      .withColumn("rn", row_number().over(wg.orderBy($"slope_c3")))
+      .withColumn("n_pairs", count(lit(1)).over(wg))
+      .filter($"rn" === expr("(n_pairs + 1) DIV 2"))
+      .select($"user_id", $"band", $"n_pairs",
+        $"slope_c3".as("ts_slope_c3"),
+        ($"slope_c3" / lit(1000.0)).as("slope_val"))
+      .orderBy($"user_id", $"band")
+  }
+
+  /** Oracle twin: same fused slope chain, same discrete rank. */
+  val qTheilSenSql: String =
+    s"""WITH b AS (SELECT user_id, $BandCaseSql AS band,
+       |    epoch_us(ts) AS tus, CAST(ROUND(value*100) AS BIGINT) AS xc
+       |  FROM events),
+       |p AS (SELECT a.user_id, a.band,
+       |    CAST(ROUND(CAST(c.xc - a.xc AS DOUBLE) * 86400000000000.0
+       |      / CAST(c.tus - a.tus AS DOUBLE)) AS BIGINT) AS slope_c3
+       |  FROM b a JOIN b c
+       |    ON a.user_id = c.user_id AND a.band = c.band
+       |   AND a.tus < c.tus),
+       |r AS (SELECT user_id, band, slope_c3,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, band
+       |      ORDER BY slope_c3) AS rn,
+       |    COUNT(*) OVER (PARTITION BY user_id, band) AS np
+       |  FROM p)
+       |SELECT user_id, band, CAST(np AS BIGINT) AS n_pairs,
+       |  slope_c3 AS ts_slope_c3, slope_c3 / 1000.0 AS slope_val
+       |FROM r WHERE rn = (np + 1) // 2
+       |ORDER BY user_id, band""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Lag window of the discrete correlation function, in visits. */
+  private[graft] val DcfMaxLagVisits = 2L
+
+  /** Ensemble discrete cross-correlation function between bands g and
+    * r (Edelson & Krolik 1988 — the inter-band lag estimator of AGN
+    * reverberation mapping, built for exactly the unevenly-sampled
+    * series a survey produces): every per-object (g epoch, r epoch)
+    * pair within ±2 visits, binned by its signed visit lag, then one
+    * ensemble Pearson correlation per lag bin. A peak off lag 0 is an
+    * inter-band delay. Complements [[qCrossbandCorr]], which
+    * correlates only SIMULTANEOUS (same-visit) pairs per object.
+    *
+    * Cross-engine discipline: sums of centi-flux products accumulate
+    * EXACT (decimal(30,0) here ≡ DuckDB's hugeint sums — a bigint sum
+    * would overflow past ~10⁶ pairs/bin at corpus scale); the
+    * correlation is then one FIXED double chain (each exact sum cast
+    * once, n·Σxy − Σx·Σy, √den_g·√den_r separately — the
+    * [[qCrossbandCorr]] overflow discipline). The signed lag bin
+    * truncates on a SHIFTED non-negative dt so Spark's DIV and
+    * DuckDB's // agree (they differ on negatives).
+    *
+    * Scale shape: the pair stream is a per-OBJECT join of the two
+    * band slivers — one shuffle on the object key, pair volume linear
+    * in epochs × the bounded ±2-visit window (never quadratic in the
+    * corpus) — and the reduction is map-side combinable into exactly
+    * 2·lag+1 = 5 cells. */
+  def qDcf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = bandedSeries(s, dir)
+    val g = b.filter($"band" === "g")
+      .select($"user_id", $"tus".as("tg"), $"xc".as("xg"))
+    val r = b.filter($"band" === "r")
+      .select($"user_id", $"tus".as("tr"), $"xc".as("xr"))
+    val k = DcfMaxLagVisits
+    g.join(r, Seq("user_id"))
+      .withColumn("dt", $"tr" - $"tg")
+      .filter(abs($"dt") <= lit(k * VisitUs))
+      .withColumn("lag_bin",
+        expr(s"(dt + ${k * VisitUs}) DIV $VisitUs - $k"))
+      .groupBy($"lag_bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"xg".cast("decimal(30,0)")).as("sx"),
+        sum($"xr".cast("decimal(30,0)")).as("sy"),
+        sum(($"xg" * $"xr").cast("decimal(30,0)")).as("sxy"),
+        sum(($"xg" * $"xg").cast("decimal(30,0)")).as("sxx"),
+        sum(($"xr" * $"xr").cast("decimal(30,0)")).as("syy"))
+      .withColumn("num",
+        $"n_pairs".cast("double") * $"sxy".cast("double") -
+          $"sx".cast("double") * $"sy".cast("double"))
+      .withColumn("den_g",
+        $"n_pairs".cast("double") * $"sxx".cast("double") -
+          $"sx".cast("double") * $"sx".cast("double"))
+      .withColumn("den_r",
+        $"n_pairs".cast("double") * $"syy".cast("double") -
+          $"sy".cast("double") * $"sy".cast("double"))
+      .withColumn("dcf_corr",
+        when($"n_pairs" >= 2 && $"den_g" > 0 && $"den_r" > 0,
+          $"num" / (sqrt($"den_g") * sqrt($"den_r"))))
+      .select($"lag_bin", $"n_pairs", $"num", $"den_g", $"den_r",
+        $"dcf_corr")
+      .orderBy($"lag_bin")
+  }
+
+  /** Oracle twin: hugeint-exact sums, the identical double chain. */
+  val qDcfSql: String = {
+    val k = DcfMaxLagVisits
+    s"""WITH b AS (SELECT user_id, $BandCaseSql AS band,
+       |    epoch_us(ts) AS tus, CAST(ROUND(value*100) AS BIGINT) AS xc
+       |  FROM events),
+       |p AS (SELECT (r.tus - g.tus + ${k * VisitUs}) // $VisitUs - $k
+       |      AS lag_bin,
+       |    g.xc AS xg, r.xc AS xr
+       |  FROM b g JOIN b r
+       |    ON g.user_id = r.user_id AND g.band = 'g' AND r.band = 'r'
+       |   AND ABS(r.tus - g.tus) <= ${k * VisitUs}),
+       |a AS (SELECT lag_bin, COUNT(*) AS n_pairs,
+       |    SUM(xg) AS sx, SUM(xr) AS sy, SUM(xg*xr) AS sxy,
+       |    SUM(xg*xg) AS sxx, SUM(xr*xr) AS syy
+       |  FROM p GROUP BY 1)
+       |SELECT lag_bin, n_pairs,
+       |  CAST(n_pairs AS DOUBLE)*CAST(sxy AS DOUBLE)
+       |    - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+       |  CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE)
+       |    - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS den_g,
+       |  CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE)
+       |    - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS den_r,
+       |  CASE WHEN n_pairs >= 2
+       |    AND CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0
+       |    AND CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE)
+       |      - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) > 0
+       |    THEN (CAST(n_pairs AS DOUBLE)*CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+       |      / (SQRT(CAST(n_pairs AS DOUBLE)*CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+       |        * SQRT(CAST(n_pairs AS DOUBLE)*CAST(syy AS DOUBLE)
+       |          - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)))
+       |  END AS dcf_corr
+       |FROM a ORDER BY lag_bin""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lightcurve_stats" -> (qLightcurveStats _),
     "q_variability_class" -> (qVariabilityClass _),
@@ -1703,7 +1867,9 @@ object TimeSeries {
     "q_crossband_corr" -> (qCrossbandCorr _),
     "q_value_drift" -> (qValueDrift _),
     "q_stetson" -> (qStetson _),
-    "q_eta" -> (qEta _))
+    "q_eta" -> (qEta _),
+    "q_theil_sen" -> (qTheilSen _),
+    "q_dcf" -> (qDcf _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -1738,5 +1904,7 @@ object TimeSeries {
     "q_crossband_corr" -> qCrossbandCorrSql,
     "q_value_drift" -> qValueDriftSql,
     "q_stetson" -> qStetsonSql,
-    "q_eta" -> qEtaSql)
+    "q_eta" -> qEtaSql,
+    "q_theil_sen" -> qTheilSenSql,
+    "q_dcf" -> qDcfSql)
 }

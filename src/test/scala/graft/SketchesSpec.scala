@@ -102,4 +102,49 @@ class SketchesSpec extends AnyFunSuite {
         s"(approx=${merged(et)}, exact=${exact(et)})")
     }
   }
+
+  test("q_kmv_overlap equals the brute-force KMV sketch and bounds the union estimate") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val k = queries.Sketches.KmvK
+    val docs = Tables.documents(spark, sf).select("source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val hs: Map[String, Set[Long]] = docs.groupBy(_._1).map { case (s0, ds) =>
+      s0 -> ds.map(d =>
+        java.lang.Long.parseLong(md5hex(d._2).take(15), 16)).toSet
+    }
+    def sketch(xs: Set[Long]): Vector[Long] = xs.toVector.sorted.take(k)
+    val got = queries.Sketches.qKmvOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val srcs = hs.keys.toSeq.sorted
+    val expPairs = (for {
+      a <- srcs; b <- srcs if a < b
+    } yield (a, b)).toSet
+    assert(got.keySet == expPairs)
+    for ((a, b) <- expPairs) {
+      val ska = sketch(hs(a)); val skb = sketch(hs(b))
+      // mergeability: bottom-k of merged sketches == bottom-k of the union SET
+      val merged = (ska ++ skb).distinct.sorted.take(k)
+      assert(merged == sketch(hs(a) ++ hs(b)), s"($a,$b) KMV merge property")
+      val kUsed = merged.length.toLong
+      val kth = merged.last
+      val shared = merged.count(h => ska.contains(h) && skb.contains(h)).toLong
+      val estU = if (kUsed < k) kUsed.toDouble
+        else (k - 1).toDouble * 1152921504606846976.0 / kth.toDouble
+      val r = got((a, b))
+      assert(r.getAs[Long]("k_used") == kUsed && r.getAs[Long]("kth_h") == kth,
+        s"($a,$b) sketch head")
+      assert(r.getAs[Long]("shared") == shared, s"($a,$b) shared")
+      assert(r.getAs[Long]("jacc_milli") == shared * 1000 / kUsed)
+      assert(r.getAs[Double]("est_union") == estU, s"($a,$b) est_union")
+      assert(r.getAs[Double]("est_inter") ==
+        shared.toDouble / kUsed.toDouble * estU)
+      // the estimator must land within 5/sqrt(k) of the exact union
+      // (~4 sigma: deterministic md5 makes this a fixed, replayable check)
+      val exact = (hs(a) ++ hs(b)).size.toDouble
+      assert(math.abs(estU - exact) <= 5.0 / math.sqrt(k.toDouble) * exact,
+        s"($a,$b) est $estU vs exact $exact")
+    }
+  }
 }

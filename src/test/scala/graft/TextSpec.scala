@@ -364,4 +364,38 @@ class TextSpec extends AnyFunSuite {
       s"water-fill quotas: $got")
     assert(got.forall(t => t._4 == t._3), "sampled counts must equal quotas")
   }
+
+  test("q_hash_sample census equals a brute-force md5-bucket split") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def split(id: Long): String = {
+      val hb = java.lang.Long.parseLong(md5hex(id.toString).take(15), 16) % 1000
+      if (hb < 980) "train" else if (hb < 990) "valid" else "test"
+    }
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val exp = docs.groupBy(d => (d._2, split(d._1))).map { case (k, ds) =>
+      k -> (ds.length.toLong, ds.map(_._3).sum)
+    }
+    val srcTot = docs.groupBy(_._2).map { case (s0, ds) => s0 -> ds.length.toLong }
+    val got = queries.Text.qHashSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.keySet == exp.keySet)
+    for (((src, sp), (n, chars)) <- exp) {
+      val r = got((src, sp))
+      assert(r.getAs[Long]("n_docs") == n && r.getAs[Long]("chars") == chars,
+        s"($src,$sp) census")
+      assert(r.getAs[Long]("src_docs") == srcTot(src))
+      assert(r.getAs[Long]("permille") == n * 1000 / srcTot(src))
+    }
+    // determinism: the same doc lands in the same split on a re-read
+    val again = queries.Text.qHashSample(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(again == got.map { case (k, r) => k -> r.getAs[Long]("n_docs") })
+    // all three splits materialize somewhere in the corpus
+    assert(Set("train", "valid", "test").subsetOf(exp.keySet.map(_._2)))
+  }
 }

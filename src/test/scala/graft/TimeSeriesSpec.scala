@@ -607,4 +607,82 @@ class TimeSeriesSpec extends AnyFunSuite {
           (n * d2).toDouble / varNum, s"($uid,$band) eta")
     }
   }
+
+  test("q_theil_sen equals the brute-force low-median of pairwise slopes") {
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000").as("tus"),
+        round(col("value") * 100).cast("long").as("xc"),
+        expr(queries.TimeSeries.BandCaseSql).as("band"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getLong(2), r.getLong(3)))
+    val got = queries.TimeSeries.qTheilSen(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val groups = raw.groupBy(t => (t._1, t._2))
+    // groups with zero strict-time pairs (single epoch) must be absent
+    val expKeys = groups.filter { case (_, rows) =>
+      rows.map(_._3).distinct.length > 1
+    }.keySet
+    assert(got.keySet == expKeys)
+    for (((uid, band), rows) <- groups if expKeys((uid, band))) {
+      val es = rows.map(t => (t._3, t._4))
+      val slopes = (for {
+        (t1, x1) <- es; (t2, x2) <- es if t1 < t2
+      } yield math.round((x2 - x1).toDouble * 86400000000000.0
+        / (t2 - t1).toDouble)).sorted
+      val n = slopes.length.toLong
+      val med = slopes(((n + 1) / 2 - 1).toInt)
+      val r = got((uid, band))
+      assert(r.getAs[Long]("n_pairs") == n, s"($uid,$band) n_pairs")
+      assert(r.getAs[Long]("ts_slope_c3") == med, s"($uid,$band) median")
+      assert(r.getAs[Double]("slope_val") == med / 1000.0)
+    }
+  }
+
+  test("q_dcf equals the brute-force ensemble lag correlation") {
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts DIV 1000").as("tus"),
+        round(col("value") * 100).cast("long").as("xc"),
+        expr(queries.TimeSeries.BandCaseSql).as("band"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val v = queries.TimeSeries.VisitUs
+    val k = queries.TimeSeries.DcfMaxLagVisits
+    val pairs: Seq[(Long, Long, Long)] =
+      raw.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        for {
+          g <- rows.toSeq if g._4 == "g"
+          r <- rows.toSeq if r._4 == "r"
+          dt = r._2 - g._2 if math.abs(dt) <= k * v
+        } yield ((dt + k * v) / v - k, g._3, r._3)
+      }
+    val exp = pairs.groupBy(_._1).map { case (bin, ps) =>
+      val n = ps.length.toLong
+      val sx = BigInt(ps.map(_._2).sum)
+      val sy = BigInt(ps.map(_._3).sum)
+      val sxy = ps.map(p => BigInt(p._2) * BigInt(p._3)).sum
+      val sxx = ps.map(p => BigInt(p._2) * BigInt(p._2)).sum
+      val syy = ps.map(p => BigInt(p._3) * BigInt(p._3)).sum
+      val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+      val dg = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+      val dr = n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+      bin -> (n, num, dg, dr)
+    }
+    val got = queries.TimeSeries.qDcf(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == exp.keySet)
+    // the ±2-visit window must actually populate multiple signed lags
+    assert(got.keySet.exists(_ < 0) && got.keySet.exists(_ > 0))
+    for ((bin, (n, num, dg, dr)) <- exp) {
+      val r = got(bin)
+      assert(r.getAs[Long]("n_pairs") == n, s"bin $bin n")
+      assert(r.getAs[Double]("num") == num, s"bin $bin num")
+      assert(r.getAs[Double]("den_g") == dg && r.getAs[Double]("den_r") == dr)
+      if (n >= 2 && dg > 0 && dr > 0) {
+        val c = r.getAs[Double]("dcf_corr")
+        assert(c == num / (math.sqrt(dg) * math.sqrt(dr)), s"bin $bin corr")
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      }
+    }
+  }
 }
