@@ -195,7 +195,9 @@ object Bench {
     // aggregate; regresses if the three reports ever become three scans
     "q_grouping_sets",
     "q_hash_sample",
-    "q_kmv_overlap")
+    "q_kmv_overlap",
+    "q_outlier_epochs",
+    "q_crowding")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

@@ -1927,6 +1927,55 @@ object Spatial {
   val qTwoPointSampledSql: String =
     twoPointSqlOver(sampleSql(pointsSql), sampleSql(randPointsSql))
 
+  // ---------------------------------------------------------------
+  /** Crowding census: the distribution of per-object neighbor counts
+    * within 1° — the blendedness statistic deblenders and
+    * crowded-field photometry key on (LSST's Object table carries a
+    * per-object blendedness for exactly this; the histogram is its
+    * survey-level QA view). Isolated objects (zero neighbors) are a
+    * first-class bucket — they come from the LEFT join back to the
+    * catalog, not from the pair list, which by construction cannot
+    * contain them.
+    *
+    * Scale shape: candidates come from the shared zone-grid pair
+    * machinery (never all-pairs), the per-object count is one
+    * combinable aggregate on k1, the join-back is one shuffle on the
+    * object key, and the histogram + its share window run on a
+    * max-neighbor-count-sized frame — corpus-independent. */
+  def qCrowding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = points(s, dir).select($"k")
+      .join(orderedPairs(s, dir, 1.0).groupBy($"k1".as("k"))
+        .agg(count(lit(1)).as("nn")), Seq("k"), "left")
+      .select(coalesce($"nn", lit(0L)).as("nn"))
+    per.groupBy($"nn").agg(count(lit(1)).as("n_objects"))
+      .withColumn("n_total",
+        sum($"n_objects").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+      .withColumn("obj_milli", expr("n_objects * 1000 DIV n_total"))
+      .select($"nn".as("nbr_count"), $"n_objects", $"n_total",
+        $"obj_milli")
+      .orderBy($"nbr_count")
+  }
+
+  val qCrowdingSql: String =
+    s"""WITH pairs AS (
+       |  SELECT a.k AS k1,
+       |    ROUND(${distDegSql("a.ra", "a.decl", "b.ra", "b.decl")}, 6)
+       |      AS dist_r6
+       |  FROM ($pointsSql) a JOIN ($pointsSql) b ON a.k <> b.k),
+       |cnt AS (SELECT k1 AS k, COUNT(*) AS nn FROM pairs
+       |  WHERE dist_r6 < 1.0 GROUP BY 1),
+       |per AS (SELECT COALESCE(cnt.nn, 0) AS nn
+       |  FROM ($pointsSql) p LEFT JOIN cnt ON p.k = cnt.k),
+       |h AS (SELECT nn AS nbr_count, COUNT(*) AS n_objects FROM per
+       |  GROUP BY 1)
+       |SELECT nbr_count, n_objects,
+       |  CAST(SUM(n_objects) OVER () AS BIGINT) AS n_total,
+       |  CAST(n_objects * 1000 // SUM(n_objects) OVER () AS BIGINT)
+       |    AS obj_milli
+       |FROM h ORDER BY nbr_count""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cone_search" -> (qConeSearch _),
     "q_radial_profile" -> (qRadialProfile _),
@@ -1941,6 +1990,7 @@ object Spatial {
     "q_poly_search" -> (qPolySearch _),
     "q_ellipse_search" -> (qEllipseSearch _),
     "q_fof_groups" -> (qFofGroups _),
+    "q_crowding" -> (qCrowding _),
     "q_two_point_corr" -> (qTwoPointCorr _),
     "q_two_point_sampled" -> (qTwoPointSampled _),
     "q_assoc_history" -> (qAssocHistory _),
@@ -1964,6 +2014,7 @@ object Spatial {
     "q_poly_search" -> qPolySearchSql,
     "q_ellipse_search" -> qEllipseSearchSql,
     "q_fof_groups" -> qFofGroupsSql,
+    "q_crowding" -> qCrowdingSql,
     "q_two_point_corr" -> qTwoPointCorrSql,
     "q_two_point_sampled" -> qTwoPointSampledSql,
     "q_assoc_history" -> qAssocHistorySql,

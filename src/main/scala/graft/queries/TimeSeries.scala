@@ -1834,6 +1834,81 @@ object TimeSeries {
        |FROM a ORDER BY lag_bin""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  /** Sigma-clipped epoch QA per (object, band) — the calibration
+    * outlier census behind every difference-imaging pipeline's
+    * flagging pass: an epoch is an outlier when its deviation from
+    * the band's median exceeds 3·σ_MAD (the robust clip — a flaring
+    * or cosmic-ray epoch cannot inflate its own threshold the way a
+    * 3·stddev clip lets it). Reports per (object, band) the robust
+    * center/scale and the outlier count + permille — the table a
+    * nightly QA report renders directly.
+    *
+    * Cross-engine discipline: both medians are the DISCRETE rank
+    * CEIL(n/2) element ([[qMad]]'s argument), and the clip is pure
+    * integer — |x−med|·10⁴ > 44478·MAD encodes 3·1.4826 exactly, so
+    * no float enters the hash at all (out_milli is integer DIV).
+    *
+    * Scale shape: every window, join-back, and the final aggregate
+    * key on the SAME (object, band) composite — one partitioning
+    * reused end-to-end, 1-row-per-group build sides, per-group
+    * sorted state cadence-bounded (the [[qMad]] many-small-groups
+    * regime). */
+  def qOutlierEpochs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = bandedSeries(s, dir)
+    val wg = Window.partitionBy($"user_id", $"band")
+    val med = b
+      .withColumn("rn", row_number().over(wg.orderBy($"xc", $"event_id")))
+      .withColumn("n", count(lit(1)).over(wg))
+      .filter($"rn" === expr("CAST(CEIL(0.5 * n) AS BIGINT)"))
+      .select($"user_id", $"band", $"xc".as("med_c100"), $"n")
+    val withMed = b.join(med, Seq("user_id", "band"))
+      .withColumn("ad", abs($"xc" - $"med_c100"))
+    val mad = withMed
+      .withColumn("rn", row_number().over(wg.orderBy($"ad", $"event_id")))
+      .filter($"rn" === expr("CAST(CEIL(0.5 * n) AS BIGINT)"))
+      .select($"user_id", $"band", $"ad".as("mad_c100"))
+    withMed.join(mad, Seq("user_id", "band"))
+      .groupBy($"user_id", $"band")
+      .agg(count(lit(1)).as("n_epochs"),
+        max($"med_c100").as("med_c100"),
+        max($"mad_c100").as("mad_c100"),
+        sum(when($"ad" * 10000L > lit(44478L) * $"mad_c100", 1L)
+          .otherwise(0L)).as("n_out"))
+      .withColumn("out_milli", expr("n_out * 1000 DIV n_epochs"))
+      .orderBy($"user_id", $"band")
+  }
+
+  /** Oracle twin: same discrete ranks, same integer clip. */
+  val qOutlierEpochsSql: String =
+    s"""WITH b AS (SELECT user_id, $BandCaseSql AS band, event_id,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc FROM events),
+       |r1 AS (SELECT user_id, band, xc,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, band
+       |      ORDER BY xc, event_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY user_id, band) AS n
+       |  FROM b),
+       |med AS (SELECT user_id, band, xc AS med_c100, n FROM r1
+       |  WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)),
+       |d AS (SELECT b.user_id, b.band, b.event_id, med.n, med.med_c100,
+       |    ABS(b.xc - med.med_c100) AS ad
+       |  FROM b JOIN med USING (user_id, band)),
+       |r2 AS (SELECT user_id, band, ad,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, band
+       |      ORDER BY ad, event_id) AS rn, n
+       |  FROM d),
+       |mad AS (SELECT user_id, band, ad AS mad_c100 FROM r2
+       |  WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)),
+       |a AS (SELECT d.user_id, d.band, COUNT(*) AS n_epochs,
+       |    MAX(d.med_c100) AS med_c100, MAX(mad.mad_c100) AS mad_c100,
+       |    CAST(SUM(CASE WHEN d.ad * 10000 > 44478 * mad.mad_c100
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+       |  FROM d JOIN mad USING (user_id, band) GROUP BY 1, 2)
+       |SELECT user_id, band, n_epochs, med_c100, mad_c100, n_out,
+       |  CAST(n_out * 1000 // n_epochs AS BIGINT) AS out_milli
+       |FROM a ORDER BY user_id, band""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lightcurve_stats" -> (qLightcurveStats _),
     "q_variability_class" -> (qVariabilityClass _),
@@ -1869,7 +1944,8 @@ object TimeSeries {
     "q_stetson" -> (qStetson _),
     "q_eta" -> (qEta _),
     "q_theil_sen" -> (qTheilSen _),
-    "q_dcf" -> (qDcf _))
+    "q_dcf" -> (qDcf _),
+    "q_outlier_epochs" -> (qOutlierEpochs _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -1906,5 +1982,6 @@ object TimeSeries {
     "q_stetson" -> qStetsonSql,
     "q_eta" -> qEtaSql,
     "q_theil_sen" -> qTheilSenSql,
-    "q_dcf" -> qDcfSql)
+    "q_dcf" -> qDcfSql,
+    "q_outlier_epochs" -> qOutlierEpochsSql)
 }

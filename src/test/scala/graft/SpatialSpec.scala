@@ -747,4 +747,36 @@ class SpatialSpec extends AnyFunSuite {
     assert(f.exists(new Path(foreign, "data.parquet")))
     f.delete(foreign, true)
   }
+
+  test("q_crowding equals the brute-force neighbor-count histogram, zero bucket included") {
+    val pts = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+      .map(k => (k, (k * 137 % 36000) / 100.0, (k * 97 % 17000) / 100.0 - 85.0))
+    def hav(a: (Long, Double, Double), b: (Long, Double, Double)): Double = {
+      val (r1, d1, r2, d2) = (math.toRadians(a._2), math.toRadians(a._3),
+        math.toRadians(b._2), math.toRadians(b._3))
+      val s1 = math.sin((d1 - d2) / 2); val s2 = math.sin((r1 - r2) / 2)
+      val x = s1 * s1 + math.cos(d1) * math.cos(d2) * s2 * s2
+      BigDecimal(math.toDegrees(2 * math.asin(math.sqrt(x))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val nn = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for (i <- pts.indices; j <- (i + 1) until pts.length
+         if hav(pts(i), pts(j)) < 1.0) {
+      nn(pts(i)._1) += 1; nn(pts(j)._1) += 1
+    }
+    val hist = pts.map(p => nn(p._1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = pts.length.toLong
+    val got = queries.Spatial.qCrowding(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSet == hist.keySet)
+    // a real census needs BOTH isolated objects and a crowded tail
+    assert(hist.contains(0L) && hist.keySet.exists(_ >= 2L))
+    for (r <- got) {
+      val k = r.getLong(0)
+      assert(r.getAs[Long]("n_objects") == hist(k), s"bucket $k")
+      assert(r.getAs[Long]("n_total") == total)
+      assert(r.getAs[Long]("obj_milli") == hist(k) * 1000 / total)
+    }
+  }
 }

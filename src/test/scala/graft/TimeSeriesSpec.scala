@@ -685,4 +685,34 @@ class TimeSeriesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_outlier_epochs equals a brute-force MAD sigma-clip census") {
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("xc"),
+        expr(queries.TimeSeries.BandCaseSql).as("band"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(1)))
+    val got = queries.TimeSeries.qOutlierEpochs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val groups = raw.groupBy(t => (t._1, t._2))
+    assert(got.keySet == groups.keySet)
+    var anyOut = false
+    for (((uid, band), rows) <- groups) {
+      val xs = rows.map(_._3).sorted
+      val n = xs.length
+      val med = xs((math.ceil(0.5 * n) - 1).toInt)
+      val ads = xs.map(x => math.abs(x - med)).sorted
+      val mad = ads((math.ceil(0.5 * n) - 1).toInt)
+      val nOut = xs.count(x => math.abs(x - med) * 10000L > 44478L * mad).toLong
+      val r = got((uid, band))
+      assert(r.getAs[Long]("n_epochs") == n.toLong, s"($uid,$band) n")
+      assert(r.getAs[Long]("med_c100") == med, s"($uid,$band) med")
+      assert(r.getAs[Long]("mad_c100") == mad, s"($uid,$band) mad")
+      assert(r.getAs[Long]("n_out") == nOut, s"($uid,$band) n_out")
+      assert(r.getAs[Long]("out_milli") == nOut * 1000 / n)
+      if (nOut > 0) anyOut = true
+    }
+    assert(anyOut, "corpus must exercise the clip (no outliers anywhere)")
+  }
 }
