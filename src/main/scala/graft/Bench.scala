@@ -197,7 +197,9 @@ object Bench {
     "q_hash_sample",
     "q_kmv_overlap",
     "q_outlier_epochs",
-    "q_crowding")
+    "q_crowding",
+    "q_repeatability",
+    "q_embedding_qa")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

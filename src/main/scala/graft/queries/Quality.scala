@@ -258,15 +258,78 @@ object Quality {
        |  CAST(1000 * MAX(dn) > $KsThreshMilli * n_a * n_b AS INT) AS drift
        |FROM d GROUP BY 1, 2, 3 ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Vector-table ingest gate — the QA pass a pipeline runs on an
+    * embedding table before building ANY index over it (a zero
+    * vector poisons cosine similarity with NaN, a ragged dimension
+    * breaks every kernel, a norm-collapsed label signals an encoder
+    * regression): per label, count, dimension min/max (equal ⇔
+    * rectangular), exact integer-scaled norm² min/max, zero-vector
+    * count, and the RMS norm.
+    *
+    * Cross-engine discipline: components go through the house
+    * integer-scaling (round(x·10⁷) — [[graft.functions.VectorOps]]),
+    * so norm² is exact bigint via the IntVecNormSq codegen kernel
+    * (≡ DuckDB's unnest + SUM(vi·vi)); the RMS is one fixed double
+    * chain over the exact sums.
+    *
+    * Scale shape: one scan, per-row O(dim) kernel work, one
+    * combinable label aggregate — no shuffle beyond the |labels|-cell
+    * reduction. */
+  def qEmbeddingQa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorOps
+    Tables.embeddings(s, dir)
+      .withColumn("iv", VectorOps.intVec("embedding"))
+      .withColumn("dim", expr("CAST(size(embedding) AS BIGINT)"))
+      .withColumn("nrm", VectorOps.normSq("iv"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        min($"dim").as("dim_min"), max($"dim").as("dim_max"),
+        min($"nrm").as("min_nrm"), max($"nrm").as("max_nrm"),
+        sum(when($"nrm" === 0L, 1L).otherwise(0L)).as("n_zero"),
+        sum($"nrm".cast("decimal(38,0)")).as("_sum_nrm"))
+      .withColumn("rms_norm",
+        sqrt($"_sum_nrm".cast("double") / $"n_vecs".cast("double")) /
+          lit(10000000.0))
+      .select($"label", $"n_vecs", $"dim_min", $"dim_max", $"min_nrm",
+        $"max_nrm", $"n_zero", $"rms_norm")
+      .orderBy($"label")
+  }
+
+  /** Oracle twin: same integer scaling, hugeint-exact sums, the
+    * identical RMS chain. */
+  val qEmbeddingQaSql: String =
+    s"""WITH u AS (SELECT vec_id,
+       |    CAST(ROUND(CAST(v AS DOUBLE)
+       |      * ${graft.functions.VectorOps.ScaleLit}) AS BIGINT) AS vi
+       |  FROM (SELECT vec_id, unnest(embedding) AS v FROM embeddings)),
+       |n AS (SELECT vec_id, CAST(SUM(vi*vi) AS BIGINT) AS nrm,
+       |    COUNT(*) AS dim
+       |  FROM u GROUP BY 1),
+       |j AS (SELECT e.label, n.nrm, n.dim
+       |  FROM embeddings e JOIN n USING (vec_id))
+       |SELECT label, COUNT(*) AS n_vecs,
+       |  MIN(dim) AS dim_min, MAX(dim) AS dim_max,
+       |  MIN(nrm) AS min_nrm, MAX(nrm) AS max_nrm,
+       |  CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_zero,
+       |  SQRT(CAST(SUM(nrm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+       |    / CAST(${graft.functions.VectorOps.ScaleLit} AS DOUBLE)
+       |    AS rms_norm
+       |FROM j GROUP BY label ORDER BY label""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile" -> (qProfile _),
     "q_constraints" -> (qConstraints _),
     "q_quality_classifier" -> (qQualityClassifier _),
-    "q_ks_drift" -> (qKsDrift _))
+    "q_ks_drift" -> (qKsDrift _),
+    "q_embedding_qa" -> (qEmbeddingQa _))
 
   val oracles: Map[String, String] = Map(
     "q_profile" -> qProfileSql,
     "q_constraints" -> qConstraintsSql,
     "q_quality_classifier" -> qQualityClassifierSql,
-    "q_ks_drift" -> qKsDriftSql)
+    "q_ks_drift" -> qKsDriftSql,
+    "q_embedding_qa" -> qEmbeddingQaSql)
 }

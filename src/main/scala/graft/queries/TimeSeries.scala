@@ -1909,6 +1909,86 @@ object TimeSeries {
        |  CAST(n_out * 1000 // n_epochs AS BIGINT) AS out_milli
        |FROM a ORDER BY user_id, band""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Brightness-bin width of the repeatability report, in centi-flux. */
+  private[graft] val RepeatBinC100 = 2000L
+
+  /** Photometric repeatability per (band, brightness bin) — the
+    * survey-level QA metric behind LSST's PA1 requirement: the
+    * ensemble median (and mean) of per-object flux RMS as a function
+    * of brightness. The RMS–magnitude relation is the calibration
+    * health curve: a floor that rises at the bright end means
+    * systematics, a bin whose median jumps means a bad night got in.
+    * Per-object stats (σ reduces a light curve to one row) then a
+    * SECOND ensemble reduction across objects — the two-level
+    * aggregate [[qLightcurveStats]]-family queries never exercise.
+    *
+    * Cross-engine discipline: per-object sample variance stays exact
+    * rational (var_num = n·Σx²−(Σx)², bigint) to one fixed double
+    * chain rounded to an integer milli-RMS — so the ENSEMBLE stage
+    * (median via discrete rank, mean via integer sum DIV) never sums
+    * floats across objects in engine-dependent order. Objects with
+    * n < 2 (undefined variance) are excluded.
+    *
+    * Scale shape: stage 1 is one combinable (object, band) shuffle;
+    * stage 2's windows and aggregate all key on (band, bin) over the
+    * one-row-per-object REDUCED frame — ensemble work scales with
+    * the catalog, not the epoch count. */
+  def qRepeatability(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val po = bandedSeries(s, dir)
+      .groupBy($"user_id", $"band")
+      .agg(count(lit(1)).as("n"), sum($"xc").as("sx"),
+        (count(lit(1)) * sum($"xc" * $"xc") - sum($"xc") * sum($"xc"))
+          .as("var_num"))
+      .filter($"n" >= 2)
+      .withColumn("rms_c3",
+        round(sqrt($"var_num".cast("double") /
+          ($"n" * ($"n" - 1)).cast("double")) * lit(1000.0)).cast("long"))
+      .withColumn("bin", expr(s"(sx DIV n) DIV $RepeatBinC100"))
+    val wb = Window.partitionBy($"band", $"bin")
+    val med = po
+      .withColumn("rn", row_number().over(wb.orderBy($"rms_c3", $"user_id")))
+      .withColumn("nb", count(lit(1)).over(wb))
+      .filter($"rn" === expr("CAST(CEIL(0.5 * nb) AS BIGINT)"))
+      .select($"band", $"bin", $"rms_c3".as("median_rms_c3"))
+    po.groupBy($"band", $"bin")
+      .agg(count(lit(1)).as("n_objects"), sum($"rms_c3").as("srms"))
+      .join(med, Seq("band", "bin"))
+      .withColumn("mean_rms_c3", expr("srms DIV n_objects"))
+      .select($"band", $"bin", $"n_objects", $"median_rms_c3",
+        $"mean_rms_c3")
+      .orderBy($"band", $"bin")
+  }
+
+  /** Oracle twin: same exact rational, same fixed chain, same
+    * discrete ensemble rank. */
+  val qRepeatabilitySql: String =
+    s"""WITH b AS (SELECT user_id, $BandCaseSql AS band,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc FROM events),
+       |po AS (SELECT user_id, band, COUNT(*) AS n,
+       |    CAST(SUM(xc) AS BIGINT) AS sx,
+       |    CAST(COUNT(*)*SUM(xc*xc) - SUM(xc)*SUM(xc) AS BIGINT)
+       |      AS var_num
+       |  FROM b GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |r AS (SELECT band, sx // n // $RepeatBinC100 AS bin, user_id,
+       |    CAST(ROUND(SQRT(CAST(var_num AS DOUBLE)
+       |      / CAST(n*(n-1) AS DOUBLE)) * 1000.0) AS BIGINT) AS rms_c3
+       |  FROM po),
+       |w AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY band, bin
+       |      ORDER BY rms_c3, user_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY band, bin) AS nb
+       |  FROM r),
+       |med AS (SELECT band, bin, rms_c3 AS median_rms_c3 FROM w
+       |  WHERE rn = CAST(CEIL(0.5 * nb) AS BIGINT)),
+       |a AS (SELECT band, bin, COUNT(*) AS n_objects,
+       |    CAST(SUM(rms_c3) AS BIGINT) AS srms
+       |  FROM r GROUP BY 1, 2)
+       |SELECT band, bin, n_objects, median_rms_c3,
+       |  CAST(srms // n_objects AS BIGINT) AS mean_rms_c3
+       |FROM a JOIN med USING (band, bin)
+       |ORDER BY band, bin""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lightcurve_stats" -> (qLightcurveStats _),
     "q_variability_class" -> (qVariabilityClass _),
@@ -1945,7 +2025,8 @@ object TimeSeries {
     "q_eta" -> (qEta _),
     "q_theil_sen" -> (qTheilSen _),
     "q_dcf" -> (qDcf _),
-    "q_outlier_epochs" -> (qOutlierEpochs _))
+    "q_outlier_epochs" -> (qOutlierEpochs _),
+    "q_repeatability" -> (qRepeatability _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -1983,5 +2064,6 @@ object TimeSeries {
     "q_eta" -> qEtaSql,
     "q_theil_sen" -> qTheilSenSql,
     "q_dcf" -> qDcfSql,
-    "q_outlier_epochs" -> qOutlierEpochsSql)
+    "q_outlier_epochs" -> qOutlierEpochsSql,
+    "q_repeatability" -> qRepeatabilitySql)
 }

@@ -114,4 +114,35 @@ class QualitySpec extends AnyFunSuite {
           a.length * b.length) 1 else 0), s"$src drift flag")
     }
   }
+
+  test("q_embedding_qa equals a brute-force integer-scaled norm census") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getInt(2), r.getSeq[Float](1)))
+    val scaled = vecs.map { case (lbl, e) =>
+      // HALF_UP like Spark's round() — math.round differs on negative .5
+      val q = e.map(x => BigDecimal(x.toDouble * 1e7)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      (lbl, q.length.toLong, q.map(v => v * v).sum)
+    }
+    val exp = scaled.groupBy(_._1).map { case (lbl, vs) =>
+      val norms = vs.map(_._3)
+      lbl -> (vs.length.toLong, vs.map(_._2).min, vs.map(_._2).max,
+        norms.min, norms.max, norms.count(_ == 0L).toLong,
+        math.sqrt(norms.map(BigInt(_)).sum.toDouble / vs.length.toDouble)
+          / 1e7)
+    }
+    val got = queries.Quality.qEmbeddingQa(spark, sf).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(got.keySet == exp.keySet && exp.size >= 2)
+    for ((lbl, (n, dmin, dmax, nmin, nmax, nzero, rms)) <- exp) {
+      val r = got(lbl)
+      assert(r.getAs[Long]("n_vecs") == n, s"label $lbl n")
+      assert(r.getAs[Long]("dim_min") == dmin && r.getAs[Long]("dim_max") == dmax)
+      assert(dmin == dmax, s"label $lbl ragged dims in the test corpus?")
+      assert(r.getAs[Long]("min_nrm") == nmin && r.getAs[Long]("max_nrm") == nmax)
+      assert(r.getAs[Long]("n_zero") == nzero)
+      assert(r.getAs[Double]("rms_norm") == rms, s"label $lbl rms")
+    }
+  }
 }

@@ -715,4 +715,42 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
     assert(anyOut, "corpus must exercise the clip (no outliers anywhere)")
   }
+
+  test("q_repeatability equals a brute-force two-level RMS ensemble") {
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("xc"),
+        expr(queries.TimeSeries.BandCaseSql).as("band"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(1)))
+    val binW = queries.TimeSeries.RepeatBinC100
+    val po = raw.groupBy(t => (t._1, t._2)).toSeq.flatMap { case ((uid, band), rows) =>
+      val xs = rows.map(_._3)
+      val n = xs.length.toLong
+      if (n < 2) None else {
+        val sx = xs.sum
+        val varNum = n * xs.map(x => x * x).sum - sx * sx
+        val rms = math.round(math.sqrt(varNum.toDouble /
+          (n * (n - 1)).toDouble) * 1000.0)
+        Some((band, sx / n / binW, uid, rms))
+      }
+    }
+    val exp = po.groupBy(t => (t._1, t._2)).map { case (k, os) =>
+      val sorted = os.sortBy(o => (o._4, o._3)).map(_._4)
+      val nb = sorted.length
+      val med = sorted((math.ceil(0.5 * nb) - 1).toInt)
+      k -> (nb.toLong, med, sorted.sum / nb)
+    }
+    val got = queries.TimeSeries.qRepeatability(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(got.keySet == exp.keySet)
+    // the report must actually spread over multiple brightness bins
+    assert(exp.keySet.map(_._2).size >= 2, "single-bin report is vacuous")
+    for ((k, (nb, med, mean)) <- exp) {
+      val r = got(k)
+      assert(r.getAs[Long]("n_objects") == nb, s"$k n_objects")
+      assert(r.getAs[Long]("median_rms_c3") == med, s"$k median")
+      assert(r.getAs[Long]("mean_rms_c3") == mean, s"$k mean")
+    }
+  }
 }
