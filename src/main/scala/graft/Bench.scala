@@ -199,7 +199,8 @@ object Bench {
     "q_outlier_epochs",
     "q_crowding",
     "q_repeatability",
-    "q_embedding_qa")
+    "q_embedding_qa",
+    "q_changepoint")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

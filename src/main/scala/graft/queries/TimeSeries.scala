@@ -1989,6 +1989,74 @@ object TimeSeries {
        |FROM a JOIN med USING (band, bin)
        |ORDER BY band, bin""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Offline CUSUM change-point per (object, band) — the transient
+    * onset estimator (Page 1954; the standard first pass before a
+    * fitted model): the change epoch is the argmax over k of the
+    * centered cumulative deviation |Σ_{i≤k} x_i − (k/n)·Σx|, i.e. the
+    * epoch where the running sum departs furthest from the constant-
+    * rate line. A flat light curve scores near 0; a step (outburst,
+    * eclipse onset) scores at the step and dates it.
+    *
+    * Cross-engine discipline: the deviation is held as the EXACT
+    * integer |n·prefix_k − k·total| (scaling by n clears the
+    * fraction), the argmax is a discrete rank with the earliest-epoch
+    * tie-break, and the reported normalized statistic
+    * dev/(n·(n−1)·100) is one IEEE division off the exact integer —
+    * nothing order-dependent anywhere.
+    *
+    * Scale shape: the prefix window, the total, and the argmax rank
+    * all key on (object, band) — ONE shuffle, cadence-bounded group
+    * state; k < n excludes the vacuous full-series point. */
+  def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wg = Window.partitionBy($"user_id", $"band")
+    val w = wg.orderBy($"tus", $"event_id")
+    val t = bandedSeries(s, dir)
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("pre", sum($"xc").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("tot", sum($"xc").over(wg))
+      .filter($"n" >= 2 && $"k" < $"n")
+      .withColumn("dev", abs($"n" * $"pre" - $"k" * $"tot"))
+    t.withColumn("rn",
+        row_number().over(wg.orderBy($"dev".desc, $"k")))
+      .filter($"rn" === 1)
+      .select($"user_id", $"band", $"n", $"k".as("cp_idx"),
+        $"tus".as("cp_tus"), $"dev".as("dev_num"),
+        ($"dev".cast("double") /
+          (($"n" * ($"n" - 1)).cast("double") * lit(100.0)))
+          .as("cusum_stat"))
+      .orderBy($"user_id", $"band")
+  }
+
+  /** Oracle twin: same exact integer deviation, same discrete argmax. */
+  val qChangepointSql: String =
+    s"""WITH b AS (SELECT user_id, $BandCaseSql AS band, event_id,
+       |    epoch_us(ts) AS tus, CAST(ROUND(value*100) AS BIGINT) AS xc
+       |  FROM events),
+       |c AS (SELECT user_id, band, tus,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id, band
+       |      ORDER BY tus, event_id) AS BIGINT) AS k,
+       |    SUM(xc) OVER (PARTITION BY user_id, band
+       |      ORDER BY tus, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+       |    COUNT(*) OVER (PARTITION BY user_id, band) AS n,
+       |    SUM(xc) OVER (PARTITION BY user_id, band) AS tot
+       |  FROM b),
+       |d AS (SELECT user_id, band, tus, k, n,
+       |    ABS(n * pre - k * tot) AS dev
+       |  FROM c WHERE n >= 2 AND k < n),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, band
+       |    ORDER BY dev DESC, k) AS rn FROM d)
+       |SELECT user_id, band, n, k AS cp_idx, tus AS cp_tus,
+       |  CAST(dev AS BIGINT) AS dev_num,
+       |  CAST(dev AS DOUBLE)
+       |    / (CAST(n * (n - 1) AS DOUBLE) * CAST(100.0 AS DOUBLE))
+       |    AS cusum_stat
+       |FROM r WHERE rn = 1 ORDER BY user_id, band""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lightcurve_stats" -> (qLightcurveStats _),
     "q_variability_class" -> (qVariabilityClass _),
@@ -2026,7 +2094,8 @@ object TimeSeries {
     "q_theil_sen" -> (qTheilSen _),
     "q_dcf" -> (qDcf _),
     "q_outlier_epochs" -> (qOutlierEpochs _),
-    "q_repeatability" -> (qRepeatability _))
+    "q_repeatability" -> (qRepeatability _),
+    "q_changepoint" -> (qChangepoint _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -2065,5 +2134,6 @@ object TimeSeries {
     "q_theil_sen" -> qTheilSenSql,
     "q_dcf" -> qDcfSql,
     "q_outlier_epochs" -> qOutlierEpochsSql,
-    "q_repeatability" -> qRepeatabilitySql)
+    "q_repeatability" -> qRepeatabilitySql,
+    "q_changepoint" -> qChangepointSql)
 }

@@ -753,4 +753,57 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(r.getAs[Long]("mean_rms_c3") == mean, s"$k mean")
     }
   }
+
+  test("q_changepoint equals the brute-force CUSUM argmax, and dates a planted step") {
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000").as("tus"),
+        round(col("value") * 100).cast("long").as("xc"),
+        expr(queries.TimeSeries.BandCaseSql).as("band"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getLong(2), r.getLong(1),
+        r.getLong(3)))
+    val got = queries.TimeSeries.qChangepoint(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val groups = raw.groupBy(t => (t._1, t._2)).filter(_._2.length >= 2)
+    assert(got.keySet == groups.keySet)
+    for (((uid, band), rows) <- groups) {
+      val ordered = rows.sortBy(t => (t._3, t._4))
+      val xs = ordered.map(_._5)
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val devs = xs.scanLeft(0L)(_ + _).tail.zipWithIndex.init.map {
+        case (pre, i) => (math.abs(n * pre - (i + 1) * tot), (i + 1).toLong)
+      }
+      val (dev, k) = devs.minBy { case (d, kk) => (-d, kk) }
+      val r = got((uid, band))
+      assert(r.getAs[Long]("cp_idx") == k, s"($uid,$band) argmax epoch")
+      assert(r.getAs[Long]("dev_num") == dev, s"($uid,$band) deviation")
+      assert(r.getAs[Long]("cp_tus") == ordered((k - 1).toInt)._3)
+      assert(r.getAs[Double]("cusum_stat") ==
+        dev.toDouble / ((n * (n - 1)).toDouble * 100.0))
+    }
+    // a synthetic hard step must be dated exactly at its onset
+    import spark.implicits._
+    val step = ((1 to 40).map(i => (1L, i.toLong, i.toLong * 1000, 100L)) ++
+      (41 to 80).map(i => (1L, i.toLong, i.toLong * 1000, 900L)))
+      .toDF("user_id", "event_id", "tus", "xc").withColumn("band", lit("g"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("band"))
+    val w = wg.orderBy(col("tus"), col("event_id"))
+    // re-run the same plan body over the planted frame via a local copy
+    val t = step
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("pre", sum(col("xc")).over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("tot", sum(col("xc")).over(wg))
+      .filter(col("k") < col("n"))
+      .withColumn("dev", abs(col("n") * col("pre") - col("k") * col("tot")))
+      .withColumn("rn", row_number().over(wg.orderBy(col("dev").desc, col("k"))))
+      .filter(col("rn") === 1).collect()
+    assert(t.head.getAs[Long]("k") == 40L,
+      "CUSUM must date the step at the last pre-step epoch")
+  }
 }
