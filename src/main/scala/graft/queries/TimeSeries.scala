@@ -1946,6 +1946,10 @@ object TimeSeries {
         round(sqrt($"var_num".cast("double") /
           ($"n" * ($"n" - 1)).cast("double")) * lit(1000.0)).cast("long"))
       .withColumn("bin", expr(s"(sx DIV n) DIV $RepeatBinC100"))
+      // one row per (object, band): pin the REDUCED frame so the
+      // median and mean branches don't each re-run the corpus
+      // aggregate (the multi-consumer localCheckpoint convention)
+      .localCheckpoint()
     val wb = Window.partitionBy($"band", $"bin")
     val med = po
       .withColumn("rn", row_number().over(wb.orderBy($"rms_c3", $"user_id")))
