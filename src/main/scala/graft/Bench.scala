@@ -200,7 +200,8 @@ object Bench {
     "q_crowding",
     "q_repeatability",
     "q_embedding_qa",
-    "q_changepoint")
+    "q_changepoint",
+    "q_cadence")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

@@ -2061,6 +2061,68 @@ object TimeSeries {
        |    AS cusum_stat
        |FROM r WHERE rn = 1 ORDER BY user_id, band""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Observation-cadence QA per (object, band) — the sampling census
+    * survey schedulers and period-search pipelines read before
+    * trusting any time-domain statistic (a periodogram over two
+    * clumps of epochs aliases; a median gap ≫ the target period is
+    * blind): epoch count, distinct nights, time span, and the
+    * DISCRETE median + max of consecutive-epoch gaps. All integer
+    * (micros / day counts); the gap median is the rank-⌈n/2⌉ element
+    * of the lag-1 differences, never interpolated.
+    *
+    * Scale shape: the lag window, the nights distinct, and the final
+    * aggregate all key on (object, band) — one shuffle, linear in
+    * the series (the [[qEta]] consecutive-difference shape). */
+  def qCadence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wg = Window.partitionBy($"user_id", $"band")
+    val w = wg.orderBy($"tus", $"event_id")
+    val t = bandedSeries(s, dir)
+      .withColumn("day", expr("tus DIV 86400000000"))
+      .withColumn("gap", $"tus" - lag($"tus", 1).over(w))
+    val gaps = t.filter($"gap".isNotNull)
+      .withColumn("rn", row_number().over(wg.orderBy($"gap", $"event_id")))
+      .withColumn("ng", count(lit(1)).over(wg))
+      .filter($"rn" === expr("CAST(CEIL(0.5 * ng) AS BIGINT)"))
+      .select($"user_id", $"band", $"gap".as("median_gap_us"))
+    t.groupBy($"user_id", $"band")
+      .agg(count(lit(1)).as("n_epochs"),
+        countDistinct($"day").as("n_nights"),
+        (max($"tus") - min($"tus")).as("span_us"),
+        max($"gap").as("max_gap_us"))
+      .join(gaps, Seq("user_id", "band"))
+      .select($"user_id", $"band", $"n_epochs", $"n_nights", $"span_us",
+        $"median_gap_us", $"max_gap_us")
+      .orderBy($"user_id", $"band")
+  }
+
+  /** Oracle twin: same lag-1 gaps, same discrete rank. */
+  val qCadenceSql: String =
+    s"""WITH b AS (SELECT user_id, $BandCaseSql AS band, event_id,
+       |    epoch_us(ts) AS tus FROM events),
+       |g AS (SELECT user_id, band, event_id, tus,
+       |    tus // 86400000000 AS day,
+       |    tus - LAG(tus) OVER (PARTITION BY user_id, band
+       |      ORDER BY tus, event_id) AS gap
+       |  FROM b),
+       |m AS (SELECT user_id, band, gap AS median_gap_us FROM (
+       |    SELECT user_id, band, gap,
+       |      ROW_NUMBER() OVER (PARTITION BY user_id, band
+       |        ORDER BY gap, event_id) AS rn,
+       |      COUNT(*) OVER (PARTITION BY user_id, band) AS ng
+       |    FROM g WHERE gap IS NOT NULL)
+       |  WHERE rn = CAST(CEIL(0.5 * ng) AS BIGINT)),
+       |a AS (SELECT user_id, band, COUNT(*) AS n_epochs,
+       |    COUNT(DISTINCT day) AS n_nights,
+       |    CAST(MAX(tus) - MIN(tus) AS BIGINT) AS span_us,
+       |    CAST(MAX(gap) AS BIGINT) AS max_gap_us
+       |  FROM g GROUP BY 1, 2)
+       |SELECT user_id, band, n_epochs, n_nights, span_us,
+       |  median_gap_us, max_gap_us
+       |FROM a JOIN m USING (user_id, band)
+       |ORDER BY user_id, band""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lightcurve_stats" -> (qLightcurveStats _),
     "q_variability_class" -> (qVariabilityClass _),
@@ -2099,7 +2161,8 @@ object TimeSeries {
     "q_dcf" -> (qDcf _),
     "q_outlier_epochs" -> (qOutlierEpochs _),
     "q_repeatability" -> (qRepeatability _),
-    "q_changepoint" -> (qChangepoint _))
+    "q_changepoint" -> (qChangepoint _),
+    "q_cadence" -> (qCadence _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -2139,5 +2202,6 @@ object TimeSeries {
     "q_dcf" -> qDcfSql,
     "q_outlier_epochs" -> qOutlierEpochsSql,
     "q_repeatability" -> qRepeatabilitySql,
-    "q_changepoint" -> qChangepointSql)
+    "q_changepoint" -> qChangepointSql,
+    "q_cadence" -> qCadenceSql)
 }

@@ -806,4 +806,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(t.head.getAs[Long]("k") == 40L,
       "CUSUM must date the step at the last pre-step epoch")
   }
+
+  test("q_cadence equals a brute-force gap census") {
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000").as("tus"),
+        expr(queries.TimeSeries.BandCaseSql).as("band"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(2), r.getLong(1)))
+    val got = queries.TimeSeries.qCadence(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val groups = raw.groupBy(t => (t._1, t._2))
+    val expKeys = groups.filter(_._2.length >= 2).keySet
+    assert(got.keySet == expKeys, "single-epoch groups must be absent")
+    for (((uid, band), rows) <- groups if expKeys((uid, band))) {
+      val ts = rows.sortBy(t => (t._3, t._4)).map(_._3)
+      val gaps = ts.sliding(2).map { case Array(a, b) => b - a }.toSeq.sorted
+      val med = gaps((math.ceil(0.5 * gaps.length) - 1).toInt)
+      val r = got((uid, band))
+      assert(r.getAs[Long]("n_epochs") == ts.length.toLong)
+      assert(r.getAs[Long]("n_nights") ==
+        ts.map(_ / 86400000000L).distinct.length.toLong)
+      assert(r.getAs[Long]("span_us") == ts.max - ts.min)
+      assert(r.getAs[Long]("median_gap_us") == med, s"($uid,$band) median gap")
+      assert(r.getAs[Long]("max_gap_us") == gaps.max)
+    }
+  }
 }
