@@ -687,6 +687,12 @@ object Multimodal {
   def compactPhashIndex(s: SparkSession, indexPath: String,
     pairsPath: Option[String] = None, parallelism: Int = 16): Unit = {
     import graft.sources.Catalog
+    // the sidecar is a derived-rebuildable cache: a pre-sidecar index
+    // (or one whose _members store was dropped) heals here exactly as
+    // updatePhashIndex heals on entry, instead of refusing with a
+    // "build it first" that has no build entry point (r14 review)
+    if (Catalog.tableComplete(s, indexPath))
+      ensurePhashMembers(s, indexPath)
     val stores = Seq(indexPath -> "bk", phashMembersPath(indexPath) -> "mb") ++
       pairsPath.map(_ -> "batch_id")
     for ((path, _) <- stores) {
@@ -1171,7 +1177,11 @@ object Multimodal {
     import s.implicits._
     // sigs: three consumers inside phashPairsOf + the text_dup verify
     val sigs = sigsOfBlobs(modalCorpus(s, dir)).localCheckpoint(true)
-    val texts = modalTexts(s, dir)
+    // pinned: the two caption join sides AND the md5 block build all
+    // consume this frame, each below a different-key shuffle (d1, d2,
+    // th), so without a pin the 4-branch documents union re-runs
+    // three times (the sigs/qRepeatability multi-consumer convention)
+    val texts = modalTexts(s, dir).localCheckpoint()
     def tside(tag: String): DataFrame =
       texts.select($"doc_id".as(s"d$tag"), $"text".as(s"t$tag"))
     val btn = phashPairsOf(sigs)

@@ -450,6 +450,17 @@ class MultimodalSpec extends AnyFunSuite {
     updatePhashIndex(spark, path, newSigs, 9L)
     assert(readPhashIndex(spark, path)
       .filter($"doc_id" === 7000001L).count() == 4)
+    // a pre-sidecar index (sidecar dropped/never derived) HEALS on
+    // compaction instead of refusing — the sidecar is a derived-
+    // rebuildable cache, and ensurePhashMembers re-derives it exactly
+    // as the fold path does on entry (r14 review)
+    val memAfterFold = readPhashMembers(spark, path)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    graft.sources.Catalog.dropIfExists(spark, phashMembersPath(path))
+    compactPhashIndex(spark, path, Some(pairs))
+    assert(readPhashMembers(spark, path)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet == memAfterFold,
+      "healed sidecar lost or invented membership")
   }
 
   test("q_blob_phash block cap drops monochrome mega-blocks instead of going quadratic") {

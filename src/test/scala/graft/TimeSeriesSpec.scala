@@ -626,10 +626,13 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.keySet == expKeys)
     for (((uid, band), rows) <- groups if expKeys((uid, band))) {
       val es = rows.map(t => (t._3, t._4))
+      // HALF_UP like Spark/DuckDB round() — math.round differs on
+      // negative halves, and slopes are routinely negative
       val slopes = (for {
         (t1, x1) <- es; (t2, x2) <- es if t1 < t2
-      } yield math.round((x2 - x1).toDouble * 86400000000000.0
-        / (t2 - t1).toDouble)).sorted
+      } yield BigDecimal((x2 - x1).toDouble * 86400000000000.0
+        / (t2 - t1).toDouble)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).sorted
       val n = slopes.length.toLong
       val med = slopes(((n + 1) / 2 - 1).toInt)
       val r = got((uid, band))
