@@ -201,7 +201,8 @@ object Bench {
     "q_repeatability",
     "q_embedding_qa",
     "q_changepoint",
-    "q_cadence")
+    "q_cadence",
+    "q_split_leakage")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

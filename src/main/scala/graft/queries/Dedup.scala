@@ -2100,7 +2100,100 @@ object Dedup {
        |FROM e LEFT JOIN iv USING (s1, s2)
        |ORDER BY s1, s2""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Audit split for the leakage report: 800/100/100 permille. Wider
+    * than q_hash_sample's production 980/10/10 deliberately — a
+    * leakage AUDIT holds out a representative eval fraction so the
+    * cross-split pair census has statistical mass (at 10‰ eval share
+    * the expected cross-pair count at test scale is zero and the
+    * report is vacuous; the planted near-dup corpus crosses this
+    * split at both test SFs). */
+  val LeakTrainMilli = 800L
+  val LeakValidMilli = 900L
+
+  /** Train→eval near-duplicate leakage — the eval-hygiene audit
+    * q_decontaminate's EXACT n-gram match cannot perform: an eval doc
+    * whose text is a NEAR-duplicate of a train doc (boilerplate
+    * rewrite, version bump) silently inflates eval scores even though
+    * no 8-gram matches verbatim. Composes the two surfaces the repo
+    * already has: the deterministic md5 hash split (q_hash_sample's
+    * operator at audit widths) and the MinHash-LSH near-dup pair
+    * graph ([[lshPairs]] — banded, bucket-capped, never all-pairs).
+    * Per eval split: eval doc count, cross pairs against train,
+    * DISTINCT leaked eval docs, and the leak permille — the number a
+    * release gate reads.
+    *
+    * Scale shape: the split column is a pure per-row md5 function
+    * (no shuffle); the pair graph is the capped LSH plan; the two
+    * split tag joins key on the pair endpoints; everything after
+    * runs on the cross-pair sliver. */
+  def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val splits = docs.select($"doc_id",
+      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15)," +
+        " 16, 10) AS BIGINT) % 1000").as("hb"))
+      .withColumn("split",
+        when($"hb" < LeakTrainMilli, "train")
+          .when($"hb" < LeakValidMilli, "valid").otherwise("test"))
+      .select($"doc_id", $"split")
+    val tagged = lshPairs(docs).select($"d1", $"d2")
+      .join(splits.select($"doc_id".as("d1"), $"split".as("s1")), "d1")
+      .join(splits.select($"doc_id".as("d2"), $"split".as("s2")), "d2")
+    val crossed = tagged
+      .filter(($"s1" === "train") =!= ($"s2" === "train"))
+      .select(
+        when($"s1" === "train", $"s2").otherwise($"s1").as("split"),
+        when($"s1" === "train", $"d2").otherwise($"d1").as("doc_id"))
+    val ev = splits.filter($"split" =!= "train")
+      .groupBy($"split").agg(count(lit(1)).as("n_eval_docs"))
+    val cp = crossed.groupBy($"split")
+      .agg(count(lit(1)).as("n_train_pairs"),
+        countDistinct($"doc_id").as("n_leaked"))
+    ev.join(cp, Seq("split"), "left")
+      .select($"split", $"n_eval_docs",
+        coalesce($"n_train_pairs", lit(0L)).as("n_train_pairs"),
+        coalesce($"n_leaked", lit(0L)).as("n_leaked"),
+        expr("COALESCE(n_leaked, 0) * 1000 DIV n_eval_docs")
+          .as("leak_milli"))
+      .orderBy($"split")
+  }
+
+  /** Oracle twin: the full minhash + banded-pair chain re-derived
+    * (the [[qDedupLshPairsSql]] CTEs), same audit split arithmetic. */
+  val qSplitLeakageSql: String =
+    s"""WITH RECURSIVE
+       |$sqlMinhashSigCtes,
+       |$sqlLshPairCtes,
+       |p AS (SELECT d1, d2 FROM m WHERE matches >= $LshMinMatches),
+       |sp AS (SELECT doc_id,
+       |    CASE WHEN hb < $LeakTrainMilli THEN 'train'
+       |         WHEN hb < $LeakValidMilli THEN 'valid'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+       |        % 1000 AS hb
+       |    FROM documents)),
+       |x AS (SELECT CASE WHEN a.split = 'train' THEN b.split
+       |        ELSE a.split END AS split,
+       |      CASE WHEN a.split = 'train' THEN p.d2 ELSE p.d1 END AS doc_id
+       |  FROM p JOIN sp a ON a.doc_id = p.d1 JOIN sp b ON b.doc_id = p.d2
+       |  WHERE (a.split = 'train') <> (b.split = 'train')),
+       |ev AS (SELECT split, COUNT(*) AS n_eval_docs FROM sp
+       |  WHERE split <> 'train' GROUP BY 1),
+       |cp AS (SELECT split, COUNT(*) AS n_train_pairs,
+       |    COUNT(DISTINCT doc_id) AS n_leaked
+       |  FROM x GROUP BY 1)
+       |SELECT split, n_eval_docs,
+       |  COALESCE(n_train_pairs, 0) AS n_train_pairs,
+       |  COALESCE(n_leaked, 0) AS n_leaked,
+       |  CAST(COALESCE(n_leaked, 0) * 1000 // n_eval_docs AS BIGINT)
+       |    AS leak_milli
+       |FROM ev LEFT JOIN cp USING (split)
+       |ORDER BY split""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_leakage" -> (qSplitLeakage _),
     "q_line_dedup" -> (qLineDedup _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
@@ -2122,6 +2215,7 @@ object Dedup {
     "q_dedup_recall" -> (qDedupRecall _))
 
   val oracles: Map[String, String] = Map(
+    "q_split_leakage" -> qSplitLeakageSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_lsh_pairs" -> qDedupLshPairsSql,

@@ -1159,4 +1159,45 @@ class DedupAnnSpec extends AnyFunSuite {
       assert(srcs.forall(ids.contains), "dup sources must be corpus vectors")
     } finally { sd.unpersist(); () }
   }
+
+  test("q_split_leakage equals the census recomputed from the pair graph and md5 splits") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def split(id: Long): String = {
+      val hb = java.lang.Long.parseLong(md5hex(id.toString).take(15), 16) % 1000
+      if (hb < queries.Dedup.LeakTrainMilli) "train"
+      else if (hb < queries.Dedup.LeakValidMilli) "valid" else "test"
+    }
+    // the pair graph is q_dedup_lsh_pairs' own output (independently
+    // verified against exact Jaccard above); this spec checks the
+    // leakage CENSUS over it
+    val pairs = queries.Dedup.qDedupLshPairs(spark, sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    val evTotals = docs.map(split).filter(_ != "train")
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val crossed = pairs.flatMap { case (d1, d2) =>
+      (split(d1), split(d2)) match {
+        case ("train", s2) if s2 != "train" => Some((s2, d2))
+        case (s1, "train") if s1 != "train" => Some((s1, d1))
+        case _ => None
+      }
+    }
+    assert(crossed.nonEmpty,
+      "the planted near-dup corpus must cross the audit split (vacuous report)")
+    val got = queries.Dedup.qSplitLeakage(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == evTotals.keySet)
+    for ((sp, n) <- evTotals) {
+      val r = got(sp)
+      val cps = crossed.filter(_._1 == sp)
+      assert(r.getAs[Long]("n_eval_docs") == n, s"$sp eval total")
+      assert(r.getAs[Long]("n_train_pairs") == cps.length.toLong, s"$sp pairs")
+      assert(r.getAs[Long]("n_leaked") == cps.map(_._2).distinct.length.toLong)
+      assert(r.getAs[Long]("leak_milli") ==
+        cps.map(_._2).distinct.length.toLong * 1000 / n)
+    }
+  }
 }
