@@ -918,11 +918,15 @@ object Ann {
     * encode, one residual LUT per (query, probed list), ADC over
     * candidates whose assigned list is probed by that query,
     * top-[[PqCand]] by (adc, vid), exact re-rank on RAW vectors. */
-  val qAnnIvfPqSql: String = {
+  /** The IVF×PQ candidate chain (residual encode → LUT → ADC →
+    * top-[[PqCand]] per query) as composable CTEs, shared by
+    * [[qAnnIvfPqSql]] and the recall oracle. Assumes
+    * [[ivfCoarsePrefix]]'s e/n/c/assign/qp CTEs precede it; ends at
+    * `cand` (no trailing comma). */
+  private def ivfpqCandCtes: String = {
     val T = IvfIters
     val P = PqIters
-    s"""$ivfCoarsePrefix
-       |res AS (SELECT ev.vec_id, ev.i, ev.vi - c.vi AS vi
+    s"""res AS (SELECT ev.vec_id, ev.i, ev.vi - c.vi AS vi
        |        FROM e ev JOIN assign a ON a.vid = ev.vec_id
        |             JOIN c$T c ON c.cid = a.cid AND c.i = ev.i),
        |ess AS (SELECT vec_id, CAST((i - 1) // $PqSub AS INT) AS m,
@@ -948,9 +952,58 @@ object Ann {
        |        GROUP BY 1, 2),
        |cand AS (SELECT qid, vid FROM (
        |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS crn
-       |    FROM adc) t WHERE crn <= $PqCand),
-       |${sqlRerankTail("cand")}""".stripMargin
+       |    FROM adc) t WHERE crn <= $PqCand)""".stripMargin
   }
+
+  val qAnnIvfPqSql: String =
+    s"""$ivfCoarsePrefix
+       |$ivfpqCandCtes,
+       |${sqlRerankTail("cand")}""".stripMargin
+
+  /** Recall@k of the IVF×PQ search against the exact answer — the
+    * [[qAnnRecall]] eval telemetry for the OTHER approximate path
+    * (coarse-probe pruning + 8-bit residual codes lose recall in two
+    * different ways: a true neighbor outside every probed list never
+    * ranks; ADC quantization error misranks inside the candidate
+    * set). Monitoring recall per index family is what tells an
+    * operator WHICH knob (nprobe vs candidate budget) regressed.
+    * Same composition: one (qid, vid) equi-join, integer percentage.
+    *
+    * Scale note: as with [[qAnnRecall]], the exact side runs on the
+    * fixed probe sample — brute-force cost bounded by [[NQueries]]. */
+  def qAnnRecallIvfpq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val exact = qAnnBruteforce(s, dir).select($"qid", $"vid")
+    val approx = qAnnIvfPq(s, dir).select($"qid", $"vid", lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "vid"), "left")
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce($"hit", lit(0))).cast("long").as("n_match"))
+      .select($"qid", $"n_exact", $"n_match",
+        expr("CAST((100 * n_match) DIV n_exact AS BIGINT)").as("recall_pct"))
+      .orderBy($"qid")
+  }
+
+  /** Oracle twin: the full IVF×PQ chain ([[ivfpqCandCtes]]) and the
+    * brute-force pair set share one prefix (e/n come from
+    * [[ivfCoarsePrefix]]), each re-ranked by the shared tail. */
+  val qAnnRecallIvfpqSql: String =
+    s"""$ivfCoarsePrefix
+       |$ivfpqCandCtes,
+       |${sqlRerankCtes("cand", "pq")},
+       |pbf AS (SELECT q.vec_id AS qid, v.vec_id AS vid
+       |        FROM n q JOIN n v ON q.vec_id < $NQueries
+       |          AND v.vec_id <> q.vec_id),
+       |${sqlRerankCtes("pbf", "bf")}
+       |SELECT rbf.qid, COUNT(*) AS n_exact,
+       |  CAST(SUM(CASE WHEN rpq.vid IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_match,
+       |  CAST((100 * SUM(CASE WHEN rpq.vid IS NOT NULL THEN 1 ELSE 0 END))
+       |    // COUNT(*) AS BIGINT) AS recall_pct
+       |FROM (SELECT qid, vid FROM rbf WHERE rnk <= $K) rbf
+       |LEFT JOIN (SELECT qid, vid FROM rpq WHERE rnk <= $K) rpq
+       |  ON rpq.qid = rbf.qid AND rpq.vid = rbf.vid
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Bucket count for the stored PQ codes table: codes are
     * partitioned by `bk = vec_id mod PqBuckets`, so appends land as
@@ -1691,6 +1744,7 @@ object Ann {
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_ann_recall_ivfpq" -> (qAnnRecallIvfpq _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_pq" -> (qAnnPq _),
@@ -1704,6 +1758,7 @@ object Ann {
     "q_ann_bruteforce" -> qAnnBruteforceSql,
     "q_ann_filtered" -> qAnnFilteredSql,
     "q_ann_recall" -> qAnnRecallSql,
+    "q_ann_recall_ivfpq" -> qAnnRecallIvfpqSql,
     "q_ann_lsh" -> qAnnLshSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_pq" -> qAnnPqSql,

@@ -320,6 +320,26 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ann_recall_ivfpq equals the overlap of brute force and the IVF×PQ search") {
+    val exact = queries.Ann.qAnnBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid")))
+    val pq = queries.Ann.qAnnIvfPq(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid"))).toSet
+    val rows = queries.Ann.qAnnRecallIvfpq(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == exact.map(_._1).toSet)
+    var matched = 0L
+    for ((qid, pairs) <- exact.groupBy(_._1)) {
+      val m = pairs.count(pq.contains).toLong
+      matched += m
+      val r = rows(qid)
+      assert(r.getAs[Long]("n_exact") == pairs.length.toLong, s"query $qid")
+      assert(r.getAs[Long]("n_match") == m, s"query $qid")
+      assert(r.getAs[Long]("recall_pct") == 100 * m / pairs.length, s"query $qid")
+    }
+    assert(matched > 0, "IVF×PQ must recall SOMETHING or the telemetry is vacuous")
+  }
+
   test("q_ann_lsh results are a subset of brute-force candidates' buckets") {
     val df = queries.Ann.qAnnLsh(spark, sf)
     assert(df.count() > 0)
