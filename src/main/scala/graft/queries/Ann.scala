@@ -510,11 +510,19 @@ object Ann {
     * SAMPLE of queries (recall needs statistical coverage, not every
     * query), so the brute-force cost is bounded by the probe set —
     * here the probe set IS the harness's [[NQueries]] queries. */
-  def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val exact = qAnnBruteforce(s, dir).select($"qid", $"vid")
-    val approx = qAnnLsh(s, dir).select($"qid", $"vid", lit(1).as("hit"))
-    exact.join(approx, Seq("qid", "vid"), "left")
+  def qAnnRecall(s: SparkSession, dir: String): DataFrame =
+    recallOf(qAnnBruteforce(s, dir), qAnnLsh(s, dir))
+
+  /** The recall census shared by every per-family recall query: how
+    * many of `exact`'s (qid, vid) pairs survive in `approx`, as an
+    * integer percentage per query. ONE definition — a change to the
+    * recall arithmetic (the DIV rounding, the null-hit counting)
+    * lands in every family or none (the sqlRerankCtes discipline). */
+  private def recallOf(exact: DataFrame, approx: DataFrame): DataFrame = {
+    import exact.sparkSession.implicits._
+    exact.select($"qid", $"vid")
+      .join(approx.select($"qid", $"vid", lit(1).as("hit")),
+        Seq("qid", "vid"), "left")
       .groupBy($"qid")
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce($"hit", lit(0))).cast("long").as("n_match"))
@@ -522,6 +530,19 @@ object Ann {
         expr("CAST((100 * n_match) DIV n_exact AS BIGINT)").as("recall_pct"))
       .orderBy($"qid")
   }
+
+  /** SQL twin of [[recallOf]]: the overlap SELECT over two re-ranked
+    * CTE families (`r$exactSfx`, `r$approxSfx`). */
+  private def sqlRecallTail(exactSfx: String, approxSfx: String): String =
+    s"""SELECT rbf.qid, COUNT(*) AS n_exact,
+       |  CAST(SUM(CASE WHEN rap.vid IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_match,
+       |  CAST((100 * SUM(CASE WHEN rap.vid IS NOT NULL THEN 1 ELSE 0 END))
+       |    // COUNT(*) AS BIGINT) AS recall_pct
+       |FROM (SELECT qid, vid FROM r$exactSfx WHERE rnk <= $K) rbf
+       |LEFT JOIN (SELECT qid, vid FROM r$approxSfx WHERE rnk <= $K) rap
+       |  ON rap.qid = rbf.qid AND rap.vid = rbf.vid
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Oracle twin of [[qAnnRecall]]: both candidate generations + the
     * shared re-rank tail inlined twice (exact and bucket-probed),
@@ -543,15 +564,7 @@ object Ann {
        |${sqlRerankCtes("pbf", "bf")},
        |${pairs("ls", s" AND xor(bq.bucket, bv.bucket) IN (0, $probeMasks)")},
        |${sqlRerankCtes("pls", "ls")}
-       |SELECT rbf.qid, COUNT(*) AS n_exact,
-       |  CAST(SUM(CASE WHEN rls.vid IS NOT NULL THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS n_match,
-       |  CAST((100 * SUM(CASE WHEN rls.vid IS NOT NULL THEN 1 ELSE 0 END))
-       |    // COUNT(*) AS BIGINT) AS recall_pct
-       |FROM (SELECT qid, vid FROM rbf WHERE rnk <= $K) rbf
-       |LEFT JOIN (SELECT qid, vid FROM rls WHERE rnk <= $K) rls
-       |  ON rls.qid = rbf.qid AND rls.vid = rbf.vid
-       |GROUP BY 1 ORDER BY 1""".stripMargin
+       |${sqlRecallTail("bf", "ls")}""".stripMargin
   }
 
   /** One unrolled integer-Lloyd iteration k of the oracle twin:
@@ -910,14 +923,6 @@ object Ann {
        |${sqlRerankTail("cand")}""".stripMargin
   }
 
-  /** Oracle twin of [[qAnnIvfPq]] — the composed IVFADC pipeline,
-    * every stage integer-exact: the shared coarse prefix
-    * ([[ivfCoarsePrefix]]: trained quantizer, `assign`, probes `qp`),
-    * residuals of every row against its assigned list centroid,
-    * residual-PQ training seeded from [[IvfPqSeedBase]], residual
-    * encode, one residual LUT per (query, probed list), ADC over
-    * candidates whose assigned list is probed by that query,
-    * top-[[PqCand]] by (adc, vid), exact re-rank on RAW vectors. */
   /** The IVF×PQ candidate chain (residual encode → LUT → ADC →
     * top-[[PqCand]] per query) as composable CTEs, shared by
     * [[qAnnIvfPqSql]] and the recall oracle. Assumes
@@ -955,6 +960,14 @@ object Ann {
        |    FROM adc) t WHERE crn <= $PqCand)""".stripMargin
   }
 
+  /** Oracle twin of [[qAnnIvfPq]] — the composed IVFADC pipeline,
+    * every stage integer-exact: the shared coarse prefix
+    * ([[ivfCoarsePrefix]]: trained quantizer, `assign`, probes `qp`),
+    * residuals of every row against its assigned list centroid,
+    * residual-PQ training seeded from [[IvfPqSeedBase]], residual
+    * encode, one residual LUT per (query, probed list), ADC over
+    * candidates whose assigned list is probed by that query,
+    * top-[[PqCand]] by (adc, vid), exact re-rank on RAW vectors. */
   val qAnnIvfPqSql: String =
     s"""$ivfCoarsePrefix
        |$ivfpqCandCtes,
@@ -971,18 +984,8 @@ object Ann {
     *
     * Scale note: as with [[qAnnRecall]], the exact side runs on the
     * fixed probe sample — brute-force cost bounded by [[NQueries]]. */
-  def qAnnRecallIvfpq(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val exact = qAnnBruteforce(s, dir).select($"qid", $"vid")
-    val approx = qAnnIvfPq(s, dir).select($"qid", $"vid", lit(1).as("hit"))
-    exact.join(approx, Seq("qid", "vid"), "left")
-      .groupBy($"qid")
-      .agg(count(lit(1)).as("n_exact"),
-        sum(coalesce($"hit", lit(0))).cast("long").as("n_match"))
-      .select($"qid", $"n_exact", $"n_match",
-        expr("CAST((100 * n_match) DIV n_exact AS BIGINT)").as("recall_pct"))
-      .orderBy($"qid")
-  }
+  def qAnnRecallIvfpq(s: SparkSession, dir: String): DataFrame =
+    recallOf(qAnnBruteforce(s, dir), qAnnIvfPq(s, dir))
 
   /** Oracle twin: the full IVF×PQ chain ([[ivfpqCandCtes]]) and the
     * brute-force pair set share one prefix (e/n come from
@@ -995,15 +998,7 @@ object Ann {
        |        FROM n q JOIN n v ON q.vec_id < $NQueries
        |          AND v.vec_id <> q.vec_id),
        |${sqlRerankCtes("pbf", "bf")}
-       |SELECT rbf.qid, COUNT(*) AS n_exact,
-       |  CAST(SUM(CASE WHEN rpq.vid IS NOT NULL THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS n_match,
-       |  CAST((100 * SUM(CASE WHEN rpq.vid IS NOT NULL THEN 1 ELSE 0 END))
-       |    // COUNT(*) AS BIGINT) AS recall_pct
-       |FROM (SELECT qid, vid FROM rbf WHERE rnk <= $K) rbf
-       |LEFT JOIN (SELECT qid, vid FROM rpq WHERE rnk <= $K) rpq
-       |  ON rpq.qid = rbf.qid AND rpq.vid = rbf.vid
-       |GROUP BY 1 ORDER BY 1""".stripMargin
+       |${sqlRecallTail("bf", "pq")}""".stripMargin
 
   /** Bucket count for the stored PQ codes table: codes are
     * partitioned by `bk = vec_id mod PqBuckets`, so appends land as

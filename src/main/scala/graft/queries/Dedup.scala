@@ -2130,12 +2130,9 @@ object Dedup {
   def qSplitLeakage(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    val splits = docs.select($"doc_id",
-      expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15)," +
-        " 16, 10) AS BIGINT) % 1000").as("hb"))
+    val splits = docs.select($"doc_id", Text.splitBucketCol.as("hb"))
       .withColumn("split",
-        when($"hb" < LeakTrainMilli, "train")
-          .when($"hb" < LeakValidMilli, "valid").otherwise("test"))
+        Text.splitCol($"hb", LeakTrainMilli, LeakValidMilli))
       .select($"doc_id", $"split")
     val tagged = lshPairs(docs).select($"d1", $"d2")
       .join(splits.select($"doc_id".as("d1"), $"split".as("s1")), "d1")
@@ -2167,12 +2164,8 @@ object Dedup {
        |$sqlLshPairCtes,
        |p AS (SELECT d1, d2 FROM m WHERE matches >= $LshMinMatches),
        |sp AS (SELECT doc_id,
-       |    CASE WHEN hb < $LeakTrainMilli THEN 'train'
-       |         WHEN hb < $LeakValidMilli THEN 'valid'
-       |         ELSE 'test' END AS split
-       |  FROM (SELECT doc_id,
-       |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-       |        % 1000 AS hb
+       |    ${Text.splitCaseSql(LeakTrainMilli, LeakValidMilli)} AS split
+       |  FROM (SELECT doc_id, ${Text.splitBucketSql} AS hb
        |    FROM documents)),
        |x AS (SELECT CASE WHEN a.split = 'train' THEN b.split
        |        ELSE a.split END AS split,

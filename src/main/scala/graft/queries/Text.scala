@@ -1230,12 +1230,8 @@ object Text {
   def qHashSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val d = Tables.documents(s, dir)
-      .withColumn("hb",
-        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15)," +
-          " 16, 10) AS BIGINT) % 1000"))
-      .withColumn("split",
-        when($"hb" < 980, "train").when($"hb" < 990, "valid")
-          .otherwise("test"))
+      .withColumn("hb", splitBucketCol)
+      .withColumn("split", splitCol(col("hb"), 980L, 990L))
     val w = Window.partitionBy($"source")
     d.groupBy($"source", $"split")
       .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
@@ -1246,16 +1242,36 @@ object Text {
       .orderBy($"source", $"split")
   }
 
+  /** The deterministic md5 split, ONE definition for every consumer
+    * (q_hash_sample's production 980/10/10 widths, q_split_leakage's
+    * audit widths): the 60-bit house hex→int bucket then threshold
+    * CASE. A fix to the bucket idiom lands everywhere or nowhere. */
+  private[queries] def splitBucketCol: org.apache.spark.sql.Column =
+    expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15)," +
+      " 16, 10) AS BIGINT) % 1000")
+
+  private[queries] def splitCol(hb: org.apache.spark.sql.Column,
+    trainMilli: Long, validMilli: Long): org.apache.spark.sql.Column =
+    when(hb < trainMilli, "train").when(hb < validMilli, "valid")
+      .otherwise("test")
+
+  /** SQL twins of [[splitBucketCol]]/[[splitCol]]. */
+  private[queries] val splitBucketSql: String =
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000"
+
+  private[queries] def splitCaseSql(trainMilli: Long,
+    validMilli: Long): String =
+    s"""CASE WHEN hb < $trainMilli THEN 'train'
+       |         WHEN hb < $validMilli THEN 'valid' ELSE 'test' END"""
+      .stripMargin
+
   /** Oracle twin: identical bucket arithmetic, hugeint sums pinned
     * back to BIGINT. */
   val qHashSampleSql: String =
-    """WITH d AS (SELECT source, n_chars,
-      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-      |      % 1000 AS hb
+    s"""WITH d AS (SELECT source, n_chars, $splitBucketSql AS hb
       |  FROM documents),
       |s AS (SELECT source,
-      |    CASE WHEN hb < 980 THEN 'train'
-      |         WHEN hb < 990 THEN 'valid' ELSE 'test' END AS split,
+      |    ${splitCaseSql(980L, 990L)} AS split,
       |    n_chars
       |  FROM d),
       |a AS (SELECT source, split, COUNT(*) AS n_docs,
