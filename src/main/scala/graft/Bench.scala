@@ -203,7 +203,8 @@ object Bench {
     "q_changepoint",
     "q_cadence",
     "q_split_leakage",
-    "q_ann_recall_ivfpq")
+    "q_ann_recall_ivfpq",
+    "q_skewness")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

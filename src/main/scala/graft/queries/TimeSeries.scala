@@ -2123,6 +2123,64 @@ object TimeSeries {
        |FROM a JOIN m USING (user_id, band)
        |ORDER BY user_id, band""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Light-curve skewness per (object, band) — the asymmetry feature
+    * that separates eruptive transients (bursts → right-skewed flux)
+    * from eclipsing systems (dips → left-skewed) when variance alone
+    * cannot; a standard member of the LSST/ZTF variability feature
+    * vector alongside [[qEta]], [[qStetson]], and [[qMad]].
+    *
+    * Exact rational end-to-end: with integer power sums S1, S2, S3,
+    * the population skewness reduces to g1 = T3 / V^{3/2} where
+    * T3 = n²S3 − 3nS1S2 + 2S1³ and V = nS2 − S1² — both EXACT
+    * integers (decimal(38,0) here ≡ DuckDB hugeint: S1³ alone
+    * overflows a bigint at survey cadence), then ONE fixed IEEE
+    * chain t3/(v·√v). No rounding discipline needed anywhere.
+    *
+    * Scale shape: a single combinable (object, band) aggregate —
+    * three power sums reduce in one shuffle, nothing else moves. */
+  def qSkewness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = "decimal(38,0)"
+    bandedSeries(s, dir)
+      .groupBy($"user_id", $"band")
+      .agg(count(lit(1)).cast(d).as("n"),
+        sum($"xc".cast(d)).as("s1"),
+        sum(($"xc" * $"xc").cast(d)).as("s2"),
+        sum(($"xc" * $"xc" * $"xc").cast(d)).as("s3"))
+      .withColumn("t3",
+        $"n" * $"n" * $"s3" - lit(3) * $"n" * $"s1" * $"s2" +
+          lit(2) * $"s1" * $"s1" * $"s1")
+      .withColumn("v", $"n" * $"s2" - $"s1" * $"s1")
+      .select($"user_id", $"band", $"n".cast("long").as("n_epochs"),
+        $"v".cast("long").as("var_num"),
+        $"t3".cast("double").as("t3_val"),
+        when($"v" > 0,
+          $"t3".cast("double") /
+            ($"v".cast("double") * sqrt($"v".cast("double"))))
+          .as("skew_val"))
+      .orderBy($"user_id", $"band")
+  }
+
+  /** Oracle twin: hugeint-exact power sums, the identical chain. */
+  val qSkewnessSql: String =
+    s"""WITH b AS (SELECT user_id, $BandCaseSql AS band,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc FROM events),
+       |a AS (SELECT user_id, band, COUNT(*) AS n,
+       |    SUM(xc) AS s1, SUM(xc*xc) AS s2, SUM(xc*xc*xc) AS s3
+       |  FROM b GROUP BY 1, 2),
+       |t AS (SELECT user_id, band, n,
+       |    n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS t3,
+       |    n*s2 - s1*s1 AS v
+       |  FROM a)
+       |SELECT user_id, band, CAST(n AS BIGINT) AS n_epochs,
+       |  CAST(v AS BIGINT) AS var_num,
+       |  CAST(t3 AS DOUBLE) AS t3_val,
+       |  CASE WHEN v > 0 THEN CAST(t3 AS DOUBLE)
+       |    / (CAST(v AS DOUBLE) * SQRT(CAST(v AS DOUBLE))) END
+       |    AS skew_val
+       |FROM t ORDER BY user_id, band""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lightcurve_stats" -> (qLightcurveStats _),
     "q_variability_class" -> (qVariabilityClass _),
@@ -2162,7 +2220,8 @@ object TimeSeries {
     "q_outlier_epochs" -> (qOutlierEpochs _),
     "q_repeatability" -> (qRepeatability _),
     "q_changepoint" -> (qChangepoint _),
-    "q_cadence" -> (qCadence _))
+    "q_cadence" -> (qCadence _),
+    "q_skewness" -> (qSkewness _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -2203,5 +2262,6 @@ object TimeSeries {
     "q_outlier_epochs" -> qOutlierEpochsSql,
     "q_repeatability" -> qRepeatabilitySql,
     "q_changepoint" -> qChangepointSql,
-    "q_cadence" -> qCadenceSql)
+    "q_cadence" -> qCadenceSql,
+    "q_skewness" -> qSkewnessSql)
 }

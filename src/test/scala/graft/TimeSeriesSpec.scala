@@ -835,4 +835,36 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(r.getAs[Long]("max_gap_us") == gaps.max)
     }
   }
+
+  test("q_skewness equals the exact rational g1 = T3/V^1.5 recomputed with BigInt") {
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("xc"),
+        expr(queries.TimeSeries.BandCaseSql).as("band"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(1)))
+    val got = queries.TimeSeries.qSkewness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val groups = raw.groupBy(t => (t._1, t._2))
+    assert(got.keySet == groups.keySet)
+    var anyNonzero = false
+    for (((uid, band), rows) <- groups) {
+      val xs = rows.map(t => BigInt(t._3))
+      val n = BigInt(xs.length)
+      val s1 = xs.sum; val s2 = xs.map(x => x * x).sum
+      val s3 = xs.map(x => x * x * x).sum
+      val t3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+      val v = n * s2 - s1 * s1
+      val r = got((uid, band))
+      assert(r.getAs[Long]("n_epochs") == xs.length.toLong)
+      assert(r.getAs[Long]("var_num") == v.toLong, s"($uid,$band) V")
+      assert(r.getAs[Double]("t3_val") == t3.toDouble, s"($uid,$band) T3")
+      if (v > 0) {
+        val g1 = t3.toDouble / (v.toDouble * math.sqrt(v.toDouble))
+        assert(r.getAs[Double]("skew_val") == g1, s"($uid,$band) g1")
+        if (math.abs(g1) > 0.1) anyNonzero = true
+      }
+    }
+    assert(anyNonzero, "corpus must exercise asymmetry (all-symmetric is vacuous)")
+  }
 }
