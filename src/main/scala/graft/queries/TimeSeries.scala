@@ -2133,8 +2133,10 @@ object TimeSeries {
     * Exact rational end-to-end: with integer power sums S1, S2, S3,
     * the population skewness reduces to g1 = T3 / V^{3/2} where
     * T3 = n²S3 − 3nS1S2 + 2S1³ and V = nS2 − S1² — both EXACT
-    * integers (decimal(38,0) here ≡ DuckDB hugeint: S1³ alone
-    * overflows a bigint at survey cadence), then ONE fixed IEEE
+    * integers (decimal(38,0) here, hugeint in the oracle — exact
+    * over the same values up to 1e38−1, far past any survey-cadence
+    * group; S1³ alone overflows a bigint, and the per-row cube casts
+    * BEFORE multiplying for the same reason), then ONE fixed IEEE
     * chain t3/(v·√v). No rounding discipline needed anywhere.
     *
     * Scale shape: a single combinable (object, band) aggregate —
@@ -2147,7 +2149,9 @@ object TimeSeries {
       .agg(count(lit(1)).cast(d).as("n"),
         sum($"xc".cast(d)).as("s1"),
         sum(($"xc" * $"xc").cast(d)).as("s2"),
-        sum(($"xc" * $"xc" * $"xc").cast(d)).as("s3"))
+        // cast BEFORE the cube: |xc| > ~2.1e6 overflows an int64
+        // per-row product even though the aggregate sums are wide
+        sum(($"xc".cast(d) * $"xc" * $"xc")).as("s3"))
       .withColumn("t3",
         $"n" * $"n" * $"s3" - lit(3) * $"n" * $"s1" * $"s2" +
           lit(2) * $"s1" * $"s1" * $"s1")
@@ -2167,7 +2171,8 @@ object TimeSeries {
     s"""WITH b AS (SELECT user_id, $BandCaseSql AS band,
        |    CAST(ROUND(value*100) AS BIGINT) AS xc FROM events),
        |a AS (SELECT user_id, band, COUNT(*) AS n,
-       |    SUM(xc) AS s1, SUM(xc*xc) AS s2, SUM(xc*xc*xc) AS s3
+       |    SUM(xc) AS s1, SUM(xc*xc) AS s2,
+       |    SUM(CAST(xc AS HUGEINT)*xc*xc) AS s3
        |  FROM b GROUP BY 1, 2),
        |t AS (SELECT user_id, band, n,
        |    n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS t3,
