@@ -204,7 +204,9 @@ object Bench {
     "q_cadence",
     "q_split_leakage",
     "q_ann_recall_ivfpq",
-    "q_skewness")
+    "q_skewness",
+    "q_kurtosis",
+    "q_amplitude")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

@@ -2186,6 +2186,143 @@ object TimeSeries {
        |    AS skew_val
        |FROM t ORDER BY user_id, band""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Light-curve excess kurtosis per (object, band) — [[qSkewness]]'s
+    * companion tail-weight feature (the cesium/feets "SmallKurtosis"
+    * family without the bias correction): g2 ≈ 0 for Gaussian noise,
+    * strongly positive for a quiescent curve with rare flares (heavy
+    * tails), negative for a switching/bimodal curve — the axis that
+    * separates "flaring" from "oscillating" when skewness is ~0.
+    *
+    * Same exact-rational discipline: with integer power sums S1..S4,
+    * g2 = T4/V² − 3 where T4 = n³S4 − 4n²S1S3 + 6nS1²S2 − 3S1⁴ and
+    * V = nS2 − S1², both exact in decimal(38,0)/hugeint (xc⁴ alone
+    * can overflow an int64 per row — cast BEFORE multiplying). T4
+    * itself exceeds 2⁶⁴, where DuckDB's hugeint→double conversion
+    * double-rounds (upper word, then lower) while Spark's decimal→
+    * double rounds once — a 1-ULP hash divergence — so the hashed
+    * value is the EXACT integer quotient T4 DIV V (≈2⁵³-safe at any
+    * cadence) and the one IEEE chain divides that by V. The floor
+    * moves g2 by < 1/V ≈ 1e-10 — far below the feature's noise.
+    *
+    * Scale shape: one combinable (object, band) aggregate — four
+    * power sums, one shuffle. */
+  def qKurtosis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = "decimal(38,0)"
+    bandedSeries(s, dir)
+      .groupBy($"user_id", $"band")
+      .agg(count(lit(1)).cast(d).as("n"),
+        sum($"xc".cast(d)).as("s1"),
+        sum(($"xc" * $"xc").cast(d)).as("s2"),
+        sum(($"xc".cast(d) * $"xc" * $"xc")).as("s3"),
+        sum(($"xc".cast(d) * $"xc" * $"xc" * $"xc")).as("s4"))
+      .withColumn("t4",
+        $"n" * $"n" * $"n" * $"s4" -
+          lit(4) * $"n" * $"n" * $"s1" * $"s3" +
+          lit(6) * $"n" * $"s1" * $"s1" * $"s2" -
+          lit(3) * $"s1" * $"s1" * $"s1" * $"s1")
+      .withColumn("v", $"n" * $"s2" - $"s1" * $"s1")
+      .withColumn("t4v",
+        when($"v" > 0, expr("t4 DIV v").cast("long")))
+      .select($"user_id", $"band", $"n".cast("long").as("n_epochs"),
+        $"v".cast("long").as("var_num"), $"t4v",
+        when($"v" > 0,
+          $"t4v".cast("double") / $"v".cast("double") - lit(3.0))
+          .as("kurt_val"))
+      .orderBy($"user_id", $"band")
+  }
+
+  /** Oracle twin: hugeint power sums, the identical chain. */
+  val qKurtosisSql: String =
+    s"""WITH b AS (SELECT user_id, $BandCaseSql AS band,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc FROM events),
+       |a AS (SELECT user_id, band, COUNT(*) AS n,
+       |    SUM(xc) AS s1, SUM(xc*xc) AS s2,
+       |    SUM(CAST(xc AS HUGEINT)*xc*xc) AS s3,
+       |    SUM(CAST(xc AS HUGEINT)*xc*xc*xc) AS s4
+       |  FROM b GROUP BY 1, 2),
+       |t AS (SELECT user_id, band, n,
+       |    n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1 AS t4,
+       |    n*s2 - s1*s1 AS v
+       |  FROM a)
+       |SELECT user_id, band, CAST(n AS BIGINT) AS n_epochs,
+       |  CAST(v AS BIGINT) AS var_num,
+       |  CASE WHEN v > 0 THEN CAST(t4 // v AS BIGINT) END AS t4v,
+       |  CASE WHEN v > 0 THEN CAST(t4 // v AS DOUBLE)
+       |    / CAST(v AS DOUBLE) - CAST(3.0 AS DOUBLE) END
+       |    AS kurt_val
+       |FROM t ORDER BY user_id, band""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Robust variability amplitude per (object, band) — half the
+    * spread between the 5th and 95th flux percentiles (the cesium/
+    * feets "Amplitude" feature, defined against percentiles exactly
+    * so two bad epochs cannot fake a variable): amp = (P95 − P5)/2,
+    * plus the median-relative amplitude ratio in exact permille.
+    * The raw max−min amplitude (q_lightcurve_band's amp_c100) is one
+    * cosmic ray away from meaningless; this one is not.
+    *
+    * Cross-engine discipline: P5/P95/P50 are all DISCRETE rank
+    * elements (CEIL(q·n), the house percentile), so every output is
+    * exact integer except the one halving — kept as the exact
+    * integer numerator amp2 = P95−P5 with the readable amp_val its
+    * single IEEE half.
+    *
+    * Scale shape: one (object, band) rank window serves all three
+    * percentiles (three filters over the same sorted pass), then a
+    * self-join-free conditional aggregate — one shuffle total. */
+  def qAmplitude(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wg = Window.partitionBy($"user_id", $"band")
+    bandedSeries(s, dir)
+      .withColumn("rn", row_number().over(wg.orderBy($"xc", $"event_id")))
+      .withColumn("n", count(lit(1)).over(wg))
+      .groupBy($"user_id", $"band")
+      .agg(max($"n").as("n_epochs"),
+        max(when($"rn" === expr("CAST(CEIL(0.05 * n) AS BIGINT)"), $"xc"))
+          .as("p05_c100"),
+        max(when($"rn" === expr("CAST(CEIL(0.5 * n) AS BIGINT)"), $"xc"))
+          .as("med_c100"),
+        max(when($"rn" === expr("CAST(CEIL(0.95 * n) AS BIGINT)"), $"xc"))
+          .as("p95_c100"))
+      .withColumn("amp2_c100", $"p95_c100" - $"p05_c100")
+      .withColumn("amp_val", $"amp2_c100" / lit(2.0))
+      .withColumn("amp_milli",
+        when($"med_c100" > 0, expr("amp2_c100 * 1000 DIV (2 * med_c100)")))
+      .select($"user_id", $"band", $"n_epochs", $"p05_c100",
+        $"med_c100", $"p95_c100", $"amp2_c100", $"amp_val",
+        $"amp_milli")
+      .orderBy($"user_id", $"band")
+  }
+
+  /** Oracle twin: same single sorted pass, same discrete ranks. */
+  val qAmplitudeSql: String =
+    s"""WITH b AS (SELECT user_id, $BandCaseSql AS band, event_id,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc FROM events),
+       |r AS (SELECT user_id, band, xc,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, band
+       |      ORDER BY xc, event_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY user_id, band) AS n
+       |  FROM b),
+       |a AS (SELECT user_id, band, MAX(n) AS n_epochs,
+       |    MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT)
+       |      THEN xc END) AS p05_c100,
+       |    MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+       |      THEN xc END) AS med_c100,
+       |    MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+       |      THEN xc END) AS p95_c100
+       |  FROM r GROUP BY 1, 2)
+       |SELECT user_id, band, CAST(n_epochs AS BIGINT) AS n_epochs,
+       |  p05_c100, med_c100, p95_c100,
+       |  CAST(p95_c100 - p05_c100 AS BIGINT) AS amp2_c100,
+       |  CAST(p95_c100 - p05_c100 AS DOUBLE) / CAST(2.0 AS DOUBLE)
+       |    AS amp_val,
+       |  CASE WHEN med_c100 > 0 THEN
+       |    CAST((p95_c100 - p05_c100) * 1000 // (2 * med_c100) AS BIGINT)
+       |  END AS amp_milli
+       |FROM a ORDER BY user_id, band""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lightcurve_stats" -> (qLightcurveStats _),
     "q_variability_class" -> (qVariabilityClass _),
@@ -2226,7 +2363,9 @@ object TimeSeries {
     "q_repeatability" -> (qRepeatability _),
     "q_changepoint" -> (qChangepoint _),
     "q_cadence" -> (qCadence _),
-    "q_skewness" -> (qSkewness _))
+    "q_skewness" -> (qSkewness _),
+    "q_kurtosis" -> (qKurtosis _),
+    "q_amplitude" -> (qAmplitude _))
 
   val oracles: Map[String, String] = Map(
     "q_lightcurve_stats" -> qLightcurveStatsSql,
@@ -2268,5 +2407,7 @@ object TimeSeries {
     "q_repeatability" -> qRepeatabilitySql,
     "q_changepoint" -> qChangepointSql,
     "q_cadence" -> qCadenceSql,
-    "q_skewness" -> qSkewnessSql)
+    "q_skewness" -> qSkewnessSql,
+    "q_kurtosis" -> qKurtosisSql,
+    "q_amplitude" -> qAmplitudeSql)
 }

@@ -867,4 +867,67 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
     assert(anyNonzero, "corpus must exercise asymmetry (all-symmetric is vacuous)")
   }
+
+  test("q_kurtosis equals the exact rational T4/V^2 - 3 recomputed with BigInt") {
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("xc"),
+        expr(queries.TimeSeries.BandCaseSql).as("band"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(1)))
+    val got = queries.TimeSeries.qKurtosis(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val groups = raw.groupBy(t => (t._1, t._2))
+    assert(got.keySet == groups.keySet)
+    for (((uid, band), rows) <- groups) {
+      val xs = rows.map(t => BigInt(t._3))
+      val n = BigInt(xs.length)
+      val s1 = xs.sum; val s2 = xs.map(x => x * x).sum
+      val s3 = xs.map(x => x * x * x).sum
+      val s4 = xs.map(x => x * x * x * x).sum
+      val t4 = n * n * n * s4 - 4 * n * n * s1 * s3 +
+        6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+      val v = n * s2 - s1 * s1
+      val r = got((uid, band))
+      assert(r.getAs[Long]("var_num") == v.toLong)
+      if (v > 0) {
+        val t4v = t4 / v // BigInt division truncates like both engines
+        assert(r.getAs[Long]("t4v") == t4v.toLong, s"($uid,$band) T4 DIV V")
+        val g2 = t4v.toDouble / v.toDouble - 3.0
+        assert(r.getAs[Double]("kurt_val") == g2, s"($uid,$band) g2")
+        // m4/sigma^4 >= 1 always, so g2 >= -2 for ANY series (the
+        // DIV floor can only pull it microscopically lower)
+        assert(g2 >= -2.0 - 1e-6, s"($uid,$band) impossible kurtosis $g2")
+      }
+    }
+  }
+
+  test("q_amplitude equals the brute-force discrete percentile spread") {
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("xc"),
+        expr(queries.TimeSeries.BandCaseSql).as("band"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(1)))
+    val got = queries.TimeSeries.qAmplitude(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    val groups = raw.groupBy(t => (t._1, t._2))
+    assert(got.keySet == groups.keySet)
+    for (((uid, band), rows) <- groups) {
+      val xs = rows.map(_._3).sorted
+      val n = xs.length
+      def pct(q: Double) = xs((math.ceil(q * n) - 1).toInt)
+      val (p05, med, p95) = (pct(0.05), pct(0.5), pct(0.95))
+      val r = got((uid, band))
+      assert(r.getAs[Long]("p05_c100") == p05 &&
+        r.getAs[Long]("med_c100") == med &&
+        r.getAs[Long]("p95_c100") == p95, s"($uid,$band) percentiles")
+      assert(r.getAs[Long]("amp2_c100") == p95 - p05)
+      assert(r.getAs[Double]("amp_val") == (p95 - p05) / 2.0)
+      if (med > 0)
+        assert(r.getAs[Long]("amp_milli") == (p95 - p05) * 1000 / (2 * med))
+      // percentile spread can never exceed the raw range
+      assert(p95 - p05 <= xs.max - xs.min)
+    }
+  }
 }
