@@ -2201,9 +2201,12 @@ object TimeSeries {
     * itself exceeds 2⁶⁴, where DuckDB's hugeint→double conversion
     * double-rounds (upper word, then lower) while Spark's decimal→
     * double rounds once — a 1-ULP hash divergence — so the hashed
-    * value is the EXACT integer quotient T4 DIV V (≈2⁵³-safe at any
-    * cadence) and the one IEEE chain divides that by V. The floor
-    * moves g2 by < 1/V ≈ 1e-10 — far below the feature's noise.
+    * value is the EXACT integer quotient T4 DIV V = (g2+3)·V, a
+    * bigint wherever V is (V ≈ n²σ² stays well under 2⁶³ at survey
+    * cadence, though NOT under 2⁵³ at extreme group sizes — a future
+    * consumer hashing a quotient as DOUBLE must re-check its range)
+    * and the one IEEE chain divides that by V. The floor moves g2 by
+    * < 1/V ≈ 1e-10 — far below the feature's noise.
     *
     * Scale shape: one combinable (object, band) aggregate — four
     * power sums, one shuffle. */
@@ -2223,8 +2226,7 @@ object TimeSeries {
           lit(6) * $"n" * $"s1" * $"s1" * $"s2" -
           lit(3) * $"s1" * $"s1" * $"s1" * $"s1")
       .withColumn("v", $"n" * $"s2" - $"s1" * $"s1")
-      .withColumn("t4v",
-        when($"v" > 0, expr("t4 DIV v").cast("long")))
+      .withColumn("t4v", when($"v" > 0, expr("t4 DIV v")))
       .select($"user_id", $"band", $"n".cast("long").as("n_epochs"),
         $"v".cast("long").as("var_num"), $"t4v",
         when($"v" > 0,
