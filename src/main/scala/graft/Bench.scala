@@ -179,6 +179,10 @@ object Bench {
     // aggregate + windows over the tiny dense grid; regresses if the
     // grid ever joins back against documents instead of the histogram
     "q_ks_drift",
+    // its pre-sampled 100-TB path: same shape, md5 sample pushed to
+    // the scan — regresses if the sample predicate stops pruning
+    // before the histogram aggregate
+    "q_ks_drift_sampled",
     // mergeable daily-HLL distinct telemetry — two combinable
     // aggregates whose shuffle carries KB sketch blobs; regresses if
     // the exact twin's expand ever dominates or the merge re-scans

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.RankSplit
 
 /** Data-quality surface over the catalog — the profiling and
   * constraint-validation pass an ingest pipeline runs before it
@@ -185,20 +186,36 @@ object Quality {
     *
     * Scale shape: one combinable (source, value) histogram aggregate
     * — the corpus never moves, only |sources|×|distinct lengths|
-    * cells — then a broadcast dense grid (distinct values × sources)
-    * so every source's CDF is evaluated at EVERY corpus value (a
-    * source missing a value still steps there), cumsums as one
-    * source-partitioned window over that tiny grid, and a broadcast
-    * per-source-totals join. `cumB = cumTotal − cumA` avoids ever
-    * building the complement's histogram. Bigint bounds: products
-    * stay under 2^63 up to ~3·10^9 docs/side; past that the same
-    * query runs on a pre-sampled slice (the published KS n for 1e-3
-    * sensitivity is far smaller anyway). */
-  def qKsDrift(s: SparkSession, dir: String): DataFrame = {
+    * cells (pinned once with the multi-consumer localCheckpoint
+    * convention: five downstream consumers, one corpus scan) — then a
+    * broadcast dense grid (distinct values × sources) so every
+    * source's CDF is evaluated at EVERY corpus value (a source
+    * missing a value still steps there). The per-source cumsum is a
+    * source-partitioned window over that tiny grid; the CORPUS cumsum
+    * is a function of v alone, so it is computed on the per-v totals
+    * frame (|values| rows), NEVER on the |sources|×|values| grid, and
+    * never through a constant-key window: histogram cells from approx
+    * split points ([[RankSplit.assignCells]]), a cumsum window
+    * PARTITIONED BY cell, and per-cell offsets cumulated by a
+    * triangular join over the ≤splits-row cell-total frame — the plan
+    * holds ZERO unpartitioned windows (BoundedWindowSpec pins this),
+    * so no stage ever funnels the value domain through one task.
+    * `cumB = cumTotal − cumA` avoids ever building the complement's
+    * histogram. Bigint bounds: products stay under 2^63 up to
+    * ~3·10^9 docs/side; past that, [[qKsDriftSampled]] is the
+    * registered pre-sampled path. */
+  def qKsDrift(s: SparkSession, dir: String): DataFrame =
+    ksDrift(s, Tables.documents(s, dir))
+
+  /** Histogram-cell count of the corpus-cumsum two-level split. */
+  val KsCumSplits = 32
+
+  private def ksDrift(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val hist = Tables.documents(s, dir)
+    val hist = docs
       .groupBy($"source", $"n_chars".as("v"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     // dense grid: every (source, corpus-distinct value) cell, count 0
     // where the source lacks the value — both factors are tiny
     // aggregates of the histogram, so the grid never touches documents
@@ -207,18 +224,24 @@ object Quality {
       .join(hist, Seq("source", "v"), "left")
       .na.fill(0L, Seq("c"))
     val wcum = Window.partitionBy($"source").orderBy($"v")
-    val wtot = Window.partitionBy($"vv").orderBy($"v")
+    // corpus cumulative count: per-v totals → cell-partitioned local
+    // cumsum + triangular cell-offset join (no unpartitioned window)
+    val tv = hist.groupBy($"v").agg(sum($"c").as("ct"))
+    val celled = RankSplit.assignCells(tv, Seq.empty, "v", KsCumSplits)
+    val local = celled.withColumn("cum_local",
+      sum($"ct").over(Window.partitionBy($"__cell").orderBy($"v")))
+    val cellTot = celled.groupBy($"__cell").agg(sum($"ct").as("cw"))
+    val offs = cellTot
+      .join(broadcast(cellTot.select($"__cell".as("bc"), $"cw".as("bw"))),
+        $"bc" < $"__cell", "left")
+      .groupBy($"__cell").agg(coalesce(sum($"bw"), lit(0L)).as("coff"))
+    val tvCum = local.join(broadcast(offs), Seq("__cell"))
+      .select($"v", ($"cum_local" + $"coff").as("cum_t"))
     val cums = grid
       .withColumn("cum_a", sum($"c").over(wcum))
-      .withColumn("vv", lit(1))
-      .withColumn("cum_t", sum($"c").over(wtot))
-      // every source sees every v, so at each v the total cumulative
-      // count is |sources| × the per-source grid's share — divide out
-      // by counting each v once: cum_t over the grid counts all
-      // sources' cells up to v, which IS the corpus cumulative count
-      .drop("vv")
+      .join(broadcast(tvCum), Seq("v"))
     val tot = hist.groupBy($"source").agg(sum($"c").as("n_a"))
-      .withColumn("n_t", sum($"n_a").over(Window.partitionBy(lit(1))))
+      .crossJoin(broadcast(hist.agg(sum($"c").as("n_t"))))
     cums.join(broadcast(tot), Seq("source"))
       .select($"source", $"n_a", ($"n_t" - $"n_a").as("n_b"),
         abs($"cum_a" * ($"n_t" - $"n_a") -
@@ -233,10 +256,28 @@ object Quality {
       .orderBy($"source")
   }
 
-  /** Oracle twin — same dense grid, same integer cumsum identity. */
-  val qKsDriftSql: String =
+  /** Sampling width (permille of the md5 doc_id bucket) of
+    * [[qKsDriftSampled]] — 250‰ keeps every test-SF source populated
+    * while exercising the real pre-sample plan shape. */
+  val KsSampleMilli = 250L
+
+  /** The 100-TB execution path of [[qKsDrift]]: the SAME drift query
+    * over a deterministic md5 doc_id sample (the [[Text.qHashSample]]
+    * bucket idiom — stable across reshuffles and engines, mirrored
+    * verbatim in the oracle, the q_two_point_sampled discipline).
+    * Past ~3·10⁹ docs/side the full query's bigint products overflow
+    * and the KS n for any published sensitivity target is far smaller
+    * anyway — this entry is that documented slice as a hash-checked
+    * query, not a comment. */
+  def qKsDriftSampled(s: SparkSession, dir: String): DataFrame =
+    ksDrift(s, Tables.documents(s, dir)
+      .where(Text.splitBucketCol < KsSampleMilli))
+
+  /** Oracle twin — same dense grid, same integer cumsum identity,
+    * parameterized over the (possibly pre-sampled) documents source. */
+  private def ksDriftSqlFrom(docsRel: String): String =
     s"""WITH h AS (SELECT source, n_chars AS v, COUNT(*) AS c
-       |  FROM documents GROUP BY 1, 2),
+       |  FROM $docsRel GROUP BY 1, 2),
        |grid AS (SELECT sv.source, vv.v, COALESCE(h.c, 0) AS c
        |  FROM (SELECT DISTINCT source FROM h) sv
        |  CROSS JOIN (SELECT DISTINCT v FROM h) vv
@@ -257,6 +298,11 @@ object Quality {
        |    / (CAST(n_a AS DOUBLE) * n_b) AS d_val,
        |  CAST(1000 * MAX(dn) > $KsThreshMilli * n_a * n_b AS INT) AS drift
        |FROM d GROUP BY 1, 2, 3 ORDER BY source""".stripMargin
+
+  val qKsDriftSql: String = ksDriftSqlFrom("documents")
+
+  val qKsDriftSampledSql: String = ksDriftSqlFrom(
+    s"(SELECT * FROM documents WHERE ${Text.splitBucketSql} < $KsSampleMilli)")
 
   // ---------------------------------------------------------------
   /** Vector-table ingest gate — the QA pass a pipeline runs on an
@@ -298,7 +344,11 @@ object Quality {
   }
 
   /** Oracle twin: same integer scaling, hugeint-exact sums, the
-    * identical RMS chain. */
+    * identical RMS chain. LEFT JOIN + COALESCE so a zero-length
+    * embedding array (which unnests to NO rows and would vanish under
+    * an inner join) stays a counted vector with dim=0/nrm=0 — exactly
+    * the ragged-input case this QA gate exists to catch, and exactly
+    * what the Spark side's size()/normSq report for it. */
   val qEmbeddingQaSql: String =
     s"""WITH u AS (SELECT vec_id,
        |    CAST(ROUND(CAST(v AS DOUBLE)
@@ -307,8 +357,9 @@ object Quality {
        |n AS (SELECT vec_id, CAST(SUM(vi*vi) AS BIGINT) AS nrm,
        |    COUNT(*) AS dim
        |  FROM u GROUP BY 1),
-       |j AS (SELECT e.label, n.nrm, n.dim
-       |  FROM embeddings e JOIN n USING (vec_id))
+       |j AS (SELECT e.label, COALESCE(n.nrm, 0) AS nrm,
+       |    COALESCE(n.dim, 0) AS dim
+       |  FROM embeddings e LEFT JOIN n USING (vec_id))
        |SELECT label, COUNT(*) AS n_vecs,
        |  MIN(dim) AS dim_min, MAX(dim) AS dim_max,
        |  MIN(nrm) AS min_nrm, MAX(nrm) AS max_nrm,
@@ -324,6 +375,7 @@ object Quality {
     "q_constraints" -> (qConstraints _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_ks_drift" -> (qKsDrift _),
+    "q_ks_drift_sampled" -> (qKsDriftSampled _),
     "q_embedding_qa" -> (qEmbeddingQa _))
 
   val oracles: Map[String, String] = Map(
@@ -331,5 +383,6 @@ object Quality {
     "q_constraints" -> qConstraintsSql,
     "q_quality_classifier" -> qQualityClassifierSql,
     "q_ks_drift" -> qKsDriftSql,
+    "q_ks_drift_sampled" -> qKsDriftSampledSql,
     "q_embedding_qa" -> qEmbeddingQaSql)
 }

@@ -236,9 +236,18 @@ object Sketches {
   private val DayUs = 86400000000L
 
   /** lgConfigK of the Datasketches HLL sketches: 2^12 registers →
-    * ~1.6% standard error; [[HllMergeRelErrMax]] (5%) is ~3σ. */
+    * ~1.6% relative standard error. [[HllMergeRelErrMax]] (10%) is
+    * ~6σ: under the estimator's near-Gaussian error the chance a
+    * cell's `in_bound` flips is ~2·10⁻⁹ per cell — the oracle
+    * hardcodes in_bound=1, so this bound is deliberately far past
+    * any legitimate estimator excursion: with a handful of
+    * event-type cells the suite would need ~10⁸ corpus regenerations
+    * to see one spurious parity failure, while a real engine bug
+    * (wrong registers, lossy merge) still lands far outside it.
+    * SketchesSpec separately proves the merge is LOSSLESS (merged ≡
+    * one-shot sketch), so tightness here buys nothing. */
   val HllLgK = 12
-  val HllMergeRelErrMax = 0.05
+  val HllMergeRelErrMax = 0.10
 
   /** MERGEABLE distinct-count telemetry — the property that makes
     * sketches the 100 TB answer and that [[qSketchDistinct]]'s

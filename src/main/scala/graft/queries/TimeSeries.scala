@@ -1913,6 +1913,18 @@ object TimeSeries {
   /** Brightness-bin width of the repeatability report, in centi-flux. */
   private[graft] val RepeatBinC100 = 2000L
 
+  /** Bin-offset shift (in BINS) that keeps the repeatability bin
+    * arithmetic in the non-negative range where Spark's DIV
+    * (truncate toward zero) and DuckDB's `//` (floor) agree: the
+    * mean flux is computed as (sx + n·shift·binw) DIV n, binned,
+    * then the shift is subtracted back. Covers calibrated fluxes
+    * down to −2·10⁷ flux units (−2·10⁹ c100) — far below any real
+    * sky value — and n·shift·binw stays ≪ 2⁶³ at survey cadence.
+    * For non-negative means the result is bit-identical to the
+    * unshifted bin; for negative means it is the FLOOR bin (monotone
+    * binning — what a brightness axis wants) on both engines. */
+  private[graft] val RepeatShiftBins = 1000000L
+
   /** Photometric repeatability per (band, brightness bin) — the
     * survey-level QA metric behind LSST's PA1 requirement: the
     * ensemble median (and mean) of per-object flux RMS as a function
@@ -1945,7 +1957,9 @@ object TimeSeries {
       .withColumn("rms_c3",
         round(sqrt($"var_num".cast("double") /
           ($"n" * ($"n" - 1)).cast("double")) * lit(1000.0)).cast("long"))
-      .withColumn("bin", expr(s"(sx DIV n) DIV $RepeatBinC100"))
+      .withColumn("bin", expr(
+        s"(sx + n * ${RepeatShiftBins * RepeatBinC100}) DIV n" +
+          s" DIV $RepeatBinC100 - $RepeatShiftBins"))
       // one row per (object, band): pin the REDUCED frame so the
       // median and mean branches don't each re-run the corpus
       // aggregate (the multi-consumer localCheckpoint convention)
@@ -1975,7 +1989,9 @@ object TimeSeries {
        |    CAST(COUNT(*)*SUM(xc*xc) - SUM(xc)*SUM(xc) AS BIGINT)
        |      AS var_num
        |  FROM b GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-       |r AS (SELECT band, sx // n // $RepeatBinC100 AS bin, user_id,
+       |r AS (SELECT band,
+       |    (sx + n * ${RepeatShiftBins * RepeatBinC100}) // n
+       |      // $RepeatBinC100 - $RepeatShiftBins AS bin, user_id,
        |    CAST(ROUND(SQRT(CAST(var_num AS DOUBLE)
        |      / CAST(n*(n-1) AS DOUBLE)) * 1000.0) AS BIGINT) AS rms_c3
        |  FROM po),
@@ -2136,8 +2152,18 @@ object TimeSeries {
     * integers (decimal(38,0) here, hugeint in the oracle — exact
     * over the same values up to 1e38−1, far past any survey-cadence
     * group; S1³ alone overflows a bigint, and the per-row cube casts
-    * BEFORE multiplying for the same reason), then ONE fixed IEEE
-    * chain t3/(v·√v). No rounding discipline needed anywhere.
+    * BEFORE multiplying for the same reason).
+    *
+    * T3 ≈ n³σ³ in c100 units can exceed 2⁶⁴, where a direct double
+    * cast 1-ULP-diverges cross-engine (the q_kurtosis gotcha: DuckDB
+    * hugeint→double rounds each 64-bit word, Spark decimal→double
+    * rounds once) — so the hashed columns are exact integers only:
+    * the sign, |T3| DIV V and |T3| % V (quotient ≤ |g1|·√V ≪ 2⁵³,
+    * remainder < V < 2⁶³ at survey cadence — both single-rounding
+    * ranges; sign split off because DIV truncates toward zero in
+    * Spark but `//` floors in DuckDB, diverging on negative T3).
+    * The readable g1 = sgn·(q + r/V)/√V is rebuilt as ONE identical
+    * IEEE chain on both sides — full precision, no floor loss.
     *
     * Scale shape: a single combinable (object, band) aggregate —
     * three power sums reduce in one shuffle, nothing else moves. */
@@ -2156,17 +2182,28 @@ object TimeSeries {
         $"n" * $"n" * $"s3" - lit(3) * $"n" * $"s1" * $"s2" +
           lit(2) * $"s1" * $"s1" * $"s1")
       .withColumn("v", $"n" * $"s2" - $"s1" * $"s1")
+      .withColumn("sgn", when($"t3" < 0, lit(-1)).otherwise(lit(1)))
+      // the v > 0 guard must wrap the DIV/% themselves (CaseWhen
+      // short-circuits per row), or a constant light curve's v = 0
+      // divides by zero
+      .withColumn("t3q", when($"v" > 0, expr("abs(t3) DIV v")))
+      .withColumn("t3r", when($"v" > 0, expr("abs(t3) % v").cast("long")))
+      .withColumn("vl", $"v".cast("long"))
       .select($"user_id", $"band", $"n".cast("long").as("n_epochs"),
-        $"v".cast("long").as("var_num"),
-        $"t3".cast("double").as("t3_val"),
+        $"vl".as("var_num"),
+        when($"v" > 0, $"sgn").as("t3_sign"),
+        $"t3q", $"t3r",
         when($"v" > 0,
-          $"t3".cast("double") /
-            ($"v".cast("double") * sqrt($"v".cast("double"))))
+          $"sgn".cast("double") *
+            ($"t3q".cast("double") +
+              $"t3r".cast("double") / $"vl".cast("double")) /
+            sqrt($"vl".cast("double")))
           .as("skew_val"))
       .orderBy($"user_id", $"band")
   }
 
-  /** Oracle twin: hugeint-exact power sums, the identical chain. */
+  /** Oracle twin: hugeint-exact power sums, the identical
+    * sign/quotient/remainder split and IEEE rebuild chain. */
   val qSkewnessSql: String =
     s"""WITH b AS (SELECT user_id, $BandCaseSql AS band,
        |    CAST(ROUND(value*100) AS BIGINT) AS xc FROM events),
@@ -2177,14 +2214,24 @@ object TimeSeries {
        |t AS (SELECT user_id, band, n,
        |    n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS t3,
        |    n*s2 - s1*s1 AS v
-       |  FROM a)
+       |  FROM a),
+       |q AS (SELECT user_id, band, n, v,
+       |    CAST(CASE WHEN t3 < 0 THEN -1 ELSE 1 END AS INTEGER) AS sgn,
+       |    CASE WHEN v > 0 THEN CAST(ABS(t3) // v AS BIGINT) END AS t3q,
+       |    CASE WHEN v > 0 THEN CAST(ABS(t3) % v AS BIGINT) END AS t3r,
+       |    CAST(v AS BIGINT) AS vl
+       |  FROM t)
        |SELECT user_id, band, CAST(n AS BIGINT) AS n_epochs,
        |  CAST(v AS BIGINT) AS var_num,
-       |  CAST(t3 AS DOUBLE) AS t3_val,
-       |  CASE WHEN v > 0 THEN CAST(t3 AS DOUBLE)
-       |    / (CAST(v AS DOUBLE) * SQRT(CAST(v AS DOUBLE))) END
+       |  CASE WHEN v > 0 THEN sgn END AS t3_sign,
+       |  CASE WHEN v > 0 THEN t3q END AS t3q,
+       |  CASE WHEN v > 0 THEN t3r END AS t3r,
+       |  CASE WHEN v > 0 THEN CAST(sgn AS DOUBLE)
+       |    * (CAST(t3q AS DOUBLE) + CAST(t3r AS DOUBLE)
+       |        / CAST(vl AS DOUBLE))
+       |    / SQRT(CAST(vl AS DOUBLE)) END
        |    AS skew_val
-       |FROM t ORDER BY user_id, band""".stripMargin
+       |FROM q ORDER BY user_id, band""".stripMargin
 
   // ---------------------------------------------------------------
   /** Light-curve excess kurtosis per (object, band) — [[qSkewness]]'s

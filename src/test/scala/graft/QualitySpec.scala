@@ -115,6 +115,38 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q_ks_drift_sampled equals the KS recompute over the deterministic md5 sample") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(id: Long) =
+      java.lang.Long.parseLong(md5hex(id.toString).take(15), 16) % 1000
+    val all = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val docs = all.filter(t => bucket(t._1) < queries.Quality.KsSampleMilli)
+    // the sample predicate must bite AND leave a usable corpus
+    assert(docs.nonEmpty && docs.length < all.length,
+      s"sample kept ${docs.length}/${all.length} — not a strict non-empty subset")
+    val values = docs.map(_._3).distinct.sorted
+    val got = queries.Quality.qKsDriftSampled(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sources = docs.map(_._2).distinct
+    assert(got.keySet == sources.toSet)
+    assert(sources.length >= 2, "sampled corpus must keep >=2 sources")
+    for (src <- sources) {
+      val a = docs.filter(_._2 == src).map(_._3)
+      val b = docs.filter(_._2 != src).map(_._3)
+      val dNum = values.map { v =>
+        math.abs(a.count(_ <= v).toLong * b.length -
+          b.count(_ <= v).toLong * a.length)
+      }.max
+      val r = got(src)
+      assert(r.getAs[Long]("n_a") == a.length.toLong, s"$src n_a")
+      assert(r.getAs[Long]("n_b") == b.length.toLong, s"$src n_b")
+      assert(r.getAs[Long]("d_num") == dNum, s"$src d_num")
+    }
+  }
+
   test("q_embedding_qa equals a brute-force integer-scaled norm census") {
     val vecs = Tables.embeddings(spark, sf)
       .select("vec_id", "embedding", "label").collect()

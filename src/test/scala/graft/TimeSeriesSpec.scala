@@ -735,7 +735,11 @@ class TimeSeriesSpec extends AnyFunSuite {
         val varNum = n * xs.map(x => x * x).sum - sx * sx
         val rms = math.round(math.sqrt(varNum.toDouble /
           (n * (n - 1)).toDouble) * 1000.0)
-        Some((band, sx / n / binW, uid, rms))
+        // the engine-agnostic shifted bin (floor semantics for any
+        // sign of the mean; identical to sx/n/binW when sx >= 0)
+        val shift = queries.TimeSeries.RepeatShiftBins
+        val bin = (sx + n * shift * binW) / n / binW - shift
+        Some((band, bin, uid, rms))
       }
     }
     val exp = po.groupBy(t => (t._1, t._2)).map { case (k, os) =>
@@ -858,9 +862,18 @@ class TimeSeriesSpec extends AnyFunSuite {
       val r = got((uid, band))
       assert(r.getAs[Long]("n_epochs") == xs.length.toLong)
       assert(r.getAs[Long]("var_num") == v.toLong, s"($uid,$band) V")
-      assert(r.getAs[Double]("t3_val") == t3.toDouble, s"($uid,$band) T3")
       if (v > 0) {
-        val g1 = t3.toDouble / (v.toDouble * math.sqrt(v.toDouble))
+        // hashed columns are the exact sign/quotient/remainder split
+        // (T3 can exceed 2^64, where a double cast 1-ULP-diverges
+        // cross-engine); the readable is the identical IEEE rebuild
+        val sgn = if (t3 < 0) -1 else 1
+        val q = t3.abs / v
+        val rem = t3.abs % v
+        assert(r.getAs[Int]("t3_sign") == sgn, s"($uid,$band) sign")
+        assert(r.getAs[Long]("t3q") == q.toLong, s"($uid,$band) T3 quot")
+        assert(r.getAs[Long]("t3r") == rem.toLong, s"($uid,$band) T3 rem")
+        val g1 = sgn.toDouble * (q.toDouble + rem.toDouble / v.toLong.toDouble) /
+          math.sqrt(v.toLong.toDouble)
         assert(r.getAs[Double]("skew_val") == g1, s"($uid,$band) g1")
         if (math.abs(g1) > 0.1) anyNonzero = true
       }
