@@ -673,7 +673,11 @@ object Multimodal {
     * frontier-resume logic reads, so folding batches together would
     * destroy both. Compaction only collapses the files WITHIN each
     * batch; a deployment that outgrows per-batch retention ages out
-    * whole partitions instead (drop `batch_id < horizon` dirs).
+    * whole partitions with [[graft.sources.Catalog
+    * .dropPartitionsBelow]] — it removes the files but keeps each
+    * aged partition's (empty) dir, so replay guards and frontier
+    * resume still see the batch as complete, and records the horizon
+    * in the store's `_age_horizon` marker.
     *
     * Discipline (the [[graft.streaming.DocStream.compactCorpus]] /
     * ObjectIndex.compactIndex contract): REFUSES while a crashed

@@ -528,6 +528,83 @@ object Catalog {
     } finally f.delete(tmp, true)
   }
 
+  /** Name of the root-level retention marker [[dropPartitionsBelow]]
+    * maintains: its content is the highest aging horizon ever applied
+    * to the store. */
+  val AgeHorizonMarker = "_age_horizon"
+
+  /** The store's recorded aging horizon (0 when never aged):
+    * partitions with key < this value have had their data aged out,
+    * so a zero-row read there means "retired", not "never happened". */
+  def ageHorizon(s: SparkSession, path: String): Long = {
+    val (f, p) = fs(s, path)
+    val m = new org.apache.hadoop.fs.Path(p, AgeHorizonMarker)
+    if (!f.exists(m)) 0L
+    else {
+      val in = f.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Retention/aging for batch-partitioned lifecycle stores: delete
+    * the DATA FILES of every `partCol=<v>` partition with v <
+    * `horizon`, KEEPING each now-empty partition directory in place.
+    * The directory is load-bearing: the nightly-lifecycle stores (the
+    * [[graft.queries.Spatial]] match/transient stores, the
+    * [[graft.queries.Multimodal]] streamed phash-pairs store) use the
+    * partition dir's existence as the durable "this batch ran"
+    * completion marker — an empty dir already means "ran, zero rows"
+    * ([[graft.queries.Multimodal.blobBatch]]) — so after aging, a
+    * replayed batch still short-circuits on its guard, frontier
+    * resume still counts the aged prefix as complete, and fold
+    * markers (which live at the index root, not here) are untouched:
+    * aging can never turn a done batch back into a runnable one. The
+    * applied horizon is recorded monotonically in [[AgeHorizonMarker]]
+    * so a consumer can tell an aged-out prefix (zero rows by
+    * retirement) from a legitimately-empty partition.
+    *
+    * Discipline: REFUSES on an incomplete store and while a crashed
+    * append is pending (the [[compactPartitions]] contract) —
+    * resolving those is a recovery decision that must precede any
+    * file removal. Ten survey-years of nightly batches is ~3,650
+    * partitions per store; this is the entry point that keeps the
+    * retained window bounded. Returns the number of partitions whose
+    * files were removed by THIS call (already-aged or non-numeric
+    * directories are skipped). */
+  def dropPartitionsBelow(s: SparkSession, path: String, partCol: String,
+    horizon: Long): Int = {
+    val (f, p) = fs(s, path)
+    require(tableComplete(s, path),
+      s"$path is not a complete store — build it first")
+    require(!appendPending(s, path),
+      s"$path has unresolved crashed appends — recoverAppends first")
+    val prefix = s"$partCol="
+    var aged = 0
+    f.listStatus(p).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith(prefix)) {
+        val v = scala.util.Try(name.stripPrefix(prefix).toLong).toOption
+        if (v.exists(_ < horizon)) {
+          // remove data content only; hidden ("_"/".") entries are
+          // commit-protocol artifacts and stay with the dir
+          val data = f.listStatus(st.getPath).filterNot { c =>
+            val n = c.getPath.getName
+            n.startsWith("_") || n.startsWith(".")
+          }
+          if (data.nonEmpty) {
+            data.foreach(c => f.delete(c.getPath, true))
+            aged += 1
+          }
+        }
+      }
+    }
+    val newH = math.max(ageHorizon(s, path), horizon)
+    val out = f.create(new org.apache.hadoop.fs.Path(p, AgeHorizonMarker), true)
+    try out.write(newH.toString.getBytes("UTF-8")) finally out.close()
+    aged
+  }
+
   /** Bucketed catalog table: pre-shuffled on the join key at ingest
     * time, so every later equi-join/aggregation on that key is
     * co-located — zero Exchange in the plan (the SURVEY §5 strategy

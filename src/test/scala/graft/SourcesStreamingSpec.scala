@@ -463,6 +463,79 @@ class MultimodalSpec extends AnyFunSuite {
       "healed sidecar lost or invented membership")
   }
 
+  test("dropPartitionsBelow ages batch partitions: replay no-op, frontier intact, retained telemetry unchanged") {
+    import org.apache.spark.sql.functions._
+    import queries.Multimodal._
+    import graft.sources.Catalog
+    val root = Files.createTempDirectory("graft_phash_age").toString
+    val path = s"$root/idx"
+    val pairs = s"$root/pairs"
+    import spark.implicits._
+    assert(buildPhashIndex(spark, spark.emptyDataset[BlobSig].toDF(), path))
+    val blobs = blobsWithVariants(spark, sf).localCheckpoint()
+    (0 until 3).foreach { b =>
+      blobBatch(spark, blobs.filter(pmod($"doc_id", lit(3)) === b),
+        path, pairs, b.toLong)
+    }
+    def telemetry(): Map[Long, (Long, Long)] = readPhashPairs(spark, pairs)
+      .groupBy($"batch_id")
+      .agg(count(lit(1)).as("n"), sum(when($"hamming" === 0, 1L).otherwise(0L)).as("h0"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val before = telemetry()
+    // batch 0 probes an empty index, so the pair mass sits in later
+    // batches — age a two-batch prefix so a pair-BEARING batch retires
+    assert(before.exists(kv => kv._1 < 2L && kv._2._1 > 0),
+      "fixture needs a pair-bearing batch below the horizon, or aging is vacuous")
+    // refuse-while-crashed-appends discipline
+    val fsys = new org.apache.hadoop.fs.Path(pairs)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(pairs, "_tmp_append_dead")
+    fsys.mkdirs(staged)
+    intercept[IllegalArgumentException] {
+      Catalog.dropPartitionsBelow(spark, pairs, "batch_id", 2L)
+    }
+    fsys.delete(staged, true)
+    // age out batches 0 and 1 (return counts only dirs that HAD files)
+    val expAged = before.count(kv => kv._1 < 2L && kv._2._1 > 0)
+    assert(Catalog.dropPartitionsBelow(spark, pairs, "batch_id", 2L) == expAged)
+    assert(Catalog.ageHorizon(spark, pairs) == 2L)
+    // the aged partitions' dirs survive as the durable completion
+    // markers (frontier resume and replay guards read them)...
+    for (b <- 0 to 1) {
+      assert(new java.io.File(s"$pairs/batch_id=$b").isDirectory)
+      assert(new java.io.File(s"$pairs/batch_id=$b").listFiles()
+        .forall(f => f.getName.startsWith("_") || f.getName.startsWith(".")),
+        s"aged partition $b still holds data files")
+    }
+    // ...and the retained window's telemetry is bit-identical
+    val after = telemetry()
+    assert(!after.keySet.exists(_ < 2L), "an aged batch still reports pairs")
+    assert(after == before.filter(_._1 >= 2L), "retained batches changed")
+    // replaying an aged batch appends nothing anywhere (pairs guard
+    // short-circuits on the dir, fold guard on its surviving marker)
+    val nIdx = readPhashIndex(spark, path).count()
+    (0 to 1).foreach { b =>
+      assert(blobBatch(spark, blobs.filter(pmod($"doc_id", lit(3)) === b),
+        path, pairs, b.toLong) == 0L)
+    }
+    assert(telemetry() == after, "aged batch replay re-appended pairs")
+    assert(readPhashIndex(spark, path).count() == nIdx,
+      "aged batch replay re-folded into the index")
+    // a genuinely NEW batch still probes and folds normally
+    val newBlobs = Seq((9000001L, Array.fill(64)(7.toByte)))
+      .toDF("doc_id", "blob")
+    blobBatch(spark, newBlobs, path, pairs, 9L)
+    assert(new java.io.File(s"$pairs/batch_id=9").isDirectory,
+      "post-aging batch did not run")
+    assert(readPhashIndex(spark, path).filter($"doc_id" === 9000001L)
+      .count() == 4, "post-aging batch did not fold")
+    // the horizon is monotone: a lower re-request never rewinds it
+    Catalog.dropPartitionsBelow(spark, pairs, "batch_id", 0L)
+    assert(Catalog.ageHorizon(spark, pairs) == 2L)
+    // and aging is idempotent: nothing left to remove below 2
+    assert(Catalog.dropPartitionsBelow(spark, pairs, "batch_id", 2L) == 0)
+  }
+
   test("q_blob_phash block cap drops monochrome mega-blocks instead of going quadratic") {
     import spark.implicits._
     import queries.Multimodal._
