@@ -200,6 +200,10 @@ object Bench {
     "q_grouping_sets",
     "q_hash_sample",
     "q_kmv_overlap",
+    // batched director-index lookup over the stored bucket layout —
+    // regresses if the obkt IN-list stops partition-pruning or the
+    // warm index cache stops short-circuiting the build
+    "q_object_lookup_many",
     "q_outlier_epochs",
     "q_crowding",
     "q_repeatability",

@@ -1038,6 +1038,57 @@ object TimeSeries {
        |ORDER BY tus, event_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** The id list probed by the batched lookup — k objects that exist
+    * at every SF (user_ids are dense from 0), with a deliberate
+    * duplicate so the entry also certifies id deduplication. */
+  val LookupIds: Seq[Long] = Seq(2L, 5L, 7L, 11L, 7L)
+
+  /** Content-keyed registered director-index location (the stored-
+    * model cache pattern — regenerated test data can never read a
+    * stale index). */
+  private def objectIndexPath(dir: String): String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
+      System.getProperty("java.io.tmpdir")) +
+      s"/graft_obj_idx_${Ann.annCacheKey(dir, Seq("events.parquet"))}"
+
+  /** Build (or reuse) the registered [[graft.sources.ObjectIndex]]
+    * for `dir`; returns its path. A partial build (no _SUCCESS)
+    * rebuilds via the overwrite mode. */
+  private[graft] def ensureObjectIndex(s: SparkSession, dir: String): String = {
+    val path = objectIndexPath(dir)
+    if (!graft.sources.Catalog.tableComplete(s, path))
+      graft.sources.ObjectIndex.build(s, dir, path)
+    path
+  }
+
+  /** Batched director-index lookup — the DAILY operational shape on
+    * top of [[qObjectLookup]]'s point probe: alert follow-up resolves
+    * a k-object IN-list in one job. This entry runs the REAL stored
+    * path ([[graft.sources.ObjectIndex.lookupMany]] over the
+    * content-keyed cached index — the q_xmatch_stored discipline), so
+    * the hash certifies the bucket layout's content, not a flat-scan
+    * stand-in; the spec additionally pins the scan to ≤ |distinct
+    * buckets| partition listings and one pushed user_id filter.
+    *
+    * 100 TB: the flat-table twin costs a full scan per refresh; the
+    * index path costs |distinct buckets| directory listings + the
+    * probed row groups, independent of table size — the same
+    * point-vs-scan gap Pserv's director index exists for, times k
+    * amortized into one planning round trip. */
+  def qObjectLookupMany(s: SparkSession, dir: String): DataFrame = {
+    val idx = ensureObjectIndex(s, dir)
+    graft.sources.ObjectIndex.lookupMany(s, idx, LookupIds)
+  }
+
+  /** Oracle twin: the flat IN-list over raw events — identical rows
+    * prove the index holds exactly the table's content. */
+  val qObjectLookupManySql: String =
+    s"""SELECT user_id, event_id, epoch_us(ts) AS tus,
+       |  CAST(ROUND(value*100) AS BIGINT) AS xc, event_type
+       |FROM events WHERE user_id IN (${LookupIds.distinct.mkString(", ")})
+       |ORDER BY user_id, tus, event_id""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Deterministic filter-band assignment — the ugriz analog of the
     * reference's per-filter photometry (Pserv's ForcedSource rows
     * carry a filter band and its light-curve SQL groups by it). The
@@ -2386,6 +2437,7 @@ object TimeSeries {
     "q_window_range" -> (qWindowRange _),
     "q_first_last" -> (qFirstLast _),
     "q_object_lookup" -> (qObjectLookup _),
+    "q_object_lookup_many" -> (qObjectLookupMany _),
     "q_streaks" -> (qStreaks _),
     "q_ema" -> (qEma _),
     "q_transitions" -> (qTransitions _),
@@ -2430,6 +2482,7 @@ object TimeSeries {
     "q_window_range" -> qWindowRangeSql,
     "q_first_last" -> qFirstLastSql,
     "q_object_lookup" -> qObjectLookupSql,
+    "q_object_lookup_many" -> qObjectLookupManySql,
     "q_streaks" -> qStreaksSql,
     "q_ema" -> qEmaSql,
     "q_transitions" -> qTransitionsSql,

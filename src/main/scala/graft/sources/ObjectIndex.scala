@@ -154,6 +154,31 @@ object ObjectIndex {
       .orderBy($"tus", $"event_id")
   }
 
+  /** Batched director-index lookup — the daily operational shape
+    * (alert follow-up resolves a k-object IN-list, not one object):
+    * the same projection as [[lookup]] for k objects in ONE scan that
+    * lists exactly the |distinct buckets| partition directories —
+    * `obkt IN (...)` is a static partition filter (ids are
+    * deduplicated and ids sharing a bucket share its listing), and
+    * the `user_id` IN-list pushes to parquet so row-group min/max
+    * stats skip within each bucket's sorted files. Cost is
+    * O(|distinct buckets| footers + the k objects' row groups) —
+    * independent of table size, and one JVM/planning round trip
+    * instead of k point-lookup jobs. Output is (user_id, time)-
+    * ordered so each object's curve comes out contiguous. */
+  def lookupMany(s: SparkSession, path: String, objectIds: Seq[Long],
+    numBuckets: Int = DefaultBuckets): DataFrame = {
+    import s.implicits._
+    require(objectIds.nonEmpty, "lookupMany needs at least one object id")
+    val ids = objectIds.distinct
+    val bkts = ids.map(id => Math.floorMod(id, numBuckets.toLong).toInt).distinct
+    s.read.parquet(path)
+      .filter($"obkt".isin(bkts: _*) && $"user_id".isin(ids: _*))
+      .select($"user_id", $"event_id", expr("ts DIV 1000").as("tus"),
+        round($"value" * 100).cast("long").as("xc"), $"event_type")
+      .orderBy($"user_id", $"tus", $"event_id")
+  }
+
   // ---------------------------------------------------------------
   // Compaction: long-lived streaming maintenance accretes one
   // `ibatch=` generation per touched bucket per micro-batch;

@@ -490,6 +490,43 @@ class TimeSeriesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("object-index lookupMany prunes to the distinct buckets and matches the flat IN query") {
+    val out = java.nio.file.Files.createTempDirectory("graft_objidx_many").toString
+    val nb = 8 // ids 3 and 11 share bucket 3 — co-bucketed ids share one listing
+    sources.ObjectIndex.build(spark, sf, out, nb)
+    val ids = Seq(3L, 11L, 5L, 5L, 14L) // duplicate id + bucket collision
+    val wantBuckets = ids.distinct.map(_ % nb).distinct // {3, 5, 6}
+    assert(wantBuckets.size < ids.distinct.size,
+      "fixture must include a same-bucket id pair")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val idx = sources.ObjectIndex.lookupMany(spark, out, ids, nb)
+      val got = idx.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val want = Tables.events(spark, sf)
+        .filter(col("user_id").isin(ids.distinct: _*))
+        .selectExpr("user_id", "event_id", "ts DIV 1000 AS tus")
+        .orderBy(col("user_id"), col("tus"), col("event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.nonEmpty && got.toSeq == want.toSeq,
+        s"batched lookup differs from flat IN query (${got.length} vs ${want.length})")
+      // the bucket IN-list must be a PARTITION filter reading exactly
+      // the distinct buckets (one file per bucket from the build);
+      // user_id stays a pushed parquet filter
+      val scans = idx.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty,
+        "no PartitionFilters on the batched-lookup scan")
+      assert(scans.head.metrics("numFiles").value == wantBuckets.size.toLong,
+        s"lookupMany read ${scans.head.metrics("numFiles").value} files, " +
+          s"wanted the ${wantBuckets.size} distinct buckets'")
+      val planStr = scans.head.toString
+      assert(planStr.contains("PushedFilters") && planStr.contains("user_id"),
+        s"user_id IN-list not pushed to parquet:\n$planStr")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("object-index append keeps lookups single-directory and complete") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("graft_objidx_app").toString
