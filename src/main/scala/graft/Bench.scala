@@ -204,6 +204,10 @@ object Bench {
     // regresses if the obkt IN-list stops partition-pruning or the
     // warm index cache stops short-circuiting the build
     "q_object_lookup_many",
+    // generalized Lomb-Scargle on the 16-period grid — regresses if
+    // the trig lookup leaves codegen or the x16 explode stops
+    // combining map-side
+    "q_lomb_scargle",
     "q_outlier_epochs",
     "q_crowding",
     "q_repeatability",

@@ -966,6 +966,151 @@ object TimeSeries {
       .orderBy($"user_id", $"bin")
   }
 
+  // ---------------------------------------------------------------
+  /** Phase resolution of the Lomb–Scargle trig lookup (bins per
+    * cycle) and the fixed-point scale of its table entries. */
+  private[graft] val LsBins = 512
+  private[graft] val LsTrigScale = 10000L
+
+  /** The fixed-point trig tables: cos/sin of the [[LsBins]] phase-bin
+    * centers, scaled ×[[LsTrigScale]] and rounded to integers ONCE in
+    * Scala — then spliced as LITERALS into both the Spark plan
+    * (typedLit + element_at) and the DuckDB oracle (a zipped-unnest
+    * CTE), so neither engine's libm is ever consulted and the two
+    * sides agree bit-for-bit by construction (the house cross-engine
+    * trig discipline: a lookup, not a call). */
+  private[graft] val LsCosTab: Seq[Long] = (0 until LsBins).map(b =>
+    math.round(math.cos(2.0 * math.Pi * b / LsBins) * LsTrigScale))
+  private[graft] val LsSinTab: Seq[Long] = (0 until LsBins).map(b =>
+    math.round(math.sin(2.0 * math.Pi * b / LsBins) * LsTrigScale))
+
+  /** Generalized Lomb–Scargle periodogram per object (Zechmeister &
+    * Kürster 2009's floating-mean form, unweighted — per-point
+    * weights drop in by swapping the count/sum statistics for
+    * weighted ones) over the same fixed [[PeriodGridUs]] grid as
+    * [[qPeriodogram]]'s PDM: the published LSST period-search
+    * statistic for irregular cadence, sensitive to sinusoidal signals
+    * PDM's step-binning smears. Per (object, period): phase quantized
+    * to [[LsBins]] integer bins (`(tus % p)·B DIV p` — non-negative,
+    * so DIV ≡ `//`), cos/sin from the fixed-point tables, and the
+    * NINE sufficient statistics (n, Σx, Σx², Σc, Σs, Σxc, Σxs, Σc²,
+    * Σs², Σcs) reduced as EXACT integer sums — reduction order can
+    * never drift the hash. The n-scaled centered moments (e.g.
+    * CCn = n·Σc² − (Σc)²) stay exact int64 (bounds: |x| ≤ 10⁶ c100
+    * and n ≤ 10⁴ epochs keep every product < 10¹⁸; int64→double is
+    * single-rounding in BOTH engines at any magnitude, unlike the
+    * >2⁶⁴ decimal/hugeint gotcha), and the GLS power
+    * P = (SS·XC² − 2·CS·XC·XS + CC·XS²) / (XX·(CC·SS − CS²)) ∈ [0,1]
+    * is ONE fixed IEEE chain over those exact integers — identical
+    * tree both sides, so even the doubles hash-match. Argmax over the
+    * grid by (power desc, period asc); degenerate cells (zero flux
+    * variance or singular trig normal matrix) are excluded before the
+    * argmax on a float guard computed by the same chain.
+    *
+    * Scale shape: identical to [[qPeriodogram]] — a constant ×16 grid
+    * explode, per-row O(1) table lookups inside codegen, ONE
+    * combinable (object, period) aggregate, then the argmax on the
+    * |objects|×16 reduced frame. Nothing driver-side, no window over
+    * raw rows. */
+  def qLombScargle(s: SparkSession, dir: String): DataFrame =
+    lombScargleOver(series(s, dir))
+
+  /** Plan body over any (user_id, tus, xc) series frame — factored so
+    * the spec can drive a planted sinusoid through the real plan. */
+  private[graft] def lombScargleOver(ser: DataFrame): DataFrame = {
+    val s = ser.sparkSession
+    import s.implicits._
+    val nb = LsBins
+    val sums = ser
+      .filter($"user_id".isNotNull)
+      .withColumn("p_us", explode(typedLit(PeriodGridUs)))
+      .withColumn("b", expr(s"((tus % p_us) * $nb) DIV p_us").cast("int"))
+      .withColumn("c", element_at(typedLit(LsCosTab), $"b" + 1))
+      .withColumn("si", element_at(typedLit(LsSinTab), $"b" + 1))
+      .groupBy($"user_id", $"p_us")
+      .agg(count(lit(1)).as("n"),
+        sum($"xc").as("sx"), sum($"xc" * $"xc").as("sxx"),
+        sum($"c").as("sc"), sum($"si").as("ss"),
+        sum($"xc" * $"c").as("sxc"), sum($"xc" * $"si").as("sxs"),
+        sum($"c" * $"c").as("scc"), sum($"si" * $"si").as("sss"),
+        sum($"c" * $"si").as("scs"))
+    val pw = sums
+      .withColumn("ccn", $"n" * $"scc" - $"sc" * $"sc")
+      .withColumn("ssn", $"n" * $"sss" - $"ss" * $"ss")
+      .withColumn("csn", $"n" * $"scs" - $"sc" * $"ss")
+      .withColumn("xcn", $"n" * $"sxc" - $"sx" * $"sc")
+      .withColumn("xsn", $"n" * $"sxs" - $"sx" * $"ss")
+      .withColumn("xxn", $"n" * $"sxx" - $"sx" * $"sx")
+      // the trig-scale factors cancel exactly between num and den;
+      // products like CC·SS overflow int64, so the one IEEE chain
+      // starts here — every input an exact int64, single-rounding on
+      // both engines
+      .withColumn("num_d",
+        $"ssn".cast("double") * $"xcn".cast("double") * $"xcn".cast("double") -
+          lit(2.0) * $"csn".cast("double") * $"xcn".cast("double") *
+            $"xsn".cast("double") +
+          $"ccn".cast("double") * $"xsn".cast("double") * $"xsn".cast("double"))
+      .withColumn("den_d",
+        $"xxn".cast("double") *
+          ($"ccn".cast("double") * $"ssn".cast("double") -
+            $"csn".cast("double") * $"csn".cast("double")))
+      .withColumn("ls_power", when($"den_d" > 0.0, $"num_d" / $"den_d"))
+      .filter($"ls_power".isNotNull)
+    pw.groupBy($"user_id")
+      .agg(max($"n").as("n_epochs"),
+        max(struct($"ls_power", (-$"p_us").as("negp"))).as("bst"))
+      .select($"user_id", $"n_epochs", (-$"bst.negp").as("best_p_us"),
+        $"bst.ls_power".as("ls_power"))
+      .orderBy($"user_id")
+  }
+
+  /** Oracle twin: the SAME spliced trig literals (zipped unnest),
+    * the same exact integer statistics, the identical IEEE chain. */
+  val qLombScargleSql: String = {
+    val grid = PeriodGridUs.mkString(", ")
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc
+       |  FROM events WHERE user_id IS NOT NULL),
+       |grid AS (SELECT unnest([$grid]) AS p_us),
+       |trig AS (SELECT unnest(range($LsBins)) AS b,
+       |    unnest([${LsCosTab.mkString(", ")}]) AS c,
+       |    unnest([${LsSinTab.mkString(", ")}]) AS si),
+       |ph AS (SELECT user_id, p_us, xc,
+       |    CAST(((tus % p_us) * $LsBins) // p_us AS BIGINT) AS b
+       |  FROM ev CROSS JOIN grid),
+       |a AS (SELECT user_id, p_us, COUNT(*) AS n,
+       |    CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(xc*xc) AS BIGINT) AS sxx,
+       |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(si) AS BIGINT) AS ss,
+       |    CAST(SUM(xc*c) AS BIGINT) AS sxc, CAST(SUM(xc*si) AS BIGINT) AS sxs,
+       |    CAST(SUM(c*c) AS BIGINT) AS scc, CAST(SUM(si*si) AS BIGINT) AS sss,
+       |    CAST(SUM(c*si) AS BIGINT) AS scs
+       |  FROM ph JOIN trig USING (b) GROUP BY 1, 2),
+       |m AS (SELECT user_id, p_us, n,
+       |    n*scc - sc*sc AS ccn, n*sss - ss*ss AS ssn,
+       |    n*scs - sc*ss AS csn, n*sxc - sx*sc AS xcn,
+       |    n*sxs - sx*ss AS xsn, n*sxx - sx*sx AS xxn
+       |  FROM a),
+       |p AS (SELECT user_id, p_us, n,
+       |    CAST(ssn AS DOUBLE)*CAST(xcn AS DOUBLE)*CAST(xcn AS DOUBLE)
+       |      - CAST(2.0 AS DOUBLE)*CAST(csn AS DOUBLE)*CAST(xcn AS DOUBLE)
+       |        *CAST(xsn AS DOUBLE)
+       |      + CAST(ccn AS DOUBLE)*CAST(xsn AS DOUBLE)*CAST(xsn AS DOUBLE)
+       |      AS num_d,
+       |    CAST(xxn AS DOUBLE)
+       |      * (CAST(ccn AS DOUBLE)*CAST(ssn AS DOUBLE)
+       |        - CAST(csn AS DOUBLE)*CAST(csn AS DOUBLE)) AS den_d
+       |  FROM m),
+       |pw AS (SELECT user_id, p_us, n,
+       |    CASE WHEN den_d > CAST(0.0 AS DOUBLE)
+       |      THEN num_d / den_d END AS ls_power
+       |  FROM p),
+       |r AS (SELECT user_id, p_us, n, ls_power, ROW_NUMBER() OVER (
+       |    PARTITION BY user_id ORDER BY ls_power DESC, p_us) AS rn
+       |  FROM pw WHERE ls_power IS NOT NULL)
+       |SELECT user_id, n AS n_epochs, p_us AS best_p_us, ls_power
+       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+  }
+
   val qPeriodogramSql: String = {
     val grid = PeriodGridUs.mkString(", ")
     s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
@@ -2438,6 +2583,7 @@ object TimeSeries {
     "q_first_last" -> (qFirstLast _),
     "q_object_lookup" -> (qObjectLookup _),
     "q_object_lookup_many" -> (qObjectLookupMany _),
+    "q_lomb_scargle" -> (qLombScargle _),
     "q_streaks" -> (qStreaks _),
     "q_ema" -> (qEma _),
     "q_transitions" -> (qTransitions _),
@@ -2483,6 +2629,7 @@ object TimeSeries {
     "q_first_last" -> qFirstLastSql,
     "q_object_lookup" -> qObjectLookupSql,
     "q_object_lookup_many" -> qObjectLookupManySql,
+    "q_lomb_scargle" -> qLombScargleSql,
     "q_streaks" -> qStreaksSql,
     "q_ema" -> qEmaSql,
     "q_transitions" -> qTransitionsSql,

@@ -877,6 +877,59 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_lomb_scargle dates a planted sinusoid and equals a brute-force GLS recompute") {
+    import spark.implicits._
+    val q = queries.TimeSeries
+    // plant a pure sinusoid at a grid period (24 h), sampled at an
+    // incommensurate ~2.2 h cadence over ~30 days, plus a constant
+    // (degenerate) object that must drop out of the argmax entirely
+    val pStar = 24L * 3600000000L
+    val step = 7919000000L
+    val rows = (0 until 330).map { i =>
+      val t = i.toLong * step
+      (1L, t, math.round(1000.0 * math.sin(2.0 * math.Pi * (t % pStar)
+        .toDouble / pStar.toDouble)))
+    } ++ (0 until 50).map(i => (2L, i.toLong * step, 500L))
+    val ser = rows.toDF("user_id", "tus", "xc")
+    val got = q.lombScargleOver(ser).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L), "constant object must drop (zero variance)")
+    assert(got(1L).getAs[Long]("best_p_us") == pStar,
+      s"argmax ${got(1L).getAs[Long]("best_p_us")} != planted $pStar")
+    assert(got(1L).getAs[Double]("ls_power") > 0.9,
+      "a clean sinusoid at a grid period must score near 1")
+    // brute-force recompute with the SAME quantized tables and chain
+    val ser1 = rows.filter(_._1 == 1L)
+    val powers = q.PeriodGridUs.flatMap { p =>
+      val bs = ser1.map { case (_, t, x) =>
+        (x, ((t % p) * q.LsBins) / p) }
+      val cs = bs.map { case (x, b) => (x, q.LsCosTab(b.toInt), q.LsSinTab(b.toInt)) }
+      val n = cs.length.toLong
+      val sx = cs.map(_._1).sum; val sxx = cs.map(t => t._1 * t._1).sum
+      val sc = cs.map(_._2).sum; val ss = cs.map(_._3).sum
+      val sxc = cs.map(t => t._1 * t._2).sum
+      val sxs = cs.map(t => t._1 * t._3).sum
+      val scc = cs.map(t => t._2 * t._2).sum
+      val sss = cs.map(t => t._3 * t._3).sum
+      val scs = cs.map(t => t._2 * t._3).sum
+      val (ccn, ssn, csn) = (n * scc - sc * sc, n * sss - ss * ss, n * scs - sc * ss)
+      val (xcn, xsn, xxn) = (n * sxc - sx * sc, n * sxs - sx * ss, n * sxx - sx * sx)
+      val num = ssn.toDouble * xcn.toDouble * xcn.toDouble -
+        2.0 * csn.toDouble * xcn.toDouble * xsn.toDouble +
+        ccn.toDouble * xsn.toDouble * xsn.toDouble
+      val den = xxn.toDouble * (ccn.toDouble * ssn.toDouble - csn.toDouble * csn.toDouble)
+      if (den > 0.0) Some((p, num / den)) else None
+    }
+    val (bestP, bestPw) = powers.maxBy { case (p, pw) => (pw, -p) }
+    assert(bestP == pStar)
+    assert(got(1L).getAs[Double]("ls_power") == bestPw,
+      "engine power differs from the exact-integer recompute chain")
+    // power is a normalized statistic: every grid cell lands in [0, 1]
+    // (allowing quantization slack above 1 would hide a formula bug)
+    assert(powers.forall { case (_, pw) => pw >= 0.0 && pw <= 1.0 + 1e-9 },
+      s"GLS power left [0,1]: ${powers.filterNot(t => t._2 >= 0 && t._2 <= 1 + 1e-9)}")
+  }
+
   test("q_skewness equals the exact rational g1 = T3/V^1.5 recomputed with BigInt") {
     val raw = Tables.events(spark, sf)
       .select(col("user_id"),
