@@ -208,6 +208,7 @@ object Bench {
     // the trig lookup leaves codegen or the x16 explode stops
     // combining map-side
     "q_lomb_scargle",
+    "q_phase_coverage",
     "q_outlier_epochs",
     "q_crowding",
     "q_repeatability",

@@ -1155,6 +1155,69 @@ object TimeSeries {
   }
 
   // ---------------------------------------------------------------
+  /** Period-believability QA at each object's best period — the gate
+    * an astronomer applies before TRUSTING a period search's argmax
+    * (the VanderPlas 2018 checklist item the scores themselves don't
+    * encode): fold at [[bestPeriods]]' argmax and report phase-bin
+    * OCCUPANCY — bins hit (of [[PhaseBins]]), min/max bin population,
+    * integer coverage permille, and an alias flag (any empty phase
+    * bin ⇒ the cadence never sampled that phase at this period, the
+    * signature of a sampling alias rather than a real period; a
+    * survey cadence commensurate with the trial period leaves phase
+    * gaps no score can see).
+    *
+    * Pure integers end-to-end (bin counts, floor-DIV permille, int
+    * flag). Scale shape: composes the periodogram's one corpus
+    * explode + the fold's equi-join on the SAME grouping key — the
+    * occupancy aggregate runs on the |objects|×bins reduced frame. */
+  def qPhaseCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nb = PhaseBins
+    val best = bestPeriods(s, dir).select($"user_id", $"best_p_us")
+    series(s, dir)
+      .filter($"user_id".isNotNull)
+      .join(best, Seq("user_id"))
+      .withColumn("bin", expr(s"((tus % best_p_us) * $nb) DIV best_p_us"))
+      .groupBy($"user_id", $"best_p_us", $"bin")
+      .agg(count(lit(1)).as("nb"))
+      .groupBy($"user_id", $"best_p_us")
+      .agg(sum($"nb").as("n_epochs"), count(lit(1)).as("bins_hit"),
+        min($"nb").as("min_bin_n"), max($"nb").as("max_bin_n"))
+      .withColumn("coverage_milli", expr(s"bins_hit * 1000 DIV $nb"))
+      .withColumn("alias_flag", ($"bins_hit" < nb).cast("int"))
+      .orderBy($"user_id")
+  }
+
+  /** Oracle twin: the periodogram CTEs compose with the fold and one
+    * occupancy aggregate — identical integer bin formula. */
+  val qPhaseCoverageSql: String = {
+    val grid = PeriodGridUs.mkString(", ")
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc
+       |  FROM events WHERE user_id IS NOT NULL),
+       |grid AS (SELECT unnest([$grid]) AS p_us),
+       |b AS (SELECT user_id, p_us, ((tus % p_us) * $PhaseBins) // p_us AS bin,
+       |        COUNT(*) AS n, CAST(SUM(xc) AS BIGINT) AS sb
+       |      FROM ev CROSS JOIN grid GROUP BY 1, 2, 3),
+       |sc AS (SELECT user_id, p_us, CAST(SUM((sb * sb) // n) AS BIGINT) AS score
+       |       FROM b GROUP BY 1, 2),
+       |r AS (SELECT user_id, p_us, score, ROW_NUMBER() OVER (
+       |        PARTITION BY user_id ORDER BY score DESC, p_us) AS rn
+       |      FROM sc),
+       |best AS (SELECT user_id, p_us AS best_p_us FROM r WHERE rn = 1),
+       |f AS (SELECT ev.user_id, best.best_p_us,
+       |    ((ev.tus % best.best_p_us) * $PhaseBins) // best.best_p_us AS bin,
+       |    COUNT(*) AS nb
+       |  FROM ev JOIN best ON best.user_id = ev.user_id
+       |  GROUP BY 1, 2, 3)
+       |SELECT user_id, best_p_us, CAST(SUM(nb) AS BIGINT) AS n_epochs,
+       |  COUNT(*) AS bins_hit, CAST(MIN(nb) AS BIGINT) AS min_bin_n,
+       |  CAST(MAX(nb) AS BIGINT) AS max_bin_n,
+       |  CAST(COUNT(*) * 1000 // $PhaseBins AS BIGINT) AS coverage_milli,
+       |  CAST(COUNT(*) < $PhaseBins AS INT) AS alias_flag
+       |FROM f GROUP BY 1, 2 ORDER BY user_id""".stripMargin
+  }
+
   /** The id probed by the point-lookup query — exists at every SF
     * (user_ids are dense from 0). */
   val LookupId = 7L
@@ -2584,6 +2647,7 @@ object TimeSeries {
     "q_object_lookup" -> (qObjectLookup _),
     "q_object_lookup_many" -> (qObjectLookupMany _),
     "q_lomb_scargle" -> (qLombScargle _),
+    "q_phase_coverage" -> (qPhaseCoverage _),
     "q_streaks" -> (qStreaks _),
     "q_ema" -> (qEma _),
     "q_transitions" -> (qTransitions _),
@@ -2630,6 +2694,7 @@ object TimeSeries {
     "q_object_lookup" -> qObjectLookupSql,
     "q_object_lookup_many" -> qObjectLookupManySql,
     "q_lomb_scargle" -> qLombScargleSql,
+    "q_phase_coverage" -> qPhaseCoverageSql,
     "q_streaks" -> qStreaksSql,
     "q_ema" -> qEmaSql,
     "q_transitions" -> qTransitionsSql,

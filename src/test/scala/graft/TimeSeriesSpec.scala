@@ -877,6 +877,49 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_phase_coverage equals a brute-force occupancy census at the PDM argmax") {
+    val q = queries.TimeSeries
+    val nb = q.PhaseBins
+    val raw = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .selectExpr("user_id", "ts DIV 1000 AS tus", "CAST(ROUND(value*100) AS LONG) AS xc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // driver-side PDM argmax, the periodogram spec's formula
+    def bestOf(rows: Seq[(Long, Long, Long)]): Long =
+      q.PeriodGridUs.map { p =>
+        val score = rows.groupBy(t => (t._2 % p) * nb / p)
+          .map { case (_, xs) =>
+            val sb = xs.map(_._3).sum; sb * sb / xs.length }.sum
+        (score, -p)
+      }.zip(q.PeriodGridUs).maxBy(_._1)._2
+    val got = queries.TimeSeries.qPhaseCoverage(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val groups = raw.groupBy(_._1)
+    assert(got.keySet == groups.keySet)
+    var anyFull = false
+    for ((uid, rows) <- groups) {
+      val p = bestOf(rows)
+      val occ = rows.groupBy(t => (t._2 % p) * nb / p).map(_._2.length.toLong)
+      val r = got(uid)
+      assert(r.getAs[Long]("best_p_us") == p, s"user $uid argmax")
+      assert(r.getAs[Long]("n_epochs") == rows.length.toLong)
+      assert(r.getAs[Long]("bins_hit") == occ.size.toLong, s"user $uid bins")
+      assert(r.getAs[Long]("min_bin_n") == occ.min)
+      assert(r.getAs[Long]("max_bin_n") == occ.max)
+      assert(r.getAs[Long]("coverage_milli") == occ.size.toLong * 1000 / nb)
+      assert(r.getAs[Int]("alias_flag") == (if (occ.size < nb) 1 else 0))
+      if (occ.size == nb) anyFull = true
+    }
+    assert(anyFull, "no fully-covered object — occupancy census vacuous")
+    // a cadence commensurate with the period must raise the alias
+    // flag: sampling every exactly-one-period lands ALL epochs in one
+    // phase bin no matter how high the fold score looks
+    val p0 = q.PeriodGridUs.head
+    val aliased = (0 until 40).map(i => (1L, i.toLong * p0, 100L + i % 3))
+    val occA = aliased.groupBy(t => (t._2 % bestOf(aliased)) * nb / bestOf(aliased))
+    assert(occA.size < nb, "planted commensurate cadence failed to alias")
+  }
+
   test("q_lomb_scargle dates a planted sinusoid and equals a brute-force GLS recompute") {
     import spark.implicits._
     val q = queries.TimeSeries
