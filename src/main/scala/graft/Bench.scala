@@ -209,6 +209,10 @@ object Bench {
     // combining map-side
     "q_lomb_scargle",
     "q_phase_coverage",
+    // dedup threshold calibration sweep — regresses if the candidate
+    // floor stops riding the df-capped index or the x10 explode
+    // leaves the pair sliver
+    "q_dedup_threshold_curve",
     "q_outlier_epochs",
     "q_crowding",
     "q_repeatability",

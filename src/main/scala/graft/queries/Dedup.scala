@@ -125,7 +125,8 @@ object Dedup {
     * every GRAPH consumer (clusters, motifs, PageRank, recall) feeds
     * from: their first move is a shuffle on node ids, so a global
     * range-sort of the pair set upstream is a wasted exchange. */
-  private[queries] def ngramJaccardPairsCore(docs: DataFrame): DataFrame = {
+  private[queries] def ngramJaccardPairsCore(docs: DataFrame,
+    minJacPct: Int = 50): DataFrame = {
     import docs.sparkSession.implicits._
     val g = gramRowsOf(docs)
     val counts = g.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
@@ -138,7 +139,9 @@ object Dedup {
       .join(counts.select($"doc_id".as("d1"), $"ng".as("ng1")), "d1")
       .join(counts.select($"doc_id".as("d2"), $"ng".as("ng2")), "d2")
       .withColumn("un", $"ng1" + $"ng2" - $"inter")
-      .filter($"inter" * 2 >= $"un")
+      // exact integer cross-multiplication (== inter*2 >= un at the
+      // default 50); callers like the threshold curve lower the floor
+      .filter($"inter" * 100 >= $"un" * minJacPct)
       .select($"d1", $"d2", $"inter", $"un",
         expr("(100 * inter) DIV un").as("jac_pct"))
   }
@@ -170,6 +173,74 @@ object Dedup {
        |FROM p JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
        |WHERE inter * 2 >= na.ng + nb.ng - inter
        |ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Jaccard floor (pct) of the threshold-curve candidate set —
+    * below ~10% a "near-dup pair" is noise and the candidate volume
+    * explodes toward all-pairs, so the curve starts there. */
+  val DedupCurveFloorPct = 10
+
+  /** Dedup threshold CALIBRATION curve — the audit an operator reads
+    * before committing to a similarity cutoff (the knob every
+    * published pipeline sets differently and most set blind): for
+    * each candidate decile threshold t ∈ {10%, 20%, …, 100%}, how
+    * many exact-Jaccard candidate pairs score ≥ t and how many
+    * DISTINCT documents those pairs touch (≈ the upper bound on docs
+    * a remove-one-per-pair dedup at that cutoff could drop), plus the
+    * touched share of the corpus in integer permille. Reading the
+    * curve: a cliff between two deciles is the natural threshold; a
+    * fat tail at low t means the shingle length is too short for the
+    * corpus.
+    *
+    * Pure integers end-to-end (the house exact-Jaccard integer
+    * cross-multiplication, floor-DIV deciles and permille).
+    *
+    * Scale shape: the candidate set is the SAME df-capped inverted-
+    * index join as q_ngram_jaccard (never all-pairs), the ×10
+    * threshold explode is a bounded constant like the period grid,
+    * and both aggregates run on the pair sliver; the final frame is
+    * 10 rows. */
+  def qDedupThresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val pairs = ngramJaccardPairsCore(docs, DedupCurveFloorPct)
+      .select($"d1", $"d2", expr("jac_pct DIV 10").as("jb"))
+    val th = s.range(1L, 11L).select($"id".as("t"))
+    val e = pairs.join(broadcast(th), $"jb" >= $"t")
+      .select($"t", explode(array($"d1", $"d2")).as("doc"))
+    val agg = e.groupBy($"t")
+      .agg(expr("count(1) DIV 2").as("n_pairs"),
+        countDistinct($"doc").as("n_docs"))
+    th.join(agg, Seq("t"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_docs"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_corpus"))))
+      .select(($"t" * 10).as("thresh_pct"), $"n_pairs", $"n_docs",
+        expr("n_docs * 1000 DIV n_corpus").as("removal_milli"))
+      .orderBy($"thresh_pct")
+  }
+
+  /** Oracle twin: the shared exact-Jaccard CTEs, the same decile
+    * explode, a LEFT JOIN so empty deciles keep their zero row. */
+  val qDedupThresholdCurveSql: String =
+    s"""WITH $sqlNgramPairCtes,
+       |j AS (SELECT p.d1, p.d2,
+       |    (100 * inter) // (na.ng + nb.ng - inter) // 10 AS jb
+       |  FROM p JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
+       |  WHERE inter * 100 >= (na.ng + nb.ng - inter) * $DedupCurveFloorPct),
+       |t AS (SELECT unnest(range(1, 11)) AS t),
+       |e AS (SELECT t.t, unnest([j.d1, j.d2]) AS doc
+       |  FROM j JOIN t ON j.jb >= t.t),
+       |a AS (SELECT t, CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+       |    COUNT(DISTINCT doc) AS n_docs
+       |  FROM e GROUP BY t),
+       |tot AS (SELECT COUNT(*) AS n_corpus FROM documents)
+       |SELECT CAST(t.t * 10 AS BIGINT) AS thresh_pct,
+       |  COALESCE(a.n_pairs, 0) AS n_pairs,
+       |  COALESCE(a.n_docs, 0) AS n_docs,
+       |  CAST(COALESCE(a.n_docs, 0) * 1000 // tot.n_corpus AS BIGINT)
+       |    AS removal_milli
+       |FROM t LEFT JOIN a USING (t) CROSS JOIN tot
+       |ORDER BY thresh_pct""".stripMargin
 
   // ---------------------------------------------------------------
   // Oracle SQL machinery for the hash-signature queries. The kernels
@@ -2190,6 +2261,7 @@ object Dedup {
     "q_line_dedup" -> (qLineDedup _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
+    "q_dedup_threshold_curve" -> (qDedupThresholdCurve _),
     "q_dedup_contain" -> (qDedupContain _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_lsh_pairs" -> (qDedupLshPairs _),
@@ -2218,6 +2290,7 @@ object Dedup {
     "q_pagerank" -> qPageRankSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
+    "q_dedup_threshold_curve" -> qDedupThresholdCurveSql,
     "q_dedup_contain" -> qDedupContainSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_edit_dist_pairs" -> qEditDistPairsSql,

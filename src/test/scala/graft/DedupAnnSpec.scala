@@ -247,6 +247,49 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(df.filter("jac_pct < 50 OR d1 >= d2").count() == 0)
   }
 
+  test("q_dedup_threshold_curve equals a driver recompute mirroring the df cap") {
+    val docsRows = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nCorpus = docsRows.length.toLong
+    // driver-side exact-Jaccard candidates, same discipline as the
+    // plan: per-doc DISTINCT 3-word shingles, ng uncapped, inverted
+    // index capped at GramDfCap, floor-DIV decile at >= 10%
+    val shingles = docsRows.map { case (id, t) =>
+      val w = t.split(" ")
+      id -> (if (w.length < 3) Set.empty[String]
+             else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet)
+    }.toMap
+    val df = shingles.values.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    val capped = shingles.map { case (id, gs) =>
+      id -> gs.filter(df(_) <= queries.Dedup.GramDfCap) }
+    val ids = docsRows.map(_._1).sorted
+    val pairs = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      d1 = ids(i); d2 = ids(j)
+      inter = (capped(d1) & capped(d2)).size.toLong if inter > 0
+      un = shingles(d1).size + shingles(d2).size - inter
+      if inter * 100 >= un * queries.Dedup.DedupCurveFloorPct
+    } yield (d1, d2, 100 * inter / un)
+    val exp = (1L to 10L).map { t =>
+      val sel = pairs.filter(_._3 / 10 >= t)
+      val docsTouched = sel.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong
+      (t * 10, sel.length.toLong, docsTouched, docsTouched * 1000 / nCorpus)
+    }
+    val got = queries.Dedup.qDedupThresholdCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp, s"curve mismatch:\n got $got\n exp $exp")
+    // the curve is non-increasing in the threshold and non-vacuous
+    assert(exp.sliding(2).forall { case Seq(a, b) => a._2 >= b._2 && a._3 >= b._3 })
+    assert(exp.head._2 > 0, "no candidates at the 10% floor — curve vacuous")
+    assert(exp.exists { case (tp, n, _, _) => tp >= 50 && n > 0 },
+      "no pairs above 50% — planted near-dups missing from the curve")
+    // cross-check: the 50% point equals the registered near-dup query
+    val n50 = queries.Dedup.qNgramJaccard(spark, sf).count()
+    assert(exp.find(_._1 == 50L).get._2 == n50,
+      "curve at 50% disagrees with q_ngram_jaccard")
+  }
+
   test("q_dedup_lsh_pairs recalls most exact-Jaccard pairs") {
     val exact = queries.Dedup.qNgramJaccard(spark, sf)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
