@@ -213,6 +213,10 @@ object Bench {
     // floor stops riding the df-capped index or the x10 explode
     // leaves the pair sliver
     "q_dedup_threshold_curve",
+    // threshold/range vector search — regresses if the integer
+    // membership predicate leaves codegen or the probe side stops
+    // broadcasting
+    "q_ann_range",
     "q_outlier_epochs",
     "q_crowding",
     "q_repeatability",

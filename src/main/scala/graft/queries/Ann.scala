@@ -110,6 +110,85 @@ object Ann {
   def annLshSingleProbe(s: SparkSession, dir: String): DataFrame =
     topK(scored(s, dir, useBuckets = true, multiProbe = false))
 
+  // ---------------------------------------------------------------
+  /** Cosine floor (milli) of the RANGE search. Corpus-calibrated the
+    * way any production radius is (the q_dedup_threshold_curve
+    * discipline — read the similarity histogram, cut above the random
+    * bulk): this synthetic corpus's random-pair cosines bulk below
+    * ~0.3 and its closest neighborhoods reach ~0.48, so 0.32 returns
+    * the genuine top neighborhoods (a handful of rows per probe at
+    * every test SF) without dragging in the bulk. */
+  val RangeTauMilli = 320L
+
+  /** THRESHOLD (range/radius) similarity search — the second search
+    * semantics every production vector store serves beside top-k
+    * ("every vector with cosine ≥ τ", the dedup / recommendation /
+    * entity-resolution shape): top-k bounds the RESULT SIZE, range
+    * bounds the SIMILARITY, and a dense neighborhood legitimately
+    * returns more than k rows while a sparse one returns none — no
+    * rank machinery can express that.
+    *
+    * The membership test never touches a float: cos ≥ τ ⟺ dot > 0 ∧
+    * 10⁶·dot² ≥ τ²·|q|²·|v|² in exact decimal(38,0)/hugeint integer
+    * arithmetic (dot ≤ 6.4·10¹⁵ at dim 64 ⇒ every product < 10³⁸),
+    * so the result SET is bit-exact cross-engine — the reported
+    * cosine double is the usual fixed chain, for reading only.
+    *
+    * Scale shape: the probe set broadcasts against ONE corpus scan
+    * (the [[qAnnBruteforce]] discipline) and the threshold filter is
+    * a per-row codegen predicate — no shuffle at all before the
+    * presentation sort. At 100 TB the same query composes with the
+    * sign-bucket prefilter exactly as [[qAnnLsh]] does, trading the
+    * guaranteed-exact set for bucket recall — registered exact
+    * because range semantics define correctness by the THRESHOLD, and
+    * the recall-telemetry discipline (q_ann_recall*) already covers
+    * the approximate families. */
+  def qAnnRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).select($"vec_id",
+      VectorOps.intVec("embedding").as("iv"))
+      .withColumn("nrm", VectorOps.normSq("iv"))
+    val q = e.filter($"vec_id" < NQueries).select(
+      $"vec_id".as("qid"), $"iv".as("qiv"), $"nrm".as("qnrm"))
+    val tau2 = RangeTauMilli * RangeTauMilli
+    e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
+      .withColumn("dot", VectorOps.dot("qiv", "iv"))
+      .filter($"dot" > 0 && expr(
+        s"CAST(1000000 AS DECIMAL(38,0)) * dot * dot >= " +
+          s"CAST($tau2 AS DECIMAL(38,0)) * qnrm * nrm"))
+      .withColumn("cosine", VectorOps.cosine($"dot", $"qnrm", $"nrm"))
+      .select($"qid", $"vec_id".as("vid"), $"dot", $"cosine")
+      .orderBy($"qid", $"cosine".desc, $"vid")
+  }
+
+  /** Oracle twin: same integer membership predicate in hugeint, same
+    * cosine chain. */
+  val qAnnRangeSql: String = {
+    val tau2 = RangeTauMilli * RangeTauMilli
+    s"""WITH e AS (
+       |  SELECT vec_id, i, CAST(ROUND(CAST(v AS DOUBLE) * ${VectorOps.ScaleLit}) AS BIGINT) AS vi
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+       |n AS (SELECT vec_id, SUM(vi * vi) AS nrm FROM e GROUP BY vec_id),
+       |pair AS (SELECT a.vec_id AS qid, b.vec_id AS vid
+       |         FROM (SELECT vec_id FROM embeddings WHERE vec_id < $NQueries) a
+       |         JOIN (SELECT vec_id FROM embeddings) b ON b.vec_id <> a.vec_id),
+       |d AS (SELECT pair.qid, pair.vid, CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
+       |      FROM pair JOIN e ea ON ea.vec_id = pair.qid
+       |                JOIN e eb ON eb.vec_id = pair.vid AND eb.i = ea.i
+       |      GROUP BY 1, 2),
+       |f AS (SELECT d.qid, d.vid, d.dot,
+       |        CAST(d.dot AS DOUBLE)
+       |          / (SQRT(CAST(nq.nrm AS DOUBLE)) * SQRT(CAST(nv.nrm AS DOUBLE))) AS cosine
+       |      FROM d JOIN n nq ON nq.vec_id = d.qid
+       |             JOIN n nv ON nv.vec_id = d.vid
+       |      WHERE d.dot > 0
+       |        AND 1000000::HUGEINT * d.dot * d.dot
+       |          >= $tau2::HUGEINT * nq.nrm * nv.nrm)
+       |SELECT qid, vid, dot, cosine FROM f
+       |ORDER BY qid, cosine DESC, vid""".stripMargin
+  }
+
   def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     topK(scored(s, dir, useBuckets = true, multiProbe = true))
 
@@ -1737,6 +1816,7 @@ object Ann {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
+    "q_ann_range" -> (qAnnRange _),
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_recall_ivfpq" -> (qAnnRecallIvfpq _),
@@ -1751,6 +1831,7 @@ object Ann {
 
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce" -> qAnnBruteforceSql,
+    "q_ann_range" -> qAnnRangeSql,
     "q_ann_filtered" -> qAnnFilteredSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_recall_ivfpq" -> qAnnRecallIvfpqSql,

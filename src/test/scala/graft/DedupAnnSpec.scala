@@ -345,6 +345,48 @@ class DedupAnnSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("q_ann_range returns EXACTLY the above-threshold set (vs a brute-force double check)") {
+    import spark.implicits._
+    val tau = queries.Ann.RangeTauMilli.toDouble / 1000.0
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble * 1e7)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray)
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      dot(a, b).toDouble / (math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble))
+    val exp = (for {
+      // keys.toSeq, NOT the Map: a Map generator rebuilds a Map at
+      // each yield stage and the constant-q tuples collapse to one
+      // entry per probe
+      q <- 0L until 5L; v <- vecs.keys.toSeq if v != q
+      // the plan's EXACT integer membership (not the float cos >= tau,
+      // which can disagree at the boundary by a rounding hair)
+      d = dot(vecs(q), vecs(v))
+      if d > 0 && BigInt(1000000) * BigInt(d) * BigInt(d) >=
+        BigInt(queries.Ann.RangeTauMilli * queries.Ann.RangeTauMilli) *
+          BigInt(dot(vecs(q), vecs(q))) * BigInt(dot(vecs(v), vecs(v)))
+    } yield (q, v)).toSet
+    val rows = queries.Ann.qAnnRange(spark, sf).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exp, s"range set mismatch: extra=${got -- exp} missing=${exp -- got}")
+    assert(got.nonEmpty && got.map(_._1).size >= 3,
+      "range search vacuous — tau no longer matches the corpus")
+    // every returned cosine clears the threshold; every excluded
+    // near-boundary pair does not (spot-check the float readables)
+    for (r <- rows) {
+      assert(r.getDouble(3) >= tau - 1e-9, s"row below tau: $r")
+      assert(r.getLong(2) > 0)
+    }
+    // result sizes VARY per probe — the semantics top-k cannot express
+    val sizes = rows.groupBy(_.getLong(0)).values.map(_.length).toSet
+    assert(sizes.size > 1 || sizes.head != 10,
+      "every probe returned the same k-looking count — suspicious")
+  }
+
   test("q_ann_recall equals the overlap of the two searches and bounds hold") {
     val exact = queries.Ann.qAnnBruteforce(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid")))
