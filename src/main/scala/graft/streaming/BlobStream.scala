@@ -32,14 +32,33 @@ object BlobStream {
     * source offsets give stable batch ids across restarts;
     * [[Multimodal.blobBatch]]'s guarded halves make a re-delivered
     * micro-batch a no-op. Callers own the returned query's
-    * lifecycle. */
+    * lifecycle.
+    *
+    * `retainBatches` > 0 turns on SLIDING RETENTION for the pairs
+    * store (the [[graft.sources.ObjectIndex.ingestStream]]
+    * `compactEvery` discipline: maintenance runs INSIDE foreachBatch,
+    * on the driver, between micro-batches — never concurrent with an
+    * append): after batch b commits, partitions below b−retain+1 age
+    * out via [[graft.sources.Catalog.dropPartitionsBelow]] — data
+    * files removed, completion dirs kept, so a replayed aged batch
+    * still short-circuits on its guard and the frontier stays
+    * complete; the recorded `_age_horizon` tells consumers the
+    * telemetry window. The piece INDEX is never aged — it is the
+    * corpus membership the probe needs, not per-night telemetry.
+    * Aging an already-aged prefix is a no-op, so at-least-once
+    * replays of the triggering batch re-run it harmlessly. */
   def start(blobStream: DataFrame, indexPath: String, pairsPath: String,
-    checkpointPath: String): StreamingQuery =
+    checkpointPath: String, retainBatches: Int = 0): StreamingQuery =
     blobStream.writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Multimodal.blobBatch(batch.sparkSession, batch, indexPath,
-          pairsPath, batchId)
+        val s = batch.sparkSession
+        Multimodal.blobBatch(s, batch, indexPath, pairsPath, batchId)
+        val horizon = batchId - retainBatches + 1
+        if (retainBatches > 0 && horizon > 0 &&
+          graft.sources.Catalog.tableComplete(s, pairsPath))
+          graft.sources.Catalog.dropPartitionsBelow(s, pairsPath,
+            "batch_id", horizon)
         ()
       }
       .start()

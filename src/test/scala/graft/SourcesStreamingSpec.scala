@@ -1614,6 +1614,61 @@ class BlobStreamSpec extends AnyFunSuite {
   import graft.streaming.BlobStream
   import queries.Multimodal._
 
+  test("streamed ingest with sliding retention ages old pairs batches in-flight") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_blobretain")
+    val indexPath = base.resolve("idx").toString
+    val pairsPath = base.resolve("pairs").toString
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8"))
+      .filter(_._2.nonEmpty)
+    val corpus = docs.flatMap { case (id, b) =>
+      if (id % PhashVariantMod == 0) {
+        val pfx = b.length / 3
+        Seq(RawBlob(id, b), RawBlob(id + PhashV1Offset, b.map(x => (x + 4).toByte)),
+          RawBlob(id + PhashV2Offset, b.zipWithIndex.map { case (x, i) =>
+            if (i < pfx) (x + 16).toByte else x }))
+      } else Seq(RawBlob(id, b))
+    }
+    val slices = (0 until 3).map(k => corpus.filter(_.doc_id % 3 == k))
+    assert(buildPhashIndex(spark, spark.emptyDataset[BlobSig].toDF(), indexPath))
+    val input = MemoryStream[RawBlob]
+    val q = BlobStream.start(input.toDF(), indexPath, pairsPath,
+      base.resolve("cp").toString, retainBatches = 2)
+    try slices.foreach { sl => input.addData(sl.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    // after batch 2 with a 2-batch window, batch 0 is aged: dir kept
+    // (completion marker), files gone, horizon recorded
+    assert(graft.sources.Catalog.ageHorizon(spark, pairsPath) == 1L)
+    assert(new java.io.File(s"$pairsPath/batch_id=0").isDirectory)
+    assert(new java.io.File(s"$pairsPath/batch_id=0").listFiles()
+      .forall(f => f.getName.startsWith("_") || f.getName.startsWith(".")))
+    // retained batches carry exactly the brute-force attribution
+    val n = 3L
+    val got = readPhashPairs(spark, pairsPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val want = qBlobPhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.max(r.getLong(0) % n, r.getLong(1) % n)))
+      .filter(_._3 >= 1L).toSet
+    assert(got == want, "retained-window pairs diverge from attribution")
+    assert(want.nonEmpty, "retention window empty — fixture vacuous")
+    // the index is NEVER aged: it still equals a fresh full build
+    val fullPath = base.resolve("full").toString
+    assert(buildPhashIndex(spark, phashSigs(spark, sf), fullPath))
+    def img(p: String) = readPhashIndex(spark, p)
+      .select("doc_id", "pi", "pv", "p0", "p1", "p2", "p3").collect()
+      .map(_.toSeq).toSet
+    assert(img(indexPath) == img(fullPath), "retention touched the index")
+    // an aged batch replays as a no-op through both guards
+    assert(blobBatch(spark, slices(0).toSeq.toDF("doc_id", "blob"),
+      indexPath, pairsPath, 0L) == 0L)
+    assert(readPhashPairs(spark, pairsPath).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet == got)
+  }
+
   test("streamed blob ingest reproduces the in-plan perceptual scan; replay and crash windows heal") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
