@@ -217,6 +217,7 @@ object Bench {
     // membership predicate leaves codegen or the probe side stops
     // broadcasting
     "q_ann_range",
+    "q_harmonic_fit",
     "q_outlier_epochs",
     "q_crowding",
     "q_repeatability",

@@ -1015,13 +1015,15 @@ object TimeSeries {
   def qLombScargle(s: SparkSession, dir: String): DataFrame =
     lombScargleOver(series(s, dir))
 
-  /** Plan body over any (user_id, tus, xc) series frame — factored so
-    * the spec can drive a planted sinusoid through the real plan. */
-  private[graft] def lombScargleOver(ser: DataFrame): DataFrame = {
+  /** Per-(object, trial period) GLS sufficient statistics, n-scaled
+    * centered moments, and power — the frame [[lombScargleOver]] and
+    * [[qHarmonicFit]] both read. Rows whose normal matrix or flux
+    * variance is degenerate carry a null power and are filtered. */
+  private[graft] def lsPowerFrame(ser: DataFrame): DataFrame = {
     val s = ser.sparkSession
     import s.implicits._
     val nb = LsBins
-    val sums = ser
+    ser
       .filter($"user_id".isNotNull)
       .withColumn("p_us", explode(typedLit(PeriodGridUs)))
       .withColumn("b", expr(s"((tus % p_us) * $nb) DIV p_us").cast("int"))
@@ -1034,7 +1036,6 @@ object TimeSeries {
         sum($"xc" * $"c").as("sxc"), sum($"xc" * $"si").as("sxs"),
         sum($"c" * $"c").as("scc"), sum($"si" * $"si").as("sss"),
         sum($"c" * $"si").as("scs"))
-    val pw = sums
       .withColumn("ccn", $"n" * $"scc" - $"sc" * $"sc")
       .withColumn("ssn", $"n" * $"sss" - $"ss" * $"ss")
       .withColumn("csn", $"n" * $"scs" - $"sc" * $"ss")
@@ -1056,7 +1057,14 @@ object TimeSeries {
             $"csn".cast("double") * $"csn".cast("double")))
       .withColumn("ls_power", when($"den_d" > 0.0, $"num_d" / $"den_d"))
       .filter($"ls_power".isNotNull)
-    pw.groupBy($"user_id")
+  }
+
+  /** Plan body over any (user_id, tus, xc) series frame — factored so
+    * the spec can drive a planted sinusoid through the real plan. */
+  private[graft] def lombScargleOver(ser: DataFrame): DataFrame = {
+    val s = ser.sparkSession
+    import s.implicits._
+    lsPowerFrame(ser).groupBy($"user_id")
       .agg(max($"n").as("n_epochs"),
         max(struct($"ls_power", (-$"p_us").as("negp"))).as("bst"))
       .select($"user_id", $"n_epochs", (-$"bst.negp").as("best_p_us"),
@@ -1109,6 +1117,116 @@ object TimeSeries {
        |  FROM pw WHERE ls_power IS NOT NULL)
        |SELECT user_id, n AS n_epochs, p_us AS best_p_us, ls_power
        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  /** Harmonic model readout at each object's best GLS period — the
+    * step after [[qLombScargle]]'s argmax, as [[qPeriodFold]] is to
+    * the PDM search: solve the floating-mean least-squares sinusoid
+    * x ≈ m + α·cos θ + β·sin θ from the SAME nine sufficient sums
+    * (normal-equation solution — α, β, amplitude √(α²+β²) and mean,
+    * all in c100 flux units). The two coefficients replace the
+    * conventional (amplitude, phase) pair so no atan2 is ever called
+    * — phase is derivable downstream and atan2 is exactly the
+    * cross-engine libm call the fixed-point discipline exists to
+    * avoid. All outputs are IEEE chains over exact int64 sums,
+    * identical tree both sides — hash-exact.
+    *
+    * Scale shape: the power frame is computed twice (argmax then
+    * readout — the [[qPeriodFold]] documented trade: the period must
+    * be known before fitting), but the second pass joins the tiny
+    * per-object argmax keys against the REDUCED |objects|×16 frame,
+    * so the extra cost is one more bounded corpus explode, no new
+    * shuffle shape. */
+  def qHarmonicFit(s: SparkSession, dir: String): DataFrame =
+    harmonicFitOver(series(s, dir))
+
+  private[graft] def harmonicFitOver(ser: DataFrame): DataFrame = {
+    val s = ser.sparkSession
+    import s.implicits._
+    val pf = lsPowerFrame(ser)
+    val best = pf.groupBy($"user_id")
+      .agg(max(struct($"ls_power", (-$"p_us").as("negp"))).as("bst"))
+      .select($"user_id", (-$"bst.negp").as("p_us"))
+    pf.join(best, Seq("user_id", "p_us"))
+      .withColumn("dn_d", $"ccn".cast("double") * $"ssn".cast("double") -
+        $"csn".cast("double") * $"csn".cast("double"))
+      .withColumn("as_d", ($"ssn".cast("double") * $"xcn".cast("double") -
+        $"csn".cast("double") * $"xsn".cast("double")) / $"dn_d")
+      .withColumn("bs_d", ($"ccn".cast("double") * $"xsn".cast("double") -
+        $"csn".cast("double") * $"xcn".cast("double")) / $"dn_d")
+      .withColumn("alpha_c100", $"as_d" * expr("CAST(10000 AS DOUBLE)"))
+      .withColumn("beta_c100", $"bs_d" * expr("CAST(10000 AS DOUBLE)"))
+      .select($"user_id", $"p_us".as("best_p_us"), $"n".as("n_epochs"),
+        $"alpha_c100", $"beta_c100",
+        sqrt($"alpha_c100" * $"alpha_c100" +
+          $"beta_c100" * $"beta_c100").as("amp_c100"),
+        (($"sx".cast("double") - $"as_d" * $"sc".cast("double") -
+          $"bs_d" * $"ss".cast("double")) / $"n".cast("double"))
+          .as("mean_c100"))
+      .orderBy($"user_id")
+  }
+
+  /** Oracle twin: the LS CTEs extended with the raw sums, the
+    * identical nested coefficient chains. */
+  val qHarmonicFitSql: String = {
+    val grid = PeriodGridUs.mkString(", ")
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc
+       |  FROM events WHERE user_id IS NOT NULL),
+       |grid AS (SELECT unnest([$grid]) AS p_us),
+       |trig AS (SELECT unnest(range($LsBins)) AS b,
+       |    unnest([${LsCosTab.mkString(", ")}]) AS c,
+       |    unnest([${LsSinTab.mkString(", ")}]) AS si),
+       |ph AS (SELECT user_id, p_us, xc,
+       |    CAST(((tus % p_us) * $LsBins) // p_us AS BIGINT) AS b
+       |  FROM ev CROSS JOIN grid),
+       |a AS (SELECT user_id, p_us, COUNT(*) AS n,
+       |    CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(xc*xc) AS BIGINT) AS sxx,
+       |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(si) AS BIGINT) AS ss,
+       |    CAST(SUM(xc*c) AS BIGINT) AS sxc, CAST(SUM(xc*si) AS BIGINT) AS sxs,
+       |    CAST(SUM(c*c) AS BIGINT) AS scc, CAST(SUM(si*si) AS BIGINT) AS sss,
+       |    CAST(SUM(c*si) AS BIGINT) AS scs
+       |  FROM ph JOIN trig USING (b) GROUP BY 1, 2),
+       |m AS (SELECT user_id, p_us, n, sx, sc, ss,
+       |    n*scc - sc*sc AS ccn, n*sss - ss*ss AS ssn,
+       |    n*scs - sc*ss AS csn, n*sxc - sx*sc AS xcn,
+       |    n*sxs - sx*ss AS xsn, n*sxx - sx*sx AS xxn
+       |  FROM a),
+       |p AS (SELECT *,
+       |    CAST(ssn AS DOUBLE)*CAST(xcn AS DOUBLE)*CAST(xcn AS DOUBLE)
+       |      - CAST(2.0 AS DOUBLE)*CAST(csn AS DOUBLE)*CAST(xcn AS DOUBLE)
+       |        *CAST(xsn AS DOUBLE)
+       |      + CAST(ccn AS DOUBLE)*CAST(xsn AS DOUBLE)*CAST(xsn AS DOUBLE)
+       |      AS num_d,
+       |    CAST(xxn AS DOUBLE)
+       |      * (CAST(ccn AS DOUBLE)*CAST(ssn AS DOUBLE)
+       |        - CAST(csn AS DOUBLE)*CAST(csn AS DOUBLE)) AS den_d
+       |  FROM m),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY num_d / den_d DESC, p_us) AS rn
+       |  FROM p WHERE den_d > CAST(0.0 AS DOUBLE)),
+       |b AS (SELECT * FROM r WHERE rn = 1),
+       |f1 AS (SELECT *,
+       |    CAST(ccn AS DOUBLE)*CAST(ssn AS DOUBLE)
+       |      - CAST(csn AS DOUBLE)*CAST(csn AS DOUBLE) AS dn_d
+       |  FROM b),
+       |f2 AS (SELECT *,
+       |    (CAST(ssn AS DOUBLE)*CAST(xcn AS DOUBLE)
+       |      - CAST(csn AS DOUBLE)*CAST(xsn AS DOUBLE)) / dn_d AS as_d,
+       |    (CAST(ccn AS DOUBLE)*CAST(xsn AS DOUBLE)
+       |      - CAST(csn AS DOUBLE)*CAST(xcn AS DOUBLE)) / dn_d AS bs_d
+       |  FROM f1),
+       |f3 AS (SELECT user_id, p_us, n, sx, sc, ss, as_d, bs_d,
+       |    as_d * CAST(10000 AS DOUBLE) AS alpha_c100,
+       |    bs_d * CAST(10000 AS DOUBLE) AS beta_c100
+       |  FROM f2)
+       |SELECT user_id, p_us AS best_p_us, CAST(n AS BIGINT) AS n_epochs,
+       |  alpha_c100, beta_c100,
+       |  SQRT(alpha_c100 * alpha_c100 + beta_c100 * beta_c100) AS amp_c100,
+       |  (CAST(sx AS DOUBLE) - as_d * CAST(sc AS DOUBLE)
+       |    - bs_d * CAST(ss AS DOUBLE)) / CAST(n AS DOUBLE) AS mean_c100
+       |FROM f3 ORDER BY user_id""".stripMargin
   }
 
   val qPeriodogramSql: String = {
@@ -2648,6 +2766,7 @@ object TimeSeries {
     "q_object_lookup_many" -> (qObjectLookupMany _),
     "q_lomb_scargle" -> (qLombScargle _),
     "q_phase_coverage" -> (qPhaseCoverage _),
+    "q_harmonic_fit" -> (qHarmonicFit _),
     "q_streaks" -> (qStreaks _),
     "q_ema" -> (qEma _),
     "q_transitions" -> (qTransitions _),
@@ -2695,6 +2814,7 @@ object TimeSeries {
     "q_object_lookup_many" -> qObjectLookupManySql,
     "q_lomb_scargle" -> qLombScargleSql,
     "q_phase_coverage" -> qPhaseCoverageSql,
+    "q_harmonic_fit" -> qHarmonicFitSql,
     "q_streaks" -> qStreaksSql,
     "q_ema" -> qEmaSql,
     "q_transitions" -> qTransitionsSql,

@@ -973,6 +973,38 @@ class TimeSeriesSpec extends AnyFunSuite {
       s"GLS power left [0,1]: ${powers.filterNot(t => t._2 >= 0 && t._2 <= 1 + 1e-9)}")
   }
 
+  test("q_harmonic_fit recovers a planted sinusoid's amplitude, mean, and coefficients") {
+    import spark.implicits._
+    val q = queries.TimeSeries
+    // x = 700 + 1000*sin(2pi t/p*): amplitude 1000 c100, mean 700,
+    // alpha ~ 0 (pure sine phase), beta ~ 1000
+    val pStar = 24L * 3600000000L
+    val step = 7919000000L
+    val rows = (0 until 330).map { i =>
+      val t = i.toLong * step
+      (1L, t, 700L + math.round(1000.0 * math.sin(
+        2.0 * math.Pi * (t % pStar).toDouble / pStar.toDouble)))
+    }
+    val got = q.harmonicFitOver(rows.toDF("user_id", "tus", "xc")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("best_p_us") == pStar)
+    // quantization (512 phase bins, 1e-4 trig table, integer flux)
+    // bounds the recovery error to well under 1%
+    assert(math.abs(r.getAs[Double]("amp_c100") - 1000.0) < 10.0,
+      s"amplitude ${r.getAs[Double]("amp_c100")} far from planted 1000")
+    assert(math.abs(r.getAs[Double]("mean_c100") - 700.0) < 10.0,
+      s"mean ${r.getAs[Double]("mean_c100")} far from planted 700")
+    assert(math.abs(r.getAs[Double]("beta_c100") - 1000.0) < 10.0,
+      "sine coefficient must carry the planted amplitude")
+    assert(math.abs(r.getAs[Double]("alpha_c100")) < 25.0,
+      "cosine coefficient of a pure sine must be near zero")
+    // amp is exactly the hash-checked chain over the coefficients
+    assert(r.getAs[Double]("amp_c100") ==
+      math.sqrt(r.getAs[Double]("alpha_c100") * r.getAs[Double]("alpha_c100") +
+        r.getAs[Double]("beta_c100") * r.getAs[Double]("beta_c100")))
+  }
+
   test("q_skewness equals the exact rational g1 = T3/V^1.5 recomputed with BigInt") {
     val raw = Tables.events(spark, sf)
       .select(col("user_id"),
