@@ -1122,6 +1122,64 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Cluster-size DISTRIBUTION of the near-dup components — the
+    * one-page report a dedup run ships (the q_dedup_threshold_curve
+    * companion, after clustering instead of before): per distinct
+    * cluster size, how many clusters, how many documents, and the
+    * corpus share in integer permille. Reading it: mass at size 1 is
+    * the unique corpus, a long tail of small clusters is healthy
+    * near-duplication, and ANY mega-cluster row is the
+    * chain-collapse signature (threshold too loose, or boilerplate
+    * the df cap should have eaten) — the single number operators
+    * check before trusting a keep-one-per-cluster pass.
+    *
+    * Scale shape: composes [[qDedupClusters]]' component labels (the
+    * sliver-iterating CC engine), then two post-reduction aggregates
+    * — per-cluster (|clusters| rows) and per-size (≤ max-size rows);
+    * nothing new touches the corpus. */
+  def qClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cl = qDedupClusters(s, dir)
+    cl.groupBy($"cluster_id").agg(max($"cluster_size").as("cluster_size"))
+      .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", $"cluster_size" * $"n_clusters")
+      .crossJoin(broadcast(
+        Tables.documents(s, dir).agg(count(lit(1)).as("n_corpus"))))
+      .select($"cluster_size", $"n_clusters", $"n_docs",
+        expr("n_docs * 1000 DIV n_corpus").as("docs_milli"))
+      .orderBy($"cluster_size")
+  }
+
+  /** Oracle twin: the cluster CTEs + two aggregates. */
+  val qClusterSizesSql: String =
+    s"""WITH RECURSIVE
+       |g AS ($gramRowsSql),
+       |n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+       |gf AS (SELECT doc_id, gram FROM (
+       |        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM g)
+       |       WHERE df <= $GramDfCap),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+       |      FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |jp AS (SELECT d1, d2
+       |       FROM p JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
+       |       WHERE inter * 2 >= na.ng + nb.ng - inter),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM jp
+       |          UNION ALL SELECT d2, d1 FROM jp),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.node = e.src),
+       |lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+       |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1),
+       |d AS (SELECT cluster_size, COUNT(*) AS n_clusters FROM sz GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS n_corpus FROM documents)
+       |SELECT CAST(cluster_size AS BIGINT) AS cluster_size, n_clusters,
+       |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+       |  CAST(cluster_size * n_clusters * 1000 // tot.n_corpus AS BIGINT)
+       |    AS docs_milli
+       |FROM d CROSS JOIN tot ORDER BY cluster_size""".stripMargin
+
   /** Graph-motif statistics of the near-dup pair graph: nodes, edges,
     * wedges (open 2-paths), triangles, and the global clustering
     * coefficient ×1000 — the telemetry a dedup pipeline reads to judge
@@ -2262,6 +2320,7 @@ object Dedup {
     "q_dedup_exact" -> (qDedupExact _),
     "q_ngram_jaccard" -> (qNgramJaccard _),
     "q_dedup_threshold_curve" -> (qDedupThresholdCurve _),
+    "q_cluster_sizes" -> (qClusterSizes _),
     "q_dedup_contain" -> (qDedupContain _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_lsh_pairs" -> (qDedupLshPairs _),
@@ -2291,6 +2350,7 @@ object Dedup {
     "q_dedup_exact" -> qDedupExactSql,
     "q_ngram_jaccard" -> qNgramJaccardSql,
     "q_dedup_threshold_curve" -> qDedupThresholdCurveSql,
+    "q_cluster_sizes" -> qClusterSizesSql,
     "q_dedup_contain" -> qDedupContainSql,
     "q_dedup_embedding" -> qDedupEmbeddingSql,
     "q_edit_dist_pairs" -> qEditDistPairsSql,

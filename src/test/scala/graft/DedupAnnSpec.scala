@@ -290,6 +290,25 @@ class DedupAnnSpec extends AnyFunSuite {
       "curve at 50% disagrees with q_ngram_jaccard")
   }
 
+  test("q_cluster_sizes equals the size census of the cluster labels and conserves the corpus") {
+    val labels = queries.Dedup.qDedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nCorpus = Tables.documents(spark, sf).count()
+    assert(labels.length.toLong == nCorpus, "clusters must label every doc")
+    val exp = labels.groupBy(_._2).values.map(_.length.toLong).toSeq
+      .groupBy(identity).map { case (sz, cs) =>
+        (sz, cs.length.toLong, sz * cs.length, sz * cs.length * 1000 / nCorpus) }
+      .toSeq.sortBy(_._1)
+    val got = queries.Dedup.qClusterSizes(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == exp, s"size census mismatch:\n got $got\n exp $exp")
+    // conservation: the distribution's doc mass IS the corpus
+    assert(got.map(_._3).sum == nCorpus)
+    // non-vacuous: singletons AND at least one multi-doc cluster
+    assert(got.exists(_._1 == 1L) && got.exists(_._1 > 1L),
+      "corpus must exercise both unique docs and real clusters")
+  }
+
   test("q_dedup_lsh_pairs recalls most exact-Jaccard pairs") {
     val exact = queries.Dedup.qNgramJaccard(spark, sf)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
