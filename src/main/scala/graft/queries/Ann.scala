@@ -161,33 +161,113 @@ object Ann {
       .orderBy($"qid", $"cosine".desc, $"vid")
   }
 
-  /** Oracle twin: same integer membership predicate in hugeint, same
-    * cosine chain. */
-  val qAnnRangeSql: String = {
+  /** The 100-TB execution path of [[qAnnRange]] as its own
+    * hash-checked entry (the q_ks_drift_sampled discipline — the
+    * scale story as a verified query, not a comment): the SAME
+    * integer threshold membership evaluated only over the sign-bucket
+    * multi-probe candidates ([[qAnnLsh]]'s candidate generation — the
+    * corpus joins ONE bucket key, prunable at the scan when
+    * bucket-partitioned), trading the guaranteed-exact set for
+    * bucket recall. [[qAnnRangeRecall]] watches that trade. */
+  def qAnnRangeLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).select($"vec_id",
+      VectorOps.intVec("embedding").as("iv"),
+      VectorOps.signBucket("embedding", Dedup.BucketDims).as("bucket"))
+      .withColumn("nrm", VectorOps.normSq("iv"))
+    val q = e.filter($"vec_id" < NQueries).select(
+      $"vec_id".as("qid"), $"iv".as("qiv"), $"nrm".as("qnrm"),
+      $"bucket".as("qbucket"))
+    val probes = q.withColumn("probe",
+      explode(probeBuckets($"qbucket", Dedup.BucketDims.size)))
     val tau2 = RangeTauMilli * RangeTauMilli
-    s"""WITH e AS (
+    e.join(broadcast(probes), $"bucket" === $"probe" && $"vec_id" =!= $"qid")
+      .withColumn("dot", VectorOps.dot("qiv", "iv"))
+      .filter($"dot" > 0 && expr(
+        s"CAST(1000000 AS DECIMAL(38,0)) * dot * dot >= " +
+          s"CAST($tau2 AS DECIMAL(38,0)) * qnrm * nrm"))
+      .withColumn("cosine", VectorOps.cosine($"dot", $"qnrm", $"nrm"))
+      .select($"qid", $"vec_id".as("vid"), $"dot", $"cosine")
+      .orderBy($"qid", $"cosine".desc, $"vid")
+  }
+
+  /** Range-recall telemetry: how much of the exact above-threshold
+    * set the bucketed range search retains, per probe — the eval
+    * loop that makes [[qAnnRangeLsh]] deployable (the q_ann_recall
+    * discipline applied to threshold semantics; a probe whose exact
+    * set is empty has no recall row). */
+  def qAnnRangeRecall(s: SparkSession, dir: String): DataFrame =
+    recallOf(qAnnRange(s, dir), qAnnRangeLsh(s, dir))
+
+  /** Shared CTE prefix of every range oracle: integer-scaled
+    * components and norms (plus sign buckets when probing). */
+  private def rangeBaseCtes(withBuckets: Boolean): String = {
+    val bucket = VectorOps.Sql.signBucket("embedding", Dedup.BucketDims)
+    val b = if (withBuckets)
+      s",\nb AS (SELECT vec_id, $bucket AS bucket FROM embeddings)" else ""
+    s"""e AS (
        |  SELECT vec_id, i, CAST(ROUND(CAST(v AS DOUBLE) * ${VectorOps.ScaleLit}) AS BIGINT) AS vi
        |  FROM (SELECT vec_id, unnest(embedding) AS v,
        |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
-       |n AS (SELECT vec_id, SUM(vi * vi) AS nrm FROM e GROUP BY vec_id),
-       |pair AS (SELECT a.vec_id AS qid, b.vec_id AS vid
-       |         FROM (SELECT vec_id FROM embeddings WHERE vec_id < $NQueries) a
-       |         JOIN (SELECT vec_id FROM embeddings) b ON b.vec_id <> a.vec_id),
-       |d AS (SELECT pair.qid, pair.vid, CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
-       |      FROM pair JOIN e ea ON ea.vec_id = pair.qid
-       |                JOIN e eb ON eb.vec_id = pair.vid AND eb.i = ea.i
+       |n AS (SELECT vec_id, SUM(vi * vi) AS nrm FROM e GROUP BY vec_id)$b"""
+      .stripMargin
+  }
+
+  /** The suffix-parameterized range candidate + membership CTE chain
+    * (pair$sfx → d$sfx → f$sfx), shared verbatim by the exact, the
+    * bucketed, and the recall oracles — the sqlRerankCtes
+    * discipline: a predicate or chain change lands everywhere or
+    * nowhere. */
+  private def rangeSetCtes(sfx: String, bucketJoin: Boolean): String = {
+    val tau2 = RangeTauMilli * RangeTauMilli
+    val probeMasks = Dedup.BucketDims.indices.map(1 << _).mkString(", ")
+    val bucketCond = if (bucketJoin)
+      s"""
+         |           AND xor(bq.bucket, bv.bucket) IN (0, $probeMasks)""".stripMargin
+    else ""
+    val src = if (bucketJoin) "b" else "(SELECT vec_id FROM embeddings)"
+    s"""pair$sfx AS (SELECT bq.vec_id AS qid, bv.vec_id AS vid
+       |         FROM $src bq JOIN $src bv ON bq.vec_id < $NQueries
+       |           AND bv.vec_id <> bq.vec_id$bucketCond),
+       |d$sfx AS (SELECT pair$sfx.qid, pair$sfx.vid, CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
+       |      FROM pair$sfx JOIN e ea ON ea.vec_id = pair$sfx.qid
+       |                JOIN e eb ON eb.vec_id = pair$sfx.vid AND eb.i = ea.i
        |      GROUP BY 1, 2),
-       |f AS (SELECT d.qid, d.vid, d.dot,
-       |        CAST(d.dot AS DOUBLE)
+       |f$sfx AS (SELECT d$sfx.qid, d$sfx.vid, d$sfx.dot,
+       |        CAST(d$sfx.dot AS DOUBLE)
        |          / (SQRT(CAST(nq.nrm AS DOUBLE)) * SQRT(CAST(nv.nrm AS DOUBLE))) AS cosine
-       |      FROM d JOIN n nq ON nq.vec_id = d.qid
-       |             JOIN n nv ON nv.vec_id = d.vid
-       |      WHERE d.dot > 0
-       |        AND 1000000::HUGEINT * d.dot * d.dot
-       |          >= $tau2::HUGEINT * nq.nrm * nv.nrm)
+       |      FROM d$sfx JOIN n nq ON nq.vec_id = d$sfx.qid
+       |             JOIN n nv ON nv.vec_id = d$sfx.vid
+       |      WHERE d$sfx.dot > 0
+       |        AND 1000000::HUGEINT * d$sfx.dot * d$sfx.dot
+       |          >= $tau2::HUGEINT * nq.nrm * nv.nrm)""".stripMargin
+  }
+
+  /** Oracle twin: same integer membership predicate in hugeint, same
+    * cosine chain. */
+  val qAnnRangeSql: String =
+    s"""WITH ${rangeBaseCtes(withBuckets = false)},
+       |${rangeSetCtes("", bucketJoin = false)}
        |SELECT qid, vid, dot, cosine FROM f
        |ORDER BY qid, cosine DESC, vid""".stripMargin
-  }
+
+  val qAnnRangeLshSql: String =
+    s"""WITH ${rangeBaseCtes(withBuckets = true)},
+       |${rangeSetCtes("", bucketJoin = true)}
+       |SELECT qid, vid, dot, cosine FROM f
+       |ORDER BY qid, cosine DESC, vid""".stripMargin
+
+  val qAnnRangeRecallSql: String =
+    s"""WITH ${rangeBaseCtes(withBuckets = true)},
+       |${rangeSetCtes("x", bucketJoin = false)},
+       |${rangeSetCtes("l", bucketJoin = true)}
+       |SELECT fx.qid, COUNT(*) AS n_exact,
+       |  CAST(SUM(CASE WHEN fl.vid IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_match,
+       |  CAST((100 * SUM(CASE WHEN fl.vid IS NOT NULL THEN 1 ELSE 0 END))
+       |    // COUNT(*) AS BIGINT) AS recall_pct
+       |FROM fx LEFT JOIN fl ON fl.qid = fx.qid AND fl.vid = fx.vid
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def qAnnLsh(s: SparkSession, dir: String): DataFrame =
     topK(scored(s, dir, useBuckets = true, multiProbe = true))
@@ -1817,6 +1897,8 @@ object Ann {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_range" -> (qAnnRange _),
+    "q_ann_range_lsh" -> (qAnnRangeLsh _),
+    "q_ann_range_recall" -> (qAnnRangeRecall _),
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_ann_recall" -> (qAnnRecall _),
     "q_ann_recall_ivfpq" -> (qAnnRecallIvfpq _),
@@ -1832,6 +1914,8 @@ object Ann {
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce" -> qAnnBruteforceSql,
     "q_ann_range" -> qAnnRangeSql,
+    "q_ann_range_lsh" -> qAnnRangeLshSql,
+    "q_ann_range_recall" -> qAnnRangeRecallSql,
     "q_ann_filtered" -> qAnnFilteredSql,
     "q_ann_recall" -> qAnnRecallSql,
     "q_ann_recall_ivfpq" -> qAnnRecallIvfpqSql,

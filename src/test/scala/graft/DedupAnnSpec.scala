@@ -406,6 +406,27 @@ class DedupAnnSpec extends AnyFunSuite {
       "every probe returned the same k-looking count — suspicious")
   }
 
+  test("q_ann_range_lsh is a strict candidate subset; range recall counts the trade") {
+    val exact = queries.Ann.qAnnRange(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val lsh = queries.Ann.qAnnRangeLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // bucketing can only DROP members, never invent them (the same
+    // membership predicate runs on a candidate subset)
+    assert(lsh.toSet.subsetOf(exact.toSet), "bucketed range invented a pair")
+    assert(lsh.nonEmpty, "multi-probe buckets recalled nothing — vacuous")
+    val rec = queries.Ann.qAnnRangeRecall(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val byQ = exact.groupBy(_._1)
+    assert(rec.keySet == byQ.keySet,
+      "every probe with a non-empty exact set needs a recall row")
+    for ((q, es) <- byQ) {
+      val hit = es.count(lsh.toSet)
+      assert(rec(q) == (es.length.toLong, hit.toLong,
+        100L * hit / es.length), s"probe $q recall row")
+    }
+  }
+
   test("q_ann_recall equals the overlap of the two searches and bounds hold") {
     val exact = queries.Ann.qAnnBruteforce(spark, sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid")))
