@@ -1604,6 +1604,29 @@ class DetectionStreamSpec extends AnyFunSuite {
     assert(t1 == before, "healed transient partition must restore its rows")
     assert(queries.Spatial.readTransients(spark, transientPath)
       .select("det_k").collect().map(_.getLong(0)).toSet == wantTrans)
+
+    // retention applies to the MATCH/TRANSIENT stores identically to
+    // the phash pairs store (they share the batch_id-partitioned
+    // nightly layout): age batch 0 from both, dirs survive as
+    // completion markers, the retained window is untouched, and the
+    // aged batch replays as a no-op through its partition guard
+    import graft.sources.Catalog
+    val keepM = queries.Spatial.readMatchTable(spark, matchPath)
+      .filter("batch_id = 1").count()
+    val keepT = queries.Spatial.readTransients(spark, transientPath)
+      .filter("batch_id = 1").count()
+    assert(Catalog.dropPartitionsBelow(spark, matchPath, "batch_id", 1L) == 1)
+    assert(Catalog.dropPartitionsBelow(spark, transientPath, "batch_id", 1L) == 1)
+    for (p <- Seq(matchPath, transientPath)) {
+      assert(Catalog.ageHorizon(spark, p) == 1L)
+      assert(new java.io.File(s"$p/batch_id=0").isDirectory,
+        s"$p lost its aged completion dir")
+    }
+    assert(queries.Spatial.readMatchTable(spark, matchPath).count() == keepM)
+    assert(queries.Spatial.readTransients(spark, transientPath).count() == keepT)
+    assert(queries.Spatial.associateBatch(spark, firstDf, objHalo,
+      matchPath, transientPath, 0L, 1.0) == (0L, 0L),
+      "aged association batch must replay as a no-op")
   }
 }
 
