@@ -996,10 +996,15 @@ object TimeSeries {
     * NINE sufficient statistics (n, Σx, Σx², Σc, Σs, Σxc, Σxs, Σc²,
     * Σs², Σcs) reduced as EXACT integer sums — reduction order can
     * never drift the hash. The n-scaled centered moments (e.g.
-    * CCn = n·Σc² − (Σc)²) stay exact int64 (bounds: |x| ≤ 10⁶ c100
-    * and n ≤ 10⁴ epochs keep every product < 10¹⁸; int64→double is
-    * single-rounding in BOTH engines at any magnitude, unlike the
-    * >2⁶⁴ decimal/hugeint gotcha), and the GLS power
+    * CCn = n·Σc² − (Σc)²) stay exact int64; the binding bound is
+    * XXn = n·Σx² − (Σx)² ≤ n²·x²max, so the precondition is
+    * n·|x|max < 3·10⁹ — e.g. |x| ≤ 10⁵ c100 at n ≤ 10⁴ epochs
+    * (the trig moments are far looser: ≤ 2n²·10⁸ < 2⁶³ for any
+    * n ≤ 10⁵). Int64 is kept deliberately over widening: int64→
+    * double is single-rounding in BOTH engines at any magnitude,
+    * unlike the >2⁶⁴ decimal/hugeint gotcha, and the floating-point
+    * chain below hashes. [[qHarmonicFit]] reads the same sums under
+    * the same precondition. The GLS power
     * P = (SS·XC² − 2·CS·XC·XS + CC·XS²) / (XX·(CC·SS − CS²)) ∈ [0,1]
     * is ONE fixed IEEE chain over those exact integers — identical
     * tree both sides, so even the doubles hash-match. Argmax over the
@@ -1373,9 +1378,7 @@ object TimeSeries {
     * model cache pattern — regenerated test data can never read a
     * stale index). */
   private def objectIndexPath(dir: String): String =
-    sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
-      System.getProperty("java.io.tmpdir")) +
-      s"/graft_obj_idx_${Ann.annCacheKey(dir, Seq("events.parquet"))}"
+    Ann.annCachePath(dir, "obj_idx", "events.parquet")
 
   /** Build (or reuse) the registered [[graft.sources.ObjectIndex]]
     * for `dir`; returns its path. A partial build (no _SUCCESS)

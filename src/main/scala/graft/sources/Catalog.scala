@@ -580,12 +580,17 @@ object Catalog {
     require(!appendPending(s, path),
       s"$path has unresolved crashed appends — recoverAppends first")
     val prefix = s"$partCol="
+    // The marker is monotone: every partition below the recorded
+    // horizon was already emptied by a prior call, so skip it without
+    // listing its children — retention cost stays O(retained window),
+    // not O(stream age), per nightly pass.
+    val prevH = ageHorizon(s, path)
     var aged = 0
     f.listStatus(p).foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory && name.startsWith(prefix)) {
         val v = scala.util.Try(name.stripPrefix(prefix).toLong).toOption
-        if (v.exists(_ < horizon)) {
+        if (v.exists(x => x >= prevH && x < horizon)) {
           // remove data content only; hidden ("_"/".") entries are
           // commit-protocol artifacts and stay with the dir
           val data = f.listStatus(st.getPath).filterNot { c =>
@@ -599,9 +604,21 @@ object Catalog {
         }
       }
     }
-    val newH = math.max(ageHorizon(s, path), horizon)
-    val out = f.create(new org.apache.hadoop.fs.Path(p, AgeHorizonMarker), true)
-    try out.write(newH.toString.getBytes("UTF-8")) finally out.close()
+    // Record the advanced horizon via the staging+rename commit the
+    // other Catalog markers use: a crash can never leave a PARTIAL
+    // marker (ageHorizon would throw on it forever) — worst case is
+    // the old/no marker, which only means the next pass re-lists a
+    // few already-empty dirs. No-op calls (horizon not advancing)
+    // skip the write entirely.
+    if (horizon > prevH) {
+      val m = new org.apache.hadoop.fs.Path(p, AgeHorizonMarker)
+      val tmp = new org.apache.hadoop.fs.Path(p, AgeHorizonMarker + ".tmp")
+      val out = f.create(tmp, true)
+      try out.write(horizon.toString.getBytes("UTF-8")) finally out.close()
+      f.delete(m, false)
+      if (!f.rename(tmp, m))
+        throw new java.io.IOException(s"failed committing $tmp -> $m")
+    }
     aged
   }
 
