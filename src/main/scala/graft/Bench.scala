@@ -228,7 +228,15 @@ object Bench {
     "q_ann_recall_ivfpq",
     "q_skewness",
     "q_kurtosis",
-    "q_amplitude")
+    "q_amplitude",
+    // round-15 late additions: the per-object export pack (regresses
+    // if the sort_array pack stops being one object-key shuffle), the
+    // batched cone probes (regresses if the probe side stops
+    // broadcasting or the dec-band prune leaves codegen), and the
+    // one-row source-concentration census
+    "q_lightcurve_pack",
+    "q_cone_search_many",
+    "q_gini")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

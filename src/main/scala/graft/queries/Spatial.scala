@@ -85,6 +85,82 @@ object Spatial {
        |WHERE dist_r6 < 25.0 ORDER BY k""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Batched cone-probe list (probe_id, ra0, dec0, radius_deg) — the
+    * daily alert-follow-up shape: k cones resolved in ONE pass, not k
+    * point jobs. Probe 5 sits past the catalog's declination floor so
+    * the zero-match path (LEFT JOIN, empty-group signature) is
+    * exercised at every SF. */
+  private[graft] val ConeProbes: Seq[(Long, Double, Double, Double)] =
+    Seq((1L, 180.0, 20.0, 5.0), (2L, 42.5, -35.0, 7.5),
+      (3L, 301.0, 55.0, 10.0), (4L, 10.0, 5.0, 2.5),
+      (5L, 180.0, -88.0, 3.0))
+
+  /** Batched cone search — [[qConeSearch]]'s operational shape: every
+    * probe evaluated against ONE catalog scan (broadcast probe list ×
+    * scan, never a scan per cone), with a coarse declination-band
+    * prune (|Δdec| ≤ r + 1e-5 — Δdec never exceeds the angular
+    * distance, and the slack covers the 1e-6 haversine rounding)
+    * ahead of the haversine so codegen rejects most (point, probe)
+    * pairs on one subtraction; the SAME prune is mirrored verbatim in
+    * the oracle. Per probe: match count, nearest distance, and the
+    * md5 signature of the ASCENDING matched-id stream — the oracle
+    * pins the exact match SET, not just its size; probes with zero
+    * matches survive via the LEFT JOIN with an empty signature.
+    *
+    * Scale shape: at 100 TB the dec-band prune is the zone partition
+    * prune (the catalog shards on the density-map zone key, so each
+    * cone reads only its overlapping zone partitions); the per-probe
+    * aggregate shuffles match rows only. */
+  def qConeSearchMany(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probes = ConeProbes.toDF("probe_id", "ra0", "dec0", "r")
+    val got = points(s, dir).crossJoin(broadcast(probes))
+      .filter(abs($"decl" - $"dec0") <= $"r" + lit(1e-5))
+      .withColumn("dist_r6",
+        round(distDeg($"ra", $"decl", $"ra0", $"dec0"), 6))
+      .filter($"dist_r6" < $"r")
+      .groupBy($"probe_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min($"dist_r6").as("min_dist_r6"),
+        sort_array(collect_list($"k")).as("ks"))
+      .select($"probe_id", $"n_matches", $"min_dist_r6",
+        md5(concat_ws(",",
+          expr("transform(ks, v -> cast(v as string))"))).as("ids_sig"))
+    probes.select($"probe_id").join(got, Seq("probe_id"), "left")
+      .select($"probe_id",
+        coalesce($"n_matches", lit(0L)).as("n_matches"),
+        $"min_dist_r6",
+        coalesce($"ids_sig", lit("")).as("ids_sig"))
+      .orderBy($"probe_id")
+  }
+
+  /** Oracle twin: identical probe literals CAST to BIGINT/DOUBLE (the
+    * decimal-literal gotcha), identical band prune, identical rounded
+    * haversine, ascending string_agg for the signature. */
+  val qConeSearchManySql: String = {
+    val rows = ConeProbes.map { case (i, ra, de, r) =>
+      s"($i, $ra, $de, $r)" }.mkString(", ")
+    s"""WITH pts AS ($pointsSql),
+       |pr AS (SELECT CAST(probe_id AS BIGINT) AS probe_id,
+       |    CAST(ra0 AS DOUBLE) AS ra0, CAST(dec0 AS DOUBLE) AS dec0,
+       |    CAST(r AS DOUBLE) AS r
+       |  FROM (VALUES $rows) AS v(probe_id, ra0, dec0, r)),
+       |cand AS (SELECT pr.probe_id, pts.k, pr.r,
+       |    ROUND(${distDegSql("pts.ra", "pts.decl", "pr.ra0", "pr.dec0")},
+       |      6) AS dist_r6
+       |  FROM pts CROSS JOIN pr
+       |  WHERE ABS(pts.decl - pr.dec0) <= pr.r + 0.00001),
+       |m AS (SELECT probe_id, COUNT(*) AS n_matches,
+       |    MIN(dist_r6) AS min_dist_r6,
+       |    md5(string_agg(k, ',' ORDER BY k)) AS ids_sig
+       |  FROM cand WHERE dist_r6 < r GROUP BY 1)
+       |SELECT pr.probe_id, COALESCE(m.n_matches, 0) AS n_matches,
+       |  m.min_dist_r6, COALESCE(m.ids_sig, '') AS ids_sig
+       |FROM pr LEFT JOIN m USING (probe_id) ORDER BY probe_id"""
+      .stripMargin
+  }
+
+  // ---------------------------------------------------------------
   /** Annulus width of the radial profile, degrees. */
   private val ProfBinDeg = 2.5
   private val TwoPi = "6.283185307179586"
@@ -1978,6 +2054,7 @@ object Spatial {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cone_search" -> (qConeSearch _),
+    "q_cone_search_many" -> (qConeSearchMany _),
     "q_radial_profile" -> (qRadialProfile _),
     "q_completeness" -> (qCompleteness _),
     "q_box_search" -> (qBoxSearch _),
@@ -2002,6 +2079,7 @@ object Spatial {
 
   val oracles: Map[String, String] = Map(
     "q_cone_search" -> qConeSearchSql,
+    "q_cone_search_many" -> qConeSearchManySql,
     "q_radial_profile" -> qRadialProfileSql,
     "q_completeness" -> qCompletenessSql,
     "q_box_search" -> qBoxSearchSql,

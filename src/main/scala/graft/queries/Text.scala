@@ -1283,7 +1283,78 @@ object Text {
       |    AS BIGINT) AS permille
       |FROM a ORDER BY source, split""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Source-concentration census — the one-row corpus diagnostic a
+    * mixture planner reads before [[qSourceMix]] levels anything: the
+    * Gini coefficient of the per-source document counts AND of the
+    * per-source character mass (the two diverge when a source has few
+    * huge documents). Exact integer form over sources sorted
+    * ascending with rank i (ties broken by name):
+    * G·den = Σ(2i−n−1)·v_i = 2·Σi·v_i − (n+1)·Σv_i, den = n·Σv_i —
+    * both sides hash the integer numerator and derive the double by
+    * ONE division, so the coefficient itself is hash-exact.
+    *
+    * Scale shape: one combinable per-source aggregate touches the
+    * corpus; the rank windows and the final fold run on the
+    * |sources|-row frame (control-plane sized by construction — the
+    * [[sourceMix]] discipline). Rank·value products stay < 2⁶³ for
+    * any real registry (|sources| ≤ 10⁶, chars ≤ 10¹²). */
+  def qGini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val av = Tables.documents(s, dir).groupBy($"source")
+      .agg(count(lit(1)).as("c"), sum($"n_chars").as("bs"))
+    // |sources|-row unpartitioned windows: control-plane sized
+    val wd = Window.orderBy($"c", $"source")
+    val wb = Window.orderBy($"bs", $"source")
+    av.withColumn("idx", row_number().over(wd).cast("long"))
+      .withColumn("ib", row_number().over(wb).cast("long"))
+      .agg(
+        count(lit(1)).as("n_sources"),
+        sum($"c").as("total_docs"),
+        sum($"bs").as("total_chars"),
+        sum($"idx" * $"c").as("sic"),
+        sum($"ib" * $"bs").as("sib"))
+      .select(
+        $"n_sources", $"total_docs", $"total_chars",
+        (lit(2L) * $"sic" - ($"n_sources" + 1) * $"total_docs")
+          .as("gini_docs_num"),
+        ((lit(2L) * $"sic" - ($"n_sources" + 1) * $"total_docs")
+          .cast("double") /
+          ($"n_sources" * $"total_docs").cast("double")).as("gini_docs"),
+        (lit(2L) * $"sib" - ($"n_sources" + 1) * $"total_chars")
+          .as("gini_chars_num"),
+        ((lit(2L) * $"sib" - ($"n_sources" + 1) * $"total_chars")
+          .cast("double") /
+          ($"n_sources" * $"total_chars").cast("double")).as("gini_chars"))
+  }
+
+  /** Oracle twin: same ranks, same integer numerators, same single
+    * IEEE divisions. */
+  val qGiniSql: String =
+    """WITH av AS (SELECT source, COUNT(*) AS c,
+      |    CAST(SUM(n_chars) AS BIGINT) AS bs
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT c, bs,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY c, source) AS BIGINT) AS idx,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY bs, source) AS BIGINT) AS ib
+      |  FROM av),
+      |a AS (SELECT COUNT(*) AS n_sources,
+      |    CAST(SUM(c) AS BIGINT) AS total_docs,
+      |    CAST(SUM(bs) AS BIGINT) AS total_chars,
+      |    CAST(SUM(idx*c) AS BIGINT) AS sic,
+      |    CAST(SUM(ib*bs) AS BIGINT) AS sib
+      |  FROM t)
+      |SELECT n_sources, total_docs, total_chars,
+      |  2*sic - (n_sources+1)*total_docs AS gini_docs_num,
+      |  CAST(2*sic - (n_sources+1)*total_docs AS DOUBLE)
+      |    / CAST(n_sources*total_docs AS DOUBLE) AS gini_docs,
+      |  2*sib - (n_sources+1)*total_chars AS gini_chars_num,
+      |  CAST(2*sib - (n_sources+1)*total_chars AS DOUBLE)
+      |    / CAST(n_sources*total_chars AS DOUBLE) AS gini_chars
+      |FROM a""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gini" -> (qGini _),
     "q_zipf" -> (qZipf _),
     "q_collocations" -> (qCollocations _),
     "q_tfidf" -> (qTfidf _),
@@ -1307,6 +1378,7 @@ object Text {
     "q_hash_sample" -> (qHashSample _))
 
   val oracles: Map[String, String] = Map(
+    "q_gini" -> qGiniSql,
     "q_zipf" -> qZipfSql,
     "q_collocations" -> qCollocationsSql,
     "q_tfidf" -> qTfidfSql,

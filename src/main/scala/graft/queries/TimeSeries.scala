@@ -2752,7 +2752,68 @@ object TimeSeries {
        |  END AS amp_milli
        |FROM a ORDER BY user_id, band""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Per-object packed light curves — the sequence-model EXPORT shape
+    * (one row per object, time/flux as parallel arrays sorted by
+    * epoch) that a training pipeline writes before feeding
+    * transformers/RNNs, and the per-object materialization Pserv's
+    * light-curve retrieval ultimately serves. The pack is
+    * deterministic end-to-end: epochs sort by (tus, event_id) — the
+    * unique tie-break — via `sort_array` over structs, so the arrays
+    * are identical regardless of shuffle arrival order.
+    *
+    * Scale shape: ONE shuffle on the object key; per-group state is
+    * the object's own cadence-bounded epoch list (the export
+    * operator's inherent working set — same bound every per-object
+    * window query already relies on), never corpus-sized. At 100 TB
+    * this frame writes straight out partitioned by an object-bucket
+    * column; nothing aggregates across objects. */
+  private[graft] def lightcurvePack(ser: DataFrame): DataFrame = {
+    val s = ser.sparkSession
+    import s.implicits._
+    ser.groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_epochs"),
+        min($"tus").as("t_first"),
+        max($"tus").as("t_last"),
+        sort_array(collect_list(struct($"tus", $"event_id", $"xc")))
+          .as("pts"))
+      .select($"user_id", $"n_epochs", $"t_first", $"t_last",
+        expr("transform(pts, p -> p.tus)").as("t_us"),
+        expr("transform(pts, p -> p.xc)").as("x_c100"))
+  }
+
+  /** Harness entry over [[lightcurvePack]]: the arrays enter the
+    * cross-engine hash as ONE md5 content signature over the packed
+    * "tus:xc" stream (array cells themselves canonicalize differently
+    * across parquet/duckdb readers; the signature pins the exact
+    * content AND order), alongside the readable scalars. TimeSeries
+    * spec asserts the array cells directly against a driver-side
+    * recompute. */
+  def qLightcurvePack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lightcurvePack(series(s, dir))
+      .select($"user_id", $"n_epochs", $"t_first", $"t_last",
+        md5(concat_ws(",",
+          expr("zip_with(t_us, x_c100, (t, x) -> concat(t, ':', x))")))
+          .as("series_sig"))
+      .orderBy($"user_id")
+  }
+
+  /** Oracle twin: string_agg over the same (tus, event_id) order
+    * builds the identical packed stream. */
+  val qLightcurvePackSql: String =
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |    CAST(ROUND(value*100) AS BIGINT) AS xc
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_epochs,
+      |  MIN(tus) AS t_first, MAX(tus) AS t_last,
+      |  md5(string_agg(tus || ':' || xc, ',' ORDER BY tus, event_id))
+      |    AS series_sig
+      |FROM ev GROUP BY 1 ORDER BY user_id""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lightcurve_pack" -> (qLightcurvePack _),
     "q_lightcurve_stats" -> (qLightcurveStats _),
     "q_variability_class" -> (qVariabilityClass _),
     "q_lightcurve_delta" -> (qLightcurveDelta _),
@@ -2801,6 +2862,7 @@ object TimeSeries {
     "q_amplitude" -> (qAmplitude _))
 
   val oracles: Map[String, String] = Map(
+    "q_lightcurve_pack" -> qLightcurvePackSql,
     "q_lightcurve_stats" -> qLightcurveStatsSql,
     "q_variability_class" -> qVariabilityClassSql,
     "q_lightcurve_delta" -> qLightcurveDeltaSql,

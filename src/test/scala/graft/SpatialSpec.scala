@@ -779,4 +779,41 @@ class SpatialSpec extends AnyFunSuite {
       assert(r.getAs[Long]("obj_milli") == hist(k) * 1000 / total)
     }
   }
+
+  test("q_cone_search_many matches per-probe brute force and keeps zero-match probes") {
+    val pts = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+      .map(k => (k, (k * 137 % 36000) / 100.0, (k * 97 % 17000) / 100.0 - 85.0))
+    def hav(ra1: Double, d1: Double, ra2: Double, d2: Double): Double = {
+      val (a, b, c, d) = (math.toRadians(ra1), math.toRadians(d1),
+        math.toRadians(ra2), math.toRadians(d2))
+      val s1 = math.sin((b - d) / 2); val s2 = math.sin((a - c) / 2)
+      val x = s1 * s1 + math.cos(b) * math.cos(d) * s2 * s2
+      BigDecimal(math.toDegrees(2 * math.asin(math.sqrt(x))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = queries.Spatial.qConeSearchMany(spark, sf).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r).toMap
+    assert(got.keySet == queries.Spatial.ConeProbes.map(_._1).toSet)
+    for ((pid, ra0, dec0, rad) <- queries.Spatial.ConeProbes) {
+      val hits = pts.map { case (k, ra, de) => (k, hav(ra, de, ra0, dec0)) }
+        .filter(_._2 < rad)
+      val r = got(pid)
+      assert(r.getAs[Long]("n_matches") == hits.length.toLong, s"probe $pid")
+      if (hits.isEmpty) {
+        assert(r.isNullAt(r.fieldIndex("min_dist_r6")), s"probe $pid")
+        assert(r.getAs[String]("ids_sig") == "", s"probe $pid")
+      } else {
+        assert(r.getAs[Double]("min_dist_r6") == hits.map(_._2).min,
+          s"probe $pid")
+        assert(r.getAs[String]("ids_sig") ==
+          md5hex(hits.map(_._1).sorted.mkString(",")), s"probe $pid")
+      }
+    }
+    // the declination floor guarantees the zero-match path is live
+    assert(got(5L).getAs[Long]("n_matches") == 0L)
+  }
 }

@@ -398,4 +398,30 @@ class TextSpec extends AnyFunSuite {
     // all three splits materialize somewhere in the corpus
     assert(Set("train", "valid", "test").subsetOf(exp.keySet.map(_._2)))
   }
+
+  test("q_gini matches a driver-side exact Gini over per-source masses") {
+    val bySrc = Tables.documents(spark, sf)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("c"), sum(col("n_chars")).as("bs"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val n = bySrc.length.toLong
+    def gini(vals: Seq[(Long, String)]): (Long, Double) = {
+      val sorted = vals.sorted.map(_._1) // (value, name) ascending
+      val tot = sorted.sum
+      val num = sorted.zipWithIndex
+        .map { case (v, i) => (2L * (i + 1) - n - 1) * v }.sum
+      (num, num.toDouble / (n * tot).toDouble)
+    }
+    val (dn, dg) = gini(bySrc.map(t => (t._2, t._1)).toSeq)
+    val (cn, cg) = gini(bySrc.map(t => (t._3, t._1)).toSeq)
+    val r = queries.Text.qGini(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_sources") == n)
+    assert(r(0).getAs[Long]("gini_docs_num") == dn)
+    assert(r(0).getAs[Double]("gini_docs") == dg)
+    assert(r(0).getAs[Long]("gini_chars_num") == cn)
+    assert(r(0).getAs[Double]("gini_chars") == cg)
+    // Gini of a non-degenerate distribution lies strictly in [0, 1)
+    assert(dg >= 0.0 && dg < 1.0 && cg >= 0.0 && cg < 1.0)
+  }
 }

@@ -1108,4 +1108,42 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(p95 - p05 <= xs.max - xs.min)
     }
   }
+
+  test("q_lightcurve_pack arrays are the (tus, event_id)-sorted series and the sig pins them") {
+    import spark.implicits._
+    val raw = queries.TimeSeries.series(spark, sf)
+      .collect()
+      .map(r => (Option(r.getAs[java.lang.Long]("user_id")).map(_.toLong),
+        r.getAs[Long]("event_id"), r.getAs[Long]("tus"), r.getAs[Long]("xc")))
+    val exp = raw.groupBy(_._1).map { case (uid, rows) =>
+      val srt = rows.sortBy(t => (t._3, t._2)) // (tus, event_id)
+      uid -> (srt.map(_._3).toSeq, srt.map(_._4).toSeq)
+    }
+    val packed = queries.TimeSeries
+      .lightcurvePack(queries.TimeSeries.series(spark, sf))
+      .collect()
+    assert(packed.length == exp.size)
+    for (r <- packed) {
+      val uid = Option(r.getAs[java.lang.Long]("user_id")).map(_.toLong)
+      val (et, ex) = exp(uid)
+      assert(r.getAs[scala.collection.Seq[Long]]("t_us").toSeq == et,
+        s"t_us for $uid")
+      assert(r.getAs[scala.collection.Seq[Long]]("x_c100").toSeq == ex,
+        s"x_c100 for $uid")
+      assert(r.getAs[Long]("n_epochs") == et.length.toLong)
+      assert(r.getAs[Long]("t_first") == et.head)
+      assert(r.getAs[Long]("t_last") == et.last)
+    }
+    // the registered entry's signature is the md5 of the packed stream
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sigs = queries.TimeSeries.qLightcurvePack(spark, sf).collect()
+      .map(r => Option(r.getAs[java.lang.Long]("user_id")).map(_.toLong) ->
+        r.getAs[String]("series_sig")).toMap
+    for ((uid, (et, ex)) <- exp) {
+      val stream = et.zip(ex).map { case (t, x) => s"$t:$x" }.mkString(",")
+      assert(sigs(uid) == md5hex(stream), s"sig for $uid")
+    }
+  }
 }
