@@ -236,7 +236,10 @@ object Bench {
     // one-row source-concentration census
     "q_lightcurve_pack",
     "q_cone_search_many",
-    "q_gini")
+    "q_gini",
+    // composed variability x periodicity gate — regresses if either
+    // parent frame stops reducing before the join
+    "q_periodic_candidates")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

@@ -1079,9 +1079,14 @@ object TimeSeries {
 
   /** Oracle twin: the SAME spliced trig literals (zipped unnest),
     * the same exact integer statistics, the identical IEEE chain. */
-  val qLombScargleSql: String = {
+  /** Shared GLS CTE prefix — series, period grid, trig tables, phase
+    * bin, and the nine sufficient sums (CTE `a`). ONE copy
+    * interpolated by [[qLombScargleSql]], [[qHarmonicFitSql]] and
+    * [[qPeriodicCandidatesSql]] so the sufficient-statistic text can
+    * never drift between the three oracles. */
+  private[graft] val lsSufCtes: String = {
     val grid = PeriodGridUs.mkString(", ")
-    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
+    s"""ev AS (SELECT user_id, epoch_us(ts) AS tus,
        |    CAST(ROUND(value*100) AS BIGINT) AS xc
        |  FROM events WHERE user_id IS NOT NULL),
        |grid AS (SELECT unnest([$grid]) AS p_us),
@@ -1097,7 +1102,14 @@ object TimeSeries {
        |    CAST(SUM(xc*c) AS BIGINT) AS sxc, CAST(SUM(xc*si) AS BIGINT) AS sxs,
        |    CAST(SUM(c*c) AS BIGINT) AS scc, CAST(SUM(si*si) AS BIGINT) AS sss,
        |    CAST(SUM(c*si) AS BIGINT) AS scs
-       |  FROM ph JOIN trig USING (b) GROUP BY 1, 2),
+       |  FROM ph JOIN trig USING (b) GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** [[lsSufCtes]] extended through the GLS power and its per-object
+    * argmax rank (`pw`, `r`) — the chain [[qLombScargleSql]] and
+    * [[qPeriodicCandidatesSql]] share verbatim. */
+  private[graft] val lsPowerCtes: String =
+    s"""$lsSufCtes,
        |m AS (SELECT user_id, p_us, n,
        |    n*scc - sc*sc AS ccn, n*sss - ss*ss AS ssn,
        |    n*scs - sc*ss AS csn, n*sxc - sx*sc AS xcn,
@@ -1119,10 +1131,12 @@ object TimeSeries {
        |  FROM p),
        |r AS (SELECT user_id, p_us, n, ls_power, ROW_NUMBER() OVER (
        |    PARTITION BY user_id ORDER BY ls_power DESC, p_us) AS rn
-       |  FROM pw WHERE ls_power IS NOT NULL)
+       |  FROM pw WHERE ls_power IS NOT NULL)""".stripMargin
+
+  val qLombScargleSql: String =
+    s"""WITH $lsPowerCtes
        |SELECT user_id, n AS n_epochs, p_us AS best_p_us, ls_power
        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------
   /** Harmonic model readout at each object's best GLS period — the
@@ -1175,24 +1189,7 @@ object TimeSeries {
   /** Oracle twin: the LS CTEs extended with the raw sums, the
     * identical nested coefficient chains. */
   val qHarmonicFitSql: String = {
-    val grid = PeriodGridUs.mkString(", ")
-    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
-       |    CAST(ROUND(value*100) AS BIGINT) AS xc
-       |  FROM events WHERE user_id IS NOT NULL),
-       |grid AS (SELECT unnest([$grid]) AS p_us),
-       |trig AS (SELECT unnest(range($LsBins)) AS b,
-       |    unnest([${LsCosTab.mkString(", ")}]) AS c,
-       |    unnest([${LsSinTab.mkString(", ")}]) AS si),
-       |ph AS (SELECT user_id, p_us, xc,
-       |    CAST(((tus % p_us) * $LsBins) // p_us AS BIGINT) AS b
-       |  FROM ev CROSS JOIN grid),
-       |a AS (SELECT user_id, p_us, COUNT(*) AS n,
-       |    CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(xc*xc) AS BIGINT) AS sxx,
-       |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(si) AS BIGINT) AS ss,
-       |    CAST(SUM(xc*c) AS BIGINT) AS sxc, CAST(SUM(xc*si) AS BIGINT) AS sxs,
-       |    CAST(SUM(c*c) AS BIGINT) AS scc, CAST(SUM(si*si) AS BIGINT) AS sss,
-       |    CAST(SUM(c*si) AS BIGINT) AS scs
-       |  FROM ph JOIN trig USING (b) GROUP BY 1, 2),
+    s"""WITH $lsSufCtes,
        |m AS (SELECT user_id, p_us, n, sx, sc, ss,
        |    n*scc - sc*sc AS ccn, n*sss - ss*ss AS ssn,
        |    n*scs - sc*ss AS csn, n*sxc - sx*sc AS xcn,
@@ -1967,12 +1964,16 @@ object TimeSeries {
   /** Oracle twin: same window pairing, same per-term 1e-6 rounding,
     * same fixed IEEE chains (the mean re-inlined as the identical
     * pure expression). */
-  val qStetsonSql: String =
-    s"""WITH b AS (SELECT user_id, $BandCaseSql AS band, event_id,
+  /** The Stetson CTE chain through `sjv` (the per-(object, band)
+    * J/K frame) — s-prefixed names so it composes collision-free with
+    * [[lsPowerCtes]] in [[qPeriodicCandidatesSql]]; [[qStetsonSql]]
+    * interpolates the same single copy. */
+  private[graft] val stetsonCtes: String =
+    s"""sb AS (SELECT user_id, $BandCaseSql AS band, event_id,
        |    epoch_us(ts) AS tus, CAST(ROUND(value*100) AS BIGINT) AS xc
        |  FROM events),
-       |e AS (SELECT *, 3 + ABS(xc) // 50 AS errc FROM b),
-       |g AS (SELECT user_id, band, xc, errc,
+       |se AS (SELECT *, 3 + ABS(xc) // 50 AS errc FROM sb),
+       |sg AS (SELECT user_id, band, xc, errc,
        |    COUNT(*) OVER (PARTITION BY user_id, band) AS n,
        |    CAST(SUM(xc) OVER (PARTITION BY user_id, band) AS DOUBLE)
        |      / COUNT(*) OVER (PARTITION BY user_id, band) AS mean,
@@ -1980,15 +1981,15 @@ object TimeSeries {
        |      ORDER BY tus, event_id) AS xn,
        |    LEAD(errc) OVER (PARTITION BY user_id, band
        |      ORDER BY tus, event_id) AS en
-       |  FROM e),
-       |t AS (SELECT user_id, band, n,
+       |  FROM se),
+       |st AS (SELECT user_id, band, n,
        |    ABS(xc - mean) / errc AS u,
        |    CASE WHEN xn IS NOT NULL THEN
        |      (CAST(n AS DOUBLE) / (n - 1.0)) *
        |        ((xc - mean) * (xn - mean)) / (errc * en)
        |    END AS p
-       |  FROM g),
-       |a AS (SELECT user_id, band, COUNT(*) AS n,
+       |  FROM sg),
+       |sa AS (SELECT user_id, band, COUNT(*) AS n,
        |    CAST(SUM(CAST(ROUND(u * 1000000.0) AS BIGINT)) AS BIGINT)
        |      AS sa_c6,
        |    CAST(SUM(CAST(ROUND(u * u * 1000000.0) AS BIGINT)) AS BIGINT)
@@ -1996,12 +1997,75 @@ object TimeSeries {
        |    CAST(COALESCE(SUM(CASE WHEN p IS NOT NULL THEN
        |        CAST(ROUND(SIGN(p) * SQRT(ABS(p)) * 1000000.0) AS BIGINT)
        |      END), 0) AS BIGINT) AS j_c6
-       |  FROM t GROUP BY 1, 2)
-       |SELECT user_id, band, n, sa_c6, sq_c6, j_c6,
-       |  CASE WHEN sq_c6 > 0 THEN
-       |    sa_c6 / (1000.0 * SQRT(CAST(n AS DOUBLE) * sq_c6)) END AS k_val,
-       |  CASE WHEN n > 1 THEN j_c6 / (1000000.0 * (n - 1)) END AS j_val
-       |FROM a ORDER BY user_id, band""".stripMargin
+       |  FROM st GROUP BY 1, 2),
+       |sjv AS (SELECT user_id, band, n, sa_c6, sq_c6, j_c6,
+       |    CASE WHEN sq_c6 > 0 THEN
+       |      sa_c6 / (1000.0 * SQRT(CAST(n AS DOUBLE) * sq_c6))
+       |    END AS k_val,
+       |    CASE WHEN n > 1 THEN j_c6 / (1000000.0 * (n - 1)) END AS j_val
+       |  FROM sa)""".stripMargin
+
+  val qStetsonSql: String =
+    s"""WITH $stetsonCtes
+       |SELECT user_id, band, n, sa_c6, sq_c6, j_c6, k_val, j_val
+       |FROM sjv ORDER BY user_id, band""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Periodic-variable candidate gates: an object must be VARIABLE
+    * (some band's Stetson J clears [[StetsonJMin]]) AND PERIODIC
+    * (its best GLS power clears [[LsPowerMin]]). Both thresholds
+    * bind on the test corpora — each gate alone passes more objects
+    * than the pair. */
+  private[graft] val StetsonJMin = 40.0
+  private[graft] val LsPowerMin = 0.08
+
+  /** Periodic-variable candidate selection — the alert-stream
+    * composition every time-domain survey runs nightly (DRW/eclipse/
+    * pulsator triage): the [[qStetson]] variability index and the
+    * [[qLombScargle]] period search, composed into one release gate.
+    * An object qualifies when BOTH fire; the output carries the best
+    * period, its GLS power, the strongest band's J and how many bands
+    * cleared the variability cut. Every gated value is a hash-exact
+    * double (identical IEEE chains on both engines), so the gate
+    * comparisons can never disagree cross-engine.
+    *
+    * Scale shape: both inputs are the already-reduced per-object(-
+    * band) frames — the join adds one shuffle over |objects| rows on
+    * top of the two parents' own one-shuffle shapes; nothing
+    * corpus-sized crosses it. */
+  def qPeriodicCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val j = qStetson(s, dir)
+      .filter($"j_val" >= StetsonJMin)
+      .groupBy($"user_id")
+      .agg(max($"j_val").as("j_max"),
+        count(lit(1)).as("n_bands_var"))
+    lombScargleOver(series(s, dir))
+      .filter($"ls_power" >= LsPowerMin)
+      .join(j, Seq("user_id"))
+      .select($"user_id", $"n_epochs", $"best_p_us", $"ls_power",
+        $"j_max", $"n_bands_var")
+      .orderBy($"user_id")
+  }
+
+  /** Oracle twin: ONE copy each of the GLS power chain and the
+    * Stetson chain ([[lsPowerCtes]], [[stetsonCtes]]), composed with
+    * the same two threshold comparisons and the |objects|-row join. */
+  val qPeriodicCandidatesSql: String =
+    s"""WITH $lsPowerCtes,
+       |$stetsonCtes,
+       |best AS (SELECT user_id, n AS n_epochs, p_us AS best_p_us,
+       |    ls_power
+       |  FROM r WHERE rn = 1),
+       |jf AS (SELECT user_id, MAX(j_val) AS j_max,
+       |    COUNT(*) AS n_bands_var
+       |  FROM sjv WHERE j_val >= CAST($StetsonJMin AS DOUBLE)
+       |  GROUP BY 1)
+       |SELECT best.user_id, best.n_epochs, best.best_p_us,
+       |  best.ls_power, jf.j_max, jf.n_bands_var
+       |FROM best JOIN jf USING (user_id)
+       |WHERE best.ls_power >= CAST($LsPowerMin AS DOUBLE)
+       |ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
   /** Von Neumann ratio η per (object, band) — the mean square
@@ -2831,6 +2895,7 @@ object TimeSeries {
     "q_lomb_scargle" -> (qLombScargle _),
     "q_phase_coverage" -> (qPhaseCoverage _),
     "q_harmonic_fit" -> (qHarmonicFit _),
+    "q_periodic_candidates" -> (qPeriodicCandidates _),
     "q_streaks" -> (qStreaks _),
     "q_ema" -> (qEma _),
     "q_transitions" -> (qTransitions _),
@@ -2878,6 +2943,7 @@ object TimeSeries {
     "q_object_lookup" -> qObjectLookupSql,
     "q_object_lookup_many" -> qObjectLookupManySql,
     "q_lomb_scargle" -> qLombScargleSql,
+    "q_periodic_candidates" -> qPeriodicCandidatesSql,
     "q_phase_coverage" -> qPhaseCoverageSql,
     "q_harmonic_fit" -> qHarmonicFitSql,
     "q_streaks" -> qStreaksSql,

@@ -1109,6 +1109,36 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_periodic_candidates is the exact intersection of its two gates and both gates bind") {
+    val J = queries.TimeSeries.StetsonJMin
+    val P = queries.TimeSeries.LsPowerMin
+    val st = queries.TimeSeries.qStetson(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        Option(r.getAs[java.lang.Double]("j_val")).map(_.toDouble)))
+    val jPass = st.filter(_._2.exists(_ >= J)).groupBy(_._1)
+      .map { case (uid, rows) =>
+        uid -> (rows.flatMap(_._2).max, rows.length.toLong) }
+    val ls = queries.TimeSeries.qLombScargle(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("ls_power")).toMap
+    val pPass = ls.filter(_._2 >= P)
+    val expected = jPass.keySet.intersect(pPass.keySet)
+    val got = queries.TimeSeries.qPeriodicCandidates(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == expected)
+    for (uid <- expected) {
+      assert(got(uid).getAs[Double]("j_max") == jPass(uid)._1, s"j_max $uid")
+      assert(got(uid).getAs[Long]("n_bands_var") == jPass(uid)._2,
+        s"n_bands_var $uid")
+      assert(got(uid).getAs[Double]("ls_power") == pPass(uid), s"power $uid")
+    }
+    // both gates must BIND: each alone admits more than the pair
+    assert(jPass.keySet.size > expected.size,
+      "J gate never rejects a periodic object — threshold vacuous")
+    assert(pPass.keySet.size > expected.size,
+      "power gate never rejects a variable object — threshold vacuous")
+    assert(expected.nonEmpty, "gate composition is vacuous at this SF")
+  }
+
   test("q_lightcurve_pack arrays are the (tus, event_id)-sorted series and the sig pins them") {
     import spark.implicits._
     val raw = queries.TimeSeries.series(spark, sf)
