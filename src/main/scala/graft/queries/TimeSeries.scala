@@ -2040,7 +2040,7 @@ object TimeSeries {
       .groupBy($"user_id")
       .agg(max($"j_val").as("j_max"),
         count(lit(1)).as("n_bands_var"))
-    lombScargleOver(series(s, dir))
+    qLombScargle(s, dir)
       .filter($"ls_power" >= LsPowerMin)
       .join(j, Seq("user_id"))
       .select($"user_id", $"n_epochs", $"best_p_us", $"ls_power",

@@ -21,8 +21,9 @@ object KeyChk {
     println(s"MISSING-from-queries:${(sk.toSet -- qk).toSeq.sorted.mkString(",")}")
     println(s"EXTRA-not-in-survey:${(qk -- sk).toSeq.sorted.mkString(",")}")
     println(s"MISSING-oracles:${(qk -- ok).toSeq.sorted.mkString(",")}")
+    println(s"ORPHAN-oracles:${(ok -- qk).toSeq.sorted.mkString(",")}")
     val bad = (sk.toSet -- qk).nonEmpty || (qk -- sk).nonEmpty ||
-      (qk -- ok).nonEmpty
+      (qk -- ok).nonEmpty || (ok -- qk).nonEmpty
     if (bad) sys.exit(1)
   }
 }
