@@ -816,4 +816,27 @@ class SpatialSpec extends AnyFunSuite {
     // the declination floor guarantees the zero-match path is live
     assert(got(5L).getAs[Long]("n_matches") == 0L)
   }
+
+  test("q_cone_search_many plan: one catalog scan, broadcast probes, one hash shuffle") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = queries.Spatial.qConeSearchMany(spark, sf)
+        .queryExecution.executedPlan
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.size == 1,
+        s"k probes must share ONE catalog scan, got ${scans.size}")
+      val hashShuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+      }
+      assert(hashShuffles.size == 1,
+        s"only the per-probe aggregate may hash-shuffle, got ${hashShuffles.size}")
+      assert(plan.toString.contains("BroadcastExchange"),
+        "the probe list must broadcast, never shuffle the scan side")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }

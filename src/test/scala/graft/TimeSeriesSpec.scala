@@ -1109,6 +1109,22 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_lightcurve_pack plan: the pack is ONE object-key hash shuffle") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = queries.TimeSeries.qLightcurvePack(spark, sf)
+        .queryExecution.executedPlan
+      val hashShuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+      }
+      assert(hashShuffles.size == 1,
+        s"the export pack must cost exactly the object-key shuffle, got ${hashShuffles.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("q_periodic_candidates is the exact intersection of its two gates and both gates bind") {
     val J = queries.TimeSeries.StetsonJMin
     val P = queries.TimeSeries.LsPowerMin
