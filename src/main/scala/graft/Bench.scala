@@ -206,8 +206,10 @@ object Bench {
     "q_object_lookup_many",
     // generalized Lomb-Scargle on the 16-period grid — regresses if
     // the trig lookup leaves codegen or the x16 explode stops
-    // combining map-side
-    "q_lomb_scargle",
+    // combining map-side; the banded form shares the chain with band
+    // appended to the key (regresses if the key split ever shuffles
+    // twice)
+    "q_lomb_scargle", "q_lomb_scargle_band",
     "q_phase_coverage",
     // dedup threshold calibration sweep — regresses if the candidate
     // floor stops riding the df-capped index or the x10 explode
@@ -239,7 +241,34 @@ object Bench {
     "q_gini",
     // composed variability x periodicity gate — regresses if either
     // parent frame stops reducing before the join
-    "q_periodic_candidates")
+    "q_periodic_candidates",
+    // round-16: the fast batch — every REMAINING registered query
+    // (mostly sub-second A/B singles and the blob/metadata entries),
+    // so BENCH_FULL covers the complete SparkEntry surface and a 10x
+    // regression in any registered entry is visible in the round
+    // artifact instead of hiding in unbenched code (r15 queue #1).
+    // Grouped, not curated: the watch commentary lives with the
+    // entries above; these are here for coverage.
+    "q_having", "q_window_topn", "q_window_running", "q_distinct_count",
+    "q_percentiles", "q_semi_join", "q_anti_join", "q_rollup", "q_cube",
+    "q_skew_join", "q_topn_idiom", "q_pivot", "q_case_pivot",
+    "q_corr_subquery", "q_full_outer", "q_nullsafe_join", "q_benford",
+    "q_percentile_disc", "q_histogram", "q_weighted_median", "q_unpivot",
+    "q_set_ops", "q_string_agg",
+    "q_variability_class", "q_lightcurve_delta", "q_time_bucket",
+    "q_event_json", "q_anomaly", "q_first_last",
+    "q_object_lookup", "q_streaks", "q_transitions", "q_running_distinct",
+    "q_autocorr", "q_lightcurve_trend",
+    "q_cone_search", "q_box_search", "q_spatial_density",
+    "q_dedup_exact", "q_dedup_lsh_pairs", "q_dedup_simhash",
+    "q_ngram_jaccard", "q_cluster_sizes", "q_dedup_embedding",
+    "q_degree_dist", "q_dup_ratio",
+    "q_ann_filtered", "q_ann_lsh", "q_ann_range_lsh", "q_ann_range_recall",
+    "q_lang_id", "q_token_count", "q_fingerprint", "q_sample_stratified",
+    "q_blob_meta", "q_blob_features", "q_blob_framesample", "q_blob_dedup",
+    "q_sketch_distinct", "q_sketch_quantile",
+    "q_profile", "q_constraints",
+    "q_rfm", "q_cohort_ltv", "q_audience_overlap", "q_sequence_match")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */
@@ -296,6 +325,17 @@ object Bench {
     // A name that matches nothing is a failed forensic run, not an
     // empty one: misspelling the query must not silently conclude
     // "did not regress" for a query that never executed.
+    // The bench map must cover the COMPLETE registered surface — a
+    // registered query missing here is invisible to the round
+    // artifact, so a 10x regression in it can't be seen (r15 found 66
+    // such blind spots). Fail loudly in either direction.
+    val unregistered = headline.filterNot(SparkEntry.queries.contains)
+    require(unregistered.isEmpty,
+      s"bench names not registered in SparkEntry: ${unregistered.mkString(", ")}")
+    val unbenched = SparkEntry.queries.keySet.diff(headline.toSet)
+    require(unbenched.isEmpty,
+      s"registered queries missing from the bench map: ${unbenched.toSeq.sorted.mkString(", ")}")
+
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     for (o <- only) {

@@ -245,7 +245,13 @@ object Sketches {
     * to see one spurious parity failure, while a real engine bug
     * (wrong registers, lossy merge) still lands far outside it.
     * SketchesSpec separately proves the merge is LOSSLESS (merged ≡
-    * one-shot sketch), so tightness here buys nothing. */
+    * one-shot sketch) AND asserts the tight 3σ (5%) accuracy band on
+    * the fixed corpus, so tightness here buys nothing: a genuine
+    * estimator bug between 3σ and 6σ fails the spec as telemetry
+    * instead of reading as a cross-engine parity failure. The flag
+    * stays in the hashed output deliberately — dropping it would let
+    * column pruning remove the union aggregate from the verified
+    * plan entirely. */
   val HllLgK = 12
   val HllMergeRelErrMax = 0.10
 

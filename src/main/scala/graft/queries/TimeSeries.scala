@@ -1024,7 +1024,16 @@ object TimeSeries {
     * centered moments, and power — the frame [[lombScargleOver]] and
     * [[qHarmonicFit]] both read. Rows whose normal matrix or flux
     * variance is degenerate carry a null power and are filtered. */
-  private[graft] def lsPowerFrame(ser: DataFrame): DataFrame = {
+  private[graft] def lsPowerFrame(ser: DataFrame): DataFrame =
+    lsPowerFrameBy(ser, Seq("user_id"))
+
+  /** [[lsPowerFrame]] generalized to a composite series key: the
+    * per-(object, band) form ([[qLombScargleBand]]) appends `band` to
+    * the aggregation key and reuses the identical grid / trig-table /
+    * sufficient-sum / power chain — same int64 precondition, same
+    * single combinable shuffle, key cardinality ×|bands|. */
+  private[graft] def lsPowerFrameBy(ser: DataFrame,
+    keys: Seq[String]): DataFrame = {
     val s = ser.sparkSession
     import s.implicits._
     val nb = LsBins
@@ -1034,7 +1043,7 @@ object TimeSeries {
       .withColumn("b", expr(s"((tus % p_us) * $nb) DIV p_us").cast("int"))
       .withColumn("c", element_at(typedLit(LsCosTab), $"b" + 1))
       .withColumn("si", element_at(typedLit(LsSinTab), $"b" + 1))
-      .groupBy($"user_id", $"p_us")
+      .groupBy((keys :+ "p_us").map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum($"xc").as("sx"), sum($"xc" * $"xc").as("sxx"),
         sum($"c").as("sc"), sum($"si").as("ss"),
@@ -1518,6 +1527,92 @@ object TimeSeries {
        |        n_g * n_r AS color_den
        |      FROM agg WHERE n_g > 0 AND n_r > 0)
        |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Per-(object, BAND) generalized Lomb–Scargle — [[qLombScargle]]
+    * in the reference's per-filter idiom (every other variability
+    * statistic here is per-(object, band): [[qLightcurveBand]],
+    * [[qStetson]], [[qEta]] …; a chromatic variable's period should
+    * be measured per filter too, and band-discordant argmax periods
+    * are themselves a vetting signal). Same fixed grid, same
+    * fixed-point trig tables, same exact int64 sufficient sums and
+    * single IEEE power chain — the ONLY change is `band` in the
+    * aggregation key, so every documented precondition and the plan
+    * shape (constant ×16 explode, ONE combinable shuffle, argmax on
+    * the reduced |objects|×|bands|×16 frame) carry over verbatim.
+    * Per-band epoch counts are ~n/5, so the int64 bound is LOOSER
+    * than the mixed-stream query's. */
+  def qLombScargleBand(s: SparkSession, dir: String): DataFrame =
+    lombScargleBandOver(bandedSeries(s, dir))
+
+  /** Plan body over any (user_id, band, tus, xc) frame — factored so
+    * the spec can drive planted band-distinct sinusoids through the
+    * real plan. */
+  private[graft] def lombScargleBandOver(ser: DataFrame): DataFrame = {
+    val s = ser.sparkSession
+    import s.implicits._
+    lsPowerFrameBy(ser, Seq("user_id", "band"))
+      .groupBy($"user_id", $"band")
+      .agg(max($"n").as("n_epochs"),
+        max(struct($"ls_power", (-$"p_us").as("negp"))).as("bst"))
+      .select($"user_id", $"band", $"n_epochs",
+        (-$"bst.negp").as("best_p_us"), $"bst.ls_power".as("ls_power"))
+      .orderBy($"user_id", $"band")
+  }
+
+  /** Banded twin of [[lsSufCtes]]: the same spliced grid/trig
+    * literals and exact integer sums with `band` carried through the
+    * phase projection into the aggregation key. Kept textually
+    * parallel to the mixed-stream prefix so the two can be diffed by
+    * eye; only this oracle interpolates it. */
+  private[graft] val lsSufCtesBand: String = {
+    val grid = PeriodGridUs.mkString(", ")
+    s"""ev AS (SELECT user_id, epoch_us(ts) AS tus,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc,
+       |    $BandCaseSql AS band
+       |  FROM events WHERE user_id IS NOT NULL),
+       |grid AS (SELECT unnest([$grid]) AS p_us),
+       |trig AS (SELECT unnest(range($LsBins)) AS b,
+       |    unnest([${LsCosTab.mkString(", ")}]) AS c,
+       |    unnest([${LsSinTab.mkString(", ")}]) AS si),
+       |ph AS (SELECT user_id, band, p_us, xc,
+       |    CAST(((tus % p_us) * $LsBins) // p_us AS BIGINT) AS b
+       |  FROM ev CROSS JOIN grid),
+       |a AS (SELECT user_id, band, p_us, COUNT(*) AS n,
+       |    CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(xc*xc) AS BIGINT) AS sxx,
+       |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(si) AS BIGINT) AS ss,
+       |    CAST(SUM(xc*c) AS BIGINT) AS sxc, CAST(SUM(xc*si) AS BIGINT) AS sxs,
+       |    CAST(SUM(c*c) AS BIGINT) AS scc, CAST(SUM(si*si) AS BIGINT) AS sss,
+       |    CAST(SUM(c*si) AS BIGINT) AS scs
+       |  FROM ph JOIN trig USING (b) GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  val qLombScargleBandSql: String =
+    s"""WITH $lsSufCtesBand,
+       |m AS (SELECT user_id, band, p_us, n,
+       |    n*scc - sc*sc AS ccn, n*sss - ss*ss AS ssn,
+       |    n*scs - sc*ss AS csn, n*sxc - sx*sc AS xcn,
+       |    n*sxs - sx*ss AS xsn, n*sxx - sx*sx AS xxn
+       |  FROM a),
+       |p AS (SELECT user_id, band, p_us, n,
+       |    CAST(ssn AS DOUBLE)*CAST(xcn AS DOUBLE)*CAST(xcn AS DOUBLE)
+       |      - CAST(2.0 AS DOUBLE)*CAST(csn AS DOUBLE)*CAST(xcn AS DOUBLE)
+       |        *CAST(xsn AS DOUBLE)
+       |      + CAST(ccn AS DOUBLE)*CAST(xsn AS DOUBLE)*CAST(xsn AS DOUBLE)
+       |      AS num_d,
+       |    CAST(xxn AS DOUBLE)
+       |      * (CAST(ccn AS DOUBLE)*CAST(ssn AS DOUBLE)
+       |        - CAST(csn AS DOUBLE)*CAST(csn AS DOUBLE)) AS den_d
+       |  FROM m),
+       |pw AS (SELECT user_id, band, p_us, n,
+       |    CASE WHEN den_d > CAST(0.0 AS DOUBLE)
+       |      THEN num_d / den_d END AS ls_power
+       |  FROM p),
+       |r AS (SELECT user_id, band, p_us, n, ls_power, ROW_NUMBER() OVER (
+       |    PARTITION BY user_id, band ORDER BY ls_power DESC, p_us) AS rn
+       |  FROM pw WHERE ls_power IS NOT NULL)
+       |SELECT user_id, band, n AS n_epochs, p_us AS best_p_us, ls_power
+       |FROM r WHERE rn = 1 ORDER BY user_id, band""".stripMargin
 
   // ---------------------------------------------------------------
   /** Structure-function lag-bin width: 2 days in micros (the 30-day
@@ -2835,7 +2930,9 @@ object TimeSeries {
   private[graft] def lightcurvePack(ser: DataFrame): DataFrame = {
     val s = ser.sparkSession
     import s.implicits._
-    ser.groupBy($"user_id")
+    // anonymous (null-keyed) events are not a light curve; filtering
+    // them also dodges the cross-engine NULLS FIRST/LAST sort split
+    ser.filter($"user_id".isNotNull).groupBy($"user_id")
       .agg(
         count(lit(1)).as("n_epochs"),
         min($"tus").as("t_first"),
@@ -2869,7 +2966,7 @@ object TimeSeries {
   val qLightcurvePackSql: String =
     """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
       |    CAST(ROUND(value*100) AS BIGINT) AS xc
-      |  FROM events)
+      |  FROM events WHERE user_id IS NOT NULL)
       |SELECT user_id, COUNT(*) AS n_epochs,
       |  MIN(tus) AS t_first, MAX(tus) AS t_last,
       |  md5(string_agg(tus || ':' || xc, ',' ORDER BY tus, event_id))
@@ -2893,6 +2990,7 @@ object TimeSeries {
     "q_object_lookup" -> (qObjectLookup _),
     "q_object_lookup_many" -> (qObjectLookupMany _),
     "q_lomb_scargle" -> (qLombScargle _),
+    "q_lomb_scargle_band" -> (qLombScargleBand _),
     "q_phase_coverage" -> (qPhaseCoverage _),
     "q_harmonic_fit" -> (qHarmonicFit _),
     "q_periodic_candidates" -> (qPeriodicCandidates _),
@@ -2943,6 +3041,7 @@ object TimeSeries {
     "q_object_lookup" -> qObjectLookupSql,
     "q_object_lookup_many" -> qObjectLookupManySql,
     "q_lomb_scargle" -> qLombScargleSql,
+    "q_lomb_scargle_band" -> qLombScargleBandSql,
     "q_periodic_candidates" -> qPeriodicCandidatesSql,
     "q_phase_coverage" -> qPhaseCoverageSql,
     "q_harmonic_fit" -> qHarmonicFitSql,

@@ -582,8 +582,12 @@ object Catalog {
     val prefix = s"$partCol="
     // The marker is monotone: every partition below the recorded
     // horizon was already emptied by a prior call, so skip it without
-    // listing its children — retention cost stays O(retained window),
-    // not O(stream age), per nightly pass.
+    // listing its children. The top-level listing itself still
+    // enumerates every partition directory ever created (aged dirs
+    // keep their completion marker, so they stay listed) — O(stream
+    // age) in directory ENTRIES but O(retained window) in child
+    // listings and deletes; at ~3,650 dirs per survey-decade the
+    // single listing is noise next to one aged partition's deletes.
     val prevH = ageHorizon(s, path)
     var aged = 0
     f.listStatus(p).foreach { st =>

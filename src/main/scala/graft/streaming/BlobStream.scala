@@ -55,8 +55,16 @@ object BlobStream {
         val s = batch.sparkSession
         Multimodal.blobBatch(s, batch, indexPath, pairsPath, batchId)
         val horizon = batchId - retainBatches + 1
+        // blobBatch's healOwnedStore has already cleared any crashed
+        // append by this point, but retention must never be the thing
+        // that kills the stream: if a pending append somehow survives
+        // (future reordering, a heal path change), SKIP aging this
+        // batch — the next batch retries with a higher horizon —
+        // rather than let dropPartitionsBelow's require throw inside
+        // foreachBatch and fail the whole streaming query.
         if (retainBatches > 0 && horizon > 0 &&
-          graft.sources.Catalog.tableComplete(s, pairsPath))
+          graft.sources.Catalog.tableComplete(s, pairsPath) &&
+          !graft.sources.Catalog.appendPending(s, pairsPath))
           graft.sources.Catalog.dropPartitionsBelow(s, pairsPath,
             "batch_id", horizon)
         ()

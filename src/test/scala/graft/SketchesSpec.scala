@@ -100,6 +100,18 @@ class SketchesSpec extends AnyFunSuite {
       assert(r.getLong(1) > 0, s"$et n_days")
       assert(r.getLong(3) == 1L, s"$et merged estimate out of bound " +
         s"(approx=${merged(et)}, exact=${exact(et)})")
+      // the RELEASE gate: the in-plan flag sits at ~6 sigma
+      // (HllMergeRelErrMax = 0.10) so a legitimate estimator
+      // excursion can never read as a cross-engine parity failure;
+      // the TIGHT 3-sigma accuracy contract (5% at lgK=12's ~1.6%
+      // rse) is asserted HERE, where the corpus is fixed — a genuine
+      // estimator bug between 3 and 6 sigma fails this spec, as
+      // telemetry, instead of masquerading as an engine bug in the
+      // oracle compare (r15 advice item 4).
+      assert(math.abs(merged(et).toDouble - exact(et).toDouble) <=
+        exact(et).toDouble * 0.05,
+        s"$et merged estimate outside the tight 5% band " +
+          s"(approx=${merged(et)}, exact=${exact(et)})")
     }
   }
 

@@ -973,6 +973,52 @@ class TimeSeriesSpec extends AnyFunSuite {
       s"GLS power left [0,1]: ${powers.filterNot(t => t._2 >= 0 && t._2 <= 1 + 1e-9)}")
   }
 
+  test("q_lomb_scargle_band separates band-distinct planted periods per (object, band)") {
+    import spark.implicits._
+    val q = queries.TimeSeries
+    // ONE object whose g band pulses at 24 h and whose r band pulses
+    // at 48 h — a chromatic variable the mixed-stream search cannot
+    // represent (it must pick one period); the banded search must
+    // recover BOTH, independently, from the interleaved stream.
+    val pG = 24L * 3600000000L
+    val pR = 48L * 3600000000L
+    val step = 7919000000L
+    def sine(t: Long, p: Long): Long =
+      math.round(1000.0 * math.sin(2.0 * math.Pi * (t % p).toDouble / p.toDouble))
+    val rows =
+      (0 until 330).map { i =>
+        val t = i.toLong * step
+        (1L, t, sine(t, pG), "g")
+      } ++ (0 until 330).map { i =>
+        val t = i.toLong * step + 1234567L // offset: bands interleave
+        (1L, t, sine(t, pR), "r")
+      } ++ (0 until 50).map(i => (2L, i.toLong * step, 500L, "g"))
+    val ser = rows.toDF("user_id", "tus", "xc", "band")
+    val got = q.lombScargleBandOver(ser).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    assert(got.keySet == Set((1L, "g"), (1L, "r")),
+      "constant (object, band) series must drop; both variable bands must survive")
+    assert(got((1L, "g")).getAs[Long]("best_p_us") == pG,
+      s"g-band argmax ${got((1L, "g")).getAs[Long]("best_p_us")} != planted $pG")
+    assert(got((1L, "r")).getAs[Long]("best_p_us") == pR,
+      s"r-band argmax ${got((1L, "r")).getAs[Long]("best_p_us")} != planted $pR")
+    assert(got((1L, "g")).getAs[Double]("ls_power") > 0.9)
+    assert(got((1L, "r")).getAs[Double]("ls_power") > 0.9)
+    assert(got((1L, "g")).getAs[Long]("n_epochs") == 330L)
+    // the per-band split must agree with running the MIXED-stream GLS
+    // on each band's sub-series alone — banding is a key change, not
+    // a statistic change
+    for (b <- Seq("g", "r")) {
+      val sub = rows.filter(t => t._1 == 1L && t._4 == b)
+        .map(t => (t._1, t._2, t._3)).toDF("user_id", "tus", "xc")
+      val solo = q.lombScargleOver(sub).collect().head
+      assert(solo.getAs[Long]("best_p_us") ==
+        got((1L, b)).getAs[Long]("best_p_us"), s"$b argmax vs solo run")
+      assert(solo.getAs[Double]("ls_power") ==
+        got((1L, b)).getAs[Double]("ls_power"), s"$b power vs solo run")
+    }
+  }
+
   test("q_harmonic_fit recovers a planted sinusoid's amplitude, mean, and coefficients") {
     import spark.implicits._
     val q = queries.TimeSeries
@@ -1161,7 +1207,8 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect()
       .map(r => (Option(r.getAs[java.lang.Long]("user_id")).map(_.toLong),
         r.getAs[Long]("event_id"), r.getAs[Long]("tus"), r.getAs[Long]("xc")))
-    val exp = raw.groupBy(_._1).map { case (uid, rows) =>
+    // the pack excludes anonymous (null-keyed) events — mirror it
+    val exp = raw.filter(_._1.isDefined).groupBy(_._1).map { case (uid, rows) =>
       val srt = rows.sortBy(t => (t._3, t._2)) // (tus, event_id)
       uid -> (srt.map(_._3).toSeq, srt.map(_._4).toSeq)
     }
