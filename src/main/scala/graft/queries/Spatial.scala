@@ -93,7 +93,20 @@ object Spatial {
   private[graft] val ConeProbes: Seq[(Long, Double, Double, Double)] =
     Seq((1L, 180.0, 20.0, 5.0), (2L, 42.5, -35.0, 7.5),
       (3L, 301.0, 55.0, 10.0), (4L, 10.0, 5.0, 2.5),
-      (5L, 180.0, -88.0, 3.0))
+      (5L, 180.0, -88.0, 3.0),
+      // probe 6 is DELIBERATELY dense (30° cone over the catalog's
+      // populated band) so the salted-signature path below carries
+      // real weight at every SF
+      (6L, 200.0, 0.0, 30.0))
+
+  /** Salt fan-out of the two-level match-set signature: the id stream
+    * of one (probe, salt) cell is ~1/16th of the cone's matches, so
+    * the per-group aggregation state a dense cone (a probe dropped on
+    * a galactic-plane-density field) accumulates stays bounded — the
+    * single-level form held the cone's ENTIRE id list in one
+    * `collect_list` buffer. 16 is plenty: state shrinks 16× and the
+    * outer digest aggregates exactly ≤16 tiny rows per probe. */
+  private[graft] val ConeSigSalts = 16L
 
   /** Batched cone search — [[qConeSearch]]'s operational shape: every
     * probe evaluated against ONE catalog scan (broadcast probe list ×
@@ -102,30 +115,45 @@ object Spatial {
     * distance, and the slack covers the 1e-6 haversine rounding)
     * ahead of the haversine so codegen rejects most (point, probe)
     * pairs on one subtraction; the SAME prune is mirrored verbatim in
-    * the oracle. Per probe: match count, nearest distance, and the
-    * md5 signature of the ASCENDING matched-id stream — the oracle
-    * pins the exact match SET, not just its size; probes with zero
-    * matches survive via the LEFT JOIN with an empty signature.
+    * the oracle. Per probe: match count, nearest distance, and a
+    * SALTED two-level signature of the matched-id SET — per
+    * (probe, salt = k mod [[ConeSigSalts]]) the md5 of that salt's
+    * ASCENDING id sub-stream, then the probe digest as the md5 of the
+    * salt digests in salt order. Same pinning power as one flat
+    * digest (any id added/dropped/moved flips its salt digest and so
+    * the outer one) but no aggregation buffer ever holds a dense
+    * cone's full id list; probes with zero matches survive via the
+    * LEFT JOIN with an empty signature.
     *
     * Scale shape: at 100 TB the dec-band prune is the zone partition
     * prune (the catalog shards on the density-map zone key, so each
-    * cone reads only its overlapping zone partitions); the per-probe
-    * aggregate shuffles match rows only. */
+    * cone reads only its overlapping zone partitions); the
+    * (probe, salt) aggregate shuffles match rows only, holds ~1/16th
+    * of a cone per group, and the outer digest folds ≤[[ConeSigSalts]]
+    * rows per probe. */
   def qConeSearchMany(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val probes = ConeProbes.toDF("probe_id", "ra0", "dec0", "r")
-    val got = points(s, dir).crossJoin(broadcast(probes))
+    val perSalt = points(s, dir).crossJoin(broadcast(probes))
       .filter(abs($"decl" - $"dec0") <= $"r" + lit(1e-5))
       .withColumn("dist_r6",
         round(distDeg($"ra", $"decl", $"ra0", $"dec0"), 6))
       .filter($"dist_r6" < $"r")
-      .groupBy($"probe_id")
-      .agg(count(lit(1)).as("n_matches"),
-        min($"dist_r6").as("min_dist_r6"),
+      .withColumn("salt", $"k" % ConeSigSalts)
+      .groupBy($"probe_id", $"salt")
+      .agg(count(lit(1)).as("n_s"),
+        min($"dist_r6").as("d_s"),
         sort_array(collect_list($"k")).as("ks"))
-      .select($"probe_id", $"n_matches", $"min_dist_r6",
+      .select($"probe_id", $"salt", $"n_s", $"d_s",
         md5(concat_ws(",",
-          expr("transform(ks, v -> cast(v as string))"))).as("ids_sig"))
+          expr("transform(ks, v -> cast(v as string))"))).as("sig_s"))
+    val got = perSalt.groupBy($"probe_id")
+      .agg(sum($"n_s").as("n_matches"),
+        min($"d_s").as("min_dist_r6"),
+        sort_array(collect_list(struct($"salt", $"sig_s"))).as("sigs"))
+      .select($"probe_id", $"n_matches", $"min_dist_r6",
+        md5(concat_ws(",", expr("transform(sigs, t -> t.sig_s)")))
+          .as("ids_sig"))
     probes.select($"probe_id").join(got, Seq("probe_id"), "left")
       .select($"probe_id",
         coalesce($"n_matches", lit(0L)).as("n_matches"),
@@ -136,7 +164,7 @@ object Spatial {
 
   /** Oracle twin: identical probe literals CAST to BIGINT/DOUBLE (the
     * decimal-literal gotcha), identical band prune, identical rounded
-    * haversine, ascending string_agg for the signature. */
+    * haversine, the identical salted two-level string_agg digests. */
   val qConeSearchManySql: String = {
     val rows = ConeProbes.map { case (i, ra, de, r) =>
       s"($i, $ra, $de, $r)" }.mkString(", ")
@@ -150,10 +178,14 @@ object Spatial {
        |      6) AS dist_r6
        |  FROM pts CROSS JOIN pr
        |  WHERE ABS(pts.decl - pr.dec0) <= pr.r + 0.00001),
-       |m AS (SELECT probe_id, COUNT(*) AS n_matches,
-       |    MIN(dist_r6) AS min_dist_r6,
-       |    md5(string_agg(k, ',' ORDER BY k)) AS ids_sig
-       |  FROM cand WHERE dist_r6 < r GROUP BY 1)
+       |m1 AS (SELECT probe_id, k % $ConeSigSalts AS salt,
+       |    COUNT(*) AS n_s, MIN(dist_r6) AS d_s,
+       |    md5(string_agg(k, ',' ORDER BY k)) AS sig_s
+       |  FROM cand WHERE dist_r6 < r GROUP BY 1, 2),
+       |m AS (SELECT probe_id, CAST(SUM(n_s) AS BIGINT) AS n_matches,
+       |    MIN(d_s) AS min_dist_r6,
+       |    md5(string_agg(sig_s, ',' ORDER BY salt)) AS ids_sig
+       |  FROM m1 GROUP BY 1)
        |SELECT pr.probe_id, COALESCE(m.n_matches, 0) AS n_matches,
        |  m.min_dist_r6, COALESCE(m.ids_sig, '') AS ids_sig
        |FROM pr LEFT JOIN m USING (probe_id) ORDER BY probe_id"""

@@ -166,14 +166,37 @@ object ObjectIndex {
     * independent of table size, and one JVM/planning round trip
     * instead of k point-lookup jobs. Output is (user_id, time)-
     * ordered so each object's curve comes out contiguous. */
+  /** Above this many distinct ids the `user_id` side switches from a
+    * literal IN-list to a broadcast id-frame SEMI-JOIN: an alert-night
+    * list of 10⁴–10⁵ ids as literals bloats the plan tree (analysis/
+    * codegen cost grows with the list) without buying anything — the
+    * optimizer long since converted it to a hash-set probe anyway,
+    * and row-group stats skipping degrades to the ids' min/max range
+    * regardless of form. The `obkt` PARTITION filter stays a literal
+    * IN-list on BOTH paths: it is bounded by numBuckets entries no
+    * matter how large k grows, and only a static literal list prunes
+    * partition directories at planning time. */
+  val LookupManyInListMax = 1000
+
   def lookupMany(s: SparkSession, path: String, objectIds: Seq[Long],
-    numBuckets: Int = DefaultBuckets): DataFrame = {
+    numBuckets: Int = DefaultBuckets,
+    inListMax: Int = LookupManyInListMax): DataFrame = {
     import s.implicits._
     require(objectIds.nonEmpty, "lookupMany needs at least one object id")
     val ids = objectIds.distinct
     val bkts = ids.map(id => Math.floorMod(id, numBuckets.toLong).toInt).distinct
-    s.read.parquet(path)
-      .filter($"obkt".isin(bkts: _*) && $"user_id".isin(ids: _*))
+    val base = s.read.parquet(path).filter($"obkt".isin(bkts: _*))
+    val matched =
+      if (ids.size <= inListMax) base.filter($"user_id".isin(ids: _*))
+      else {
+        // the id frame carries the SAME floorMod-derived bucket, so
+        // the broadcast hash probe keys on (obkt, user_id) — a row
+        // only hashes against its own bucket's ids
+        val idDf = ids.toDF("user_id").withColumn("obkt",
+          pmod($"user_id", lit(numBuckets.toLong)).cast("int"))
+        base.join(broadcast(idDf), Seq("obkt", "user_id"), "left_semi")
+      }
+    matched
       .select($"user_id", $"event_id", expr("ts DIV 1000").as("tus"),
         round($"value" * 100).cast("long").as("xc"), $"event_type")
       .orderBy($"user_id", $"tus", $"event_id")

@@ -809,12 +809,39 @@ class SpatialSpec extends AnyFunSuite {
       } else {
         assert(r.getAs[Double]("min_dist_r6") == hits.map(_._2).min,
           s"probe $pid")
-        assert(r.getAs[String]("ids_sig") ==
-          md5hex(hits.map(_._1).sorted.mkString(",")), s"probe $pid")
+        // the salted two-level digest: per-salt md5 of the ascending
+        // sub-stream, outer md5 of the salt digests in salt order
+        val expectedSig = md5hex(
+          hits.map(_._1).groupBy(_ % queries.Spatial.ConeSigSalts)
+            .toSeq.sortBy(_._1)
+            .map { case (_, ks) => md5hex(ks.sorted.mkString(",")) }
+            .mkString(","))
+        assert(r.getAs[String]("ids_sig") == expectedSig, s"probe $pid")
       }
     }
     // the declination floor guarantees the zero-match path is live
     assert(got(5L).getAs[Long]("n_matches") == 0L)
+    // the dense probe (30° cone) needs sf0.01's density (the 150-point
+    // sf0.001 pattern never enters its ra window — it doubles as a
+    // second zero-match probe there): every salt bucket populated, so
+    // each per-group id buffer holds ~1/16th of the cone — the
+    // bounded-state property the two-level digest buys
+    val sfd = "/root/testdata/sf0.01"
+    val pts01 = spark.read.parquet(s"$sfd/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+      .map(k => (k, (k * 137 % 36000) / 100.0, (k * 97 % 17000) / 100.0 - 85.0))
+    val denseHits = pts01.map { case (k, ra, de) =>
+      (k, hav(ra, de, 200.0, 0.0)) }.filter(_._2 < 30.0).map(_._1)
+    assert(denseHits.map(_ % queries.Spatial.ConeSigSalts).distinct.size ==
+      queries.Spatial.ConeSigSalts.toInt,
+      "dense probe must populate every salt bucket at sf0.01")
+    val got01 = queries.Spatial.qConeSearchMany(spark, sfd).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r).toMap
+    assert(got01(6L).getAs[Long]("n_matches") == denseHits.length.toLong)
+    assert(got01(6L).getAs[String]("ids_sig") == md5hex(
+      denseHits.groupBy(_ % queries.Spatial.ConeSigSalts).toSeq.sortBy(_._1)
+        .map { case (_, ks) => md5hex(ks.sorted.mkString(",")) }
+        .mkString(",")), "dense-probe salted digest")
   }
 
   test("q_cone_search_many plan: one catalog scan, broadcast probes, one hash shuffle") {
@@ -833,8 +860,12 @@ class SpatialSpec extends AnyFunSuite {
           if e.outputPartitioning.isInstanceOf[
             org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
       }
-      assert(hashShuffles.size == 1,
-        s"only the per-probe aggregate may hash-shuffle, got ${hashShuffles.size}")
+      // two hash shuffles: the (probe, salt) aggregate over match
+      // rows, then the outer digest fold over the ≤ probes×salts
+      // per-salt frame (tiny by construction) — the salted signature's
+      // documented cost of bounding per-group aggregation state
+      assert(hashShuffles.size == 2,
+        s"the (probe, salt) aggregate + the tiny outer digest fold, got ${hashShuffles.size}")
       assert(plan.toString.contains("BroadcastExchange"),
         "the probe list must broadcast, never shuffle the scan side")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)

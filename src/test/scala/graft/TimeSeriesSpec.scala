@@ -527,6 +527,62 @@ class TimeSeriesSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("object-index lookupMany at alert-scale k switches to the broadcast semi-join path") {
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    val out = java.nio.file.Files.createTempDirectory("graft_objidx_bigk").toString
+    val nb = 8
+    sources.ObjectIndex.build(spark, sf, out, nb)
+    // an alert-night id list: 10^4 ids (most without events — only the
+    // resolvable ones return rows, like any IN-list lookup)
+    val bigIds = (0L until 10000L).toSeq
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val idx = sources.ObjectIndex.lookupMany(spark, out, bigIds, nb)
+      val plan = idx.queryExecution.executedPlan
+      // plan shape: the id set rides a broadcast LEFT SEMI hash join,
+      // NOT a 10^4-literal predicate anywhere in the scan
+      val semis = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      assert(semis.nonEmpty, s"no broadcast left-semi join in:\n$plan")
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty && scans.head.partitionFilters.nonEmpty,
+        "the bucket partition filter must survive on the broadcast path")
+      for (f <- scans; e <- f.dataFilters) {
+        val widths = e.collect {
+          case i: In => i.list.size
+          case i: InSet => i.hset.size
+        }
+        val wide = widths.filter(_ > sources.ObjectIndex.LookupManyInListMax)
+        assert(wide.isEmpty,
+          s"a ${wide.mkString(",")}-literal IN leaked into the scan on the broadcast path")
+      }
+      // lookup parity: the broadcast path returns exactly what the
+      // IN-list path returns for the same resolvable id set
+      val smallIds = Seq(3L, 11L, 5L, 14L, 2L)
+      val viaInList = sources.ObjectIndex.lookupMany(spark, out, smallIds, nb)
+        .collect().map(_.toSeq)
+      val viaBroadcast = sources.ObjectIndex
+        .lookupMany(spark, out, smallIds, nb, inListMax = 0)
+        .collect().map(_.toSeq)
+      assert(viaInList.nonEmpty && viaInList.toSeq == viaBroadcast.toSeq,
+        "broadcast path diverges from the IN-list path on the same ids")
+      // and the big-k result itself equals the flat-table IN query
+      val got = idx.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val want = Tables.events(spark, sf)
+        .filter(col("user_id").isin(bigIds: _*))
+        .selectExpr("user_id", "event_id")
+        .orderBy(col("user_id"), expr("ts DIV 1000"), col("event_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.nonEmpty && got.toSeq == want.toSeq,
+        s"big-k lookup differs from flat IN query (${got.length} vs ${want.length})")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("object-index append keeps lookups single-directory and complete") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("graft_objidx_app").toString
