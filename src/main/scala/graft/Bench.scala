@@ -210,6 +210,10 @@ object Bench {
     // appended to the key (regresses if the key split ever shuffles
     // twice)
     "q_lomb_scargle", "q_lomb_scargle_band",
+    // r16 variability features — each ONE (object, band) shuffle
+    // shared by its windows and final aggregate; regress if a second
+    // exchange ever appears between window and aggregate
+    "q_beyond1std", "q_rcs", "q_max_slope", "q_flux_ratio",
     "q_phase_coverage",
     // dedup threshold calibration sweep — regresses if the candidate
     // floor stops riding the df-capped index or the x10 explode

@@ -2973,8 +2973,268 @@ object TimeSeries {
       |    AS series_sig
       |FROM ev GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Fraction of epochs beyond one standard deviation of the mean,
+    * per (object, band) — the cesium/feets "beyond1std" variability
+    * feature: Gaussian noise leaves ~32% of epochs outside ±1σ, a
+    * flaring or eclipsing source far more (its excursions are real),
+    * a heavily clipped pipeline far fewer. The σ test is EXACT
+    * integer arithmetic, no sqrt: |x − x̄| > σ̂ squared and cleared of
+    * denominators is (n−1)·(n·x − Σx)² > n·(n·Σx² − (Σx)²), carried
+    * in decimal(38,0)/HUGEINT because the SQUARE overflows int64 at
+    * survey bounds ((2n·x_max)² ≈ 4·10²⁰ at n = 10⁴, x_max = 10⁶
+    * c100; the decimal comparison is exact in both engines and never
+    * leaves the plan — only the counts are output). A constant
+    * series (zero variance) and the n = 1 edge yield strict-False on
+    * every row — zero beyond, by definition, not by guard.
+    *
+    * Scale shape: one (object, band) shuffle; the three group sums
+    * ride one unordered window over it (cadence-bounded partitions),
+    * the flag is a per-row codegen comparison, and the final count
+    * reuses the same partitioning. */
+  def qBeyond1std(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wg = Window.partitionBy($"user_id", $"band")
+    bandedSeries(s, dir)
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("sx", sum($"xc").over(wg))
+      .withColumn("sxx", sum($"xc" * $"xc").over(wg))
+      .withColumn("dev", ($"n" * $"xc" - $"sx").cast("decimal(38,0)"))
+      .withColumn("lhs", ($"n" - 1).cast("decimal(38,0)") * $"dev" * $"dev")
+      .withColumn("rhs", $"n".cast("decimal(38,0)") *
+        ($"n".cast("decimal(38,0)") * $"sxx".cast("decimal(38,0)") -
+          $"sx".cast("decimal(38,0)") * $"sx".cast("decimal(38,0)")))
+      .groupBy($"user_id", $"band")
+      .agg(count(lit(1)).as("n_epochs"),
+        sum(when($"lhs" > $"rhs", 1L).otherwise(0L)).as("n_beyond"))
+      .withColumn("beyond_permille",
+        expr("n_beyond * 1000 DIV n_epochs"))
+      .withColumn("beyond_frac",
+        $"n_beyond" / $"n_epochs".cast("double"))
+      .orderBy($"user_id", $"band")
+  }
+
+  /** Oracle twin: HUGEINT clears of denominators, identical counts. */
+  val qBeyond1stdSql: String =
+    s"""WITH b AS (SELECT user_id, $BandCaseSql AS band,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc FROM events),
+       |w AS (SELECT user_id, band, xc,
+       |    COUNT(*) OVER pw AS n, SUM(xc) OVER pw AS sx,
+       |    SUM(xc*xc) OVER pw AS sxx
+       |  FROM b WINDOW pw AS (PARTITION BY user_id, band)),
+       |c AS (SELECT user_id, band,
+       |    CASE WHEN CAST(n - 1 AS HUGEINT)
+       |        * CAST(n*xc - sx AS HUGEINT) * CAST(n*xc - sx AS HUGEINT)
+       |      > CAST(n AS HUGEINT)
+       |        * (CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx)
+       |    THEN 1 ELSE 0 END AS is_beyond
+       |  FROM w)
+       |SELECT user_id, band, COUNT(*) AS n_epochs,
+       |  CAST(SUM(is_beyond) AS BIGINT) AS n_beyond,
+       |  CAST(SUM(is_beyond) * 1000 // COUNT(*) AS BIGINT)
+       |    AS beyond_permille,
+       |  CAST(SUM(is_beyond) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+       |    AS beyond_frac
+       |FROM c GROUP BY 1, 2 ORDER BY user_id, band""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Range of cumulative sums (Rcs, Kim et al. 2011's Q1 statistic)
+    * per (object, band): the spread of the running sum of mean
+    * residuals, the classic detector of one-sided excursions
+    * (a single flare or a slow trend drives the cumulative walk far
+    * from zero; symmetric noise keeps it near zero). n-SCALED to stay
+    * exact: T_k = n·Σ_{i≤k}x_i − k·Σx = n·S_k where S_k is the usual
+    * residual cumsum, so rcs_num = max T − min T is an exact int64
+    * (|T_k| ≤ 2n·Σ|x| ≈ 2·10¹⁴ at survey bounds) and the readable
+    * Rcs = rcs_num / (n²·σ̂) is one fixed IEEE chain over it and the
+    * int64 variance numerator (same documented bound as
+    * q_lightcurve_stats' var_num).
+    *
+    * Scale shape: ONE (object, band) shuffle — the ordered cumsum
+    * window, the unordered group sums, and the final max/min
+    * aggregate all share its sort/partitioning; per-group state is
+    * the cadence-bounded series every per-object window query
+    * already holds. */
+  def qRcs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wg = Window.partitionBy($"user_id", $"band")
+    val wo = wg.orderBy($"tus", $"event_id")
+    bandedSeries(s, dir)
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("sx", sum($"xc").over(wg))
+      .withColumn("sxx", sum($"xc" * $"xc").over(wg))
+      .withColumn("cum", sum($"xc").over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("k", row_number().over(wo))
+      .withColumn("t_k", $"n" * $"cum" - $"k" * $"sx")
+      .groupBy($"user_id", $"band")
+      .agg(max($"n").as("n_epochs"),
+        (max($"t_k") - min($"t_k")).as("rcs_num"),
+        (max($"n") * max($"sxx") - max($"sx") * max($"sx"))
+          .as("var_num"))
+      .withColumn("rcs_val",
+        when($"var_num" > 0 && $"n_epochs" > 1,
+          $"rcs_num".cast("double") /
+            ($"n_epochs".cast("double") * $"n_epochs".cast("double") *
+              sqrt($"var_num".cast("double") /
+                ($"n_epochs" * ($"n_epochs" - 1)).cast("double")))))
+      .orderBy($"user_id", $"band")
+  }
+
+  /** Oracle twin: identical n-scaled walk, identical IEEE readout. */
+  val qRcsSql: String =
+    s"""WITH b AS (SELECT user_id, $BandCaseSql AS band, event_id,
+       |    epoch_us(ts) AS tus,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc FROM events),
+       |w AS (SELECT user_id, band,
+       |    COUNT(*) OVER pw AS n, SUM(xc) OVER pw AS sx,
+       |    SUM(xc*xc) OVER pw AS sxx,
+       |    SUM(xc) OVER (PARTITION BY user_id, band
+       |      ORDER BY tus, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, band
+       |      ORDER BY tus, event_id) AS k
+       |  FROM b WINDOW pw AS (PARTITION BY user_id, band)),
+       |a AS (SELECT user_id, band, MAX(n) AS n_epochs,
+       |    CAST(MAX(n*cum - k*sx) - MIN(n*cum - k*sx) AS BIGINT)
+       |      AS rcs_num,
+       |    CAST(MAX(n)*MAX(sxx) - MAX(sx)*MAX(sx) AS BIGINT) AS var_num
+       |  FROM w GROUP BY 1, 2)
+       |SELECT user_id, band, CAST(n_epochs AS BIGINT) AS n_epochs,
+       |  rcs_num, var_num,
+       |  CASE WHEN var_num > 0 AND n_epochs > 1 THEN
+       |    CAST(rcs_num AS DOUBLE)
+       |      / (CAST(n_epochs AS DOUBLE) * CAST(n_epochs AS DOUBLE)
+       |        * SQRT(CAST(var_num AS DOUBLE)
+       |          / CAST(n_epochs * (n_epochs - 1) AS DOUBLE)))
+       |  END AS rcs_val
+       |FROM a ORDER BY user_id, band""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Maximum absolute inter-epoch slope per (object, band) — the
+    * cesium/feets "max_slope" feature, the cheapest flare/glitch
+    * discriminator: |Δflux/Δt| over CONSECUTIVE epochs, reported in
+    * c100 per minute. Each slope is one fixed IEEE tree over two
+    * exact int64 deltas (multiply by the unit constant, then one
+    * division — identical order both engines), and max over doubles
+    * is order-free, so the readout hashes. Same-timestamp pairs
+    * (Δt = 0, possible under the synthetic cadence) are excluded on
+    * both sides — a slope across zero time is undefined, not
+    * infinite.
+    *
+    * Scale shape: one (object, band) shuffle; lead() and the final
+    * aggregate share its sort, pairs are linear in epochs (the
+    * consecutive stream, never a self-join). */
+  def qMaxSlope(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wo = Window.partitionBy($"user_id", $"band")
+      .orderBy($"tus", $"event_id")
+    bandedSeries(s, dir)
+      .withColumn("x2", lead($"xc", 1).over(wo))
+      .withColumn("t2", lead($"tus", 1).over(wo))
+      .filter($"x2".isNotNull && $"t2" > $"tus")
+      .withColumn("slope", abs(
+        ($"x2" - $"xc").cast("double") * lit(60000000.0) /
+          ($"t2" - $"tus").cast("double")))
+      .groupBy($"user_id", $"band")
+      .agg(count(lit(1)).as("n_pairs"),
+        max($"slope").as("max_slope_c100_min"))
+      .orderBy($"user_id", $"band")
+  }
+
+  /** Oracle twin: identical lead pairing, identical slope tree. */
+  val qMaxSlopeSql: String =
+    s"""WITH b AS (SELECT user_id, $BandCaseSql AS band, event_id,
+       |    epoch_us(ts) AS tus,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc FROM events),
+       |p AS (SELECT user_id, band, tus, xc,
+       |    LEAD(xc) OVER po AS x2, LEAD(tus) OVER po AS t2
+       |  FROM b WINDOW po AS (PARTITION BY user_id, band
+       |    ORDER BY tus, event_id))
+       |SELECT user_id, band, COUNT(*) AS n_pairs,
+       |  MAX(ABS(CAST(x2 - xc AS DOUBLE) * 60000000.0
+       |    / CAST(t2 - tus AS DOUBLE))) AS max_slope_c100_min
+       |FROM p WHERE x2 IS NOT NULL AND t2 > tus
+       |GROUP BY 1, 2 ORDER BY user_id, band""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Flux percentile ratios per (object, band) — the cesium/feets
+    * "flux_percentile_ratio" family (mid50 = (P62.5−P37.5)/(P95−P5),
+    * mid80 = (P90−P10)/(P95−P5)): shape discriminators that separate
+    * eclipsers (flux concentrated at one level, small mid ratios)
+    * from sinusoids (flux spread evenly, large ones) independent of
+    * amplitude. All six percentiles are DISCRETE rank elements
+    * (CEIL(q·n), the q_amplitude house percentile) off ONE sorted
+    * pass, the ratio numerators/denominator are exact integers, and
+    * each readable ratio is a single IEEE division over them.
+    *
+    * Scale shape: identical to q_amplitude — one (object, band) rank
+    * window serves all six percentiles, then a self-join-free
+    * conditional aggregate; one shuffle total. */
+  def qFluxRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wg = Window.partitionBy($"user_id", $"band")
+    def atRank(q: String) =
+      max(when($"rn" === expr(s"CAST(CEIL($q * n) AS BIGINT)"), $"xc"))
+    bandedSeries(s, dir)
+      .withColumn("rn", row_number().over(wg.orderBy($"xc", $"event_id")))
+      .withColumn("n", count(lit(1)).over(wg))
+      .groupBy($"user_id", $"band")
+      .agg(max($"n").as("n_epochs"),
+        atRank("0.05").as("p05_c100"), atRank("0.10").as("p10_c100"),
+        atRank("0.375").as("p375_c100"), atRank("0.625").as("p625_c100"),
+        atRank("0.90").as("p90_c100"), atRank("0.95").as("p95_c100"))
+      .withColumn("mid50_num", $"p625_c100" - $"p375_c100")
+      .withColumn("mid80_num", $"p90_c100" - $"p10_c100")
+      .withColumn("den", $"p95_c100" - $"p05_c100")
+      .withColumn("fpr_mid50",
+        when($"den" > 0, $"mid50_num".cast("double") / $"den".cast("double")))
+      .withColumn("fpr_mid80",
+        when($"den" > 0, $"mid80_num".cast("double") / $"den".cast("double")))
+      .select($"user_id", $"band", $"n_epochs", $"mid50_num",
+        $"mid80_num", $"den", $"fpr_mid50", $"fpr_mid80")
+      .orderBy($"user_id", $"band")
+  }
+
+  /** Oracle twin: same single sorted pass, same discrete ranks. */
+  val qFluxRatioSql: String =
+    s"""WITH b AS (SELECT user_id, $BandCaseSql AS band, event_id,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc FROM events),
+       |r AS (SELECT user_id, band, xc,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id, band
+       |      ORDER BY xc, event_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY user_id, band) AS n
+       |  FROM b),
+       |a AS (SELECT user_id, band, MAX(n) AS n_epochs,
+       |    MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT)
+       |      THEN xc END) AS p05,
+       |    MAX(CASE WHEN rn = CAST(CEIL(0.10 * n) AS BIGINT)
+       |      THEN xc END) AS p10,
+       |    MAX(CASE WHEN rn = CAST(CEIL(0.375 * n) AS BIGINT)
+       |      THEN xc END) AS p375,
+       |    MAX(CASE WHEN rn = CAST(CEIL(0.625 * n) AS BIGINT)
+       |      THEN xc END) AS p625,
+       |    MAX(CASE WHEN rn = CAST(CEIL(0.90 * n) AS BIGINT)
+       |      THEN xc END) AS p90,
+       |    MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+       |      THEN xc END) AS p95
+       |  FROM r GROUP BY 1, 2)
+       |SELECT user_id, band, CAST(n_epochs AS BIGINT) AS n_epochs,
+       |  CAST(p625 - p375 AS BIGINT) AS mid50_num,
+       |  CAST(p90 - p10 AS BIGINT) AS mid80_num,
+       |  CAST(p95 - p05 AS BIGINT) AS den,
+       |  CASE WHEN p95 - p05 > 0 THEN CAST(p625 - p375 AS DOUBLE)
+       |    / CAST(p95 - p05 AS DOUBLE) END AS fpr_mid50,
+       |  CASE WHEN p95 - p05 > 0 THEN CAST(p90 - p10 AS DOUBLE)
+       |    / CAST(p95 - p05 AS DOUBLE) END AS fpr_mid80
+       |FROM a ORDER BY user_id, band""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lightcurve_pack" -> (qLightcurvePack _),
+    "q_beyond1std" -> (qBeyond1std _),
+    "q_rcs" -> (qRcs _),
+    "q_max_slope" -> (qMaxSlope _),
+    "q_flux_ratio" -> (qFluxRatio _),
     "q_lightcurve_stats" -> (qLightcurveStats _),
     "q_variability_class" -> (qVariabilityClass _),
     "q_lightcurve_delta" -> (qLightcurveDelta _),
@@ -3042,6 +3302,10 @@ object TimeSeries {
     "q_object_lookup_many" -> qObjectLookupManySql,
     "q_lomb_scargle" -> qLombScargleSql,
     "q_lomb_scargle_band" -> qLombScargleBandSql,
+    "q_beyond1std" -> qBeyond1stdSql,
+    "q_rcs" -> qRcsSql,
+    "q_max_slope" -> qMaxSlopeSql,
+    "q_flux_ratio" -> qFluxRatioSql,
     "q_periodic_candidates" -> qPeriodicCandidatesSql,
     "q_phase_coverage" -> qPhaseCoverageSql,
     "q_harmonic_fit" -> qHarmonicFitSql,

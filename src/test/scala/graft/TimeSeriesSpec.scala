@@ -1075,6 +1075,106 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("r16 band features equal brute-force recomputes (beyond1std, rcs, max_slope, flux_ratio)") {
+    def bandOf(et: String): String = et match {
+      case "click" => "u"; case "error" => "g"; case "purchase" => "r"
+      case "signup" => "i"; case _ => "z"
+    }
+    // (uidOpt, band) -> rows of (event_id, tus, xc) — the driver-side
+    // banded series, null keys included exactly as the queries keep them
+    val raw = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "ts DIV 1000 AS tus",
+        "CAST(ROUND(value*100) AS LONG) AS xc", "event_type")
+      .collect()
+      .map(r => (Option(r.getAs[java.lang.Long]("user_id")).map(_.toLong),
+        bandOf(r.getAs[String]("event_type")),
+        r.getAs[Long]("event_id"), r.getAs[Long]("tus"), r.getAs[Long]("xc")))
+    val groups = raw.groupBy(t => (t._1, t._2))
+    def key(r: org.apache.spark.sql.Row) =
+      (Option(r.getAs[java.lang.Long]("user_id")).map(_.toLong),
+        r.getAs[String]("band"))
+
+    // beyond1std: exact BigInt sigma test
+    val b1 = queries.TimeSeries.qBeyond1std(spark, sf).collect()
+      .map(r => key(r) -> r).toMap
+    assert(b1.keySet == groups.keySet)
+    for ((k, rows) <- groups) {
+      val n = BigInt(rows.length)
+      val sx = BigInt(rows.map(_._5).sum)
+      val sxx = rows.map(t => BigInt(t._5) * t._5).sum
+      val nBeyond = rows.count { t =>
+        val dev = n * t._5 - sx
+        (n - 1) * dev * dev > n * (n * sxx - sx * sx)
+      }
+      assert(b1(k).getAs[Long]("n_beyond") == nBeyond.toLong, s"beyond1std $k")
+      assert(b1(k).getAs[Long]("n_epochs") == rows.length.toLong)
+      assert(b1(k).getAs[Long]("beyond_permille") ==
+        nBeyond.toLong * 1000 / rows.length)
+    }
+    // a healthy variable group should have SOME epochs beyond 1 sigma
+    assert(b1.values.exists(_.getAs[Long]("n_beyond") > 0), "flag never fires")
+    assert(b1.values.exists(r => r.getAs[Long]("n_beyond") <
+      r.getAs[Long]("n_epochs")), "flag always fires")
+
+    // rcs: n-scaled cumulative walk extremes
+    val rc = queries.TimeSeries.qRcs(spark, sf).collect()
+      .map(r => key(r) -> r).toMap
+    assert(rc.keySet == groups.keySet)
+    for ((k, rows) <- groups) {
+      val srt = rows.sortBy(t => (t._4, t._3))
+      val n = srt.length.toLong
+      val sx = srt.map(_._5).sum
+      val cums = srt.scanLeft(0L)(_ + _._5).tail
+      val ts = cums.zipWithIndex.map { case (c, i) => n * c - (i + 1) * sx }
+      assert(rc(k).getAs[Long]("rcs_num") == ts.max - ts.min, s"rcs $k")
+      val sxx = srt.map(t => t._5 * t._5).sum
+      assert(rc(k).getAs[Long]("var_num") == n * sxx - sx * sx, s"rcs var $k")
+      if (n > 1 && n * sxx - sx * sx > 0) {
+        val expect = (ts.max - ts.min).toDouble / (n.toDouble * n.toDouble *
+          math.sqrt((n * sxx - sx * sx).toDouble / (n * (n - 1)).toDouble))
+        assert(rc(k).getAs[Double]("rcs_val") == expect, s"rcs_val $k")
+      }
+    }
+
+    // max_slope: consecutive-pair max, zero-lag pairs excluded
+    val ms = queries.TimeSeries.qMaxSlope(spark, sf).collect()
+      .map(r => key(r) -> r).toMap
+    for ((k, rows) <- groups) {
+      val srt = rows.sortBy(t => (t._4, t._3))
+      val pairs = srt.zip(srt.tail).filter { case (a, b) => b._4 > a._4 }
+      if (pairs.isEmpty) assert(!ms.contains(k), s"max_slope empty $k")
+      else {
+        val expect = pairs.map { case (a, b) =>
+          math.abs((b._5 - a._5).toDouble * 60000000.0 /
+            (b._4 - a._4).toDouble) }.max
+        assert(ms(k).getAs[Long]("n_pairs") == pairs.length.toLong)
+        assert(ms(k).getAs[Double]("max_slope_c100_min") == expect,
+          s"max_slope $k")
+      }
+    }
+
+    // flux_ratio: discrete-rank percentile ratios
+    val fr = queries.TimeSeries.qFluxRatio(spark, sf).collect()
+      .map(r => key(r) -> r).toMap
+    assert(fr.keySet == groups.keySet)
+    for ((k, rows) <- groups) {
+      val srt = rows.sortBy(t => (t._5, t._3)).map(_._5)
+      val n = srt.length
+      def at(q: Double) = srt(math.ceil(q * n).toInt - 1)
+      assert(fr(k).getAs[Long]("mid50_num") == at(0.625) - at(0.375), s"fpr $k")
+      assert(fr(k).getAs[Long]("mid80_num") == at(0.90) - at(0.10), s"fpr $k")
+      assert(fr(k).getAs[Long]("den") == at(0.95) - at(0.05), s"fpr $k")
+      if (at(0.95) - at(0.05) > 0)
+        assert(fr(k).getAs[Double]("fpr_mid50") ==
+          (at(0.625) - at(0.375)).toDouble / (at(0.95) - at(0.05)).toDouble)
+    }
+    // mid ratios are nested percentile spreads: mid50 ⊆ mid80 ⊆ den
+    for (r <- fr.values if r.getAs[Long]("den") > 0) {
+      assert(r.getAs[Long]("mid50_num") <= r.getAs[Long]("mid80_num"))
+      assert(r.getAs[Long]("mid80_num") <= r.getAs[Long]("den"))
+    }
+  }
+
   test("q_harmonic_fit recovers a planted sinusoid's amplitude, mean, and coefficients") {
     import spark.implicits._
     val q = queries.TimeSeries
