@@ -214,6 +214,11 @@ object Bench {
     // shared by its windows and final aggregate; regress if a second
     // exchange ever appears between window and aggregate
     "q_beyond1std", "q_rcs", "q_max_slope", "q_flux_ratio",
+    // r16 corpus telemetry: zero-join lexical diversity (regresses if
+    // the per-doc expression grows a shuffle) and the gram-keyed
+    // novelty census (regresses if the join-back stops riding the
+    // reduced postings-min frame)
+    "q_ttr", "q_ngram_novelty",
     "q_phase_coverage",
     // dedup threshold calibration sweep — regresses if the candidate
     // floor stops riding the df-capped index or the x10 explode

@@ -2314,7 +2314,71 @@ object Dedup {
        |FROM ev LEFT JOIN cp USING (split)
        |ORDER BY split""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Gram width of the novelty census — the [[SpanW]] window, so the
+    * novelty metric and the span-dedup store count the SAME units. */
+  private[graft] val NovW = SpanW
+
+  /** Per-source n-gram NOVELTY census — the corpus-curation telemetry
+    * behind "how much of this slice is text we have not seen before"
+    * (the aggregate view of what q_span_dedup flags per document, and
+    * the quantity C4/Lee-et-al-style pipelines track per crawl slice):
+    * a document's distinct [[NovW]]-token window fingerprints, where a
+    * gram is NOVEL iff this document is its corpus-wide FIRST
+    * appearance (min doc_id over the gram's postings — deterministic,
+    * order-free). Per source: gram occurrences, novel occurrences,
+    * exact novelty permille. A template-heavy source scores low
+    * (its grams all premiere elsewhere or in its own earlier docs),
+    * fresh prose scores near 1000.
+    *
+    * Scale shape: the gram stream is the bounded ×(tokens−W+1)
+    * explode every fingerprint query already pays, deduplicated
+    * in-expression per doc (array_distinct BEFORE the explode — no
+    * per-doc grouping); first-appearance is ONE combinable min
+    * aggregate on the gram key; the join back is gram-keyed against
+    * that reduced postings-min frame; the rollup is a |sources|-key
+    * aggregate. No all-pairs anything. */
+  def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .select($"doc_id", $"source",
+        expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+      .filter(size($"toks") >= NovW)
+      .select($"doc_id", $"source", explode(expr(
+        s"array_distinct(transform(sequence(0, size(toks) - $NovW), " +
+          s"i -> md5(array_join(slice(toks, i + 1, $NovW), ' '))))")).as("fp"))
+    val first = grams.groupBy($"fp").agg(min($"doc_id").as("first_doc"))
+    grams.join(first, Seq("fp"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"doc_id" === $"first_doc", 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_permille", expr("n_novel * 1000 DIV n_grams"))
+      .orderBy($"source")
+  }
+
+  /** Oracle twin: list_distinct window digests, identical min-postings
+    * novelty rule. */
+  val qNgramNoveltySql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |    list_filter(string_split(text, ' '), x -> x != '') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, source,
+       |    unnest(list_distinct(list_transform(
+       |      range(len(toks) - ${NovW - 1}),
+       |      i -> md5(array_to_string(toks[i + 1:i + $NovW], ' '))))) AS fp
+       |  FROM t WHERE len(toks) >= $NovW),
+       |f AS (SELECT fp, MIN(doc_id) AS first_doc FROM g GROUP BY 1)
+       |SELECT source, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) * 1000
+       |    // COUNT(*) AS BIGINT) AS novelty_permille
+       |FROM g JOIN f USING (fp)
+       |GROUP BY 1 ORDER BY source""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ngram_novelty" -> (qNgramNovelty _),
     "q_split_leakage" -> (qSplitLeakage _),
     "q_line_dedup" -> (qLineDedup _),
     "q_dedup_exact" -> (qDedupExact _),
@@ -2339,6 +2403,7 @@ object Dedup {
     "q_dedup_recall" -> (qDedupRecall _))
 
   val oracles: Map[String, String] = Map(
+    "q_ngram_novelty" -> qNgramNoveltySql,
     "q_split_leakage" -> qSplitLeakageSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_dedup_minhash" -> qDedupMinhashSql,

@@ -1353,7 +1353,66 @@ object Text {
       |    / CAST(n_sources*total_chars AS DOUBLE) AS gini_chars
       |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Lexical diversity per source — type–token ratio telemetry, the
+    * standard repetitiveness axis of corpus curation (template/spam
+    * slices score low TTR, natural prose high; the per-source means
+    * are the knobs a mixture planner reads next to q_mix_diversity's
+    * shard weights). Per document the type and token counts are ONE
+    * codegen expression (split → filter → array_distinct → size) —
+    * per-row state is the document's own token list, the same bound
+    * q_quality_classifier's aggregate() already carries — and the
+    * per-doc TTR is exact integer permille. The source rollup reports
+    * the MACRO mean (mean of per-doc permilles, docs weighted
+    * equally) and the MICRO pooled ratio (Σtypes/Σtokens, tokens
+    * weighted) — the two diverge exactly when short and long
+    * documents differ in repetitiveness, which is itself the signal.
+    *
+    * Scale shape: zero joins, zero explodes — one document scan into
+    * ONE combinable |sources|-key aggregate. Empty documents are
+    * excluded (no tokens → no ratio). */
+  def qTtr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"source",
+        expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+      .select($"source", size($"toks").cast("long").as("n_toks"),
+        size(array_distinct($"toks")).cast("long").as("n_types"))
+      .filter($"n_toks" > 0)
+      .withColumn("ttr_pm", expr("n_types * 1000 DIV n_toks"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("toks_total"),
+        sum($"n_types").as("types_total"),
+        sum($"ttr_pm").as("ttr_pm_sum"))
+      .withColumn("ttr_pm_macro", expr("ttr_pm_sum DIV n_docs"))
+      .withColumn("ttr_pm_micro", expr("types_total * 1000 DIV toks_total"))
+      .select($"source", $"n_docs", $"toks_total", $"types_total",
+        $"ttr_pm_macro", $"ttr_pm_micro")
+      .orderBy($"source")
+  }
+
+  /** Oracle twin: list_distinct per document, identical integer
+    * permilles. */
+  val qTtrSql: String =
+    """WITH t AS (SELECT source,
+      |    list_filter(string_split(text, ' '), x -> x != '') AS toks
+      |  FROM documents),
+      |d AS (SELECT source, len(toks) AS n_toks,
+      |    len(list_distinct(toks)) AS n_types
+      |  FROM t WHERE len(toks) > 0),
+      |a AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_toks) AS BIGINT) AS toks_total,
+      |    CAST(SUM(n_types) AS BIGINT) AS types_total,
+      |    CAST(SUM(n_types * 1000 // n_toks) AS BIGINT) AS ttr_pm_sum
+      |  FROM d GROUP BY 1)
+      |SELECT source, n_docs, toks_total, types_total,
+      |  CAST(ttr_pm_sum // n_docs AS BIGINT) AS ttr_pm_macro,
+      |  CAST(types_total * 1000 // toks_total AS BIGINT) AS ttr_pm_micro
+      |FROM a ORDER BY source""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ttr" -> (qTtr _),
     "q_gini" -> (qGini _),
     "q_zipf" -> (qZipf _),
     "q_collocations" -> (qCollocations _),
@@ -1378,6 +1437,7 @@ object Text {
     "q_hash_sample" -> (qHashSample _))
 
   val oracles: Map[String, String] = Map(
+    "q_ttr" -> qTtrSql,
     "q_gini" -> qGiniSql,
     "q_zipf" -> qZipfSql,
     "q_collocations" -> qCollocationsSql,

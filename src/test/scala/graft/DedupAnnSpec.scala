@@ -12,6 +12,43 @@ class DedupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ngram_novelty equals a driver recompute of the first-appearance rule") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val W = queries.Dedup.NovW
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty)))
+    // (doc, source) -> the doc's DISTINCT W-gram digests
+    val grams = docs.filter(_._3.length >= W).map { case (id, src, toks) =>
+      (id, src, toks.sliding(W).map(g => md5hex(g.mkString(" "))).toSeq.distinct)
+    }
+    val firstDoc = grams.flatMap { case (id, _, fps) => fps.map(_ -> id) }
+      .groupBy(_._1).map { case (fp, xs) => fp -> xs.map(_._2).min }
+    val exp = grams.groupBy(_._2).map { case (src, ds) =>
+      val occ = ds.flatMap { case (id, _, fps) => fps.map(fp => (id, fp)) }
+      val novel = occ.count { case (id, fp) => firstDoc(fp) == id }
+      src -> (occ.length.toLong, novel.toLong)
+    }
+    val got = queries.Dedup.qNgramNovelty(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == exp.keySet)
+    for ((src, (ng, nn)) <- exp) {
+      assert(got(src).getAs[Long]("n_grams") == ng, s"n_grams $src")
+      assert(got(src).getAs[Long]("n_novel") == nn, s"n_novel $src")
+      assert(got(src).getAs[Long]("novelty_permille") == nn * 1000 / ng)
+    }
+    // the rule must BIND both ways: every gram is novel somewhere
+    // (its first appearance) and the corpus has at least one repeat
+    assert(exp.values.map(_._2).sum ==
+      grams.flatMap(_._3).distinct.length.toLong,
+      "novel occurrences must equal the distinct gram count corpus-wide")
+    assert(exp.values.exists { case (ng, nn) => nn < ng },
+      "no repeated gram anywhere — novelty census is vacuous here")
+  }
+
   test("spanDedup counts offset-shifted copied passages that line dedup misses") {
     import spark.implicits._
     val W = queries.Dedup.SpanW

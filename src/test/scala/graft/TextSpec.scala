@@ -14,6 +14,37 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ttr equals a driver recompute and the macro/micro means both carry") {
+    val docs = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+      .filter(_._2.nonEmpty)
+    val exp = docs.groupBy(_._1).map { case (src, ds) =>
+      val perDoc = ds.map(_._2).map(t =>
+        (t.length.toLong, t.distinct.length.toLong))
+      src -> (perDoc.length.toLong, perDoc.map(_._1).sum, perDoc.map(_._2).sum,
+        perDoc.map { case (nt, ny) => ny * 1000 / nt }.sum)
+    }
+    val got = queries.Text.qTtr(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == exp.keySet)
+    for ((src, (nd, tt, ty, pmSum)) <- exp) {
+      val r = got(src)
+      assert(r.getAs[Long]("n_docs") == nd, s"n_docs $src")
+      assert(r.getAs[Long]("toks_total") == tt, s"toks $src")
+      assert(r.getAs[Long]("types_total") == ty, s"types $src")
+      assert(r.getAs[Long]("ttr_pm_macro") == pmSum / nd, s"macro $src")
+      assert(r.getAs[Long]("ttr_pm_micro") == ty * 1000 / tt, s"micro $src")
+      // a ratio of counts can never leave (0, 1000]
+      assert(r.getAs[Long]("ttr_pm_micro") > 0 &&
+        r.getAs[Long]("ttr_pm_micro") <= 1000)
+    }
+    // repetition exists in the corpus: somewhere types < tokens
+    assert(got.values.exists(r =>
+      r.getAs[Long]("types_total") < r.getAs[Long]("toks_total")),
+      "corpus has no repeated token anywhere — TTR is vacuous here")
+  }
+
   test("q_importance_weight matches a brute-force recompute and upweights the target slice") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
