@@ -210,6 +210,9 @@ object Bench {
     // appended to the key (regresses if the key split ever shuffles
     // twice)
     "q_lomb_scargle", "q_lomb_scargle_band",
+    // the joint multiband statistic — regresses if the pivot ever
+    // becomes a join or the band sums leave the reduced frame
+    "q_multiband_gls",
     // r16 variability features — each ONE (object, band) shuffle
     // shared by its windows and final aggregate; regress if a second
     // exchange ever appears between window and aggregate

@@ -1027,12 +1027,11 @@ object TimeSeries {
   private[graft] def lsPowerFrame(ser: DataFrame): DataFrame =
     lsPowerFrameBy(ser, Seq("user_id"))
 
-  /** [[lsPowerFrame]] generalized to a composite series key: the
-    * per-(object, band) form ([[qLombScargleBand]]) appends `band` to
-    * the aggregation key and reuses the identical grid / trig-table /
-    * sufficient-sum / power chain — same int64 precondition, same
-    * single combinable shuffle, key cardinality ×|bands|. */
-  private[graft] def lsPowerFrameBy(ser: DataFrame,
+  /** The grid-explode + phase-bin + trig-lookup + NINE-exact-sum
+    * stage alone — the shared front half of [[lsPowerFrameBy]] and
+    * [[qMultibandGls]] (which pivots the per-band sums instead of
+    * running the single-series power chain). */
+  private[graft] def lsSufFrameBy(ser: DataFrame,
     keys: Seq[String]): DataFrame = {
     val s = ser.sparkSession
     import s.implicits._
@@ -1050,6 +1049,18 @@ object TimeSeries {
         sum($"xc" * $"c").as("sxc"), sum($"xc" * $"si").as("sxs"),
         sum($"c" * $"c").as("scc"), sum($"si" * $"si").as("sss"),
         sum($"c" * $"si").as("scs"))
+  }
+
+  /** [[lsPowerFrame]] generalized to a composite series key: the
+    * per-(object, band) form ([[qLombScargleBand]]) appends `band` to
+    * the aggregation key and reuses the identical grid / trig-table /
+    * sufficient-sum / power chain — same int64 precondition, same
+    * single combinable shuffle, key cardinality ×|bands|. */
+  private[graft] def lsPowerFrameBy(ser: DataFrame,
+    keys: Seq[String]): DataFrame = {
+    val s = ser.sparkSession
+    import s.implicits._
+    lsSufFrameBy(ser, keys)
       .withColumn("ccn", $"n" * $"scc" - $"sc" * $"sc")
       .withColumn("ssn", $"n" * $"sss" - $"ss" * $"ss")
       .withColumn("csn", $"n" * $"scs" - $"sc" * $"ss")
@@ -1613,6 +1624,152 @@ object TimeSeries {
        |  FROM pw WHERE ls_power IS NOT NULL)
        |SELECT user_id, band, n AS n_epochs, p_us AS best_p_us, ls_power
        |FROM r WHERE rn = 1 ORDER BY user_id, band""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** The fixed band alphabet of the multiband model — the pivot
+    * columns, in wavelength order (the order every fixed-tree IEEE
+    * sum below folds in). */
+  private[graft] val GlsBands = Seq("u", "g", "r", "i", "z")
+
+  /** JOINT multiband generalized Lomb–Scargle — the VanderPlas &
+    * Ivezić (2015) shared-phase model ((0, 1) base/band config:
+    * per-band free means m_b, ONE shared sinusoid α·cos + β·sin
+    * across bands): the published answer to sparse LSST cadence,
+    * where no single band has enough epochs to date the period but
+    * the five bands together do. Solving the shared-phase normal
+    * equations collapses onto the SAME algebra as the single-series
+    * GLS with each n-scaled centered moment replaced by the sum over
+    * bands of its n_b-NORMALIZED form (band-centering removes each
+    * m_b exactly):  A = Σ_b CC_b/n_b, B = Σ_b CS_b/n_b, … and
+    * P = (C·D² − 2B·D·E + A·E²) / ((A·C − B²)·SST) ∈ [0, 1], the
+    * fraction of total band-centered flux variance the shared
+    * sinusoid explains. A single-band object degrades exactly to its
+    * per-band GLS (the formula is scale-invariant per band).
+    *
+    * Cross-engine discipline: the per-(object, band, period) nine
+    * sums are the SAME exact int64 reduction as q_lomb_scargle
+    * ([[lsSufFrameBy]]); the per-band moments stay exact int64; each
+    * /n_b normalization and the five-term band sums are ONE fixed
+    * left-associated IEEE tree (bands in [[GlsBands]] order, absent
+    * bands contribute literal 0.0 via coalesce), so even the doubles
+    * hash-match.
+    *
+    * Scale shape: the identical constant ×16 explode and ONE
+    * combinable (object, band, period) aggregate as the banded GLS,
+    * then a conditional-aggregation PIVOT (never a join) on the
+    * reduced |objects|×|bands|×16 frame down to |objects|×16, the
+    * fixed chain in codegen, and the argmax. No new shuffle shape —
+    * the multiband joint statistic costs one more tiny aggregate
+    * than the per-band one. */
+  def qMultibandGls(s: SparkSession, dir: String): DataFrame =
+    multibandGlsOver(bandedSeries(s, dir))
+
+  /** Plan body over any (user_id, band, tus, xc) frame — factored so
+    * the spec can drive planted multiband sinusoids through the real
+    * plan. */
+  private[graft] def multibandGlsOver(ser: DataFrame): DataFrame = {
+    val s = ser.sparkSession
+    import s.implicits._
+    val stats = Seq("n", "sx", "sxx", "sc", "ss", "sxc", "sxs",
+      "scc", "sss", "scs")
+    val aggs = GlsBands.flatMap { b =>
+      stats.map(m => max(when($"band" === b, col(m))).as(s"${m}_$b"))
+    }
+    val pv = lsSufFrameBy(ser, Seq("user_id", "band"))
+      .groupBy($"user_id", $"p_us").agg(aggs.head, aggs.tail: _*)
+    val withMoms = GlsBands.foldLeft(pv) { (df, b) =>
+      df
+        .withColumn(s"ccn_$b",
+          col(s"n_$b") * col(s"scc_$b") - col(s"sc_$b") * col(s"sc_$b"))
+        .withColumn(s"ssn_$b",
+          col(s"n_$b") * col(s"sss_$b") - col(s"ss_$b") * col(s"ss_$b"))
+        .withColumn(s"csn_$b",
+          col(s"n_$b") * col(s"scs_$b") - col(s"sc_$b") * col(s"ss_$b"))
+        .withColumn(s"xcn_$b",
+          col(s"n_$b") * col(s"sxc_$b") - col(s"sx_$b") * col(s"sc_$b"))
+        .withColumn(s"xsn_$b",
+          col(s"n_$b") * col(s"sxs_$b") - col(s"sx_$b") * col(s"ss_$b"))
+        .withColumn(s"xxn_$b",
+          col(s"n_$b") * col(s"sxx_$b") - col(s"sx_$b") * col(s"sx_$b"))
+    }
+    // Σ over bands of moment/n_b — ONE fixed left-assoc IEEE tree
+    def tsum(stat: String) = GlsBands.map(b =>
+      coalesce(col(s"${stat}_$b").cast("double") /
+        col(s"n_$b").cast("double"), lit(0.0))).reduceLeft(_ + _)
+    val scored = withMoms
+      .withColumn("a_t", tsum("ccn")).withColumn("b_t", tsum("csn"))
+      .withColumn("c_t", tsum("ssn")).withColumn("d_t", tsum("xcn"))
+      .withColumn("e_t", tsum("xsn")).withColumn("sst", tsum("xxn"))
+      .withColumn("num_d", $"c_t" * $"d_t" * $"d_t" -
+        lit(2.0) * $"b_t" * $"d_t" * $"e_t" + $"a_t" * $"e_t" * $"e_t")
+      .withColumn("den_d", ($"a_t" * $"c_t" - $"b_t" * $"b_t") * $"sst")
+      .withColumn("mb_power", when($"den_d" > 0.0, $"num_d" / $"den_d"))
+      .filter($"mb_power".isNotNull)
+      .withColumn("n_tot", GlsBands.map(b =>
+        coalesce(col(s"n_$b"), lit(0L))).reduceLeft(_ + _))
+      .withColumn("nb", GlsBands.map(b =>
+        when(col(s"n_$b").isNotNull, 1L).otherwise(0L)).reduceLeft(_ + _))
+    scored.groupBy($"user_id")
+      .agg(max($"n_tot").as("n_epochs"), max($"nb").as("n_bands"),
+        max(struct($"mb_power", (-$"p_us").as("negp"))).as("bst"))
+      .select($"user_id", $"n_bands", $"n_epochs",
+        (-$"bst.negp").as("best_p_us"), $"bst.mb_power".as("mb_power"))
+      .orderBy($"user_id")
+  }
+
+  /** Oracle twin, generated over the SAME band alphabet: the banded
+    * sufficient-sum CTE, a CASE pivot on the reduced frame, and the
+    * identical fixed-order normalized sums and power chain. */
+  val qMultibandGlsSql: String = {
+    val stats = Seq("n", "sx", "sxx", "sc", "ss", "sxc", "sxs",
+      "scc", "sss", "scs")
+    val pivotCols = GlsBands.flatMap { b =>
+      stats.map(m => s"MAX(CASE WHEN band = '$b' THEN $m END) AS ${m}_$b")
+    }.mkString(",\n|    ")
+    def mom(stat: String, b: String) = stat match {
+      case "ccn" => s"n_$b*scc_$b - sc_$b*sc_$b"
+      case "ssn" => s"n_$b*sss_$b - ss_$b*ss_$b"
+      case "csn" => s"n_$b*scs_$b - sc_$b*ss_$b"
+      case "xcn" => s"n_$b*sxc_$b - sx_$b*sc_$b"
+      case "xsn" => s"n_$b*sxs_$b - sx_$b*ss_$b"
+      case "xxn" => s"n_$b*sxx_$b - sx_$b*sx_$b"
+    }
+    def tsum(stat: String) = GlsBands.map(b =>
+      s"COALESCE(CAST(${mom(stat, b)} AS DOUBLE) / CAST(n_$b AS DOUBLE), " +
+        "CAST(0.0 AS DOUBLE))").mkString(" + ")
+    val nTot = GlsBands.map(b => s"COALESCE(n_$b, 0)").mkString(" + ")
+    val nBands = GlsBands.map(b =>
+      s"CASE WHEN n_$b IS NOT NULL THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $lsSufCtesBand,
+       |pv AS (SELECT user_id, p_us,
+       |    $pivotCols
+       |  FROM a GROUP BY 1, 2),
+       |t AS (SELECT user_id, p_us,
+       |    CAST($nTot AS BIGINT) AS n_tot,
+       |    CAST($nBands AS BIGINT) AS nb,
+       |    ${tsum("ccn")} AS a_t,
+       |    ${tsum("csn")} AS b_t,
+       |    ${tsum("ssn")} AS c_t,
+       |    ${tsum("xcn")} AS d_t,
+       |    ${tsum("xsn")} AS e_t,
+       |    ${tsum("xxn")} AS sst
+       |  FROM pv),
+       |p AS (SELECT user_id, p_us, n_tot, nb,
+       |    c_t*d_t*d_t - CAST(2.0 AS DOUBLE)*b_t*d_t*e_t + a_t*e_t*e_t
+       |      AS num_d,
+       |    (a_t*c_t - b_t*b_t) * sst AS den_d
+       |  FROM t),
+       |pw AS (SELECT user_id, p_us, n_tot, nb,
+       |    CASE WHEN den_d > CAST(0.0 AS DOUBLE)
+       |      THEN num_d / den_d END AS mb_power
+       |  FROM p),
+       |r AS (SELECT user_id, p_us, n_tot, nb, mb_power, ROW_NUMBER() OVER (
+       |    PARTITION BY user_id ORDER BY mb_power DESC, p_us) AS rn
+       |  FROM pw WHERE mb_power IS NOT NULL)
+       |SELECT user_id, nb AS n_bands, n_tot AS n_epochs,
+       |  p_us AS best_p_us, mb_power
+       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   /** Structure-function lag-bin width: 2 days in micros (the 30-day
@@ -3251,6 +3408,7 @@ object TimeSeries {
     "q_object_lookup_many" -> (qObjectLookupMany _),
     "q_lomb_scargle" -> (qLombScargle _),
     "q_lomb_scargle_band" -> (qLombScargleBand _),
+    "q_multiband_gls" -> (qMultibandGls _),
     "q_phase_coverage" -> (qPhaseCoverage _),
     "q_harmonic_fit" -> (qHarmonicFit _),
     "q_periodic_candidates" -> (qPeriodicCandidates _),
@@ -3302,6 +3460,7 @@ object TimeSeries {
     "q_object_lookup_many" -> qObjectLookupManySql,
     "q_lomb_scargle" -> qLombScargleSql,
     "q_lomb_scargle_band" -> qLombScargleBandSql,
+    "q_multiband_gls" -> qMultibandGlsSql,
     "q_beyond1std" -> qBeyond1stdSql,
     "q_rcs" -> qRcsSql,
     "q_max_slope" -> qMaxSlopeSql,

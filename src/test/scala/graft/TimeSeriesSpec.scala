@@ -1175,6 +1175,108 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_multiband_gls joins band evidence, punishes anti-phase, equals the recompute") {
+    import spark.implicits._
+    val q = queries.TimeSeries
+    val pStar = 24L * 3600000000L
+    val step = 7919000000L
+    def sine(t: Long, p: Long): Double =
+      math.sin(2.0 * math.Pi * (t % p).toDouble / p.toDouble)
+    // object 1: the SHARED-PHASE case — g and r pulse at the same
+    // 24 h period and phase, different amplitudes and means, each
+    // band too sparse (40 epochs) to matter alone vs the joint fit
+    // object 2: the ANTI-PHASE case — same period, g = -r: each band
+    // alone is a clean sinusoid, but no SHARED sinusoid fits both
+    // object 3: single-band — must degrade to the per-band GLS
+    val rows =
+      (0 until 40).map { i =>
+        val t = i.toLong * step
+        (1L, t, 700L + math.round(1000.0 * sine(t, pStar)), "g")
+      } ++ (0 until 40).map { i =>
+        val t = i.toLong * step + 987654L
+        (1L, t, 300L + math.round(400.0 * sine(t, pStar)), "r")
+      } ++ (0 until 120).map { i =>
+        val t = i.toLong * step
+        (2L, t, math.round(1000.0 * sine(t, pStar)), "g")
+      } ++ (0 until 120).map { i =>
+        val t = i.toLong * step
+        (2L, t, -math.round(1000.0 * sine(t, pStar)), "r")
+      } ++ (0 until 120).map { i =>
+        val t = i.toLong * step
+        (3L, t, math.round(1000.0 * sine(t, pStar)), "i")
+      }
+    val ser = rows.toDF("user_id", "tus", "xc", "band")
+    val got = q.multibandGlsOver(ser).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // shared phase: the joint fit dates the period with high power
+    assert(got(1L).getAs[Long]("best_p_us") == pStar, "shared-phase argmax")
+    // 40 epochs/band is deliberately sparse — the joint fit still
+    // scores ~0.85 where the thresholds below reject anti-phase at
+    // <0.2; headroom, not slack
+    assert(got(1L).getAs[Double]("mb_power") > 0.8, "shared-phase power")
+    assert(got(1L).getAs[Long]("n_bands") == 2L)
+    assert(got(1L).getAs[Long]("n_epochs") == 80L)
+    // anti-phase: each band alone scores ~1 at pStar, but the SHARED
+    // sinusoid explains (almost) nothing — the joint model must
+    // refuse what the per-band statistic would happily report
+    val perBand = q.lombScargleBandOver(ser).collect()
+      .filter(_.getLong(0) == 2L)
+      .map(r => r.getString(1) -> r).toMap
+    assert(perBand("g").getAs[Double]("ls_power") > 0.9)
+    assert(perBand("r").getAs[Double]("ls_power") > 0.9)
+    assert(got(2L).getAs[Double]("mb_power") < 0.2,
+      s"anti-phase joint power ${got(2L).getAs[Double]("mb_power")} not rejected")
+    // single-band object: the joint statistic degrades to that band's
+    // GLS (algebraically identical; IEEE paths differ only in the
+    // scale-invariant normalization, so compare to 1e-12 relative)
+    val solo = q.lombScargleBandOver(ser).collect()
+      .filter(_.getLong(0) == 3L).head
+    assert(got(3L).getAs[Long]("best_p_us") == solo.getAs[Long]("best_p_us"))
+    val (pm, ps) = (got(3L).getAs[Double]("mb_power"),
+      solo.getAs[Double]("ls_power"))
+    assert(math.abs(pm - ps) <= 1e-12 * math.max(pm.abs, ps.abs),
+      s"single-band degradation: joint $pm vs per-band $ps")
+    // brute-force recompute of the full fixed chain for object 1 at
+    // every grid period: quantized tables, int64 sums, normalized
+    // band terms in GlsBands order, the identical power formula
+    val ser1 = rows.filter(_._1 == 1L)
+    val powers = q.PeriodGridUs.flatMap { p =>
+      val byBand = ser1.groupBy(_._4).map { case (b, rs) =>
+        val cs = rs.map { case (_, t, x, _) =>
+          val bin = (((t % p) * q.LsBins) / p).toInt
+          (x, q.LsCosTab(bin), q.LsSinTab(bin))
+        }
+        val n = cs.length.toLong
+        val sx = cs.map(_._1).sum; val sxx = cs.map(c => c._1 * c._1).sum
+        val sc = cs.map(_._2).sum; val ss = cs.map(_._3).sum
+        val sxc = cs.map(c => c._1 * c._2).sum
+        val sxs = cs.map(c => c._1 * c._3).sum
+        val scc = cs.map(c => c._2 * c._2).sum
+        val sss = cs.map(c => c._3 * c._3).sum
+        val scs = cs.map(c => c._2 * c._3).sum
+        b -> Map(
+          "ccn" -> (n * scc - sc * sc), "ssn" -> (n * sss - ss * ss),
+          "csn" -> (n * scs - sc * ss), "xcn" -> (n * sxc - sx * sc),
+          "xsn" -> (n * sxs - sx * ss), "xxn" -> (n * sxx - sx * sx),
+          "n" -> n)
+      }
+      def tsum(stat: String): Double = q.GlsBands.map(b =>
+        byBand.get(b).map(m => m(stat).toDouble / m("n").toDouble)
+          .getOrElse(0.0)).reduceLeft(_ + _)
+      val (a, bb, c) = (tsum("ccn"), tsum("csn"), tsum("ssn"))
+      val (d, e, sst) = (tsum("xcn"), tsum("xsn"), tsum("xxn"))
+      val num = c * d * d - 2.0 * bb * d * e + a * e * e
+      val den = (a * c - bb * bb) * sst
+      if (den > 0.0) Some((p, num / den)) else None
+    }
+    val (bestP, bestPw) = powers.maxBy { case (p, pw) => (pw, -p) }
+    assert(bestP == pStar)
+    assert(got(1L).getAs[Double]("mb_power") == bestPw,
+      "engine joint power differs from the exact recompute chain")
+    assert(powers.forall { case (_, pw) => pw >= 0.0 && pw <= 1.0 + 1e-9 },
+      "joint power left [0,1]")
+  }
+
   test("q_harmonic_fit recovers a planted sinusoid's amplitude, mean, and coefficients") {
     import spark.implicits._
     val q = queries.TimeSeries
