@@ -222,6 +222,9 @@ object Bench {
     // novelty census (regresses if the join-back stops riding the
     // reduced postings-min frame)
     "q_ttr", "q_ngram_novelty",
+    // language-gate confusion matrix — one scorer scan + two tiny
+    // aggregates; regresses if the row totals stop broadcasting
+    "q_lang_confusion",
     "q_phase_coverage",
     // dedup threshold calibration sweep — regresses if the candidate
     // floor stops riding the df-capped index or the x10 explode

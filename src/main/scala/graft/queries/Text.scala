@@ -62,11 +62,15 @@ object Text {
     * are non-degenerate on the synthetic data; the operator shape —
     * per-language profile scores + deterministic argmax — is the real
     * deliverable. */
-  def qLangId(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The marker-word score columns + argmax CASE shared by
+    * [[qLangId]] (per-doc readout) and [[qLangConfusion]] (the
+    * per-pair eval rollup) — one copy, so detector text can never
+    * drift between the gate and its telemetry. */
+  private def langScored(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     def hits(words: String) =
       expr(s"size(filter(split(text, ' '), w -> w IN ($words)))")
-    Tables.documents(s, dir)
+    docs
       .select($"doc_id", $"lang",
         hits("'the', 'a'").as("s_en"),
         hits("'query', 'table'").as("s_fr"),
@@ -79,6 +83,11 @@ object Text {
           .when($"s_de" >= $"s_es" && $"s_de" >= $"s_zh", "de")
           .when($"s_es" >= $"s_zh", "es")
           .otherwise("zh"))
+  }
+
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    langScored(Tables.documents(s, dir))
       .withColumn("correct", when($"predicted" === $"lang", 1).otherwise(0))
       .orderBy($"doc_id")
   }
@@ -104,6 +113,56 @@ object Text {
        |  ${hits("'row', 'column'")} AS s_es,
        |  ${hits("'scan', 'merge'")} AS s_zh
        |FROM documents) t ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  /** Language-gate CONFUSION MATRIX — the eval telemetry that makes
+    * the q_lang_id heuristic deployable as a filter (the same
+    * recall-loop discipline the ANN family carries): per
+    * (label, predicted) pair the exact count and the label-row
+    * permille, so precision/recall/per-language failure modes read
+    * straight off the output. A gate whose confusion is not
+    * monitored silently changes the corpus mix when the detector or
+    * the data drifts.
+    *
+    * Scale shape: one document scan through the shared codegen
+    * scorer into ONE combinable (label, predicted) aggregate —
+    * ≤|langs|² cells; the row totals are a second aggregate OF that
+    * tiny frame, broadcast back. */
+  def qLangConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cnt = langScored(Tables.documents(s, dir))
+      .groupBy($"lang", $"predicted").agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy($"lang").agg(sum($"n").as("n_lang"))
+    cnt.join(broadcast(tot), Seq("lang"))
+      .withColumn("permille", expr("n * 1000 DIV n_lang"))
+      .orderBy($"lang", $"predicted")
+  }
+
+  val qLangConfusionSql: String = {
+    def hits(words: String) =
+      s"CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ($words))) AS INT)"
+    s"""WITH sc AS (SELECT doc_id, lang,
+       |  ${hits("'the', 'a'")} AS s_en,
+       |  ${hits("'query', 'table'")} AS s_fr,
+       |  ${hits("'group', 'order'")} AS s_de,
+       |  ${hits("'row', 'column'")} AS s_es,
+       |  ${hits("'scan', 'merge'")} AS s_zh
+       |FROM documents),
+       |p AS (SELECT lang,
+       |  CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+       |       WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+       |       WHEN s_de >= s_es AND s_de >= s_zh THEN 'de'
+       |       WHEN s_es >= s_zh THEN 'es'
+       |       ELSE 'zh' END AS predicted
+       |  FROM sc),
+       |c AS (SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2),
+       |tt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang
+       |  FROM c GROUP BY 1)
+       |SELECT lang, predicted, n, n_lang,
+       |  CAST(n * 1000 // n_lang AS BIGINT) AS permille
+       |FROM c JOIN tt USING (lang)
+       |ORDER BY lang, predicted""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -1413,6 +1472,7 @@ object Text {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ttr" -> (qTtr _),
+    "q_lang_confusion" -> (qLangConfusion _),
     "q_gini" -> (qGini _),
     "q_zipf" -> (qZipf _),
     "q_collocations" -> (qCollocations _),
@@ -1438,6 +1498,7 @@ object Text {
 
   val oracles: Map[String, String] = Map(
     "q_ttr" -> qTtrSql,
+    "q_lang_confusion" -> qLangConfusionSql,
     "q_gini" -> qGiniSql,
     "q_zipf" -> qZipfSql,
     "q_collocations" -> qCollocationsSql,

@@ -14,6 +14,30 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("q_lang_confusion aggregates exactly q_lang_id's per-doc verdicts") {
+    val perDoc = queries.Text.qLangId(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("predicted")))
+    val exp = perDoc.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rowTot = perDoc.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val got = queries.Text.qLangConfusion(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("predicted")) -> r)
+      .toMap
+    assert(got.keySet == exp.keySet)
+    for ((k, r) <- got) {
+      assert(r.getAs[Long]("n") == exp(k), s"count $k")
+      assert(r.getAs[Long]("n_lang") == rowTot(k._1), s"row total $k")
+      assert(r.getAs[Long]("permille") == exp(k) * 1000 / rowTot(k._1))
+    }
+    // the matrix must be a real confusion matrix at this corpus: some
+    // mass on the diagonal, some off it — otherwise the telemetry
+    // could never catch a drift in either direction
+    assert(exp.keys.exists(k => k._1 == k._2), "no diagonal mass")
+    assert(exp.keys.exists(k => k._1 != k._2), "no off-diagonal mass")
+    // row conservation: each label's cells sum to its doc count
+    for ((lang, tot) <- rowTot)
+      assert(exp.collect { case ((l, _), n) if l == lang => n }.sum == tot)
+  }
+
   test("q_ttr equals a driver recompute and the macro/micro means both carry") {
     val docs = Tables.documents(spark, sf)
       .select("source", "text").collect()
