@@ -131,8 +131,11 @@ object Text {
     * tiny frame, broadcast back. */
   def qLangConfusion(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // two consumers (cells + row totals) of one ≤|langs|²-row frame:
+    // pin it so the corpus is scored ONCE (the ks_drift convention)
     val cnt = langScored(Tables.documents(s, dir))
       .groupBy($"lang", $"predicted").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val tot = cnt.groupBy($"lang").agg(sum($"n").as("n_lang"))
     cnt.join(broadcast(tot), Seq("lang"))
       .withColumn("permille", expr("n * 1000 DIV n_lang"))
