@@ -59,9 +59,17 @@ object RankSplit {
     require(splits >= 2, "need at least 2 splits")
     val gCols = groupCols.map(col)
     val probes = (1 until splits).map(_.toDouble / splits)
+    // pin the split points: [[rank]] references the celled frame in
+    // two independent subplans (per-cell totals + the final rank
+    // join), and without the checkpoint each one re-runs this
+    // approx_percentile over the full input — measured 30-40% of
+    // q_weighted_median's whole cost at sf0.1 (r16). The frame is
+    // |groups| rows of one split array; the same non-replicated
+    // localCheckpoint trade q_ks_drift's histogram already documents.
     val sp = df.groupBy(gCols: _*).agg(
       expr(s"approx_percentile($cellCol, array(${probes.mkString(",")}))")
         .as("__sps"))
+      .localCheckpoint()
     // a NULL cell value would silently drop its row at the __cell
     // equi-joins below (NULL never equi-matches); fail loudly instead —
     // callers must coalesce/filter NULLs upstream, where the intended
