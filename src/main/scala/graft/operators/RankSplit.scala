@@ -66,6 +66,16 @@ object RankSplit {
     // q_weighted_median's whole cost at sf0.1 (r16). The frame is
     // |groups| rows of one split array; the same non-replicated
     // localCheckpoint trade q_ks_drift's histogram already documents.
+    // EAGER by design (the default): constructing any RankSplit-based
+    // DataFrame now runs the percentile job at plan-build time, which
+    // plan-only consumers (specs, Explain) also pay — accepted, both
+    // because lazy checkpoints can still double-compute under
+    // concurrent first actions and because a pinned split set also
+    // closes the latent hazard of the two subplans sampling DIFFERENT
+    // split points (approx_percentile is not guaranteed stable across
+    // recomputes; divergent cells would not break correctness — ranks
+    // compose per cell — but would skew the balance the splits exist
+    // to provide).
     val sp = df.groupBy(gCols: _*).agg(
       expr(s"approx_percentile($cellCol, array(${probes.mkString(",")}))")
         .as("__sps"))

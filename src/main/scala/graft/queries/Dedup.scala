@@ -2334,10 +2334,17 @@ object Dedup {
     * Scale shape: the gram stream is the bounded ×(tokens−W+1)
     * explode every fingerprint query already pays, deduplicated
     * in-expression per doc (array_distinct BEFORE the explode — no
-    * per-doc grouping); first-appearance is ONE combinable min
-    * aggregate on the gram key; the join back is gram-keyed against
-    * that reduced postings-min frame; the rollup is a |sources|-key
-    * aggregate. No all-pairs anything. */
+    * per-doc grouping), and it is traversed ONCE: the stream reduces
+    * combinably to a (gram, source) frame carrying each source's
+    * occurrence count and earliest doc (doc_id is globally unique, so
+    * exactly one source attains a gram's corpus-wide first doc); that
+    * REDUCED frame is localCheckpoint-pinned (it feeds both the
+    * per-gram min and the join probe — unpinned, Catalyst would
+    * re-run the whole explode per subplan, the RankSplit lesson) and
+    * everything after — the first-doc min, the gram-keyed join, the
+    * |sources|-key rollup — runs on reduced frames. No per-gram
+    * window (a boilerplate gram's posting list would hot-key it), no
+    * all-pairs anything. */
   def qNgramNovelty(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val grams = Tables.documents(s, dir)
@@ -2347,18 +2354,21 @@ object Dedup {
       .select($"doc_id", $"source", explode(expr(
         s"array_distinct(transform(sequence(0, size(toks) - $NovW), " +
           s"i -> md5(array_join(slice(toks, i + 1, $NovW), ' '))))")).as("fp"))
-    val first = grams.groupBy($"fp").agg(min($"doc_id").as("first_doc"))
-    grams.join(first, Seq("fp"))
+    val bySrc = grams.groupBy($"fp", $"source")
+      .agg(count(lit(1)).as("n_occ"), min($"doc_id").as("min_doc"))
+      .localCheckpoint()
+    val first = bySrc.groupBy($"fp").agg(min($"min_doc").as("first_doc"))
+    bySrc.join(first, Seq("fp"))
       .groupBy($"source")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when($"doc_id" === $"first_doc", 1L).otherwise(0L))
+      .agg(sum($"n_occ").as("n_grams"),
+        sum(when($"min_doc" === $"first_doc", 1L).otherwise(0L))
           .as("n_novel"))
       .withColumn("novelty_permille", expr("n_novel * 1000 DIV n_grams"))
       .orderBy($"source")
   }
 
-  /** Oracle twin: list_distinct window digests, identical min-postings
-    * novelty rule. */
+  /** Oracle twin: list_distinct window digests, the identical
+    * (gram, source)-reduced first-appearance rule. */
   val qNgramNoveltySql: String =
     s"""WITH t AS (SELECT doc_id, source,
        |    list_filter(string_split(text, ' '), x -> x != '') AS toks
@@ -2368,13 +2378,16 @@ object Dedup {
        |      range(len(toks) - ${NovW - 1}),
        |      i -> md5(array_to_string(toks[i + 1:i + $NovW], ' '))))) AS fp
        |  FROM t WHERE len(toks) >= $NovW),
-       |f AS (SELECT fp, MIN(doc_id) AS first_doc FROM g GROUP BY 1)
-       |SELECT source, COUNT(*) AS n_grams,
-       |  CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+       |bs AS (SELECT fp, source, COUNT(*) AS n_occ,
+       |    MIN(doc_id) AS min_doc
+       |  FROM g GROUP BY 1, 2),
+       |f AS (SELECT fp, MIN(min_doc) AS first_doc FROM bs GROUP BY 1)
+       |SELECT source, CAST(SUM(n_occ) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN min_doc = first_doc THEN 1 ELSE 0 END)
        |    AS BIGINT) AS n_novel,
-       |  CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) * 1000
-       |    // COUNT(*) AS BIGINT) AS novelty_permille
-       |FROM g JOIN f USING (fp)
+       |  CAST(SUM(CASE WHEN min_doc = first_doc THEN 1 ELSE 0 END) * 1000
+       |    // SUM(n_occ) AS BIGINT) AS novelty_permille
+       |FROM bs JOIN f USING (fp)
        |GROUP BY 1 ORDER BY source""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -92,28 +92,34 @@ object Text {
       .orderBy($"doc_id")
   }
 
-  val qLangIdSql: String = {
+  /** ONE SQL copy of the detector — the marker-word score columns and
+    * the argmax CASE — interpolated by BOTH [[qLangIdSql]] and
+    * [[qLangConfusionSql]], mirroring the Spark-side [[langScored]]
+    * factoring: the gate and its telemetry can never measure
+    * different detectors on either engine. */
+  private val langScoreColsSql: String = {
     def hits(words: String) =
       s"CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ($words))) AS INT)"
-    s"""SELECT doc_id, lang, s_en, s_fr, s_de, s_es, s_zh,
-       |  CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en >= s_zh THEN 'en'
-       |       WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
-       |       WHEN s_de >= s_es AND s_de >= s_zh THEN 'de'
-       |       WHEN s_es >= s_zh THEN 'es'
-       |       ELSE 'zh' END AS predicted,
-       |  CAST(CASE WHEN (CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en >= s_zh THEN 'en'
-       |       WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
-       |       WHEN s_de >= s_es AND s_de >= s_zh THEN 'de'
-       |       WHEN s_es >= s_zh THEN 'es'
-       |       ELSE 'zh' END) = lang THEN 1 ELSE 0 END AS INT) AS correct
-       |FROM (SELECT doc_id, lang,
-       |  ${hits("'the', 'a'")} AS s_en,
+    s"""${hits("'the', 'a'")} AS s_en,
        |  ${hits("'query', 'table'")} AS s_fr,
        |  ${hits("'group', 'order'")} AS s_de,
        |  ${hits("'row', 'column'")} AS s_es,
-       |  ${hits("'scan', 'merge'")} AS s_zh
-       |FROM documents) t ORDER BY doc_id""".stripMargin
+       |  ${hits("'scan', 'merge'")} AS s_zh""".stripMargin
   }
+  private val langCaseSql: String =
+    """CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+      |       WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+      |       WHEN s_de >= s_es AND s_de >= s_zh THEN 'de'
+      |       WHEN s_es >= s_zh THEN 'es'
+      |       ELSE 'zh' END""".stripMargin
+
+  val qLangIdSql: String =
+    s"""SELECT doc_id, lang, s_en, s_fr, s_de, s_es, s_zh,
+       |  $langCaseSql AS predicted,
+       |  CAST(CASE WHEN ($langCaseSql) = lang THEN 1 ELSE 0 END AS INT) AS correct
+       |FROM (SELECT doc_id, lang,
+       |  $langScoreColsSql
+       |FROM documents) t ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
   /** Language-gate CONFUSION MATRIX — the eval telemetry that makes
@@ -143,21 +149,11 @@ object Text {
   }
 
   val qLangConfusionSql: String = {
-    def hits(words: String) =
-      s"CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ($words))) AS INT)"
     s"""WITH sc AS (SELECT doc_id, lang,
-       |  ${hits("'the', 'a'")} AS s_en,
-       |  ${hits("'query', 'table'")} AS s_fr,
-       |  ${hits("'group', 'order'")} AS s_de,
-       |  ${hits("'row', 'column'")} AS s_es,
-       |  ${hits("'scan', 'merge'")} AS s_zh
+       |  $langScoreColsSql
        |FROM documents),
        |p AS (SELECT lang,
-       |  CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es AND s_en >= s_zh THEN 'en'
-       |       WHEN s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
-       |       WHEN s_de >= s_es AND s_de >= s_zh THEN 'de'
-       |       WHEN s_es >= s_zh THEN 'es'
-       |       ELSE 'zh' END AS predicted
+       |  $langCaseSql AS predicted
        |  FROM sc),
        |c AS (SELECT lang, predicted, COUNT(*) AS n FROM p GROUP BY 1, 2),
        |tt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang

@@ -27,7 +27,23 @@ object TimeSeries {
   /** 30-day synthetic window → 6h session gap gives multi-event sessions. */
   private val SessionGapUs = 6L * 3600 * 1000 * 1000
 
-  /** events projected to the light-curve columns, value in exact c100. */
+  /** events projected to the light-curve columns, value in exact c100.
+    *
+    * NULL-key policy (r16 review): the per-object EXPORT and
+    * PERIOD-SEARCH entries exclude anonymous (null user_id) events
+    * explicitly at their own definitions (lightcurvePack,
+    * lsSufFrameBy) — a null-keyed group is not a light curve, and its
+    * row sits on the Spark-NULLS-FIRST vs DuckDB-NULLS-LAST ordering
+    * split. The REMAINING per-object family deliberately keeps the
+    * raw projection: the synthetic corpus carries ZERO null user_ids
+    * at every SF (so behavior is identical and the oracles, which
+    * have no WHERE, stay symmetric), and several sibling queries over
+    * events (sessionize, time buckets, event_json) are event-level
+    * censuses where dropping anonymous events would be wrong. If the
+    * corpus ever grows null user_ids, parity fails LOUDLY on row
+    * count for any query whose two sides disagree — the fix then is
+    * a filter here plus WHERE user_id IS NOT NULL in the per-object
+    * oracles, never a silent ordering accommodation. */
   private[graft] def series(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir).select(
