@@ -49,6 +49,30 @@ class DedupAnnSpec extends AnyFunSuite {
       "no repeated gram anywhere — novelty census is vacuous here")
   }
 
+  test("q_ngram_novelty plan: the gram explode runs once (pinned reduced frame)") {
+    // the r16 review finding: the gram stream fed two independent
+    // subplans and the md5-window explode ran twice; after the
+    // (gram, source) reduction + pin, the whole plan holds at most
+    // one Generate and reads documents at most once — the checkpoint
+    // replaces the second traversal with an ExistingRDD scan
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = queries.Dedup.qNgramNovelty(spark, sf)
+        .queryExecution.executedPlan
+      val generates = plan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      assert(generates.isEmpty,
+        s"the explode must live behind the checkpoint (ExistingRDD), got ${generates.size}:\n$plan")
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.isEmpty,
+        s"documents must be read once at checkpoint time, got ${scans.size} in-plan scans")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("spanDedup counts offset-shifted copied passages that line dedup misses") {
     import spark.implicits._
     val W = queries.Dedup.SpanW

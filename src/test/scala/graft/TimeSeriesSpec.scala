@@ -1175,6 +1175,34 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("r16 band features cost exactly ONE data shuffle each (plan-shape pin)") {
+    // the scale property the bench comments promise: windows, flags,
+    // and the final aggregate all ride one (object, band) hash
+    // exchange; a second data exchange appearing between window and
+    // aggregate is the regression these entries exist to catch. The
+    // presentation orderBy adds one RANGE exchange — excluded by the
+    // partitioning check.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for ((name, fn) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+        ("q_beyond1std", queries.TimeSeries.qBeyond1std),
+        ("q_rcs", queries.TimeSeries.qRcs),
+        ("q_max_slope", queries.TimeSeries.qMaxSlope),
+        ("q_flux_ratio", queries.TimeSeries.qFluxRatio))) {
+        val plan = fn(spark, sf).queryExecution.executedPlan
+        val hashShuffles = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+        }
+        assert(hashShuffles.size == 1,
+          s"$name must cost exactly one (object, band) hash shuffle, " +
+            s"got ${hashShuffles.size}:\n$plan")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("q_multiband_gls joins band evidence, punishes anti-phase, equals the recompute") {
     import spark.implicits._
     val q = queries.TimeSeries
