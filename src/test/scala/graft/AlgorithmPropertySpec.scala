@@ -210,4 +210,76 @@ class AlgorithmPropertySpec extends AnyFunSuite {
     assert(fps >= grams / (2 * 4), s"too few fingerprints: $fps of $grams grams")
     assert(fps <= grams, s"more fingerprints than grams")
   }
+
+  test("multiband GLS on seeded random series: power in [0,1], equals the fixed-chain recompute") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val q = queries.TimeSeries
+    val prng = new scala.util.Random(1123)
+    // arbitrary (not sinusoidal) integer series over random band
+    // subsets and random irregular cadence — the property is the
+    // ALGEBRA (power is a normalized variance fraction in [0,1] and
+    // the engine chain is bit-equal to the reference recompute), not
+    // signal recovery
+    val rows = (1L to 12L).flatMap { uid =>
+      val bands = prng.shuffle(q.GlsBands).take(1 + prng.nextInt(5))
+      bands.flatMap { b =>
+        val n = 5 + prng.nextInt(60)
+        (0 until n).map { _ =>
+          (uid, math.abs(prng.nextLong()) % (30L * 86400000000L),
+            (prng.nextInt(20001) - 10000).toLong, b)
+        }
+      }
+    }
+    val ser = rows.toSeq.toDF("user_id", "tus", "xc", "band")
+    val got = q.multibandGlsOver(ser).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def recompute(uid: Long): Seq[(Long, Double)] = {
+      val mine = rows.filter(_._1 == uid)
+      q.PeriodGridUs.flatMap { p =>
+        val byBand = mine.groupBy(_._4).map { case (b, rs) =>
+          val cs = rs.map { case (_, t, x, _) =>
+            val bin = (((t % p) * q.LsBins) / p).toInt
+            (x, q.LsCosTab(bin), q.LsSinTab(bin))
+          }
+          val n = cs.length.toLong
+          val sx = cs.map(_._1).sum; val sxx = cs.map(c => c._1 * c._1).sum
+          val sc = cs.map(_._2).sum; val ss = cs.map(_._3).sum
+          val sxc = cs.map(c => c._1 * c._2).sum
+          val sxs = cs.map(c => c._1 * c._3).sum
+          val scc = cs.map(c => c._2 * c._2).sum
+          val sss = cs.map(c => c._3 * c._3).sum
+          val scs = cs.map(c => c._2 * c._3).sum
+          b -> Map(
+            "ccn" -> (n * scc - sc * sc), "ssn" -> (n * sss - ss * ss),
+            "csn" -> (n * scs - sc * ss), "xcn" -> (n * sxc - sx * sc),
+            "xsn" -> (n * sxs - sx * ss), "xxn" -> (n * sxx - sx * sx),
+            "n" -> n)
+        }
+        def tsum(stat: String): Double = q.GlsBands.map(b =>
+          byBand.get(b).map(m => m(stat).toDouble / m("n").toDouble)
+            .getOrElse(0.0)).reduceLeft(_ + _)
+        val (a, bb, c) = (tsum("ccn"), tsum("csn"), tsum("ssn"))
+        val (d, e, sst) = (tsum("xcn"), tsum("xsn"), tsum("xxn"))
+        val num = c * d * d - 2.0 * bb * d * e + a * e * e
+        val den = (a * c - bb * bb) * sst
+        if (den > 0.0) Some((p, num / den)) else None
+      }
+    }
+    var checked = 0
+    for (uid <- 1L to 12L) {
+      val powers = recompute(uid)
+      if (powers.isEmpty) assert(!got.contains(uid), s"degenerate $uid kept")
+      else {
+        val (bestP, bestPw) = powers.maxBy { case (p, pw) => (pw, -p) }
+        assert(powers.forall { case (_, pw) => pw >= 0.0 && pw <= 1.0 + 1e-9 },
+          s"power left [0,1] for $uid: ${powers.filter(t => t._2 < 0 || t._2 > 1 + 1e-9)}")
+        assert(got(uid).getAs[Long]("best_p_us") == bestP, s"argmax $uid")
+        assert(got(uid).getAs[Double]("mb_power") == bestPw,
+          s"power mismatch $uid (engine ${got(uid).getAs[Double]("mb_power")} vs $bestPw)")
+        checked += 1
+      }
+    }
+    assert(checked >= 10, s"only $checked non-degenerate objects — fixture too weak")
+  }
 }
