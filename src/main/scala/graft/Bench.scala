@@ -213,6 +213,10 @@ object Bench {
     // the joint multiband statistic — regresses if the pivot ever
     // becomes a join or the band sums leave the reduced frame
     "q_multiband_gls",
+    // BLS transit search — the same x16 explode with a 35-column
+    // conditional pivot aggregate; regresses if the window argmax
+    // (one greatest over 48 structs) ever becomes a join or window
+    "q_bls",
     // r16 variability features — each ONE (object, band) shuffle
     // shared by its windows and final aggregate; regress if a second
     // exchange ever appears between window and aggregate
@@ -283,7 +287,14 @@ object Bench {
     "q_blob_meta", "q_blob_features", "q_blob_framesample", "q_blob_dedup",
     "q_sketch_distinct", "q_sketch_quantile",
     "q_profile", "q_constraints",
-    "q_rfm", "q_cohort_ltv", "q_audience_overlap", "q_sequence_match")
+    "q_rfm", "q_cohort_ltv", "q_audience_overlap", "q_sequence_match",
+    // round-16 continuation: Q13/Q11 report shapes (regress if the
+    // outer-join filter slides into a WHERE or the global scalar
+    // stops broadcasting), the post-dedup survivor census, and the
+    // MOPS tracklet census (regresses if the pair stage stops riding
+    // the zone grid)
+    "q_order_count_dist", "q_global_share", "q_dedup_survivors",
+    "q_tracklets")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

@@ -1148,7 +1148,95 @@ object CoreOlap {
       |    AS BIGINT) AS p90_pc
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Customer order-count distribution (the TPC-H Q13 shape — the one
+    * report pattern §2-A still lacked): LEFT outer join so ZERO-order
+    * customers are first-class (an inner join silently drops the most
+    * interesting bucket), a join-side predicate (non-urgent orders
+    * only) that must stay in the JOIN CONDITION (in a WHERE it would
+    * turn the outer join back into an inner one), then the two-level
+    * aggregate — per customer count, then the count-of-counts.
+    *
+    * Scale shape: the outer join shuffles both sides on the customer
+    * key; the first aggregate groups by that SAME key, so Catalyst
+    * reuses the join's partitioning (one exchange each side, none
+    * between join and aggregate — spec-pinned); the second aggregate
+    * runs on the |distinct counts|-row reduced frame. */
+  def qOrderCountDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir).select($"c_custkey")
+    val ord = Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderpriority")
+    cust.join(ord,
+        $"c_custkey" === $"o_custkey" &&
+          $"o_orderpriority" =!= "1-URGENT", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val qOrderCountDistSql: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY 1)
+      |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Above-average parts by revenue share (the TPC-H Q11 shape — a
+    * per-group aggregate HAVING-compared against a GLOBAL scalar
+    * aggregate): parts whose discounted revenue exceeds the corpus
+    * mean, with the share in exact integer ppm. Revenue reduces to
+    * exact cents·10⁴ per part first; the global total and part count
+    * are then a second aggregate OF that reduced frame, re-attached
+    * as a broadcast 1-row cross join (never a constant-key window —
+    * the house discipline), and both the above-mean predicate
+    * (rev·n_parts > total) and the ppm share run in decimal(38,0)/
+    * HUGEINT so no revenue scale can overflow them; only exact
+    * integers are emitted.
+    *
+    * Scale shape: ONE part-key combinable shuffle over lineitem;
+    * everything after lives on the |parts| frame with a broadcast
+    * scalar — the filter can't be pushed below the aggregate (it
+    * depends on the total), but it prunes before the presentation
+    * sort. */
+  def qGlobalShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey")
+      .agg(sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount")
+        * 10000).cast("long")).as("rev_c"))
+    val glob = rev.agg(sum($"rev_c").as("tot_c"),
+      count(lit(1)).as("n_parts"))
+    rev.crossJoin(broadcast(glob))
+      .filter(expr("CAST(rev_c AS DECIMAL(38,0)) * n_parts") >
+        expr("CAST(tot_c AS DECIMAL(38,0))"))
+      .select($"l_partkey", $"rev_c",
+        expr("CAST(CAST(rev_c AS DECIMAL(38,0)) * 1000000" +
+          " DIV tot_c AS BIGINT)").as("share_ppm"))
+      .orderBy($"rev_c".desc, $"l_partkey")
+  }
+
+  val qGlobalShareSql: String =
+    """WITH rev AS (SELECT l_partkey,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000)
+      |      AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM lineitem GROUP BY 1),
+      |tots AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS tot_c,
+      |    COUNT(*) AS n_parts FROM rev)
+      |SELECT l_partkey, rev_c,
+      |  CAST(CAST(rev_c AS HUGEINT) * 1000000 // tot_c AS BIGINT)
+      |    AS share_ppm
+      |FROM rev CROSS JOIN tots
+      |WHERE CAST(rev_c AS HUGEINT) * n_parts > CAST(tot_c AS HUGEINT)
+      |ORDER BY rev_c DESC, l_partkey""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_order_count_dist" -> (qOrderCountDist _),
+    "q_global_share" -> (qGlobalShare _),
     "q_nullsafe_join" -> (qNullsafeJoin _),
     "q_benford" -> (qBenford _),
     "q_percentile_disc" -> (qPercentileDisc _),
@@ -1186,6 +1274,8 @@ object CoreOlap {
     "q_asof_join" -> (qAsofJoin _))
 
   val oracles: Map[String, String] = Map(
+    "q_order_count_dist" -> qOrderCountDistSql,
+    "q_global_share" -> qGlobalShareSql,
     "q_nullsafe_join" -> qNullsafeJoinSql,
     "q_benford" -> qBenfordSql,
     "q_percentile_disc" -> qPercentileDiscSql,

@@ -1180,6 +1180,79 @@ object Dedup {
        |    AS docs_milli
        |FROM d CROSS JOIN tot ORDER BY cluster_size""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Post-dedup SURVIVOR census per source — the "what does the
+    * cleaned corpus look like" report a dedup run ends with (the
+    * keep-one-per-cluster decision [[qDedupClusters]] labels but
+    * never executes): the survivor of each near-dup cluster is its
+    * min-id member (the cluster LABEL, by construction of the
+    * min-label CC engine — the same lowest-id-wins rule q_semdedup
+    * and the span store use), singletons survive trivially; per
+    * source, total docs/chars, kept docs/chars, and the kept share
+    * in exact integer permille — the number that says which sources
+    * shrink when near-dups collapse.
+    *
+    * Scale shape: composes the CC engine's corpus-sized label frame
+    * with ONE doc-key equi-join back to (source, n_chars) and one
+    * combinable |sources|-key aggregate; survivorship is the per-row
+    * predicate label = doc_id — no new pair work, no window. */
+  def qDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars")
+    val lab = qDedupClusters(s, dir).select($"doc_id", $"cluster_id")
+    docs.join(lab, Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("chars_total"),
+        sum(when($"doc_id" === $"cluster_id", 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when($"doc_id" === $"cluster_id", $"n_chars").otherwise(0L))
+          .as("chars_kept"))
+      .select($"source", $"n_docs", $"chars_total", $"n_kept",
+        $"chars_kept",
+        expr("n_kept * 1000 DIV n_docs").as("kept_milli"),
+        expr("chars_kept * 1000 DIV chars_total").as("chars_kept_milli"))
+      .orderBy($"source")
+  }
+
+  /** Oracle twin: the cluster CTEs + the survivor predicate + one
+    * source aggregate. */
+  val qDedupSurvivorsSql: String =
+    s"""WITH RECURSIVE
+       |g AS ($gramRowsSql),
+       |n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+       |gf AS (SELECT doc_id, gram FROM (
+       |        SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df FROM g)
+       |       WHERE df <= $GramDfCap),
+       |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+       |      FROM gf a JOIN gf b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2),
+       |jp AS (SELECT d1, d2
+       |       FROM p JOIN n na ON p.d1 = na.doc_id JOIN n nb ON p.d2 = nb.doc_id
+       |       WHERE inter * 2 >= na.ng + nb.ng - inter),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM jp
+       |          UNION ALL SELECT d2, d1 FROM jp),
+       |reach(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM edges e JOIN reach r ON r.node = e.src),
+       |lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+       |agg AS (SELECT d.source, COUNT(*) AS n_docs,
+       |    CAST(SUM(d.n_chars) AS BIGINT) AS chars_total,
+       |    CAST(SUM(CASE WHEN lab.cluster_id = d.doc_id THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_kept,
+       |    CAST(SUM(CASE WHEN lab.cluster_id = d.doc_id THEN d.n_chars
+       |      ELSE 0 END) AS BIGINT) AS chars_kept
+       |  FROM documents d JOIN lab ON lab.doc_id = d.doc_id
+       |  GROUP BY 1)
+       |SELECT source, n_docs, chars_total, n_kept, chars_kept,
+       |  CAST(n_kept * 1000 // n_docs AS BIGINT) AS kept_milli,
+       |  CAST(chars_kept * 1000 // chars_total AS BIGINT)
+       |    AS chars_kept_milli
+       |FROM agg ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Graph-motif statistics of the near-dup pair graph: nodes, edges,
     * wedges (open 2-paths), triangles, and the global clustering
     * coefficient ×1000 — the telemetry a dedup pipeline reads to judge
@@ -2405,6 +2478,7 @@ object Dedup {
     "q_dedup_embedding" -> (qDedupEmbedding _),
     "q_edit_dist_pairs" -> (qEditDistPairs _),
     "q_dedup_clusters" -> (qDedupClusters _),
+    "q_dedup_survivors" -> (qDedupSurvivors _),
     "q_triangles" -> (qTriangles _),
     "q_pagerank" -> (qPageRank _),
     "q_pipeline_clean" -> (qPipelineClean _),
@@ -2423,6 +2497,7 @@ object Dedup {
     "q_dedup_lsh_pairs" -> qDedupLshPairsSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_dedup_survivors" -> qDedupSurvivorsSql,
     "q_triangles" -> qTrianglesSql,
     "q_pagerank" -> qPageRankSql,
     "q_dedup_exact" -> qDedupExactSql,

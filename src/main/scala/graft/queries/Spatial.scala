@@ -458,6 +458,91 @@ object Spatial {
        |ORDER BY det_k""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Maximum apparent sky motion (degrees per night) a tracklet may
+    * span — the MOPS linking window. */
+  private[graft] val TrackRateDeg = 2.0
+
+  /** Moving-object TRACKLET census — the solar-system pipeline's
+    * first step (LSST's MOPS: link next-night transient pairs into
+    * tracklets before orbit fitting), and the query that composes the
+    * two halves of the nightly cycle this module already owns: the
+    * TRANSIENT set is [[qXmatchUnmatched]]'s (detections matching no
+    * object within 1°, the same lossless-grid anti join), nights are
+    * the lifecycle's `det_k mod AssocBatches` batches, and a tracklet
+    * candidate is a (night b, night b+1) transient pair within
+    * [[TrackRateDeg]] of sky motion (Δt = 1 night, so the separation
+    * IS the rate in deg/night). Per night-from: tracklet count,
+    * distinct from/to endpoints, min/max rate, and an order-free
+    * content pin — dist_r6 is already rounded to 10⁻⁶, so its
+    * ×10⁶ integer SUM is exact and reduction-order-proof (a raw
+    * double sum would drift by summation order). Nights with zero
+    * tracklets survive via the literal-nights LEFT join (the
+    * q_transient_rate zero-fill discipline).
+    *
+    * Scale shape: one spatial grid pass for the transient set (the
+    * association's own), ONE more for the pair candidates — the
+    * night predicate rides that same grid join as a post-filter
+    * (a per-night grid would re-scan the transient table per night;
+    * the discarded same/backward-night candidates are a bounded ≤3×
+    * of the kept ones). The distinct counts run on the tracklet
+    * sliver, the zero-fill on a |nights|-row literal. */
+  def qTracklets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val det = detections(s, dir)
+    val matched = gridCandidates(det.withColumnRenamed("det_k", "k"),
+      points(s, dir), 1.0)
+      .select($"k1".as("det_k")).distinct()
+    val tr = det.join(matched, Seq("det_k"), "left_anti")
+      .select($"det_k".as("k"), $"ra", $"decl")
+    val cand = gridCandidates(tr, tr, TrackRateDeg)
+      .withColumn("night_from", pmod($"k1", lit(AssocBatches)).cast("long"))
+      .filter(pmod($"k2", lit(AssocBatches)).cast("long") ===
+        $"night_from" + 1)
+    val agg = cand.groupBy($"night_from")
+      .agg(count(lit(1)).as("n_tracklets"),
+        countDistinct($"k1").as("n_from"),
+        countDistinct($"k2").as("n_to"),
+        min($"dist_r6").as("min_rate_deg"),
+        max($"dist_r6").as("max_rate_deg"),
+        sum(round($"dist_r6" * 1000000).cast("long")).as("sum_rate_u6"))
+    s.range(0, (AssocBatches - 1).toLong).toDF("night_from")
+      .join(agg, Seq("night_from"), "left")
+      .na.fill(0L, Seq("n_tracklets", "n_from", "n_to", "sum_rate_u6"))
+      .orderBy($"night_from")
+  }
+
+  /** Oracle twin: the transient NOT EXISTS + a brute-force
+    * consecutive-night pair join under the identical haversine tree,
+    * zero-filled from a literal nights relation. Lazy because
+    * [[AssocBatches]] is declared further down the object — a strict
+    * val here would splice its pre-init 0 into the SQL. */
+  lazy val qTrackletsSql: String =
+    s"""WITH d AS ($detectionsSql),
+       |o AS ($pointsSql),
+       |tr AS (SELECT det_k, ra, decl, det_k % $AssocBatches AS night
+       |  FROM d WHERE NOT EXISTS (
+       |    SELECT 1 FROM o
+       |    WHERE ROUND(${distDegSql("d.ra", "d.decl", "o.ra", "o.decl")}, 6) < 1.0)),
+       |pr AS (SELECT a.night AS night_from, a.det_k AS k1, b.det_k AS k2,
+       |    ROUND(${distDegSql("a.ra", "a.decl", "b.ra", "b.decl")}, 6) AS dist_r6
+       |  FROM tr a JOIN tr b ON b.night = a.night + 1),
+       |fl AS (SELECT * FROM pr WHERE dist_r6 < $TrackRateDeg),
+       |ag AS (SELECT night_from, COUNT(*) AS n_tracklets,
+       |    COUNT(DISTINCT k1) AS n_from, COUNT(DISTINCT k2) AS n_to,
+       |    MIN(dist_r6) AS min_rate_deg, MAX(dist_r6) AS max_rate_deg,
+       |    CAST(SUM(CAST(ROUND(dist_r6*1000000) AS BIGINT)) AS BIGINT)
+       |      AS sum_rate_u6
+       |  FROM fl GROUP BY 1),
+       |nights AS (SELECT t.range AS night_from
+       |  FROM range(${AssocBatches - 1}) t)
+       |SELECT night_from, COALESCE(n_tracklets, 0) AS n_tracklets,
+       |  COALESCE(n_from, 0) AS n_from, COALESCE(n_to, 0) AS n_to,
+       |  min_rate_deg, max_rate_deg,
+       |  COALESCE(sum_rate_u6, 0) AS sum_rate_u6
+       |FROM nights LEFT JOIN ag USING (night_from)
+       |ORDER BY night_from""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Flux-bin width (cents) of the completeness curve. */
   private val ComplBinC100 = 5000000L
 
@@ -2093,6 +2178,7 @@ object Spatial {
     "q_zone_xmatch" -> (qZoneXmatch _),
     "q_xmatch_2cat" -> (qXmatch2cat _),
     "q_xmatch_unmatched" -> (qXmatchUnmatched _),
+    "q_tracklets" -> (qTracklets _),
     "q_spatial_density" -> (qSpatialDensity _),
     "q_nearest_nbr" -> (qNearestNbr _),
     "q_knn3" -> (qKnn3 _),
@@ -2118,6 +2204,7 @@ object Spatial {
     "q_zone_xmatch" -> qZoneXmatchSql,
     "q_xmatch_2cat" -> qXmatch2catSql,
     "q_xmatch_unmatched" -> qXmatchUnmatchedSql,
+    "q_tracklets" -> qTrackletsSql,
     "q_spatial_density" -> qSpatialDensitySql,
     "q_nearest_nbr" -> qNearestNbrSql,
     "q_knn3" -> qKnn3Sql,

@@ -1311,6 +1311,146 @@ object TimeSeries {
   }
 
   // ---------------------------------------------------------------
+  /** Phase bins and maximum box width (in bins) of the BLS search:
+    * 16 bins resolve transits down to 1/16 of the period; widths
+    * 1–3 cover fractional durations 6–19% — the planet/eclipse range
+    * the published algorithm targets. */
+  private[graft] val BlsBins = 16
+  private[graft] val BlsMaxW = 3
+
+  /** Box-least-squares transit search (Kovács, Zucker & Mazeh 2002)
+    * over the fixed [[PeriodGridUs]] grid — the THIRD period-finding
+    * family beside [[qPeriodogram]]'s PDM (step-binning) and
+    * [[qLombScargle]]'s GLS (sinusoid): BLS fits a two-level box —
+    * a flat baseline with one contiguous low (or high) phase window —
+    * so it finds the eclipses and transits a sinusoid model smears.
+    * Per (object, trial period): phase quantized to [[BlsBins]]
+    * integer bins, per-bin count and exact-cent flux sum folded as
+    * 2·[[BlsBins]] CONDITIONAL integer aggregates of ONE combinable
+    * (object, period) shuffle (the [[qMultibandGls]] pivot idiom —
+    * never a per-bin key join); every circular box window (start s,
+    * width w ≤ [[BlsMaxW]]) is then a fixed integer expression over
+    * those columns. The explained-variance ratio of the two-level fit
+    * reduces to P = D² / (n_W·(n−n_W)·XXn) with D = n·s_W − n_W·Σx
+    * and XXn = n·Σx² − (Σx)² — all EXACT int64 under the GLS
+    * precondition n·|x|max < 3·10⁹ — evaluated as ONE fixed IEEE
+    * chain, so P ∈ [0,1] hashes bit-exact cross-engine. Degenerate
+    * windows (empty, full, or zero flux variance) carry a −1 sentinel
+    * and can never win; the per-row window argmax is a single
+    * `greatest` over the 48 window structs (ties → lowest start,
+    * then narrowest), the per-object argmax one combinable
+    * max(struct) over the |objects|×16 reduced frame (ties → shortest
+    * period). Output: best period, window start/width, power, and the
+    * box depth (in-window mean − out-of-window mean, c100 — negative
+    * = a transit-like dip) as the same fixed IEEE chain.
+    *
+    * Scale shape: identical to the GLS — a constant ×16 grid explode,
+    * one combinable wide aggregate (35 int64 columns), then per-row
+    * expressions and an argmax on the reduced frame. No joins, no
+    * windows over raw rows, nothing driver-side. */
+  def qBls(s: SparkSession, dir: String): DataFrame =
+    blsOver(series(s, dir))
+
+  /** Plan body over any (user_id, tus, xc) series frame — factored so
+    * the spec can drive a planted transit through the real plan. */
+  private[graft] def blsOver(ser: DataFrame): DataFrame = {
+    val s = ser.sparkSession
+    import s.implicits._
+    val nb = BlsBins
+    val binned = ser
+      .filter($"user_id".isNotNull)
+      .withColumn("p_us", explode(typedLit(PeriodGridUs)))
+      .withColumn("b", expr(s"((tus % p_us) * $nb) DIV p_us").cast("int"))
+    val aggCols = Seq(
+      count(lit(1)).as("n"), sum($"xc").as("sx"),
+      sum($"xc" * $"xc").as("sxx")) ++
+      (0 until nb).flatMap(i => Seq(
+        sum(when($"b" === i, 1L).otherwise(0L)).as(s"nb$i"),
+        sum(when($"b" === i, $"xc").otherwise(0L)).as(s"sb$i")))
+    val cells = binned.groupBy($"user_id", $"p_us")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("xxn", $"n" * $"sxx" - $"sx" * $"sx")
+    val wins = for { w <- 1 to BlsMaxW; st <- 0 until nb } yield {
+      val nw = (0 until w).map(o => col(s"nb${(st + o) % nb}"))
+        .reduce(_ + _)
+      val sw = (0 until w).map(o => col(s"sb${(st + o) % nb}"))
+        .reduce(_ + _)
+      val d = $"n" * sw - nw * $"sx"
+      val power = when(nw > lit(0L) && nw < $"n" && $"xxn" > 0,
+        (d.cast("double") * d.cast("double")) /
+          ((nw.cast("double") * ($"n" - nw).cast("double")) *
+            $"xxn".cast("double"))).otherwise(lit(-1.0))
+      struct(power.as("pw"), lit(-st).as("negs"), lit(-w).as("negw"),
+        nw.as("nw"), sw.as("sw"))
+    }
+    cells.withColumn("bw", greatest(wins: _*))
+      .filter($"bw.pw" >= 0.0)
+      .withColumn("depth_c100",
+        $"bw.sw".cast("double") / $"bw.nw".cast("double") -
+          ($"sx" - $"bw.sw").cast("double") /
+            ($"n" - $"bw.nw").cast("double"))
+      .groupBy($"user_id")
+      .agg(max(struct($"bw.pw".as("pw"), (-$"p_us").as("negp"),
+        $"bw.negs".as("negs"), $"bw.negw".as("negw"), $"n".as("nn"),
+        $"depth_c100".as("dep"))).as("bst"))
+      .select($"user_id", $"bst.nn".as("n_epochs"),
+        (-$"bst.negp").as("best_p_us"),
+        (-$"bst.negs").cast("long").as("w_start"),
+        (-$"bst.negw").cast("long").as("w_width"),
+        $"bst.pw".as("bls_power"), $"bst.dep".as("depth_c100"))
+      .orderBy($"user_id")
+  }
+
+  /** Oracle twin: per-(object, period, bin) sums joined to a 48-row
+    * window table by the circular-offset predicate — the same
+    * (bin, window) membership SET the plan's pivot expressions
+    * enumerate — then the identical integer statistics and IEEE
+    * chain; windows whose bins are all empty are absent here and
+    * sentinel-filtered there. */
+  val qBlsSql: String = {
+    val grid = PeriodGridUs.mkString(", ")
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc
+       |  FROM events WHERE user_id IS NOT NULL),
+       |grid AS (SELECT unnest([$grid]) AS p_us),
+       |ph AS (SELECT user_id, p_us, xc,
+       |    CAST(((tus % p_us) * $BlsBins) // p_us AS BIGINT) AS b
+       |  FROM ev CROSS JOIN grid),
+       |tot AS (SELECT user_id, p_us, COUNT(*) AS n,
+       |    CAST(SUM(xc) AS BIGINT) AS sx,
+       |    CAST(SUM(xc*xc) AS BIGINT) AS sxx
+       |  FROM ph GROUP BY 1, 2),
+       |bins AS (SELECT user_id, p_us, b, COUNT(*) AS nb,
+       |    CAST(SUM(xc) AS BIGINT) AS sb
+       |  FROM ph GROUP BY 1, 2, 3),
+       |wins AS (SELECT s.range AS ws, w.range + 1 AS ww
+       |  FROM range($BlsBins) s CROSS JOIN range($BlsMaxW) w),
+       |wagg AS (SELECT user_id, p_us, ws, ww,
+       |    CAST(SUM(nb) AS BIGINT) AS nw, CAST(SUM(sb) AS BIGINT) AS sw
+       |  FROM bins JOIN wins
+       |    ON ((bins.b - wins.ws + $BlsBins) % $BlsBins) < wins.ww
+       |  GROUP BY 1, 2, 3, 4),
+       |p AS (SELECT w.user_id, w.p_us, w.ws, w.ww, w.nw, w.sw,
+       |    t.n, t.sx, t.n * w.sw - w.nw * t.sx AS d,
+       |    t.n * t.sxx - t.sx * t.sx AS xxn
+       |  FROM wagg w JOIN tot t USING (user_id, p_us)),
+       |pw AS (SELECT *, CASE WHEN nw > 0 AND nw < n AND xxn > 0 THEN
+       |    (CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) /
+       |    ((CAST(nw AS DOUBLE) * CAST(n - nw AS DOUBLE))
+       |      * CAST(xxn AS DOUBLE))
+       |  END AS pwr FROM p),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY pwr DESC, p_us, ws, ww) AS rn
+       |  FROM pw WHERE pwr IS NOT NULL)
+       |SELECT user_id, CAST(n AS BIGINT) AS n_epochs, p_us AS best_p_us,
+       |  CAST(ws AS BIGINT) AS w_start, CAST(ww AS BIGINT) AS w_width,
+       |  pwr AS bls_power,
+       |  CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE)
+       |    - CAST(sx - sw AS DOUBLE) / CAST(n - nw AS DOUBLE) AS depth_c100
+       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   /** Period-believability QA at each object's best period — the gate
     * an astronomer applies before TRUSTING a period search's argmax
     * (the VanderPlas 2018 checklist item the scores themselves don't
@@ -3438,6 +3578,7 @@ object TimeSeries {
     "q_lightcurve_trend" -> (qLightcurveTrend _),
     "q_periodogram" -> (qPeriodogram _),
     "q_period_fold" -> (qPeriodFold _),
+    "q_bls" -> (qBls _),
     "q_lightcurve_band" -> (qLightcurveBand _),
     "q_color_index" -> (qColorIndex _),
     "q_structure_function" -> (qStructureFunction _),
@@ -3494,6 +3635,7 @@ object TimeSeries {
     "q_lightcurve_trend" -> qLightcurveTrendSql,
     "q_periodogram" -> qPeriodogramSql,
     "q_period_fold" -> qPeriodFoldSql,
+    "q_bls" -> qBlsSql,
     "q_lightcurve_band" -> qLightcurveBandSql,
     "q_color_index" -> qColorIndexSql,
     "q_structure_function" -> qStructureFunctionSql,

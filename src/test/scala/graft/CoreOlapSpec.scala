@@ -251,4 +251,68 @@ class CoreOlapSpec extends AnyFunSuite {
     assert(byGid(6).forall(r => r.getString(0) == "(all)" &&
       r.getString(1) == "(all)"))
   }
+
+  test("q_order_count_dist equals the brute-force distribution; agg reuses the join shuffle") {
+    import org.apache.spark.sql.functions._
+    val got = queries.CoreOlap.qOrderCountDist(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perCust = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = Tables.customer(spark, sf).select("c_custkey").collect()
+      .map(r => perCust.getOrElse(r.getLong(0), 0L))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == exp, s"got $got\nexp $exp")
+    // the LEFT join keeps zero-order customers only while the priority
+    // filter stays in the join condition — the bucket must be live
+    // whenever the brute force says so
+    assert(got.keySet == exp.keySet)
+    // plan pin ON THE SCALE PATH (at sf0.001 the orders side simply
+    // broadcasts — disable that to see the 100-TB shuffle-join plan):
+    // exactly three hash exchanges — one per join side and one for
+    // the reduced count-of-counts; a fourth would mean the c_custkey
+    // aggregate stopped reusing the join's partitioning
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val hashEx = queries.CoreOlap.qOrderCountDist(spark, sf)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+        }
+      assert(hashEx.size == 3, s"expected 3 hash exchanges, got ${hashEx.size}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("q_global_share equals the brute-force above-mean share scan") {
+    import org.apache.spark.sql.functions._
+    val got = queries.CoreOlap.qGlobalShare(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rev = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 10000).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val tot = rev.values.sum
+    val n = rev.size.toLong
+    val exp = rev.toSeq
+      .filter { case (_, c) => BigInt(c) * n > BigInt(tot) }
+      .map { case (k, c) => (k, c, (BigInt(c) * 1000000 / tot).toLong) }
+      .sortBy(t => (-t._2, t._1))
+    assert(got.toSeq == exp, s"got ${got.take(5).toSeq} exp ${exp.take(5)}")
+    assert(got.nonEmpty, "above-mean set must be non-empty at every SF")
+    // the global scalar rides a broadcast, never a constant-key window
+    val plan = queries.CoreOlap.qGlobalShare(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), "1-row global must broadcast")
+    assert(!plan.contains("Window"), "no constant-key window allowed")
+  }
 }

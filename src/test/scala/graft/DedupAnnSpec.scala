@@ -370,6 +370,31 @@ class DedupAnnSpec extends AnyFunSuite {
       "corpus must exercise both unique docs and real clusters")
   }
 
+  test("q_dedup_survivors equals the min-id survivor recompute and conserves the corpus") {
+    val labels = queries.Dedup.qDedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val exp = docs.groupBy(_._2).map { case (src, ds) =>
+      val kept = ds.filter(d => labels(d._1) == d._1)
+      val (nd, ct) = (ds.length.toLong, ds.map(_._3).sum)
+      val (nk, ck) = (kept.length.toLong, kept.map(_._3).sum)
+      src -> (nd, ct, nk, ck, nk * 1000 / nd, ck * 1000 / ct)
+    }
+    val got = queries.Dedup.qDedupSurvivors(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got == exp, s"survivor census mismatch:\n got $got\n exp $exp")
+    // conservation: total kept docs = number of components (each
+    // contributes exactly its label doc), total docs = corpus
+    assert(got.values.map(_._1).sum == labels.size.toLong)
+    assert(got.values.map(_._3).sum == labels.values.toSet.size.toLong)
+    // non-vacuous: near-dups exist, so SOME source must lose docs
+    assert(got.values.exists(v => v._3 < v._1),
+      "a corpus with near-dup clusters must drop at least one doc")
+  }
+
   test("q_dedup_lsh_pairs recalls most exact-Jaccard pairs") {
     val exact = queries.Dedup.qNgramJaccard(spark, sf)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

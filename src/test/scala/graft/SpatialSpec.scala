@@ -870,4 +870,46 @@ class SpatialSpec extends AnyFunSuite {
         "the probe list must broadcast, never shuffle the scan side")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("q_tracklets equals the brute-force consecutive-night pair census") {
+    def hav(ra1: Double, d1: Double, ra2: Double, d2: Double): Double = {
+      val (a, b, c, d) = (math.toRadians(ra1), math.toRadians(d1),
+        math.toRadians(ra2), math.toRadians(d2))
+      val s1 = math.sin((b - d) / 2); val s2 = math.sin((a - c) / 2)
+      val x = s1 * s1 + math.cos(b) * math.cos(d) * s2 * s2
+      BigDecimal(math.toDegrees(2 * math.asin(math.sqrt(x))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val objs = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+      .map(k => ((k * 137 % 36000) / 100.0, (k * 97 % 17000) / 100.0 - 85.0))
+    val dets = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey").collect().map(_.getLong(0))
+      .map(k => (k, (k * 149 % 36000) / 100.0, (k * 101 % 17000) / 100.0 - 85.0))
+    val trans = dets.filter { case (_, ra, dec) =>
+      !objs.exists(o => hav(ra, dec, o._1, o._2) < 1.0) }
+    val byNight = trans.groupBy(_._1 % 3)
+    val rate = queries.Spatial.TrackRateDeg
+    val exp = (0L until 2L).map { nf =>
+      val pairs = for {
+        a <- byNight.getOrElse(nf, Array.empty[(Long, Double, Double)])
+        b <- byNight.getOrElse(nf + 1, Array.empty[(Long, Double, Double)])
+        d = hav(a._2, a._3, b._2, b._3) if d < rate
+      } yield (a._1, b._1, d)
+      nf -> (pairs.length.toLong,
+        pairs.map(_._1).distinct.length.toLong,
+        pairs.map(_._2).distinct.length.toLong,
+        if (pairs.isEmpty) None else Some(pairs.map(_._3).min),
+        if (pairs.isEmpty) None else Some(pairs.map(_._3).max),
+        pairs.map(p => math.round(p._3 * 1000000)).sum)
+    }.toMap
+    val got = queries.Spatial.qTracklets(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]),
+        r.getLong(6))).toMap
+    assert(got == exp, s"tracklet census mismatch:\n got $got\n exp $exp")
+    // non-vacuous at every SF: the 2-deg rate window must link pairs
+    assert(got.values.exists(_._1 > 0L), "no tracklets linked")
+  }
 }

@@ -1525,4 +1525,58 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(sigs(uid) == md5hex(stream), s"sig for $uid")
     }
   }
+
+  test("q_bls dates a planted box transit and equals the brute-force window scan") {
+    import spark.implicits._
+    val q = queries.TimeSeries
+    // baseline 1000 c with a −300 c dip exactly filling phase bin 0 of
+    // a 24 h period, sampled at an incommensurate ~2.2 h cadence over
+    // ~30 days; a constant object must drop (zero flux variance); GLS
+    // would smear this square dip — BLS is built for it
+    val pStar = 24L * 3600000000L
+    val step = 7919000000L
+    val rows = (0 until 330).map { i =>
+      val t = i.toLong * step
+      val inTransit = ((t % pStar) * q.BlsBins) / pStar == 0L
+      (1L, t, if (inTransit) 700L else 1000L)
+    } ++ (0 until 50).map(i => (2L, i.toLong * step, 500L))
+    val got = q.blsOver(rows.toDF("user_id", "tus", "xc")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L), "constant object must drop (zero variance)")
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("best_p_us") == pStar,
+      s"argmax ${r1.getAs[Long]("best_p_us")} != planted $pStar")
+    assert(r1.getAs[Long]("w_start") == 0L && r1.getAs[Long]("w_width") == 1L,
+      s"window (${r1.getAs[Long]("w_start")}, ${r1.getAs[Long]("w_width")})")
+    // a noise-free two-level box is a PERFECT fit: D² and n_W·n_out·XXn
+    // are the same exact integer (< 2^53 here), so power is exactly 1
+    assert(r1.getAs[Double]("bls_power") == 1.0,
+      s"power ${r1.getAs[Double]("bls_power")} != 1.0")
+    assert(r1.getAs[Double]("depth_c100") == -300.0,
+      s"depth ${r1.getAs[Double]("depth_c100")} != -300")
+    // brute-force recompute of every (period, window) cell with the
+    // same integer statistics and IEEE chain — best cell must agree
+    val ser1 = rows.filter(_._1 == 1L)
+    val cand = for {
+      p <- q.PeriodGridUs
+      bs = ser1.map { case (_, t, x) => (x, (((t % p) * q.BlsBins) / p).toInt) }
+      n = bs.length.toLong
+      sx = bs.map(_._1).sum
+      xxn = n * bs.map(t => t._1 * t._1).sum - sx * sx
+      w <- 1 to q.BlsMaxW
+      st <- 0 until q.BlsBins
+      inW = bs.filter { case (_, b) => (b - st + q.BlsBins) % q.BlsBins < w }
+      nw = inW.length.toLong
+      if nw > 0 && nw < n && xxn > 0
+      sw = inW.map(_._1).sum
+      d = n * sw - nw * sx
+    } yield (d.toDouble * d.toDouble /
+        ((nw.toDouble * (n - nw).toDouble) * xxn.toDouble),
+      -p, -st, -w)
+    val best = cand.max
+    assert(best._1 == r1.getAs[Double]("bls_power") && -best._2 == pStar)
+    // power is a variance-explained ratio: every valid cell is in [0,1]
+    assert(cand.forall(c => c._1 >= 0.0 && c._1 <= 1.0 + 1e-9),
+      "BLS power left [0,1]")
+  }
 }
