@@ -1361,6 +1361,12 @@ object TimeSeries {
       .filter($"user_id".isNotNull)
       .withColumn("p_us", explode(typedLit(PeriodGridUs)))
       .withColumn("b", expr(s"((tus % p_us) * $nb) DIV p_us").cast("int"))
+    // ONE wide corpus-side aggregate, deliberately: an A/B against a
+    // two-stage fold (narrow (object, period, BIN)-key aggregate,
+    // then a reduced-frame pivot) benched the same at sf0.1 — the
+    // bin key's 16x cardinality costs what the 32 conditional
+    // columns cost — but the wide shape shuffles |objects|x16 rows
+    // where the narrow one shuffles up to 16x more partials
     val aggCols = Seq(
       count(lit(1)).as("n"), sum($"xc").as("sx"),
       sum($"xc" * $"xc").as("sxx")) ++
