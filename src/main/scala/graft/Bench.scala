@@ -294,7 +294,7 @@ object Bench {
     // MOPS tracklet census (regresses if the pair stage stops riding
     // the zone grid)
     "q_order_count_dist", "q_global_share", "q_dedup_survivors",
-    "q_tracklets")
+    "q_tracklets", "q_track_chains")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

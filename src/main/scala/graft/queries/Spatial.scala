@@ -486,7 +486,10 @@ object Spatial {
     * the discarded same/backward-night candidates are a bounded ≤3×
     * of the kept ones). The distinct counts run on the tracklet
     * sliver, the zero-fill on a |nights|-row literal. */
-  def qTracklets(s: SparkSession, dir: String): DataFrame = {
+  /** The tracklet PAIR stream (night_from, k1, k2, dist_r6) —
+    * factored so [[qTrackChains]] can self-join it on the shared
+    * middle detection. */
+  private[graft] def trackletPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val det = detections(s, dir)
     val matched = gridCandidates(det.withColumnRenamed("det_k", "k"),
@@ -494,10 +497,16 @@ object Spatial {
       .select($"k1".as("det_k")).distinct()
     val tr = det.join(matched, Seq("det_k"), "left_anti")
       .select($"det_k".as("k"), $"ra", $"decl")
-    val cand = gridCandidates(tr, tr, TrackRateDeg)
+    gridCandidates(tr, tr, TrackRateDeg)
       .withColumn("night_from", pmod($"k1", lit(AssocBatches)).cast("long"))
       .filter(pmod($"k2", lit(AssocBatches)).cast("long") ===
         $"night_from" + 1)
+      .select($"night_from", $"k1", $"k2", $"dist_r6")
+  }
+
+  def qTracklets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cand = trackletPairs(s, dir)
     val agg = cand.groupBy($"night_from")
       .agg(count(lit(1)).as("n_tracklets"),
         countDistinct($"k1").as("n_from"),
@@ -541,6 +550,78 @@ object Spatial {
        |  COALESCE(sum_rate_u6, 0) AS sum_rate_u6
        |FROM nights LEFT JOIN ag USING (night_from)
        |ORDER BY night_from""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Rate-consistency tolerance of the track chain step, in
+    * micro-degrees/night: consecutive tracklets of a real mover keep
+    * a near-constant apparent rate; 0.5°/night of drift rejects
+    * chance alignments. */
+  private[graft] val TrackChainTolU6 = 500000L
+
+  /** Tracklet→TRACK chaining (the MOPS step after [[qTracklets]]:
+    * two consecutive-night tracklets sharing their middle detection
+    * form a 3-night track candidate, kept when the apparent rate is
+    * consistent across the two legs): the (night 0→1) pair stream
+    * self-joins the (night 1→2) stream on the shared middle id —
+    * the wedge/2-path motif with a physics cut — and the rate test
+    * |r₁ − r₂| ≤ [[TrackChainTolU6]] runs on EXACT ×10⁶ integers
+    * (dist_r6 is 6-decimal by construction, so the scaling is
+    * lossless). One-row census: chains, consistent tracks, distinct
+    * middle detections among tracks, and the exact integer drift sum
+    * (order-free — a raw double sum would drift by reduction order).
+    *
+    * Scale shape: the spatial work is [[trackletPairs]]' one grid
+    * pass, PAID ONCE and localCheckpoint-pinned (both join sides
+    * read the pinned frame, not two grid re-derivations); the chain
+    * join shuffles the pair sliver on the middle key (dense-field
+    * skew → AQE), everything after is one combinable one-row
+    * aggregate. */
+  def qTrackChains(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = trackletPairs(s, dir).localCheckpoint(true)
+    val p1 = p.filter($"night_from" === 0L)
+      .select($"k1", $"k2".as("mid"), $"dist_r6".as("r1"))
+    val p2 = p.filter($"night_from" === 1L)
+      .select($"k1".as("mid"), $"k2".as("k3"), $"dist_r6".as("r2"))
+    p1.join(p2, Seq("mid"))
+      .withColumn("dr_u6", abs(round($"r1" * 1000000).cast("long") -
+        round($"r2" * 1000000).cast("long")))
+      .agg(count(lit(1)).as("n_chains"),
+        coalesce(sum(when($"dr_u6" <= TrackChainTolU6, 1L).otherwise(0L)),
+          lit(0L)).as("n_tracks"),
+        countDistinct(when($"dr_u6" <= TrackChainTolU6, $"mid"))
+          .as("n_mids"),
+        coalesce(sum(when($"dr_u6" <= TrackChainTolU6, $"dr_u6")
+          .otherwise(0L)), lit(0L)).as("sum_dr_u6"))
+  }
+
+  /** Oracle twin: the tracklet pair CTEs self-joined on the middle
+    * detection, the identical exact-integer rate test. */
+  lazy val qTrackChainsSql: String =
+    s"""WITH d AS ($detectionsSql),
+       |o AS ($pointsSql),
+       |tr AS (SELECT det_k, ra, decl, det_k % $AssocBatches AS night
+       |  FROM d WHERE NOT EXISTS (
+       |    SELECT 1 FROM o
+       |    WHERE ROUND(${distDegSql("d.ra", "d.decl", "o.ra", "o.decl")}, 6) < 1.0)),
+       |pr AS (SELECT a.night AS night_from, a.det_k AS k1, b.det_k AS k2,
+       |    ROUND(${distDegSql("a.ra", "a.decl", "b.ra", "b.decl")}, 6) AS dist_r6
+       |  FROM tr a JOIN tr b ON b.night = a.night + 1),
+       |fl AS (SELECT * FROM pr WHERE dist_r6 < $TrackRateDeg),
+       |p1 AS (SELECT k1, k2 AS mid, dist_r6 AS r1 FROM fl WHERE night_from = 0),
+       |p2 AS (SELECT k1 AS mid, k2 AS k3, dist_r6 AS r2 FROM fl WHERE night_from = 1),
+       |ch AS (SELECT mid,
+       |    ABS(CAST(ROUND(r1*1000000) AS BIGINT)
+       |      - CAST(ROUND(r2*1000000) AS BIGINT)) AS dr_u6
+       |  FROM p1 JOIN p2 USING (mid))
+       |SELECT COUNT(*) AS n_chains,
+       |  CAST(COALESCE(SUM(CASE WHEN dr_u6 <= $TrackChainTolU6 THEN 1
+       |    ELSE 0 END), 0) AS BIGINT) AS n_tracks,
+       |  COUNT(DISTINCT CASE WHEN dr_u6 <= $TrackChainTolU6 THEN mid END)
+       |    AS n_mids,
+       |  CAST(COALESCE(SUM(CASE WHEN dr_u6 <= $TrackChainTolU6 THEN dr_u6
+       |    ELSE 0 END), 0) AS BIGINT) AS sum_dr_u6
+       |FROM ch""".stripMargin
 
   // ---------------------------------------------------------------
   /** Flux-bin width (cents) of the completeness curve. */
@@ -2179,6 +2260,7 @@ object Spatial {
     "q_xmatch_2cat" -> (qXmatch2cat _),
     "q_xmatch_unmatched" -> (qXmatchUnmatched _),
     "q_tracklets" -> (qTracklets _),
+    "q_track_chains" -> (qTrackChains _),
     "q_spatial_density" -> (qSpatialDensity _),
     "q_nearest_nbr" -> (qNearestNbr _),
     "q_knn3" -> (qKnn3 _),
@@ -2205,6 +2287,7 @@ object Spatial {
     "q_xmatch_2cat" -> qXmatch2catSql,
     "q_xmatch_unmatched" -> qXmatchUnmatchedSql,
     "q_tracklets" -> qTrackletsSql,
+    "q_track_chains" -> qTrackChainsSql,
     "q_spatial_density" -> qSpatialDensitySql,
     "q_nearest_nbr" -> qNearestNbrSql,
     "q_knn3" -> qKnn3Sql,

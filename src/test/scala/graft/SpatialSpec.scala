@@ -911,5 +911,27 @@ class SpatialSpec extends AnyFunSuite {
     assert(got == exp, s"tracklet census mismatch:\n got $got\n exp $exp")
     // non-vacuous at every SF: the 2-deg rate window must link pairs
     assert(got.values.exists(_._1 > 0L), "no tracklets linked")
+
+    // q_track_chains: chain the same brute-force pairs on the shared
+    // middle detection and apply the exact-integer rate test
+    val pairsByNight = (0L until 2L).map { nf =>
+      nf -> (for {
+        a <- byNight.getOrElse(nf, Array.empty[(Long, Double, Double)])
+        b <- byNight.getOrElse(nf + 1, Array.empty[(Long, Double, Double)])
+        d = hav(a._2, a._3, b._2, b._3) if d < rate
+      } yield (a._1, b._1, math.round(d * 1000000)))
+    }.toMap
+    val tol = queries.Spatial.TrackChainTolU6
+    val chains = for {
+      (k1, mid, r1) <- pairsByNight(0L)
+      (m2, k3, r2) <- pairsByNight(1L) if m2 == mid
+    } yield (mid, math.abs(r1 - r2))
+    val tracks = chains.filter(_._2 <= tol)
+    val gc = queries.Spatial.qTrackChains(spark, sf).collect().head
+    assert(gc.getAs[Long]("n_chains") == chains.length.toLong)
+    assert(gc.getAs[Long]("n_tracks") == tracks.length.toLong)
+    assert(gc.getAs[Long]("n_mids") == tracks.map(_._1).distinct.length.toLong)
+    assert(gc.getAs[Long]("sum_dr_u6") == tracks.map(_._2).sum)
+    assert(gc.getAs[Long]("n_tracks") > 0L, "no consistent tracks at sf0.001")
   }
 }
