@@ -294,7 +294,10 @@ object Bench {
     // MOPS tracklet census (regresses if the pair stage stops riding
     // the zone grid)
     "q_order_count_dist", "q_global_share", "q_dedup_survivors",
-    "q_tracklets", "q_track_chains")
+    "q_tracklets", "q_track_chains",
+    // portable bloom sketch — regresses if the probe join stops
+    // riding the vocabulary-sized frames
+    "q_sketch_bloom")
 
   /** The rounds-1/2 cross-round set — the only totals comparable
     * across every round; reported as its own `headline10` object. */

@@ -1700,7 +1700,7 @@ object Dedup {
     * segment text and its md5 fingerprint — used by the batch query
     * and the stored-index lifecycle below, so both see byte-identical
     * segments. */
-  private def segmentsOf(docs: DataFrame): DataFrame = {
+  private[queries] def segmentsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     docs
       .select($"doc_id", expr("filter(split(text, ' '), x -> x != '')").as("toks"))

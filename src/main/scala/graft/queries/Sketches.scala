@@ -407,7 +407,136 @@ object Sketches {
        |        / CAST(kth_h AS DOUBLE) END) AS est_inter
        |FROM agg ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Hash functions per Bloom probe: four disjoint 4-hex-char slices
+    * of ONE md5 — 16 bits each, so the filter is a 2¹⁶-bit bitmap
+    * whose set bits are represented AS the distinct slice strings
+    * (the [[qSketchCms]] hex-substring idiom — no bit twiddling, no
+    * engine-specific conversions anywhere). */
+  private[graft] val BloomDepth = 4
+
+  /** Per-source BLOOM membership sketch over segment fingerprints,
+    * with empirical false-positive telemetry — the membership sketch
+    * beside the family's frequency (CMS), cardinality (HLL), and
+    * set-operation (KMV) members, and the checkable core of every
+    * bloom-gated join a pipeline ships (q_bloom_join uses the
+    * engine's opaque filter; THIS one is portable arithmetic
+    * end-to-end so the sketch itself hash-verifies): the member set
+    * is each source's DISTINCT 10-word segment fingerprints (the
+    * q_line_dedup / q_source_overlap unit, so the filter answers
+    * "might source S contain this passage" — the cross-source
+    * contamination probe), each member sets [[BloomDepth]] bits via
+    * four disjoint 16-bit slices of its md5 (set bits represented AS
+    * the distinct slice strings — the CMS substring idiom, no bit
+    * twiddling anywhere), and every GLOBAL distinct fingerprint
+    * probes every source's filter — a hit ⟺ all four slices set.
+    * Per source: member count, bits set (density numerator over
+    * 65 536), probe count, hits, FALSE POSITIVES, and the realized
+    * FPR in exact integer ppm of the true negatives. No false
+    * negative is possible by construction; at the 2¹⁶-bit size the
+    * test corpora yield FP ≈ 0 (density < 1%) — the spec proves the
+    * FP machinery on a planted dense fixture through the same
+    * factored body.
+    *
+    * Scale shape: the corpus is segmented ONCE ([[Dedup.segmentsOf]],
+    * one distinct shuffle, localCheckpoint-pinned for its four
+    * consumers); everything after is fingerprint-frame-sized — the
+    * per-source bit sets (≤ 2¹⁶ rows each), a ×4 probe explode, one
+    * bit-key equi-join, |sources|-key aggregates. At 100 TB the
+    * probe side rides the md5-bucket sample every *_sampled entry
+    * uses (probing EVERY global fingerprint is corpus-sized by
+    * definition); the census semantics are unchanged per probe. */
+  def qSketchBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val members = Dedup.segmentsOf(docs)
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .select($"source", $"seg_fp".as("fp"))
+      .distinct()
+      .localCheckpoint()
+    bloomCensus(members)
+  }
+
+  /** The census body over any (source, fp: 32-hex md5) member frame
+    * — factored so the spec can drive a planted dense fixture
+    * through the real plan. */
+  private[graft] def bloomCensus(members: DataFrame): DataFrame = {
+    val s = members.sparkSession
+    import s.implicits._
+    val slices = (0 until BloomDepth).map(i => substring($"fp", 4 * i + 1, 4))
+    val bits = members
+      .select($"source", explode(array(slices: _*)).as("bit"))
+      .distinct()
+    val probeSet = members.select($"fp").distinct()
+    val probes = probeSet.select($"fp", explode(array(slices: _*)).as("bit"))
+    // a probe hits a source iff all four of its slice rows match the
+    // source's bit set (a duplicated slice matches twice — count 4 ⇔
+    // every distinct slice present, identically in the oracle)
+    val hits = probes.join(bits, Seq("bit"))
+      .groupBy($"source", $"fp").agg(count(lit(1)).as("nbits"))
+      .filter($"nbits" === BloomDepth)
+    val perSrc = hits.join(members.withColumn("ex", lit(1L)),
+        Seq("source", "fp"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("bloom_hits"),
+        coalesce(sum(when($"ex".isNull, 1L).otherwise(0L)), lit(0L))
+          .as("false_pos"))
+    val memberCount = members.groupBy($"source")
+      .agg(count(lit(1)).as("n_members"))
+    val bitCount = bits.groupBy($"source").agg(count(lit(1)).as("bits_set"))
+    val nProbes = probeSet.agg(count(lit(1)).as("n_probes"))
+    memberCount.join(bitCount, Seq("source"))
+      .join(perSrc, Seq("source"))
+      .crossJoin(broadcast(nProbes))
+      .select($"source", $"n_members", $"bits_set", $"n_probes",
+        $"bloom_hits", $"false_pos",
+        // GREATEST guards the degenerate one-source-owns-everything
+        // corpus: zero negatives ⇒ zero false positives, and
+        // 0 DIV 1 = 0 on both engines where DuckDB's // 0 throws
+        expr("false_pos * 1000000 DIV GREATEST(n_probes - n_members, 1)")
+          .as("fpr_ppm"))
+      .orderBy($"source")
+  }
+
+  /** Oracle twin: the q_line_dedup segmentation + the identical md5
+    * slice arithmetic in DuckDB. */
+  val qSketchBloomSql: String = {
+    val sliceIdx = (0 until BloomDepth).map(i => 4 * i + 1).mkString(", ")
+    val ll = Dedup.LineLen
+    s"""WITH t AS (SELECT doc_id, source,
+       |    list_filter(string_split(text, ' '), x -> x != '') AS toks
+       |  FROM documents),
+       |seg AS (SELECT DISTINCT source, md5(
+       |    array_to_string(toks[(i*$ll+1):(i*$ll+$ll)], ' ')) AS fp
+       |  FROM t, UNNEST(range((len(toks)-1)//$ll + 1)) AS u(i)
+       |  WHERE len(toks) > 0),
+       |sl AS (SELECT unnest([$sliceIdx]) AS p),
+       |bits AS (SELECT DISTINCT source, substr(fp, CAST(p AS INT), 4) AS bit
+       |  FROM seg CROSS JOIN sl),
+       |pset AS (SELECT DISTINCT fp FROM seg),
+       |pb AS (SELECT fp, substr(fp, CAST(p AS INT), 4) AS bit
+       |  FROM pset CROSS JOIN sl),
+       |hits AS (SELECT b.source, pb.fp FROM pb JOIN bits b USING (bit)
+       |  GROUP BY 1, 2 HAVING COUNT(*) = $BloomDepth),
+       |per AS (SELECT h.source, COUNT(*) AS bloom_hits,
+       |    CAST(COALESCE(SUM(CASE WHEN seg.fp IS NULL THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS false_pos
+       |  FROM hits h LEFT JOIN seg
+       |    ON seg.source = h.source AND seg.fp = h.fp
+       |  GROUP BY 1),
+       |mc AS (SELECT source, COUNT(*) AS n_members FROM seg GROUP BY 1),
+       |bc AS (SELECT source, COUNT(*) AS bits_set FROM bits GROUP BY 1),
+       |np AS (SELECT COUNT(*) AS n_probes FROM pset)
+       |SELECT mc.source, n_members, bits_set, n_probes, bloom_hits,
+       |  false_pos,
+       |  CAST(false_pos * 1000000 // GREATEST(n_probes - n_members, 1)
+       |    AS BIGINT) AS fpr_ppm
+       |FROM mc JOIN bc USING (source) JOIN per ON per.source = mc.source
+       |CROSS JOIN np ORDER BY source""".stripMargin
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_bloom" -> (qSketchBloom _),
     "q_sketch_distinct" -> (qSketchDistinct _),
     "q_sketch_quantile" -> (qSketchQuantile _),
     "q_sketch_cms" -> (qSketchCms _),
@@ -420,6 +549,7 @@ object Sketches {
     * engine-specific estimates stay out of the hash); the CMS is
     * portable integer arithmetic end-to-end. */
   val oracles: Map[String, String] = Map(
+    "q_sketch_bloom" -> qSketchBloomSql,
     "q_sketch_distinct" -> qSketchDistinctSql,
     "q_sketch_quantile" -> qSketchQuantileSql,
     "q_sketch_cms" -> qSketchCmsSql,

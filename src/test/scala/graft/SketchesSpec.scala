@@ -159,4 +159,56 @@ class SketchesSpec extends AnyFunSuite {
         s"($a,$b) est $estU vs exact $exact")
     }
   }
+
+  test("q_sketch_bloom equals the driver-side recompute; fixture proves FP behavior") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def slices(fp: String): Seq[String] =
+      (0 until 4).map(i => fp.substring(4 * i, 4 * i + 4))
+    def recompute(members: Map[String, Set[String]])
+      : Map[String, (Long, Long, Long, Long, Long, Long)] = {
+      val global = members.values.flatten.toSet
+      members.map { case (src, fps) =>
+        val bits = fps.flatMap(fp => slices(fp).toSet)
+        val hits = global.filter(fp => slices(fp).forall(bits.contains))
+        assert(fps.subsetOf(hits), s"$src: bloom dropped a member")
+        val fp = (hits -- fps).size.toLong
+        src -> (fps.size.toLong, bits.size.toLong, global.size.toLong,
+          hits.size.toLong, fp,
+          fp * 1000000L / math.max(global.size.toLong - fps.size, 1L))
+      }
+    }
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // 1) the registered corpus query vs the exact recompute (at the
+    //    2^16-bit size the corpus density is <1% so FP ~ 0 here —
+    //    the membership math is what this half checks)
+    val ll = queries.Dedup.LineLen
+    val segs = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .flatMap { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty)
+        if (toks.isEmpty) Seq.empty
+        else (0 to (toks.length - 1) / ll).map(i =>
+          (r.getString(0), md5hex(toks.slice(i * ll, i * ll + ll)
+            .mkString(" "))))
+      }.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(collect(queries.Sketches.qSketchBloom(spark, sf)) ==
+      recompute(segs), "corpus census mismatch")
+    // 2) a planted DENSE fixture through the same plan body: 5000
+    //    members saturate ~27% of the bitmap, so probing with 2000
+    //    non-members false-fires w.p. ~0.5% each — P[zero FPs] ~ e^-10
+    val fixture = (0 until 5000).map(i => ("a", md5hex(s"member:$i"))) ++
+      (0 until 2000).map(i => ("b", md5hex(s"other:$i")))
+    val fixtureMap = fixture.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val gotFix = collect(queries.Sketches.bloomCensus(
+      fixture.toDF("source", "fp")))
+    assert(gotFix == recompute(fixtureMap), "fixture census mismatch")
+    assert(gotFix("a")._5 > 0L,
+      "dense fixture produced no false positives — FP path untested")
+  }
 }
