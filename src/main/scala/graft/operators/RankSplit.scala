@@ -76,9 +76,15 @@ object RankSplit {
     // recomputes; divergent cells would not break correctness — ranks
     // compose per cell — but would skew the balance the splits exist
     // to provide).
+    // accuracy 1000 (not the 10000 default): split points only set
+    // CELL BALANCE, never the answer, and ±0.1% of rank is far finer
+    // balance than the splits/cell granularity itself — while the
+    // default's digest costs ~1 s per construction at sf0.1 (~3x the
+    // raw scan), paid by EVERY RankSplit consumer through the eager
+    // checkpoint below
     val sp = df.groupBy(gCols: _*).agg(
-      expr(s"approx_percentile($cellCol, array(${probes.mkString(",")}))")
-        .as("__sps"))
+      expr(s"approx_percentile($cellCol, array(${probes.mkString(",")})," +
+        " 1000)").as("__sps"))
       .localCheckpoint()
     // a NULL cell value would silently drop its row at the __cell
     // equi-joins below (NULL never equi-matches); fail loudly instead —

@@ -982,23 +982,45 @@ object CoreOlap {
   /** Exact weighted median: per return flag, the price (in cents) at
     * which the running quantity-weighted mass crosses half the total
     * — the first row, in (price, key) order, with inclusive running
-    * weight ≥ ⌈W/2⌉. Running weight comes from
-    * [[graft.operators.RankSplit]] with a weight column, so no group
-    * is ever sorted in one task; the crossing row is a one-predicate
-    * filter (running ≥ T, running − own weight < T), unique per group
-    * by construction. All arithmetic integer. */
+    * weight ≥ ⌈W/2⌉. Uses [[graft.operators.RankSplit.assignCells]]'
+    * histogram cells but NOT the full rank: a median needs only the
+    * ONE crossing row per group, so the plan finds the crossing CELL
+    * from the per-(group, cell) weight totals (a groups × cells
+    * control-plane frame) and runs the ordered cumulative sum over
+    * THAT CELL ALONE — ~1/splits of the group sorts, where the
+    * previous full-rank shape window-sorted every row it was about to
+    * throw away (isolated sf0.1: 6.5 → 1.3 s). The crossing row is a
+    * one-predicate filter (running ≥ T, running − own weight < T),
+    * unique per group by construction; cell boundaries can't split it
+    * (equal prices always share a cell). All arithmetic integer. */
   def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val li = Tables.lineitem(s, dir).select($"l_returnflag",
       $"l_orderkey", $"l_linenumber",
       round($"l_extendedprice" * 100).cast("long").as("pc"),
       $"l_quantity".cast("long").as("qty"))
-    graft.operators.RankSplit.rank(li, Seq("l_returnflag"), "pc",
-      Seq("pc", "l_orderkey", "l_linenumber"), weightCol = Some("qty"))
-      .filter($"__cumw" >= expr("(__grp_w + 1) DIV 2") &&
-        $"__cumw" - $"qty" < expr("(__grp_w + 1) DIV 2"))
+    val withCell = graft.operators.RankSplit
+      .assignCells(li, Seq("l_returnflag"), "pc")
+    val wPrev = Window.partitionBy($"l_returnflag").orderBy($"__cell")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wGrp = Window.partitionBy($"l_returnflag")
+    val target = withCell.groupBy($"l_returnflag", $"__cell")
+      .agg(sum($"qty").as("cw"))
+      .withColumn("offw", coalesce(sum($"cw").over(wPrev), lit(0L)))
+      .withColumn("total_qty", sum($"cw").over(wGrp))
+      .withColumn("t", expr("(total_qty + 1) DIV 2"))
+      .filter($"offw" < $"t" && $"offw" + $"cw" >= $"t")
+      .select($"l_returnflag", $"__cell", $"offw", $"total_qty", $"t")
+    val wCell = Window
+      .partitionBy($"l_returnflag", $"__cell")
+      .orderBy($"pc", $"l_orderkey", $"l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withCell.join(broadcast(target), Seq("l_returnflag", "__cell"))
+      .withColumn("cum_qty", $"offw" + sum($"qty").over(wCell))
+      .filter($"cum_qty" >= $"t" && $"cum_qty" - $"qty" < $"t")
       .select($"l_returnflag", $"pc".as("wmedian_pc"),
-        $"__cumw".as("cum_qty"), $"__grp_w".as("total_qty"))
+        $"cum_qty", $"total_qty")
       .orderBy($"l_returnflag")
   }
 
