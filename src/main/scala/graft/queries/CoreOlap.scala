@@ -1227,10 +1227,17 @@ object CoreOlap {
     * sort. */
   def qGlobalShare(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // pin the reduced per-part frame: the global scalar and the final
+    // join are two independent subplans — unpinned, each re-runs the
+    // corpus scan + part-key shuffle (Explain showed lineitem scanned
+    // twice); pinned, the corpus is touched ONCE and both consumers
+    // read the |parts|-row frame (the RankSplit cost-contract
+    // discipline)
     val rev = Tables.lineitem(s, dir)
       .groupBy($"l_partkey")
       .agg(sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount")
         * 10000).cast("long")).as("rev_c"))
+      .localCheckpoint()
     val glob = rev.agg(sum($"rev_c").as("tot_c"),
       count(lit(1)).as("n_parts"))
     rev.crossJoin(broadcast(glob))

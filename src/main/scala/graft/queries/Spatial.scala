@@ -495,8 +495,13 @@ object Spatial {
     val matched = gridCandidates(det.withColumnRenamed("det_k", "k"),
       points(s, dir), 1.0)
       .select($"k1".as("det_k")).distinct()
+    // pin the transient set: the pair grid reads it as BOTH probe and
+    // build side (two independent subplans — unpinned, the whole
+    // anti-join grid pass runs twice, Explain-confirmed); the frame
+    // is the unmatched sliver, far smaller than the detection table
     val tr = det.join(matched, Seq("det_k"), "left_anti")
       .select($"det_k".as("k"), $"ra", $"decl")
+      .localCheckpoint()
     gridCandidates(tr, tr, TrackRateDeg)
       .withColumn("night_from", pmod($"k1", lit(AssocBatches)).cast("long"))
       .filter(pmod($"k2", lit(AssocBatches)).cast("long") ===
