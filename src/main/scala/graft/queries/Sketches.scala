@@ -479,8 +479,10 @@ object Sketches {
         Seq("source", "fp"), "left")
       .groupBy($"source")
       .agg(count(lit(1)).as("bloom_hits"),
-        coalesce(sum(when($"ex".isNull, 1L).otherwise(0L)), lit(0L))
-          .as("false_pos"))
+        // no coalesce: a groupBy group has ≥1 row and the summed
+        // expression is never NULL (contrast qTrackChains' global
+        // aggregate over a possibly-empty frame, where it IS needed)
+        sum(when($"ex".isNull, 1L).otherwise(0L)).as("false_pos"))
     val memberCount = members.groupBy($"source")
       .agg(count(lit(1)).as("n_members"))
     val bitCount = bits.groupBy($"source").agg(count(lit(1)).as("bits_set"))

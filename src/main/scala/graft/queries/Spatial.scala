@@ -439,13 +439,24 @@ object Spatial {
     * key, so no second spatial pass exists. Oracle: NOT EXISTS with
     * the identical haversine tree (the grid candidate set is a
     * lossless superset, so "no grid match" ⇔ "no match"). */
-  def qXmatchUnmatched(s: SparkSession, dir: String): DataFrame = {
+  /** Detection keys associating to ≥1 catalog object within the 1°
+    * radius, from the lossless zone grid — the shared derivation of
+    * [[qXmatchUnmatched]], [[qCompleteness]] and [[trackletPairs]]
+    * (ONE copy, so the association radius and the anti-join
+    * discipline can never drift between the transient set the
+    * tracklet queries consume and the one q_xmatch_unmatched
+    * reports). */
+  private def matchedDetKeys(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val det = detections(s, dir)
-    val matched = gridCandidates(det.withColumnRenamed("det_k", "k"),
+    gridCandidates(
+      detections(s, dir).select($"det_k".as("k"), $"ra", $"decl"),
       points(s, dir), 1.0)
       .select($"k1".as("det_k")).distinct()
-    det.join(matched, Seq("det_k"), "left_anti")
+  }
+
+  def qXmatchUnmatched(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    detections(s, dir).join(matchedDetKeys(s, dir), Seq("det_k"), "left_anti")
       .select($"det_k", $"ra", $"decl")
       .orderBy($"det_k")
   }
@@ -491,15 +502,12 @@ object Spatial {
     * middle detection. */
   private[graft] def trackletPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val det = detections(s, dir)
-    val matched = gridCandidates(det.withColumnRenamed("det_k", "k"),
-      points(s, dir), 1.0)
-      .select($"k1".as("det_k")).distinct()
     // pin the transient set: the pair grid reads it as BOTH probe and
     // build side (two independent subplans — unpinned, the whole
     // anti-join grid pass runs twice, Explain-confirmed); the frame
     // is the unmatched sliver, far smaller than the detection table
-    val tr = det.join(matched, Seq("det_k"), "left_anti")
+    val tr = detections(s, dir)
+      .join(matchedDetKeys(s, dir), Seq("det_k"), "left_anti")
       .select($"det_k".as("k"), $"ra", $"decl")
       .localCheckpoint()
     gridCandidates(tr, tr, TrackRateDeg)
@@ -584,10 +592,14 @@ object Spatial {
   def qTrackChains(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val p = trackletPairs(s, dir).localCheckpoint(true)
-    val p1 = p.filter($"night_from" === 0L)
-      .select($"k1", $"k2".as("mid"), $"dist_r6".as("r1"))
-    val p2 = p.filter($"night_from" === 1L)
-      .select($"k1".as("mid"), $"k2".as("k3"), $"dist_r6".as("r2"))
+    // no night filters: a pair's night is a function of its ids
+    // (night(k2) = night_from + 1 always), so a shared middle
+    // detection ALREADY implies two consecutive legs — the join
+    // covers every (b, b+1, b+2) chain at ANY AssocBatches, where
+    // hard-coded 0/1 literals would silently undercount if the
+    // lifecycle's batching ever widened
+    val p1 = p.select($"k1", $"k2".as("mid"), $"dist_r6".as("r1"))
+    val p2 = p.select($"k1".as("mid"), $"k2".as("k3"), $"dist_r6".as("r2"))
     p1.join(p2, Seq("mid"))
       .withColumn("dr_u6", abs(round($"r1" * 1000000).cast("long") -
         round($"r2" * 1000000).cast("long")))
@@ -613,8 +625,8 @@ object Spatial {
        |    ROUND(${distDegSql("a.ra", "a.decl", "b.ra", "b.decl")}, 6) AS dist_r6
        |  FROM tr a JOIN tr b ON b.night = a.night + 1),
        |fl AS (SELECT * FROM pr WHERE dist_r6 < $TrackRateDeg),
-       |p1 AS (SELECT k1, k2 AS mid, dist_r6 AS r1 FROM fl WHERE night_from = 0),
-       |p2 AS (SELECT k1 AS mid, k2 AS k3, dist_r6 AS r2 FROM fl WHERE night_from = 1),
+       |p1 AS (SELECT k1, k2 AS mid, dist_r6 AS r1 FROM fl),
+       |p2 AS (SELECT k1 AS mid, k2 AS k3, dist_r6 AS r2 FROM fl),
        |ch AS (SELECT mid,
        |    ABS(CAST(ROUND(r1*1000000) AS BIGINT)
        |      - CAST(ROUND(r2*1000000) AS BIGINT)) AS dr_u6
@@ -650,10 +662,7 @@ object Spatial {
   def qCompleteness(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val det = detections(s, dir)
-    val matched = gridCandidates(
-      det.select($"det_k".as("k"), $"ra", $"decl"), points(s, dir), 1.0)
-      .select($"k1".as("det_k")).distinct()
-      .withColumn("hit", lit(1L))
+    val matched = matchedDetKeys(s, dir).withColumn("hit", lit(1L))
     det.join(matched, Seq("det_k"), "left")
       .withColumn("fbin", expr(s"flux_c100 DIV $ComplBinC100"))
       .groupBy($"fbin")
