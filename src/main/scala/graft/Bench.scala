@@ -217,6 +217,10 @@ object Bench {
     // conditional pivot aggregate; regresses if the window argmax
     // (one greatest over 48 structs) ever becomes a join or window
     "q_bls",
+    // Lafler-Kinman — the lag window must SHARE the (object, period)
+    // shuffle with the sums aggregate; regresses if a second
+    // exchange appears between them
+    "q_lafler_kinman",
     // r16 variability features — each ONE (object, band) shuffle
     // shared by its windows and final aggregate; regress if a second
     // exchange ever appears between window and aggregate

@@ -1457,6 +1457,89 @@ object TimeSeries {
   }
 
   // ---------------------------------------------------------------
+  /** Lafler–Kinman periodogram (Lafler & Kinman 1965) — the FOURTH
+    * period-search family beside PDM (bin variance), GLS (sinusoid
+    * fit) and BLS (box fit), and the only one that needs NO model and
+    * NO bins: at the true period the phase-ordered light curve is
+    * smooth, so the statistic Θ(p) = Σ(x_{i+1} − x_i)² over
+    * phase-consecutive pairs, normalized by the (period-independent)
+    * flux variance, is MINIMIZED. Per (object, trial period): exact
+    * integer phase `tus % p` orders the series (ties broken by tus —
+    * identically in the oracle), Δx² sums as exact int64 via one lag
+    * window, Θ = (n·ΣΔ²)/XXn as ONE fixed IEEE chain over exact
+    * integers (XXn from the same GLS precondition n·|x|max < 3·10⁹;
+    * ΣΔ² ≤ 4n·x²max is strictly looser), argmin by (Θ asc, period
+    * asc). The phase wrap pair (last→first) is deliberately excluded
+    * — one fewer edge case, identical on both sides, and the
+    * statistic's contrast is unaffected at n ≫ 1.
+    *
+    * Scale shape: the same constant ×16 grid explode, ONE
+    * (object, period) shuffle shared by the lag window and the sums
+    * aggregate (the window sorts ~n rows per (object, period)
+    * partition — parallelism |objects|×16), then the argmin on the
+    * reduced frame. */
+  def qLaflerKinman(s: SparkSession, dir: String): DataFrame =
+    laflerKinmanOver(series(s, dir))
+
+  /** Plan body over any (user_id, tus, xc) series frame. */
+  private[graft] def laflerKinmanOver(ser: DataFrame): DataFrame = {
+    val s = ser.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id", $"p_us")
+      .orderBy($"ph", $"tus")
+    val cells = ser
+      .filter($"user_id".isNotNull)
+      .withColumn("p_us", explode(typedLit(PeriodGridUs)))
+      .withColumn("ph", $"tus" % $"p_us")
+      .withColumn("dx", $"xc" - lag($"xc", 1).over(w))
+      .groupBy($"user_id", $"p_us")
+      .agg(count(lit(1)).as("n"), sum($"xc").as("sx"),
+        sum($"xc" * $"xc").as("sxx"),
+        sum($"dx" * $"dx").as("sdd"))
+      .withColumn("xxn", $"n" * $"sxx" - $"sx" * $"sx")
+      .filter($"xxn" > 0 && $"n" > 1)
+      .withColumn("theta",
+        ($"n".cast("double") * $"sdd".cast("double")) /
+          $"xxn".cast("double"))
+    cells.groupBy($"user_id")
+      .agg(max(struct((-$"theta").as("negt"), (-$"p_us").as("negp"),
+        $"n".as("nn"))).as("bst"))
+      .select($"user_id", $"bst.nn".as("n_epochs"),
+        (-$"bst.negp").as("best_p_us"), (-$"bst.negt").as("theta"))
+      .orderBy($"user_id")
+  }
+
+  /** Oracle twin: identical phase ordering, lag, and IEEE chain. */
+  val qLaflerKinmanSql: String = {
+    val grid = PeriodGridUs.mkString(", ")
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc
+       |  FROM events WHERE user_id IS NOT NULL),
+       |grid AS (SELECT unnest([$grid]) AS p_us),
+       |ph AS (SELECT user_id, p_us, tus, xc, tus % p_us AS ph
+       |  FROM ev CROSS JOIN grid),
+       |d AS (SELECT user_id, p_us, xc,
+       |    xc - LAG(xc) OVER (PARTITION BY user_id, p_us
+       |      ORDER BY ph, tus) AS dx
+       |  FROM ph),
+       |a AS (SELECT user_id, p_us, COUNT(*) AS n,
+       |    CAST(SUM(xc) AS BIGINT) AS sx,
+       |    CAST(SUM(xc*xc) AS BIGINT) AS sxx,
+       |    CAST(SUM(dx*dx) AS BIGINT) AS sdd
+       |  FROM d GROUP BY 1, 2),
+       |t AS (SELECT user_id, p_us, n,
+       |    CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+       |      / CAST(n*sxx - sx*sx AS DOUBLE) AS theta
+       |  FROM a WHERE n*sxx - sx*sx > 0 AND n > 1),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY theta, p_us) AS rn FROM t)
+       |SELECT user_id, CAST(n AS BIGINT) AS n_epochs, p_us AS best_p_us,
+       |  theta
+       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   /** Period-believability QA at each object's best period — the gate
     * an astronomer applies before TRUSTING a period search's argmax
     * (the VanderPlas 2018 checklist item the scores themselves don't
@@ -3585,6 +3668,7 @@ object TimeSeries {
     "q_periodogram" -> (qPeriodogram _),
     "q_period_fold" -> (qPeriodFold _),
     "q_bls" -> (qBls _),
+    "q_lafler_kinman" -> (qLaflerKinman _),
     "q_lightcurve_band" -> (qLightcurveBand _),
     "q_color_index" -> (qColorIndex _),
     "q_structure_function" -> (qStructureFunction _),
@@ -3642,6 +3726,7 @@ object TimeSeries {
     "q_periodogram" -> qPeriodogramSql,
     "q_period_fold" -> qPeriodFoldSql,
     "q_bls" -> qBlsSql,
+    "q_lafler_kinman" -> qLaflerKinmanSql,
     "q_lightcurve_band" -> qLightcurveBandSql,
     "q_color_index" -> qColorIndexSql,
     "q_structure_function" -> qStructureFunctionSql,

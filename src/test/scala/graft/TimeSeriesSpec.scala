@@ -1579,4 +1579,55 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(cand.forall(c => c._1 >= 0.0 && c._1 <= 1.0 + 1e-9),
       "BLS power left [0,1]")
   }
+
+  test("q_lafler_kinman dates a planted sinusoid by minimum string statistic") {
+    import spark.implicits._
+    val q = queries.TimeSeries
+    // the GLS spec's corpus: a 24 h sinusoid at an incommensurate
+    // cadence, plus a constant object that must drop (zero variance)
+    val pStar = 24L * 3600000000L
+    val step = 7919000000L
+    val rows = (0 until 330).map { i =>
+      val t = i.toLong * step
+      (1L, t, math.round(1000.0 * math.sin(2.0 * math.Pi * (t % pStar)
+        .toDouble / pStar.toDouble)))
+    } ++ (0 until 50).map(i => (2L, i.toLong * step, 500L))
+    val got = q.laflerKinmanOver(rows.toDF("user_id", "tus", "xc"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L), "constant object must drop")
+    assert(got(1L).getAs[Long]("best_p_us") == pStar,
+      s"argmin ${got(1L).getAs[Long]("best_p_us")} != planted $pStar")
+    // brute-force recompute: same phase order, lag, and IEEE chain
+    val ser1 = rows.filter(_._1 == 1L)
+    val thetas = q.PeriodGridUs.map { p =>
+      val sorted = ser1.map { case (_, t, x) => (t % p, t, x) }.sorted
+      val xs = sorted.map(_._3)
+      val n = xs.length.toLong
+      val sdd = xs.zip(xs.tail).map { case (a, b) => (b - a) * (b - a) }.sum
+      val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+      p -> n.toDouble * sdd.toDouble / (n * sxx - sx * sx).toDouble
+    }
+    val (bestP, bestT) = thetas.minBy { case (p, t) => (t, p) }
+    assert(bestP == pStar && got(1L).getAs[Double]("theta") == bestT,
+      "engine theta differs from the exact recompute chain")
+    // a smooth curve at its own period strings far tighter than noise:
+    // the winning theta must be well under the off-period cells'
+    assert(bestT < thetas.filter(_._1 != pStar).map(_._2).min / 2,
+      "planted period's theta is not decisively minimal")
+    // plan pin: the lag window and the sums aggregate share ONE
+    // (object, period) hash exchange — a second one between them
+    // would double the corpus-side shuffle
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val hashEx = q.qLaflerKinman(spark, sf)
+        .queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+        }
+      assert(hashEx.size == 2,
+        s"expected 2 hash exchanges (window+agg shared, argmax), got ${hashEx.size}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
