@@ -282,4 +282,59 @@ class AlgorithmPropertySpec extends AnyFunSuite {
     }
     assert(checked >= 10, s"only $checked non-degenerate objects — fixture too weak")
   }
+
+  test("BLS on seeded random series: power in [0,1], equals the window-scan recompute") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val q = queries.TimeSeries
+    val prng = new scala.util.Random(2459)
+    // arbitrary integer series at random irregular cadence — the
+    // property is the ALGEBRA (the explained-variance ratio lands in
+    // [0,1] for every valid window and the engine's two-level argmax
+    // is bit-equal to a full window scan), not transit recovery
+    val rows = (1L to 12L).flatMap { uid =>
+      val n = 4 + prng.nextInt(80)
+      (0 until n).map { _ =>
+        (uid, math.abs(prng.nextLong()) % (30L * 86400000000L),
+          (prng.nextInt(20001) - 10000).toLong)
+      }
+    }
+    val got = q.blsOver(rows.toSeq.toDF("user_id", "tus", "xc"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    var checked = 0
+    for (uid <- 1L to 12L) {
+      val mine = rows.filter(_._1 == uid)
+      val cand = for {
+        p <- q.PeriodGridUs
+        bs = mine.map { case (_, t, x) =>
+          (x, (((t % p) * q.BlsBins) / p).toInt) }
+        n = bs.length.toLong
+        sx = bs.map(_._1).sum
+        xxn = n * bs.map(c => c._1 * c._1).sum - sx * sx
+        w <- 1 to q.BlsMaxW
+        st <- 0 until q.BlsBins
+        inW = bs.filter { case (_, b) =>
+          (b - st + q.BlsBins) % q.BlsBins < w }
+        nw = inW.length.toLong
+        if nw > 0 && nw < n && xxn > 0
+        d = n * inW.map(_._1).sum - nw * sx
+      } yield (d.toDouble * d.toDouble /
+          ((nw.toDouble * (n - nw).toDouble) * xxn.toDouble),
+        -p, -st, -w)
+      if (cand.isEmpty) assert(!got.contains(uid), s"degenerate $uid kept")
+      else {
+        assert(cand.forall(c => c._1 >= 0.0 && c._1 <= 1.0 + 1e-9),
+          s"power left [0,1] for $uid")
+        val best = cand.max
+        val r = got(uid)
+        assert(r.getAs[Double]("bls_power") == best._1 &&
+          r.getAs[Long]("best_p_us") == -best._2 &&
+          r.getAs[Long]("w_start") == -best._3.toLong &&
+          r.getAs[Long]("w_width") == -best._4.toLong,
+          s"argmax mismatch $uid")
+        checked += 1
+      }
+    }
+    assert(checked >= 10, s"only $checked non-degenerate objects — fixture too weak")
+  }
 }
