@@ -1850,3 +1850,74 @@ class BlobStreamSpec extends AnyFunSuite {
     assert(run() == got)
   }
 }
+
+class LightcurveStreamSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("LightcurveStream: streamed per-band stats fold equals the batch query; replay and compaction are exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_lc_stats").toString + "/stats"
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"value", $"event_type")
+    // three deterministic micro-batches by event id
+    val batches = (0 until 3).map(b =>
+      ev.filter(pmod($"event_id", lit(3)) === b).drop("event_id"))
+    for ((b, id) <- batches.zipWithIndex)
+      graft.streaming.LightcurveStream.applyStatsBatch(b, id.toLong, path)
+    def readKeyed(): Map[(Long, String), (Long, Long, Long, Long, Long, Long, Double)] =
+      graft.streaming.LightcurveStream.readStats(spark, path).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("band")) ->
+          (r.getAs[Long]("n"), r.getAs[Long]("sum_c100"),
+            r.getAs[Long]("min_c100"), r.getAs[Long]("max_c100"),
+            r.getAs[Long]("amp_c100"), r.getAs[Long]("var_num"),
+            r.getAs[Double]("mean_val"))).toMap
+    // the streamed fold is EXACT: bit-identical to the batch
+    // q_lightcurve_band aggregate over identified objects (the store
+    // is keyed by object, so null-user anonymous events stay out)
+    val expect = queries.TimeSeries.qLightcurveBand(spark, sf)
+      .filter($"user_id".isNotNull).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("band")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_c100"),
+          r.getAs[Long]("min_c100"), r.getAs[Long]("max_c100"),
+          r.getAs[Long]("amp_c100"), r.getAs[Long]("var_num"),
+          r.getAs[Double]("mean_val"))).toMap
+    val got = readKeyed()
+    assert(got == expect, "streamed summary != batch aggregate")
+    // at-least-once delivery: a replayed batch overwrites its own
+    // subpartitions — contents unchanged
+    graft.streaming.LightcurveStream.applyStatsBatch(batches(1), 1L, path)
+    assert(readKeyed() == expect, "replay changed the summary")
+    // a crashed phase-1 compaction (stage present, sources not yet
+    // removed) reads exactly via the precedence rule
+    spark.read.parquet(path)
+      .groupBy($"user_id", $"band")
+      .agg(sum($"n").as("n"), sum($"sum_c100").as("sum_c100"),
+        min($"min_c100").as("min_c100"), max($"max_c100").as("max_c100"),
+        sum($"sxx").as("sxx"))
+      .withColumn("sbkt", pmod($"user_id",
+        lit(graft.streaming.LightcurveStream.NBuckets.toLong)))
+      .withColumn("ibatch", lit(-2L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("sbkt", "ibatch").parquet(path)
+    assert(readKeyed() == expect, "mid-compaction read diverged")
+    // compaction (healing the simulated crash) preserves content and
+    // leaves exactly one canonical fold partition per bucket
+    graft.streaming.LightcurveStream.compactStats(spark, path)
+    assert(readKeyed() == expect, "compaction changed the summary")
+    val hconf2 = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs2 = root.getFileSystem(hconf2)
+    for (b <- fs2.listStatus(root) if b.isDirectory
+         && b.getPath.getName.startsWith("sbkt=")) {
+      val subs = fs2.listStatus(b.getPath).filter(_.isDirectory)
+        .map(_.getPath.getName).toSet
+      assert(subs == Set("ibatch=-1"),
+        s"${b.getPath.getName} not fully folded: $subs")
+    }
+    // and the loop keeps accepting batches after a fold
+    graft.streaming.LightcurveStream.applyStatsBatch(batches(2), 9L, path)
+    val doubled = readKeyed()
+    for (((k, b), v) <- readKeyed()) assert(doubled((k, b))._1 >= expect((k, b))._1)
+  }
+}
