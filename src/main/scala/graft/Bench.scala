@@ -221,6 +221,9 @@ object Bench {
     // shuffle with the sums aggregate; regresses if a second
     // exchange appears between them
     "q_lafler_kinman",
+    // hard-negative band mining — regresses if the band predicate
+    // leaves codegen or the probe side stops broadcasting
+    "q_hard_negatives",
     // r16 variability features — each ONE (object, band) shuffle
     // shared by its windows and final aggregate; regress if a second
     // exchange ever appears between window and aggregate

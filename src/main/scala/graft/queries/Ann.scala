@@ -251,6 +251,81 @@ object Ann {
        |SELECT qid, vid, dot, cosine FROM f
        |ORDER BY qid, cosine DESC, vid""".stripMargin
 
+  // ---------------------------------------------------------------
+  /** Upper cosine bound (milli) of the hard-negative band: above it
+    * a neighbor is a near-duplicate (a FALSE negative for a
+    * contrastive objective), below [[RangeTauMilli]] it is too easy
+    * to teach anything. */
+  val NegHiMilli = 900L
+
+  /** HARD-NEGATIVE mining — the contrastive-training data op every
+    * embedding pipeline runs (DPR/Contriever shape: for each anchor,
+    * the most similar corpus items that are NOT the same content
+    * make the strongest training signal): per query vector, the
+    * top-k neighbors inside the similarity BAND
+    * [[[RangeTauMilli]], [[NegHiMilli]]) — the floor drops
+    * uninformative easy negatives, the cap drops near-duplicates
+    * that would be false negatives. BOTH band edges are the
+    * [[qAnnRange]] exact integer predicate (decimal(38,0)/hugeint —
+    * no float ever decides membership), so the banded SET is
+    * bit-exact cross-engine; ranking inside the band is the
+    * [[qAnnBruteforce]] salted two-phase top-k.
+    *
+    * Scale shape: one broadcast probe pass over the corpus scan with
+    * a per-row codegen band predicate (no shuffle before the
+    * top-k); at 100 TB the band test composes with the sign-bucket
+    * candidate generation exactly as [[qAnnRangeLsh]] does. */
+  def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).select($"vec_id",
+      VectorOps.intVec("embedding").as("iv"))
+      .withColumn("nrm", VectorOps.normSq("iv"))
+    val q = e.filter($"vec_id" < NQueries).select(
+      $"vec_id".as("qid"), $"iv".as("qiv"), $"nrm".as("qnrm"))
+    val lo2 = RangeTauMilli * RangeTauMilli
+    val hi2 = NegHiMilli * NegHiMilli
+    topK(e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
+      .withColumn("dot", VectorOps.dot("qiv", "iv"))
+      .filter($"dot" > 0 && expr(
+        s"CAST(1000000 AS DECIMAL(38,0)) * dot * dot >= " +
+          s"CAST($lo2 AS DECIMAL(38,0)) * qnrm * nrm") && expr(
+        s"CAST(1000000 AS DECIMAL(38,0)) * dot * dot < " +
+          s"CAST($hi2 AS DECIMAL(38,0)) * qnrm * nrm"))
+      .withColumn("cosine", VectorOps.cosine($"dot", $"qnrm", $"nrm"))
+      .select($"qid", $"vec_id".as("vid"), $"dot", $"cosine"))
+  }
+
+  /** Oracle twin: the range base CTEs, the band predicate on both
+    * edges in hugeint, the brute-force rank tail. */
+  val qHardNegativesSql: String = {
+    val lo2 = RangeTauMilli * RangeTauMilli
+    val hi2 = NegHiMilli * NegHiMilli
+    s"""WITH ${rangeBaseCtes(withBuckets = false)},
+       |pair AS (SELECT bq.vec_id AS qid, bv.vec_id AS vid
+       |         FROM (SELECT vec_id FROM embeddings) bq
+       |         JOIN (SELECT vec_id FROM embeddings) bv
+       |           ON bq.vec_id < $NQueries AND bv.vec_id <> bq.vec_id),
+       |db AS (SELECT pair.qid, pair.vid, CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
+       |      FROM pair JOIN e ea ON ea.vec_id = pair.qid
+       |                JOIN e eb ON eb.vec_id = pair.vid AND eb.i = ea.i
+       |      GROUP BY 1, 2),
+       |fb AS (SELECT db.qid, db.vid, db.dot,
+       |        CAST(db.dot AS DOUBLE)
+       |          / (SQRT(CAST(nq.nrm AS DOUBLE)) * SQRT(CAST(nv.nrm AS DOUBLE))) AS cosine
+       |      FROM db JOIN n nq ON nq.vec_id = db.qid
+       |             JOIN n nv ON nv.vec_id = db.vid
+       |      WHERE db.dot > 0
+       |        AND 1000000::HUGEINT * db.dot * db.dot
+       |          >= $lo2::HUGEINT * nq.nrm * nv.nrm
+       |        AND 1000000::HUGEINT * db.dot * db.dot
+       |          < $hi2::HUGEINT * nq.nrm * nv.nrm),
+       |rb AS (SELECT qid, vid, dot, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vid) AS rnk
+       |  FROM fb)
+       |SELECT qid, vid, dot, cosine, rnk FROM rb
+       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+  }
+
   val qAnnRangeLshSql: String =
     s"""WITH ${rangeBaseCtes(withBuckets = true)},
        |${rangeSetCtes("", bucketJoin = true)}
@@ -1897,6 +1972,7 @@ object Ann {
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_range" -> (qAnnRange _),
+    "q_hard_negatives" -> (qHardNegatives _),
     "q_ann_range_lsh" -> (qAnnRangeLsh _),
     "q_ann_range_recall" -> (qAnnRangeRecall _),
     "q_ann_filtered" -> (qAnnFiltered _),
@@ -1914,6 +1990,7 @@ object Ann {
   val oracles: Map[String, String] = Map(
     "q_ann_bruteforce" -> qAnnBruteforceSql,
     "q_ann_range" -> qAnnRangeSql,
+    "q_hard_negatives" -> qHardNegativesSql,
     "q_ann_range_lsh" -> qAnnRangeLshSql,
     "q_ann_range_recall" -> qAnnRangeRecallSql,
     "q_ann_filtered" -> qAnnFilteredSql,

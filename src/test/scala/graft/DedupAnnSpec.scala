@@ -492,6 +492,50 @@ class DedupAnnSpec extends AnyFunSuite {
       "every probe returned the same k-looking count — suspicious")
   }
 
+  test("q_hard_negatives mines the banded top-k exactly; near-dups stay out") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble * 1e7)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray)
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      dot(a, b).toDouble /
+        (math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble))
+    val lo2 = BigInt(queries.Ann.RangeTauMilli * queries.Ann.RangeTauMilli)
+    val hi2 = BigInt(queries.Ann.NegHiMilli * queries.Ann.NegHiMilli)
+    val band = (for {
+      q <- 0L until 5L; v <- vecs.keys.toSeq if v != q
+      d = dot(vecs(q), vecs(v))
+      p = BigInt(1000000) * BigInt(d) * BigInt(d)
+      nn = BigInt(dot(vecs(q), vecs(q))) * BigInt(dot(vecs(v), vecs(v)))
+      if d > 0 && p >= lo2 * nn && p < hi2 * nn
+    } yield (q, (v, cos(vecs(q), vecs(v))))).groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy { case (v, c) => (-c, v) }.take(10))
+      .toMap
+    val got = queries.Ann.qHardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(got.keySet == band.filter(_._2.nonEmpty).keySet)
+    for ((q, exp) <- band if exp.nonEmpty)
+      assert(got(q) == exp.map(_._1), s"banded top-k mismatch for $q")
+    assert(got.nonEmpty, "band empty — floor/cap no longer match the corpus")
+    // the mining cap does its job: anything the band returns is
+    // strictly below the near-dup ceiling, and the brute-force top-1
+    // (a planted near-dup where one exists) never appears
+    val hi = queries.Ann.NegHiMilli.toDouble / 1000.0
+    for ((q, vs) <- got; v <- vs)
+      assert(cos(vecs(q), vecs(v)) < hi, s"near-dup $v leaked into $q's band")
+    val top1 = queries.Ann.qAnnBruteforce(spark, sf).collect()
+      .filter(_.getInt(4) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((q, v1) <- top1 if cos(vecs(q), vecs(v1)) >= hi)
+      assert(!got.getOrElse(q, Seq.empty).contains(v1),
+        s"brute-force top-1 near-dup $v1 leaked into $q's negatives")
+  }
+
   test("q_ann_range_lsh is a strict candidate subset; range recall counts the trade") {
     val exact = queries.Ann.qAnnRange(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
