@@ -223,7 +223,7 @@ object Bench {
     "q_lafler_kinman",
     // hard-negative band mining — regresses if the band predicate
     // leaves codegen or the probe side stops broadcasting
-    "q_hard_negatives",
+    "q_hard_negatives", "q_ann_mips",
     // r16 variability features — each ONE (object, band) shuffle
     // shared by its windows and final aggregate; regress if a second
     // exchange ever appears between window and aggregate

@@ -252,6 +252,69 @@ object Ann {
        |ORDER BY qid, cosine DESC, vid""".stripMargin
 
   // ---------------------------------------------------------------
+  /** MAX-INNER-PRODUCT search (MIPS) — the THIRD search semantics
+    * beside cosine top-k and threshold/range, and the one recommender
+    * retrieval actually runs (user · item raw dot: a long item vector
+    * legitimately outranks a better-aligned short one — cosine
+    * deliberately erases exactly the magnitude signal MIPS keys on;
+    * published reductions to cosine-ANN append a norm dimension, but
+    * the SEMANTICS is its own contract and gets its own entry): per
+    * query vector, top-k corpus vectors by the raw scaled-integer dot
+    * product. The ENTIRE ranking is exact int64 (dot of two ×10⁷
+    * fixed-point vectors — no float anywhere, not even for display
+    * ordering), so ranks are bit-exact cross-engine by construction —
+    * the strongest hash-stability class in the ANN family.
+    *
+    * Scale shape: the [[qAnnBruteforce]] discipline — query side
+    * broadcast against ONE corpus scan, per-row codegen dot, salted
+    * two-phase top-k (never a whole-corpus sort). */
+  def qAnnMips(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mipsOver(Tables.embeddings(s, dir).select($"vec_id",
+      VectorOps.intVec("embedding").as("iv")))
+  }
+
+  /** Plan body over any (vec_id, iv) frame — factored so the spec
+    * can drive a deliberately NON-normalized fixture through it (the
+    * test corpus is unit-norm, where MIPS and cosine rankings
+    * coincide by construction; the magnitude semantics needs vectors
+    * whose lengths differ to show itself). */
+  private[graft] def mipsOver(e: DataFrame): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val q = e.filter($"vec_id" < NQueries)
+      .select($"vec_id".as("qid"), $"iv".as("qiv"))
+    val scoredDot = e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
+      .withColumn("dot", VectorOps.dot("qiv", "iv"))
+      .select($"qid", $"vec_id".as("vid"), $"dot")
+    val order = Seq($"dot".desc, $"vid")
+    val w1 = Window.partitionBy($"qid", $"salt").orderBy(order: _*)
+    val w2 = Window.partitionBy($"qid").orderBy(order: _*)
+    scoredDot.withColumn("salt", pmod($"vid", lit(64)))
+      .withColumn("prn", row_number().over(w1)).filter($"prn" <= K)
+      .withColumn("rnk", row_number().over(w2)).filter($"rnk" <= K)
+      .select($"qid", $"vid", $"dot", $"rnk")
+      .orderBy($"qid", $"rnk")
+  }
+
+  /** Oracle twin: the shared element CTE, integer dot, integer rank. */
+  val qAnnMipsSql: String =
+    s"""WITH ${rangeBaseCtes(withBuckets = false)},
+       |pair AS (SELECT bq.vec_id AS qid, bv.vec_id AS vid
+       |         FROM (SELECT vec_id FROM embeddings) bq
+       |         JOIN (SELECT vec_id FROM embeddings) bv
+       |           ON bq.vec_id < $NQueries AND bv.vec_id <> bq.vec_id),
+       |dm AS (SELECT pair.qid, pair.vid, CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
+       |      FROM pair JOIN e ea ON ea.vec_id = pair.qid
+       |                JOIN e eb ON eb.vec_id = pair.vid AND eb.i = ea.i
+       |      GROUP BY 1, 2),
+       |rm AS (SELECT qid, vid, dot,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vid) AS rnk
+       |  FROM dm)
+       |SELECT qid, vid, dot, rnk FROM rm
+       |WHERE rnk <= $K ORDER BY qid, rnk""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Upper cosine bound (milli) of the hard-negative band: above it
     * a neighbor is a near-duplicate (a FALSE negative for a
     * contrastive objective), below [[RangeTauMilli]] it is too easy
@@ -1973,6 +2036,7 @@ object Ann {
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_range" -> (qAnnRange _),
     "q_hard_negatives" -> (qHardNegatives _),
+    "q_ann_mips" -> (qAnnMips _),
     "q_ann_range_lsh" -> (qAnnRangeLsh _),
     "q_ann_range_recall" -> (qAnnRangeRecall _),
     "q_ann_filtered" -> (qAnnFiltered _),
@@ -1991,6 +2055,7 @@ object Ann {
     "q_ann_bruteforce" -> qAnnBruteforceSql,
     "q_ann_range" -> qAnnRangeSql,
     "q_hard_negatives" -> qHardNegativesSql,
+    "q_ann_mips" -> qAnnMipsSql,
     "q_ann_range_lsh" -> qAnnRangeLshSql,
     "q_ann_range_recall" -> qAnnRangeRecallSql,
     "q_ann_filtered" -> qAnnFilteredSql,

@@ -536,6 +536,53 @@ class DedupAnnSpec extends AnyFunSuite {
         s"brute-force top-1 near-dup $v1 leaked into $q's negatives")
   }
 
+  test("q_ann_mips ranks by exact integer dot; magnitude outranks alignment") {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble * 1e7)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray)
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val exp = (0L until 5L).map { q =>
+      q -> vecs.keys.toSeq.filter(_ != q)
+        .map(v => (v, dot(vecs(q), vecs(v))))
+        .sortBy { case (v, d) => (-d, v) }.take(10)
+    }.toMap
+    val got = queries.Ann.qAnnMips(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).toSeq).toMap
+    assert(got.keySet == exp.keySet)
+    for ((q, e) <- exp)
+      assert(got(q).map(t => (t._2, t._3)) == e,
+        s"MIPS top-k mismatch for $q")
+    // the test corpus is UNIT-NORM (norms within 1e-7 of 1), so MIPS
+    // and cosine rankings coincide on it by construction — the
+    // magnitude semantics is proven on a planted non-normalized
+    // fixture through the same plan body: a longer, less-aligned
+    // vector must outrank a shorter better-aligned one
+    val fixture = Seq(
+      (0L, Array(10000000L, 0L)), // the query: unit x
+      (7L, Array(9000000L, 1000000L)), // short, nearly aligned
+      (8L, Array(30000000L, -10000000L))) // 3x longer, 18 deg off
+      .toDF("vec_id", "iv")
+    val fx = queries.Ann.mipsOver(fixture).collect()
+      .filter(_.getLong(0) == 0L).sortBy(_.getInt(3))
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // dots: 7 -> 9e13; 8 -> 3e14 — magnitude wins under MIPS
+    assert(fx.map(_._1).toSeq == Seq(8L, 7L),
+      s"magnitude did not outrank alignment: $fx")
+    assert(fx.map(_._2).toSeq == Seq(300000000000000L, 90000000000000L))
+    def cosF(a: Array[Long], b: Array[Long]): Double =
+      dot(a, b).toDouble /
+        (math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble))
+    assert(cosF(Array(10000000L, 0L), Array(9000000L, 1000000L)) >
+      cosF(Array(10000000L, 0L), Array(30000000L, -10000000L)),
+      "fixture broken: cosine must prefer the short aligned vector")
+  }
+
   test("q_ann_range_lsh is a strict candidate subset; range recall counts the trade") {
     val exact = queries.Ann.qAnnRange(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
