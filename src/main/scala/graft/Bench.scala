@@ -224,6 +224,9 @@ object Bench {
     // hard-negative band mining — regresses if the band predicate
     // leaves codegen or the probe side stops broadcasting
     "q_hard_negatives", "q_ann_mips",
+    // curriculum phases — regresses if the global order leaves the
+    // histogram-split path for a one-task window
+    "q_curriculum",
     // r16 variability features — each ONE (object, band) shuffle
     // shared by its windows and final aggregate; regress if a second
     // exchange ever appears between window and aggregate

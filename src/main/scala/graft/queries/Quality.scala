@@ -168,6 +168,91 @@ object Quality {
        |FROM t ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Number of curriculum phases. */
+  val CurriculumPhases = 4
+
+  /** Curriculum phase census — the data-ordering op curriculum
+    * training runs before the first epoch (easy→hard scheduling:
+    * order the corpus by a difficulty proxy, cut it into phases,
+    * check each phase's composition): documents ordered by their
+    * mean per-token quality weight (the [[qQualityClassifier]]
+    * hashed-feature scorer, per-token so length doesn't masquerade
+    * as difficulty), cut into [[CurriculumPhases]] exact NTILE
+    * phases, and per (phase, source) the doc count, char mass, and
+    * score range — a source crowding into one phase is the
+    * scheduling skew the census exists to surface.
+    *
+    * Two portability details: the per-token weight is anchored at
+    * ascii('0') = 48 (not the classifier's centered −70) so the
+    * mean-permille numerator is NON-NEGATIVE before the integer
+    * division (Spark's DIV truncates toward zero, DuckDB's //
+    * floors — they agree only on non-negatives; the shift is
+    * order-preserving so the curriculum is unchanged), and the
+    * global order runs through [[graft.operators.RankSplit]]'s
+    * histogram-split rank (cell-bounded sorts — a plain global
+    * window would funnel the corpus through one task), with the
+    * q_ntile CASE formula turning exact rank into the exact NTILE
+    * bucket.
+    *
+    * Scale shape: one corpus scan scores per-doc (codegen fold, the
+    * q_quality_classifier bound), RankSplit's stages are combinable
+    * / broadcast / cell-bounded, and the census is one combinable
+    * (phase, source) aggregate on the ranked frame. */
+  def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = CurriculumPhases
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"source", $"n_chars",
+        expr("filter(split(text, ' '), x -> x != '')").as("toks"))
+      .select($"doc_id", $"source", $"n_chars", size($"toks").as("nt"),
+        expr("aggregate(toks, 0L, (acc, x) -> " +
+          "acc + ascii(substring(md5(x), 1, 1)) - 48)").as("score0"))
+      .withColumn("ms", expr("score0 * 1000 DIV GREATEST(nt, 1)"))
+    val ranked = graft.operators.RankSplit.rank(docs, Seq(), "ms",
+      Seq("ms", "doc_id"))
+    ranked
+      .withColumn("phase", expr(
+        s"""CAST(CASE
+           |  WHEN __rank <= (__grp_n % $k) * (__grp_n DIV $k + 1)
+           |  THEN (__rank - 1) DIV (__grp_n DIV $k + 1) + 1
+           |  ELSE __grp_n % $k
+           |    + (__rank - (__grp_n % $k) * (__grp_n DIV $k + 1) - 1)
+           |      DIV (__grp_n DIV $k)
+           |    + 1
+           |END AS BIGINT)""".stripMargin))
+      .groupBy($"phase", $"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars_total"),
+        min($"ms").as("min_mscore"), max($"ms").as("max_mscore"))
+      .orderBy($"phase", $"source")
+  }
+
+  /** Oracle twin: same scorer, same shifted permille, same NTILE
+    * CASE over a plain global ROW_NUMBER. */
+  val qCurriculumSql: String = {
+    val k = CurriculumPhases
+    s"""WITH t AS (SELECT doc_id, source, n_chars,
+       |    list_filter(string_split(text, ' '), x -> x != '') AS toks
+       |  FROM documents),
+       |sc AS (SELECT doc_id, source, n_chars, len(toks) AS nt,
+       |    CAST(COALESCE(list_sum(list_transform(toks,
+       |      x -> ascii(substring(md5(x), 1, 1)) - 48)), 0) AS BIGINT)
+       |      AS score0
+       |  FROM t),
+       |m AS (SELECT *, score0 * 1000 // GREATEST(nt, 1) AS ms FROM sc),
+       |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY ms, doc_id) AS rn,
+       |    COUNT(*) OVER () AS n FROM m),
+       |p AS (SELECT *, CAST(CASE
+       |    WHEN rn <= (n % $k) * (n // $k + 1)
+       |    THEN (rn - 1) // (n // $k + 1) + 1
+       |    ELSE n % $k + (rn - (n % $k) * (n // $k + 1) - 1) // (n // $k) + 1
+       |  END AS BIGINT) AS phase FROM r)
+       |SELECT phase, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       |  MIN(ms) AS min_mscore, MAX(ms) AS max_mscore
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   /** Flag threshold: a source drifts when its KS distance from the
     * rest of the corpus exceeds 0.10. */
   val KsThreshMilli = 100L
@@ -375,6 +460,7 @@ object Quality {
     "q_constraints" -> (qConstraints _),
     "q_quality_classifier" -> (qQualityClassifier _),
     "q_ks_drift" -> (qKsDrift _),
+    "q_curriculum" -> (qCurriculum _),
     "q_ks_drift_sampled" -> (qKsDriftSampled _),
     "q_embedding_qa" -> (qEmbeddingQa _))
 
@@ -383,6 +469,7 @@ object Quality {
     "q_constraints" -> qConstraintsSql,
     "q_quality_classifier" -> qQualityClassifierSql,
     "q_ks_drift" -> qKsDriftSql,
+    "q_curriculum" -> qCurriculumSql,
     "q_ks_drift_sampled" -> qKsDriftSampledSql,
     "q_embedding_qa" -> qEmbeddingQaSql)
 }

@@ -177,4 +177,42 @@ class QualitySpec extends AnyFunSuite {
       assert(r.getAs[Double]("rms_norm") == rms, s"label $lbl rms")
     }
   }
+
+  test("q_curriculum equals the driver-side NTILE recompute and conserves the corpus") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val k = queries.Quality.CurriculumPhases
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars", "text").collect()
+      .map { r =>
+        val toks = r.getString(3).split(" ").filter(_.nonEmpty)
+        val score = toks.map(t => md5hex(t).head.toInt - 48L).sum
+        val ms = score * 1000 / math.max(toks.length, 1)
+        (r.getLong(0), r.getString(1), r.getLong(2), ms)
+      }
+    val ordered = docs.sortBy(d => (d._4, d._1))
+    val n = ordered.length
+    val exp = ordered.zipWithIndex.map { case (d, i) =>
+      val rn = i + 1
+      val phase = if (rn <= (n % k) * (n / k + 1)) (rn - 1) / (n / k + 1) + 1
+        else n % k + (rn - (n % k) * (n / k + 1) - 1) / (n / k) + 1
+      (phase.toLong, d._2) -> d
+    }.groupBy(_._1).view.mapValues { vs =>
+      val ds = vs.map(_._2)
+      (ds.length.toLong, ds.map(_._3).sum, ds.map(_._4).min, ds.map(_._4).max)
+    }.toMap
+    val got = queries.Quality.qCurriculum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got == exp, s"curriculum census mismatch:\n got $got\n exp $exp")
+    // conservation + balance: every doc in exactly one phase, phase
+    // sizes differ by at most one (the exact-NTILE contract)
+    assert(got.values.map(_._1).sum == n.toLong)
+    val phaseSizes = got.groupBy(_._1._1).view
+      .mapValues(_.values.map(_._1).sum).values.toSeq
+    assert(phaseSizes.max - phaseSizes.min <= 1,
+      s"phases unbalanced: $phaseSizes")
+    assert(got.keys.map(_._1).toSet == (1L to k.toLong).toSet)
+  }
 }
