@@ -299,7 +299,83 @@ object Behavior {
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------
+  // ---------------------------------------------------------------
+  /** Time-to-convert DISTRIBUTION per funnel leg — the product
+    * question after [[qFunnel]]'s counts ("how many convert" →
+    * "how LONG do they take"): per leg (view→click, click→buy), the
+    * converting users' exact p50/p90/max latency in microseconds.
+    * Sums (which q_funnel already carries) hide the shape — a p90
+    * collapse with a stable median is the classic slow-cohort
+    * regression this view exists to catch.
+    *
+    * Percentiles are EXACT discrete ranks (PERCENTILE_DISC
+    * semantics) computed the q_percentile_disc way: the per-leg
+    * duration frame rides [[graft.operators.RankSplit]] (cell-bounded
+    * sorts — never a one-task per-leg sort), the rank
+    * ⌈q·n⌉ row IS the percentile, and ties are rank-invariant
+    * because the VALUE at a rank is what's reported. All integer.
+    *
+    * Scale shape: the funnel staging is [[qFunnel]]'s user-key
+    * window pass; everything after runs on the ≤2·|converting
+    * users| duration frame through RankSplit's combinable stages. */
+  def qFunnelTime(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+    val staged = ev(s, dir)
+      .withColumn("t1",
+        min(when($"event_type" === "view", $"tus")).over(w))
+      .withColumn("t2",
+        min(when($"event_type" === "click" && $"tus" > $"t1", $"tus")).over(w))
+      .withColumn("t3",
+        min(when($"event_type" === "purchase" && $"tus" > $"t2", $"tus")).over(w))
+      .groupBy($"user_id")
+      .agg(min($"t1").as("t1"), min($"t2").as("t2"), min($"t3").as("t3"))
+    val legs = staged.filter($"t2".isNotNull)
+      .select($"user_id", lit("view_click").as("leg"),
+        ($"t2" - $"t1").as("d"))
+      .unionByName(staged.filter($"t3".isNotNull)
+        .select($"user_id", lit("click_buy").as("leg"),
+          ($"t3" - $"t2").as("d")))
+    graft.operators.RankSplit.rank(legs, Seq("leg"), "d",
+      Seq("d", "user_id"))
+      .filter($"__rank" === expr("CAST(CEIL(0.5 * __grp_n) AS BIGINT)") ||
+        $"__rank" === expr("CAST(CEIL(0.9 * __grp_n) AS BIGINT)") ||
+        $"__rank" === $"__grp_n")
+      .groupBy($"leg")
+      .agg(max($"__grp_n").as("n_conv"),
+        min(when($"__rank" === expr("CAST(CEIL(0.5 * __grp_n) AS BIGINT)"),
+          $"d")).as("p50_us"),
+        min(when($"__rank" === expr("CAST(CEIL(0.9 * __grp_n) AS BIGINT)"),
+          $"d")).as("p90_us"),
+        min(when($"__rank" === $"__grp_n", $"d")).as("max_us"))
+      .orderBy($"leg")
+  }
+
+  /** Oracle twin: the funnel CTEs + PERCENTILE_DISC per leg. */
+  val qFunnelTimeSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+      |            WHERE user_id IS NOT NULL),
+      |w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN tus END)
+      |         OVER (PARTITION BY user_id) AS t1 FROM ev),
+      |w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND tus > t1 THEN tus END)
+      |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+      |w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND tus > t2 THEN tus END)
+      |         OVER (PARTITION BY user_id) AS t3 FROM w2),
+      |u AS (SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+      |      FROM w3 GROUP BY 1),
+      |legs AS (SELECT user_id, 'view_click' AS leg, t2 - t1 AS d FROM u
+      |           WHERE t2 IS NOT NULL
+      |         UNION ALL
+      |         SELECT user_id, 'click_buy', t3 - t2 FROM u
+      |           WHERE t3 IS NOT NULL)
+      |SELECT leg, COUNT(*) AS n_conv,
+      |  CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY d) AS BIGINT) AS p50_us,
+      |  CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY d) AS BIGINT) AS p90_us,
+      |  CAST(MAX(d) AS BIGINT) AS max_us
+      |FROM legs GROUP BY 1 ORDER BY leg""".stripMargin
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_time" -> (qFunnelTime _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_audience_overlap" -> (qAudienceOverlap _),
@@ -308,6 +384,7 @@ object Behavior {
     "q_cohort_ltv" -> (qCohortLtv _))
 
   val oracles: Map[String, String] = Map(
+    "q_funnel_time" -> qFunnelTimeSql,
     "q_funnel" -> qFunnelSql,
     "q_retention" -> qRetentionSql,
     "q_audience_overlap" -> qAudienceOverlapSql,

@@ -245,4 +245,39 @@ class BehaviorSpec extends AnyFunSuite {
       .count()
     assert(bad == 0)
   }
+
+  test("q_funnel_time equals the brute-force discrete-percentile recompute") {
+    import org.apache.spark.sql.functions._
+    // per-user funnel stage times, brute force
+    val evs = Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+      .selectExpr("user_id", "event_type", "ts DIV 1000 AS tus").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    val durs = evs.toSeq.flatMap { case (uid, rows) =>
+      val t1 = rows.filter(_._2 == "view").map(_._3).sorted.headOption
+      val t2 = t1.flatMap(a => rows.filter(r => r._2 == "click" && r._3 > a)
+        .map(_._3).sorted.headOption)
+      val t3 = t2.flatMap(b => rows.filter(r => r._2 == "purchase" && r._3 > b)
+        .map(_._3).sorted.headOption)
+      t2.map(b => ("view_click", b - t1.get, uid)).toSeq ++
+        t3.map(c => ("click_buy", c - t2.get, uid)).toSeq
+    }
+    def disc(vs: Seq[Long], q: Double): Long =
+      vs.sorted.apply(math.ceil(q * vs.length).toInt - 1)
+    val exp = durs.groupBy(_._1).view.mapValues { vs =>
+      val ds = vs.map(_._2)
+      (ds.length.toLong, disc(ds, 0.5), disc(ds, 0.9), ds.max)
+    }.toMap
+    val got = queries.Behavior.qFunnelTime(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == exp, s"funnel-time mismatch:\n got $got\n exp $exp")
+    assert(got.keySet == Set("view_click", "click_buy"),
+      "both funnel legs must convert at sf0.001")
+    // the distribution adds what the sums hide: p90 strictly above p50
+    // on at least one leg (a degenerate corpus would make this vacuous)
+    assert(got.values.exists(v => v._3 > v._2),
+      "p90 == p50 everywhere — distribution view vacuous")
+  }
 }
