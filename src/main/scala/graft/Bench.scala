@@ -226,7 +226,7 @@ object Bench {
     "q_hard_negatives", "q_ann_mips",
     // curriculum phases — regresses if the global order leaves the
     // histogram-split path for a one-task window
-    "q_curriculum", "q_funnel_time",
+    "q_curriculum", "q_funnel_time", "q_blob_qa",
     // r16 variability features — each ONE (object, band) shuffle
     // shared by its windows and final aggregate; regress if a second
     // exchange ever appears between window and aggregate

@@ -38,6 +38,73 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------
+  /** Prefix length (bytes) the QA gate samples per blob. */
+  private val QaPrefix = 64
+
+  /** Blob ingest-QA gate — the media-table twin of q_embedding_qa
+    * (the pass before any decode or perceptual work: an empty
+    * payload breaks every downstream kernel, a low-entropy one is
+    * the classic truncated/filler-corrupt upload): per source, blob
+    * count, empty count, byte-length range, the distinct-byte count
+    * over each blob's FIRST [[QaPrefix]] bytes (bounded per-row cost
+    * — the sampled-prefix discipline; natural content shows tens of
+    * distinct bytes, filler shows a handful), the blobs flagged
+    * LOW-ENTROPY (distinct·4 < sampled length), and the flag share
+    * in exact integer permille. All byte inspection runs on the
+    * blob's hex image with pure string arithmetic (the house
+    * convention: DuckDB has no blob substring, so BOTH engines
+    * analyze the identical hex text).
+    *
+    * Scale shape: one scan, O(QaPrefix) per row in one codegen
+    * stage, one combinable |sources|-key aggregate — the
+    * embarrassingly-parallel gate shape (q_pii_scrub's class). */
+  def qBlobQa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = blobs(s, dir)
+      .withColumn("blob_len", length($"blob").cast("long"))
+      .withColumn("h", lower(hex(substring($"blob", 1, QaPrefix))))
+      .withColumn("eff", expr("CAST(length(h) DIV 2 AS BIGINT)"))
+      // sequence(0, -1) would be a DESCENDING range in Spark, not an
+      // empty one — the empty-payload case is guarded explicitly
+      .withColumn("db", when($"eff" === 0, 0L).otherwise(expr(
+        "CAST(size(array_distinct(transform(" +
+          "sequence(0, CAST(length(h) DIV 2 AS INT) - 1), " +
+          "i -> substring(h, i * 2 + 1, 2)))) AS BIGINT)")))
+    b.groupBy($"source")
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(when($"blob_len" === 0, 1L).otherwise(0L)).as("n_empty"),
+        min($"blob_len").as("min_len"), max($"blob_len").as("max_len"),
+        min($"db").as("db_min"), max($"db").as("db_max"),
+        sum(when($"eff" > 0 && $"db" * 4 < $"eff", 1L).otherwise(0L))
+          .as("n_low"))
+      .withColumn("low_milli", expr("n_low * 1000 DIV n_blobs"))
+      .orderBy($"source")
+  }
+
+  /** Oracle twin: identical hex-image arithmetic. */
+  val qBlobQaSql: String =
+    s"""WITH b AS (SELECT doc_id, source,
+       |    CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS blob_len,
+       |    LOWER(SUBSTRING(HEX(ENCODE(text)), 1, ${2 * QaPrefix})) AS h
+       |  FROM documents),
+       |e AS (SELECT *, CAST(LENGTH(h) // 2 AS BIGINT) AS eff FROM b),
+       |d AS (SELECT *, CASE WHEN eff = 0 THEN 0
+       |    ELSE CAST(len(list_distinct(list_transform(
+       |      range(CAST(eff AS INT)),
+       |      i -> substr(h, CAST(i * 2 + 1 AS INT), 2)))) AS BIGINT)
+       |  END AS db FROM e)
+       |SELECT source, COUNT(*) AS n_blobs,
+       |  CAST(SUM(CASE WHEN blob_len = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_empty,
+       |  MIN(blob_len) AS min_len, MAX(blob_len) AS max_len,
+       |  MIN(db) AS db_min, MAX(db) AS db_max,
+       |  CAST(SUM(CASE WHEN eff > 0 AND db * 4 < eff THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_low,
+       |  CAST(SUM(CASE WHEN eff > 0 AND db * 4 < eff THEN 1 ELSE 0 END)
+       |    * 1000 // COUNT(*) AS BIGINT) AS low_milli
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   // head_hex: Spark slices the first 4 BYTES of the blob; DuckDB has no
   // blob substring, so slice the hex string instead (2 hex chars ≡ 1
   // byte) — byte-level parity even for multibyte text.
@@ -1305,6 +1372,7 @@ object Multimodal {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_blob_meta" -> (qBlobMeta _),
+    "q_blob_qa" -> (qBlobQa _),
     "q_blob_features" -> (qBlobFeatures _),
     "q_blob_framesample" -> (qBlobFrameSample _),
     "q_blob_dedup" -> (qBlobDedup _),
@@ -1316,6 +1384,7 @@ object Multimodal {
 
   val oracles: Map[String, String] = Map(
     "q_blob_meta" -> qBlobMetaSql,
+    "q_blob_qa" -> qBlobQaSql,
     "q_blob_features" -> qBlobFeaturesSql,
     "q_blob_framesample" -> qBlobFrameSampleSql,
     "q_blob_dedup" -> qBlobDedupSql,

@@ -26,6 +26,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(df.filter("blob_len <= 0 OR length(sha256) != 64").count() == 0)
   }
 
+  test("q_blob_qa equals the driver-side byte census; a dense prefix never flags") {
+    val got = queries.Multimodal.qBlobQa(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8))).toMap
+    val exp = Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map { r =>
+        val bytes = r.getString(1).getBytes("UTF-8")
+        val pref = bytes.take(64)
+        val db = pref.toSet.size.toLong
+        (r.getString(0), bytes.length.toLong, pref.length.toLong, db)
+      }
+      .groupBy(_._1).view.mapValues { vs =>
+        val low = vs.count(v => v._3 > 0 && v._4 * 4 < v._3).toLong
+        (vs.length.toLong, vs.count(_._2 == 0L).toLong,
+          vs.map(_._2).min, vs.map(_._2).max,
+          vs.map(_._4).min, vs.map(_._4).max,
+          low, low * 1000 / vs.length)
+      }.toMap
+    assert(got == exp, s"blob QA mismatch:\n got $got\n exp $exp")
+    // the corpus plants repetitive documents (q_repetition's fixture)
+    // whose byte-sparse prefixes must trip the gate — and ordinary
+    // prose must NOT: both flag states live at this SF
+    assert(got.values.exists(_._7 > 0L),
+      "no blob flagged — the planted repetitive docs should trip the gate")
+    assert(got.values.exists(v => v._7 < v._1),
+      "everything flagged — threshold arithmetic suspect")
+  }
+
   test("q_blob_dedup agrees with text-level exact dedup and counts copies consistently") {
     val blob = queries.Multimodal.qBlobDedup(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
