@@ -283,6 +283,49 @@ class AlgorithmPropertySpec extends AnyFunSuite {
     assert(checked >= 10, s"only $checked non-degenerate objects — fixture too weak")
   }
 
+  test("Lafler-Kinman on seeded random series: theta equals the fixed-chain recompute") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val q = queries.TimeSeries
+    val prng = new scala.util.Random(6397)
+    val rows = (1L to 12L).flatMap { uid =>
+      val n = 3 + prng.nextInt(70)
+      (0 until n).map { _ =>
+        (uid, math.abs(prng.nextLong()) % (30L * 86400000000L),
+          (prng.nextInt(20001) - 10000).toLong)
+      }
+    }
+    val got = q.laflerKinmanOver(rows.toSeq.toDF("user_id", "tus", "xc"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    var checked = 0
+    for (uid <- 1L to 12L) {
+      val mine = rows.filter(_._1 == uid)
+      val thetas = q.PeriodGridUs.flatMap { p =>
+        val sorted = mine.map { case (_, t, x) => (t % p, t, x) }.sorted
+        val xs = sorted.map(_._3)
+        val n = xs.length.toLong
+        val sdd = xs.zip(xs.tail).map { case (a, b) => (b - a) * (b - a) }.sum
+        val sx = xs.sum; val sxx = xs.map(x => x * x).sum
+        val xxn = n * sxx - sx * sx
+        if (xxn > 0 && n > 1)
+          Some(p -> n.toDouble * sdd.toDouble / xxn.toDouble)
+        else None
+      }
+      if (thetas.isEmpty) assert(!got.contains(uid), s"degenerate $uid kept")
+      else {
+        val (bestP, bestT) = thetas.minBy { case (p, t) => (t, p) }
+        assert(got(uid).getAs[Long]("best_p_us") == bestP, s"argmin $uid")
+        assert(got(uid).getAs[Double]("theta") == bestT,
+          s"theta mismatch $uid")
+        // theta is non-negative by construction (squared steps over a
+        // positive variance numerator)
+        assert(thetas.forall(_._2 >= 0.0), s"negative theta for $uid")
+        checked += 1
+      }
+    }
+    assert(checked >= 10, s"only $checked non-degenerate objects — fixture too weak")
+  }
+
   test("BLS on seeded random series: power in [0,1], equals the window-scan recompute") {
     val spark = SparkTestSession.spark
     import spark.implicits._

@@ -279,5 +279,16 @@ class BehaviorSpec extends AnyFunSuite {
     // on at least one leg (a degenerate corpus would make this vacuous)
     assert(got.values.exists(v => v._3 > v._2),
       "p90 == p50 everywhere — distribution view vacuous")
+    // cross-query reconciliation: the leg populations are exactly
+    // q_funnel's conversion counts, and the brute-force duration
+    // masses equal q_funnel's reported sums — the two entries can
+    // never tell different funnel stories
+    val f = queries.Behavior.qFunnel(spark, sf).collect().head
+    assert(got("view_click")._1 == f.getAs[Long]("n_view_click"))
+    assert(got("click_buy")._1 == f.getAs[Long]("n_full_funnel"))
+    assert(durs.filter(_._1 == "view_click").map(_._2).sum ==
+      f.getAs[Long]("sum_view_to_click_us"))
+    assert(durs.filter(_._1 == "click_buy").map(_._2).sum ==
+      f.getAs[Long]("sum_click_to_buy_us"))
   }
 }
