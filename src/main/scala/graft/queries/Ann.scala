@@ -63,17 +63,28 @@ object Ann {
       .select($"qid", $"vec_id".as("vid"), $"dot", $"cosine")
   }
 
-  /** Two-phase salted top-k per query (rank ties broken by vid). */
-  private def topK(df: DataFrame): DataFrame = {
+  /** Two-phase salted top-[[K]] per query under a caller-chosen
+    * total order — ONE copy of the salting/K discipline for every
+    * ranking surface (cosine searches and the MIPS dot ranking; the
+    * PQ candidate stage keeps its own [[topByAdc]] variant because
+    * its k and output contract differ). */
+  private def topKBy(df: DataFrame, order: Seq[Column],
+    out: Seq[Column]): DataFrame = {
     import df.sparkSession.implicits._
-    val order = Seq($"cosine".desc, $"vid")
     val w1 = Window.partitionBy($"qid", $"salt").orderBy(order: _*)
     val w2 = Window.partitionBy($"qid").orderBy(order: _*)
     df.withColumn("salt", pmod($"vid", lit(64)))
       .withColumn("prn", row_number().over(w1)).filter($"prn" <= K)
       .withColumn("rnk", row_number().over(w2)).filter($"rnk" <= K)
-      .select($"qid", $"vid", $"dot", $"cosine", $"rnk")
+      .select(out :+ col("rnk"): _*)
       .orderBy($"qid", $"rnk")
+  }
+
+  /** The cosine form (rank ties broken by vid). */
+  private def topK(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    topKBy(df, Seq($"cosine".desc, $"vid"),
+      Seq($"qid", $"vid", $"dot", $"cosine"))
   }
 
   def qAnnBruteforce(s: SparkSession, dir: String): DataFrame =
@@ -287,14 +298,8 @@ object Ann {
     val scoredDot = e.crossJoin(broadcast(q)).filter($"vec_id" =!= $"qid")
       .withColumn("dot", VectorOps.dot("qiv", "iv"))
       .select($"qid", $"vec_id".as("vid"), $"dot")
-    val order = Seq($"dot".desc, $"vid")
-    val w1 = Window.partitionBy($"qid", $"salt").orderBy(order: _*)
-    val w2 = Window.partitionBy($"qid").orderBy(order: _*)
-    scoredDot.withColumn("salt", pmod($"vid", lit(64)))
-      .withColumn("prn", row_number().over(w1)).filter($"prn" <= K)
-      .withColumn("rnk", row_number().over(w2)).filter($"rnk" <= K)
-      .select($"qid", $"vid", $"dot", $"rnk")
-      .orderBy($"qid", $"rnk")
+    topKBy(scoredDot, Seq($"dot".desc, $"vid"),
+      Seq($"qid", $"vid", $"dot"))
   }
 
   /** Oracle twin: the shared element CTE, integer dot, integer rank. */

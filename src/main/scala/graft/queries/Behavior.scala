@@ -330,12 +330,17 @@ object Behavior {
         min(when($"event_type" === "purchase" && $"tus" > $"t2", $"tus")).over(w))
       .groupBy($"user_id")
       .agg(min($"t1").as("t1"), min($"t2").as("t2"), min($"t3").as("t3"))
+    // pinned: RankSplit traverses its input in THREE independent
+    // subplans (documented cost contract) — unpinned, the whole
+    // funnel staging (events scan + user window + aggregate) would
+    // re-run per subplan; the legs frame is converters-sized
     val legs = staged.filter($"t2".isNotNull)
       .select($"user_id", lit("view_click").as("leg"),
         ($"t2" - $"t1").as("d"))
       .unionByName(staged.filter($"t3".isNotNull)
         .select($"user_id", lit("click_buy").as("leg"),
           ($"t3" - $"t2").as("d")))
+      .localCheckpoint()
     graft.operators.RankSplit.rank(legs, Seq("leg"), "d",
       Seq("d", "user_id"))
       .filter($"__rank" === expr("CAST(CEIL(0.5 * __grp_n) AS BIGINT)") ||

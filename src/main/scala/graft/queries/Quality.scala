@@ -201,6 +201,10 @@ object Quality {
   def qCurriculum(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = CurriculumPhases
+    // pinned: RankSplit traverses its input in THREE independent
+    // subplans (documented cost contract) — unpinned, the corpus-wide
+    // per-token md5 scoring fold would run once per subplan; the
+    // scored frame is 4 small columns per doc
     val docs = Tables.documents(s, dir)
       .select($"doc_id", $"source", $"n_chars",
         expr("filter(split(text, ' '), x -> x != '')").as("toks"))
@@ -208,6 +212,7 @@ object Quality {
         expr("aggregate(toks, 0L, (acc, x) -> " +
           "acc + ascii(substring(md5(x), 1, 1)) - 48)").as("score0"))
       .withColumn("ms", expr("score0 * 1000 DIV GREATEST(nt, 1)"))
+      .localCheckpoint()
     val ranked = graft.operators.RankSplit.rank(docs, Seq(), "ms",
       Seq("ms", "doc_id"))
     ranked

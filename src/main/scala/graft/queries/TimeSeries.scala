@@ -1486,8 +1486,12 @@ object TimeSeries {
     val s = ser.sparkSession
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // (ph, tus, xc) is a TOTAL order: two epochs can share a truncated
+    // tus (ts DIV 1000), and an ambiguous lag pairing would make sdd
+    // run-order-dependent — the xc tie-break closes it for any series
+    // frame (the registered series has no event_id column here)
     val w = Window.partitionBy($"user_id", $"p_us")
-      .orderBy($"ph", $"tus")
+      .orderBy($"ph", $"tus", $"xc")
     val cells = ser
       .filter($"user_id".isNotNull)
       .withColumn("p_us", explode(typedLit(PeriodGridUs)))
@@ -1521,7 +1525,7 @@ object TimeSeries {
        |  FROM ev CROSS JOIN grid),
        |d AS (SELECT user_id, p_us, xc,
        |    xc - LAG(xc) OVER (PARTITION BY user_id, p_us
-       |      ORDER BY ph, tus) AS dx
+       |      ORDER BY ph, tus, xc) AS dx
        |  FROM ph),
        |a AS (SELECT user_id, p_us, COUNT(*) AS n,
        |    CAST(SUM(xc) AS BIGINT) AS sx,

@@ -51,23 +51,64 @@ object LightcurveStream {
   private val FoldId = -1L
   private val StageId = -2L
 
+  /** Root-level marker recording the highest batch id any completed
+    * fold STAGE has captured — the replay guard that survives
+    * compaction: once a batch's subpartitions have been folded (and
+    * later deleted by phase 2), the per-batch dynamic overwrite can
+    * no longer dedup a replay, so replayed ids at or below this
+    * horizon are SKIPPED instead (their content is durable in the
+    * stage/fold by construction). Written atomically (tmp + rename,
+    * the Catalog horizon-marker protocol) after the stage is durable
+    * and BEFORE any source is deleted. */
+  private val FoldedMarker = "_folded_upto"
+
   private def sbkt = pmod(col("user_id"), lit(NBuckets.toLong))
+
+  private def markerPath(statsPath: String) =
+    new org.apache.hadoop.fs.Path(statsPath, FoldedMarker)
+
+  private def foldedUpto(s: SparkSession, statsPath: String): Long = {
+    val p = markerPath(statsPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeFoldedUpto(s: SparkSession, statsPath: String,
+    upto: Long): Unit = {
+    val p = markerPath(statsPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(statsPath,
+      s"._${FoldedMarker}_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(upto.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+  }
 
   /** One micro-batch of the maintenance loop (factored so the spec
     * can replay it directly): reduce the batch to per-key partials,
     * land them under the batch's own subpartitions. An empty batch
-    * writes nothing. Expects raw event rows (user_id, ts, value,
-    * event_type). */
+    * writes nothing; a batch at or below the folded horizon is a
+    * REPLAY of content already captured by a completed fold stage
+    * and is skipped (its subpartitions may no longer exist for the
+    * dynamic overwrite to dedup against). Expects raw event rows
+    * (user_id, ts, value, event_type). */
   def applyStatsBatch(batch: DataFrame, batchId: Long,
     statsPath: String): Unit = if (!batch.isEmpty) {
     require(batchId >= 0, s"negative batch ids are reserved: $batchId")
-    partialsOf(batch)
-      .withColumn("sbkt", sbkt)
-      .withColumn("ibatch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("sbkt", "ibatch")
-      .parquet(statsPath)
+    if (batchId > foldedUpto(batch.sparkSession, statsPath))
+      partialsOf(batch)
+        .withColumn("sbkt", sbkt)
+        .withColumn("ibatch", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("sbkt", "ibatch")
+        .parquet(statsPath)
   }
 
   /** The batch→partial reduction: one pre-aggregated row per
@@ -140,18 +181,31 @@ object LightcurveStream {
     * trivially. */
   def compactStats(s: SparkSession, statsPath: String): Unit = {
     import org.apache.hadoop.fs.Path
+    import s.implicits._
     val root = new Path(statsPath)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return
-    // phase 1: stage the fold (reads through the precedence rule, so
-    // a previous crashed stage folds to itself — idempotent)
-    livePartials(s, statsPath)
+    val live = livePartials(s, statsPath)
+    // the horizon the stage is about to capture: every non-negative
+    // batch currently at rest (computed BEFORE the stage lands)
+    val maxBatch = s.read.parquet(statsPath)
+      .agg(coalesce(max($"ibatch"), lit(-1L))).head.getLong(0)
+    // phase 1: stage the MERGED fold — one row per (object, band)
+    // per bucket (reads through the precedence rule, so a previous
+    // crashed stage folds to itself — idempotent)
+    mergePartials(live)
       .withColumn("sbkt", sbkt)
       .withColumn("ibatch", lit(StageId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("sbkt", "ibatch")
       .parquet(statsPath)
+    // the replay horizon becomes durable only AFTER the stage is
+    // (a crash between the two replays batches into a store whose
+    // stage already shadows them — phase 2 of the next fold cleans
+    // the duplicates) and BEFORE any source is deleted (so a skipped
+    // replay's content provably exists in the stage or fold)
+    if (maxBatch >= 0) writeFoldedUpto(s, statsPath, maxBatch)
     // phase 2: per bucket — drop folded sources, canonicalize stage
     for (b <- fs.listStatus(root) if b.isDirectory
          && b.getPath.getName.startsWith("sbkt=")) {
@@ -172,9 +226,15 @@ object LightcurveStream {
     * construction (a batch landing beside an in-flight stage would
     * be shadowed by the precedence rule and then deleted as a fold
     * source; in-loop there is never an in-flight stage when a batch
-    * writes). Restart on the same checkpoint resumes exactly-once:
-    * a replayed batch overwrites its own subpartitions, a replayed
-    * compaction folds to itself. */
+    * writes). Restart on the same checkpoint resumes exactly-once
+    * through TWO guards: a replayed batch whose subpartitions still
+    * exist overwrites them (dynamic overwrite), and one whose
+    * subpartitions a completed fold has consumed is SKIPPED via the
+    * durable [[FoldedMarker]] horizon — without it, a crash between
+    * an in-loop fold and the stream's commit-log write would replay
+    * the batch as a plain append beside the fold that already
+    * contains it, silently double-counting every key it touched. A
+    * replayed compaction folds to itself. */
   def start(events: DataFrame, statsPath: String,
     checkpointPath: String, compactEvery: Long = 0L): StreamingQuery =
     events.writeStream

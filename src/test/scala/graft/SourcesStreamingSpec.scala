@@ -1931,10 +1931,13 @@ class LightcurveStreamSpec extends AnyFunSuite {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("sbkt", "ibatch").parquet(path)
     assert(readKeyed() == expect, "mid-compaction read diverged")
-    // compaction (healing the simulated crash) preserves content and
-    // leaves exactly one canonical fold partition per bucket
+    // compaction (healing the simulated crash) preserves content,
+    // MERGES to exactly one row per key, and leaves one canonical
+    // fold partition per bucket
     graft.streaming.LightcurveStream.compactStats(spark, path)
     assert(readKeyed() == expect, "compaction changed the summary")
+    assert(spark.read.parquet(path).count() == expect.size.toLong,
+      "fold did not merge to one row per (object, band)")
     val hconf2 = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs2 = root.getFileSystem(hconf2)
@@ -1945,7 +1948,14 @@ class LightcurveStreamSpec extends AnyFunSuite {
       assert(subs == Set("ibatch=-1"),
         s"${b.getPath.getName} not fully folded: $subs")
     }
-    // and the loop keeps accepting batches after a fold
+    // the crash-between-fold-and-commit window: a batch REPLAYED
+    // after compaction consumed its subpartitions must be skipped
+    // via the folded horizon — without the guard this append would
+    // double-count every key batch 1 touched
+    graft.streaming.LightcurveStream.applyStatsBatch(batches(1), 1L, path)
+    assert(readKeyed() == expect,
+      "replay after compaction double-counted (folded horizon ignored)")
+    // and the loop keeps accepting genuinely NEW batches after a fold
     graft.streaming.LightcurveStream.applyStatsBatch(batches(2), 9L, path)
     val doubled = readKeyed()
     for (((k, b), v) <- readKeyed()) assert(doubled((k, b))._1 >= expect((k, b))._1)
