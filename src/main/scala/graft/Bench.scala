@@ -90,6 +90,11 @@ object Bench {
     // full statistic; regression here means the sample stopped
     // composing upstream of the pair streams)
     "q_lightcurve_band", "q_color_index", "q_two_point_sampled",
+    // the streamed LSM store's read path (r17): warm path must scan
+    // the compaction-bounded partials store, never the raw events —
+    // regresses toward q_lightcurve_band's time if the store stops
+    // answering from its fold
+    "q_lightcurve_band_stored",
     // round-11 wave-2: the structure function — the per-object pair
     // stream (cadence-bounded quadratic) into lag-binned cells;
     // regresses silently if the pair join stops being per-object
@@ -217,6 +222,10 @@ object Bench {
     // conditional pivot aggregate; regresses if the window argmax
     // (one greatest over 48 structs) ever becomes a join or window
     "q_bls",
+    // the BLS composition gate (r17): same frame with the dip-only
+    // argmax — must bench ~q_bls; a blowup means the dip restriction
+    // broke the single wide-aggregate shape
+    "q_transit_candidates",
     // Lafler-Kinman — the lag window must SHARE the (object, period)
     // shuffle with the sums aggregate; regresses if a second
     // exchange appears between them
@@ -305,6 +314,10 @@ object Bench {
     // the zone grid)
     "q_order_count_dist", "q_global_share", "q_dedup_survivors",
     "q_tracklets", "q_track_chains",
+    // the per-track motion fit (r17): rides the same pinned pair
+    // sliver as the chain census plus ONE detection-table equi-join —
+    // regresses if the melt lookup ever becomes three scans
+    "q_track_motion",
     // portable bloom sketch — regresses if the probe join stops
     // riding the vocabulary-sized frames
     "q_sketch_bloom")
@@ -414,9 +427,14 @@ object Bench {
     // WORSE than both in-suite and a clean JVM — the adjudicator
     // inverted its own signal. The fork is the last Spark-dependent
     // step, so stopping first costs nothing.
+    // always-isolated tail: heavy queries that sit just outside the
+    // dynamic top-10 on a quiet box but inside it under load — pinning
+    // them keeps their regressions self-adjudicating round over round
+    val isoAlways = Seq("q_weighted_median", "q_multiband_gls")
     val isoNames: Seq[String] =
       if (only.isDefined) Seq.empty
-      else results.sortBy(-_._2).take(10).map(_._1)
+      else (results.sortBy(-_._2).take(10).map(_._1) ++
+        isoAlways.filter(SparkEntry.queries.contains)).distinct
     val (isolated: Seq[(String, Double)], isolatedOk: Boolean) =
       if (isoNames.isEmpty) (Seq.empty, true)
       else {

@@ -989,7 +989,10 @@ object CoreOlap {
     * control-plane frame) and runs the ordered cumulative sum over
     * THAT CELL ALONE — ~1/splits of the group sorts, where the
     * previous full-rank shape window-sorted every row it was about to
-    * throw away (isolated sf0.1: 6.5 → 1.3 s). The crossing row is a
+    * throw away (measured isolated sf0.1: 6.5 → ~5.3 s — the sort was
+    * only ~20% of the query; the split-digest construction dominates
+    * and was separately retuned to accuracy 1000 in RankSplit). The
+    * crossing row is a
     * one-predicate filter (running ≥ T, running − own weight < T),
     * unique per group by construction; cell boundaries can't split it
     * (equal prices always share a cell). All arithmetic integer. */

@@ -1212,7 +1212,12 @@ object Dedup {
       .select($"source", $"n_docs", $"chars_total", $"n_kept",
         $"chars_kept",
         expr("n_kept * 1000 DIV n_docs").as("kept_milli"),
-        expr("chars_kept * 1000 DIV chars_total").as("chars_kept_milli"))
+        // GREATEST anchor (the qSketchBloom fpr_ppm discipline): an
+        // all-empty-docs source would divide by zero — NULL in Spark
+        // but an ERROR in DuckDB's `//` — a latent cross-engine
+        // parity/crash divergence even though current corpora avoid it
+        expr("chars_kept * 1000 DIV GREATEST(chars_total, 1)")
+          .as("chars_kept_milli"))
       .orderBy($"source")
   }
 
@@ -1248,7 +1253,7 @@ object Dedup {
        |  GROUP BY 1)
        |SELECT source, n_docs, chars_total, n_kept, chars_kept,
        |  CAST(n_kept * 1000 // n_docs AS BIGINT) AS kept_milli,
-       |  CAST(chars_kept * 1000 // chars_total AS BIGINT)
+       |  CAST(chars_kept * 1000 // GREATEST(chars_total, 1) AS BIGINT)
        |    AS chars_kept_milli
        |FROM agg ORDER BY source""".stripMargin
 

@@ -612,10 +612,13 @@ object Spatial {
           .otherwise(0L)), lit(0L)).as("sum_dr_u6"))
   }
 
-  /** Oracle twin: the tracklet pair CTEs self-joined on the middle
-    * detection, the identical exact-integer rate test. */
-  lazy val qTrackChainsSql: String =
-    s"""WITH d AS ($detectionsSql),
+  /** The tracklet-pair→chain CTE chain through `ch` (the
+    * (k1, mid, k3, dr_u6) chain frame) — ONE copy shared verbatim by
+    * [[qTrackChainsSql]]'s census and [[qTrackMotionSql]]'s per-track
+    * fit, so the transient anti-join, the rate window and the exact
+    * ×10⁶ drift test can never diverge between the two readouts. */
+  private lazy val trackChainCtes: String =
+    s"""d AS ($detectionsSql),
        |o AS ($pointsSql),
        |tr AS (SELECT det_k, ra, decl, det_k % $AssocBatches AS night
        |  FROM d WHERE NOT EXISTS (
@@ -627,10 +630,15 @@ object Spatial {
        |fl AS (SELECT * FROM pr WHERE dist_r6 < $TrackRateDeg),
        |p1 AS (SELECT k1, k2 AS mid, dist_r6 AS r1 FROM fl),
        |p2 AS (SELECT k1 AS mid, k2 AS k3, dist_r6 AS r2 FROM fl),
-       |ch AS (SELECT mid,
+       |ch AS (SELECT k1, mid, k3,
        |    ABS(CAST(ROUND(r1*1000000) AS BIGINT)
        |      - CAST(ROUND(r2*1000000) AS BIGINT)) AS dr_u6
-       |  FROM p1 JOIN p2 USING (mid))
+       |  FROM p1 JOIN p2 USING (mid))""".stripMargin
+
+  /** Oracle twin: the tracklet pair CTEs self-joined on the middle
+    * detection, the identical exact-integer rate test. */
+  lazy val qTrackChainsSql: String =
+    s"""WITH $trackChainCtes
        |SELECT COUNT(*) AS n_chains,
        |  CAST(COALESCE(SUM(CASE WHEN dr_u6 <= $TrackChainTolU6 THEN 1
        |    ELSE 0 END), 0) AS BIGINT) AS n_tracks,
@@ -639,6 +647,97 @@ object Spatial {
        |  CAST(COALESCE(SUM(CASE WHEN dr_u6 <= $TrackChainTolU6 THEN dr_u6
        |    ELSE 0 END), 0) AS BIGINT) AS sum_dr_u6
        |FROM ch""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Per-track MOTION readout — the hand-off MOPS gives orbit
+    * fitting once [[qTrackChains]] has kept a rate-consistent
+    * 3-night track: the linear α/δ-vs-night fit over the track's
+    * three members and its residual. At three EQUALLY SPACED nights
+    * the least-squares sufficient sums (the [[qLightcurveTrend]]
+    * idiom: n·Σtx − Σt·Σx over n·Σt² − (Σt)²) collapse to closed
+    * integer forms — slope numerator x₃ − x₁ per TWO nights, and the
+    * entire residual structure one curvature term c = x₁ − 2·x₂ + x₃
+    * (SSE = c²/6; a perfectly linear mover has c = 0) — so the whole
+    * fit is EXACT int64 on ×10⁶-scaled coordinates (α ≤ 360° →
+    * |c| ≤ 1.4·10⁹, no overflow anywhere) and the output hashes with
+    * no IEEE chain at all. Emitted per track, keyed by the member
+    * ids, ordered: rate numerators (u6 per 2 nights), both curvature
+    * terms, and the rate-drift dr_u6 the chain gate already measured.
+    *
+    * Scale shape: the spatial work is [[trackletPairs]]' one grid
+    * pass (pinned, shared with the chain join); the coordinate
+    * lookup is ONE equi-join of the 3·|tracks| member melt against
+    * the detection table (never three scans), AQE-sized — the track
+    * sliver is physics-bounded (real movers), so the join resolves
+    * broadcast at runtime; the pivot back to one row per track is a
+    * combinable conditional aggregate on the track key. */
+  def qTrackMotion(s: SparkSession, dir: String): DataFrame =
+    trackMotionOver(trackletPairs(s, dir).localCheckpoint(true),
+      detections(s, dir))
+
+  /** Fit body over any tracklet-pair frame (night_from, k1, k2,
+    * dist_r6) and coordinate table (det_k, ra, decl) — factored so
+    * the spec can drive a planted constant-rate mover (and a
+    * rate-drifting interloper) through the real plan. */
+  private[graft] def trackMotionOver(p: DataFrame,
+    dets: DataFrame): DataFrame = {
+    val s = p.sparkSession
+    import s.implicits._
+    val p1 = p.select($"k1", $"k2".as("mid"), $"dist_r6".as("r1"))
+    val p2 = p.select($"k1".as("mid"), $"k2".as("k3"), $"dist_r6".as("r2"))
+    val tracks = p1.join(p2, Seq("mid"))
+      .withColumn("dr_u6", abs(round($"r1" * 1000000).cast("long") -
+        round($"r2" * 1000000).cast("long")))
+      .filter($"dr_u6" <= TrackChainTolU6)
+      .select($"k1", $"mid", $"k3", $"dr_u6")
+    // melt the three members, look their coordinates up in ONE scan
+    val mem = tracks.select($"k1", $"mid", $"k3", $"dr_u6",
+      explode(array(
+        struct(lit(0L).as("role"), $"k1".as("det_k")),
+        struct(lit(1L).as("role"), $"mid".as("det_k")),
+        struct(lit(2L).as("role"), $"k3".as("det_k")))).as("m"))
+      .select($"k1", $"mid", $"k3", $"dr_u6",
+        $"m.role".as("role"), $"m.det_k".as("det_k"))
+    val coords = dets.select($"det_k",
+      round($"ra" * 1000000).cast("long").as("ra_u6"),
+      round($"decl" * 1000000).cast("long").as("de_u6"))
+    def at(role: Int, c: org.apache.spark.sql.Column) =
+      min(when($"role" === role.toLong, c))
+    mem.join(coords, Seq("det_k"))
+      .groupBy($"k1", $"mid", $"k3", $"dr_u6")
+      .agg(
+        (at(2, $"ra_u6") - at(0, $"ra_u6")).as("ra_rate_u6_x2"),
+        (at(2, $"de_u6") - at(0, $"de_u6")).as("de_rate_u6_x2"),
+        (at(0, $"ra_u6") - lit(2L) * at(1, $"ra_u6") + at(2, $"ra_u6"))
+          .as("ra_curv_u6"),
+        (at(0, $"de_u6") - lit(2L) * at(1, $"de_u6") + at(2, $"de_u6"))
+          .as("de_curv_u6"))
+      .select($"k1", $"mid", $"k3", $"ra_rate_u6_x2", $"de_rate_u6_x2",
+        $"ra_curv_u6", $"de_curv_u6", $"dr_u6")
+      .orderBy($"k1", $"mid", $"k3")
+  }
+
+  /** Oracle twin: [[trackChainCtes]] (one copy) + the rate gate, the
+    * coordinate lookup as three aliased equi-joins (relational form
+    * of the plan's single-scan melt), the identical closed-form
+    * integer fit. */
+  lazy val qTrackMotionSql: String =
+    s"""WITH $trackChainCtes,
+       |tk AS (SELECT k1, mid, k3, dr_u6 FROM ch
+       |  WHERE dr_u6 <= $TrackChainTolU6),
+       |c AS (SELECT det_k, CAST(ROUND(ra*1000000) AS BIGINT) AS ra_u6,
+       |    CAST(ROUND(decl*1000000) AS BIGINT) AS de_u6 FROM d)
+       |SELECT tk.k1, tk.mid, tk.k3,
+       |  c3.ra_u6 - c1.ra_u6 AS ra_rate_u6_x2,
+       |  c3.de_u6 - c1.de_u6 AS de_rate_u6_x2,
+       |  c1.ra_u6 - 2*c2.ra_u6 + c3.ra_u6 AS ra_curv_u6,
+       |  c1.de_u6 - 2*c2.de_u6 + c3.de_u6 AS de_curv_u6,
+       |  tk.dr_u6
+       |FROM tk
+       |JOIN c c1 ON c1.det_k = tk.k1
+       |JOIN c c2 ON c2.det_k = tk.mid
+       |JOIN c c3 ON c3.det_k = tk.k3
+       |ORDER BY tk.k1, tk.mid, tk.k3""".stripMargin
 
   // ---------------------------------------------------------------
   /** Flux-bin width (cents) of the completeness curve. */
@@ -2275,6 +2374,7 @@ object Spatial {
     "q_xmatch_unmatched" -> (qXmatchUnmatched _),
     "q_tracklets" -> (qTracklets _),
     "q_track_chains" -> (qTrackChains _),
+    "q_track_motion" -> (qTrackMotion _),
     "q_spatial_density" -> (qSpatialDensity _),
     "q_nearest_nbr" -> (qNearestNbr _),
     "q_knn3" -> (qKnn3 _),
@@ -2302,6 +2402,7 @@ object Spatial {
     "q_xmatch_unmatched" -> qXmatchUnmatchedSql,
     "q_tracklets" -> qTrackletsSql,
     "q_track_chains" -> qTrackChainsSql,
+    "q_track_motion" -> qTrackMotionSql,
     "q_spatial_density" -> qSpatialDensitySql,
     "q_nearest_nbr" -> qNearestNbrSql,
     "q_knn3" -> qKnn3Sql,

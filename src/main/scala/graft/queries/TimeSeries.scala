@@ -1352,8 +1352,16 @@ object TimeSeries {
     blsOver(series(s, dir))
 
   /** Plan body over any (user_id, tus, xc) series frame — factored so
-    * the spec can drive a planted transit through the real plan. */
-  private[graft] def blsOver(ser: DataFrame): DataFrame = {
+    * the spec can drive a planted transit through the real plan.
+    * `dipOnly` restricts the per-row window argmax to DIP boxes
+    * (D = n·s_W − n_W·Σx < 0, i.e. in-window mean below baseline —
+    * the box orientation the published transit search actually
+    * fits); bright boxes then ride the −1 sentinel like any other
+    * ineligible window, so an object surfaces only through its best
+    * eclipse-shaped window (and drops out entirely when no dip
+    * window exists, matching the oracle's NULL-filtered CASE). */
+  private[graft] def blsOver(ser: DataFrame,
+    dipOnly: Boolean = false): DataFrame = {
     val s = ser.sparkSession
     import s.implicits._
     val nb = BlsBins
@@ -1382,7 +1390,9 @@ object TimeSeries {
       val sw = (0 until w).map(o => col(s"sb${(st + o) % nb}"))
         .reduce(_ + _)
       val d = $"n" * sw - nw * $"sx"
-      val power = when(nw > lit(0L) && nw < $"n" && $"xxn" > 0,
+      val eligible0 = nw > lit(0L) && nw < $"n" && $"xxn" > 0
+      val eligible = if (dipOnly) eligible0 && d < 0 else eligible0
+      val power = when(eligible,
         (d.cast("double") * d.cast("double")) /
           ((nw.cast("double") * ($"n" - nw).cast("double")) *
             $"xxn".cast("double"))).otherwise(lit(-1.0))
@@ -1412,10 +1422,13 @@ object TimeSeries {
     * (bin, window) membership SET the plan's pivot expressions
     * enumerate — then the identical integer statistics and IEEE
     * chain; windows whose bins are all empty are absent here and
-    * sentinel-filtered there. */
-  val qBlsSql: String = {
+    * sentinel-filtered there. ONE copy of the CTE chain, spliceable
+    * with an extra window-eligibility predicate — [[qBlsSql]] uses it
+    * unrestricted, [[qTransitCandidatesSql]] with the dip restriction
+    * `AND d < 0` (mirroring `blsOver(dipOnly = true)`). */
+  private def blsCtesFor(dipPred: String): String = {
     val grid = PeriodGridUs.mkString(", ")
-    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
+    s"""ev AS (SELECT user_id, epoch_us(ts) AS tus,
        |    CAST(ROUND(value*100) AS BIGINT) AS xc
        |  FROM events WHERE user_id IS NOT NULL),
        |grid AS (SELECT unnest([$grid]) AS p_us),
@@ -1440,21 +1453,80 @@ object TimeSeries {
        |    t.n, t.sx, t.n * w.sw - w.nw * t.sx AS d,
        |    t.n * t.sxx - t.sx * t.sx AS xxn
        |  FROM wagg w JOIN tot t USING (user_id, p_us)),
-       |pw AS (SELECT *, CASE WHEN nw > 0 AND nw < n AND xxn > 0 THEN
+       |pw AS (SELECT *, CASE WHEN nw > 0 AND nw < n AND xxn > 0$dipPred THEN
        |    (CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) /
        |    ((CAST(nw AS DOUBLE) * CAST(n - nw AS DOUBLE))
        |      * CAST(xxn AS DOUBLE))
        |  END AS pwr FROM p),
        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
        |    ORDER BY pwr DESC, p_us, ws, ww) AS rn
-       |  FROM pw WHERE pwr IS NOT NULL)
-       |SELECT user_id, CAST(n AS BIGINT) AS n_epochs, p_us AS best_p_us,
-       |  CAST(ws AS BIGINT) AS w_start, CAST(ww AS BIGINT) AS w_width,
-       |  pwr AS bls_power,
-       |  CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE)
-       |    - CAST(sx - sw AS DOUBLE) / CAST(n - nw AS DOUBLE) AS depth_c100
-       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+       |  FROM pw WHERE pwr IS NOT NULL)""".stripMargin
   }
+
+  /** The shared per-object best-window readout over [[blsCtesFor]]'s
+    * `r` frame. */
+  private val blsBestSql: String =
+    """SELECT user_id, CAST(n AS BIGINT) AS n_epochs, p_us AS best_p_us,
+      |  CAST(ws AS BIGINT) AS w_start, CAST(ww AS BIGINT) AS w_width,
+      |  pwr AS bls_power,
+      |  CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE)
+      |    - CAST(sx - sw AS DOUBLE) / CAST(n - nw AS DOUBLE) AS depth_c100
+      |FROM r WHERE rn = 1""".stripMargin
+
+  val qBlsSql: String =
+    s"""WITH ${blsCtesFor("")}
+       |$blsBestSql ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Transit-candidate gates: the object's best DIP box must explain
+    * ≥ this fraction of its flux variance (BLS power), over ≥
+    * [[TransitMinEpochs]] epochs. Both bind on the test corpora —
+    * each gate alone passes more objects than the pair (5/15 at
+    * sf0.001, 57/150 at sf0.01 through the pair). */
+  private[graft] val TransitPowerMin = 0.08
+  private[graft] val TransitMinEpochs = 60L
+
+  /** Transit/eclipse candidate census — the composition gate the BLS
+    * statistic exists to feed (the [[qPeriodicCandidates]] discipline
+    * applied to the box family): an object qualifies when its best
+    * ECLIPSE-SHAPED window — [[blsOver]] with `dipOnly`, so the
+    * argmax runs over D < 0 boxes only and a bright-box variable
+    * can't smuggle its brightening window past a depth cut — clears
+    * [[TransitPowerMin]], its depth is negative (definitionally true
+    * for a dip window; kept as the published predicate), and the
+    * series has ≥ [[TransitMinEpochs]] epochs (shallow-box power is
+    * meaningless on sparse series). Every gated value is the same
+    * fixed IEEE chain on both engines, so the comparisons can never
+    * disagree cross-engine.
+    *
+    * Scale shape: identical to [[qBls]] — the gate is a per-row
+    * filter over the |objects|-row reduced frame; nothing new
+    * shuffles. */
+  def qTransitCandidates(s: SparkSession, dir: String): DataFrame =
+    transitCandidatesOver(series(s, dir))
+
+  /** Gate body over any (user_id, tus, xc) series frame — factored so
+    * the spec can drive a planted eclipse (and a bright-box decoy)
+    * through the real plan. */
+  private[graft] def transitCandidatesOver(ser: DataFrame): DataFrame = {
+    val s = ser.sparkSession
+    import s.implicits._
+    blsOver(ser, dipOnly = true)
+      .filter($"bls_power" >= TransitPowerMin && $"depth_c100" < 0.0 &&
+        $"n_epochs" >= TransitMinEpochs)
+  }
+
+  /** Oracle twin: ONE copy of the BLS CTE chain ([[blsCtesFor]]) with
+    * the dip restriction spliced into the window-eligibility CASE,
+    * then the same three threshold comparisons over the best-window
+    * readout. */
+  val qTransitCandidatesSql: String =
+    s"""WITH ${blsCtesFor(" AND d < 0")},
+       |best AS ($blsBestSql)
+       |SELECT * FROM best
+       |WHERE bls_power >= CAST($TransitPowerMin AS DOUBLE)
+       |  AND depth_c100 < 0 AND n_epochs >= $TransitMinEpochs
+       |ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
   /** Lafler–Kinman periodogram (Lafler & Kinman 1965) — the FOURTH
@@ -1728,7 +1800,13 @@ object TimeSeries {
       .orderBy($"user_id", $"band")
   }
 
-  val qLightcurveBandSql: String =
+  /** ONE copy of the per-(object, band) flat aggregate — the
+    * unrestricted form is [[qLightcurveBandSql]]; the identified-only
+    * form (`WHERE user_id IS NOT NULL` — the streamed store is keyed
+    * by object, so anonymous events never enter it) is
+    * [[qLightcurveBandStoredSql]]'s recompute of the store's at-rest
+    * content. */
+  private def lcBandAggSql(where: String): String =
     s"""SELECT user_id, band, COUNT(*) AS n,
        |  CAST(SUM(xc) AS BIGINT) AS sum_c100,
        |  MIN(xc) AS min_c100, MAX(xc) AS max_c100,
@@ -1736,8 +1814,88 @@ object TimeSeries {
        |  CAST(COUNT(*)*SUM(xc*xc) - SUM(xc)*SUM(xc) AS BIGINT) AS var_num,
        |  CAST(SUM(xc) AS DOUBLE) / (COUNT(*) * 100.0) AS mean_val
        |FROM (SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS xc,
-       |        $BandCaseSql AS band FROM events)
+       |        $BandCaseSql AS band FROM events$where)
        |GROUP BY user_id, band ORDER BY user_id, band""".stripMargin
+
+  val qLightcurveBandSql: String = lcBandAggSql("")
+
+  // ---------------------------------------------------------------
+  /** Micro-batches the registered [[qLightcurveBandStored]] lifecycle
+    * splits the event stream into (batch = event_id mod this —
+    * deterministic, so a rebuild from any partial state lands
+    * identical content). */
+  private val LcStoreBatches = 4
+
+  /** Build (once per data identity) the streamed per-(object, band)
+    * stats store — [[graft.streaming.LightcurveStream]]'s LSM of
+    * mergeable partials — by driving the REAL maintenance loop:
+    * every deterministic micro-batch through `applyStatsBatch`, with
+    * one mid-build `compactStats`, so the at-rest layout a read must
+    * merge is the steady state's (a canonical fold PLUS uncompacted
+    * tail batches), not a conveniently fresh store. The path is a
+    * content-keyed derived cache (the ANN stored-model discipline);
+    * the build is crash-proof without a healer: every append is
+    * replay-exact (dynamic overwrite / folded horizon) and an
+    * orphaned mid-compaction stage heals inside `applyStatsBatch`
+    * itself, so re-entry from ANY partial state just fills what is
+    * missing. The `_build_done` marker only skips the (idempotent)
+    * rebuild on warm re-entry. */
+  private[graft] def ensureLcStatsStore(s: SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    import s.implicits._
+    val path = Ann.annCachePath(dir, "lc_stats", "events.parquet")
+    val done = new Path(path, "_build_done")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_id", $"value", $"event_type")
+      (0 until LcStoreBatches).foreach { b =>
+        graft.streaming.LightcurveStream.applyStatsBatch(
+          ev.filter(pmod($"event_id", lit(LcStoreBatches.toLong)) === b)
+            .drop("event_id"), b.toLong, path)
+        // fold mid-build: the finished store holds a compacted base
+        // plus the later batches as its uncompacted tail
+        if (b == LcStoreBatches / 2 - 1)
+          graft.streaming.LightcurveStream.compactStats(s, path)
+      }
+      fs.create(done, true).close()
+    }
+    path
+  }
+
+  /** The streamed store's READ PATH under the parity gate — the
+    * at-rest content certification every other stored lifecycle in
+    * this engine carries (`q_xmatch_stored`, `q_ann_pq_stored`,
+    * `q_blob_phash_stored`): build/heal the
+    * [[graft.streaming.LightcurveStream]] store in-query, then answer
+    * the per-(object, band) summary FROM THE STORE — `readStats`
+    * merging the canonical fold with the uncompacted tail — while the
+    * DuckDB oracle recomputes the same summary from the raw flat
+    * table, so the hash certifies the LSM layout's merged CONTENT,
+    * not just its shape. Identical column set and values to
+    * [[qLightcurveBand]] restricted to identified objects (the store
+    * is keyed by object).
+    *
+    * Scale shape: first execution pays the build (the maintenance
+    * loop a survey runs anyway); the measured warm path is ONE scan
+    * of the compaction-bounded partials store (~1 row per key plus
+    * the tail) and one combinable merge — never the raw event
+    * history. */
+  def qLightcurveBandStored(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = ensureLcStatsStore(s, dir)
+    graft.streaming.LightcurveStream.readStats(s, path)
+      .select($"user_id", $"band", $"n", $"sum_c100", $"min_c100",
+        $"max_c100", $"amp_c100", $"var_num", $"mean_val")
+      .orderBy($"user_id", $"band")
+  }
+
+  /** Oracle twin: the SAME flat aggregate text as
+    * [[qLightcurveBandSql]] ([[lcBandAggSql]], one copy) over
+    * identified events — recomputing from raw history what the store
+    * answers from its merged partials. */
+  val qLightcurveBandStoredSql: String =
+    lcBandAggSql(" WHERE user_id IS NOT NULL")
 
   /** g−r color index per object: the difference of per-band mean
     * fluxes held in EXACT rational form (num = Σg·n_r − Σr·n_g,
@@ -3672,8 +3830,10 @@ object TimeSeries {
     "q_periodogram" -> (qPeriodogram _),
     "q_period_fold" -> (qPeriodFold _),
     "q_bls" -> (qBls _),
+    "q_transit_candidates" -> (qTransitCandidates _),
     "q_lafler_kinman" -> (qLaflerKinman _),
     "q_lightcurve_band" -> (qLightcurveBand _),
+    "q_lightcurve_band_stored" -> (qLightcurveBandStored _),
     "q_color_index" -> (qColorIndex _),
     "q_structure_function" -> (qStructureFunction _),
     "q_visit_calib" -> (qVisitCalib _),
@@ -3730,6 +3890,8 @@ object TimeSeries {
     "q_periodogram" -> qPeriodogramSql,
     "q_period_fold" -> qPeriodFoldSql,
     "q_bls" -> qBlsSql,
+    "q_transit_candidates" -> qTransitCandidatesSql,
+    "q_lightcurve_band_stored" -> qLightcurveBandStoredSql,
     "q_lafler_kinman" -> qLaflerKinmanSql,
     "q_lightcurve_band" -> qLightcurveBandSql,
     "q_color_index" -> qColorIndexSql,

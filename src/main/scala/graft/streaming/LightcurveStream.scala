@@ -86,8 +86,24 @@ object LightcurveStream {
       s"._${FoldedMarker}_tmp")
     val out = fs.create(tmp, true)
     try out.write(upto.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
+    // overwrite-atomic swap: a delete-then-rename pair would open a
+    // crash window with NO marker at rest, silently regressing the
+    // horizon to -1 and re-admitting replays a completed fold already
+    // captured; FileContext renames over the old marker in one step
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(p.toUri, s.sparkContext.hadoopConfiguration)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** True when any bucket holds an in-flight `ibatch=-2` fold stage —
+    * the state only a crashed phase-1/2 compaction leaves behind. */
+  private def hasStagedFold(s: SparkSession, statsPath: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(statsPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(root) && fs.listStatus(root).exists(b =>
+      b.isDirectory && b.getPath.getName.startsWith("sbkt=") &&
+        fs.exists(new Path(b.getPath, s"ibatch=$StageId")))
   }
 
   /** One micro-batch of the maintenance loop (factored so the spec
@@ -97,18 +113,36 @@ object LightcurveStream {
     * REPLAY of content already captured by a completed fold stage
     * and is skipped (its subpartitions may no longer exist for the
     * dynamic overwrite to dedup against). Expects raw event rows
-    * (user_id, ts, value, event_type). */
+    * (user_id, ts, value, event_type).
+    *
+    * A batch is never landed beside an ORPHANED fold stage: a stage
+    * at rest means a previous compaction crashed mid-protocol, and a
+    * subpartition written beside it would be shadowed by [[readStats]]'
+    * precedence rule and then deleted as a fold source — silent data
+    * loss for any direct (out-of-[[start]]-loop) caller. Instead the
+    * in-flight fold is HEALED first (re-running [[compactStats]] is
+    * idempotent from every crash point: the stage folds to itself
+    * plus any sources, the horizon marker lands, phase 2 cleans), and
+    * the horizon re-checked — a replayed trigger batch whose content
+    * the healed fold captured is then skipped, a genuinely new batch
+    * writes into a stage-free store. In-loop the check never fires on
+    * the happy path (compaction and ingest serialize), so steady-state
+    * cost is one root listing per micro-batch. */
   def applyStatsBatch(batch: DataFrame, batchId: Long,
     statsPath: String): Unit = if (!batch.isEmpty) {
     require(batchId >= 0, s"negative batch ids are reserved: $batchId")
-    if (batchId > foldedUpto(batch.sparkSession, statsPath))
-      partialsOf(batch)
-        .withColumn("sbkt", sbkt)
-        .withColumn("ibatch", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("sbkt", "ibatch")
-        .parquet(statsPath)
+    val s = batch.sparkSession
+    if (batchId > foldedUpto(s, statsPath)) {
+      if (hasStagedFold(s, statsPath)) compactStats(s, statsPath)
+      if (batchId > foldedUpto(s, statsPath))
+        partialsOf(batch)
+          .withColumn("sbkt", sbkt)
+          .withColumn("ibatch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("sbkt", "ibatch")
+          .parquet(statsPath)
+    }
   }
 
   /** The batch→partial reduction: one pre-aggregated row per
@@ -204,8 +238,15 @@ object LightcurveStream {
     // (a crash between the two replays batches into a store whose
     // stage already shadows them — phase 2 of the next fold cleans
     // the duplicates) and BEFORE any source is deleted (so a skipped
-    // replay's content provably exists in the stage or fold)
-    if (maxBatch >= 0) writeFoldedUpto(s, statsPath, maxBatch)
+    // replay's content provably exists in the stage or fold).
+    // MONOTONIC: a compaction re-run after a mid-phase-2 crash sees
+    // sources the first run already deleted, so its recomputed
+    // maxBatch can sit BELOW the committed horizon — writing that
+    // lower value would re-admit replays the durable fold already
+    // contains (double count once applyStatsBatch has healed the
+    // stage away instead of letting it shadow the duplicate)
+    val horizon = math.max(foldedUpto(s, statsPath), maxBatch)
+    if (horizon >= 0) writeFoldedUpto(s, statsPath, horizon)
     // phase 2: per bucket — drop folded sources, canonicalize stage
     for (b <- fs.listStatus(root) if b.isDirectory
          && b.getPath.getName.startsWith("sbkt=")) {

@@ -1960,4 +1960,91 @@ class LightcurveStreamSpec extends AnyFunSuite {
     val doubled = readKeyed()
     for (((k, b), v) <- readKeyed()) assert(doubled((k, b))._1 >= expect((k, b))._1)
   }
+
+  test("LightcurveStream: a direct append beside an orphaned fold stage heals the stage instead of losing the batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_lc_orphan").toString + "/stats"
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"value", $"event_type")
+    val batches = (0 until 3).map(b =>
+      ev.filter(pmod($"event_id", lit(3)) === b).drop("event_id"))
+    graft.streaming.LightcurveStream.applyStatsBatch(batches(0), 0L, path)
+    graft.streaming.LightcurveStream.applyStatsBatch(batches(1), 1L, path)
+    // orphan a phase-1 stage (compaction crashed after staging the
+    // fold of batches 0-1, before marker/cleanup): merged content
+    // lands under ibatch=-2 with the sources still beside it
+    spark.read.parquet(path)
+      .groupBy($"user_id", $"band")
+      .agg(sum($"n").as("n"), sum($"sum_c100").as("sum_c100"),
+        min($"min_c100").as("min_c100"), max($"max_c100").as("max_c100"),
+        sum($"sxx").as("sxx"))
+      .withColumn("sbkt", pmod($"user_id",
+        lit(graft.streaming.LightcurveStream.NBuckets.toLong)))
+      .withColumn("ibatch", lit(-2L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("sbkt", "ibatch").parquet(path)
+    // the exposed-API hazard (r16 ADVICE): batch 2 appended beside the
+    // orphaned stage used to be shadowed by the read precedence rule
+    // and then deleted as a fold source — silent loss. applyStatsBatch
+    // now heals the in-flight fold first, so the append must survive.
+    graft.streaming.LightcurveStream.applyStatsBatch(batches(2), 2L, path)
+    val got = graft.streaming.LightcurveStream.readStats(spark, path)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("band")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_c100"),
+          r.getAs[Long]("min_c100"), r.getAs[Long]("max_c100"))).toMap
+    val expect = queries.TimeSeries.qLightcurveBand(spark, sf)
+      .filter($"user_id".isNotNull).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("band")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_c100"),
+          r.getAs[Long]("min_c100"), r.getAs[Long]("max_c100"))).toMap
+    assert(got == expect,
+      "append beside an orphaned stage was dropped or double-counted")
+    // the heal completed the crashed compaction: no stage remains, the
+    // horizon marker covers the folded batches, and a replay of a
+    // folded batch is skipped (horizon guard) while the late append
+    // survives in its own subpartition
+    graft.streaming.LightcurveStream.applyStatsBatch(batches(1), 1L, path)
+    val replayed = graft.streaming.LightcurveStream.readStats(spark, path)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("band")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_c100"),
+          r.getAs[Long]("min_c100"), r.getAs[Long]("max_c100"))).toMap
+    assert(replayed == expect, "replay after heal changed the summary")
+  }
+
+  test("q_lightcurve_band_stored answers the flat-table summary from the steady-state LSM layout; warm re-entry reuses the store") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[String]("band")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_c100"),
+          r.getAs[Long]("min_c100"), r.getAs[Long]("max_c100"),
+          r.getAs[Long]("amp_c100"), r.getAs[Long]("var_num"),
+          r.getAs[Double]("mean_val"))).toMap
+    val got = keyed(queries.TimeSeries.qLightcurveBandStored(spark, sf).collect())
+    val expect = keyed(queries.TimeSeries.qLightcurveBand(spark, sf)
+      .filter($"user_id".isNotNull).collect())
+    assert(got == expect, "stored read path != flat batch aggregate")
+    // the at-rest layout the read had to merge is the STEADY state:
+    // a canonical fold (the mid-build compaction of batches 0-1) PLUS
+    // uncompacted tail batches — not a conveniently fresh store
+    val path = queries.Ann.annCachePath(sf, "lc_stats", "events.parquet")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val subs = fs.listStatus(root).filter(b => b.isDirectory &&
+      b.getPath.getName.startsWith("sbkt="))
+      .flatMap(b => fs.listStatus(b.getPath).filter(_.isDirectory)
+        .map(_.getPath.getName)).toSet
+    assert(subs.contains("ibatch=-1"), s"no canonical fold at rest: $subs")
+    assert(subs.exists(n => n == "ibatch=2" || n == "ibatch=3"),
+      s"no uncompacted tail at rest: $subs")
+    assert(!subs.contains("ibatch=-2"), "an in-flight stage survived the build")
+    // warm re-entry: the _build_done marker short-circuits the (fully
+    // idempotent) rebuild and the content is unchanged
+    assert(fs.exists(new org.apache.hadoop.fs.Path(path, "_build_done")))
+    val again = keyed(queries.TimeSeries.qLightcurveBandStored(spark, sf).collect())
+    assert(again == expect, "warm re-entry changed the summary")
+  }
 }

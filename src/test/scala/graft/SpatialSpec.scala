@@ -934,4 +934,56 @@ class SpatialSpec extends AnyFunSuite {
     assert(gc.getAs[Long]("sum_dr_u6") == tracks.map(_._2).sum)
     assert(gc.getAs[Long]("n_tracks") > 0L, "no consistent tracks at sf0.001")
   }
+
+  test("q_track_motion recovers a planted constant-rate mover exactly and reconciles with the chain census") {
+    import spark.implicits._
+    val q = queries.Spatial
+    // planted mover 10→11→12: α = 100 + 0.5·night, δ = 20 + 0.25·night
+    // (all values exact binary fractions, so the ×10⁶ rounding is
+    // exact) — equal-rate legs, so dr_u6 = 0; decoy 20→21→22 drifts
+    // 0.6°/night between legs (> the 0.5° tolerance) and must drop
+    val pairs = Seq(
+      (0L, 10L, 11L, 0.559017), (1L, 11L, 12L, 0.559017),
+      (0L, 20L, 21L, 0.3), (1L, 21L, 22L, 0.9))
+      .toDF("night_from", "k1", "k2", "dist_r6")
+    val dets = Seq(
+      (10L, 100.0, 20.0), (11L, 100.5, 20.25), (12L, 101.0, 20.5),
+      (20L, 30.0, -10.0), (21L, 30.3, -10.0), (22L, 31.2, -10.0))
+      .toDF("det_k", "ra", "decl")
+    val got = q.trackMotionOver(pairs, dets).collect()
+    assert(got.length == 1, s"expected only the mover, got ${got.length}")
+    val m = got.head
+    assert(m.getAs[Long]("k1") == 10L && m.getAs[Long]("mid") == 11L &&
+      m.getAs[Long]("k3") == 12L)
+    // rate recovered EXACTLY: 0.5°/night → (x₃−x₁) = 1.0° = 10⁶ u6
+    assert(m.getAs[Long]("ra_rate_u6_x2") == 1000000L,
+      s"ra rate ${m.getAs[Long]("ra_rate_u6_x2")}")
+    assert(m.getAs[Long]("de_rate_u6_x2") == 500000L)
+    // a perfect linear mover has ZERO curvature (the whole fit
+    // residual: SSE = c²/6 = 0)
+    assert(m.getAs[Long]("ra_curv_u6") == 0L &&
+      m.getAs[Long]("de_curv_u6") == 0L, "linear mover has residual")
+    assert(m.getAs[Long]("dr_u6") == 0L)
+    // a mid-point 4 μdeg off the line carries its residual exactly:
+    // c = x₁ − 2·x₂ + x₃ = −8 u6 (SSE = 64/6 u6²)
+    val detsCurved = Seq(
+      (10L, 100.0, 20.0), (11L, 100.500004, 20.25), (12L, 101.0, 20.5))
+      .toDF("det_k", "ra", "decl")
+    val curved = q.trackMotionOver(
+      Seq((0L, 10L, 11L, 0.5), (1L, 11L, 12L, 0.5))
+        .toDF("night_from", "k1", "k2", "dist_r6"), detsCurved).collect()
+    assert(curved.length == 1 &&
+      curved.head.getAs[Long]("ra_curv_u6") == -8L,
+      s"curvature ${curved.head.getAs[Long]("ra_curv_u6")} != -8")
+    // cross-query reconciliation on the real corpus: exactly one
+    // motion row per consistent track, and the per-track drifts sum
+    // to the census' exact integer drift total
+    val census = q.qTrackChains(spark, sf).collect().head
+    val motion = q.qTrackMotion(spark, sf).collect()
+    assert(motion.length.toLong == census.getAs[Long]("n_tracks"),
+      "one motion row per consistent track violated")
+    assert(motion.map(_.getAs[Long]("dr_u6")).sum ==
+      census.getAs[Long]("sum_dr_u6"),
+      "motion drift sum != census drift sum")
+  }
 }

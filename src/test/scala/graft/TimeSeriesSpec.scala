@@ -1580,6 +1580,74 @@ class TimeSeriesSpec extends AnyFunSuite {
       "BLS power left [0,1]")
   }
 
+  test("q_transit_candidates keeps a planted eclipse and rejects a bright-box decoy through the dip-only argmax") {
+    import spark.implicits._
+    val q = queries.TimeSeries
+    val pStar = 24L * 3600000000L
+    val step = 7919000000L
+    // object 1: a noise-free −300 c ECLIPSE filling phase bin 0 (the
+    // q_bls fixture) — its best dip window is a perfect fit;
+    // object 3: the mirror-image BRIGHT box (+300 c in bin 0) — the
+    // unrestricted argmax scores it power 1.0 with POSITIVE depth, so
+    // a naive depth filter over q_bls output would just drop it, but
+    // the dip-only argmax must instead surface its best dip window
+    // (weak) and the power gate must reject it;
+    // object 2: constant (drops — zero variance)
+    val rows = (0 until 330).map { i =>
+      val t = i.toLong * step
+      val in0 = ((t % pStar) * q.BlsBins) / pStar == 0L
+      (1L, t, if (in0) 700L else 1000L)
+    } ++ (0 until 50).map(i => (2L, i.toLong * step, 500L)) ++
+      (0 until 330).map { i =>
+        val t = i.toLong * step
+        val in0 = ((t % pStar) * q.BlsBins) / pStar == 0L
+        (3L, t, if (in0) 1300L else 1000L)
+      }
+    val ser = rows.toDF("user_id", "tus", "xc")
+    val gate = q.transitCandidatesOver(ser).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(gate.keySet == Set(1L),
+      s"gate kept ${gate.keySet}, expected only the eclipse object")
+    val r1 = gate(1L)
+    assert(r1.getAs[Long]("best_p_us") == pStar &&
+      r1.getAs[Double]("bls_power") == 1.0 &&
+      r1.getAs[Double]("depth_c100") == -300.0,
+      "eclipse not recovered exactly through the gate")
+    // the dip restriction is an argmax restriction, not a post-filter:
+    // the decoy still has dip windows (its out-of-bump bins sit below
+    // the mean), so it SURFACES in the dip-only frame with negative
+    // depth — it must fail on power, not on absence
+    val dipAll = q.blsOver(ser, dipOnly = true).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(dipAll.contains(3L), "decoy lost its dip windows entirely")
+    assert(dipAll(3L).getAs[Double]("depth_c100") < 0.0)
+    assert(dipAll(3L).getAs[Double]("bls_power") < q.TransitPowerMin,
+      s"decoy dip power ${dipAll(3L).getAs[Double]("bls_power")} " +
+        "unexpectedly clears the gate")
+    // brute-force recompute of the decoy's best DIP cell: same
+    // enumeration as the q_bls spec with the d < 0 restriction
+    val ser3 = rows.filter(_._1 == 3L)
+    val cand3 = for {
+      p <- q.PeriodGridUs
+      bs = ser3.map { case (_, t, x) => (x, (((t % p) * q.BlsBins) / p).toInt) }
+      n = bs.length.toLong
+      sx = bs.map(_._1).sum
+      xxn = n * bs.map(t => t._1 * t._1).sum - sx * sx
+      w <- 1 to q.BlsMaxW
+      st <- 0 until q.BlsBins
+      inW = bs.filter { case (_, b) => (b - st + q.BlsBins) % q.BlsBins < w }
+      nw = inW.length.toLong
+      if nw > 0 && nw < n && xxn > 0
+      sw = inW.map(_._1).sum
+      d = n * sw - nw * sx
+      if d < 0
+    } yield (d.toDouble * d.toDouble /
+        ((nw.toDouble * (n - nw).toDouble) * xxn.toDouble),
+      -p, -st, -w)
+    assert(cand3.max._1 == dipAll(3L).getAs[Double]("bls_power"),
+      "dip-only argmax disagrees with the brute-force dip scan")
+  }
+
   test("q_lafler_kinman dates a planted sinusoid by minimum string statistic") {
     import spark.implicits._
     val q = queries.TimeSeries
