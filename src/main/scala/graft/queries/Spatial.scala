@@ -591,18 +591,7 @@ object Spatial {
     * aggregate. */
   def qTrackChains(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val p = trackletPairs(s, dir).localCheckpoint(true)
-    // no night filters: a pair's night is a function of its ids
-    // (night(k2) = night_from + 1 always), so a shared middle
-    // detection ALREADY implies two consecutive legs — the join
-    // covers every (b, b+1, b+2) chain at ANY AssocBatches, where
-    // hard-coded 0/1 literals would silently undercount if the
-    // lifecycle's batching ever widened
-    val p1 = p.select($"k1", $"k2".as("mid"), $"dist_r6".as("r1"))
-    val p2 = p.select($"k1".as("mid"), $"k2".as("k3"), $"dist_r6".as("r2"))
-    p1.join(p2, Seq("mid"))
-      .withColumn("dr_u6", abs(round($"r1" * 1000000).cast("long") -
-        round($"r2" * 1000000).cast("long")))
+    chainFrame(trackletPairs(s, dir).localCheckpoint(true))
       .agg(count(lit(1)).as("n_chains"),
         coalesce(sum(when($"dr_u6" <= TrackChainTolU6, 1L).otherwise(0L)),
           lit(0L)).as("n_tracks"),
@@ -610,6 +599,29 @@ object Spatial {
           .as("n_mids"),
         coalesce(sum(when($"dr_u6" <= TrackChainTolU6, $"dr_u6")
           .otherwise(0L)), lit(0L)).as("sum_dr_u6"))
+  }
+
+  /** The chain JOIN body over any tracklet-pair frame (night_from,
+    * k1, k2, dist_r6) → one row per (k1, mid, k3) chain with its
+    * exact ×10⁶ rate drift — the ONE copy [[qTrackChains]]'s census
+    * and [[trackMotionOver]]'s fit both reduce, factored so the
+    * dense-field spec can drive a deliberately skewed middle key
+    * through the real join and assert the AQE skew split engages. No
+    * night filters: a pair's night is a function of its ids
+    * (night(k2) = night_from + 1 always), so a shared middle
+    * detection ALREADY implies two consecutive legs — the join
+    * covers every (b, b+1, b+2) chain at ANY AssocBatches, where
+    * hard-coded 0/1 literals would silently undercount if the
+    * lifecycle's batching ever widened. */
+  private[graft] def chainFrame(p: DataFrame): DataFrame = {
+    val s = p.sparkSession
+    import s.implicits._
+    val p1 = p.select($"k1", $"k2".as("mid"), $"dist_r6".as("r1"))
+    val p2 = p.select($"k1".as("mid"), $"k2".as("k3"), $"dist_r6".as("r2"))
+    p1.join(p2, Seq("mid"))
+      .withColumn("dr_u6", abs(round($"r1" * 1000000).cast("long") -
+        round($"r2" * 1000000).cast("long")))
+      .select($"k1", $"mid", $"k3", $"dr_u6")
   }
 
   /** The tracklet-pair→chain CTE chain through `ch` (the
@@ -683,13 +695,7 @@ object Spatial {
     dets: DataFrame): DataFrame = {
     val s = p.sparkSession
     import s.implicits._
-    val p1 = p.select($"k1", $"k2".as("mid"), $"dist_r6".as("r1"))
-    val p2 = p.select($"k1".as("mid"), $"k2".as("k3"), $"dist_r6".as("r2"))
-    val tracks = p1.join(p2, Seq("mid"))
-      .withColumn("dr_u6", abs(round($"r1" * 1000000).cast("long") -
-        round($"r2" * 1000000).cast("long")))
-      .filter($"dr_u6" <= TrackChainTolU6)
-      .select($"k1", $"mid", $"k3", $"dr_u6")
+    val tracks = chainFrame(p).filter($"dr_u6" <= TrackChainTolU6)
     // melt the three members, look their coordinates up in ONE scan
     val mem = tracks.select($"k1", $"mid", $"k3", $"dr_u6",
       explode(array(

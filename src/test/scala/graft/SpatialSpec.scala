@@ -986,4 +986,58 @@ class SpatialSpec extends AnyFunSuite {
       census.getAs[Long]("sum_dr_u6"),
       "motion drift sum != census drift sum")
   }
+
+  test("dense-field chain join: the AQE skew split engages on a planted crowded middle key") {
+    import spark.implicits._
+    val q = queries.Spatial
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val prev = keys.map(k =>
+      k -> scala.util.Try(Option(spark.conf.get(k))).toOption.flatten)
+    try {
+      // scale the skew machinery down to spec size: force a sort-merge
+      // join (no broadcast escape hatch) and make the dense partition
+      // cross the skew threshold so OptimizeSkewedJoin must split it
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // a dense field: 60k night-0 tracklets all converging on ONE
+      // middle detection (mid = 0) with two night-1 continuations,
+      // plus 50 ordinary middles to give the skew detector a median
+      val dense = (1 to 60000).map(i =>
+        (0L, 1000L + i, 0L, 1.0 + (i % 7) * 0.01))
+      val cont = Seq((1L, 0L, 200001L, 1.0), (1L, 0L, 200002L, 1.2))
+      val bg = (1 to 50).flatMap(m => Seq(
+        (0L, 5000L + m, m.toLong, 0.8), (1L, m.toLong, 90000L + m, 0.8)))
+      val pairs = spark.createDataFrame(dense ++ cont ++ bg)
+        .toDF("night_from", "k1", "k2", "dist_r6")
+      val chains = q.chainFrame(pairs)
+      // collect() executes THIS queryExecution, so the inspected plan
+      // below is the adaptively finalized one (count() would plan a
+      // fresh execution and leave this one unexecuted)
+      val n = chains.collect().length
+      // correctness through the skew-split plan: 60k×2 dense chains
+      // plus one per background middle
+      assert(n == 60000 * 2 + 50, s"chain count $n wrong under skew split")
+      val plan = chains.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew split did not engage on the dense middle key:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
