@@ -215,6 +215,10 @@ object Bench {
     // appended to the key (regresses if the key split ever shuffles
     // twice)
     "q_lomb_scargle", "q_lomb_scargle_band",
+    // r17: the dof-aware F readout and the coadd — both must bench as
+    // their parent one-shuffle shapes (GLS reduced frame + per-row
+    // math; the banded aggregate with per-row weights)
+    "q_gls_fstat", "q_coadd_flux",
     // the joint multiband statistic — regresses if the pivot ever
     // becomes a join or the band sums leave the reduced frame
     "q_multiband_gls",
@@ -298,6 +302,9 @@ object Bench {
     "q_object_lookup", "q_streaks", "q_transitions", "q_running_distinct",
     "q_autocorr", "q_lightcurve_trend",
     "q_cone_search", "q_box_search", "q_spatial_density",
+    // r17: one catalog scan + per-row trig + an 18-key aggregate —
+    // regresses only if the trig expression falls out of codegen
+    "q_galactic_density",
     "q_dedup_exact", "q_dedup_lsh_pairs", "q_dedup_simhash",
     "q_ngram_jaccard", "q_cluster_sizes", "q_dedup_embedding",
     "q_degree_dist", "q_dup_ratio",

@@ -2086,6 +2086,61 @@ object Spatial {
        |GROUP BY 1, 2 ORDER BY zone5, ra_cell""".stripMargin
 
   // ---------------------------------------------------------------
+  /** IAU north galactic pole (J2000) and its derived constants,
+    * EVALUATED ONCE here and spliced into both engines as the same
+    * shortest-round-trip double literal — so Spark and DuckDB start
+    * the galactic-latitude chain from bit-identical constants. */
+  private val GalPoleRaDeg = 192.85948
+  private val GalPoleDecDeg = 27.12825
+  private lazy val SinPoleDec = math.sin(math.toRadians(GalPoleDecDeg))
+  private lazy val CosPoleDec = math.cos(math.toRadians(GalPoleDecDeg))
+  private lazy val PoleRaRad = math.toRadians(GalPoleRaDeg)
+
+  /** Galactic latitude b of (ra, decl), in degrees, as ONE SQL
+    * expression TEXT — `expr`-ed on the Spark side and interpolated
+    * into the DuckDB oracle, so the trig tree is character-identical
+    * on both engines (the [[distDegSql]] discipline; the residual
+    * last-ulp libm risk is retired by the caller's ROUND(…, 6), as in
+    * every distance query). */
+  private lazy val galLatSql =
+    s"DEGREES(ASIN(SIN(RADIANS(decl)) * $SinPoleDec + " +
+      s"COS(RADIANS(decl)) * $CosPoleDec * " +
+      s"COS(RADIANS(ra) - $PoleRaRad)))"
+
+  /** Star-count census by GALACTIC latitude band — the classic
+    * survey-depth diagnostic (star counts rise toward the plane;
+    * a bump off-plane flags a clustering or calibration artifact),
+    * and the reference catalog's one coordinate-system transform:
+    * equatorial → galactic latitude via the fixed IAU pole, binned in
+    * 10° bands. The latitude is rounded to 1e-6 BEFORE binning and
+    * pinning (identical trig text + identical literal constants on
+    * both engines), the census carries the exact ×10⁶ latitude sum as
+    * the order-free content pin.
+    *
+    * Scale shape: one catalog scan, per-row trig, ONE combinable
+    * aggregate on ≤18 keys. */
+  def qGalacticDensity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    points(s, dir)
+      .withColumn("b_r6", expr(s"ROUND($galLatSql, 6)"))
+      .groupBy(expr("CAST(FLOOR(b_r6 / 10.0) AS BIGINT)").as("gbin"))
+      .agg(count(lit(1)).as("n_obj"),
+        sum(round($"b_r6" * 1000000).cast("long")).as("sum_b_u6"))
+      .orderBy($"gbin")
+  }
+
+  /** Oracle twin: the identical trig text over the identical point
+    * locus. */
+  lazy val qGalacticDensitySql: String =
+    s"""WITH g AS (SELECT ROUND($galLatSql, 6) AS b_r6
+       |  FROM ($pointsSql) t)
+       |SELECT CAST(FLOOR(b_r6 / 10.0) AS BIGINT) AS gbin,
+       |  COUNT(*) AS n_obj,
+       |  CAST(SUM(CAST(ROUND(b_r6 * 1000000) AS BIGINT)) AS BIGINT)
+       |    AS sum_b_u6
+       |FROM g GROUP BY 1 ORDER BY gbin""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Friends-of-friends linking parameter b: the linking length is
     * b × the mean interparticle separation, r = b·√(sky/n) — the
     * standard FoF convention (Davis et al. use b≈0.2 of mean
@@ -2381,6 +2436,7 @@ object Spatial {
     "q_tracklets" -> (qTracklets _),
     "q_track_chains" -> (qTrackChains _),
     "q_track_motion" -> (qTrackMotion _),
+    "q_galactic_density" -> (qGalacticDensity _),
     "q_spatial_density" -> (qSpatialDensity _),
     "q_nearest_nbr" -> (qNearestNbr _),
     "q_knn3" -> (qKnn3 _),
@@ -2409,6 +2465,7 @@ object Spatial {
     "q_tracklets" -> qTrackletsSql,
     "q_track_chains" -> qTrackChainsSql,
     "q_track_motion" -> qTrackMotionSql,
+    "q_galactic_density" -> qGalacticDensitySql,
     "q_spatial_density" -> qSpatialDensitySql,
     "q_nearest_nbr" -> qNearestNbrSql,
     "q_knn3" -> qKnn3Sql,

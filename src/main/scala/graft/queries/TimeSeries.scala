@@ -1175,6 +1175,61 @@ object TimeSeries {
        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** F-statistic floor of the [[qGlsFstat]] significance flag —
+    * binds on the test corpora (3/15 objects at sf0.001, 45/150 at
+    * sf0.01). */
+  private[graft] val GlsFMin = 4.0
+
+  /** Degrees-of-freedom-aware GLS significance — the F-statistic
+    * reading of the periodogram peak (Schwarzenberg-Czerny 1998's
+    * empirical-periodogram distribution; the quantity every survey
+    * quotes beside a detected period): F = ((N−3)/2)·P/(1−P), the
+    * explained-to-residual variance ratio on (2, N−3) dof, so two
+    * objects with the SAME raw power but different epoch counts rank
+    * differently — the sparse series is the less significant one, a
+    * distinction [[LsPowerMin]]-style raw-power gates cannot make.
+    * Deliberately libm-free (the engine's digit-count-for-ln
+    * discipline): F is one fixed IEEE chain over the already
+    * hash-exact `ls_power` double and the exact integer epoch count —
+    * the analytic (1−P)^((N−3)/2) false-alarm tail it orders by would
+    * need cross-engine `pow`, whose last-ulp behavior the two libms
+    * do not share. A perfect fit (P = 1, unbounded F) carries a null.
+    *
+    * Scale shape: [[qLombScargle]]'s reduced per-object frame plus
+    * two per-row expressions — nothing new shuffles. */
+  def qGlsFstat(s: SparkSession, dir: String): DataFrame =
+    glsFstatOver(series(s, dir))
+
+  /** Gate body over any (user_id, tus, xc) series frame — factored so
+    * the spec can plant series with equal power but different epoch
+    * counts through the real plan. */
+  private[graft] def glsFstatOver(ser: DataFrame): DataFrame = {
+    val s = ser.sparkSession
+    import s.implicits._
+    lombScargleOver(ser)
+      .withColumn("f_val", when($"ls_power" < 1.0 && $"n_epochs" > 3,
+        (($"n_epochs" - 3).cast("double") * $"ls_power") /
+          (lit(2.0) * (lit(1.0) - $"ls_power"))))
+      .withColumn("significant",
+        coalesce(($"f_val" >= GlsFMin).cast("int"), lit(0)))
+  }
+
+  /** Oracle twin: ONE copy of the GLS power chain ([[lsPowerCtes]])
+    * + the identical F chain over its argmax row. */
+  val qGlsFstatSql: String =
+    s"""WITH $lsPowerCtes,
+       |b AS (SELECT user_id, n AS n_epochs, p_us AS best_p_us, ls_power,
+       |    CASE WHEN ls_power < CAST(1.0 AS DOUBLE) AND n > 3 THEN
+       |      (CAST(n - 3 AS DOUBLE) * ls_power) /
+       |        (CAST(2.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - ls_power))
+       |    END AS f_val
+       |  FROM r WHERE rn = 1)
+       |SELECT user_id, n_epochs, best_p_us, ls_power, f_val,
+       |  COALESCE(CAST(f_val >= CAST($GlsFMin AS DOUBLE) AS INT), 0)
+       |    AS significant
+       |FROM b ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Harmonic model readout at each object's best GLS period — the
     * step after [[qLombScargle]]'s argmax, as [[qPeriodFold]] is to
     * the PDM search: solve the floating-mean least-squares sinusoid
@@ -1896,6 +1951,67 @@ object TimeSeries {
     * answers from its merged partials. */
   val qLightcurveBandStoredSql: String =
     lcBandAggSql(" WHERE user_id IS NOT NULL")
+
+  // ---------------------------------------------------------------
+  /** Inverse-variance COADD photometry per (object, band) — the deep
+    * Object-table flux the reference derives from its per-visit
+    * ForcedSource rows: each epoch weighted by 1/σ² under the SAME
+    * published error model [[qStetson]] uses (errc = 3 + |xc| DIV 50,
+    * c100 units), so the coadd and the variability index can never
+    * assume different noise. The per-term discipline is Stetson's:
+    * w and w·x are rounded to 1e-6 BEFORE summing (one IEEE divide +
+    * one rule-identical round per row — exact int64 from there), so
+    * both sums are reduction-order-free and hash exact; the reported
+    * coadd mean (Σwx/Σw) and its error (1000/√Σw — the standard
+    * 1/√Σ(1/σ²) coadd error, in c100) are single IEEE chains over
+    * those exact integers.
+    *
+    * Scale shape: one scan, per-row arithmetic, ONE combinable
+    * shuffle on the (object, band) key — [[qLightcurveBand]]'s
+    * exactly. */
+  def qCoaddFlux(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bandedSeries(s, dir)
+      .withColumn("errc", expr("3 + abs(xc) DIV 50"))
+      .withColumn("w_c6",
+        round(lit(1000000.0) / ($"errc" * $"errc").cast("double"))
+          .cast("long"))
+      .withColumn("wx_c6",
+        round($"xc".cast("double") * lit(1000000.0) /
+          ($"errc" * $"errc").cast("double")).cast("long"))
+      .groupBy($"user_id", $"band")
+      .agg(count(lit(1)).as("n"),
+        sum($"w_c6").as("w_sum_c6"),
+        sum($"wx_c6").as("wx_sum_c6"))
+      .withColumn("coadd_c100",
+        $"wx_sum_c6".cast("double") / $"w_sum_c6".cast("double"))
+      .withColumn("coadd_err_c100",
+        lit(1000.0) / sqrt($"w_sum_c6".cast("double")))
+      .orderBy($"user_id", $"band")
+  }
+
+  /** Oracle twin: identical error model, per-term rounding, and IEEE
+    * chains. */
+  val qCoaddFluxSql: String =
+    s"""WITH b AS (SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS xc,
+       |    $BandCaseSql AS band FROM events),
+       |e AS (SELECT *, 3 + ABS(xc) // 50 AS errc FROM b),
+       |t AS (SELECT user_id, band,
+       |    CAST(ROUND(1000000.0 / CAST(errc*errc AS DOUBLE)) AS BIGINT)
+       |      AS w_c6,
+       |    CAST(ROUND(CAST(xc AS DOUBLE) * 1000000.0
+       |      / CAST(errc*errc AS DOUBLE)) AS BIGINT) AS wx_c6
+       |  FROM e),
+       |agg AS (SELECT user_id, band, COUNT(*) AS n,
+       |    CAST(SUM(w_c6) AS BIGINT) AS w_sum_c6,
+       |    CAST(SUM(wx_c6) AS BIGINT) AS wx_sum_c6
+       |  FROM t GROUP BY 1, 2)
+       |SELECT user_id, band, n, w_sum_c6, wx_sum_c6,
+       |  CAST(wx_sum_c6 AS DOUBLE) / CAST(w_sum_c6 AS DOUBLE)
+       |    AS coadd_c100,
+       |  CAST(1000.0 AS DOUBLE) / SQRT(CAST(w_sum_c6 AS DOUBLE))
+       |    AS coadd_err_c100
+       |FROM agg ORDER BY user_id, band""".stripMargin
 
   /** g−r color index per object: the difference of per-band mean
     * fluxes held in EXACT rational form (num = Σg·n_r − Σr·n_g,
@@ -3814,6 +3930,8 @@ object TimeSeries {
     "q_object_lookup" -> (qObjectLookup _),
     "q_object_lookup_many" -> (qObjectLookupMany _),
     "q_lomb_scargle" -> (qLombScargle _),
+    "q_gls_fstat" -> (qGlsFstat _),
+    "q_coadd_flux" -> (qCoaddFlux _),
     "q_lomb_scargle_band" -> (qLombScargleBand _),
     "q_multiband_gls" -> (qMultibandGls _),
     "q_phase_coverage" -> (qPhaseCoverage _),
@@ -3870,6 +3988,8 @@ object TimeSeries {
     "q_object_lookup" -> qObjectLookupSql,
     "q_object_lookup_many" -> qObjectLookupManySql,
     "q_lomb_scargle" -> qLombScargleSql,
+    "q_gls_fstat" -> qGlsFstatSql,
+    "q_coadd_flux" -> qCoaddFluxSql,
     "q_lomb_scargle_band" -> qLombScargleBandSql,
     "q_multiband_gls" -> qMultibandGlsSql,
     "q_beyond1std" -> qBeyond1stdSql,

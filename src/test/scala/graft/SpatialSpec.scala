@@ -1040,4 +1040,31 @@ class SpatialSpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q_galactic_density matches a driver-side IAU-pole recompute at sf0.001") {
+    val sinP = math.sin(math.toRadians(27.12825))
+    val cosP = math.cos(math.toRadians(27.12825))
+    val raG = math.toRadians(192.85948)
+    def bR6(ra: Double, dec: Double): Double = {
+      val b = math.toDegrees(math.asin(
+        math.sin(math.toRadians(dec)) * sinP +
+          math.cos(math.toRadians(dec)) * cosP *
+            math.cos(math.toRadians(ra) - raG)))
+      BigDecimal(b).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val keys = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val exp = keys.map { k =>
+      bR6((k * 137 % 36000) / 100.0, (k * 97 % 17000) / 100.0 - 85.0)
+    }.groupBy(b => math.floor(b / 10.0).toLong)
+      .map { case (bin, bs) =>
+        bin -> (bs.length.toLong, bs.map(b => math.round(b * 1000000)).sum)
+      }
+    val got = queries.Spatial.qGalacticDensity(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == exp, s"galactic census mismatch:\n got $got\n exp $exp")
+    // every latitude lands in a physical band and nothing is lost
+    assert(got.keySet.forall(b => b >= -9L && b <= 8L))
+    assert(got.values.map(_._1).sum == keys.length.toLong)
+  }
 }

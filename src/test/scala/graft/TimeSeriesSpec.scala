@@ -1648,6 +1648,89 @@ class TimeSeriesSpec extends AnyFunSuite {
       "dip-only argmax disagrees with the brute-force dip scan")
   }
 
+  test("q_gls_fstat is dof-aware: equal powers rank by epoch count and the flag flips") {
+    import spark.implicits._
+    val q = queries.TimeSeries
+    // a weak 24 h signal under deterministic hash noise: object 1 at
+    // n epochs; object 2 is the SAME rows triplicated (every GLS
+    // sufficient sum scales by 3, every n-scaled moment by 9, the
+    // power ratio by 9⁶/9⁶ — so ls_power is IDENTICAL by construction
+    // while n triples), isolating the dof term of the F-statistic
+    val pStar = 24L * 3600000000L
+    val step = 7919000000L
+    val base = (0 until 40).map { i =>
+      val t = i.toLong * step
+      val noise = (i * 2654435761L) % 1000L
+      val sig = math.round(150.0 * math.sin(
+        2.0 * math.Pi * (t % pStar).toDouble / pStar.toDouble))
+      (t, noise + sig)
+    }
+    val rows = base.map { case (t, x) => (1L, t, x) } ++
+      (0 until 3).flatMap(_ => base.map { case (t, x) => (2L, t, x) })
+    val got = q.glsFstatOver(rows.toDF("user_id", "tus", "xc")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 2L))
+    val (r1, r2) = (got(1L), got(2L))
+    assert(r1.getAs[Long]("n_epochs") == 40L &&
+      r2.getAs[Long]("n_epochs") == 120L)
+    // same power to the last couple of ulps — the duplication scales
+    // every exact integer moment by exactly 9, but the IEEE product
+    // chain re-rounds, so bit equality is not guaranteed (each factor
+    // of the num/den products rounds independently)
+    assert(math.abs(r1.getAs[Double]("ls_power") -
+      r2.getAs[Double]("ls_power")) <= 1e-12,
+      s"power ${r1.getAs[Double]("ls_power")} != ${r2.getAs[Double]("ls_power")}")
+    // the F readout matches its closed form on both rows
+    for (r <- Seq(r1, r2)) {
+      val n = r.getAs[Long]("n_epochs"); val p = r.getAs[Double]("ls_power")
+      assert(r.getAs[Double]("f_val") == (n - 3).toDouble * p / (2.0 * (1.0 - p)))
+      assert(r.getAs[Int]("significant") ==
+        (if (r.getAs[Double]("f_val") >= q.GlsFMin) 1 else 0))
+    }
+    // dof-awareness: same power, 3x the epochs => strictly larger F,
+    // and the gate flips across the two
+    assert(r2.getAs[Double]("f_val") > r1.getAs[Double]("f_val"))
+    assert(r1.getAs[Int]("significant") == 0 &&
+      r2.getAs[Int]("significant") == 1,
+      s"flag did not flip: F1=${r1.getAs[Double]("f_val")} " +
+        s"F2=${r2.getAs[Double]("f_val")}")
+  }
+
+  test("q_coadd_flux matches a driver-side inverse-variance recompute at sf0.001") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val q = queries.TimeSeries
+    def r0(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val bandOf = Map("click" -> "u", "error" -> "g", "purchase" -> "r",
+      "signup" -> "i").withDefaultValue("z")
+    val raw = Tables.events(spark, sf)
+      .select($"user_id", $"value", $"event_type").collect()
+      .map(r => (if (r.isNullAt(0)) null.asInstanceOf[Any] else r.getLong(0),
+        r0(r.getDouble(1) * 100), bandOf(r.getString(2))))
+    val exp = raw.groupBy(t => (t._1, t._3)).map { case (k, rs) =>
+      val terms = rs.map { case (_, xc, _) =>
+        val e = 3L + math.abs(xc) / 50L
+        (r0(1000000.0 / (e * e).toDouble),
+          r0(xc.toDouble * 1000000.0 / (e * e).toDouble))
+      }
+      k -> (rs.length.toLong, terms.map(_._1).sum, terms.map(_._2).sum)
+    }
+    val got = q.qCoaddFlux(spark, sf).collect().map { r =>
+      val k = (if (r.isNullAt(0)) null.asInstanceOf[Any] else r.getLong(0),
+        r.getString(1))
+      // the derived columns are single IEEE chains over the sums —
+      // recheck them from the row's own integers
+      assert(r.getAs[Double]("coadd_c100") ==
+        r.getAs[Long]("wx_sum_c6").toDouble / r.getAs[Long]("w_sum_c6").toDouble)
+      assert(r.getAs[Double]("coadd_err_c100") ==
+        1000.0 / math.sqrt(r.getAs[Long]("w_sum_c6").toDouble))
+      k -> (r.getAs[Long]("n"), r.getAs[Long]("w_sum_c6"),
+        r.getAs[Long]("wx_sum_c6"))
+    }.toMap
+    assert(got == exp, "coadd sums != driver-side recompute")
+  }
+
   test("q_lafler_kinman dates a planted sinusoid by minimum string statistic") {
     import spark.implicits._
     val q = queries.TimeSeries
