@@ -320,6 +320,10 @@ object Bench {
     // MOPS tracklet census (regresses if the pair stage stops riding
     // the zone grid)
     "q_order_count_dist", "q_global_share", "q_dedup_survivors",
+    // r17: Q18 — the pre-join HAVING aggregate must keep the joins on
+    // the qualifying sliver; and the ambiguity census — one grid pass
+    // + sliver windows, regresses if the windows hit the detection table
+    "q_large_orders", "q_xmatch_ambiguous",
     "q_tracklets", "q_track_chains",
     // the per-track motion fit (r17): rides the same pinned pair
     // sliver as the chain census plus ONE detection-table equi-join —

@@ -86,6 +86,51 @@ object CoreOlap {
       |LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Quantity floor of the large-order report — binds on the test
+    * corpora (99/1473 orders at sf0.001, 874/14743 at sf0.01). */
+  private[graft] val LargeOrderQtyMin = 200L
+
+  /** Large-volume orders (the TPC-H Q18 shape): customers whose
+    * orders aggregate more than [[LargeOrderQtyMin]] units across
+    * their line items — the HAVING-subquery + three-way join report.
+    * Quantity sums are exact integers; the price rides as exact
+    * cents.
+    *
+    * Scale shape: ONE combinable lineitem aggregate on the order key
+    * shrinks the fact table to the qualifying tail BEFORE any join;
+    * the two joins then carry that sliver against orders and customer
+    * (AQE broadcasts the filtered side at runtime — no hint, the
+    * q03 discipline, since all three inputs are fact-scale at the
+    * 100 TB target). */
+  def qLargeOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity".cast("long")).as("sum_qty"))
+      .filter($"sum_qty" > LargeOrderQtyMin)
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice" * 100).cast("long").as("price_c100"))
+      .join(big, $"o_orderkey" === $"l_orderkey")
+      .join(Tables.customer(s, dir).select($"c_custkey"),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"o_orderkey", $"price_c100", $"sum_qty")
+      .orderBy($"sum_qty".desc, $"o_orderkey")
+  }
+
+  val qLargeOrdersSql: String =
+    s"""WITH big AS (SELECT l_orderkey,
+       |    CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+       |  FROM lineitem GROUP BY 1
+       |  HAVING CAST(SUM(l_quantity) AS BIGINT) > $LargeOrderQtyMin)
+       |SELECT c.c_custkey, o.o_orderkey,
+       |  CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS price_c100, sum_qty
+       |FROM big
+       |JOIN orders o ON o.o_orderkey = big.l_orderkey
+       |JOIN customer c ON c.c_custkey = o.o_custkey
+       |ORDER BY sum_qty DESC, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
   def q05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val reg = Tables.region(s, dir).filter($"r_name" === "ASIA").select($"r_regionkey")
@@ -1288,6 +1333,7 @@ object CoreOlap {
     "q03_topk_revenue" -> (q03 _),
     "q05_regional_join" -> (q05 _),
     "q_having" -> (qHaving _),
+    "q_large_orders" -> (qLargeOrders _),
     "q_window_topn" -> (qWindowTopn _),
     "q_window_running" -> (qWindowRunning _),
     "q_distinct_count" -> (qDistinctCount _),
@@ -1327,6 +1373,7 @@ object CoreOlap {
     "q03_topk_revenue" -> q03Sql,
     "q05_regional_join" -> q05Sql,
     "q_having" -> qHavingSql,
+    "q_large_orders" -> qLargeOrdersSql,
     "q_window_topn" -> qWindowTopnSql,
     "q_distinct_count" -> qDistinctCountSql,
     "q_percentiles" -> qPercentilesSql,

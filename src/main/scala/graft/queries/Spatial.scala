@@ -469,6 +469,76 @@ object Spatial {
        |ORDER BY det_k""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Search radius of the ambiguity census — wider than the 1°
+    * association radius deliberately: ambiguity is a CROWDING
+    * diagnostic, and at the test catalog's density the 1° cone
+    * almost never holds two objects (the census would be vacuous at
+    * sf0.001). */
+  private[graft] val AmbigRadiusDeg = 2.0
+
+  /** Association-AMBIGUITY census — the third face of the daily
+    * association beside the match ([[qXmatch2cat]]) and transient
+    * ([[qXmatchUnmatched]]) streams: detections with TWO OR MORE
+    * catalog objects inside the search cone, where the nearest-match
+    * rule is doing real work and a blend/mis-association is possible.
+    * Per ambiguous detection: the match count, the two closest
+    * objects with their rounded distances (ties broken by object id,
+    * identically in the oracle), and the ambiguity MARGIN d₂ − d₁ on
+    * exact ×10⁶ integers — the quantity an association pipeline
+    * thresholds to flag "too close to call" matches.
+    *
+    * Scale shape: the same one zone-grid pass as the association
+    * itself; the rank and count windows share ONE detection-key
+    * partitioning over the candidate sliver (never the detection
+    * table), then a combinable per-detection pivot of ranks 1-2. */
+  def qXmatchAmbiguous(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cand = gridCandidates(
+      detections(s, dir).select($"det_k".as("k"), $"ra", $"decl"),
+      points(s, dir), AmbigRadiusDeg)
+    val w = Window.partitionBy($"k1").orderBy($"dist_r6", $"k2")
+    val wc = Window.partitionBy($"k1")
+    cand.withColumn("rn", row_number().over(w))
+      .withColumn("nm", count(lit(1)).over(wc))
+      .filter($"nm" >= 2 && $"rn" <= 2)
+      .groupBy($"k1".as("det_k"))
+      .agg(max($"nm").as("n_matches"),
+        min(when($"rn" === 1, struct($"dist_r6", $"k2"))).as("c1"),
+        min(when($"rn" === 2, struct($"dist_r6", $"k2"))).as("c2"))
+      .select($"det_k", $"n_matches",
+        $"c1.k2".as("obj1"), $"c1.dist_r6".as("d1_r6"),
+        $"c2.k2".as("obj2"), $"c2.dist_r6".as("d2_r6"),
+        (round($"c2.dist_r6" * 1000000).cast("long") -
+          round($"c1.dist_r6" * 1000000).cast("long")).as("margin_u6"))
+      .orderBy($"det_k")
+  }
+
+  /** Oracle twin: brute-force cone + the identical rank/count window
+    * pair and the exact integer margin. */
+  val qXmatchAmbiguousSql: String =
+    s"""WITH m AS (SELECT det_k, obj_k, dist_r6 FROM (
+       |    SELECT d.det_k, o.k AS obj_k,
+       |      ROUND(${distDegSql("d.ra", "d.decl", "o.ra", "o.decl")}, 6) AS dist_r6
+       |    FROM ($detectionsSql) d CROSS JOIN ($pointsSql) o) t
+       |  WHERE dist_r6 < $AmbigRadiusDeg),
+       |r AS (SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY det_k
+       |      ORDER BY dist_r6, obj_k) AS rn,
+       |    COUNT(*) OVER (PARTITION BY det_k) AS nm
+       |  FROM m)
+       |SELECT det_k, MAX(nm) AS n_matches,
+       |  MAX(CASE WHEN rn = 1 THEN obj_k END) AS obj1,
+       |  MAX(CASE WHEN rn = 1 THEN dist_r6 END) AS d1_r6,
+       |  MAX(CASE WHEN rn = 2 THEN obj_k END) AS obj2,
+       |  MAX(CASE WHEN rn = 2 THEN dist_r6 END) AS d2_r6,
+       |  CAST(ROUND(MAX(CASE WHEN rn = 2 THEN dist_r6 END)*1000000) AS BIGINT)
+       |    - CAST(ROUND(MAX(CASE WHEN rn = 1 THEN dist_r6 END)*1000000) AS BIGINT)
+       |    AS margin_u6
+       |FROM r WHERE nm >= 2 AND rn <= 2
+       |GROUP BY det_k ORDER BY det_k""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Maximum apparent sky motion (degrees per night) a tracklet may
     * span — the MOPS linking window. */
   private[graft] val TrackRateDeg = 2.0
@@ -2437,6 +2507,7 @@ object Spatial {
     "q_track_chains" -> (qTrackChains _),
     "q_track_motion" -> (qTrackMotion _),
     "q_galactic_density" -> (qGalacticDensity _),
+    "q_xmatch_ambiguous" -> (qXmatchAmbiguous _),
     "q_spatial_density" -> (qSpatialDensity _),
     "q_nearest_nbr" -> (qNearestNbr _),
     "q_knn3" -> (qKnn3 _),
@@ -2466,6 +2537,7 @@ object Spatial {
     "q_track_chains" -> qTrackChainsSql,
     "q_track_motion" -> qTrackMotionSql,
     "q_galactic_density" -> qGalacticDensitySql,
+    "q_xmatch_ambiguous" -> qXmatchAmbiguousSql,
     "q_spatial_density" -> qSpatialDensitySql,
     "q_nearest_nbr" -> qNearestNbrSql,
     "q_knn3" -> qKnn3Sql,

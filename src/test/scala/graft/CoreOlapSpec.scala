@@ -315,4 +315,30 @@ class CoreOlapSpec extends AnyFunSuite {
     assert(plan.contains("Broadcast"), "1-row global must broadcast")
     assert(!plan.contains("Window"), "no constant-key window allowed")
   }
+
+  test("q_large_orders matches a driver-side recompute and the threshold binds") {
+    import org.apache.spark.sql.functions._
+    def r0(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val qty = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r0(r.getDouble(2) * 100)))
+      .toMap
+    val exp = qty.toSeq
+      .filter(_._2 > queries.CoreOlap.LargeOrderQtyMin)
+      .map { case (ok, sq) =>
+        val (ck, pc) = ord(ok); (ck, ok, pc, sq) }
+      .sortBy(t => (-t._4, t._2))
+    val got = queries.CoreOlap.qLargeOrders(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == exp,
+      s"got ${got.take(3).toSeq}\n exp ${exp.take(3)}")
+    // binding: some orders qualify, most do not
+    assert(exp.nonEmpty && exp.size < qty.size,
+      s"threshold does not bind: ${exp.size}/${qty.size}")
+  }
 }

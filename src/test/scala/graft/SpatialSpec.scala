@@ -1067,4 +1067,36 @@ class SpatialSpec extends AnyFunSuite {
     assert(got.keySet.forall(b => b >= -9L && b <= 8L))
     assert(got.values.map(_._1).sum == keys.length.toLong)
   }
+
+  test("q_xmatch_ambiguous matches a brute-force two-closest recompute at sf0.001") {
+    def hav(ra1: Double, d1: Double, ra2: Double, d2: Double): Double = {
+      val (p1, p2) = (math.toRadians(d1), math.toRadians(d2))
+      val dphi = p2 - p1; val dl = math.toRadians(ra2 - ra1)
+      val x = math.pow(math.sin(dphi / 2), 2) +
+        math.cos(p1) * math.cos(p2) * math.pow(math.sin(dl / 2), 2)
+      BigDecimal(math.toDegrees(2 * math.asin(math.sqrt(x))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val objs = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+      .map(k => (k, (k * 137 % 36000) / 100.0, (k * 97 % 17000) / 100.0 - 85.0))
+    val dets = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey").collect().map(_.getLong(0))
+      .map(k => (k, (k * 149 % 36000) / 100.0, (k * 101 % 17000) / 100.0 - 85.0))
+    val rad = queries.Spatial.AmbigRadiusDeg
+    val exp = dets.flatMap { case (dk, ra, dec) =>
+      val ms = objs.map { case (ok, ora, odec) => (hav(ra, dec, ora, odec), ok) }
+        .filter(_._1 < rad).sorted
+      if (ms.length < 2) None
+      else Some(dk -> (ms.length.toLong, ms(0)._2, ms(0)._1, ms(1)._2, ms(1)._1,
+        math.round(ms(1)._1 * 1000000) - math.round(ms(0)._1 * 1000000)))
+    }.toMap
+    val got = queries.Spatial.qXmatchAmbiguous(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getLong(6))).toMap
+    assert(got == exp, s"ambiguity census mismatch: got ${got.size} exp ${exp.size}")
+    // non-vacuous, and the margin is the nonnegative too-close-to-call gap
+    assert(got.nonEmpty, "no ambiguous detections at sf0.001")
+    assert(got.values.forall(_._6 >= 0L), "negative ambiguity margin")
+  }
 }
