@@ -129,6 +129,9 @@ object Bench {
     // join; the monitored eval queries, so their cost belongs in the
     // artifact too
     "q_ann_recall", "q_dedup_recall",
+    // r17: the nprobe sweep — the x3 explode must stay on the candidate
+    // sliver; regresses if a per-operating-point corpus rescan appears
+    "q_ann_recall_curve",
     // drift monitor — broadcast midpoint + one combinable histogram
     "q_value_drift",
     // completeness curve — the association grid + a flag join-back

@@ -661,6 +661,62 @@ object Ann {
   }
 
   // ---------------------------------------------------------------
+  /** The nprobe operating points of [[qAnnRecallCurve]] — must
+    * include [[NProbe]] so the deployed point sits ON the curve. */
+  private[graft] val ProbeSweep = Seq(1, 2, 4)
+
+  /** Recall-vs-nprobe TUNING CURVE of the IVF search — the
+    * [[Dedup.qDedupThresholdCurve]] discipline applied to the coarse
+    * quantizer: [[qAnnRecall]]-style recall@[[K]] per query at EVERY
+    * candidate [[ProbeSweep]] operating point in one pass, the
+    * artifact an operator reads to move the nprobe knob (is the
+    * deployed [[NProbe]] on the recall plateau or under it?). The
+    * probe list is computed ONCE at max(nprobe) with each probed
+    * list's RANK attached; a candidate's eligibility at operating
+    * point np is the per-row predicate prank ≤ np (a vector belongs
+    * to exactly one list, so no candidate dedup is needed), and the
+    * per-(query, np) top-k runs through the ONE shared salted
+    * [[topKBy]] on a packed partition key.
+    *
+    * Scale shape: ONE corpus scan against the probed lists (the
+    * [[qAnnIvf]] candidate join, broadcast probes), the ×|sweep|
+    * explode applies to the CANDIDATE sliver only, and the exact side
+    * is the fixed [[NQueries]] probe sample as in every recall
+    * query. */
+  def qAnnRecallCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = intEmb(s, dir)
+    val cents = ivfStoredModel(s, dir)
+    val assigned = withListAssignment(e, cents)
+    val maxNp = ProbeSweep.max
+    val probes = e.filter($"vec_id" < NQueries)
+      .withColumn("scores", centScores(cents)($"iv", $"nrm"))
+      .withColumn("pr", explode(expr(
+        s"transform(slice(sort_array(scores, false), 1, $maxNp), " +
+          "(x, j) -> struct(-x.negcid AS probe, j + 1 AS prank))")))
+      .select($"vec_id".as("qid"), $"iv".as("qiv"), $"nrm".as("qnrm"),
+        $"pr.probe".as("probe"), $"pr.prank".as("prank"))
+    val cand = assigned
+      .join(broadcast(probes), $"acid" === $"probe" && $"vec_id" =!= $"qid")
+      .withColumn("dot", VectorOps.dot("qiv", "iv"))
+      .withColumn("cosine", VectorOps.cosine($"dot", $"qnrm", $"nrm"))
+      .select($"qid", $"vec_id".as("vid"), $"dot", $"cosine", $"prank")
+    val swept = cand
+      .withColumn("np", explode(typedLit(ProbeSweep.map(_.toLong))))
+      .filter($"prank" <= $"np")
+      // pack (qid, np) into the key topKBy partitions on; qids are
+      // dense small ids and np ≤ 8, so the packing is collision-free
+      .withColumn("qid0", $"qid")
+      .withColumn("qid", $"qid" * lit(8L) + $"np")
+    val approx = topKBy(swept, Seq($"cosine".desc, $"vid"),
+      Seq($"qid", $"qid0", $"np", $"vid"))
+      .select($"qid0".as("qid"), $"np", $"vid")
+    val exact = qAnnBruteforce(s, dir)
+      .withColumn("np", explode(typedLit(ProbeSweep.map(_.toLong))))
+    recallOf(exact, approx, Seq("qid", "np"))
+  }
+
+  // ---------------------------------------------------------------
   // Clustering surface over the SAME trained coarse quantizer: the
   // IVF codebook IS an integer k-means model, so cluster analytics
   // and SemDeDup-style semantic dedup reuse it — one model, three
@@ -820,17 +876,20 @@ object Ann {
     * integer percentage per query. ONE definition — a change to the
     * recall arithmetic (the DIV rounding, the null-hit counting)
     * lands in every family or none (the sqlRerankCtes discipline). */
-  private def recallOf(exact: DataFrame, approx: DataFrame): DataFrame = {
+  private def recallOf(exact: DataFrame, approx: DataFrame,
+    keys: Seq[String] = Seq("qid")): DataFrame = {
     import exact.sparkSession.implicits._
-    exact.select($"qid", $"vid")
-      .join(approx.select($"qid", $"vid", lit(1).as("hit")),
-        Seq("qid", "vid"), "left")
-      .groupBy($"qid")
+    val kc = keys.map(col)
+    exact.select(kc :+ $"vid": _*)
+      .join(approx.select(kc :+ $"vid" :+ lit(1).as("hit"): _*),
+        keys :+ "vid", "left")
+      .groupBy(kc: _*)
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce($"hit", lit(0))).cast("long").as("n_match"))
-      .select($"qid", $"n_exact", $"n_match",
-        expr("CAST((100 * n_match) DIV n_exact AS BIGINT)").as("recall_pct"))
-      .orderBy($"qid")
+      .select(kc ++ Seq($"n_exact", $"n_match",
+        expr("CAST((100 * n_match) DIV n_exact AS BIGINT)")
+          .as("recall_pct")): _*)
+      .orderBy(kc: _*)
   }
 
   /** SQL twin of [[recallOf]]: the overlap SELECT over two re-ranked
@@ -922,6 +981,51 @@ object Ann {
        |qp AS (SELECT vid AS qid, cid FROM (
        |    SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, cid) AS rn
        |    FROM cs WHERE vid < $NQueries) t WHERE rn <= $NProbe),""".stripMargin
+  }
+
+  /** Oracle twin of [[qAnnRecallCurve]]: the shared unrolled-training
+    * prefix, probe ranks to max(sweep), the ×sweep eligibility join,
+    * a (qid, np)-partitioned re-rank, and the recall overlap against
+    * the brute-force re-rank CTEs. */
+  val qAnnRecallCurveSql: String = {
+    val maxNp = ProbeSweep.max
+    val sweep = ProbeSweep.mkString(", ")
+    s"""$ivfCoarsePrefix
+       |qps AS (SELECT vid AS qid, cid, rn AS prank FROM (
+       |    SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid
+       |      ORDER BY cos DESC, cid) AS rn
+       |    FROM cs WHERE vid < $NQueries) t WHERE rn <= $maxNp),
+       |ps AS (SELECT CAST(unnest([$sweep]) AS BIGINT) AS np),
+       |candc AS (SELECT q.qid, ps.np, a.vid
+       |  FROM qps q JOIN assign a ON a.cid = q.cid AND a.vid <> q.qid
+       |  JOIN ps ON q.prank <= ps.np),
+       |dcv AS (SELECT c.qid, c.np, c.vid,
+       |    CAST(SUM(ea.vi * eb.vi) AS BIGINT) AS dot
+       |  FROM candc c JOIN e ea ON ea.vec_id = c.qid
+       |    JOIN e eb ON eb.vec_id = c.vid AND eb.i = ea.i
+       |  GROUP BY 1, 2, 3),
+       |ccv AS (SELECT qid, np, vid,
+       |    CAST(dot AS DOUBLE) / (SQRT(CAST(nq.nrm AS DOUBLE))
+       |      * SQRT(CAST(nv.nrm AS DOUBLE))) AS cosine
+       |  FROM dcv JOIN n nq ON nq.vec_id = qid
+       |    JOIN n nv ON nv.vec_id = vid),
+       |rcv AS (SELECT qid, np, vid, ROW_NUMBER() OVER (
+       |    PARTITION BY qid, np ORDER BY cosine DESC, vid) AS rnk
+       |  FROM ccv),
+       |pbf AS (SELECT q.vec_id AS qid, v.vec_id AS vid
+       |  FROM embeddings q JOIN embeddings v
+       |    ON q.vec_id < $NQueries AND v.vec_id <> q.vec_id),
+       |${sqlRerankCtes("pbf", "bf")}
+       |SELECT rbf.qid, ps.np, COUNT(*) AS n_exact,
+       |  CAST(SUM(CASE WHEN rap.vid IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_match,
+       |  CAST((100 * SUM(CASE WHEN rap.vid IS NOT NULL THEN 1 ELSE 0 END))
+       |    // COUNT(*) AS BIGINT) AS recall_pct
+       |FROM (SELECT qid, vid FROM rbf WHERE rnk <= $K) rbf
+       |CROSS JOIN ps
+       |LEFT JOIN (SELECT qid, np, vid FROM rcv WHERE rnk <= $K) rap
+       |  ON rap.qid = rbf.qid AND rap.np = ps.np AND rap.vid = rbf.vid
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   /** Oracle twin of [[qAnnIvf]]: re-trains the identical coarse
@@ -2046,6 +2150,7 @@ object Ann {
     "q_ann_range_recall" -> (qAnnRangeRecall _),
     "q_ann_filtered" -> (qAnnFiltered _),
     "q_ann_recall" -> (qAnnRecall _),
+    "q_ann_recall_curve" -> (qAnnRecallCurve _),
     "q_ann_recall_ivfpq" -> (qAnnRecallIvfpq _),
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
@@ -2065,6 +2170,7 @@ object Ann {
     "q_ann_range_recall" -> qAnnRangeRecallSql,
     "q_ann_filtered" -> qAnnFilteredSql,
     "q_ann_recall" -> qAnnRecallSql,
+    "q_ann_recall_curve" -> qAnnRecallCurveSql,
     "q_ann_recall_ivfpq" -> qAnnRecallIvfpqSql,
     "q_ann_lsh" -> qAnnLshSql,
     "q_ann_ivf" -> qAnnIvfSql,

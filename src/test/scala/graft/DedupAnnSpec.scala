@@ -642,6 +642,38 @@ class DedupAnnSpec extends AnyFunSuite {
     assert(matched > 0, "IVF×PQ must recall SOMETHING or the telemetry is vacuous")
   }
 
+  test("q_ann_recall_curve: the deployed nprobe point reconciles with the IVF search; recall is monotone in nprobe") {
+    val curve = queries.Ann.qAnnRecallCurve(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_exact"), r.getAs[Long]("n_match"),
+          r.getAs[Long]("recall_pct"))).toMap
+    val qids = curve.keySet.map(_._1)
+    assert(curve.keySet == qids.flatMap(q => Seq(1L, 2L, 4L).map(q -> _)),
+      "curve missing operating points")
+    // reconciliation: the np = 2 column must equal the independently
+    // composed recall of the REGISTERED q_ann_ivf search (NProbe = 2)
+    // against brute force — the deployed point sits ON the curve
+    val exact = queries.Ann.qAnnBruteforce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid")))
+    val ivf = queries.Ann.qAnnIvf(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vid"))).toSet
+    for ((qid, pairs) <- exact.groupBy(_._1)) {
+      val m = pairs.count(ivf.contains).toLong
+      assert(curve((qid, 2L)) == (pairs.length.toLong, m,
+        100 * m / pairs.length),
+        s"np=2 curve point != composed q_ann_ivf recall for query $qid")
+    }
+    // widening the probe list can only help: recall monotone in np,
+    // and the sweep must SHOW a curve (not a flat 100% — otherwise
+    // the telemetry can't guide the knob)
+    for (q <- qids) {
+      val Seq(r1, r2, r4) = Seq(1L, 2L, 4L).map(np => curve((q, np))._3)
+      assert(r1 <= r2 && r2 <= r4, s"recall not monotone for query $q")
+    }
+    assert(qids.exists(q => curve((q, 1L))._3 < curve((q, 4L))._3),
+      "sweep is flat — no operating-point signal")
+  }
+
   test("q_ann_lsh results are a subset of brute-force candidates' buckets") {
     val df = queries.Ann.qAnnLsh(spark, sf)
     assert(df.count() > 0)
