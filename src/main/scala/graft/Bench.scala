@@ -233,6 +233,10 @@ object Bench {
     // argmax — must bench ~q_bls; a blowup means the dip restriction
     // broke the single wide-aggregate shape
     "q_transit_candidates",
+    // and the secondary-eclipse vetting — four more integer fields in
+    // the window structs, same single wide aggregate; a blowup means
+    // the antiphase readout became a join or second pass
+    "q_secondary_eclipse",
     // Lafler-Kinman — the lag window must SHARE the (object, period)
     // shuffle with the sums aggregate; regresses if a second
     // exchange appears between them

@@ -1420,25 +1420,7 @@ object TimeSeries {
     val s = ser.sparkSession
     import s.implicits._
     val nb = BlsBins
-    val binned = ser
-      .filter($"user_id".isNotNull)
-      .withColumn("p_us", explode(typedLit(PeriodGridUs)))
-      .withColumn("b", expr(s"((tus % p_us) * $nb) DIV p_us").cast("int"))
-    // ONE wide corpus-side aggregate, deliberately: an A/B against a
-    // two-stage fold (narrow (object, period, BIN)-key aggregate,
-    // then a reduced-frame pivot) benched the same at sf0.1 — the
-    // bin key's 16x cardinality costs what the 32 conditional
-    // columns cost — but the wide shape shuffles |objects|x16 rows
-    // where the narrow one shuffles up to 16x more partials
-    val aggCols = Seq(
-      count(lit(1)).as("n"), sum($"xc").as("sx"),
-      sum($"xc" * $"xc").as("sxx")) ++
-      (0 until nb).flatMap(i => Seq(
-        sum(when($"b" === i, 1L).otherwise(0L)).as(s"nb$i"),
-        sum(when($"b" === i, $"xc").otherwise(0L)).as(s"sb$i")))
-    val cells = binned.groupBy($"user_id", $"p_us")
-      .agg(aggCols.head, aggCols.tail: _*)
-      .withColumn("xxn", $"n" * $"sxx" - $"sx" * $"sx")
+    val cells = blsCells(ser)
     val wins = for { w <- 1 to BlsMaxW; st <- 0 until nb } yield {
       val nw = (0 until w).map(o => col(s"nb${(st + o) % nb}"))
         .reduce(_ + _)
@@ -1470,6 +1452,34 @@ object TimeSeries {
         (-$"bst.negw").cast("long").as("w_width"),
         $"bst.pw".as("bls_power"), $"bst.dep".as("depth_c100"))
       .orderBy($"user_id")
+  }
+
+  /** The per-(object, trial period) BLS cell frame — totals plus the
+    * 2·[[BlsBins]] conditional per-bin sums, the ONE wide corpus-side
+    * aggregate [[blsOver]] and [[secondaryEclipseOver]] both read.
+    * ONE wide aggregate deliberately: an A/B against a two-stage fold
+    * (narrow (object, period, BIN)-key aggregate, then a
+    * reduced-frame pivot) benched the same at sf0.1 — the bin key's
+    * 16x cardinality costs what the 32 conditional columns cost —
+    * but the wide shape shuffles |objects|x16 rows where the narrow
+    * one shuffles up to 16x more partials. */
+  private[graft] def blsCells(ser: DataFrame): DataFrame = {
+    val s = ser.sparkSession
+    import s.implicits._
+    val nb = BlsBins
+    val binned = ser
+      .filter($"user_id".isNotNull)
+      .withColumn("p_us", explode(typedLit(PeriodGridUs)))
+      .withColumn("b", expr(s"((tus % p_us) * $nb) DIV p_us").cast("int"))
+    val aggCols = Seq(
+      count(lit(1)).as("n"), sum($"xc").as("sx"),
+      sum($"xc" * $"xc").as("sxx")) ++
+      (0 until nb).flatMap(i => Seq(
+        sum(when($"b" === i, 1L).otherwise(0L)).as(s"nb$i"),
+        sum(when($"b" === i, $"xc").otherwise(0L)).as(s"sb$i")))
+    binned.groupBy($"user_id", $"p_us")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("xxn", $"n" * $"sxx" - $"sx" * $"sx")
   }
 
   /** Oracle twin: per-(object, period, bin) sums joined to a 48-row
@@ -1582,6 +1592,114 @@ object TimeSeries {
        |WHERE bls_power >= CAST($TransitPowerMin AS DOUBLE)
        |  AND depth_c100 < 0 AND n_epochs >= $TransitMinEpochs
        |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Secondary-to-primary depth ratio above which [[qSecondaryEclipse]]
+    * flags an eclipsing-binary candidate — binds on the test corpora
+    * (both flag states populated at both SFs: 2/15 flagged at
+    * sf0.001, 42/150 at sf0.01). */
+  private[graft] val EbRatioMin = 0.1
+
+  /** Secondary-eclipse vetting — the step after a box detection that
+    * separates an ECLIPSING BINARY from a planet candidate (the
+    * published BLS follow-up: an EB shows a second dip half a period
+    * from the primary, a transiting planet essentially none): per
+    * object, at the best DIP window (the [[qTransitCandidates]]
+    * argmax), read the box at the OPPOSITE phase — same width, start
+    * shifted [[BlsBins]]/2 — and report both depths plus their ratio.
+    * The opposite box's counts are the SAME [[blsCells]] conditional
+    * columns the primary's window expressions read, so the secondary
+    * readout adds per-row arithmetic, not a second corpus pass; an
+    * empty or full opposite box carries a null secondary (no
+    * measurement at antiphase). Depths and ratio are single IEEE
+    * chains over exact int64; `eb_candidate` fires at ratio ≥
+    * [[EbRatioMin]] (both depths negative ⇒ a ratio near 1 is a
+    * twin dip).
+    *
+    * Scale shape: identical to [[qBls]] — the ONE wide combinable
+    * aggregate, per-row window expressions (now carrying four more
+    * integer fields), one argmax on the reduced frame. */
+  def qSecondaryEclipse(s: SparkSession, dir: String): DataFrame =
+    secondaryEclipseOver(series(s, dir))
+
+  /** Plan body over any (user_id, tus, xc) series frame — factored so
+    * the spec can plant a twin-dip binary and a lone-dip planet. */
+  private[graft] def secondaryEclipseOver(ser: DataFrame): DataFrame = {
+    val s = ser.sparkSession
+    import s.implicits._
+    val nb = BlsBins
+    val cells = blsCells(ser)
+    val wins = for { w <- 1 to BlsMaxW; st <- 0 until nb } yield {
+      def nwOf(start: Int) =
+        (0 until w).map(o => col(s"nb${(start + o) % nb}")).reduce(_ + _)
+      def swOf(start: Int) =
+        (0 until w).map(o => col(s"sb${(start + o) % nb}")).reduce(_ + _)
+      val (nw, sw) = (nwOf(st), swOf(st))
+      val st2 = (st + nb / 2) % nb
+      val (nw2, sw2) = (nwOf(st2), swOf(st2))
+      val d = $"n" * sw - nw * $"sx"
+      val power = when(nw > lit(0L) && nw < $"n" && $"xxn" > 0 && d < 0,
+        (d.cast("double") * d.cast("double")) /
+          ((nw.cast("double") * ($"n" - nw).cast("double")) *
+            $"xxn".cast("double"))).otherwise(lit(-1.0))
+      struct(power.as("pw"), lit(-st).as("negs"), lit(-w).as("negw"),
+        nw.as("nw"), sw.as("sw"), nw2.as("nw2"), sw2.as("sw2"))
+    }
+    def depth(nw: Column, sw: Column) =
+      sw.cast("double") / nw.cast("double") -
+        ($"sx" - sw).cast("double") / ($"n" - nw).cast("double")
+    cells.withColumn("bw", greatest(wins: _*))
+      .filter($"bw.pw" >= 0.0)
+      .withColumn("depth_c100", depth($"bw.nw", $"bw.sw"))
+      .withColumn("sec_depth_c100",
+        when($"bw.nw2" > 0L && $"bw.nw2" < $"n",
+          depth($"bw.nw2", $"bw.sw2")))
+      .groupBy($"user_id")
+      .agg(max(struct($"bw.pw".as("pw"), (-$"p_us").as("negp"),
+        $"bw.negs".as("negs"), $"bw.negw".as("negw"), $"n".as("nn"),
+        $"depth_c100".as("dep"), $"sec_depth_c100".as("sdep"))).as("bst"))
+      .select($"user_id", $"bst.nn".as("n_epochs"),
+        (-$"bst.negp").as("best_p_us"),
+        (-$"bst.negs").cast("long").as("w_start"),
+        (-$"bst.negw").cast("long").as("w_width"),
+        $"bst.pw".as("bls_power"), $"bst.dep".as("depth_c100"),
+        $"bst.sdep".as("sec_depth_c100"),
+        ($"bst.sdep" / $"bst.dep").as("sec_ratio"),
+        coalesce((($"bst.sdep" / $"bst.dep") >= EbRatioMin).cast("int"),
+          lit(0)).as("eb_candidate"))
+      .orderBy($"user_id")
+  }
+
+  /** Oracle twin: the dip-restricted BLS CTE chain ([[blsCtesFor]],
+    * one copy) with the opposite-phase box attached by ONE self-join
+    * of `wagg` at (start + bins/2) — the relational reading of the
+    * plan's extra window columns — then the identical depth/ratio
+    * chains. A missing `wagg` row IS the empty opposite box (only
+    * occupied windows exist there), so the LEFT JOIN's null matches
+    * the plan's nw2 = 0 guard. */
+  val qSecondaryEclipseSql: String =
+    s"""WITH ${blsCtesFor(" AND d < 0")},
+       |best AS (SELECT user_id, p_us, ws, ww, nw, sw, n, sx, pwr
+       |  FROM r WHERE rn = 1),
+       |sec AS (SELECT b.*, w2.nw AS nw2, w2.sw AS sw2
+       |  FROM best b LEFT JOIN wagg w2 ON w2.user_id = b.user_id
+       |    AND w2.p_us = b.p_us AND w2.ww = b.ww
+       |    AND w2.ws = (b.ws + ${BlsBins / 2}) % $BlsBins),
+       |dp AS (SELECT user_id, CAST(n AS BIGINT) AS n_epochs,
+       |    p_us AS best_p_us, CAST(ws AS BIGINT) AS w_start,
+       |    CAST(ww AS BIGINT) AS w_width, pwr AS bls_power,
+       |    CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE)
+       |      - CAST(sx - sw AS DOUBLE) / CAST(n - nw AS DOUBLE)
+       |      AS depth_c100,
+       |    CASE WHEN nw2 > 0 AND nw2 < n THEN
+       |      CAST(sw2 AS DOUBLE) / CAST(nw2 AS DOUBLE)
+       |        - CAST(sx - sw2 AS DOUBLE) / CAST(n - nw2 AS DOUBLE)
+       |    END AS sec_depth_c100
+       |  FROM sec)
+       |SELECT *, sec_depth_c100 / depth_c100 AS sec_ratio,
+       |  COALESCE(CAST(sec_depth_c100 / depth_c100
+       |    >= CAST($EbRatioMin AS DOUBLE) AS INT), 0) AS eb_candidate
+       |FROM dp ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
   /** Lafler–Kinman periodogram (Lafler & Kinman 1965) — the FOURTH
@@ -3949,6 +4067,7 @@ object TimeSeries {
     "q_period_fold" -> (qPeriodFold _),
     "q_bls" -> (qBls _),
     "q_transit_candidates" -> (qTransitCandidates _),
+    "q_secondary_eclipse" -> (qSecondaryEclipse _),
     "q_lafler_kinman" -> (qLaflerKinman _),
     "q_lightcurve_band" -> (qLightcurveBand _),
     "q_lightcurve_band_stored" -> (qLightcurveBandStored _),
@@ -4011,6 +4130,7 @@ object TimeSeries {
     "q_period_fold" -> qPeriodFoldSql,
     "q_bls" -> qBlsSql,
     "q_transit_candidates" -> qTransitCandidatesSql,
+    "q_secondary_eclipse" -> qSecondaryEclipseSql,
     "q_lightcurve_band_stored" -> qLightcurveBandStoredSql,
     "q_lafler_kinman" -> qLaflerKinmanSql,
     "q_lightcurve_band" -> qLightcurveBandSql,

@@ -1648,6 +1648,60 @@ class TimeSeriesSpec extends AnyFunSuite {
       "dip-only argmax disagrees with the brute-force dip scan")
   }
 
+  test("q_secondary_eclipse separates a twin-dip binary from a lone-dip planet") {
+    import spark.implicits._
+    val q = queries.TimeSeries
+    val pStar = 24L * 3600000000L
+    val step = 7919000000L
+    // object 1: PLANET — one −300 c dip in phase bin 0;
+    // object 2: ECLIPSING BINARY — a −300 c primary in bin 0 and an
+    // UNEQUAL −120 c secondary half a period away in bin 8. The
+    // depths must differ: equal twins alias perfectly to P/2 (the
+    // classic EB half-period degeneracy — folded there the two dips
+    // land in one bin and the box fit is exact), while unequal dips
+    // fold to a mixed-level box at P/2 and the true period wins.
+    def series(uid: Long, dips: Map[Long, Long]) = (0 until 330).map { i =>
+      val t = i.toLong * step
+      val b = ((t % pStar) * q.BlsBins) / pStar
+      (uid, t, dips.getOrElse(b, 1000L))
+    }
+    val rows = series(1L, Map(0L -> 700L)) ++
+      series(2L, Map(0L -> 700L, 8L -> 880L))
+    val got = q.secondaryEclipseOver(rows.toDF("user_id", "tus", "xc"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(1L, 2L))
+    for ((uid, r) <- got) {
+      assert(r.getAs[Long]("best_p_us") == pStar, s"object $uid period")
+      assert(r.getAs[Long]("w_start") == 0L && r.getAs[Long]("w_width") == 1L,
+        s"object $uid window (ties resolve to the bin-0 dip)")
+      assert(r.getAs[Double]("depth_c100") < 0.0)
+    }
+    // the planet's antiphase box sits ON the baseline: its "secondary"
+    // is slightly positive (the out-of-box mean includes the primary
+    // dip), so the ratio is negative and the flag stays down
+    val planet = got(1L)
+    assert(planet.getAs[Double]("sec_depth_c100") > 0.0)
+    assert(planet.getAs[Double]("sec_ratio") < 0.0)
+    assert(planet.getAs[Int]("eb_candidate") == 0)
+    // the binary's secondary dip shows up at antiphase: a clearly
+    // positive depth ratio (~0.34 for this fixture) above the flag
+    val eb = got(2L)
+    assert(eb.getAs[Double]("sec_depth_c100") < 0.0)
+    assert(eb.getAs[Double]("sec_ratio") > 0.25,
+      s"secondary-dip ratio ${eb.getAs[Double]("sec_ratio")}")
+    assert(eb.getAs[Int]("eb_candidate") == 1)
+    // the primary readout agrees with the dip-only BLS on the same
+    // frame (the secondary columns are a pure extension)
+    val bls = q.blsOver(rows.toDF("user_id", "tus", "xc"), dipOnly = true)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (uid <- Seq(1L, 2L))
+      assert(got(uid).getAs[Double]("bls_power") ==
+        bls(uid).getAs[Double]("bls_power") &&
+        got(uid).getAs[Double]("depth_c100") ==
+          bls(uid).getAs[Double]("depth_c100"),
+        s"object $uid primary readout drifted from q_bls")
+  }
+
   test("q_gls_fstat is dof-aware: equal powers rank by epoch count and the flag flips") {
     import spark.implicits._
     val q = queries.TimeSeries
