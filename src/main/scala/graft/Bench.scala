@@ -336,6 +336,9 @@ object Bench {
     // sliver as the chain census plus ONE detection-table equi-join —
     // regresses if the melt lookup ever becomes three scans
     "q_track_motion",
+    // and its registered 25% mid-key sample — must bench WELL below the
+    // full readout or the pushdown below the chain join broke
+    "q_track_motion_sampled",
     // portable bloom sketch — regresses if the probe join stops
     // riding the vocabulary-sized frames
     "q_sketch_bloom")

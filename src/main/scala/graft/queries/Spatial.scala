@@ -760,12 +760,20 @@ object Spatial {
   /** Fit body over any tracklet-pair frame (night_from, k1, k2,
     * dist_r6) and coordinate table (det_k, ra, decl) — factored so
     * the spec can drive a planted constant-rate mover (and a
-    * rate-drifting interloper) through the real plan. */
-  private[graft] def trackMotionOver(p: DataFrame,
-    dets: DataFrame): DataFrame = {
+    * rate-drifting interloper) through the real plan.
+    * `midSampleHexLt` composes the deterministic md5 MID-key sample
+    * (the [[TpcSampleHex]] idiom): the predicate sits on the chain
+    * join's KEY, so Catalyst pushes it below the join into BOTH pair
+    * streams — the sampled plan never materializes an unsampled
+    * chain (spec-pinned). */
+  private[graft] def trackMotionOver(p: DataFrame, dets: DataFrame,
+    midSampleHexLt: Option[String] = None): DataFrame = {
     val s = p.sparkSession
     import s.implicits._
-    val tracks = chainFrame(p).filter($"dr_u6" <= TrackChainTolU6)
+    val all = chainFrame(p)
+    val chains = midSampleHexLt.fold(all)(h =>
+      all.filter(substring(md5($"mid".cast("string")), 1, 1) < lit(h)))
+    val tracks = chains.filter($"dr_u6" <= TrackChainTolU6)
     // melt the three members, look their coordinates up in ONE scan
     val mem = tracks.select($"k1", $"mid", $"k3", $"dr_u6",
       explode(array(
@@ -793,14 +801,30 @@ object Spatial {
       .orderBy($"k1", $"mid", $"k3")
   }
 
+  /** The 100-TB scale path of the motion readout: the synthetic
+    * corpus links far more "movers" than a real sky (random
+    * transients at the 2°/night density), so the per-track
+    * materialization dominates the suite at sf0.1 — the registered
+    * slice bounds it with the deterministic 25% md5 sample ON THE
+    * MIDDLE KEY ([[TpcSampleHex]], the q_two_point_sampled
+    * discipline), composed upstream by predicate pushdown: the
+    * sample sits on the chain join's key, so both pair streams
+    * shrink BEFORE the join and no unsampled chain is ever
+    * materialized. Exact on its slice — the spec reconciles it
+    * row-for-row against the full readout filtered by the same
+    * predicate. */
+  def qTrackMotionSampled(s: SparkSession, dir: String): DataFrame =
+    trackMotionOver(trackletPairs(s, dir).localCheckpoint(true),
+      detections(s, dir), Some(TpcSampleHex))
+
   /** Oracle twin: [[trackChainCtes]] (one copy) + the rate gate, the
     * coordinate lookup as three aliased equi-joins (relational form
     * of the plan's single-scan melt), the identical closed-form
-    * integer fit. */
-  lazy val qTrackMotionSql: String =
+    * integer fit; `midPred` splices the sampled twin's md5 slice. */
+  private def trackMotionSqlFor(midPred: String): String =
     s"""WITH $trackChainCtes,
        |tk AS (SELECT k1, mid, k3, dr_u6 FROM ch
-       |  WHERE dr_u6 <= $TrackChainTolU6),
+       |  WHERE dr_u6 <= $TrackChainTolU6$midPred),
        |c AS (SELECT det_k, CAST(ROUND(ra*1000000) AS BIGINT) AS ra_u6,
        |    CAST(ROUND(decl*1000000) AS BIGINT) AS de_u6 FROM d)
        |SELECT tk.k1, tk.mid, tk.k3,
@@ -814,6 +838,11 @@ object Spatial {
        |JOIN c c2 ON c2.det_k = tk.mid
        |JOIN c c3 ON c3.det_k = tk.k3
        |ORDER BY tk.k1, tk.mid, tk.k3""".stripMargin
+
+  lazy val qTrackMotionSql: String = trackMotionSqlFor("")
+
+  lazy val qTrackMotionSampledSql: String = trackMotionSqlFor(
+    s" AND SUBSTRING(MD5(CAST(mid AS VARCHAR)), 1, 1) < '$TpcSampleHex'")
 
   // ---------------------------------------------------------------
   /** Flux-bin width (cents) of the completeness curve. */
@@ -2506,6 +2535,7 @@ object Spatial {
     "q_tracklets" -> (qTracklets _),
     "q_track_chains" -> (qTrackChains _),
     "q_track_motion" -> (qTrackMotion _),
+    "q_track_motion_sampled" -> (qTrackMotionSampled _),
     "q_galactic_density" -> (qGalacticDensity _),
     "q_xmatch_ambiguous" -> (qXmatchAmbiguous _),
     "q_spatial_density" -> (qSpatialDensity _),
@@ -2536,6 +2566,7 @@ object Spatial {
     "q_tracklets" -> qTrackletsSql,
     "q_track_chains" -> qTrackChainsSql,
     "q_track_motion" -> qTrackMotionSql,
+    "q_track_motion_sampled" -> qTrackMotionSampledSql,
     "q_galactic_density" -> qGalacticDensitySql,
     "q_xmatch_ambiguous" -> qXmatchAmbiguousSql,
     "q_spatial_density" -> qSpatialDensitySql,

@@ -987,6 +987,32 @@ class SpatialSpec extends AnyFunSuite {
       "motion drift sum != census drift sum")
   }
 
+  test("q_track_motion_sampled is the full readout on the md5 mid slice, with the sample pushed below the chain join") {
+    import org.apache.spark.sql.functions._
+    val q = queries.Spatial
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7))).toMap
+    val sampled = q.qTrackMotionSampled(spark, sf)
+    val got = keyed(sampled.collect())
+    // exact on its slice: the full readout filtered by the SAME
+    // predicate, row for row
+    val full = keyed(queries.Spatial.qTrackMotion(spark, sf)
+      .filter(substring(md5(col("mid").cast("string")), 1, 1)
+        < q.TpcSampleHex).collect())
+    assert(got == full, "sampled slice != full readout on the slice")
+    assert(got.nonEmpty, "25% slice empty at sf0.001")
+    assert(got.size < keyed(queries.Spatial.qTrackMotion(spark, sf)
+      .collect()).size, "sample did not shrink the readout")
+    // the scale claim: the md5 predicate is PUSHED below the chain
+    // join into both pair streams — the sampled plan never
+    // materializes an unsampled chain
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(plan.sliding(3).count(_ == "md5") >= 2,
+      s"mid sample not pushed into both join sides:\n$plan")
+  }
+
   test("dense-field chain join: the AQE skew split engages on a planted crowded middle key") {
     import spark.implicits._
     val q = queries.Spatial
