@@ -108,6 +108,11 @@ object Bench {
     // and DSIR importance scoring (control-plane histogram + one
     // codegen fold pass — regresses if scoring ever grows a join)
     "q_proper_motion", "q_source_overlap", "q_importance_weight",
+    // r18: the annual-parallax fit — same one-exchange shape as
+    // q_proper_motion (shared window/aggregate shuffle + a per-row
+    // Cramer chain); a blowup means the trig lookup left codegen or
+    // the reduced frame grew a join
+    "q_parallax",
     // offset-free span dedup — the ×L window explode through the
     // fp-keyed rank; the most expensive text pass by design, watch
     // that the window stays fp-partitioned (a doc-keyed sort here
@@ -331,6 +336,10 @@ object Bench {
     // the qualifying sliver; and the ambiguity census — one grid pass
     // + sliver windows, regresses if the windows hit the detection table
     "q_large_orders", "q_xmatch_ambiguous",
+    // r18: Q21 — both correlated subqueries must stay ONE combinable
+    // order-key self-aggregate; a blowup means the fact table started
+    // self-joining row-to-row
+    "q_waiting_suppliers",
     "q_tracklets", "q_track_chains",
     // the per-track motion fit (r17): rides the same pinned pair
     // sliver as the chain census plus ONE detection-table equi-join —

@@ -120,15 +120,79 @@ object CoreOlap {
 
   val qLargeOrdersSql: String =
     s"""WITH big AS (SELECT l_orderkey,
-       |    CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
        |  FROM lineitem GROUP BY 1
-       |  HAVING CAST(SUM(l_quantity) AS BIGINT) > $LargeOrderQtyMin)
+       |  HAVING SUM(CAST(l_quantity AS BIGINT)) > $LargeOrderQtyMin)
        |SELECT c.c_custkey, o.o_orderkey,
        |  CAST(ROUND(o.o_totalprice*100) AS BIGINT) AS price_c100, sum_qty
        |FROM big
        |JOIN orders o ON o.o_orderkey = big.l_orderkey
        |JOIN customer c ON c.c_custkey = o.o_custkey
        |ORDER BY sum_qty DESC, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Suppliers who kept orders waiting (the TPC-H Q21 shape: the
+    * EXISTS + NOT EXISTS correlated self-joins on the fact table):
+    * per supplier, the count of finalized multi-supplier orders on
+    * which THEY were the only supplier with a failed delivery. The
+    * corpus carries no receipt/commit dates, so `l_returnflag = 'R'`
+    * (returned — the failed-delivery stream [[q01]] already reports
+    * on) is the late marker and `o_orderstatus = 'F'` the finalized
+    * gate; both thresholds bind (158 of 493 F-orders qualify at
+    * sf0.001, 1651 of 4933 at sf0.01).
+    *
+    * Scale shape: both correlated subqueries collapse into ONE
+    * combinable self-aggregate on the order key (the [[qLargeOrders]]
+    * aggregate-then-join discipline) — EXISTS(other supplier) is
+    * `ns >= 2`, NOT EXISTS(other late supplier) is `nl = 1` with the
+    * waiting supplier as the aggregate's own argmax witness, so the
+    * fact table is scanned ONCE and never self-joined row-to-row.
+    * The qualifying sliver then joins orders on the order key (AQE
+    * broadcasts the sliver at runtime), the per-supplier count is a
+    * ~|supplier|-key aggregate, and only supplier/nation (true dims)
+    * join after. */
+  def qWaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perOrder = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(countDistinct($"l_suppkey").as("ns"),
+        countDistinct(when($"l_returnflag" === "R", $"l_suppkey")).as("nl"),
+        max(when($"l_returnflag" === "R", $"l_suppkey")).as("late_supp"))
+      .filter($"ns" >= 2 && $"nl" === 1)
+    val waiting = perOrder
+      .join(Tables.orders(s, dir).filter($"o_orderstatus" === "F")
+        .select($"o_orderkey"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"late_supp").agg(count(lit(1)).as("numwait"))
+    waiting
+      .join(Tables.supplier(s, dir)
+        .select($"s_suppkey", $"s_name", $"s_nationkey"),
+        $"late_supp" === $"s_suppkey")
+      .join(broadcast(Tables.nation(s, dir)
+        .select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"n_name", $"s_name", $"numwait")
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(100)
+  }
+
+  /** Oracle twin: the identical one-aggregate collapse of both
+    * correlated subqueries (numwait DESC, s_name is a total order —
+    * s_name is unique — so the LIMIT is deterministic). */
+  val qWaitingSuppliersSql: String =
+    """WITH pero AS (SELECT l_orderkey,
+      |    COUNT(DISTINCT l_suppkey) AS ns,
+      |    COUNT(DISTINCT CASE WHEN l_returnflag='R' THEN l_suppkey END) AS nl,
+      |    MAX(CASE WHEN l_returnflag='R' THEN l_suppkey END) AS late_supp
+      |  FROM lineitem GROUP BY 1),
+      |w AS (SELECT late_supp, COUNT(*) AS numwait
+      |  FROM pero JOIN orders ON o_orderkey = l_orderkey
+      |  WHERE o_orderstatus = 'F' AND ns >= 2 AND nl = 1
+      |  GROUP BY 1)
+      |SELECT n_name, s_name, numwait
+      |FROM w
+      |JOIN supplier ON s_suppkey = late_supp
+      |JOIN nation ON n_nationkey = s_nationkey
+      |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
   // ---------------------------------------------------------------
   def q05(s: SparkSession, dir: String): DataFrame = {
@@ -1334,6 +1398,7 @@ object CoreOlap {
     "q05_regional_join" -> (q05 _),
     "q_having" -> (qHaving _),
     "q_large_orders" -> (qLargeOrders _),
+    "q_waiting_suppliers" -> (qWaitingSuppliers _),
     "q_window_topn" -> (qWindowTopn _),
     "q_window_running" -> (qWindowRunning _),
     "q_distinct_count" -> (qDistinctCount _),
@@ -1374,6 +1439,7 @@ object CoreOlap {
     "q05_regional_join" -> q05Sql,
     "q_having" -> qHavingSql,
     "q_large_orders" -> qLargeOrdersSql,
+    "q_waiting_suppliers" -> qWaitingSuppliersSql,
     "q_window_topn" -> qWindowTopnSql,
     "q_distinct_count" -> qDistinctCountSql,
     "q_percentiles" -> qPercentilesSql,

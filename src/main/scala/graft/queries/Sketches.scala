@@ -307,11 +307,14 @@ object Sketches {
   /** K-minimum-values SET-OPERATION sketch across sources (Bar-Yossef
     * et al. 2002; the Theta-sketch family's core) — the telemetry HLL
     * cannot provide: per-source bottom-k document-hash sketches
-    * compose into UNION and INTERSECTION distinct estimates per source
-    * pair (bottom-k(A ∪ B) ⊆ bottom-k(A) ∪ bottom-k(B), so merging
-    * sketches IS sketching the union), giving the cross-source
-    * content-overlap matrix — "how much of source A is also in B" —
-    * at k rows per source instead of a corpus-pair distinct.
+    * compose into UNION, INTERSECTION and both SET-DIFFERENCE
+    * distinct estimates per source pair (bottom-k(A ∪ B) ⊆
+    * bottom-k(A) ∪ bottom-k(B), so merging sketches IS sketching the
+    * union, and every union-bottom-k member is tagged by side — the
+    * full Theta set algebra), giving the cross-source content-overlap
+    * matrix — "how much of source A is also in B, and how much of
+    * each is unique" — at k rows per source instead of a corpus-pair
+    * distinct.
     *
     * Unlike the HLL entries (engine-specific registers, hash-checked
     * via exact twins + an in-bound flag), KMV is md5-deterministic
@@ -354,16 +357,32 @@ object Sketches {
       .groupBy($"src_a", $"src_b")
       .agg(count(lit(1)).as("k_used"), max($"h").as("kth_h"),
         sum(when($"in_a" === 1 && $"in_b" === 1, 1L).otherwise(0L))
-          .as("shared"))
+          .as("shared"),
+        // the set-DIFFERENCE tallies that complete the Theta-sketch
+        // algebra: union-bottom-k members seen in exactly one source
+        // (shared + only_a + only_b = k_used by construction)
+        sum(when($"in_a" === 1 && $"in_b" === 0, 1L).otherwise(0L))
+          .as("only_a"),
+        sum(when($"in_a" === 0 && $"in_b" === 1, 1L).otherwise(0L))
+          .as("only_b"))
       .withColumn("jacc_milli", expr("shared * 1000 DIV k_used"))
       .withColumn("est_union",
         when($"k_used" < KmvK, $"k_used".cast("double"))
           .otherwise(lit((KmvK - 1).toDouble) *
             lit(1152921504606846976.0) / $"kth_h".cast("double")))
+      // A∩B, A∖B, B∖A all scale the SAME union estimate by their
+      // exact-integer union-sketch fractions (one fixed IEEE chain
+      // each, mirrored in the oracle), so est_inter + est_diff_ab +
+      // est_diff_ba = est_union exactly up to the three roundings
       .withColumn("est_inter",
         $"shared".cast("double") / $"k_used".cast("double") * $"est_union")
+      .withColumn("est_diff_ab",
+        $"only_a".cast("double") / $"k_used".cast("double") * $"est_union")
+      .withColumn("est_diff_ba",
+        $"only_b".cast("double") / $"k_used".cast("double") * $"est_union")
       .select($"src_a", $"src_b", $"k_used", $"kth_h", $"shared",
-        $"jacc_milli", $"est_union", $"est_inter")
+        $"only_a", $"only_b", $"jacc_milli", $"est_union", $"est_inter",
+        $"est_diff_ab", $"est_diff_ba")
       .orderBy($"src_a", $"src_b")
   }
 
@@ -392,20 +411,28 @@ object Sketches {
        |agg AS (SELECT src_a, src_b, COUNT(*) AS k_used,
        |    MAX(h) AS kth_h,
        |    CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
-       |      AS BIGINT) AS shared
-       |  FROM r WHERE rn <= $KmvK GROUP BY 1, 2)
-       |SELECT src_a, src_b, k_used, kth_h, shared,
-       |  CAST(shared * 1000 // k_used AS BIGINT) AS jacc_milli,
-       |  CASE WHEN k_used < $KmvK THEN CAST(k_used AS DOUBLE)
-       |    ELSE CAST(${KmvK - 1} AS DOUBLE)
-       |      * CAST(1152921504606846976 AS DOUBLE)
-       |      / CAST(kth_h AS DOUBLE) END AS est_union,
-       |  CAST(shared AS DOUBLE) / CAST(k_used AS DOUBLE)
-       |    * (CASE WHEN k_used < $KmvK THEN CAST(k_used AS DOUBLE)
+       |      AS BIGINT) AS shared,
+       |    CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS only_a,
+       |    CAST(SUM(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS only_b
+       |  FROM r WHERE rn <= $KmvK GROUP BY 1, 2),
+       |est AS (SELECT *,
+       |    CASE WHEN k_used < $KmvK THEN CAST(k_used AS DOUBLE)
        |      ELSE CAST(${KmvK - 1} AS DOUBLE)
        |        * CAST(1152921504606846976 AS DOUBLE)
-       |        / CAST(kth_h AS DOUBLE) END) AS est_inter
-       |FROM agg ORDER BY src_a, src_b""".stripMargin
+       |        / CAST(kth_h AS DOUBLE) END AS est_union
+       |  FROM agg)
+       |SELECT src_a, src_b, k_used, kth_h, shared, only_a, only_b,
+       |  CAST(shared * 1000 // k_used AS BIGINT) AS jacc_milli,
+       |  est_union,
+       |  CAST(shared AS DOUBLE) / CAST(k_used AS DOUBLE) * est_union
+       |    AS est_inter,
+       |  CAST(only_a AS DOUBLE) / CAST(k_used AS DOUBLE) * est_union
+       |    AS est_diff_ab,
+       |  CAST(only_b AS DOUBLE) / CAST(k_used AS DOUBLE) * est_union
+       |    AS est_diff_ba
+       |FROM est ORDER BY src_a, src_b""".stripMargin
 
   // ---------------------------------------------------------------
   /** Hash functions per Bloom probe: four disjoint 4-hex-char slices

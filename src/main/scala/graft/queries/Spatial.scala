@@ -567,19 +567,29 @@ object Spatial {
     * the discarded same/backward-night candidates are a bounded ≤3×
     * of the kept ones). The distinct counts run on the tracklet
     * sliver, the zero-fill on a |nights|-row literal. */
+  /** The pinned TRANSIENT set (k, ra, decl) — the unmatched sliver
+    * every tracklet query greps for movers in. Pinned because its
+    * consumers read it as BOTH probe and build side of a grid pass
+    * (two independent subplans — unpinned, the whole anti-join grid
+    * pass runs twice, Explain-confirmed); the frame is far smaller
+    * than the detection table. ONE copy shared by [[trackletPairs]]
+    * and the sampled mid grid ([[sampledMidCandidates]]), so the
+    * transient definition can never drift between the full and
+    * sampled motion readouts. */
+  private[graft] def transientFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    detections(s, dir)
+      .join(matchedDetKeys(s, dir), Seq("det_k"), "left_anti")
+      .select($"det_k".as("k"), $"ra", $"decl")
+      .localCheckpoint()
+  }
+
   /** The tracklet PAIR stream (night_from, k1, k2, dist_r6) —
     * factored so [[qTrackChains]] can self-join it on the shared
     * middle detection. */
   private[graft] def trackletPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // pin the transient set: the pair grid reads it as BOTH probe and
-    // build side (two independent subplans — unpinned, the whole
-    // anti-join grid pass runs twice, Explain-confirmed); the frame
-    // is the unmatched sliver, far smaller than the detection table
-    val tr = detections(s, dir)
-      .join(matchedDetKeys(s, dir), Seq("det_k"), "left_anti")
-      .select($"det_k".as("k"), $"ra", $"decl")
-      .localCheckpoint()
+    val tr = transientFrame(s, dir)
     gridCandidates(tr, tr, TrackRateDeg)
       .withColumn("night_from", pmod($"k1", lit(AssocBatches)).cast("long"))
       .filter(pmod($"k2", lit(AssocBatches)).cast("long") ===
@@ -760,19 +770,18 @@ object Spatial {
   /** Fit body over any tracklet-pair frame (night_from, k1, k2,
     * dist_r6) and coordinate table (det_k, ra, decl) — factored so
     * the spec can drive a planted constant-rate mover (and a
-    * rate-drifting interloper) through the real plan.
-    * `midSampleHexLt` composes the deterministic md5 MID-key sample
-    * (the [[TpcSampleHex]] idiom): the predicate sits on the chain
-    * join's KEY, so Catalyst pushes it below the join into BOTH pair
-    * streams — the sampled plan never materializes an unsampled
-    * chain (spec-pinned). */
-  private[graft] def trackMotionOver(p: DataFrame, dets: DataFrame,
-    midSampleHexLt: Option[String] = None): DataFrame = {
-    val s = p.sparkSession
+    * rate-drifting interloper) through the real plan. */
+  private[graft] def trackMotionOver(p: DataFrame, dets: DataFrame): DataFrame =
+    motionFitOver(chainFrame(p), dets)
+
+  /** The per-track FIT over any chain frame (k1, mid, k3, dr_u6) —
+    * the rate gate, the 3-member melt, the single-scan coordinate
+    * lookup and the closed-form integer pivot, shared verbatim by
+    * the full ([[qTrackMotion]]) and sampled ([[qTrackMotionSampled]])
+    * readouts so the fit arithmetic can never diverge between them. */
+  private[graft] def motionFitOver(chains: DataFrame, dets: DataFrame): DataFrame = {
+    val s = chains.sparkSession
     import s.implicits._
-    val all = chainFrame(p)
-    val chains = midSampleHexLt.fold(all)(h =>
-      all.filter(substring(md5($"mid".cast("string")), 1, 1) < lit(h)))
     val tracks = chains.filter($"dr_u6" <= TrackChainTolU6)
     // melt the three members, look their coordinates up in ONE scan
     val mem = tracks.select($"k1", $"mid", $"k3", $"dr_u6",
@@ -801,21 +810,72 @@ object Spatial {
       .orderBy($"k1", $"mid", $"k3")
   }
 
+  /** The sampled-mid CANDIDATE stream: ONE [[gridCandidates]] pass
+    * with the md5-sampled mids PROBING the full transient set — the
+    * sample predicate is applied to the probe INPUT, i.e. it sits
+    * below the grid join (and below the probe-side cell explode) by
+    * construction, so the tracklet search itself is pruned to the
+    * sampled mids, not just the chain join above it. Distance is
+    * symmetric, so the one directed (mid, x) pass carries BOTH legs
+    * of every chain through the sampled mid: `nx = nm − 1` rows are
+    * the INCOMING tracklets (x → mid, emitted swapped by
+    * [[sampledChainFrame]]) and `nx = nm + 1` rows the OUTGOING
+    * (mid → x) — each |Δnight| ≠ 1 candidate is discarded here,
+    * before any checkpoint. The haversine tree is exactly symmetric
+    * under endpoint swap (Δ-negation and the squared sin are sign-
+    * exact, the cos product commutes — spec-pinned bit-for-bit
+    * against the canonical orientation over the corpus), so the
+    * swapped leg-1 distances hash identically to [[trackletPairs]]'. */
+  private[graft] def sampledMidCandidates(tr: DataFrame, hexLt: String): DataFrame = {
+    val s = tr.sparkSession
+    import s.implicits._
+    val trMid = tr.filter(
+      substring(md5($"k".cast("string")), 1, 1) < lit(hexLt))
+    gridCandidates(trMid, tr, TrackRateDeg)
+      .withColumn("nm", pmod($"k1", lit(AssocBatches)).cast("long"))
+      .withColumn("nx", pmod($"k2", lit(AssocBatches)).cast("long"))
+      .filter($"nx" === $"nm" - 1 || $"nx" === $"nm" + 1)
+      .select($"k1".as("mid"), $"k2".as("x"), $"dist_r6", $"nm", $"nx")
+  }
+
+  /** Chains through the sampled mids, from the mid-centric candidate
+    * stream: the incoming legs (swapped back to canonical k1 → mid
+    * orientation) equi-join the outgoing legs on the mid — exactly
+    * the chains [[chainFrame]] would emit whose mid passes the md5
+    * sample, with the identical exact ×10⁶ drift. */
+  private[graft] def sampledChainFrame(cand: DataFrame): DataFrame = {
+    val s = cand.sparkSession
+    import s.implicits._
+    val leg1 = cand.filter($"nx" === $"nm" - 1)
+      .select($"x".as("k1"), $"mid", $"dist_r6".as("r1"))
+    val leg2 = cand.filter($"nx" === $"nm" + 1)
+      .select($"mid", $"x".as("k3"), $"dist_r6".as("r2"))
+    leg1.join(leg2, Seq("mid"))
+      .withColumn("dr_u6", abs(round($"r1" * 1000000).cast("long") -
+        round($"r2" * 1000000).cast("long")))
+      .select($"k1", $"mid", $"k3", $"dr_u6")
+  }
+
   /** The 100-TB scale path of the motion readout: the synthetic
     * corpus links far more "movers" than a real sky (random
-    * transients at the 2°/night density), so the per-track
-    * materialization dominates the suite at sf0.1 — the registered
-    * slice bounds it with the deterministic 25% md5 sample ON THE
-    * MIDDLE KEY ([[TpcSampleHex]], the q_two_point_sampled
-    * discipline), composed upstream by predicate pushdown: the
-    * sample sits on the chain join's key, so both pair streams
-    * shrink BEFORE the join and no unsampled chain is ever
-    * materialized. Exact on its slice — the spec reconciles it
-    * row-for-row against the full readout filtered by the same
-    * predicate. */
+    * transients at the 2°/night density), so the registered slice
+    * bounds the pipeline with the deterministic 25% md5 sample ON
+    * THE MIDDLE KEY ([[TpcSampleHex]], the q_two_point_sampled
+    * discipline) — and the sample now bounds the DOMINANT cost, the
+    * tracklet pair search itself, not just the chain join: the grid
+    * pass probes with the sampled mids only ([[sampledMidCandidates]]
+    * — the md5 filter sits below the grid join, spec-pinned in the
+    * executed plan), so the pair materialization, the checkpoint and
+    * every stage above all scale with the sample. Exact on its
+    * slice — the spec reconciles it row-for-row against the full
+    * readout filtered by the same predicate, and the oracle is the
+    * full readout's with the mid predicate spliced. */
   def qTrackMotionSampled(s: SparkSession, dir: String): DataFrame =
-    trackMotionOver(trackletPairs(s, dir).localCheckpoint(true),
-      detections(s, dir), Some(TpcSampleHex))
+    motionFitOver(
+      sampledChainFrame(
+        sampledMidCandidates(transientFrame(s, dir), TpcSampleHex)
+          .localCheckpoint(true)),
+      detections(s, dir))
 
   /** Oracle twin: [[trackChainCtes]] (one copy) + the rate gate, the
     * coordinate lookup as three aliased equi-joins (relational form

@@ -2794,6 +2794,153 @@ object TimeSeries {
       |FROM f ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Fixed-point annual-parallax factor table: sin of the day-of-year
+    * phase 2π·d/365, scaled ×10⁴ and rounded ONCE in Scala, then
+    * spliced as literals into both engines (the [[LsCosTab]]
+    * discipline — a lookup, not a libm call; the simplified scalar
+    * parallax factor, one component of the published (F_ra, F_dec)
+    * pair, whose second component would be one more table). */
+  private[graft] val PlxScale = 10000L
+  private[graft] val PlxSinTab: Seq[Long] = (0 until 365).map(d =>
+    math.round(math.sin(2.0 * math.Pi * d / 365.0) * PlxScale))
+
+  /** Annual-parallax astrometric fit — the Object-table column beside
+    * [[qProperMotion]]'s muRa/muDecl (LSST's Object schema carries
+    * parallax fitted jointly with proper motion from the per-epoch
+    * positions): per object, the THREE-parameter least squares
+    * x ≈ a + b·t + p·f(t) where t is days since the object's first
+    * epoch and f the [[PlxSinTab]] annual sinusoid at the epoch's
+    * day-of-year — the design matrix the astrometric pipeline solves,
+    * with the same derive-from-keys offset convention as the
+    * proper-motion entry extended by a planted per-object parallax
+    * term (amplitude `user_id % 13 − 6` in table-scale units, so the
+    * fit has real signal to recover — the spec proves EXACT recovery
+    * on a noise-free planted fixture).
+    *
+    * Determinism discipline: all NINE sufficient statistics are exact
+    * int64 sums (largest |Σf·x| < 10¹³ at the corpus magnitudes); the
+    * 3×3 normal equations solve by Cramer expansion as ONE fixed IEEE
+    * chain over the double-cast exact sums (products like stt·sff
+    * overflow int64, so the chain starts at the casts — single-
+    * rounding on both engines, identical tree, hash-exact; the
+    * [[lsPowerFrameBy]] num_d/den_d discipline). Degenerate systems
+    * (n ≤ 3 or a zero determinant) carry nulls.
+    *
+    * Scale shape: the per-object epoch rebase (window min) and the
+    * sufficient-statistic aggregate share the user_id shuffle — one
+    * exchange total, map-side combinable, no join, nothing driver-
+    * side; the Cramer chain runs per-row on the |objects| reduced
+    * frame. */
+  def qParallax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = series(s, dir)
+      .withColumn("tday",
+        expr("(tus - min(tus) OVER (PARTITION BY user_id)) DIV 86400000000"))
+      .withColumn("doy",
+        expr("(tus DIV 86400000000) % 365").cast("int"))
+      .withColumn("f", element_at(typedLit(PlxSinTab), $"doy" + 1))
+      .withColumn("x",
+        ($"user_id" % 21 - 10) * $"tday" * lit(10000L) +
+          ($"user_id" % 13 - 6) * $"f" +
+          ($"event_id" % 7 - 3) * lit(100L))
+      .select($"user_id", $"tday", $"f", $"x")
+    parallaxFitOver(base)
+  }
+
+  /** Fit body over any (user_id, tday, f, x) exact-integer design
+    * frame — factored so the spec can plant a noise-free
+    * a + b·t + p·f series through the real plan and assert EXACT
+    * parameter recovery (det multilinearity: det_p = p·det_m when x
+    * is an exact linear combination, and small planted values keep
+    * every double product exact). */
+  private[graft] def parallaxFitOver(o: DataFrame): DataFrame = {
+    val s = o.sparkSession
+    import s.implicits._
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    o.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"tday").as("st"), sum($"f").as("sf"),
+        sum($"tday" * $"tday").as("stt"),
+        sum($"tday" * $"f").as("stf"),
+        sum($"f" * $"f").as("sff"),
+        sum($"x").as("sx"),
+        sum($"tday" * $"x").as("stx"),
+        sum($"f" * $"x").as("sfx"))
+      .withColumn("det_m",
+        d($"n") * (d($"stt") * d($"sff") - d($"stf") * d($"stf")) -
+          d($"st") * (d($"st") * d($"sff") - d($"stf") * d($"sf")) +
+          d($"sf") * (d($"st") * d($"stf") - d($"stt") * d($"sf")))
+      .withColumn("det_b",
+        d($"n") * (d($"stx") * d($"sff") - d($"stf") * d($"sfx")) -
+          d($"sx") * (d($"st") * d($"sff") - d($"stf") * d($"sf")) +
+          d($"sf") * (d($"st") * d($"sfx") - d($"stx") * d($"sf")))
+      .withColumn("det_p",
+        d($"n") * (d($"stt") * d($"sfx") - d($"stx") * d($"stf")) -
+          d($"st") * (d($"st") * d($"sfx") - d($"stx") * d($"sf")) +
+          d($"sx") * (d($"st") * d($"stf") - d($"stt") * d($"sf")))
+      .withColumn("pm_fit",
+        when($"n" > 3 && $"det_m" =!= 0.0, $"det_b" / $"det_m"))
+      .withColumn("plx_fit",
+        when($"n" > 3 && $"det_m" =!= 0.0, $"det_p" / $"det_m"))
+      .select($"user_id", $"n", $"sx", $"stx", $"sfx",
+        $"det_m", $"pm_fit", $"plx_fit")
+      .orderBy($"user_id")
+  }
+
+  /** Oracle twin: the spliced sinusoid table (zipped unnest), the
+    * identical exact sums and the identical Cramer chain. */
+  val qParallaxSql: String =
+    s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+       |  FROM events),
+       |b AS (SELECT user_id, event_id, tus,
+       |    (tus - MIN(tus) OVER (PARTITION BY user_id)) // 86400000000
+       |      AS tday,
+       |    CAST((tus // 86400000000) % 365 AS BIGINT) AS doy
+       |  FROM ev),
+       |ptrig AS (SELECT unnest(range(365)) AS doy,
+       |    unnest([${PlxSinTab.mkString(", ")}]) AS f),
+       |o AS (SELECT user_id, tday, f,
+       |    (user_id % 21 - 10)*tday*10000 + (user_id % 13 - 6)*f
+       |      + (event_id % 7 - 3)*100 AS x
+       |  FROM b JOIN ptrig USING (doy)),
+       |a AS (SELECT user_id, COUNT(*) AS n,
+       |    CAST(SUM(tday) AS BIGINT) AS st,
+       |    CAST(SUM(f) AS BIGINT) AS sf,
+       |    CAST(SUM(tday*tday) AS BIGINT) AS stt,
+       |    CAST(SUM(tday*f) AS BIGINT) AS stf,
+       |    CAST(SUM(f*f) AS BIGINT) AS sff,
+       |    CAST(SUM(x) AS BIGINT) AS sx,
+       |    CAST(SUM(tday*x) AS BIGINT) AS stx,
+       |    CAST(SUM(f*x) AS BIGINT) AS sfx
+       |  FROM o GROUP BY 1),
+       |dt AS (SELECT *,
+       |    CAST(n AS DOUBLE)*(CAST(stt AS DOUBLE)*CAST(sff AS DOUBLE)
+       |        - CAST(stf AS DOUBLE)*CAST(stf AS DOUBLE))
+       |      - CAST(st AS DOUBLE)*(CAST(st AS DOUBLE)*CAST(sff AS DOUBLE)
+       |        - CAST(stf AS DOUBLE)*CAST(sf AS DOUBLE))
+       |      + CAST(sf AS DOUBLE)*(CAST(st AS DOUBLE)*CAST(stf AS DOUBLE)
+       |        - CAST(stt AS DOUBLE)*CAST(sf AS DOUBLE)) AS det_m,
+       |    CAST(n AS DOUBLE)*(CAST(stx AS DOUBLE)*CAST(sff AS DOUBLE)
+       |        - CAST(stf AS DOUBLE)*CAST(sfx AS DOUBLE))
+       |      - CAST(sx AS DOUBLE)*(CAST(st AS DOUBLE)*CAST(sff AS DOUBLE)
+       |        - CAST(stf AS DOUBLE)*CAST(sf AS DOUBLE))
+       |      + CAST(sf AS DOUBLE)*(CAST(st AS DOUBLE)*CAST(sfx AS DOUBLE)
+       |        - CAST(stx AS DOUBLE)*CAST(sf AS DOUBLE)) AS det_b,
+       |    CAST(n AS DOUBLE)*(CAST(stt AS DOUBLE)*CAST(sfx AS DOUBLE)
+       |        - CAST(stx AS DOUBLE)*CAST(stf AS DOUBLE))
+       |      - CAST(st AS DOUBLE)*(CAST(st AS DOUBLE)*CAST(sfx AS DOUBLE)
+       |        - CAST(stx AS DOUBLE)*CAST(sf AS DOUBLE))
+       |      + CAST(sx AS DOUBLE)*(CAST(st AS DOUBLE)*CAST(stf AS DOUBLE)
+       |        - CAST(stt AS DOUBLE)*CAST(sf AS DOUBLE)) AS det_p
+       |  FROM a)
+       |SELECT user_id, n, sx, stx, sfx, det_m,
+       |  CASE WHEN n > 3 AND det_m <> CAST(0.0 AS DOUBLE)
+       |    THEN det_b / det_m END AS pm_fit,
+       |  CASE WHEN n > 3 AND det_m <> CAST(0.0 AS DOUBLE)
+       |    THEN det_p / det_m END AS plx_fit
+       |FROM dt ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Stetson J and K variability indices per (object, band) —
     * Stetson 1996 (PASP 108, 851), the classic robust-variability
     * statistic of every time-domain survey pipeline (and of the
@@ -4075,6 +4222,7 @@ object TimeSeries {
     "q_structure_function" -> (qStructureFunction _),
     "q_visit_calib" -> (qVisitCalib _),
     "q_proper_motion" -> (qProperMotion _),
+    "q_parallax" -> (qParallax _),
     "q_mad" -> (qMad _),
     "q_crossband_corr" -> (qCrossbandCorr _),
     "q_value_drift" -> (qValueDrift _),
@@ -4138,6 +4286,7 @@ object TimeSeries {
     "q_structure_function" -> qStructureFunctionSql,
     "q_visit_calib" -> qVisitCalibSql,
     "q_proper_motion" -> qProperMotionSql,
+    "q_parallax" -> qParallaxSql,
     "q_mad" -> qMadSql,
     "q_crossband_corr" -> qCrossbandCorrSql,
     "q_value_drift" -> qValueDriftSql,

@@ -341,4 +341,42 @@ class CoreOlapSpec extends AnyFunSuite {
     assert(exp.nonEmpty && exp.size < qty.size,
       s"threshold does not bind: ${exp.size}/${qty.size}")
   }
+
+  test("q_waiting_suppliers equals the LITERAL correlated EXISTS/NOT-EXISTS form; gates bind") {
+    // the query collapses Q21's two correlated subqueries into one
+    // order-key aggregate — this recompute applies them literally,
+    // lineitem by lineitem, so the collapse itself is what's proven
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val status = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderstatus").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byOrder = li.groupBy(_._1)
+    val waits = (for {
+      (ok, rows) <- byOrder.toSeq if status(ok) == "F"
+      (_, s1, rf) <- rows if rf == "R"
+      if rows.exists(l2 => l2._2 != s1) // EXISTS other supplier
+      if !rows.exists(l3 => l3._2 != s1 && l3._3 == "R") // NOT EXISTS other late
+    } yield (s1, ok)).distinct
+    val numwait = waits.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_suppkey", "s_name", "s_nationkey").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val nat = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val exp = numwait.toSeq.map { case (sk, nw) =>
+      val (sn, nk) = supp(sk); (nat(nk), sn, nw)
+    }.sortBy(t => (-t._3, t._2)).take(100)
+    val got = queries.CoreOlap.qWaitingSuppliers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == exp, s"got ${got.take(3)}\n exp ${exp.take(3)}")
+    // every gate binds: some orders are F-and-multi-supplier-and-one-
+    // late, and others fail each leg of the predicate
+    assert(exp.nonEmpty, "no waiting suppliers at sf0.001")
+    val fOrders = byOrder.keySet.filter(ok => status(ok) == "F")
+    assert(waits.map(_._2).toSet.size < fOrders.size,
+      "the EXISTS/NOT-EXISTS gates do not bind")
+  }
 }

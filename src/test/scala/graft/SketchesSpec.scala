@@ -152,6 +152,29 @@ class SketchesSpec extends AnyFunSuite {
       assert(r.getAs[Double]("est_union") == estU, s"($a,$b) est_union")
       assert(r.getAs[Double]("est_inter") ==
         shared.toDouble / kUsed.toDouble * estU)
+      // the set-difference algebra (Theta completeness): the
+      // side-exclusive tallies partition the union sketch exactly,
+      // and each difference estimate is the same fixed chain
+      val onlyA = merged.count(h => ska.contains(h) && !skb.contains(h)).toLong
+      val onlyB = merged.count(h => !ska.contains(h) && skb.contains(h)).toLong
+      assert(r.getAs[Long]("only_a") == onlyA, s"($a,$b) only_a")
+      assert(r.getAs[Long]("only_b") == onlyB, s"($a,$b) only_b")
+      assert(onlyA + onlyB + shared == kUsed,
+        s"($a,$b) union sketch not partitioned by side tags")
+      assert(r.getAs[Double]("est_diff_ab") ==
+        onlyA.toDouble / kUsed.toDouble * estU, s"($a,$b) est_diff_ab")
+      assert(r.getAs[Double]("est_diff_ba") ==
+        onlyB.toDouble / kUsed.toDouble * estU, s"($a,$b) est_diff_ba")
+      // each difference estimate must land within the same 4-sigma
+      // band of its exact set difference as the union estimator
+      val exDiffA = (hs(a) -- hs(b)).size.toDouble
+      val exDiffB = (hs(b) -- hs(a)).size.toDouble
+      val exUnion = (hs(a) ++ hs(b)).size.toDouble
+      val band = 5.0 / math.sqrt(k.toDouble) * exUnion
+      assert(math.abs(r.getAs[Double]("est_diff_ab") - exDiffA) <= band,
+        s"($a,$b) est_diff_ab vs exact $exDiffA")
+      assert(math.abs(r.getAs[Double]("est_diff_ba") - exDiffB) <= band,
+        s"($a,$b) est_diff_ba vs exact $exDiffB")
       // the estimator must land within 5/sqrt(k) of the exact union
       // (~4 sigma: deterministic md5 makes this a fixed, replayable check)
       val exact = (hs(a) ++ hs(b)).size.toDouble

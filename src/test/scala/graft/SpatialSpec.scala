@@ -987,7 +987,7 @@ class SpatialSpec extends AnyFunSuite {
       "motion drift sum != census drift sum")
   }
 
-  test("q_track_motion_sampled is the full readout on the md5 mid slice, with the sample pushed below the chain join") {
+  test("q_track_motion_sampled is the full readout on the md5 mid slice, with the sample below the GRID join") {
     import org.apache.spark.sql.functions._
     val q = queries.Spatial
     def keyed(rows: Array[org.apache.spark.sql.Row]) =
@@ -1005,12 +1005,55 @@ class SpatialSpec extends AnyFunSuite {
     assert(got.nonEmpty, "25% slice empty at sf0.001")
     assert(got.size < keyed(queries.Spatial.qTrackMotion(spark, sf)
       .collect()).size, "sample did not shrink the readout")
-    // the scale claim: the md5 predicate is PUSHED below the chain
-    // join into both pair streams — the sampled plan never
-    // materializes an unsampled chain
-    val plan = sampled.queryExecution.executedPlan.toString
-    assert(plan.sliding(3).count(_ == "md5") >= 2,
-      s"mid sample not pushed into both join sides:\n$plan")
+    // the haversine symmetry claim behind the mid-centric grid pass:
+    // the sampled stream's SWAPPED leg-1 distances (computed mid→x)
+    // are bit-identical to the canonical x→mid pair stream's over the
+    // whole corpus, and leg-2 matches the canonical mid→x pairs —
+    // i.e. the one directed pass reproduces trackletPairs exactly on
+    // the sampled-mid slice, both roles
+    val tr = q.transientFrame(spark, sf)
+    val cand = q.sampledMidCandidates(tr, q.TpcSampleHex)
+    val leg1 = cand.filter(col("nx") === col("nm") - 1)
+      .select(col("x"), col("mid"), col("dist_r6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val leg2 = cand.filter(col("nx") === col("nm") + 1)
+      .select(col("mid"), col("x"), col("dist_r6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pairs = q.trackletPairs(spark, sf)
+      .select(col("k1"), col("k2"), col("dist_r6")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def hexOk(k: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(k.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.head < q.TpcSampleHex.head
+    assert(leg1 == pairs.filter(p => hexOk(p._2)).toSet,
+      "incoming legs != canonical pairs into sampled mids (bitwise)")
+    assert(leg2 == pairs.filter(p => hexOk(p._1)).toSet,
+      "outgoing legs != canonical pairs out of sampled mids (bitwise)")
+    // the scale claim: the md5 sample sits BELOW the grid join — on
+    // the probe input, under the probe-side cell explode — so the
+    // tracklet search itself is pruned, not just the chain join.
+    // Tree printout order pins it: parent before child, so the grid
+    // join line precedes the Generate (explode) which precedes the
+    // md5 filter; exactly ONE md5 filter exists (paid once, probe
+    // side — never re-applied above the join)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val cand2 = q.sampledMidCandidates(tr, q.TpcSampleHex)
+      cand2.collect()
+      val plan = cand2.queryExecution.executedPlan.toString
+      val iJoin = plan.linesIterator.zipWithIndex.collectFirst {
+        case (l, i) if l.contains("Join") && l.contains("z2") => i
+      }.getOrElse(-1)
+      val lines = plan.linesIterator.toVector
+      val iGen = lines.indexWhere(l => l.contains("Generate") && l.contains("zp"))
+      val iMd5 = lines.indexWhere(_.contains("md5"))
+      assert(plan.sliding(3).count(_ == "md5") == 1,
+        s"expected exactly one md5 filter in the sampled grid plan:\n$plan")
+      assert(iJoin >= 0 && iGen > iJoin && iMd5 > iGen,
+        s"md5 sample not below the grid join + probe explode " +
+          s"(join@$iJoin, explode@$iGen, md5@$iMd5):\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("dense-field chain join: the AQE skew split engages on a planted crowded middle key") {
