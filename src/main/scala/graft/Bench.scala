@@ -95,6 +95,11 @@ object Bench {
     // regresses toward q_lightcurve_band's time if the store stops
     // answering from its fold
     "q_lightcurve_band_stored",
+    // r18: the LSM's per-batch arrival telemetry — one partials-store
+    // scan into a 5-row zero-filled aggregate; regresses if the read
+    // stops riding the compaction-bounded store (build amortizes with
+    // q_lightcurve_band_stored)
+    "q_lc_stream_batches",
     // round-11 wave-2: the structure function — the per-object pair
     // stream (cadence-bounded quadratic) into lag-binned cells;
     // regresses silently if the pair join stops being per-object
@@ -242,6 +247,11 @@ object Bench {
     // the window structs, same single wide aggregate; a blowup means
     // the antiphase readout became a join or second pass
     "q_secondary_eclipse",
+    // r18: the injection-recovery completeness census — the same one
+    // wide BLS aggregate over a bounded ~5.25x augmented series;
+    // regresses if the injection explode stops combining map-side or
+    // the census grows a second corpus pass
+    "q_transit_recovery",
     // Lafler-Kinman — the lag window must SHARE the (object, period)
     // shuffle with the sums aggregate; regresses if a second
     // exchange appears between them

@@ -1491,11 +1491,19 @@ object TimeSeries {
     * with an extra window-eligibility predicate — [[qBlsSql]] uses it
     * unrestricted, [[qTransitCandidatesSql]] with the dip restriction
     * `AND d < 0` (mirroring `blsOver(dipOnly = true)`). */
-  private def blsCtesFor(dipPred: String): String = {
+  private def blsCtesFor(dipPred: String): String =
+    blsCtesOver(dipPred,
+      """SELECT user_id, epoch_us(ts) AS tus,
+        |    CAST(ROUND(value*100) AS BIGINT) AS xc
+        |  FROM events WHERE user_id IS NOT NULL""".stripMargin)
+
+  /** [[blsCtesFor]] generalized to an arbitrary `ev` source text —
+    * the hook [[qTransitRecoverySql]] uses to run the IDENTICAL BLS
+    * chain over the injection-augmented series (the planted-fixture
+    * discipline promoted to a registered query). */
+  private def blsCtesOver(dipPred: String, evSql: String): String = {
     val grid = PeriodGridUs.mkString(", ")
-    s"""ev AS (SELECT user_id, epoch_us(ts) AS tus,
-       |    CAST(ROUND(value*100) AS BIGINT) AS xc
-       |  FROM events WHERE user_id IS NOT NULL),
+    s"""ev AS ($evSql),
        |grid AS (SELECT unnest([$grid]) AS p_us),
        |ph AS (SELECT user_id, p_us, xc,
        |    CAST(((tus % p_us) * $BlsBins) // p_us AS BIGINT) AS b
@@ -1700,6 +1708,149 @@ object TimeSeries {
        |  COALESCE(CAST(sec_depth_c100 / depth_c100
        |    >= CAST($EbRatioMin AS DOUBLE) AS INT), 0) AS eb_candidate
        |FROM dp ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Injection grid of the transit completeness census: box depths in
+    * c100 flux units × cadence keep-octiles (events kept where
+    * `event_id % 8 < keep` — 100% / 75% / 50% of the cadence).
+    * Chosen so the grid BRACKETS the gate at the corpus magnitudes
+    * (per-object σ ≈ 3 400–6 000 c100, 51–88 epochs at sf0.001): the
+    * shallow depth adds ~nothing over the intrinsic 5/15 baseline,
+    * the deep one dominates any object's variance; the 75% cadence
+    * straddles the [[TransitMinEpochs]] floor object-by-object and
+    * the 50% cadence falls below it for every object — a full
+    * recovered→lost completeness surface, not a flat table. */
+  private[graft] val TransitInjDepths: Seq[Long] = Seq(1500L, 4000L, 12000L)
+  private[graft] val TransitInjKeeps: Seq[Long] = Seq(8L, 6L, 4L)
+
+  /** (cell id, depth, keep) rows of the injection grid — cell id is
+    * the composite-key slot, depth-major. */
+  private[graft] val transitInjCells: Seq[(Long, Long, Long)] =
+    for {
+      (dp, di) <- TransitInjDepths.zipWithIndex
+      (kp, ki) <- TransitInjKeeps.zipWithIndex
+    } yield ((di * TransitInjKeeps.size + ki).toLong, dp, kp)
+
+  /** Injection-recovery completeness of the transit gate — the
+    * published deployment artifact of every transit survey (Kepler/
+    * TESS occurrence-rate pipelines quote detection efficiency from
+    * exactly this census), and the eval-telemetry entry the BLS
+    * family still lacked: deterministic box dips are injected IN-PLAN
+    * into every real light curve over the
+    * [[TransitInjDepths]] × [[TransitInjThins]] grid (per object the
+    * injected period/phase/width derive from its key — period
+    * `PeriodGridUs[id % 16]`, start bin `id % 16`, width
+    * `1 + id % 3` — so the injections sweep the whole search grid),
+    * the AUGMENTED series runs through the REAL
+    * [[transitCandidatesOver]] gate via a composite (object, cell)
+    * key, and each cell reports recovery permille plus the stricter
+    * exact-period recovery (best period == injected period). All
+    * tallies and permilles are exact integers; injection arithmetic
+    * is the same integer phase-bin formula as the search itself.
+    *
+    * Scale shape: ONE corpus pass builds the augmented series (a
+    * bounded ×Σ(keep/8)·|depths| = ×6.75 explode, map-side), the gate
+    * is [[qBls]]'s one wide combinable aggregate over it (the
+    * composite key multiplies the REDUCED frame, not the shuffle
+    * count), the injected census is a |keeps|-explode distinct on the
+    * raw series, and the tallies/zero-fill run on the 9-row cell
+    * literal. */
+  def qTransitRecovery(s: SparkSession, dir: String): DataFrame =
+    transitRecoveryOver(series(s, dir))
+
+  /** Census body over any (user_id, event_id, tus, xc) series frame —
+    * factored so the spec can drive a constant-flux fixture (whose
+    * recovery must be total at any real depth) through the real
+    * plan. */
+  private[graft] def transitRecoveryOver(ser: DataFrame): DataFrame = {
+    val s = ser.sparkSession
+    import s.implicits._
+    val nc = transitInjCells.size.toLong
+    val nb = BlsBins
+    val aug = ser
+      .filter($"user_id".isNotNull)
+      .withColumn("c", explode(typedLit(transitInjCells)))
+      .filter($"event_id" % 8 < $"c._3")
+      .withColumn("p_inj",
+        element_at(typedLit(PeriodGridUs), ($"user_id" % 16).cast("int") + 1))
+      .withColumn("b_inj", expr(s"((tus % p_inj) * $nb) DIV p_inj"))
+      .withColumn("hit",
+        ($"b_inj" - $"user_id" % nb + nb) % nb < lit(1L) + $"user_id" % BlsMaxW)
+      .select(($"user_id" * nc + $"c._1").as("user_id"), $"tus",
+        ($"xc" - when($"hit", $"c._2").otherwise(0L)).as("xc"))
+    val gated = transitCandidatesOver(aug)
+      .withColumn("cell", $"user_id" % nc)
+      .withColumn("orig", expr(s"user_id DIV $nc"))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_gated"),
+        sum(when($"best_p_us" === element_at(typedLit(PeriodGridUs),
+          ($"orig" % 16).cast("int") + 1), 1L).otherwise(0L)).as("n_exact"))
+    val inj = ser.filter($"user_id".isNotNull)
+      .withColumn("keep_oct", explode(typedLit(TransitInjKeeps)))
+      .filter($"event_id" % 8 < $"keep_oct")
+      .groupBy($"keep_oct").agg(countDistinct($"user_id").as("n_injected"))
+    transitInjCells.toDF("cell", "depth_c100", "keep_oct")
+      .join(inj, Seq("keep_oct"))
+      .join(gated, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_gated", "n_exact"))
+      .select($"depth_c100", $"keep_oct", $"n_injected", $"n_gated",
+        $"n_exact",
+        expr("1000 * n_gated DIV n_injected").as("rec_permille"),
+        expr("1000 * n_exact DIV n_injected").as("exact_permille"))
+      .orderBy($"depth_c100", $"keep_oct")
+  }
+
+  /** Oracle twin: the injection-augmented series spliced as
+    * [[blsCtesOver]]'s `ev` source (ONE copy of the whole BLS chain,
+    * dip-restricted exactly as the gate), the same three gate
+    * thresholds, then the cell decode / zero-filled tallies. */
+  val qTransitRecoverySql: String = {
+    val nc = transitInjCells.size
+    val grid = PeriodGridUs.mkString(", ")
+    val cellL = transitInjCells.map(_._1).mkString(", ")
+    val depL = transitInjCells.map(_._2).mkString(", ")
+    val thinL = transitInjCells.map(_._3).mkString(", ")
+    val augEv =
+      s"""SELECT b.user_id * $nc + c.cell AS user_id, b.tus,
+         |    b.xc - CASE WHEN
+         |      ((((b.tus % p_inj) * $BlsBins) // p_inj
+         |         - (b.user_id % $BlsBins) + $BlsBins) % $BlsBins)
+         |        < (1 + b.user_id % $BlsMaxW)
+         |      THEN c.dep ELSE 0 END AS xc
+         |  FROM (SELECT user_id, event_id, epoch_us(ts) AS tus,
+         |      CAST(ROUND(value*100) AS BIGINT) AS xc,
+         |      list_extract([$grid],
+         |        CAST(user_id % 16 AS INT) + 1) AS p_inj
+         |    FROM events WHERE user_id IS NOT NULL) b
+         |  JOIN (SELECT unnest([$cellL]) AS cell,
+         |      unnest([$depL]) AS dep, unnest([$thinL]) AS keep) c
+         |    ON b.event_id % 8 < c.keep""".stripMargin
+    s"""WITH ${blsCtesOver(" AND d < 0", augEv)},
+       |best AS ($blsBestSql),
+       |gate AS (SELECT * FROM best
+       |  WHERE bls_power >= CAST($TransitPowerMin AS DOUBLE)
+       |    AND depth_c100 < 0 AND n_epochs >= $TransitMinEpochs),
+       |rec AS (SELECT user_id % $nc AS cell, COUNT(*) AS n_gated,
+       |    CAST(SUM(CASE WHEN best_p_us = list_extract([$grid],
+       |        CAST((user_id // $nc) % 16 AS INT) + 1)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+       |  FROM gate GROUP BY 1),
+       |inj AS (SELECT keep AS keep_oct, COUNT(DISTINCT e.user_id) AS n_injected
+       |  FROM (SELECT user_id, event_id FROM events
+       |    WHERE user_id IS NOT NULL) e
+       |  JOIN (SELECT DISTINCT unnest([$thinL]) AS keep) t
+       |    ON e.event_id % 8 < t.keep
+       |  GROUP BY 1),
+       |cl AS (SELECT unnest([$cellL]) AS cell,
+       |    unnest([$depL]) AS depth_c100, unnest([$thinL]) AS keep_oct)
+       |SELECT depth_c100, keep_oct, n_injected,
+       |  COALESCE(n_gated, 0) AS n_gated,
+       |  COALESCE(n_exact, 0) AS n_exact,
+       |  1000 * COALESCE(n_gated, 0) // n_injected AS rec_permille,
+       |  1000 * COALESCE(n_exact, 0) // n_injected AS exact_permille
+       |FROM cl JOIN inj USING (keep_oct) LEFT JOIN rec USING (cell)
+       |ORDER BY depth_c100, keep_oct""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   /** Lafler–Kinman periodogram (Lafler & Kinman 1965) — the FOURTH
@@ -2069,6 +2220,82 @@ object TimeSeries {
     * answers from its merged partials. */
   val qLightcurveBandStoredSql: String =
     lcBandAggSql(" WHERE user_id IS NOT NULL")
+
+  // ---------------------------------------------------------------
+  /** Per-batch ARRIVAL telemetry over the streamed light-curve store
+    * — the last streamed lifecycle's batch story under the parity
+    * gate (the [[graft.queries.Multimodal.qBlobPhashBatches]]
+    * discipline; the association has [[graft.queries.Spatial
+    * .qAssocHistory]], the perceptual index its batches query — this
+    * closes the set): per at-rest `ibatch` partition of the
+    * [[graft.streaming.LightcurveStream]] LSM, the touched
+    * (object, band) key count (= its partial ROWS — one per key per
+    * batch by construction), distinct objects, and the events it
+    * represents (Σn); the id range is zero-filled so a batch whose
+    * subpartitions a completed fold consumed still reports its row —
+    * flagged `folded` from the store's own durable horizon marker,
+    * with its content at rest inside the `ibatch = −1` canonical fold
+    * row. The DuckDB oracle re-derives every partition's content from
+    * the raw flat table (the build's batching is deterministic:
+    * batch = event_id mod [[LcStoreBatches]], fold after batch
+    * [[LcStoreBatches]]/2 − 1), so the hash certifies the LSM's
+    * partition LAYOUT and its per-batch content, not just the merged
+    * totals [[qLightcurveBandStored]] already pins.
+    *
+    * Scale shape: the warm path is ONE scan of the compaction-bounded
+    * partials store into a ≤|ids|-row combinable aggregate, then the
+    * zero-fill join on the 5-row id literal; the build amortizes with
+    * [[qLightcurveBandStored]] (same content-keyed cache). */
+  def qLcStreamBatches(s: SparkSession, dir: String): DataFrame =
+    lcStreamBatchesOver(s, ensureLcStatsStore(s, dir), LcStoreBatches)
+
+  /** The telemetry read over any store path — factored so the spec
+    * can drive a fixture lifecycle (including replayed batch ids)
+    * through the real read. */
+  private[graft] def lcStreamBatchesOver(s: SparkSession, path: String,
+    nBatches: Int): DataFrame = {
+    import s.implicits._
+    val horizon = graft.streaming.LightcurveStream.foldedHorizon(s, path)
+    val ids = (Seq(-1L) ++ (0L until nBatches.toLong)).toDF("ibatch")
+    s.read.parquet(path)
+      .withColumn("ibatch", $"ibatch".cast("long"))
+      .groupBy($"ibatch")
+      .agg(count(lit(1)).as("n_keys"),
+        countDistinct($"user_id").as("n_objects"),
+        sum($"n").as("n_events"))
+      .join(ids, Seq("ibatch"), "right")
+      .na.fill(0L, Seq("n_keys", "n_objects", "n_events"))
+      .withColumn("folded",
+        ($"ibatch" >= 0 && $"ibatch" <= horizon).cast("int"))
+      .orderBy($"ibatch")
+  }
+
+  /** Oracle twin: each identified event attributed to its
+    * deterministic micro-batch, batches at or below the fold horizon
+    * collapsed into the `ibatch = −1` fold partition, key-level
+    * partials rebuilt relationally (the store holds one row per
+    * (object, band) per partition), zero-filled over the id range. */
+  val qLcStreamBatchesSql: String = {
+    val hz = LcStoreBatches / 2 - 1
+    s"""WITH e AS (SELECT user_id, $BandCaseSql AS band,
+       |    CASE WHEN event_id % $LcStoreBatches <= $hz THEN -1
+       |      ELSE event_id % $LcStoreBatches END AS ibatch
+       |  FROM events WHERE user_id IS NOT NULL),
+       |k AS (SELECT ibatch, user_id, band, COUNT(*) AS n_ev
+       |  FROM e GROUP BY 1, 2, 3),
+       |agg AS (SELECT ibatch, COUNT(*) AS n_keys,
+       |    COUNT(DISTINCT user_id) AS n_objects,
+       |    CAST(SUM(n_ev) AS BIGINT) AS n_events
+       |  FROM k GROUP BY 1),
+       |g AS (SELECT CAST(t.range - 1 AS BIGINT) AS ibatch
+       |  FROM range(${LcStoreBatches + 1}) t)
+       |SELECT ibatch, COALESCE(n_keys, 0) AS n_keys,
+       |  COALESCE(n_objects, 0) AS n_objects,
+       |  COALESCE(n_events, 0) AS n_events,
+       |  CASE WHEN ibatch BETWEEN 0 AND $hz THEN 1 ELSE 0 END AS folded
+       |FROM g LEFT JOIN agg USING (ibatch)
+       |ORDER BY ibatch""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   /** Inverse-variance COADD photometry per (object, band) — the deep
@@ -4223,6 +4450,8 @@ object TimeSeries {
     "q_visit_calib" -> (qVisitCalib _),
     "q_proper_motion" -> (qProperMotion _),
     "q_parallax" -> (qParallax _),
+    "q_transit_recovery" -> (qTransitRecovery _),
+    "q_lc_stream_batches" -> (qLcStreamBatches _),
     "q_mad" -> (qMad _),
     "q_crossband_corr" -> (qCrossbandCorr _),
     "q_value_drift" -> (qValueDrift _),
@@ -4287,6 +4516,8 @@ object TimeSeries {
     "q_visit_calib" -> qVisitCalibSql,
     "q_proper_motion" -> qProperMotionSql,
     "q_parallax" -> qParallaxSql,
+    "q_transit_recovery" -> qTransitRecoverySql,
+    "q_lc_stream_batches" -> qLcStreamBatchesSql,
     "q_mad" -> qMadSql,
     "q_crossband_corr" -> qCrossbandCorrSql,
     "q_value_drift" -> qValueDriftSql,

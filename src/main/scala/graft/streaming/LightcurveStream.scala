@@ -95,6 +95,14 @@ object LightcurveStream {
       .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  /** The store's durable replay horizon — the highest batch id a
+    * completed fold stage has captured (−1 for a never-folded store).
+    * Public read-only view of the [[FoldedMarker]] for the arrival
+    * telemetry ([[graft.queries.TimeSeries.qLcStreamBatches]]): ids at
+    * or below it are at rest only inside the canonical fold. */
+  def foldedHorizon(s: SparkSession, statsPath: String): Long =
+    foldedUpto(s, statsPath)
+
   /** True when any bucket holds an in-flight `ibatch=-2` fold stage —
     * the state only a crashed phase-1/2 compaction leaves behind. */
   private def hasStagedFold(s: SparkSession, statsPath: String): Boolean = {

@@ -1961,6 +1961,58 @@ class LightcurveStreamSpec extends AnyFunSuite {
     for (((k, b), v) <- readKeyed()) assert(doubled((k, b))._1 >= expect((k, b))._1)
   }
 
+  test("q_lc_stream_batches telemetry equals a raw-history recompute of the layout and shrugs off both replay classes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_lc_tele").toString + "/stats"
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"value", $"event_type")
+    val batches = (0 until 4).map(b =>
+      ev.filter(pmod($"event_id", lit(4)) === b))
+    // the registered lifecycle's shape: 4 deterministic batches, one
+    // mid-build fold → the at-rest layout is fold(0,1) + tail(2,3)
+    for ((b, id) <- batches.zipWithIndex) {
+      graft.streaming.LightcurveStream.applyStatsBatch(
+        b.drop("event_id"), id.toLong, path)
+      if (id == 1) graft.streaming.LightcurveStream.compactStats(spark, path)
+    }
+    def tele(): Map[Long, (Long, Long, Long, Int)] =
+      queries.TimeSeries.lcStreamBatchesOver(spark, path, 4).collect()
+        .map(r => r.getAs[Long]("ibatch") -> (r.getAs[Long]("n_keys"),
+          r.getAs[Long]("n_objects"), r.getAs[Long]("n_events"),
+          r.getAs[Int]("folded"))).toMap
+    val got = tele()
+    // driver-side recompute: attribute every identified event to its
+    // deterministic batch, collapse ids at/below the horizon into the
+    // fold partition, rebuild the key-level partial counts
+    val raw = ev.filter($"user_id".isNotNull)
+      .select($"user_id", $"event_id",
+        expr(queries.TimeSeries.BandCaseSql).as("band")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byPart = raw.groupBy { case (_, eid, _) =>
+      val b = eid % 4; if (b <= 1L) -1L else b
+    }
+    val expect = (Seq(-1L, 0L, 1L, 2L, 3L).map { id =>
+      val rows = byPart.getOrElse(id, Array.empty[(Long, Long, String)])
+      id -> (rows.map(t => (t._1, t._3)).distinct.length.toLong,
+        rows.map(_._1).distinct.length.toLong, rows.length.toLong,
+        if (id >= 0 && id <= 1) 1 else 0)
+    }).toMap
+    assert(got == expect, s"telemetry != layout recompute\n$got\n$expect")
+    assert(got(-1L)._1 > 0 && got(2L)._1 > 0, "fold/tail rows empty")
+    // replay class 1: an id below the durable horizon is SKIPPED (its
+    // content is at rest inside the fold — re-landing it would
+    // double-count); the telemetry must not move
+    graft.streaming.LightcurveStream.applyStatsBatch(
+      batches(0).drop("event_id"), 0L, path)
+    assert(tele() == got, "folded-id replay changed the telemetry")
+    // replay class 2: a live tail id overwrites its own subpartitions
+    // (dynamic overwrite) — identical content, telemetry unchanged
+    graft.streaming.LightcurveStream.applyStatsBatch(
+      batches(2).drop("event_id"), 2L, path)
+    assert(tele() == got, "tail-id replay changed the telemetry")
+  }
+
   test("LightcurveStream: a direct append beside an orphaned fold stage heals the stage instead of losing the batch") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

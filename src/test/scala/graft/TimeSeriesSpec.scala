@@ -1630,6 +1630,55 @@ class TimeSeriesSpec extends AnyFunSuite {
       "BLS power left [0,1]")
   }
 
+  test("q_transit_recovery: a constant-flux fixture is fully recovered above the epoch floor and lost below it") {
+    import spark.implicits._
+    val q = queries.TimeSeries
+    // two CONSTANT-flux objects (uids 1, 2 → injected widths 2 and 3,
+    // so no half-period alias can cover the dip with a ≤3-bin window):
+    // the injected dip is the ONLY structure, so wherever the epoch
+    // floor passes, BLS at the injected period isolates the dip
+    // exactly (power = 1.0) and the gate must recover EVERY object at
+    // EVERY depth; 96 sequential event ids make the keep-octiles
+    // exact: keep 8 → 96 epochs, keep 6 → 72 (≥ 60, passes), keep 4
+    // → 48 (< 60, the floor eats the whole row). The 7919-s step (the
+    // q_bls fixture idiom — prime vs every grid period) equipartitions
+    // the phases, so every keep-octile retains dip epochs in every
+    // injected window
+    val rows = for {
+      uid <- Seq(1L, 2L)
+      i <- 0 until 96
+    } yield (uid, i.toLong, i.toLong * 7919000000L, 1000L)
+    val got = q.transitRecoveryOver(
+      rows.toDF("user_id", "event_id", "tus", "xc")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(got.keySet == (for {
+      d <- q.TransitInjDepths; k <- q.TransitInjKeeps
+    } yield (d, k)).toSet, "grid cells missing")
+    for (((d, k), r) <- got) {
+      assert(r.getAs[Long]("n_injected") == 2L, s"cell ($d,$k) injected")
+      val expRec = if (k >= 6) 1000L else 0L
+      assert(r.getAs[Long]("rec_permille") == expRec,
+        s"cell ($d,$k) recovery ${r.getAs[Long]("rec_permille")} != $expRec")
+      // above the floor the argmax must land ON the injected period:
+      // the dip is the only variance, so the injected cell is the
+      // unique power-1.0 window at the smallest achieving period
+      assert(r.getAs[Long]("exact_permille") == expRec,
+        s"cell ($d,$k) exact ${r.getAs[Long]("exact_permille")} != $expRec")
+    }
+    // the corpus-level artifact behaves like a completeness surface:
+    // recovery monotone non-decreasing in depth at full cadence, and
+    // the half-cadence row sits under the epoch floor entirely
+    val real = q.qTransitRecovery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val full = q.TransitInjDepths.map(d =>
+      real((d, 8L)).getAs[Long]("rec_permille"))
+    assert(full == full.sorted, s"full-cadence recovery not monotone: $full")
+    assert(full.last > full.head, "depth axis does not bind")
+    for (d <- q.TransitInjDepths)
+      assert(real((d, 4L)).getAs[Long]("rec_permille") == 0L,
+        "half cadence must sit under the 60-epoch floor at sf0.001")
+  }
+
   test("q_transit_candidates keeps a planted eclipse and rejects a bright-box decoy through the dip-only argmax") {
     import spark.implicits._
     val q = queries.TimeSeries
