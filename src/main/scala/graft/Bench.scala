@@ -350,6 +350,11 @@ object Bench {
     // order-key self-aggregate; a blowup means the fact table started
     // self-joining row-to-row
     "q_waiting_suppliers",
+    // r18 wave 2: Q7 (both dims must shrink to the two nations BEFORE
+    // the fact joins), Q10 (TakeOrdered on the reduced aggregate,
+    // never a fact-table sort), Q19 (the part-side implicate of the
+    // disjunction must stay pushed into the part scan)
+    "q_nation_trade", "q_returned_customers", "q_promo_parts",
     "q_tracklets", "q_track_chains",
     // the per-track motion fit (r17): rides the same pinned pair
     // sliver as the chain census plus ONE detection-table equi-join —

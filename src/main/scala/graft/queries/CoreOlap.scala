@@ -195,6 +195,202 @@ object CoreOlap {
       |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
   // ---------------------------------------------------------------
+  /** The two trading nations of the Q7 report — both directions
+    * populated at both test SFs (18→19: 61/138 lineitems at
+    * sf0.001/sf0.01; 19→18: 25/146). */
+  private[graft] val TradeNationA = "NATION_18"
+  private[graft] val TradeNationB = "NATION_19"
+
+  /** Bilateral trade-volume report (the TPC-H Q7 shape): revenue
+    * shipped between two nations, BOTH directions, by ship year over
+    * a two-year window. The classic disjunctive pair predicate
+    * `(n1=A AND n2=B) OR (n1=B AND n2=A)` is factored into its
+    * conjunctive closure — each dim side restricted to {A, B} plus
+    * `supp_nation ≠ cust_nation` — which is equivalent on the
+    * restricted dims and lets EACH leg push into ITS dimension scan
+    * independently (the OR form straddles two tables and can push
+    * into neither).
+    *
+    * Scale shape: the 2-row nation slivers broadcast onto supplier
+    * and customer FIRST, shrinking both to the two nations' members
+    * before any fact join; lineitem prunes on the ship-date window at
+    * the scan; the fact joins then carry only the doubly-restricted
+    * sliver, and the report is a ≤|2×2×years|-key combinable
+    * aggregate. Revenue follows the house exact-cents discipline
+    * ([[sumScaled]]). */
+  def qNationTrade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nat = Tables.nation(s, dir)
+      .filter($"n_name".isin(TradeNationA, TradeNationB))
+      .select($"n_nationkey", $"n_name")
+    val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val cust = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name".as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= ts("1996-01-01") &&
+        $"l_shipdate" < ts("1998-01-01"))
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice",
+        $"l_discount", year($"l_shipdate").cast("long").as("l_year"))
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation", $"l_year")
+      .agg(count(lit(1)).as("n_items"),
+        sumScaled($"l_extendedprice" * (lit(1.0) - $"l_discount"), 10000L)
+          .as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** Oracle twin: the textbook disjunctive pair form — proving the
+    * conjunctive factorization equivalent is the point. */
+  val qNationTradeSql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |  COUNT(*) AS n_items,
+       |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT))
+       |    AS BIGINT)/10000.0 AS revenue
+       |FROM lineitem
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+       |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+       |WHERE ((n1.n_name = '$TradeNationA' AND n2.n_name = '$TradeNationB')
+       |    OR (n1.n_name = '$TradeNationB' AND n2.n_name = '$TradeNationA'))
+       |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01'
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Returned-item reporting (the TPC-H Q10 shape): the top-20
+    * customers by revenue lost to returned items in a half-year
+    * order window — the churn-triage report. The return marker is
+    * `l_returnflag = 'R'` (the [[qWaitingSuppliers]] failed-delivery
+    * stream) and the window binds (141 returned lineitems at
+    * sf0.001, 1 512 at sf0.01).
+    *
+    * Scale shape: lineitem prunes on the return flag and orders on
+    * the date window AT THE SCANS, both before their join; the
+    * customer join carries only qualifying orders; nation (a true
+    * dim) broadcasts; the top-20 is (revenue DESC, c_custkey) — a
+    * total order, so the LIMIT is deterministic — resolved by
+    * TakeOrdered on the |customers|-bounded aggregate, never a global
+    * sort of the fact table. */
+  def qReturnedCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= ts("1996-01-01") &&
+        $"o_orderdate" < ts("1996-07-01"))
+      .select($"o_orderkey", $"o_custkey")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)
+        .select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(count(lit(1)).as("n_returned"),
+        sumScaled($"l_extendedprice" * (lit(1.0) - $"l_discount"), 10000L)
+          .as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  val qReturnedCustomersSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  COUNT(*) AS n_returned,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT))
+      |    AS BIGINT)/10000.0 AS revenue
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** The three (brand, max size, quantity band) legs of the
+    * discounted-revenue report — every leg binds at both test SFs
+    * (14/88/85 lineitems at sf0.001, 258/450/864 at sf0.01). */
+  private[graft] val PromoLegs: Seq[(String, Int, Long, Long)] = Seq(
+    ("Brand#3", 15, 1L, 15L),
+    ("Brand#13", 25, 10L, 30L),
+    ("Brand#23", 35, 25L, 50L))
+
+  /** Discounted-revenue report under a DISJUNCTIVE composite
+    * predicate (the TPC-H Q19 shape): revenue from lineitems matching
+    * any of three (brand AND size-range AND quantity-band) legs — the
+    * OR-of-ANDs straddling the fact/dim join that exercises
+    * predicate decomposition. Reported per LEG (the leg id is which
+    * conjunct fired; the classic single-row total is their sum) so
+    * each leg's contribution is separately pinned.
+    *
+    * Scale shape: Catalyst derives the part-side IMPLICATE of the
+    * disjunction — `p_brand IN (legs)` plus the size OR — and pushes
+    * it into the part scan (spec-pinned: the scan's filters mention
+    * the brands), so the join's build side is the qualifying part
+    * sliver, not the part table; the residual OR evaluates on the
+    * joined row inside codegen; one ≤3-key combinable aggregate
+    * after. */
+  def qPromoParts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def legConds = PromoLegs.map { case (brand, szMax, qLo, qHi) =>
+      $"p_brand" === brand && $"p_size".between(1, szMax) &&
+        $"l_quantity".between(qLo.toDouble, qHi.toDouble)
+    }
+    // the gate is the PLAIN disjunction — a CASE-ladder here would
+    // hide the OR from Catalyst's CNF conversion and the part scan
+    // would read the whole table (spec-pinned regression); the leg
+    // attribution runs AFTER, on the surviving sliver only
+    val legCol = legConds.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (cond, i)) => when(cond, i.toLong).otherwise(acc)
+    }
+    Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+      .join(Tables.part(s, dir).select($"p_partkey", $"p_brand", $"p_size"),
+        $"l_partkey" === $"p_partkey")
+      .filter(legConds.reduce(_ || _))
+      .withColumn("leg", legCol)
+      .groupBy($"leg")
+      .agg(count(lit(1)).as("n_items"),
+        sumScaled($"l_extendedprice" * (lit(1.0) - $"l_discount"), 10000L)
+          .as("revenue"))
+      .orderBy($"leg")
+  }
+
+  /** Oracle twin: the same leg attribution via a CASE ladder — later
+    * legs win ties exactly as the fold's otherwise-chain does (legs
+    * are brand-disjoint, so no tie exists; the order is pinned anyway
+    * for safety). */
+  val qPromoPartsSql: String = {
+    val cases = PromoLegs.zipWithIndex.reverse.map {
+      case ((brand, szMax, qLo, qHi), i) =>
+        s"WHEN p_brand = '$brand' AND p_size BETWEEN 1 AND $szMax " +
+          s"AND l_quantity BETWEEN $qLo AND $qHi THEN $i"
+    }.mkString(" ")
+    s"""SELECT leg, COUNT(*) AS n_items,
+       |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT))
+       |    AS BIGINT)/10000.0 AS revenue
+       |FROM (SELECT CASE $cases END AS leg,
+       |    l_extendedprice, l_discount
+       |  FROM lineitem JOIN part ON p_partkey = l_partkey)
+       |WHERE leg IS NOT NULL
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   def q05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val reg = Tables.region(s, dir).filter($"r_name" === "ASIA").select($"r_regionkey")
@@ -1399,6 +1595,9 @@ object CoreOlap {
     "q_having" -> (qHaving _),
     "q_large_orders" -> (qLargeOrders _),
     "q_waiting_suppliers" -> (qWaitingSuppliers _),
+    "q_nation_trade" -> (qNationTrade _),
+    "q_returned_customers" -> (qReturnedCustomers _),
+    "q_promo_parts" -> (qPromoParts _),
     "q_window_topn" -> (qWindowTopn _),
     "q_window_running" -> (qWindowRunning _),
     "q_distinct_count" -> (qDistinctCount _),
@@ -1440,6 +1639,9 @@ object CoreOlap {
     "q_having" -> qHavingSql,
     "q_large_orders" -> qLargeOrdersSql,
     "q_waiting_suppliers" -> qWaitingSuppliersSql,
+    "q_nation_trade" -> qNationTradeSql,
+    "q_returned_customers" -> qReturnedCustomersSql,
+    "q_promo_parts" -> qPromoPartsSql,
     "q_window_topn" -> qWindowTopnSql,
     "q_distinct_count" -> qDistinctCountSql,
     "q_percentiles" -> qPercentilesSql,

@@ -379,4 +379,127 @@ class CoreOlapSpec extends AnyFunSuite {
     assert(waits.map(_._2).toSet.size < fOrders.size,
       "the EXISTS/NOT-EXISTS gates do not bind")
   }
+
+  test("q_nation_trade equals the textbook disjunctive-pair recompute, both directions populated") {
+    import org.apache.spark.sql.functions._
+    val q = queries.CoreOlap
+    def r4(x: Double): Long =
+      BigDecimal(x * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong
+    val natByKey = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val supN = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => r.getLong(0) -> natByKey(r.getInt(1))).toMap
+    val custN = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> natByKey(r.getInt(1))).toMap
+    val ordCust = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(expr("l_shipdate >= timestamp'1996-01-01' AND " +
+        "l_shipdate < timestamp'1998-01-01'"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount"), year(col("l_shipdate")).cast("long").as("y"))
+      .collect()
+    // the LITERAL (n1=A AND n2=B) OR (n1=B AND n2=A) form
+    val cells = li.flatMap { r =>
+      val sn = supN(r.getLong(1))
+      val cn = custN(ordCust(r.getLong(0)))
+      val ok = (sn == q.TradeNationA && cn == q.TradeNationB) ||
+        (sn == q.TradeNationB && cn == q.TradeNationA)
+      if (!ok) None
+      else Some(((sn, cn, r.getLong(4)),
+        r4(r.getDouble(2) * (1.0 - r.getDouble(3)))))
+    }
+    val exp = cells.groupBy(_._1).view.mapValues(v =>
+      (v.length.toLong, v.map(_._2).sum / 10000.0)).toMap
+    val got = q.qNationTrade(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getLong(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(got == exp, s"got $got\nexp $exp")
+    assert(got.keys.map(_._1).toSet ==
+      Set(q.TradeNationA, q.TradeNationB), "a trade direction is empty")
+  }
+
+  test("q_returned_customers equals the brute-force top-20 and resolves by TakeOrdered, not a global sort") {
+    import org.apache.spark.sql.functions.expr
+    val q = queries.CoreOlap
+    def r4c(x: Double): Long =
+      BigDecimal(x * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong
+    val ords = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(expr("o_orderdate >= timestamp'1996-01-01' AND " +
+        "o_orderdate < timestamp'1996-07-01'"))
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_name", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val nat = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val cells = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+      .collect()
+      .filter(r => r.getString(1) == "R" && ords.contains(r.getLong(0)))
+      .map(r => ords(r.getLong(0)) ->
+        r4c(r.getDouble(2) * (1.0 - r.getDouble(3))))
+    val exp = cells.groupBy(_._1).toSeq.map { case (ck, v) =>
+      val (nm, nk) = cust(ck)
+      (ck, nm, nat(nk), v.length.toLong, v.map(_._2).sum / 10000.0)
+    }.sortBy(t => (-t._5, t._1)).take(20)
+    val df = q.qReturnedCustomers(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == exp, s"got ${got.take(3)}\nexp ${exp.take(3)}")
+    // the top-20 must resolve as TakeOrdered on the reduced aggregate
+    // — a global Sort of the aggregate (or worse, the fact) would be
+    // the silent 100-TB regression
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"limit not resolved by TakeOrdered:\n$plan")
+  }
+
+  test("q_promo_parts equals the per-leg recompute; the part-side implicate pushes into the part scan") {
+    val q = queries.CoreOlap
+    def r4c(x: Double): Long =
+      BigDecimal(x * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_brand", "p_size").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val cells = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .collect().flatMap { r =>
+        val (brand, size) = parts(r.getLong(0))
+        val qty = r.getDouble(1)
+        // later legs win, as the plan's otherwise-chain does
+        val leg = q.PromoLegs.zipWithIndex.reverse.collectFirst {
+          case ((b, szMax, qLo, qHi), i)
+            if brand == b && size >= 1 && size <= szMax &&
+              qty >= qLo && qty <= qHi => i.toLong
+        }
+        leg.map(_ -> r4c(r.getDouble(2) * (1.0 - r.getDouble(3))))
+      }
+    val exp = cells.groupBy(_._1).view.mapValues(v =>
+      (v.length.toLong, v.map(_._2).sum / 10000.0)).toMap
+    val df = q.qPromoParts(spark, sf)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == exp, s"got $got\nexp $exp")
+    assert(got.keySet == q.PromoLegs.indices.map(_.toLong).toSet,
+      "a leg selected nothing at sf0.001")
+    // the scale claim: Catalyst derives the part-only implicate of
+    // the disjunction and pushes it to the part scan — the brands
+    // must appear in the scan's pushed filters, so the join's build
+    // side is the qualifying sliver, not the part table
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("part.parquet") && l.contains("PushedFilters"))
+    assert(scanLine.exists(l => l.contains("Brand#")),
+      s"part-side implicate not pushed to the part scan:\n$plan")
+  }
 }
