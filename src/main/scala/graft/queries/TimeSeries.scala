@@ -3021,43 +3021,49 @@ object TimeSeries {
       |FROM f ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
-  /** Fixed-point annual-parallax factor table: sin of the day-of-year
-    * phase 2π·d/365, scaled ×10⁴ and rounded ONCE in Scala, then
-    * spliced as literals into both engines (the [[LsCosTab]]
-    * discipline — a lookup, not a libm call; the simplified scalar
-    * parallax factor, one component of the published (F_ra, F_dec)
-    * pair, whose second component would be one more table). */
+  /** Fixed-point annual-parallax factor tables: sin/cos of the
+    * day-of-year phase 2π·d/365, scaled ×10⁴ and rounded ONCE in
+    * Scala, then spliced as literals into both engines (the
+    * [[LsCosTab]] discipline — a lookup, not a libm call). The two
+    * tables are the simplified (F_ra, F_dec) parallax-factor PAIR of
+    * the published astrometric model — the ra offset responds to the
+    * sine component, the dec offset to the cosine (the quadrature
+    * pair a circular reflex orbit projects onto the two
+    * coordinates). */
   private[graft] val PlxScale = 10000L
   private[graft] val PlxSinTab: Seq[Long] = (0 until 365).map(d =>
     math.round(math.sin(2.0 * math.Pi * d / 365.0) * PlxScale))
+  private[graft] val PlxCosTab: Seq[Long] = (0 until 365).map(d =>
+    math.round(math.cos(2.0 * math.Pi * d / 365.0) * PlxScale))
 
-  /** Annual-parallax astrometric fit — the Object-table column beside
-    * [[qProperMotion]]'s muRa/muDecl (LSST's Object schema carries
-    * parallax fitted jointly with proper motion from the per-epoch
-    * positions): per object, the THREE-parameter least squares
-    * x ≈ a + b·t + p·f(t) where t is days since the object's first
-    * epoch and f the [[PlxSinTab]] annual sinusoid at the epoch's
-    * day-of-year — the design matrix the astrometric pipeline solves,
-    * with the same derive-from-keys offset convention as the
-    * proper-motion entry extended by a planted per-object parallax
-    * term (amplitude `user_id % 13 − 6` in table-scale units, so the
-    * fit has real signal to recover — the spec proves EXACT recovery
-    * on a noise-free planted fixture).
+  /** Annual-parallax astrometric fit — the Object-table columns
+    * beside [[qProperMotion]]'s muRa/muDecl (LSST's Object schema
+    * carries parallax fitted jointly with proper motion from the
+    * per-epoch positions): per object and per COORDINATE, the
+    * three-parameter least squares x ≈ a + b·t + p·F(t) where t is
+    * days since the object's first epoch and F the coordinate's
+    * parallax factor — [[PlxSinTab]] for ra, [[PlxCosTab]] for dec,
+    * the published (F_ra, F_dec) quadrature pair — with the same
+    * derive-from-keys offset convention as the proper-motion entry
+    * extended by planted per-object parallax terms (ra amplitude
+    * `id % 13 − 6`, dec amplitude `id % 11 − 5`, in table-scale
+    * units, so both fits have real signal to recover — the spec
+    * proves EXACT recovery on a noise-free planted fixture).
     *
-    * Determinism discipline: all NINE sufficient statistics are exact
-    * int64 sums (largest |Σf·x| < 10¹³ at the corpus magnitudes); the
-    * 3×3 normal equations solve by Cramer expansion as ONE fixed IEEE
-    * chain over the double-cast exact sums (products like stt·sff
-    * overflow int64, so the chain starts at the casts — single-
-    * rounding on both engines, identical tree, hash-exact; the
-    * [[lsPowerFrameBy]] num_d/den_d discipline). Degenerate systems
-    * (n ≤ 3 or a zero determinant) carry nulls.
+    * Determinism discipline: all sufficient statistics are exact
+    * int64 sums (largest |ΣF·x| < 10¹³ at the corpus magnitudes);
+    * each 3×3 normal system solves by Cramer expansion as ONE fixed
+    * IEEE chain over the double-cast exact sums (products like
+    * stt·sff overflow int64, so the chain starts at the casts —
+    * single-rounding on both engines, identical tree, hash-exact;
+    * the [[lsPowerFrameBy]] num_d/den_d discipline). Degenerate
+    * systems (n ≤ 3 or a zero determinant) carry nulls.
     *
-    * Scale shape: the per-object epoch rebase (window min) and the
-    * sufficient-statistic aggregate share the user_id shuffle — one
-    * exchange total, map-side combinable, no join, nothing driver-
-    * side; the Cramer chain runs per-row on the |objects| reduced
-    * frame. */
+    * Scale shape: the per-object epoch rebase (window min) and ONE
+    * sufficient-statistic aggregate carrying BOTH coordinates' sums
+    * share the user_id shuffle — one exchange total, map-side
+    * combinable, no join, nothing driver-side; both Cramer chains
+    * run per-row on the |objects| reduced frame. */
   def qParallax(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val base = series(s, dir)
@@ -3066,56 +3072,114 @@ object TimeSeries {
       .withColumn("doy",
         expr("(tus DIV 86400000000) % 365").cast("int"))
       .withColumn("f", element_at(typedLit(PlxSinTab), $"doy" + 1))
+      .withColumn("g", element_at(typedLit(PlxCosTab), $"doy" + 1))
       .withColumn("x",
         ($"user_id" % 21 - 10) * $"tday" * lit(10000L) +
           ($"user_id" % 13 - 6) * $"f" +
           ($"event_id" % 7 - 3) * lit(100L))
-      .select($"user_id", $"tday", $"f", $"x")
+      .withColumn("y",
+        ($"user_id" % 17 - 8) * $"tday" * lit(10000L) +
+          ($"user_id" % 11 - 5) * $"g" +
+          ($"event_id" % 5 - 2) * lit(100L))
+      .select($"user_id", $"tday", $"f", $"x", $"g", $"y")
     parallaxFitOver(base)
   }
 
-  /** Fit body over any (user_id, tday, f, x) exact-integer design
-    * frame — factored so the spec can plant a noise-free
-    * a + b·t + p·f series through the real plan and assert EXACT
-    * parameter recovery (det multilinearity: det_p = p·det_m when x
-    * is an exact linear combination, and small planted values keep
-    * every double product exact). */
+  /** The 3×3 Cramer solve of one coordinate's normal equations —
+    * (det_m, det_b, det_p) as ONE fixed IEEE chain over the
+    * double-cast exact sums; shared by both coordinates so the two
+    * chains can never drift. */
+  private def cramer3(n: Column, st: Column, sf: Column, stt: Column,
+    stf: Column, sff: Column, sx: Column, stx: Column,
+    sfx: Column): (Column, Column, Column) = {
+    def d(c: Column) = c.cast("double")
+    val detM =
+      d(n) * (d(stt) * d(sff) - d(stf) * d(stf)) -
+        d(st) * (d(st) * d(sff) - d(stf) * d(sf)) +
+        d(sf) * (d(st) * d(stf) - d(stt) * d(sf))
+    val detB =
+      d(n) * (d(stx) * d(sff) - d(stf) * d(sfx)) -
+        d(sx) * (d(st) * d(sff) - d(stf) * d(sf)) +
+        d(sf) * (d(st) * d(sfx) - d(stx) * d(sf))
+    val detP =
+      d(n) * (d(stt) * d(sfx) - d(stx) * d(stf)) -
+        d(st) * (d(st) * d(sfx) - d(stx) * d(sf)) +
+        d(sx) * (d(st) * d(stf) - d(stt) * d(sf))
+    (detM, detB, detP)
+  }
+
+  /** Fit body over any (user_id, tday, f, x, g, y) exact-integer
+    * two-coordinate design frame — factored so the spec can plant
+    * noise-free a + b·t + p·F series through the real plan and
+    * assert EXACT parameter recovery on BOTH coordinates (det
+    * multilinearity: det_p = p·det_m when the data column is an
+    * exact linear combination, and small planted values keep every
+    * double product exact). */
   private[graft] def parallaxFitOver(o: DataFrame): DataFrame = {
     val s = o.sparkSession
     import s.implicits._
-    def d(c: org.apache.spark.sql.Column) = c.cast("double")
-    o.groupBy($"user_id")
+    val agg = o.groupBy($"user_id")
       .agg(count(lit(1)).as("n"),
-        sum($"tday").as("st"), sum($"f").as("sf"),
+        sum($"tday").as("st"), sum($"f").as("sf"), sum($"g").as("sg"),
         sum($"tday" * $"tday").as("stt"),
-        sum($"tday" * $"f").as("stf"),
-        sum($"f" * $"f").as("sff"),
-        sum($"x").as("sx"),
-        sum($"tday" * $"x").as("stx"),
-        sum($"f" * $"x").as("sfx"))
-      .withColumn("det_m",
-        d($"n") * (d($"stt") * d($"sff") - d($"stf") * d($"stf")) -
-          d($"st") * (d($"st") * d($"sff") - d($"stf") * d($"sf")) +
-          d($"sf") * (d($"st") * d($"stf") - d($"stt") * d($"sf")))
-      .withColumn("det_b",
-        d($"n") * (d($"stx") * d($"sff") - d($"stf") * d($"sfx")) -
-          d($"sx") * (d($"st") * d($"sff") - d($"stf") * d($"sf")) +
-          d($"sf") * (d($"st") * d($"sfx") - d($"stx") * d($"sf")))
-      .withColumn("det_p",
-        d($"n") * (d($"stt") * d($"sfx") - d($"stx") * d($"stf")) -
-          d($"st") * (d($"st") * d($"sfx") - d($"stx") * d($"sf")) +
-          d($"sx") * (d($"st") * d($"stf") - d($"stt") * d($"sf")))
-      .withColumn("pm_fit",
+        sum($"tday" * $"f").as("stf"), sum($"f" * $"f").as("sff"),
+        sum($"tday" * $"g").as("stg"), sum($"g" * $"g").as("sgg"),
+        sum($"x").as("sx"), sum($"tday" * $"x").as("stx"),
+        sum($"f" * $"x").as("sfx"),
+        sum($"y").as("sy"), sum($"tday" * $"y").as("sty"),
+        sum($"g" * $"y").as("sgy"))
+    val (detM, detB, detP) = cramer3($"n", $"st", $"sf", $"stt",
+      $"stf", $"sff", $"sx", $"stx", $"sfx")
+    val (detMd, detBd, detPd) = cramer3($"n", $"st", $"sg", $"stt",
+      $"stg", $"sgg", $"sy", $"sty", $"sgy")
+    agg
+      .withColumn("det_m", detM)
+      .withColumn("det_b", detB)
+      .withColumn("det_p", detP)
+      .withColumn("det_md", detMd)
+      .withColumn("det_bd", detBd)
+      .withColumn("det_pd", detPd)
+      .withColumn("pm_ra_fit",
         when($"n" > 3 && $"det_m" =!= 0.0, $"det_b" / $"det_m"))
-      .withColumn("plx_fit",
+      .withColumn("plx_ra_fit",
         when($"n" > 3 && $"det_m" =!= 0.0, $"det_p" / $"det_m"))
+      .withColumn("pm_dec_fit",
+        when($"n" > 3 && $"det_md" =!= 0.0, $"det_bd" / $"det_md"))
+      .withColumn("plx_dec_fit",
+        when($"n" > 3 && $"det_md" =!= 0.0, $"det_pd" / $"det_md"))
       .select($"user_id", $"n", $"sx", $"stx", $"sfx",
-        $"det_m", $"pm_fit", $"plx_fit")
+        $"sy", $"sty", $"sgy", $"det_m", $"det_md",
+        $"pm_ra_fit", $"plx_ra_fit", $"pm_dec_fit", $"plx_dec_fit")
       .orderBy($"user_id")
   }
 
-  /** Oracle twin: the spliced sinusoid table (zipped unnest), the
-    * identical exact sums and the identical Cramer chain. */
+  /** One coordinate's three Cramer determinants as SQL text —
+    * parameterized over the factor/data sum names so ra and dec
+    * splice the IDENTICAL chain (the [[cramer3]] tree verbatim). */
+  private def cramer3Sql(sf: String, stf: String, sff: String,
+    sx: String, stx: String, sfx: String, suf: String): String =
+    s"""CAST(n AS DOUBLE)*(CAST(stt AS DOUBLE)*CAST($sff AS DOUBLE)
+       |        - CAST($stf AS DOUBLE)*CAST($stf AS DOUBLE))
+       |      - CAST(st AS DOUBLE)*(CAST(st AS DOUBLE)*CAST($sff AS DOUBLE)
+       |        - CAST($stf AS DOUBLE)*CAST($sf AS DOUBLE))
+       |      + CAST($sf AS DOUBLE)*(CAST(st AS DOUBLE)*CAST($stf AS DOUBLE)
+       |        - CAST(stt AS DOUBLE)*CAST($sf AS DOUBLE)) AS det_m$suf,
+       |    CAST(n AS DOUBLE)*(CAST($stx AS DOUBLE)*CAST($sff AS DOUBLE)
+       |        - CAST($stf AS DOUBLE)*CAST($sfx AS DOUBLE))
+       |      - CAST($sx AS DOUBLE)*(CAST(st AS DOUBLE)*CAST($sff AS DOUBLE)
+       |        - CAST($stf AS DOUBLE)*CAST($sf AS DOUBLE))
+       |      + CAST($sf AS DOUBLE)*(CAST(st AS DOUBLE)*CAST($sfx AS DOUBLE)
+       |        - CAST($stx AS DOUBLE)*CAST($sf AS DOUBLE)) AS det_b$suf,
+       |    CAST(n AS DOUBLE)*(CAST(stt AS DOUBLE)*CAST($sfx AS DOUBLE)
+       |        - CAST($stx AS DOUBLE)*CAST($stf AS DOUBLE))
+       |      - CAST(st AS DOUBLE)*(CAST(st AS DOUBLE)*CAST($sfx AS DOUBLE)
+       |        - CAST($stx AS DOUBLE)*CAST($sf AS DOUBLE))
+       |      + CAST($sx AS DOUBLE)*(CAST(st AS DOUBLE)*CAST($stf AS DOUBLE)
+       |        - CAST(stt AS DOUBLE)*CAST($sf AS DOUBLE)) AS det_p$suf""".stripMargin
+
+  /** Oracle twin: the spliced sinusoid/cosine tables (zipped unnest),
+    * the identical exact sums and the identical Cramer chains for
+    * both coordinates. */
   val qParallaxSql: String =
     s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus
        |  FROM events),
@@ -3125,46 +3189,43 @@ object TimeSeries {
        |    CAST((tus // 86400000000) % 365 AS BIGINT) AS doy
        |  FROM ev),
        |ptrig AS (SELECT unnest(range(365)) AS doy,
-       |    unnest([${PlxSinTab.mkString(", ")}]) AS f),
-       |o AS (SELECT user_id, tday, f,
+       |    unnest([${PlxSinTab.mkString(", ")}]) AS f,
+       |    unnest([${PlxCosTab.mkString(", ")}]) AS g),
+       |o AS (SELECT user_id, tday, f, g,
        |    (user_id % 21 - 10)*tday*10000 + (user_id % 13 - 6)*f
-       |      + (event_id % 7 - 3)*100 AS x
+       |      + (event_id % 7 - 3)*100 AS x,
+       |    (user_id % 17 - 8)*tday*10000 + (user_id % 11 - 5)*g
+       |      + (event_id % 5 - 2)*100 AS y
        |  FROM b JOIN ptrig USING (doy)),
        |a AS (SELECT user_id, COUNT(*) AS n,
        |    CAST(SUM(tday) AS BIGINT) AS st,
        |    CAST(SUM(f) AS BIGINT) AS sf,
+       |    CAST(SUM(g) AS BIGINT) AS sg,
        |    CAST(SUM(tday*tday) AS BIGINT) AS stt,
        |    CAST(SUM(tday*f) AS BIGINT) AS stf,
        |    CAST(SUM(f*f) AS BIGINT) AS sff,
+       |    CAST(SUM(tday*g) AS BIGINT) AS stg,
+       |    CAST(SUM(g*g) AS BIGINT) AS sgg,
        |    CAST(SUM(x) AS BIGINT) AS sx,
        |    CAST(SUM(tday*x) AS BIGINT) AS stx,
-       |    CAST(SUM(f*x) AS BIGINT) AS sfx
+       |    CAST(SUM(f*x) AS BIGINT) AS sfx,
+       |    CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(tday*y) AS BIGINT) AS sty,
+       |    CAST(SUM(g*y) AS BIGINT) AS sgy
        |  FROM o GROUP BY 1),
        |dt AS (SELECT *,
-       |    CAST(n AS DOUBLE)*(CAST(stt AS DOUBLE)*CAST(sff AS DOUBLE)
-       |        - CAST(stf AS DOUBLE)*CAST(stf AS DOUBLE))
-       |      - CAST(st AS DOUBLE)*(CAST(st AS DOUBLE)*CAST(sff AS DOUBLE)
-       |        - CAST(stf AS DOUBLE)*CAST(sf AS DOUBLE))
-       |      + CAST(sf AS DOUBLE)*(CAST(st AS DOUBLE)*CAST(stf AS DOUBLE)
-       |        - CAST(stt AS DOUBLE)*CAST(sf AS DOUBLE)) AS det_m,
-       |    CAST(n AS DOUBLE)*(CAST(stx AS DOUBLE)*CAST(sff AS DOUBLE)
-       |        - CAST(stf AS DOUBLE)*CAST(sfx AS DOUBLE))
-       |      - CAST(sx AS DOUBLE)*(CAST(st AS DOUBLE)*CAST(sff AS DOUBLE)
-       |        - CAST(stf AS DOUBLE)*CAST(sf AS DOUBLE))
-       |      + CAST(sf AS DOUBLE)*(CAST(st AS DOUBLE)*CAST(sfx AS DOUBLE)
-       |        - CAST(stx AS DOUBLE)*CAST(sf AS DOUBLE)) AS det_b,
-       |    CAST(n AS DOUBLE)*(CAST(stt AS DOUBLE)*CAST(sfx AS DOUBLE)
-       |        - CAST(stx AS DOUBLE)*CAST(stf AS DOUBLE))
-       |      - CAST(st AS DOUBLE)*(CAST(st AS DOUBLE)*CAST(sfx AS DOUBLE)
-       |        - CAST(stx AS DOUBLE)*CAST(sf AS DOUBLE))
-       |      + CAST(sx AS DOUBLE)*(CAST(st AS DOUBLE)*CAST(stf AS DOUBLE)
-       |        - CAST(stt AS DOUBLE)*CAST(sf AS DOUBLE)) AS det_p
+       |    ${cramer3Sql("sf", "stf", "sff", "sx", "stx", "sfx", "")},
+       |    ${cramer3Sql("sg", "stg", "sgg", "sy", "sty", "sgy", "d")}
        |  FROM a)
-       |SELECT user_id, n, sx, stx, sfx, det_m,
+       |SELECT user_id, n, sx, stx, sfx, sy, sty, sgy, det_m, det_md,
        |  CASE WHEN n > 3 AND det_m <> CAST(0.0 AS DOUBLE)
-       |    THEN det_b / det_m END AS pm_fit,
+       |    THEN det_b / det_m END AS pm_ra_fit,
        |  CASE WHEN n > 3 AND det_m <> CAST(0.0 AS DOUBLE)
-       |    THEN det_p / det_m END AS plx_fit
+       |    THEN det_p / det_m END AS plx_ra_fit,
+       |  CASE WHEN n > 3 AND det_md <> CAST(0.0 AS DOUBLE)
+       |    THEN det_bd / det_md END AS pm_dec_fit,
+       |  CASE WHEN n > 3 AND det_md <> CAST(0.0 AS DOUBLE)
+       |    THEN det_pd / det_md END AS plx_dec_fit
        |FROM dt ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------

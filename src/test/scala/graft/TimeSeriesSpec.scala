@@ -127,53 +127,69 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
-  test("q_parallax recovers a planted noise-free parallax EXACTLY; degenerate and collinear systems carry nulls") {
+  test("q_parallax recovers a planted noise-free parallax EXACTLY on both coordinates; degenerate and collinear systems carry nulls") {
     import spark.implicits._
-    // noise-free x = a + b·t + p·f with tiny values: every double
-    // product in the Cramer chain is exact, and det multilinearity
-    // (the x column is an exact combination of the design columns)
-    // gives det_b = b·det_m and det_p = p·det_m — so the fit must
-    // return b and p EXACTLY, not approximately
+    // noise-free x = a + b·t + p·f (and y = a2 + b2·t + p2·g) with
+    // tiny values: every double product in the Cramer chain is exact,
+    // and det multilinearity (the data column is an exact combination
+    // of the design columns) gives det_b = b·det_m and det_p =
+    // p·det_m — so BOTH fits must return their parameters EXACTLY
     val plant = for {
-      (uid, a, b, p) <- Seq((1L, 7L, 3L, 5L), (2L, -4L, 2L, -6L))
-      (t, f) <- Seq((0L, 10L), (1L, 14L), (2L, 6L), (3L, -9L), (4L, -13L))
-    } yield (uid, t, f, a + b * t + p * f)
+      (uid, a, b, p, a2, b2, p2) <-
+        Seq((1L, 7L, 3L, 5L, -2L, 1L, 4L), (2L, -4L, 2L, -6L, 3L, -1L, 7L))
+      (t, f, g) <- Seq((0L, 10L, -7L), (1L, 14L, 8L), (2L, 6L, -2L),
+        (3L, -9L, 12L), (4L, -13L, 3L))
+    } yield (uid, t, f, a + b * t + p * f, g, a2 + b2 * t + p2 * g)
     val got = queries.TimeSeries.parallaxFitOver(
-      plant.toDF("user_id", "tday", "f", "x")).collect()
+      plant.toDF("user_id", "tday", "f", "x", "g", "y")).collect()
       .map(r => r.getLong(0) -> r).toMap
-    assert(got(1L).getAs[Double]("pm_fit") == 3.0 &&
-      got(1L).getAs[Double]("plx_fit") == 5.0, s"fit ${got(1L)}")
-    assert(got(2L).getAs[Double]("pm_fit") == 2.0 &&
-      got(2L).getAs[Double]("plx_fit") == -6.0, s"fit ${got(2L)}")
-    assert(got.values.forall(_.getAs[Double]("det_m") != 0.0))
-    // n <= 3 cannot constrain three parameters → nulls
+    assert(got(1L).getAs[Double]("pm_ra_fit") == 3.0 &&
+      got(1L).getAs[Double]("plx_ra_fit") == 5.0 &&
+      got(1L).getAs[Double]("pm_dec_fit") == 1.0 &&
+      got(1L).getAs[Double]("plx_dec_fit") == 4.0, s"fit ${got(1L)}")
+    assert(got(2L).getAs[Double]("pm_ra_fit") == 2.0 &&
+      got(2L).getAs[Double]("plx_ra_fit") == -6.0 &&
+      got(2L).getAs[Double]("pm_dec_fit") == -1.0 &&
+      got(2L).getAs[Double]("plx_dec_fit") == 7.0, s"fit ${got(2L)}")
+    assert(got.values.forall(r => r.getAs[Double]("det_m") != 0.0 &&
+      r.getAs[Double]("det_md") != 0.0))
+    // n <= 3 cannot constrain three parameters → nulls on both sides
     val deg = queries.TimeSeries.parallaxFitOver(
-      Seq((9L, 0L, 1L, 1L), (9L, 1L, 2L, 2L), (9L, 2L, 4L, 3L))
-        .toDF("user_id", "tday", "f", "x")).collect().head
-    assert(deg.isNullAt(deg.fieldIndex("pm_fit")) &&
-      deg.isNullAt(deg.fieldIndex("plx_fit")), "n<=3 must not fit")
-    // an exactly collinear parallax factor (f = 2·t) has det_m = 0:
-    // the fit must refuse rather than divide by zero
+      Seq((9L, 0L, 1L, 1L, 2L, 1L), (9L, 1L, 2L, 2L, 5L, 2L),
+        (9L, 2L, 4L, 3L, 3L, 3L))
+        .toDF("user_id", "tday", "f", "x", "g", "y")).collect().head
+    assert(deg.isNullAt(deg.fieldIndex("pm_ra_fit")) &&
+      deg.isNullAt(deg.fieldIndex("plx_ra_fit")) &&
+      deg.isNullAt(deg.fieldIndex("plx_dec_fit")), "n<=3 must not fit")
+    // an exactly collinear ra factor (f = 2·t) has det_m = 0: the ra
+    // fit must refuse — while the independent dec system, whose g is
+    // NOT collinear, still fits (the two coordinates are separate
+    // normal systems by construction)
     val col0 = queries.TimeSeries.parallaxFitOver(
-      (0L to 5L).map(t => (8L, t, 2L * t, 3L + t))
-        .toDF("user_id", "tday", "f", "x")).collect().head
+      (0L to 5L).map(t => (8L, t, 2L * t, 3L + t, (t * t) % 7, t))
+        .toDF("user_id", "tday", "f", "x", "g", "y")).collect().head
     assert(col0.getAs[Double]("det_m") == 0.0 &&
-      col0.isNullAt(col0.fieldIndex("plx_fit")), "collinear must not fit")
+      col0.isNullAt(col0.fieldIndex("plx_ra_fit")), "collinear must not fit")
+    assert(col0.getAs[Double]("det_md") != 0.0 &&
+      !col0.isNullAt(col0.fieldIndex("plx_dec_fit")),
+      "dec system must fit independently of the ra collinearity")
     // corpus sanity through the registered entry: every object fits
-    // (30 observing days, non-degenerate annual factors) and the
-    // planted per-object parallax amplitude is recovered to within
-    // the jitter-driven tolerance
+    // (30 observing days, non-degenerate annual factors) and both
+    // planted per-object parallax amplitudes are recovered to within
+    // the jitter-driven tolerance (1.5 table-scale units: the
+    // deterministic ±300/±200 jitters against a near-collinear
+    // month-long annual factor leave a measured worst case of ~1.1
+    // at sf0.001 — the fits are unbiased, the corpus window is just
+    // short of a year)
     val real = queries.TimeSeries.qParallax(spark, sf).collect()
     assert(real.nonEmpty)
     for (r <- real) {
       val uid = r.getAs[Long]("user_id")
-      assert(!r.isNullAt(r.fieldIndex("plx_fit")), s"object $uid no fit")
-      // 1.5 table-scale units: the deterministic ±300 jitter against
-      // a near-collinear (month-long) annual factor leaves a measured
-      // worst case of 1.07 at sf0.001 — the fit is unbiased, the
-      // corpus window is just short of a year
-      assert(math.abs(r.getAs[Double]("plx_fit") - (uid % 13 - 6)) < 1.5,
-        s"object $uid plx ${r.getAs[Double]("plx_fit")} vs ${uid % 13 - 6}")
+      assert(!r.isNullAt(r.fieldIndex("plx_ra_fit")), s"object $uid no fit")
+      assert(math.abs(r.getAs[Double]("plx_ra_fit") - (uid % 13 - 6)) < 1.5,
+        s"object $uid plx_ra ${r.getAs[Double]("plx_ra_fit")} vs ${uid % 13 - 6}")
+      assert(math.abs(r.getAs[Double]("plx_dec_fit") - (uid % 11 - 5)) < 1.5,
+        s"object $uid plx_dec ${r.getAs[Double]("plx_dec_fit")} vs ${uid % 11 - 5}")
     }
   }
 
