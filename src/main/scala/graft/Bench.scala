@@ -355,6 +355,10 @@ object Bench {
     // never a fact-table sort), Q19 (the part-side implicate of the
     // disjunction must stay pushed into the part scan)
     "q_nation_trade", "q_returned_customers", "q_promo_parts",
+    // Q17: the correlated per-part average must stay a decorrelated
+    // aggregate of the pinned brand sliver — a blowup means the
+    // sliver re-derived per side or the avg became a window
+    "q_small_quantity",
     "q_tracklets", "q_track_chains",
     // the per-track motion fit (r17): rides the same pinned pair
     // sliver as the chain census plus ONE detection-table equi-join —

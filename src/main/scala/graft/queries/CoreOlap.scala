@@ -374,6 +374,68 @@ object CoreOlap {
     * legs win ties exactly as the fold's otherwise-chain does (legs
     * are brand-disjoint, so no tie exists; the order is pinned anyway
     * for safety). */
+  /** Brand of the small-quantity audit — 13/142 brand lineitems
+    * qualify at sf0.001, 217/2378 at sf0.01 (binding both ways). */
+  private[graft] val SmallQtyBrand = "Brand#7"
+
+  /** Small-quantity-order revenue audit (the TPC-H Q17 shape): for
+    * one brand's parts, the revenue locked in lineitems whose
+    * quantity sits under 20% of THAT PART's average quantity — the
+    * correlated aggregate ON THE FACT TABLE keyed back to the fact
+    * row (vs [[qCorrSubquery]]'s dim-side decorrelation: there the
+    * comparison set is a 25-row brand dim; here it is a per-part
+    * aggregate of the fact sliver itself). The 0.2·avg comparison is
+    * held in EXACT integer space — `5·qty_c100·n_q < Σqty_c100`
+    * (0.2 = 1/5 exactly) — so no division or rounding exists in the
+    * predicate on either engine.
+    *
+    * Scale shape: the brand prunes the part dim to a ~|parts|/25
+    * sliver that joins the fact ONCE (AQE broadcasts it); the
+    * correlated subquery decorrelates to a combinable per-part
+    * aggregate OF THAT SAME SLIVER (never a second fact scan — the
+    * sliver is localCheckpoint-pinned so the self-join's two readers
+    * share one materialization), joined back on the part key; the
+    * report is a single global row. */
+  def qSmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pb = Tables.part(s, dir).filter($"p_brand" === SmallQtyBrand)
+      .select($"p_partkey")
+    val li = Tables.lineitem(s, dir)
+      .select($"l_partkey",
+        round($"l_quantity" * 100).cast("long").as("qc100"),
+        $"l_extendedprice")
+      .join(pb, $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"qc100", $"l_extendedprice")
+      .localCheckpoint()
+    val av = li.groupBy($"l_partkey")
+      .agg(sum($"qc100").as("sq"), count(lit(1)).as("nq"))
+    li.join(av, Seq("l_partkey"))
+      .filter($"qc100" * $"nq" * 5 < $"sq")
+      .agg(count(lit(1)).as("n_small"),
+        sumScaled($"l_extendedprice", 100L).as("total_price"))
+      .withColumn("avg_yearly", $"total_price" / 7.0)
+  }
+
+  /** Oracle twin: the identical exact-integer fifth-of-average
+    * predicate over the brand sliver. */
+  val qSmallQuantitySql: String =
+    s"""WITH pb AS (SELECT p_partkey FROM part
+       |  WHERE p_brand = '$SmallQtyBrand'),
+       |li AS (SELECT l_partkey,
+       |    CAST(ROUND(l_quantity*100) AS BIGINT) AS qc100,
+       |    l_extendedprice
+       |  FROM lineitem JOIN pb ON p_partkey = l_partkey),
+       |av AS (SELECT l_partkey, CAST(SUM(qc100) AS BIGINT) AS sq,
+       |    COUNT(*) AS nq
+       |  FROM li GROUP BY 1)
+       |SELECT COUNT(*) AS n_small,
+       |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+       |    /100.0 AS total_price,
+       |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+       |    /100.0 / 7.0 AS avg_yearly
+       |FROM li JOIN av USING (l_partkey)
+       |WHERE qc100 * nq * 5 < sq""".stripMargin
+
   val qPromoPartsSql: String = {
     val cases = PromoLegs.zipWithIndex.reverse.map {
       case ((brand, szMax, qLo, qHi), i) =>
@@ -1598,6 +1660,7 @@ object CoreOlap {
     "q_nation_trade" -> (qNationTrade _),
     "q_returned_customers" -> (qReturnedCustomers _),
     "q_promo_parts" -> (qPromoParts _),
+    "q_small_quantity" -> (qSmallQuantity _),
     "q_window_topn" -> (qWindowTopn _),
     "q_window_running" -> (qWindowRunning _),
     "q_distinct_count" -> (qDistinctCount _),
@@ -1642,6 +1705,7 @@ object CoreOlap {
     "q_nation_trade" -> qNationTradeSql,
     "q_returned_customers" -> qReturnedCustomersSql,
     "q_promo_parts" -> qPromoPartsSql,
+    "q_small_quantity" -> qSmallQuantitySql,
     "q_window_topn" -> qWindowTopnSql,
     "q_distinct_count" -> qDistinctCountSql,
     "q_percentiles" -> qPercentilesSql,

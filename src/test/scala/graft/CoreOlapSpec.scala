@@ -463,6 +463,38 @@ class CoreOlapSpec extends AnyFunSuite {
       s"limit not resolved by TakeOrdered:\n$plan")
   }
 
+  test("q_small_quantity equals the LITERAL correlated-average recompute; the fifth-of-average gate binds") {
+    val q = queries.CoreOlap
+    def r0(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val brandParts = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_brand").collect()
+      .filter(_.getString(1) == q.SmallQtyBrand).map(_.getLong(0)).toSet
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .filter(r => brandParts(r.getLong(0)))
+      .map(r => (r.getLong(0), r0(r.getDouble(1) * 100),
+        r0(r.getDouble(2) * 100)))
+    // the LITERAL correlated form: each row compared against ITS
+    // part's average quantity, recomputed per row
+    val byPart = li.groupBy(_._1)
+    val small = li.filter { case (pk, qc, _) =>
+      val rows = byPart(pk)
+      // qc < 0.2 * avg  ⇔  5*qc*n < Σqc  (exact integers)
+      5L * qc * rows.length < rows.map(_._2).sum
+    }
+    val r = q.qSmallQuantity(spark, sf).collect().head
+    assert(r.getAs[Long]("n_small") == small.length.toLong,
+      s"n_small ${r.getAs[Long]("n_small")} != ${small.length}")
+    assert(r.getAs[Double]("total_price") ==
+      small.map(_._3).sum / 100.0, "total_price")
+    assert(r.getAs[Double]("avg_yearly") ==
+      small.map(_._3).sum / 100.0 / 7.0, "avg_yearly")
+    // binding both ways: some brand lineitems qualify, most do not
+    assert(small.nonEmpty && small.length < li.length,
+      s"gate does not bind: ${small.length}/${li.length}")
+  }
+
   test("q_promo_parts equals the per-leg recompute; the part-side implicate pushes into the part scan") {
     val q = queries.CoreOlap
     def r4c(x: Double): Long =
