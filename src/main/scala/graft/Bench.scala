@@ -248,10 +248,13 @@ object Bench {
     // the antiphase readout became a join or second pass
     "q_secondary_eclipse",
     // r18: the injection-recovery completeness census — the same one
-    // wide BLS aggregate over a bounded ~5.25x augmented series;
+    // wide BLS aggregate over a bounded ~6.75x augmented series;
     // regresses if the injection explode stops combining map-side or
     // the census grows a second corpus pass
     "q_transit_recovery",
+    // and the vetting's twin-dip census — the secondary-eclipse wide
+    // aggregate over a x6 augmented series; same regression modes
+    "q_eb_recovery",
     // Lafler-Kinman — the lag window must SHARE the (object, period)
     // shuffle with the sums aggregate; regresses if a second
     // exchange appears between them

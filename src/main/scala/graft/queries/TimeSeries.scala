@@ -1685,8 +1685,12 @@ object TimeSeries {
     * chains. A missing `wagg` row IS the empty opposite box (only
     * occupied windows exist there), so the LEFT JOIN's null matches
     * the plan's nw2 = 0 guard. */
-  val qSecondaryEclipseSql: String =
-    s"""WITH ${blsCtesFor(" AND d < 0")},
+  /** The dip-restricted BLS chain + antiphase self-join + depth/ratio
+    * readout through CTE `fin`, parameterized over the `ev` source —
+    * ONE copy shared by [[qSecondaryEclipseSql]] (raw events) and
+    * [[qEbRecoverySql]] (the twin-dip-augmented series). */
+  private def secondaryCtesOver(evSql: String): String =
+    s"""${blsCtesOver(" AND d < 0", evSql)},
        |best AS (SELECT user_id, p_us, ws, ww, nw, sw, n, sx, pwr
        |  FROM r WHERE rn = 1),
        |sec AS (SELECT b.*, w2.nw AS nw2, w2.sw AS sw2
@@ -1703,11 +1707,163 @@ object TimeSeries {
        |      CAST(sw2 AS DOUBLE) / CAST(nw2 AS DOUBLE)
        |        - CAST(sx - sw2 AS DOUBLE) / CAST(n - nw2 AS DOUBLE)
        |    END AS sec_depth_c100
-       |  FROM sec)
-       |SELECT *, sec_depth_c100 / depth_c100 AS sec_ratio,
+       |  FROM sec),
+       |fin AS (SELECT *, sec_depth_c100 / depth_c100 AS sec_ratio,
        |  COALESCE(CAST(sec_depth_c100 / depth_c100
        |    >= CAST($EbRatioMin AS DOUBLE) AS INT), 0) AS eb_candidate
-       |FROM dp ORDER BY user_id""".stripMargin
+       |  FROM dp)""".stripMargin
+
+  private val blsStdEvSql: String =
+    """SELECT user_id, epoch_us(ts) AS tus,
+      |    CAST(ROUND(value*100) AS BIGINT) AS xc
+      |  FROM events WHERE user_id IS NOT NULL""".stripMargin
+
+  val qSecondaryEclipseSql: String =
+    s"""WITH ${secondaryCtesOver(blsStdEvSql)}
+       |SELECT * FROM fin ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Injection grid of the eclipsing-binary vetting census: primary
+    * depths (c100) × secondary-to-primary ratios (permille). The
+    * ratios bracket [[EbRatioMin]] = 100‰: 0 is the planet-like
+    * control (no secondary — flags there are the vetting's
+    * false-positive rate against the corpus variability), 50 sits
+    * under the threshold, 500 is an unmistakable binary (UNEQUAL
+    * deliberately — equal twin dips alias the BLS argmax to P/2
+    * perfectly and the "secondary" vanishes into the primary
+    * window). Every injected value stays exact: depth·ratio is
+    * divisible by 1000 for every grid cell. */
+  private[graft] val EbInjDepths: Seq[Long] = Seq(4000L, 12000L)
+  private[graft] val EbInjRatiosPm: Seq[Long] = Seq(0L, 50L, 500L)
+  private[graft] val ebInjCells: Seq[(Long, Long, Long)] =
+    for {
+      (dp, di) <- EbInjDepths.zipWithIndex
+      (rp, ri) <- EbInjRatiosPm.zipWithIndex
+    } yield ((di * EbInjRatiosPm.size + ri).toLong, dp, rp)
+
+  /** Injection-recovery census of the ECLIPSING-BINARY vetting — the
+    * ground-truth telemetry for [[qSecondaryEclipse]]'s `eb_candidate`
+    * flag (the [[qTransitRecovery]] discipline one step downstream:
+    * that census grades the DETECTION gate, this one grades the
+    * VETTING decision detection hands its candidates to): per grid
+    * cell a primary box dip of the given depth is injected into every
+    * real light curve AND a secondary dip of the given permille ratio
+    * at the EXACT antiphase (start bin + [[BlsBins]]/2, same width —
+    * the geometry the vetting reads), the augmented series runs
+    * through the REAL [[secondaryEclipseOver]] readout plus the
+    * transit gates, and the cell reports how many gated candidates
+    * the vetting flagged as binaries. The ratio-0 row is the control:
+    * its flags are pure false positives from corpus variability at
+    * antiphase; the 500‰ row should flag nearly every recovered
+    * candidate; 50‰ sits under [[EbRatioMin]] and must flag like the
+    * control, not like the binary row.
+    *
+    * Scale shape: ONE corpus pass builds the augmented series (a
+    * bounded ×6 explode, map-side), the readout is
+    * [[qSecondaryEclipse]]'s one wide combinable aggregate over it,
+    * the injected census is one distinct on the raw series attached
+    * as a broadcast scalar, and the tallies/zero-fill run on the
+    * 6-row cell literal. */
+  def qEbRecovery(s: SparkSession, dir: String): DataFrame =
+    ebRecoveryOver(series(s, dir))
+
+  /** Census body over any (user_id, event_id, tus, xc) series frame —
+    * factored so the spec can drive a constant-flux fixture (where
+    * the vetting's answer is knowable exactly) through the real
+    * plan. */
+  private[graft] def ebRecoveryOver(ser: DataFrame): DataFrame = {
+    val s = ser.sparkSession
+    import s.implicits._
+    val nc = ebInjCells.size.toLong
+    val nb = BlsBins
+    val aug = ser
+      .filter($"user_id".isNotNull)
+      .withColumn("c", explode(typedLit(ebInjCells)))
+      .withColumn("p_inj",
+        element_at(typedLit(PeriodGridUs), ($"user_id" % 16).cast("int") + 1))
+      .withColumn("off",
+        (expr(s"((tus % p_inj) * $nb) DIV p_inj") -
+          $"user_id" % nb + nb) % nb)
+      .withColumn("w_inj", lit(1L) + $"user_id" % BlsMaxW)
+      .withColumn("dip",
+        when($"off" < $"w_inj", $"c._2")
+          .when($"off" >= nb / 2 && $"off" < lit((nb / 2).toLong) + $"w_inj",
+            expr("c._2 * c._3 DIV 1000"))
+          .otherwise(lit(0L)))
+      .select(($"user_id" * nc + $"c._1").as("user_id"), $"tus",
+        ($"xc" - $"dip").as("xc"))
+    val gated = secondaryEclipseOver(aug)
+      .filter($"bls_power" >= TransitPowerMin && $"depth_c100" < 0.0 &&
+        $"n_epochs" >= TransitMinEpochs)
+      .withColumn("cell", $"user_id" % nc)
+      .withColumn("orig", expr(s"user_id DIV $nc"))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_gated"),
+        sum($"eb_candidate".cast("long")).as("n_eb"),
+        sum(when($"best_p_us" === element_at(typedLit(PeriodGridUs),
+          ($"orig" % 16).cast("int") + 1), 1L).otherwise(0L)).as("n_exact"))
+    val inj = ser.filter($"user_id".isNotNull)
+      .agg(countDistinct($"user_id").as("n_injected"))
+    ebInjCells.toDF("cell", "depth_c100", "ratio_pm")
+      .join(gated, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_gated", "n_eb", "n_exact"))
+      .crossJoin(broadcast(inj))
+      .select($"depth_c100", $"ratio_pm", $"n_injected", $"n_gated",
+        $"n_exact", $"n_eb",
+        expr("1000 * n_eb DIV GREATEST(n_gated, 1)").as("eb_permille"))
+      .orderBy($"depth_c100", $"ratio_pm")
+  }
+
+  /** Oracle twin: the twin-dip-augmented series spliced as the
+    * secondary-eclipse CTE chain's `ev` source (ONE copy via
+    * [[secondaryCtesOver]]), the same transit gates, then the cell
+    * decode / zero-filled tallies. */
+  val qEbRecoverySql: String = {
+    val nc = ebInjCells.size
+    val grid = PeriodGridUs.mkString(", ")
+    val cellL = ebInjCells.map(_._1).mkString(", ")
+    val depL = ebInjCells.map(_._2).mkString(", ")
+    val ratL = ebInjCells.map(_._3).mkString(", ")
+    val augEv =
+      s"""SELECT b.user_id * $nc + c.cell AS user_id, b.tus,
+         |    b.xc - (CASE WHEN off < w THEN c.dep
+         |      WHEN off >= ${BlsBins / 2} AND off < ${BlsBins / 2} + w
+         |        THEN c.dep * c.rpm // 1000
+         |      ELSE 0 END) AS xc
+         |  FROM (SELECT user_id, tus, xc,
+         |      ((((tus % p_inj) * $BlsBins) // p_inj)
+         |        - (user_id % $BlsBins) + $BlsBins) % $BlsBins AS off,
+         |      1 + user_id % $BlsMaxW AS w
+         |    FROM (SELECT user_id, epoch_us(ts) AS tus,
+         |        CAST(ROUND(value*100) AS BIGINT) AS xc,
+         |        list_extract([$grid],
+         |          CAST(user_id % 16 AS INT) + 1) AS p_inj
+         |      FROM events WHERE user_id IS NOT NULL)) b
+         |  CROSS JOIN (SELECT unnest([$cellL]) AS cell,
+         |      unnest([$depL]) AS dep, unnest([$ratL]) AS rpm) c""".stripMargin
+    s"""WITH ${secondaryCtesOver(augEv)},
+       |g AS (SELECT * FROM fin
+       |  WHERE bls_power >= CAST($TransitPowerMin AS DOUBLE)
+       |    AND depth_c100 < 0 AND n_epochs >= $TransitMinEpochs),
+       |rec AS (SELECT user_id % $nc AS cell, COUNT(*) AS n_gated,
+       |    CAST(SUM(eb_candidate) AS BIGINT) AS n_eb,
+       |    CAST(SUM(CASE WHEN best_p_us = list_extract([$grid],
+       |        CAST((user_id // $nc) % 16 AS INT) + 1)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+       |  FROM g GROUP BY 1),
+       |inj AS (SELECT COUNT(DISTINCT user_id) AS n_injected
+       |  FROM events WHERE user_id IS NOT NULL),
+       |cl AS (SELECT unnest([$cellL]) AS cell,
+       |    unnest([$depL]) AS depth_c100, unnest([$ratL]) AS ratio_pm)
+       |SELECT depth_c100, ratio_pm, n_injected,
+       |  COALESCE(n_gated, 0) AS n_gated,
+       |  COALESCE(n_exact, 0) AS n_exact,
+       |  COALESCE(n_eb, 0) AS n_eb,
+       |  1000 * COALESCE(n_eb, 0) // GREATEST(COALESCE(n_gated, 0), 1)
+       |    AS eb_permille
+       |FROM cl LEFT JOIN rec USING (cell) CROSS JOIN inj
+       |ORDER BY depth_c100, ratio_pm""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   /** Injection grid of the transit completeness census: box depths in
@@ -4513,6 +4669,7 @@ object TimeSeries {
     "q_parallax" -> (qParallax _),
     "q_transit_recovery" -> (qTransitRecovery _),
     "q_lc_stream_batches" -> (qLcStreamBatches _),
+    "q_eb_recovery" -> (qEbRecovery _),
     "q_mad" -> (qMad _),
     "q_crossband_corr" -> (qCrossbandCorr _),
     "q_value_drift" -> (qValueDrift _),
@@ -4579,6 +4736,7 @@ object TimeSeries {
     "q_parallax" -> qParallaxSql,
     "q_transit_recovery" -> qTransitRecoverySql,
     "q_lc_stream_batches" -> qLcStreamBatchesSql,
+    "q_eb_recovery" -> qEbRecoverySql,
     "q_mad" -> qMadSql,
     "q_crossband_corr" -> qCrossbandCorrSql,
     "q_value_drift" -> qValueDriftSql,

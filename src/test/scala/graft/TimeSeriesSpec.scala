@@ -1695,6 +1695,51 @@ class TimeSeriesSpec extends AnyFunSuite {
         "half cadence must sit under the 60-epoch floor at sf0.001")
   }
 
+  test("q_eb_recovery: on a constant-flux fixture the vetting flags exactly the true-binary cells") {
+    import spark.implicits._
+    val q = queries.TimeSeries
+    // two constant-flux objects; uids chosen so (a) injected widths
+    // are ≥2 and (b) neither p_inj/2 nor any alias can absorb the
+    // twin dips into one ≤3-bin window (uid 1 → 3 h, uid 8 → 36 h;
+    // both halves sit off the grid), so the argmax lands on the
+    // injected primary and the antiphase box reads the injected
+    // secondary EXACTLY:
+    //  - ratio 0:   the antiphase box holds base flux; against an
+    //    out-mass containing the primary dip its depth is POSITIVE →
+    //    never flagged (a planet can't fake a binary here)
+    //  - ratio 50‰: sec_depth = −0.05·D + D·n1/(n0+n1) is still
+    //    positive at the ~12% window duty → not flagged
+    //  - ratio 500‰: a true binary → flagged, every cell
+    val rows = for {
+      uid <- Seq(1L, 8L)
+      i <- 0 until 96
+    } yield (uid, i.toLong, i.toLong * 7919000000L, 1000L)
+    val got = q.ebRecoveryOver(
+      rows.toDF("user_id", "event_id", "tus", "xc")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(got.keySet == (for {
+      d <- q.EbInjDepths; rp <- q.EbInjRatiosPm
+    } yield (d, rp)).toSet)
+    for (((d, rp), r) <- got) {
+      assert(r.getAs[Long]("n_injected") == 2L)
+      assert(r.getAs[Long]("n_gated") == 2L, s"cell ($d,$rp) gated")
+      assert(r.getAs[Long]("n_exact") == 2L,
+        s"cell ($d,$rp) argmax off the injected period")
+      val expEb = if (rp == 500L) 2L else 0L
+      assert(r.getAs[Long]("n_eb") == expEb,
+        s"cell ($d,$rp) n_eb ${r.getAs[Long]("n_eb")} != $expEb")
+      assert(r.getAs[Long]("eb_permille") == (if (rp == 500L) 1000L else 0L))
+    }
+    // corpus behavior: once detection is secure (deep primary), the
+    // control row must not out-flag the true-binary row
+    val real = q.qEbRecovery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val deep = q.EbInjDepths.max
+    assert(real((deep, 500L)).getAs[Long]("eb_permille") >
+      real((deep, 0L)).getAs[Long]("eb_permille"),
+      "vetting does not separate binaries from the control at the deep depth")
+  }
+
   test("q_transit_candidates keeps a planted eclipse and rejects a bright-box decoy through the dip-only argmax") {
     import spark.implicits._
     val q = queries.TimeSeries
