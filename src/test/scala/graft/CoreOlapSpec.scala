@@ -525,13 +525,27 @@ class CoreOlapSpec extends AnyFunSuite {
     assert(got.keySet == q.PromoLegs.indices.map(_.toLong).toSet,
       "a leg selected nothing at sf0.001")
     // the scale claim: Catalyst derives the part-only implicate of
-    // the disjunction and pushes it to the part scan — the brands
-    // must appear in the scan's pushed filters, so the join's build
-    // side is the qualifying sliver, not the part table
-    val plan = df.queryExecution.executedPlan.toString
-    val scanLine = plan.linesIterator.find(l =>
-      l.contains("part.parquet") && l.contains("PushedFilters"))
-    assert(scanLine.exists(l => l.contains("Brand#")),
-      s"part-side implicate not pushed to the part scan:\n$plan")
+    // the disjunction and pushes it INTO the part scan node — the
+    // brand predicate must sit in the scan's dataFilters, so the
+    // join's build side is the qualifying sliver, not the part
+    // table. Structural walk (AQE off so the tree is plain), not a
+    // plan-string grep: long filter lists truncate in toString under
+    // suite orderings and a string pin flakes (seen in-suite r18)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df2 = q.qPromoParts(spark, sf)
+      df2.collect()
+      val scans = df2.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("part.parquet")) => f
+      }
+      assert(scans.nonEmpty, "no part scan in the plan")
+      assert(scans.exists(_.dataFilters.exists(
+        _.references.exists(_.name == "p_brand"))),
+        "part-side implicate not pushed into the part scan: " +
+          scans.map(_.dataFilters.mkString(", ")).mkString(" | "))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }
