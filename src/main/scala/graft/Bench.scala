@@ -118,6 +118,10 @@ object Bench {
     // Cramer chain); a blowup means the trig lookup left codegen or
     // the reduced frame grew a join
     "q_parallax",
+    // r19: the fit's goodness-of-fit twin — the same one-exchange
+    // 17-sum aggregate + per-row residual chains; must bench
+    // ~q_parallax (a blowup means the RSS grew a residual pass)
+    "q_astrom_chi2",
     // offset-free span dedup — the ×L window explode through the
     // fp-keyed rank; the most expensive text pass by design, watch
     // that the window stays fp-partitioned (a doc-keyed sort here
@@ -255,6 +259,11 @@ object Bench {
     // and the vetting's twin-dip census — the secondary-eclipse wide
     // aggregate over a x6 augmented series; same regression modes
     "q_eb_recovery",
+    // r19: the censuses' registered 25% md5 object samples — each
+    // must bench WELL below its full census (the predicate sits on
+    // the series scan, below the injection explode; a near-equal
+    // time means the sample stopped pruning the augmented build)
+    "q_transit_recovery_sampled", "q_eb_recovery_sampled",
     // Lafler-Kinman — the lag window must SHARE the (object, period)
     // shuffle with the sums aggregate; regresses if a second
     // exchange appears between them
@@ -362,6 +371,22 @@ object Bench {
     // aggregate of the pinned brand sliver — a blowup means the
     // sliver re-derived per side or the avg became a window
     "q_small_quantity",
+    // r19: the remaining classic report shapes, completing the
+    // Q1-Q22 family. Q2: the correlated MIN must stay ONE link
+    // aggregate + witness join (a blowup means the subquery
+    // re-correlated per part); Q4: the EXISTS must stay LeftSemi
+    // (never an inner join + distinct); Q6: pure scan-local — any
+    // exchange beyond the 1-row aggregate is a regression; Q8/Q9:
+    // dim slivers must shrink their fact side BEFORE the fact joins;
+    // Q12/Q14: one conditional aggregate, no second pass for the
+    // denominators; Q15: the scalar max must broadcast onto the
+    // reduced supplier frame (never a global window); Q16: the
+    // NOT-IN must stay a broadcast LeftAnti; Q20: the (part,supp)
+    // aggregate is pinned — a blowup means the fact scanned twice
+    "q_min_acct_supplier", "q_order_priority", "q_revenue_forecast",
+    "q_market_share", "q_nation_profit", "q_shipmode_priority",
+    "q_promo_revenue", "q_top_supplier", "q_part_supplier_census",
+    "q_dominant_suppliers",
     "q_tracklets", "q_track_chains",
     // the per-track motion fit (r17): rides the same pinned pair
     // sliver as the chain census plus ONE detection-table equi-join —

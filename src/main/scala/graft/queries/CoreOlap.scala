@@ -292,7 +292,7 @@ object CoreOlap {
       .select($"o_orderkey", $"o_custkey")
     li.join(ord, $"l_orderkey" === $"o_orderkey")
       .join(Tables.customer(s, dir)
-        .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey"),
+        .select($"c_custkey", $"c_name", $"c_nationkey"),
         $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables.nation(s, dir)
         .select($"n_nationkey", $"n_name")),
@@ -451,6 +451,533 @@ object CoreOlap {
        |WHERE leg IS NOT NULL
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  // ---------------------------------------------------------------
+  /** The Q2 sliver: STANDARD small parts, suppliers of one region —
+    * 7 link rows at sf0.001, 336 at sf0.01, both reduced further by
+    * the correlated MIN. */
+  private[graft] val MinAcctPartType = "STANDARD"
+  private[graft] val MinAcctSizeMax = 10
+  private[graft] val MinAcctRegion = "ASIA"
+
+  /** Minimum-balance regional supplier per part (the TPC-H Q2 shape:
+    * the correlated scalar-MIN subquery over a region's suppliers).
+    * The corpus carries no partsupp/supplycost, so the part↔supplier
+    * relation is the DISTINCT (l_partkey, l_suppkey) shipping link
+    * and the minimized cost is the supplier account balance in exact
+    * cents — the report keeps Q2's structure (part sliver × regional
+    * suppliers × correlated MIN with every tied witness returned)
+    * with the link aggregate standing in for partsupp.
+    *
+    * Scale shape: the correlated subquery decorrelates into ONE
+    * combinable (part → min acct) aggregate over the doubly-
+    * restricted link sliver (aggregate-then-join, the
+    * [[qLargeOrders]] discipline), and the witness join back on
+    * (part, acct_c100) equality returns ties exactly as the textbook
+    * form does. Nation/region are broadcast dims; the link DISTINCT
+    * is the only fact-table shuffle, and it runs AFTER the part-
+    * sliver semi-restriction so only the sliver's lineitems move. */
+  def qMinAcctSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val regSup = Tables.supplier(s, dir)
+      .select($"s_suppkey", $"s_name", $"s_nationkey",
+        round($"s_acctbal" * 100).cast("long").as("acct_c100"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select($"n_nationkey", $"n_name", $"n_regionkey")),
+        $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir)
+        .filter($"r_name" === MinAcctRegion).select($"r_regionkey")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name", $"n_name", $"acct_c100")
+    val parts = Tables.part(s, dir)
+      .filter($"p_type" === MinAcctPartType && $"p_size" <= MinAcctSizeMax)
+      .select($"p_partkey", $"p_name")
+    val link = Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .join(parts, $"l_partkey" === $"p_partkey")
+      .join(regSup, $"l_suppkey" === $"s_suppkey")
+      .select($"p_partkey", $"p_name", $"s_name", $"n_name", $"acct_c100")
+      .localCheckpoint()
+    val minAcct = link.groupBy($"p_partkey".as("mk"))
+      .agg(min($"acct_c100").as("min_acct"))
+    link.join(minAcct,
+        $"p_partkey" === $"mk" && $"acct_c100" === $"min_acct")
+      .select($"acct_c100", $"s_name", $"n_name", $"p_partkey", $"p_name")
+      .orderBy($"acct_c100".desc, $"s_name", $"p_partkey")
+  }
+
+  /** Oracle twin: the LITERAL correlated scalar-MIN form — proving
+    * the decorrelation equivalent is the point. */
+  val qMinAcctSupplierSql: String =
+    s"""WITH link AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+       |rs AS (SELECT s_suppkey, s_name, n_name,
+       |    CAST(ROUND(s_acctbal*100) AS BIGINT) AS acct_c100
+       |  FROM supplier
+       |  JOIN nation ON n_nationkey = s_nationkey
+       |  JOIN region ON r_regionkey = n_regionkey
+       |  WHERE r_name = '$MinAcctRegion')
+       |SELECT acct_c100, s_name, n_name, p_partkey, p_name
+       |FROM part
+       |JOIN link ON l_partkey = p_partkey
+       |JOIN rs ON s_suppkey = l_suppkey
+       |WHERE p_type = '$MinAcctPartType' AND p_size <= $MinAcctSizeMax
+       |  AND acct_c100 = (SELECT MIN(r2.acct_c100)
+       |    FROM link l2 JOIN rs r2 ON r2.s_suppkey = l2.l_suppkey
+       |    WHERE l2.l_partkey = p_partkey)
+       |ORDER BY acct_c100 DESC, s_name, p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Order-priority checking (the TPC-H Q4 shape: the EXISTS
+    * correlated semi-join counted by priority class). No receipt/
+    * commit dates in the corpus, so the problem-delivery marker is
+    * `l_returnflag = 'R'` (the [[qWaitingSuppliers]] convention): per
+    * priority class, orders of a half-year window with at least one
+    * returned line.
+    *
+    * Scale shape: the EXISTS is a LeftSemi join on the order key —
+    * orders are never duplicated by their multi-line matches, so no
+    * DISTINCT is needed downstream — and the date window prunes the
+    * orders scan BEFORE the join. The report is a 5-key combinable
+    * aggregate. */
+  def qOrderPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ret = Tables.lineitem(s, dir).filter($"l_returnflag" === "R")
+      .select($"l_orderkey")
+    Tables.orders(s, dir)
+      .filter($"o_orderdate" >= ts("1996-01-01") &&
+        $"o_orderdate" < ts("1996-07-01"))
+      .select($"o_orderkey", $"o_orderpriority")
+      .join(ret, $"o_orderkey" === $"l_orderkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Oracle twin: the textbook correlated EXISTS. */
+  val qOrderPrioritySql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Revenue-change forecast (the TPC-H Q6 shape: the pure scan-local
+    * report — one filtered scan, ONE combinable aggregate, no join
+    * anywhere). The discount band is anchored to exact c100 integers
+    * (`round(l_discount*100) BETWEEN 5 AND 7`) rather than comparing
+    * raw doubles against 0.05/0.07 literals — neither bound is
+    * representable in binary and the stored values sit exactly ON the
+    * bounds, so the integer anchor is the only formulation both
+    * engines can't disagree on.
+    *
+    * Scale shape: at 100 TB this is THE predicate-pushdown showcase —
+    * the date window reaches the parquet scan as a pushed filter,
+    * the two value predicates run in the scan stage, and the single
+    * aggregate is map-side partial + one 1-row exchange. */
+  def qRevenueForecast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= ts("1996-01-01") &&
+        $"l_shipdate" < ts("1997-01-01"))
+      .filter(round($"l_discount" * 100).cast("long").between(5, 7) &&
+        $"l_quantity" < 24)
+      .agg(count(lit(1)).as("n_items"),
+        sumScaled($"l_extendedprice" * $"l_discount", 10000L)
+          .as("lost_revenue"))
+  }
+
+  val qRevenueForecastSql: String =
+    """SELECT COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(ROUND(l_extendedprice*l_discount*10000) AS BIGINT))
+      |    AS BIGINT)/10000.0 AS lost_revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND CAST(ROUND(l_discount*100) AS BIGINT) BETWEEN 5 AND 7
+      |  AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** The Q8 market: one supplier nation's share of one region's
+    * customers — numerator populated every order-year at both SFs
+    * (1–6 lineitems/year at sf0.001, 10–18 at sf0.01). */
+  private[graft] val MktShareNation = "NATION_18"
+  private[graft] val MktShareRegion = "EUROPE"
+
+  /** National market share (the TPC-H Q8 shape: share-of-market by
+    * year as a conditional aggregate over the full market volume):
+    * per order-year, the permille of PROMO-part revenue delivered to
+    * [[MktShareRegion]] customers that [[MktShareNation]]'s suppliers
+    * captured. Revenue in exact ×10⁴ integers end-to-end, so the
+    * share is an exact integer permille (`1000·nat DIV tot`) and the
+    * two revenue readouts are single exact-integer-sum divisions.
+    *
+    * Scale shape: the market gate (customer region) and the share
+    * attribution (supplier nation) each ride a broadcast dim sliver
+    * onto their fact side BEFORE the fact joins; the part sliver
+    * prunes lineitem early; the report is one |years|-key combinable
+    * conditional aggregate — the share never needs a second pass or a
+    * self-join of the market against itself. */
+  def qMarketShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+      .join(broadcast(Tables.nation(s, dir)
+        .select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val mktNat = Tables.nation(s, dir)
+      .select($"n_nationkey", $"n_regionkey")
+      .join(broadcast(Tables.region(s, dir)
+        .filter($"r_name" === MktShareRegion).select($"r_regionkey")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey")
+    val cust = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+      .join(broadcast(mktNat), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    val promo = Tables.part(s, dir).filter($"p_type" === "PROMO")
+      .select($"p_partkey")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000)
+          .cast("long").as("rev_c"))
+      .join(promo, $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey",
+          year($"o_orderdate").cast("long").as("o_year")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"o_year")
+      .agg(sum($"rev_c").as("tot_c"),
+        sum(when($"supp_nation" === MktShareNation, $"rev_c")
+          .otherwise(0L)).as("nat_c"))
+      .select($"o_year", ($"tot_c" / 10000.0).as("total_revenue"),
+        ($"nat_c" / 10000.0).as("nation_revenue"),
+        expr("1000 * nat_c DIV tot_c").as("share_permille"))
+      .orderBy($"o_year")
+  }
+
+  val qMarketShareSql: String =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(SUM(rc) AS BIGINT)/10000.0 AS total_revenue,
+       |  CAST(SUM(CASE WHEN n1.n_name = '$MktShareNation' THEN rc
+       |    ELSE 0 END) AS BIGINT)/10000.0 AS nation_revenue,
+       |  1000 * CAST(SUM(CASE WHEN n1.n_name = '$MktShareNation' THEN rc
+       |    ELSE 0 END) AS BIGINT) // CAST(SUM(rc) AS BIGINT)
+       |    AS share_permille
+       |FROM (SELECT l_orderkey, l_partkey, l_suppkey,
+       |    CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)
+       |      AS rc
+       |  FROM lineitem) l
+       |JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN customer ON c_custkey = o_custkey
+       |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+       |JOIN region ON r_regionkey = n2.n_regionkey
+       |  AND r_name = '$MktShareRegion'
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** The Q9 product line: parts named `blue …` — 20 parts at
+    * sf0.001, 255 at sf0.01. */
+  private[graft] val ProfitPartPrefix = "blue"
+
+  /** Product-line profit by nation and year (the TPC-H Q9 shape: the
+    * part-name sliver through every join dimension into a
+    * nation × year matrix). The corpus has no partsupp/supplycost, so
+    * the profit measure is gross discounted revenue — the report
+    * keeps Q9's structure (name-LIKE part sliver, supplier nation
+    * attribution, order-year axis, nation × year output).
+    *
+    * Scale shape: the name sliver prunes lineitem FIRST (the join
+    * with the filtered part table is the most selective edge, and AQE
+    * broadcasts the sliver at runtime); orders contributes only the
+    * year column; nation broadcasts onto supplier. One
+    * |nations × years|-key combinable aggregate. */
+  def qNationProfit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pl = Tables.part(s, dir)
+      .filter($"p_name".startsWith(ProfitPartPrefix))
+      .select($"p_partkey")
+    val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+      .join(broadcast(Tables.nation(s, dir)
+        .select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        $"l_extendedprice", $"l_discount")
+      .join(pl, $"l_partkey" === $"p_partkey")
+      .join(Tables.orders(s, dir)
+        .select($"o_orderkey",
+          year($"o_orderdate").cast("long").as("o_year")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(sup, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"n_name", $"o_year")
+      .agg(count(lit(1)).as("n_items"),
+        sumScaled($"l_extendedprice" * (lit(1.0) - $"l_discount"), 10000L)
+          .as("amount"))
+      .orderBy($"n_name", $"o_year".desc)
+  }
+
+  val qNationProfitSql: String =
+    s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  COUNT(*) AS n_items,
+       |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000)
+       |    AS BIGINT)) AS BIGINT)/10000.0 AS amount
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |JOIN orders ON o_orderkey = l_orderkey
+       |JOIN supplier ON s_suppkey = l_suppkey
+       |JOIN nation ON n_nationkey = s_nationkey
+       |WHERE p_name LIKE '$ProfitPartPrefix%'
+       |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Shipping-class priority report (the TPC-H Q12 shape: the
+    * two-way conditional count split by shipping class over a
+    * one-year window). The corpus carries no l_shipmode, so the
+    * 2-value `l_linestatus` is the class axis — the shape (fact join
+    * + CASE-summed priority split, both branches populated) is what
+    * the report exercises.
+    *
+    * Scale shape: the date window prunes the lineitem scan; the join
+    * carries only (order key, priority); the report is a 2-key
+    * combinable CASE aggregate — the canonical "join then conditional
+    * count" plan with zero extra exchanges. */
+  def qShipmodePriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= ts("1997-01-01") &&
+        $"l_shipdate" < ts("1998-01-01"))
+      .select($"l_orderkey", $"l_linestatus")
+      .join(Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_linestatus")
+      .agg(sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy($"l_linestatus")
+  }
+
+  val qShipmodePrioritySql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Promotion-revenue share by ship month (the TPC-H Q14 shape: the
+    * CASE-numerator / full-denominator share over one join). Revenue
+    * in exact ×10⁴ integers, so the share is an exact integer
+    * permille beside the two one-division double readouts — Q14's
+    * `100*promo/total` percentage re-expressed in the house integer
+    * discipline. A month axis (12 rows over the 1996 window) instead
+    * of Q14's single month, so the report has a real group-by.
+    *
+    * Scale shape: the date window prunes the lineitem scan; part
+    * contributes one flag column through an equi-join AQE resolves
+    * (both sides fact-scale at 100 TB — no hint); ONE combinable
+    * conditional aggregate on the 12-key month axis. */
+  def qPromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= ts("1996-01-01") &&
+        $"l_shipdate" < ts("1997-01-01"))
+      .select($"l_partkey",
+        date_format($"l_shipdate", "yyyy-MM").as("ship_month"),
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 10000)
+          .cast("long").as("rev_c"))
+      .join(Tables.part(s, dir).select($"p_partkey", $"p_type"),
+        $"l_partkey" === $"p_partkey")
+      .groupBy($"ship_month")
+      .agg(sum($"rev_c").as("tot_c"),
+        sum(when($"p_type" === "PROMO", $"rev_c").otherwise(0L))
+          .as("promo_c"))
+      .select($"ship_month", ($"tot_c" / 10000.0).as("total_revenue"),
+        ($"promo_c" / 10000.0).as("promo_revenue"),
+        expr("1000 * promo_c DIV tot_c").as("promo_permille"))
+      .orderBy($"ship_month")
+  }
+
+  val qPromoRevenueSql: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |  CAST(SUM(rc) AS BIGINT)/10000.0 AS total_revenue,
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END)
+      |    AS BIGINT)/10000.0 AS promo_revenue,
+      |  1000 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0 END)
+      |    AS BIGINT) // CAST(SUM(rc) AS BIGINT) AS promo_permille
+      |FROM (SELECT l_partkey, l_shipdate,
+      |    CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000) AS BIGINT)
+      |      AS rc
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01') l
+      |JOIN part ON p_partkey = l_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Top supplier of the quarter (the TPC-H Q15 shape: the
+    * aggregate view + scalar-MAX self-reference, ties kept). Revenue
+    * per supplier over Q1-1996 in exact ×10⁴ integers, so the MAX
+    * equality join is exact — no epsilon, no float ties.
+    *
+    * Scale shape: ONE combinable supplier-key aggregate shrinks the
+    * fact window to |suppliers| rows; the scalar max is a 1-row
+    * broadcast back onto that reduced frame (the [[qGlobalShare]]
+    * global-scalar discipline — never a window over a single
+    * partition); the supplier dim joins after the equality filter,
+    * touching only the winner(s). */
+  def qTopSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= ts("1996-01-01") &&
+        $"l_shipdate" < ts("1996-04-01"))
+      .groupBy($"l_suppkey")
+      .agg(sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount")
+        * 10000).cast("long")).as("rev_c"))
+    val mx = rev.agg(max($"rev_c").as("max_c"))
+    rev.crossJoin(broadcast(mx)).filter($"rev_c" === $"max_c")
+      .join(Tables.supplier(s, dir).select($"s_suppkey", $"s_name"),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name",
+        ($"rev_c" / 10000.0).as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** Oracle twin: the textbook revenue view + scalar-MAX subquery. */
+  val qTopSupplierSql: String =
+    """WITH rev AS (SELECT l_suppkey,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*10000)
+      |      AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, rev_c/10000.0 AS total_revenue
+      |FROM supplier JOIN rev ON l_suppkey = s_suppkey
+      |WHERE rev_c = (SELECT MAX(rev_c) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** The Q16 sliver axes and the excluded-supplier threshold (the
+    * "customer complaints" stand-in): balances below 1000.00 — 1
+    * supplier at sf0.001, 15 at sf0.01. */
+  private[graft] val CensusSizes: Seq[Int] = Seq(1, 3, 9, 14, 19, 23, 36, 45)
+  private[graft] val CensusAcctMaxC100 = 100000L
+
+  /** Part-supplier census (the TPC-H Q16 shape: supplier-count
+    * distinct per part attribute triple, with a NOT-IN excluded
+    * supplier set). The DISTINCT shipping link stands in for
+    * partsupp (the [[qMinAcctSupplier]] convention) and the excluded
+    * set is the low-balance sliver.
+    *
+    * Scale shape: the NOT IN is a LeftAnti join against the tiny
+    * excluded sliver (broadcast at runtime); the part sliver prunes
+    * its scan on all three predicates; the census is one combinable
+    * count-distinct aggregate on the |brand × type × size| frame. */
+  def qPartSupplierCensus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val excl = Tables.supplier(s, dir)
+      .filter(round($"s_acctbal" * 100).cast("long") < CensusAcctMaxC100)
+      .select($"s_suppkey")
+    val parts = Tables.part(s, dir)
+      .filter($"p_brand" =!= "Brand#1" && $"p_type" =!= "PROMO" &&
+        $"p_size".isin(CensusSizes: _*))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    Tables.lineitem(s, dir).select($"l_partkey", $"l_suppkey").distinct()
+      .join(parts, $"l_partkey" === $"p_partkey")
+      .join(excl, $"l_suppkey" === $"s_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  /** Oracle twin: the textbook NOT IN form. */
+  val qPartSupplierCensusSql: String = {
+    val sizes = CensusSizes.mkString(", ")
+    s"""SELECT p_brand, p_type, p_size,
+       |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) link
+       |JOIN part ON p_partkey = l_partkey
+       |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+       |  AND p_size IN ($sizes)
+       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+       |    WHERE CAST(ROUND(s_acctbal*100) AS BIGINT)
+       |      < $CensusAcctMaxC100)
+       |GROUP BY 1, 2, 3
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  /** Dominant suppliers of the year (the TPC-H Q20 shape: the
+    * nested qty aggregate gating a supplier report). No partsupp
+    * availability column, so the "excess share" predicate is
+    * `2·supplier_qty > part_total_qty` over the 1996 ship year,
+    * restricted to parts several suppliers actually shipped
+    * (`n_supp ≥ 2` — sole-supplier dominance is vacuous); both gates
+    * bind (75 dominated pairs at sf0.001, 464 at sf0.01).
+    *
+    * Scale shape: ONE (part, supplier) fact aggregate, pinned
+    * ([[org.apache.spark.sql.Dataset.localCheckpoint]]) because both
+    * the per-part total and the share filter read it — the
+    * [[qSmallQuantity]] discipline, so the fact table is scanned
+    * once; everything above runs on the |part × supplier| reduced
+    * frame, and the dims join a ≤|supplier|-row result. */
+  def qDominantSuppliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pq = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= ts("1996-01-01") &&
+        $"l_shipdate" < ts("1997-01-01"))
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"l_quantity".cast("long")).as("sq"))
+      .localCheckpoint()
+    val tot = pq.groupBy($"l_partkey")
+      .agg(sum($"sq").as("tq"), count(lit(1)).as("n_supp"))
+    pq.join(tot, Seq("l_partkey"))
+      .filter($"sq" * 2 > $"tq" && $"n_supp" >= 2)
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n_parts_dominated"))
+      .join(Tables.supplier(s, dir)
+        .select($"s_suppkey", $"s_name", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(s, dir)
+        .select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_name", $"n_name", $"n_parts_dominated")
+      .orderBy($"n_parts_dominated".desc, $"s_name")
+  }
+
+  val qDominantSuppliersSql: String =
+    """WITH pq AS (SELECT l_partkey, l_suppkey,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT l_partkey, CAST(SUM(sq) AS BIGINT) AS tq,
+      |    COUNT(*) AS n_supp
+      |  FROM pq GROUP BY 1),
+      |dom AS (SELECT l_suppkey, COUNT(*) AS n_parts_dominated
+      |  FROM pq JOIN tot USING (l_partkey)
+      |  WHERE 2*sq > tq AND n_supp >= 2
+      |  GROUP BY 1)
+      |SELECT s_name, n_name, n_parts_dominated
+      |FROM dom
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |ORDER BY n_parts_dominated DESC, s_name""".stripMargin
 
   // ---------------------------------------------------------------
   def q05(s: SparkSession, dir: String): DataFrame = {
@@ -1661,6 +2188,16 @@ object CoreOlap {
     "q_returned_customers" -> (qReturnedCustomers _),
     "q_promo_parts" -> (qPromoParts _),
     "q_small_quantity" -> (qSmallQuantity _),
+    "q_min_acct_supplier" -> (qMinAcctSupplier _),
+    "q_order_priority" -> (qOrderPriority _),
+    "q_revenue_forecast" -> (qRevenueForecast _),
+    "q_market_share" -> (qMarketShare _),
+    "q_nation_profit" -> (qNationProfit _),
+    "q_shipmode_priority" -> (qShipmodePriority _),
+    "q_promo_revenue" -> (qPromoRevenue _),
+    "q_top_supplier" -> (qTopSupplier _),
+    "q_part_supplier_census" -> (qPartSupplierCensus _),
+    "q_dominant_suppliers" -> (qDominantSuppliers _),
     "q_window_topn" -> (qWindowTopn _),
     "q_window_running" -> (qWindowRunning _),
     "q_distinct_count" -> (qDistinctCount _),
@@ -1706,6 +2243,16 @@ object CoreOlap {
     "q_returned_customers" -> qReturnedCustomersSql,
     "q_promo_parts" -> qPromoPartsSql,
     "q_small_quantity" -> qSmallQuantitySql,
+    "q_min_acct_supplier" -> qMinAcctSupplierSql,
+    "q_order_priority" -> qOrderPrioritySql,
+    "q_revenue_forecast" -> qRevenueForecastSql,
+    "q_market_share" -> qMarketShareSql,
+    "q_nation_profit" -> qNationProfitSql,
+    "q_shipmode_priority" -> qShipmodePrioritySql,
+    "q_promo_revenue" -> qPromoRevenueSql,
+    "q_top_supplier" -> qTopSupplierSql,
+    "q_part_supplier_census" -> qPartSupplierCensusSql,
+    "q_dominant_suppliers" -> qDominantSuppliersSql,
     "q_window_topn" -> qWindowTopnSql,
     "q_distinct_count" -> qDistinctCountSql,
     "q_percentiles" -> qPercentilesSql,

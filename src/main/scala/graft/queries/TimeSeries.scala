@@ -1817,8 +1817,10 @@ object TimeSeries {
   /** Oracle twin: the twin-dip-augmented series spliced as the
     * secondary-eclipse CTE chain's `ev` source (ONE copy via
     * [[secondaryCtesOver]]), the same transit gates, then the cell
-    * decode / zero-filled tallies. */
-  val qEbRecoverySql: String = {
+    * decode / zero-filled tallies. Parameterized over an extra source
+    * predicate for the sampled entry (the transitRecoverySqlFrom
+    * discipline). */
+  private def ebRecoverySqlFrom(extraWhere: String): String = {
     val nc = ebInjCells.size
     val grid = PeriodGridUs.mkString(", ")
     val cellL = ebInjCells.map(_._1).mkString(", ")
@@ -1838,7 +1840,7 @@ object TimeSeries {
          |        CAST(ROUND(value*100) AS BIGINT) AS xc,
          |        list_extract([$grid],
          |          CAST(user_id % 16 AS INT) + 1) AS p_inj
-         |      FROM events WHERE user_id IS NOT NULL)) b
+         |      FROM events WHERE user_id IS NOT NULL$extraWhere)) b
          |  CROSS JOIN (SELECT unnest([$cellL]) AS cell,
          |      unnest([$depL]) AS dep, unnest([$ratL]) AS rpm) c""".stripMargin
     s"""WITH ${secondaryCtesOver(augEv)},
@@ -1852,7 +1854,7 @@ object TimeSeries {
        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
        |  FROM g GROUP BY 1),
        |inj AS (SELECT COUNT(DISTINCT user_id) AS n_injected
-       |  FROM events WHERE user_id IS NOT NULL),
+       |  FROM events WHERE user_id IS NOT NULL$extraWhere),
        |cl AS (SELECT unnest([$cellL]) AS cell,
        |    unnest([$depL]) AS depth_c100, unnest([$ratL]) AS ratio_pm)
        |SELECT depth_c100, ratio_pm, n_injected,
@@ -1864,6 +1866,26 @@ object TimeSeries {
        |FROM cl LEFT JOIN rec USING (cell) CROSS JOIN inj
        |ORDER BY depth_c100, ratio_pm""".stripMargin
   }
+
+  val qEbRecoverySql: String = ebRecoverySqlFrom("")
+
+  /** The vetting census' 100-TB execution path — the same 25% md5
+    * object slice as [[qTransitRecoverySampled]] (and for the same
+    * reason it must NOT be a modulus: the twin-dip grid derives its
+    * period slot from `user_id % 16`), registered as its own
+    * hash-checked entry. The predicate sits on the series scan below
+    * the ×6 injection explode, so the augmented build, the wide
+    * secondary-eclipse aggregate and the census all scale with the
+    * sample; the cell literal zero-fills whatever the slice
+    * empties. */
+  def qEbRecoverySampled(s: SparkSession, dir: String): DataFrame =
+    ebRecoveryOver(sampledSeries(series(s, dir)))
+
+  // lazy: TransitSampleHexLt is declared LATER in the object — an
+  // eager val would splice its pre-init null (the AssocBatches bite)
+  lazy val qEbRecoverySampledSql: String = ebRecoverySqlFrom(
+    s" AND substr(md5(CAST(user_id AS VARCHAR)), 1, 1)" +
+      s" < '$TransitSampleHexLt'")
 
   // ---------------------------------------------------------------
   /** Injection grid of the transit completeness census: box depths in
@@ -1893,7 +1915,7 @@ object TimeSeries {
     * exactly this census), and the eval-telemetry entry the BLS
     * family still lacked: deterministic box dips are injected IN-PLAN
     * into every real light curve over the
-    * [[TransitInjDepths]] × [[TransitInjThins]] grid (per object the
+    * [[TransitInjDepths]] × [[TransitInjKeeps]] grid (per object the
     * injected period/phase/width derive from its key — period
     * `PeriodGridUs[id % 16]`, start bin `id % 16`, width
     * `1 + id % 3` — so the injections sweep the whole search grid),
@@ -1945,22 +1967,30 @@ object TimeSeries {
       .withColumn("keep_oct", explode(typedLit(TransitInjKeeps)))
       .filter($"event_id" % 8 < $"keep_oct")
       .groupBy($"keep_oct").agg(countDistinct($"user_id").as("n_injected"))
+    // LEFT join + GREATEST guard (the qEbRecovery discipline): a
+    // keep-octile that retains zero objects on a sparse corpus must
+    // zero-fill its three grid cells, not drop them from the surface.
     transitInjCells.toDF("cell", "depth_c100", "keep_oct")
-      .join(inj, Seq("keep_oct"))
+      .join(inj, Seq("keep_oct"), "left")
       .join(gated, Seq("cell"), "left")
-      .na.fill(0L, Seq("n_gated", "n_exact"))
+      .na.fill(0L, Seq("n_injected", "n_gated", "n_exact"))
       .select($"depth_c100", $"keep_oct", $"n_injected", $"n_gated",
         $"n_exact",
-        expr("1000 * n_gated DIV n_injected").as("rec_permille"),
-        expr("1000 * n_exact DIV n_injected").as("exact_permille"))
+        expr("1000 * n_gated DIV GREATEST(n_injected, 1)")
+          .as("rec_permille"),
+        expr("1000 * n_exact DIV GREATEST(n_injected, 1)")
+          .as("exact_permille"))
       .orderBy($"depth_c100", $"keep_oct")
   }
 
   /** Oracle twin: the injection-augmented series spliced as
     * [[blsCtesOver]]'s `ev` source (ONE copy of the whole BLS chain,
     * dip-restricted exactly as the gate), the same three gate
-    * thresholds, then the cell decode / zero-filled tallies. */
-  val qTransitRecoverySql: String = {
+    * thresholds, then the cell decode / zero-filled tallies.
+    * Parameterized over an extra source predicate so the sampled
+    * entry splices ITS slice into the identical chain (the
+    * ksDriftSqlFrom discipline). */
+  private def transitRecoverySqlFrom(extraWhere: String): String = {
     val nc = transitInjCells.size
     val grid = PeriodGridUs.mkString(", ")
     val cellL = transitInjCells.map(_._1).mkString(", ")
@@ -1977,7 +2007,7 @@ object TimeSeries {
          |      CAST(ROUND(value*100) AS BIGINT) AS xc,
          |      list_extract([$grid],
          |        CAST(user_id % 16 AS INT) + 1) AS p_inj
-         |    FROM events WHERE user_id IS NOT NULL) b
+         |    FROM events WHERE user_id IS NOT NULL$extraWhere) b
          |  JOIN (SELECT unnest([$cellL]) AS cell,
          |      unnest([$depL]) AS dep, unnest([$thinL]) AS keep) c
          |    ON b.event_id % 8 < c.keep""".stripMargin
@@ -1993,20 +2023,68 @@ object TimeSeries {
        |  FROM gate GROUP BY 1),
        |inj AS (SELECT keep AS keep_oct, COUNT(DISTINCT e.user_id) AS n_injected
        |  FROM (SELECT user_id, event_id FROM events
-       |    WHERE user_id IS NOT NULL) e
+       |    WHERE user_id IS NOT NULL$extraWhere) e
        |  JOIN (SELECT DISTINCT unnest([$thinL]) AS keep) t
        |    ON e.event_id % 8 < t.keep
        |  GROUP BY 1),
        |cl AS (SELECT unnest([$cellL]) AS cell,
        |    unnest([$depL]) AS depth_c100, unnest([$thinL]) AS keep_oct)
-       |SELECT depth_c100, keep_oct, n_injected,
+       |SELECT depth_c100, keep_oct,
+       |  COALESCE(n_injected, 0) AS n_injected,
        |  COALESCE(n_gated, 0) AS n_gated,
        |  COALESCE(n_exact, 0) AS n_exact,
-       |  1000 * COALESCE(n_gated, 0) // n_injected AS rec_permille,
-       |  1000 * COALESCE(n_exact, 0) // n_injected AS exact_permille
-       |FROM cl JOIN inj USING (keep_oct) LEFT JOIN rec USING (cell)
+       |  1000 * COALESCE(n_gated, 0)
+       |    // GREATEST(COALESCE(n_injected, 0), 1) AS rec_permille,
+       |  1000 * COALESCE(n_exact, 0)
+       |    // GREATEST(COALESCE(n_injected, 0), 1) AS exact_permille
+       |FROM cl LEFT JOIN inj USING (keep_oct) LEFT JOIN rec USING (cell)
        |ORDER BY depth_c100, keep_oct""".stripMargin
   }
+
+  val qTransitRecoverySql: String = transitRecoverySqlFrom("")
+
+  // ---------------------------------------------------------------
+  /** The sampled census' object slice: md5 first hex < '4' — a
+    * deterministic 25% that is INDEPENDENT of the injection grid. */
+  private[graft] val TransitSampleHexLt = "4"
+
+  /** The 100-TB execution path of [[qTransitRecovery]] — the census
+    * over a deterministic 25% OBJECT sample, registered as its own
+    * hash-checked entry (the q_ks_drift_sampled discipline; real
+    * surveys quote completeness from an injected subsample for
+    * exactly this cost reason — the census is the most expensive
+    * entry in the suite BY DESIGN, a ×6.75 augmented BLS pass).
+    *
+    * The sample is the md5 hex bucket on the OBJECT id, NOT a
+    * modulus: the injection grid derives each object's planted
+    * period from `user_id % 16` and its cadence thinning from
+    * `event_id % 8`, so any modulus sample would correlate with the
+    * grid — `user_id % 4` would keep only a quarter of the period
+    * slots and the census would silently stop sweeping the search
+    * grid. The md5 bucket is independent of both axes, so the
+    * sampled surface estimates the full one cell-for-cell.
+    *
+    * Exact on its slice: the predicate lands on the series SCAN
+    * (below the injection explode, so the augmented build, the wide
+    * BLS aggregate and the census all scale with the sample) and is
+    * mirrored verbatim into the oracle's two source selects. The
+    * zero-fill keeps all 9 grid cells even where the slice empties a
+    * cell (the LEFT-join + GREATEST guard, spec-pinned). */
+  /** The sample slice itself, factored so the spec drives planted
+    * fixtures through the REAL predicate composition. */
+  private[graft] def sampledSeries(ser: DataFrame): DataFrame = {
+    val s = ser.sparkSession
+    import s.implicits._
+    ser.where(substring(md5($"user_id".cast("string")), 1, 1) <
+      TransitSampleHexLt)
+  }
+
+  def qTransitRecoverySampled(s: SparkSession, dir: String): DataFrame =
+    transitRecoveryOver(sampledSeries(series(s, dir)))
+
+  val qTransitRecoverySampledSql: String = transitRecoverySqlFrom(
+    s" AND substr(md5(CAST(user_id AS VARCHAR)), 1, 1)" +
+      s" < '$TransitSampleHexLt'")
 
   // ---------------------------------------------------------------
   /** Lafler–Kinman periodogram (Lafler & Kinman 1965) — the FOURTH
@@ -3220,9 +3298,18 @@ object TimeSeries {
     * share the user_id shuffle — one exchange total, map-side
     * combinable, no join, nothing driver-side; both Cramer chains
     * run per-row on the |objects| reduced frame. */
-  def qParallax(s: SparkSession, dir: String): DataFrame = {
+  def qParallax(s: SparkSession, dir: String): DataFrame =
+    parallaxFitOver(astromDesign(s, dir))
+
+  /** The shared astrometric design frame — ONE derivation for the
+    * parallax fit and its goodness-of-fit twin ([[qAstromChi2]]), so
+    * the two entries can never drift: per epoch the rebased day
+    * count, both fixed-point parallax factors, and the derive-from-
+    * keys coordinate offsets with planted proper-motion AND parallax
+    * terms on both axes. */
+  private[graft] def astromDesign(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = series(s, dir)
+    series(s, dir)
       .withColumn("tday",
         expr("(tus - min(tus) OVER (PARTITION BY user_id)) DIV 86400000000"))
       .withColumn("doy",
@@ -3238,7 +3325,6 @@ object TimeSeries {
           ($"user_id" % 11 - 5) * $"g" +
           ($"event_id" % 5 - 2) * lit(100L))
       .select($"user_id", $"tday", $"f", $"x", $"g", $"y")
-    parallaxFitOver(base)
   }
 
   /** The 3×3 Cramer solve of one coordinate's normal equations —
@@ -3336,8 +3422,11 @@ object TimeSeries {
   /** Oracle twin: the spliced sinusoid/cosine tables (zipped unnest),
     * the identical exact sums and the identical Cramer chains for
     * both coordinates. */
-  val qParallaxSql: String =
-    s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus
+  /** The shared astrometric CTE prefix (ev → rebased design frame
+    * `o`) — ONE text copy spliced into both the parallax oracle and
+    * the chi² oracle, mirroring [[astromDesign]]. */
+  private lazy val astromCtesSql: String =
+    s"""ev AS (SELECT user_id, event_id, epoch_us(ts) AS tus
        |  FROM events),
        |b AS (SELECT user_id, event_id, tus,
        |    (tus - MIN(tus) OVER (PARTITION BY user_id)) // 86400000000
@@ -3352,7 +3441,10 @@ object TimeSeries {
        |      + (event_id % 7 - 3)*100 AS x,
        |    (user_id % 17 - 8)*tday*10000 + (user_id % 11 - 5)*g
        |      + (event_id % 5 - 2)*100 AS y
-       |  FROM b JOIN ptrig USING (doy)),
+       |  FROM b JOIN ptrig USING (doy))""".stripMargin
+
+  lazy val qParallaxSql: String =
+    s"""WITH $astromCtesSql,
        |a AS (SELECT user_id, COUNT(*) AS n,
        |    CAST(SUM(tday) AS BIGINT) AS st,
        |    CAST(SUM(f) AS BIGINT) AS sf,
@@ -3383,6 +3475,144 @@ object TimeSeries {
        |  CASE WHEN n > 3 AND det_md <> CAST(0.0 AS DOUBLE)
        |    THEN det_pd / det_md END AS plx_dec_fit
        |FROM dt ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** The intercept's Cramer determinant (first column replaced by the
+    * data vector) — the one numerator [[cramer3]] doesn't need for
+    * the slope/parallax readouts but the residual identity does. */
+  private def cramer3A(st: Column, sf: Column, stt: Column,
+    stf: Column, sff: Column, sx: Column, stx: Column,
+    sfx: Column): Column = {
+    def d(c: Column) = c.cast("double")
+    d(sx) * (d(stt) * d(sff) - d(stf) * d(stf)) -
+      d(st) * (d(stx) * d(sff) - d(stf) * d(sfx)) +
+      d(sf) * (d(stx) * d(stf) - d(stt) * d(sfx))
+  }
+
+  /** Astrometric goodness-of-fit — the Object-table column family
+    * beside the fit itself (LSST's Object schema carries astromChi2
+    * with the astrometric parameters; Gaia publishes the same
+    * residual statistic as the excess-noise input): per object and
+    * per coordinate, the residual sum of squares of the SAME
+    * three-parameter model [[qParallax]] fits, via the normal-
+    * equation identity RSS = Σx² − (â·Σx + b̂·Σtx + p̂·ΣFx) — no
+    * second data pass, no residual materialization: the identity
+    * needs only TWO more exact sums (Σx², Σy²; max ≈ 2.7·10¹⁴ at
+    * sf0.1 — four orders under int64) on top of the fit's fifteen,
+    * and the fitted values come from the same Cramer determinants
+    * plus the one the readouts don't need ([[cramer3A]]). The
+    * reduced χ² divides by the n−3 dof. RSS and χ² are each ONE
+    * fixed IEEE chain over the double-cast exact sums (the
+    * [[cramer3]] discipline — identical tree both engines, so the
+    * cancellation-sensitive subtraction rounds identically);
+    * degenerate systems carry nulls per coordinate independently.
+    *
+    * Scale shape: identical to the fit — ONE combinable 17-sum
+    * aggregate sharing the rebase window's object-key shuffle, both
+    * residual chains per-row on the |objects| reduced frame. A
+    * noise-free planted fixture must land RSS exactly 0.0 (all
+    * products exact at fixture magnitudes, the cancellation is
+    * exact), and the per-epoch jitter terms make every real corpus
+    * row strictly positive — both spec-pinned. */
+  def qAstromChi2(s: SparkSession, dir: String): DataFrame =
+    astromChi2Over(astromDesign(s, dir))
+
+  /** Fit-quality body over any (user_id, tday, f, x, g, y) design
+    * frame — factored for the planted-fixture spec. */
+  private[graft] def astromChi2Over(o: DataFrame): DataFrame = {
+    val s = o.sparkSession
+    import s.implicits._
+    def d(c: Column) = c.cast("double")
+    val agg = o.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"),
+        sum($"tday").as("st"), sum($"f").as("sf"), sum($"g").as("sg"),
+        sum($"tday" * $"tday").as("stt"),
+        sum($"tday" * $"f").as("stf"), sum($"f" * $"f").as("sff"),
+        sum($"tday" * $"g").as("stg"), sum($"g" * $"g").as("sgg"),
+        sum($"x").as("sx"), sum($"tday" * $"x").as("stx"),
+        sum($"f" * $"x").as("sfx"), sum($"x" * $"x").as("sxx"),
+        sum($"y").as("sy"), sum($"tday" * $"y").as("sty"),
+        sum($"g" * $"y").as("sgy"), sum($"y" * $"y").as("syy"))
+    val (detM, detB, detP) = cramer3($"n", $"st", $"sf", $"stt",
+      $"stf", $"sff", $"sx", $"stx", $"sfx")
+    val detA = cramer3A($"st", $"sf", $"stt", $"stf", $"sff",
+      $"sx", $"stx", $"sfx")
+    val (detMd, detBd, detPd) = cramer3($"n", $"st", $"sg", $"stt",
+      $"stg", $"sgg", $"sy", $"sty", $"sgy")
+    val detAd = cramer3A($"st", $"sg", $"stt", $"stg", $"sgg",
+      $"sy", $"sty", $"sgy")
+    agg
+      .withColumn("det_m", detM)
+      .withColumn("det_md", detMd)
+      .withColumn("rss_ra",
+        when($"n" > 3 && $"det_m" =!= 0.0,
+          d($"sxx") - (detA * d($"sx") + detB * d($"stx") +
+            detP * d($"sfx")) / $"det_m"))
+      .withColumn("rss_dec",
+        when($"n" > 3 && $"det_md" =!= 0.0,
+          d($"syy") - (detAd * d($"sy") + detBd * d($"sty") +
+            detPd * d($"sgy")) / $"det_md"))
+      .withColumn("chi2_ra", $"rss_ra" / d($"n" - 3))
+      .withColumn("chi2_dec", $"rss_dec" / d($"n" - 3))
+      .select($"user_id", $"n", $"sxx", $"syy",
+        $"rss_ra", $"chi2_ra", $"rss_dec", $"chi2_dec")
+      .orderBy($"user_id")
+  }
+
+  /** One coordinate's intercept determinant as SQL text — the
+    * [[cramer3A]] tree verbatim. */
+  private def cramer3aSql(sf: String, stf: String, sff: String,
+    sx: String, stx: String, sfx: String, suf: String): String =
+    s"""CAST($sx AS DOUBLE)*(CAST(stt AS DOUBLE)*CAST($sff AS DOUBLE)
+       |        - CAST($stf AS DOUBLE)*CAST($stf AS DOUBLE))
+       |      - CAST(st AS DOUBLE)*(CAST($stx AS DOUBLE)*CAST($sff AS DOUBLE)
+       |        - CAST($stf AS DOUBLE)*CAST($sfx AS DOUBLE))
+       |      + CAST($sf AS DOUBLE)*(CAST($stx AS DOUBLE)*CAST($stf AS DOUBLE)
+       |        - CAST(stt AS DOUBLE)*CAST($sfx AS DOUBLE)) AS det_a$suf""".stripMargin
+
+  /** Oracle twin: the shared astrometric prefix, the 17 exact sums,
+    * all eight determinants through the identical chains, and the
+    * staged RSS → χ² readout. */
+  lazy val qAstromChi2Sql: String =
+    s"""WITH $astromCtesSql,
+       |a AS (SELECT user_id, COUNT(*) AS n,
+       |    CAST(SUM(tday) AS BIGINT) AS st,
+       |    CAST(SUM(f) AS BIGINT) AS sf,
+       |    CAST(SUM(g) AS BIGINT) AS sg,
+       |    CAST(SUM(tday*tday) AS BIGINT) AS stt,
+       |    CAST(SUM(tday*f) AS BIGINT) AS stf,
+       |    CAST(SUM(f*f) AS BIGINT) AS sff,
+       |    CAST(SUM(tday*g) AS BIGINT) AS stg,
+       |    CAST(SUM(g*g) AS BIGINT) AS sgg,
+       |    CAST(SUM(x) AS BIGINT) AS sx,
+       |    CAST(SUM(tday*x) AS BIGINT) AS stx,
+       |    CAST(SUM(f*x) AS BIGINT) AS sfx,
+       |    CAST(SUM(x*x) AS BIGINT) AS sxx,
+       |    CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(tday*y) AS BIGINT) AS sty,
+       |    CAST(SUM(g*y) AS BIGINT) AS sgy,
+       |    CAST(SUM(y*y) AS BIGINT) AS syy
+       |  FROM o GROUP BY 1),
+       |dt AS (SELECT *,
+       |    ${cramer3Sql("sf", "stf", "sff", "sx", "stx", "sfx", "")},
+       |    ${cramer3aSql("sf", "stf", "sff", "sx", "stx", "sfx", "")},
+       |    ${cramer3Sql("sg", "stg", "sgg", "sy", "sty", "sgy", "d")},
+       |    ${cramer3aSql("sg", "stg", "sgg", "sy", "sty", "sgy", "d")}
+       |  FROM a),
+       |r AS (SELECT *,
+       |    CASE WHEN n > 3 AND det_m <> CAST(0.0 AS DOUBLE)
+       |      THEN CAST(sxx AS DOUBLE)
+       |        - (det_a*CAST(sx AS DOUBLE) + det_b*CAST(stx AS DOUBLE)
+       |          + det_p*CAST(sfx AS DOUBLE)) / det_m END AS rss_ra,
+       |    CASE WHEN n > 3 AND det_md <> CAST(0.0 AS DOUBLE)
+       |      THEN CAST(syy AS DOUBLE)
+       |        - (det_ad*CAST(sy AS DOUBLE) + det_bd*CAST(sty AS DOUBLE)
+       |          + det_pd*CAST(sgy AS DOUBLE)) / det_md END AS rss_dec
+       |  FROM dt)
+       |SELECT user_id, n, sxx, syy,
+       |  rss_ra, rss_ra / CAST(n - 3 AS DOUBLE) AS chi2_ra,
+       |  rss_dec, rss_dec / CAST(n - 3 AS DOUBLE) AS chi2_dec
+       |FROM r ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------
   /** Stetson J and K variability indices per (object, band) —
@@ -4667,9 +4897,12 @@ object TimeSeries {
     "q_visit_calib" -> (qVisitCalib _),
     "q_proper_motion" -> (qProperMotion _),
     "q_parallax" -> (qParallax _),
+    "q_astrom_chi2" -> (qAstromChi2 _),
     "q_transit_recovery" -> (qTransitRecovery _),
+    "q_transit_recovery_sampled" -> (qTransitRecoverySampled _),
     "q_lc_stream_batches" -> (qLcStreamBatches _),
     "q_eb_recovery" -> (qEbRecovery _),
+    "q_eb_recovery_sampled" -> (qEbRecoverySampled _),
     "q_mad" -> (qMad _),
     "q_crossband_corr" -> (qCrossbandCorr _),
     "q_value_drift" -> (qValueDrift _),
@@ -4734,9 +4967,12 @@ object TimeSeries {
     "q_visit_calib" -> qVisitCalibSql,
     "q_proper_motion" -> qProperMotionSql,
     "q_parallax" -> qParallaxSql,
+    "q_astrom_chi2" -> qAstromChi2Sql,
     "q_transit_recovery" -> qTransitRecoverySql,
+    "q_transit_recovery_sampled" -> qTransitRecoverySampledSql,
     "q_lc_stream_batches" -> qLcStreamBatchesSql,
     "q_eb_recovery" -> qEbRecoverySql,
+    "q_eb_recovery_sampled" -> qEbRecoverySampledSql,
     "q_mad" -> qMadSql,
     "q_crossband_corr" -> qCrossbandCorrSql,
     "q_value_drift" -> qValueDriftSql,

@@ -548,4 +548,311 @@ class CoreOlapSpec extends AnyFunSuite {
           scans.map(_.dataFilters.mkString(", ")).mkString(" | "))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  // ------------------------------------------------------------------
+  // r19: the classic-family completion. Each recompute applies the
+  // TEXTBOOK form literally (correlated subqueries, EXISTS, NOT IN,
+  // scalar MAX) so the decorrelated/semi-join/broadcast plans are
+  // what the tests prove equivalent.
+
+  private def r4(x: Double): Long =
+    BigDecimal(x * 10000).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+      .toLong
+
+  test("q_min_acct_supplier equals the LITERAL correlated-MIN recompute; ties kept") {
+    val q = queries.CoreOlap
+    val natReg = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey").collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getInt(2))).toMap
+    val regions = spark.read.parquet(s"$sf/region.parquet")
+      .select("r_regionkey", "r_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val rs = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal").collect()
+      .flatMap { r =>
+        val (nm, rk) = natReg(r.getInt(2))
+        if (regions(rk) == q.MinAcctRegion)
+          Some(r.getLong(0) -> (r.getString(1), nm,
+            BigDecimal(r.getDouble(3) * 100)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+        else None
+      }.toMap
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_name", "p_type", "p_size").collect()
+      .filter(r => r.getString(2) == q.MinAcctPartType &&
+        r.getInt(3) <= q.MinAcctSizeMax)
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val link = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .filter { case (pk, sk) => parts.contains(pk) && rs.contains(sk) }
+    // the literal correlated MIN, part by part, with every tied witness
+    val exp = link.groupBy(_._1).toSeq.flatMap { case (pk, ls) =>
+      val mn = ls.map(l => rs(l._2)._3).min
+      ls.filter(l => rs(l._2)._3 == mn).map { case (_, sk) =>
+        val (sn, nn, ac) = rs(sk); (ac, sn, nn, pk, parts(pk))
+      }
+    }.sortBy(t => (-t._1, t._2, t._4))
+    val got = q.qMinAcctSupplier(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got == exp, s"got ${got.take(3)}\nexp ${exp.take(3)}")
+    assert(exp.nonEmpty, "the Q2 sliver is empty at sf0.001")
+  }
+
+  test("q_order_priority equals the LITERAL EXISTS recompute and never duplicates orders") {
+    import org.apache.spark.sql.functions.expr
+    val q = queries.CoreOlap
+    val returned = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(expr("l_returnflag = 'R'")).select("l_orderkey").collect()
+      .map(_.getLong(0)).toSet
+    val ords = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(expr("o_orderdate >= timestamp'1996-01-01' AND " +
+        "o_orderdate < timestamp'1996-07-01'"))
+      .select("o_orderkey", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val exp = ords.filter(o => returned(o._1)).groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val got = q.qOrderPriority(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp, s"got $got\nexp $exp")
+    // the EXISTS gate binds: some window orders have no returned line
+    assert(exp.values.sum < ords.length,
+      "every window order has a returned line - the EXISTS is vacuous")
+  }
+
+  test("q_revenue_forecast equals the recompute and plans scan-local (no join, one exchange)") {
+    import org.apache.spark.sql.functions.expr
+    val q = queries.CoreOlap
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(expr("l_shipdate >= timestamp'1996-01-01' AND " +
+        "l_shipdate < timestamp'1997-01-01'"))
+      .select("l_extendedprice", "l_discount", "l_quantity").collect()
+      .filter { r =>
+        val dc = BigDecimal(r.getDouble(1) * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        dc >= 5 && dc <= 7 && r.getDouble(2) < 24
+      }
+    val exp = (rows.length.toLong,
+      rows.map(r => r4(r.getDouble(0) * r.getDouble(1))).sum / 10000.0)
+    val df = q.qRevenueForecast(spark, sf)
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).head
+    assert(got == exp, s"got $got exp $exp")
+    // scan-local: no join anywhere in the executed plan
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val joins = plan.collect {
+      case j if j.nodeName.toLowerCase.contains("join") => j
+    }
+    assert(joins.isEmpty, s"Q6 grew a join: ${joins.map(_.nodeName)}")
+  }
+
+  test("q_market_share equals the recompute; the nation numerator is populated every year") {
+    import org.apache.spark.sql.functions.{col, year}
+    val q = queries.CoreOlap
+    val natName = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey").collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getInt(2))).toMap
+    val regions = spark.read.parquet(s"$sf/region.parquet")
+      .select("r_regionkey", "r_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val supN = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => r.getLong(0) -> natName(r.getInt(1))._1).toMap
+    val custReg = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getLong(0) -> regions(natName(r.getInt(1))._2)).toMap
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("y")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val promo = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_type").collect()
+      .filter(_.getString(1) == "PROMO").map(_.getLong(0)).toSet
+    val cells = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount").collect()
+      .flatMap { r =>
+        if (!promo(r.getLong(1))) None
+        else {
+          val (ck, y) = ord(r.getLong(0))
+          if (custReg(ck) != q.MktShareRegion) None
+          else Some((y, supN(r.getLong(2)),
+            r4(r.getDouble(3) * (1.0 - r.getDouble(4)))))
+        }
+      }
+    val exp = cells.groupBy(_._1).toSeq.map { case (y, v) =>
+      val tot = v.map(_._3).sum
+      val nat = v.filter(_._2 == q.MktShareNation).map(_._3).sum
+      (y, tot / 10000.0, nat / 10000.0, 1000L * nat / tot)
+    }.sortBy(_._1)
+    val got = q.qMarketShare(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == exp, s"got $got\nexp $exp")
+    assert(exp.forall(_._3 > 0), "a year has an empty nation numerator")
+  }
+
+  test("q_nation_profit equals the recompute over the name sliver") {
+    import org.apache.spark.sql.functions.{col, year}
+    val q = queries.CoreOlap
+    val natName = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val supN = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_suppkey", "s_nationkey").collect()
+      .map(r => r.getLong(0) -> natName(r.getInt(1))).toMap
+    val years = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val blue = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_name").collect()
+      .filter(_.getString(1).startsWith(q.ProfitPartPrefix))
+      .map(_.getLong(0)).toSet
+    val cells = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount").collect()
+      .filter(r => blue(r.getLong(1)))
+      .map(r => ((supN(r.getLong(2)), years(r.getLong(0))),
+        r4(r.getDouble(3) * (1.0 - r.getDouble(4)))))
+    val exp = cells.groupBy(_._1).toSeq.map { case ((n, y), v) =>
+      (n, y, v.length.toLong, v.map(_._2).sum / 10000.0)
+    }.sortBy(t => (t._1, -t._2))
+    val got = q.qNationProfit(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == exp, s"got ${got.take(3)}\nexp ${exp.take(3)}")
+  }
+
+  test("q_shipmode_priority equals the recompute; both branches populated in both classes") {
+    import org.apache.spark.sql.functions.expr
+    val q = queries.CoreOlap
+    val prio = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_orderpriority").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hi = Set("1-URGENT", "2-HIGH")
+    val cells = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(expr("l_shipdate >= timestamp'1997-01-01' AND " +
+        "l_shipdate < timestamp'1998-01-01'"))
+      .select("l_orderkey", "l_linestatus").collect()
+      .map(r => (r.getString(1), hi(prio(r.getLong(0)))))
+    val exp = cells.groupBy(_._1).toSeq.map { case (ls, v) =>
+      (ls, v.count(_._2).toLong, v.count(!_._2).toLong)
+    }.sortBy(_._1)
+    val got = q.qShipmodePriority(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == exp, s"got $got\nexp $exp")
+    assert(exp.forall(t => t._2 > 0 && t._3 > 0),
+      "a priority branch is empty")
+  }
+
+  test("q_promo_revenue equals the recompute; every 1996 month present") {
+    import org.apache.spark.sql.functions.{col, date_format, expr}
+    val q = queries.CoreOlap
+    val ptype = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cells = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(expr("l_shipdate >= timestamp'1996-01-01' AND " +
+        "l_shipdate < timestamp'1997-01-01'"))
+      .select(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("m"),
+        col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .map { r =>
+        (r.getString(1), ptype(r.getLong(0)) == "PROMO",
+          r4(r.getDouble(2) * (1.0 - r.getDouble(3))))
+      }
+    val exp = cells.groupBy(_._1).toSeq.map { case (m, v) =>
+      val tot = v.map(_._3).sum
+      val promo = v.filter(_._2).map(_._3).sum
+      (m, tot / 10000.0, promo / 10000.0, 1000L * promo / tot)
+    }.sortBy(_._1)
+    val got = q.qPromoRevenue(spark, sf).collect().map(r =>
+      (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == exp, s"got ${got.take(3)}\nexp ${exp.take(3)}")
+    assert(exp.length == 12, s"expected 12 ship months, got ${exp.length}")
+  }
+
+  test("q_top_supplier equals the LITERAL scalar-MAX recompute") {
+    import org.apache.spark.sql.functions.expr
+    val q = queries.CoreOlap
+    val names = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val revs = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(expr("l_shipdate >= timestamp'1996-01-01' AND " +
+        "l_shipdate < timestamp'1996-04-01'"))
+      .select("l_suppkey", "l_extendedprice", "l_discount").collect()
+      .map(r => r.getLong(0) -> r4(r.getDouble(1) * (1.0 - r.getDouble(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val mx = revs.values.max
+    val exp = revs.filter(_._2 == mx).toSeq
+      .map { case (sk, rc) => (sk, names(sk), rc / 10000.0) }
+      .sortBy(_._1)
+    val got = q.qTopSupplier(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == exp, s"got $got\nexp $exp")
+  }
+
+  test("q_part_supplier_census equals the LITERAL NOT-IN recompute; the excluded set binds") {
+    val q = queries.CoreOlap
+    val excl = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_suppkey", "s_acctbal").collect()
+      .filter(r => BigDecimal(r.getDouble(1) * 100)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toLong < q.CensusAcctMaxC100)
+      .map(_.getLong(0)).toSet
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select("p_partkey", "p_brand", "p_type", "p_size").collect()
+      .filter(r => r.getString(1) != "Brand#1" && r.getString(2) != "PROMO" &&
+        q.CensusSizes.contains(r.getInt(3)))
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getInt(3)))
+      .toMap
+    val link = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .filter { case (pk, sk) => parts.contains(pk) && !excl(sk) }
+    val exp = link.groupBy(l => parts(l._1)).toSeq.map { case (k, v) =>
+      (k._1, k._2, k._3, v.map(_._2).distinct.length.toLong)
+    }.sortBy(t => (-t._4, t._1, t._2, t._3))
+    val got = q.qPartSupplierCensus(spark, sf).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got == exp, s"got ${got.take(3)}\nexp ${exp.take(3)}")
+    assert(excl.nonEmpty, "the excluded-supplier sliver is empty")
+  }
+
+  test("q_dominant_suppliers equals the recompute; both gates bind") {
+    import org.apache.spark.sql.functions.expr
+    val q = queries.CoreOlap
+    val supp = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_suppkey", "s_name", "s_nationkey").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val nat = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val pq = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(expr("l_shipdate >= timestamp'1996-01-01' AND " +
+        "l_shipdate < timestamp'1997-01-01'"))
+      .select("l_partkey", "l_suppkey", "l_quantity").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val byPart = pq.groupBy(_._1._1)
+    val dominated = pq.toSeq.filter { case ((pk, _), sq) =>
+      val grp = byPart(pk)
+      grp.size >= 2 && 2 * sq > grp.values.sum
+    }
+    val exp = dominated.groupBy(_._1._2).toSeq.map { case (sk, v) =>
+      val (sn, nk) = supp(sk); (sn, nat(nk), v.length.toLong)
+    }.sortBy(t => (-t._3, t._1))
+    val got = q.qDominantSuppliers(spark, sf).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == exp, s"got ${got.take(3)}\nexp ${exp.take(3)}")
+    assert(exp.nonEmpty, "no dominant suppliers at sf0.001")
+    // the multi-supplier gate binds: some dominance pairs were
+    // excluded as sole-supplier parts
+    val sole = pq.toSeq.count { case ((pk, _), sq) =>
+      val grp = byPart(pk); grp.size < 2 && 2 * sq > grp.values.sum
+    }
+    assert(sole > 0, "the n_supp >= 2 gate is vacuous at sf0.001")
+  }
 }

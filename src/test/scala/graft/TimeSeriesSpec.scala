@@ -127,6 +127,48 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q_astrom_chi2: a noise-free planted fit lands RSS exactly 0.0; corpus rows are strictly positive") {
+    import spark.implicits._
+    val q = queries.TimeSeries
+    // the same exact planted model as the parallax spec: x (and y)
+    // are exact linear combinations of the design columns, so the
+    // normal-equation RSS identity must cancel EXACTLY — every double
+    // product at these magnitudes is exact and the Cramer identity
+    // makes the fitted explained sum equal Σx² bit-for-bit
+    val plant = for {
+      (uid, a, b, p, a2, b2, p2) <-
+        Seq((1L, 7L, 3L, 5L, -2L, 1L, 4L), (2L, -4L, 2L, -6L, 3L, -1L, 7L))
+      (t, f, g) <- Seq((0L, 10L, -7L), (1L, 14L, 8L), (2L, 6L, -2L),
+        (3L, -9L, 12L), (4L, -13L, 3L))
+    } yield (uid, t, f, a + b * t + p * f, g, a2 + b2 * t + p2 * g)
+    val got = q.astromChi2Over(
+      plant.toDF("user_id", "tday", "f", "x", "g", "y")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    for ((uid, r) <- got) {
+      assert(r.getAs[Double]("rss_ra") == 0.0 &&
+        r.getAs[Double]("rss_dec") == 0.0 &&
+        r.getAs[Double]("chi2_ra") == 0.0,
+        s"planted fit must land RSS exactly 0, got $r for $uid")
+    }
+    // degenerate n <= 3 carries nulls (no dof to judge a 3-param fit)
+    val deg = q.astromChi2Over(
+      Seq((9L, 0L, 1L, 1L, 2L, 1L), (9L, 1L, 2L, 2L, 5L, 2L),
+        (9L, 2L, 4L, 3L, 3L, 3L))
+        .toDF("user_id", "tday", "f", "x", "g", "y")).collect().head
+    assert(deg.isNullAt(deg.fieldIndex("rss_ra")) &&
+      deg.isNullAt(deg.fieldIndex("chi2_dec")), "n<=3 must not score")
+    // the registered entry: the per-epoch jitter terms (±300/±200
+    // c-units) are orthogonal to no design column, so every corpus
+    // object's residual is strictly positive on both axes
+    val real = q.qAstromChi2(spark, sf).collect()
+    assert(real.nonEmpty)
+    for (r <- real) {
+      assert(r.getAs[Double]("rss_ra") > 0.0 &&
+        r.getAs[Double]("rss_dec") > 0.0,
+        s"corpus RSS must be strictly positive: $r")
+    }
+  }
+
   test("q_parallax recovers a planted noise-free parallax EXACTLY on both coordinates; degenerate and collinear systems carry nulls") {
     import spark.implicits._
     // noise-free x = a + b·t + p·f (and y = a2 + b2·t + p2·g) with
@@ -1693,6 +1735,61 @@ class TimeSeriesSpec extends AnyFunSuite {
     for (d <- q.TransitInjDepths)
       assert(real((d, 4L)).getAs[Long]("rec_permille") == 0L,
         "half cadence must sit under the 60-epoch floor at sf0.001")
+  }
+
+  test("q_transit_recovery_sampled: the md5 slice keeps exactly the sampled objects and zero-fills emptied cells") {
+    import spark.implicits._
+    val q = queries.TimeSeries
+    // uid 28 PASSES the md5 bucket (md5("28") = "33…" < '4'), uid 1
+    // FAILS ("c4…"); both sit in alias-free period slots (28%16=12,
+    // 1%16=1 — neither grid period has its half in the grid) with
+    // dip widths ≥ 2, so the full-census fixture reasoning applies
+    // unchanged to whichever survives the sample
+    def fix(uids: Long*) = (for {
+      uid <- uids; i <- 0 until 96
+    } yield (uid, i.toLong, i.toLong * 7919000000L, 1000L))
+      .toDF("user_id", "event_id", "tus", "xc")
+    val got = q.transitRecoveryOver(q.sampledSeries(fix(28L, 1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(got.keySet == (for {
+      d <- q.TransitInjDepths; k <- q.TransitInjKeeps
+    } yield (d, k)).toSet, "grid cells missing")
+    for (((d, k), r) <- got) {
+      // only uid 28 survives the sample — the census is exact on it
+      assert(r.getAs[Long]("n_injected") == 1L,
+        s"cell ($d,$k) should count ONLY the sampled object")
+      val expRec = if (k >= 6) 1000L else 0L
+      assert(r.getAs[Long]("rec_permille") == expRec &&
+        r.getAs[Long]("exact_permille") == expRec,
+        s"cell ($d,$k) sampled recovery mismatch")
+    }
+    // a slice that samples NO objects must still emit all 9 cells,
+    // zero-filled (the LEFT-join + GREATEST guard — a dropped cell
+    // here is the sparse-corpus completeness-surface bug)
+    val empty = q.transitRecoveryOver(q.sampledSeries(fix(1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(empty.keySet == got.keySet, "zero-sample slice dropped cells")
+    for ((_, r) <- empty) {
+      assert(r.getAs[Long]("n_injected") == 0L &&
+        r.getAs[Long]("n_gated") == 0L &&
+        r.getAs[Long]("rec_permille") == 0L,
+        "zero-sample cells must zero-fill")
+    }
+    // the EB vetting census shares the slice: same exclusion, same
+    // complete-cell contract on its 6-row grid
+    val eb = q.ebRecoveryOver(q.sampledSeries(fix(28L, 1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(eb.keySet == (for {
+      d <- q.EbInjDepths; p <- q.EbInjRatiosPm
+    } yield (d, p)).toSet, "EB grid cells missing")
+    assert(eb.values.forall(_.getAs[Long]("n_injected") == 1L),
+      "EB census must count only the sampled object")
+    val ebEmpty = q.ebRecoveryOver(q.sampledSeries(fix(1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(ebEmpty.keySet == eb.keySet &&
+      ebEmpty.values.forall(r => r.getAs[Long]("n_injected") == 0L &&
+        r.getAs[Long]("n_gated") == 0L),
+      "EB zero-sample cells must zero-fill")
   }
 
   test("q_eb_recovery: on a constant-flux fixture the vetting flags exactly the true-binary cells") {
