@@ -268,6 +268,10 @@ object Bench {
     // shuffle with the sums aggregate; regresses if a second
     // exchange appears between them
     "q_lafler_kinman",
+    // r19: conditional entropy — the one corpus-scale exchange is
+    // the (object, period, phase, mag) cell aggregate; regresses if
+    // the n_i window or the argmax ever leaves the reduced cell frame
+    "q_ce_period",
     // hard-negative band mining — regresses if the band predicate
     // leaves codegen or the probe side stops broadcasting
     "q_hard_negatives", "q_ann_mips",

@@ -2174,6 +2174,116 @@ object TimeSeries {
   }
 
   // ---------------------------------------------------------------
+  /** Flux-quantization bins of the conditional-entropy periodogram
+    * and its fixed-point natural-log table: L[k] = round(ln(k)·10⁶)
+    * for k = 1 … [[CeLnTabMax]], computed ONCE in Scala and spliced
+    * as a literal into both engines (the [[PlxSinTab]] no-libm
+    * discipline — a lookup, never a runtime log call). The table
+    * bound is the per-object epoch-count precondition (corpus max 99
+    * at sf0.1; a 100-TB deployment re-sizes the literal or
+    * pre-thins, exactly like the GLS n·|x|max precondition). */
+  private[graft] val CeMagBins = 4L
+  private[graft] val CeLnTabMax = 1024
+  private[graft] val CeLnTab: Seq[Long] = (1 to CeLnTabMax).map(k =>
+    math.round(math.log(k.toDouble) * 1000000L))
+
+  /** Conditional-entropy periodogram (Graham et al. 2013, MNRAS 434,
+    * 2629) — the FIFTH and last of the published period-search
+    * families (PDM bin-variance [[qPeriodogram]], GLS sinusoid fit
+    * [[qLombScargle]], BLS box fit [[qBls]], Lafler–Kinman string
+    * length [[qLaflerKinman]]; CE is the information-theoretic one):
+    * at the true period the folded (phase, magnitude) distribution
+    * becomes maximally structured, so the conditional entropy
+    * H(m|φ) = −Σ_ij (n_ij/N)·ln(n_ij/n_i) over a
+    * [[PhaseBins]]×[[CeMagBins]] occupancy grid is MINIMIZED — it
+    * needs no model at all, not even smoothness, so it dates signals
+    * (eclipsing, multi-modal, sawtooth) a sinusoid fit scores badly.
+    *
+    * Exactness discipline: magnitude bins quantize per object in
+    * pure integers (`(xc−min)·M DIV (max−min+1)` — non-negative on
+    * both sides, so Spark DIV ≡ DuckDB //), the entropy numerator
+    * Σ n_ij·(L[n_ij] − L[n_i]) is an exact int64 over the spliced
+    * log table (≤ 0 by construction), the ARGMIN over periods is the
+    * pure-integer argmax of that numerator (N and the 10⁶ scale are
+    * period-independent), and the reported H is one fixed IEEE
+    * division at the winner. Ties break to the shorter period.
+    *
+    * Scale shape: the per-object min/max windows share the series'
+    * object shuffle, the ×16 grid explode is map-side, and the ONLY
+    * corpus-scale exchange is the (object, period, φ, m) cell
+    * aggregate (map-side combinable; everything above — the n_i
+    * window, the period aggregate, the argmax — runs on the
+    * ≤|objects|·16·32-cell reduced frame). */
+  def qCePeriod(s: SparkSession, dir: String): DataFrame =
+    cePeriodOver(series(s, dir))
+
+  /** Plan body over any (user_id, tus, xc) series frame. */
+  private[graft] def cePeriodOver(ser: DataFrame): DataFrame = {
+    val s = ser.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy($"user_id")
+    val nb = PhaseBins
+    val cells = ser
+      .filter($"user_id".isNotNull)
+      .withColumn("mn", min($"xc").over(wu))
+      .withColumn("mx", max($"xc").over(wu))
+      .withColumn("mbin",
+        expr(s"((xc - mn) * $CeMagBins) DIV (mx - mn + 1)"))
+      .withColumn("p_us", explode(typedLit(PeriodGridUs)))
+      .withColumn("pbin", expr(s"((tus % p_us) * $nb) DIV p_us"))
+      .groupBy($"user_id", $"p_us", $"pbin", $"mbin")
+      .agg(count(lit(1)).as("nij"))
+    val wp = Window.partitionBy($"user_id", $"p_us", $"pbin")
+    val per = cells
+      .withColumn("ni", sum($"nij").over(wp))
+      .groupBy($"user_id", $"p_us")
+      .agg(sum($"nij").as("n"),
+        sum($"nij" *
+          (element_at(typedLit(CeLnTab), $"nij".cast("int")) -
+            element_at(typedLit(CeLnTab), $"ni".cast("int"))))
+          .as("num"))
+    per.groupBy($"user_id")
+      .agg(max($"n").as("n_epochs"),
+        max(struct($"num", (-$"p_us").as("negp"))).as("bst"))
+      .select($"user_id", $"n_epochs", (-$"bst.negp").as("best_p_us"),
+        ((-$"bst.num").cast("double") /
+          ($"n_epochs".cast("double") * lit(1000000.0))).as("ce"))
+      .orderBy($"user_id")
+  }
+
+  /** Oracle twin: identical integer quantization, the same spliced
+    * log table, the same integer argmax (num DESC, period ASC). */
+  lazy val qCePeriodSql: String = {
+    val grid = PeriodGridUs.mkString(", ")
+    val tab = CeLnTab.mkString(", ")
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS tus,
+       |    CAST(ROUND(value*100) AS BIGINT) AS xc
+       |  FROM events WHERE user_id IS NOT NULL),
+       |mm AS (SELECT user_id, tus, xc,
+       |    MIN(xc) OVER (PARTITION BY user_id) AS mn,
+       |    MAX(xc) OVER (PARTITION BY user_id) AS mx
+       |  FROM ev),
+       |grid AS (SELECT unnest([$grid]) AS p_us),
+       |cells AS (SELECT user_id, p_us,
+       |    ((tus % p_us) * $PhaseBins) // p_us AS pbin,
+       |    ((xc - mn) * $CeMagBins) // (mx - mn + 1) AS mbin,
+       |    COUNT(*) AS nij
+       |  FROM mm CROSS JOIN grid GROUP BY 1, 2, 3, 4),
+       |ph AS (SELECT *, CAST(SUM(nij) OVER (PARTITION BY
+       |    user_id, p_us, pbin) AS BIGINT) AS ni FROM cells),
+       |agg AS (SELECT user_id, p_us, CAST(SUM(nij) AS BIGINT) AS n,
+       |    CAST(SUM(nij * (list_extract([$tab], CAST(nij AS INT))
+       |      - list_extract([$tab], CAST(ni AS INT)))) AS BIGINT) AS num
+       |  FROM ph GROUP BY 1, 2),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY num DESC, p_us) AS rn FROM agg)
+       |SELECT user_id, n AS n_epochs, p_us AS best_p_us,
+       |  CAST(-num AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0) AS ce
+       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   /** Period-believability QA at each object's best period — the gate
     * an astronomer applies before TRUSTING a period search's argmax
     * (the VanderPlas 2018 checklist item the scores themselves don't
@@ -4890,6 +5000,7 @@ object TimeSeries {
     "q_transit_candidates" -> (qTransitCandidates _),
     "q_secondary_eclipse" -> (qSecondaryEclipse _),
     "q_lafler_kinman" -> (qLaflerKinman _),
+    "q_ce_period" -> (qCePeriod _),
     "q_lightcurve_band" -> (qLightcurveBand _),
     "q_lightcurve_band_stored" -> (qLightcurveBandStored _),
     "q_color_index" -> (qColorIndex _),
@@ -4961,6 +5072,7 @@ object TimeSeries {
     "q_secondary_eclipse" -> qSecondaryEclipseSql,
     "q_lightcurve_band_stored" -> qLightcurveBandStoredSql,
     "q_lafler_kinman" -> qLaflerKinmanSql,
+    "q_ce_period" -> qCePeriodSql,
     "q_lightcurve_band" -> qLightcurveBandSql,
     "q_color_index" -> qColorIndexSql,
     "q_structure_function" -> qStructureFunctionSql,

@@ -1737,6 +1737,43 @@ class TimeSeriesSpec extends AnyFunSuite {
         "half cadence must sit under the 60-epoch floor at sf0.001")
   }
 
+  test("q_ce_period: a two-level square wave dates exactly, constants tie to the shortest period, corpus entropies are non-negative") {
+    import spark.implicits._
+    val q = queries.TimeSeries
+    // a pure square wave at grid period P (4 h): at P every phase bin
+    // folds to ONE magnitude level, so H(m|phi) = 0 exactly; 2P also
+    // achieves 0 (each 2P-bin is phase-pure for an aligned square
+    // wave) but the tie breaks to the SMALLER period, and P/2 mixes
+    // high and low in every bin, so the argmax must land on P itself.
+    // The 7919-s prime step equipartitions phases (the house idiom)
+    val p = q.PeriodGridUs(2)
+    val wave = (0 until 96).map { i =>
+      val tus = i.toLong * 7919000000L
+      val hi = ((tus % p) * q.PhaseBins) / p < 4
+      (5L, tus, if (hi) 1500L else 1000L)
+    }
+    // a constant series has num = 0 at EVERY period: the tie must
+    // break to the shortest grid period, deterministically
+    val const = (0 until 96).map(i => (6L, i.toLong * 7919000000L, 1000L))
+    val got = q.cePeriodOver((wave ++ const).toDF("user_id", "tus", "xc"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(5L).getAs[Long]("best_p_us") == p &&
+      got(5L).getAs[Double]("ce") == 0.0,
+      s"square wave must date exactly: ${got(5L)}")
+    assert(got(6L).getAs[Long]("best_p_us") == q.PeriodGridUs.head &&
+      got(6L).getAs[Double]("ce") == 0.0,
+      s"constant must tie to the shortest period: ${got(6L)}")
+    // the registered entry: every object scored, H(m|phi) >= 0, the
+    // argmin on the grid
+    val real = q.qCePeriod(spark, sf).collect()
+    assert(real.nonEmpty)
+    val gridSet = q.PeriodGridUs.toSet
+    for (r <- real) {
+      assert(r.getAs[Double]("ce") >= 0.0 &&
+        gridSet(r.getAs[Long]("best_p_us")), s"bad CE row $r")
+    }
+  }
+
   test("q_transit_recovery_sampled: the md5 slice keeps exactly the sampled objects and zero-fills emptied cells") {
     import spark.implicits._
     val q = queries.TimeSeries
