@@ -559,9 +559,14 @@ object Bench {
         s""""sf":"$sfDir","iters":$iters}"""
     println(fullLine)
     println(summaryLine)
+    // the FILE artifact gets ONLY the full object: the summary line
+    // exists for the driver's bounded stdout tail, and committing the
+    // file as BENCH_FULL_rN.json must yield one strict-parseable
+    // JSON object (r18 ADVICE — the two-line file broke strict
+    // parsers)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-        (fullLine + "\n" + summaryLine + "\n").getBytes("UTF-8"))
+        (fullLine + "\n").getBytes("UTF-8"))
     } catch {
       case e: Exception =>
         System.err.println(s"[bench] could not write $outFile: $e")
