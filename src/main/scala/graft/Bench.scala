@@ -178,6 +178,10 @@ object Bench {
     // a combinable obj_k aggregate; regresses if photometry ever
     // re-runs the spatial match instead of reading the store
     "q_forced_phot",
+    // r19: the gate's injection-recovery census — one extra gate
+    // pass over a 2x signature table; regresses if the injection
+    // ever touches the bytes instead of the 4-int signatures
+    "q_phash_recovery",
     // the stored perceptual index: warm path is one piece-table scan
     // + the capped block self-join (no decode, no join-back) — should
     // bench BELOW the in-plan q_blob_phash; first sample builds

@@ -428,6 +428,193 @@ object Multimodal {
     phashPairsOf(sigs).orderBy($"d1", $"d2")
   }
 
+  // ---------------------------------------------------------------
+  /** The recovery census' perturbation grid (bit-flip counts per
+    * `doc_id % 5` cell — one injection per doc keeps block sizes
+    * realistic) and the injected-id offset. Flip positions are
+    * `(doc_id + 13·j) % 64`, j < k: the offsets {0,13,26,39,52,1}
+    * are distinct mod 64 for every k ≤ 6, so each injection flips
+    * EXACTLY k bits and Hamming(base, variant) = k by construction. */
+  private[graft] val PhashInjBits: Seq[Long] = Seq(1L, 2L, 3L, 4L, 6L)
+  private[graft] val PhashInjOffset = 30000000L
+
+  /** Injection-recovery census of the perceptual near-dup GATE — the
+    * [[graft.queries.TimeSeries.qTransitRecovery]] discipline on the
+    * third approximate gate of the engine (after the transit and EB
+    * censuses): per k-bit cell, a signature-level variant with
+    * exactly k flipped bits is injected for every blob, the
+    * augmented table runs through the REAL production gate
+    * ([[phashPairsOf]] — capped piece blocking + exact Hamming
+    * verify), and the cell reports how many injections the gate
+    * caught paired with their own base, plus the stray incidences
+    * (injected endpoints paired with anything else — the census'
+    * false-association telemetry).
+    *
+    * What it grades: the GATE, not the hash — the hash's byte-level
+    * sensitivity is already ground-truthed by the planted re-encode
+    * variants ([[PhashVariantMod]]). The k ≤ [[PhashHammingMax]]
+    * rows measure the BLOCK CAP's recall cost against the pigeonhole
+    * losslessness claim (un-capped, they'd be exactly 1000‰: 3
+    * differing bits cannot touch all 4 pieces); the k ∈ {4, 6} rows
+    * must be EXACTLY 0 — the Hamming verify is exact, so a single
+    * caught pair there is a gate bug, not noise.
+    *
+    * Scale shape: signatures are 4-int rows, the injection is a
+    * broadcast-joined per-row mask fold (j ≤ 6 explode on the
+    * signature frame, never the bytes), and the pair stage is the
+    * production gate's capped equi-join — the census costs one extra
+    * gate pass over a 2× signature table. Tallies zero-fill on the
+    * 5-row cell literal (LEFT join + GREATEST — the r19 census
+    * discipline). */
+  def qPhashRecovery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val off = PhashInjOffset
+    val kcells = PhashInjBits.zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("cell", "k_bits")
+    val sigs0 = sigsOfBlobs(blobs(s, dir)).localCheckpoint(true)
+    val masks = sigs0.select($"doc_id")
+      .withColumn("cell", $"doc_id" % 5)
+      .join(broadcast(kcells), Seq("cell"))
+      .withColumn("j", explode(sequence(lit(0L), $"k_bits" - 1)))
+      .withColumn("p", ($"doc_id" + $"j" * 13) % 64)
+      .groupBy($"doc_id")
+      .agg(
+        sum(expr("CASE WHEN p DIV 16 = 0" +
+          " THEN shiftleft(1L, CAST(p % 16 AS INT)) ELSE 0L END"))
+          .cast("int").as("m0"),
+        sum(expr("CASE WHEN p DIV 16 = 1" +
+          " THEN shiftleft(1L, CAST(p % 16 AS INT)) ELSE 0L END"))
+          .cast("int").as("m1"),
+        sum(expr("CASE WHEN p DIV 16 = 2" +
+          " THEN shiftleft(1L, CAST(p % 16 AS INT)) ELSE 0L END"))
+          .cast("int").as("m2"),
+        sum(expr("CASE WHEN p DIV 16 = 3" +
+          " THEN shiftleft(1L, CAST(p % 16 AS INT)) ELSE 0L END"))
+          .cast("int").as("m3"))
+    val injected = sigs0.join(masks, Seq("doc_id"))
+      .select(($"doc_id" + off).as("doc_id"),
+        $"p0".bitwiseXOR($"m0").cast("int").as("p0"),
+        $"p1".bitwiseXOR($"m1").cast("int").as("p1"),
+        $"p2".bitwiseXOR($"m2").cast("int").as("p2"),
+        $"p3".bitwiseXOR($"m3").cast("int").as("p3"))
+    val pairs = phashPairsOf(
+      sigs0.select($"doc_id", $"p0", $"p1", $"p2", $"p3")
+        .union(injected).localCheckpoint(true))
+    val inj = sigs0.groupBy(($"doc_id" % 5).as("cell"))
+      .agg(count(lit(1)).as("n_injected"))
+    val caught = pairs.filter($"d2" === $"d1" + off)
+      .groupBy(($"d1" % 5).as("cell"))
+      .agg(count(lit(1)).as("n_caught"))
+    val stray = pairs.filter($"d1" >= off)
+      .select((($"d1" - off) % 5).as("cell"))
+      .union(pairs.filter($"d2" >= off && $"d2" =!= $"d1" + off)
+        .select((($"d2" - off) % 5).as("cell")))
+      .groupBy($"cell").agg(count(lit(1)).as("n_stray"))
+    kcells
+      .join(inj, Seq("cell"), "left")
+      .join(caught, Seq("cell"), "left")
+      .join(stray, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_injected", "n_caught", "n_stray"))
+      .select($"k_bits", $"n_injected", $"n_caught", $"n_stray",
+        expr("1000 * n_caught DIV GREATEST(n_injected, 1)")
+          .as("rec_permille"))
+      .orderBy($"k_bits")
+  }
+
+  /** Oracle twin: the raw-corpus signature chain (no harness
+    * variants — the census injects its own), the identical mask
+    * arithmetic, the production gate's blocking/cap/verify text over
+    * the augmented table, and the zero-filled cell tallies. */
+  lazy val qPhashRecoverySql: String = {
+    val lastR = PhashRegions - 1
+    val off = PhashInjOffset
+    val cellL = PhashInjBits.indices.mkString(", ")
+    val kbL = PhashInjBits.mkString(", ")
+    s"""WITH b AS (SELECT doc_id, LOWER(HEX(ENCODE(text))) AS h,
+       |    OCTET_LENGTH(ENCODE(text)) AS n FROM documents
+       |  WHERE OCTET_LENGTH(ENCODE(text)) > 0),
+       |by AS (SELECT doc_id, n,
+       |    (STRPOS('0123456789abcdef', SUBSTRING(h, 2*i+1, 1)) - 1) * 16 +
+       |    (STRPOS('0123456789abcdef', SUBSTRING(h, 2*i+2, 1)) - 1) AS v, i
+       |  FROM (SELECT doc_id, h, n, UNNEST(range(0, n)) AS i FROM b)),
+       |reg AS (SELECT doc_id, CAST((i * $PhashRegions) // n AS INT) AS r,
+       |    CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS c
+       |  FROM by GROUP BY 1, 2),
+       |grid AS (SELECT doc_id,
+       |    CAST(UNNEST(range(0, $PhashRegions)) AS INT) AS r FROM b),
+       |rg AS (SELECT grid.doc_id, grid.r, COALESCE(reg.s, 0) AS s,
+       |    COALESCE(reg.c, 0) AS c
+       |  FROM grid LEFT JOIN reg ON reg.doc_id = grid.doc_id
+       |    AND reg.r = grid.r),
+       |cmp AS (SELECT a.doc_id, a.r AS idx,
+       |    CASE WHEN a.s * n2.c > n2.s * a.c THEN 1 ELSE 0 END AS bit
+       |  FROM rg a JOIN rg n2 ON n2.doc_id = a.doc_id AND n2.r = a.r + 1
+       |  WHERE a.r < $lastR),
+       |sig0 AS (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN idx // 16 = 0 THEN bit << (idx % 16) ELSE 0 END) AS INT) AS p0,
+       |    CAST(SUM(CASE WHEN idx // 16 = 1 THEN bit << (idx % 16) ELSE 0 END) AS INT) AS p1,
+       |    CAST(SUM(CASE WHEN idx // 16 = 2 THEN bit << (idx % 16) ELSE 0 END) AS INT) AS p2,
+       |    CAST(SUM(CASE WHEN idx // 16 = 3 THEN bit << (idx % 16) ELSE 0 END) AS INT) AS p3
+       |  FROM cmp GROUP BY 1),
+       |kc AS (SELECT unnest([$cellL]) AS cell, unnest([$kbL]) AS kb),
+       |mk AS (SELECT s.doc_id,
+       |    CAST(SUM(CASE WHEN ((s.doc_id + 13*j) % 64) // 16 = 0
+       |      THEN 1 << CAST((s.doc_id + 13*j) % 64 % 16 AS INT)
+       |      ELSE 0 END) AS INT) AS m0,
+       |    CAST(SUM(CASE WHEN ((s.doc_id + 13*j) % 64) // 16 = 1
+       |      THEN 1 << CAST((s.doc_id + 13*j) % 64 % 16 AS INT)
+       |      ELSE 0 END) AS INT) AS m1,
+       |    CAST(SUM(CASE WHEN ((s.doc_id + 13*j) % 64) // 16 = 2
+       |      THEN 1 << CAST((s.doc_id + 13*j) % 64 % 16 AS INT)
+       |      ELSE 0 END) AS INT) AS m2,
+       |    CAST(SUM(CASE WHEN ((s.doc_id + 13*j) % 64) // 16 = 3
+       |      THEN 1 << CAST((s.doc_id + 13*j) % 64 % 16 AS INT)
+       |      ELSE 0 END) AS INT) AS m3
+       |  FROM sig0 s JOIN kc ON s.doc_id % 5 = kc.cell
+       |  CROSS JOIN (SELECT unnest(range(0, 6)) AS j) jt
+       |  WHERE j < kb GROUP BY 1),
+       |sigi AS (SELECT doc_id, p0, p1, p2, p3 FROM sig0
+       |  UNION ALL
+       |  SELECT s.doc_id + $off, CAST(xor(s.p0, m.m0) AS INT),
+       |    CAST(xor(s.p1, m.m1) AS INT), CAST(xor(s.p2, m.m2) AS INT),
+       |    CAST(xor(s.p3, m.m3) AS INT)
+       |  FROM sig0 s JOIN mk m ON m.doc_id = s.doc_id),
+       |pc AS (
+       |  SELECT doc_id, 0 AS pi, p0 AS pv FROM sigi UNION ALL
+       |  SELECT doc_id, 1, p1 FROM sigi UNION ALL
+       |  SELECT doc_id, 2, p2 FROM sigi UNION ALL
+       |  SELECT doc_id, 3, p3 FROM sigi),
+       |blk AS (SELECT doc_id, pi, pv FROM (
+       |    SELECT doc_id, pi, pv, COUNT(*) OVER (PARTITION BY pi, pv) AS bsz
+       |    FROM pc) WHERE bsz <= $PhashBlockCap),
+       |cd AS (SELECT DISTINCT a.doc_id AS d1, b2.doc_id AS d2
+       |  FROM blk a JOIN blk b2 ON a.pi = b2.pi AND a.pv = b2.pv
+       |    AND a.doc_id < b2.doc_id),
+       |pr AS (SELECT d1, d2 FROM cd
+       |  JOIN sigi sa ON sa.doc_id = d1 JOIN sigi sb ON sb.doc_id = d2
+       |  WHERE bit_count(xor(sa.p0, sb.p0)) + bit_count(xor(sa.p1, sb.p1)) +
+       |    bit_count(xor(sa.p2, sb.p2)) + bit_count(xor(sa.p3, sb.p3))
+       |    <= $PhashHammingMax),
+       |inj AS (SELECT doc_id % 5 AS cell, COUNT(*) AS n_injected
+       |  FROM sig0 GROUP BY 1),
+       |ct AS (SELECT d1 % 5 AS cell, COUNT(*) AS n_caught
+       |  FROM pr WHERE d2 = d1 + $off GROUP BY 1),
+       |st AS (SELECT cell, COUNT(*) AS n_stray FROM (
+       |    SELECT (d1 - $off) % 5 AS cell FROM pr WHERE d1 >= $off
+       |    UNION ALL
+       |    SELECT (d2 - $off) % 5 FROM pr
+       |    WHERE d2 >= $off AND d2 <> d1 + $off) GROUP BY 1)
+       |SELECT kb AS k_bits,
+       |  COALESCE(n_injected, 0) AS n_injected,
+       |  COALESCE(n_caught, 0) AS n_caught,
+       |  COALESCE(n_stray, 0) AS n_stray,
+       |  1000 * COALESCE(n_caught, 0)
+       |    // GREATEST(COALESCE(n_injected, 0), 1) AS rec_permille
+       |FROM kc LEFT JOIN inj USING (cell) LEFT JOIN ct USING (cell)
+       |  LEFT JOIN st USING (cell)
+       |ORDER BY k_bits""".stripMargin
+  }
+
   /** Oracle twin: bytes from the payload's hex image (the
     * [[qBlobFeaturesSql]] nibble CTE), the planted variants re-derived
     * at the byte-value level (`byv` — same +4 / prefix+16 mod-256
@@ -1377,6 +1564,7 @@ object Multimodal {
     "q_blob_framesample" -> (qBlobFrameSample _),
     "q_blob_dedup" -> (qBlobDedup _),
     "q_blob_phash" -> (qBlobPhash _),
+    "q_phash_recovery" -> (qPhashRecovery _),
     "q_blob_phash_stored" -> (qBlobPhashStored _),
     "q_blob_phash_batches" -> (qBlobPhashBatches _),
     "q_modal_mismatch" -> (qModalMismatch _),
@@ -1389,6 +1577,7 @@ object Multimodal {
     "q_blob_framesample" -> qBlobFrameSampleSql,
     "q_blob_dedup" -> qBlobDedupSql,
     "q_blob_phash" -> qBlobPhashSql,
+    "q_phash_recovery" -> qPhashRecoverySql,
     // identical contract to the in-plan perceptual scan: the stored
     // index must reproduce it bit-for-bit
     "q_blob_phash_stored" -> qBlobPhashSql,

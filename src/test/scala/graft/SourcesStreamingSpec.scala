@@ -94,6 +94,69 @@ class MultimodalSpec extends AnyFunSuite {
     assert(expected.n_frames == nf)
   }
 
+  test("q_phash_recovery equals a full driver recompute of the gated census; k>3 rows are exactly zero") {
+    import queries.Multimodal._
+    // independent recompute: signature the RAW corpus, inject each
+    // doc's k-bit flip, rebuild the capped blocking and the Hamming
+    // gate by hand, then tally the census cells
+    val off = PhashInjOffset
+    val kOf = PhashInjBits.zipWithIndex.map { case (k, i) =>
+      i.toLong -> k }.toMap
+    val base = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .filter(_._2.getBytes("UTF-8").nonEmpty)
+      .map { case (id, t) => phashPieces(id, t.getBytes("UTF-8")) }
+    val injected = base.map { s =>
+      val k = kOf(s.doc_id % 5)
+      val ps = (0L until k).map(j => ((s.doc_id + 13 * j) % 64).toInt)
+      val m = new Array[Int](4)
+      ps.foreach(p => m(p / 16) |= 1 << (p % 16))
+      BlobSig(s.doc_id + off, s.p0 ^ m(0), s.p1 ^ m(1),
+        s.p2 ^ m(2), s.p3 ^ m(3))
+    }
+    val all = base ++ injected
+    def bits(s: BlobSig): Long =
+      (s.p0.toLong & 0xffff) | (s.p1.toLong & 0xffff) << 16 |
+        (s.p2.toLong & 0xffff) << 32 | (s.p3.toLong & 0xffff) << 48
+    // capped blocking: (piece, value) -> member docs, oversize dropped
+    val blocks = (for {
+      s <- all; (pv, pi) <- Seq(s.p0, s.p1, s.p2, s.p3).zipWithIndex
+    } yield ((pi, pv), s.doc_id)).groupBy(_._1).values
+      .filter(_.size <= PhashBlockCap)
+    val sigOf = all.map(s => s.doc_id -> s).toMap
+    val pairs = blocks.flatMap { ms =>
+      val ids = ms.map(_._2).sorted
+      for {
+        i <- ids.indices; j <- (i + 1) until ids.size
+        a = sigOf(ids(i)); b = sigOf(ids(j))
+        if java.lang.Long.bitCount(bits(a) ^ bits(b)) <= PhashHammingMax
+      } yield (ids(i), ids(j))
+    }.toSet
+    val expCells = PhashInjBits.zipWithIndex.map { case (k, i) =>
+      val cell = i.toLong
+      val nInj = base.count(_.doc_id % 5 == cell).toLong
+      val nCaught = pairs.count { case (d1, d2) =>
+        d2 == d1 + off && d1 % 5 == cell }.toLong
+      val nStray = pairs.toSeq.map { case (d1, d2) =>
+        (if (d1 >= off && (d1 - off) % 5 == cell) 1 else 0) +
+          (if (d2 >= off && d2 != d1 + off && (d2 - off) % 5 == cell) 1
+           else 0)
+      }.sum.toLong
+      (k, nInj, nCaught, nStray, 1000L * nCaught / math.max(nInj, 1L))
+    }
+    val got = qPhashRecovery(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expCells, s"got $got\nexp $expCells")
+    // the Hamming verify is exact: k > PhashHammingMax must be 0
+    for ((k, _, caught, _, _) <- expCells if k > PhashHammingMax)
+      assert(caught == 0L, s"k=$k caught $caught pairs past the gate")
+    // and the census binds: some k <= 3 cell catches real pairs
+    assert(expCells.exists { case (k, _, c, _, _) =>
+      k <= PhashHammingMax && c > 0 }, "census vacuous at sf0.001")
+  }
+
   test("q_blob_phash equals the brute-force all-pairs scan over planted corpus") {
     import queries.Multimodal._
     // driver recompute: replant the variants, signature every blob,
