@@ -40,6 +40,10 @@ object Bench {
     // productionized PQ (k-means + LUT ADC) — each would regress
     // silently if its blocking/fold discipline broke
     "q_xmatch_2cat", "q_dedup_contain", "q_periodogram", "q_ann_pq",
+    // r19: PQ distortion telemetry — one encode scan + a x8 subspace
+    // explode into an 8-key aggregate; regresses if the error fold
+    // ever joins back per subspace instead of riding the literal
+    "q_pq_distortion",
     "q_ann_ivfpq",
     // round-9: the most expensive previously-unbenched queries, so
     // regressions can't hide in unbenched code — spatial knn, the two

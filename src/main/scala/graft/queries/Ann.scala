@@ -28,7 +28,7 @@ import graft.functions.VectorOps
 object Ann {
 
   private val K = 10
-  private val NQueries = 5
+  private[graft] val NQueries = 5
 
   /** Flip-1-bit multi-probe: the bucket itself plus one probe per
     * plane. 0 extra probes = exact-bucket LSH. */
@@ -1077,9 +1077,9 @@ object Ann {
        |ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------
-  private[queries] val PqM = 8        // subspaces (64 dims → 8 per subspace)
-  private[queries] val PqK = 8        // centroids per subspace
-  private[queries] val PqSub = 8      // dims per subspace
+  private[graft] val PqM = 8        // subspaces (64 dims → 8 per subspace)
+  private[graft] val PqK = 8        // centroids per subspace
+  private[graft] val PqSub = 8      // dims per subspace
   private[queries] val PqCand = 100   // ADC candidates re-ranked exactly
   private[queries] val PqIters = 2    // Lloyd iterations over the seed
 
@@ -1327,6 +1327,77 @@ object Ann {
        |    SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS crn
        |    FROM adc) t WHERE crn <= $PqCand),
        |${sqlRerankTail("cand")}""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  /** Per-subspace quantization-distortion telemetry of the PQ
+    * codebook — the standard diagnostic a PQ deployment publishes
+    * beside its recall (Jégou et al. 2011 report exactly this
+    * per-subspace MSE): for every corpus vector, the exact integer
+    * squared error ‖x_m − c_{code(x,m)}‖² between each subvector and
+    * its assigned centroid, aggregated per subspace into count /
+    * total / max / mean. An unbalanced row (one subspace carrying
+    * most of the error) is the signal to re-split dims or raise K
+    * BEFORE recall degrades — this complements [[qAnnRecall]]-family
+    * telemetry, which only sees the end-to-end effect.
+    *
+    * Because the encode is the integer argmin over the codebook, each
+    * row's error IS min_k ‖x_m − c_k‖² — the spec pins that encode
+    * optimality directly. All errors exact int64 (component ≤ 10⁷ →
+    * per-subspace error ≤ ~5·10¹³; corpus sums ≪ int64; a 100-TB
+    * deployment shards the same combinable sums). Scale shape: ONE
+    * encode scan (the [[graft.functions.PqEncode]] codegen kernel) +
+    * a map-side ×[[PqM]] subspace explode on 8-dim slices into a
+    * combinable [[PqM]]-key aggregate; the codebook rides as a
+    * 512-long literal. */
+  def qPqDistortion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = intEmb(s, dir)
+    val head = pqHead(e, NQueries + PqK)
+    val cent = pqTrainFrom(e, pqSeedOf(head, NQueries))
+    withCodes(e.select($"vec_id", $"iv"), cent)
+      .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+      .withColumn("sub", expr(s"slice(iv, m * $PqSub + 1, $PqSub)"))
+      .withColumn("cvec", element_at(element_at(typedLit(cent), $"m" + 1),
+        element_at($"codes", $"m" + 1) + 1))
+      .withColumn("e2", expr("aggregate(zip_with(sub, cvec," +
+        " (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)"))
+      .groupBy($"m")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum($"e2").as("sum_err"),
+        max($"e2").as("max_err"))
+      .withColumn("mean_err",
+        $"sum_err".cast("double") / $"n_vectors".cast("double"))
+      .orderBy($"m")
+  }
+
+  /** Oracle twin: the unrolled integer-Lloyd training ([[pqTrainCte]]
+    * — ONE text copy with [[qAnnPqSql]]), the final assignment, and
+    * the per-(vector, subspace) exact squared error against the
+    * assigned centroid. */
+  lazy val qPqDistortionSql: String = {
+    val T = PqIters
+    s"""WITH e AS (
+       |  SELECT vec_id, i, CAST(ROUND(CAST(v AS DOUBLE) * ${VectorOps.ScaleLit}) AS BIGINT) AS vi
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |          unnest(range(1, len(embedding) + 1)) AS i FROM embeddings)),
+       |es AS (SELECT vec_id, CAST((i - 1) // $PqSub AS INT) AS m,
+       |         CAST((i - 1) % $PqSub AS INT) AS d, vi FROM e),
+       |p0 AS (SELECT m, CAST(vec_id - $NQueries AS INT) AS k, d, vi FROM es
+       |       WHERE vec_id >= $NQueries AND vec_id < ${NQueries + PqK}),
+       |${(0 until T).map(t => pqTrainCte(t)).mkString("\n")}
+       |${pqAssignCte(T)}
+       |err AS (SELECT a.vid, a.m,
+       |    CAST(SUM((es.vi - c.vi) * (es.vi - c.vi)) AS BIGINT) AS e2
+       |  FROM pa$T a
+       |  JOIN es ON es.vec_id = a.vid AND es.m = a.m
+       |  JOIN p$T c ON c.m = a.m AND c.k = a.k AND c.d = es.d
+       |  GROUP BY 1, 2)
+       |SELECT m, COUNT(*) AS n_vectors,
+       |  CAST(SUM(e2) AS BIGINT) AS sum_err,
+       |  CAST(MAX(e2) AS BIGINT) AS max_err,
+       |  CAST(SUM(e2) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS mean_err
+       |FROM err GROUP BY 1 ORDER BY m""".stripMargin
   }
 
   /** The IVF×PQ candidate chain (residual encode → LUT → ADC →
@@ -2155,6 +2226,7 @@ object Ann {
     "q_ann_lsh" -> (qAnnLsh _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_pq" -> (qAnnPq _),
+    "q_pq_distortion" -> (qPqDistortion _),
     "q_ann_ivfpq" -> (qAnnIvfPq _),
     "q_ann_pq_stored" -> (qAnnPqStored _),
     "q_ann_ivfpq_stored" -> (qAnnIvfPqStored _),
@@ -2175,6 +2247,7 @@ object Ann {
     "q_ann_lsh" -> qAnnLshSql,
     "q_ann_ivf" -> qAnnIvfSql,
     "q_ann_pq" -> qAnnPqSql,
+    "q_pq_distortion" -> qPqDistortionSql,
     "q_ann_ivfpq" -> qAnnIvfPqSql,
     // the stored searches return bit-identical results to their
     // in-plan twins (deterministic training over the same corpus), so

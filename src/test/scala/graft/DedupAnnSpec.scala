@@ -4,6 +4,38 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class DedupAnnSpec extends AnyFunSuite {
+
+  test("q_pq_distortion: every row's error is the codebook MINIMUM (encode optimality), cells match a driver recompute") {
+    import SparkTestSession._
+    import spark.implicits._
+    val q = queries.Ann
+    val e = q.intEmb(spark, sf)
+    val head = q.pqHead(e, q.NQueries + q.PqK)
+    val cent = q.pqTrainFrom(e, q.pqSeedOf(head, q.NQueries))
+    val rows = e.select($"vec_id", $"iv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+    def l2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // driver recompute: per (vector, subspace) the TRUE minimum
+    // distortion over the codebook — encode optimality means the
+    // query's assigned error must equal this minimum exactly
+    val cells = (for {
+      (_, iv) <- rows; m <- 0 until q.PqM
+    } yield m -> (0 until q.PqK).map(k =>
+      l2(iv.slice(m * q.PqSub, (m + 1) * q.PqSub), cent(m)(k))).min)
+      .groupBy(_._1)
+    val exp = cells.toSeq.map { case (m, es) =>
+      val v = es.map(_._2)
+      (m, v.size.toLong, v.sum, v.max, v.sum.toDouble / v.size.toDouble)
+    }.sortBy(_._1)
+    val got = q.qPqDistortion(spark, sf).collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == exp, s"got $got\nexp $exp")
+    // distortion binds: quantization error is nonzero somewhere
+    assert(exp.exists(_._3 > 0), "distortion vacuous")
+  }
+
   import SparkTestSession._
 
   for ((name, fn) <- queries.Dedup.defs ++ queries.Ann.defs) {

@@ -1829,6 +1829,37 @@ class TimeSeriesSpec extends AnyFunSuite {
       "EB zero-sample cells must zero-fill")
   }
 
+  test("sampled censuses: the md5 object sample rides the events SCAN itself, below the injection explode") {
+    // structural pin (not a plan-string grep — the r18 flake lesson):
+    // the md5 slice predicate must land in the events
+    // FileSourceScanExec's dataFilters, i.e. in the scan stage
+    // itself, which is by construction below the ×6.75 injection
+    // explode and the wide BLS aggregate — the whole augmented build
+    // scales with the sample. AQE off for a plain tree.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.catalyst.expressions.Md5
+    val q = queries.TimeSeries
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for ((name, df) <- Seq(
+        "q_transit_recovery_sampled" -> q.qTransitRecoverySampled(spark, sf),
+        "q_eb_recovery_sampled" -> q.qEbRecoverySampled(spark, sf))) {
+        df.collect()
+        val scans = df.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(_.toString.contains("events.parquet")) => f
+        }
+        assert(scans.nonEmpty, s"$name: no events scan in the plan")
+        assert(scans.forall(_.dataFilters.exists(_.exists {
+          case _: Md5 => true; case _ => false
+        })), s"$name: an events scan reads WITHOUT the md5 slice — " +
+          "the sample stopped pruning the augmented build: " +
+          scans.map(_.dataFilters.mkString(", ")).mkString(" | "))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("q_eb_recovery: on a constant-flux fixture the vetting flags exactly the true-binary cells") {
     import spark.implicits._
     val q = queries.TimeSeries
