@@ -147,6 +147,10 @@ object Bench {
     // join; the monitored eval queries, so their cost belongs in the
     // artifact too
     "q_ann_recall", "q_dedup_recall",
+    // r19: the estimator-calibration census — candidates from the
+    // SAME df-capped index join + a per-row signature fold; regresses
+    // if the match count ever explodes the 128-long arrays
+    "q_minhash_err",
     // r17: the nprobe sweep — the x3 explode must stay on the candidate
     // sliver; regresses if a per-operating-point corpus rescan appears
     "q_ann_recall_curve",

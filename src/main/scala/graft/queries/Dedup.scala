@@ -125,7 +125,7 @@ object Dedup {
     * every GRAPH consumer (clusters, motifs, PageRank, recall) feeds
     * from: their first move is a shuffle on node ids, so a global
     * range-sort of the pair set upstream is a wasted exchange. */
-  private[queries] def ngramJaccardPairsCore(docs: DataFrame,
+  private[graft] def ngramJaccardPairsCore(docs: DataFrame,
     minJacPct: Int = 50): DataFrame = {
     import docs.sparkSession.implicits._
     val g = gramRowsOf(docs)
@@ -365,6 +365,92 @@ object Dedup {
        |  MAX(CASE WHEN i = 3 THEN s END) AS sig3,
        |  bit_xor(s) AS sig_xor
        |FROM full_sigs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** MinHash estimator-calibration census (NEW r19) — the numeric
+    * companion to [[qDedupRecall]] (which grades the LSH BLOCKING)
+    * and [[qDedupThresholdCurve]] (which calibrates the CUTOFF): per
+    * exact-Jaccard decile of the candidate pairs, how far the
+    * deployed k=[[MinHashK]] signature ESTIMATE
+    * (matches/k — Broder's unbiased estimator, sd ≈ √(j(1−j)/k) ≈
+    * 4.4 pct at j = 0.5) actually sits from the production exact
+    * metric: pair count, mean estimate, mean |error| and max |error|
+    * per decile, all integer percent. "Exact" here is the pipeline's
+    * OWN df-capped inverted-index Jaccard — the number every
+    * threshold decision reads — so the census calibrates the
+    * estimator against the metric it would replace at 100 TB, not an
+    * idealized uncapped one.
+    *
+    * Scale shape: candidates from the SAME df-capped index join as
+    * q_ngram_jaccard (never all-pairs), signatures attach by two
+    * doc-key joins, the match count is a per-row zip_with fold over
+    * the two 128-long arrays, and the census is a ≤10-key aggregate
+    * zero-filled on the decile literal. */
+  def qMinhashErr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val sigs = docs.select($"doc_id",
+      TextFunctions.minhashSig($"text", 3, 128).as("sig"))
+    val est = ngramJaccardPairsCore(docs, DedupCurveFloorPct)
+      .select($"d1", $"d2", $"jac_pct")
+      .join(sigs.select($"doc_id".as("d1"), $"sig".as("sig1")), "d1")
+      .join(sigs.select($"doc_id".as("d2"), $"sig".as("sig2")), "d2")
+      .withColumn("matches", expr("aggregate(zip_with(sig1, sig2," +
+        " (a, b) -> IF(a = b, 1L, 0L)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("est_pct", expr(s"100 * matches DIV $MinHashK"))
+      .withColumn("err", abs($"est_pct" - $"jac_pct"))
+      .withColumn("jb", expr("jac_pct DIV 10"))
+    val cells = est.groupBy($"jb")
+      .agg(count(lit(1)).as("n_pairs"), sum($"est_pct").as("se"),
+        sum($"err").as("serr"), max($"err").as("mx"))
+    s.range(1L, 11L).select($"id".as("jb"))
+      .join(cells, Seq("jb"), "left")
+      .na.fill(0L, Seq("n_pairs", "se", "serr", "mx"))
+      .select(($"jb" * 10).as("jac_decile_pct"), $"n_pairs",
+        expr("se DIV GREATEST(n_pairs, 1)").as("mean_est_pct"),
+        expr("serr DIV GREATEST(n_pairs, 1)").as("mean_abs_err_pct"),
+        $"mx".as("max_abs_err_pct"))
+      .orderBy($"jac_decile_pct")
+  }
+
+  /** Oracle twin: the shared exact-Jaccard CTEs + the full
+    * re-derived signatures ([[sqlMinhashSigCtes]] — one text copy
+    * with the minhash/LSH oracles), the identical integer estimator,
+    * zero-filled decile tallies. */
+  lazy val qMinhashErrSql: String =
+    s"""WITH RECURSIVE
+       |$sqlMinhashSigCtes,
+       |$sqlNgramPairCtes,
+       |jp AS (SELECT p.d1, p.d2,
+       |    (100 * inter) // (na.ng + nb.ng - inter) AS jac_pct
+       |  FROM p JOIN n na ON p.d1 = na.doc_id
+       |  JOIN n nb ON p.d2 = nb.doc_id
+       |  WHERE inter * 100 >= (na.ng + nb.ng - inter)
+       |    * $DedupCurveFloorPct),
+       |mt AS (SELECT jp.d1, jp.d2, jp.jac_pct,
+       |    CAST(SUM(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS matches
+       |  FROM jp JOIN full_sigs a ON a.doc_id = jp.d1
+       |  JOIN full_sigs b ON b.doc_id = jp.d2 AND b.i = a.i
+       |  GROUP BY 1, 2, 3),
+       |er AS (SELECT jac_pct // 10 AS jb,
+       |    100 * matches // $MinHashK AS est_pct,
+       |    ABS(100 * matches // $MinHashK - jac_pct) AS err FROM mt),
+       |tl AS (SELECT unnest(range(1, 11)) AS jb),
+       |ag AS (SELECT jb, COUNT(*) AS n_pairs,
+       |    CAST(SUM(est_pct) AS BIGINT) AS se,
+       |    CAST(SUM(err) AS BIGINT) AS serr,
+       |    CAST(MAX(err) AS BIGINT) AS mx
+       |  FROM er GROUP BY 1)
+       |SELECT CAST(tl.jb * 10 AS BIGINT) AS jac_decile_pct,
+       |  COALESCE(n_pairs, 0) AS n_pairs,
+       |  COALESCE(se, 0) // GREATEST(COALESCE(n_pairs, 0), 1)
+       |    AS mean_est_pct,
+       |  COALESCE(serr, 0) // GREATEST(COALESCE(n_pairs, 0), 1)
+       |    AS mean_abs_err_pct,
+       |  COALESCE(mx, 0) AS max_abs_err_pct
+       |FROM tl LEFT JOIN ag USING (jb)
+       |ORDER BY jac_decile_pct""".stripMargin
 
   // ---------------------------------------------------------------
   /** Minimum matching signature positions for an LSH pair to survive
@@ -2478,6 +2564,7 @@ object Dedup {
     "q_cluster_sizes" -> (qClusterSizes _),
     "q_dedup_contain" -> (qDedupContain _),
     "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_minhash_err" -> (qMinhashErr _),
     "q_dedup_lsh_pairs" -> (qDedupLshPairs _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embedding" -> (qDedupEmbedding _),
@@ -2499,6 +2586,7 @@ object Dedup {
     "q_split_leakage" -> qSplitLeakageSql,
     "q_line_dedup" -> qLineDedupSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_minhash_err" -> qMinhashErrSql,
     "q_dedup_lsh_pairs" -> qDedupLshPairsSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_dedup_clusters" -> qDedupClustersSql,

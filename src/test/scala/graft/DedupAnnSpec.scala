@@ -5,6 +5,38 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class DedupAnnSpec extends AnyFunSuite {
 
+  test("q_minhash_err census equals a driver recompute over the candidate pairs; populated deciles exist") {
+    import SparkTestSession._
+    import org.apache.spark.sql.functions.col
+    val q = queries.Dedup
+    val docs = Tables.documents(spark, sf)
+    val sigMap = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.minhashSig(col("text"), 3, 128)
+        .as("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val pairs = q.ngramJaccardPairsCore(docs, q.DedupCurveFloorPct)
+      .select("d1", "d2", "jac_pct").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cellsIn = pairs.map { case (d1, d2, jac) =>
+      val m = sigMap(d1).zip(sigMap(d2)).count { case (a, b) => a == b }
+      val est = 100L * m / 128L
+      (jac / 10, est, math.abs(est - jac))
+    }.groupBy(_._1)
+    val exp = (1L to 10L).map { jb =>
+      cellsIn.get(jb) match {
+        case Some(v) => (jb * 10, v.size.toLong,
+          v.map(_._2).sum / v.size, v.map(_._3).sum / v.size,
+          v.map(_._3).max)
+        case None => (jb * 10, 0L, 0L, 0L, 0L)
+      }
+    }
+    val got = q.qMinhashErr(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == exp, s"got $got\nexp $exp")
+    assert(exp.exists(_._2 > 0), "calibration census vacuous at sf0.001")
+  }
+
   test("q_pq_distortion: every row's error is the codebook MINIMUM (encode optimality), cells match a driver recompute") {
     import SparkTestSession._
     import spark.implicits._
