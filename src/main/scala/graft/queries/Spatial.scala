@@ -584,9 +584,23 @@ object Spatial {
       .localCheckpoint()
   }
 
-  /** The tracklet PAIR stream (night_from, k1, k2, dist_r6) —
-    * factored so [[qTrackChains]] can self-join it on the shared
-    * middle detection. */
+  /** The tracklet PAIR stream (night_from, k1, k2, dist_r6, plus both
+    * endpoints' exact ×10⁶ integer coordinates) — factored so
+    * [[qTrackChains]] can self-join it on the shared middle detection.
+    * The coordinates ride along from the grid join (r19 opt round):
+    * [[gridCandidates]] already carries both endpoints' (ra, decl) to
+    * every surviving pair, so rounding them here costs four per-row
+    * casts and ~32 bytes/pair through the checkpoint + chain join —
+    * and it lets [[motionFitOver]] read the per-track fit inputs
+    * directly off the chain row instead of re-deriving them through
+    * the old 3·|tracks| member melt + detection-table equi-join +
+    * |tracks|-group conditional pivot (an entire corpus-scale join +
+    * wide aggregate, deleted). The rounding expression is the
+    * IDENTICAL round(x·10⁶)→long the fit used against the detection
+    * table, over the same exact-rational values, so every downstream
+    * integer is bit-equal. Consumers that need no coordinates
+    * ([[qTracklets]], [[qTrackChains]]) lose nothing: Catalyst prunes
+    * the four columns below their aggregates. */
   private[graft] def trackletPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tr = transientFrame(s, dir)
@@ -594,7 +608,11 @@ object Spatial {
       .withColumn("night_from", pmod($"k1", lit(AssocBatches)).cast("long"))
       .filter(pmod($"k2", lit(AssocBatches)).cast("long") ===
         $"night_from" + 1)
-      .select($"night_from", $"k1", $"k2", $"dist_r6")
+      .select($"night_from", $"k1", $"k2", $"dist_r6",
+        round($"ra1" * 1000000).cast("long").as("ra1_u6"),
+        round($"decl1" * 1000000).cast("long").as("de1_u6"),
+        round($"ra2" * 1000000).cast("long").as("ra2_u6"),
+        round($"decl2" * 1000000).cast("long").as("de2_u6"))
   }
 
   def qTracklets(s: SparkSession, dir: String): DataFrame = {
@@ -696,12 +714,22 @@ object Spatial {
   private[graft] def chainFrame(p: DataFrame): DataFrame = {
     val s = p.sparkSession
     import s.implicits._
-    val p1 = p.select($"k1", $"k2".as("mid"), $"dist_r6".as("r1"))
-    val p2 = p.select($"k1".as("mid"), $"k2".as("k3"), $"dist_r6".as("r2"))
+    // r19 opt round: the pair frame carries both endpoints' ×10⁶
+    // coordinates (see [[trackletPairs]]); leg 1 contributes k1's and
+    // the mid's, leg 2 contributes k3's — so the chain row hands
+    // [[motionFitOver]] all three member coordinates with ZERO further
+    // joins. Consumers without a fit ([[qTrackChains]]) prune them.
+    val p1 = p.select($"k1", $"k2".as("mid"), $"dist_r6".as("r1"),
+      $"ra1_u6".as("k1_ra_u6"), $"de1_u6".as("k1_de_u6"),
+      $"ra2_u6".as("mid_ra_u6"), $"de2_u6".as("mid_de_u6"))
+    val p2 = p.select($"k1".as("mid"), $"k2".as("k3"), $"dist_r6".as("r2"),
+      $"ra2_u6".as("k3_ra_u6"), $"de2_u6".as("k3_de_u6"))
     p1.join(p2, Seq("mid"))
       .withColumn("dr_u6", abs(round($"r1" * 1000000).cast("long") -
         round($"r2" * 1000000).cast("long")))
-      .select($"k1", $"mid", $"k3", $"dr_u6")
+      .select($"k1", $"mid", $"k3", $"dr_u6",
+        $"k1_ra_u6", $"k1_de_u6", $"mid_ra_u6", $"mid_de_u6",
+        $"k3_ra_u6", $"k3_de_u6")
   }
 
   /** The tracklet-pair→chain CTE chain through `ch` (the
@@ -756,57 +784,57 @@ object Spatial {
     * ids, ordered: rate numerators (u6 per 2 nights), both curvature
     * terms, and the rate-drift dr_u6 the chain gate already measured.
     *
-    * Scale shape: the spatial work is [[trackletPairs]]' one grid
-    * pass (pinned, shared with the chain join); the coordinate
-    * lookup is ONE equi-join of the 3·|tracks| member melt against
-    * the detection table (never three scans), AQE-sized — the track
-    * sliver is physics-bounded (real movers), so the join resolves
-    * broadcast at runtime; the pivot back to one row per track is a
-    * combinable conditional aggregate on the track key. */
+    * Scale shape (r19 opt round): the spatial work is
+    * [[trackletPairs]]' one grid pass (pinned, shared with the chain
+    * join); the fit inputs — the three members' ×10⁶ coordinates —
+    * now RIDE THE PAIR STREAM from that grid pass through the chain
+    * join (see [[trackletPairs]]), so the readout after the chain
+    * join is pure per-row integer arithmetic: the previous shape's
+    * 3·|tracks| member melt, its detection-table equi-join and the
+    * |tracks|-group conditional pivot are gone. Wall-clock at sf0.1
+    * is FLAT (~10 s in-suite — the bill is the pair grid, the pinned
+    * checkpoint, the 28.4M-combination chain join and the output
+    * sort, none of which the fit stage touched), but the plan drops
+    * a corpus-scale join + wide aggregate — the part that grows at
+    * 100 TB. */
   def qTrackMotion(s: SparkSession, dir: String): DataFrame =
-    trackMotionOver(trackletPairs(s, dir).localCheckpoint(true),
-      detections(s, dir))
+    trackMotionOver(trackletPairs(s, dir).localCheckpoint(true))
 
   /** Fit body over any tracklet-pair frame (night_from, k1, k2,
-    * dist_r6) and coordinate table (det_k, ra, decl) — factored so
-    * the spec can drive a planted constant-rate mover (and a
-    * rate-drifting interloper) through the real plan. */
-  private[graft] def trackMotionOver(p: DataFrame, dets: DataFrame): DataFrame =
-    motionFitOver(chainFrame(p), dets)
+    * dist_r6, ra/de ×10⁶ of both endpoints — [[trackletPairs]]'
+    * schema) — factored so the spec can drive a planted constant-rate
+    * mover (and a rate-drifting interloper) through the real plan. */
+  private[graft] def trackMotionOver(p: DataFrame): DataFrame =
+    motionFitOver(chainFrame(p))
 
-  /** The per-track FIT over any chain frame (k1, mid, k3, dr_u6) —
-    * the rate gate, the 3-member melt, the single-scan coordinate
-    * lookup and the closed-form integer pivot, shared verbatim by
-    * the full ([[qTrackMotion]]) and sampled ([[qTrackMotionSampled]])
-    * readouts so the fit arithmetic can never diverge between them. */
-  private[graft] def motionFitOver(chains: DataFrame, dets: DataFrame): DataFrame = {
+  /** The per-track FIT over any chain frame carrying the three member
+    * coordinates ([[chainFrame]]'s schema) — the rate gate and the
+    * closed-form integer fit as per-row expressions, shared verbatim
+    * by the full ([[qTrackMotion]]) and sampled
+    * ([[qTrackMotionSampled]]) readouts so the fit arithmetic can
+    * never diverge between them. No join, no aggregate: every fit
+    * input is already on the chain row. */
+  private[graft] def motionFitOver(chains: DataFrame): DataFrame = {
     val s = chains.sparkSession
     import s.implicits._
-    val tracks = chains.filter($"dr_u6" <= TrackChainTolU6)
-    // melt the three members, look their coordinates up in ONE scan
-    val mem = tracks.select($"k1", $"mid", $"k3", $"dr_u6",
-      explode(array(
-        struct(lit(0L).as("role"), $"k1".as("det_k")),
-        struct(lit(1L).as("role"), $"mid".as("det_k")),
-        struct(lit(2L).as("role"), $"k3".as("det_k")))).as("m"))
-      .select($"k1", $"mid", $"k3", $"dr_u6",
-        $"m.role".as("role"), $"m.det_k".as("det_k"))
-    val coords = dets.select($"det_k",
-      round($"ra" * 1000000).cast("long").as("ra_u6"),
-      round($"decl" * 1000000).cast("long").as("de_u6"))
-    def at(role: Int, c: org.apache.spark.sql.Column) =
-      min(when($"role" === role.toLong, c))
-    mem.join(coords, Seq("det_k"))
-      .groupBy($"k1", $"mid", $"k3", $"dr_u6")
-      .agg(
-        (at(2, $"ra_u6") - at(0, $"ra_u6")).as("ra_rate_u6_x2"),
-        (at(2, $"de_u6") - at(0, $"de_u6")).as("de_rate_u6_x2"),
-        (at(0, $"ra_u6") - lit(2L) * at(1, $"ra_u6") + at(2, $"ra_u6"))
+    chains.filter($"dr_u6" <= TrackChainTolU6)
+      .select($"k1", $"mid", $"k3",
+        ($"k3_ra_u6" - $"k1_ra_u6").as("ra_rate_u6_x2"),
+        ($"k3_de_u6" - $"k1_de_u6").as("de_rate_u6_x2"),
+        ($"k1_ra_u6" - lit(2L) * $"mid_ra_u6" + $"k3_ra_u6")
           .as("ra_curv_u6"),
-        (at(0, $"de_u6") - lit(2L) * at(1, $"de_u6") + at(2, $"de_u6"))
-          .as("de_curv_u6"))
-      .select($"k1", $"mid", $"k3", $"ra_rate_u6_x2", $"de_rate_u6_x2",
-        $"ra_curv_u6", $"de_curv_u6", $"dr_u6")
+        ($"k1_de_u6" - lit(2L) * $"mid_de_u6" + $"k3_de_u6")
+          .as("de_curv_u6"),
+        $"dr_u6")
+      // NOTE (r19 opt round): pinning the fitted sliver here with an
+      // eager localCheckpoint — to spare orderBy's range-bound
+      // sampling pass its re-execution of the chain join — was
+      // A/B-measured 10.3 → 24.8 s in-suite at sf0.1 and reverted:
+      // three bench samples each materialize a fresh ~1.7M-row
+      // checkpoint beside the already-pinned pair stream, and the
+      // block-manager pressure dwarfs the saved join pass. The
+      // sampling re-execution reads the PINNED pair frame, so the
+      // re-run is the join CPU only.
       .orderBy($"k1", $"mid", $"k3")
   }
 
@@ -835,7 +863,14 @@ object Spatial {
       .withColumn("nm", pmod($"k1", lit(AssocBatches)).cast("long"))
       .withColumn("nx", pmod($"k2", lit(AssocBatches)).cast("long"))
       .filter($"nx" === $"nm" - 1 || $"nx" === $"nm" + 1)
-      .select($"k1".as("mid"), $"k2".as("x"), $"dist_r6", $"nm", $"nx")
+      // both endpoints' ×10⁶ coordinates ride along (the
+      // [[trackletPairs]] r19 discipline) so the sampled fit, too,
+      // reads its inputs off the chain row with zero joins
+      .select($"k1".as("mid"), $"k2".as("x"), $"dist_r6", $"nm", $"nx",
+        round($"ra1" * 1000000).cast("long").as("mid_ra_u6"),
+        round($"decl1" * 1000000).cast("long").as("mid_de_u6"),
+        round($"ra2" * 1000000).cast("long").as("x_ra_u6"),
+        round($"decl2" * 1000000).cast("long").as("x_de_u6"))
   }
 
   /** Chains through the sampled mids, from the mid-centric candidate
@@ -847,13 +882,18 @@ object Spatial {
     val s = cand.sparkSession
     import s.implicits._
     val leg1 = cand.filter($"nx" === $"nm" - 1)
-      .select($"x".as("k1"), $"mid", $"dist_r6".as("r1"))
+      .select($"x".as("k1"), $"mid", $"dist_r6".as("r1"),
+        $"x_ra_u6".as("k1_ra_u6"), $"x_de_u6".as("k1_de_u6"),
+        $"mid_ra_u6", $"mid_de_u6")
     val leg2 = cand.filter($"nx" === $"nm" + 1)
-      .select($"mid", $"x".as("k3"), $"dist_r6".as("r2"))
+      .select($"mid", $"x".as("k3"), $"dist_r6".as("r2"),
+        $"x_ra_u6".as("k3_ra_u6"), $"x_de_u6".as("k3_de_u6"))
     leg1.join(leg2, Seq("mid"))
       .withColumn("dr_u6", abs(round($"r1" * 1000000).cast("long") -
         round($"r2" * 1000000).cast("long")))
-      .select($"k1", $"mid", $"k3", $"dr_u6")
+      .select($"k1", $"mid", $"k3", $"dr_u6",
+        $"k1_ra_u6", $"k1_de_u6", $"mid_ra_u6", $"mid_de_u6",
+        $"k3_ra_u6", $"k3_de_u6")
   }
 
   /** The 100-TB scale path of the motion readout: the synthetic
@@ -874,8 +914,7 @@ object Spatial {
     motionFitOver(
       sampledChainFrame(
         sampledMidCandidates(transientFrame(s, dir), TpcSampleHex)
-          .localCheckpoint(true)),
-      detections(s, dir))
+          .localCheckpoint(true)))
 
   /** Oracle twin: [[trackChainCtes]] (one copy) + the rate gate, the
     * coordinate lookup as three aliased equi-joins (relational form

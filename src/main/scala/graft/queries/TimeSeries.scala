@@ -932,17 +932,25 @@ object TimeSeries {
     * so the phase-fold query composes with it in one plan. */
   private def bestPeriods(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val nb = PhaseBins
+    // r19 opt round: ONE [[graft.functions.BlsCellFold]] pass keyed by
+    // object alone (the blsCells discipline at [[PhaseBins]]) replaces
+    // the ×16 explode + two-level (object, period, bin) aggregate —
+    // the per-bin counts/sums land in 2·|grid| O(1) array increments
+    // per series row, and the score fold runs over the |objects|-row
+    // reduced frame. Bins with n = 0 have no row in the old narrow
+    // aggregate and contribute IF(n > 0, ...) = 0 here; all sums are
+    // exact int64, so the scores are bit-identical.
     val folded = series(s, dir)
       .filter($"user_id".isNotNull)
-      .withColumn("p_us", explode(typedLit(PeriodGridUs)))
-      .withColumn("bin", expr(s"((tus % p_us) * $nb) DIV p_us"))
-    val scores = folded
-      .groupBy($"user_id", $"p_us", $"bin")
-      .agg(count(lit(1)).as("n"), sum($"xc").as("sb"))
-      .groupBy($"user_id", $"p_us")
-      .agg(sum(expr("(sb * sb) DIV n")).as("score"))
-    scores
+      .groupBy($"user_id")
+      .agg(graft.functions.BlsFold
+        .blsCellFold($"tus", $"xc", PeriodGridUs, PhaseBins).as("cs"))
+      .select($"user_id", explode($"cs").as("c"))
+    folded
+      .select($"user_id", $"c.p_us".as("p_us"),
+        expr("aggregate(zip_with(c.sbs, c.nbs, (s, n) -> " +
+          "IF(n > 0, (s * s) DIV n, CAST(0 AS BIGINT))), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("score"))
       .groupBy($"user_id")
       .agg(max(struct($"score", (-$"p_us").as("negp"))).as("b"))
       .select($"user_id", (-$"b.negp").as("best_p_us"),
@@ -1051,20 +1059,26 @@ object TimeSeries {
     keys: Seq[String]): DataFrame = {
     val s = ser.sparkSession
     import s.implicits._
-    val nb = LsBins
+    // r19 opt round: ONE [[graft.functions.GlsSufFold]] pass keyed by
+    // the series key alone (the blsCells discipline) — per series row
+    // one group probe and a 16-iteration tight loop of trig-table
+    // lookups + integer multiply-adds, instead of the old ×16 grid
+    // explode whose every exploded row paid a (key, period) hash probe
+    // + 10 aggregate updates. The fold reads the SAME Scala trig
+    // tables the old plan spliced via typedLit/element_at and
+    // accumulates the identical exact int64 sums (order-free), so the
+    // frame is bit-identical; the ×16 explode now runs on the
+    // |keys|-row reduced frame.
     ser
       .filter($"user_id".isNotNull)
-      .withColumn("p_us", explode(typedLit(PeriodGridUs)))
-      .withColumn("b", expr(s"((tus % p_us) * $nb) DIV p_us").cast("int"))
-      .withColumn("c", element_at(typedLit(LsCosTab), $"b" + 1))
-      .withColumn("si", element_at(typedLit(LsSinTab), $"b" + 1))
-      .groupBy((keys :+ "p_us").map(col): _*)
-      .agg(count(lit(1)).as("n"),
-        sum($"xc").as("sx"), sum($"xc" * $"xc").as("sxx"),
-        sum($"c").as("sc"), sum($"si").as("ss"),
-        sum($"xc" * $"c").as("sxc"), sum($"xc" * $"si").as("sxs"),
-        sum($"c" * $"c").as("scc"), sum($"si" * $"si").as("sss"),
-        sum($"c" * $"si").as("scs"))
+      .groupBy(keys.map(col): _*)
+      .agg(graft.functions.BlsFold.glsSufFold(
+        $"tus", $"xc", PeriodGridUs, LsBins, LsCosTab, LsSinTab).as("cs"))
+      .select(keys.map(col) :+ explode($"cs").as("c"): _*)
+      .select(keys.map(col) ++ Seq($"c.p_us".as("p_us"), $"c.n".as("n"),
+        $"c.sx".as("sx"), $"c.sxx".as("sxx"), $"c.sc".as("sc"),
+        $"c.ss".as("ss"), $"c.sxc".as("sxc"), $"c.sxs".as("sxs"),
+        $"c.scc".as("scc"), $"c.sss".as("sss"), $"c.scs".as("scs")): _*)
   }
 
   /** [[lsPowerFrame]] generalized to a composite series key: the
@@ -1436,16 +1450,28 @@ object TimeSeries {
       struct(power.as("pw"), lit(-st).as("negs"), lit(-w).as("negw"),
         nw.as("nw"), sw.as("sw"))
     }
+    // Sentinel (pw = −1) rows flow INTO the argmax and are filtered on
+    // the aggregate's OUTPUT (r19 opt round): a sentinel can only win
+    // when the object has no eligible window anywhere (then the
+    // post-agg filter drops the object, exactly as the old pre-agg
+    // filter dropped all its rows), and tie-breaks never reach the
+    // depth field (negp is unique per row). Filtering the reduced
+    // frame instead of the cell frame keeps the optimizer's predicate
+    // pushdown + constraint propagation off the 48-struct `greatest`
+    // tree — with the r19 cell fold the pushed-down substituted
+    // sentinel predicate made CONSTRAINT PROPAGATION blow the driver
+    // heap at plan time (measured: 8 GB OOM at sf0.001; with the
+    // filter above the argmax the plan builds in under 2 s).
+    val depth =
+      $"bw.sw".cast("double") / $"bw.nw".cast("double") -
+        ($"sx" - $"bw.sw").cast("double") /
+          ($"n" - $"bw.nw").cast("double")
     cells.withColumn("bw", greatest(wins: _*))
-      .filter($"bw.pw" >= 0.0)
-      .withColumn("depth_c100",
-        $"bw.sw".cast("double") / $"bw.nw".cast("double") -
-          ($"sx" - $"bw.sw").cast("double") /
-            ($"n" - $"bw.nw").cast("double"))
       .groupBy($"user_id")
       .agg(max(struct($"bw.pw".as("pw"), (-$"p_us").as("negp"),
         $"bw.negs".as("negs"), $"bw.negw".as("negw"), $"n".as("nn"),
-        $"depth_c100".as("dep"))).as("bst"))
+        depth.as("dep"))).as("bst"))
+      .filter($"bst.pw" >= 0.0)
       .select($"user_id", $"bst.nn".as("n_epochs"),
         (-$"bst.negp").as("best_p_us"),
         (-$"bst.negs").cast("long").as("w_start"),
@@ -1455,30 +1481,39 @@ object TimeSeries {
   }
 
   /** The per-(object, trial period) BLS cell frame — totals plus the
-    * 2·[[BlsBins]] conditional per-bin sums, the ONE wide corpus-side
-    * aggregate [[blsOver]] and [[secondaryEclipseOver]] both read.
-    * ONE wide aggregate deliberately: an A/B against a two-stage fold
-    * (narrow (object, period, BIN)-key aggregate, then a
-    * reduced-frame pivot) benched the same at sf0.1 — the bin key's
-    * 16x cardinality costs what the 32 conditional columns cost —
-    * but the wide shape shuffles |objects|x16 rows where the narrow
-    * one shuffles up to 16x more partials. */
+    * 2·[[BlsBins]] per-bin sums, the ONE corpus-side aggregate
+    * [[blsOver]] and [[secondaryEclipseOver]] both read. Since r19's
+    * optimization round the fold is [[graft.functions.BlsCellFold]]:
+    * ONE pass over the series keyed by object alone — each row pays
+    * one group probe and 16 O(1) bin increments instead of the old
+    * ×16 period explode into 2·[[BlsBins]] CONDITIONAL sums (whose
+    * per exploded row cost was the full 32-branch `when` scan; the
+    * old wide shape itself had already A/B-beaten a narrow
+    * (object, period, bin)-key aggregate). The fold's accumulators
+    * are the identical exact int64 sums with the identical
+    * `((tus % p) * nb) DIV p` bin arithmetic, so the emitted cells
+    * are bit-equal under any merge order; the ×16 explode now runs
+    * AFTER the aggregate, on the |objects|-row reduced frame.
+    * Measured (in-suite sf0.1 medians, r19 opt round):
+    * q_transit_recovery 7.2 → 2.5 s, q_eb_recovery 6.6 → 2.2 s,
+    * q_transit_candidates 5.1 → 1.6 s, q_secondary_eclipse
+    * 3.0 → 1.6 s. */
   private[graft] def blsCells(ser: DataFrame): DataFrame = {
     val s = ser.sparkSession
     import s.implicits._
     val nb = BlsBins
-    val binned = ser
+    val folded = ser
       .filter($"user_id".isNotNull)
-      .withColumn("p_us", explode(typedLit(PeriodGridUs)))
-      .withColumn("b", expr(s"((tus % p_us) * $nb) DIV p_us").cast("int"))
-    val aggCols = Seq(
-      count(lit(1)).as("n"), sum($"xc").as("sx"),
-      sum($"xc" * $"xc").as("sxx")) ++
+      .groupBy($"user_id")
+      .agg(graft.functions.BlsFold
+        .blsCellFold($"tus", $"xc", PeriodGridUs, nb).as("cs"))
+      .select($"user_id", explode($"cs").as("c"))
+    val cols = Seq($"user_id", $"c.p_us".as("p_us"), $"c.n".as("n"),
+      $"c.sx".as("sx"), $"c.sxx".as("sxx")) ++
       (0 until nb).flatMap(i => Seq(
-        sum(when($"b" === i, 1L).otherwise(0L)).as(s"nb$i"),
-        sum(when($"b" === i, $"xc").otherwise(0L)).as(s"sb$i")))
-    binned.groupBy($"user_id", $"p_us")
-      .agg(aggCols.head, aggCols.tail: _*)
+        $"c.nbs".getItem(i).as(s"nb$i"),
+        $"c.sbs".getItem(i).as(s"sb$i")))
+    folded.select(cols: _*)
       .withColumn("xxn", $"n" * $"sxx" - $"sx" * $"sx")
   }
 
@@ -1656,16 +1691,19 @@ object TimeSeries {
     def depth(nw: Column, sw: Column) =
       sw.cast("double") / nw.cast("double") -
         ($"sx" - sw).cast("double") / ($"n" - nw).cast("double")
+    // sentinel filter ABOVE the argmax, on the aggregate's output —
+    // same reasoning (and the same measured plan-time OOM avoided) as
+    // [[blsOver]]: a sentinel row wins only for objects with no
+    // eligible dip window, which the post-agg filter then drops;
+    // negp is unique per row, so tie-breaks never reach dep/sdep
     cells.withColumn("bw", greatest(wins: _*))
-      .filter($"bw.pw" >= 0.0)
-      .withColumn("depth_c100", depth($"bw.nw", $"bw.sw"))
-      .withColumn("sec_depth_c100",
-        when($"bw.nw2" > 0L && $"bw.nw2" < $"n",
-          depth($"bw.nw2", $"bw.sw2")))
       .groupBy($"user_id")
       .agg(max(struct($"bw.pw".as("pw"), (-$"p_us").as("negp"),
         $"bw.negs".as("negs"), $"bw.negw".as("negw"), $"n".as("nn"),
-        $"depth_c100".as("dep"), $"sec_depth_c100".as("sdep"))).as("bst"))
+        depth($"bw.nw", $"bw.sw").as("dep"),
+        when($"bw.nw2" > 0L && $"bw.nw2" < $"n",
+          depth($"bw.nw2", $"bw.sw2")).as("sdep"))).as("bst"))
+      .filter($"bst.pw" >= 0.0)
       .select($"user_id", $"bst.nn".as("n_epochs"),
         (-$"bst.negp").as("best_p_us"),
         (-$"bst.negs").cast("long").as("w_start"),

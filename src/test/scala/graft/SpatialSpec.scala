@@ -942,15 +942,25 @@ class SpatialSpec extends AnyFunSuite {
     // (all values exact binary fractions, so the ×10⁶ rounding is
     // exact) — equal-rate legs, so dr_u6 = 0; decoy 20→21→22 drifts
     // 0.6°/night between legs (> the 0.5° tolerance) and must drop
-    val pairs = Seq(
-      (0L, 10L, 11L, 0.559017), (1L, 11L, 12L, 0.559017),
-      (0L, 20L, 21L, 0.3), (1L, 21L, 22L, 0.9))
-      .toDF("night_from", "k1", "k2", "dist_r6")
     val dets = Seq(
       (10L, 100.0, 20.0), (11L, 100.5, 20.25), (12L, 101.0, 20.5),
       (20L, 30.0, -10.0), (21L, 30.3, -10.0), (22L, 31.2, -10.0))
-      .toDF("det_k", "ra", "decl")
-    val got = q.trackMotionOver(pairs, dets).collect()
+    // pair frames carry both endpoints' ×10⁶ coordinates (the r19
+    // trackletPairs schema) — the fixture attaches them exactly as the
+    // grid pass would
+    def withU6(rows: Seq[(Long, Long, Long, Double)],
+      ds: Seq[(Long, Double, Double)]) = {
+      val m = ds.map(d => d._1 -> (math.round(d._2 * 1000000),
+        math.round(d._3 * 1000000))).toMap
+      rows.map { case (nf, k1, k2, d) =>
+        (nf, k1, k2, d, m(k1)._1, m(k1)._2, m(k2)._1, m(k2)._2) }
+        .toDF("night_from", "k1", "k2", "dist_r6",
+          "ra1_u6", "de1_u6", "ra2_u6", "de2_u6")
+    }
+    val pairs = withU6(Seq(
+      (0L, 10L, 11L, 0.559017), (1L, 11L, 12L, 0.559017),
+      (0L, 20L, 21L, 0.3), (1L, 21L, 22L, 0.9)), dets)
+    val got = q.trackMotionOver(pairs).collect()
     assert(got.length == 1, s"expected only the mover, got ${got.length}")
     val m = got.head
     assert(m.getAs[Long]("k1") == 10L && m.getAs[Long]("mid") == 11L &&
@@ -968,10 +978,8 @@ class SpatialSpec extends AnyFunSuite {
     // c = x₁ − 2·x₂ + x₃ = −8 u6 (SSE = 64/6 u6²)
     val detsCurved = Seq(
       (10L, 100.0, 20.0), (11L, 100.500004, 20.25), (12L, 101.0, 20.5))
-      .toDF("det_k", "ra", "decl")
-    val curved = q.trackMotionOver(
-      Seq((0L, 10L, 11L, 0.5), (1L, 11L, 12L, 0.5))
-        .toDF("night_from", "k1", "k2", "dist_r6"), detsCurved).collect()
+    val curved = q.trackMotionOver(withU6(
+      Seq((0L, 10L, 11L, 0.5), (1L, 11L, 12L, 0.5)), detsCurved)).collect()
     assert(curved.length == 1 &&
       curved.head.getAs[Long]("ra_curv_u6") == -8L,
       s"curvature ${curved.head.getAs[Long]("ra_curv_u6")} != -8")
@@ -1093,6 +1101,12 @@ class SpatialSpec extends AnyFunSuite {
         (0L, 5000L + m, m.toLong, 0.8), (1L, m.toLong, 90000L + m, 0.8)))
       val pairs = spark.createDataFrame(dense ++ cont ++ bg)
         .toDF("night_from", "k1", "k2", "dist_r6")
+        // chainFrame's r19 schema carries endpoint coordinates; the
+        // skew fixture only counts chains, so zeros suffice
+        .withColumn("ra1_u6", org.apache.spark.sql.functions.lit(0L))
+        .withColumn("de1_u6", org.apache.spark.sql.functions.lit(0L))
+        .withColumn("ra2_u6", org.apache.spark.sql.functions.lit(0L))
+        .withColumn("de2_u6", org.apache.spark.sql.functions.lit(0L))
       val chains = q.chainFrame(pairs)
       // collect() executes THIS queryExecution, so the inspected plan
       // below is the adaptively finalized one (count() would plan a
