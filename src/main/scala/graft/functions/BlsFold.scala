@@ -257,6 +257,129 @@ case class GlsSufFold(tus: Expression, xc: Expression,
   override def prettyName: String = "gls_suf_fold"
 }
 
+/** One-pass conditional-entropy cell fold — the custom aggregate
+  * behind `cePeriodOver` (r19 opt round). Same design as
+  * [[BlsCellFold]]: per series row, for each trial period, one exact
+  * integer phase bin; the (phase, magnitude) occupancy counter
+  * `buf[p·B·M + pbin·M + mbin]` increments by one (the magnitude bin
+  * arrives as an input column — it needs the per-object min/max
+  * window, which stays upstream). eval() reduces each period's B×M
+  * occupancy grid to the entropy numerator the old plan computed
+  * relationally: num = Σ_ij n_ij·(L[n_ij] − L[n_i]) over occupied
+  * cells, with L the spliced fixed-point log table — REPLICATING the
+  * table's element_at semantics exactly: a count beyond the table
+  * (n_i > tabMax ⇒ L[n_i] IS NULL) nulls its term, a null term is
+  * skipped by SUM, and a period whose every term is null carries a
+  * null num (n_ij ≤ n_i, so validity is just n_i ≤ tabMax). All
+  * counts are exact int64; the emitted (p_us, n, num) rows are
+  * bit-identical to the old (object, period, phase, mag) cell
+  * aggregate + n_i window + period aggregate they replace. */
+case class CeCellFold(tus: Expression, mbin: Expression,
+  periods: Seq[Long], phaseBins: Int, magBins: Int, lnTab: Seq[Long],
+  mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(periods.nonEmpty && periods.forall(_ > 0),
+    "ce_cell_fold requires positive trial periods")
+  require(phaseBins >= 2 && magBins >= 2, "ce_cell_fold needs >= 2 bins")
+
+  private val pArr: Array[Long] = periods.toArray
+  @transient private lazy val lnArr: Array[Long] = lnTab.toArray
+  private val stride = phaseBins * magBins
+  private val bufLen = pArr.length * stride
+
+  override def children: Seq[Expression] = Seq(tus, mbin)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("p_us", LongType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("num", LongType, nullable = true))), containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](bufLen)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val t = tus.eval(input)
+    val m = mbin.eval(input)
+    if (t != null && m != null) {
+      val tv = t.asInstanceOf[Long]
+      val mv = m.asInstanceOf[Long].toInt
+      var i = 0
+      var base = 0
+      while (i < pArr.length) {
+        val p = pArr(i)
+        val pb = (((tv % p) * phaseBins) / p).toInt
+        buf(base + pb * magBins + mv) += 1L
+        i += 1
+        base += stride
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < bufLen) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val tabMax = lnArr.length
+    val out = new Array[Any](pArr.length)
+    var i = 0
+    while (i < pArr.length) {
+      val base = i * stride
+      var n = 0L
+      var num = 0L
+      var sawValid = false
+      var pb = 0
+      while (pb < phaseBins) {
+        var ni = 0L
+        var m = 0
+        while (m < magBins) { ni += buf(base + pb * magBins + m); m += 1 }
+        n += ni
+        if (ni > 0 && ni <= tabMax) {
+          val lnNi = lnArr(ni.toInt - 1)
+          m = 0
+          while (m < magBins) {
+            val nij = buf(base + pb * magBins + m)
+            if (nij > 0) {
+              num += nij * (lnArr(nij.toInt - 1) - lnNi)
+              sawValid = true
+            }
+            m += 1
+          }
+        }
+        pb += 1
+      }
+      out(i) = new GenericInternalRow(Array[Any](
+        pArr(i), n, if (sawValid) num else null))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(bufLen * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val buf = new Array[Long](bufLen)
+    ByteBuffer.wrap(bytes).asLongBuffer().get(buf)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CeCellFold =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CeCellFold =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+    newChildren: IndexedSeq[Expression]): CeCellFold =
+    copy(tus = newChildren(0), mbin = newChildren(1))
+  override def prettyName: String = "ce_cell_fold"
+}
+
 object BlsFold {
   /** Column API: `blsCellFold(tus, xc, grid, nb)` → one array of
     * per-trial-period (p_us, n, sx, sxx, nbs, sbs) cell structs. */
@@ -273,4 +396,12 @@ object BlsFold {
     ColumnBridge.column(GlsSufFold(
       ColumnBridge.expression(tus), ColumnBridge.expression(xc),
       periods, lsBins, cosTab, sinTab).toAggregateExpression())
+
+  /** Column API: `ceCellFold(tus, mbin, grid, B, M, lnTab)` → one
+    * array of per-trial-period (p_us, n, num) entropy structs. */
+  def ceCellFold(tus: Column, mbin: Column, periods: Seq[Long],
+    phaseBins: Int, magBins: Int, lnTab: Seq[Long]): Column =
+    ColumnBridge.column(CeCellFold(
+      ColumnBridge.expression(tus), ColumnBridge.expression(mbin),
+      periods, phaseBins, magBins, lnTab).toAggregateExpression())
 }

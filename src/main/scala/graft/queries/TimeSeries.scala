@@ -2261,26 +2261,29 @@ object TimeSeries {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val wu = Window.partitionBy($"user_id")
-    val nb = PhaseBins
-    val cells = ser
+    // r19 opt round: ONE [[graft.functions.CeCellFold]] pass keyed by
+    // object (the blsCells discipline) replaces the ×16 explode into
+    // the (object, period, phase, mag) cell aggregate, the n_i window
+    // over it, and the period aggregate — per series row one group
+    // probe and 16 O(1) occupancy increments; the entropy numerator
+    // reduces per period inside the fold's eval with the IDENTICAL
+    // spliced log-table semantics (beyond-table counts null their
+    // term exactly like element_at past the array end — see the
+    // fold's doc). The fold's object shuffle REUSES the min/max
+    // window's partitioning, so the corpus-scale exchange count
+    // drops from two to one.
+    val per = ser
       .filter($"user_id".isNotNull)
       .withColumn("mn", min($"xc").over(wu))
       .withColumn("mx", max($"xc").over(wu))
       .withColumn("mbin",
         expr(s"((xc - mn) * $CeMagBins) DIV (mx - mn + 1)"))
-      .withColumn("p_us", explode(typedLit(PeriodGridUs)))
-      .withColumn("pbin", expr(s"((tus % p_us) * $nb) DIV p_us"))
-      .groupBy($"user_id", $"p_us", $"pbin", $"mbin")
-      .agg(count(lit(1)).as("nij"))
-    val wp = Window.partitionBy($"user_id", $"p_us", $"pbin")
-    val per = cells
-      .withColumn("ni", sum($"nij").over(wp))
-      .groupBy($"user_id", $"p_us")
-      .agg(sum($"nij").as("n"),
-        sum($"nij" *
-          (element_at(typedLit(CeLnTab), $"nij".cast("int")) -
-            element_at(typedLit(CeLnTab), $"ni".cast("int"))))
-          .as("num"))
+      .groupBy($"user_id")
+      .agg(graft.functions.BlsFold.ceCellFold($"tus", $"mbin",
+        PeriodGridUs, PhaseBins, CeMagBins.toInt, CeLnTab).as("cs"))
+      .select($"user_id", explode($"cs").as("c"))
+      .select($"user_id", $"c.p_us".as("p_us"), $"c.n".as("n"),
+        $"c.num".as("num"))
     per.groupBy($"user_id")
       .agg(max($"n").as("n_epochs"),
         max(struct($"num", (-$"p_us").as("negp"))).as("bst"))
