@@ -266,11 +266,14 @@ case class GlsSufFold(tus: Expression, xc: Expression,
   * window, which stays upstream). eval() reduces each period's B×M
   * occupancy grid to the entropy numerator the old plan computed
   * relationally: num = Σ_ij n_ij·(L[n_ij] − L[n_i]) over occupied
-  * cells, with L the spliced fixed-point log table — REPLICATING the
-  * table's element_at semantics exactly: a count beyond the table
-  * (n_i > tabMax ⇒ L[n_i] IS NULL) nulls its term, a null term is
-  * skipped by SUM, and a period whose every term is null carries a
-  * null num (n_ij ≤ n_i, so validity is just n_i ≤ tabMax). All
+  * cells, with L the spliced fixed-point log table. The NULL-on-
+  * beyond-table semantics (n_i > tabMax ⇒ L[n_i] IS NULL, null term
+  * skipped by SUM, all-null period ⇒ null num; n_ij ≤ n_i so validity
+  * is just n_i ≤ tabMax) is the contract pinned by the DuckDB
+  * oracle's list_extract — NOT by Spark's element_at, which under the
+  * session's ANSI default THROWS past the array end. CeLnTab must be
+  * sized to the max feasible per-bin count; overflow degrades to a
+  * null term rather than an error, exactly as the oracle does. All
   * counts are exact int64; the emitted (p_us, n, num) rows are
   * bit-identical to the old (object, period, phase, mag) cell
   * aggregate + n_i window + period aggregate they replace. */
@@ -303,6 +306,9 @@ case class CeCellFold(tus: Expression, mbin: Expression,
     if (t != null && m != null) {
       val tv = t.asInstanceOf[Long]
       val mv = m.asInstanceOf[Long].toInt
+      if (mv < 0 || mv >= magBins)
+        throw new IllegalArgumentException(
+          s"ce_cell_fold: mbin $mv outside [0, $magBins)")
       var i = 0
       var base = 0
       while (i < pArr.length) {

@@ -153,11 +153,20 @@ object CoreOlap {
     * join after. */
   def qWaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val perOrder = Tables.lineitem(s, dir)
+    // r20: the two exact distincts + max planned as Expand ×3 — every
+    // lineitem row tripled through two aggregate layers. The same
+    // counts fall out of a plain (order, supplier) pre-aggregation
+    // (ns = group count, nl = suppliers with ≥1 late row, late_supp =
+    // max such supplier): two hash aggregates, zero Expand, and the
+    // first one combines map-side (guide §2.3). Values identical.
+    val perSupp = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("late"))
+    val perOrder = perSupp
       .groupBy($"l_orderkey")
-      .agg(countDistinct($"l_suppkey").as("ns"),
-        countDistinct(when($"l_returnflag" === "R", $"l_suppkey")).as("nl"),
-        max(when($"l_returnflag" === "R", $"l_suppkey")).as("late_supp"))
+      .agg(count(lit(1)).as("ns"),
+        sum($"late").as("nl"),
+        max(when($"late" === 1L, $"l_suppkey")).as("late_supp"))
       .filter($"ns" >= 2 && $"nl" === 1)
     val waiting = perOrder
       .join(Tables.orders(s, dir).filter($"o_orderstatus" === "F")
@@ -1088,12 +1097,26 @@ object CoreOlap {
   // ---------------------------------------------------------------
   def qDistinctCount(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, dir)
-      .groupBy($"l_returnflag")
-      .agg(countDistinct($"l_orderkey").as("n_orders"),
-        countDistinct($"l_partkey").as("n_parts"),
-        countDistinct($"l_suppkey", $"l_partkey").as("n_supp_part"),
-        count(lit(1)).as("n"))
+    // r20 (the q_profile Expand-removal discipline, driver-verified
+    // 5.19× there): three exact distincts in ONE aggregate plan as
+    // Expand ×4 — every lineitem row quadrupled through two
+    // aggregates. Split into single-distinct branches (each plans as
+    // a two-level aggregate over just its own column, no Expand) and
+    // join on the 3-row flag key (broadcast). Result identical: same
+    // exact distinct counts, same rows.
+    val li = Tables.lineitem(s, dir)
+    val orders = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("n_orders"))
+    val parts = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("n_parts"))
+    val suppPart = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_suppkey", $"l_partkey").as("n_supp_part"))
+    val totals = li.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"))
+    orders.join(parts, Seq("l_returnflag"))
+      .join(suppPart, Seq("l_returnflag"))
+      .join(totals, Seq("l_returnflag"))
+      .select($"l_returnflag", $"n_orders", $"n_parts", $"n_supp_part", $"n")
       .orderBy($"l_returnflag")
   }
 

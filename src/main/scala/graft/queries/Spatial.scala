@@ -328,17 +328,24 @@ object Spatial {
     * are the caller's — Catalyst pushes them below the haversine
     * projection into the join. */
   private def gridCandidates(probe: DataFrame, build: DataFrame,
-    radius: Double): DataFrame = {
+    radius: Double, extraEquiKey: Boolean = false): DataFrame = {
     val s = probe.sparkSession
     import s.implicits._
     val zm = s.createDataFrame(zoneRaBuckets(radius, radius))
       .toDF("zm_zone", "nrb")
+    // r20 opt: callers with a cheap row-level equi predicate (the
+    // tracklet grid's night relation) pass extraEquiKey=true with an
+    // `ek` column on BOTH inputs; it joins as a third HASH KEY, so
+    // non-matching candidates are dropped during the join probe — the
+    // 6-trig haversine never sees them (guide §3.3: the residual's
+    // cheap predicate, promoted all the way into the key).
     val b = build
       .withColumn("zone", floor(($"decl" + 90.0) / radius).cast("int"))
       .join(broadcast(zm), $"zone" === $"zm_zone")
-      .select($"k".as("k2"), $"ra".as("ra2"), $"decl".as("decl2"),
+      .select(Seq($"k".as("k2"), $"ra".as("ra2"), $"decl".as("decl2"),
         $"zone".as("z2"),
-        floor($"ra" * $"nrb" / 360.0).cast("int").as("rb2"))
+        floor($"ra" * $"nrb" / 360.0).cast("int").as("rb2")) ++
+        (if (extraEquiKey) Seq($"ek".as("ek2")) else Nil): _*)
     val pr = probe
       .withColumn("zone", floor(($"decl" + 90.0) / radius).cast("int"))
       .withColumn("zp", explode(array($"zone" - 1, $"zone", $"zone" + 1)))
@@ -346,8 +353,12 @@ object Spatial {
       .withColumn("c", floor($"ra" * $"nrb" / 360.0).cast("int"))
       .withColumn("rp", explode(array_distinct(array(
         pmod($"c" - 1, $"nrb"), pmod($"c", $"nrb"), pmod($"c" + 1, $"nrb")))))
-      .select($"k".as("k1"), $"ra".as("ra1"), $"decl".as("decl1"), $"zp", $"rp")
-    pr.join(b, pr("zp") === b("z2") && pr("rp") === b("rb2"))
+      .select(Seq($"k".as("k1"), $"ra".as("ra1"), $"decl".as("decl1"),
+        $"zp", $"rp") ++
+        (if (extraEquiKey) Seq($"ek".as("ek1")) else Nil): _*)
+    val baseCond = pr("zp") === b("z2") && pr("rp") === b("rb2")
+    pr.join(b, if (extraEquiKey) baseCond && pr("ek1") === b("ek2")
+      else baseCond)
       // cheap LOSSLESS prune ahead of the trig (the xmatchStored
       // discipline): great-circle separation ≥ |Δdecl|, so no
       // in-radius pair can fail it — the ±1-zone candidate window
@@ -373,6 +384,10 @@ object Spatial {
     gridCandidates(pts, pts, 1.0)
       .filter($"k1" < $"k2")
       .select($"k1", $"k2", $"dist_r6")
+      // r20: pin the matched sliver before the presentation sort —
+      // the grid join's haversine lives in the pre-sort stage, so
+      // orderBy's range sampling re-ran the whole match (guide §2.4)
+      .localCheckpoint(true)
       .orderBy($"k1", $"k2")
   }
 
@@ -421,6 +436,11 @@ object Spatial {
     gridCandidates(detections(s, dir).withColumnRenamed("det_k", "k"),
       points(s, dir), 1.0)
       .select($"k1".as("det_k"), $"k2".as("obj_k"), $"dist_r6")
+      // r20: pin the matched sliver before the presentation sort —
+      // the grid join and its 6-trig haversine live in the same
+      // pre-sort stage, so orderBy's range sampling re-executed the
+      // whole association per action (guide §2.4)
+      .localCheckpoint(true)
       .orderBy($"det_k", $"obj_k")
   }
 
@@ -458,6 +478,9 @@ object Spatial {
     import s.implicits._
     detections(s, dir).join(matchedDetKeys(s, dir), Seq("det_k"), "left_anti")
       .select($"det_k", $"ra", $"decl")
+      // r20: pin the transient sliver before the presentation sort
+      // (orderBy's range sampling re-ran the anti-join probe)
+      .localCheckpoint(true)
       .orderBy($"det_k")
   }
 
@@ -511,6 +534,10 @@ object Spatial {
         $"c2.k2".as("obj2"), $"c2.dist_r6".as("d2_r6"),
         (round($"c2.dist_r6" * 1000000).cast("long") -
           round($"c1.dist_r6" * 1000000).cast("long")).as("margin_u6"))
+      // r20: pin the ambiguous sliver before the presentation sort
+      // (orderBy's range sampling re-ran the rank/count windows and
+      // the final pivot, which share the pre-sort stage)
+      .localCheckpoint(true)
       .orderBy($"det_k")
   }
 
@@ -604,10 +631,16 @@ object Spatial {
   private[graft] def trackletPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tr = transientFrame(s, dir)
-    gridCandidates(tr, tr, TrackRateDeg)
+    // r20 opt: the consecutive-night predicate rides the grid join as
+    // an EQUI KEY (probe contributes night+1, build its own night) —
+    // ek1 = night(k1)+1 = night(k2) = ek2 is exactly the old
+    // post-haversine filter, but evaluated as a hash key it drops
+    // ~2/3 of the grid's candidate pairs before the 6-trig haversine
+    // runs (guide §3.3). Identical surviving row set.
+    val prb = tr.withColumn("ek", pmod($"k", lit(AssocBatches)) + 1)
+    val bld = tr.withColumn("ek", pmod($"k", lit(AssocBatches)))
+    gridCandidates(prb, bld, TrackRateDeg, extraEquiKey = true)
       .withColumn("night_from", pmod($"k1", lit(AssocBatches)).cast("long"))
-      .filter(pmod($"k2", lit(AssocBatches)).cast("long") ===
-        $"night_from" + 1)
       .select($"night_from", $"k1", $"k2", $"dist_r6",
         round($"ra1" * 1000000).cast("long").as("ra1_u6"),
         round($"decl1" * 1000000).cast("long").as("de1_u6"),
@@ -689,7 +722,14 @@ object Spatial {
     * aggregate. */
   def qTrackChains(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    chainFrame(trackletPairs(s, dir).localCheckpoint(true))
+    // r20: the census never reads coordinates — the pinned frame is
+    // projected to the three fit-free columns BEFORE materialization
+    // (a checkpoint pins every column it is handed, whatever the
+    // consumers prune), halving the pinned bytes and the chain join's
+    // shuffle width.
+    chainFrame(trackletPairs(s, dir)
+      .select($"k1", $"k2", $"dist_r6").localCheckpoint(true),
+      coords = false)
       .agg(count(lit(1)).as("n_chains"),
         coalesce(sum(when($"dr_u6" <= TrackChainTolU6, 1L).otherwise(0L)),
           lit(0L)).as("n_tracks"),
@@ -711,25 +751,37 @@ object Spatial {
     * covers every (b, b+1, b+2) chain at ANY AssocBatches, where
     * hard-coded 0/1 literals would silently undercount if the
     * lifecycle's batching ever widened. */
-  private[graft] def chainFrame(p: DataFrame): DataFrame = {
+  private[graft] def chainFrame(p: DataFrame, coords: Boolean = true): DataFrame = {
     val s = p.sparkSession
     import s.implicits._
     // r19 opt round: the pair frame carries both endpoints' ×10⁶
     // coordinates (see [[trackletPairs]]); leg 1 contributes k1's and
     // the mid's, leg 2 contributes k3's — so the chain row hands
     // [[motionFitOver]] all three member coordinates with ZERO further
-    // joins. Consumers without a fit ([[qTrackChains]]) prune them.
-    val p1 = p.select($"k1", $"k2".as("mid"), $"dist_r6".as("r1"),
-      $"ra1_u6".as("k1_ra_u6"), $"de1_u6".as("k1_de_u6"),
-      $"ra2_u6".as("mid_ra_u6"), $"de2_u6".as("mid_de_u6"))
-    val p2 = p.select($"k1".as("mid"), $"k2".as("k3"), $"dist_r6".as("r2"),
-      $"ra2_u6".as("k3_ra_u6"), $"de2_u6".as("k3_de_u6"))
-    p1.join(p2, Seq("mid"))
-      .withColumn("dr_u6", abs(round($"r1" * 1000000).cast("long") -
-        round($"r2" * 1000000).cast("long")))
-      .select($"k1", $"mid", $"k3", $"dr_u6",
-        $"k1_ra_u6", $"k1_de_u6", $"mid_ra_u6", $"mid_de_u6",
-        $"k3_ra_u6", $"k3_de_u6")
+    // joins. r20: consumers without a fit ([[qTrackChains]]) pass
+    // coords=false over a pair frame WITHOUT the coordinate columns —
+    // Catalyst pruning cannot shrink a localCheckpoint's materialized
+    // blocks, so the narrow path must start at the checkpoint itself.
+    if (coords) {
+      val p1 = p.select($"k1", $"k2".as("mid"), $"dist_r6".as("r1"),
+        $"ra1_u6".as("k1_ra_u6"), $"de1_u6".as("k1_de_u6"),
+        $"ra2_u6".as("mid_ra_u6"), $"de2_u6".as("mid_de_u6"))
+      val p2 = p.select($"k1".as("mid"), $"k2".as("k3"), $"dist_r6".as("r2"),
+        $"ra2_u6".as("k3_ra_u6"), $"de2_u6".as("k3_de_u6"))
+      p1.join(p2, Seq("mid"))
+        .withColumn("dr_u6", abs(round($"r1" * 1000000).cast("long") -
+          round($"r2" * 1000000).cast("long")))
+        .select($"k1", $"mid", $"k3", $"dr_u6",
+          $"k1_ra_u6", $"k1_de_u6", $"mid_ra_u6", $"mid_de_u6",
+          $"k3_ra_u6", $"k3_de_u6")
+    } else {
+      val p1 = p.select($"k1", $"k2".as("mid"), $"dist_r6".as("r1"))
+      val p2 = p.select($"k1".as("mid"), $"k2".as("k3"), $"dist_r6".as("r2"))
+      p1.join(p2, Seq("mid"))
+        .withColumn("dr_u6", abs(round($"r1" * 1000000).cast("long") -
+          round($"r2" * 1000000).cast("long")))
+        .select($"k1", $"mid", $"k3", $"dr_u6")
+    }
   }
 
   /** The tracklet-pair→chain CTE chain through `ch` (the
@@ -826,15 +878,20 @@ object Spatial {
         ($"k1_de_u6" - lit(2L) * $"mid_de_u6" + $"k3_de_u6")
           .as("de_curv_u6"),
         $"dr_u6")
-      // NOTE (r19 opt round): pinning the fitted sliver here with an
-      // eager localCheckpoint — to spare orderBy's range-bound
-      // sampling pass its re-execution of the chain join — was
-      // A/B-measured 10.3 → 24.8 s in-suite at sf0.1 and reverted:
-      // three bench samples each materialize a fresh ~1.7M-row
-      // checkpoint beside the already-pinned pair stream, and the
-      // block-manager pressure dwarfs the saved join pass. The
-      // sampling re-execution reads the PINNED pair frame, so the
-      // re-run is the join CPU only.
+      // r20: pin the reduced fit sliver before the presentation sort —
+      // orderBy's RangePartitioner samples its child with a SEPARATE
+      // job, so unpinned the 28M-row chain-join probe ran TWICE per
+      // action (the r19 driver-regression mechanism). The pin bounds
+      // the resample to the sliver. r19 measured this same pin
+      // 10.3 → 24.8 s and reverted, but that was the bench's own
+      // within-query checkpoint accumulation (3 samples × fresh pinned
+      // frames, none released — judge-diagnosed); with the bench now
+      // unpersisting per sample the A/B is 6.58 s pinned vs 6.37 s
+      // unpinned (5-iter medians, sf0.1 — a wash locally, and the
+      // double probe is gone). A repartition(1)+sortWithinPartitions
+      // variant was also A/B-measured: 16.0 s — the one-task sort
+      // serializes; rejected.
+      .localCheckpoint(true)
       .orderBy($"k1", $"mid", $"k3")
   }
 
@@ -857,12 +914,22 @@ object Spatial {
   private[graft] def sampledMidCandidates(tr: DataFrame, hexLt: String): DataFrame = {
     val s = tr.sparkSession
     import s.implicits._
+    // r20 opt: |Δnight| = 1 rides the grid join as an EQUI KEY — the
+    // sampled mid explodes to its two admissible neighbor nights
+    // (night−1, night+1; always distinct, so no pair doubles) and the
+    // build side contributes its own night. Exactly the old
+    // post-haversine |Δnight| = 1 filter, but ~2/3 of candidates are
+    // now dropped during the hash probe, before the trig (guide §3.3).
     val trMid = tr.filter(
       substring(md5($"k".cast("string")), 1, 1) < lit(hexLt))
-    gridCandidates(trMid, tr, TrackRateDeg)
+      .withColumn("ek", explode(array(
+        pmod($"k", lit(AssocBatches)) - 1,
+        pmod($"k", lit(AssocBatches)) + 1)))
+    gridCandidates(trMid,
+      tr.withColumn("ek", pmod($"k", lit(AssocBatches))),
+      TrackRateDeg, extraEquiKey = true)
       .withColumn("nm", pmod($"k1", lit(AssocBatches)).cast("long"))
       .withColumn("nx", pmod($"k2", lit(AssocBatches)).cast("long"))
-      .filter($"nx" === $"nm" - 1 || $"nx" === $"nm" + 1)
       // both endpoints' ×10⁶ coordinates ride along (the
       // [[trackletPairs]] r19 discipline) so the sampled fit, too,
       // reads its inputs off the chain row with zero joins
@@ -1011,6 +1078,12 @@ object Spatial {
     gridCandidates(pts, pts, radius)
       .filter($"k1" =!= $"k2")
       .select($"k1", $"k2", $"dist_r6")
+      // r20: pin the matched sliver — qNearestNbr reads it as BOTH
+      // argmin build and join probe (two independent subtrees: the
+      // grid join's haversine executed once per subtree), and both
+      // consumers end in an orderBy whose range sampling re-executes
+      // the pre-sort stage. Pinned, the spatial work runs exactly once.
+      .localCheckpoint(true)
   }
 
   def qNearestNbr(s: SparkSession, dir: String): DataFrame = {
@@ -1510,12 +1583,27 @@ object Spatial {
     matchPath: String, transientPath: String, batchId: Long,
     radius: Double, zoneHeight: Double = 5.0): (Long, Long) = {
     import graft.sources.Catalog
+    // FULL-replay fast path (r20: the warm ensure() probes must cost
+    // O(metadata), not a data pass): when BOTH stores already hold
+    // this batch's committed partition, the batch frame is never
+    // touched — previously the pre-guard localCheckpoint below
+    // materialized a fresh scan of the batch slice on EVERY replayed
+    // ensure(), 3 batches × every store-backed query sample. The
+    // guards below re-check after healing, so a crashed append still
+    // heals exactly as before; only the nothing-to-do path changed.
+    def committed(path: String): Boolean = {
+      val pd = new org.apache.hadoop.fs.Path(path, s"batch_id=$batchId")
+      Catalog.tableComplete(s, path) &&
+        pd.getFileSystem(s.sparkContext.hadoopConfiguration).exists(pd)
+    }
+    healOwnedStore(s, matchPath)
+    healOwnedStore(s, transientPath)
+    if (committed(matchPath) && committed(transientPath)) return (0L, 0L)
     // the batch feeds the association AND the anti-join — pin it once
     val b = batch.select(col("det_k").as("k"), col("ra"), col("decl"))
       .localCheckpoint(true)
     val nMatch = associateNewDetections(s, b, objHalo, matchPath,
       batchId, radius, zoneHeight)
-    healOwnedStore(s, transientPath)
     val partDir = new org.apache.hadoop.fs.Path(transientPath,
       s"batch_id=$batchId")
     val fsys = partDir.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -1973,6 +2061,10 @@ object Spatial {
     val probe = probeTableFor(s, ensureProbeTable(s, dir), zh, nb)
     xmatchStored(probe, halo, 1.0)
       .select($"k1".as("det_k"), $"k2".as("obj_k"), $"dist_r6")
+      // r20: pin before the presentation sort — the zero-exchange
+      // campaign join is all one stage, so orderBy's range sampling
+      // re-ran the entire association per action (guide §2.4)
+      .localCheckpoint(true)
       .orderBy($"det_k", $"obj_k")
   }
 

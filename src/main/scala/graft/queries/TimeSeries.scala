@@ -432,8 +432,12 @@ object TimeSeries {
     // last observation per (user, hour), deterministic by (tus, event_id)
     val wLast = Window.partitionBy($"user_id", $"h")
       .orderBy($"tus".desc, $"event_id".desc)
+    // r20: pinned — obs feeds BOTH the span aggregate and the spine
+    // join (two independent subtrees), so unpinned the corpus-scale
+    // last-observation window executed twice per action (guide §2.4)
     val obs = s0.withColumn("rn", row_number().over(wLast))
       .filter($"rn" === 1).select($"user_id", $"h", $"xc")
+      .localCheckpoint(true)
     val span = obs.groupBy($"user_id")
       .agg(min($"h").as("min_h"), max($"h").as("max_h"))
       .filter($"max_h" - $"min_h" <= MaxFillHours)
@@ -4017,6 +4021,11 @@ object TimeSeries {
       .select($"user_id", $"band", $"n_pairs",
         $"slope_c3".as("ts_slope_c3"),
         ($"slope_c3" / lit(1000.0)).as("slope_val"))
+      // r20: pin the |groups|-row median sliver before the
+      // presentation sort — orderBy's range sampling re-executed the
+      // quadratic pair join + the rank window (they share the final
+      // pre-sort stage), doubling the query's real work (guide §2.4)
+      .localCheckpoint(true)
       .orderBy($"user_id", $"band")
   }
 

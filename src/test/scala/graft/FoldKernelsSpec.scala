@@ -99,14 +99,20 @@ class FoldKernelsSpec extends AnyFunSuite {
     val pb = 4
     val mb = 3
     // a SHORT log table (max count 5) so the beyond-table term-null
-    // path is exercised: bins holding >5 rows must null their term
-    // exactly like element_at past the array end
+    // path is exercised: bins holding >5 rows must null their term —
+    // the NULL-on-out-of-bounds semantics pinned by the DuckDB
+    // oracle's list_extract (try_element_at here; plain element_at
+    // THROWS past the array end under Spark 4's ANSI default)
     val tab: Seq[Long] = (1 to 5).map(k => math.round(math.log(k) * 1e6))
     // per-user row counts 8..32: small users keep every phase bin at
     // ni <= 5 (valid terms), large ones push ni past the short table
     // (null terms) — both paths exercised
     val rows = for (u <- 1L to 4L; i <- 1L to 8L * u) yield {
-      val t = (u * 11003L + i * 700001L) % 12000000000L
+      // the step must be of the period grid's ORDER (0.7e9 vs periods
+      // 3.6e9/9e9) so rows actually spread across phase bins: small
+      // users then hold every bin at ni <= 5 (valid terms) while
+      // 32-row users still push single bins past the short table
+      val t = (u * 11003L + i * 700000001L) % 12000000000L
       val m = (u + i) % mb
       (u, t, m)
     }
@@ -122,8 +128,8 @@ class FoldKernelsSpec extends AnyFunSuite {
       .withColumn("ni", sum($"nij").over(wp))
       .groupBy($"user_id", $"p_us")
       .agg(sum($"nij").as("n"),
-        sum($"nij" * (element_at(typedLit(tab), $"nij".cast("int")) -
-          element_at(typedLit(tab), $"ni".cast("int")))).as("num"))
+        sum($"nij" * (try_element_at(typedLit(tab), $"nij".cast("int")) -
+          try_element_at(typedLit(tab), $"ni".cast("int")))).as("num"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), Option(r.get(3)))).toMap
