@@ -949,7 +949,10 @@ object Dedup {
     // an edge".
     val seed0 = edges.groupBy($"dst".as("doc_id"))
       .agg(min($"src").as("nbr_min"))
-      .localCheckpoint(true)
+      // r20: LAZY — the active.count() below materializes the
+      // checkpoint blocks in the same job (every partition scanned),
+      // where the eager form paid a separate materialization job
+      .localCheckpoint(false)
     val active = seed0.select($"doc_id")
     // The iterating joins are sliver-sized micro-jobs: AQE's
     // per-exchange query-stage materialization adds scheduling
@@ -996,43 +999,32 @@ object Dedup {
         .groupBy($"dst".as("doc_id"))
         .agg(min($"cluster_id").as("nbr_min"))
       // ONE job per iteration: the FULL changed-row count both
-      // materializes the persisted frame (every partition scanned — a
-      // limit(1) short-circuit would leave holes that silently
-      // re-derive the whole lineage when the next join reads them)
-      // and answers convergence. The old shape paid a second action
-      // per iteration just to ask "did anything change".
+      // materializes the LAZY localCheckpoint (every partition
+      // scanned — a limit(1) short-circuit would leave holes that
+      // can never be recomputed once the lineage is truncated) and
+      // answers convergence. r20: the old persist-count THEN eager-
+      // checkpoint shape paid a second per-round job just to convert
+      // cache blocks into checkpoint blocks; the lazy checkpoint
+      // materializes inside the count itself. Lineage is still
+      // truncated every round — with the two lazy compression joins
+      // below feeding round over round, an unbounded lineage turns
+      // into a plan whose Catalyst ANALYSIS cost dwarfs execution
+      // (measured in minutes on the FoF filament graph).
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select($"doc_id",
           least($"cluster_id", coalesce($"nbr_min", $"cluster_id")).as("new_id"),
           $"cluster_id".as("old_id"))
-        .persist()
+        .localCheckpoint(false)
       converged = next.filter($"new_id" =!= $"old_id").count() == 0
+      // the previous iteration's blocks are dead once `next` is
+      // materialized — release them instead of accreting one pinned
+      // sliver per iteration (the final frame stays pinned for the
+      // cluster-size window + singleton union below)
+      prev.foreach(_.unpersist(false))
+      prev = Some(next)
       if (converged) {
-        // final round: no next propagate will read this frame, so the
-        // lineage-truncating checkpoint and the compression hops are
-        // pure overhead — hand the just-persisted labels straight to
-        // the caller (their lineage is one checkpointed round deep)
-        prev.foreach(_.unpersist(false))
-        prev = Some(next)
         labels = next.select($"doc_id", $"new_id".as("cluster_id"))
       } else {
-        // truncate lineage EVERY iteration: the checkpoint reads the
-        // just-materialized cache (sliver-sized — cheap), and with the
-        // two lazy compression joins below feeding the next round, an
-        // unbounded lineage compounds into a plan whose ANALYSIS cost
-        // dwarfs its execution (measured: minutes of optimizer time on
-        // the FoF filament graph when truncating every 4th round).
-        val kept = {
-          val cp = next.localCheckpoint(true)
-          next.unpersist(false)
-          cp
-        }
-        // the previous iteration's blocks are dead once `next` is
-        // materialized — release them instead of accreting one cached
-        // sliver per iteration (the final frame stays cached for the
-        // cluster-size window + singleton union below)
-        prev.foreach(_.unpersist(false))
-        prev = Some(kept)
         // pointer jump (path compression): label ← label's label,
         // applied TWICE. Plain neighbor-min propagation needs
         // O(diameter) rounds, which on CHAIN-shaped graphs
@@ -1044,7 +1036,7 @@ object Dedup {
         // label is an active node id, so L(L(u)) is defined and
         // ≤ L(u); the joins are lazy — the next iteration's propagate
         // folds them in, costing two sliver-sized joins, no extra job.
-        val lk = kept.select($"doc_id", $"new_id")
+        val lk = next.select($"doc_id", $"new_id")
         val hop1 = lk.join(
           lk.select($"doc_id".as("__p"), $"new_id".as("__pl")),
           lk("new_id") === col("__p"), "left")

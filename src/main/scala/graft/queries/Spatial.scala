@@ -2483,16 +2483,24 @@ object Spatial {
     * adaptive length the group density is scale-free by
     * construction, so the iterating frame stays a bounded fraction
     * of the data at any catalog size. */
-  def qFofGroups(s: SparkSession, dir: String): DataFrame = {
+  /** The FoF linking-pair stream (d1, d2, band1, band2) — factored so
+    * [[graft.tools.ProfFof]] can time the grid pass apart from the CC
+    * closure. */
+  private[graft] def fofPairsForProf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pts = points(s, dir)
     val link = fofLinkDeg(pts.count())
     def bandOf(decl: Column): Column =
       floor(floor((decl + 90.0) / link) / FofBandZones).cast("long")
-    val pairs = gridCandidates(pts, pts, link)
+    gridCandidates(pts, pts, link)
       .filter($"k1" < $"k2")
       .select($"k1".as("d1"), $"k2".as("d2"),
         bandOf($"decl1").as("band1"), bandOf($"decl2").as("band2"))
+  }
+
+  def qFofGroups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = fofPairsForProf(s, dir)
     Dedup.contractedComponents(pairs)
       .groupBy($"cluster_id".as("group_id"))
       .agg(count(lit(1)).as("n_members"),
